@@ -1,0 +1,230 @@
+package graft
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{NumOps, TimeOps}
+import graft.operators.{Dedup, DimAgg, Profiling}
+import graft.sources.{Tables, WindowedIngest}
+
+/** The engine's query surface over the driver testdata, one entry per
+  * operator row of SURVEY §2. Each query has a DuckDB oracle in
+  * [[Oracles]]; column names and row order match exactly on both sides.
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.parquet(s, dir, name)
+
+  // — §2.5 A4: the core aggregation (countDistinct + avgs over dims) —
+  def dimAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .withColumn("ship_year", year(col("l_shipdate")))
+      .withColumn("ship_month", month(col("l_shipdate")))
+    DimAgg
+      .dimAgg(
+        li,
+        Seq(col("l_returnflag"), col("l_linestatus"), col("ship_year"), col("ship_month")),
+        col("l_orderkey"),
+        Seq(
+          "avg_qty" -> col("l_quantity"),
+          "avg_price" -> col("l_extendedprice"),
+          "avg_disc" -> col("l_discount"),
+          "avg_tax" -> col("l_tax")
+        )
+      )
+      .orderBy("l_returnflag", "l_linestatus", "ship_year", "ship_month")
+  }
+
+  // — §2.10 Q-dedup: one row per key, window row_number (replaces the
+  //   reference's sort→index→groupmax→join, app.py:427-480) —
+  def dedup(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .keepOnePerKey(
+        t(s, dir, "events"),
+        key = Seq(col("user_id")),
+        order = Seq(col("ts").desc, col("event_id").desc),
+        keep = Some(col("value").isNotNull)
+      )
+      .select("user_id", "event_id", "event_type", "value")
+      .orderBy("user_id")
+
+  // — §2.5 A1 / Q-nan-profile: per-column null pct, single pass —
+  def nanProfile(s: SparkSession, dir: String): DataFrame =
+    Profiling
+      .nanProfile(t(s, dir, "orders"), Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"))
+      .orderBy("column_name")
+
+  // — §2.5 A2 / Q-value-counts —
+  def valueCounts(s: SparkSession, dir: String): DataFrame =
+    Profiling.valueCounts(t(s, dir, "events"), col("event_type"))
+
+  // — §2.5 A5 / Q-nan-pivot: filter → group → pivot → countDistinct —
+  def nanPivot(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .withColumn("ship_year", year(col("l_shipdate")))
+      .withColumn("ship_month", month(col("l_shipdate")))
+      .withColumn("ship_day", dayofmonth(col("l_shipdate")))
+    Profiling
+      .pivotDistinctCount(
+        li,
+        probe = col("l_returnflag") === "R",
+        rowDims = Seq(col("ship_month"), col("ship_day")),
+        pivotCol = "ship_year",
+        pivotValues = Seq(1995, 1996, 1997, 1998, 1999, 2000, 2001),
+        idCol = col("l_orderkey")
+      )
+      .na // absent cells: countDistinct-over-pivot yields NULL; the
+      .fill(0, Seq("1995", "1996", "1997", "1998", "1999", "2000", "2001")) // reference's count semantics (and DuckDB's) is 0
+      .orderBy("ship_month", "ship_day")
+  }
+
+  // — §2.1 S1+S2 / P8: windowed ingestion (monthly predicate-partitioned
+  //   scans unioned; predicates push to parquet) —
+  def windowedIngest(s: SparkSession, dir: String): DataFrame = {
+    val windows = WindowedIngest.monthlyWindows(LocalDate.of(1995, 1, 1), LocalDate.of(2001, 12, 31))
+    val orders = t(s, dir, "orders")
+    WindowedIngest
+      .ingest(windows, "o_orderdate")(pred => orders.filter(pred))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month_start"))
+      .agg(count(lit(1)).as("n_orders"), NumOps.exactSum(col("o_totalprice")).as("total_price"))
+      .orderBy("month_start")
+  }
+
+  // — §2.1 S2 / §2.4 O5: unionByName over heterogeneous chunks —
+  def unionChunks(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"), lit("orders").as("src"))
+    val b = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_extendedprice").as("v"), lit("lineitem").as("src"))
+    a.unionByName(b)
+      .groupBy("src")
+      .agg(count(lit(1)).as("n"), countDistinct(col("k")).as("n_keys"), NumOps.exactAvg(col("v")).as("avg_v"))
+      .orderBy("src")
+  }
+
+  // — §2.2 P1-P3: projection, bulk positional rename, drop —
+  def projectRename(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      .toDF("custkey", "name", "acctbal", "segment")
+      .drop("name")
+      .orderBy("custkey")
+
+  // — §2.2 P4-P6 + P7-lite: null-test, equality, comparison, IN-list —
+  def filters(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderdate").isNotNull)
+      .filter(col("o_orderstatus") === "O")
+      .filter(col("o_totalprice") >= 200000.0)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .orderBy("o_orderkey")
+
+  // — §2.2 P7 / §2.3 J3: data-driven semi-join (value_counts → isin) —
+  def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val busy = ev.groupBy("user_id").agg(count(lit(1)).as("c")).filter(col("c") >= 70).select("user_id")
+    ev.join(busy, Seq("user_id"), "left_semi")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), NumOps.exactSum(col("value")).as("sum_value"))
+      .orderBy("user_id")
+  }
+
+  // — §2.3 J1: inner equi-join, small side broadcast —
+  def joinInner(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"), "inner")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), countDistinct(col("o_custkey")).as("n_customers"), NumOps.exactAvg(col("o_totalprice"), 2).as("avg_price"))
+      .orderBy("c_mktsegment")
+
+  // — §2.3 J2: left join + fold-style multi-table assembly —
+  def joinLeft(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .join(t(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"), "left")
+      .groupBy("n_name")
+      .agg(count(col("c_custkey")).as("n_customers"), NumOps.exactSum(coalesce(col("c_acctbal"), lit(0.0))).as("total_bal"))
+      .orderBy("n_name")
+
+  // — §2.4 O1/O3: global multi-column sort + limit —
+  def sortLimit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  // — §2.4 O4: distinct —
+  def distinctValues(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select("o_orderpriority").distinct().orderBy("o_orderpriority")
+
+  // — §2.7 F3: date-part extraction —
+  def dateParts(s: SparkSession, dir: String): DataFrame =
+    TimeOps
+      .withDateParts(t(s, dir, "orders").select("o_orderkey", "o_orderdate"), "o_orderdate")
+      .drop("o_orderdate")
+      .orderBy("o_orderkey")
+
+  // — §2.7 F2+F5: timestamp subtraction → minutes, bround(2) —
+  def timedelta(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_shipdate")
+    val o = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
+    li.join(o, col("l_orderkey") === col("o_orderkey"), "inner")
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        TimeOps.timedeltaMinutes(col("l_shipdate"), col("o_orderdate")).as("ship_delay_min")
+      )
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // — §2.7 F1: string→timestamp parse (Socrata millis format) —
+  def parseTimestamp(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        date_format(
+          TimeOps.parseTimestamp(date_format(col("o_orderdate"), TimeOps.SocrataFormat)),
+          "yyyy-MM-dd HH:mm:ss"
+        ).as("parsed")
+      )
+      .orderBy("o_orderkey")
+
+  // — §2.7 F4: concat join key (the reference's enum_ind, app.py:472) —
+  def concatKey(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(
+        col("event_id"),
+        concat_ws(", ", col("user_id").cast("string"), col("event_id").cast("string")).as("enum_ind")
+      )
+      .orderBy("event_id")
+
+  // — §2.7 F7: string→numeric coercion (cast null on failure) —
+  def castCoerce(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(
+        col("event_id"),
+        TimeOps.tryCast(col("event_type"), "int").as("et_as_int"),
+        TimeOps.tryCast(col("event_id").cast("string"), "int").as("eid_roundtrip")
+      )
+      .orderBy("event_id")
+
+  // — §2.6: window functions (running aggregate per key) —
+  def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        bround(sum("o_totalprice").over(w), 2).as("running_total"),
+        row_number().over(Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))).as("order_seq")
+      )
+      .orderBy("o_custkey", "order_seq")
+  }
+}

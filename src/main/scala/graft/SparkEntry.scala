@@ -1,13 +1,38 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Queries.dimAgg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_dim_agg" -> (Queries.dimAgg _),
+    "q02_dedup" -> (Queries.dedup _),
+    "q03_nan_profile" -> (Queries.nanProfile _),
+    "q04_value_counts" -> (Queries.valueCounts _),
+    "q05_nan_pivot" -> (Queries.nanPivot _),
+    "q06_windowed_ingest" -> (Queries.windowedIngest _),
+    "q07_union_chunks" -> (Queries.unionChunks _),
+    "q08_project_rename" -> (Queries.projectRename _),
+    "q09_filters" -> (Queries.filters _),
+    "q10_semi_join" -> (Queries.semiJoin _),
+    "q11_join_inner" -> (Queries.joinInner _),
+    "q12_join_left" -> (Queries.joinLeft _),
+    "q13_sort_limit" -> (Queries.sortLimit _),
+    "q14_distinct" -> (Queries.distinctValues _),
+    "q15_date_parts" -> (Queries.dateParts _),
+    "q16_timedelta" -> (Queries.timedelta _),
+    "q17_parse_timestamp" -> (Queries.parseTimestamp _),
+    "q18_concat_key" -> (Queries.concatKey _),
+    "q19_cast_coerce" -> (Queries.castCoerce _),
+    "q20_window_running" -> (Queries.windowRunning _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Oracles.sql
 }

@@ -1,0 +1,61 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Idempotent truncate-and-load sink with retry — the Spark restatement
+  * of the reference's MongoDB sink (`db_insert`, `app.py:645-740`):
+  * drop-all-collections first (`app.py:661-669`) → per-partition
+  * record-oriented insert (`app.py:685-700`) → outer retry loop, ≤6
+  * attempts, 60 s backoff (`app.py:710-720`).
+  *
+  * Truncate-first maps to `SaveMode.Overwrite` (atomic via the file
+  * committer — strictly safer than the reference's drop-then-insert
+  * window where readers see an empty DB). The record-oriented path for
+  * external connectors is `foreachPartition`, so one connection per
+  * partition, not per row — the shape that survives 1000 executors.
+  */
+object RetryingSink {
+
+  final case class RetryPolicy(maxAttempts: Int = 6, backoffMillis: Long = 60000L)
+
+  /** Run `action` under the reference's retry contract. Returns the
+    * number of attempts used; throws the last failure when exhausted.
+    */
+  def withRetry[A](policy: RetryPolicy = RetryPolicy(), sleep: Long => Unit = Thread.sleep)(action: () => A): (A, Int) = {
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt < policy.maxAttempts) {
+      attempt += 1
+      try return (action(), attempt)
+      catch {
+        case e: Throwable =>
+          last = e
+          if (attempt < policy.maxAttempts) sleep(policy.backoffMillis)
+      }
+    }
+    throw last
+  }
+
+  /** Truncate-and-load to parquet (our offline stand-in for the Mongo
+    * collection; one output dir per "collection").
+    */
+  def overwriteParquet(df: DataFrame, path: String, policy: RetryPolicy = RetryPolicy(), sleep: Long => Unit = Thread.sleep): Int = {
+    val (_, attempts) = withRetry(policy, sleep) { () =>
+      df.write.mode(SaveMode.Overwrite).parquet(path)
+    }
+    attempts
+  }
+
+  /** Record-oriented export: stream each partition's rows to a
+    * connector-style consumer (reference: `to_dict(orient='records')` +
+    * `insert_many`, `app.py:685-700`). The consumer factory runs once
+    * per partition on the executor — connection-per-partition, the
+    * distributed analogue of the reference's single driver-side client.
+    */
+  def foreachPartitionSink(df: DataFrame)(consume: Iterator[Map[String, Any]] => Unit): Unit = {
+    val fields = df.schema.fieldNames
+    df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      consume(rows.map(r => fields.zipWithIndex.map { case (f, i) => f -> r.get(i) }.toMap))
+    }
+  }
+}

@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** Parquet/CSV/JSON table access (reference `app.py:53-87` CSV path,
+  * `app.py:171-183` JSON path — both declare/accept an explicit schema;
+  * here the schema travels as a [[StructType]] so malformed values null
+  * out instead of failing, matching pandas' coerce behavior).
+  *
+  * Scans stay fully declarative so Catalyst pushes filters and prunes
+  * columns down to the parquet reader — the scan, not the engine, is
+  * where 100 TB is won or lost.
+  */
+object Tables {
+
+  /** Load one testdata table: `dir/name.parquet`. */
+  def parquet(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir) else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The `events` table carries a TIMESTAMP(NANOS) parquet column, which
+    * Spark's vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]).
+    * Read nanos as raw longs (`legacy.parquet.nanosAsLong`) and convert
+    * to a microsecond timestamp — the same truncation DuckDB applies, so
+    * oracle comparisons agree.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    else raw
+  }
+
+  /** CSV with explicit schema — mirrors the reference's
+    * `dd.read_csv(dtype={...})` (`app.py:53-87`). `blocksize=15e6` maps to
+    * `spark.sql.files.maxPartitionBytes` (set at session level, not here).
+    */
+  def csv(spark: SparkSession, path: String, schema: StructType, header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", header.toString).csv(path)
+
+  /** JSON lines with explicit schema (reference ingests API JSON,
+    * `app.py:171-183`; schema inference on 100 TB would double-scan).
+    */
+  def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Smoke + invariant coverage for every SparkEntry query at sf0.001
+  * (the driver's t1 tier). Exact-value parity vs DuckDB is the driver's
+  * t2 gate (and `tools/oracle_check.py` locally).
+  */
+class QueriesSpec extends SparkSpec {
+
+  test("every declared query has an oracle or a documented omission") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // rows-only ops (non-SQL-expressible) are allowed; list them here so
+    // additions are deliberate:
+    val allowedRowsOnly = Set.empty[String]
+    assert(noOracle === allowedRowsOnly)
+  }
+
+  test("all queries run and return rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("dedup: at most one row per user_id, none with null value") {
+    val d = Queries.dedup(spark, sfDir)
+    assert(d.groupBy("user_id").count().filter(col("count") > 1).count() === 0)
+    assert(d.filter(col("value").isNull).count() === 0)
+  }
+
+  test("nan profile: percentages within [0, 100]") {
+    val p = Queries.nanProfile(spark, sfDir)
+    assert(p.filter(col("nan_pct") < 0 || col("nan_pct") > 100).count() === 0)
+  }
+
+  test("value counts: descending and totals to table size") {
+    val vc = Queries.valueCounts(spark, sfDir).collect()
+    val counts = vc.map(_.getLong(1))
+    assert(counts.sameElements(counts.sorted.reverse))
+    assert(counts.sum === sources.Tables.parquet(spark, sfDir, "events").count())
+  }
+
+  test("dim agg: distinct-count per group never exceeds group size") {
+    val li = sources.Tables.parquet(spark, sfDir, "lineitem")
+    assert(Queries.dimAgg(spark, sfDir).agg(sum("n_distinct")).head.getLong(0) >= li.select("l_orderkey").distinct.count())
+  }
+
+  test("semi join returns only qualifying users") {
+    val sj = Queries.semiJoin(spark, sfDir)
+    assert(sj.filter(col("n_events") < 70).count() === 0)
+  }
+}
