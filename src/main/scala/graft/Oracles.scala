@@ -9,6 +9,87 @@ package graft
   */
 object Oracles {
 
+  /** Half-away rounding spelled as IEEE ops — see NumOps.roundAway. */
+  private def away(expr: String, scale: Int): String = {
+    val p = scale match { case 2 => "100.0"; case 4 => "10000.0"; case 6 => "1000000.0"; case _ => s"1e$scale" }
+    s"sign($expr) * (floor(abs($expr) * $p + 0.5) / $p)"
+  }
+
+  /** Shared CTE: distinct (doc_id, word-3-gram) shingles. */
+  private val ShingleCte =
+    """w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      |idx AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w WHERE len(ws) >= 3),
+      |sh AS (SELECT DISTINCT doc_id,
+      |  ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1] || ' ' || ws[CAST(i AS INTEGER) + 2] AS g
+      |FROM idx)""".stripMargin
+
+  /** hash32 mirror: int of first 8 MD5 hex chars. */
+  private def hx(e: String) = s"CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT)"
+
+  /** Sequential double dot-product of two float lists. */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[CAST(i AS INTEGER)] AS DOUBLE) * CAST($b[CAST(i AS INTEGER)] AS DOUBLE)))"
+
+  private def cosineSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / sqrt(${dotSql(a, a)} * ${dotSql(b, b)})"
+
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  private val langCase: String = {
+    val scores = graft.functions.TextOps.LangStopwords.map { case (lang, stop) =>
+      lang -> s"len(list_filter(ws, w -> w IN (${inList(stop)})))"
+    }
+    val whens = scores.init.zipWithIndex.map { case ((lang, s), i) =>
+      val later = scores.drop(i + 1).map(_._2)
+      s"WHEN ${later.map(o => s"$s >= $o").mkString(" AND ")} THEN '$lang'"
+    }
+    s"CASE ${whens.mkString(" ")} ELSE '${scores.last._1}' END"
+  }
+
+  private val minhashSql: String = {
+    val p = graft.operators.NearDup.MinhashPrime
+    val params = graft.operators.NearDup.minhashParams(16)
+    val sigCols = params.zipWithIndex
+      .map { case ((a, b), i) => s"min(($a * x + $b) % $p) AS sig_$i" }
+      .mkString(",\n  ")
+    val bandCols = (0 until 4)
+      .map { j =>
+        val parts = (0 until 4).map(r => s"sig_${j * 4 + r}").mkString(" || ':' || ")
+        s"md5($parts) AS band_$j"
+      }
+      .mkString(",\n  ")
+    val bandJoins = (0 until 4)
+      .map(j =>
+        s"SELECT a.doc_id AS d1, b.doc_id AS d2 FROM band a JOIN band b ON a.band_$j = b.band_$j AND a.doc_id < b.doc_id"
+      )
+      .mkString("\nUNION\n")
+    s"""WITH $ShingleCte,
+       |hx AS (SELECT doc_id, ${hx("g")} AS x FROM sh),
+       |sig AS (SELECT doc_id,
+       |  $sigCols
+       |FROM hx GROUP BY doc_id),
+       |band AS (SELECT doc_id,
+       |  $bandCols
+       |FROM sig),
+       |cand AS ($bandJoins)
+       |SELECT d1, d2 FROM cand ORDER BY d1, d2""".stripMargin
+  }
+
+  private val simhashSql: String = {
+    val bitSums = (0 until 32)
+      .map(b => s"sum(CASE WHEN (x >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s_$b")
+      .mkString(",\n  ")
+    val assemble = (0 until 32)
+      .map(b => s"(CASE WHEN s_$b >= 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    raw"""WITH wt AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents),
+       |h AS (SELECT doc_id, ${hx("w")} AS x FROM wt),
+       |bs AS (SELECT doc_id,
+       |  $bitSums
+       |FROM h GROUP BY doc_id)
+       |SELECT doc_id, $assemble AS simhash FROM bs ORDER BY doc_id""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "q01_dim_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -123,6 +204,78 @@ object Oracles {
       """SELECT event_id, TRY_CAST(event_type AS INTEGER) AS et_as_int,
         |  TRY_CAST(CAST(event_id AS VARCHAR) AS INTEGER) AS eid_roundtrip
         |FROM events ORDER BY event_id""".stripMargin,
+    "q21_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) + length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS INTEGER) AS n_bpe_tokens,
+        |  CAST(length(text) AS INTEGER) AS n_chars_actual
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q22_quality_score" -> {
+      val stopIn = inList(graft.functions.TextOps.LangStopwords.head._2)
+      val stopR = away(s"CAST(len(list_filter(ws, w -> w IN ($stopIn))) AS DOUBLE) / len(ws)", 4)
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(ws) AS INTEGER) AS n_tokens,
+        |  STOPR AS stopword_ratio,
+        |  DISTR AS distinct_ratio,
+        |  AVGLEN AS avg_token_len,
+        |  CAST(CASE WHEN len(ws) BETWEEN 20 AND 200 AND STOPR >= 0.01 THEN 1 ELSE 0 END AS INTEGER) AS quality_flag
+        |FROM w ORDER BY doc_id""".stripMargin
+        .replace("STOPR", stopR)
+        .replace("DISTR", away("CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)", 4))
+        .replace("AVGLEN", away("CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws)", 4))
+    },
+    "q23_lang_id" ->
+      s"""WITH w AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), chr(92) || 's+') AS ws FROM documents),
+         |p AS (SELECT doc_id, lang, $langCase AS lang_pred FROM w)
+         |SELECT doc_id, lang, lang_pred,
+         |  CAST(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END AS INTEGER) AS is_match
+         |FROM p ORDER BY doc_id""".stripMargin,
+    "q24_fingerprint" ->
+      """WITH idx AS (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i FROM documents)
+        |SELECT doc_id, min(md5(substr(text, CAST(i AS INTEGER), 8))) AS fp
+        |FROM idx GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q25_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "q26_ngram_jaccard" -> {
+      val j = away("CAST(common AS DOUBLE) / (x.n_sh + y.n_sh - common)", 4)
+      s"""WITH $ShingleCte,
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |jj AS (SELECT pr.d1, pr.d2, $j AS jaccard
+         |  FROM pr JOIN sz x ON pr.d1 = x.doc_id JOIN sz y ON pr.d2 = y.doc_id)
+         |SELECT d1, d2, jaccard FROM jj WHERE jaccard >= 0.8 ORDER BY d1, d2""".stripMargin
+    },
+    "q27_minhash_lsh" -> minhashSql,
+    "q28_simhash" -> simhashSql,
+    "q29_ann_brute_force" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 50),
+         |p AS (SELECT q.qid, q.qe, e.vec_id AS nid, e.embedding AS ne FROM q, embeddings e WHERE e.vec_id <> q.qid),
+         |s AS (SELECT qid, nid, ${cosineSql("qe", "ne")} AS c FROM p),
+         |r AS (SELECT qid, nid, ${away("c", 6)} AS sim FROM s),
+         |k AS (SELECT qid, nid, sim,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INTEGER) AS rnk FROM r)
+         |SELECT qid, nid, sim, rnk FROM k WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+    "q30_embed_near_dup" ->
+      s"""WITH p AS (SELECT a.vec_id AS d1, b.vec_id AS d2, a.embedding AS e1, b.embedding AS e2
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+         |s AS (SELECT d1, d2, ${cosineSql("e1", "e2")} AS c FROM p),
+         |r AS (SELECT d1, d2, ${away("c", 6)} AS sim FROM s)
+         |SELECT d1, d2, sim FROM r WHERE sim >= 0.4 ORDER BY d1, d2""".stripMargin,
+    "q32_multimodal_decode" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  CAST(64 + octet_length(encode(text)) % 577 AS INTEGER) AS width,
+        |  CAST(64 + (octet_length(encode(text)) * 31) % 417 AS INTEGER) AS height,
+        |  CAST(1 + octet_length(encode(text)) % 7 AS INTEGER) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q33_stream_agg" -> {
+      val tot = away("CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE)", 2)
+      s"""SELECT event_type, count(*) AS n, $tot AS total_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
     "q20_window_running" ->
       """SELECT o_custkey, o_orderkey,
         |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey

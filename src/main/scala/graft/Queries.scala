@@ -5,8 +5,8 @@ import java.time.LocalDate
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{NumOps, TimeOps}
-import graft.operators.{Dedup, DimAgg, Profiling}
+import graft.functions.{NumOps, TextOps, TimeOps}
+import graft.operators.{Dedup, DimAgg, Multimodal, NearDup, Profiling, Similarity}
 import graft.sources.{Tables, WindowedIngest}
 
 /** The engine's query surface over the driver testdata, one entry per
@@ -227,4 +227,113 @@ object Queries {
       )
       .orderBy("o_custkey", "order_seq")
   }
+
+  // ———————————————————— north-star: text analysis ————————————————————
+
+  // token counting: whitespace + BPE-ish estimate
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        length(col("text")).as("n_chars_actual")
+      )
+      .orderBy("doc_id")
+
+  // quality scoring: length / stopword / diversity ratios + flag
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextOps.tokens(col("text"))
+    val nTok = size(ws)
+    val stopR = NumOps.roundAway(TextOps.stopwordRatio(ws, TextOps.LangStopwords.head._2), 4)
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        stopR.as("stopword_ratio"),
+        NumOps.roundAway(TextOps.distinctRatio(ws), 4).as("distinct_ratio"),
+        NumOps.roundAway(
+          aggregate(transform(ws, w => length(w)), lit(0), (a, x) => a + x).cast("double") / nTok,
+          4
+        ).as("avg_token_len"),
+        when(nTok.between(20, 200) && stopR >= 0.01, 1).otherwise(0).as("quality_flag")
+      )
+      .orderBy("doc_id")
+  }
+
+  // language-ID: stopword-hit argmax, deterministic tie-break
+  def langId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        col("lang"),
+        TextOps.langId(TextOps.tokens(col("text"))).as("lang_pred")
+      )
+      .withColumn("is_match", when(col("lang") === col("lang_pred"), 1).otherwise(0))
+      .orderBy("doc_id")
+
+  // rolling-hash document fingerprint (min over char 8-gram MD5s)
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.charFingerprint("text").as("fp"))
+      .orderBy("doc_id")
+
+  // ———————————————————— north-star: deduplication ————————————————————
+
+  // exact dedup by content hash
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .exact(t(s, dir, "documents"), md5(col("text")), col("doc_id"))
+      .orderBy("keep_id")
+
+  // exact word-3-gram Jaccard near-dup pairs
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    NearDup
+      .jaccardPairs(t(s, dir, "documents"), col("doc_id"), col("text"), n = 3, threshold = 0.8)
+      .orderBy("d1", "d2")
+
+  // MinHash + LSH banding candidate pairs (16 hashes, 4 bands × 4)
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sigs = NearDup.minhashSignatures(t(s, dir, "documents"), col("doc_id"), col("text"), k = 16, n = 3)
+    NearDup.lshCandidatePairs(sigs, bands = 4, rowsPerBand = 4).orderBy("d1", "d2")
+  }
+
+  // 32-bit SimHash per document
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    NearDup.simhash32(t(s, dir, "documents"), col("doc_id"), col("text")).orderBy("doc_id")
+
+  // ——————————————— north-star: similarity search ———————————————
+
+  // brute-force cosine top-10 for query vectors (vec_id < 50)
+  def annBruteForce(s: SparkSession, dir: String): DataFrame =
+    Similarity
+      .bruteForceTopK(t(s, dir, "embeddings"), col("vec_id"), col("embedding"), col("vec_id") < 50, k = 10)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy("qid", "rnk")
+
+  // embedding-cosine near-duplicate pairs
+  def embedNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity
+      .nearDupPairs(t(s, dir, "embeddings"), col("vec_id"), col("embedding"), threshold = 0.4)
+      .orderBy("d1", "d2")
+
+  // LSH-bucketed ANN (rows-only oracle; recall checked in tests)
+  def annLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity
+      .lshTopK(t(s, dir, "embeddings"), col("vec_id"), col("embedding"), col("vec_id") < 50, dim = 64, bits = 4, tables = 8, k = 3)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy("qid", "rnk")
+
+  // —————————————— north-star: multimodal + streaming ——————————————
+
+  // binary-payload plumbing with stubbed per-partition decode
+  def multimodalDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal
+      .decodeMetadata(Multimodal.withPayload(t(s, dir, "documents"), "doc_id", "text"))
+      .toDF()
+      .orderBy("doc_id")
+
+  // Structured Streaming available-now aggregation == batch answer
+  def streamAgg(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamAgg.eventTypeTotals(s, dir)
 }

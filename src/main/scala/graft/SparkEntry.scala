@@ -29,7 +29,20 @@ object SparkEntry {
     "q17_parse_timestamp" -> (Queries.parseTimestamp _),
     "q18_concat_key" -> (Queries.concatKey _),
     "q19_cast_coerce" -> (Queries.castCoerce _),
-    "q20_window_running" -> (Queries.windowRunning _)
+    "q20_window_running" -> (Queries.windowRunning _),
+    "q21_token_count" -> (Queries.tokenCount _),
+    "q22_quality_score" -> (Queries.qualityScore _),
+    "q23_lang_id" -> (Queries.langId _),
+    "q24_fingerprint" -> (Queries.fingerprint _),
+    "q25_dedup_exact" -> (Queries.dedupExact _),
+    "q26_ngram_jaccard" -> (Queries.ngramJaccard _),
+    "q27_minhash_lsh" -> (Queries.minhashLsh _),
+    "q28_simhash" -> (Queries.simhash _),
+    "q29_ann_brute_force" -> (Queries.annBruteForce _),
+    "q30_embed_near_dup" -> (Queries.embedNearDup _),
+    "q31_ann_lsh" -> (Queries.annLsh _),
+    "q32_multimodal_decode" -> (Queries.multimodalDecode _),
+    "q33_stream_agg" -> (Queries.streamAgg _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{NumOps, TextOps}
+
+/** Near-duplicate detection over document text — the scale path for
+  * training-data dedup. Three families:
+  *
+  *  - exact n-gram Jaccard ([[jaccardPairs]]): the ground truth. One
+  *    shuffle on shingle (the self-join), one on the pair. Quadratic
+  *    only within identical-shingle buckets, so fine when shingles are
+  *    discriminative; the all-pairs blowup is what MinHash avoids.
+  *  - MinHash + LSH banding ([[minhashSignatures]], [[lshCandidatePairs]]):
+  *    the 100 TB path. Signatures are one groupBy over exploded
+  *    shingles; banding shuffles 16-byte band keys, never documents;
+  *    candidate generation is a per-bucket self-join. Cost scales with
+  *    bucket sizes, not n².
+  *  - SimHash ([[simhash32]]): one 32-bit value per doc, single
+  *    aggregation, hamming-distance comparable.
+  *
+  * All hashing is anchored on [[TextOps.hash32]] (MD5-derived), so the
+  * DuckDB oracle reproduces every intermediate integer exactly.
+  */
+object NearDup {
+
+  val MinhashPrime: Long = 2147483647L // 2^31 - 1
+
+  /** Deterministic (a, b) parameters for the k MinHash functions:
+    * h_i(x) = (a_i·x + b_i) mod p. Constants are fixed (not seeded at
+    * runtime) so signatures are stable across runs and engines.
+    */
+  def minhashParams(k: Int): Seq[(Long, Long)] =
+    (1 to k).map(i => ((2654435761L * i) % MinhashPrime, (40503L * i * i + 97L) % MinhashPrime))
+
+  /** Distinct (doc, word-n-gram-shingle) pairs — the shared first stage. */
+  def shingleTable(docs: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame =
+    docs
+      .select(id.as("doc_id"), explode(TextOps.wordShingles(TextOps.tokens(text), n)).as("g"))
+      .distinct()
+
+  /** Exact Jaccard similarity over word n-gram sets for all pairs with
+    * at least one shared shingle; keep pairs ≥ `threshold`.
+    */
+  def jaccardPairs(docs: DataFrame, id: Column, text: Column, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    // the shingle table feeds three plan branches (two join sides + the
+    // size aggregate); persist so the explode+distinct runs once, not 3×.
+    // At 100 TB the equivalent is a materialized bucketed shingle table.
+    val sh = shingleTable(docs, id, text, n).persist()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = sh
+      .as("a")
+      .join(sh.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+      .select(
+        col("d1"),
+        col("d2"),
+        NumOps.roundAway(col("common").cast("double") / (col("n1") + col("n2") - col("common")), 4).as("jaccard")
+      )
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signature table: doc_id plus k `sig_i` columns, each the
+    * min of h_i over the doc's shingles. One explode + one groupBy.
+    */
+  def minhashSignatures(docs: DataFrame, id: Column, text: Column, k: Int = 16, n: Int = 3): DataFrame = {
+    val sh = shingleTable(docs, id, text, n).withColumn("x", TextOps.hash32(col("g")))
+    val aggs = minhashParams(k).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * col("x") + lit(b), lit(MinhashPrime))).as(s"sig_$i")
+    }
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over the signature table: `bands` bands of
+    * `rowsPerBand` signature values hash (MD5 of ':' join) to a bucket;
+    * docs sharing any bucket become a candidate pair. Returns distinct
+    * (d1 < d2) pairs — recall is tunable via band shape, and the
+    * verification join (exact Jaccard on candidates only) stays linear
+    * in candidate count.
+    */
+  def lshCandidatePairs(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandStructs = (0 until bands).map { j =>
+      val cols = (0 until rowsPerBand).map(r => col(s"sig_${j * rowsPerBand + r}").cast("string"))
+      struct(lit(j).as("bi"), md5(concat_ws(":", cols: _*)).as("bv"))
+    }
+    // one (doc, band) row per band, ONE self-join keyed (band idx, band
+    // hash) — not a join per band: a single shuffle whose exchange the
+    // two sides share, instead of 2·bands recomputations of the
+    // signature pipeline
+    val exploded = signatures
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+      .persist()
+    exploded
+      .as("a")
+      .join(exploded.as("b"), Seq("bi", "bv"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** 32-bit SimHash per document: per bit, +1 for every token whose
+    * hash has the bit set, −1 otherwise; the sign becomes the bit.
+    * Token multiplicity counts (no distinct) — standard SimHash.
+    */
+  def simhash32(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val words = docs.select(id.as("doc_id"), explode(TextOps.tokens(text)).as("w"))
+    val h = TextOps.hash32(col("w"))
+    val bitSums = (0 until 32).map { b =>
+      sum(when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s_$b")
+    }
+    words
+      .groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(
+        col("doc_id"),
+        (0 until 32)
+          .map(b => when(col(s"s_$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _)
+          .as("simhash")
+      )
+  }
+}

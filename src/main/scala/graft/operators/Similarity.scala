@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{NumOps, TextOps, VectorOps}
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * [[bruteForceTopK]] is the exactness baseline: a broadcast of the
+  * query set against a full scan of the corpus — one pass, no shuffle
+  * of the corpus, embarrassingly parallel. Right up to ~10⁴ queries ×
+  * 10⁹ rows it is often the honest winner on a cluster.
+  *
+  * [[lshTopK]] is the sublinear path: random-hyperplane signatures
+  * bucket the corpus (one cheap column), and only same-bucket pairs are
+  * scored. Hyperplane signs are derived from [[TextOps.hash32]] of
+  * "k:d" strings — deterministic, no RNG, identical across engines and
+  * runs. At 100 TB the bucketed join replaces the n·q scoring loop with
+  * per-bucket work; multi-probe = widen the bucket join key.
+  *
+  * Ranking ties and float-rounding: scores are rounded (half-away, 6dp)
+  * BEFORE ranking and tie-broken by neighbor id, so top-k sets are
+  * stable across partitionings and engines.
+  */
+object Similarity {
+
+  /** Exact cosine top-k: for each query vector (filter `isQuery`), the
+    * `k` highest-cosine neighbors (excluding self).
+    */
+  def bruteForceTopK(vecs: DataFrame, id: Column, emb: Column, isQuery: Column, k: Int = 10): DataFrame = {
+    // norms once per row at the scan, not once per pair: each pair then
+    // costs ONE dot product instead of three
+    val q = vecs.filter(isQuery).select(id.as("qid"), emb.as("qe"), VectorOps.normSq(emb).as("qn"))
+    val c = vecs.select(id.as("nid"), emb.as("ne"), VectorOps.normSq(emb).as("nn"))
+    val scored = q
+      .join(broadcast(c).hint("broadcast"), col("qid") =!= col("nid"))
+      .select(
+        col("qid"),
+        col("nid"),
+        NumOps.roundAway(VectorOps.dot(col("qe"), col("ne")) / sqrt(col("qn") * col("nn")), 6).as("sim")
+      )
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** All corpus pairs with cosine ≥ threshold — embedding-based
+    * near-duplicate detection (brute-force variant; LSH-bucket the
+    * pair join at scale).
+    */
+  def nearDupPairs(vecs: DataFrame, id: Column, emb: Column, threshold: Double): DataFrame = {
+    val a = vecs.select(id.as("d1"), emb.as("e1"), VectorOps.normSq(emb).as("n1"))
+    val b = vecs.select(id.as("d2"), emb.as("e2"), VectorOps.normSq(emb).as("n2"))
+    a.join(broadcast(b), col("d1") < col("d2"))
+      .select(
+        col("d1"),
+        col("d2"),
+        NumOps.roundAway(VectorOps.dot(col("e1"), col("e2")) / sqrt(col("n1") * col("n2")), 6).as("sim")
+      )
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Deterministic random-hyperplane bit: sign of Σ_d e[d]·s(k,d),
+    * where s(k,d) = ±1 from the parity of hash32("k:d").
+    */
+  private def hyperplaneBit(emb: Column, dim: Int, k: Int): Column = {
+    val signs = Array.tabulate(dim)(d => if (md5Parity(s"$k:$d") == 1) 1.0 else -1.0)
+    val proj = VectorOps.dot(emb, typedlit(signs))
+    when(proj >= 0, lit(1L << k)).otherwise(lit(0L))
+  }
+
+  /** Driver-side parity of hash32(s) — same MD5-derived hash as the
+    * engine side, computed once per (k,d) at plan time.
+    */
+  private def md5Parity(s: String): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex, 16) & 1L).toInt
+  }
+
+  /** LSH-bucketed ANN, multi-table: `tables` independent hash tables of
+    * `bits` hyperplane bits each; a corpus row is a candidate for a
+    * query if they share ANY table's bucket; exact cosine reranks the
+    * candidates; top-k per query.
+    *
+    * Recall for a neighbor at angle θ is `1-(1-(1-θ/π)^bits)^tables` —
+    * e.g. ~0.83 at cosine 0.5 with 8×4 — tunable without touching the
+    * plan shape. At scale the candidate join shuffles (table, bucket)
+    * keys, never the corpus×query cross product. Verified against
+    * [[bruteForceTopK]] in tests.
+    */
+  def lshTopK(vecs: DataFrame, id: Column, emb: Column, isQuery: Column, dim: Int, bits: Int = 4, tables: Int = 8, k: Int = 3): DataFrame = {
+    val bucketStructs = (0 until tables).map { l =>
+      struct(
+        lit(l).as("tbl"),
+        (0 until bits).map(b => hyperplaneBit(emb, dim, l * bits + b)).reduce(_ + _).as("bv")
+      )
+    }
+    // (vec, table, bucket) rows; ONE self-join keyed (table, bucket) —
+    // the signature pass runs once (persisted: it's tables×bits dot
+    // products per vector), not once per table per side
+    val exploded = vecs
+      .select(id.as("vid"), isQuery.as("is_q"), explode(array(bucketStructs: _*)).as("b"))
+      .select(col("vid"), col("is_q"), col("b.tbl").as("tbl"), col("b.bv").as("bv"))
+      .persist()
+    val pairs = exploded
+      .filter(col("is_q"))
+      .select(col("vid").as("qid"), col("tbl"), col("bv"))
+      .join(exploded.select(col("vid").as("nid"), col("tbl"), col("bv")), Seq("tbl", "bv"))
+      .filter(col("qid") =!= col("nid"))
+      .select("qid", "nid")
+      .distinct()
+    val qe = vecs.filter(isQuery).select(id.as("qid"), emb.as("qe"), VectorOps.normSq(emb).as("qn"))
+    val ne = vecs.select(id.as("nid"), emb.as("ne"), VectorOps.normSq(emb).as("nn"))
+    val scored = pairs
+      .join(qe, "qid")
+      .join(ne, "nid")
+      .select(
+        col("qid"),
+        col("nid"),
+        NumOps.roundAway(VectorOps.dot(col("qe"), col("ne")) / sqrt(col("qn") * col("nn")), 6).as("sim")
+      )
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.VectorOps
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = graft.sources.Tables.parquet(spark, sfDir, "embeddings")
+
+  test("native VecDot is bit-identical to the higher-order formulation") {
+    val both = vecs
+      .limit(50)
+      .crossJoin(vecs.limit(50).select($"vec_id".as("v2"), $"embedding".as("e2")))
+      .select(
+        VectorOps.dot($"embedding", $"e2").as("native"),
+        VectorOps.dotHof($"embedding", $"e2").as("hof")
+      )
+    assert(both.filter($"native" =!= $"hof").count() === 0)
+  }
+
+  test("cosine: unit parallel vectors → 1.0; orthogonal → 0.0") {
+    val d = Seq(
+      (Array(1.0f, 0.0f), Array(2.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 3.0f))
+    ).toDF("a", "b")
+    val got = d.select(VectorOps.cosine($"a", $"b").as("c")).collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(math.abs(got(1)) < 1e-12)
+  }
+
+  test("brute-force top-k: k rows per query, ranks contiguous, sims non-increasing") {
+    val topk = Similarity.bruteForceTopK(vecs, $"vec_id", $"embedding", $"vec_id" < 10, k = 5)
+    val byQ = topk.collect().groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size === 10)
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq === (1 to 5))
+      val sims = sorted.map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH ANN: neighbors returned are real (sim matches exact cosine) and recall > 0") {
+    val exact = Similarity
+      .bruteForceTopK(vecs, $"vec_id", $"embedding", $"vec_id" < 20, k = 3)
+      .select("qid", "nid")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val lsh = Similarity
+      .lshTopK(vecs, $"vec_id", $"embedding", $"vec_id" < 20, dim = 64, bits = 4, tables = 8, k = 3)
+      .select("qid", "nid")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(lsh.nonEmpty)
+    val overlap = (exact & lsh).size.toDouble / exact.size
+    assert(overlap > 0.3, s"LSH recall too low (overlap=$overlap)")
+  }
+}
