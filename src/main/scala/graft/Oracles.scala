@@ -276,6 +276,22 @@ object Oracles {
       s"""SELECT event_type, count(*) AS n, $tot AS total_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
     },
+    "q34_group_signature" -> {
+      val p = graft.operators.NearDup.MinhashPrime
+      val sigCols = graft.operators.NearDup
+        .minhashParams(8)
+        .zipWithIndex
+        .map { case ((a, b), i) => s"min(($a * x + $b) % $p) AS sig_$i" }
+        .mkString(",\n  ")
+      val sigStr = (0 until 8).map(i => s"sig_$i").mkString(" || ':' || ")
+      s"""WITH $ShingleCte,
+         |hx AS (SELECT sh.doc_id, d.source, ${hx("g")} AS x
+         |  FROM sh JOIN documents d ON sh.doc_id = d.doc_id),
+         |sig AS (SELECT source,
+         |  $sigCols
+         |FROM hx GROUP BY source)
+         |SELECT source, $sigStr AS sig_str FROM sig ORDER BY source""".stripMargin
+    },
     "q20_window_running" ->
       """SELECT o_custkey, o_orderkey,
         |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey

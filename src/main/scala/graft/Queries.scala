@@ -87,7 +87,7 @@ object Queries {
     val windows = WindowedIngest.monthlyWindows(LocalDate.of(1995, 1, 1), LocalDate.of(2001, 12, 31))
     val orders = t(s, dir, "orders")
     WindowedIngest
-      .ingest(windows, "o_orderdate")(pred => orders.filter(pred))
+      .ingestCoalesced(windows, "o_orderdate")(pred => orders.filter(pred))
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month_start"))
       .agg(count(lit(1)).as("n_orders"), NumOps.exactSum(col("o_totalprice")).as("total_price"))
       .orderBy("month_start")
@@ -336,4 +336,20 @@ object Queries {
   // Structured Streaming available-now aggregation == batch answer
   def streamAgg(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamAgg.eventTypeTotals(s, dir)
+
+  // typed Aggregator (UDAF surface): per-source MinHash signature of the
+  // union of each source's doc shingles (merge = elementwise min, so
+  // map-side partials combine exactly)
+  def groupSignature(s: SparkSession, dir: String): DataFrame = {
+    val mh = udaf(new graft.functions.MinHashSigAggregator(8))
+    val docs = t(s, dir, "documents")
+    NearDup
+      .shingleTable(docs, col("doc_id"), col("text"), 3)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), TextOps.hash32(col("g")).as("x"))
+      .groupBy("source")
+      .agg(mh(col("x")).as("sig"))
+      .select(col("source"), array_join(col("sig").cast("array<string>"), ":").as("sig_str"))
+      .orderBy("source")
+  }
 }

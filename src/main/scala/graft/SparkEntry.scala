@@ -42,7 +42,8 @@ object SparkEntry {
     "q30_embed_near_dup" -> (Queries.embedNearDup _),
     "q31_ann_lsh" -> (Queries.annLsh _),
     "q32_multimodal_decode" -> (Queries.multimodalDecode _),
-    "q33_stream_agg" -> (Queries.streamAgg _)
+    "q33_stream_agg" -> (Queries.streamAgg _),
+    "q34_group_signature" -> (Queries.groupSignature _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

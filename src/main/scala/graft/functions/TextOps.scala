@@ -39,9 +39,20 @@ object TextOps {
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   /** Word n-grams (shingles) as space-joined strings; empty array when
-    * fewer than n tokens.
+    * fewer than n tokens. Native codegen'd expression
+    * ([[graft.plans.WordNGrams]]) — the higher-order-function
+    * formulation ([[wordShinglesHof]]) is CodegenFallback and ~10×
+    * slower on the shingle-explode hot path.
     */
   def wordShingles(ws: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.plans.WordNGrams(bridge.expression(ws), n))
+  }
+
+  /** Reference formulation via transform/element_at — kept for
+    * cross-checking [[wordShingles]] in tests.
+    */
+  def wordShinglesHof(ws: Column, n: Int): Column = {
     def gram(i: Column): Column =
       concat_ws(" ", (0 until n).map(k => element_at(ws, i + lit(k))): _*)
     when(size(ws) >= n, transform(sequence(lit(1), size(ws) - lit(n - 1)), gram _))

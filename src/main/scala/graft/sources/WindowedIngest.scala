@@ -59,12 +59,27 @@ object WindowedIngest {
   def ingest(windows: Seq[Window], tsCol: String)(load: Column => DataFrame): DataFrame = {
     require(windows.nonEmpty, "no ingestion windows planned")
     windows
-      .map { w =>
-        load(
-          col(tsCol) >= lit(w.start.toString).cast("timestamp") &&
-            col(tsCol) < lit(w.endInclusive.plusDays(1).toString).cast("timestamp")
-        )
-      }
+      .map(w => load(predicate(w, tsCol)))
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
+
+  /** Single-scan variant for sources where one range predicate reaches
+    * the same data as the per-window union (file sources: row-group /
+    * partition pruning happens inside the scan, so N window branches
+    * just re-decode the same files N times — on a single-row-group
+    * parquet that's an N× full-scan pathology). The per-window
+    * [[ingest]] stays for genuinely paged sources (REST APIs) where
+    * each window IS a separate fetch. Windows tile the range
+    * ([[monthlyWindows]] guarantees it), so results are identical.
+    */
+  def ingestCoalesced(windows: Seq[Window], tsCol: String)(load: Column => DataFrame): DataFrame = {
+    require(windows.nonEmpty, "no ingestion windows planned")
+    val overall = Window(windows.map(_.start).min(Ordering.by[LocalDate, Long](_.toEpochDay)),
+      windows.map(_.endInclusive).max(Ordering.by[LocalDate, Long](_.toEpochDay)))
+    load(predicate(overall, tsCol))
+  }
+
+  private def predicate(w: Window, tsCol: String): Column =
+    col(tsCol) >= lit(w.start.toString).cast("timestamp") &&
+      col(tsCol) < lit(w.endInclusive.plusDays(1).toString).cast("timestamp")
 }

@@ -31,6 +31,17 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1) === Seq.empty)
   }
 
+  test("native WordNGrams matches the higher-order formulation on real docs") {
+    val docs = graft.sources.Tables.parquet(spark, sfDir, "documents")
+    val diff = docs
+      .select(
+        TextOps.wordShingles(TextOps.tokens($"text"), 3).as("native"),
+        TextOps.wordShinglesHof(TextOps.tokens($"text"), 3).as("hof")
+      )
+      .filter($"native" =!= $"hof")
+    assert(diff.count() === 0)
+  }
+
   test("langId picks the language with most stopword hits; en wins ties") {
     val d = Seq("el la de que y come", "the a and is of", "nothing matching here").toDF("text")
     val got = d.select(TextOps.langId(TextOps.tokens($"text"))).collect().map(_.getString(0))
