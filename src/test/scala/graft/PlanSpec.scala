@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan quality gates: the properties that decide whether a
+  * query survives a 100× scale-up. These assert on the executed plan,
+  * so a refactor that silently loses pushdown, pruning, a broadcast, or
+  * adds a shuffle fails CI — not a 1000-executor run.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("predicate pushdown: filters reach the parquet scan (P8/SoQL parity)") {
+    val p = plan(Queries.filters(spark, sfDir))
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("IsNotNull"), "null filter should push down")
+    assert(p.contains("EqualTo(o_orderstatus,O)"), "equality should push down")
+    assert(p.contains("GreaterThanOrEqual(o_totalprice,200000.0)"), "range should push down")
+  }
+
+  test("windowed ingest pushes the date-range predicate into the scan") {
+    val p = plan(Queries.windowedIngest(spark, sfDir))
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThanOrEqual(o_orderdate"), p.linesIterator.filter(_.contains("Pushed")).mkString("\n"))
+  }
+
+  test("column pruning: projection reaches ReadSchema") {
+    val p = plan(Queries.projectRename(spark, sfDir))
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("c_custkey") && readSchema.contains("c_acctbal"))
+    assert(!readSchema.contains("c_name"), s"dropped column must not be read: $readSchema")
+    assert(!readSchema.contains("c_nationkey"), s"unused column must not be read: $readSchema")
+  }
+
+  test("small dimension join is broadcast, not shuffled") {
+    val p = plan(Queries.joinInner(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
+  test("dedup is one window, zero joins (vs the reference's sort+groupmax+join)") {
+    val p = plan(Queries.dedup(spark, sfDir))
+    assert(p.contains("Window"))
+    assert(!p.contains("Join"), "dedup must not join")
+  }
+
+  test("dim agg runs as two-phase hash aggregate (map-side partials)") {
+    val p = plan(Queries.dimAgg(spark, sfDir))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final HashAggregate")
+  }
+
+  /** Codegen explain shows subtrees only on the final (non-adaptive)
+    * plan — toggle AQE off for the inspection.
+    */
+  private def codegenPlan(mk: => DataFrame): String = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try mk.queryExecution.explainString(ExplainMode.fromString("codegen"))
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("hot expressions stay inside whole-stage codegen") {
+    Seq(
+      codegenPlan(Queries.dimAgg(spark, sfDir)),
+      codegenPlan(Queries.tokenCount(spark, sfDir))
+    ).foreach { p =>
+      assert(!p.startsWith("Found 0 WholeStageCodegen"), "expected at least one codegen subtree")
+    }
+  }
+
+  test("custom VecDot expression compiles into generated code (not fallback)") {
+    val p = codegenPlan(Queries.annBruteForce(spark, sfDir))
+    // VecDot's generated loop accesses numElements/getFloat; a fallback
+    // would instead show an eval() call on the expression object
+    assert(p.contains(".numElements()"), "VecDot loop should appear in generated code")
+  }
+
+  test("brute-force ANN broadcasts the corpus, no shuffle of pairs") {
+    val p = plan(Queries.annBruteForce(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
+  test("value counts: exactly one shuffle (group) plus the output sort") {
+    val p = Queries.valueCounts(spark, sfDir).queryExecution.explainString(ExplainMode.fromString("simple"))
+    val exchanges = p.linesIterator.count(l => l.contains("- Exchange"))
+    assert(exchanges <= 2, s"expected <=2 exchanges (agg shuffle + sort), got $exchanges:\n$p")
+  }
+}
