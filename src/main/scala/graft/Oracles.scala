@@ -276,6 +276,11 @@ object Oracles {
       s"""SELECT event_type, count(*) AS n, $tot AS total_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
     },
+    "q35_salted_agg" -> {
+      val tot = away("CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE)", 2)
+      s"""SELECT event_type, count(*) AS n, $tot AS sum_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
     "q34_group_signature" -> {
       val p = graft.operators.NearDup.MinhashPrime
       val sigCols = graft.operators.NearDup

@@ -352,4 +352,19 @@ object Queries {
       .select(col("source"), array_join(col("sig").cast("array<string>"), ":").as("sig_str"))
       .orderBy("source")
   }
+
+  // skew-safe aggregation: salted two-round groupBy == plain groupBy
+  // (event_type is low-cardinality = every key is "hot"; the salted
+  // plan spreads each over 16 reducers)
+  def saltedAgg(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Salting
+      .saltedAgg(
+        t(s, dir, "events").select("event_type", "value"),
+        col("event_type"),
+        salts = 16,
+        partials = Seq("n" -> count(lit(1)), "sv" -> sum(col("value").cast("decimal(25,6)"))),
+        finals = Seq("n" -> (c => sum(c)), "sv" -> (c => sum(c)))
+      )
+      .select(col("key").as("event_type"), col("n"), NumOps.roundAway(col("sv").cast("double"), 2).as("sum_value"))
+      .orderBy("event_type")
 }

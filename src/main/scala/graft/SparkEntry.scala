@@ -43,7 +43,8 @@ object SparkEntry {
     "q31_ann_lsh" -> (Queries.annLsh _),
     "q32_multimodal_decode" -> (Queries.multimodalDecode _),
     "q33_stream_agg" -> (Queries.streamAgg _),
-    "q34_group_signature" -> (Queries.groupSignature _)
+    "q34_group_signature" -> (Queries.groupSignature _),
+    "q35_salted_agg" -> (Queries.saltedAgg _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
