@@ -297,6 +297,22 @@ object Oracles {
          |FROM hx GROUP BY source)
          |SELECT source, $sigStr AS sig_str FROM sig ORDER BY source""".stripMargin
     },
+    "q37_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch_ms(ts) AS tms, value, event_id,
+        |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 43200000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tms, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM x),
+        |s AS (SELECT user_id, grp, min(tms) AS start_ms, max(tms) AS end_ms,
+        |        count(*) AS n_events,
+        |        CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        |      FROM g GROUP BY user_id, grp),
+        |m AS (SELECT user_id, max(grp) AS maxgrp FROM s GROUP BY user_id)
+        |SELECT s.user_id, s.start_ms, s.end_ms, s.n_events, s.sum_value
+        |FROM s JOIN m ON s.user_id = m.user_id AND s.grp < m.maxgrp
+        |ORDER BY s.user_id, s.start_ms""".stripMargin,
     "q20_window_running" ->
       """SELECT o_custkey, o_orderkey,
         |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey

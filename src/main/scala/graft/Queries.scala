@@ -317,6 +317,14 @@ object Queries {
       .nearDupPairs(t(s, dir, "embeddings"), col("vec_id"), col("embedding"), threshold = 0.4)
       .orderBy("d1", "d2")
 
+  // IVF ANN: deterministic k-means cells + nprobe search (rows-only
+  // oracle; recall checked in SimilaritySpec)
+  def annIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity
+      .ivfTopK(t(s, dir, "embeddings"), col("vec_id"), col("embedding"), col("vec_id") < 50, nlist = 16, nprobe = 4, k = 3)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy("qid", "rnk")
+
   // LSH-bucketed ANN (rows-only oracle; recall checked in tests)
   def annLsh(s: SparkSession, dir: String): DataFrame =
     Similarity
@@ -367,4 +375,10 @@ object Queries {
       )
       .select(col("key").as("event_type"), col("n"), NumOps.roundAway(col("sv").cast("double"), 2).as("sum_value"))
       .orderBy("event_type")
+
+  // stateful streaming: per-user sessionization (12h inactivity gap)
+  // via flatMapGroupsWithState; emits closed sessions == the
+  // gaps-and-islands SQL oracle
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Sessionize.run(s, dir, gapMinutes = 720).toDF().orderBy("user_id", "start_ms")
 }

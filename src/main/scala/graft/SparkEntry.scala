@@ -44,7 +44,9 @@ object SparkEntry {
     "q32_multimodal_decode" -> (Queries.multimodalDecode _),
     "q33_stream_agg" -> (Queries.streamAgg _),
     "q34_group_signature" -> (Queries.groupSignature _),
-    "q35_salted_agg" -> (Queries.saltedAgg _)
+    "q35_salted_agg" -> (Queries.saltedAgg _),
+    "q36_ann_ivf" -> (Queries.annIvf _),
+    "q37_sessionize" -> (Queries.sessionize _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -126,4 +126,93 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** IVF (inverted-file) ANN: a coarse k-means quantizer buckets the
+    * corpus into `nlist` cells; each query probes its `nprobe` nearest
+    * cells and exact-reranks only those members.
+    *
+    * Determinism: centroids initialize from the `nlist` lowest-id
+    * vectors and run a fixed number of Lloyd iterations — no RNG, so
+    * cells (and results) are identical across runs/engines. Centroids
+    * are tiny (nlist×dim floats) and travel as broadcast literals; the
+    * corpus is scanned once per iteration for reassignment (at 100 TB:
+    * sample for training instead, then one assignment pass — the
+    * search-path plan shape is unchanged). The probe join shuffles
+    * (cell, id) pairs, never the full query×corpus cross product.
+    */
+  def ivfTopK(
+      vecs: DataFrame,
+      id: Column,
+      emb: Column,
+      isQuery: Column,
+      nlist: Int,
+      nprobe: Int,
+      k: Int,
+      lloydIters: Int = 2
+  ): DataFrame = {
+    val base = vecs.select(id.as("vid"), emb.as("e"), isQuery.as("is_q"))
+
+    // deterministic init: the nlist lowest-id vectors
+    var centroids: Array[Array[Double]] = base
+      .orderBy("vid")
+      .limit(nlist)
+      .select("e")
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+    def nearestCell(v: Column): Column = {
+      // argmax of (v·c - |c|²/2) == nearest centroid by L2
+      val scored = centroids.zipWithIndex.map { case (c, j) =>
+        val half = c.map(x => x * x).sum / 2.0
+        struct((VectorOps.dot(v, typedlit(c)) - lit(half)).as("s"), lit(j).as("j"))
+      }
+      array_max(array(scored: _*)).getField("j")
+    }
+
+    // Lloyd refinement: reassign, recompute cell means
+    (1 to lloydIters).foreach { _ =>
+      val assigned = base.select(col("vid"), col("e"), nearestCell(col("e")).as("cell"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("e")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(avg("x").as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getAs[Int]("cell"))
+      centroids = centroids.zipWithIndex.map { case (old, j) =>
+        byCell.get(j) match {
+          case Some(rows) => rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m"))
+          case None => old // empty cell keeps its centroid
+        }
+      }
+    }
+
+    val corpus = base.select(col("vid").as("nid"), col("e").as("ne"), VectorOps.normSq(col("e")).as("nn"), nearestCell(col("e")).as("cell"))
+    val probes = base
+      .filter(col("is_q"))
+      .select(
+        col("vid").as("qid"),
+        col("e").as("qe"),
+        VectorOps.normSq(col("e")).as("qn"),
+        explode(probeCells(col("e"), centroids, nprobe)).as("cell")
+      )
+    val scored = probes
+      .join(corpus, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), NumOps.roundAway(VectorOps.dot(col("qe"), col("ne")) / sqrt(col("qn") * col("nn")), 6).as("sim"))
+      .distinct() // a neighbor can surface via several probed cells
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** The nprobe nearest cells for a query vector: sort (score, idx)
+    * structs descending, take the first nprobe indexes.
+    */
+  private def probeCells(v: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, j) =>
+      val half = c.map(x => x * x).sum / 2.0
+      struct((VectorOps.dot(v, typedlit(c)) - lit(half)).as("s"), lit(j).as("j"))
+    }
+    val sorted = reverse(array_sort(array(scored: _*)))
+    transform(slice(sorted, 1, nprobe), s => s.getField("j"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
 import org.apache.spark.sql.types.{LongType, StructType}
 
 /** Parquet/CSV/JSON table access (reference `app.py:53-87` CSV path,
@@ -28,8 +28,10 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
+    // integer `div`, NOT `/`: long/1000 routes through double, whose
+    // 53-bit mantissa can't hold epoch nanos (~1.7e18) — off-by-1-µs
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
 

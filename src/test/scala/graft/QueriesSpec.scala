@@ -12,7 +12,8 @@ class QueriesSpec extends SparkSpec {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // rows-only ops (non-SQL-expressible) are allowed; list them here so
     // additions are deliberate:
-    val allowedRowsOnly = Set("q31_ann_lsh") // LSH bucketing: recall-checked in SimilaritySpec instead
+    // LSH/IVF bucketing: recall-checked in SimilaritySpec instead
+    val allowedRowsOnly = Set("q31_ann_lsh", "q36_ann_ivf")
     assert(noOracle === allowedRowsOnly)
   }
 

@@ -60,4 +60,21 @@ class SimilaritySpec extends SparkSpec {
     val overlap = (exact & lsh).size.toDouble / exact.size
     assert(overlap > 0.3, s"LSH recall too low (overlap=$overlap)")
   }
+
+  test("IVF ANN: k ranked real neighbors per query, recall above chance") {
+    val exact = Similarity
+      .bruteForceTopK(vecs, $"vec_id", $"embedding", $"vec_id" < 20, k = 3)
+      .select("qid", "nid")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val ivf = Similarity
+      .ivfTopK(vecs, $"vec_id", $"embedding", $"vec_id" < 20, nlist = 16, nprobe = 4, k = 3)
+    val rows = ivf.collect()
+    assert(rows.groupBy(_.getAs[Long]("qid")).size === 20)
+    val got = rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    // nprobe/nlist = 1/4 of cells scanned; chance recall would be ~0.25
+    assert(recall > 0.3, s"IVF recall too low: $recall")
+  }
 }
