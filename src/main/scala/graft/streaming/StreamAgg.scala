@@ -7,7 +7,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.functions.NumOps
-import graft.sources.Tables
 
 /** Structured-Streaming restatement of the reference's scheduler loop
   * (`app.py:50, 991-995`): instead of a cron re-pulling the full
@@ -25,8 +24,6 @@ object StreamAgg {
     * materialize via memory sink, return the result.
     */
   def eventTypeTotals(spark: SparkSession, dir: String): DataFrame = {
-    // schema from the batch reader (includes the nanos→long conversion flag)
-    val batch = Tables.events(spark, dir)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // file stream sources take a directory; select just the events table
     val raw = spark.readStream
@@ -45,7 +42,6 @@ object StreamAgg {
       .start()
     try q.awaitTermination()
     finally q.stop()
-    val _ = batch // batch reader retained for schema/doc symmetry
     spark.table(name).orderBy("event_type")
   }
 }
