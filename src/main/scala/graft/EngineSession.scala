@@ -27,7 +27,11 @@ object EngineSession {
   /** Local session for tests and ad-hoc runs. */
   def local(cores: Int = 4, appName: String = "graft"): SparkSession = {
     val spark = configure(
-      SparkSession.builder().master(s"local[$cores]").appName(appName),
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName(appName)
+        // keep managed-table data (bucketed tables in tests) out of the repo
+        .config("spark.sql.warehouse.dir", s"${System.getProperty("java.io.tmpdir")}/graft-warehouse"),
       shufflePartitions = cores
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
