@@ -376,6 +376,23 @@ object Queries {
       .select(col("key").as("event_type"), col("n"), NumOps.roundAway(col("sv").cast("double"), 2).as("sum_value"))
       .orderBy("event_type")
 
+  // scale-out variant of q01: HLL-sketched distinct counts fold into
+  // the single groupBy shuffle (exact countDistinct needs a second,
+  // (dims, id)-keyed exchange). Rows-only: sketches have no SQL oracle.
+  def dimAggApprox(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .withColumn("ship_year", year(col("l_shipdate")))
+      .withColumn("ship_month", month(col("l_shipdate")))
+    DimAgg
+      .approxDimAgg(
+        li,
+        Seq(col("l_returnflag"), col("l_linestatus"), col("ship_year"), col("ship_month")),
+        col("l_orderkey"),
+        Seq("avg_qty" -> col("l_quantity"))
+      )
+      .orderBy("l_returnflag", "l_linestatus", "ship_year", "ship_month")
+  }
+
   // stateful streaming: per-user sessionization (12h inactivity gap)
   // via flatMapGroupsWithState; emits closed sessions == the
   // gaps-and-islands SQL oracle

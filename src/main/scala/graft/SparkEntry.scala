@@ -46,6 +46,7 @@ object SparkEntry {
     "q34_group_signature" -> (Queries.groupSignature _),
     "q35_salted_agg" -> (Queries.saltedAgg _),
     "q36_ann_ivf" -> (Queries.annIvf _),
+    "q38_dim_agg_approx" -> (Queries.dimAggApprox _),
     "q37_sessionize" -> (Queries.sessionize _)
   )
 

@@ -12,8 +12,9 @@ class QueriesSpec extends SparkSpec {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // rows-only ops (non-SQL-expressible) are allowed; list them here so
     // additions are deliberate:
-    // LSH/IVF bucketing: recall-checked in SimilaritySpec instead
-    val allowedRowsOnly = Set("q31_ann_lsh", "q36_ann_ivf")
+    // LSH/IVF: recall-checked in SimilaritySpec; HLL sketch: accuracy-
+    // checked below — none has a deterministic SQL mirror
+    val allowedRowsOnly = Set("q31_ann_lsh", "q36_ann_ivf", "q38_dim_agg_approx")
     assert(noOracle === allowedRowsOnly)
   }
 
@@ -49,6 +50,19 @@ class QueriesSpec extends SparkSpec {
   test("dim agg: distinct-count per group never exceeds group size") {
     val li = sources.Tables.parquet(spark, sfDir, "lineitem")
     assert(Queries.dimAgg(spark, sfDir).agg(sum("n_distinct")).head.getLong(0) >= li.select("l_orderkey").distinct.count())
+  }
+
+  test("approx dim agg: sketched distincts within 5% of exact") {
+    val exact = Queries.dimAgg(spark, sfDir).select(col("ship_year"), col("ship_month"), col("l_returnflag"), col("l_linestatus"), col("n_distinct"))
+    val approx = Queries.dimAggApprox(spark, sfDir).select(col("ship_year"), col("ship_month"), col("l_returnflag"), col("l_linestatus"), col("n_distinct_approx"))
+    val joined = exact.join(approx, Seq("ship_year", "ship_month", "l_returnflag", "l_linestatus")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val e = r.getAs[Long]("n_distinct").toDouble
+      val a = r.getAs[Long]("n_distinct_approx").toDouble
+      // HLL wobbles in absolute terms on tiny groups; 5% relative OR ±3
+      assert(math.abs(a - e) <= math.max(0.05 * e, 3.0), s"approx $a vs exact $e")
+    }
   }
 
   test("semi join returns only qualifying users") {
