@@ -297,6 +297,21 @@ object Oracles {
          |FROM hx GROUP BY source)
          |SELECT source, $sigStr AS sig_str FROM sig ORDER BY source""".stripMargin
     },
+    "q39_multimodal_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |    CAST(64 + octet_length(encode(text)) % 577 AS INTEGER) AS width,
+        |    CAST(64 + (octet_length(encode(text)) * 31) % 417 AS INTEGER) AS height,
+        |    CAST(1 + octet_length(encode(text)) % 7 AS INTEGER) AS n_frames
+        |  FROM documents),
+        |f AS (SELECT doc_id, n_bytes, width, height, n_frames,
+        |        CAST(unnest(generate_series(0, n_frames - 1)) AS INTEGER) AS frame_idx
+        |      FROM m)
+        |SELECT doc_id, frame_idx,
+        |  CAST(frame_idx * (n_bytes // n_frames) AS INTEGER) AS byte_offset,
+        |  width, height
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "q37_sessionize" ->
       """WITH x AS (
         |  SELECT user_id, epoch_ms(ts) AS tms, value, event_id,

@@ -376,6 +376,12 @@ object Queries {
       .select(col("key").as("event_type"), col("n"), NumOps.roundAway(col("sv").cast("double"), 2).as("sum_value"))
       .orderBy("event_type")
 
+  // generator/UDTF shape: one row per sampled frame of each payload
+  def multimodalFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal
+      .sampleFrames(Multimodal.withPayload(t(s, dir, "documents"), "doc_id", "text"))
+      .orderBy("doc_id", "frame_idx")
+
   // scale-out variant of q01: HLL-sketched distinct counts fold into
   // the single groupBy shuffle (exact countDistinct needs a second,
   // (dims, id)-keyed exchange). Rows-only: sketches have no SQL oracle.

@@ -47,6 +47,7 @@ object SparkEntry {
     "q35_salted_agg" -> (Queries.saltedAgg _),
     "q36_ann_ivf" -> (Queries.annIvf _),
     "q38_dim_agg_approx" -> (Queries.dimAggApprox _),
+    "q39_multimodal_frames" -> (Queries.multimodalFrames _),
     "q37_sessionize" -> (Queries.sessionize _)
   )
 

@@ -55,4 +55,21 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => MediaDecode.decodeStub(id, bytes) })
   }
+
+  /** One row per sampled frame (generator/UDTF shape): frame index plus
+    * its byte offset into the payload — the row-explosion pattern a
+    * real frame sampler produces, with the decode itself stubbed (frame
+    * count comes from [[MediaDecode.decodeStub]]). Offsets are integer
+    * arithmetic on payload size, so the oracle mirrors them exactly.
+    */
+  def sampleFrames(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    decodeMetadata(media)
+      .flatMap { m =>
+        val stride = m.n_bytes / m.n_frames
+        (0 until m.n_frames).map(i => (m.doc_id, i, i * stride, m.width, m.height))
+      }
+      .toDF("doc_id", "frame_idx", "byte_offset", "width", "height")
+  }
 }
