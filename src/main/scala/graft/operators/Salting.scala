@@ -32,7 +32,7 @@ object Salting {
       partials: Seq[(String, Column)],
       finals: Seq[(String, Column => Column)]
   ): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(xxhash64(struct(df.columns.map(col): _*)), lit(salts)))
+    val salted = df.withColumn("__salt", pmod(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)), lit(salts)))
     val partial = salted
       .groupBy(key.as("__key"), col("__salt"))
       .agg(partials.head._2.as(partials.head._1), partials.tail.map { case (n, c) => c.as(n) }: _*)
@@ -52,7 +52,7 @@ object Salting {
     * exists on the dim side.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int, joinType: String = "inner"): DataFrame = {
-    val saltedFact = fact.withColumn("__salt", pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(salts)))
+    val saltedFact = fact.withColumn("__salt", pmod(xxhash64(struct(fact.columns.toIndexedSeq.map(col): _*)), lit(salts)))
     val explodedDim = dim.withColumn("__salt", explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
     saltedFact.join(explodedDim, Seq(key, "__salt"), joinType).drop("__salt")
   }

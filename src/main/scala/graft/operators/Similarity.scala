@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{NumOps, TextOps, VectorOps}
+import graft.functions.{NumOps, VectorOps}
 
 /** Similarity search over embedding columns (`array<float>`).
   *
@@ -166,7 +166,7 @@ object Similarity {
         val half = c.map(x => x * x).sum / 2.0
         struct((VectorOps.dot(v, typedlit(c)) - lit(half)).as("s"), lit(j).as("j"))
       }
-      array_max(array(scored: _*)).getField("j")
+      array_max(array(scored.toIndexedSeq: _*)).getField("j")
     }
 
     // Lloyd refinement: reassign, recompute cell means
@@ -212,7 +212,7 @@ object Similarity {
       val half = c.map(x => x * x).sum / 2.0
       struct((VectorOps.dot(v, typedlit(c)) - lit(half)).as("s"), lit(j).as("j"))
     }
-    val sorted = reverse(array_sort(array(scored: _*)))
+    val sorted = reverse(array_sort(array(scored.toIndexedSeq: _*)))
     transform(slice(sorted, 1, nprobe), s => s.getField("j"))
   }
 }

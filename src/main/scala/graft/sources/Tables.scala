@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
 import org.apache.spark.sql.types.{LongType, StructType}
 
 /** Parquet/CSV/JSON table access (reference `app.py:53-87` CSV path,
