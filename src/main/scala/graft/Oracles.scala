@@ -312,6 +312,23 @@ object Oracles {
         |  CAST(frame_idx * (n_bytes // n_frames) AS INTEGER) AS byte_offset,
         |  width, height
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "q40_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, ts, value AS click_value FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.value, c.click_id, c.click_value
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q41_stream_windowed" -> {
+      val tot = away("CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE)", 2)
+      s"""WITH b AS (
+         |  SELECT date_trunc('day', ts) AS d, event_type, count(*) AS n, $tot AS total_value
+         |  FROM events GROUP BY 1, 2),
+         |mx AS (SELECT max(ts) AS m FROM events)
+         |SELECT strftime(d, '%Y-%m-%d') AS day, event_type, n, total_value
+         |FROM b, mx
+         |WHERE d + INTERVAL 1 DAY <= m - INTERVAL 1 HOUR
+         |ORDER BY day, event_type""".stripMargin
+    },
     "q37_sessionize" ->
       """WITH x AS (
         |  SELECT user_id, epoch_ms(ts) AS tms, value, event_id,

@@ -399,6 +399,24 @@ object Queries {
       .orderBy("l_returnflag", "l_linestatus", "ship_year", "ship_month")
   }
 
+  // as-of join (Spark has none natively): for each purchase, the most
+  // recent prior click of the same user; DuckDB's native ASOF LEFT JOIN
+  // is the oracle
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts", "value")
+    val clicks = ev.filter(col("event_type") === "click").select("event_id", "user_id", "ts", "value")
+    graft.operators.AsOfJoin
+      .asOf(purchases, clicks, key = "user_id", ts = "ts", rightVals = Map("event_id" -> "click_id", "value" -> "click_value"))
+      .select("event_id", "user_id", "value", "click_id", "click_value")
+      .orderBy("event_id")
+  }
+
+  // watermarked tumbling-window streaming aggregation (append mode:
+  // the still-open final day is withheld by the watermark)
+  def streamWindowed(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamAgg.dailyWindowedTotals(s, dir)
+
   // stateful streaming: per-user sessionization (12h inactivity gap)
   // via flatMapGroupsWithState; emits closed sessions == the
   // gaps-and-islands SQL oracle

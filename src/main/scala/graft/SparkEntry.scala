@@ -48,6 +48,8 @@ object SparkEntry {
     "q36_ann_ivf" -> (Queries.annIvf _),
     "q38_dim_agg_approx" -> (Queries.dimAggApprox _),
     "q39_multimodal_frames" -> (Queries.multimodalFrames _),
+    "q40_asof_join" -> (Queries.asofJoin _),
+    "q41_stream_windowed" -> (Queries.streamWindowed _),
     "q37_sessionize" -> (Queries.sessionize _)
   )
 

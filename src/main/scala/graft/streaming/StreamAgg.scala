@@ -20,6 +20,34 @@ object StreamAgg {
 
   private val runSeq = new AtomicInteger(0)
 
+  /** Watermarked tumbling-window aggregation in APPEND mode: daily
+    * windows of event counts/sums, emitted only once the 1-hour
+    * watermark passes the window end — so the final (still-open) day is
+    * withheld, exactly as a live pipeline would. The oracle mirrors the
+    * emission rule: windows whose end ≤ max(ts) − 1 hour.
+    */
+  def dailyWindowedTotals(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(dir)
+    val agg = raw
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), NumOps.exactSum(col("value")).as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"), col("event_type"), col("n"), col("total_value"))
+    val name = s"graft_stream_window_${runSeq.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    spark.table(name).orderBy("day", "event_type")
+  }
+
   /** Stream the events table (available-now), aggregate per event_type,
     * materialize via memory sink, return the result.
     */
