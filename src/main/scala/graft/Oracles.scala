@@ -248,6 +248,18 @@ object Oracles {
          |  FROM pr JOIN sz x ON pr.d1 = x.doc_id JOIN sz y ON pr.d2 = y.doc_id)
          |SELECT d1, d2, jaccard FROM jj WHERE jaccard >= 0.8 ORDER BY d1, d2""".stripMargin
     },
+    "q42_ngram_jaccard_filtered" -> {
+      val j = away("CAST(common AS DOUBLE) / (x.n_sh + y.n_sh - common)", 4)
+      s"""WITH $ShingleCte,
+         |keep AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= 15),
+         |shf AS (SELECT sh.doc_id, sh.g FROM sh JOIN keep USING (g)),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
+         |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+         |  FROM shf a JOIN shf b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |jj AS (SELECT pr.d1, pr.d2, $j AS jaccard
+         |  FROM pr JOIN sz x ON pr.d1 = x.doc_id JOIN sz y ON pr.d2 = y.doc_id)
+         |SELECT d1, d2, jaccard FROM jj WHERE jaccard >= 0.8 ORDER BY d1, d2""".stripMargin
+    },
     "q27_minhash_lsh" -> minhashSql,
     "q28_simhash" -> simhashSql,
     "q29_ann_brute_force" ->

@@ -292,6 +292,13 @@ object Queries {
       .jaccardPairs(t(s, dir, "documents"), col("doc_id"), col("text"), n = 3, threshold = 0.8)
       .orderBy("d1", "d2")
 
+  // the 100TB-path Jaccard: stop-shingles (df > 15) dropped before the
+  // self-join, bounding join blowup at maxDf × |shingles|
+  def ngramJaccardFiltered(s: SparkSession, dir: String): DataFrame =
+    NearDup
+      .jaccardPairsFiltered(t(s, dir, "documents"), col("doc_id"), col("text"), n = 3, threshold = 0.8, maxDf = 15)
+      .orderBy("d1", "d2")
+
   // MinHash + LSH banding candidate pairs (16 hashes, 4 bands × 4)
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sigs = NearDup.minhashSignatures(t(s, dir, "documents"), col("doc_id"), col("text"), k = 16, n = 3)

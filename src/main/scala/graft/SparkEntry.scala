@@ -49,6 +49,7 @@ object SparkEntry {
     "q38_dim_agg_approx" -> (Queries.dimAggApprox _),
     "q39_multimodal_frames" -> (Queries.multimodalFrames _),
     "q40_asof_join" -> (Queries.asofJoin _),
+    "q42_ngram_jaccard_filtered" -> (Queries.ngramJaccardFiltered _),
     "q41_stream_windowed" -> (Queries.streamWindowed _),
     "q37_sessionize" -> (Queries.sessionize _)
   )

@@ -65,6 +65,38 @@ object NearDup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** [[jaccardPairs]] with stop-shingle filtering: shingles occurring in
+    * more than `maxDf` documents are dropped from the universe before
+    * the self-join (and, symmetrically, from the set sizes — so the
+    * result is exact Jaccard over the *discriminative* shingle sets).
+    *
+    * This is the scale guard for the frequent-shingle blowup: a shingle
+    * shared by f docs contributes f² join rows; capping f bounds the
+    * join output at maxDf × |shingles| regardless of corpus skew — the
+    * difference between O(Σf²) and O(maxDf·Σf) at 100 TB. (Same idea as
+    * CountVectorizer's maxDF / web-dedup's stopword shingles.)
+    */
+  def jaccardPairsFiltered(docs: DataFrame, id: Column, text: Column, n: Int = 3, threshold: Double = 0.8, maxDf: Int = 15): DataFrame = {
+    val sh = shingleTable(docs, id, text, n)
+    val keep = sh.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf).select("g")
+    val filtered = sh.join(keep, "g").persist()
+    val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = filtered
+      .as("a")
+      .join(filtered.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+      .select(
+        col("d1"),
+        col("d2"),
+        NumOps.roundAway(col("common").cast("double") / (col("n1") + col("n2") - col("common")), 4).as("jaccard")
+      )
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** MinHash signature table: doc_id plus k `sig_i` columns, each the
     * min of h_i over the doc's shingles. One explode + one groupBy.
     */
