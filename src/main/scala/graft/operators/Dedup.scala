@@ -35,6 +35,23 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Aggregation-form equivalent of [[keepOnePerKey]] (SURVEY §2.10's
+    * alternative): `max_by(struct(all columns), orderKey)` — one
+    * two-phase aggregation instead of a window sort. Prefer this form
+    * when group cardinality is huge and per-group row counts are small
+    * (the aggregate's partial-merge keeps only one struct per group per
+    * partition; the window must co-locate and sort whole groups).
+    * Requires a single totally-ordering orderKey column.
+    */
+  def keepOnePerKeyMaxBy(df: DataFrame, key: Seq[Column], orderKey: Column, keep: Option[Column] = None): DataFrame = {
+    val filtered = keep.fold(df)(df.filter)
+    val cols = filtered.columns
+    filtered
+      .groupBy(key: _*)
+      .agg(max_by(struct(cols.toIndexedSeq.map(col): _*), orderKey).as("__best"))
+      .select(cols.toIndexedSeq.map(c => col(s"__best.$c").as(c)): _*)
+  }
+
   /** Exact duplicate removal on a value column: group identical values,
     * keep the minimum id, count copies. The hash-groupBy exact-dedup
     * baseline for the near-dup family (MinHash/SimHash live in

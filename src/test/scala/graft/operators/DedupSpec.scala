@@ -59,6 +59,24 @@ class DedupSpec extends SparkSpec {
     assert(result("E5") === (("D5b", 9L)))
   }
 
+  test("max_by aggregation form equals the window form on real data") {
+    import org.apache.spark.sql.functions.struct
+    val ev = graft.sources.Tables.parquet(spark, sfDir, "events")
+    val windowed = Dedup
+      .keepOnePerKey(ev, Seq($"user_id"), Seq($"ts".desc, $"event_id".desc))
+      .select("user_id", "event_id")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val agged = Dedup
+      .keepOnePerKeyMaxBy(ev, Seq($"user_id"), struct($"ts", $"event_id"))
+      .select("user_id", "event_id")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(agged === windowed)
+  }
+
   test("exact dedup groups identical values and keeps min id") {
     val docs = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "aaa"))
       .toDF("doc_id", "text")
