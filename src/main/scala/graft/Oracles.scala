@@ -35,6 +35,80 @@ object Oracles {
 
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
+  /** Sequential double dot of a list column against a LITERAL weight
+    * list (hyperplane signs) — mirrors `VecDot(e, typedlit(ws))`.
+    */
+  private def dotLitSql(e: String, ws: Array[Double], dim: Int): String = {
+    val lst = ws.mkString("[", ", ", "]")
+    s"list_sum(list_transform(generate_series(1, $dim), i -> CAST($e[CAST(i AS INTEGER)] AS DOUBLE) * ($lst)[CAST(i AS INTEGER)]))"
+  }
+
+  /** Exact mirror of [[graft.operators.Similarity.lshTopK]] (q31,
+    * dim=64, 8 tables × 4 bits, k=3): the hyperplane sign arrays are
+    * baked in as literals (computed by the same driver-side
+    * [[graft.operators.Similarity.hyperplaneSigns]] the engine uses),
+    * projections accumulate sequentially in double on both engines, so
+    * bucket values, candidates, and the reranked top-k agree exactly.
+    */
+  private val annLshSql: String = {
+    val dim = 64; val bits = 4; val tables = 8; val k = 3
+    val branches = (0 until tables)
+      .map { l =>
+        val bv = (0 until bits)
+          .map { b =>
+            val kk = l * bits + b
+            s"(CASE WHEN ${dotLitSql("embedding", graft.operators.Similarity.hyperplaneSigns(dim, kk), dim)} >= 0 THEN CAST(${1L << kk} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+          }
+          .mkString("\n    + ")
+        s"SELECT vec_id AS vid, (vec_id < 50) AS is_q, $l AS tbl,\n    $bv AS bv FROM embeddings"
+      }
+      .mkString("\nUNION ALL\n")
+    s"""WITH bk AS (
+       |$branches
+       |),
+       |cand AS (SELECT DISTINCT a.vid AS qid, b.vid AS nid
+       |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bv = b.bv AND a.vid <> b.vid
+       |  WHERE a.is_q),
+       |sc AS (SELECT cand.qid, cand.nid, ${away(cosineSql("q.embedding", "n.embedding"), 6)} AS sim
+       |  FROM cand JOIN embeddings q ON q.vec_id = cand.qid JOIN embeddings n ON n.vec_id = cand.nid),
+       |rk AS (SELECT qid, nid, sim, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INTEGER) AS rnk FROM sc)
+       |SELECT qid, nid, sim, rnk FROM rk WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+  }
+
+  /** Exact mirror of [[graft.operators.Similarity.ivfTopK]] (q36,
+    * nlist=16, nprobe=4, k=3, 2 Lloyd iterations unrolled). Matching
+    * relies on the operator's deterministic arithmetic: init = lowest-id
+    * vectors, assignment = argmax(dot − |c|²/2) with (score, idx)
+    * lexicographic ties, centroid means = 6dp-quantized decimal sums
+    * (associative, so Spark's partitioning can't perturb them), and all
+    * dots sequential-double on both engines.
+    */
+  private val annIvfSql: String = {
+    val dim = 64; val nlist = 16; val nprobe = 4; val k = 3
+    def dotD(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, $dim), i -> $a[CAST(i AS INTEGER)] * $b[CAST(i AS INTEGER)]))"
+    def score(src: String, cent: String) =
+      s"${dotD(s"$src.e", s"$cent.ce")} - list_sum(list_transform($cent.ce, x -> x * x)) / 2.0"
+    def iter(i: Int, prevC: String): String =
+      s"""s$i AS (SELECT v.vid, v.e, c.j, ${score("v", "c")} AS s FROM v, $prevC c),
+         |a$i AS (SELECT vid, e, j AS cell FROM (SELECT vid, e, j, row_number() OVER (PARTITION BY vid ORDER BY s DESC, j DESC) AS rn FROM s$i) t WHERE rn = 1),
+         |x$i AS (SELECT cell, e, CAST(unnest(generate_series(1, $dim)) AS INTEGER) AS pos FROM a$i),
+         |m$i AS (SELECT cell, pos, CAST(sum(CAST(${away("e[pos]", 6)} AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS m FROM x$i GROUP BY cell, pos),
+         |n$i AS (SELECT cell, list(m ORDER BY pos) AS nce FROM m$i GROUP BY cell),
+         |c$i AS (SELECT $prevC.j, COALESCE(n$i.nce, $prevC.ce) AS ce FROM $prevC LEFT JOIN n$i ON n$i.cell = $prevC.j)""".stripMargin
+    s"""WITH v AS (SELECT vec_id AS vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e, (vec_id < 50) AS is_q FROM embeddings),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS INTEGER) AS j, e AS ce FROM (SELECT vid, e FROM v ORDER BY vid LIMIT $nlist) t),
+       |${iter(1, "c0")},
+       |${iter(2, "c1")},
+       |sf AS (SELECT v.vid, v.e, v.is_q, c.j, ${score("v", "c")} AS s FROM v, c2 c),
+       |corpus AS (SELECT vid AS nid, e AS ne, j AS cell FROM (SELECT vid, e, j, row_number() OVER (PARTITION BY vid ORDER BY s DESC, j DESC) AS rn FROM sf) t WHERE rn = 1),
+       |probes AS (SELECT vid AS qid, e AS qe, j AS cell FROM (SELECT vid, e, j, row_number() OVER (PARTITION BY vid ORDER BY s DESC, j DESC) AS rn FROM sf WHERE is_q) t WHERE rn <= $nprobe),
+       |sc AS (SELECT DISTINCT p.qid, c.nid, ${away(s"${dotD("p.qe", "c.ne")} / sqrt(${dotD("p.qe", "p.qe")} * ${dotD("c.ne", "c.ne")})", 6)} AS sim
+       |  FROM probes p JOIN corpus c ON p.cell = c.cell AND p.qid <> c.nid),
+       |rk AS (SELECT qid, nid, sim, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INTEGER) AS rnk FROM sc)
+       |SELECT qid, nid, sim, rnk FROM rk WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+  }
+
   private val langCase: String = {
     val scores = graft.functions.TextOps.LangStopwords.map { case (lang, stop) =>
       lang -> s"len(list_filter(ws, w -> w IN (${inList(stop)})))"
@@ -239,11 +313,15 @@ object Oracles {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "q26_ngram_jaccard" -> {
+      // canonical dedup rung: stop-shingles (df > 50) dropped before the
+      // self-join — the unbounded O(Σf²) form is spec-only ground truth
       val j = away("CAST(common AS DOUBLE) / (x.n_sh + y.n_sh - common)", 4)
       s"""WITH $ShingleCte,
-         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |keep AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= 50),
+         |shf AS (SELECT sh.doc_id, sh.g FROM sh JOIN keep USING (g)),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
          |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
-         |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |  FROM shf a JOIN shf b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
          |jj AS (SELECT pr.d1, pr.d2, $j AS jaccard
          |  FROM pr JOIN sz x ON pr.d1 = x.doc_id JOIN sz y ON pr.d2 = y.doc_id)
          |SELECT d1, d2, jaccard FROM jj WHERE jaccard >= 0.8 ORDER BY d1, d2""".stripMargin
@@ -262,6 +340,18 @@ object Oracles {
     },
     "q27_minhash_lsh" -> minhashSql,
     "q28_simhash" -> simhashSql,
+    "q31_ann_lsh" -> annLshSql,
+    "q36_ann_ivf" -> annIvfSql,
+    "q38_dim_agg_approx" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+        |  CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+        |  count(DISTINCT l_orderkey) AS n_distinct,
+        |  sign(CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / count(l_quantity)) * (floor(abs(CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / count(l_quantity)) * 10000.0 + 0.5) / 10000.0) AS avg_qty,
+        |  CAST(1 AS INTEGER) AS hll_ok
+        |FROM lineitem
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY 1, 2, 3, 4""".stripMargin,
     "q29_ann_brute_force" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 50),
          |p AS (SELECT q.qid, q.qe, e.vec_id AS nid, e.embedding AS ne FROM q, embeddings e WHERE e.vec_id <> q.qid),
@@ -276,13 +366,21 @@ object Oracles {
          |s AS (SELECT d1, d2, ${cosineSql("e1", "e2")} AS c FROM p),
          |r AS (SELECT d1, d2, ${away("c", 6)} AS sim FROM s)
          |SELECT d1, d2, sim FROM r WHERE sim >= 0.4 ORDER BY d1, d2""".stripMargin,
+    // container sizes mirror MediaCodec: PNG wraps content in +57
+    // bytes (sig + IHDR + IDAT + IEND framing), JPEG in +17 (SOI +
+    // SOF0 + EOI), raw adds nothing; width/height are the embedded
+    // dims(n) values the Spark side must PARSE back out of the headers
     "q32_multimodal_decode" ->
-      """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-        |  CAST(64 + octet_length(encode(text)) % 577 AS INTEGER) AS width,
-        |  CAST(64 + (octet_length(encode(text)) * 31) % 417 AS INTEGER) AS height,
-        |  CAST(1 + octet_length(encode(text)) % 7 AS INTEGER) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n FROM documents),
+        |b AS (SELECT doc_id, n,
+        |        CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN n + 57 WHEN 1 THEN n + 17 ELSE n END AS nb
+        |      FROM m)
+        |SELECT doc_id,
+        |  CAST(nb AS INTEGER) AS n_bytes,
+        |  CAST(64 + n % 577 AS INTEGER) AS width,
+        |  CAST(64 + (n * 31) % 417 AS INTEGER) AS height,
+        |  CAST(1 + nb % 7 AS INTEGER) AS n_frames
+        |FROM b ORDER BY doc_id""".stripMargin,
     "q33_stream_agg" -> {
       val tot = away("CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE)", 2)
       s"""SELECT event_type, count(*) AS n, $tot AS total_value
@@ -310,18 +408,20 @@ object Oracles {
          |SELECT source, $sigStr AS sig_str FROM sig ORDER BY source""".stripMargin
     },
     "q39_multimodal_frames" ->
-      """WITH m AS (
-        |  SELECT doc_id,
-        |    CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-        |    CAST(64 + octet_length(encode(text)) % 577 AS INTEGER) AS width,
-        |    CAST(64 + (octet_length(encode(text)) * 31) % 417 AS INTEGER) AS height,
-        |    CAST(1 + octet_length(encode(text)) % 7 AS INTEGER) AS n_frames
-        |  FROM documents),
-        |f AS (SELECT doc_id, n_bytes, width, height, n_frames,
+      """WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n FROM documents),
+        |b AS (SELECT doc_id, n,
+        |        CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN n + 57 WHEN 1 THEN n + 17 ELSE n END AS nb
+        |      FROM m),
+        |d AS (SELECT doc_id, nb,
+        |        CAST(64 + n % 577 AS INTEGER) AS width,
+        |        CAST(64 + (n * 31) % 417 AS INTEGER) AS height,
+        |        1 + nb % 7 AS n_frames
+        |      FROM b),
+        |f AS (SELECT doc_id, nb, width, height, n_frames,
         |        CAST(unnest(generate_series(0, n_frames - 1)) AS INTEGER) AS frame_idx
-        |      FROM m)
+        |      FROM d)
         |SELECT doc_id, frame_idx,
-        |  CAST(frame_idx * (n_bytes // n_frames) AS INTEGER) AS byte_offset,
+        |  CAST(frame_idx * (nb // n_frames) AS INTEGER) AS byte_offset,
         |  width, height
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "q40_asof_join" ->
@@ -357,6 +457,47 @@ object Oracles {
         |SELECT s.user_id, s.start_ms, s.end_ms, s.n_events, s.sum_value
         |FROM s JOIN m ON s.user_id = m.user_id AND s.grp < m.maxgrp
         |ORDER BY s.user_id, s.start_ms""".stripMargin,
+    "q43_windowed_union" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month_start,
+        |  count(*) AS n_orders,
+        |  sign(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)) * (floor(abs(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS total_price
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // mirrors PagedFetch.fetchStub arithmetically: one row per day,
+    // n_calls from the shared md5-prefix hash, window_start = the
+    // month's first day clamped to the 2019-01-15 range start
+    "q44_paged_fetch" ->
+      """WITH days AS (SELECT CAST(unnest(generate_series(DATE '2019-01-15', DATE '2019-12-31', INTERVAL 1 DAY)) AS DATE) AS d)
+        |SELECT strftime(d, '%Y-%m-%d') AS call_day,
+        |  CAST(('0x' || substr(md5(strftime(d, '%Y-%m-%d')), 1, 8)) AS BIGINT) % 97 AS n_calls,
+        |  strftime(greatest(CAST(date_trunc('month', d) AS DATE), DATE '2019-01-15'), '%Y-%m-%d') AS window_start
+        |FROM days ORDER BY call_day""".stripMargin,
+    "q45_csv_ingest" ->
+      s"""SELECT event_number, incident_type_desc,
+         |  strftime(TRY_CAST(create_time_incident AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS create_ts,
+         |  TRY_CAST(priority AS INTEGER) AS priority_int,
+         |  TRY_CAST(latitude_x AS DOUBLE) AS latitude,
+         |  TRY_CAST(longitude_x AS DOUBLE) AS longitude,
+         |  TRY_CAST(district AS INTEGER) AS district
+         |FROM read_csv('${graft.sources.Fixtures.CsvPath}', header=true, all_varchar=true)
+         |ORDER BY event_number""".stripMargin,
+    "q46_json_ingest" -> {
+      val cols = graft.sources.Fixtures.Columns.map(c => s"'$c': 'VARCHAR'").mkString("{", ", ", "}")
+      s"""SELECT event_number, incident_type_desc,
+         |  strftime(TRY_CAST(create_time_incident AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS create_ts,
+         |  TRY_CAST(priority AS INTEGER) AS priority_int,
+         |  TRY_CAST(latitude_x AS DOUBLE) AS latitude,
+         |  TRY_CAST(longitude_x AS DOUBLE) AS longitude,
+         |  TRY_CAST(district AS INTEGER) AS district
+         |FROM read_json('${graft.sources.Fixtures.JsonPath}', columns=$cols, format='newline_delimited')
+         |ORDER BY event_number""".stripMargin
+    },
+    "q47_salted_join" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  sign(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / count(l_extendedprice)) * (floor(abs(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / count(l_extendedprice)) * 100.0 + 0.5) / 100.0) AS avg_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q20_window_running" ->
       """SELECT o_custkey, o_orderkey,
         |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey

@@ -5,9 +5,11 @@ import java.time.LocalDate
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
 import graft.functions.{NumOps, TextOps, TimeOps}
 import graft.operators.{Dedup, DimAgg, Multimodal, NearDup, Profiling, Similarity}
-import graft.sources.{Tables, WindowedIngest}
+import graft.sources.{Fixtures, PagedFetch, Tables, WindowedIngest}
 
 /** The engine's query surface over the driver testdata, one entry per
   * operator row of SURVEY §2. Each query has a DuckDB oracle in
@@ -286,14 +288,18 @@ object Queries {
       .exact(t(s, dir, "documents"), md5(col("text")), col("doc_id"))
       .orderBy("keep_id")
 
-  // exact word-3-gram Jaccard near-dup pairs
+  // word-3-gram Jaccard near-dup pairs, df-capped BY DEFAULT: a shingle
+  // in f docs emits f² join rows, so the canonical query always drops
+  // stop-shingles (df > 50 here — loose enough to keep every
+  // discriminative shingle). The unbounded NearDup.jaccardPairs stays
+  // as spec-only ground truth (NearDupSpec); never ship it at scale.
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     NearDup
-      .jaccardPairs(t(s, dir, "documents"), col("doc_id"), col("text"), n = 3, threshold = 0.8)
+      .jaccardPairsFiltered(t(s, dir, "documents"), col("doc_id"), col("text"), n = 3, threshold = 0.8, maxDf = 50)
       .orderBy("d1", "d2")
 
-  // the 100TB-path Jaccard: stop-shingles (df > 15) dropped before the
-  // self-join, bounding join blowup at maxDf × |shingles|
+  // the aggressive-cap variant (df > 15 dropped): tighter join bound at
+  // maxDf × |shingles|, Jaccard over only the most discriminative sets
   def ngramJaccardFiltered(s: SparkSession, dir: String): DataFrame =
     NearDup
       .jaccardPairsFiltered(t(s, dir, "documents"), col("doc_id"), col("text"), n = 3, threshold = 0.8, maxDf = 15)
@@ -341,10 +347,13 @@ object Queries {
 
   // —————————————— north-star: multimodal + streaming ——————————————
 
-  // binary-payload plumbing with stubbed per-partition decode
+  // binary-payload plumbing with REAL per-partition header decode: docs
+  // are wrapped in honest PNG / JPEG / raw containers (round-robin by
+  // doc_id) and the decoder parses dimensions back out of IHDR / SOF0
+  // bytes — the oracle checks the parse recovers the embedded values
   def multimodalDecode(s: SparkSession, dir: String): DataFrame =
     Multimodal
-      .decodeMetadata(Multimodal.withPayload(t(s, dir, "documents"), "doc_id", "text"))
+      .decodeMetadata(Multimodal.withMediaPayload(t(s, dir, "documents"), "doc_id", "text"))
       .toDF()
       .orderBy("doc_id")
 
@@ -386,22 +395,45 @@ object Queries {
   // generator/UDTF shape: one row per sampled frame of each payload
   def multimodalFrames(s: SparkSession, dir: String): DataFrame =
     Multimodal
-      .sampleFrames(Multimodal.withPayload(t(s, dir, "documents"), "doc_id", "text"))
+      .sampleFrames(Multimodal.withMediaPayload(t(s, dir, "documents"), "doc_id", "text"))
       .orderBy("doc_id", "frame_idx")
 
   // scale-out variant of q01: HLL-sketched distinct counts fold into
   // the single groupBy shuffle (exact countDistinct needs a second,
-  // (dims, id)-keyed exchange). Rows-only: sketches have no SQL oracle.
+  // (dims, id)-keyed exchange). The sketch value itself has no SQL
+  // oracle, so the QUERY emits an oracle-checkable assertion instead:
+  // hll_ok = 1 iff the sketch is within ±5% of the exact count — the
+  // DuckDB mirror computes the exact side and a literal 1, so the row
+  // hashes match exactly when (and only when) every group's sketch
+  // lands inside the bound. Deterministic columns (dims, exact count,
+  // exact avg) ride along so the check is not vacuous.
   def dimAggApprox(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
       .withColumn("ship_year", year(col("l_shipdate")))
       .withColumn("ship_month", month(col("l_shipdate")))
-    DimAgg
-      .approxDimAgg(
-        li,
-        Seq(col("l_returnflag"), col("l_linestatus"), col("ship_year"), col("ship_month")),
-        col("l_orderkey"),
-        Seq("avg_qty" -> col("l_quantity"))
+    val dims = Seq(col("l_returnflag"), col("l_linestatus"), col("ship_year"), col("ship_month"))
+    val approx = DimAgg
+      .approxDimAgg(li, dims, col("l_orderkey"), Seq("avg_qty" -> col("l_quantity")))
+    val exact = li
+      .groupBy(dims: _*)
+      .agg(countDistinct(col("l_orderkey")).as("n_distinct"))
+    // null-safe join keys: null dims are legal groups (dropna=False)
+    val on = Seq("l_returnflag", "l_linestatus", "ship_year", "ship_month")
+      .map(c => approx(c) <=> exact(c))
+      .reduce(_ && _)
+    approx
+      .join(exact, on)
+      .select(
+        approx("l_returnflag"),
+        approx("l_linestatus"),
+        approx("ship_year"),
+        approx("ship_month"),
+        exact("n_distinct"),
+        approx("avg_qty"),
+        when(
+          abs(col("n_distinct_approx").cast("double") - col("n_distinct").cast("double")) <= lit(0.05) * col("n_distinct").cast("double"),
+          1
+        ).otherwise(0).as("hll_ok")
       )
       .orderBy("l_returnflag", "l_linestatus", "ship_year", "ship_month")
   }
@@ -429,4 +461,70 @@ object Queries {
   // gaps-and-islands SQL oracle
   def sessionize(s: SparkSession, dir: String): DataFrame =
     graft.streaming.Sessionize.run(s, dir, gapMinutes = 720).toDF().orderBy("user_id", "start_ms")
+
+  // the union-of-windows ingest plan (WindowedIngest.ingest): one
+  // filtered scan per monthly window, unionByName'd — the plan a
+  // genuinely paged source must use. Oracle = the equivalent range scan
+  // (monthlyWindows tiles the range exactly).
+  def windowedUnion(s: SparkSession, dir: String): DataFrame = {
+    val windows = WindowedIngest.monthlyWindows(LocalDate.of(1995, 1, 1), LocalDate.of(1995, 12, 31))
+    val orders = t(s, dir, "orders")
+    WindowedIngest
+      .ingest(windows, "o_orderdate")(pred => orders.filter(pred))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month_start"))
+      .agg(count(lit(1)).as("n_orders"), NumOps.exactSum(col("o_totalprice")).as("total_price"))
+      .orderBy("month_start")
+  }
+
+  // task-side paged fetch: driver plans monthly windows, each window's
+  // "API call" (deterministic stub) runs inside its own task — rows are
+  // born distributed, never passing through the driver
+  def pagedFetch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val windows = WindowedIngest.monthlyWindows(LocalDate.of(2019, 1, 15), LocalDate.of(2019, 12, 31))
+    PagedFetch.fetchPaged(s, windows)(PagedFetch.fetchStub).toDF().orderBy("call_day")
+  }
+
+  private val callsStringSchema =
+    StructType(Fixtures.Columns.map(c => StructField(c, StringType)).toArray)
+
+  // CSV source with explicit schema + coerce-to-null casts (the
+  // reference's read_csv dtype map, app.py:53-87); both engines read
+  // the same generated fixture, so the oracle mirrors only the casts
+  def csvIngest(s: SparkSession, dir: String): DataFrame = {
+    Fixtures.materialize()
+    parseCalls(Tables.csv(s, Fixtures.CsvPath, callsStringSchema))
+  }
+
+  // JSON-lines source with explicit schema (the reference's API JSON
+  // path, app.py:171-183); missing keys land as nulls on both engines
+  def jsonIngest(s: SparkSession, dir: String): DataFrame = {
+    Fixtures.materialize()
+    parseCalls(Tables.json(s, Fixtures.JsonPath, callsStringSchema))
+  }
+
+  private def parseCalls(raw: DataFrame): DataFrame =
+    raw
+      .select(
+        col("event_number"),
+        col("incident_type_desc"),
+        date_format(try_to_timestamp(col("create_time_incident")), "yyyy-MM-dd HH:mm:ss").as("create_ts"),
+        TimeOps.tryCast(col("priority"), "int").as("priority_int"),
+        TimeOps.tryCast(col("latitude_x"), "double").as("latitude"),
+        TimeOps.tryCast(col("longitude_x"), "double").as("longitude"),
+        TimeOps.tryCast(col("district"), "int").as("district")
+      )
+      .orderBy("event_number")
+
+  // skew-safe join: salted fact⋈dim == plain join (oracle), with the
+  // hot fact keys spread over 8 reducers
+  def saltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_partkey").as("p_partkey"), col("l_extendedprice"))
+    val parts = t(s, dir, "part").select("p_partkey", "p_brand")
+    graft.operators.Salting
+      .saltedJoin(li, parts, key = "p_partkey", salts = 8)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"), NumOps.exactAvg(col("l_extendedprice"), 2).as("avg_price"))
+      .orderBy("p_brand")
+  }
 }

@@ -51,7 +51,12 @@ object SparkEntry {
     "q40_asof_join" -> (Queries.asofJoin _),
     "q42_ngram_jaccard_filtered" -> (Queries.ngramJaccardFiltered _),
     "q41_stream_windowed" -> (Queries.streamWindowed _),
-    "q37_sessionize" -> (Queries.sessionize _)
+    "q37_sessionize" -> (Queries.sessionize _),
+    "q43_windowed_union" -> (Queries.windowedUnion _),
+    "q44_paged_fetch" -> (Queries.pagedFetch _),
+    "q45_csv_ingest" -> (Queries.csvIngest _),
+    "q46_json_ingest" -> (Queries.jsonIngest _),
+    "q47_salted_join" -> (Queries.saltedJoin _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

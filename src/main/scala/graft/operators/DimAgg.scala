@@ -39,12 +39,13 @@ object DimAgg {
   /** Scale-out variant: HLL-sketched distinct count (2% default error).
     * At 100 TB an exact distinct of a high-cardinality id forces a
     * second shuffle keyed by (dims, id); the sketch folds into the
-    * single groupBy shuffle.
+    * single groupBy shuffle. Metrics use the same decimal-exact average
+    * as [[dimAgg]] — only the distinct count is approximated.
     */
-  def approxDimAgg(df: DataFrame, dims: Seq[Column], distinctId: Column, metrics: Seq[(String, Column)], rsd: Double = 0.02): DataFrame =
+  def approxDimAgg(df: DataFrame, dims: Seq[Column], distinctId: Column, metrics: Seq[(String, Column)], rsd: Double = 0.02, avgScale: Int = 4): DataFrame =
     df.groupBy(dims: _*)
       .agg(
         approx_count_distinct(distinctId, rsd).as("n_distinct_approx"),
-        metrics.map { case (name, c) => avg(c).as(name) }: _*
+        metrics.map { case (name, c) => NumOps.exactAvg(c, avgScale).as(name) }: _*
       )
 }

@@ -1,50 +1,179 @@
 package graft.operators
 
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import java.util.zip.CRC32
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing: media as opaque `binary` payloads with
+/** Multimodal-column plumbing: media as opaque `binary` columns with
   * typed metadata, processed per-partition.
   *
-  * The Spark-side shape is the real thing — binary column + metadata
-  * struct in the schema, batched per-partition processing via
-  * `mapPartitions` on a typed Dataset (the Scala analogue of a
-  * batched/Arrow UDF), output schema declared by case class encoder.
-  * The decode kernel itself is a STUB (this container has no image/
-  * audio codecs): [[MediaDecode.decodeStub]] derives deterministic fake
-  * dimensions from the byte stream. Swapping in a real decoder changes
-  * only that function — partitioning, schema, and batch shape stay.
+  * The Spark-side shape is the production thing — binary payload +
+  * metadata struct in the schema, batched per-partition processing via
+  * `mapPartitions` on a typed Dataset (the Scala analogue of a batched/
+  * Arrow UDF), output schema declared by case-class encoder. The decode
+  * kernel ([[MediaCodec.decode]]) does REAL byte parsing: PNG IHDR and
+  * JPEG SOF header walks (pure JVM — no codec libraries needed for
+  * dimensions). Payloads are built by [[MediaCodec]] as honest PNG/JPEG
+  * containers (real signatures, chunk CRCs, marker segments) wrapping
+  * the document bytes; frame COUNT alone is derived arithmetically
+  * (video containers would need codecs this environment lacks — that
+  * single stub is documented at [[MediaCodec.frameCount]]).
   *
   * At scale: payloads never shuffle (all derivation is map-side), and
   * metadata-only queries prune the binary column at the parquet scan.
   */
 object Multimodal {
 
-  /** Typed metadata emitted by the (stubbed) decoder. */
+  /** Typed metadata emitted by the decoder. */
   final case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int, n_frames: Int)
 
-  object MediaDecode {
+  /** Build + parse of real media containers (headers, not pixels). */
+  object MediaCodec {
 
-    /** STUB — stands in for a real image/audio decode (no codec libs in
-      * this environment). Deterministic in the payload bytes only, so
-      * the oracle can mirror it arithmetically.
+    private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    /** Deterministic dimensions for a payload of `n` content bytes —
+      * the values the builders EMBED and the decoder must parse back.
       */
-    def decodeStub(docId: Long, payload: Array[Byte]): MediaMeta = {
-      val n = payload.length
-      MediaMeta(docId, n, 64 + n % 577, 64 + (n * 31) % 417, 1 + n % 7)
+    def dims(n: Int): (Int, Int) = (64 + n % 577, 64 + (n * 31) % 417)
+
+    /** STUB (documented): frame count of a video container needs a real
+      * demuxer; derived arithmetically from total size instead.
+      */
+    def frameCount(totalBytes: Int): Int = 1 + totalBytes % 7
+
+    /** Minimal-but-real PNG: signature, IHDR (width/height big-endian,
+      * real CRC32), one IDAT chunk carrying `content`, IEND.
+      * Total size = content + 57 bytes.
+      */
+    def buildPng(width: Int, height: Int, content: Array[Byte]): Array[Byte] = {
+      val out = new ByteArrayOutputStream(content.length + 57)
+      out.write(PngSig, 0, 8)
+      val ihdr = new Array[Byte](13)
+      writeBe32(ihdr, 0, width)
+      writeBe32(ihdr, 4, height)
+      ihdr(8) = 8 // bit depth
+      ihdr(9) = 2 // color type: truecolor
+      writeChunk(out, "IHDR", ihdr)
+      writeChunk(out, "IDAT", content)
+      writeChunk(out, "IEND", Array.emptyByteArray)
+      out.toByteArray
     }
+
+    /** Minimal-but-real JPEG: SOI, SOF0 segment (1 component; height
+      * then width, big-endian — JPEG stores height first), entropy
+      * bytes, EOI. Total size = content + 17 bytes.
+      */
+    def buildJpeg(width: Int, height: Int, content: Array[Byte]): Array[Byte] = {
+      val out = new ByteArrayOutputStream(content.length + 17)
+      out.write(0xff); out.write(0xd8) // SOI
+      out.write(0xff); out.write(0xc0) // SOF0
+      out.write(0x00); out.write(0x0b) // segment length: 2 + 9
+      out.write(8) // precision
+      out.write((height >> 8) & 0xff); out.write(height & 0xff)
+      out.write((width >> 8) & 0xff); out.write(width & 0xff)
+      out.write(1) // 1 component
+      out.write(1); out.write(0x11); out.write(0) // component spec
+      out.write(content, 0, content.length)
+      out.write(0xff); out.write(0xd9) // EOI
+      out.toByteArray
+    }
+
+    /** Parse dimensions out of the payload bytes: PNG → IHDR fields,
+      * JPEG → SOF segment walk, anything else → size-derived fallback
+      * (the pre-container behavior, kept for raw payloads).
+      */
+    def decode(docId: Long, payload: Array[Byte]): MediaMeta = {
+      val n = payload.length
+      val wh =
+        if (isPng(payload)) Some((readBe32(payload, 16), readBe32(payload, 20)))
+        else if (isJpeg(payload)) jpegDims(payload)
+        else None
+      val (w, h) = wh.getOrElse(dims(n))
+      MediaMeta(docId, n, w, h, frameCount(n))
+    }
+
+    private def isPng(b: Array[Byte]): Boolean =
+      b.length > 24 && (0 until 8).forall(i => b(i) == PngSig(i))
+
+    private def isJpeg(b: Array[Byte]): Boolean =
+      b.length > 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+
+    /** Walk JPEG marker segments up to start-of-scan; SOF0..SOF15
+      * (minus the non-frame C4/C8/CC) carry height(2) width(2) after
+      * the 3-byte segment header prefix.
+      */
+    private def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+      var i = 2
+      while (i + 8 < b.length && (b(i) & 0xff) == 0xff) {
+        val marker = b(i + 1) & 0xff
+        val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+        if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          val h = ((b(i + 5) & 0xff) << 8) | (b(i + 6) & 0xff)
+          val w = ((b(i + 7) & 0xff) << 8) | (b(i + 8) & 0xff)
+          return Some((w, h))
+        }
+        if (marker == 0xda) return None // entropy data follows; no SOF seen
+        i += 2 + len
+      }
+      None
+    }
+
+    private def writeChunk(out: ByteArrayOutputStream, typ: String, data: Array[Byte]): Unit = {
+      val len = new Array[Byte](4)
+      writeBe32(len, 0, data.length)
+      out.write(len, 0, 4)
+      val t = typ.getBytes(StandardCharsets.US_ASCII)
+      out.write(t, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new CRC32
+      crc.update(t)
+      crc.update(data)
+      val c = new Array[Byte](4)
+      writeBe32(c, 0, crc.getValue.toInt)
+      out.write(c, 0, 4)
+    }
+
+    private def writeBe32(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = ((v >>> 24) & 0xff).toByte
+      b(off + 1) = ((v >>> 16) & 0xff).toByte
+      b(off + 2) = ((v >>> 8) & 0xff).toByte
+      b(off + 3) = (v & 0xff).toByte
+    }
+
+    private def readBe32(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) | ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
   }
 
-  /** Attach a binary payload column (here: utf-8 bytes of a text
-    * column; in production: the raw media bytes) plus a metadata
-    * struct.
+  /** Media-ingest boundary: wrap each document's bytes in a real
+    * container — PNG / JPEG / raw round-robin by doc_id — with the
+    * dimensions [[MediaCodec.dims]] derives from content size (in
+    * production these are the camera's; here they must be arithmetic so
+    * the oracle can verify the decoder recovers them bit-exactly).
+    * Typed mapPartitions: payload construction is per-partition work,
+    * exactly like the decode.
     */
-  def withPayload(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(
-      col(idCol).cast("long").as("doc_id"),
-      col(textCol).cast("binary").as("payload"),
-      struct(col("source"), col("lang")).as("meta")
-    )
+  def withMediaPayload(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val content = text.getBytes(StandardCharsets.UTF_8)
+        val (w, h) = MediaCodec.dims(content.length)
+        val payload = (id % 3) match {
+          case 0 => MediaCodec.buildPng(w, h, content)
+          case 1 => MediaCodec.buildJpeg(w, h, content)
+          case _ => content
+        }
+        (id, payload)
+      })
+      .toDF("doc_id", "payload")
+  }
 
   /** Per-partition decode: binary in, typed metadata out. */
   def decodeMetadata(media: DataFrame): Dataset[MediaMeta] = {
@@ -53,14 +182,14 @@ object Multimodal {
     media
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => MediaDecode.decodeStub(id, bytes) })
+      .mapPartitions(_.map { case (id, bytes) => MediaCodec.decode(id, bytes) })
   }
 
   /** One row per sampled frame (generator/UDTF shape): frame index plus
     * its byte offset into the payload — the row-explosion pattern a
-    * real frame sampler produces, with the decode itself stubbed (frame
-    * count comes from [[MediaDecode.decodeStub]]). Offsets are integer
-    * arithmetic on payload size, so the oracle mirrors them exactly.
+    * real frame sampler produces (frame count from
+    * [[MediaCodec.frameCount]]). Offsets are integer arithmetic on
+    * payload size, so the oracle mirrors them exactly.
     */
   def sampleFrames(media: DataFrame): DataFrame = {
     val spark = media.sparkSession

@@ -1,17 +1,22 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{NumOps, VectorOps}
+import graft.functions.{NumOps, TopKAggregator, VectorOps}
 
 /** Similarity search over embedding columns (`array<float>`).
   *
   * [[bruteForceTopK]] is the exactness baseline: a broadcast of the
-  * query set against a full scan of the corpus — one pass, no shuffle
-  * of the corpus, embarrassingly parallel. Right up to ~10⁴ queries ×
-  * 10⁹ rows it is often the honest winner on a cluster.
+  * (small) query set against a streamed full scan of the corpus — one
+  * pass, the corpus never shuffles and never travels to the driver.
+  * Right up to ~10⁴ queries × 10⁹ rows it is often the honest winner on
+  * a cluster.
+  *
+  * Per-query ranking everywhere uses a bounded [[TopKAggregator]]
+  * rather than a window rank: partial aggregation keeps at most k
+  * candidates per (query, partition), so the shuffle carries k·|q|·
+  * |partitions| rows instead of every scored pair.
   *
   * [[lshTopK]] is the sublinear path: random-hyperplane signatures
   * bucket the corpus (one cheap column), and only same-bucket pairs are
@@ -26,35 +31,51 @@ import graft.functions.{NumOps, VectorOps}
   */
 object Similarity {
 
+  /** Per-query bounded top-k over (qid, nid, sim) rows: groupBy qid
+    * with a k-bounded aggregator (map-side partials), then explode back
+    * to one ranked row per neighbor. Emits (qid, nid, sim, rank).
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKAggregator(k))
+    scored
+      .groupBy("qid")
+      .agg(topk(col("sim"), col("nid")).as("tk"))
+      .select(col("qid"), posexplode(col("tk")))
+      .select(col("qid"), col("col.nid").as("nid"), col("col.sim").as("sim"), (col("pos") + 1).as("rank"))
+  }
+
   /** Exact cosine top-k: for each query vector (filter `isQuery`), the
-    * `k` highest-cosine neighbors (excluding self).
+    * `k` highest-cosine neighbors (excluding self). The QUERY side is
+    * broadcast (it's the small one); the corpus streams — broadcasting
+    * the corpus would OOM the moment it outgrows one executor.
     */
   def bruteForceTopK(vecs: DataFrame, id: Column, emb: Column, isQuery: Column, k: Int = 10): DataFrame = {
     // norms once per row at the scan, not once per pair: each pair then
     // costs ONE dot product instead of three
     val q = vecs.filter(isQuery).select(id.as("qid"), emb.as("qe"), VectorOps.normSq(emb).as("qn"))
     val c = vecs.select(id.as("nid"), emb.as("ne"), VectorOps.normSq(emb).as("nn"))
-    val scored = q
-      .join(broadcast(c).hint("broadcast"), col("qid") =!= col("nid"))
+    val scored = c
+      .join(broadcast(q), col("qid") =!= col("nid"))
       .select(
         col("qid"),
         col("nid"),
         NumOps.roundAway(VectorOps.dot(col("qe"), col("ne")) / sqrt(col("qn") * col("nn")), 6).as("sim")
       )
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** All corpus pairs with cosine ≥ threshold — embedding-based
-    * near-duplicate detection (brute-force variant; LSH-bucket the
-    * pair join at scale).
+    * near-duplicate detection (brute rung). No forced broadcast: both
+    * sides are the corpus, so the planner picks BroadcastNestedLoop
+    * while one side fits an executor and a partition-tiled
+    * CartesianProduct (each task pairs one partition per side) beyond
+    * that — the honest all-pairs shape. At scale use the LSH rung
+    * ([[lshTopK]] buckets / [[NearDup.lshCandidatePairs]]) instead.
     */
   def nearDupPairs(vecs: DataFrame, id: Column, emb: Column, threshold: Double): DataFrame = {
     val a = vecs.select(id.as("d1"), emb.as("e1"), VectorOps.normSq(emb).as("n1"))
     val b = vecs.select(id.as("d2"), emb.as("e2"), VectorOps.normSq(emb).as("n2"))
-    a.join(broadcast(b), col("d1") < col("d2"))
+    a.join(b, col("d1") < col("d2"))
       .select(
         col("d1"),
         col("d2"),
@@ -63,12 +84,18 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** ±1 signs of hyperplane `k` over `dim` dimensions, from the parity
+    * of hash32("k:d") — deterministic, engine-independent. Exposed to
+    * [[graft.Oracles]] so the DuckDB mirror bakes the identical planes.
+    */
+  private[graft] def hyperplaneSigns(dim: Int, k: Int): Array[Double] =
+    Array.tabulate(dim)(d => if (md5Parity(s"$k:$d") == 1) 1.0 else -1.0)
+
   /** Deterministic random-hyperplane bit: sign of Σ_d e[d]·s(k,d),
     * where s(k,d) = ±1 from the parity of hash32("k:d").
     */
   private def hyperplaneBit(emb: Column, dim: Int, k: Int): Column = {
-    val signs = Array.tabulate(dim)(d => if (md5Parity(s"$k:$d") == 1) 1.0 else -1.0)
-    val proj = VectorOps.dot(emb, typedlit(signs))
+    val proj = VectorOps.dot(emb, typedlit(hyperplaneSigns(dim, k)))
     when(proj >= 0, lit(1L << k)).otherwise(lit(0L))
   }
 
@@ -84,12 +111,13 @@ object Similarity {
   /** LSH-bucketed ANN, multi-table: `tables` independent hash tables of
     * `bits` hyperplane bits each; a corpus row is a candidate for a
     * query if they share ANY table's bucket; exact cosine reranks the
-    * candidates; top-k per query.
+    * candidates; bounded top-k per query.
     *
     * Recall for a neighbor at angle θ is `1-(1-(1-θ/π)^bits)^tables` —
     * e.g. ~0.83 at cosine 0.5 with 8×4 — tunable without touching the
     * plan shape. At scale the candidate join shuffles (table, bucket)
-    * keys, never the corpus×query cross product. Verified against
+    * keys, never the corpus×query cross product. Mirrored exactly by
+    * the DuckDB oracle (q31) and recall-checked against
     * [[bruteForceTopK]] in tests.
     */
   def lshTopK(vecs: DataFrame, id: Column, emb: Column, isQuery: Column, dim: Int, bits: Int = 4, tables: Int = 8, k: Int = 3): DataFrame = {
@@ -123,8 +151,7 @@ object Similarity {
         col("nid"),
         NumOps.roundAway(VectorOps.dot(col("qe"), col("ne")) / sqrt(col("qn") * col("nn")), 6).as("sim")
       )
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** IVF (inverted-file) ANN: a coarse k-means quantizer buckets the
@@ -132,13 +159,16 @@ object Similarity {
     * cells and exact-reranks only those members.
     *
     * Determinism: centroids initialize from the `nlist` lowest-id
-    * vectors and run a fixed number of Lloyd iterations — no RNG, so
-    * cells (and results) are identical across runs/engines. Centroids
-    * are tiny (nlist×dim floats) and travel as broadcast literals; the
-    * corpus is scanned once per iteration for reassignment (at 100 TB:
-    * sample for training instead, then one assignment pass — the
-    * search-path plan shape is unchanged). The probe join shuffles
-    * (cell, id) pairs, never the full query×corpus cross product.
+    * vectors and run a fixed number of Lloyd iterations — no RNG — and
+    * centroid means quantize inputs to 6dp and sum as decimal (exact,
+    * associative), so cells and results are bit-identical across
+    * partitionings, runs, and engines (the DuckDB oracle, q36, unrolls
+    * the same iterations). Centroids are tiny (nlist×dim doubles) and
+    * travel as broadcast literals; the training frame is persisted so
+    * each Lloyd pass reads cache, not parquet (at 100 TB: train on a
+    * sample instead, then one assignment pass — the search-path plan
+    * shape is unchanged). The probe join shuffles (cell, id) pairs,
+    * never the full query×corpus cross product.
     */
   def ivfTopK(
       vecs: DataFrame,
@@ -150,7 +180,9 @@ object Similarity {
       k: Int,
       lloydIters: Int = 2
   ): DataFrame = {
-    val base = vecs.select(id.as("vid"), emb.as("e"), isQuery.as("is_q"))
+    // read the source once: Lloyd reassignment scans + the final
+    // corpus/probe branches all hit this cached frame
+    val base = vecs.select(id.as("vid"), emb.as("e"), isQuery.as("is_q")).persist()
 
     // deterministic init: the nlist lowest-id vectors
     var centroids: Array[Array[Double]] = base
@@ -169,13 +201,15 @@ object Similarity {
       array_max(array(scored.toIndexedSeq: _*)).getField("j")
     }
 
-    // Lloyd refinement: reassign, recompute cell means
+    // Lloyd refinement: reassign, recompute cell means. Means quantize
+    // elements to 6dp (far below embedding noise) and sum as decimal so
+    // the result is partition-order invariant and oracle-reproducible.
     (1 to lloydIters).foreach { _ =>
       val assigned = base.select(col("vid"), col("e"), nearestCell(col("e")).as("cell"))
       val means = assigned
         .select(col("cell"), posexplode(col("e")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
-        .agg(avg("x").as("m"))
+        .agg((sum(NumOps.roundAway(col("x").cast("double"), 6).cast("decimal(25,6)")).cast("double") / count(lit(1))).as("m"))
         .collect()
       val byCell = means.groupBy(_.getAs[Int]("cell"))
       centroids = centroids.zipWithIndex.map { case (old, j) =>
@@ -200,8 +234,7 @@ object Similarity {
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), NumOps.roundAway(VectorOps.dot(col("qe"), col("ne")) / sqrt(col("qn") * col("nn")), 6).as("sim"))
       .distinct() // a neighbor can surface via several probed cells
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** The nprobe nearest cells for a query vector: sort (score, idx)

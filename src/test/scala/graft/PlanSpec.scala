@@ -75,9 +75,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains(".numElements()"), "VecDot loop should appear in generated code")
   }
 
-  test("brute-force ANN broadcasts the corpus, no shuffle of pairs") {
+  test("brute-force ANN broadcasts the QUERY SET and streams the corpus") {
+    val p = Queries.annBruteForce(spark, sfDir).queryExecution.explainString(ExplainMode.fromString("simple"))
+    // the query relation (right side) is built/broadcast; the corpus streams
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"), p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    // pin the build side: the broadcast subtree must carry the query-set
+    // filter (vec_id < 50); the corpus side has no such predicate
+    val lines = p.linesIterator.toVector
+    val b = lines.indexWhere(_.contains("BroadcastExchange"))
+    assert(b >= 0, s"no BroadcastExchange in plan:\n$p")
+    assert(lines.drop(b).exists(_.contains("< 50")), s"broadcast side must be the filtered query set:\n$p")
+    assert(!lines.take(b).exists(_.contains("< 50")), s"query-set filter must not sit on the streamed side:\n$p")
+  }
+
+  test("ANN top-k is a bounded two-phase aggregate, not a window over all pairs") {
     val p = plan(Queries.annBruteForce(spark, sfDir))
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    // partial + final ObjectHashAggregate: the shuffle carries at most k
+    // candidates per (query, partition), never the full scored pair set
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, s"expected partial+final ObjectHashAggregate:\n$p")
+    assert(!p.contains("Window"), "ranking must not shuffle all scored pairs through a window")
   }
 
   test("value counts: exactly one shuffle (group) plus the output sort") {

@@ -10,12 +10,10 @@ class QueriesSpec extends SparkSpec {
 
   test("every declared query has an oracle or a documented omission") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // rows-only ops (non-SQL-expressible) are allowed; list them here so
-    // additions are deliberate:
-    // LSH/IVF: recall-checked in SimilaritySpec; HLL sketch: accuracy-
-    // checked below — none has a deterministic SQL mirror
-    val allowedRowsOnly = Set("q31_ann_lsh", "q36_ann_ivf", "q38_dim_agg_approx")
-    assert(noOracle === allowedRowsOnly)
+    // every query now has a deterministic DuckDB mirror (LSH/IVF bake the
+    // hyperplanes / unrolled Lloyd iterations into the SQL; the HLL query
+    // emits an oracle-checkable bound assertion); keep it that way
+    assert(noOracle === Set.empty[String])
   }
 
   test("all queries run and return rows at sf0.001") {
@@ -54,7 +52,18 @@ class QueriesSpec extends SparkSpec {
 
   test("approx dim agg: sketched distincts within 5% of exact") {
     val exact = Queries.dimAgg(spark, sfDir).select(col("ship_year"), col("ship_month"), col("l_returnflag"), col("l_linestatus"), col("n_distinct"))
-    val approx = Queries.dimAggApprox(spark, sfDir).select(col("ship_year"), col("ship_month"), col("l_returnflag"), col("l_linestatus"), col("n_distinct_approx"))
+    val li = sources.Tables
+      .parquet(spark, sfDir, "lineitem")
+      .withColumn("ship_year", year(col("l_shipdate")))
+      .withColumn("ship_month", month(col("l_shipdate")))
+    val approx = operators.DimAgg
+      .approxDimAgg(
+        li,
+        Seq(col("l_returnflag"), col("l_linestatus"), col("ship_year"), col("ship_month")),
+        col("l_orderkey"),
+        Seq("avg_qty" -> col("l_quantity"))
+      )
+      .select(col("ship_year"), col("ship_month"), col("l_returnflag"), col("l_linestatus"), col("n_distinct_approx"))
     val joined = exact.join(approx, Seq("ship_year", "ship_month", "l_returnflag", "l_linestatus")).collect()
     assert(joined.nonEmpty)
     joined.foreach { r =>

@@ -1,0 +1,72 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Multimodal.MediaCodec
+
+/** MediaCodec: honest container build + header-walk decode. The decoder
+  * must recover the EMBEDDED dimensions from the bytes (not recompute
+  * them from size) — proven by embedding dims that differ from
+  * [[MediaCodec.dims]]'s size-derived values.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  private val content = "the quick brown fox".getBytes(StandardCharsets.UTF_8)
+
+  test("PNG round-trip: decoder reads IHDR, not size arithmetic") {
+    // deliberately NOT dims(payload length): parse must win over fallback
+    val png = MediaCodec.buildPng(width = 1234, height = 777, content)
+    val meta = MediaCodec.decode(42L, png)
+    assert((meta.width, meta.height) === (1234, 777))
+    assert(meta.n_bytes === content.length + 57)
+    val sizeDerived = MediaCodec.dims(png.length)
+    assert((meta.width, meta.height) !== sizeDerived)
+  }
+
+  test("JPEG round-trip: decoder walks markers to SOF0") {
+    val jpg = MediaCodec.buildJpeg(width = 640, height = 480, content)
+    val meta = MediaCodec.decode(7L, jpg)
+    assert((meta.width, meta.height) === (640, 480))
+    assert(meta.n_bytes === content.length + 17)
+  }
+
+  test("raw payload falls back to size-derived dimensions") {
+    val meta = MediaCodec.decode(5L, content)
+    assert((meta.width, meta.height) === MediaCodec.dims(content.length))
+  }
+
+  test("truncated JPEG (no SOF before scan) falls back, never throws") {
+    // SOI + SOS marker straight away: marker walk hits 0xda and bails
+    val bytes = Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x04, 0x01, 0x02, 0x03, 0x04).map(_.toByte)
+    val meta = MediaCodec.decode(1L, bytes)
+    assert((meta.width, meta.height) === MediaCodec.dims(bytes.length))
+  }
+
+  test("withMediaPayload → decodeMetadata recovers every doc's embedded dims") {
+    val docs = graft.sources.Tables.parquet(spark, sfDir, "documents").limit(60)
+    val decoded = Multimodal.decodeMetadata(Multimodal.withMediaPayload(docs, "doc_id", "text")).toDF()
+    val texts = docs.select(col("doc_id").cast("long"), col("text")).collect()
+    val expected = texts.map { r =>
+      val id = r.getLong(0)
+      val n = r.getString(1).getBytes(StandardCharsets.UTF_8).length
+      val (w, h) = MediaCodec.dims(n)
+      val total = (id % 3) match {
+        case 0 => n + 57
+        case 1 => n + 17
+        case _ => n
+      }
+      id -> ((w, h, total))
+    }.toMap
+    val got = decoded.collect()
+    assert(got.length === texts.length)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h, total) = expected(id)
+      assert(r.getInt(1) === total, s"doc $id n_bytes")
+      assert((r.getInt(2), r.getInt(3)) === ((w, h)), s"doc $id dims")
+    }
+  }
+}
