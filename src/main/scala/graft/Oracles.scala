@@ -109,6 +109,46 @@ object Oracles {
        |SELECT qid, nid, sim, rnk FROM rk WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
   }
 
+  /** Shared by q45 (direct CSV read) and q49 (the same frame after a
+    * parquet snapshot round-trip — byte-identical values by contract).
+    */
+  private val csvIngestSql: String =
+    s"""SELECT event_number, incident_type_desc,
+       |  strftime(TRY_CAST(create_time_incident AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS create_ts,
+       |  TRY_CAST(priority AS INTEGER) AS priority_int,
+       |  TRY_CAST(latitude_x AS DOUBLE) AS latitude,
+       |  TRY_CAST(longitude_x AS DOUBLE) AS longitude,
+       |  TRY_CAST(district AS INTEGER) AS district
+       |FROM read_csv('${graft.sources.Fixtures.CsvPath}', header=true, all_varchar=true)
+       |ORDER BY event_number""".stripMargin
+
+  /** Exact mirror of [[graft.operators.Similarity.lshNearDupPairs]]
+    * (q51): same baked hyperplane signs as q31's mirror, pairs from any
+    * shared (table, bucket), exact cosine rerank at 6dp.
+    */
+  private val embedNearDupLshSql: String = {
+    val dim = 64; val bits = 4; val tables = 8
+    val branches = (0 until tables)
+      .map { l =>
+        val bv = (0 until bits)
+          .map { b =>
+            val kk = l * bits + b
+            s"(CASE WHEN ${dotLitSql("embedding", graft.operators.Similarity.hyperplaneSigns(dim, kk), dim)} >= 0 THEN CAST(${1L << kk} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+          }
+          .mkString("\n    + ")
+        s"SELECT vec_id AS vid, $l AS tbl,\n    $bv AS bv FROM embeddings"
+      }
+      .mkString("\nUNION ALL\n")
+    s"""WITH bk AS (
+       |$branches
+       |),
+       |cand AS (SELECT DISTINCT a.vid AS d1, b.vid AS d2
+       |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bv = b.bv AND a.vid < b.vid),
+       |sc AS (SELECT cand.d1, cand.d2, ${away(cosineSql("x.embedding", "y.embedding"), 6)} AS sim
+       |  FROM cand JOIN embeddings x ON x.vec_id = cand.d1 JOIN embeddings y ON y.vec_id = cand.d2)
+       |SELECT d1, d2, sim FROM sc WHERE sim >= 0.4 ORDER BY d1, d2""".stripMargin
+  }
+
   private val langCase: String = {
     val scores = graft.functions.TextOps.LangStopwords.map { case (lang, stop) =>
       lang -> s"len(list_filter(ws, w -> w IN (${inList(stop)})))"
@@ -473,15 +513,7 @@ object Oracles {
         |  CAST(('0x' || substr(md5(strftime(d, '%Y-%m-%d')), 1, 8)) AS BIGINT) % 97 AS n_calls,
         |  strftime(greatest(CAST(date_trunc('month', d) AS DATE), DATE '2019-01-15'), '%Y-%m-%d') AS window_start
         |FROM days ORDER BY call_day""".stripMargin,
-    "q45_csv_ingest" ->
-      s"""SELECT event_number, incident_type_desc,
-         |  strftime(TRY_CAST(create_time_incident AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS create_ts,
-         |  TRY_CAST(priority AS INTEGER) AS priority_int,
-         |  TRY_CAST(latitude_x AS DOUBLE) AS latitude,
-         |  TRY_CAST(longitude_x AS DOUBLE) AS longitude,
-         |  TRY_CAST(district AS INTEGER) AS district
-         |FROM read_csv('${graft.sources.Fixtures.CsvPath}', header=true, all_varchar=true)
-         |ORDER BY event_number""".stripMargin,
+    "q45_csv_ingest" -> csvIngestSql,
     "q46_json_ingest" -> {
       val cols = graft.sources.Fixtures.Columns.map(c => s"'$c': 'VARCHAR'").mkString("{", ", ", "}")
       s"""SELECT event_number, incident_type_desc,
@@ -498,6 +530,31 @@ object Oracles {
         |  sign(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / count(l_extendedprice)) * (floor(abs(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / count(l_extendedprice)) * 100.0 + 0.5) / 100.0) AS avg_price
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q52_stream_static_join" -> {
+      val tot = away("CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE)", 2)
+      s"""SELECT c_mktsegment, count(*) AS n, $tot AS total_value
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+    },
+    "q53_rollup" -> {
+      val tot = away("CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)", 2)
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n_items, $tot AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin
+    },
+    "q54_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q48_dict_source" ->
+      """SELECT CAST(row_number() OVER (ORDER BY v) - 1 AS BIGINT) AS id, v AS o_orderpriority
+        |FROM (SELECT DISTINCT o_orderpriority AS v FROM orders WHERE o_orderpriority IS NOT NULL)
+        |ORDER BY id""".stripMargin,
+    "q49_snapshot_sink" -> csvIngestSql,
+    "q50_stream_dedup" ->
+      """SELECT DISTINCT md5(text) AS h FROM documents ORDER BY h""".stripMargin,
+    "q51_embed_near_dup_lsh" -> embedNearDupLshSql,
     "q20_window_running" ->
       """SELECT o_custkey, o_orderkey,
         |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey

@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.functions.{NumOps, TextOps, TimeOps}
 import graft.operators.{Dedup, DimAgg, Multimodal, NearDup, Profiling, Similarity}
-import graft.sources.{Fixtures, PagedFetch, Tables, WindowedIngest}
+import graft.sources.{DictSource, Fixtures, PagedFetch, Tables, WindowedIngest}
 
 /** The engine's query surface over the driver testdata, one entry per
   * operator row of SURVEY §2. Each query has a DuckDB oracle in
@@ -515,6 +515,57 @@ object Queries {
         TimeOps.tryCast(col("district"), "int").as("district")
       )
       .orderBy("event_number")
+
+  // driver-literal dict source (S9): distinct values of an enum-like
+  // dim, collected, densely id'd, re-distributed via createDataFrame
+  def dictSource(s: SparkSession, dir: String): DataFrame =
+    DictSource.fromUniques(t(s, dir, "orders"), "o_orderpriority").orderBy("id")
+
+  // snapshot-sink round-trip (S8): truncate-and-load the parsed calls
+  // fixture to parquet, read it back — values must survive bit-exactly
+  def snapshotSink(s: SparkSession, dir: String): DataFrame =
+    graft.sinks.RetryingSink
+      .snapshotParquet(csvIngest(s, dir), "/tmp/graft_snapshot/calls")
+      .orderBy("event_number")
+
+  // streaming exact dedup: dropDuplicates state operator over the
+  // document stream; output = the deterministic digest set
+  def streamDedup(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamAgg.streamDedupHashes(s, dir)
+
+  // embedding near-dup, LSH rung: (table, bucket)-keyed candidate join
+  // replaces q30's all-pairs scan; oracle mirrors the same planes
+  def embedNearDupLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity
+      .lshNearDupPairs(t(s, dir, "embeddings"), col("vec_id"), col("embedding"), dim = 64, threshold = 0.4)
+      .orderBy("d1", "d2")
+
+  // stream-static join: fact stream enriched by a broadcast dim
+  // snapshot per micro-batch (no join state), then aggregated
+  def streamStaticJoin(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamAgg.enrichedSegmentTotals(s, dir)
+
+  // rollup: subtotal lattice over (returnflag, linestatus) in ONE
+  // pass — grouping-set expansion happens map-side, one shuffle, vs
+  // one scan per level if composed by hand
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"), NumOps.exactSum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
+
+  // anti join: customers with no URGENT order (the complement of the
+  // semi-join surface; broadcast-able exactly like a semi — and the
+  // priority filter reaches the orders scan before the join)
+  def antiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(
+        t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"),
+        "left_anti"
+      )
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
 
   // skew-safe join: salted fact⋈dim == plain join (oracle), with the
   // hot fact keys spread over 8 reducers

@@ -56,7 +56,14 @@ object SparkEntry {
     "q44_paged_fetch" -> (Queries.pagedFetch _),
     "q45_csv_ingest" -> (Queries.csvIngest _),
     "q46_json_ingest" -> (Queries.jsonIngest _),
-    "q47_salted_join" -> (Queries.saltedJoin _)
+    "q47_salted_join" -> (Queries.saltedJoin _),
+    "q48_dict_source" -> (Queries.dictSource _),
+    "q49_snapshot_sink" -> (Queries.snapshotSink _),
+    "q50_stream_dedup" -> (Queries.streamDedup _),
+    "q51_embed_near_dup_lsh" -> (Queries.embedNearDupLsh _),
+    "q52_stream_static_join" -> (Queries.streamStaticJoin _),
+    "q53_rollup" -> (Queries.rollupAgg _),
+    "q54_anti_join" -> (Queries.antiJoin _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -78,8 +78,14 @@ object NearDup {
     */
   def jaccardPairsFiltered(docs: DataFrame, id: Column, text: Column, n: Int = 3, threshold: Double = 0.8, maxDf: Int = 15): DataFrame = {
     val sh = shingleTable(docs, id, text, n)
-    val keep = sh.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf).select("g")
-    val filtered = sh.join(keep, "g").persist()
+    // drop via BROADCAST ANTI-join against the STOP set (df > maxDf),
+    // not an equi-join against the keep set: stop shingles are the few
+    // heavy hitters (≤ Σf/maxDf of them by pigeonhole), so the stop
+    // list broadcasts and the full shingle table never shuffles for the
+    // filtering step — at 100 TB the keep list is corpus-sized and
+    // joining it would cost a second full shuffle
+    val stop = sh.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") > maxDf).select("g")
+    val filtered = sh.join(broadcast(stop), Seq("g"), "left_anti").persist()
     val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = filtered
       .as("a")

@@ -154,6 +154,48 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Embedding near-dup at scale — the LSH rung above [[nearDupPairs]]:
+    * candidate pairs are rows sharing ANY hyperplane table's bucket
+    * (same deterministic planes as [[lshTopK]]), exact cosine reranks
+    * only the candidates, threshold filters. The all-pairs theta join
+    * disappears: the self-join keys on (table, bucket) — at 100 TB it
+    * shuffles (id, 8-byte bucket) rows, never the vector cross product.
+    * Candidate recall at cosine ≥ t follows the `1-(1-(1-θ/π)^bits)
+    * ^tables` curve; near-dup thresholds (cosine ≥ 0.8 ⇒ θ ≤ 0.2π)
+    * give ≥ 0.97 with the 8×4 default. Mirrored exactly by the DuckDB
+    * oracle (q51) and containment-checked against [[nearDupPairs]] in
+    * SimilaritySpec.
+    */
+  def lshNearDupPairs(vecs: DataFrame, id: Column, emb: Column, dim: Int, threshold: Double, bits: Int = 4, tables: Int = 8): DataFrame = {
+    val bucketStructs = (0 until tables).map { l =>
+      struct(
+        lit(l).as("tbl"),
+        (0 until bits).map(b => hyperplaneBit(emb, dim, l * bits + b)).reduce(_ + _).as("bv")
+      )
+    }
+    val exploded = vecs
+      .select(id.as("vid"), explode(array(bucketStructs: _*)).as("b"))
+      .select(col("vid"), col("b.tbl").as("tbl"), col("b.bv").as("bv"))
+      .persist()
+    val pairs = exploded
+      .select(col("vid").as("d1"), col("tbl"), col("bv"))
+      .join(exploded.select(col("vid").as("d2"), col("tbl"), col("bv")), Seq("tbl", "bv"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2")
+      .distinct()
+    val a = vecs.select(id.as("d1"), emb.as("e1"), VectorOps.normSq(emb).as("n1"))
+    val b = vecs.select(id.as("d2"), emb.as("e2"), VectorOps.normSq(emb).as("n2"))
+    pairs
+      .join(a, "d1")
+      .join(b, "d2")
+      .select(
+        col("d1"),
+        col("d2"),
+        NumOps.roundAway(VectorOps.dot(col("e1"), col("e2")) / sqrt(col("n1") * col("n2")), 6).as("sim")
+      )
+      .filter(col("sim") >= threshold)
+  }
+
   /** IVF (inverted-file) ANN: a coarse k-means quantizer buckets the
     * corpus into `nlist` cells; each query probes its `nprobe` nearest
     * cells and exact-reranks only those members.

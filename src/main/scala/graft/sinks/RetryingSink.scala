@@ -46,6 +46,19 @@ object RetryingSink {
     attempts
   }
 
+  /** Snapshot checkpoint (SURVEY §2.1 S8): truncate-and-load the frame
+    * to parquet and read it back — the lineage-cutting snapshot the
+    * reference sketches as a pickle dump of the raw ingested chunks
+    * (`app.py:197-199`, commented). Downstream plans re-read columnar
+    * bytes instead of replaying the ingest lineage; at 100 TB this is
+    * the natural stage boundary (and the retry contract makes it the
+    * safe restart point).
+    */
+  def snapshotParquet(df: DataFrame, path: String, policy: RetryPolicy = RetryPolicy(), sleep: Long => Unit = Thread.sleep): DataFrame = {
+    overwriteParquet(df, path, policy, sleep)
+    df.sparkSession.read.parquet(path)
+  }
+
   /** Record-oriented export: stream each partition's rows to a
     * connector-style consumer (reference: `to_dict(orient='records')` +
     * `insert_many`, `app.py:685-700`). The consumer factory runs once

@@ -48,6 +48,63 @@ object StreamAgg {
     spark.table(name).orderBy("day", "event_type")
   }
 
+  /** Stream-static join: each micro-batch of the fact stream joins a
+    * STATIC dimension snapshot — the canonical enrichment shape (fact
+    * stream × slowly-changing dim). Unlike the agg/dedup state
+    * operators this keeps NO state for the join itself: the dim is
+    * simply (re)broadcast per micro-batch, so at cluster scale the
+    * stream side never shuffles for the join and the dim refreshes by
+    * swapping the snapshot between batches.
+    */
+  def enrichedSegmentTotals(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(dir)
+    val dim = spark.read.parquet(s"$dir/customer.parquet").select(col("c_custkey"), col("c_mktsegment"))
+    val agg = raw
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), NumOps.exactSum(col("value")).as("total_value"))
+    val name = s"graft_stream_enrich_${runSeq.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    spark.table(name).orderBy("c_mktsegment")
+  }
+
+  /** Streaming exact dedup: `dropDuplicates` on the content digest —
+    * the `StreamingDeduplicate` state operator (distinct from the agg
+    * state of the windowed queries): per-key state holds each seen
+    * digest, sharded across executors by the digest hash. Output is the
+    * digest SET (the retained row per key is first-seen and therefore
+    * partition-order-dependent; the set is deterministic, which is what
+    * the oracle checks). At 100 TB with an event-time column, bound the
+    * state with `dropDuplicatesWithinWatermark` — same plan shape,
+    * state evicted past the watermark; the documents fixture carries no
+    * event time, so the unbounded variant is the honest restatement of
+    * the reference's full-history daily re-pull.
+    */
+  def streamDedupHashes(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val raw = spark.readStream.schema(schema).option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val deduped = raw.select(md5(col("text")).as("h")).dropDuplicates("h")
+    val name = s"graft_stream_dedup_${runSeq.incrementAndGet()}"
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    spark.table(name).orderBy("h")
+  }
+
   /** Stream the events table (available-now), aggregate per event_type,
     * materialize via memory sink, return the result.
     */

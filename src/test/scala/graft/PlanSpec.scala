@@ -101,4 +101,33 @@ class PlanSpec extends SparkSpec {
     val exchanges = p.linesIterator.count(l => l.contains("- Exchange"))
     assert(exchanges <= 2, s"expected <=2 exchanges (agg shuffle + sort), got $exchanges:\n$p")
   }
+
+  test("df-cap Jaccard filters via broadcast anti-join on the stop list") {
+    val p = plan(Queries.ngramJaccardFiltered(spark, sfDir))
+    assert(p.contains("LeftAnti"), s"expected an anti-join for the stop-shingle filter:\n$p")
+    assert(
+      p.linesIterator.exists(l => l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      "stop list must broadcast; the shingle table must not shuffle for the filter step"
+    )
+  }
+
+  test("LSH near-dup candidates come from a keyed join, not an all-pairs scan") {
+    val p = plan(Queries.embedNearDupLsh(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), "candidate generation must never cross-product the corpus")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "candidate generation must be a keyed equi-join")
+  }
+
+  test("anti join broadcasts the filtered build side") {
+    val p = plan(Queries.antiJoin(spark, sfDir))
+    assert(
+      p.linesIterator.exists(l => l.contains("Join") && l.contains("LeftAnti")),
+      s"expected LeftAnti join:\n$p"
+    )
+  }
+
+  test("rollup is one scan + one shuffle (grouping-set expansion, not a union of scans)") {
+    val p = Queries.rollupAgg(spark, sfDir).queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("Scan parquet".r.findAllIn(p).size === 1, s"rollup must not rescan per grouping level:\n$p")
+    assert(p.contains("Expand"), "grouping sets should expand map-side")
+  }
 }

@@ -77,4 +77,22 @@ class SimilaritySpec extends SparkSpec {
     // nprobe/nlist = 1/4 of cells scanned; chance recall would be ~0.25
     assert(recall > 0.3, s"IVF recall too low: $recall")
   }
+
+  test("LSH near-dup pairs: subset of brute-force pairs with identical sims") {
+    val brute = Similarity
+      .nearDupPairs(vecs, $"vec_id", $"embedding", threshold = 0.4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val lsh = Similarity
+      .lshNearDupPairs(vecs, $"vec_id", $"embedding", dim = 64, threshold = 0.4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(lsh.nonEmpty)
+    // every LSH pair is a true pair, with the exact same reranked score
+    lsh.foreach { case (k, sim) => assert(brute.get(k).contains(sim), s"$k not a brute pair or sim differs") }
+    // candidate recall at this loose threshold should still beat 1/2
+    assert(lsh.size.toDouble / brute.size > 0.5, s"recall ${lsh.size}/${brute.size}")
+  }
 }

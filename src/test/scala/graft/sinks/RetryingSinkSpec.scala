@@ -44,4 +44,12 @@ class RetryingSinkSpec extends SparkSpec {
     RetryingSink.foreachPartitionSink(df)(rows => rows.foreach(m => acc.add(m("r_name").toString)))
     assert(acc.value.size() === 5)
   }
+
+  test("snapshotParquet: read-back frame equals the source bit-exactly") {
+    val dir = Files.createTempDirectory("graft-snap").resolve("snap").toString
+    val df = graft.sources.Tables.parquet(spark, sfDir, "nation")
+    val back = RetryingSink.snapshotParquet(df, dir)
+    assert(back.schema === df.schema)
+    assert(back.orderBy("n_nationkey").collect().toSeq === df.orderBy("n_nationkey").collect().toSeq)
+  }
 }
