@@ -547,6 +547,49 @@ object Oracles {
         |FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
+    // the q38 assertion pattern: DuckDB emits literal sketch_ok = 1, so
+    // rows hash-match iff every Spark-side sketch is inside the bound
+    "q55_quantile_profile" -> {
+      def q(p: String) = away(s"quantile_cont(n_chars, $p)", 4)
+      s"""SELECT lang, count(*) AS n,
+         |  ${q("0.5")} AS p50, ${q("0.9")} AS p90, ${q("0.99")} AS p99,
+         |  CAST(1 AS INTEGER) AS sketch_ok
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+    },
+    "q56_lag_gaps" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS INTEGER) AS gap_days,
+        |  CAST(row_number() OVER w AS INTEGER) AS order_seq
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, order_seq""".stripMargin,
+    "q57_split_assign" ->
+      """WITH b AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bk
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM b)
+        |SELECT split, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
+    // the merged (latest-wins) state in closed form: the Spark side
+    // actually unions and window-ranks; the results must coincide
+    "q58_upsert_merge" -> {
+      val merged = "CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END"
+      val tot = away(s"CAST(sum(CAST(($merged) AS DECIMAL(25,6))) AS DOUBLE)", 2)
+      s"""SELECT o_orderstatus, count(*) AS n_orders, $tot AS total_price
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    },
+    "q59_multimodal_resize" ->
+      """WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n FROM documents),
+        |d AS (SELECT doc_id,
+        |        CAST(64 + n % 577 AS INTEGER) AS width,
+        |        CAST(64 + (n * 31) % 417 AS INTEGER) AS height
+        |      FROM m),
+        |r AS (SELECT doc_id, width, height, greatest(width, height) AS mx FROM d)
+        |SELECT doc_id, width, height,
+        |  CAST(CASE WHEN mx <= 256 THEN width ELSE (width * 256) // mx END AS INTEGER) AS new_width,
+        |  CAST(CASE WHEN mx <= 256 THEN height ELSE (height * 256) // mx END AS INTEGER) AS new_height
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q48_dict_source" ->
       """SELECT CAST(row_number() OVER (ORDER BY v) - 1 AS BIGINT) AS id, v AS o_orderpriority
         |FROM (SELECT DISTINCT o_orderpriority AS v FROM orders WHERE o_orderpriority IS NOT NULL)

@@ -3,6 +3,7 @@ package graft
 import java.time.LocalDate
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -566,6 +567,70 @@ object Queries {
       )
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy("c_custkey")
+
+  // grouped quantile profile: exact percentiles + approx sketches with
+  // a bound-assertion column (the q38 pattern: the oracle emits a
+  // literal 1, so the row hashes iff every sketch is in bound)
+  def quantileProfile(s: SparkSession, dir: String): DataFrame =
+    Profiling
+      .quantileProfile(t(s, dir, "documents"), col("lang"), col("n_chars"), Seq(0.5, 0.9, 0.99))
+      .orderBy("lang")
+
+  // lead/lag frame: days since the same customer's previous order
+  def lagGaps(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)).as("gap_days"),
+        row_number().over(w).as("order_seq")
+      )
+      .orderBy("o_custkey", "order_seq")
+  }
+
+  // deterministic train/val/test assignment: hash-bucket each doc_id
+  // (pure function of the key — stable across runs, engines, reshards)
+  def splitAssign(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(TextOps.hash32(col("doc_id").cast("string")), lit(100))
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split")
+      )
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("split")
+  }
+
+  // latest-wins upsert: base ∪ updates, one row per key by (version
+  // desc) — the Delta-style MERGE restated as union + window, ONE
+  // shuffle; the oracle computes the merged result closed-form
+  def upsertMerge(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), lit(1).as("ver"))
+    // synthetic update stream: every 10th order re-arrives, price doubled
+    val updates = base
+      .filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .withColumn("ver", lit(2))
+    val w = Window.partitionBy(col("o_orderkey")).orderBy(col("ver").desc)
+    base
+      .unionByName(updates)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), NumOps.exactSum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  // resize planning: metadata-only bounding-box clamp (payload neither
+  // read nor shuffled to decide target dims)
+  def multimodalResize(s: SparkSession, dir: String): DataFrame =
+    Multimodal
+      .resizePlan(Multimodal.withMediaPayload(t(s, dir, "documents"), "doc_id", "text"), maxDim = 256)
+      .toDF()
+      .orderBy("doc_id")
 
   // skew-safe join: salted fact⋈dim == plain join (oracle), with the
   // hot fact keys spread over 8 reducers

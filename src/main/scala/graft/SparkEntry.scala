@@ -63,7 +63,12 @@ object SparkEntry {
     "q51_embed_near_dup_lsh" -> (Queries.embedNearDupLsh _),
     "q52_stream_static_join" -> (Queries.streamStaticJoin _),
     "q53_rollup" -> (Queries.rollupAgg _),
-    "q54_anti_join" -> (Queries.antiJoin _)
+    "q54_anti_join" -> (Queries.antiJoin _),
+    "q55_quantile_profile" -> (Queries.quantileProfile _),
+    "q56_lag_gaps" -> (Queries.lagGaps _),
+    "q57_split_assign" -> (Queries.splitAssign _),
+    "q58_upsert_merge" -> (Queries.upsertMerge _),
+    "q59_multimodal_resize" -> (Queries.multimodalResize _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -185,6 +185,26 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) => MediaCodec.decode(id, bytes) })
   }
 
+  /** Resize planning (metadata transform): clamp each media item to a
+    * `maxDim` bounding box preserving aspect ratio — integer floor
+    * arithmetic, so the oracle mirrors it exactly. The payload itself
+    * passes through untouched (a real resampler would rewrite it in the
+    * same per-partition kernel as the decode); the point at scale is
+    * that resize PLANNING is metadata-only — the binary column is
+    * neither read nor shuffled to decide target dimensions.
+    */
+  final case class ResizeMeta(doc_id: Long, width: Int, height: Int, new_width: Int, new_height: Int)
+
+  def resizePlan(media: DataFrame, maxDim: Int): Dataset[ResizeMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    decodeMetadata(media).map { m =>
+      val mx = math.max(m.width, m.height)
+      if (mx <= maxDim) ResizeMeta(m.doc_id, m.width, m.height, m.width, m.height)
+      else ResizeMeta(m.doc_id, m.width, m.height, m.width * maxDim / mx, m.height * maxDim / mx)
+    }
+  }
+
   /** One row per sampled frame (generator/UDTF shape): frame index plus
     * its byte offset into the payload — the row-explosion pattern a
     * real frame sampler produces (frame count from

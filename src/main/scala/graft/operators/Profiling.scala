@@ -40,6 +40,32 @@ object Profiling {
   /** Frequency table, descending — `Series.value_counts()`
     * (`app.py:254-271`). Tie-broken by key for determinism.
     */
+  /** Grouped quantile profile: exact interpolated percentiles (the
+    * verification rung) next to `percentile_approx` sketches (the
+    * 100 TB rung — mergeable, map-side partials, no global sort),
+    * plus an `ok` assertion column: 1 iff every sketch lands within
+    * `relErr` of its exact value. The exact side needs the group's
+    * values gathered for ranking; the sketch folds into the single
+    * groupBy shuffle at any scale — at 100 TB only the sketch column
+    * survives, with `ok` checked on a sampled stratum.
+    */
+  def quantileProfile(df: DataFrame, key: Column, value: Column, probs: Seq[Double], accuracy: Int = 10000, relErr: Double = 0.1): DataFrame = {
+    import graft.functions.NumOps
+    val pr = typedlit(probs)
+    val agg = df.groupBy(key).agg(
+      count(lit(1)).as("n"),
+      percentile(value, pr).as("ex"),
+      percentile_approx(value, pr, lit(accuracy)).as("ap")
+    )
+    val qCols = probs.zipWithIndex.map { case (p, i) =>
+      NumOps.roundAway(col("ex").getItem(i), 4).as(s"p${(p * 100).round}")
+    }
+    val okCol = probs.indices
+      .map(i => abs(col("ap").getItem(i).cast("double") - col("ex").getItem(i)) <= lit(relErr) * abs(col("ex").getItem(i)))
+      .reduce(_ && _)
+    agg.select((key +: col("n") +: qCols) :+ when(okCol, 1).otherwise(0).as("sketch_ok"): _*)
+  }
+
   def valueCounts(df: DataFrame, c: Column): DataFrame =
     df.groupBy(c.as("value"))
       .agg(count(lit(1)).as("cnt"))
