@@ -590,6 +590,14 @@ object Oracles {
         |  CAST(CASE WHEN mx <= 256 THEN width ELSE (width * 256) // mx END AS INTEGER) AS new_width,
         |  CAST(CASE WHEN mx <= 256 THEN height ELSE (height * 256) // mx END AS INTEGER) AS new_height
         |FROM r ORDER BY doc_id""".stripMargin,
+    // micros floor on both engines: Spark truncates nanos with
+    // `ts div 1000`; DuckDB mirrors with epoch_ns // 1000
+    "q60_stream_stream_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events)
+        |SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS n_pairs
+        |FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_id <> b.event_id
+        |  AND b.us >= a.us AND b.us <= a.us + 3600000000
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q48_dict_source" ->
       """SELECT CAST(row_number() OVER (ORDER BY v) - 1 AS BIGINT) AS id, v AS o_orderpriority
         |FROM (SELECT DISTINCT o_orderpriority AS v FROM orders WHERE o_orderpriority IS NOT NULL)

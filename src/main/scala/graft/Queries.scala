@@ -632,6 +632,11 @@ object Queries {
       .toDF()
       .orderBy("doc_id")
 
+  // stream-stream join: same-user follow-up events within 1 hour,
+  // state bounded by both watermarks; inner emission == batch join
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamAgg.followupPairCounts(s, dir)
+
   // skew-safe join: salted fact⋈dim == plain join (oracle), with the
   // hot fact keys spread over 8 reducers
   def saltedJoin(s: SparkSession, dir: String): DataFrame = {

@@ -68,7 +68,8 @@ object SparkEntry {
     "q56_lag_gaps" -> (Queries.lagGaps _),
     "q57_split_assign" -> (Queries.splitAssign _),
     "q58_upsert_merge" -> (Queries.upsertMerge _),
-    "q59_multimodal_resize" -> (Queries.multimodalResize _)
+    "q59_multimodal_resize" -> (Queries.multimodalResize _),
+    "q60_stream_stream_join" -> (Queries.streamStreamJoin _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -58,32 +58,34 @@ object Sessionize {
     * streaming engine (available-now) and return closed sessions.
     */
   def run(spark: SparkSession, dir: String, gapMinutes: Int): Dataset[Session] = {
-    import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val raw = spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(dir)
-    val events = raw
-      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div: see Tables.events
-      .select(col("event_id"), col("user_id"), col("ts").cast("timestamp").as("ts"), col("value"))
-      .as[Event]
-    val sessions = events
-      .groupByKey(_.user_id)
-      // NoTimeout: open sessions remain in state (never emitted), which
-      // is the closed-sessions contract; a processing-time timeout would
-      // keep the available-now query alive running empty batches until
-      // the wall-clock gap elapsed
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        sessionizeFn(gapMinutes * 60000L)
-      )
-    val name = s"graft_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = sessions.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally q.stop()
-    spark.table(name).as[Session]
+    StateConf.withStatePartitions(spark, 8) {
+      import spark.implicits._
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      val raw = spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(dir)
+      val events = raw
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div: see Tables.events
+        .select(col("event_id"), col("user_id"), col("ts").cast("timestamp").as("ts"), col("value"))
+        .as[Event]
+      val sessions = events
+        .groupByKey(_.user_id)
+        // NoTimeout: open sessions remain in state (never emitted), which
+        // is the closed-sessions contract; a processing-time timeout would
+        // keep the available-now query alive running empty batches until
+        // the wall-clock gap elapsed
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          sessionizeFn(gapMinutes * 60000L)
+        )
+      val name = s"graft_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = sessions.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+      spark.table(name).as[Session]
+    }
   }
 }

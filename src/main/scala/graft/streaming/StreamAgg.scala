@@ -27,25 +27,27 @@ object StreamAgg {
     * emission rule: windows whose end ≤ max(ts) − 1 hour.
     */
   def dailyWindowedTotals(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val raw = spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(dir)
-    val agg = raw
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 day"), col("event_type"))
-      .agg(count(lit(1)).as("n"), NumOps.exactSum(col("value")).as("total_value"))
-      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"), col("event_type"), col("n"), col("total_value"))
-    val name = s"graft_stream_window_${runSeq.incrementAndGet()}"
-    val q = agg.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally q.stop()
-    spark.table(name).orderBy("day", "event_type")
+    StateConf.withStatePartitions(spark, 8) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      val raw = spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(dir)
+      val agg = raw
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), NumOps.exactSum(col("value")).as("total_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"), col("event_type"), col("n"), col("total_value"))
+      val name = s"graft_stream_window_${runSeq.incrementAndGet()}"
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+      spark.table(name).orderBy("day", "event_type")
+    }
   }
 
   /** Stream-static join: each micro-batch of the fact stream joins a
@@ -57,24 +59,77 @@ object StreamAgg {
     * swapping the snapshot between batches.
     */
   def enrichedSegmentTotals(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val raw = spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(dir)
-    val dim = spark.read.parquet(s"$dir/customer.parquet").select(col("c_custkey"), col("c_mktsegment"))
-    val agg = raw
-      .join(broadcast(dim), col("user_id") === col("c_custkey"))
-      .groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("n"), NumOps.exactSum(col("value")).as("total_value"))
-    val name = s"graft_stream_enrich_${runSeq.incrementAndGet()}"
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally q.stop()
-    spark.table(name).orderBy("c_mktsegment")
+    StateConf.withStatePartitions(spark, 8) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      val raw = spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(dir)
+      val dim = spark.read.parquet(s"$dir/customer.parquet").select(col("c_custkey"), col("c_mktsegment"))
+      val agg = raw
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), NumOps.exactSum(col("value")).as("total_value"))
+      val name = s"graft_stream_enrich_${runSeq.incrementAndGet()}"
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+      spark.table(name).orderBy("c_mktsegment")
+    }
+  }
+
+  /** Stream-stream self-join: events joined to later events of the
+    * SAME user within a 1-hour follow-up window — the stateful
+    * two-sided join operator (each side buffers rows in the state
+    * store; the time-range condition plus both watermarks bound that
+    * state: a buffered row is evicted once the other side's watermark
+    * passes its last possible match). Inner matches emit in the batch
+    * they arrive — no withholding — so an available-now pass equals the
+    * batch join, which is exactly what the oracle computes. The
+    * equality key (user_id) shards join state across executors; the
+    * time predicate runs as a post-filter within each key's bucket.
+    * Aggregation happens AFTER the sink (batch groupBy over the memory
+    * table) so the streaming stage is purely the join.
+    */
+  def followupPairCounts(spark: SparkSession, dir: String): DataFrame = {
+    StateConf.withStatePartitions(spark, 8) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      def side(n: Int) =
+        spark.readStream
+          .schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .select(
+            col("user_id").as(s"u$n"),
+            col("event_id").as(s"id$n"),
+            col("event_type").as(s"t$n"),
+            timestamp_micros(expr("ts div 1000")).as(s"ts$n")
+          )
+          .withWatermark(s"ts$n", "1 hour")
+      val joined = side(1).join(
+        side(2),
+        col("u1") === col("u2") && col("id1") =!= col("id2") &&
+          col("ts2") >= col("ts1") && col("ts2") <= col("ts1") + expr("INTERVAL 1 HOUR")
+      )
+      val name = s"graft_stream_join_${runSeq.incrementAndGet()}"
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+      spark
+        .table(name)
+        .groupBy(col("t1"), col("t2"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("t1", "t2")
+    }
   }
 
   /** Streaming exact dedup: `dropDuplicates` on the content digest —
@@ -90,43 +145,47 @@ object StreamAgg {
     * the reference's full-history daily re-pull.
     */
   def streamDedupHashes(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    val raw = spark.readStream.schema(schema).option("pathGlobFilter", "documents.parquet").parquet(dir)
-    val deduped = raw.select(md5(col("text")).as("h")).dropDuplicates("h")
-    val name = s"graft_stream_dedup_${runSeq.incrementAndGet()}"
-    val q = deduped.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally q.stop()
-    spark.table(name).orderBy("h")
+    StateConf.withStatePartitions(spark, 8) {
+      val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+      val raw = spark.readStream.schema(schema).option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val deduped = raw.select(md5(col("text")).as("h")).dropDuplicates("h")
+      val name = s"graft_stream_dedup_${runSeq.incrementAndGet()}"
+      val q = deduped.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+      spark.table(name).orderBy("h")
+    }
   }
 
   /** Stream the events table (available-now), aggregate per event_type,
     * materialize via memory sink, return the result.
     */
   def eventTypeTotals(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // file stream sources take a directory; select just the events table
-    val raw = spark.readStream
-      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    val agg = raw
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), NumOps.exactSum(col("value")).as("total_value"))
-    val name = s"graft_stream_agg_${runSeq.incrementAndGet()}"
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally q.stop()
-    spark.table(name).orderBy("event_type")
+    StateConf.withStatePartitions(spark, 8) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // file stream sources take a directory; select just the events table
+      val raw = spark.readStream
+        .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+      val agg = raw
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), NumOps.exactSum(col("value")).as("total_value"))
+      val name = s"graft_stream_agg_${runSeq.incrementAndGet()}"
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+      spark.table(name).orderBy("event_type")
+    }
   }
 }
