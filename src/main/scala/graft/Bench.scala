@@ -26,16 +26,25 @@ object Bench {
     // a broken query surfaces in its own timed slot, not here
     SparkEntry.queries.foreach { case (_, fn) =>
       try { fn(spark, "/root/testdata/sf0.001").count() } catch { case _: Throwable => () }
+      spark.catalog.clearCache()
     }
-    // best of 2 timed runs per query: GC pauses and AQE re-planning add
-    // multi-second noise to single measurements at this scale
+    // best of 2 timed runs per query (3 when the two disagree by >50% —
+    // a GC pause or state-store maintenance hit one of them): JIT, GC
+    // and AQE re-planning add multi-second noise to single measurements
+    // at this scale. Cache is cleared between runs so (a) queries that
+    // persist() intermediates don't accumulate blocks across the
+    // 61-query sweep and (b) each timing is a cold-cache measurement.
+    def timed(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      dt
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+      val two = Seq(timed(fn), timed(fn))
+      val best = if (two.max / two.min > 1.5) (two :+ timed(fn)).min else two.min
+      name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -598,6 +598,16 @@ object Oracles {
         |FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_id <> b.event_id
         |  AND b.us >= a.us AND b.us <= a.us + 3600000000
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q61_set_ops" ->
+      """WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+        |y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+        |b AS (SELECT 'both' AS set_op, count(*) AS n_customers
+        |      FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)),
+        |o5 AS (SELECT 'only_1995' AS set_op, count(*) AS n_customers
+        |      FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96))
+        |SELECT set_op, n_customers FROM b
+        |UNION ALL SELECT set_op, n_customers FROM o5
+        |ORDER BY set_op""".stripMargin,
     "q48_dict_source" ->
       """SELECT CAST(row_number() OVER (ORDER BY v) - 1 AS BIGINT) AS id, v AS o_orderpriority
         |FROM (SELECT DISTINCT o_orderpriority AS v FROM orders WHERE o_orderpriority IS NOT NULL)

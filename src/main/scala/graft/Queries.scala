@@ -637,6 +637,23 @@ object Queries {
   def streamStreamJoin(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamAgg.followupPairCounts(s, dir)
 
+  // set ops (INTERSECT / EXCEPT): customer key sets across two years —
+  // Spark plans both as joins (semi/anti over distinct), so they scale
+  // exactly like the join surface
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def actives(y: Int) = o.filter(year(col("o_orderdate")) === y).select("o_custkey").distinct()
+    val y95 = actives(1995)
+    val y96 = actives(1996)
+    val both = y95.intersect(y96).withColumn("set_op", lit("both"))
+    val only95 = y95.except(y96).withColumn("set_op", lit("only_1995"))
+    both
+      .unionByName(only95)
+      .groupBy("set_op")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("set_op")
+  }
+
   // skew-safe join: salted fact⋈dim == plain join (oracle), with the
   // hot fact keys spread over 8 reducers
   def saltedJoin(s: SparkSession, dir: String): DataFrame = {

@@ -69,7 +69,8 @@ object SparkEntry {
     "q57_split_assign" -> (Queries.splitAssign _),
     "q58_upsert_merge" -> (Queries.upsertMerge _),
     "q59_multimodal_resize" -> (Queries.multimodalResize _),
-    "q60_stream_stream_join" -> (Queries.streamStreamJoin _)
+    "q60_stream_stream_join" -> (Queries.streamStreamJoin _),
+    "q61_set_ops" -> (Queries.setOps _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
