@@ -608,6 +608,23 @@ object Oracles {
         |SELECT set_op, n_customers FROM b
         |UNION ALL SELECT set_op, n_customers FROM o5
         |ORDER BY set_op""".stripMargin,
+    "q62_pack_sequences" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens, shard,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM d),
+        |b AS (SELECT shard, doc_id, n_tokens, cum_before // 2000 AS bin FROM c)
+        |SELECT shard, bin, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens, min(doc_id) AS first_doc
+        |FROM b GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+    "q63_hash_sample" ->
+      """SELECT count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 100""".stripMargin,
     "q48_dict_source" ->
       """SELECT CAST(row_number() OVER (ORDER BY v) - 1 AS BIGINT) AS id, v AS o_orderpriority
         |FROM (SELECT DISTINCT o_orderpriority AS v FROM orders WHERE o_orderpriority IS NOT NULL)

@@ -637,6 +637,42 @@ object Queries {
   def streamStreamJoin(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamAgg.followupPairCounts(s, dir)
 
+  // sequence packing: greedy-by-cumsum assignment of documents into
+  // fixed token-budget bins, sharded so no global sort exists. Within a
+  // shard, bin = floor(exclusive-cumsum(tokens) / budget) — the
+  // offset-cumsum packing rule (each bin may overflow by at most one
+  // doc), chosen over strict greedy because it is a pure window
+  // expression: one shuffle on (shard), no sequential scan. At 100 TB
+  // shards are the parallelism unit; packing quality is unaffected by
+  // shard count since the budget is per-bin.
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val budget = 2000L
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("shard", pmod(TextOps.hash32(col("doc_id").cast("string")), lit(8)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    docs
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bin", (col("cum_before") / budget).cast("long"))
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"), min("doc_id").as("first_doc"))
+      .orderBy("shard", "bin")
+  }
+
+  // deterministic corpus sampling: keep a doc iff its key hash falls
+  // under the rate threshold — the same sample at any partitioning, on
+  // any engine, on re-runs (contrast rand()-based sample, which is
+  // partition-layout-dependent)
+  def hashSample(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(pmod(TextOps.hash32(col("doc_id").cast("string")), lit(1000)) < 100) // 10%
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id")
+      )
+
   // set ops (INTERSECT / EXCEPT): customer key sets across two years —
   // Spark plans both as joins (semi/anti over distinct), so they scale
   // exactly like the join surface

@@ -70,7 +70,9 @@ object SparkEntry {
     "q58_upsert_merge" -> (Queries.upsertMerge _),
     "q59_multimodal_resize" -> (Queries.multimodalResize _),
     "q60_stream_stream_join" -> (Queries.streamStreamJoin _),
-    "q61_set_ops" -> (Queries.setOps _)
+    "q61_set_ops" -> (Queries.setOps _),
+    "q62_pack_sequences" -> (Queries.packSequences _),
+    "q63_hash_sample" -> (Queries.hashSample _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
