@@ -149,6 +149,18 @@ object Oracles {
        |SELECT d1, d2, sim FROM sc WHERE sim >= 0.4 ORDER BY d1, d2""".stripMargin
   }
 
+  /** Mirrors PagedFetch.fetchStub arithmetically: one row per day,
+    * n_calls from the shared md5-prefix hash, window_start = the
+    * month's first day clamped to the range start. Shared by q44 (the
+    * flatMap fan-out form) and q64 (the DataSource V2 connector).
+    */
+  private val pagedFetchSql: String =
+    """WITH days AS (SELECT CAST(unnest(generate_series(DATE '2019-01-15', DATE '2019-12-31', INTERVAL 1 DAY)) AS DATE) AS d)
+      |SELECT strftime(d, '%Y-%m-%d') AS call_day,
+      |  CAST(('0x' || substr(md5(strftime(d, '%Y-%m-%d')), 1, 8)) AS BIGINT) % 97 AS n_calls,
+      |  strftime(greatest(CAST(date_trunc('month', d) AS DATE), DATE '2019-01-15'), '%Y-%m-%d') AS window_start
+      |FROM days ORDER BY call_day""".stripMargin
+
   private val langCase: String = {
     val scores = graft.functions.TextOps.LangStopwords.map { case (lang, stop) =>
       lang -> s"len(list_filter(ws, w -> w IN (${inList(stop)})))"
@@ -507,12 +519,9 @@ object Oracles {
     // mirrors PagedFetch.fetchStub arithmetically: one row per day,
     // n_calls from the shared md5-prefix hash, window_start = the
     // month's first day clamped to the 2019-01-15 range start
-    "q44_paged_fetch" ->
-      """WITH days AS (SELECT CAST(unnest(generate_series(DATE '2019-01-15', DATE '2019-12-31', INTERVAL 1 DAY)) AS DATE) AS d)
-        |SELECT strftime(d, '%Y-%m-%d') AS call_day,
-        |  CAST(('0x' || substr(md5(strftime(d, '%Y-%m-%d')), 1, 8)) AS BIGINT) % 97 AS n_calls,
-        |  strftime(greatest(CAST(date_trunc('month', d) AS DATE), DATE '2019-01-15'), '%Y-%m-%d') AS window_start
-        |FROM days ORDER BY call_day""".stripMargin,
+    "q44_paged_fetch" -> pagedFetchSql,
+    // identical fetch surfaced through the DataSource V2 connector
+    "q64_paged_source_v2" -> pagedFetchSql,
     "q45_csv_ingest" -> csvIngestSql,
     "q46_json_ingest" -> {
       val cols = graft.sources.Fixtures.Columns.map(c => s"'$c': 'VARCHAR'").mkString("{", ", ", "}")

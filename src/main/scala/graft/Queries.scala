@@ -673,6 +673,17 @@ object Queries {
         max(col("doc_id")).as("max_id")
       )
 
+  // the same paged ingest as q44, addressed as a DataSource V2 format:
+  // planInputPartitions emits one partition per monthly window, column
+  // pruning reaches the reader
+  def pagedSource(s: SparkSession, dir: String): DataFrame =
+    s.read
+      .format(graft.sources.PagedCallsSource.Name)
+      .option("start", "2019-01-15")
+      .option("end", "2019-12-31")
+      .load()
+      .orderBy("call_day")
+
   // set ops (INTERSECT / EXCEPT): customer key sets across two years —
   // Spark plans both as joins (semi/anti over distinct), so they scale
   // exactly like the join surface

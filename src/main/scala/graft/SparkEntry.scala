@@ -72,7 +72,8 @@ object SparkEntry {
     "q60_stream_stream_join" -> (Queries.streamStreamJoin _),
     "q61_set_ops" -> (Queries.setOps _),
     "q62_pack_sequences" -> (Queries.packSequences _),
-    "q63_hash_sample" -> (Queries.hashSample _)
+    "q63_hash_sample" -> (Queries.hashSample _),
+    "q64_paged_source_v2" -> (Queries.pagedSource _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
