@@ -16,10 +16,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * spark.sql("SELECT word_ngrams(split(text, ' '), 3) FROM docs")
   * }}}
   *
-  * This is the (c)-level integration point of the extension ladder —
-  * the same hook a custom Rule[LogicalPlan] or SparkStrategy would use;
-  * graft needs only function injection (SURVEY §4: Catalyst's built-in
-  * rules already cover every optimization the reference hand-rolls).
+  * This is the (c)-level integration point of the extension ladder.
+  * Two tiers are used: function injection (the SQL surface above) and
+  * an optimizer `Rule[LogicalPlan]` ([[RewriteHofDot]]) that rewrites
+  * the portable `aggregate(zip_with(...))` dot-product form into the
+  * codegen'd [[VecDot]]. No custom SparkStrategy/SparkPlan: SURVEY §4 —
+  * every operator's physical shape is already expressible through
+  * Catalyst's planner, and a bespoke physical operator would forfeit
+  * whole-stage codegen for no structural gain.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -48,5 +52,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
       )
     )
+    // Rule[LogicalPlan] tier: HOF dot products execute as VecDot
+    // (opt-out via spark.graft.rewriteHofDot=false — see RewriteHofDot
+    // for the dense-vector precondition)
+    ext.injectOptimizerRule(_ => RewriteHofDot)
   }
 }

@@ -40,4 +40,40 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(d === 10.0)
     } finally s2.stop()
   }
+
+  test("optimizer rule rewrites HOF dot product into VecDot (and honors the opt-out)") {
+    val s2 = org.apache.spark.sql.SparkSession
+      .builder()
+      .master("local[2]")
+      .appName("graft-rule-test")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import org.apache.spark.sql.functions._
+      // parquet-backed so ConvertToLocalRelation can't pre-evaluate the plan
+      def hof = s2.read
+        .parquet(s"$sfDir/embeddings.parquet")
+        .limit(20)
+        .select(graft.functions.VectorOps.dotHof(col("embedding"), col("embedding")).as("d"))
+      val optimized = hof.queryExecution.optimizedPlan.toString
+      assert(optimized.toLowerCase.contains("vecdot"), s"rule did not fire:\n$optimized")
+      // rewritten results == the native VecDot form
+      val native = s2.read
+        .parquet(s"$sfDir/embeddings.parquet")
+        .limit(20)
+        .select(graft.functions.VectorOps.dot(col("embedding"), col("embedding")).as("d"))
+        .collect()
+        .map(_.getDouble(0))
+        .toSeq
+      assert(hof.collect().map(_.getDouble(0)).toSeq === native)
+      // opt-out: same query keeps the interpreted HOF form
+      s2.conf.set("spark.graft.rewriteHofDot", "false")
+      try {
+        val off = hof.queryExecution.optimizedPlan.toString
+        assert(!off.toLowerCase.contains("vecdot"), s"opt-out ignored:\n$off")
+        assert(hof.collect().map(_.getDouble(0)).toSeq === native)
+      } finally s2.conf.set("spark.graft.rewriteHofDot", "true")
+    } finally s2.stop()
+  }
 }
