@@ -634,6 +634,10 @@ object Oracles {
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 100""".stripMargin,
+    "q65_json_extract" ->
+      """WITH e AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_type, count(k) AS n_with_k, CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q48_dict_source" ->
       """SELECT CAST(row_number() OVER (ORDER BY v) - 1 AS BIGINT) AS id, v AS o_orderpriority
         |FROM (SELECT DISTINCT o_orderpriority AS v FROM orders WHERE o_orderpriority IS NOT NULL)

@@ -684,6 +684,18 @@ object Queries {
       .load()
       .orderBy("call_day")
 
+  // JSON scalar extraction: pull a typed field out of a JSON string
+  // column (the reference's API payloads are exactly this shape,
+  // app.py:171-183) and aggregate it — extraction is codegen'd and
+  // runs map-side, so the shuffle carries (type, partialagg) only
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
   // set ops (INTERSECT / EXCEPT): customer key sets across two years —
   // Spark plans both as joins (semi/anti over distinct), so they scale
   // exactly like the join surface

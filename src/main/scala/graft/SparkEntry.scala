@@ -73,7 +73,8 @@ object SparkEntry {
     "q61_set_ops" -> (Queries.setOps _),
     "q62_pack_sequences" -> (Queries.packSequences _),
     "q63_hash_sample" -> (Queries.hashSample _),
-    "q64_paged_source_v2" -> (Queries.pagedSource _)
+    "q64_paged_source_v2" -> (Queries.pagedSource _),
+    "q65_json_extract" -> (Queries.jsonExtract _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
