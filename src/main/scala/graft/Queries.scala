@@ -403,11 +403,14 @@ object Queries {
   // the single groupBy shuffle (exact countDistinct needs a second,
   // (dims, id)-keyed exchange). The sketch value itself has no SQL
   // oracle, so the QUERY emits an oracle-checkable assertion instead:
-  // hll_ok = 1 iff the sketch is within ±5% of the exact count — the
-  // DuckDB mirror computes the exact side and a literal 1, so the row
-  // hashes match exactly when (and only when) every group's sketch
-  // lands inside the bound. Deterministic columns (dims, exact count,
-  // exact avg) ride along so the check is not vacuous.
+  // hll_ok = 1 iff the sketch is within max(±5%, ±2 absolute) of the
+  // exact count — the DuckDB mirror computes the exact side and a
+  // literal 1, so the row hashes match exactly when (and only when)
+  // every group's sketch lands inside the bound. The absolute floor
+  // covers single-digit groups (at sf0.001 a ±5% band around n=20 is
+  // narrower than one HLL register's quantization). Deterministic
+  // columns (dims, exact count, exact avg) ride along so the check is
+  // not vacuous.
   def dimAggApprox(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
       .withColumn("ship_year", year(col("l_shipdate")))
@@ -432,7 +435,8 @@ object Queries {
         exact("n_distinct"),
         approx("avg_qty"),
         when(
-          abs(col("n_distinct_approx").cast("double") - col("n_distinct").cast("double")) <= lit(0.05) * col("n_distinct").cast("double"),
+          abs(col("n_distinct_approx").cast("double") - col("n_distinct").cast("double")) <=
+            greatest(lit(2.0), lit(0.05) * col("n_distinct").cast("double")),
           1
         ).otherwise(0).as("hll_ok")
       )
