@@ -33,7 +33,7 @@ object Bench {
     // and AQE re-planning add multi-second noise to single measurements
     // at this scale. Cache is cleared between runs so (a) queries that
     // persist() intermediates don't accumulate blocks across the
-    // 61-query sweep and (b) each timing is a cold-cache measurement.
+    // full-suite sweep and (b) each timing is a cold-cache measurement.
     def timed(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -708,13 +708,12 @@ object Queries {
     def actives(y: Int) = o.filter(year(col("o_orderdate")) === y).select("o_custkey").distinct()
     val y95 = actives(1995)
     val y96 = actives(1996)
-    val both = y95.intersect(y96).withColumn("set_op", lit("both"))
-    val only95 = y95.except(y96).withColumn("set_op", lit("only_1995"))
-    both
-      .unionByName(only95)
-      .groupBy("set_op")
-      .agg(count(lit(1)).as("n_customers"))
-      .orderBy("set_op")
+    // global aggregates (not groupBy over a union) so an EMPTY
+    // intersect/except still yields its ('label', 0) row — matching the
+    // oracle's scalar-count subqueries
+    val both = y95.intersect(y96).agg(count(lit(1)).as("n_customers")).withColumn("set_op", lit("both"))
+    val only95 = y95.except(y96).agg(count(lit(1)).as("n_customers")).withColumn("set_op", lit("only_1995"))
+    both.unionByName(only95).select("set_op", "n_customers").orderBy("set_op")
   }
 
   // skew-safe join: salted fact⋈dim == plain join (oracle), with the

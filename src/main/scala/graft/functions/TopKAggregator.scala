@@ -28,9 +28,16 @@ final case class Scored(sim: Double, nid: Long)
 class TopKAggregator(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
   require(k > 0, s"k must be positive, got $k")
 
-  /** Strict total order for distinct (sim, nid): a ranks above b. */
-  private def better(a: Scored, b: Scored): Boolean =
-    a.sim > b.sim || (a.sim == b.sim && a.nid < b.nid)
+  /** Strict total order for distinct (sim, nid): a ranks above b.
+    * `Double.compare` (not `>`) so NaN participates in the order — it
+    * ranks above every finite sim, matching how Spark's `ORDER BY sim
+    * DESC` and DuckDB both sort NaN first; a bare `>` comparator is
+    * intransitive under NaN and silently corrupts the buffer.
+    */
+  private def better(a: Scored, b: Scored): Boolean = {
+    val c = java.lang.Double.compare(a.sim, b.sim)
+    c > 0 || (c == 0 && a.nid < b.nid)
+  }
 
   override def zero: Seq[Scored] = Vector.empty
 

@@ -22,6 +22,12 @@ import graft.functions.{NumOps, TextOps}
   *
   * All hashing is anchored on [[TextOps.hash32]] (MD5-derived), so the
   * DuckDB oracle reproduces every intermediate integer exactly.
+  *
+  * Cache contract: the Jaccard/LSH operators `persist()` the shingle
+  * table that multiple plan branches share. Those blocks live until the
+  * session drops them — long-lived callers should
+  * `spark.catalog.clearCache()` between unrelated workloads, as
+  * `Verify`/`Bench` do between queries.
   */
 object NearDup {
 

@@ -37,9 +37,6 @@ object Profiling {
     wide.select(expr(stacked))
   }
 
-  /** Frequency table, descending — `Series.value_counts()`
-    * (`app.py:254-271`). Tie-broken by key for determinism.
-    */
   /** Grouped quantile profile: exact interpolated percentiles (the
     * verification rung) next to `percentile_approx` sketches (the
     * 100 TB rung — mergeable, map-side partials, no global sort),
@@ -66,6 +63,9 @@ object Profiling {
     agg.select((key +: col("n") +: qCols) :+ when(okCol, 1).otherwise(0).as("sketch_ok"): _*)
   }
 
+  /** Frequency table, descending — `Series.value_counts()`
+    * (`app.py:254-271`). Tie-broken by key for determinism.
+    */
   def valueCounts(df: DataFrame, c: Column): DataFrame =
     df.groupBy(c.as("value"))
       .agg(count(lit(1)).as("cnt"))

@@ -28,6 +28,12 @@ import graft.functions.{NumOps, TopKAggregator, VectorOps}
   * Ranking ties and float-rounding: scores are rounded (half-away, 6dp)
   * BEFORE ranking and tie-broken by neighbor id, so top-k sets are
   * stable across partitionings and engines.
+  *
+  * Cache contract: the LSH/IVF operators `persist()` intermediates
+  * that several plan branches share (signatures, the training frame).
+  * Those blocks live until the session drops them — long-lived callers
+  * should `spark.catalog.clearCache()` (or unpersist) between unrelated
+  * workloads, as `Verify`/`Bench` do between queries.
   */
 object Similarity {
 

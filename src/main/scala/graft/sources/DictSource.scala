@@ -21,27 +21,46 @@ import org.apache.spark.sql.functions._
 object DictSource {
 
   /** Lookup frame (id, value) of `c`'s distinct values via the driver
-    * (the reference's literal-dict shape; enum-cardinality columns only).
+    * (the reference's literal-dict shape; enum-cardinality columns
+    * only). Sorted by UTF-8 byte order — the order Spark's sort and
+    * DuckDB use — not JVM UTF-16 code-unit order, which disagrees on
+    * supplementary characters and would desync the two forms' ids.
     */
   def fromUniques(df: DataFrame, c: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val uniques = df.select(col(c).cast("string")).na.drop().as[String].distinct().collect().sorted
+    val uniques = df
+      .select(col(c).cast("string"))
+      .na
+      .drop()
+      .as[String]
+      .distinct()
+      .collect()
+      .sortWith((a, b) => org.apache.spark.unsafe.types.UTF8String.fromString(a).compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0)
     spark
       .createDataFrame(uniques.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq)
       .toDF("id", c)
   }
 
-  /** The distributed twin: identical output, no driver collect — the
-    * form to use when the column's cardinality is not known-small.
+  /** The distributed twin: identical output, no driver collect of the
+    * VALUES — the form for columns whose cardinality is not known
+    * small. Distributed range-partitioned sort, then `zipWithIndex`
+    * (per-partition counting plus one tiny driver pass over partition
+    * SIZES for the offsets) — no single-task global window, no value
+    * ever on the driver.
     */
   def fromUniquesDistributed(df: DataFrame, c: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(c))
-    df.select(col(c).cast("string").as(c))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = df
+      .select(col(c).cast("string").as(c))
       .na
       .drop()
       .distinct()
-      .withColumn("id", row_number().over(w).cast("long") - 1)
-      .select("id", c)
+      .orderBy(col(c))
+      .as[String]
+    spark
+      .createDataFrame(sorted.rdd.zipWithIndex().map { case (v, i) => (i, v) })
+      .toDF("id", c)
   }
 }

@@ -51,15 +51,26 @@ object Fixtures {
   private def jsonField(name: String, v: Option[String]): Option[String] =
     v.map(s => "\"" + name + "\": \"" + s + "\"")
 
-  /** Write both fixtures if absent; returns idempotently after that. */
+  /** Write both fixtures if absent; returns idempotently after that
+    * (content is deterministic, so existing files are always current).
+    * Writes go to a temp file then ATOMIC_MOVE into place — a reader in
+    * another process can never observe a truncated fixture.
+    */
   def materialize(): Unit = synchronized {
     val dir = Paths.get(Dir)
     Files.createDirectories(dir)
+    if (Files.exists(Paths.get(CsvPath)) && Files.exists(Paths.get(JsonPath))) return
     val csv = (Columns.mkString(",") +: (0 until Rows).map(i => cells(i).map(csvCell).mkString(","))).mkString("", "\n", "\n")
     val json = (0 until Rows)
       .map(i => Columns.zip(cells(i)).flatMap { case (n, v) => jsonField(n, v) }.mkString("{", ", ", "}"))
       .mkString("", "\n", "\n")
-    Files.write(Paths.get(CsvPath), csv.getBytes(StandardCharsets.UTF_8))
-    Files.write(Paths.get(JsonPath), json.getBytes(StandardCharsets.UTF_8))
+    atomicWrite(CsvPath, csv)
+    atomicWrite(JsonPath, json)
+  }
+
+  private def atomicWrite(path: String, content: String): Unit = {
+    val tmp = Files.createTempFile(Paths.get(Dir), ".tmp-", "")
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(path), java.nio.file.StandardCopyOption.ATOMIC_MOVE, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 }

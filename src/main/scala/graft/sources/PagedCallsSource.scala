@@ -94,17 +94,23 @@ private[sources] class PagedReaderFactory(fields: Array[String]) extends Partiti
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PagedWindowPartition]
     val window = WindowedIngest.Window(LocalDate.parse(p.start), LocalDate.parse(p.endInclusive))
+    // field-name dispatch resolved ONCE per partition, not per row —
+    // get() does only the unavoidable per-row value array
+    val extractors: Array[PagedFetch.CallRecord => Any] = fields.map {
+      case "call_day"     => (r: PagedFetch.CallRecord) => UTF8String.fromString(r.call_day)
+      case "n_calls"      => (r: PagedFetch.CallRecord) => r.n_calls
+      case "window_start" => (r: PagedFetch.CallRecord) => UTF8String.fromString(r.window_start)
+    }
     new PartitionReader[InternalRow] {
       private val it = PagedFetch.fetchStub(window) // task-side "GET"
       private var cur: PagedFetch.CallRecord = _
       override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
-      override def get(): InternalRow = InternalRow.fromSeq(
-        fields.toIndexedSeq.map {
-          case "call_day"     => UTF8String.fromString(cur.call_day)
-          case "n_calls"      => cur.n_calls
-          case "window_start" => UTF8String.fromString(cur.window_start)
-        }
-      )
+      override def get(): InternalRow = {
+        val values = new Array[Any](extractors.length)
+        var i = 0
+        while (i < extractors.length) { values(i) = extractors(i)(cur); i += 1 }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
+      }
       override def close(): Unit = ()
     }
   }

@@ -32,10 +32,12 @@ object PagedFetch {
   final case class CallRecord(call_day: String, n_calls: Long, window_start: String)
 
   /** Fan `windows` out one-per-task and run `fetch` inside the tasks.
-    * `repartition(n)` round-robins the n window rows across n
-    * partitions, so each fetch occupies its own task slot — the unit of
-    * retry and of parallelism, exactly one HTTP session per task in the
-    * REST case.
+    * `parallelize(pages, n)` slices the n window rows into exactly one
+    * element per partition (deterministic Seq slicing — unlike
+    * `repartition(n)`, whose round-robin starts at a random offset per
+    * input partition and can collide two windows into one task), so
+    * each fetch occupies its own task slot — the unit of retry and of
+    * parallelism, exactly one HTTP session per task in the REST case.
     */
   def fetchPaged[T: Encoder](spark: SparkSession, windows: Seq[WindowedIngest.Window])(
       fetch: WindowedIngest.Window => Iterator[T]
@@ -44,8 +46,7 @@ object PagedFetch {
     require(windows.nonEmpty, "no ingestion windows planned")
     val pages = windows.map(w => Page(w.start.toString, w.endInclusive.toString))
     spark
-      .createDataset(pages)
-      .repartition(pages.size)
+      .createDataset(spark.sparkContext.parallelize(pages, pages.size))
       .flatMap(p => fetch(WindowedIngest.Window(LocalDate.parse(p.start), LocalDate.parse(p.endInclusive))))
   }
 

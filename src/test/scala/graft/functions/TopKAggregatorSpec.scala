@@ -60,4 +60,17 @@ class TopKAggregatorSpec extends AnyFunSuite {
       agg.merge(agg.zero, b) == b
     })
   }
+
+  test("NaN sims keep the order total: NaN ranks first and never poisons the buffer") {
+    // NaN arrives mid-stream; later high-sim candidates must still enter
+    val xs = Seq(Scored(0.5, 1), Scored(Double.NaN, 7), Scored(0.9, 2), Scored(0.99, 4), Scored(0.7, 3))
+    val got = reduceAll(xs)
+    assert(got.map(_.nid) === Seq(7L, 4L, 2L), got.toString) // NaN first (DESC order), then 0.99, 0.9
+    assert(got.head.sim.isNaN)
+    // and merge agrees regardless of which side held the NaN
+    val a = reduceAll(Seq(Scored(Double.NaN, 7), Scored(0.5, 1)))
+    val b = reduceAll(Seq(Scored(0.99, 4), Scored(0.9, 2)))
+    assert(agg.merge(a, b).map(_.nid) === Seq(7L, 4L, 2L))
+    assert(agg.merge(b, a).map(_.nid) === Seq(7L, 4L, 2L))
+  }
 }
