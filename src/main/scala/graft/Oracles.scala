@@ -638,6 +638,14 @@ object Oracles {
       """WITH e AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
         |SELECT event_type, count(k) AS n_with_k, CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q66_cube" -> {
+      val tot = away("CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)", 2)
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+         |  count(*) AS n_items, $tot AS sum_qty
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY gid, l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin
+    },
     "q48_dict_source" ->
       """SELECT CAST(row_number() OVER (ORDER BY v) - 1 AS BIGINT) AS id, v AS o_orderpriority
         |FROM (SELECT DISTINCT o_orderpriority AS v FROM orders WHERE o_orderpriority IS NOT NULL)

@@ -559,6 +559,19 @@ object Queries {
       .agg(count(lit(1)).as("n_items"), NumOps.exactSum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
 
+  // cube: the full subtotal lattice with grouping_id disambiguating
+  // aggregation level from genuine null dims — same single-scan Expand
+  // plan as rollup, 4 grouping sets instead of 3
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_items"),
+        NumOps.exactSum(col("l_quantity")).as("sum_qty")
+      )
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
+
   // anti join: customers with no URGENT order (the complement of the
   // semi-join surface; broadcast-able exactly like a semi — and the
   // priority filter reaches the orders scan before the join)

@@ -74,7 +74,8 @@ object SparkEntry {
     "q62_pack_sequences" -> (Queries.packSequences _),
     "q63_hash_sample" -> (Queries.hashSample _),
     "q64_paged_source_v2" -> (Queries.pagedSource _),
-    "q65_json_extract" -> (Queries.jsonExtract _)
+    "q65_json_extract" -> (Queries.jsonExtract _),
+    "q66_cube" -> (Queries.cubeAgg _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
