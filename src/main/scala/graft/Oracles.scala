@@ -646,6 +646,22 @@ object Oracles {
          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          |ORDER BY gid, l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin
     },
+    "q67_ntile_quartiles" -> {
+      val mn = away("min(c_acctbal)", 2)
+      val mx = away("max(c_acctbal)", 2)
+      s"""WITH q AS (SELECT c_custkey, c_acctbal,
+         |    CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile
+         |  FROM customer)
+         |SELECT quartile, count(*) AS n_customers, $mn AS min_bal, $mx AS max_bal
+         |FROM q GROUP BY quartile ORDER BY quartile""".stripMargin
+    },
+    "q68_fuzzy_pairs" ->
+      """WITH t AS (SELECT DISTINCT p_type FROM part)
+        |SELECT a.p_type AS t1, b.p_type AS t2,
+        |  CAST(levenshtein(a.p_type, b.p_type) AS INTEGER) AS dist
+        |FROM t a JOIN t b ON a.p_type < b.p_type
+        |WHERE levenshtein(a.p_type, b.p_type) <= 6
+        |ORDER BY t1, t2""".stripMargin,
     "q48_dict_source" ->
       """SELECT CAST(row_number() OVER (ORDER BY v) - 1 AS BIGINT) AS id, v AS o_orderpriority
         |FROM (SELECT DISTINCT o_orderpriority AS v FROM orders WHERE o_orderpriority IS NOT NULL)

@@ -559,6 +559,36 @@ object Queries {
       .agg(count(lit(1)).as("n_items"), NumOps.exactSum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
 
+  // ntile: equal-frequency bucketing (quartiles of customers by
+  // balance) — the windowed form of histogram binning; tie-broken by
+  // key so bucket edges are deterministic
+  def ntileQuartiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"), ntile(4).over(w).as("quartile"))
+      .groupBy("quartile")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        NumOps.roundAway(min(col("c_acctbal")), 2).as("min_bal"),
+        NumOps.roundAway(max(col("c_acctbal")), 2).as("max_bal")
+      )
+      .orderBy("quartile")
+  }
+
+  // fuzzy matching: near-identical value pairs by edit distance — the
+  // string-similarity rung of the dedup ladder (at 100 TB: length/
+  // prefix-bucket the candidate join exactly like the LSH rungs; the
+  // distinct-values table here is dimension-sized)
+  def fuzzyPairs(s: SparkSession, dir: String): DataFrame = {
+    val types = t(s, dir, "part").select(col("p_type")).distinct()
+    val a = types.select(col("p_type").as("t1"))
+    val b = types.select(col("p_type").as("t2"))
+    a.join(b, col("t1") < col("t2"))
+      .select(col("t1"), col("t2"), levenshtein(col("t1"), col("t2")).as("dist"))
+      .filter(col("dist") <= 6)
+      .orderBy("t1", "t2")
+  }
+
   // cube: the full subtotal lattice with grouping_id disambiguating
   // aggregation level from genuine null dims — same single-scan Expand
   // plan as rollup, 4 grouping sets instead of 3

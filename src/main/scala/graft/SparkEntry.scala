@@ -75,7 +75,9 @@ object SparkEntry {
     "q63_hash_sample" -> (Queries.hashSample _),
     "q64_paged_source_v2" -> (Queries.pagedSource _),
     "q65_json_extract" -> (Queries.jsonExtract _),
-    "q66_cube" -> (Queries.cubeAgg _)
+    "q66_cube" -> (Queries.cubeAgg _),
+    "q67_ntile_quartiles" -> (Queries.ntileQuartiles _),
+    "q68_fuzzy_pairs" -> (Queries.fuzzyPairs _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
