@@ -662,6 +662,13 @@ object Oracles {
         |FROM t a JOIN t b ON a.p_type < b.p_type
         |WHERE levenshtein(a.p_type, b.p_type) <= 6
         |ORDER BY t1, t2""".stripMargin,
+    "q69_above_avg" -> {
+      def exactAvg = away("CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / count(o_totalprice)", 2)
+      s"""SELECT o_orderpriority, count(*) AS n_above, $exactAvg AS avg_above
+         |FROM orders
+         |WHERE o_totalprice > (SELECT $exactAvg FROM orders)
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    },
     "q48_dict_source" ->
       """SELECT CAST(row_number() OVER (ORDER BY v) - 1 AS BIGINT) AS id, v AS o_orderpriority
         |FROM (SELECT DISTINCT o_orderpriority AS v FROM orders WHERE o_orderpriority IS NOT NULL)

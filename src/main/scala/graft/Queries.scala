@@ -589,6 +589,22 @@ object Queries {
       .orderBy("t1", "t2")
   }
 
+  // scalar-subquery shape: compare every row against a global
+  // aggregate — a 1-row aggregate broadcast-joined to the fact scan
+  // (no second pass, no driver round-trip). The threshold is the
+  // decimal-exact 2dp average, so the boundary comparison is
+  // bit-identical across engines (a bare double avg differs in ulps
+  // and could flip boundary rows).
+  def aboveAvg(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val threshold = o.agg(NumOps.exactAvg(col("o_totalprice"), 2).as("ap"))
+    o.join(broadcast(threshold))
+      .filter(col("o_totalprice") > col("ap"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_above"), NumOps.exactAvg(col("o_totalprice"), 2).as("avg_above"))
+      .orderBy("o_orderpriority")
+  }
+
   // cube: the full subtotal lattice with grouping_id disambiguating
   // aggregation level from genuine null dims — same single-scan Expand
   // plan as rollup, 4 grouping sets instead of 3

@@ -77,7 +77,8 @@ object SparkEntry {
     "q65_json_extract" -> (Queries.jsonExtract _),
     "q66_cube" -> (Queries.cubeAgg _),
     "q67_ntile_quartiles" -> (Queries.ntileQuartiles _),
-    "q68_fuzzy_pairs" -> (Queries.fuzzyPairs _)
+    "q68_fuzzy_pairs" -> (Queries.fuzzyPairs _),
+    "q69_above_avg" -> (Queries.aboveAvg _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
