@@ -669,6 +669,25 @@ object Oracles {
          |WHERE o_totalprice > (SELECT $exactAvg FROM orders)
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
     },
+    "q70_vocab" ->
+      """WITH tk AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents)
+        |SELECT token, count(*) AS n_occurrences
+        |FROM tk GROUP BY token
+        |ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin,
+    "q71_tfidf" -> {
+      val score = away("CAST(tf AS DOUBLE) * n_docs / df", 4)
+      s"""WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY doc_id, token),
+         |df AS (SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM tk) GROUP BY token),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.token, tf.tf, df.df, $score AS score
+         |  FROM tf JOIN df USING (token), n),
+         |rk AS (SELECT doc_id, token, tf, df, score,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS INTEGER) AS rnk
+         |  FROM sc)
+         |SELECT doc_id, rnk, token, tf, df, score FROM rk WHERE rnk <= 3
+         |ORDER BY doc_id, rnk""".stripMargin
+    },
     "q48_dict_source" ->
       """SELECT CAST(row_number() OVER (ORDER BY v) - 1 AS BIGINT) AS id, v AS o_orderpriority
         |FROM (SELECT DISTINCT o_orderpriority AS v FROM orders WHERE o_orderpriority IS NOT NULL)

@@ -589,6 +589,40 @@ object Queries {
       .orderBy("t1", "t2")
   }
 
+  // corpus vocabulary: explode tokens, count, keep the head — the
+  // canonical word-count plan (one shuffle, map-side combine), the
+  // vocabulary-building step of a tokenizer pipeline
+  def vocab(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(100)
+
+  // TF-IDF (linear-idf variant: tf·N/df — pure +·/ IEEE arithmetic,
+  // identical on both engines; ln() differs by ulps between libm and
+  // the JVM and would poison the hash): top-3 scored terms per doc.
+  // Two aggregations share one token-explode pass; N broadcasts as a
+  // 1-row aggregate. Ranking is a per-doc window here (500 docs); at
+  // corpus scale swap in the bounded TopKAggregator exactly as the ANN
+  // paths do.
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = toks.select("doc_id", "token").distinct().groupBy("token").agg(count(lit(1)).as("df"))
+    val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
+    tf.join(df, "token")
+      .join(broadcast(n))
+      .withColumn("score", NumOps.roundAway(col("tf") * col("n_docs") / col("df"), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("doc_id", "rnk", "token", "tf", "df", "score")
+      .orderBy("doc_id", "rnk")
+  }
+
   // scalar-subquery shape: compare every row against a global
   // aggregate — a 1-row aggregate broadcast-joined to the fact scan
   // (no second pass, no driver round-trip). The threshold is the

@@ -78,7 +78,9 @@ object SparkEntry {
     "q66_cube" -> (Queries.cubeAgg _),
     "q67_ntile_quartiles" -> (Queries.ntileQuartiles _),
     "q68_fuzzy_pairs" -> (Queries.fuzzyPairs _),
-    "q69_above_avg" -> (Queries.aboveAvg _)
+    "q69_above_avg" -> (Queries.aboveAvg _),
+    "q70_vocab" -> (Queries.vocab _),
+    "q71_tfidf" -> (Queries.tfidf _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
