@@ -688,6 +688,24 @@ object Oracles {
          |SELECT doc_id, rnk, token, tf, df, score FROM rk WHERE rnk <= 3
          |ORDER BY doc_id, rnk""".stripMargin
     },
+    "q72_chunk_docs" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |c AS (SELECT doc_id, ws,
+        |    CAST(unnest(generate_series(0, CAST((len(ws) - 1) // 40 AS INTEGER))) AS INTEGER) AS chunk_idx
+        |  FROM w)
+        |SELECT doc_id, chunk_idx,
+        |  array_to_string(list_slice(ws, chunk_idx * 40 + 1, chunk_idx * 40 + 50), ' ') AS chunk_text,
+        |  CAST(len(list_slice(ws, chunk_idx * 40 + 1, chunk_idx * 40 + 50)) AS INTEGER) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q73_range_frame" -> {
+      val tot = away("CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) OVER w AS DOUBLE)", 2)
+      s"""SELECT o_custkey, o_orderkey, $tot AS trailing_30d
+         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+         |        CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+         |      FROM orders)
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY d RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+         |ORDER BY o_custkey, o_orderkey""".stripMargin
+    },
     "q48_dict_source" ->
       """SELECT CAST(row_number() OVER (ORDER BY v) - 1 AS BIGINT) AS id, v AS o_orderpriority
         |FROM (SELECT DISTINCT o_orderpriority AS v FROM orders WHERE o_orderpriority IS NOT NULL)

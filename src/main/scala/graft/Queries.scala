@@ -623,6 +623,42 @@ object Queries {
       .orderBy("doc_id", "rnk")
   }
 
+  // document chunking: split each doc into overlapping token windows
+  // (size 50, stride 40) — the context-window preprocessing step. Pure
+  // generator shape: sequence + explode + slice, no UDF, no shuffle
+  // until the output sort; chunk boundaries are token-index arithmetic
+  // so the oracle mirrors them exactly
+  def chunkDocs(s: SparkSession, dir: String): DataFrame = {
+    val size = 50
+    val stride = 40
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("chunk_idx", explode(sequence(lit(0), floor((org.apache.spark.sql.functions.size(col("toks")) - 1) / stride).cast("int"))))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        concat_ws(" ", slice(col("toks"), col("chunk_idx") * stride + 1, lit(size))).as("chunk_text"),
+        org.apache.spark.sql.functions.size(slice(col("toks"), col("chunk_idx") * stride + 1, lit(size))).as("n_tokens")
+      )
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  // RANGE window frame: trailing-30-day spend per customer — peers at
+  // the same date aggregate together (ROWS frames can't express this).
+  // Ordered on integer epoch days so the frame bound arithmetic is
+  // identical on both engines
+  def rangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val days = datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+    val w = Window.partitionBy(col("o_custkey")).orderBy(days).rangeBetween(-30, 0)
+    t(s, dir, "orders")
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        NumOps.roundAway(sum(col("o_totalprice").cast("decimal(25,6)")).over(w).cast("double"), 2).as("trailing_30d")
+      )
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   // scalar-subquery shape: compare every row against a global
   // aggregate — a 1-row aggregate broadcast-joined to the fact scan
   // (no second pass, no driver round-trip). The threshold is the

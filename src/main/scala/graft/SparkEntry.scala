@@ -80,7 +80,9 @@ object SparkEntry {
     "q68_fuzzy_pairs" -> (Queries.fuzzyPairs _),
     "q69_above_avg" -> (Queries.aboveAvg _),
     "q70_vocab" -> (Queries.vocab _),
-    "q71_tfidf" -> (Queries.tfidf _)
+    "q71_tfidf" -> (Queries.tfidf _),
+    "q72_chunk_docs" -> (Queries.chunkDocs _),
+    "q73_range_frame" -> (Queries.rangeFrame _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
