@@ -706,6 +706,40 @@ object Oracles {
          |WINDOW w AS (PARTITION BY o_custkey ORDER BY d RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
          |ORDER BY o_custkey, o_orderkey""".stripMargin
     },
+    "q74_zscore" -> {
+      // identical formula, identical decimal-exact power sums
+      val z = away(
+        "(l_quantity - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1))",
+        4
+      )
+      """WITH stats AS (SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sxx
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_orderkey, l_linenumber, li.l_returnflag, ZEXPR AS z
+        |FROM lineitem li JOIN stats USING (l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin.replace("ZEXPR", z)
+    },
+    "q75_correlation" -> {
+      val r = away(
+        "(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))",
+        6
+      )
+      """WITH s AS (SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n, REXPR AS corr_qty_price
+        |FROM s ORDER BY l_returnflag""".stripMargin.replace("REXPR", r)
+    },
+    "q76_stream_foreach_batch" -> {
+      val tot = away("CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE)", 2)
+      s"""SELECT event_type, count(*) AS n, $tot AS total_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
     "q48_dict_source" ->
       """SELECT CAST(row_number() OVER (ORDER BY v) - 1 AS BIGINT) AS id, v AS o_orderpriority
         |FROM (SELECT DISTINCT o_orderpriority AS v FROM orders WHERE o_orderpriority IS NOT NULL)

@@ -659,6 +659,74 @@ object Queries {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  // feature normalization: per-group z-score. Mean/variance come from
+  // DECIMAL sums (associative → partition-invariant) and the final
+  // float formula is spelled identically in the oracle, so scores are
+  // bit-identical. Stats broadcast back onto the fact scan — one
+  // aggregation pass plus a map-side join, never a second shuffle of
+  // the fact table
+  def zscore(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val stats = li
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(25,6)")).cast("double").as("sx"),
+        sum((col("l_quantity") * col("l_quantity")).cast("decimal(25,6)")).cast("double").as("sxx")
+      )
+    li.join(broadcast(stats), "l_returnflag")
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_returnflag"),
+        NumOps
+          .roundAway(
+            (col("l_quantity") - col("sx") / col("n")) /
+              sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)),
+            4
+          )
+          .as("z")
+      )
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // Pearson correlation from decimal-exact power sums — the built-in
+  // corr() accumulates doubles in partition order and is not
+  // reproducible cross-engine; this form is, and it folds into ONE
+  // aggregation pass per group
+  def correlation(s: SparkSession, dir: String): DataFrame = {
+    def dsum(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(25,6)")).cast("double")
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sx"),
+        dsum(col("l_extendedprice")).as("sy"),
+        dsum(col("l_quantity") * col("l_extendedprice")).as("sxy"),
+        dsum(col("l_quantity") * col("l_quantity")).as("sxx"),
+        dsum(col("l_extendedprice") * col("l_extendedprice")).as("syy")
+      )
+      .select(
+        col("l_returnflag"),
+        col("n"),
+        NumOps
+          .roundAway(
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")) * (col("n") * col("syy") - col("sy") * col("sy"))),
+            6
+          )
+          .as("corr_qty_price")
+      )
+      .orderBy("l_returnflag")
+  }
+
+  // streaming → arbitrary sink: foreachBatch hands each micro-batch to
+  // the batch RetryingSink (complete mode: each batch truncate-and-
+  // loads the current totals — the reference's daily overwrite,
+  // incrementalized). The query output is the SINK read back.
+  def streamForeachBatch(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamAgg.eventTotalsViaSink(s, dir, "/tmp/graft_stream_sink/event_totals")
+
   // scalar-subquery shape: compare every row against a global
   // aggregate — a 1-row aggregate broadcast-joined to the fact scan
   // (no second pass, no driver round-trip). The threshold is the

@@ -82,7 +82,10 @@ object SparkEntry {
     "q70_vocab" -> (Queries.vocab _),
     "q71_tfidf" -> (Queries.tfidf _),
     "q72_chunk_docs" -> (Queries.chunkDocs _),
-    "q73_range_frame" -> (Queries.rangeFrame _)
+    "q73_range_frame" -> (Queries.rangeFrame _),
+    "q74_zscore" -> (Queries.zscore _),
+    "q75_correlation" -> (Queries.correlation _),
+    "q76_stream_foreach_batch" -> (Queries.streamForeachBatch _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

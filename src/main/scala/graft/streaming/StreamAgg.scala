@@ -81,6 +81,34 @@ object StreamAgg {
     }
   }
 
+  /** Streaming → arbitrary batch sink via `foreachBatch`: the
+    * production pattern for writing a stream anywhere a DataFrame can
+    * be written. Complete-mode aggregation + truncate-and-load per
+    * micro-batch = the reference's daily drop-and-rewrite
+    * (`app.py:661-700`), incrementalized; the retry contract rides
+    * along from [[graft.sinks.RetryingSink]]. Returns the sink read
+    * back — what a downstream consumer would see.
+    */
+  def eventTotalsViaSink(spark: SparkSession, dir: String, outPath: String): DataFrame =
+    StateConf.withStatePartitions(spark, 8) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      val raw = spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(dir)
+      val agg = raw
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), NumOps.exactSum(col("value")).as("total_value"))
+      val q = agg.writeStream
+        .outputMode("complete")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.sinks.RetryingSink.overwriteParquet(batch, outPath): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+      spark.read.parquet(outPath).orderBy("event_type")
+    }
+
   /** Stream-stream self-join: events joined to later events of the
     * SAME user within a 1-hour follow-up window — the stateful
     * two-sided join operator (each side buffers rows in the state
