@@ -610,8 +610,10 @@ object Queries {
   def tfidf(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
-    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val df = toks.select("doc_id", "token").distinct().groupBy("token").agg(count(lit(1)).as("df"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf")).persist()
+    // df derives from tf (one row per (doc, token) already): the
+    // corpus is exploded ONCE, not once per aggregation
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
     tf.join(df, "token")
