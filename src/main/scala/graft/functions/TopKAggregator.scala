@@ -32,10 +32,13 @@ class TopKAggregator(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]
     * `Double.compare` (not `>`) so NaN participates in the order — it
     * ranks above every finite sim, matching how Spark's `ORDER BY sim
     * DESC` and DuckDB both sort NaN first; a bare `>` comparator is
-    * intransitive under NaN and silently corrupts the buffer.
+    * intransitive under NaN and silently corrupts the buffer. The
+    * `+ 0.0` normalizes -0.0 to +0.0 first: Double.compare ranks them
+    * apart but SQL ORDER BY (both engines) does not, and rounded
+    * scores really do produce -0.0 (signum(-ε)·0.0).
     */
   private def better(a: Scored, b: Scored): Boolean = {
-    val c = java.lang.Double.compare(a.sim, b.sim)
+    val c = java.lang.Double.compare(a.sim + 0.0, b.sim + 0.0)
     c > 0 || (c == 0 && a.nid < b.nid)
   }
 

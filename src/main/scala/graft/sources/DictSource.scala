@@ -36,7 +36,7 @@ object DictSource {
       .as[String]
       .distinct()
       .collect()
-      .sortWith((a, b) => org.apache.spark.unsafe.types.UTF8String.fromString(a).compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0)
+      .sortBy(org.apache.spark.unsafe.types.UTF8String.fromString) // one conversion per value, not per comparison
     spark
       .createDataFrame(uniques.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq)
       .toDF("id", c)

@@ -51,26 +51,30 @@ object Fixtures {
   private def jsonField(name: String, v: Option[String]): Option[String] =
     v.map(s => "\"" + name + "\": \"" + s + "\"")
 
-  /** Write both fixtures if absent; returns idempotently after that
-    * (content is deterministic, so existing files are always current).
-    * Writes go to a temp file then ATOMIC_MOVE into place — a reader in
-    * another process can never observe a truncated fixture.
+  /** Write both fixtures unless the on-disk bytes already equal the
+    * generated content — comparing CONTENT (not mere existence) means a
+    * code change to the generator can never serve stale files, while
+    * repeat calls skip the write. Writes go to a temp file then
+    * ATOMIC_MOVE into place — a reader in another process can never
+    * observe a truncated fixture.
     */
   def materialize(): Unit = synchronized {
     val dir = Paths.get(Dir)
     Files.createDirectories(dir)
-    if (Files.exists(Paths.get(CsvPath)) && Files.exists(Paths.get(JsonPath))) return
     val csv = (Columns.mkString(",") +: (0 until Rows).map(i => cells(i).map(csvCell).mkString(","))).mkString("", "\n", "\n")
     val json = (0 until Rows)
       .map(i => Columns.zip(cells(i)).flatMap { case (n, v) => jsonField(n, v) }.mkString("{", ", ", "}"))
       .mkString("", "\n", "\n")
-    atomicWrite(CsvPath, csv)
-    atomicWrite(JsonPath, json)
+    writeUnlessCurrent(CsvPath, csv)
+    writeUnlessCurrent(JsonPath, json)
   }
 
-  private def atomicWrite(path: String, content: String): Unit = {
+  private def writeUnlessCurrent(path: String, content: String): Unit = {
+    val bytes = content.getBytes(StandardCharsets.UTF_8)
+    val p = Paths.get(path)
+    if (Files.exists(p) && java.util.Arrays.equals(Files.readAllBytes(p), bytes)) return
     val tmp = Files.createTempFile(Paths.get(Dir), ".tmp-", "")
-    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(path), java.nio.file.StandardCopyOption.ATOMIC_MOVE, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Files.write(tmp, bytes)
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 }

@@ -89,8 +89,11 @@ object StreamAgg {
     * along from [[graft.sinks.RetryingSink]]. Returns the sink read
     * back — what a downstream consumer would see.
     */
-  def eventTotalsViaSink(spark: SparkSession, dir: String, outPath: String): DataFrame =
+  def eventTotalsViaSink(spark: SparkSession, dir: String, outBase: String): DataFrame =
     StateConf.withStatePartitions(spark, 8) {
+      // per-run unique sink dir (same reason the memory-sink queries use
+      // runSeq names): two concurrent JVMs must not race one directory
+      val outPath = s"${outBase}_${java.util.UUID.randomUUID().toString.take(8)}"
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = spark.read.parquet(s"$dir/events.parquet").schema
       val raw = spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(dir)

@@ -73,4 +73,9 @@ class TopKAggregatorSpec extends AnyFunSuite {
     assert(agg.merge(a, b).map(_.nid) === Seq(7L, 4L, 2L))
     assert(agg.merge(b, a).map(_.nid) === Seq(7L, 4L, 2L))
   }
+
+  test("-0.0 and +0.0 sims tie (SQL zero equality), broken by nid") {
+    val xs = Seq(Scored(0.0, 9), Scored(-0.0, 3), Scored(-1.0, 1))
+    assert(reduceAll(xs).map(_.nid) === Seq(3L, 9L, 1L))
+  }
 }
