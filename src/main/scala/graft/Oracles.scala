@@ -412,12 +412,6 @@ object Oracles {
          |k AS (SELECT qid, nid, sim,
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INTEGER) AS rnk FROM r)
          |SELECT qid, nid, sim, rnk FROM k WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
-    "q30_embed_near_dup" ->
-      s"""WITH p AS (SELECT a.vec_id AS d1, b.vec_id AS d2, a.embedding AS e1, b.embedding AS e2
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
-         |s AS (SELECT d1, d2, ${cosineSql("e1", "e2")} AS c FROM p),
-         |r AS (SELECT d1, d2, ${away("c", 6)} AS sim FROM s)
-         |SELECT d1, d2, sim FROM r WHERE sim >= 0.4 ORDER BY d1, d2""".stripMargin,
     // container sizes mirror MediaCodec: PNG wraps content in +57
     // bytes (sig + IHDR + IDAT + IEND framing), JPEG in +17 (SOI +
     // SOF0 + EOI), raw adds nothing; width/height are the embedded

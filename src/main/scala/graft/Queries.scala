@@ -325,11 +325,11 @@ object Queries {
       .withColumnRenamed("rank", "rnk")
       .orderBy("qid", "rnk")
 
-  // embedding-cosine near-duplicate pairs
-  def embedNearDup(s: SparkSession, dir: String): DataFrame =
-    Similarity
-      .nearDupPairs(t(s, dir, "embeddings"), col("vec_id"), col("embedding"), threshold = 0.4)
-      .orderBy("d1", "d2")
+  // embedding-cosine near-duplicate pairs: the CANONICAL query is the
+  // LSH rung (q51, embedNearDupLsh below) — the brute all-pairs form
+  // (Similarity.nearDupPairs) is an O(n²) theta join and ships only as
+  // spec-only ground truth (SimilaritySpec containment), mirroring the
+  // q26 unbounded-Jaccard demotion
 
   // IVF ANN: deterministic k-means cells + nprobe search (rows-only
   // oracle; recall checked in SimilaritySpec)
@@ -560,12 +560,20 @@ object Queries {
       .orderBy(col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
 
   // ntile: equal-frequency bucketing (quartiles of customers by
-  // balance) — the windowed form of histogram binning; tie-broken by
-  // key so bucket edges are deterministic
+  // balance), tie-broken by key so bucket edges are deterministic.
+  // NOT the built-in window ntile — that plans a single-partition
+  // WindowExec (the whole table through one task); Ntile.exact computes
+  // the identical buckets via deterministic bins + sharded ranks
   def ntileQuartiles(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-    t(s, dir, "customer")
-      .select(col("c_custkey"), col("c_acctbal"), ntile(4).over(w).as("quartile"))
+    graft.operators.Ntile
+      .exact(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal")),
+        value = col("c_acctbal"),
+        tieKey = col("c_custkey"),
+        k = 4,
+        binWidth = 100.0,
+        bucketCol = "quartile"
+      )
       .groupBy("quartile")
       .agg(
         count(lit(1)).as("n_customers"),

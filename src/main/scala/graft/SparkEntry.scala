@@ -39,7 +39,6 @@ object SparkEntry {
     "q27_minhash_lsh" -> (Queries.minhashLsh _),
     "q28_simhash" -> (Queries.simhash _),
     "q29_ann_brute_force" -> (Queries.annBruteForce _),
-    "q30_embed_near_dup" -> (Queries.embedNearDup _),
     "q31_ann_lsh" -> (Queries.annLsh _),
     "q32_multimodal_decode" -> (Queries.multimodalDecode _),
     "q33_stream_agg" -> (Queries.streamAgg _),

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact equal-frequency bucketing (`ntile`) without a global window.
+  *
+  * `ntile(k) OVER (ORDER BY ...)` with no PARTITION BY plans a
+  * single-partition WindowExec: the entire table funnels through ONE
+  * task — invisible at test scale, fatal at 100 TB. This operator
+  * computes the identical bucket assignment with a fully sharded plan:
+  *
+  *  1. **Deterministic value-range bins**: `floor(value / binWidth)`.
+  *     Unlike `repartitionByRange` (whose sampled boundaries differ
+  *     between the jobs that would need to agree) the bin of a row is a
+  *     pure function of its value — the same in every job, every run,
+  *     every engine.
+  *  2. **Bin histogram** (one aggregation shuffle) collected to the
+  *     driver: one row per OCCUPIED bin — sized by the value range over
+  *     `binWidth`, constant in data volume (the same class of bounded
+  *     collect as the IVF centroid pull, [[Similarity.ivfTopK]]).
+  *     Exclusive prefix sums over the ordered bins give each bin's
+  *     global rank offset; they broadcast back as a tiny join table.
+  *  3. **Within-bin ranks** via a window PARTITIONED BY bin — sharded
+  *     across the cluster, no single-task stage. Global rank = bin
+  *     offset + local rank; ranks are exact, so the bucket of every row
+  *     matches `ntile` bit-for-bit (the DuckDB oracle runs real
+  *     `ntile`).
+  *
+  * Bucket arithmetic is the standard ntile split: `n = base·k + rem`
+  * rows put `base+1` rows in each of the first `rem` buckets. Total row
+  * count and the split constants are driver-side literals (known from
+  * the histogram), so the per-row bucket expression is pure integer
+  * math inside codegen.
+  *
+  * Scale knob: `binWidth` sets expected rows per bin (= per window
+  * task). Skew bound: a single bin holding many rows is one task —
+  * pick `binWidth` ≪ value spread, or pre-scale the value column. A
+  * pathological constant-valued column degenerates to one bin (as any
+  * order-based method must — every row ties).
+  *
+  * `value` must be non-null (ntile null ordering differs between
+  * engines; the reference data has none).
+  *
+  * Reference: the quartile/histogram profiling step (app.py:713-738)
+  * restated as an exact distributed rank.
+  */
+object Ntile {
+
+  /** `df` plus an integer `bucketCol` ∈ 1..k — exactly
+    * `ntile(k) OVER (ORDER BY value, tieKey)`.
+    */
+  def exact(df: DataFrame, value: Column, tieKey: Column, k: Int, binWidth: Double = 1.0, bucketCol: String = "bucket"): DataFrame = {
+    val spark = df.sparkSession
+    val binned = df.withColumn("__bin", floor(value / binWidth).cast("long"))
+
+    // one row per occupied bin — dimension-sized, data-volume-constant
+    val hist = binned
+      .groupBy("__bin")
+      .agg(count(lit(1)).as("__c"))
+      .collect()
+      .map(r => (r.getAs[Long]("__bin"), r.getAs[Long]("__c")))
+      .sortBy(_._1)
+    var acc = 0L
+    val offsets = hist.map { case (bin, c) => val o = acc; acc += c; (bin, o) }
+    val total = acc
+
+    val base = total / k
+    val rem = total % k
+    val headRows = rem * (base + 1) // rows living in the base+1-sized buckets
+    val safeBase = math.max(base, 1L) // base=0 ⇒ every row is a head row; guard the dead branch's ÷
+
+    val offDf = broadcast(spark.createDataFrame(offsets.toIndexedSeq).toDF("__bin", "__off"))
+    val w = Window.partitionBy(col("__bin")).orderBy(value.asc, tieKey.asc)
+    val rank = (col("__off") + row_number().over(w)).as("__rank")
+
+    val bucket = when(
+      col("__rank") <= headRows,
+      floor((col("__rank") - 1) / (base + 1)) + 1
+    ).otherwise(
+      lit(rem) + floor((col("__rank") - 1 - headRows) / safeBase) + 1
+    )
+
+    binned
+      .join(offDf, "__bin")
+      .withColumn("__rank", rank)
+      .withColumn(bucketCol, bucket.cast("int"))
+      .drop("__bin", "__off", "__rank")
+  }
+}

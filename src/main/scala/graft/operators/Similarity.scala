@@ -75,8 +75,12 @@ object Similarity {
     * sides are the corpus, so the planner picks BroadcastNestedLoop
     * while one side fits an executor and a partition-tiled
     * CartesianProduct (each task pairs one partition per side) beyond
-    * that — the honest all-pairs shape. At scale use the LSH rung
-    * ([[lshTopK]] buckets / [[NearDup.lshCandidatePairs]]) instead.
+    * that — the honest all-pairs shape.
+    *
+    * SPEC-ONLY ground truth: an O(n²) theta join must never ship as a
+    * query (the same demotion as unbounded Jaccard). The canonical
+    * near-dup query is [[lshNearDupPairs]] (q51); SimilaritySpec uses
+    * this form to containment-check the LSH rung's recall.
     */
   def nearDupPairs(vecs: DataFrame, id: Column, emb: Column, threshold: Double): DataFrame = {
     val a = vecs.select(id.as("d1"), emb.as("e1"), VectorOps.normSq(emb).as("n1"))
@@ -240,14 +244,11 @@ object Similarity {
       .collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
 
-    def nearestCell(v: Column): Column = {
-      // argmax of (v·c - |c|²/2) == nearest centroid by L2
-      val scored = centroids.zipWithIndex.map { case (c, j) =>
-        val half = c.map(x => x * x).sum / 2.0
-        struct((VectorOps.dot(v, typedlit(c)) - lit(half)).as("s"), lit(j).as("j"))
-      }
-      array_max(array(scored.toIndexedSeq: _*)).getField("j")
-    }
+    // argmax of (v·c - |c|²/2) == nearest centroid by L2. The centroid
+    // MATRIX travels as one plan reference (NearestCells), not nlist
+    // inlined struct literals — O(1) plan size, codegen-safe at any nlist
+    def nearestCell(v: Column): Column =
+      element_at(cellsOf(v, centroids, 1), 1)
 
     // Lloyd refinement: reassign, recompute cell means. Means quantize
     // elements to 6dp (far below embedding noise) and sum as decimal so
@@ -285,15 +286,15 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** The nprobe nearest cells for a query vector: sort (score, idx)
-    * structs descending, take the first nprobe indexes.
+  /** The nprobe nearest cells for a query vector — the same
+    * [[graft.plans.NearestCells]] expression as assignment, n = nprobe.
     */
-  private def probeCells(v: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, j) =>
-      val half = c.map(x => x * x).sum / 2.0
-      struct((VectorOps.dot(v, typedlit(c)) - lit(half)).as("s"), lit(j).as("j"))
-    }
-    val sorted = reverse(array_sort(array(scored.toIndexedSeq: _*)))
-    transform(slice(sorted, 1, nprobe), s => s.getField("j"))
+  private def probeCells(v: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+    cellsOf(v, centroids, nprobe)
+
+  /** Wrap [[graft.plans.NearestCells]] as a Column. */
+  private def cellsOf(v: Column, centroids: Array[Array[Double]], n: Int): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.plans.NearestCells(bridge.expression(v), centroids, n))
   }
 }

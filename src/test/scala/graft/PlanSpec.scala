@@ -125,6 +125,30 @@ class PlanSpec extends SparkSpec {
     )
   }
 
+  test("exact ntile (q67) has no single-partition window — every window is keyed") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val df = Queries.ntileQuartiles(spark, sfDir)
+    val windows = df.queryExecution.optimizedPlan.collect { case w: logical.Window => w }
+    assert(windows.nonEmpty, "expected the within-bin rank window")
+    windows.foreach(w =>
+      assert(w.partitionSpec.nonEmpty, s"unpartitioned window = entire table through ONE task at scale:\n${df.queryExecution.optimizedPlan}")
+    )
+  }
+
+  test("exact ntile matches the built-in window ntile bit-for-bit") {
+    import org.apache.spark.sql.expressions.Window
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet").select(org.apache.spark.sql.functions.col("c_custkey"), org.apache.spark.sql.functions.col("c_acctbal"))
+    val viaWindow = cust
+      .select(
+        org.apache.spark.sql.functions.col("c_custkey"),
+        org.apache.spark.sql.functions.ntile(4).over(Window.orderBy("c_acctbal", "c_custkey")).as("q")
+      )
+    val viaBins = graft.operators.Ntile
+      .exact(cust, org.apache.spark.sql.functions.col("c_acctbal"), org.apache.spark.sql.functions.col("c_custkey"), k = 4, binWidth = 100.0, bucketCol = "q")
+      .select("c_custkey", "q")
+    assert(viaBins.except(viaWindow).isEmpty && viaWindow.except(viaBins).isEmpty)
+  }
+
   test("rollup is one scan + one shuffle (grouping-set expansion, not a union of scans)") {
     val p = Queries.rollupAgg(spark, sfDir).queryExecution.explainString(ExplainMode.fromString("simple"))
     assert("Scan parquet".r.findAllIn(p).size === 1, s"rollup must not rescan per grouping level:\n$p")
