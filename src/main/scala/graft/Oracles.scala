@@ -516,6 +516,16 @@ object Oracles {
     "q44_paged_fetch" -> pagedFetchSql,
     // identical fetch surfaced through the DataSource V2 connector
     "q64_paged_source_v2" -> pagedFetchSql,
+    // the pushed-down day range [2019-03-10, 2019-05-31]; window_start
+    // is unchanged by pushdown (all intersecting windows are whole
+    // months here, and the connector derives it from the ORIGINAL
+    // option-planned window either way)
+    "q77_paged_pushdown" ->
+      """WITH days AS (SELECT CAST(unnest(generate_series(DATE '2019-03-10', DATE '2019-05-31', INTERVAL 1 DAY)) AS DATE) AS d)
+        |SELECT strftime(d, '%Y-%m-%d') AS call_day,
+        |  CAST(('0x' || substr(md5(strftime(d, '%Y-%m-%d')), 1, 8)) AS BIGINT) % 97 AS n_calls,
+        |  strftime(greatest(CAST(date_trunc('month', d) AS DATE), DATE '2019-01-15'), '%Y-%m-%d') AS window_start
+        |FROM days ORDER BY call_day""".stripMargin,
     "q45_csv_ingest" -> csvIngestSql,
     "q46_json_ingest" -> {
       val cols = graft.sources.Fixtures.Columns.map(c => s"'$c': 'VARCHAR'").mkString("{", ", ", "}")
@@ -656,6 +666,16 @@ object Oracles {
         |FROM t a JOIN t b ON a.p_type < b.p_type
         |WHERE levenshtein(a.p_type, b.p_type) <= 6
         |ORDER BY t1, t2""".stripMargin,
+    // identical SQL to q68 on purpose: the bucketed candidate join is
+    // provably lossless (dist >= length difference), so its output IS
+    // the all-pairs answer
+    "q79_fuzzy_pairs_bucketed" ->
+      """WITH t AS (SELECT DISTINCT p_type FROM part)
+        |SELECT a.p_type AS t1, b.p_type AS t2,
+        |  CAST(levenshtein(a.p_type, b.p_type) AS INTEGER) AS dist
+        |FROM t a JOIN t b ON a.p_type < b.p_type
+        |WHERE levenshtein(a.p_type, b.p_type) <= 6
+        |ORDER BY t1, t2""".stripMargin,
     "q69_above_avg" -> {
       def exactAvg = away("CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / count(o_totalprice)", 2)
       s"""SELECT o_orderpriority, count(*) AS n_above, $exactAvg AS avg_above
@@ -741,6 +761,11 @@ object Oracles {
     "q49_snapshot_sink" -> csvIngestSql,
     "q50_stream_dedup" ->
       """SELECT DISTINCT md5(text) AS h FROM documents ORDER BY h""".stripMargin,
+    // one available-now batch = one micro-batch, so within-watermark
+    // dedup emits each key exactly once: the distinct key set
+    "q78_stream_dedup_watermark" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
     "q51_embed_near_dup_lsh" -> embedNearDupLshSql,
     "q20_window_running" ->
       """SELECT o_custkey, o_orderkey,

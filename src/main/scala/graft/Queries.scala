@@ -538,6 +538,12 @@ object Queries {
   def streamDedup(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamAgg.streamDedupHashes(s, dir)
 
+  // streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark
+  // keyed by event time — state evicted past the watermark, so the
+  // store holds one window of keys instead of every key ever seen
+  def streamDedupWatermark(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamAgg.dedupKeysWithinWatermark(s, dir)
+
   // embedding near-dup, LSH rung: (table, bucket)-keyed candidate join
   // replaces q30's all-pairs scan; oracle mirrors the same planes
   def embedNearDupLsh(s: SparkSession, dir: String): DataFrame =
@@ -584,9 +590,10 @@ object Queries {
   }
 
   // fuzzy matching: near-identical value pairs by edit distance — the
-  // string-similarity rung of the dedup ladder (at 100 TB: length/
-  // prefix-bucket the candidate join exactly like the LSH rungs; the
-  // distinct-values table here is dimension-sized)
+  // string-similarity rung of the dedup ladder. This form is the
+  // all-pairs theta join over the DISTINCT-value table: acceptable only
+  // because that table is dimension-sized; the bucketed rung below
+  // (q79, fuzzyPairsBucketed) is the candidate-join form that scales
   def fuzzyPairs(s: SparkSession, dir: String): DataFrame = {
     val types = t(s, dir, "part").select(col("p_type")).distinct()
     val a = types.select(col("p_type").as("t1"))
@@ -594,6 +601,39 @@ object Queries {
     a.join(b, col("t1") < col("t2"))
       .select(col("t1"), col("t2"), levenshtein(col("t1"), col("t2")).as("dist"))
       .filter(col("dist") <= 6)
+      .orderBy("t1", "t2")
+  }
+
+  // fuzzy matching, bucketed candidate generation: Levenshtein admits a
+  // LOSSLESS length filter — dist(a,b) >= |len(a)-len(b)| — so strings
+  // bucket by length band (width maxDist+1) and only same-band pairs
+  // are scored. One side emits its own band, the probe side explodes
+  // the 2-3 bands its matches could live in (the LSH multi-probe
+  // trick), so candidates come from an EQUI-join keyed on the band —
+  // no t1 < t2 cross product anywhere in the plan — and each candidate
+  // pair surfaces exactly once (the build side owns one band). Output
+  // is provably EQUAL to q68's, not fixture-luck. At tighter
+  // thresholds / longer strings, stack the lossy tighteners inside the
+  // bands (shared prefix, q-gram count filter); at dist<=6 over
+  // ~6-char values the length filter is the only lossless prune that
+  // exists.
+  def fuzzyPairsBucketed(s: SparkSession, dir: String): DataFrame = {
+    val maxDist = 6
+    val w = maxDist + 1
+    val types = t(s, dir, "part").select(col("p_type")).distinct()
+    val build = types.select(col("p_type").as("t2"), floor(length(col("p_type")) / w).as("band"))
+    val probe = types.select(
+      col("p_type").as("t1"),
+      explode(
+        sequence(floor((length(col("p_type")) - maxDist) / w), floor((length(col("p_type")) + maxDist) / w))
+      ).as("band")
+    )
+    probe
+      .join(build, "band")
+      .filter(col("t1") < col("t2"))
+      .filter(abs(length(col("t1")) - length(col("t2"))) <= maxDist)
+      .select(col("t1"), col("t2"), levenshtein(col("t1"), col("t2")).as("dist"))
+      .filter(col("dist") <= maxDist)
       .orderBy("t1", "t2")
   }
 
@@ -893,6 +933,21 @@ object Queries {
       .option("start", "2019-01-15")
       .option("end", "2019-12-31")
       .load()
+      .orderBy("call_day")
+
+  // the V2 source with a date-range FILTER: the predicate pushes into
+  // the connector (SupportsPushDownFilters) — non-intersecting monthly
+  // windows are never planned (their "GETs" never happen) and the
+  // bounds apply inside the fetch, so no post-scan Filter survives;
+  // the reference's server-side $where (app.py:133-134), made a
+  // first-class Catalyst pushdown. PlanSpec pins both properties.
+  def pagedPushdown(s: SparkSession, dir: String): DataFrame =
+    s.read
+      .format(graft.sources.PagedCallsSource.Name)
+      .option("start", "2019-01-15")
+      .option("end", "2019-12-31")
+      .load()
+      .filter(col("call_day") >= "2019-03-10" && col("call_day") < "2019-06-01")
       .orderBy("call_day")
 
   // JSON scalar extraction: pull a typed field out of a JSON string

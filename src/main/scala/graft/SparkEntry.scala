@@ -84,7 +84,10 @@ object SparkEntry {
     "q73_range_frame" -> (Queries.rangeFrame _),
     "q74_zscore" -> (Queries.zscore _),
     "q75_correlation" -> (Queries.correlation _),
-    "q76_stream_foreach_batch" -> (Queries.streamForeachBatch _)
+    "q76_stream_foreach_batch" -> (Queries.streamForeachBatch _),
+    "q77_paged_pushdown" -> (Queries.pagedPushdown _),
+    "q78_stream_dedup_watermark" -> (Queries.streamDedupWatermark _),
+    "q79_fuzzy_pairs_bucketed" -> (Queries.fuzzyPairsBucketed _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -3,10 +3,13 @@ package graft.sources
 import java.time.LocalDate
 import java.util
 
+import scala.util.Try
+
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -25,13 +28,25 @@ import org.apache.spark.unsafe.types.UTF8String
   *   .option("start", "2019-01-15").option("end", "2019-12-31").load()
   * }}}
   *
-  * — and that Catalyst treats as a first-class relation: column pruning
-  * reaches the reader via `SupportsPushDownRequiredColumns` (a real
-  * REST source would translate pruned columns into a `$select` query
-  * parameter the same way the reference hand-writes `$where`,
-  * `app.py:133-134`). The window plan IS the partitioning: at 100 TB /
-  * years of history, a thousand windows fan out over the cluster and
-  * no row ever passes through the driver.
+  * — and that Catalyst treats as a first-class relation. Column pruning
+  * reaches the reader via `SupportsPushDownRequiredColumns`, and date
+  * predicates on `call_day` reach the WINDOW PLAN via
+  * `SupportsPushDownFilters` — the true analogue of the reference's
+  * server-side `$where` clause (`app.py:133-134`):
+  *
+  *  - windows wholly outside the pushed `[low, high]` day range are
+  *    never planned (partition pruning — those GETs never happen);
+  *  - intersecting windows fetch with the day bounds applied AT THE
+  *    SOURCE (a real REST source would append them to the window's
+  *    `$where`; the stub filters its generator, which is the same
+  *    contract), so no post-scan Filter remains;
+  *  - `window_start` is still derived from the ORIGINAL option-planned
+  *    window, so pushdown never changes what the query observes — a
+  *    pushed plan returns bit-identical rows to a post-scan filter.
+  *
+  * At 100 TB / years of history, a thousand windows fan out over the
+  * cluster, a dashboard's "last 30 days" query plans two partitions
+  * instead of a thousand, and no row ever passes through the driver.
   */
 class PagedCallsSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = PagedCallsSource.Schema
@@ -64,31 +79,82 @@ private[sources] class PagedCallsTable(start: String, end: String) extends Table
     new PagedScanBuilder(start, end)
 }
 
-private[sources] class PagedScanBuilder(start: String, end: String) extends ScanBuilder with SupportsPushDownRequiredColumns {
+private[sources] class PagedScanBuilder(start: String, end: String)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+
   private var required: StructType = PagedCallsSource.Schema
+  private var accepted: Array[Filter] = Array.empty
+  // inclusive ISO day bounds accumulated from the pushed conjuncts;
+  // ISO-8601 strings compare lexicographically in date order
+  private var low: Option[String] = None
+  private var high: Option[String] = None
+
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new PagedScan(start, end, required)
+
+  private def isDay(v: Any): Boolean = v match {
+    case s: String => Try(LocalDate.parse(s)).isSuccess
+    case _ => false
+  }
+  private def day(v: Any): LocalDate = LocalDate.parse(v.asInstanceOf[String])
+  private def tighterLow(d: LocalDate): Unit = low = Some(low.fold(d.toString)(l => if (d.toString > l) d.toString else l))
+  private def tighterHigh(d: LocalDate): Unit = high = Some(high.fold(d.toString)(h => if (d.toString < h) d.toString else h))
+
+  /** Conjuncts arrive pre-split; day-range predicates on `call_day`
+    * fold into the [low, high] fetch bounds (the `$where` body), all
+    * else stays post-scan. Returns the residual Spark must still apply.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val residual = filters.filterNot {
+      case IsNotNull(a) if PagedCallsSource.Schema.fieldNames.contains(a) => true // nothing is nullable: vacuously true
+      case EqualTo("call_day", v) if isDay(v) => tighterLow(day(v)); tighterHigh(day(v)); true
+      case GreaterThan("call_day", v) if isDay(v) => tighterLow(day(v).plusDays(1)); true
+      case GreaterThanOrEqual("call_day", v) if isDay(v) => tighterLow(day(v)); true
+      case LessThan("call_day", v) if isDay(v) => tighterHigh(day(v).minusDays(1)); true
+      case LessThanOrEqual("call_day", v) if isDay(v) => tighterHigh(day(v)); true
+      case _ => false
+    }
+    accepted = filters.diff(residual)
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan = new PagedScan(start, end, required, low, high)
 }
 
-private[sources] class PagedScan(start: String, end: String, required: StructType) extends Scan with Batch {
+private[sources] class PagedScan(start: String, end: String, required: StructType, low: Option[String], high: Option[String])
+    extends Scan
+    with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  /** One partition per monthly window — the unit of fetch, retry, and
-    * parallelism (the reference's `for pair in date_pairs` loop,
-    * distributed).
+  override def description(): String =
+    s"paged_calls[$start..$end] pushedDayRange=[${low.getOrElse("-inf")}..${high.getOrElse("+inf")}]"
+
+  /** One partition per monthly window that INTERSECTS the pushed day
+    * range — the unit of fetch, retry, and parallelism (the reference's
+    * `for pair in date_pairs` loop, distributed, minus the windows the
+    * `$where` rules out).
     */
   override def planInputPartitions(): Array[InputPartition] =
     WindowedIngest
       .monthlyWindows(LocalDate.parse(start), LocalDate.parse(end))
-      .map(w => PagedWindowPartition(w.start.toString, w.endInclusive.toString): InputPartition)
+      .filter(w => low.forall(l => w.endInclusive.toString >= l) && high.forall(h => w.start.toString <= h))
+      .map(w => PagedWindowPartition(w.start.toString, w.endInclusive.toString, low, high): InputPartition)
       .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PagedReaderFactory(required.fieldNames)
 }
 
-private[sources] final case class PagedWindowPartition(start: String, endInclusive: String) extends InputPartition
+private[sources] final case class PagedWindowPartition(
+    start: String,
+    endInclusive: String,
+    low: Option[String],
+    high: Option[String]
+) extends InputPartition
 
 private[sources] class PagedReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -102,7 +168,13 @@ private[sources] class PagedReaderFactory(fields: Array[String]) extends Partiti
       case "window_start" => (r: PagedFetch.CallRecord) => UTF8String.fromString(r.window_start)
     }
     new PartitionReader[InternalRow] {
-      private val it = PagedFetch.fetchStub(window) // task-side "GET"
+      // task-side "GET": the pushed day bounds apply INSIDE the fetch
+      // (a REST source appends them to this window's $where; the stub
+      // bounds its generator) while window_start still reflects the
+      // option-planned window — pushdown is invisible to results
+      private val it = PagedFetch
+        .fetchStub(window)
+        .filter(r => p.low.forall(r.call_day >= _) && p.high.forall(r.call_day <= _))
       private var cur: PagedFetch.CallRecord = _
       override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
       override def get(): InternalRow = {

@@ -173,7 +173,9 @@ object StreamAgg {
     * state with `dropDuplicatesWithinWatermark` — same plan shape,
     * state evicted past the watermark; the documents fixture carries no
     * event time, so the unbounded variant is the honest restatement of
-    * the reference's full-history daily re-pull.
+    * the reference's full-history daily re-pull. The BOUNDED form is a
+    * first-class query too: [[dedupKeysWithinWatermark]] (q78) runs it
+    * over the events table, which does carry event time.
     */
   def streamDedupHashes(spark: SparkSession, dir: String): DataFrame = {
     StateConf.withStatePartitions(spark, 8) {
@@ -190,6 +192,44 @@ object StreamAgg {
       try q.awaitTermination()
       finally q.stop()
       spark.table(name).orderBy("h")
+    }
+  }
+
+  /** Streaming dedup with BOUNDED state: `dropDuplicatesWithinWatermark`
+    * over (user_id, event_type) keyed by event time — the
+    * `StreamingDeduplicateWithinWatermark` operator. Unlike plain
+    * `dropDuplicates` (q50, state grows with every key ever seen), a
+    * key's state is EVICTED once the watermark passes its event time
+    * plus the delay: at 100 TB the store holds one watermark-window of
+    * keys, not the corpus. The trade is exactness only WITHIN the
+    * window — a key recurring later than the delay re-emits — which is
+    * the right contract for the reference's daily re-pull (duplicates
+    * arrive adjacent, not months apart). Output is the key SET (the
+    * retained row per key is first-seen and partition-order-dependent;
+    * the set is deterministic — the q50 oracle rule), and an
+    * available-now pass over one file is one micro-batch, so no key is
+    * ever emitted twice.
+    */
+  def dedupKeysWithinWatermark(spark: SparkSession, dir: String): DataFrame = {
+    StateConf.withStatePartitions(spark, 8) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      val raw = spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(dir)
+      val deduped = raw
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select("user_id", "event_type")
+      val name = s"graft_stream_dedup_wm_${runSeq.incrementAndGet()}"
+      val q = deduped.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+      spark.table(name).orderBy("user_id", "event_type")
     }
   }
 

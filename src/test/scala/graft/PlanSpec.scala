@@ -117,6 +117,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "candidate generation must be a keyed equi-join")
   }
 
+  test("bucketed fuzzy matching joins on the band key — no all-pairs theta join") {
+    val df = Queries.fuzzyPairsBucketed(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"candidate generation must not cross-product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"candidate generation must be a keyed equi-join:\n$p")
+    // and it computes exactly the all-pairs answer
+    val brute = Queries.fuzzyPairs(spark, sfDir)
+    assert(df.collect().toSeq === brute.collect().toSeq)
+  }
+
   test("anti join broadcasts the filtered build side") {
     val p = plan(Queries.antiJoin(spark, sfDir))
     assert(
