@@ -651,20 +651,22 @@ object Queries {
   // TF-IDF (linear-idf variant: tf·N/df — pure +·/ IEEE arithmetic,
   // identical on both engines; ln() differs by ulps between libm and
   // the JVM and would poison the hash): top-3 scored terms per doc.
-  // Two aggregations share one token-explode pass; N broadcasts as a
-  // 1-row aggregate. Ranking is a per-doc window here (500 docs); at
-  // corpus scale swap in the bounded TopKAggregator exactly as the ANN
-  // paths do.
+  // ONE linear pipeline: the corpus explodes once into tf, and df is a
+  // count over a token-keyed WINDOW on tf (a doc contributes one tf row
+  // per token, so rows-per-token == docs-per-token) — no second
+  // aggregation branch, no tf self-join, no persist to leak. N
+  // broadcasts as a 1-row aggregate. Ranking is a per-doc window here
+  // (500 docs); at corpus scale swap in the bounded TopKAggregator
+  // exactly as the ANN paths do.
   def tfidf(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
-    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf")).persist()
-    // df derives from tf (one row per (doc, token) already): the
-    // corpus is exploded ONCE, not once per aggregation
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
-    tf.join(df, "token")
+    toks
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
       .join(broadcast(n))
       .withColumn("score", NumOps.roundAway(col("tf") * col("n_docs") / col("df"), 4))
       .withColumn("rnk", row_number().over(w))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{NumOps, TextOps}
@@ -23,11 +24,11 @@ import graft.functions.{NumOps, TextOps}
   * All hashing is anchored on [[TextOps.hash32]] (MD5-derived), so the
   * DuckDB oracle reproduces every intermediate integer exactly.
   *
-  * Cache contract: the Jaccard/LSH operators `persist()` the shingle
-  * table that multiple plan branches share. Those blocks live until the
-  * session drops them — long-lived callers should
-  * `spark.catalog.clearCache()` between unrelated workloads, as
-  * `Verify`/`Bench` do between queries.
+  * No operator here caches: the self-joins consume the SAME subtree on
+  * both sides, which the planner materializes once (ReuseExchange), and
+  * per-doc set sizes ride along via a keyed window instead of separate
+  * aggregate branches — so queries leak no cached blocks into the
+  * session (NoLeakSpec pins `getPersistentRDDs` empty).
   */
 object NearDup {
 
@@ -50,19 +51,20 @@ object NearDup {
     * at least one shared shingle; keep pairs ≥ `threshold`.
     */
   def jaccardPairs(docs: DataFrame, id: Column, text: Column, n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    // the shingle table feeds three plan branches (two join sides + the
-    // size aggregate); persist so the explode+distinct runs once, not 3×.
-    // At 100 TB the equivalent is a materialized bucketed shingle table.
-    val sh = shingleTable(docs, id, text, n).persist()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // per-doc set size rides along on every shingle row via a keyed
+    // window — so the self-join's two sides are the SAME subtree (one
+    // materialization via ReuseExchange, no persist to leak) and the
+    // two post-join size lookups disappear entirely. At 100 TB the
+    // shared subtree is a materialized bucketed shingle table.
+    val sh = shingleTable(docs, id, text, n)
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
     val common = sh
       .as("a")
       .join(sh.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("common"))
+      // n_sh is constant per doc; min() just carries it through the agg
+      .agg(count(lit(1)).as("common"), min(col("a.n_sh")).as("n1"), min(col("b.n_sh")).as("n2"))
     common
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
       .select(
         col("d1"),
         col("d2"),
@@ -91,16 +93,18 @@ object NearDup {
     // filtering step — at 100 TB the keep list is corpus-sized and
     // joining it would cost a second full shuffle
     val stop = sh.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") > maxDf).select("g")
-    val filtered = sh.join(broadcast(stop), Seq("g"), "left_anti").persist()
-    val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // sizes ride along via the keyed window (post-filter, so Jaccard is
+    // over the discriminative sets) — same no-persist shape as
+    // [[jaccardPairs]]: both join sides are one subtree, reused
+    val filtered = sh
+      .join(broadcast(stop), Seq("g"), "left_anti")
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
     val common = filtered
       .as("a")
       .join(filtered.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("common"))
+      .agg(count(lit(1)).as("common"), min(col("a.n_sh")).as("n1"), min(col("b.n_sh")).as("n2"))
     common
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
       .select(
         col("d1"),
         col("d2"),
@@ -133,13 +137,13 @@ object NearDup {
       struct(lit(j).as("bi"), md5(concat_ws(":", cols: _*)).as("bv"))
     }
     // one (doc, band) row per band, ONE self-join keyed (band idx, band
-    // hash) — not a join per band: a single shuffle whose exchange the
-    // two sides share, instead of 2·bands recomputations of the
-    // signature pipeline
+    // hash) — not a join per band: both sides are the identical
+    // subtree, so the planner materializes its shuffle ONCE
+    // (ReuseExchange — plan-asserted in NoLeakSpec) instead of running
+    // the signature pipeline per side; no persist, nothing leaks
     val exploded = signatures
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("b.bi").as("bi"), col("b.bv").as("bv"))
-      .persist()
     exploded
       .as("a")
       .join(exploded.as("b"), Seq("bi", "bv"))

@@ -29,11 +29,15 @@ import graft.functions.{NumOps, TopKAggregator, VectorOps}
   * BEFORE ranking and tie-broken by neighbor id, so top-k sets are
   * stable across partitionings and engines.
   *
-  * Cache contract: the LSH/IVF operators `persist()` intermediates
-  * that several plan branches share (signatures, the training frame).
-  * Those blocks live until the session drops them — long-lived callers
-  * should `spark.catalog.clearCache()` (or unpersist) between unrelated
-  * workloads, as `Verify`/`Bench` do between queries.
+  * Cache discipline: no operator here leaks cached blocks into the
+  * session (NoLeakSpec pins `getPersistentRDDs` empty after execution).
+  * [[ivfTopK]] persists its training frame only for the Lloyd
+  * iterations — which materialize it via their own collects — and
+  * unpersists before the search plan is built; the LSH operators don't
+  * cache at all: their self-joins consume one shared subtree (the
+  * planner's ReuseExchange materializes it once at shuffle scale), and
+  * the query-side branches are pruned to the tiny query set by filter
+  * pushdown, so the corpus-wide signature pass runs once.
   */
 object Similarity {
 
@@ -137,13 +141,14 @@ object Similarity {
         (0 until bits).map(b => hyperplaneBit(emb, dim, l * bits + b)).reduce(_ + _).as("bv")
       )
     }
-    // (vec, table, bucket) rows; ONE self-join keyed (table, bucket) —
-    // the signature pass runs once (persisted: it's tables×bits dot
-    // products per vector), not once per table per side
+    // (vec, table, bucket) rows; ONE self-join keyed (table, bucket),
+    // not a join per table. The query side prunes to the query set
+    // before the signature projection (filter pushdown through the
+    // explode), so corpus-wide signatures compute once — on the corpus
+    // side — and the tiny query side recomputes only its own rows
     val exploded = vecs
       .select(id.as("vid"), isQuery.as("is_q"), explode(array(bucketStructs: _*)).as("b"))
       .select(col("vid"), col("is_q"), col("b.tbl").as("tbl"), col("b.bv").as("bv"))
-      .persist()
     val pairs = exploded
       .filter(col("is_q"))
       .select(col("vid").as("qid"), col("tbl"), col("bv"))
@@ -183,15 +188,17 @@ object Similarity {
         (0 until bits).map(b => hyperplaneBit(emb, dim, l * bits + b)).reduce(_ + _).as("bv")
       )
     }
+    // same-name self-join, renamed AFTER: both sides are the identical
+    // subtree, so at shuffle scale the planner materializes the
+    // signature pass once (ReuseExchange) — no persist, nothing leaks
     val exploded = vecs
       .select(id.as("vid"), explode(array(bucketStructs: _*)).as("b"))
       .select(col("vid"), col("b.tbl").as("tbl"), col("b.bv").as("bv"))
-      .persist()
     val pairs = exploded
-      .select(col("vid").as("d1"), col("tbl"), col("bv"))
-      .join(exploded.select(col("vid").as("d2"), col("tbl"), col("bv")), Seq("tbl", "bv"))
-      .filter(col("d1") < col("d2"))
-      .select("d1", "d2")
+      .as("a")
+      .join(exploded.as("b"), Seq("tbl", "bv"))
+      .filter(col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("d1"), col("b.vid").as("d2"))
       .distinct()
     val a = vecs.select(id.as("d1"), emb.as("e1"), VectorOps.normSq(emb).as("n1"))
     val b = vecs.select(id.as("d2"), emb.as("e2"), VectorOps.normSq(emb).as("n2"))
@@ -232,8 +239,10 @@ object Similarity {
       k: Int,
       lloydIters: Int = 2
   ): DataFrame = {
-    // read the source once: Lloyd reassignment scans + the final
-    // corpus/probe branches all hit this cached frame
+    // cached for the TRAINING phase only: each Lloyd pass collect()s
+    // against this frame, so the cache materializes immediately and
+    // every iteration reads it instead of parquet; unpersisted below
+    // before the search plan is built (no blocks outlive the operator)
     val base = vecs.select(id.as("vid"), emb.as("e"), isQuery.as("is_q")).persist()
 
     // deterministic init: the nlist lowest-id vectors
@@ -268,6 +277,11 @@ object Similarity {
         }
       }
     }
+
+    // training done — drop the cache before building the search plan:
+    // the corpus/probe branches below re-read the (column-pruned,
+    // pushed-down) source instead, and the session keeps no blocks
+    base.unpersist(blocking = true)
 
     val corpus = base.select(col("vid").as("nid"), col("e").as("ne"), VectorOps.normSq(col("e")).as("nn"), nearestCell(col("e")).as("cell"))
     val probes = base
