@@ -414,18 +414,27 @@ object Oracles {
          |SELECT qid, nid, sim, rnk FROM k WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
     // container sizes mirror MediaCodec: PNG wraps content in +57
     // bytes (sig + IHDR + IDAT + IEND framing), JPEG in +17 (SOI +
-    // SOF0 + EOI), raw adds nothing; width/height are the embedded
-    // dims(n) values the Spark side must PARSE back out of the headers
+    // SOF0 + EOI), GIF in +26 + one length byte per 255-byte sub-block
+    // + 12 per extra frame (descriptor + LZW byte + terminator), raw
+    // adds nothing. Width/height are the embedded dims(n) values the
+    // Spark side must PARSE back out of the headers; GIF n_frames is
+    // the embedded 1 + n % 7 the decoder must re-count from image
+    // descriptors; PNG/JPEG are genuinely single-frame; raw keeps the
+    // documented arithmetic stand-in (same 1 + n % 7 since nb = n)
     "q32_multimodal_decode" ->
       """WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n FROM documents),
         |b AS (SELECT doc_id, n,
-        |        CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN n + 57 WHEN 1 THEN n + 17 ELSE n END AS nb
+        |        CASE CAST(doc_id % 4 AS INTEGER)
+        |          WHEN 0 THEN n + 57
+        |          WHEN 1 THEN n + 17
+        |          WHEN 2 THEN n + 26 + (n + 254) // 255 + 12 * (n % 7)
+        |          ELSE n END AS nb
         |      FROM m)
         |SELECT doc_id,
         |  CAST(nb AS INTEGER) AS n_bytes,
         |  CAST(64 + n % 577 AS INTEGER) AS width,
         |  CAST(64 + (n * 31) % 417 AS INTEGER) AS height,
-        |  CAST(1 + nb % 7 AS INTEGER) AS n_frames
+        |  CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN 1 ELSE 1 + n % 7 END AS INTEGER) AS n_frames
         |FROM b ORDER BY doc_id""".stripMargin,
     "q33_stream_agg" -> {
       val tot = away("CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE)", 2)
@@ -456,12 +465,16 @@ object Oracles {
     "q39_multimodal_frames" ->
       """WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n FROM documents),
         |b AS (SELECT doc_id, n,
-        |        CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN n + 57 WHEN 1 THEN n + 17 ELSE n END AS nb
+        |        CASE CAST(doc_id % 4 AS INTEGER)
+        |          WHEN 0 THEN n + 57
+        |          WHEN 1 THEN n + 17
+        |          WHEN 2 THEN n + 26 + (n + 254) // 255 + 12 * (n % 7)
+        |          ELSE n END AS nb
         |      FROM m),
         |d AS (SELECT doc_id, nb,
         |        CAST(64 + n % 577 AS INTEGER) AS width,
         |        CAST(64 + (n * 31) % 417 AS INTEGER) AS height,
-        |        1 + nb % 7 AS n_frames
+        |        CASE WHEN doc_id % 4 IN (0, 1) THEN 1 ELSE 1 + n % 7 END AS n_frames
         |      FROM b),
         |f AS (SELECT doc_id, nb, width, height, n_frames,
         |        CAST(unnest(generate_series(0, n_frames - 1)) AS INTEGER) AS frame_idx

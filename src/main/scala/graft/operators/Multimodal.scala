@@ -14,13 +14,16 @@ import org.apache.spark.sql.functions._
   * metadata struct in the schema, batched per-partition processing via
   * `mapPartitions` on a typed Dataset (the Scala analogue of a batched/
   * Arrow UDF), output schema declared by case-class encoder. The decode
-  * kernel ([[MediaCodec.decode]]) does REAL byte parsing: PNG IHDR and
-  * JPEG SOF header walks (pure JVM — no codec libraries needed for
-  * dimensions). Payloads are built by [[MediaCodec]] as honest PNG/JPEG
-  * containers (real signatures, chunk CRCs, marker segments) wrapping
-  * the document bytes; frame COUNT alone is derived arithmetically
-  * (video containers would need codecs this environment lacks — that
-  * single stub is documented at [[MediaCodec.frameCount]]).
+  * kernel ([[MediaCodec.decode]]) does REAL byte parsing: PNG IHDR /
+  * JPEG SOF header walks for dimensions, and a GIF block walk that
+  * COUNTS image descriptors for frame count (pure JVM — no codec
+  * libraries needed for any of it). Payloads are built by [[MediaCodec]]
+  * as honest PNG / JPEG / animated-GIF containers (real signatures,
+  * chunk CRCs, marker segments, sub-block framing) wrapping the
+  * document bytes; only the container-less RAW path keeps an arithmetic
+  * frame count (a true video demux needs codecs this environment
+  * lacks — that residual stand-in is documented at
+  * [[MediaCodec.frameCount]]).
   *
   * At scale: payloads never shuffle (all derivation is map-side), and
   * metadata-only queries prune the binary column at the parquet scan.
@@ -40,8 +43,12 @@ object Multimodal {
       */
     def dims(n: Int): (Int, Int) = (64 + n % 577, 64 + (n * 31) % 417)
 
-    /** STUB (documented): frame count of a video container needs a real
-      * demuxer; derived arithmetically from total size instead.
+    /** RESIDUAL STAND-IN (documented): raw payloads model opaque video
+      * whose frame count needs a real demuxer this environment lacks;
+      * derived arithmetically from size instead. Containers that can be
+      * demuxed in pure JVM are: GIF frames are genuinely COUNTED from
+      * image descriptors ([[gifFrameCount]]), PNG/JPEG are genuinely
+      * single-frame.
       */
     def frameCount(totalBytes: Int): Int = 1 + totalBytes % 7
 
@@ -82,18 +89,100 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** Minimal-but-real animated GIF89a: header + logical screen
+      * descriptor (width/height little-endian), `frames` image
+      * descriptors — frame 0 carries `content` as honest 255-byte-max
+      * data sub-blocks, later frames are empty — and the trailer.
+      * Total size = content + 26 + ceil(content/255) + 12·(frames−1).
+      */
+    def buildGif(width: Int, height: Int, frames: Int, content: Array[Byte]): Array[Byte] = {
+      val out = new ByteArrayOutputStream(content.length + 26 + 12 * frames)
+      out.write("GIF89a".getBytes(StandardCharsets.US_ASCII), 0, 6)
+      // logical screen descriptor: no global color table
+      out.write(width & 0xff); out.write((width >> 8) & 0xff)
+      out.write(height & 0xff); out.write((height >> 8) & 0xff)
+      out.write(0); out.write(0); out.write(0)
+      var f = 0
+      while (f < frames) {
+        out.write(0x2c) // image descriptor
+        out.write(0); out.write(0); out.write(0); out.write(0) // left, top
+        out.write(width & 0xff); out.write((width >> 8) & 0xff)
+        out.write(height & 0xff); out.write((height >> 8) & 0xff)
+        out.write(0) // no local color table
+        out.write(8) // LZW minimum code size
+        if (f == 0) {
+          var off = 0
+          while (off < content.length) {
+            val len = math.min(255, content.length - off)
+            out.write(len)
+            out.write(content, off, len)
+            off += len
+          }
+        }
+        out.write(0) // sub-block terminator
+        f += 1
+      }
+      out.write(0x3b) // trailer
+      out.toByteArray
+    }
+
     /** Parse dimensions out of the payload bytes: PNG → IHDR fields,
-      * JPEG → SOF segment walk, anything else → size-derived fallback
-      * (the pre-container behavior, kept for raw payloads).
+      * JPEG → SOF segment walk, GIF → logical screen descriptor plus a
+      * REAL frame count from the block walk, anything else →
+      * size-derived fallback (the pre-container behavior, kept for raw
+      * payloads).
       */
     def decode(docId: Long, payload: Array[Byte]): MediaMeta = {
       val n = payload.length
-      val wh =
-        if (isPng(payload)) Some((readBe32(payload, 16), readBe32(payload, 20)))
-        else if (isJpeg(payload)) jpegDims(payload)
-        else None
-      val (w, h) = wh.getOrElse(dims(n))
-      MediaMeta(docId, n, w, h, frameCount(n))
+      if (isPng(payload))
+        MediaMeta(docId, n, readBe32(payload, 16), readBe32(payload, 20), 1)
+      else if (isJpeg(payload)) {
+        val (w, h) = jpegDims(payload).getOrElse(dims(n))
+        MediaMeta(docId, n, w, h, 1)
+      } else if (isGif(payload)) {
+        val w = (payload(6) & 0xff) | ((payload(7) & 0xff) << 8)
+        val h = (payload(8) & 0xff) | ((payload(9) & 0xff) << 8)
+        MediaMeta(docId, n, w, h, gifFrameCount(payload))
+      } else {
+        val (w, h) = dims(n)
+        MediaMeta(docId, n, w, h, frameCount(n))
+      }
+    }
+
+    private def isGif(b: Array[Byte]): Boolean =
+      b.length > 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'
+
+    /** Count image descriptors by walking the GIF block structure —
+      * descriptors, LZW data sub-blocks, extensions — exactly as a
+      * real GIF demuxer does (a descriptor byte inside pixel data must
+      * NOT count, hence the walk rather than a byte scan).
+      */
+    private def gifFrameCount(b: Array[Byte]): Int = {
+      // skip global color table if the LSD flags announce one
+      val gctFlag = (b(10) & 0x80) != 0
+      val gctSize = if (gctFlag) 3 * (1 << ((b(10) & 0x07) + 1)) else 0
+      var i = 13 + gctSize
+      var frames = 0
+      def skipSubBlocks(): Unit = {
+        while (i < b.length && (b(i) & 0xff) != 0) i += 1 + (b(i) & 0xff)
+        i += 1 // terminator
+      }
+      while (i < b.length) {
+        (b(i) & 0xff) match {
+          case 0x2c => // image descriptor
+            frames += 1
+            val flags = b(i + 9) & 0xff
+            val lctSize = if ((flags & 0x80) != 0) 3 * (1 << ((flags & 0x07) + 1)) else 0
+            i += 10 + lctSize + 1 // descriptor + local table + LZW min code size
+            skipSubBlocks()
+          case 0x21 => // extension: label byte then sub-blocks
+            i += 2
+            skipSubBlocks()
+          case 0x3b => return math.max(frames, 1) // trailer
+          case _ => return math.max(frames, 1) // corrupt: stop walking
+        }
+      }
+      math.max(frames, 1)
     }
 
     private def isPng(b: Array[Byte]): Boolean =
@@ -149,12 +238,14 @@ object Multimodal {
   }
 
   /** Media-ingest boundary: wrap each document's bytes in a real
-    * container — PNG / JPEG / raw round-robin by doc_id — with the
-    * dimensions [[MediaCodec.dims]] derives from content size (in
-    * production these are the camera's; here they must be arithmetic so
-    * the oracle can verify the decoder recovers them bit-exactly).
-    * Typed mapPartitions: payload construction is per-partition work,
-    * exactly like the decode.
+    * container — PNG / JPEG / animated GIF / raw round-robin by doc_id
+    * — with the dimensions [[MediaCodec.dims]] derives from content
+    * size (in production these are the camera's; here they must be
+    * arithmetic so the oracle can verify the decoder recovers them
+    * bit-exactly; likewise the GIF's embedded frame count, which the
+    * decoder must parse back out of the block structure). Typed
+    * mapPartitions: payload construction is per-partition work, exactly
+    * like the decode.
     */
   def withMediaPayload(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
@@ -165,9 +256,10 @@ object Multimodal {
       .mapPartitions(_.map { case (id, text) =>
         val content = text.getBytes(StandardCharsets.UTF_8)
         val (w, h) = MediaCodec.dims(content.length)
-        val payload = (id % 3) match {
+        val payload = (id % 4) match {
           case 0 => MediaCodec.buildPng(w, h, content)
           case 1 => MediaCodec.buildJpeg(w, h, content)
+          case 2 => MediaCodec.buildGif(w, h, 1 + content.length % 7, content)
           case _ => content
         }
         (id, payload)

@@ -33,6 +33,23 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.n_bytes === content.length + 17)
   }
 
+  test("GIF round-trip: dims from the logical screen descriptor, frames COUNTED from descriptors") {
+    val gif = MediaCodec.buildGif(width = 321, height = 654, frames = 5, content)
+    val meta = MediaCodec.decode(11L, gif)
+    assert((meta.width, meta.height) === (321, 654))
+    assert(meta.n_frames === 5, "frame count must come from walking image descriptors")
+    // size formula the oracle mirrors: content + 26 + sub-block len bytes + 12 per extra frame
+    assert(meta.n_bytes === content.length + 26 + (content.length + 254) / 255 + 12 * 4)
+  }
+
+  test("GIF frame walk is not fooled by descriptor bytes inside pixel data") {
+    // content full of 0x2C bytes: a byte-scan would over-count; the
+    // sub-block walk must not
+    val tricky = Array.fill(600)(0x2c.toByte)
+    val gif = MediaCodec.buildGif(width = 100, height = 100, frames = 3, tricky)
+    assert(MediaCodec.decode(1L, gif).n_frames === 3)
+  }
+
   test("raw payload falls back to size-derived dimensions") {
     val meta = MediaCodec.decode(5L, content)
     assert((meta.width, meta.height) === MediaCodec.dims(content.length))
@@ -53,9 +70,10 @@ class MultimodalSpec extends SparkSpec {
       val id = r.getLong(0)
       val n = r.getString(1).getBytes(StandardCharsets.UTF_8).length
       val (w, h) = MediaCodec.dims(n)
-      val total = (id % 3) match {
+      val total = (id % 4) match {
         case 0 => n + 57
         case 1 => n + 17
+        case 2 => n + 26 + (n + 254) / 255 + 12 * (n % 7)
         case _ => n
       }
       id -> ((w, h, total))
