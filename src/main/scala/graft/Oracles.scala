@@ -689,6 +689,37 @@ object Oracles {
         |FROM t a JOIN t b ON a.p_type < b.p_type
         |WHERE levenshtein(a.p_type, b.p_type) <= 6
         |ORDER BY t1, t2""".stripMargin,
+    // transitive closure of the SAME minhash-LSH pair graph the engine
+    // propagates labels over: min reachable id per node via a recursive
+    // CTE — the fixpoint min-label propagation converges to
+    "q80_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ($minhashSql)),
+         |sym AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+         |)
+         |SELECT id AS doc_id, min(r) AS cluster,
+         |  CAST(CASE WHEN min(r) = id THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q81_stratified_sample" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS bk
+        |  FROM documents),
+        |k AS (SELECT doc_id, lang FROM b
+        |  WHERE bk < CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 500
+        |                       WHEN 'es' THEN 300 WHEN 'fr' THEN 300 ELSE 500 END)
+        |SELECT lang, count(*) AS n_kept, min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    "q82_normalize_numbers" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(len(regexp_extract_all(props, '[0-9]+')) AS INTEGER) AS n_runs,
+        |    md5(regexp_replace(props, '[0-9]+', '<NUM>', 'g')) AS norm_h
+        |  FROM events)
+        |SELECT event_type, CAST(sum(n_runs) AS BIGINT) AS total_num_runs,
+        |  count(DISTINCT norm_h) AS n_shapes
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q69_above_avg" -> {
       def exactAvg = away("CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / count(o_totalprice)", 2)
       s"""SELECT o_orderpriority, count(*) AS n_above, $exactAvg AS avg_above

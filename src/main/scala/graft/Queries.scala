@@ -952,6 +952,63 @@ object Queries {
       .filter(col("call_day") >= "2019-03-10" && col("call_day") < "2019-06-01")
       .orderBy("call_day")
 
+  // dedup clustering: the rung ABOVE candidate pairs — near-dup pairs
+  // are not transitive, so real dedup needs connected components over
+  // the pair graph and one canonical keeper per cluster. Edges here are
+  // the MinHash-LSH candidates (q27); labels converge by iterative
+  // min-propagation (2 shuffles/round, rounds = cluster diameter);
+  // the oracle computes the same fixpoint with a recursive CTE
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sigs = NearDup.minhashSignatures(docs, col("doc_id"), col("text"), k = 16, n = 3)
+    val pairs = NearDup.lshCandidatePairs(sigs, bands = 4, rowsPerBand = 4)
+    graft.operators.ConnectedComponents
+      .minLabel(docs.select(col("doc_id")), col("doc_id"), pairs, col("d1"), col("d2"))
+      .select(
+        col("id").as("doc_id"),
+        col("cluster"),
+        when(col("id") === col("cluster"), 1).otherwise(0).as("is_canonical")
+      )
+      .orderBy("doc_id")
+  }
+
+  // stratified (per-class) deterministic sampling: class-dependent keep
+  // rates — the corpus-balancing step of a training pipeline (downsample
+  // the over-represented language, keep the rest denser). Same pure
+  // key-hash gate as q63, with the threshold keyed on the class column;
+  // stable across runs, engines, and reshards
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(TextOps.hash32(col("doc_id").cast("string")), lit(1000))
+    val rate = when(col("lang") === "en", 100)
+      .when(col("lang") === "de", 500)
+      .when(col("lang") === "es", 300)
+      .when(col("lang") === "fr", 300)
+      .otherwise(500)
+    t(s, dir, "documents")
+      .filter(bucket < rate)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("lang")
+  }
+
+  // number normalization: mask digit runs to a placeholder (the classic
+  // LLM-preprocessing move that collapses "{\"k\": 123}" and
+  // "{\"k\": 456}" into one shape) over the JSON props column; emits
+  // per-type run totals and the count of distinct normalized shapes.
+  // regexp work is codegen'd and map-side: the shuffle carries only
+  // (type, partial agg) rows
+  def normalizeNumbers(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .select(
+        col("event_type"),
+        regexp_count(col("props"), lit("[0-9]+")).as("n_runs"),
+        md5(regexp_replace(col("props"), "[0-9]+", "<NUM>")).as("norm_h")
+      )
+      .groupBy("event_type")
+      .agg(sum(col("n_runs")).as("total_num_runs"), countDistinct(col("norm_h")).as("n_shapes"))
+      .orderBy("event_type")
+
   // JSON scalar extraction: pull a typed field out of a JSON string
   // column (the reference's API payloads are exactly this shape,
   // app.py:171-183) and aggregate it — extraction is codegen'd and

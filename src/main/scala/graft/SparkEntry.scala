@@ -87,7 +87,10 @@ object SparkEntry {
     "q76_stream_foreach_batch" -> (Queries.streamForeachBatch _),
     "q77_paged_pushdown" -> (Queries.pagedPushdown _),
     "q78_stream_dedup_watermark" -> (Queries.streamDedupWatermark _),
-    "q79_fuzzy_pairs_bucketed" -> (Queries.fuzzyPairsBucketed _)
+    "q79_fuzzy_pairs_bucketed" -> (Queries.fuzzyPairsBucketed _),
+    "q80_dedup_clusters" -> (Queries.dedupClusters _),
+    "q81_stratified_sample" -> (Queries.stratifiedSample _),
+    "q82_normalize_numbers" -> (Queries.normalizeNumbers _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -32,6 +32,7 @@ class NoLeakSpec extends SparkSpec {
     assertNoBlocks("q36_ann_ivf (training cache unpersisted)")(Queries.annIvf(spark, sfDir))
     assertNoBlocks("q51_embed_near_dup_lsh")(Queries.embedNearDupLsh(spark, sfDir))
     assertNoBlocks("q71_tfidf")(Queries.tfidf(spark, sfDir))
+    assertNoBlocks("q80_dedup_clusters (per-round caches unpersisted)")(Queries.dedupClusters(spark, sfDir))
     assertNoBlocks("spec-only jaccardPairs")(
       graft.operators.NearDup.jaccardPairs(
         spark.read.parquet(s"$sfDir/documents.parquet"),

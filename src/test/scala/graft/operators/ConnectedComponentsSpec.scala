@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chain + clique + singleton resolve to min-id clusters") {
+    val nodes = (1L to 8L).toDF("id")
+    // chain 1-2-3 (transitivity across hops), clique 4-5-6, pair 7-8... and 8 alone? no: pair (7,8)
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (7L, 8L)).toDF("a", "b")
+    val got = ConnectedComponents
+      .minLabel(nodes, col("id"), edges, col("a"), col("b"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("long chain converges past several propagation rounds") {
+    val n = 30L
+    val nodes = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val got = ConnectedComponents.minLabel(nodes, col("id"), edges, col("a"), col("b"), maxIters = 50).collect()
+    assert(got.forall(_.getLong(1) === 1L), "every chain node must reach label 1")
+  }
+
+  test("labels are independent of edge orientation") {
+    val nodes = (1L to 4L).toDF("id")
+    val forward = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    val reversed = Seq((2L, 1L), (4L, 3L)).toDF("a", "b")
+    val f = ConnectedComponents.minLabel(nodes, col("id"), forward, col("a"), col("b")).orderBy("id").collect().toSeq
+    val r = ConnectedComponents.minLabel(nodes, col("id"), reversed, col("a"), col("b")).orderBy("id").collect().toSeq
+    assert(f === r)
+  }
+}
