@@ -33,8 +33,11 @@ import org.apache.spark.sql.functions._
   * lineage doubles per round — 2^rounds subtrees by round 30; the
   * snapshot keeps every round's plan constant-size, leaves NO cached
   * blocks behind (NoLeakSpec), and makes the returned frame a plain
-  * parquet scan. `scratchDir` must be cluster-visible storage in
-  * production; it defaults to a JVM temp dir for local runs.
+  * parquet scan. Superseded rounds and the edge snapshot are deleted as
+  * the loop advances; the FINAL round's snapshot backs the returned
+  * frame and lives until the scratch dir goes (JVM temp by default —
+  * pass `scratchDir` to own the lifecycle; it must be cluster-visible
+  * storage in production).
   *
   * Determinism: min-label is order-free — the converged labeling is a
   * pure function of the graph, independent of partitioning, round
@@ -58,18 +61,27 @@ object ConnectedComponents {
     val spark = nodes.sparkSession
     val base = scratchDir.getOrElse(Files.createTempDirectory("graft-cc").toString)
 
-    def snapshot(df: DataFrame, round: Int): DataFrame = {
-      val path = s"$base/round_$round"
+    def snapshot(df: DataFrame, name: String): DataFrame = {
+      val path = s"$base/$name"
       df.write.mode("overwrite").parquet(path)
       spark.read.parquet(path)
     }
+    def dropSnapshot(name: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$base/$name")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit
+    }
 
-    // symmetrize once: propagation must flow both directions
-    val sym = edges
-      .select(a.as("src"), b.as("dst"))
-      .unionByName(edges.select(b.as("src"), a.as("dst")))
+    // symmetrize once — and snapshot: the edge pipeline (for q80, the
+    // whole minhash+banding candidate generation) must run ONCE, not
+    // once per propagation round
+    val sym = snapshot(
+      edges
+        .select(a.as("src"), b.as("dst"))
+        .unionByName(edges.select(b.as("src"), a.as("dst"))),
+      "edges"
+    )
 
-    var labels = snapshot(nodes.select(id.as("id"), id.as("lbl")), 0)
+    var labels = snapshot(nodes.select(id.as("id"), id.as("lbl")), "round_0")
     var round = 0
     var converged = false
     while (!converged && round < maxIters) {
@@ -80,15 +92,23 @@ object ConnectedComponents {
         .select(col("dst").as("id"), col("lbl"))
       val next = snapshot(
         labels.unionByName(viaNeighbor).groupBy("id").agg(min("lbl").as("lbl")),
-        round
+        s"round_$round"
       )
       val changed = next
         .join(labels.withColumnRenamed("lbl", "prev"), "id")
         .filter(col("lbl") =!= col("prev"))
         .count()
+      dropSnapshot(s"round_${round - 1}") // only the latest round is live
       labels = next
       converged = changed == 0
     }
+    // silent truncation would return WRONG clusters (and diverge from
+    // the oracle's exact fixpoint) — refuse instead
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIters rounds — graph diameter exceeds the cap; raise maxIters"
+      )
+    dropSnapshot("edges")
     labels.withColumnRenamed("lbl", "cluster")
   }
 }

@@ -149,8 +149,13 @@ object Multimodal {
       }
     }
 
+    // full 6-byte signature: unlike PNG (0x89) and JPEG (0xFF), whose
+    // magic bytes cannot start UTF-8 text, plain text CAN begin with
+    // "GIF8" — demand the whole GIF87a/GIF89a version string so a raw
+    // document that happens to mention GIFs is not sniffed as one
     private def isGif(b: Array[Byte]): Boolean =
-      b.length > 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'
+      b.length > 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+        (b(4) == '7' || b(4) == '9') && b(5) == 'a'
 
     /** Count image descriptors by walking the GIF block structure —
       * descriptors, LZW data sub-blocks, extensions — exactly as a
@@ -169,7 +174,7 @@ object Multimodal {
       }
       while (i < b.length) {
         (b(i) & 0xff) match {
-          case 0x2c => // image descriptor
+          case 0x2c if i + 9 < b.length => // image descriptor (flags byte in range)
             frames += 1
             val flags = b(i + 9) & 0xff
             val lctSize = if ((flags & 0x80) != 0) 3 * (1 << ((flags & 0x07) + 1)) else 0

@@ -223,11 +223,14 @@ object Similarity {
     * associative), so cells and results are bit-identical across
     * partitionings, runs, and engines (the DuckDB oracle, q36, unrolls
     * the same iterations). Centroids are tiny (nlist×dim doubles) and
-    * travel as broadcast literals; the training frame is persisted so
-    * each Lloyd pass reads cache, not parquet (at 100 TB: train on a
-    * sample instead, then one assignment pass — the search-path plan
-    * shape is unchanged). The probe join shuffles (cell, id) pairs,
-    * never the full query×corpus cross product.
+    * travel as ONE [[graft.plans.NearestCells]] reference object per
+    * plan — O(1) plan size in nlist, codegen-safe at production cell
+    * counts (NearestCellsSpec runs nlist=1024); the training frame is
+    * cached across the Lloyd collects and unpersisted before the search
+    * plan is built (at 100 TB: train on a sample instead, then one
+    * assignment pass — the search-path plan shape is unchanged). The
+    * probe join shuffles (cell, id) pairs, never the full query×corpus
+    * cross product.
     */
   def ivfTopK(
       vecs: DataFrame,
@@ -262,26 +265,30 @@ object Similarity {
     // Lloyd refinement: reassign, recompute cell means. Means quantize
     // elements to 6dp (far below embedding noise) and sum as decimal so
     // the result is partition-order invariant and oracle-reproducible.
-    (1 to lloydIters).foreach { _ =>
-      val assigned = base.select(col("vid"), col("e"), nearestCell(col("e")).as("cell"))
-      val means = assigned
-        .select(col("cell"), posexplode(col("e")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos")
-        .agg((sum(NumOps.roundAway(col("x").cast("double"), 6).cast("decimal(25,6)")).cast("double") / count(lit(1))).as("m"))
-        .collect()
-      val byCell = means.groupBy(_.getAs[Int]("cell"))
-      centroids = centroids.zipWithIndex.map { case (old, j) =>
-        byCell.get(j) match {
-          case Some(rows) => rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m"))
-          case None => old // empty cell keeps its centroid
+    // try/finally: a failed training collect must not leak the cache
+    try {
+      (1 to lloydIters).foreach { _ =>
+        val assigned = base.select(col("vid"), col("e"), nearestCell(col("e")).as("cell"))
+        val means = assigned
+          .select(col("cell"), posexplode(col("e")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos")
+          .agg((sum(NumOps.roundAway(col("x").cast("double"), 6).cast("decimal(25,6)")).cast("double") / count(lit(1))).as("m"))
+          .collect()
+        val byCell = means.groupBy(_.getAs[Int]("cell"))
+        centroids = centroids.zipWithIndex.map { case (old, j) =>
+          byCell.get(j) match {
+            case Some(rows) => rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m"))
+            case None => old // empty cell keeps its centroid
+          }
         }
       }
+    } finally {
+      // training done (or failed) — drop the cache before building the
+      // search plan: the corpus/probe branches below re-read the
+      // (column-pruned, pushed-down) source, and the session keeps no
+      // blocks either way
+      base.unpersist(blocking = true)
     }
-
-    // training done — drop the cache before building the search plan:
-    // the corpus/probe branches below re-read the (column-pruned,
-    // pushed-down) source instead, and the session keeps no blocks
-    base.unpersist(blocking = true)
 
     val corpus = base.select(col("vid").as("nid"), col("e").as("ne"), VectorOps.normSq(col("e")).as("nn"), nearestCell(col("e")).as("cell"))
     val probes = base

@@ -27,6 +27,15 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.forall(_.getLong(1) === 1L), "every chain node must reach label 1")
   }
 
+  test("refuses to return truncated labels when the round cap is too low") {
+    val nodes = (1L to 10L).toDF("id")
+    val edges = (1L until 10L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      ConnectedComponents.minLabel(nodes, col("id"), edges, col("a"), col("b"), maxIters = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("labels are independent of edge orientation") {
     val nodes = (1L to 4L).toDF("id")
     val forward = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")

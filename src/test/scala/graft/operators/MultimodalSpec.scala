@@ -50,6 +50,13 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodec.decode(1L, gif).n_frames === 3)
   }
 
+  test("raw text beginning with 'GIF8' is NOT sniffed as a GIF container") {
+    val tricky = "GIF8 is an image format from 1987, this doc discusses it at length".getBytes(StandardCharsets.UTF_8)
+    val meta = MediaCodec.decode(3L, tricky)
+    assert((meta.width, meta.height) === MediaCodec.dims(tricky.length), "text must take the raw path")
+    assert(meta.n_frames === 1 + tricky.length % 7)
+  }
+
   test("raw payload falls back to size-derived dimensions") {
     val meta = MediaCodec.decode(5L, content)
     assert((meta.width, meta.height) === MediaCodec.dims(content.length))

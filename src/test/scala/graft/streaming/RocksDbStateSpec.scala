@@ -21,11 +21,22 @@ class RocksDbStateSpec extends SparkSpec {
   private val Key = "spark.sql.streaming.stateStore.providerClass"
   private val RocksDb = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
-  test("streaming aggregation state runs on RocksDB and matches the batch answer") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** Pin the provider for one streaming run, restoring after (the
+    * StateConf.withStatePartitions pattern for the provider conf).
+    */
+  private def withRocksDb[A](body: => A): A = {
     val prev = spark.conf.getOption(Key)
     spark.conf.set(Key, RocksDb)
-    try {
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(Key, v)
+      case None => spark.conf.unset(Key)
+    }
+  }
+
+  test("streaming aggregation state runs on RocksDB and matches the batch answer") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    withRocksDb {
       StateConf.withStatePartitions(spark, 8) {
         val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
         val agg = spark.readStream
@@ -59,26 +70,14 @@ class RocksDbStateSpec extends SparkSpec {
           .map(r => (r.getString(0), r.getLong(1)))
         assert(viaStream.toSeq === viaBatch.toSeq)
       }
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(Key, v)
-        case None => spark.conf.unset(Key)
-      }
     }
   }
 
   test("watermarked dedup (q78) runs on RocksDB too — the bounded-state pair") {
-    val prev = spark.conf.getOption(Key)
-    spark.conf.set(Key, RocksDb)
-    try {
+    withRocksDb {
       val got = StreamAgg.dedupKeysWithinWatermark(spark, sfDir)
       val exact = graft.sources.Tables.events(spark, sfDir).select("user_id", "event_type").distinct()
       assert(got.count() === exact.count())
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(Key, v)
-        case None => spark.conf.unset(Key)
-      }
     }
   }
 }
