@@ -129,11 +129,15 @@ object StreamAgg {
     StateConf.withStatePartitions(spark, 8) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      // ONE streaming source, projected twice — a stream-stream
+      // SELF-join reads and decodes each micro-batch once, not once
+      // per side (two readStream calls would double the scan)
+      val raw = spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
       def side(n: Int) =
-        spark.readStream
-          .schema(schema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
+        raw
           .select(
             col("user_id").as(s"u$n"),
             col("event_id").as(s"id$n"),

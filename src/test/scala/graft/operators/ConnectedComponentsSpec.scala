@@ -36,6 +36,32 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("alternating-star equals min-label on chains, cliques, and seeded random graphs") {
+    def compare(nodes: org.apache.spark.sql.DataFrame, edges: org.apache.spark.sql.DataFrame): Unit = {
+      val viaLabel = ConnectedComponents
+        .minLabel(nodes, col("id"), edges, col("a"), col("b"), maxIters = 60)
+        .orderBy("id")
+        .collect()
+        .toSeq
+      val viaStar = ConnectedComponents
+        .alternatingStar(nodes, col("id"), edges, col("a"), col("b"))
+        .orderBy("id")
+        .collect()
+        .toSeq
+      assert(viaStar === viaLabel)
+    }
+    // 40-node chain: diameter stress (star needs O(log n) rounds)
+    compare((1L to 40L).toDF("id"), (1L until 40L).map(i => (i, i + 1)).toDF("a", "b"))
+    // two cliques + singletons
+    val cliqueEdges = (for { x <- 1L to 5L; y <- 1L to 5L if x < y } yield (x, y)) ++
+      (for { x <- 10L to 13L; y <- 10L to 13L if x < y } yield (x, y))
+    compare((1L to 15L).toDF("id"), cliqueEdges.toDF("a", "b"))
+    // seeded random graph: 60 nodes, 50 arbitrary edges
+    val rnd = new scala.util.Random(42)
+    val randomEdges = Seq.fill(50)((rnd.nextInt(60).toLong + 1, rnd.nextInt(60).toLong + 1)).filter(p => p._1 != p._2)
+    compare((1L to 60L).toDF("id"), randomEdges.toDF("a", "b"))
+  }
+
   test("labels are independent of edge orientation") {
     val nodes = (1L to 4L).toDF("id")
     val forward = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
