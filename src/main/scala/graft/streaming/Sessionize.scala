@@ -30,6 +30,15 @@ object Sessionize {
 
   private def cents(v: Double): Long = math.round(v * 100.0)
 
+  /** Memory bound: this buffers and sorts ONE user's events from ONE
+    * micro-batch (Spark hands groups as iterators in arbitrary order,
+    * and sessionization needs time order). Per-user-per-batch volume is
+    * session-sized in practice, but it is the operator's only unbounded
+    * buffer — a pathological hot key in a single batch lands in one
+    * task's heap. At scale, bound it upstream: cap batch size via
+    * `maxFilesPerTrigger`/`maxOffsetsPerTrigger`, or pre-aggregate the
+    * hot key (the Salting pattern) before the stateful stage.
+    */
   def sessionizeFn(gapMillis: Long)(
       userId: Long,
       events: Iterator[Event],
