@@ -81,7 +81,17 @@ object ConnectedComponents {
       "edges"
     )
 
+    // convergence by CHECKSUM, not a join: every node's label is
+    // non-increasing (next = min(own, neighbors')), so Σ labels strictly
+    // decreases iff ANY label changed — an exact test that costs one
+    // aggregation over the just-written (tiny-file) snapshot instead of
+    // a labels⋈labels join per round. Decimal sum: no overflow at any n
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("lbl").cast("decimal(38,0)")).as("s")).collect()(0).getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO) // empty node set: sum is null
+
     var labels = snapshot(nodes.select(id.as("id"), id.as("lbl")), "round_0")
+    var prevSum = labelSum(labels)
     var round = 0
     var converged = false
     while (!converged && round < maxIters) {
@@ -94,13 +104,11 @@ object ConnectedComponents {
         labels.unionByName(viaNeighbor).groupBy("id").agg(min("lbl").as("lbl")),
         s"round_$round"
       )
-      val changed = next
-        .join(labels.withColumnRenamed("lbl", "prev"), "id")
-        .filter(col("lbl") =!= col("prev"))
-        .count()
+      val nextSum = labelSum(next)
       dropSnapshot(s"round_${round - 1}") // only the latest round is live
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
     }
     // silent truncation would return WRONG clusters (and diverge from
     // the oracle's exact fixpoint) — refuse instead
