@@ -720,6 +720,34 @@ object Oracles {
         |SELECT event_type, CAST(sum(n_runs) AS BIGINT) AS total_num_runs,
         |  count(DISTINCT norm_h) AS n_shapes
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // word-6-gram leakage between the q57 hash-split train and test
+    // sets; count(DISTINCT) per contaminated train doc
+    "q83_decontaminate" ->
+      raw"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |sp AS (SELECT doc_id, ws,
+        |    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+        |         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM w),
+        |idx AS (SELECT doc_id, ws, split, unnest(generate_series(1, len(ws) - 5)) AS i FROM sp WHERE len(ws) >= 6),
+        |sh AS (SELECT DISTINCT doc_id, split,
+        |  ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1] || ' ' || ws[CAST(i AS INTEGER) + 2] || ' ' ||
+        |  ws[CAST(i AS INTEGER) + 3] || ' ' || ws[CAST(i AS INTEGER) + 4] || ' ' || ws[CAST(i AS INTEGER) + 5] AS g
+        |  FROM idx),
+        |ts AS (SELECT DISTINCT g FROM sh WHERE split = 'test')
+        |SELECT sh.doc_id, count(DISTINCT sh.g) AS n_leaked
+        |FROM sh JOIN ts USING (g)
+        |WHERE sh.split = 'train'
+        |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin,
+    "q84_range_join" -> {
+      val tot = away("CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE)", 2)
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events)
+         |SELECT o_orderkey, count(*) AS n_events, $tot AS sum_value
+         |FROM orders JOIN e ON user_id = o_custkey
+         |  AND us >= epoch_us(o_orderdate)
+         |  AND us < epoch_us(o_orderdate + INTERVAL 7 DAY)
+         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
+    },
     "q69_above_avg" -> {
       def exactAvg = away("CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / count(o_totalprice)", 2)
       s"""SELECT o_orderpriority, count(*) AS n_above, $exactAvg AS avg_above

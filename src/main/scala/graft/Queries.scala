@@ -1009,6 +1009,51 @@ object Queries {
       .agg(sum(col("n_runs")).as("total_num_runs"), countDistinct(col("norm_h")).as("n_shapes"))
       .orderBy("event_type")
 
+  // train/test decontamination: train documents sharing any word
+  // 6-gram with a test document leak evaluation data — the standard
+  // n-gram-overlap decontamination pass. Splits come from the same
+  // deterministic hash gate as q57; the overlap is a shuffle semi-join
+  // on the shingle (test shingles are corpus-sized at 100 TB: they
+  // CANNOT broadcast, so the honest shape keys the exchange on g
+  // exactly like the near-dup self-join). Emits each contaminated
+  // train doc with its count of distinct leaked shingles.
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(TextOps.hash32(col("doc_id").cast("string")), lit(100))
+    val docs = t(s, dir, "documents")
+      .withColumn("split", when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+    val sh = NearDup
+      .shingleTable(docs, col("doc_id"), col("text"), n = 6)
+      .join(docs.select(col("doc_id"), col("split")), "doc_id")
+    val testShingles = sh.filter(col("split") === "test").select("g").distinct()
+    sh.filter(col("split") === "train")
+      .join(testShingles, "g")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_leaked"))
+      .orderBy("doc_id")
+  }
+
+  // range join: events within the 7 days after the same customer's
+  // order date — equi-key (customer) + interval predicate. Spark plans
+  // the equality as the join key (one keyed shuffle; no cross product)
+  // and evaluates the range as a post-condition within each key — the
+  // scalable shape for key+interval joins (contrast a pure interval
+  // join, which needs binning/IEJoin)
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(s, dir) // ts already micros-truncated timestamp (Tables.events)
+      .select(col("user_id"), col("ts").as("ets"), col("value"))
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    o.join(
+      ev,
+      col("user_id") === col("o_custkey") &&
+        col("ets") >= col("o_orderdate") &&
+        col("ets") < col("o_orderdate") + expr("INTERVAL 7 DAYS")
+    )
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_events"), NumOps.exactSum(col("value")).as("sum_value"))
+      .orderBy("o_orderkey")
+  }
+
   // JSON scalar extraction: pull a typed field out of a JSON string
   // column (the reference's API payloads are exactly this shape,
   // app.py:171-183) and aggregate it — extraction is codegen'd and

@@ -127,6 +127,12 @@ class PlanSpec extends SparkSpec {
     assert(df.collect().toSeq === brute.collect().toSeq)
   }
 
+  test("range join keys on the equality column — never a nested-loop over the interval") {
+    val p = plan(Queries.rangeJoin(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), s"interval predicate must ride the keyed join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"equality must be the join key:\n$p")
+  }
+
   test("anti join broadcasts the filtered build side") {
     val p = plan(Queries.antiJoin(spark, sfDir))
     assert(
