@@ -392,6 +392,15 @@ object Oracles {
     },
     "q27_minhash_lsh" -> minhashSql,
     "q28_simhash" -> simhashSql,
+    // pigeonhole-bucketed hamming pairs over the same simhash values
+    "q85_simhash_near_dup" ->
+      s"""WITH sig AS (SELECT doc_id, simhash FROM ($simhashSql)),
+         |blk AS (SELECT doc_id, simhash, bi, (simhash >> (bi * 8)) & 255 AS bv
+         |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS bi)),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |  FROM blk a JOIN blk b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT d1, d2, hamming FROM cand WHERE hamming <= 3 ORDER BY d1, d2""".stripMargin,
     "q31_ann_lsh" -> annLshSql,
     "q36_ann_ivf" -> annIvfSql,
     "q38_dim_agg_approx" ->

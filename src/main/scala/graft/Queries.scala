@@ -316,6 +316,14 @@ object Queries {
   def simhash(s: SparkSession, dir: String): DataFrame =
     NearDup.simhash32(t(s, dir, "documents"), col("doc_id"), col("text")).orderBy("doc_id")
 
+  // simhash near-dup pairs: pigeonhole block buckets (exact recall by
+  // theorem) + bit_count(xor) rerank on candidates only — completes the
+  // simhash ladder the way banding completes MinHash
+  def simhashNearDup(s: SparkSession, dir: String): DataFrame =
+    NearDup
+      .simhashNearDupPairs(t(s, dir, "documents"), col("doc_id"), col("text"), maxHamming = 3)
+      .orderBy("d1", "d2")
+
   // ——————————————— north-star: similarity search ———————————————
 
   // brute-force cosine top-10 for query vectors (vec_id < 50)

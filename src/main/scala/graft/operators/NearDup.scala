@@ -152,6 +152,44 @@ object NearDup {
       .distinct()
   }
 
+  /** SimHash near-duplicate pairs — the candidate rung ABOVE
+    * [[simhash32]]: pairs within `maxHamming` bit flips. Pigeonhole
+    * bucketing makes it a keyed join: split the 32 bits into
+    * `maxHamming + 1` disjoint blocks — a pair with ≤ maxHamming
+    * differing bits must agree EXACTLY on at least one block — so
+    * candidates come from an equi-join on (block idx, block value) and
+    * only candidates pay the exact `bit_count(xor)` rerank. The same
+    * shape as the MinHash banding join: shuffles (doc, 1-byte block)
+    * keys at 100 TB, never the doc cross product. Both join sides are
+    * the identical subtree (ReuseExchange materializes the signature
+    * pass once). Recall is EXACT (pigeonhole is a theorem, not a
+    * probability), unlike the MinHash/hyperplane rungs.
+    */
+  def simhashNearDupPairs(docs: DataFrame, id: Column, text: Column, maxHamming: Int = 3): DataFrame = {
+    val blocks = maxHamming + 1
+    require(32 % blocks == 0, s"32 bits must split evenly into ${blocks} blocks (maxHamming+1)")
+    val width = 32 / blocks
+    val mask = (1L << width) - 1
+    val sigs = simhash32(docs, id, text)
+    val blockStructs = (0 until blocks).map { i =>
+      struct(lit(i).as("bi"), shiftright(col("simhash"), i * width).bitwiseAND(lit(mask)).as("bv"))
+    }
+    val exploded = sigs
+      .select(col("doc_id"), col("simhash"), explode(array(blockStructs: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+    exploded
+      .as("a")
+      .join(exploded.as("b"), Seq("bi", "bv"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("d1"),
+        col("b.doc_id").as("d2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming")
+      )
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** 32-bit SimHash per document: per bit, +1 for every token whose
     * hash has the bit set, −1 otherwise; the sign becomes the bit.
     * Token multiplicity counts (no distinct) — standard SimHash.

@@ -45,4 +45,28 @@ class NearDupSpec extends SparkSpec {
     assert(h(1L) === h(2L))
     assert(h(1L) !== h(3L))
   }
+
+  test("simhash pigeonhole candidates recover EXACTLY the all-pairs hamming answer") {
+    val sample = docs.limit(150)
+    val viaBuckets = NearDup
+      .simhashNearDupPairs(sample, $"doc_id", $"text", maxHamming = 3)
+      .select("d1", "d2", "hamming")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    val sigs = NearDup.simhash32(sample, $"doc_id", $"text")
+    val brute = sigs
+      .as("a")
+      .join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("d1"),
+        col("b.doc_id").as("d2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming")
+      )
+      .filter(col("hamming") <= 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    assert(viaBuckets === brute, "pigeonhole recall must be exact, not probabilistic")
+  }
 }
