@@ -749,13 +749,13 @@ object Oracles {
         |WHERE sh.split = 'train'
         |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin,
     "q84_range_join" -> {
-      val tot = away("CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE)", 2)
+      val tot = away("CAST(sum(CAST(b.value AS DECIMAL(25,6))) AS DOUBLE)", 2)
       s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events)
-         |SELECT o_orderkey, count(*) AS n_events, $tot AS sum_value
-         |FROM orders JOIN e ON user_id = o_custkey
-         |  AND us >= epoch_us(o_orderdate)
-         |  AND us < epoch_us(o_orderdate + INTERVAL 7 DAY)
-         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
+         |SELECT a.user_id, count(*) AS n_followups, $tot AS sum_followup_value
+         |FROM e a JOIN e b ON a.user_id = b.user_id
+         |  AND b.us > a.us
+         |  AND b.us <= a.us + 3600000000
+         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin
     },
     "q69_above_avg" -> {
       def exactAvg = away("CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / count(o_totalprice)", 2)

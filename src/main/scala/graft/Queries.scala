@@ -1027,11 +1027,13 @@ object Queries {
   // train doc with its count of distinct leaked shingles.
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val bucket = pmod(TextOps.hash32(col("doc_id").cast("string")), lit(100))
-    val docs = t(s, dir, "documents")
-      .withColumn("split", when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+    val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    // split is a pure function of doc_id, so it attaches to the shingle
+    // table as an expression — no join back to documents (which would
+    // shuffle the corpus-sized shingle table a second time)
     val sh = NearDup
-      .shingleTable(docs, col("doc_id"), col("text"), n = 6)
-      .join(docs.select(col("doc_id"), col("split")), "doc_id")
+      .shingleTable(t(s, dir, "documents"), col("doc_id"), col("text"), n = 6)
+      .withColumn("split", split)
     val testShingles = sh.filter(col("split") === "test").select("g").distinct()
     sh.filter(col("split") === "train")
       .join(testShingles, "g")
@@ -1040,26 +1042,30 @@ object Queries {
       .orderBy("doc_id")
   }
 
-  // range join: events within the 7 days after the same customer's
-  // order date — equi-key (customer) + interval predicate. Spark plans
+  // range join: for each event, the same user's follow-up events within
+  // the next hour — equi-key (user) + interval predicate. Spark plans
   // the equality as the join key (one keyed shuffle; no cross product)
   // and evaluates the range as a post-condition within each key — the
   // scalable shape for key+interval joins (contrast a pure interval
-  // join, which needs binning/IEJoin)
+  // join, which needs binning/IEJoin). Both sides are one subtree, so
+  // ReuseExchange ships the events table through the shuffle once.
   def rangeJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables
       .events(s, dir) // ts already micros-truncated timestamp (Tables.events)
-      .select(col("user_id"), col("ts").as("ets"), col("value"))
-    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
-    o.join(
-      ev,
-      col("user_id") === col("o_custkey") &&
-        col("ets") >= col("o_orderdate") &&
-        col("ets") < col("o_orderdate") + expr("INTERVAL 7 DAYS")
-    )
-      .groupBy("o_orderkey")
-      .agg(count(lit(1)).as("n_events"), NumOps.exactSum(col("value")).as("sum_value"))
-      .orderBy("o_orderkey")
+      .select(col("user_id"), col("ts"), col("value"))
+    ev.as("a")
+      .join(
+        ev.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.ts") > col("a.ts") &&
+          col("b.ts") <= col("a.ts") + expr("INTERVAL 1 HOUR")
+      )
+      .groupBy(col("a.user_id").as("user_id"))
+      .agg(
+        count(lit(1)).as("n_followups"),
+        NumOps.exactSum(col("b.value")).as("sum_followup_value")
+      )
+      .orderBy("user_id")
   }
 
   // JSON scalar extraction: pull a typed field out of a JSON string

@@ -48,6 +48,10 @@ object ConnectedComponents {
 
   /** One row per node: (id, cluster) where cluster = min node id
     * reachable through `edges` (undirected; pass each pair once).
+    * Node ids must be an INTEGRAL type: the checksum convergence test
+    * sums labels exactly as decimal — string or fractional ids would
+    * make the cast throw (ANSI) or the test lie. Hash non-numeric keys
+    * to longs first (`TextOps.hash32` is the house pattern).
     */
   def minLabel(
       nodes: DataFrame,
@@ -59,6 +63,14 @@ object ConnectedComponents {
       scratchDir: Option[String] = None
   ): DataFrame = {
     val spark = nodes.sparkSession
+    val idType = nodes.select(id.as("id")).schema("id").dataType
+    require(
+      {
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        Seq(ByteType, ShortType, IntegerType, LongType).contains(idType)
+      },
+      s"minLabel needs integral node ids (checksum convergence sums them exactly); got $idType"
+    )
     val base = scratchDir.getOrElse(Files.createTempDirectory("graft-cc").toString)
 
     def snapshot(df: DataFrame, name: String): DataFrame = {

@@ -186,8 +186,11 @@ object NearDup {
         col("b.doc_id").as("d2"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming")
       )
-      .distinct()
+      // filter BEFORE distinct: hamming is determined by (d1, d2), so
+      // the result is identical and the dedup shuffle carries only the
+      // <= maxHamming survivors, not every bucket collision
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** 32-bit SimHash per document: per bit, +1 for every token whose

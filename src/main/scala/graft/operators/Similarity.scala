@@ -248,13 +248,7 @@ object Similarity {
     // before the search plan is built (no blocks outlive the operator)
     val base = vecs.select(id.as("vid"), emb.as("e"), isQuery.as("is_q")).persist()
 
-    // deterministic init: the nlist lowest-id vectors
-    var centroids: Array[Array[Double]] = base
-      .orderBy("vid")
-      .limit(nlist)
-      .select("e")
-      .collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var centroids: Array[Array[Double]] = null
 
     // argmax of (v·c - |c|²/2) == nearest centroid by L2. The centroid
     // MATRIX travels as one plan reference (NearestCells), not nlist
@@ -265,8 +259,16 @@ object Similarity {
     // Lloyd refinement: reassign, recompute cell means. Means quantize
     // elements to 6dp (far below embedding noise) and sum as decimal so
     // the result is partition-order invariant and oracle-reproducible.
-    // try/finally: a failed training collect must not leak the cache
+    // try/finally: a failed init or training collect must not leak the
+    // cache (the finally is the ONLY unpersist path)
     try {
+      // deterministic init: the nlist lowest-id vectors
+      centroids = base
+        .orderBy("vid")
+        .limit(nlist)
+        .select("e")
+        .collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
       (1 to lloydIters).foreach { _ =>
         val assigned = base.select(col("vid"), col("e"), nearestCell(col("e")).as("cell"))
         val means = assigned
