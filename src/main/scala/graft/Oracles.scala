@@ -401,6 +401,18 @@ object Oracles {
          |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
          |  FROM blk a JOIN blk b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
          |SELECT d1, d2, hamming FROM cand WHERE hamming <= 3 ORDER BY d1, d2""".stripMargin,
+    "q86_interval_join" ->
+      """WITH e AS (SELECT event_id, epoch_ns(ts) // 1000 AS us FROM events)
+        |SELECT a.event_id, count(*) AS n_within
+        |FROM e a JOIN e b ON b.us >= a.us AND b.us < a.us + 1800000000
+        |  AND a.event_id <> b.event_id
+        |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin,
+    "q87_partitioned_sink" -> {
+      val tot = away("CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE)", 2)
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events, $tot AS sum_value
+         |FROM events WHERE event_type = 'purchase'
+         |GROUP BY day ORDER BY day""".stripMargin
+    },
     "q31_ann_lsh" -> annLshSql,
     "q36_ann_ivf" -> annIvfSql,
     "q38_dim_agg_approx" ->

@@ -1107,4 +1107,49 @@ object Queries {
       .agg(count(lit(1)).as("n_items"), NumOps.exactAvg(col("l_extendedprice"), 2).as("avg_price"))
       .orderBy("p_brand")
   }
+
+  // partitioned sink + pruned read-back: truncate-and-load events
+  // hive-partitioned by event_type, then answer a one-type question
+  // from the round-trip. The filter prunes at PLANNING time (scan
+  // PartitionFilters — only the matching directory is listed), so the
+  // read cost is proportional to the selected type, not the table;
+  // PartitionedSinkSpec asserts the pruning and that no post-scan
+  // filter on event_type survives
+  def partitionedSink(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val back = graft.sinks.RetryingSink
+      .overwritePartitioned(ev, "/tmp/graft_part_sink/events", Seq("event_type"))
+    back
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"), NumOps.exactSum(col("value")).as("sum_value"))
+      .orderBy("day")
+  }
+
+  // interval join WITHOUT an equi key: for each event, how many events
+  // (any user — nothing to shuffle on) land in its 30-minute window.
+  // IntervalJoin bins time so the planner gets a keyed shuffle instead
+  // of a BroadcastNestedLoop cross product; PlanSpec asserts no
+  // nested-loop/cartesian operator survives in this plan
+  def intervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val HalfHourUs = 30L * 60 * 1000000
+    val ev = Tables.events(s, dir).select(col("event_id"), unix_micros(col("ts")).as("us"))
+    val pairs = graft.operators.IntervalJoin.pointsInIntervals(
+      ev,
+      col("event_id"),
+      col("us"),
+      col("us") + HalfHourUs,
+      ev,
+      col("event_id"),
+      col("us"),
+      binMicros = HalfHourUs
+    )
+    pairs
+      .filter(col("iid") =!= col("pid")) // an event trivially contains itself
+      .groupBy(col("iid").as("event_id"))
+      .agg(count(lit(1)).as("n_within"))
+      .orderBy("event_id")
+  }
 }

@@ -59,6 +59,30 @@ object RetryingSink {
     df.sparkSession.read.parquet(path)
   }
 
+  /** Hive-style partitioned truncate-and-load: one directory per value
+    * of each partition column. At 100 TB the partition layout IS the
+    * index: a reader filtering on a partition column enumerates only
+    * the matching directories (the predicate lands in the scan's
+    * `PartitionFilters`, pruning at planning time), instead of reading
+    * every file and filtering rows after decode. The reference's
+    * one-collection-per-month Mongo layout (`app.py:645-669`) is this
+    * same idea — month as a physical routing key — done here by the
+    * table format. Keep partition columns low-cardinality (enum, day):
+    * a high-cardinality key makes a small-files swamp, not an index.
+    */
+  def overwritePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      policy: RetryPolicy = RetryPolicy(),
+      sleep: Long => Unit = Thread.sleep
+  ): DataFrame = {
+    withRetry(policy, sleep) { () =>
+      df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+    }
+    df.sparkSession.read.parquet(path)
+  }
+
   /** Record-oriented export: stream each partition's rows to a
     * connector-style consumer (reference: `to_dict(orient='records')` +
     * `insert_many`, `app.py:685-700`). The consumer factory runs once

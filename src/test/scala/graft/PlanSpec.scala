@@ -133,6 +133,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"equality must be the join key:\n$p")
   }
 
+  test("unkeyed interval join manufactures a bin key — no nested loop, no cross product") {
+    val p = plan(Queries.intervalJoin(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), s"binning must give the planner an equi key:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"binning must give the planner an equi key:\n$p")
+  }
+
   test("anti join broadcasts the filtered build side") {
     val p = plan(Queries.antiJoin(spark, sfDir))
     assert(
