@@ -413,6 +413,28 @@ object Oracles {
          |FROM events WHERE event_type = 'purchase'
          |GROUP BY day ORDER BY day""".stripMargin
     },
+    "q88_impute" -> {
+      val mean = away("CAST(sum(CAST(latitude AS DECIMAL(25,6))) AS DOUBLE) / count(latitude)", 6)
+      val filled = away("coalesce(c.latitude, m.mean_lat)", 6)
+      s"""WITH calls AS (SELECT event_number, TRY_CAST(district AS INTEGER) AS district,
+         |    TRY_CAST(latitude_x AS DOUBLE) AS latitude
+         |  FROM read_csv('${graft.sources.Fixtures.CsvPath}', header=true, all_varchar=true)),
+         |m AS (SELECT district, $mean AS mean_lat FROM calls WHERE latitude IS NOT NULL GROUP BY district)
+         |SELECT c.event_number, c.district, $filled AS latitude_filled,
+         |  c.latitude IS NULL AS was_missing
+         |FROM calls c LEFT JOIN m ON c.district IS NOT DISTINCT FROM m.district
+         |ORDER BY c.event_number""".stripMargin
+    },
+    "q89_unpivot" -> {
+      val tot = away("CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE)", 2)
+      s"""WITH long AS (
+         |  SELECT 'l_quantity' AS measure, CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+         |  UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+         |  UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+         |  UNION ALL SELECT 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem)
+         |SELECT measure, count(value) AS n_values, $tot AS sum_value
+         |FROM long GROUP BY measure ORDER BY measure""".stripMargin
+    },
     "q31_ann_lsh" -> annLshSql,
     "q36_ann_ivf" -> annIvfSql,
     "q38_dim_agg_approx" ->

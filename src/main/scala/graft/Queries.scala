@@ -1128,6 +1128,55 @@ object Queries {
       .orderBy("day")
   }
 
+  // group-mean imputation (the pandas `fillna(df.groupby(k).transform
+  // ('mean'))` idiom, over the reference's calls frame whose
+  // coordinates genuinely arrive null): per-district mean latitude,
+  // broadcast back onto the full frame, nulls coalesced to the group
+  // mean. Stats frame is dimension-sized (one row per district) so the
+  // fill is a broadcast join — the corpus shuffles zero times. A
+  // district whose latitudes are ALL null keeps its nulls (no global
+  // fallback — mirrored exactly in the oracle). Null-safe equality so
+  // unparseable districts form their own imputation group.
+  def imputeMissing(s: SparkSession, dir: String): DataFrame = {
+    val calls = csvIngest(s, dir).select(col("event_number"), col("district"), col("latitude"))
+    val means = calls
+      .filter(col("latitude").isNotNull)
+      .groupBy(col("district").as("m_district"))
+      .agg(NumOps.exactAvg(col("latitude"), 6).as("mean_lat"))
+    calls
+      .join(broadcast(means), col("district") <=> col("m_district"), "left")
+      .select(
+        col("event_number"),
+        col("district"),
+        NumOps.roundAway(coalesce(col("latitude"), col("mean_lat")), 6).as("latitude_filled"),
+        col("latitude").isNull.as("was_missing")
+      )
+      .orderBy("event_number")
+  }
+
+  // unpivot / melt (pandas `df.melt`): four wide measure columns →
+  // long (measure, value) rows. Spark's native `unpivot` is an Expand
+  // node — pure map-side row generation, zero shuffle until the
+  // aggregate; the 4× row blow-up never materializes because the
+  // partial agg folds it inside the same stage
+  def unpivotMeasures(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(
+      col("l_orderkey"),
+      col("l_quantity").cast("double").as("l_quantity"),
+      col("l_extendedprice").cast("double").as("l_extendedprice"),
+      col("l_discount").cast("double").as("l_discount"),
+      col("l_tax").cast("double").as("l_tax")
+    )
+    li.unpivot(
+      Array(col("l_orderkey")),
+      Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+      "measure",
+      "value"
+    ).groupBy("measure")
+      .agg(count(col("value")).as("n_values"), NumOps.exactSum(col("value"), 2).as("sum_value"))
+      .orderBy("measure")
+  }
+
   // interval join WITHOUT an equi key: for each event, how many events
   // (any user — nothing to shuffle on) land in its 30-minute window.
   // IntervalJoin bins time so the planner gets a keyed shuffle instead
