@@ -887,6 +887,59 @@ object Oracles {
         |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
         |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS order_seq
-        |FROM orders ORDER BY o_custkey, order_seq""".stripMargin
+        |FROM orders ORDER BY o_custkey, order_seq""".stripMargin,
+    // batch gaps-and-islands, 30-min gap; unlike q37 every session is
+    // emitted (no watermark truncation of each user's last session)
+    "q90_sessionize_batch" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch_ms(ts) AS tms, event_id, value,
+        |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) > 1800000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tms, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM x)
+        |SELECT user_id, min(tms) AS start_ms, max(tms) AS end_ms, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+        |  CAST(sess + 1 AS INTEGER) AS session_seq
+        |FROM g GROUP BY user_id, sess ORDER BY user_id, start_ms""".stripMargin,
+    // SCD2 build: islands of constant priority per customer → versioned
+    // validity intervals, open-ended on the current version
+    "q91_scd2_history" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |f AS (SELECT *, CASE WHEN prev IS NULL OR o_orderpriority <> prev THEN 1 ELSE 0 END AS chg FROM o),
+        |v AS (SELECT *, sum(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ver FROM f),
+        |i AS (SELECT o_custkey, ver, max(o_orderpriority) AS o_orderpriority,
+        |    strftime(min(o_orderdate), '%Y-%m-%d') AS valid_from, count(*) AS n_orders
+        |  FROM v GROUP BY o_custkey, ver),
+        |j AS (SELECT *, lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY ver) AS valid_to FROM i)
+        |SELECT o_custkey, CAST(ver AS INTEGER) AS version, o_orderpriority, valid_from, valid_to,
+        |  n_orders, CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current
+        |FROM j ORDER BY o_custkey, version""".stripMargin,
+    "q96_histogram" -> {
+      val mn = away("min(o_totalprice)", 2)
+      val mx = away("max(o_totalprice)", 2)
+      s"""WITH b AS (SELECT o_totalprice, CAST(floor(o_totalprice / 25000.0) AS INTEGER) AS bin FROM orders)
+         |SELECT bin, count(*) AS n_orders, $mn AS min_price, $mx AS max_price, bin * 25000.0 AS bin_lo
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+    },
+    "q97_grouping_sets" -> {
+      val tot = away("CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)", 2)
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+         |  count(*) AS n_items, $tot AS sum_qty
+         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY gid, l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin
+    },
+    "q98_percent_rank" -> {
+      val pr = away("percent_rank() OVER w", 6)
+      val cd = away("cume_dist() OVER w", 6)
+      s"""SELECT o_orderkey, o_orderpriority, $pr AS pct_rank, $cd AS cume
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+         |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+    }
   )
 }

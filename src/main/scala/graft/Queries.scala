@@ -1201,4 +1201,119 @@ object Queries {
       .agg(count(lit(1)).as("n_within"))
       .orderBy("event_id")
   }
+
+  // batch sessionization (gaps-and-islands): a new session starts when
+  // the same user's inter-event gap exceeds 30 minutes. Two window
+  // passes over ONE (user_id) shuffle — the break flags and their
+  // running sum share the same partitioning — then the per-session
+  // rollup reuses it (no second exchange). The batch complement of the
+  // streaming q37: emits EVERY session, including each user's last.
+  def sessionizeBatch(s: SparkSession, dir: String): DataFrame = {
+    val gapMs = 30L * 60 * 1000
+    val w = Window.partitionBy("user_id").orderBy(col("tms"), col("event_id"))
+    Tables
+      .events(s, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("tms"), col("event_id"), col("value"))
+      .withColumn(
+        "brk",
+        when(col("tms") - lag(col("tms"), 1).over(w) > gapMs, 1).otherwise(0)
+      )
+      .withColumn("sess", sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(
+        min(col("tms")).as("start_ms"),
+        max(col("tms")).as("end_ms"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(25,6)")).cast("double").as("sum_value")
+      )
+      .withColumn("session_seq", (col("sess") + 1).cast("int"))
+      .drop("sess")
+      .orderBy("user_id", "start_ms")
+  }
+
+  // SCD2 dimension-history build: collapse each customer's order
+  // stream into priority "versions" (gaps-and-islands on the change
+  // flag), then stamp validity intervals — valid_to = next version's
+  // valid_from (lead), open interval on the current version. The whole
+  // construction is three window passes over ONE (o_custkey) exchange;
+  // at 100 TB the dimension key partitions the work and nothing global
+  // exists.
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val islands = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
+      .withColumn("chg", when(col("prev").isNull || col("o_orderpriority") =!= col("prev"), 1).otherwise(0))
+      .withColumn("ver", sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("o_custkey"), col("ver"))
+      .agg(
+        max(col("o_orderpriority")).as("o_orderpriority"), // constant within an island
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("valid_from"),
+        count(lit(1)).as("n_orders")
+      )
+    val vw = Window.partitionBy("o_custkey").orderBy(col("ver"))
+    islands
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(vw))
+      .select(
+        col("o_custkey"),
+        col("ver").cast("int").as("version"),
+        col("o_orderpriority"),
+        col("valid_from"),
+        col("valid_to"),
+        col("n_orders"),
+        when(col("valid_to").isNull, 1).otherwise(0).as("is_current")
+      )
+      .orderBy("o_custkey", "version")
+  }
+
+  // fixed-width histogram: bin = floor(price / width) is a pure
+  // map-side expression, so the shuffle carries (bin, partial-agg)
+  // rows only — the profile of a 100 TB column costs one scan + a
+  // bins-sized exchange
+  def histogram(s: SparkSession, dir: String): DataFrame = {
+    val width = 25000.0
+    t(s, dir, "orders")
+      .select(col("o_totalprice"), floor(col("o_totalprice") / width).cast("int").as("bin"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        NumOps.roundAway(min(col("o_totalprice")), 2).as("min_price"),
+        NumOps.roundAway(max(col("o_totalprice")), 2).as("max_price")
+      )
+      .withColumn("bin_lo", col("bin") * width)
+      .orderBy("bin")
+  }
+
+  // GROUPING SETS: the explicit-sets sibling of rollup (q53) and cube
+  // (q66) — Spark expands to one Expand node (map-side row replication
+  // folded by the partial agg in the same stage; one shuffle total)
+  def groupingSetsAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"),
+        col("l_linestatus")
+      )
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_items"),
+        NumOps.exactSum(col("l_quantity"), 2).as("sum_qty")
+      )
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
+
+  // rank-to-fraction windows: percent_rank ((rank-1)/(n-1)) and
+  // cume_dist over each priority class — partitioned windows, so the
+  // biggest single task is one priority class, not the table. The
+  // unique (price, orderkey) order spec makes every row its own peer
+  // group → both fractions are exact integer ratios, identical in any
+  // engine's double division.
+  def percentRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("pct_rank", NumOps.roundAway(percent_rank().over(w), 6))
+      .withColumn("cume", NumOps.roundAway(cume_dist().over(w), 6))
+      .drop("o_totalprice")
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
 }
