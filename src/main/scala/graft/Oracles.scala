@@ -933,6 +933,69 @@ object Oracles {
          |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          |ORDER BY gid, l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin
     },
+    // every rule an integer comparison — no float exists to diverge
+    "q92_quality_filter" ->
+      raw"""WITH d AS (SELECT lang, regexp_split_to_array(trim(text), '\s+') AS ws,
+        |    CAST(len(regexp_replace(trim(text), '\s+', '', 'g')) AS INTEGER) AS sum_len
+        |  FROM documents),
+        |f AS (SELECT lang, CAST(len(ws) AS INTEGER) AS n_words, sum_len,
+        |    CAST(len(list_filter(ws, x -> list_contains(['the','a','and','is','of'], x))) AS INTEGER) AS n_stop,
+        |    CAST(len(list_distinct(ws)) AS INTEGER) AS n_distinct
+        |  FROM d),
+        |p AS (SELECT lang,
+        |    CASE WHEN n_words >= 30 AND n_words <= 600 THEN 1 ELSE 0 END AS p_len,
+        |    CASE WHEN sum_len >= n_words * 3 AND sum_len <= n_words * 6 THEN 1 ELSE 0 END AS p_wordlen,
+        |    CASE WHEN n_stop * 50 >= n_words THEN 1 ELSE 0 END AS p_stop,
+        |    CASE WHEN n_distinct * 5 >= n_words THEN 1 ELSE 0 END AS p_div
+        |  FROM f)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(p_len) AS BIGINT) AS n_pass_len,
+        |  CAST(sum(p_wordlen) AS BIGINT) AS n_pass_wordlen,
+        |  CAST(sum(p_stop) AS BIGINT) AS n_pass_stop,
+        |  CAST(sum(p_div) AS BIGINT) AS n_pass_diversity,
+        |  CAST(sum(p_len * p_wordlen * p_stop * p_div) AS BIGINT) AS n_kept
+        |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
+    // bigram counts per doc; permyriad = exact integer floor division
+    "q93_repetition" ->
+      raw"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM w WHERE len(ws) >= 2),
+        |b AS (SELECT doc_id, CAST(len(ws) AS INTEGER) AS n_words,
+        |    CAST(len(list_distinct(ws)) AS INTEGER) AS n_distinct,
+        |    ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1] AS g
+        |  FROM x),
+        |c AS (SELECT doc_id, g, count(*) AS cnt, max(n_words) AS n_words, max(n_distinct) AS n_distinct
+        |  FROM b GROUP BY doc_id, g),
+        |a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams, max(cnt) AS top_count,
+        |    max(n_words) AS n_words, max(n_distinct) AS n_distinct
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, top_count,
+        |  (10000 * top_count) // n_bigrams AS rep_permyriad,
+        |  CAST((10000 * (n_words - n_distinct)) // n_words AS BIGINT) AS dup_word_permyriad
+        |FROM a ORDER BY doc_id""".stripMargin,
+    // keep-first corpus passage dedup: rank over the passage hash
+    "q94_passage_dedup" ->
+      raw"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |c AS (SELECT doc_id, ws,
+        |    CAST(unnest(generate_series(0, CAST((len(ws) - 1) // 3 AS INTEGER))) AS INTEGER) AS chunk_idx
+        |  FROM w),
+        |h AS (SELECT doc_id, chunk_idx,
+        |    md5(array_to_string(list_slice(ws, chunk_idx * 3 + 1, chunk_idx * 3 + 3), ' ')) AS h
+        |  FROM c),
+        |r AS (SELECT doc_id, chunk_idx, row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn FROM h)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  (10000 * CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS retained_permyriad
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // deterministic per-language cap: global hash rank <= k
+    "q95_group_cap" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn FROM d),
+        |k AS (SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |  FROM r WHERE rn <= 200 GROUP BY lang),
+        |t AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY lang)
+        |SELECT t.lang, n_total, n_kept, id_sum FROM t JOIN k USING (lang) ORDER BY lang""".stripMargin,
     "q98_percent_rank" -> {
       val pr = away("percent_rank() OVER w", 6)
       val cd = away("cume_dist() OVER w", 6)

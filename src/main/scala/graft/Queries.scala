@@ -1316,4 +1316,144 @@ object Queries {
       .drop("o_totalprice")
       .orderBy("o_orderpriority", "o_orderkey")
   }
+
+  // Gopher-style quality-rule suite: word-count bounds, mean-word-length
+  // bounds, stopword presence, lexical diversity — every rule an
+  // integer comparison (cross-multiplied instead of divided, so no
+  // float ever exists to disagree cross-engine). All four flags are
+  // pure map-side expressions over the split array: one scan, one
+  // lang-keyed exchange of partial counts. The classic pre-training
+  // corpus filter (Gopher §A1.1 rules re-expressed relationally).
+  def qualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextOps.tokens(col("text"))
+    val nWords = size(ws)
+    val sumLen = length(regexp_replace(trim(col("text")), "\\s+", ""))
+    val nStop = size(filter(ws, w => w.isInCollection(Seq("the", "a", "and", "is", "of"))))
+    val nDistinct = size(array_distinct(ws))
+    val passLen = nWords >= 30 && nWords <= 600
+    val passWordLen = sumLen >= nWords * 3 && sumLen <= nWords * 6 // 3 <= mean len <= 6
+    val passStop = nStop * 50 >= nWords // stopword share >= 2%
+    val passDiversity = nDistinct * 5 >= nWords // distinct share >= 20%
+    t(s, dir, "documents")
+      .select(
+        col("lang"),
+        passLen.cast("int").as("p_len"),
+        passWordLen.cast("int").as("p_wordlen"),
+        passStop.cast("int").as("p_stop"),
+        passDiversity.cast("int").as("p_div"),
+        (passLen && passWordLen && passStop && passDiversity).cast("int").as("p_all")
+      )
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("p_len")).as("n_pass_len"),
+        sum(col("p_wordlen")).as("n_pass_wordlen"),
+        sum(col("p_stop")).as("n_pass_stop"),
+        sum(col("p_div")).as("n_pass_diversity"),
+        sum(col("p_all")).as("n_kept")
+      )
+      .orderBy("lang")
+  }
+
+  // within-document repetition metrics (the Gopher §A1.1 "repetition
+  // removal" signals): the share of the document occupied by its most
+  // frequent word bigram, and the duplicate-word share — both emitted
+  // as integer permyriad (10000·x floor-divided) so the fraction is an
+  // exact integer on any engine. Bigram counts shuffle on (doc, gram)
+  // and fold to (doc); both exchanges carry gram-count rows, never
+  // text.
+  def repetitionMetrics(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextOps.tokens(col("text"))
+    val docs = t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(ws).as("n_words"),
+        size(array_distinct(ws)).as("n_distinct"),
+        explode(TextOps.wordShingles(ws, 2)).as("g")
+      )
+    docs
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("cnt"), max(col("n_words")).as("n_words"), max(col("n_distinct")).as("n_distinct"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n_bigrams"),
+        max(col("cnt")).as("top_count"),
+        max(col("n_words")).as("n_words"),
+        max(col("n_distinct")).as("n_distinct")
+      )
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        col("top_count"),
+        expr("(10000 * top_count) div n_bigrams").as("rep_permyriad"),
+        expr("(10000 * (n_words - n_distinct)) div n_words").as("dup_word_permyriad")
+      )
+      .orderBy("doc_id")
+  }
+
+  // corpus-level exact passage dedup (the C4 move, passage = 3-word
+  // disjoint window so the tiny synthetic vocabulary actually
+  // collides): first occurrence — (doc_id, chunk_idx)-minimal — of
+  // each distinct passage hash survives, later copies drop. The
+  // keep-first rank is a window over the HASH key, so the work
+  // partitions by passage fingerprint; per-doc retention folds back on
+  // doc_id. Passages shuffle as (hash, ids), never as text.
+  def passageDedup(s: SparkSession, dir: String): DataFrame = {
+    val passage = 3
+    val ws = TextOps.tokens(col("text"))
+    val chunks = t(s, dir, "documents")
+      .select(col("doc_id"), ws.as("ws"))
+      .select(
+        col("doc_id"),
+        col("ws"),
+        explode(sequence(lit(0), floor((size(col("ws")) - 1) / passage).cast("int"))).as("chunk_idx")
+      )
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        md5(concat_ws(" ", slice(col("ws"), col("chunk_idx") * passage + 1, lit(passage)))).as("h")
+      )
+    val keepFirst = Window.partitionBy("h").orderBy(col("doc_id"), col("chunk_idx"))
+    chunks
+      .withColumn("rn", row_number().over(keepFirst))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept")
+      )
+      .select(
+        col("doc_id"),
+        col("n_chunks"),
+        col("n_kept"),
+        expr("(10000 * n_kept) div n_chunks").as("retained_permyriad")
+      )
+      .orderBy("doc_id")
+  }
+
+  // per-domain corpus cap: keep at most k docs per language, chosen by
+  // the deterministic hash rank (a seedless reservoir). Scale shape:
+  // rank FIRST within (lang, shard) — 16-way finer key, bounded k per
+  // shard — then rank the ≤ 16k survivors per lang; top-k of a union
+  // of per-shard top-ks equals global top-k, so the result is
+  // identical to a single global rank while no single task ever sees
+  // more than one shard of one language.
+  def groupCap(s: SparkSession, dir: String): DataFrame = {
+    val k = 200
+    val h = TextOps.hash32(col("doc_id").cast("string"))
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"), h.as("h"))
+    val shardW = Window.partitionBy(col("lang"), pmod(col("h"), lit(16))).orderBy(col("h"), col("doc_id"))
+    val langW = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    val kept = docs
+      .withColumn("srn", row_number().over(shardW))
+      .filter(col("srn") <= k)
+      .withColumn("rn", row_number().over(langW))
+      .filter(col("rn") <= k)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+    val totals = docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+    totals
+      .join(broadcast(kept), Seq("lang"))
+      .select("lang", "n_total", "n_kept", "id_sum")
+      .orderBy("lang")
+  }
 }
