@@ -996,6 +996,23 @@ object Oracles {
         |  FROM r WHERE rn <= 200 GROUP BY lang),
         |t AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY lang)
         |SELECT t.lang, n_total, n_kept, id_sum FROM t JOIN k USING (lang) ORDER BY lang""".stripMargin,
+    // quantize: same IEEE double chain; ok is the assertion column —
+    // literal 1 here, computed in-query on the Spark side
+    "q101_embed_quantize" ->
+      """WITH s AS (SELECT CAST(min(x) AS DOUBLE) AS lo, CAST(max(x) AS DOUBLE) AS hi
+        |    FROM (SELECT unnest(embedding) AS x FROM embeddings)),
+        |q AS (SELECT vec_id, embedding, lo, hi, (hi - lo) / 255.0 AS sc FROM embeddings, s)
+        |SELECT vec_id, CAST(len(embedding) AS INTEGER) AS n_dims,
+        |  CAST(list_sum(list_transform(generate_series(1, len(embedding)), i ->
+        |    CAST(least(greatest(floor((CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) - lo) / sc + 0.5), 0.0), 255.0) AS BIGINT) * i)) AS BIGINT) AS qsum,
+        |  1 AS ok
+        |FROM q ORDER BY vec_id""".stripMargin,
+    "q102_vector_centroids" -> {
+      val m = away("CAST(sum(CAST(embedding[CAST(i AS INTEGER)] AS DECIMAL(25,12))) AS DOUBLE) / count(*)", 6)
+      s"""SELECT label, CAST(i AS INTEGER) AS dim_idx, count(*) AS n_vecs, $m AS mean_val
+         |FROM (SELECT label, embedding, unnest(generate_series(1, len(embedding))) AS i FROM embeddings)
+         |GROUP BY label, i ORDER BY label, dim_idx""".stripMargin
+    },
     "q98_percent_rank" -> {
       val pr = away("percent_rank() OVER w", 6)
       val cd = away("cume_dist() OVER w", 6)

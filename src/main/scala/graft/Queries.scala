@@ -2,7 +2,7 @@ package graft
 
 import java.time.LocalDate
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1456,4 +1456,54 @@ object Queries {
       .select("lang", "n_total", "n_kept", "id_sum")
       .orderBy("lang")
   }
+
+  // int8 scalar quantization of the embedding column — the compression
+  // pass before an ANN index ships to serving. Pass 1 computes the
+  // global [lo, hi] (a 2-value aggregate, broadcast back); pass 2 maps
+  // each float to floor((x-lo)/scale + .5) ∈ [0,255] — all IEEE double
+  // ops both engines compute bit-identically. Emits a position-weighted
+  // checksum of each quantized vector (so any element or ordering
+  // mismatch flips the hash) and an in-query reconstruction-error
+  // assertion (|dequant - x| <= scale/2, the q38 assertion-column
+  // pattern: the oracle emits literal 1, so the hash matches iff the
+  // bound holds for every element of every vector).
+  def embedQuantize(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val stats = emb
+      .select(explode(col("embedding")).as("x"))
+      .agg(min(col("x")).cast("double").as("lo"), max(col("x")).cast("double").as("hi"))
+    val sc = (col("hi") - col("lo")) / 255.0
+    def quant(x: Column): Column =
+      least(greatest(floor((x.cast("double") - col("lo")) / sc + 0.5), lit(0.0)), lit(255.0))
+    emb
+      .crossJoin(broadcast(stats))
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("n_dims"),
+        aggregate(
+          zip_with(col("embedding"), sequence(lit(1L), size(col("embedding")).cast("long")), (x, i) => quant(x).cast("long") * i),
+          lit(0L),
+          (acc, v) => acc + v
+        ).as("qsum"),
+        forall(col("embedding"), x => abs(quant(x) * sc + col("lo") - x.cast("double")) <= sc / 2 + lit(1e-9))
+          .cast("int")
+          .as("ok")
+      )
+      .orderBy("vec_id")
+  }
+
+  // per-class centroid (the mean-embedding step of clustering /
+  // class-prototype pipelines): posexplode to (label, dim, x) rows,
+  // decimal-exact per-dim sums (partition-invariant — the same
+  // centroid at 32 or 32,000 partitions), divide once in double. The
+  // corpus shuffles once, keyed (label, dim); output is labels×dims.
+  def vectorCentroids(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), (col("pos") + 1).as("dim_idx"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        NumOps.roundAway(sum(col("x").cast("decimal(25,12)")).cast("double") / count(lit(1)), 6).as("mean_val")
+      )
+      .orderBy("label", "dim_idx")
 }
