@@ -1013,6 +1013,20 @@ object Oracles {
          |FROM (SELECT label, embedding, unnest(generate_series(1, len(embedding))) AS i FROM embeddings)
          |GROUP BY label, i ORDER BY label, dim_idx""".stripMargin
     },
+    // roundtrip answered from the ORC read-back; oracle reads the
+    // original parquet — equality proves format fidelity
+    "q99_orc_roundtrip" -> {
+      val tot = away("CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE)", 2)
+      s"""SELECT event_type, count(*) AS n_events, $tot AS sum_value,
+         |  min(epoch_ns(ts) // 1000) AS min_us, max(epoch_ns(ts) // 1000) AS max_us
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
+    // both engines read the same fixture files byte-for-byte
+    "q100_binary_source" ->
+      """SELECT regexp_replace(filename, '.*/', '') AS file_name,
+        |  CAST(len(content) AS BIGINT) AS length, md5(content) AS content_md5
+        |FROM read_text('/tmp/graft_fixtures/calls.*')
+        |ORDER BY file_name""".stripMargin,
     "q98_percent_rank" -> {
       val pr = away("percent_rank() OVER w", 6)
       val cd = away("cume_dist() OVER w", 6)

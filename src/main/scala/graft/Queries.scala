@@ -1506,4 +1506,45 @@ object Queries {
         NumOps.roundAway(sum(col("x").cast("decimal(25,12)")).cast("double") / count(lit(1)), 6).as("mean_val")
       )
       .orderBy("label", "dim_idx")
+
+  // ORC roundtrip: truncate-and-load the events slice to ORC and answer
+  // from the read-back — proves a second columnar format end-to-end
+  // (schema, timestamp micros fidelity, value exactness) against the
+  // parquet-derived oracle. ORC has the same scan surface (pushdown,
+  // pruning, vectorized decode) as parquet; a warehouse migration is a
+  // format string here, not a rewrite.
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    graft.sinks.RetryingSink
+      .snapshotFormat(ev, "/tmp/graft_orc/events", "orc")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        NumOps.exactSum(col("value")).as("sum_value"),
+        min(unix_micros(col("ts"))).as("min_us"),
+        max(unix_micros(col("ts"))).as("max_us")
+      )
+      .orderBy("event_type")
+  }
+
+  // whole-file binary source: the ingestion front door for multimodal
+  // corpora (the reference's raw API payloads; here the deterministic
+  // calls fixtures) — one row per FILE, payload as a binary column,
+  // never split mid-file. At 100 TB the unit of parallelism is the
+  // file, metadata (path, length) travels with the bytes, and the md5
+  // proves byte fidelity against the oracle reading the same files.
+  def binarySource(s: SparkSession, dir: String): DataFrame = {
+    Fixtures.materialize()
+    s.read
+      .format("binaryFile")
+      .load(s"${Fixtures.Dir}/calls.*")
+      .select(
+        substring_index(col("path"), "/", -1).as("file_name"),
+        col("length"),
+        md5(col("content")).as("content_md5")
+      )
+      .orderBy("file_name")
+  }
 }

@@ -59,6 +59,24 @@ object RetryingSink {
     df.sparkSession.read.parquet(path)
   }
 
+  /** [[snapshotParquet]] for any Spark file format ("orc", "json",
+    * "csv", ...) — the snapshot contract is format-agnostic; ORC is the
+    * columnar alternative a warehouse migration would demand, with the
+    * same pushdown/pruning surface as parquet at the scan.
+    */
+  def snapshotFormat(
+      df: DataFrame,
+      path: String,
+      format: String,
+      policy: RetryPolicy = RetryPolicy(),
+      sleep: Long => Unit = Thread.sleep
+  ): DataFrame = {
+    withRetry(policy, sleep) { () =>
+      df.write.mode(SaveMode.Overwrite).format(format).save(path)
+    }
+    df.sparkSession.read.format(format).load(path)
+  }
+
   /** Hive-style partitioned truncate-and-load: one directory per value
     * of each partition column. At 100 TB the partition layout IS the
     * index: a reader filtering on a partition column enumerates only
