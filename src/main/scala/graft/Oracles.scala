@@ -1027,6 +1027,14 @@ object Oracles {
         |  CAST(len(content) AS BIGINT) AS length, md5(content) AS content_md5
         |FROM read_text('/tmp/graft_fixtures/calls.*')
         |ORDER BY file_name""".stripMargin,
+    // the Bloom prefilter is invisible to results: oracle = plain join
+    "q103_bloom_join" -> {
+      val tot = away("CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)", 2)
+      s"""SELECT o_orderpriority, count(*) AS n_orders, $tot AS total_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    },
     "q98_percent_rank" -> {
       val pr = away("percent_rank() OVER w", 6)
       val cd = away("cume_dist() OVER w", 6)

@@ -1529,6 +1529,22 @@ object Queries {
       .orderBy("event_type")
   }
 
+  // Bloom-prefiltered join: the explicit runtime-filter move — build a
+  // bitset over the selective dimension's keys, kill non-matching fact
+  // rows at the scan (codegen'd probe, zero shuffle) and only then
+  // join. False positives die in the real join, so the result is
+  // bit-identical to the plain join the oracle runs.
+  def bloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    graft.operators.BloomJoin
+      .prefilteredJoin(t(s, dir, "orders"), col("o_custkey"), dim, col("c_custkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), NumOps.exactSum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderpriority")
+  }
+
   // whole-file binary source: the ingestion front door for multimodal
   // corpora (the reference's raw API payloads; here the deterministic
   // calls fixtures) — one row per FILE, payload as a binary column,
