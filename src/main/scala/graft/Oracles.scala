@@ -1027,6 +1027,27 @@ object Oracles {
         |  CAST(len(content) AS BIGINT) AS length, md5(content) AS content_md5
         |FROM read_text('/tmp/graft_fixtures/calls.*')
         |ORDER BY file_name""".stripMargin,
+    // gaps-and-islands in MICROSECONDS (the operator's merge unit); a
+    // session is emitted once the 1-hour watermark passes its end
+    "q104_session_window_stream" -> {
+      val tot = away("CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE)", 2)
+      s"""WITH x AS (
+         |  SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_id, value,
+         |    CASE WHEN epoch_ns(ts) // 1000 - lag(epoch_ns(ts) // 1000)
+         |             OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id) >= 1800000000
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM events),
+         |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM x),
+         |s AS (SELECT user_id, min(tus) // 1000 AS start_ms,
+         |        (max(tus) + 1800000000) // 1000 AS end_ms,
+         |        count(*) AS n_events, $tot AS sum_value
+         |      FROM g GROUP BY user_id, sess),
+         |m AS (SELECT max(epoch_ns(ts) // 1000) // 1000 - 3600000 AS wm_ms FROM events)
+         |SELECT user_id, start_ms, end_ms, n_events, sum_value
+         |FROM s, m WHERE end_ms <= wm_ms
+         |ORDER BY user_id, start_ms""".stripMargin
+    },
     // the Bloom prefilter is invisible to results: oracle = plain join
     "q103_bloom_join" -> {
       val tot = away("CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)", 2)

@@ -1529,6 +1529,12 @@ object Queries {
       .orderBy("event_type")
   }
 
+  // native session_window streaming aggregation — the engine-managed
+  // sessionizer (vs q37's flatMapGroupsWithState): gap-merge and
+  // watermark eviction live in the state operator, not user code
+  def sessionWindowStream(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamAgg.sessionWindowTotals(s, dir)
+
   // Bloom-prefiltered join: the explicit runtime-filter move — build a
   // bitset over the selective dimension's keys, kill non-matching fact
   // rows at the scan (codegen'd probe, zero shuffle) and only then

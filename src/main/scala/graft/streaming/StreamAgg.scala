@@ -237,6 +237,48 @@ object StreamAgg {
     }
   }
 
+  /** Native `session_window` streaming aggregation: gap-merged sessions
+    * per user in APPEND mode — the engine-managed complement of the
+    * `flatMapGroupsWithState` sessionizer (q37). The state operator
+    * merges an arriving event into any session within 30 min and
+    * finalizes a session once the 1-hour watermark passes its end
+    * (last event + gap), so each user's trailing open session is
+    * withheld — exactly what a live pipeline must do. State is keyed
+    * (user, session), sharded by user: no global structure, watermark
+    * bounds the store. The oracle replays the same gaps-and-islands in
+    * MICROSECONDS (the unit the operator merges in) and applies the
+    * same emission rule.
+    */
+  def sessionWindowTotals(spark: SparkSession, dir: String): DataFrame = {
+    StateConf.withStatePartitions(spark, 8) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      val raw = spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(dir)
+      val agg = raw
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), NumOps.exactSum(col("value")).as("sum_value"))
+        .select(
+          col("user_id"),
+          unix_millis(col("session_window.start")).as("start_ms"),
+          unix_millis(col("session_window.end")).as("end_ms"),
+          col("n_events"),
+          col("sum_value")
+        )
+      val name = s"graft_stream_session_${runSeq.incrementAndGet()}"
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+      spark.table(name).orderBy("user_id", "start_ms")
+    }
+  }
+
   /** Stream the events table (available-now), aggregate per event_type,
     * materialize via memory sink, return the result.
     */
