@@ -1027,6 +1027,72 @@ object Oracles {
         |  CAST(len(content) AS BIGINT) AS length, md5(content) AS content_md5
         |FROM read_text('/tmp/graft_fixtures/calls.*')
         |ORDER BY file_name""".stripMargin,
+    // estimate (signature agreement) next to exact Jaccard for the
+    // same LSH candidates — the ladder's rungs, quantified side by side
+    "q105_minhash_estimate" -> {
+      val p = graft.operators.NearDup.MinhashPrime
+      val params = graft.operators.NearDup.minhashParams(16)
+      val sigCols = params.zipWithIndex
+        .map { case ((a, b), i) => s"min(($a * x + $b) % $p) AS sig_$i" }
+        .mkString(",\n  ")
+      val bandCols = (0 until 4)
+        .map { j =>
+          val parts = (0 until 4).map(r => s"sig_${j * 4 + r}").mkString(" || ':' || ")
+          s"md5($parts) AS band_$j"
+        }
+        .mkString(",\n  ")
+      val bandJoins = (0 until 4)
+        .map(j =>
+          s"SELECT a.doc_id AS d1, b.doc_id AS d2 FROM band a JOIN band b ON a.band_$j = b.band_$j AND a.doc_id < b.doc_id"
+        )
+        .mkString("\nUNION\n")
+      val matches = (0 until 16).map(i => s"(CASE WHEN a.sig_$i = b.sig_$i THEN 1 ELSE 0 END)").mkString(" + ")
+      val jac = away("CAST(common AS DOUBLE) / (s1.n_sh + s2.n_sh - common)", 4)
+      s"""WITH $ShingleCte,
+         |hx AS (SELECT doc_id, ${hx("g")} AS x FROM sh),
+         |sig AS (SELECT doc_id,
+         |  $sigCols
+         |FROM hx GROUP BY doc_id),
+         |band AS (SELECT doc_id,
+         |  $bandCols
+         |FROM sig),
+         |cand AS ($bandJoins),
+         |est AS (SELECT cand.d1, cand.d2, CAST($matches AS INTEGER) AS sig_matches
+         |  FROM cand JOIN sig a ON a.doc_id = cand.d1 JOIN sig b ON b.doc_id = cand.d2),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |cm AS (SELECT est.d1, est.d2, count(*) AS common
+         |  FROM est JOIN sh sa ON sa.doc_id = est.d1 JOIN sh sb ON sb.doc_id = est.d2 AND sa.g = sb.g
+         |  GROUP BY est.d1, est.d2)
+         |SELECT est.d1, est.d2, sig_matches,
+         |  CAST(10000 * sig_matches AS BIGINT) // 16 AS est_permyriad,
+         |  $jac AS jaccard_exact
+         |FROM est JOIN cm ON cm.d1 = est.d1 AND cm.d2 = est.d2
+         |  JOIN sz s1 ON s1.doc_id = est.d1 JOIN sz s2 ON s2.doc_id = est.d2
+         |ORDER BY est.d1, est.d2""".stripMargin
+    },
+    "q106_bpe_pairs" ->
+      raw"""WITH tk AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents),
+        |wc AS (SELECT w, count(*) AS cnt FROM tk GROUP BY w),
+        |ix AS (SELECT w, cnt, unnest(generate_series(1, len(w) - 1)) AS i FROM wc WHERE len(w) >= 2),
+        |p AS (SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, cnt FROM ix)
+        |SELECT pair, CAST(sum(cnt) AS BIGINT) AS n_occurrences
+        |FROM p GROUP BY pair
+        |ORDER BY n_occurrences DESC, pair LIMIT 50""".stripMargin,
+    "q107_hot_keys" ->
+      """WITH c AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey),
+        |t AS (SELECT count(*) AS total FROM orders)
+        |SELECT o_custkey, n_orders, (10000 * n_orders) // total AS share_permyriad
+        |FROM c, t
+        |ORDER BY n_orders DESC, o_custkey LIMIT 20""".stripMargin,
+    "q108_vocab_prune" ->
+      raw"""WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents),
+        |pd AS (SELECT doc_id, token, count(*) AS cnt FROM tk GROUP BY doc_id, token),
+        |wdf AS (SELECT *, count(*) OVER (PARTITION BY token) AS df FROM pd),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN df * 100 <= n_docs * 77 THEN cnt ELSE 0 END) AS BIGINT) AS n_kept,
+        |  (10000 * CAST(sum(CASE WHEN df * 100 <= n_docs * 77 THEN cnt ELSE 0 END) AS BIGINT)) // CAST(sum(cnt) AS BIGINT) AS kept_permyriad
+        |FROM wdf, n GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // gaps-and-islands in MICROSECONDS (the operator's merge unit); a
     // session is emitted once the 1-hour watermark passes its end
     "q104_session_window_stream" -> {

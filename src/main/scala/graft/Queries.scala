@@ -1551,6 +1551,108 @@ object Queries {
       .orderBy("o_orderpriority")
   }
 
+  // the approximation ladder, quantified: for each LSH candidate pair,
+  // the MinHash signature-agreement estimate of Jaccard NEXT TO the
+  // exact Jaccard — the verification join every production near-dup
+  // pipeline runs on its candidates (linear in candidate count, the
+  // LSH contract; never all-pairs). Estimate is an exact integer
+  // (agreeing positions / k); exact similarity is the q26 formula.
+  def minhashEstimate(s: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val docs = t(s, dir, "documents")
+    val sigs = NearDup.minhashSignatures(docs, col("doc_id"), col("text"), k = k, n = 3)
+    val pairs = NearDup.lshCandidatePairs(sigs, bands = 4, rowsPerBand = 4)
+    val matches = (0 until k)
+      .map(i => when(col(s"a.sig_$i") === col(s"b.sig_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val withEst = pairs
+      .join(sigs.as("a"), col("d1") === col("a.doc_id"))
+      .join(sigs.as("b"), col("d2") === col("b.doc_id"))
+      .select(col("d1"), col("d2"), matches.as("sig_matches"))
+    val sh = NearDup.shingleTable(docs, col("doc_id"), col("text"), n = 3)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = withEst
+      .join(sh.as("sa"), col("d1") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("d2") === col("sb.doc_id") && col("sa.g") === col("sb.g"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("common"))
+    withEst
+      .join(common, Seq("d1", "d2"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2")), Seq("d2"))
+      .select(
+        col("d1"),
+        col("d2"),
+        col("sig_matches"),
+        expr(s"(10000 * sig_matches) div $k").as("est_permyriad"),
+        NumOps.roundAway(col("common").cast("double") / (col("n1") + col("n2") - col("common")), 4).as("jaccard_exact")
+      )
+      .orderBy("d1", "d2")
+  }
+
+  // first BPE merge iteration: adjacent character-pair counts over the
+  // corpus, weighted by word frequency — the pair-count table a BPE
+  // tokenizer trainer maximizes over. The corpus collapses to its
+  // vocabulary FIRST (one token shuffle), then pairs explode over the
+  // vocab-sized table: at 100 TB the pair work is O(|vocab|·len), not
+  // O(corpus).
+  def bpePairCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(length(col("w")) >= 2)
+      .select(col("w"), col("cnt"), explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(expr("substring(w, i, 2)").as("pair"), col("cnt"))
+      .groupBy("pair")
+      .agg(sum(col("cnt")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(50)
+
+  // skew diagnostics: the hottest join/agg keys with their corpus
+  // share — the measurement that decides WHERE salting (q35/q47) is
+  // worth its overhead. One count shuffle; the total rides in as a
+  // broadcast scalar; share is an exact integer permyriad.
+  def hotKeys(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val counts = o.groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    val total = o.agg(count(lit(1)).as("total"))
+    counts
+      .crossJoin(broadcast(total))
+      .select(col("o_custkey"), col("n_orders"), expr("(10000 * n_orders) div total").as("share_permyriad"))
+      .orderBy(col("n_orders").desc, col("o_custkey"))
+      .limit(20)
+  }
+
+  // vocabulary pruning (stopword-style): drop tokens present in more
+  // than 77% of documents, report each document's surviving token
+  // share. Document frequency comes from a window over the
+  // (doc, token) aggregate — the q71 trick: the corpus explodes ONCE,
+  // df never needs a second explode or a join back to the corpus.
+  def vocabPrune(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val perDocTok = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    perDocTok
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
+      .crossJoin(broadcast(nDocs))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("cnt")).as("n_tokens"),
+        sum(when(col("df") * 100 <= col("n_docs") * 77, col("cnt")).otherwise(0L)).as("n_kept")
+      )
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_kept"),
+        expr("(10000 * n_kept) div n_tokens").as("kept_permyriad")
+      )
+      .orderBy("doc_id")
+  }
+
   // whole-file binary source: the ingestion front door for multimodal
   // corpora (the reference's raw API payloads; here the deterministic
   // calls fixtures) — one row per FILE, payload as a binary column,
