@@ -176,4 +176,42 @@ class PlanSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size === 1, s"rollup must not rescan per grouping level:\n$p")
     assert(p.contains("Expand"), "grouping sets should expand map-side")
   }
+
+  test("grouping sets (q97) expand from one scan like rollup/cube") {
+    val p = Queries.groupingSetsAgg(spark, sfDir).queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("Scan parquet".r.findAllIn(p).size === 1, s"grouping sets must not rescan per set:\n$p")
+    assert(p.contains("Expand"), "grouping sets should expand map-side")
+  }
+
+  test("batch sessionize (q90): break flags, session ids and the rollup share ONE user_id exchange") {
+    val p = Queries.sessionizeBatch(spark, sfDir).queryExecution.explainString(ExplainMode.fromString("simple"))
+    val hashExchanges = p.linesIterator.count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s"expected the two window passes + groupBy to reuse one user_id shuffle, got $hashExchanges:\n$p")
+  }
+
+  test("SCD2 (q91): all three window passes are keyed by the dimension key") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val df = Queries.scd2History(spark, sfDir)
+    val windows = df.queryExecution.optimizedPlan.collect { case w: logical.Window => w }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty, "unpartitioned window in SCD2 build"))
+  }
+
+  test("per-domain cap (q95): every rank window is keyed — no global sort of the corpus") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val df = Queries.groupCap(spark, sfDir)
+    val windows = df.queryExecution.optimizedPlan.collect { case w: logical.Window => w }
+    assert(windows.size >= 2, "expected the shard-local and the per-language rank windows")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty, "unpartitioned rank window defeats the two-level cap"))
+  }
+
+  test("vocab prune (q108): the corpus explodes exactly once (df from a window, not a second explode)") {
+    val p = Queries.vocabPrune(spark, sfDir).queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("Generate explode".r.findAllIn(p).size === 1, s"expected one explode of the token stream:\n$p")
+  }
+
+  test("histogram (q96): bin assignment is map-side — the exchange carries only partial aggregates") {
+    val p = Queries.histogram(spark, sfDir).queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected partial+final HashAggregate:\n$p")
+  }
 }
