@@ -1027,6 +1027,31 @@ object Oracles {
         |  CAST(len(content) AS BIGINT) AS length, md5(content) AS content_md5
         |FROM read_text('/tmp/graft_fixtures/calls.*')
         |ORDER BY file_name""".stripMargin,
+    "q109_fact_join" -> {
+      val rev = away("CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)", 2)
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+         |  count(*) AS n_items, $rev AS revenue
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY order_year ORDER BY order_year""".stripMargin
+    },
+    // mode with a pinned tie-break (count desc, type asc)
+    "q110_group_mode" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS n_occurrences FROM events GROUP BY user_id, event_type),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_occurrences DESC, event_type) AS rn FROM c)
+        |SELECT user_id, event_type AS mode_event_type, n_occurrences
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q111_collect_types" ->
+      """SELECT user_id,
+        |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+        |  count(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // native forward ASOF: earliest purchase at-or-after each click
+    "q112_asof_forward" ->
+      """WITH c AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.event_id, p.us AS purchase_us, (p.us - c.us) // 1000000 AS gap_s
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.us <= p.us
+        |ORDER BY c.user_id, c.event_id""".stripMargin,
     // estimate (signature agreement) next to exact Jaccard for the
     // same LSH candidates — the ladder's rungs, quantified side by side
     "q105_minhash_estimate" -> {

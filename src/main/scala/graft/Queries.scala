@@ -1653,6 +1653,76 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // fact ⋈ fact: both sides are corpus-sized, so neither may broadcast
+  // — the SHUFFLE_MERGE hint pins the sort-merge strategy a 100 TB
+  // plan needs (at test scale AQE would happily broadcast the smaller
+  // fact and hide the real shape). One co-partitioned shuffle per
+  // side; revenue folds map-side after the join.
+  def factJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    o.hint("shuffle_merge")
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        NumOps.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("revenue")
+      )
+      .orderBy("order_year")
+  }
+
+  // deterministic per-group mode: most frequent event type per user,
+  // ties to the lexicographically smallest (built-in `mode` leaves tie
+  // choice undefined — useless under an exact oracle). Count shuffle +
+  // keyed rank window; nothing global.
+  def groupMode(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables
+      .events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    val w = Window.partitionBy("user_id").orderBy(col("n_occurrences").desc, col("event_type"))
+    counts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("mode_event_type"), col("n_occurrences"))
+      .orderBy("user_id")
+  }
+
+  // collection aggregate: each user's distinct event types as ONE
+  // sorted, joined string — collect_set is order-nondeterministic, so
+  // sort_array makes the result exact before it ever leaves the
+  // executor. Emitted as a string (not an array) so the oracle hash is
+  // representation-stable.
+  def collectTypes(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        concat_ws(",", sort_array(collect_set(col("event_type")))).as("types"),
+        countDistinct(col("event_type")).as("n_types")
+      )
+      .orderBy("user_id")
+
+  // forward as-of: each click's time-to-next-purchase for the same
+  // user (conversion lag) — the earliest purchase at or after the
+  // click, or null if the user never converts. Same one-shuffle
+  // union-window plan as q40's backward as-of, traversed in reverse;
+  // DuckDB's native forward ASOF LEFT JOIN is the oracle.
+  def asofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val clicks = ev.filter(col("event_type") === "click").select(col("user_id"), col("event_id"), col("us"))
+    val purchases = ev.filter(col("event_type") === "purchase").select(col("user_id"), col("us"), col("us").as("pus"))
+    graft.operators.AsOfJoin
+      .asOfForward(clicks, purchases, key = "user_id", ts = "us", rightVals = Map("pus" -> "purchase_us"))
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("purchase_us"),
+        expr("(purchase_us - us) div 1000000").as("gap_s")
+      )
+      .orderBy("user_id", "event_id")
+  }
+
   // whole-file binary source: the ingestion front door for multimodal
   // corpora (the reference's raw API payloads; here the deterministic
   // calls fixtures) — one row per FILE, payload as a binary column,

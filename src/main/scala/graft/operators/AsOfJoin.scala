@@ -49,4 +49,35 @@ object AsOfJoin {
       .filter(col("__side") === 1)
       .select(leftCols.map(col).toIndexedSeq ++ rightVals.values.map(col): _*)
   }
+
+  /** Forward as-of: for every left row, the single EARLIEST right row
+    * at or after its timestamp, within a key — "time to next event"
+    * (conversion lag, next-maintenance lookup). Identical one-shuffle
+    * union-window plan as [[asOf]], traversed in descending time so
+    * `last(_, ignoreNulls)` carries the nearest following right row;
+    * right rows still sort ahead of left rows at equal timestamps, so a
+    * same-instant right row qualifies (`<=` semantics — DuckDB's
+    * forward `ASOF JOIN ON l.ts <= r.ts`, the oracle). NOTE: carried
+    * right columns must be deterministic under right-side timestamp
+    * ties (e.g. the timestamp itself, or a pre-deduped right side) —
+    * same contract as the backward form.
+    */
+  def asOfForward(left: DataFrame, right: DataFrame, key: String, ts: String, rightVals: Map[String, String]): DataFrame = {
+    val leftCols = left.columns
+    val l = left.withColumn("__side", lit(1))
+    val r = right
+      .select(Seq(col(key), col(ts)) ++ rightVals.map { case (from, to) => col(from).as(s"__r_$to") }: _*)
+      .withColumn("__side", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window
+      .partitionBy(col(key))
+      .orderBy(col(ts).desc, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightVals.values.foldLeft(unioned) { (df, to) =>
+      df.withColumn(to, last(col(s"__r_$to"), ignoreNulls = true).over(w))
+    }
+    carried
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col).toIndexedSeq ++ rightVals.values.map(col): _*)
+  }
 }

@@ -210,6 +210,12 @@ class PlanSpec extends SparkSpec {
     assert("Generate explode".r.findAllIn(p).size === 1, s"expected one explode of the token stream:\n$p")
   }
 
+  test("fact-fact join (q109) is sort-merge, not broadcast — neither side fits memory at scale") {
+    val p = plan(Queries.factJoin(spark, sfDir))
+    assert(p.contains("SortMergeJoin"), s"expected SortMergeJoin pinned by the hint:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), "a broadcast here hides the 100 TB shape")
+  }
+
   test("histogram (q96): bin assignment is map-side — the exchange carries only partial aggregates") {
     val p = Queries.histogram(spark, sfDir).queryExecution.explainString(ExplainMode.fromString("simple"))
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected partial+final HashAggregate:\n$p")

@@ -46,4 +46,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!plan.contains("Join"), "composed as-of must not use a join operator")
     assert(plan.linesIterator.count(_.contains("- Exchange")) === 1, s"expected exactly 1 exchange:\n$plan")
   }
+
+  test("asOfForward: picks earliest right row at-or-after; exact-ts qualifies; null when none") {
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 07:00:00")), // before both purchases
+      (2L, "u1", ts("2024-01-01 08:30:00")), // between purchases
+      (3L, "u1", ts("2024-01-01 09:00:00")), // exactly at the later purchase
+      (4L, "u1", ts("2024-01-01 10:00:00")), // after every purchase
+      (5L, "u2", ts("2024-01-01 08:00:00")) // other key: nothing
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      ("u1", ts("2024-01-01 08:00:00"), 100L),
+      ("u1", ts("2024-01-01 09:00:00"), 200L)
+    ).toDF("user_id", "ts", "pid")
+    val got = AsOfJoin
+      .asOfForward(left, right, "user_id", "ts", Map("pid" -> "next_pid"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    assert(got === Map(1L -> Some(100L), 2L -> Some(200L), 3L -> Some(200L), 4L -> None, 5L -> None))
+  }
 }
