@@ -1027,6 +1027,22 @@ object Oracles {
         |  CAST(len(content) AS BIGINT) AS length, md5(content) AS content_md5
         |FROM read_text('/tmp/graft_fixtures/calls.*')
         |ORDER BY file_name""".stripMargin,
+    "q113_resample_gapfill" ->
+      """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS hour FROM events),
+        |c AS (SELECT user_id, hour, count(*) AS n_events FROM e GROUP BY user_id, hour),
+        |sp AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM e GROUP BY user_id),
+        |spine AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM sp)
+        |SELECT spine.user_id, epoch_ms(spine.hour) AS hour_ms,
+        |  COALESCE(c.n_events, 0) AS n_events
+        |FROM spine LEFT JOIN c ON spine.user_id = c.user_id AND spine.hour = c.hour
+        |ORDER BY spine.user_id, hour_ms""".stripMargin,
+    "q114_user_growth" ->
+      """WITH f AS (SELECT user_id, strftime(min(date_trunc('day', ts)), '%Y-%m-%d') AS day
+        |  FROM events GROUP BY user_id),
+        |d AS (SELECT day, count(*) AS n_new_users FROM f GROUP BY day)
+        |SELECT day, n_new_users,
+        |  CAST(sum(n_new_users) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM d ORDER BY day""".stripMargin,
     "q109_fact_join" -> {
       val rev = away("CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)", 2)
       s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,

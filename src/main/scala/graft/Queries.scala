@@ -1723,6 +1723,47 @@ object Queries {
       .orderBy("user_id", "event_id")
   }
 
+  // time-series resample + gap-fill: each user's hourly event counts
+  // on a DENSE hour grid from their first to last event, zeros where
+  // nothing happened — the pandas `resample('1H').count()` move. The
+  // spine generates relationally (per-user min/max + sequence-explode,
+  // no driver loop); counts and spine meet in a (user, hour)-keyed
+  // left join. Spine size is users × span-hours — bounded by wall
+  // time, not event volume, so the gap-fill costs the same at 100 TB.
+  def resampleGapfill(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+    val counts = ev.groupBy("user_id", "hour").agg(count(lit(1)).as("n_events"))
+    val spans = ev.groupBy("user_id").agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+    spans
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hour"))
+      .join(counts, Seq("user_id", "hour"), "left")
+      .select(
+        col("user_id"),
+        unix_millis(col("hour")).as("hour_ms"),
+        coalesce(col("n_events"), lit(0L)).as("n_events")
+      )
+      .orderBy("user_id", "hour_ms")
+  }
+
+  // cohort growth: per-day first-time users and the cumulative total.
+  // First-seen day is a per-user min (one keyed shuffle over the
+  // corpus); the running total's window then orders a DAYS-sized frame
+  // — dimension-sized by construction (≤ span in days, whatever the
+  // event volume), so the unpartitioned window is bounded, unlike a
+  // corpus-wide global window.
+  def userGrowth(s: SparkSession, dir: String): DataFrame = {
+    val firstDay = Tables
+      .events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(date_format(min(date_trunc("day", col("ts"))), "yyyy-MM-dd").as("day"))
+    val w = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstDay
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_new_users"))
+      .withColumn("cum_users", sum(col("n_new_users")).over(w))
+      .orderBy("day")
+  }
+
   // whole-file binary source: the ingestion front door for multimodal
   // corpora (the reference's raw API payloads; here the deterministic
   // calls fixtures) — one row per FILE, payload as a binary column,

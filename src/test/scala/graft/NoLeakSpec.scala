@@ -33,6 +33,7 @@ class NoLeakSpec extends SparkSpec {
     assertNoBlocks("q51_embed_near_dup_lsh")(Queries.embedNearDupLsh(spark, sfDir))
     assertNoBlocks("q71_tfidf")(Queries.tfidf(spark, sfDir))
     assertNoBlocks("q80_dedup_clusters (per-round caches unpersisted)")(Queries.dedupClusters(spark, sfDir))
+    assertNoBlocks("q105_minhash_estimate")(Queries.minhashEstimate(spark, sfDir))
     assertNoBlocks("spec-only jaccardPairs")(
       graft.operators.NearDup.jaccardPairs(
         spark.read.parquet(s"$sfDir/documents.parquet"),
