@@ -1027,6 +1027,47 @@ object Oracles {
         |  CAST(len(content) AS BIGINT) AS length, md5(content) AS content_md5
         |FROM read_text('/tmp/graft_fixtures/calls.*')
         |ORDER BY file_name""".stripMargin,
+    // the dynamic pivot's discovered keys, spelled statically (the
+    // oracle would fail on row/schema if discovery drifted)
+    "q115_dynamic_pivot" -> {
+      val yearCols = (1995 to 2001)
+        .map(y => s"CAST(sum(CASE WHEN year(l_shipdate) = $y THEN 1 ELSE 0 END) AS BIGINT) AS y$y")
+        .mkString(",\n  ")
+      s"""SELECT l_returnflag,
+         |  $yearCols
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    },
+    // exact median: middle element(s) by keyed rank — no engine median()
+    "q116_group_median" -> {
+      val med = away("CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / count(o_totalprice)", 2)
+      s"""WITH r AS (SELECT o_orderpriority, o_totalprice,
+         |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn,
+         |    count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+         |  FROM orders)
+         |SELECT o_orderpriority, max(cnt) AS n_orders, $med AS median_price
+         |FROM r WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    },
+    "q117_simpson_diversity" ->
+      raw"""WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents),
+        |pd AS (SELECT doc_id, token, count(*) AS cnt FROM tk GROUP BY doc_id, token)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |  (10000 * CAST(sum(cnt * cnt) AS BIGINT)) // (CAST(sum(cnt) AS BIGINT) * CAST(sum(cnt) AS BIGINT)) AS simpson_permyriad
+        |FROM pd GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q80's fixpoint clusters + longest-member canonicalization
+    "q118_dedup_keep_best" ->
+      s"""WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ($minhashSql)),
+         |sym AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+         |),
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+         |j AS (SELECT cl.doc_id, cl.cluster, d.n_chars FROM cl JOIN documents d ON d.doc_id = cl.doc_id),
+         |k AS (SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rn FROM j)
+         |SELECT doc_id, cluster, n_chars, CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INTEGER) AS is_kept
+         |FROM k ORDER BY doc_id""".stripMargin,
     "q113_resample_gapfill" ->
       """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS hour FROM events),
         |c AS (SELECT user_id, hour, count(*) AS n_events FROM e GROUP BY user_id, hour),

@@ -1764,6 +1764,88 @@ object Queries {
       .orderBy("day")
   }
 
+  // dynamic pivot (pandas pivot_table without a declared column set):
+  // the pivot keys come from the DATA via a dimension-sized distinct
+  // collect — the two-pass shape every dynamic-schema pivot needs
+  // (schemas can't be data-dependent within one plan). The pivot
+  // itself stays the single-shuffle Expand+agg of q05.
+  def dynamicPivot(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").withColumn("ship_year", year(col("l_shipdate")))
+    val years = li.select("ship_year").distinct().collect().map(_.getInt(0)).sorted
+    val pivoted = li
+      .groupBy(col("l_returnflag"))
+      .pivot("ship_year", years.toIndexedSeq)
+      .agg(count(lit(1)))
+      .na
+      .fill(0, years.map(_.toString).toIndexedSeq)
+    pivoted
+      .select(col("l_returnflag") +: years.toIndexedSeq.map(y => col(y.toString).as(s"y$y")): _*)
+      .orderBy("l_returnflag")
+  }
+
+  // exact per-group median WITHOUT an engine median() (interpolation
+  // rules differ by engine): the middle element(s) by keyed rank —
+  // positions (n+1)/2 and (n+2)/2, averaged — so odd groups take the
+  // middle value and even groups the midpoint, identically everywhere.
+  // Both windows share one priority-keyed exchange.
+  def groupMedian(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice"), col("o_orderkey"))
+    val cw = Window.partitionBy("o_orderpriority")
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(cw))
+      .filter(col("rn") === expr("(cnt + 1) div 2") || col("rn") === expr("(cnt + 2) div 2"))
+      .groupBy("o_orderpriority")
+      .agg(max(col("cnt")).as("n_orders"), NumOps.exactAvg(col("o_totalprice"), 2).as("median_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  // lexical concentration via the Simpson index (Σc²/n² — the
+  // integer-arithmetic stand-in for entropy, whose ln() is banned from
+  // oracle-hashed floats by libm-vs-JVM ulps): high permyriad = the
+  // document is dominated by few types. Same (doc, token) count
+  // pipeline as q108; the index folds map-side.
+  def simpsonDiversity(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_tokens"), sum(col("cnt") * col("cnt")).as("sum_sq"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        expr("(10000 * sum_sq) div (n_tokens * n_tokens)").as("simpson_permyriad")
+      )
+      .orderBy("doc_id")
+
+  // near-dup dedup with QUALITY-AWARE canonicalization: same candidate
+  // graph and connected components as q80, but the cluster keeper is
+  // the LONGEST member (n_chars desc, doc_id tie-break) instead of the
+  // min id — the "keep the superset document" policy real pipelines
+  // want. One extra keyed rank window over the cluster label; the
+  // oracle replays the same fixpoint + argmax.
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sigs = NearDup.minhashSignatures(docs, col("doc_id"), col("text"), k = 16, n = 3)
+    val pairs = NearDup.lshCandidatePairs(sigs, bands = 4, rowsPerBand = 4)
+    val labeled = graft.operators.ConnectedComponents
+      .minLabel(docs.select(col("doc_id")), col("doc_id"), pairs, col("d1"), col("d2"))
+      .select(col("id").as("doc_id"), col("cluster"))
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+    val w = Window.partitionBy("cluster").orderBy(col("n_chars").desc, col("doc_id"))
+    labeled
+      .withColumn("rn", row_number().over(w))
+      .select(
+        col("doc_id"),
+        col("cluster"),
+        col("n_chars"),
+        when(col("rn") === 1, 1).otherwise(0).as("is_kept")
+      )
+      .orderBy("doc_id")
+  }
+
   // whole-file binary source: the ingestion front door for multimodal
   // corpora (the reference's raw API payloads; here the deterministic
   // calls fixtures) — one row per FILE, payload as a binary column,
