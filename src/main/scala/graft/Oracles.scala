@@ -1211,6 +1211,56 @@ object Oracles {
          |FROM orders
          |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
          |ORDER BY o_orderpriority, o_orderkey""".stripMargin
-    }
+    },
+    // same composed contact string, same RE2-and-Java-compatible regexes
+    "q119_pii_scrub" -> {
+      val contact =
+        "c_name || ' <user' || CAST(c_custkey AS VARCHAR) || '@example.com> tel 555-' || lpad(CAST((c_custkey * 7) % 10000 AS VARCHAR), 4, '0')"
+      val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+      val phoneRe = """\b555-[0-9]{4}\b"""
+      s"""WITH c AS (SELECT c_custkey, $contact AS contact FROM customer)
+         |SELECT c_custkey,
+         |  regexp_replace(regexp_replace(contact, '$emailRe', '<EMAIL>', 'g'), '$phoneRe', '<PHONE>', 'g') AS scrubbed,
+         |  CAST(len(regexp_extract_all(contact, '$emailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(contact, '$phoneRe')) AS BIGINT) AS n_phones
+         |FROM c ORDER BY c_custkey""".stripMargin
+    },
+    "q120_snapshot_diff" ->
+      """WITH old AS (SELECT user_id, count(*) AS old_n, count(DISTINCT event_type) AS old_types
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY user_id),
+        |neu AS (SELECT user_id, count(*) AS new_n, count(DISTINCT event_type) AS new_types
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY user_id)
+        |SELECT COALESCE(old.user_id, neu.user_id) AS user_id,
+        |  COALESCE(old_n, 0) AS old_n, COALESCE(new_n, 0) AS new_n,
+        |  CASE WHEN old_n IS NULL THEN 'added'
+        |       WHEN new_n IS NULL THEN 'removed'
+        |       WHEN old_n = new_n AND old_types = new_types THEN 'same'
+        |       ELSE 'changed' END AS change_type
+        |FROM old FULL OUTER JOIN neu ON old.user_id = neu.user_id
+        |ORDER BY user_id""".stripMargin,
+    // rank on each engine's own exact decimal sum; round only the output
+    "q121_topk_per_group" -> {
+      val rev = away("CAST(rev_exact AS DOUBLE)", 2)
+      s"""WITH r AS (SELECT p_brand, p_type,
+         |    sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS rev_exact,
+         |    count(*) AS n_items
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  GROUP BY p_brand, p_type),
+         |k AS (SELECT *, row_number() OVER (PARTITION BY p_brand ORDER BY rev_exact DESC, p_type) AS rk FROM r)
+         |SELECT p_brand, p_type, CAST(rk AS BIGINT) AS rk, n_items, $rev AS revenue
+         |FROM k WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin
+    },
+    "q122_window_bounds" ->
+      """WITH w AS (SELECT user_id, event_id, ts, event_type,
+        |    first_value(event_type) OVER f AS first_type,
+        |    last_value(event_type) OVER f AS last_type,
+        |    nth_value(event_type, 2) OVER f AS second_type,
+        |    count(*) OVER f AS n_events,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |  WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, first_type, last_type, second_type, n_events
+        |FROM w WHERE rn = 1 ORDER BY user_id""".stripMargin
   )
 }

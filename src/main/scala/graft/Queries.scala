@@ -1846,6 +1846,119 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // PII redaction: regex scrub of emails and phone numbers from a
+  // contact string — the pre-training privacy pass every corpus needs.
+  // Pure per-row regexp_replace/extract_all: no shuffle at all, fully
+  // inside whole-stage codegen, embarrassingly parallel at 100 TB.
+  // The contact text is composed deterministically from customer keys
+  // so the scrub is non-vacuous and both engines see identical input.
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\b555-[0-9]{4}\\b"
+    val contact = concat(
+      col("c_name"),
+      lit(" <user"),
+      col("c_custkey").cast("string"),
+      lit("@example.com> tel 555-"),
+      lpad(pmod(col("c_custkey") * 7, lit(10000)).cast("string"), 4, "0")
+    )
+    t(s, dir, "customer")
+      .select(col("c_custkey"), contact.as("contact"))
+      .select(
+        col("c_custkey"),
+        regexp_replace(regexp_replace(col("contact"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>").as("scrubbed"),
+        size(regexp_extract_all(col("contact"), lit(emailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("contact"), lit(phoneRe), lit(0))).cast("long").as("n_phones")
+      )
+      .orderBy("c_custkey")
+  }
+
+  // snapshot diff (CDC compare): per-user activity aggregated over two
+  // time windows, full-outer-joined on the key, each key classified
+  // added / removed / changed / same. One keyed shuffle for each
+  // aggregate plus one keyed join — the standard "diff two snapshot
+  // tables" shape; at 100 TB both sides shuffle on the same key so the
+  // join co-locates with the aggregates (no extra exchange).
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def snap(pred: Column) = ev
+      .filter(pred)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), countDistinct(col("event_type")).as("n_types"))
+    val cutoff = to_timestamp(lit("2024-01-16 00:00:00"))
+    val old = snap(col("ts") < cutoff).select(col("user_id"), col("n").as("old_n"), col("n_types").as("old_types"))
+    val neu = snap(col("ts") >= cutoff).select(col("user_id"), col("n").as("new_n"), col("n_types").as("new_types"))
+    old
+      .join(neu, Seq("user_id"), "full_outer")
+      .select(
+        col("user_id"),
+        coalesce(col("old_n"), lit(0L)).as("old_n"),
+        coalesce(col("new_n"), lit(0L)).as("new_n"),
+        when(col("old_n").isNull, "added")
+          .when(col("new_n").isNull, "removed")
+          .when(col("old_n") === col("new_n") && col("old_types") === col("new_types"), "same")
+          .otherwise("changed")
+          .as("change_type")
+      )
+      .orderBy("user_id")
+  }
+
+  // grouped top-k: the 3 highest-revenue part types per brand — a
+  // keyed rank window (ONE exchange on the group key, never a global
+  // sort). Ranking happens on the exact decimal revenue inside each
+  // engine independently (identical order everywhere); only the
+  // surfaced value is rounded. Ties break on the type name.
+  def topkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(25,6)")).as("rev_exact"),
+        count(lit(1)).as("n_items")
+      )
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("rev_exact").desc, col("p_type"))
+    rev
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(
+        col("p_brand"),
+        col("p_type"),
+        col("rk").cast("long").as("rk"),
+        col("n_items"),
+        NumOps.roundAway(col("rev_exact").cast("double"), 2).as("revenue")
+      )
+      .orderBy("p_brand", "rk")
+  }
+
+  // window frame bounds: first / last / 2nd event type per user over
+  // the FULL frame (unbounded preceding → unbounded following) — the
+  // §2.6 frame-specification surface pandas gets via iloc[0]/[-1].
+  // One keyed exchange; the one-row-per-user reduction rides the same
+  // window (rn = 1), so no second shuffle.
+  def windowBounds(s: SparkSession, dir: String): DataFrame = {
+    val full = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val seq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables
+      .events(s, dir)
+      .select(
+        col("user_id"),
+        col("ts"),
+        col("event_id"),
+        col("event_type"),
+        first(col("event_type")).over(full).as("first_type"),
+        last(col("event_type")).over(full).as("last_type"),
+        nth_value(col("event_type"), 2).over(full).as("second_type"),
+        count(lit(1)).over(full).as("n_events"),
+        row_number().over(seq).as("rn")
+      )
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("first_type"), col("last_type"), col("second_type"), col("n_events"))
+      .orderBy("user_id")
+  }
+
   // whole-file binary source: the ingestion front door for multimodal
   // corpora (the reference's raw API payloads; here the deterministic
   // calls fixtures) — one row per FILE, payload as a binary column,

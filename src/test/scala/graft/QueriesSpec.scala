@@ -78,4 +78,39 @@ class QueriesSpec extends SparkSpec {
     val sj = Queries.semiJoin(spark, sfDir)
     assert(sj.filter(col("n_events") < 70).count() === 0)
   }
+
+  test("pii scrub: no raw email/phone survives; every redaction counted") {
+    val p = Queries.piiScrub(spark, sfDir)
+    assert(p.filter(col("scrubbed").rlike("@")).count() === 0)
+    assert(p.filter(col("scrubbed").rlike("555-[0-9]{4}")).count() === 0)
+    assert(p.filter(col("n_emails") =!= 1 || col("n_phones") =!= 1).count() === 0)
+    assert(p.filter(!col("scrubbed").contains("<EMAIL>") || !col("scrubbed").contains("<PHONE>")).count() === 0)
+  }
+
+  test("snapshot diff: classifications are consistent with the counts") {
+    val d = Queries.snapshotDiff(spark, sfDir)
+    assert(d.filter(col("change_type") === "added" && col("old_n") =!= 0).count() === 0)
+    assert(d.filter(col("change_type") === "removed" && col("new_n") =!= 0).count() === 0)
+    assert(d.filter(col("change_type") === "same" && col("old_n") =!= col("new_n")).count() === 0)
+  }
+
+  test("grouped top-k: at most 3 per brand, ranks contiguous from 1, revenue descending") {
+    val k = Queries.topkPerGroup(spark, sfDir)
+    assert(k.groupBy("p_brand").count().filter(col("count") > 3).count() === 0)
+    val bad = k
+      .withColumn(
+        "prev_rev",
+        lag(col("revenue"), 1).over(org.apache.spark.sql.expressions.Window.partitionBy("p_brand").orderBy("rk"))
+      )
+      .filter(col("prev_rev").isNotNull && col("prev_rev") < col("revenue"))
+    assert(bad.count() === 0)
+    assert(k.filter(col("rk") === 1).select("p_brand").distinct().count() === k.select("p_brand").distinct().count())
+  }
+
+  test("window bounds: one row per user; second_type null only for single-event users") {
+    val w = Queries.windowBounds(spark, sfDir)
+    assert(w.groupBy("user_id").count().filter(col("count") > 1).count() === 0)
+    assert(w.filter(col("second_type").isNull && col("n_events") > 1).count() === 0)
+    assert(w.filter(col("n_events") === 1 && col("first_type") =!= col("last_type")).count() === 0)
+  }
 }
