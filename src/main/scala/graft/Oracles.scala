@@ -1261,6 +1261,51 @@ object Oracles {
         |  WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
         |SELECT user_id, first_type, last_type, second_type, n_events
-        |FROM w WHERE rn = 1 ORDER BY user_id""".stripMargin
+        |FROM w WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // value-histogram medians: identical rank arithmetic, exact on both
+    "q123_mad_outliers" -> {
+      val medp = away("max(median)", 2)
+      val madp = away("max(mad)", 4)
+      s"""WITH h AS (SELECT o_orderpriority AS g, o_totalprice AS v, count(*) AS cnt FROM orders GROUP BY 1, 2),
+         |hc AS (SELECT *, sum(cnt) OVER (PARTITION BY g ORDER BY v) AS cum, sum(cnt) OVER (PARTITION BY g) AS tot FROM h),
+         |m AS (SELECT g, (min(CASE WHEN cum >= (tot + 1) // 2 THEN v END)
+         |               + min(CASE WHEN cum >= (tot + 2) // 2 THEN v END)) / 2.0 AS median FROM hc GROUP BY g),
+         |d AS (SELECT h.g, abs(h.v - m.median) AS v, h.cnt, m.median FROM h JOIN m ON h.g = m.g),
+         |dh AS (SELECT g, v, sum(cnt) AS cnt FROM d GROUP BY 1, 2),
+         |dhc AS (SELECT *, sum(cnt) OVER (PARTITION BY g ORDER BY v) AS cum, sum(cnt) OVER (PARTITION BY g) AS tot FROM dh),
+         |mad AS (SELECT g, (min(CASE WHEN cum >= (tot + 1) // 2 THEN v END)
+         |                 + min(CASE WHEN cum >= (tot + 2) // 2 THEN v END)) / 2.0 AS mad FROM dhc GROUP BY g)
+         |SELECT d.g AS o_orderpriority, CAST(sum(d.cnt) AS BIGINT) AS n_orders,
+         |  $medp AS median_price, $madp AS mad,
+         |  CAST(sum(CASE WHEN d.v > 3.0 * mad.mad THEN d.cnt ELSE 0 END) AS BIGINT) AS n_outliers
+         |FROM d JOIN mad ON d.g = mad.g
+         |GROUP BY d.g ORDER BY o_orderpriority""".stripMargin
+    },
+    "q124_winsorize" -> {
+      val wm = away("CAST(sum(CAST(clamped * cnt AS DECIMAL(25,6))) AS DOUBLE) / sum(cnt)", 4)
+      s"""WITH h AS (SELECT l_returnflag AS g, l_extendedprice AS v, count(*) AS cnt FROM lineitem GROUP BY 1, 2),
+         |hc AS (SELECT *, sum(cnt) OVER (PARTITION BY g ORDER BY v) AS cum, sum(cnt) OVER (PARTITION BY g) AS tot FROM h),
+         |b AS (SELECT g, min(CASE WHEN cum >= (tot * 50 + 999) // 1000 THEN v END) AS lo,
+         |             min(CASE WHEN cum >= (tot * 950 + 999) // 1000 THEN v END) AS hi FROM hc GROUP BY g),
+         |c AS (SELECT h.g, least(greatest(h.v, b.lo), b.hi) AS clamped, h.cnt, b.lo, b.hi
+         |      FROM h JOIN b ON h.g = b.g)
+         |SELECT g AS l_returnflag, CAST(sum(cnt) AS BIGINT) AS n_items,
+         |  max(lo) AS p05, max(hi) AS p95, $wm AS wins_mean
+         |FROM c GROUP BY g ORDER BY l_returnflag""".stripMargin
+    },
+    "q125_tiered_sample" ->
+      """WITH d AS (SELECT lang, n_chars,
+        |    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+        |         < (CASE WHEN lang = 'en' THEN 40 WHEN lang = 'de' THEN 60 ELSE 100 END)
+        |    THEN 1 ELSE 0 END AS is_kept
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(is_kept) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN is_kept = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    // the roundtrip is invisible to semantics: oracle = the flat counts
+    "q126_json_flatten" ->
+      """SELECT user_id, event_type, count(*) AS n
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin
   )
 }

@@ -1959,6 +1959,111 @@ object Queries {
       .orderBy("user_id")
   }
 
+  // MAD outlier detection: per-priority median absolute deviation —
+  // the robust z-score every metric-cleaning pass wants. Both medians
+  // (price, then |price − median|) run on the WeightedQuantiles value
+  // histogram, so no per-group row window exists anywhere: one (g,v)
+  // keyed shuffle over the facts, then all rank math on distinct
+  // values. The 5-row median/MAD frames broadcast back; the outlier
+  // count folds over the histogram, never re-touching the fact table.
+  def madOutliers(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{WeightedQuantiles => WQ}
+    val hist = WQ.histogram(t(s, dir, "orders"), col("o_orderpriority"), col("o_totalprice"))
+    val med = WQ.median(hist).select(col("g"), col("median"))
+    val dev = hist
+      .join(broadcast(med), Seq("g"))
+      .select(col("g"), abs(col("v") - col("median")).as("v"), col("cnt"), col("median"))
+    val devHist = dev.groupBy(col("g"), col("v")).agg(sum(col("cnt")).as("cnt"))
+    val mad = WQ.median(devHist).select(col("g"), col("median").as("mad"))
+    dev
+      .join(broadcast(mad), Seq("g"))
+      .groupBy(col("g").as("o_orderpriority"))
+      .agg(
+        sum(col("cnt")).as("n_orders"),
+        NumOps.roundAway(max(col("median")), 2).as("median_price"),
+        NumOps.roundAway(max(col("mad")), 4).as("mad"),
+        sum(when(col("v") > lit(3.0) * col("mad"), col("cnt")).otherwise(lit(0L))).as("n_outliers")
+      )
+      .orderBy("o_orderpriority")
+  }
+
+  // winsorized mean: clip at exact p05/p95 before averaging — outlier
+  // containment without row loss. Boundaries come from the same
+  // sharded value histogram (integer ceil-rank targets, no float
+  // ranks, no row-level window); the clipped mean is a decimal-exact
+  // sum over (clamped value × count), one pass over the histogram.
+  def winsorize(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{WeightedQuantiles => WQ}
+    val hist = WQ.histogram(t(s, dir, "lineitem"), col("l_returnflag"), col("l_extendedprice"))
+    val bounds = WQ.percentiles(hist, Seq(50, 950)).select(col("g"), col("p50").as("lo"), col("p950").as("hi"))
+    hist
+      .join(broadcast(bounds), Seq("g"))
+      .withColumn("clamped", least(greatest(col("v"), col("lo")), col("hi")))
+      .groupBy(col("g").as("l_returnflag"))
+      .agg(
+        sum(col("cnt")).as("n_items"),
+        max(col("lo")).as("p05"),
+        max(col("hi")).as("p95"),
+        NumOps.roundAway(
+          sum((col("clamped") * col("cnt")).cast("decimal(25,6)")).cast("double") / sum(col("cnt")),
+          4
+        ).as("wins_mean")
+      )
+      .orderBy("l_returnflag")
+  }
+
+  // language-tiered corpus sampling: downsample high-resource
+  // languages, keep the rest — the data-mixing move of every
+  // multilingual pre-training run. The gate is a pure key-hash
+  // comparison against a per-language rate (same sample on any
+  // partitioning, any engine, any rerun); zero shuffles until the
+  // audit aggregation.
+  def tieredSample(s: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("lang") === "en", 40)
+      .when(col("lang") === "de", 60)
+      .otherwise(100)
+    val kept = pmod(TextOps.hash32(col("doc_id").cast("string")), lit(100)) < rate
+    t(s, dir, "documents")
+      .withColumn("is_kept", kept.cast("int"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("is_kept")).as("n_kept"),
+        sum(when(col("is_kept") === 1, col("n_chars")).otherwise(lit(0L))).as("kept_chars")
+      )
+      .orderBy("lang")
+  }
+
+  // JSON roundtrip flatten: per-user activity serialized to ONE JSON
+  // document (to_json over sorted nested structs — the event-payload
+  // shape), then re-parsed with an explicit schema and flattened back
+  // to rows via inline explode. Exercises generation AND parsing of
+  // nested JSON in a single plan; the oracle checks the flattened
+  // semantics directly. Per-row string work stays in codegen; the only
+  // shuffles are the two keyed aggregations.
+  def jsonFlatten(s: SparkSession, dir: String): DataFrame = {
+    val perType = Tables
+      .events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val payload = perType
+      .groupBy("user_id")
+      .agg(
+        to_json(
+          struct(
+            col("user_id").as("u"),
+            sort_array(collect_list(struct(col("event_type").as("t"), col("n").as("n")))).as("counts")
+          )
+        ).as("js")
+      )
+    val schema = "STRUCT<u: BIGINT, counts: ARRAY<STRUCT<t: STRING, n: BIGINT>>>"
+    payload
+      .select(from_json(col("js"), schema, Map.empty[String, String]).as("p"))
+      .select(col("p.u").as("user_id"), explode(col("p.counts")).as("c"))
+      .select(col("user_id"), col("c.t").as("event_type"), col("c.n").as("n"))
+      .orderBy("user_id", "event_type")
+  }
+
   // whole-file binary source: the ingestion front door for multimodal
   // corpora (the reference's raw API payloads; here the deterministic
   // calls fixtures) — one row per FILE, payload as a binary column,

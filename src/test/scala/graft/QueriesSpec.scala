@@ -107,6 +107,31 @@ class QueriesSpec extends SparkSpec {
     assert(k.filter(col("rk") === 1).select("p_brand").distinct().count() === k.select("p_brand").distinct().count())
   }
 
+  test("mad outliers: outlier count bounded by group size; mad non-negative") {
+    val m = Queries.madOutliers(spark, sfDir)
+    assert(m.filter(col("n_outliers") > col("n_orders")).count() === 0)
+    assert(m.filter(col("mad") < 0).count() === 0)
+  }
+
+  test("winsorize: p05 <= p95 and the clipped mean lies within them") {
+    val w = Queries.winsorize(spark, sfDir)
+    assert(w.filter(col("p05") > col("p95")).count() === 0)
+    assert(w.filter(col("wins_mean") < col("p05") || col("wins_mean") > col("p95")).count() === 0)
+  }
+
+  test("tiered sample: en kept-rate below the others; kept never exceeds total") {
+    val s = Queries.tieredSample(spark, sfDir).collect().map(r => r.getAs[String]("lang") -> r).toMap
+    s.values.foreach(r => assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs")))
+    def rateOf(l: String) = s(l).getAs[Long]("n_kept").toDouble / s(l).getAs[Long]("n_docs")
+    assert(rateOf("en") < rateOf("zh"))
+  }
+
+  test("json flatten roundtrip: totals reconcile with the raw event count") {
+    val f = Queries.jsonFlatten(spark, sfDir)
+    val total = f.agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(total === graft.sources.Tables.events(spark, sfDir).count())
+  }
+
   test("window bounds: one row per user; second_type null only for single-event users") {
     val w = Queries.windowBounds(spark, sfDir)
     assert(w.groupBy("user_id").count().filter(col("count") > 1).count() === 0)
