@@ -1306,6 +1306,69 @@ object Oracles {
     "q126_json_flatten" ->
       """SELECT user_id, event_type, count(*) AS n
         |FROM events GROUP BY user_id, event_type
-        |ORDER BY user_id, event_type""".stripMargin
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q127_label_top_terms" ->
+      raw"""WITH tk AS (SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents),
+        |bl AS (SELECT lang, token, count(*) AS cnt FROM tk GROUP BY 1, 2),
+        |lt AS (SELECT lang, sum(cnt) AS lang_toks FROM bl GROUP BY lang),
+        |co AS (SELECT token, sum(cnt) AS corpus_cnt FROM bl GROUP BY token),
+        |ct AS (SELECT sum(corpus_cnt) AS corpus_toks FROM co),
+        |sc AS (SELECT bl.lang, bl.token, bl.cnt,
+        |    CAST((CAST(bl.cnt AS HUGEINT) * ct.corpus_toks * 10000)
+        |      // (CAST(lt.lang_toks AS HUGEINT) * co.corpus_cnt) AS BIGINT) AS lift_permyriad
+        |  FROM bl JOIN lt USING (lang) JOIN co USING (token), ct),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY lift_permyriad DESC, token) AS rk FROM sc)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, token, cnt, lift_permyriad
+        |FROM rk WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
+    // hint is plan-only: oracle = the plain join aggregate
+    "q128_join_hint_shuffle_hash" -> {
+      val qty = away("CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)", 2)
+      s"""SELECT p_brand, count(*) AS n_items, $qty AS sum_qty
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+    },
+    "q129_exists_subquery" ->
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderpriority = '1-URGENT'
+        |    AND o.o_totalprice > (
+        |      SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / count(*)
+        |      FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+        |    )
+        |)
+        |ORDER BY c_custkey""".stripMargin,
+    "q130_set_ops_all" ->
+      """WITH y95 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+        |y96 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |SELECT 'except_all' AS set_op,
+        |  (SELECT count(*) FROM (SELECT * FROM y95 EXCEPT ALL SELECT * FROM y96)) AS n_rows
+        |UNION ALL
+        |SELECT 'intersect_all',
+        |  (SELECT count(*) FROM (SELECT * FROM y95 INTERSECT ALL SELECT * FROM y96))
+        |ORDER BY set_op""".stripMargin,
+    "q131_null_safe_join" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    nullif(CAST(floor(value / 25) AS BIGINT), 1) AS b FROM events)
+        |SELECT a.user_id, count(*) AS n_pairs,
+        |  CAST(sum(CASE WHEN a.b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_pairs
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id
+        | AND a.b IS NOT DISTINCT FROM b.b
+        | AND a.event_id < b.event_id
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+    "q132_share_of_total" -> {
+      val rev = away("CAST(rev AS DOUBLE)", 2)
+      s"""WITH cell AS (SELECT l_returnflag, l_linestatus,
+         |    sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS rev
+         |  FROM lineitem GROUP BY 1, 2),
+         |p AS (SELECT l_returnflag, sum(rev) AS flag_rev FROM cell GROUP BY l_returnflag)
+         |SELECT cell.l_returnflag, cell.l_linestatus, $rev AS revenue,
+         |  CAST(floor(CAST(cell.rev * 10000 AS DOUBLE) / CAST(p.flag_rev AS DOUBLE)) AS BIGINT) AS share_permyriad
+         |FROM cell JOIN p ON cell.l_returnflag = p.l_returnflag
+         |ORDER BY cell.l_returnflag, cell.l_linestatus""".stripMargin
+    }
   )
 }

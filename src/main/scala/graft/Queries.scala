@@ -2064,6 +2064,129 @@ object Queries {
       .orderBy("user_id", "event_type")
   }
 
+  // per-label distinguishing terms: tokens whose in-language rate most
+  // exceeds their corpus rate (lift, in permyriad integer arithmetic —
+  // no logs, so the oracle is bit-exact). The shape is one token
+  // explode → two keyed aggs → broadcast of the corpus-rate dimension;
+  // the rank window is keyed by language. The "what words typify this
+  // class" labeling pass for mixture audits.
+  def labelTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
+    val byLang = toks.groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+    val langTot = byLang.groupBy("lang").agg(sum(col("cnt")).as("lang_toks"))
+    val corpus = byLang.groupBy("token").agg(sum(col("cnt")).as("corpus_cnt"))
+    val corpusTot = corpus.agg(sum(col("corpus_cnt")).as("corpus_toks"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("lift_permyriad").desc, col("token"))
+    byLang
+      .join(langTot, Seq("lang"))
+      .join(broadcast(corpus), Seq("token"))
+      .join(broadcast(corpusTot))
+      .withColumn(
+        "lift_permyriad",
+        // decimal operands: the cross product cnt×corpus_toks×10⁴
+        // overflows BIGINT at real corpus sizes
+        expr("(CAST(cnt AS DECIMAL(38,0)) * corpus_toks * 10000) div (CAST(lang_toks AS DECIMAL(38,0)) * corpus_cnt)")
+      )
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("rk").cast("long").as("rk"), col("token"), col("cnt"), col("lift_permyriad"))
+      .orderBy("lang", "rk")
+  }
+
+  // join-strategy hint surface: the same fact⋈dim aggregate with the
+  // build side PINNED to a shuffled hash join (SHUFFLE_HASH) — the
+  // escape hatch when a dim is too big to broadcast but small enough
+  // to build a hash table per partition (sort-merge's sort would be
+  // pure waste). Results are strategy-invariant; the plan assertion
+  // lives in PlanSpec.
+  def joinHintShuffleHash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part").hint("shuffle_hash"), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"), NumOps.exactSum(col("l_quantity")).as("sum_qty"))
+      .orderBy("p_brand")
+
+  // correlated EXISTS through the SQL entry point: customers having an
+  // URGENT order above their OWN average order value. Catalyst
+  // decorrelates the subqueries into aggregate+join (no per-row
+  // re-execution — .explain shows plain joins); the decimal-exact
+  // per-customer average keeps the correlated boundary bit-identical.
+  def existsSubquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    t(s, dir, "customer").createOrReplaceTempView("customer_v")
+    s.sql("""
+      SELECT c_custkey, c_name
+      FROM customer_v c
+      WHERE EXISTS (
+        SELECT 1 FROM orders_v o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT'
+          AND o.o_totalprice > (
+            SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / count(*)
+            FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey
+          )
+      )
+      ORDER BY c_custkey
+    """)
+  }
+
+  // multiset set-ops: EXCEPT ALL / INTERSECT ALL keep MULTIPLICITY
+  // (q61's distinct variants collapse it) — the semantics that matter
+  // when rows are legitimately repeated (retries, line items). Spark
+  // plans both as keyed generate-over-counts, one shuffle each side.
+  def setOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def keys(y: Int) = o.filter(year(col("o_orderdate")) === y).select("o_custkey")
+    val y95 = keys(1995)
+    val y96 = keys(1996)
+    val inter = y95.intersectAll(y96).agg(count(lit(1)).as("n_rows")).withColumn("set_op", lit("intersect_all"))
+    val exc = y95.exceptAll(y96).agg(count(lit(1)).as("n_rows")).withColumn("set_op", lit("except_all"))
+    inter.unionByName(exc).select("set_op", "n_rows").orderBy("set_op")
+  }
+
+  // null-safe equality join (<=>): same-user event pairs in the same
+  // value band, where NULL must match NULL (plain = drops those rows
+  // silently — the silent-loss bug this operator exists to avoid). The
+  // band is nullified for one range (NULLIF) so the null-matching path
+  // genuinely executes. The null-safe key participates in the hash
+  // join like any other key; one (user, band)-keyed shuffle, no
+  // nested loop.
+  def nullSafeJoin(s: SparkSession, dir: String): DataFrame = {
+    val band = nullif(floor(col("value") / 25).cast("long"), lit(1L))
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"), band.as("b"))
+    val a = ev.select(col("user_id"), col("event_id").as("id1"), col("b").as("b1"))
+    val b = ev.select(col("user_id").as("user_id2"), col("event_id").as("id2"), col("b").as("b2"))
+    a.join(b, col("user_id") === col("user_id2") && col("b1") <=> col("b2") && col("id1") < col("id2"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("b1").isNull, 1L).otherwise(0L)).as("n_null_pairs")
+      )
+      .orderBy("user_id")
+  }
+
+  // share-of-parent reporting: each (flag, status) cell's revenue as a
+  // permyriad share of its flag's total — the ratio-to-parent report.
+  // Two aggregation levels off ONE scan; the parent totals (flag-
+  // cardinality) broadcast back. Integer share arithmetic on exact
+  // decimal sums: deterministic to the last digit.
+  def shareOfTotal(s: SparkSession, dir: String): DataFrame = {
+    val cell = t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(25,6)")).as("rev"))
+    val parent = cell.groupBy("l_returnflag").agg(sum(col("rev")).as("flag_rev"))
+    cell
+      .join(broadcast(parent), Seq("l_returnflag"))
+      .select(
+        col("l_returnflag"),
+        col("l_linestatus"),
+        NumOps.roundAway(col("rev").cast("double"), 2).as("revenue"),
+        floor((col("rev") * 10000).cast("double") / col("flag_rev").cast("double")).cast("long").as("share_permyriad")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   // whole-file binary source: the ingestion front door for multimodal
   // corpora (the reference's raw API payloads; here the deterministic
   // calls fixtures) — one row per FILE, payload as a binary column,

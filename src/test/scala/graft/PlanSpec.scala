@@ -220,4 +220,21 @@ class PlanSpec extends SparkSpec {
     val p = Queries.histogram(spark, sfDir).queryExecution.explainString(ExplainMode.fromString("simple"))
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected partial+final HashAggregate:\n$p")
   }
+
+  test("join hint (q128): SHUFFLE_HASH is honored — hash join without a broadcast or sort") {
+    val p = plan(Queries.joinHintShuffleHash(spark, sfDir))
+    assert(p.contains("ShuffledHashJoin"), s"expected ShuffledHashJoin pinned by the hint:\n$p")
+    assert(!p.contains("SortMergeJoin"), "hint lost: fell back to sort-merge")
+  }
+
+  test("correlated EXISTS (q129) decorrelates to joins — no per-row subquery execution") {
+    val p = plan(Queries.existsSubquery(spark, sfDir))
+    assert(!p.toLowerCase.contains("subquery"), s"subquery survived decorrelation:\n$p")
+    assert(p.contains("Join"), "expected the decorrelated aggregate+join shape")
+  }
+
+  test("null-safe join (q131) is a hash/merge equi-join, not a nested loop") {
+    val p = plan(Queries.nullSafeJoin(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), s"null-safe key fell out of the join keys:\n$p")
+  }
 }

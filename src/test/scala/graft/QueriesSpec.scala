@@ -132,6 +132,34 @@ class QueriesSpec extends SparkSpec {
     assert(total === graft.sources.Tables.events(spark, sfDir).count())
   }
 
+  test("label top terms: five per language, lift above corpus parity for rank 1") {
+    val l = Queries.labelTopTerms(spark, sfDir)
+    assert(l.groupBy("lang").count().filter(col("count") =!= 5).count() === 0)
+    assert(l.filter(col("rk") === 1 && col("lift_permyriad") < 10000).count() === 0)
+  }
+
+  test("set ops all: multiset counts dominate the distinct counts") {
+    val all = Queries.setOpsAll(spark, sfDir).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dist = Queries.setOps(spark, sfDir).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(all("intersect_all") >= dist("both"))
+    assert(all("except_all") >= dist("only_1995"))
+  }
+
+  test("null-safe join: null pairs counted; no pair joins a null to a non-null") {
+    val n = Queries.nullSafeJoin(spark, sfDir)
+    assert(n.filter(col("n_null_pairs") > col("n_pairs")).count() === 0)
+    assert(n.agg(sum(col("n_null_pairs"))).collect()(0).getLong(0) > 0, "fixture should produce null-null matches")
+  }
+
+  test("share of total: each flag's shares sum to ~10000 permyriad") {
+    val s = Queries
+      .shareOfTotal(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(sum(col("share_permyriad")).as("tot"))
+    // floor() loses at most (cells-1) permyriad per flag
+    assert(s.filter(col("tot") > 10000 || col("tot") < 9995).count() === 0)
+  }
+
   test("window bounds: one row per user; second_type null only for single-event users") {
     val w = Queries.windowBounds(spark, sfDir)
     assert(w.groupBy("user_id").count().filter(col("count") > 1).count() === 0)
