@@ -1359,6 +1359,28 @@ object Oracles {
         | AND a.b IS NOT DISTINCT FROM b.b
         | AND a.event_id < b.event_id
         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+    // left-outer emission model: inner pairs all emit; an unmatched
+    // click's null row emits iff the final GLOBAL watermark passed the
+    // end of its join window (click ts + 1h). The watermark nodes sit
+    // after the event-type filters, so the global watermark is the MIN
+    // of the per-side maxima (each ms-truncated, as Spark tracks event
+    // time in milliseconds) minus the 1-hour delay.
+    "q133_stream_left_outer" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+        |c AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'purchase'),
+        |m AS (SELECT c.user_id, c.event_id, c.us, count(p.event_id) AS nm
+        |      FROM c LEFT JOIN p ON c.user_id = p.user_id
+        |        AND p.us >= c.us AND p.us <= c.us + 3600000000
+        |      GROUP BY 1, 2, 3),
+        |wm AS (SELECT (least((SELECT max(us) FROM c), (SELECT max(us) FROM p)) // 1000 - 3600000) * 1000 AS wm_us),
+        |agg AS (SELECT user_id,
+        |    CAST(sum(nm) AS BIGINT) AS n_matched,
+        |    CAST(sum(CASE WHEN nm = 0 AND us + 3600000000 < (SELECT wm_us FROM wm) THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+        |  FROM m GROUP BY user_id)
+        |SELECT user_id, n_matched, n_unmatched FROM agg
+        |WHERE n_matched > 0 OR n_unmatched > 0
+        |ORDER BY user_id""".stripMargin,
     "q132_share_of_total" -> {
       val rev = away("CAST(rev AS DOUBLE)", 2)
       s"""WITH cell AS (SELECT l_returnflag, l_linestatus,

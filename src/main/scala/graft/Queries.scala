@@ -2187,6 +2187,12 @@ object Queries {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  // stream-stream LEFT OUTER join with watermark-gated null emission:
+  // click→purchase conversion pairs PLUS the never-converted clicks —
+  // see [[graft.streaming.StreamAgg.leftOuterConversions]]
+  def streamLeftOuterJoin(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamAgg.leftOuterConversions(s, dir)
+
   // whole-file binary source: the ingestion front door for multimodal
   // corpora (the reference's raw API payloads; here the deterministic
   // calls fixtures) — one row per FILE, payload as a binary column,

@@ -167,6 +167,64 @@ object StreamAgg {
     }
   }
 
+  /** Watermarked stream-stream LEFT OUTER join: every click joined to
+    * the purchases that follow it within 1 hour, AND a null-padded row
+    * for clicks that never convert — the outer emission only a
+    * watermark makes safe (the engine must prove no match can still
+    * arrive before emitting the null row). Inner matches emit as they
+    * arrive; an unmatched click emits once the GLOBAL watermark (the
+    * min of the two sides' max event times — each watermark node sits
+    * after its type filter — minus the 1-hour delay) passes the end of
+    * its join window (click_ts + 1h). `AvailableNow` runs the extra
+    * finalize batch that advances the watermark past the last data
+    * batch. The oracle replays exactly that rule, ms-truncated as
+    * Spark tracks event time. State on both sides is (user_id)-sharded and
+    * watermark-evicted — the same bounded-state story as the inner
+    * join (q60), plus the outer-eviction bookkeeping.
+    */
+  def leftOuterConversions(spark: SparkSession, dir: String): DataFrame = {
+    StateConf.withStatePartitions(spark, 8) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      val raw = spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+      def side(role: String, typ: String) =
+        raw
+          .filter(col("event_type") === typ)
+          .select(
+            col("user_id").as(s"${role}_user"),
+            col("event_id").as(s"${role}_id"),
+            timestamp_micros(expr("ts div 1000")).as(s"${role}_ts")
+          )
+          .withWatermark(s"${role}_ts", "1 hour")
+      val joined = side("c", "click").join(
+        side("p", "purchase"),
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") && col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer"
+      )
+      val name = s"graft_stream_left_join_${runSeq.incrementAndGet()}"
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+      spark
+        .table(name)
+        .groupBy(col("c_user").as("user_id"))
+        .agg(
+          sum(when(col("p_id").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+          sum(when(col("p_id").isNull, 1L).otherwise(0L)).as("n_unmatched")
+        )
+        .orderBy("user_id")
+    }
+  }
+
   /** Streaming exact dedup: `dropDuplicates` on the content digest —
     * the `StreamingDeduplicate` state operator (distinct from the agg
     * state of the windowed queries): per-key state holds each seen

@@ -160,6 +160,13 @@ class QueriesSpec extends SparkSpec {
     assert(s.filter(col("tot") > 10000 || col("tot") < 9995).count() === 0)
   }
 
+  test("stream left-outer join: both the matched and the null-emission paths fire") {
+    val j = Queries.streamLeftOuterJoin(spark, sfDir)
+    val tot = j.agg(sum(col("n_matched")), sum(col("n_unmatched"))).collect()(0)
+    assert(tot.getLong(0) > 0, "no inner matches")
+    assert(tot.getLong(1) > 0, "watermark never released an outer row")
+  }
+
   test("window bounds: one row per user; second_type null only for single-event users") {
     val w = Queries.windowBounds(spark, sfDir)
     assert(w.groupBy("user_id").count().filter(col("count") > 1).count() === 0)
