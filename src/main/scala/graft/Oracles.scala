@@ -1381,6 +1381,37 @@ object Oracles {
         |SELECT user_id, n_matched, n_unmatched FROM agg
         |WHERE n_matched > 0 OR n_unmatched > 0
         |ORDER BY user_id""".stripMargin,
+    "q134_shared_vocab" ->
+      raw"""WITH tk AS (SELECT DISTINCT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents),
+        |n AS (SELECT lang, count(*) AS n_toks FROM tk GROUP BY lang),
+        |sh AS (SELECT a.lang AS l1, b.lang AS l2, count(*) AS n_shared
+        |  FROM tk a JOIN tk b ON a.token = b.token AND a.lang < b.lang
+        |  GROUP BY 1, 2)
+        |SELECT sh.l1, sh.l2, na.n_toks AS n1, nb.n_toks AS n2, sh.n_shared
+        |FROM sh JOIN n na ON na.lang = sh.l1 JOIN n nb ON nb.lang = sh.l2
+        |ORDER BY l1, l2""".stripMargin,
+    // every event lands in exactly 2 windows (6h size / 3h slide)
+    "q135_sliding_windows" ->
+      """WITH e AS (SELECT epoch_ns(ts) // 1000 AS us, user_id FROM events),
+        |w AS (SELECT ((us // 10800000000) * 10800000000 - k.k * 10800000000) // 1000 AS w_start_ms, user_id
+        |  FROM e CROSS JOIN (VALUES (0), (1)) AS k(k))
+        |SELECT w_start_ms, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+        |FROM w GROUP BY w_start_ms ORDER BY w_start_ms""".stripMargin,
+    "q136_filtered_agg" -> {
+      val fp = away("CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(25,6)) ELSE 0 END) AS DOUBLE)", 2)
+      s"""SELECT o_orderpriority, count(*) AS n_orders,
+         |  count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+         |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+         |  $fp AS finished_price
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    },
+    // the roundtrip is byte-faithful: oracle = the same aggregate on the source
+    "q137_csv_roundtrip" -> {
+      val tot = away("CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)", 2)
+      s"""SELECT o_orderstatus, count(*) AS n_orders, $tot AS total_price,
+         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    },
     "q132_share_of_total" -> {
       val rev = away("CAST(rev AS DOUBLE)", 2)
       s"""WITH cell AS (SELECT l_returnflag, l_linestatus,

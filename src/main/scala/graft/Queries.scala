@@ -2193,6 +2193,89 @@ object Queries {
   def streamLeftOuterJoin(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamAgg.leftOuterConversions(s, dir)
 
+  // cross-language shared vocabulary: distinct token sets per language
+  // (collect_set after a keyed distinct — the heavy lifting), then
+  // pairwise overlap via array_intersect over the LANGUAGE-cardinality
+  // aggregate (5 rows a side: the cross join is dimension×dimension,
+  // never data×data). The contamination-adjacent "how much does corpus
+  // A's vocabulary leak into B" audit.
+  def sharedVocab(s: SparkSession, dir: String): DataFrame = {
+    val langToks = t(s, dir, "documents")
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
+      .distinct()
+      .groupBy("lang")
+      .agg(collect_set(col("token")).as("toks"))
+    val a = langToks.select(col("lang").as("l1"), col("toks").as("t1"))
+    val b = langToks.select(col("lang").as("l2"), col("toks").as("t2"))
+    a.join(b, col("l1") < col("l2"))
+      .select(
+        col("l1"),
+        col("l2"),
+        size(col("t1")).cast("long").as("n1"),
+        size(col("t2")).cast("long").as("n2"),
+        size(array_intersect(col("t1"), col("t2"))).cast("long").as("n_shared")
+      )
+      .orderBy("l1", "l2")
+  }
+
+  // batch sliding windows: event counts over 6-hour windows sliding
+  // every 3 hours — each event lands in size/slide = 2 windows, via
+  // the same `window()` generator the streaming queries use (Expand:
+  // 2 rows per event map-side, then ONE keyed aggregation; no
+  // self-join against a window spine).
+  def slidingWindows(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .select(window(col("ts"), "6 hours", "3 hours").as("w"), col("user_id"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+      .select(unix_millis(col("w.start")).as("w_start_ms"), col("n_events"), col("n_users"))
+      .orderBy("w_start_ms")
+
+  // FILTER-clause aggregation: per-priority counts/sums restricted by
+  // per-aggregate predicates in ONE pass (no self-joins, no second
+  // scan) — `count_if` / conditional sums, the pandas `df[df.x>k]
+  // .groupby().agg()` family collapsed into a single aggregation.
+  def filteredAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        count_if(col("o_totalprice") > 200000).as("n_big"),
+        count_if(col("o_orderstatus") === "F").as("n_finished"),
+        NumOps.roundAway(
+          sum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(lit(0.0)).cast("decimal(25,6)"))
+            .cast("double"),
+          2
+        ).as("finished_price")
+      )
+      .orderBy("o_orderpriority")
+
+  // CSV sink roundtrip: truncate-and-load to CSV with header, read
+  // back under the SAME explicit schema (CSV carries no types — the
+  // reader must re-assert them; doubles survive because Spark writes
+  // round-trip-exact shortest decimal forms). Completes the sink
+  // matrix: parquet (q49), partitioned parquet (q87), ORC (q99), CSV.
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val path = "/tmp/graft_csv/orders"
+    graft.sinks.RetryingSink.withRetry(graft.sinks.RetryingSink.RetryPolicy(), Thread.sleep) { () =>
+      o.write.mode(org.apache.spark.sql.SaveMode.Overwrite).option("header", "true").csv(path)
+    }
+    s.read
+      .schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+      .option("header", "true")
+      .csv(path)
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        NumOps.exactSum(col("o_totalprice")).as("total_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key")
+      )
+      .orderBy("o_orderstatus")
+  }
+
   // whole-file binary source: the ingestion front door for multimodal
   // corpora (the reference's raw API payloads; here the deterministic
   // calls fixtures) — one row per FILE, payload as a binary column,

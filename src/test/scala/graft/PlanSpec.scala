@@ -237,4 +237,28 @@ class PlanSpec extends SparkSpec {
     val p = plan(Queries.nullSafeJoin(spark, sfDir))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), s"null-safe key fell out of the join keys:\n$p")
   }
+
+  test("AQE splits a skewed sort-merge join partition at runtime (skew=true)") {
+    // isolated session: aggressive thresholds so the 16k-row hot key
+    // trips the same OptimizeSkewedJoin rule that saves a 100 TB join
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16384")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8192")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val left = s2
+      .range(0, 20000)
+      // pad must be DATA-DEPENDENT or constant folding strips it from the
+      // shuffle and the hot partition carries no bytes
+      .select(when(col("id") < 16000, 0L).otherwise(col("id")).as("k"), repeat(sha2(col("id").cast("string"), 256), 2).as("pad"))
+    val right = s2.range(0, 20000).select(col("id").as("k"), (col("id") * 2).as("v"))
+    val j = left.join(right, "k").agg(sum(length(col("pad"))).as("bytes"), sum(col("v")).as("sv"))
+    j.collect()
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("skew=true"), s"OptimizeSkewedJoin did not fire:\n$p")
+  }
 }

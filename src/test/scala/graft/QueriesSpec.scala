@@ -167,6 +167,31 @@ class QueriesSpec extends SparkSpec {
     assert(tot.getLong(1) > 0, "watermark never released an outer row")
   }
 
+  test("shared vocab: overlap never exceeds the smaller vocabulary; all 10 pairs present") {
+    val v = Queries.sharedVocab(spark, sfDir)
+    assert(v.count() === 10)
+    assert(v.filter(col("n_shared") > least(col("n1"), col("n2"))).count() === 0)
+    assert(v.filter(col("n_shared") <= 0).count() === 0, "languages share the synthetic vocabulary")
+  }
+
+  test("sliding windows: every event lands in exactly two 6h/3h windows") {
+    val w = Queries.slidingWindows(spark, sfDir)
+    val total = w.agg(sum(col("n_events"))).collect()(0).getLong(0)
+    assert(total === 2 * graft.sources.Tables.events(spark, sfDir).count())
+  }
+
+  test("filtered agg: per-aggregate predicates bounded by the group count") {
+    val f = Queries.filteredAgg(spark, sfDir)
+    assert(f.filter(col("n_big") > col("n_orders") || col("n_finished") > col("n_orders")).count() === 0)
+    assert(f.filter(col("n_finished") === 0 && col("finished_price") =!= 0.0).count() === 0)
+  }
+
+  test("csv roundtrip: totals reconcile with the source table") {
+    val c = Queries.csvRoundtrip(spark, sfDir)
+    val n = c.agg(sum(col("n_orders"))).collect()(0).getLong(0)
+    assert(n === graft.sources.Tables.parquet(spark, sfDir, "orders").count())
+  }
+
   test("window bounds: one row per user; second_type null only for single-event users") {
     val w = Queries.windowBounds(spark, sfDir)
     assert(w.groupBy("user_id").count().filter(col("count") > 1).count() === 0)
