@@ -1412,6 +1412,48 @@ object Oracles {
          |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
     },
+    // the identical recursion (DuckDB: // is integer div)
+    "q138_recursive_hierarchy" -> {
+      val bal = away("CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)", 2)
+      s"""WITH RECURSIVE h(c_custkey, c_acctbal, lvl) AS (
+         |  SELECT c_custkey, c_acctbal, 0 FROM customer WHERE c_custkey = 0
+         |  UNION ALL
+         |  SELECT c.c_custkey, c.c_acctbal, h.lvl + 1
+         |  FROM customer c JOIN h ON c.c_custkey // 2 = h.c_custkey
+         |  WHERE c.c_custkey > 0
+         |)
+         |SELECT lvl, count(*) AS n_nodes, $bal AS sum_bal
+         |FROM h GROUP BY lvl ORDER BY lvl""".stripMargin
+    },
+    // observed side-channel metrics == the same aggregates computed directly
+    "q139_observe_metrics" -> {
+      val qty = away("CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)", 2)
+      s"""SELECT count(*) AS n_rows, $qty AS sum_qty,
+         |  count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted
+         |FROM lineitem""".stripMargin
+    },
+    "q140_intra_doc_dedup" ->
+      raw"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |ch AS (SELECT doc_id, ws, unnest(generate_series(0, CAST(floor((len(ws) - 1) / 3.0) AS INTEGER))) AS chunk_idx FROM w),
+        |h AS (SELECT doc_id, chunk_idx,
+        |    md5(array_to_string(ws[(chunk_idx * 3 + 1):(chunk_idx * 3 + 3)], ' ')) AS h
+        |  FROM ch),
+        |r AS (SELECT doc_id, h, count(*) AS c FROM h GROUP BY doc_id, h)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chunks, count(*) AS n_unique,
+        |  CAST(sum(c) - count(*) AS BIGINT) AS n_repeated
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // attribution: purchase matched iff a click of the same user lies
+    // in [purchase − 1h, purchase]
+    "q141_cogroup_attribution" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+        |p AS (SELECT user_id, us FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, us FROM e WHERE event_type = 'click')
+        |SELECT p.user_id, count(*) AS n_purchases,
+        |  CAST(sum(CASE WHEN EXISTS (
+        |    SELECT 1 FROM c WHERE c.user_id = p.user_id
+        |      AND c.us <= p.us AND p.us - c.us <= 3600000000
+        |  ) THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed
+        |FROM p GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
     "q132_share_of_total" -> {
       val rev = away("CAST(rev AS DOUBLE)", 2)
       s"""WITH cell AS (SELECT l_returnflag, l_linestatus,

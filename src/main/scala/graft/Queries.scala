@@ -2276,6 +2276,126 @@ object Queries {
       .orderBy("o_orderstatus")
   }
 
+  // recursive CTE (Spark 4 WITH RECURSIVE): transitive closure over an
+  // implicit hierarchy (parent = key div 2 — a binary tree over the
+  // customer keys), per-level counts and exact balance sums. Each
+  // recursion step is one distributed join of the frontier against the
+  // base table; depth is log₂(max key) (~11 here, ~40 at any realistic
+  // key space), so the iteration count is bounded by the KEY WIDTH,
+  // not the data volume. A closed form (floor(log2)) exists for this
+  // synthetic tree — the point is the engine executing the recursive
+  // plan; the oracle runs the identical recursion.
+  def recursiveHierarchy(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer_rh")
+    s.sql("""
+      WITH RECURSIVE h(c_custkey, c_acctbal, lvl) AS (
+        SELECT c_custkey, c_acctbal, 0 FROM customer_rh WHERE c_custkey = 0
+        UNION ALL
+        SELECT c.c_custkey, c.c_acctbal, h.lvl + 1
+        FROM customer_rh c JOIN h ON c.c_custkey div 2 = h.c_custkey
+        WHERE c.c_custkey > 0
+      )
+      SELECT lvl, count(*) AS n_nodes,
+        sign(CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE))
+          * (floor(abs(CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS sum_bal
+      FROM h GROUP BY lvl ORDER BY lvl
+    """)
+  }
+
+  // pipeline observability: df.observe() collects audit metrics as a
+  // SIDE-CHANNEL of the pipeline action (CollectMetrics folds into the
+  // same pass — zero extra scans, unlike the reference's separate
+  // profiling .compute()s, app.py:223-250). The observed values are
+  // surfaced as the query result so the oracle can hash-check them.
+  def observeMetrics(s: SparkSession, dir: String): DataFrame = {
+    val obs = new org.apache.spark.sql.Observation(s"graft_obs_${System.nanoTime()}")
+    val audited = t(s, dir, "lineitem")
+      .observe(
+        obs,
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(25,6)")).as("sum_qty"),
+        count_if(col("l_discount") > 0.05).as("n_discounted")
+      )
+      .filter(col("l_quantity") > 0) // the observed metrics see PRE-filter rows
+    audited.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    import s.implicits._
+    Seq(
+      (
+        m("n_rows").asInstanceOf[Long],
+        NumOps.roundAwayDouble(m("sum_qty").asInstanceOf[java.math.BigDecimal].doubleValue(), 2),
+        m("n_discounted").asInstanceOf[Long]
+      )
+    ).toDF("n_rows", "sum_qty", "n_discounted")
+  }
+
+  // intra-document passage dedup: q94's corpus-level keep-first,
+  // scoped to WITHIN each document (the C4 repeated-line scrub). The
+  // rank window keys on (doc, passage-hash) — sharding strictly finer
+  // than q94's corpus-wide (hash) key, so the scale story is strictly
+  // better; repetition surfaces as n_chunks − n_unique.
+  def intraDocDedup(s: SparkSession, dir: String): DataFrame = {
+    val passage = 3
+    val ws = TextOps.tokens(col("text"))
+    val chunks = t(s, dir, "documents")
+      .select(col("doc_id"), ws.as("ws"))
+      .select(
+        col("doc_id"),
+        col("ws"),
+        explode(sequence(lit(0), floor((size(col("ws")) - 1) / passage).cast("int"))).as("chunk_idx")
+      )
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        md5(concat_ws(" ", slice(col("ws"), col("chunk_idx") * passage + 1, lit(passage)))).as("h")
+      )
+    val firstInDoc = Window.partitionBy("doc_id", "h").orderBy("chunk_idx")
+    chunks
+      .withColumn("rn", row_number().over(firstInDoc))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_unique")
+      )
+      .withColumn("n_repeated", col("n_chunks") - col("n_unique"))
+      .orderBy("doc_id")
+  }
+
+  // typed cogroup: clicks and purchases of each user reduced together
+  // with arbitrary Scala logic (two sorted streams, one pass) — the
+  // KeyValueGroupedDataset.cogroup surface for per-key merge logic no
+  // SQL shape expresses. Here: purchases attributed to a click in the
+  // preceding hour. Each group buffers ONE user's events (the same
+  // per-user bound as sessionize — capped upstream by any per-user
+  // event cap); the shuffle is the cogroup's single (user_id) exchange.
+  def cogroupAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables
+      .events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val clicks = ev.filter(col("event_type") === "click").select("user_id", "us").as[(Long, Long)]
+    val purchases = ev.filter(col("event_type") === "purchase").select("user_id", "us").as[(Long, Long)]
+    val attributed = clicks
+      .groupByKey(_._1)
+      .cogroup(purchases.groupByKey(_._1)) { (user, cs, ps) =>
+        val clickTimes = cs.map(_._2).toArray.sorted
+        var nPurch = 0L
+        var nAttr = 0L
+        // one pointer sweep: clicks sorted; for each purchase, check the
+        // latest click at-or-before it (binary search keeps it O(p log c))
+        ps.foreach { case (_, pus) =>
+          nPurch += 1
+          val i = java.util.Arrays.binarySearch(clickTimes, pus)
+          val insertAt = if (i >= 0) i + 1 else -i - 1
+          val prevClick = if (insertAt > 0) Some(clickTimes(insertAt - 1)) else None
+          if (prevClick.exists(c => pus - c <= 3600000000L)) nAttr += 1
+        }
+        if (nPurch > 0) Iterator((user, nPurch, nAttr)) else Iterator.empty
+      }
+      .toDF("user_id", "n_purchases", "n_attributed")
+    attributed.orderBy("user_id")
+  }
+
   // whole-file binary source: the ingestion front door for multimodal
   // corpora (the reference's raw API payloads; here the deterministic
   // calls fixtures) — one row per FILE, payload as a binary column,

@@ -32,6 +32,14 @@ object NumOps {
     signum(c) * (floor(abs(c) * p + 0.5) / p)
   }
 
+  /** Driver-side twin of [[roundAway]] for values already collected
+    * (observed metrics): the identical IEEE ops, bit-for-bit.
+    */
+  def roundAwayDouble(x: Double, scale: Int): Double = {
+    val p = math.pow(10.0, scale)
+    math.signum(x) * (math.floor(math.abs(x) * p + 0.5) / p)
+  }
+
   /** Exact-sum average rounded to `scale`: sum(decimal)→double / count. */
   def exactAvg(c: Column, scale: Int = 4): Column =
     roundAway(sum(c.cast(SumType)).cast("double") / count(c), scale)

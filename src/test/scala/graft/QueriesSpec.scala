@@ -192,6 +192,39 @@ class QueriesSpec extends SparkSpec {
     assert(n === graft.sources.Tables.parquet(spark, sfDir, "orders").count())
   }
 
+  test("recursive hierarchy: level sizes double down a binary tree until exhaustion") {
+    val h = Queries.recursiveHierarchy(spark, sfDir).collect()
+    val total = h.map(_.getAs[Long]("n_nodes")).sum
+    assert(total === graft.sources.Tables.parquet(spark, sfDir, "customer").count())
+    h.sliding(2).foreach {
+      case Array(a, b) =>
+        val (la, lb) = (a.getAs[Int]("lvl"), b.getAs[Int]("lvl"))
+        assert(lb === la + 1, "levels contiguous")
+        assert(b.getAs[Long]("n_nodes") <= 2 * a.getAs[Long]("n_nodes"), "binary tree growth bound")
+      case _ => ()
+    }
+  }
+
+  test("observe metrics: side-channel equals a direct aggregate") {
+    val m = Queries.observeMetrics(spark, sfDir).collect()(0)
+    val li = graft.sources.Tables.parquet(spark, sfDir, "lineitem")
+    assert(m.getAs[Long]("n_rows") === li.count())
+    assert(m.getAs[Long]("n_discounted") === li.filter(col("l_discount") > 0.05).count())
+  }
+
+  test("intra-doc dedup: unique never exceeds chunks; repetition reconciles") {
+    val d = Queries.intraDocDedup(spark, sfDir)
+    assert(d.filter(col("n_unique") > col("n_chunks")).count() === 0)
+    assert(d.filter(col("n_repeated") =!= col("n_chunks") - col("n_unique")).count() === 0)
+    assert(d.agg(sum(col("n_repeated"))).collect()(0).getLong(0) > 0, "synthetic docs do repeat passages")
+  }
+
+  test("cogroup attribution: attributed bounded by purchases; some conversions attribute") {
+    val a = Queries.cogroupAttribution(spark, sfDir)
+    assert(a.filter(col("n_attributed") > col("n_purchases")).count() === 0)
+    assert(a.agg(sum(col("n_attributed"))).collect()(0).getLong(0) > 0)
+  }
+
   test("window bounds: one row per user; second_type null only for single-event users") {
     val w = Queries.windowBounds(spark, sfDir)
     assert(w.groupBy("user_id").count().filter(col("count") > 1).count() === 0)
