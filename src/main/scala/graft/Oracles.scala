@@ -1454,6 +1454,30 @@ object Oracles {
         |      AND c.us <= p.us AND p.us - c.us <= 3600000000
         |  ) THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed
         |FROM p GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
+    // identical div/mod bit-interleave arithmetic
+    "q142_zorder_cluster" -> {
+      val terms = (0 until 8).flatMap { i =>
+        val px = 1L << i
+        Seq(s"((bx // $px) % 2) * ${1L << (2 * i)}", s"((by // $px) % 2) * ${1L << (2 * i + 1)}")
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT l_partkey % 256 AS bx, (l_suppkey * 37) % 256 AS by FROM lineitem),
+         |z AS (SELECT bx, by, ($terms) // 4096 AS zblock FROM b)
+         |SELECT zblock, count(*) AS n_rows,
+         |  min(bx) AS x_lo, max(bx) AS x_hi, min(by) AS y_lo, max(by) AS y_hi
+         |FROM z GROUP BY zblock ORDER BY zblock""".stripMargin
+    },
+    // the merged read, restated closed-form over the source rows
+    "q143_schema_evolution" -> {
+      val tot = away("CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)", 2)
+      s"""SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-evolution>' ELSE o_orderstatus END AS status,
+         |  count(*) AS n_orders, $tot AS total_price
+         |FROM orders GROUP BY status ORDER BY status""".stripMargin
+    },
+    // one upstream task per status ⇒ exactly one file per partition dir
+    "q144_file_metadata" ->
+      """SELECT o_orderstatus, count(*) AS n_rows, CAST(1 AS BIGINT) AS n_files,
+        |  min(o_orderkey) AS min_key
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q132_share_of_total" -> {
       val rev = away("CAST(rev AS DOUBLE)", 2)
       s"""WITH cell AS (SELECT l_returnflag, l_linestatus,

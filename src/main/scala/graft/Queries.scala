@@ -2396,6 +2396,91 @@ object Queries {
     attributed.orderBy("user_id")
   }
 
+  // z-order clustering: interleave the bits of two join/filter
+  // dimensions into one sort key so range-blocks of the layout are
+  // RECTANGLES in (partkey, suppkey) space — the lakehouse data-skipping
+  // move (a scan filtering either dimension prunes most blocks, which
+  // per-column min/max stats make visible). Bit extraction is spelled
+  // as div/mod integer arithmetic (identical semantics on every
+  // engine); the block profile output IS the skipping index: per block,
+  // count + both bounding boxes. One keyed aggregation; the z-value
+  // itself is pure map-side codegen.
+  def zorderCluster(s: SparkSession, dir: String): DataFrame = {
+    val bits = 8
+    def zval(x: Column, y: Column): Column =
+      (0 until bits)
+        .map { i =>
+          val px = math.pow(2, i).toLong
+          val term = (x / px).cast("long") % 2 * math.pow(2, 2 * i).toLong
+          val termY = (y / px).cast("long") % 2 * math.pow(2, 2 * i + 1).toLong
+          term + termY
+        }
+        .reduce(_ + _)
+    t(s, dir, "lineitem")
+      .select(pmod(col("l_partkey"), lit(256)).as("bx"), pmod(col("l_suppkey") * 37, lit(256)).as("by"))
+      .withColumn("z", zval(col("bx"), col("by")))
+      .withColumn("zblock", expr("z div 4096"))
+      .groupBy("zblock")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("bx")).as("x_lo"),
+        max(col("bx")).as("x_hi"),
+        min(col("by")).as("y_lo"),
+        max(col("by")).as("y_hi")
+      )
+      .orderBy("zblock")
+  }
+
+  // parquet schema evolution: two snapshot generations with different
+  // schemas (v2 adds a column) merged by ONE read (mergeSchema) — the
+  // "old files don't get rewritten" lakehouse contract. Old rows
+  // surface the new column as null; the aggregation proves both
+  // generations landed and the null-fill is correct.
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val base = "/tmp/graft_evolve/orders"
+    val o = t(s, dir, "orders")
+    o.select(col("o_orderkey"), col("o_totalprice"))
+      .filter(col("o_orderkey") % 2 === 0)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$base/gen=1")
+    o.select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .filter(col("o_orderkey") % 2 === 1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$base/gen=2")
+    s.read
+      .option("mergeSchema", "true")
+      .parquet(base)
+      .groupBy(coalesce(col("o_orderstatus"), lit("<pre-evolution>")).as("status"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        NumOps.exactSum(col("o_totalprice")).as("total_price")
+      )
+      .orderBy("status")
+  }
+
+  // file-metadata lineage: the hidden _metadata struct of file sources
+  // — every row knows which physical file produced it, without a
+  // custom source or path parsing. Written as one file per partition
+  // directory (the q87 layout), read back with per-row provenance;
+  // the audit proves each partition's rows trace to exactly one file.
+  def fileMetadataLineage(s: SparkSession, dir: String): DataFrame = {
+    val base = "/tmp/graft_lineage/orders"
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .repartition(col("o_orderstatus"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("o_orderstatus")
+      .parquet(base)
+    s.read
+      .parquet(base)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("_metadata.file_name").as("f"))
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("f")).as("n_files"),
+        min(col("o_orderkey")).as("min_key")
+      )
+      .orderBy("o_orderstatus")
+  }
+
   // whole-file binary source: the ingestion front door for multimodal
   // corpora (the reference's raw API payloads; here the deterministic
   // calls fixtures) — one row per FILE, payload as a binary column,

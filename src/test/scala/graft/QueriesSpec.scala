@@ -225,6 +225,23 @@ class QueriesSpec extends SparkSpec {
     assert(a.agg(sum(col("n_attributed"))).collect()(0).getLong(0) > 0)
   }
 
+  test("z-order blocks are tight rectangles: every 4096-z block bounds a 64x64 box") {
+    val z = Queries.zorderCluster(spark, sfDir)
+    assert(z.filter(col("x_hi") - col("x_lo") > 63 || col("y_hi") - col("y_lo") > 63).count() === 0)
+  }
+
+  test("schema evolution: pre-evolution rows are exactly the even keys") {
+    val e = Queries.schemaEvolution(spark, sfDir).collect().map(r => r.getAs[String]("status") -> r.getAs[Long]("n_orders")).toMap
+    val o = graft.sources.Tables.parquet(spark, sfDir, "orders")
+    assert(e("<pre-evolution>") === o.filter(col("o_orderkey") % 2 === 0).count())
+    assert(e.filter(_._1 != "<pre-evolution>").values.sum === o.filter(col("o_orderkey") % 2 === 1).count())
+  }
+
+  test("file metadata lineage: each partition's rows trace to one file") {
+    val f = Queries.fileMetadataLineage(spark, sfDir)
+    assert(f.filter(col("n_files") =!= 1).count() === 0)
+  }
+
   test("window bounds: one row per user; second_type null only for single-event users") {
     val w = Queries.windowBounds(spark, sfDir)
     assert(w.groupBy("user_id").count().filter(col("count") > 1).count() === 0)
