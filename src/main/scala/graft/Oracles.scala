@@ -1478,6 +1478,70 @@ object Oracles {
       """SELECT o_orderstatus, count(*) AS n_rows, CAST(1 AS BIGINT) AS n_files,
         |  min(o_orderkey) AS min_key
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // variant paths restated closed-form over the source fields
+    "q145_variant_extract" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |    'u' || CAST(user_id % 5 AS VARCHAR) AS cohort
+        |  FROM events)
+        |SELECT event_type, cohort, count(k) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM e GROUP BY event_type, cohort ORDER BY event_type, cohort""".stripMargin,
+    "q146_array_hof" ->
+      raw"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |f AS (SELECT doc_id, ws, list_filter(ws, x -> len(x) > 4) AS lf FROM w)
+        |SELECT doc_id, CAST(len(lf) AS BIGINT) AS n_long,
+        |  CAST(coalesce(list_sum(list_transform(lf, x -> len(x))), 0) AS BIGINT) AS long_chars,
+        |  CAST(len(list_filter(ws, x -> len(x) >= 9)) > 0 AS INTEGER) AS has_rare
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q147_map_ops" ->
+      """SELECT user_id,
+        |  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+        |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+        |  count(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q148_try_arithmetic" -> {
+      val sq = away("CAST(sum(CAST(q AS DECIMAL(25,6))) AS DOUBLE)", 2)
+      s"""WITH d AS (SELECT o_orderpriority,
+         |    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+         |         ELSE o_totalprice / CAST(o_orderkey % 5 AS DOUBLE) END AS q
+         |  FROM orders)
+         |SELECT o_orderpriority, count(*) AS n_orders,
+         |  count(*) FILTER (WHERE q IS NULL) AS n_div_zero,
+         |  $sq AS sum_quotient
+         |FROM d GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    },
+    // empty-array docs survive as one null row: n_rows = max(n_rare, 1)
+    "q149_explode_outer" ->
+      raw"""WITH w AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) >= 9) AS rare
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(rare) AS BIGINT) AS n_rare,
+        |  CAST(greatest(len(rare), 1) AS BIGINT) AS n_rows
+        |FROM w ORDER BY doc_id""".stripMargin,
+    // the identical 10 floored-integer message-passing rounds, unrolled
+    // (the IVF/Lloyd unroll precedent) — same teleport floor, same
+    // `pr div deg` share floor, same 85% damping floor
+    "q150_pagerank" -> {
+      val iterCtes = (0 until 10)
+        .map { i =>
+          s"""sh$i AS (SELECT p.id, p.pr // d.deg AS sh FROM pr$i p JOIN deg d ON p.id = d.id),
+             |fl$i AS (SELECT s.dst AS id, sum(sh.sh) AS infl FROM sym s JOIN sh$i sh ON s.src = sh.id GROUP BY s.dst),
+             |pr${i + 1} AS (SELECT doc.doc_id AS id,
+             |    (15 * 1000000000000) // (100 * (SELECT n FROM nn))
+             |    + CAST((85 * COALESCE(f.infl, 0)) // 100 AS BIGINT) AS pr
+             |  FROM documents doc LEFT JOIN fl$i f ON doc.doc_id = f.id)""".stripMargin
+        }
+        .mkString(",\n")
+      s"""WITH pairs AS (SELECT d1, d2 FROM ($minhashSql)),
+         |sym AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+         |deg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |pr0 AS (SELECT doc_id AS id, 1000000000000 // (SELECT n FROM nn) AS pr FROM documents),
+         |$iterCtes
+         |SELECT p.id AS doc_id, COALESCE(d.deg, 0) AS deg, p.pr
+         |FROM pr10 p LEFT JOIN deg d ON p.id = d.id
+         |ORDER BY doc_id""".stripMargin
+    },
     "q132_share_of_total" -> {
       val rev = away("CAST(rev AS DOUBLE)", 2)
       s"""WITH cell AS (SELECT l_returnflag, l_linestatus,

@@ -2481,6 +2481,127 @@ object Queries {
       .orderBy("o_orderstatus")
   }
 
+  // VARIANT (Spark 4): semi-structured payloads parsed ONCE into the
+  // binary variant encoding, then typed path extraction — no
+  // per-extraction re-parse (vs get_json_object), no rigid schema (vs
+  // from_json). The payload here nests an object and an array; both
+  // extraction shapes are exercised. Pure per-row codegen work.
+  def variantExtract(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .select(
+        col("event_type"),
+        parse_json(
+          format_string(
+            """{"m": {"k": %s}, "tags": ["t_%s", "u%d"]}""",
+            get_json_object(col("props"), "$.k"),
+            col("event_type"),
+            pmod(col("user_id"), lit(5))
+          )
+        ).as("v")
+      )
+      .select(
+        col("event_type"),
+        expr("variant_get(v, '$.m.k', 'bigint')").as("k"),
+        expr("variant_get(v, '$.tags[1]', 'string')").as("cohort")
+      )
+      .groupBy("event_type", "cohort")
+      .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy("event_type", "cohort")
+
+  // array higher-order functions: filter → transform → aggregate on
+  // the token array WITHOUT exploding (per-row array algebra beats a
+  // corpus-wide explode+groupBy when the answer is per-row: zero
+  // shuffles until the final audit agg, and the lambda pipeline stays
+  // in codegen).
+  def arrayHof(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextOps.tokens(col("text"))
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        filter(ws, w => length(w) > 4).as("long_toks"),
+        ws.as("ws")
+      )
+      .select(
+        col("doc_id"),
+        size(col("long_toks")).cast("long").as("n_long"),
+        aggregate(col("long_toks"), lit(0L), (acc, w) => acc + length(w)).as("long_chars"),
+        exists(col("ws"), w => length(w) >= 9).cast("int").as("has_rare")
+      )
+      .orderBy("doc_id")
+  }
+
+  // map-typed aggregation: per-user event-type counts materialized as
+  // a MAP column (map_from_entries over the sorted entry list), then
+  // typed lookups (element_at) and cardinality (map_keys) — the
+  // dictionary-shaped result the reference builds row-by-row in
+  // Python dicts (app.py:470), as one keyed aggregation.
+  def mapOps(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(map_from_entries(sort_array(collect_list(struct(col("event_type"), col("n"))))).as("m"))
+      .select(
+        col("user_id"),
+        coalesce(element_at(col("m"), "click"), lit(0L)).as("n_click"),
+        coalesce(element_at(col("m"), "purchase"), lit(0L)).as("n_purchase"),
+        size(map_keys(col("m"))).cast("long").as("n_types")
+      )
+      .orderBy("user_id")
+
+  // try_* arithmetic under ANSI mode: this engine runs ANSI ON (q19's
+  // try_cast is the cast face of it); try_divide is the arithmetic
+  // face — division by a zero denominator yields NULL instead of
+  // killing the job, and the nulls are then first-class countable
+  // facts. Sum of quotients is decimal-stabilized per row before
+  // aggregation (a bare double sum is partition-order-dependent).
+  def tryArithmetic(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderpriority"),
+        try_divide(col("o_totalprice"), (col("o_orderkey") % 5).cast("double")).as("q")
+      )
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        count_if(col("q").isNull).as("n_div_zero"),
+        NumOps.roundAway(sum(col("q").cast("decimal(25,6)")).cast("double"), 2).as("sum_quotient")
+      )
+      .orderBy("o_orderpriority")
+
+  // explode_outer: generator that PRESERVES empty-input rows (plain
+  // explode silently drops documents with no matches — the same
+  // silent-loss class as non-null-safe equality). Rare tokens per doc;
+  // docs with none survive as a null row and are counted.
+  def explodeOuter(s: SparkSession, dir: String): DataFrame = {
+    val rare = filter(TextOps.tokens(col("text")), w => length(w) >= 9)
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode_outer(rare).as("tok"))
+      .groupBy("doc_id")
+      .agg(
+        count(col("tok")).as("n_rare"),
+        count(lit(1)).as("n_rows")
+      )
+      .orderBy("doc_id")
+  }
+
+  // PageRank centrality on the near-dup candidate graph — see
+  // [[graft.operators.PageRank]]: integer fixed-point mass, floored
+  // divisions, 10 message-passing rounds; the oracle unrolls the
+  // identical iterations. Ranks boilerplate magnets and gives a
+  // principled per-cluster canonical pick.
+  def pagerank(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sigs = NearDup.minhashSignatures(docs, col("doc_id"), col("text"), k = 16, n = 3)
+    val pairs = NearDup.lshCandidatePairs(sigs, bands = 4, rowsPerBand = 4)
+    graft.operators.PageRank
+      .integerPageRank(docs.select(col("doc_id")), col("doc_id"), pairs, col("d1"), col("d2"), iters = 10)
+      .select(col("id").as("doc_id"), col("deg"), col("pr"))
+      .orderBy("doc_id")
+  }
+
   // whole-file binary source: the ingestion front door for multimodal
   // corpora (the reference's raw API payloads; here the deterministic
   // calls fixtures) — one row per FILE, payload as a binary column,

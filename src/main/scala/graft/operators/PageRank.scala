@@ -1,0 +1,109 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PageRank over the near-dup candidate graph, in INTEGER arithmetic.
+  *
+  * Centrality on the duplicate graph ranks each cluster's most
+  *-connected member — a principled canonical-document choice (vs q80's
+  * min-id or q118's longest-member) and a dedup-graph health metric
+  * (an abnormally central doc is a template/boilerplate magnet worth
+  * inspecting).
+  *
+  * All mass is held in fixed-point longs (1 ≡ 10⁻¹² of total rank) and
+  * every division is a FLOOR division: `pr div deg` and
+  * `(85 · inflow) div 100`. Floating-point PageRank is
+  * summation-order-dependent (a parallel sum of doubles differs by
+  * ulps between partitionings, engines, runs); floored integer mass is
+  * bit-identical everywhere, at the price of leaking ≤1 unit per
+  * division — bounded, deterministic, and identically replayed by the
+  * DuckDB oracle (which unrolls the same iterations; the IVF/Lloyd
+  * oracle precedent). Dangling mass (isolated nodes keep only the
+  * teleport term; their rank never flows out) is likewise dropped
+  * identically on both sides.
+  *
+  * Scale shape: per iteration, ONE (src)-keyed join to ship each
+  * node's share along its edges and ONE (dst)-keyed aggregation to
+  * collect inflow — the standard message-passing round, sharded by
+  * node key, nothing global. Like [[ConnectedComponents]], every
+  * round snapshots (write parquet, read back) so the plan stays
+  * constant-size and no lineage/cached blocks accumulate; iteration
+  * count is a fixed parameter (rank deltas shrink geometrically — 10
+  * rounds is the conventional budget), so wall time is linear in
+  * |E| · iters with no convergence action at all.
+  */
+object PageRank {
+
+  val One: Long = 1000000000000L // fixed-point unit: total mass = 1e12
+
+  /** One row per node: (id, deg, pr) — `pr` the floored fixed-point
+    * rank after `iters` message-passing rounds; `deg` the undirected
+    * degree (0 for isolated nodes, whose rank is the bare teleport
+    * term). `edges` holds each undirected pair once.
+    */
+  def integerPageRank(
+      nodes: DataFrame,
+      id: Column,
+      edges: DataFrame,
+      a: Column,
+      b: Column,
+      iters: Int = 10,
+      damping: Int = 85, // percent
+      scratchDir: Option[String] = None
+  ): DataFrame = {
+    val spark = nodes.sparkSession
+    val base = scratchDir.getOrElse(Files.createTempDirectory("graft-pr").toString)
+
+    def snapshot(df: DataFrame, name: String): DataFrame = {
+      val path = s"$base/$name"
+      df.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+    def dropSnapshot(name: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$base/$name")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit
+    }
+
+    val ids = snapshot(nodes.select(id.as("id")), "nodes")
+    val sym = snapshot(
+      edges
+        .select(a.as("src"), b.as("dst"))
+        .unionByName(edges.select(b.as("src"), a.as("dst"))),
+      "edges"
+    )
+    val deg = snapshot(sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")), "deg")
+
+    // driver-side scalars: node count fixes the teleport term — the
+    // same dimension-sized action as CC's convergence checksum
+    val n = ids.count()
+    require(n > 0, "PageRank over an empty node set")
+    val teleport = (100 - damping) * One / (100 * n) // floor, as the oracle floors
+
+    var pr = snapshot(ids.withColumn("pr", lit(One / n)), "round_0")
+    (1 to iters).foreach { i =>
+      val share = pr
+        .join(deg, Seq("id"))
+        .select(col("id"), expr("pr div deg").as("sh"))
+      val inflow = sym
+        .join(share, sym("src") === share("id"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("sh")).as("inflow"))
+      val next = ids
+        .join(inflow, Seq("id"), "left")
+        .select(
+          col("id"),
+          (lit(teleport) + expr(s"($damping * coalesce(inflow, 0L)) div 100")).as("pr")
+        )
+      pr = snapshot(next, s"round_$i")
+      dropSnapshot(s"round_${i - 1}")
+    }
+    val out = pr.join(deg, Seq("id"), "left").select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"), col("pr"))
+    // the final round's snapshot backs `out`; edges/deg/nodes snapshots
+    // are superseded intermediates — drop them now
+    dropSnapshot("edges")
+    out
+  }
+}

@@ -242,6 +242,40 @@ class QueriesSpec extends SparkSpec {
     assert(f.filter(col("n_files") =!= 1).count() === 0)
   }
 
+  test("variant extract: per-type totals reconcile with the raw json sums") {
+    val v = Queries.variantExtract(spark, sfDir)
+    val tot = v.agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(tot === graft.sources.Tables.events(spark, sfDir).count())
+  }
+
+  test("array HOF: long-token stats bounded by the token stream") {
+    val a = Queries.arrayHof(spark, sfDir)
+    assert(a.filter(col("long_chars") < col("n_long") * 5).count() === 0, "every counted token has >4 chars")
+    assert(a.filter(col("has_rare") =!= 0 && col("has_rare") =!= 1).count() === 0)
+  }
+
+  test("map ops: element_at lookups reconcile with type cardinality") {
+    val m = Queries.mapOps(spark, sfDir)
+    assert(m.filter(col("n_click") + col("n_purchase") > 0 && col("n_types") === 0).count() === 0)
+    assert(m.filter(col("n_types") < 1).count() === 0)
+  }
+
+  test("try arithmetic: exactly the keys ≡ 0 mod 5 divide to null") {
+    val t0 = Queries.tryArithmetic(spark, sfDir)
+    val nulls = t0.agg(sum(col("n_div_zero"))).collect()(0).getLong(0)
+    val expected = graft.sources.Tables
+      .parquet(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 5 === 0)
+      .count()
+    assert(nulls === expected)
+  }
+
+  test("explode_outer: docs without rare tokens survive as exactly one row") {
+    val e = Queries.explodeOuter(spark, sfDir)
+    assert(e.count() === graft.sources.Tables.parquet(spark, sfDir, "documents").count())
+    assert(e.filter(col("n_rare") === 0 && col("n_rows") =!= 1).count() === 0)
+  }
+
   test("window bounds: one row per user; second_type null only for single-event users") {
     val w = Queries.windowBounds(spark, sfDir)
     assert(w.groupBy("user_id").count().filter(col("count") > 1).count() === 0)
