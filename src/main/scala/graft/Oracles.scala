@@ -1542,6 +1542,33 @@ object Oracles {
          |FROM pr10 p LEFT JOIN deg d ON p.id = d.id
          |ORDER BY doc_id""".stripMargin
     },
+    "q151_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+        |v AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN us END) AS t_view FROM e GROUP BY user_id),
+        |c AS (SELECT e.user_id, v.t_view, min(CASE WHEN e.event_type = 'click' AND e.us > v.t_view THEN e.us END) AS t_click
+        |  FROM e JOIN v ON e.user_id = v.user_id GROUP BY e.user_id, v.t_view),
+        |p AS (SELECT e.user_id, c.t_view, c.t_click,
+        |    min(CASE WHEN e.event_type = 'purchase' AND e.us > c.t_click THEN e.us END) AS t_purchase
+        |  FROM e JOIN c ON e.user_id = c.user_id GROUP BY e.user_id, c.t_view, c.t_click)
+        |SELECT count(*) AS n_users, count(t_view) AS n_viewed,
+        |  count(t_click) AS n_clicked_after_view,
+        |  count(t_purchase) AS n_purchased_after_click
+        |FROM p""".stripMargin,
+    "q152_retention_matrix" ->
+      """WITH e AS (SELECT user_id, (epoch_ns(ts) // 1000) // 604800000000 AS week FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id)
+        |SELECT f.cohort_week, e.week - f.cohort_week AS weeks_since,
+        |  count(DISTINCT e.user_id) AS n_active
+        |FROM e JOIN f ON e.user_id = f.user_id
+        |GROUP BY f.cohort_week, weeks_since
+        |ORDER BY cohort_week, weeks_since""".stripMargin,
+    "q153_transition_matrix" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |SELECT event_type AS from_type, next_type AS to_type, count(*) AS n_transitions
+        |FROM o WHERE next_type IS NOT NULL
+        |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin,
     "q132_share_of_total" -> {
       val rev = away("CAST(rev AS DOUBLE)", 2)
       s"""WITH cell AS (SELECT l_returnflag, l_linestatus,

@@ -2602,6 +2602,66 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // ordered funnel: view → click → purchase, each step strictly after
+  // the previous one's FIRST occurrence (min-after-min, the standard
+  // funnel semantics). Three chained per-user window aggregates share
+  // ONE (user_id) exchange (same partitioning → Catalyst reuses the
+  // shuffle); a rank filter reduces to one row per user, then a global
+  // fold counts each funnel prefix. No joins anywhere.
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val seq = Window.partitionBy("user_id").orderBy(col("us"), col("event_type"))
+    Tables
+      .events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("t_view", min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("t_click", min(when(col("event_type") === "click" && col("us") > col("t_view"), col("us"))).over(w))
+      .withColumn("t_purchase", min(when(col("event_type") === "purchase" && col("us") > col("t_click"), col("us"))).over(w))
+      .withColumn("rn", row_number().over(seq))
+      .filter(col("rn") === 1)
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("t_view")).as("n_viewed"),
+        count(col("t_click")).as("n_clicked_after_view"),
+        count(col("t_purchase")).as("n_purchased_after_click")
+      )
+  }
+
+  // retention matrix: cohort week (first activity) × activity week —
+  // the product-analytics staple. Two keyed aggregations (per-user
+  // first week, then (cohort, week) counts); the matrix is
+  // weeks²-sized — bounded by wall time squared, not volume.
+  def retentionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      // integer div, not `/`: double division of epoch-µs loses exactness
+      .select(col("user_id"), expr("us div 604800000000").as("week"))
+    val firstWeek = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    ev.join(firstWeek, Seq("user_id"))
+      .groupBy("cohort_week", "week")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .withColumn("weeks_since", col("week") - col("cohort_week"))
+      .select("cohort_week", "weeks_since", "n_active")
+      .orderBy("cohort_week", "weeks_since")
+  }
+
+  // event-transition counts (first-order Markov): each user's event
+  // stream ordered by time, adjacent pairs counted per (from, to) —
+  // ONE keyed lead() window plus one aggregation. The behavioral
+  // fingerprint matrix (and a sequence-model sanity check).
+  def transitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables
+      .events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy("from_type", "to_type")
+  }
+
   // whole-file binary source: the ingestion front door for multimodal
   // corpora (the reference's raw API payloads; here the deterministic
   // calls fixtures) — one row per FILE, payload as a binary column,

@@ -238,6 +238,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), s"null-safe key fell out of the join keys:\n$p")
   }
 
+  test("funnel (q151): the three chained step windows share one user_id exchange") {
+    val p = Queries.funnel(spark, sfDir).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size === 1, s"funnel must not re-shuffle per step:\n$p")
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime (skew=true)") {
     // isolated session: aggressive thresholds so the 16k-row hot key
     // trips the same OptimizeSkewedJoin rule that saves a 100 TB join

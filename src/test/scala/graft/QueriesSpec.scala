@@ -276,6 +276,28 @@ class QueriesSpec extends SparkSpec {
     assert(e.filter(col("n_rare") === 0 && col("n_rows") =!= 1).count() === 0)
   }
 
+  test("funnel: monotone non-increasing down the prefix counts") {
+    val f = Queries.funnel(spark, sfDir).collect()(0)
+    val Seq(u, v, c, p) = Seq("n_users", "n_viewed", "n_clicked_after_view", "n_purchased_after_click").map(f.getAs[Long])
+    assert(u >= v && v >= c && c >= p)
+    assert(p > 0, "fixture should complete some full funnels")
+  }
+
+  test("retention matrix: week-0 row per cohort covers the whole cohort") {
+    val r = Queries.retentionMatrix(spark, sfDir)
+    val w0 = r.filter(col("weeks_since") === 0).agg(sum(col("n_active"))).collect()(0).getLong(0)
+    val users = graft.sources.Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(w0 === users, "every user is active in their own cohort week")
+    assert(r.filter(col("weeks_since") < 0).count() === 0)
+  }
+
+  test("transition matrix: total transitions = events minus one per user") {
+    val t0 = Queries.transitionMatrix(spark, sfDir)
+    val total = t0.agg(sum(col("n_transitions"))).collect()(0).getLong(0)
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    assert(total === ev.count() - ev.select("user_id").distinct().count())
+  }
+
   test("window bounds: one row per user; second_type null only for single-event users") {
     val w = Queries.windowBounds(spark, sfDir)
     assert(w.groupBy("user_id").count().filter(col("count") > 1).count() === 0)
