@@ -28,12 +28,17 @@ import org.apache.spark.sql.functions._
   * Scale shape: per iteration, ONE (src)-keyed join to ship each
   * node's share along its edges and ONE (dst)-keyed aggregation to
   * collect inflow — the standard message-passing round, sharded by
-  * node key, nothing global. Like [[ConnectedComponents]], every
-  * round snapshots (write parquet, read back) so the plan stays
-  * constant-size and no lineage/cached blocks accumulate; iteration
-  * count is a fixed parameter (rank deltas shrink geometrically — 10
-  * rounds is the conventional budget), so wall time is linear in
-  * |E| · iters with no convergence action at all.
+  * node key, nothing global. Unlike [[ConnectedComponents]] (whose
+  * rounds reference the previous labels TWICE, doubling lineage per
+  * round), PageRank references the previous ranks once — lineage
+  * grows linearly — so snapshotting (write parquet, read back) every
+  * round would pay 10 job+IO cycles for nothing. Snapshots happen
+  * every `snapshotEvery` rounds (and at the end): plans stay shallow,
+  * un-materialized rounds fuse into one job, nothing is recomputed
+  * (each intermediate is consumed exactly once). Iteration count is a
+  * fixed parameter (rank deltas shrink geometrically — 10 rounds is
+  * the conventional budget), so wall time is linear in |E| · iters
+  * with no convergence action at all.
   */
 object PageRank {
 
@@ -52,6 +57,7 @@ object PageRank {
       b: Column,
       iters: Int = 10,
       damping: Int = 85, // percent
+      snapshotEvery: Int = 5,
       scratchDir: Option[String] = None
   ): DataFrame = {
     val spark = nodes.sparkSession
@@ -82,7 +88,8 @@ object PageRank {
     require(n > 0, "PageRank over an empty node set")
     val teleport = (100 - damping) * One / (100 * n) // floor, as the oracle floors
 
-    var pr = snapshot(ids.withColumn("pr", lit(One / n)), "round_0")
+    var pr = ids.withColumn("pr", lit(One / n))
+    var lastSnap = -1
     (1 to iters).foreach { i =>
       val share = pr
         .join(deg, Seq("id"))
@@ -91,14 +98,17 @@ object PageRank {
         .join(share, sym("src") === share("id"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("sh")).as("inflow"))
-      val next = ids
+      pr = ids
         .join(inflow, Seq("id"), "left")
         .select(
           col("id"),
           (lit(teleport) + expr(s"($damping * coalesce(inflow, 0L)) div 100")).as("pr")
         )
-      pr = snapshot(next, s"round_$i")
-      dropSnapshot(s"round_${i - 1}")
+      if (i % snapshotEvery == 0 || i == iters) {
+        pr = snapshot(pr, s"round_$i")
+        if (lastSnap > 0) dropSnapshot(s"round_$lastSnap")
+        lastSnap = i
+      }
     }
     val out = pr.join(deg, Seq("id"), "left").select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"), col("pr"))
     // the final round's snapshot backs `out`; edges/deg/nodes snapshots
