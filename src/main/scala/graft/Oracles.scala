@@ -172,7 +172,12 @@ object Oracles {
     s"CASE ${whens.mkString(" ")} ELSE '${scores.last._1}' END"
   }
 
-  private val minhashSql: String = {
+  /** CTE chain ending in `cand(d1, d2)` — the exact SQL mirror of
+    * [[graft.operators.NearDup.lshCandidatePairs]] (k=16, 4×4 bands).
+    * Shared by q27 (which emits the candidates) and q181 (which reranks
+    * them by exact containment).
+    */
+  private val minhashCandCtes: String = {
     val p = graft.operators.NearDup.MinhashPrime
     val params = graft.operators.NearDup.minhashParams(16)
     val sigCols = params.zipWithIndex
@@ -189,7 +194,7 @@ object Oracles {
         s"SELECT a.doc_id AS d1, b.doc_id AS d2 FROM band a JOIN band b ON a.band_$j = b.band_$j AND a.doc_id < b.doc_id"
       )
       .mkString("\nUNION\n")
-    s"""WITH $ShingleCte,
+    s"""$ShingleCte,
        |hx AS (SELECT doc_id, ${hx("g")} AS x FROM sh),
        |sig AS (SELECT doc_id,
        |  $sigCols
@@ -197,9 +202,12 @@ object Oracles {
        |band AS (SELECT doc_id,
        |  $bandCols
        |FROM sig),
-       |cand AS ($bandJoins)
-       |SELECT d1, d2 FROM cand ORDER BY d1, d2""".stripMargin
+       |cand AS ($bandJoins)""".stripMargin
   }
+
+  private val minhashSql: String =
+    s"""WITH $minhashCandCtes
+       |SELECT d1, d2 FROM cand ORDER BY d1, d2""".stripMargin
 
   private val simhashSql: String = {
     val bitSums = (0 until 32)
@@ -1569,6 +1577,245 @@ object Oracles {
         |SELECT event_type AS from_type, next_type AS to_type, count(*) AS n_transitions
         |FROM o WHERE next_type IS NOT NULL
         |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin,
+    // sketch-ladder oracles: the bitmap rung is EXACT (plain
+    // count-distinct mirrors it); the HLL / CMS rungs use the q38
+    // bound-assertion pattern — the Spark side computes the sketch
+    // estimate AND checks it against the exact count from the same
+    // scan, so the oracle only restates the exact part + literal ok.
+    "q154_bitmap_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q155_hll_partial_merge" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |  CAST(1 AS INTEGER) AS hll_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q156_cms_heavy_hitters" ->
+      """SELECT user_id, n_events, CAST(1 AS INTEGER) AS cms_ok FROM (
+        |  SELECT user_id, count(*) AS n_events FROM events
+        |  GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 5)
+        |ORDER BY n_events DESC, user_id""".stripMargin,
+    "q157_shipping_priority" -> {
+      val rev = away("CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)", 2)
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority, $rev AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1997-06-30'
+         |  AND l_shipdate > TIMESTAMP '1997-06-30'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+    },
+    "q158_regional_revenue" -> {
+      val rev = away("CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)", 2)
+      s"""SELECT n_name, $rev AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+    },
+    "q159_ewma" -> {
+      val num = "coalesce(l0 * 32.0, 0.0) + coalesce(l1 * 16.0, 0.0) + coalesce(l2 * 8.0, 0.0) + coalesce(l3 * 4.0, 0.0) + coalesce(l4 * 2.0, 0.0) + coalesce(l5 * 1.0, 0.0)"
+      val den = (0 to 5)
+        .map(i => s"(CASE WHEN l$i IS NOT NULL THEN ${32 >> i}.0 ELSE 0.0 END)")
+        .mkString(" + ")
+      s"""WITH l AS (SELECT user_id, event_id, value AS l0,
+         |    lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2,
+         |    lag(value, 3) OVER w AS l3, lag(value, 4) OVER w AS l4,
+         |    lag(value, 5) OVER w AS l5
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT user_id, event_id, ${away(s"(($num) / ($den))", 4)} AS ewma
+         |FROM l ORDER BY user_id, event_id""".stripMargin
+    },
+    "q160_split_drift_tvd" -> {
+      val tvd = away("CAST(abs(n_train * t_test - n_test * t_train) AS DOUBLE) / CAST(t_train * t_test AS DOUBLE) / 2.0", 6)
+      s"""WITH b AS (SELECT event_type,
+         |    ${hx("CAST(event_id AS VARCHAR)")} % 10 < 8 AS is_train
+         |  FROM events),
+         |c AS (SELECT event_type,
+         |    sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS n_train,
+         |    sum(CASE WHEN is_train THEN 0 ELSE 1 END) AS n_test
+         |  FROM b GROUP BY event_type),
+         |t AS (SELECT sum(n_train) AS t_train, sum(n_test) AS t_test FROM c)
+         |SELECT event_type, n_train, n_test, $tvd AS tvd_contrib
+         |FROM c, t ORDER BY event_type""".stripMargin
+    },
+    // identical degree-ordered orientation → wedge join → closing-edge
+    // check over the same LSH pair CTE the pagerank oracle uses
+    "q161_triangle_census" ->
+      s"""WITH pairs AS (SELECT d1, d2 FROM ($minhashSql)),
+         |sym AS (SELECT d1 AS s, d2 AS t FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+         |deg AS (SELECT s AS id, count(*) AS deg FROM sym GROUP BY s),
+         |o AS (SELECT
+         |    CASE WHEN a.deg < b.deg OR (a.deg = b.deg AND p.d1 < p.d2) THEN p.d1 ELSE p.d2 END AS u,
+         |    CASE WHEN a.deg < b.deg OR (a.deg = b.deg AND p.d1 < p.d2) THEN p.d2 ELSE p.d1 END AS v
+         |  FROM pairs p JOIN deg a ON p.d1 = a.id JOIN deg b ON p.d2 = b.id),
+         |w AS (SELECT e1.v AS a, e2.v AS b FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v < e2.v),
+         |tr AS (SELECT 1 AS x FROM w JOIN pairs ON least(a, b) = d1 AND greatest(a, b) = d2)
+         |SELECT (SELECT count(*) FROM pairs) AS n_edges,
+         |  (SELECT count(*) FROM w) AS n_wedges,
+         |  (SELECT count(*) FROM tr) AS n_triangles""".stripMargin,
+    "q162_degree_histogram" ->
+      s"""WITH pairs AS (SELECT d1, d2 FROM ($minhashSql)),
+         |sym AS (SELECT d1 AS s, d2 AS t FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+         |dg AS (SELECT s AS doc_id, count(*) AS deg FROM sym GROUP BY s)
+         |SELECT COALESCE(dg.deg, CAST(0 AS BIGINT)) AS deg, count(*) AS n_nodes
+         |FROM documents d LEFT JOIN dg ON d.doc_id = dg.doc_id
+         |GROUP BY 1 ORDER BY deg""".stripMargin,
+    "q163_prefix_clusters" ->
+      """SELECT md5(substr(text, 1, 64)) AS prefix_hash, count(*) AS n_docs,
+        |  min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY prefix_hash""".stripMargin,
+    "q164_path_signatures" ->
+      """WITH p AS (SELECT user_id,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM events GROUP BY user_id)
+        |SELECT path, count(*) AS n_users FROM p
+        |GROUP BY path ORDER BY n_users DESC, path LIMIT 10""".stripMargin,
+    // host/path reconstructed from the generating fields — ground truth
+    // for Spark's parse_url, no URL parser on the oracle side
+    "q165_url_normalize" ->
+      """SELECT doc_id,
+        |  source || '.example.com' AS host,
+        |  '/docs/d' || CAST(doc_id AS VARCHAR) AS path,
+        |  source || '.example.com/docs/d' || CAST(doc_id AS VARCHAR)
+        |    || '?page=' || CAST(doc_id % 3 AS VARCHAR) AS canonical
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // WAV mirror: parameters the builder derives from content length
+    // (audioParams), container overhead 44 bytes, data padded to block
+    // align — the decoder must read all of it back out of the bytes
+    "q166_multimodal_audio" ->
+      """WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n FROM documents),
+        |p AS (SELECT doc_id, n,
+        |    CASE CAST(n % 5 AS INTEGER) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |      WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS rate,
+        |    CASE WHEN n % 2 = 0 THEN 1 ELSE 4 END AS ba,
+        |    CAST(1 + n % 2 AS INTEGER) AS channels,
+        |    CAST(8 * (1 + n % 2) AS INTEGER) AS bits
+        |  FROM m),
+        |q AS (SELECT doc_id, rate, channels, bits, ba,
+        |    ((n + ba - 1) // ba) * ba AS padded FROM p)
+        |SELECT doc_id,
+        |  CAST(44 + padded AS INTEGER) AS n_bytes,
+        |  CAST(rate AS INTEGER) AS sample_rate,
+        |  channels, bits,
+        |  CAST(padded // ba AS BIGINT) AS n_samples,
+        |  CAST((padded // ba) * 1000 // rate AS BIGINT) AS ms
+        |FROM q ORDER BY doc_id""".stripMargin,
+    // identical two-level power-sum merge; doubles only in the final
+    // mean/var expressions, in the same op order as the Spark side
+    "q167_partial_stats_merge" -> {
+      val mean = away("CAST(s1 AS DOUBLE) / n", 4)
+      val vr = away("CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)", 4)
+      s"""WITH p AS (SELECT event_type, (epoch_ns(ts) // 1000) // 604800000000 AS week,
+         |    count(value) AS n, sum(CAST(value AS DECIMAL(18,6))) AS s1,
+         |    sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS s2
+         |  FROM events GROUP BY 1, 2),
+         |m AS (SELECT event_type, sum(n) AS n, sum(s1) AS s1, sum(s2) AS s2 FROM p GROUP BY event_type)
+         |SELECT event_type, n, $mean AS mean, $vr AS variance
+         |FROM m ORDER BY event_type""".stripMargin
+    },
+    "q168_cooccurrence" ->
+      """WITH s AS (SELECT DISTINCT user_id, event_type FROM events),
+        |p AS (SELECT a.user_id, a.event_type AS type_a, b.event_type AS type_b
+        |  FROM s a JOIN s b ON a.user_id = b.user_id AND a.event_type < b.event_type)
+        |SELECT type_a, type_b, count(*) AS n_users FROM p
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // NULL first-event gaps must be dropped BEFORE least(): DuckDB's
+    // least() skips NULL arguments (returns 12), it does not propagate
+    "q169_gap_histogram" ->
+      """WITH g AS (SELECT epoch_ns(ts) // 1000
+        |      - lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events)
+        |SELECT least(gap // 600000000, 12) AS bucket, count(*) AS n_gaps
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q170_golden_record" -> {
+      val lastv = away("lv.value", 2)
+      s"""WITH lv AS (SELECT user_id, value FROM (
+         |    SELECT user_id, value,
+         |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM events WHERE value IS NOT NULL) WHERE rn = 1),
+         |tt AS (SELECT user_id, event_type FROM (
+         |    SELECT user_id, event_type,
+         |      row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type DESC) AS rn
+         |    FROM (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2)) WHERE rn = 1),
+         |sp AS (SELECT user_id, count(*) AS n_events, min(ts) AS first_ts, max(ts) AS last_ts
+         |  FROM events GROUP BY user_id)
+         |SELECT sp.user_id, sp.n_events, sp.first_ts, sp.last_ts,
+         |  tt.event_type AS top_type, $lastv AS last_value
+         |FROM sp JOIN tt USING (user_id) LEFT JOIN lv USING (user_id)
+         |ORDER BY user_id""".stripMargin
+    },
+    // parser-free XML mirror: the fields the builder embedded
+    "q171_xml_ingest" ->
+      """SELECT o_orderkey, o_orderkey AS parsed_id, o_orderstatus AS status,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q172_anomaly_flags" ->
+      """WITH wk AS (SELECT event_type, (epoch_ns(ts) // 1000) // 604800000000 AS week,
+        |    count(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT event_type, week, n,
+        |  CAST(count(n) OVER w > 0 AND n * count(n) OVER w > sum(n) OVER w * 2 AS INTEGER) AS spike
+        |FROM wk WINDOW w AS (PARTITION BY event_type ORDER BY week
+        |  ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+        |ORDER BY event_type, week""".stripMargin,
+    "q173_pareto_frontier" ->
+      """WITH d AS (SELECT o_orderdate, max(CAST(o_totalprice AS DECIMAL(12,2))) AS day_max
+        |  FROM orders GROUP BY 1),
+        |f AS (SELECT o_orderdate, day_max, max(day_max) OVER (ORDER BY o_orderdate
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_best FROM d)
+        |SELECT o_orderdate, day_max FROM f
+        |WHERE prev_best IS NULL OR day_max > prev_best
+        |ORDER BY o_orderdate""".stripMargin,
+    "q174_expectation_suite" ->
+      """WITH c AS (
+        |  SELECT 'orders_dup_keys' AS check_name,
+        |    count(*) - count(DISTINCT o_orderkey) AS metric, CAST(0 AS BIGINT) AS threshold FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_orphan_custkeys', count(*), 0 FROM orders
+        |    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |  UNION ALL
+        |  SELECT 'orders_nonpositive_totalprice',
+        |    count(CASE WHEN o_totalprice <= 0 THEN 1 END), 0 FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem_qty_out_of_domain',
+        |    count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END), 0 FROM lineitem
+        |  UNION ALL
+        |  SELECT 'events_null_value_permille',
+        |    count(CASE WHEN value IS NULL THEN 1 END) * 1000 // count(*), 200 FROM events)
+        |SELECT check_name, metric, threshold,
+        |  CAST(metric <= threshold AS INTEGER) AS passed
+        |FROM c ORDER BY check_name""".stripMargin,
+    // first digit from the DECIMAL string rendering on both sides —
+    // never log10 on doubles
+    "q175_benford_profile" ->
+      """WITH d AS (SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), 1, 1) AS digit
+        |  FROM orders),
+        |n AS (SELECT digit, count(*) AS n FROM d WHERE digit BETWEEN '1' AND '9' GROUP BY digit),
+        |t AS (SELECT sum(n) AS total FROM n)
+        |SELECT digit, n, n * 10000 // total AS share_permyriad
+        |FROM n, t ORDER BY digit""".stripMargin,
+    "q176_date_spine" -> {
+      val rev = away("CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)", 2)
+      s"""WITH span AS (SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+         |    max(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+         |spine AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+         |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+         |daily AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
+         |    $rev AS revenue FROM orders GROUP BY 1)
+         |SELECT CAST(spine.day AS TIMESTAMP) AS day, COALESCE(daily.n_orders, 0) AS n_orders,
+         |  COALESCE(daily.revenue, 0.0) AS revenue
+         |FROM spine LEFT JOIN daily ON spine.day = daily.day
+         |ORDER BY spine.day""".stripMargin
+    },
     "q132_share_of_total" -> {
       val rev = away("CAST(rev AS DOUBLE)", 2)
       s"""WITH cell AS (SELECT l_returnflag, l_linestatus,
@@ -1579,6 +1826,66 @@ object Oracles {
          |  CAST(floor(CAST(cell.rev * 10000 AS DOUBLE) / CAST(p.flag_rev AS DOUBLE)) AS BIGINT) AS share_permyriad
          |FROM cell JOIN p ON cell.l_returnflag = p.l_returnflag
          |ORDER BY cell.l_returnflag, cell.l_linestatus""".stripMargin
-    }
+    },
+    // exact sliding distinct: the bitmap-merge answer equals the naive
+    // re-count over each trailing window
+    "q177_sliding_distinct" ->
+      """WITH e AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |d AS (SELECT DISTINCT day FROM e)
+        |SELECT CAST(d.day AS TIMESTAMP) AS day, count(DISTINCT e.user_id) AS n_users_7d
+        |FROM d JOIN e ON e.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY d.day ORDER BY day""".stripMargin,
+    // the same (df, shingle) total order, per-doc prefix cut, candidate
+    // equi-join and integer Jaccard verify as the Spark side
+    "q178_setsim_prefix_join" ->
+      s"""WITH $ShingleCte,
+        |dfq AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+        |rk AS (SELECT sh.doc_id, sh.g,
+        |    row_number() OVER (PARTITION BY sh.doc_id ORDER BY dfq.df, sh.g) AS pos,
+        |    count(*) OVER (PARTITION BY sh.doc_id) AS n
+        |  FROM sh JOIN dfq USING (g)),
+        |pf AS (SELECT doc_id, g FROM rk WHERE pos <= n - (n + 1) // 2 + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM pf a JOIN pf b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |it AS (SELECT c.d1, c.d2, count(*) AS inter
+        |  FROM cand c JOIN sh x ON x.doc_id = c.d1 JOIN sh y ON y.doc_id = c.d2 AND y.g = x.g
+        |  GROUP BY 1, 2)
+        |SELECT it.d1, it.d2, inter, x.n + y.n - inter AS n_union,
+        |  inter * 1000 // (x.n + y.n - inter) AS jaccard_permille
+        |FROM it JOIN sz x ON it.d1 = x.doc_id JOIN sz y ON it.d2 = y.doc_id
+        |WHERE 3 * inter >= x.n + y.n ORDER BY d1, d2""".stripMargin,
+    // identical integer bin rule over the per-group distinct-value
+    // cumulative counts
+    "q179_equidepth_histogram" ->
+      """WITH h AS (SELECT l_returnflag AS g, l_extendedprice AS v, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT g, v, cnt,
+        |    sum(cnt) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY g) AS tot
+        |  FROM h)
+        |SELECT g AS l_returnflag, (cum - 1) * 4 // tot AS bin_id,
+        |  sum(cnt) AS n_rows, min(v) AS lo, max(v) AS hi
+        |FROM c GROUP BY 1, 2 ORDER BY l_returnflag, bin_id""".stripMargin,
+    "q180_open_order_concurrency" ->
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS sd,
+        |    CAST(o_orderdate AS DATE) + CAST(o_orderkey % 30 + 1 AS INTEGER) AS ed FROM orders),
+        |d AS (SELECT sd AS day, CAST(1 AS BIGINT) AS delta FROM o
+        |  UNION ALL SELECT ed, CAST(-1 AS BIGINT) FROM o),
+        |n AS (SELECT day, sum(delta) AS net FROM d GROUP BY day)
+        |SELECT CAST(day AS TIMESTAMP) AS day, net,
+        |  sum(net) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_open
+        |FROM n ORDER BY day""".stripMargin,
+    // exact containment rerank over the SAME banding candidates as q27
+    "q181_containment_pairs" ->
+      s"""WITH $minhashCandCtes,
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |it AS (SELECT c.d1, c.d2, count(*) AS inter
+         |  FROM cand c JOIN sh x ON x.doc_id = c.d1 JOIN sh y ON y.doc_id = c.d2 AND y.g = x.g
+         |  GROUP BY 1, 2)
+         |SELECT it.d1, it.d2, inter, least(x.n_sh, y.n_sh) AS n_min,
+         |  inter * 1000 // least(x.n_sh, y.n_sh) AS containment_permille
+         |FROM it JOIN sz x ON it.d1 = x.doc_id JOIN sz y ON it.d2 = y.doc_id
+         |WHERE 4 * inter >= 3 * least(x.n_sh, y.n_sh) ORDER BY d1, d2""".stripMargin
   )
 }

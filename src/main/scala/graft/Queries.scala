@@ -2662,6 +2662,782 @@ object Queries {
       .orderBy("from_type", "to_type")
   }
 
+  // — sketch ladder for distinct counting at 100 TB: exact bitmap parts
+  //   (re-aggregatable, mergeable by OR) ↔ HLL sketch partial-merge
+  //   (constant-size state) ↔ count-min heavy hitters (point queries).
+  //   Each rung is verified against the exact answer on the same scan. —
+
+  // exact distinct via bitmap parts: bucket the key space, build one
+  // RoaringBitmap-style part per (group, bucket) map-side, OR-merge the
+  // parts, sum the counts. Unlike countDistinct (whose shuffle carries
+  // every distinct value), the shuffle here carries fixed-width bitmap
+  // blocks — and parts persisted per ingest batch re-merge incrementally
+  // without touching history, the pattern for daily exact uniques over
+  // a 100 TB event log.
+  def bitmapDistinct(s: SparkSession, dir: String): DataFrame = {
+    Tables
+      .events(s, dir)
+      .select(col("event_type"), col("user_id"))
+      .groupBy(col("event_type"), expr("bitmap_bucket_number(user_id)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+      .groupBy("event_type")
+      .agg(sum(expr("bitmap_count(bm)")).as("n_distinct_users"))
+      .orderBy("event_type")
+  }
+
+  // HLL sketch partial-merge: one constant-size sketch per
+  // (event_type, week) partial — the shape a warehouse stores per
+  // ingest day — union-merged across weeks into one estimate per type.
+  // countDistinct over a year of history rescans the year; merging 365
+  // stored sketches touches kilobytes. The estimate is asserted against
+  // the exact count from the same scan (±5%, generous for lgK=12 at
+  // this cardinality), the bound-assertion oracle pattern of q38.
+  def hllPartialMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(s, dir)
+      .select(col("event_type"), col("user_id"), expr("unix_micros(ts) div 604800000000").as("week"))
+    val parts = ev.groupBy("event_type", "week").agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val merged = parts
+      .groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val exact = ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("n_exact"))
+    exact
+      .join(broadcast(merged), Seq("event_type"))
+      .select(
+        col("event_type"),
+        col("n_exact"),
+        (col("est") >= col("n_exact") * 0.95 && col("est") <= col("n_exact") * 1.05)
+          .cast("int")
+          .as("hll_ok")
+      )
+      .orderBy("event_type")
+  }
+
+  // count-min heavy hitters: one 80 KB sketch over the full event
+  // stream answers per-key frequency point queries without a per-key
+  // groupBy. CMS never under-counts and over-counts by at most
+  // eps·N (w.h.p.); both bounds are asserted for the exact top-5 users
+  // (deterministic seed → deterministic sketch → a green check here is
+  // green on every run). The probe UDF touches 5 rows post-aggregation
+  // — not a hot path; the sketch itself is built in one pass, merged
+  // map-side like any aggregate buffer.
+  def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"))
+    val slack = 60L // ceil(eps · N) at sf0.01; scales with the data
+    val sk = ev.agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk"))
+    val top = ev
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(5)
+    val probe = udf { (bytes: Array[Byte], uid: Long) =>
+      org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+        .estimateCount(uid)
+    }
+    top
+      .crossJoin(broadcast(sk))
+      .withColumn("est", probe(col("sk"), col("user_id")))
+      .select(
+        col("user_id"),
+        col("n_events"),
+        (col("est") >= col("n_events") && col("est") <= col("n_events") + lit(slack))
+          .cast("int")
+          .as("cms_ok")
+      )
+      .orderBy(col("n_events").desc, col("user_id"))
+  }
+
+  // — classic warehouse composites: the multi-way join + agg + top-k
+  //   shapes every BI layer emits, included as end-to-end plan tests:
+  //   filters reach the scans (PushedFilters), the dim side broadcasts,
+  //   the fact-fact join shuffles once on the shared key, aggregation is
+  //   two-phase, and the top-k is TakeOrderedAndProject — never a global
+  //   sort. Revenue sums in DECIMAL so the answer is partition-invariant. —
+
+  // shipping-priority (TPC-H Q3 shape): segment-filtered customers ×
+  // date-bounded orders × future-shipped lineitems, revenue per order,
+  // top 10. Both date filters prune at the parquet scan; the customer
+  // side shrinks to one segment before joining (the planner broadcasts
+  // it at this scale; at 100 TB it stays a shuffle join on o_custkey —
+  // no hint pinned, AQE decides from runtime sizes).
+  def shippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = to_timestamp(lit("1997-06-30"))
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(NumOps.roundAway(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(25,6)")).cast("double"), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  // regional revenue (TPC-H Q5 shape): the 6-table snowflake with the
+  // co-nation constraint (customer and supplier share a nation) — the
+  // join-ordering stress test. nation/region broadcast (enum-sized at
+  // any scale); the lineitem⋈orders backbone shuffles once on the order
+  // key; the co-nation equi-constraint rides the supplier join, so no
+  // theta join appears anywhere in the plan.
+  def regionalRevenue(s: SparkSession, dir: String): DataFrame = {
+    val nation = t(s, dir, "nation")
+    val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) && col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      .select("o_orderkey", "o_custkey")
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"), col("o_custkey") === col("c_custkey"))
+      .join(
+        t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey")
+      )
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(NumOps.roundAway(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(25,6)")).cast("double"), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  // exponentially-weighted moving average over each user's last 6
+  // events — the time-series smoother, restated windowed so it stays
+  // exact and distributed: six lag() taps share ONE (user_id) exchange
+  // (same window spec → one WindowExec), weights are powers of two
+  // (multiplication by 2^k is EXACT in IEEE doubles), and the taps sum
+  // in a fixed left-to-right chain so every engine — and every
+  // partitioning — produces the identical bit pattern. A recursive
+  // EWMA (state threading row to row) would serialize per key; the
+  // bounded-horizon form is the scale-safe restatement (beyond 6 taps
+  // the 2^-k weight is below rounding anyway).
+  def ewma(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val weights = Seq(32.0, 16.0, 8.0, 4.0, 2.0, 1.0)
+    val ev = Tables
+      .events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val withLags = weights.indices.foldLeft(ev) { (d, i) =>
+      d.withColumn(s"l$i", if (i == 0) col("value") else lag(col("value"), i).over(w))
+    }
+    val num = weights.indices.map(i => coalesce(col(s"l$i") * lit(weights(i)), lit(0.0))).reduceLeft(_ + _)
+    val den = weights.indices.map(i => when(col(s"l$i").isNotNull, lit(weights(i))).otherwise(lit(0.0))).reduceLeft(_ + _)
+    withLags
+      .select(col("user_id"), col("event_id"), NumOps.roundAway(num / den, 4).as("ewma"))
+      .orderBy("user_id", "event_id")
+  }
+
+  // train/test distribution drift as exact total-variation distance:
+  // the pre-training sanity check that a hash split didn't skew the
+  // label distribution. Counts per (split, class) in one pass, then the
+  // per-class TVD contribution in cross-multiplied INTEGER form
+  // (|n·T' − n'·T| over a common denominator) so the only double op is
+  // the final division — partition-invariant, oracle-identical. The
+  // totals frame is 1 row, broadcast back; nothing rescans.
+  def splitDriftTvd(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(TextOps.hash32(col("event_id").cast("string")), lit(10))
+    val cnt = Tables
+      .events(s, dir)
+      .select(col("event_type"), (bucket < 8).as("is_train"))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("is_train"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(!col("is_train"), 1L).otherwise(0L)).as("n_test")
+      )
+    val tot = cnt.agg(sum("n_train").as("t_train"), sum("n_test").as("t_test"))
+    cnt
+      .crossJoin(broadcast(tot))
+      .select(
+        col("event_type"),
+        col("n_train"),
+        col("n_test"),
+        NumOps
+          .roundAway(
+            abs(col("n_train") * col("t_test") - col("n_test") * col("t_train")).cast("double") /
+              (col("t_train") * col("t_test")).cast("double") / lit(2.0),
+            6
+          )
+          .as("tvd_contrib")
+      )
+      .orderBy("event_type")
+  }
+
+  // triangle census on the near-dup candidate graph — the cluster-
+  // density diagnostic (triangle-rich near-dup neighborhoods are
+  // template families; triangle-free ones are hash noise). Degree-
+  // ordered orientation before the wedge join is the scale move: every
+  // edge points low→high (degree, id), so wedge fan-out is bounded by
+  // the max ORIENTED out-degree (O(√m) on skewed graphs, vs the raw
+  // max degree of the hub) and each triangle is generated exactly once
+  // — two equi-joins, no theta join, no double counting to divide away.
+  def triangleCensus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sigs = NearDup.minhashSignatures(docs, col("doc_id"), col("text"), k = 16, n = 3)
+    // the edge list feeds four plan positions (degrees, both orient
+    // lookups, the closing-edge probe, the edge count): snapshot it to
+    // parquet once — the PageRank/CC pattern; no cached blocks left in
+    // the session (NoLeakSpec-clean), no 4× recompute of the banding
+    val scratch = java.nio.file.Files.createTempDirectory("graft-tri").toString
+    NearDup
+      .lshCandidatePairs(sigs, bands = 4, rowsPerBand = 4)
+      .select("d1", "d2")
+      .write
+      .mode("overwrite")
+      .parquet(s"$scratch/pairs")
+    val pairs = s.read.parquet(s"$scratch/pairs")
+    val sym = pairs.unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+    val deg = sym.groupBy(col("d1").as("id")).agg(count(lit(1)).as("deg"))
+    // orient each undirected edge toward the (deg, id)-larger endpoint
+    val oriented = pairs
+      .join(deg.select(col("id").as("d1"), col("deg").as("deg1")), Seq("d1"))
+      .join(deg.select(col("id").as("d2"), col("deg").as("deg2")), Seq("d2"))
+      .select(
+        when(col("deg1") < col("deg2") || (col("deg1") === col("deg2") && col("d1") < col("d2")), col("d1")).otherwise(col("d2")).as("u"),
+        when(col("deg1") < col("deg2") || (col("deg1") === col("deg2") && col("d1") < col("d2")), col("d2")).otherwise(col("d1")).as("v")
+      )
+    val wedges = oriented
+      .as("e1")
+      .join(oriented.as("e2"), col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.v").as("a"), col("e2.v").as("b"))
+    // the closing-edge check is a LEFT join, so wedges and triangles
+    // fall out of ONE aggregation (count(*) vs count(matched)); the
+    // edge count cross-joins as a 1-row frame
+    val census = wedges
+      .join(
+        pairs,
+        least(col("a"), col("b")) === col("d1") && greatest(col("a"), col("b")) === col("d2"),
+        "left"
+      )
+      .agg(count(lit(1)).as("n_wedges"), count(col("d1")).as("n_triangles"))
+    pairs.agg(count(lit(1)).as("n_edges")).crossJoin(census)
+  }
+
+  // degree distribution of the same graph — the one-line health check
+  // before any graph algorithm (a heavy tail here predicts skewed
+  // shuffles everywhere downstream). Zero-degree documents are kept via
+  // the left join: the histogram must account for every node.
+  def degreeHistogram(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sigs = NearDup.minhashSignatures(docs, col("doc_id"), col("text"), k = 16, n = 3)
+    val pairs = NearDup.lshCandidatePairs(sigs, bands = 4, rowsPerBand = 4).select("d1", "d2")
+    val sym = pairs.unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+    val deg = sym.groupBy(col("d1").as("doc_id")).agg(count(lit(1)).as("deg"))
+    docs
+      .select(col("doc_id"))
+      .join(deg, Seq("doc_id"), "left")
+      .select(coalesce(col("deg"), lit(0L)).as("deg"))
+      .groupBy("deg")
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy("deg")
+  }
+
+  // prefix-duplicate clusters: boilerplate detection without pairs —
+  // docs sharing their first 64 chars collapse onto one hash key, so
+  // the whole operator is a single groupBy on a 16-byte digest (the
+  // q25 exact-dedup shape applied to a prefix slice). Contrast with
+  // containment search, which is inherently pairwise: prefix clusters
+  // are the O(n) rung that catches template families (headers, legal
+  // boilerplate) before any O(candidates) machinery runs.
+  def prefixClusters(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "documents")
+      .select(col("doc_id"), md5(substring(col("text"), 1, 64)).as("prefix_hash"))
+      .groupBy("prefix_hash")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .filter(col("n_docs") > 1)
+      .orderBy("prefix_hash")
+  }
+
+  // behavioral path signatures: each user's event-type journey as one
+  // ordered string, then frequency-ranked — the product-analytics
+  // cousin of n-gram language modeling. The per-user ordering rides a
+  // sort_array over structs collected in ONE groupBy (no window pass +
+  // second shuffle); paths then aggregate by value. Path cardinality is
+  // bounded by distinct journeys, not users — the heavy hitters ARE the
+  // output, so the final top-10 is TakeOrdered, never a global sort.
+  def pathSignatures(s: SparkSession, dir: String): DataFrame = {
+    Tables
+      .events(s, dir)
+      .select(col("user_id"), struct(col("ts"), col("event_id"), col("event_type")).as("st"))
+      .groupBy("user_id")
+      .agg(array_join(transform(sort_array(collect_list(col("st"))), e => e.getField("event_type")), ">").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(10)
+  }
+
+  // URL canonicalization: synthesize each document's canonical web
+  // address (deterministic from its id/source — the corpus has no URL
+  // column), then recover host and path with Spark's parse_url and
+  // strip tracking parameters. The oracle reconstructs host/path from
+  // the same fields WITHOUT a parser, so this is a ground-truth test of
+  // the parse — the first step of any web-scale dedup (canonical URL
+  // exact-match removes ~half of crawl duplicates before any content
+  // hashing runs). Pure per-row expressions: no shuffle at all until
+  // the per-host rollup.
+  def urlNormalize(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(
+      lit("https://"),
+      col("source"),
+      lit(".example.com/docs/d"),
+      col("doc_id"),
+      lit("?utm_source=feed&page="),
+      pmod(col("doc_id"), lit(3))
+    )
+    t(s, dir, "documents")
+      .select(col("doc_id"), url.as("url"))
+      .select(
+        col("doc_id"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        // canonical form drops tracking params, keeps pagination
+        concat(
+          parse_url(col("url"), lit("HOST")),
+          parse_url(col("url"), lit("PATH")),
+          lit("?page="),
+          parse_url(col("url"), lit("QUERY"), lit("page"))
+        ).as("canonical")
+      )
+      .orderBy("doc_id")
+  }
+
+  // audio modality: wrap each doc's bytes as a REAL PCM WAV (RIFF
+  // header, canonical fmt chunk, frame-aligned data chunk) and demux it
+  // back per-partition — rate/channels/bits read from the fmt fields,
+  // duration from data size over block align, exactly as an audio
+  // pipeline's probe stage does. The oracle recomputes the embedded
+  // parameters from content length, so a green row proves the chunk
+  // walk parsed what the builder wrote. Payloads never shuffle.
+  def multimodalAudio(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.withAudioPayload(t(s, dir, "documents"), "doc_id", "text")
+    Multimodal.decodeAudio(media).toDF().orderBy("doc_id")
+  }
+
+  // mergeable statistics: per-(type, week) partials of the power sums
+  // (n, Σv, Σv²) — the state a 100 TB pipeline stores per ingest batch
+  // — then merged DOWNSTREAM into global mean/variance without
+  // rescanning history. Everything mergeable is an exact decimal sum
+  // (associative ⇒ partition- and batch-order-invariant); doubles
+  // appear only in the final mean/var expressions, in a fixed op order
+  // the oracle repeats verbatim. The same two-level shape answers "this
+  // week's stats" and "all-time stats" from one stored table.
+  def partialStatsMerge(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables
+      .events(s, dir)
+      .select(
+        col("event_type"),
+        expr("unix_micros(ts) div 604800000000").as("week"),
+        col("value").cast("decimal(18,6)").as("v")
+      )
+      .groupBy("event_type", "week")
+      .agg(count(col("v")).as("n"), sum(col("v")).as("s1"), sum(col("v") * col("v")).as("s2"))
+    val merged = parts
+      .groupBy("event_type")
+      .agg(sum("n").as("n"), sum("s1").as("s1"), sum("s2").as("s2"))
+    val s1d = col("s1").cast("double"); val s2d = col("s2").cast("double")
+    merged.select(
+      col("event_type"),
+      col("n"),
+      NumOps.roundAway(s1d / col("n"), 4).as("mean"),
+      NumOps.roundAway(s2d / col("n") - (s1d / col("n")) * (s1d / col("n")), 4).as("variance")
+    ).orderBy("event_type")
+  }
+
+  // co-occurrence WITHOUT the self-join: the classic market-basket
+  // matrix (which event types appear together per user) built by
+  // collecting each user's bounded type set once and exploding ordered
+  // pairs from it — O(users · k²) with k = type cardinality, vs the
+  // self-join's shuffle of the event table against itself. The per-user
+  // set is capped by the enum's size, so collect_set state is bounded.
+  def cooccurrence(s: SparkSession, dir: String): DataFrame = {
+    Tables
+      .events(s, dir)
+      .groupBy("user_id")
+      .agg(sort_array(collect_set(col("event_type"))).as("types"))
+      .select(explode(expr(
+        "flatten(transform(types, (a, i) -> transform(slice(types, i + 2, size(types)), b -> named_struct('a', a, 'b', b))))"
+      )).as("p"))
+      .groupBy(col("p.a").as("type_a"), col("p.b").as("type_b"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("type_a", "type_b")
+  }
+
+  // inter-event gap histogram: the arrival-process profile (and the
+  // empirical basis for choosing session timeouts / watermarks). One
+  // lag() tap per user, then pure integer binning — 10-minute buckets
+  // capped at 2 h so the histogram width is fixed no matter how long
+  // the tail is.
+  def gapHistogram(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables
+      .events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .select(least(expr("(unix_micros(ts) - prev_us) div 600000000"), lit(12L)).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_gaps"))
+      .orderBy("bucket")
+  }
+
+  // golden-record consolidation (MDM survivorship): one canonical row
+  // per user — event span, volume, dominant type (deterministic
+  // tie-break), and the LATEST NON-NULL value (max_by over a null
+  // ordering key skips the null rows — survivorship without a second
+  // filtered pass). Two keyed aggregations, the dominant-type argmax
+  // rides the (user, type) partial — nothing rescans the events table.
+  def goldenRecord(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val spans = ev
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"),
+        max_by(col("value"), when(col("value").isNotNull, struct(col("ts"), col("event_id")))).as("lv")
+      )
+    val topType = ev
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      // ties on count resolve to the alphabetically-last type — the
+      // struct comparison's natural order, mirrored in the oracle
+      .agg(max_by(col("event_type"), struct(col("n"), col("event_type"))).as("top_type"))
+    spans
+      .join(topType, Seq("user_id"))
+      .select(
+        col("user_id"),
+        col("n_events"),
+        col("first_ts"),
+        col("last_ts"),
+        col("top_type"),
+        NumOps.roundAway(col("lv"), 2).as("last_value")
+      )
+      .orderBy("user_id")
+  }
+
+  // XML ingestion: synthesize a deterministic XML record per order and
+  // parse it back with from_xml against an explicit schema — attribute
+  // (`_id`) and element extraction, the structured-extraction path for
+  // feed ingestion. The oracle reconstructs the same fields WITHOUT an
+  // XML parser (the q165 parse_url posture), so a green row proves the
+  // parse. Money stays DECIMAL end-to-end: the builder renders the
+  // decimal, the parser reads it back, no double round-trips.
+  def xmlIngest(s: SparkSession, dir: String): DataFrame = {
+    val xml = concat(
+      lit("<order id=\""),
+      col("o_orderkey"),
+      lit("\"><status>"),
+      col("o_orderstatus"),
+      lit("</status><total>"),
+      col("o_totalprice").cast("decimal(12,2)"),
+      lit("</total></order>")
+    )
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), xml.as("x"))
+      .select(
+        col("o_orderkey"),
+        expr("from_xml(x, '_id BIGINT, status STRING, total DECIMAL(12,2)')").as("p")
+      )
+      .select(
+        col("o_orderkey"),
+        col("p._id").as("parsed_id"),
+        col("p.status").as("status"),
+        // surfaced as double: the decimal PARSE is the thing under test;
+        // pandas/duckdb compare decimals and doubles as different types
+        col("p.total").cast("double").as("total")
+      )
+      .orderBy("o_orderkey")
+  }
+
+  // volume-anomaly flags: per (type, week) event counts vs the trailing
+  // 3 observed weeks — flagged when this week runs at more than twice
+  // the trailing mean, in cross-multiplied INTEGER form (n·W > 2·Σprev)
+  // so there is no floating average to drift. One keyed agg + one keyed
+  // window; the frame is ROWS over observed weeks (gap semantics belong
+  // to the q113 resample — composing the two closes them).
+  def anomalyFlags(s: SparkSession, dir: String): DataFrame = {
+    val wk = Tables
+      .events(s, dir)
+      .select(col("event_type"), expr("unix_micros(ts) div 604800000000").as("week"))
+      .groupBy("event_type", "week")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("week").rowsBetween(-3, -1)
+    wk.select(
+      col("event_type"),
+      col("week"),
+      col("n"),
+      (count(col("n")).over(w) > 0 && col("n") * count(col("n")).over(w) > sum(col("n")).over(w) * 2)
+        .cast("int")
+        .as("spike")
+    ).orderBy("event_type", "week")
+  }
+
+  // Pareto frontier (skyline): order dates where the day's best price
+  // beats every EARLIER day's best — "latest achievement" analysis.
+  // Skylines are inherently global, so the scale move is the two-phase
+  // reduction: only a day's MAX price can sit on the frontier, so a
+  // keyed (per-day) aggregation shrinks the input to date-cardinality
+  // rows BEFORE the global window — the single-partition WindowExec
+  // runs over ~thousands of rows no matter how many billions of orders
+  // fed it (the q67 boundary-binning lesson applied structurally).
+  def paretoFrontier(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(col("o_orderdate"))
+      .agg(max(col("o_totalprice").cast("decimal(12,2)")).as("day_max"))
+    val w = Window.orderBy("o_orderdate").rowsBetween(Window.unboundedPreceding, -1)
+    daily
+      .withColumn("prev_best", max(col("day_max")).over(w))
+      .filter(col("prev_best").isNull || col("day_max") > col("prev_best"))
+      .select(col("o_orderdate"), col("day_max"))
+      .orderBy("o_orderdate")
+  }
+
+  // data-quality expectation suite: the contract checks a production
+  // load runs before publishing a table — key uniqueness, referential
+  // integrity, domain bounds, null-rate budget — emitted as ONE small
+  // (check, metric, threshold, passed) frame. Each expectation is a
+  // scan-local aggregate (the anti-join for orphans broadcasts the
+  // bounded key side); thresholds compare in integer permille, so the
+  // null-rate budget needs no floating division.
+  def expectationSuite(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val ev = Tables.events(s, dir)
+    def check(name: String, metric: Column, threshold: Long, from: DataFrame): DataFrame =
+      from.agg(metric.cast("long").as("metric")).select(
+        lit(name).as("check_name"),
+        col("metric"),
+        lit(threshold).as("threshold"),
+        (col("metric") <= threshold).cast("int").as("passed")
+      )
+    val dupKeys = check("orders_dup_keys", count(lit(1)) - countDistinct(col("o_orderkey")), 0L, orders)
+    val orphans = check(
+      "orders_orphan_custkeys",
+      count(lit(1)),
+      0L,
+      orders.join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"), "left_anti")
+    )
+    val nonPos = check("orders_nonpositive_totalprice", count(when(col("o_totalprice") <= 0, 1)), 0L, orders)
+    val badQty = check("lineitem_qty_out_of_domain", count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1)), 0L, t(s, dir, "lineitem"))
+    val nullBudget = check(
+      "events_null_value_permille",
+      expr("count(CASE WHEN value IS NULL THEN 1 END) * 1000 div count(1)"),
+      200L,
+      ev
+    )
+    dupKeys
+      .unionByName(orphans)
+      .unionByName(nonPos)
+      .unionByName(badQty)
+      .unionByName(nullBudget)
+      .orderBy("check_name")
+  }
+
+  // Benford first-digit profile: the classic fraud/synthetic-data smell
+  // test on order values. The first digit comes from the DECIMAL string
+  // rendering (both engines print the same canonical form), never from
+  // log10 on doubles, whose ulp wobble at power-of-ten boundaries can
+  // flip a digit between engines. Counts and shares are integers.
+  def benfordProfile(s: SparkSession, dir: String): DataFrame = {
+    val digits = t(s, dir, "orders")
+      .select(substring(col("o_totalprice").cast("decimal(12,2)").cast("string"), 1, 1).as("digit"))
+      .filter(col("digit").between("1", "9"))
+      .groupBy("digit")
+      .agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum("n").as("total"))
+    digits
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n"), expr("n * 10000 div total").as("share_permyriad"))
+      .orderBy("digit")
+  }
+
+  // date-spine zero-fill: the dense daily series every BI tool expects
+  // — days with no orders must EXIST with zeros, which no groupBy can
+  // produce. The spine generates from the 1-row [min, max] span frame
+  // (sequence + explode — rows born distributed, no driver range), and
+  // the left join against the per-day rollup is calendar-sized on both
+  // sides no matter how many orders fed the rollup.
+  def dateSpine(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val span = orders.agg(min(to_date(col("o_orderdate"))).as("d0"), max(to_date(col("o_orderdate"))).as("d1"))
+    val spine = span.select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"), NumOps.exactSum(col("o_totalprice"), 2).as("revenue"))
+    spine
+      .join(daily, Seq("day"), "left")
+      .select(
+        // surfaced as midnight timestamps: pandas reads parquet DATE as
+        // python date objects but DuckDB DATE as datetime64 — the
+        // comparator would string them differently
+        col("day").cast("timestamp").as("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue")
+      )
+      .orderBy("day")
+  }
+
+  // trailing 7-day distinct users per day, EXACTLY, without rescanning
+  // 7 days of raw events per output day: per-(day, bucket) bitmap parts
+  // are built once (the q154 shape), then each part is replicated to
+  // the ≤7 window endpoints it contributes to (explode of a 7-element
+  // date sequence — a pure equi-shuffle of fixed-width bitmap blocks)
+  // and OR-merged per endpoint. The classic sliding-distinct rewrite:
+  // work is O(days·buckets), the raw table is scanned ONCE, and the
+  // same stored parts answer any window length by re-merge. A semi
+  // join against observed days drops the ghost endpoints the sequence
+  // manufactures past each part's own day.
+  def slidingBitmapDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(to_date(col("ts")).as("day"), col("user_id"))
+    val days = ev.select(col("day").as("win_day")).distinct()
+    val parts = ev
+      .groupBy(col("day"), expr("bitmap_bucket_number(user_id)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+    parts
+      .select(explode(expr("sequence(day, date_add(day, 6))")).as("win_day"), col("bucket"), col("bm"))
+      .join(days, Seq("win_day"), "left_semi")
+      .groupBy("win_day", "bucket")
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+      .groupBy("win_day")
+      .agg(sum(expr("bitmap_count(bm)")).as("n_users_7d"))
+      .select(col("win_day").cast("timestamp").as("day"), col("n_users_7d"))
+      .orderBy("day")
+  }
+
+  // set-similarity self-join with PREFIX FILTERING (the PPJoin family):
+  // the LOSSLESS candidate rung for exact-threshold Jaccard — unlike
+  // MinHash LSH (q27), which trades recall for speed, prefix filtering
+  // misses NOTHING at the threshold, by theorem: give the shingle
+  // domain one global (df, shingle) total order; a doc's prefix is its
+  // first n − ⌈t·n⌉ + 1 shingles under that order, and any pair with
+  // J ≥ t MUST collide on a prefix shingle. So candidates come from an
+  // equi-join on prefix shingles only — the RAREST shingles, by
+  // construction, which is what bounds the join fan-out (common
+  // boilerplate shingles never reach the join) — then exact Jaccard
+  // verifies in cross-multiplied integer form (3·∩ ≥ n1+n2 ⟺ J ≥ ½).
+  // The per-doc ordering window is keyed by doc (never global), and
+  // the df rank joins a vocabulary-sized dimension.
+  def setsimPrefixJoin(s: SparkSession, dir: String): DataFrame = {
+    val sh = NearDup.shingleTable(t(s, dir, "documents"), col("doc_id"), col("text"), n = 3)
+    val dfs = sh.groupBy("g").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy("doc_id")
+    val ranked = sh
+      .join(dfs, Seq("g"))
+      .withColumn("pos", row_number().over(byDoc.orderBy(col("df"), col("g"))))
+      .withColumn("n", count(lit(1)).over(byDoc))
+    val prefix = ranked.filter(col("pos") <= expr("n - (n + 1) div 2 + 1")).select("doc_id", "g")
+    val cand = prefix
+      .as("a")
+      .join(prefix.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    cand
+      .join(sh.select(col("doc_id").as("d1"), col("g")), Seq("d1"))
+      .join(sh.select(col("doc_id").as("d2"), col("g")), Seq("d2", "g"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+      .filter(col("inter") * 3 >= col("n1") + col("n2"))
+      .select(
+        col("d1"),
+        col("d2"),
+        col("inter"),
+        (col("n1") + col("n2") - col("inter")).as("n_union"),
+        expr("inter * 1000 div (n1 + n2 - inter)").as("jaccard_permille")
+      )
+      .orderBy("d1", "d2")
+  }
+
+  // equi-depth histogram (4 bins per return flag) on the
+  // WeightedQuantiles value-histogram primitive: bin boundaries that
+  // adapt to the data (vs q96's fixed width). All rank math runs on the
+  // per-group DISTINCT-value histogram after one (g, v) keyed shuffle —
+  // a distinct value lands wholly in the bin of its inclusive
+  // cumulative position, ((cum−1)·4) div tot, so bins are within ±1
+  // value-run of exact quarters and the assignment is pure integer
+  // arithmetic any engine reproduces. No row-level rank window ever
+  // touches the fact table (the q67 lesson, third application).
+  def equidepthHistogram(s: SparkSession, dir: String): DataFrame = {
+    val hist = graft.operators.WeightedQuantiles
+      .histogram(t(s, dir, "lineitem"), col("l_returnflag"), col("l_extendedprice"))
+    graft.operators.WeightedQuantiles
+      .cumulative(hist)
+      .withColumn("bin_id", expr("(cum - 1) * 4 div tot"))
+      .groupBy(col("g").as("l_returnflag"), col("bin_id"))
+      .agg(sum(col("cnt")).as("n_rows"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .orderBy("l_returnflag", "bin_id")
+  }
+
+  // open-order concurrency by sweep line: how many orders are open each
+  // day (order lifetime = deterministic o_orderkey-derived duration).
+  // The interval → (+1 at start, −1 past end) delta encoding turns an
+  // unkeyed interval-overlap count into ONE keyed aggregation (day
+  // deltas) + ONE running sum over date-cardinality rows — the global
+  // window runs AFTER the reduction, so it sees ~thousands of days no
+  // matter how many billions of orders fed it (the q173 skyline
+  // posture; plan-asserted). The classic alternative — join every day
+  // against every overlapping interval — is O(days·open) and unkeyed.
+  def openOrderConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      to_date(col("o_orderdate")).as("sd"),
+      expr("date_add(to_date(o_orderdate), CAST(o_orderkey % 30 + 1 AS INT))").as("ed")
+    )
+    val net = o
+      .select(
+        explode(
+          array(
+            struct(col("sd").as("day"), lit(1L).as("delta")),
+            struct(col("ed").as("day"), lit(-1L).as("delta"))
+          )
+        ).as("e")
+      )
+      .select(col("e.day").as("day"), col("e.delta").as("delta"))
+      .groupBy("day")
+      .agg(sum(col("delta")).as("net"))
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    net
+      .withColumn("n_open", sum(col("net")).over(w))
+      .select(col("day").cast("timestamp").as("day"), col("net"), col("n_open"))
+      .orderBy("day")
+  }
+
+  // asymmetric containment on the MinHash candidate pairs: the
+  // quote-/subset-duplication detector Jaccard misses (a short doc
+  // embedded in a long one has low J but containment ≈ 1). Candidates
+  // come from the SAME banding join as q27 — no new pair machinery —
+  // and only candidates pay the exact shingle-intersection join;
+  // containment = ∩ / min(|A|,|B|) compares in cross-multiplied
+  // integer form (4·∩ ≥ 3·min ⟺ c ≥ 0.75), permille output.
+  def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sigs = NearDup.minhashSignatures(docs, col("doc_id"), col("text"), k = 16, n = 3)
+    val cand = NearDup.lshCandidatePairs(sigs, bands = 4, rowsPerBand = 4)
+    val sh = NearDup.shingleTable(docs, col("doc_id"), col("text"), n = 3)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    cand
+      .join(sh.select(col("doc_id").as("d1"), col("g")), Seq("d1"))
+      .join(sh.select(col("doc_id").as("d2"), col("g")), Seq("d2", "g"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2")), Seq("d2"))
+      .filter(col("inter") * 4 >= least(col("n1"), col("n2")) * 3)
+      .select(
+        col("d1"),
+        col("d2"),
+        col("inter"),
+        least(col("n1"), col("n2")).as("n_min"),
+        expr("inter * 1000 div least(n1, n2)").as("containment_permille")
+      )
+      .orderBy("d1", "d2")
+  }
+
   // whole-file binary source: the ingestion front door for multimodal
   // corpora (the reference's raw API payloads; here the deterministic
   // calls fixtures) — one row per FILE, payload as a binary column,

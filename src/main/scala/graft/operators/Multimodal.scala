@@ -33,6 +33,9 @@ object Multimodal {
   /** Typed metadata emitted by the decoder. */
   final case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int, n_frames: Int)
 
+  /** Typed metadata emitted by the WAV demux. */
+  final case class AudioMeta(doc_id: Long, n_bytes: Int, sample_rate: Int, channels: Int, bits: Int, n_samples: Long, ms: Long)
+
   /** Build + parse of real media containers (headers, not pixels). */
   object MediaCodec {
 
@@ -216,6 +219,79 @@ object Multimodal {
       None
     }
 
+    /** Deterministic audio parameters for `n` content bytes — the
+      * values [[buildWav]] EMBEDS and [[decodeWav]] must parse back.
+      * Even n → mono 8-bit, odd n → stereo 16-bit; rate cycles the
+      * standard ladder.
+      */
+    def audioParams(n: Int): (Int, Int, Int) = {
+      val rates = Array(8000, 16000, 22050, 44100, 48000)
+      (rates(n % 5), 1 + n % 2, 8 * (1 + n % 2))
+    }
+
+    /** Minimal-but-real PCM WAV: RIFF header, canonical 16-byte fmt
+      * chunk (format tag 1, channels, sample rate, byte rate, block
+      * align, bits), data chunk carrying `content` zero-padded to frame
+      * alignment. Total size = 44 + content padded to blockAlign.
+      */
+    def buildWav(sampleRate: Int, channels: Int, bits: Int, content: Array[Byte]): Array[Byte] = {
+      val blockAlign = channels * bits / 8
+      val padded = ((content.length + blockAlign - 1) / blockAlign) * blockAlign
+      val out = new ByteArrayOutputStream(44 + padded)
+      def ascii(t: String): Unit = out.write(t.getBytes(StandardCharsets.US_ASCII), 0, 4)
+      def le32(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff); out.write((v >> 16) & 0xff); out.write((v >>> 24) & 0xff) }
+      def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      ascii("RIFF"); le32(36 + padded); ascii("WAVE")
+      ascii("fmt "); le32(16)
+      le16(1) // PCM
+      le16(channels)
+      le32(sampleRate)
+      le32(sampleRate * blockAlign) // byte rate
+      le16(blockAlign)
+      le16(bits)
+      ascii("data"); le32(padded)
+      out.write(content, 0, content.length)
+      var p = content.length
+      while (p < padded) { out.write(0); p += 1 }
+      out.toByteArray
+    }
+
+    /** Parse audio metadata by genuinely walking the RIFF chunk list —
+      * fmt fields little-endian, sample count from the data chunk size
+      * over block align — exactly as a WAV demuxer does. Chunks the
+      * parser doesn't know are SKIPPED by their declared size (the
+      * behavior that makes RIFF extensible), not assumed absent.
+      */
+    def decodeWav(docId: Long, b: Array[Byte]): Option[AudioMeta] = {
+      if (b.length < 44 || !isRiffTag(b, 0, "RIFF") || !isRiffTag(b, 8, "WAVE")) return None
+      def le32(off: Int): Int =
+        (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) | ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+      def le16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+      var i = 12
+      var rate = 0; var channels = 0; var bits = 0; var blockAlign = 0; var dataLen = -1
+      while (i + 8 <= b.length) {
+        val size = le32(i + 4)
+        if (size < 0) return None // corrupt size: stop the walk, not the task
+        if (isRiffTag(b, i, "fmt ") && size >= 16) {
+          channels = le16(i + 10)
+          rate = le32(i + 12)
+          blockAlign = le16(i + 20)
+          bits = le16(i + 22)
+        } else if (isRiffTag(b, i, "data")) {
+          dataLen = size
+        }
+        i += 8 + size + (size & 1) // RIFF chunks are word-aligned
+      }
+      if (rate <= 0 || blockAlign <= 0 || dataLen < 0) None
+      else {
+        val samples = dataLen.toLong / blockAlign
+        Some(AudioMeta(docId, b.length, rate, channels, bits, samples, samples * 1000L / rate))
+      }
+    }
+
+    private def isRiffTag(b: Array[Byte], off: Int, tag: String): Boolean =
+      off + 4 <= b.length && (0 until 4).forall(i => (b(off + i) & 0xff) == tag.charAt(i))
+
     private def writeChunk(out: ByteArrayOutputStream, typ: String, data: Array[Byte]): Unit = {
       val len = new Array[Byte](4)
       writeBe32(len, 0, data.length)
@@ -308,6 +384,38 @@ object Multimodal {
     * [[MediaCodec.frameCount]]). Offsets are integer arithmetic on
     * payload size, so the oracle mirrors them exactly.
     */
+  /** Audio-ingest boundary: every document's bytes as a real PCM WAV
+    * (RIFF/fmt/data, parameters [[MediaCodec.audioParams]] derives from
+    * content size so the oracle can verify the demux recovers them
+    * bit-exactly). Same per-partition shape as [[withMediaPayload]].
+    */
+  def withAudioPayload(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val content = text.getBytes(StandardCharsets.UTF_8)
+        val (rate, channels, bits) = MediaCodec.audioParams(content.length)
+        (id, MediaCodec.buildWav(rate, channels, bits, content))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** Per-partition WAV demux: binary in, typed audio metadata out —
+    * rows whose payload is not a parseable WAV are dropped (flatMap),
+    * the corrupt-input posture of a production decode stage.
+    */
+  def decodeAudio(media: DataFrame): Dataset[AudioMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => MediaCodec.decodeWav(id, bytes) })
+  }
+
   def sampleFrames(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._

@@ -171,6 +171,52 @@ class PlanSpec extends SparkSpec {
     assert(viaBins.except(viaWindow).isEmpty && viaWindow.except(viaBins).isEmpty)
   }
 
+  test("warehouse composites (q157/q158): top-k is TakeOrdered, enums broadcast, filters pushed") {
+    val p3 = plan(Queries.shippingPriority(spark, sfDir))
+    assert(p3.contains("TakeOrderedAndProject"), "top-10 must not global-sort")
+    assert(p3.contains("PushedFilters") && p3.contains("GreaterThan(l_shipdate"), "date filter must reach the lineitem scan")
+    val p5 = plan(Queries.regionalRevenue(spark, sfDir))
+    assert(p5.contains("BroadcastHashJoin"), "nation/region must broadcast")
+    assert(!p5.contains("CartesianProduct"), "co-nation constraint must ride the equi-join")
+  }
+
+  test("ewma (q159): all six lag taps share ONE keyed window") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val df = Queries.ewma(spark, sfDir)
+    val windows = df.queryExecution.optimizedPlan.collect { case w: logical.Window => w }
+    assert(windows.length === 1, s"lag taps must fuse into one WindowExec, found ${windows.length}")
+    assert(windows.head.partitionSpec.nonEmpty, "the EWMA window must be keyed by user")
+  }
+
+  test("triangle census (q161): the graph joins are equi-joins; no cartesian product") {
+    val p = plan(Queries.triangleCensus(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    // both orient lookups, the wedge join, and the closing-edge probe
+    // must plan as hash/merge equi-joins — the only tolerated nested
+    // loop is the final 1-row × 1-row scalar attach (n_edges × census)
+    val equiJoins = Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+      .map(k => k.r.findAllIn(p).length)
+      .sum
+    assert(equiJoins >= 4, p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
+  test("path signatures (q164): heavy-hitter ranking is TakeOrdered, not a global sort") {
+    val p = plan(Queries.pathSignatures(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p.linesIterator.filter(l => l.contains("Sort") || l.contains("TakeOrdered")).mkString("\n"))
+  }
+
+  test("pareto frontier (q173): the global window runs AFTER the per-day reduction") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val df = Queries.paretoFrontier(spark, sfDir)
+    val plan0 = df.queryExecution.optimizedPlan
+    val windows = plan0.collect { case w: logical.Window => w }
+    assert(windows.length === 1)
+    // the window's subtree must contain the date-keyed Aggregate — the
+    // reduction that bounds the single-partition input to #dates rows
+    val aggBelow = windows.head.child.collect { case a: logical.Aggregate => a }
+    assert(aggBelow.nonEmpty, s"skyline window must consume per-day maxima, not raw orders:\n$plan0")
+  }
+
   test("rollup is one scan + one shuffle (grouping-set expansion, not a union of scans)") {
     val p = Queries.rollupAgg(spark, sfDir).queryExecution.explainString(ExplainMode.fromString("simple"))
     assert("Scan parquet".r.findAllIn(p).size === 1, s"rollup must not rescan per grouping level:\n$p")
@@ -241,6 +287,31 @@ class PlanSpec extends SparkSpec {
   test("funnel (q151): the three chained step windows share one user_id exchange") {
     val p = Queries.funnel(spark, sfDir).queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size === 1, s"funnel must not re-shuffle per step:\n$p")
+  }
+
+  test("sliding distinct (q177): bitmap replication keeps the plan pure equi — no nested loop") {
+    val p = plan(Queries.slidingBitmapDistinct(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the 7-day window must come from explode+equi-join, not a range join:\n$p")
+  }
+
+  test("prefix join (q178): every window is doc-keyed; candidates via equi-join only") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val df = Queries.setsimPrefixJoin(spark, sfDir)
+    val windows = df.queryExecution.optimizedPlan.collect { case w: logical.Window => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "prefix ranking must never run a global window")
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("concurrency sweep (q180): the global running sum consumes the per-day reduction") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val df = Queries.openOrderConcurrency(spark, sfDir)
+    val windows = df.queryExecution.optimizedPlan.collect { case w: logical.Window => w }
+    assert(windows.length === 1)
+    val aggBelow = windows.head.child.collect { case a: logical.Aggregate => a }
+    assert(aggBelow.nonEmpty, s"sweep-line window must see day deltas, not raw orders:\n${df.queryExecution.optimizedPlan}")
   }
 
   test("AQE splits a skewed sort-merge join partition at runtime (skew=true)") {

@@ -298,10 +298,233 @@ class QueriesSpec extends SparkSpec {
     assert(total === ev.count() - ev.select("user_id").distinct().count())
   }
 
+  test("bitmap distinct equals countDistinct exactly") {
+    val bm = Queries.bitmapDistinct(spark, sfDir)
+    val exact = graft.sources.Tables
+      .events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_distinct_users"))
+      .orderBy("event_type")
+    assert(bm.collect().toSeq === exact.collect().toSeq)
+  }
+
+  test("hll partial-merge: union of weekly sketches lands inside the asserted bound") {
+    val h = Queries.hllPartialMerge(spark, sfDir)
+    assert(h.filter(col("hll_ok") === 0).count() === 0)
+  }
+
+  test("cms heavy hitters: point estimates respect both CMS bounds") {
+    val c = Queries.cmsHeavyHitters(spark, sfDir).collect()
+    assert(c.length === 5)
+    assert(c.forall(_.getAs[Int]("cms_ok") === 1))
+  }
+
+  test("shipping priority: top-10, descending, positive revenue") {
+    val r = Queries.shippingPriority(spark, sfDir).collect()
+    assert(r.length <= 10 && r.nonEmpty)
+    val revs = r.map(_.getAs[Double]("revenue"))
+    assert(revs.sameElements(revs.sorted.reverse))
+    assert(revs.forall(_ > 0))
+  }
+
+  test("regional revenue: one row per ASIA nation with positive revenue") {
+    val r = Queries.regionalRevenue(spark, sfDir)
+    val asiaNations = sources.Tables
+      .parquet(spark, sfDir, "nation")
+      .join(sources.Tables.parquet(spark, sfDir, "region").filter(col("r_name") === "ASIA"), col("n_regionkey") === col("r_regionkey"))
+      .count()
+    assert(r.count() <= asiaNations)
+    assert(r.filter(col("revenue") <= 0).count() === 0)
+  }
+
+  test("ewma: one smoothed value per event, inside the user's value envelope") {
+    val e = Queries.ewma(spark, sfDir)
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    assert(e.count() === ev.count())
+    val env = ev.groupBy("user_id").agg(min("value").as("lo"), max("value").as("hi"))
+    // half-away rounding at scale 4 can nudge a boundary value by 5e-5
+    val out = e.join(env, "user_id").filter(col("ewma") < col("lo") - 0.0001 || col("ewma") > col("hi") + 0.0001)
+    assert(out.count() === 0)
+  }
+
+  test("split drift: contributions are non-negative and bounded by 1/2") {
+    val d = Queries.splitDriftTvd(spark, sfDir)
+    assert(d.filter(col("tvd_contrib") < 0 || col("tvd_contrib") > 0.5).count() === 0)
+    assert(d.agg(sum(col("n_train") + col("n_test"))).head.getLong(0) ===
+      graft.sources.Tables.events(spark, sfDir).count())
+  }
+
+  test("triangle census: wedges bound triangles; counts non-negative") {
+    val r = Queries.triangleCensus(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("n_edges") > 0)
+    assert(r.getAs[Long]("n_wedges") >= r.getAs[Long]("n_triangles"))
+  }
+
+  test("degree histogram: accounts for every document exactly once") {
+    val h = Queries.degreeHistogram(spark, sfDir)
+    assert(h.agg(sum("n_nodes")).head.getLong(0) ===
+      graft.sources.Tables.parquet(spark, sfDir, "documents").count())
+  }
+
+  test("prefix clusters: every cluster has 2+ docs and keep_id is a member") {
+    val p = Queries.prefixClusters(spark, sfDir)
+    assert(p.filter(col("n_docs") < 2).count() === 0)
+  }
+
+  test("path signatures: user totals conserved across the top paths") {
+    val p = Queries.pathSignatures(spark, sfDir).collect()
+    assert(p.length <= 10 && p.nonEmpty)
+    val counts = p.map(_.getAs[Long]("n_users"))
+    assert(counts.sameElements(counts.sorted.reverse))
+  }
+
+  test("url normalize: parse_url recovers host and path for every doc") {
+    val u = Queries.urlNormalize(spark, sfDir)
+    assert(u.filter(col("host").isNull || col("path").isNull).count() === 0)
+    assert(u.filter(!col("canonical").contains("?page=")).count() === 0)
+  }
+
+  test("multimodal audio: every doc demuxes; duration consistent with rate") {
+    val a = Queries.multimodalAudio(spark, sfDir)
+    assert(a.count() === graft.sources.Tables.parquet(spark, sfDir, "documents").count())
+    // integer division, as the demux computes it (`/` on columns is double)
+    assert(a.filter(col("ms") =!= expr("n_samples * 1000 div sample_rate")).count() === 0)
+    assert(a.filter(!col("sample_rate").isin(8000, 16000, 22050, 44100, 48000)).count() === 0)
+  }
+
+  test("partial stats merge: variance non-negative, counts conserved") {
+    val m = Queries.partialStatsMerge(spark, sfDir)
+    assert(m.filter(col("variance") < 0).count() === 0)
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    assert(m.agg(sum("n")).head.getLong(0) === ev.filter(col("value").isNotNull).count())
+  }
+
+  test("cooccurrence: ordered pairs, support bounded by the user universe") {
+    val c = Queries.cooccurrence(spark, sfDir)
+    assert(c.filter(col("type_a") >= col("type_b")).count() === 0)
+    val users = graft.sources.Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(c.filter(col("n_users") > users).count() === 0)
+  }
+
+  test("gap histogram: one gap per event beyond each user's first") {
+    val h = Queries.gapHistogram(spark, sfDir)
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    assert(h.agg(sum("n_gaps")).head.getLong(0) ===
+      ev.count() - ev.select("user_id").distinct().count())
+    assert(h.filter(col("bucket") < 0 || col("bucket") > 12).count() === 0)
+  }
+
+  test("golden record: exactly one canonical row per user") {
+    val g = Queries.goldenRecord(spark, sfDir)
+    val users = graft.sources.Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(g.count() === users)
+    assert(g.filter(col("first_ts") > col("last_ts")).count() === 0)
+  }
+
+  test("xml ingest: from_xml recovers the embedded id for every order") {
+    val x = Queries.xmlIngest(spark, sfDir)
+    assert(x.filter(col("parsed_id") =!= col("o_orderkey")).count() === 0)
+    assert(x.filter(col("total").isNull || col("status").isNull).count() === 0)
+  }
+
+  test("anomaly flags: never fires on a type's first observed week") {
+    val a = Queries.anomalyFlags(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type").orderBy("week")
+    val first = a.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    assert(first.filter(col("spike") === 1).count() === 0)
+  }
+
+  test("pareto frontier: strictly increasing day_max over strictly increasing dates") {
+    val p = Queries.paretoFrontier(spark, sfDir).collect()
+    assert(p.nonEmpty)
+    val prices = p.map(_.getDecimal(1))
+    assert(prices.sliding(2).forall { case Array(a, b) => a.compareTo(b) < 0; case _ => true })
+  }
+
+  test("expectation suite: integrity checks pass on the driver testdata") {
+    val e = Queries.expectationSuite(spark, sfDir).collect()
+    assert(e.length === 5)
+    // the synthetic tables are referentially sound; only the null-rate
+    // budget carries a non-zero metric
+    assert(e.filter(_.getAs[Int]("passed") === 0).isEmpty)
+  }
+
+  test("benford profile: shares sum to ~10000 permyriad over digits 1-9") {
+    val b = Queries.benfordProfile(spark, sfDir)
+    val total = b.agg(sum("share_permyriad")).head.getLong(0)
+    assert(total >= 9990 && total <= 10000, s"permyriad sum $total")
+  }
+
+  test("date spine: contiguous days, zero-filled gaps preserved") {
+    val d = Queries.dateSpine(spark, sfDir).collect()
+    assert(d.length >= 2)
+    val days = d.map(_.getTimestamp(0).toLocalDateTime.toLocalDate)
+    days.sliding(2).foreach { case Array(a, b) => assert(b === a.plusDays(1), s"gap between $a and $b"); case _ => () }
+    assert(d.map(_.getAs[Long]("n_orders")).sum ===
+      graft.sources.Tables.parquet(spark, sfDir, "orders").count())
+  }
+
   test("window bounds: one row per user; second_type null only for single-event users") {
     val w = Queries.windowBounds(spark, sfDir)
     assert(w.groupBy("user_id").count().filter(col("count") > 1).count() === 0)
     assert(w.filter(col("second_type").isNull && col("n_events") > 1).count() === 0)
     assert(w.filter(col("n_events") === 1 && col("first_type") =!= col("last_type")).count() === 0)
+  }
+
+  test("sliding distinct: one row per observed day, 7d count ≥ that day's own distinct") {
+    val daily = graft.sources.Tables
+      .events(spark, sfDir)
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+      .groupBy("d")
+      .agg(countDistinct("user_id").as("n1"))
+      .select(col("d").cast("timestamp").as("day"), col("n1"))
+    val win = Queries.slidingBitmapDistinct(spark, sfDir)
+    assert(win.count() === daily.count())
+    assert(win.join(daily, Seq("day")).filter(col("n_users_7d") < col("n1")).count() === 0)
+  }
+
+  test("prefix filtering is LOSSLESS: q178 equals the all-pairs exact-Jaccard ground truth") {
+    val sh = operators.NearDup
+      .shingleTable(graft.sources.Tables.parquet(spark, sfDir, "documents"), col("doc_id"), col("text"), n = 3)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val brute = sh
+      .as("a")
+      .join(sh.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+      .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+      .filter(col("inter") * 3 >= col("n1") + col("n2"))
+      .select("d1", "d2")
+    val got = Queries.setsimPrefixJoin(spark, sfDir).select("d1", "d2")
+    assert(got.except(brute).isEmpty && brute.except(got).isEmpty)
+  }
+
+  test("equi-depth histogram: bins partition each flag's rows and never overlap") {
+    val rows = Queries.equidepthHistogram(spark, sfDir).collect()
+    val li = graft.sources.Tables.parquet(spark, sfDir, "lineitem")
+    val byFlag = li.groupBy("l_returnflag").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getString(0)).foreach { case (flag, bins) =>
+      assert(bins.map(_.getAs[Long]("n_rows")).sum === byFlag(flag), s"$flag depths must total the group")
+      val sorted = bins.sortBy(_.getAs[Long]("bin_id"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getAs[Double]("hi") < b.getAs[Double]("lo"), s"$flag bins overlap")
+        case _ => ()
+      }
+    }
+  }
+
+  test("open-order concurrency: never negative, and every order eventually closes") {
+    val r = Queries.openOrderConcurrency(spark, sfDir).orderBy("day").collect()
+    assert(r.forall(_.getAs[Long]("n_open") >= 0))
+    assert(r.last.getAs[Long]("n_open") === 0, "running sum must return to zero after the last close")
+  }
+
+  test("containment: permille within [750, 1000] and never below the pair's Jaccard") {
+    val c = Queries.containmentPairs(spark, sfDir)
+    assert(c.filter(col("containment_permille") < 750 || col("containment_permille") > 1000).count() === 0)
+    // containment divides by min size, Jaccard by union: containment ≥ J always
+    val j = Queries.setsimPrefixJoin(spark, sfDir).select(col("d1"), col("d2"), col("jaccard_permille"))
+    assert(c.join(j, Seq("d1", "d2")).filter(col("containment_permille") < col("jaccard_permille")).count() === 0)
   }
 }

@@ -69,6 +69,35 @@ class MultimodalSpec extends SparkSpec {
     assert((meta.width, meta.height) === MediaCodec.dims(bytes.length))
   }
 
+  test("WAV round-trip: demux recovers the embedded fmt fields, mono and stereo") {
+    for (n <- Seq(100, 101, 254, 255, 0)) {
+      val content = Array.tabulate(n)(i => (i % 251).toByte)
+      val (rate, ch, bits) = MediaCodec.audioParams(n)
+      val wav = MediaCodec.buildWav(rate, ch, bits, content)
+      val ba = ch * bits / 8
+      val padded = (n + ba - 1) / ba * ba
+      assert(wav.length === 44 + padded, s"n=$n container size")
+      val m = MediaCodec.decodeWav(7L, wav).get
+      assert((m.sample_rate, m.channels, m.bits) === ((rate, ch, bits)), s"n=$n fmt")
+      assert(m.n_samples === padded / ba, s"n=$n samples")
+      assert(m.ms === m.n_samples * 1000L / rate, s"n=$n duration")
+    }
+  }
+
+  test("WAV demux walks past unknown RIFF chunks instead of assuming layout") {
+    val wav = MediaCodec.buildWav(16000, 1, 8, Array.tabulate(40)(_.toByte))
+    // splice an unknown 6-byte "LIST" chunk between WAVE and fmt
+    val junk = "LIST".getBytes("US-ASCII") ++ Array[Byte](6, 0, 0, 0) ++ Array.fill(6)(0x55.toByte)
+    val spliced = wav.take(12) ++ junk ++ wav.drop(12)
+    val m = MediaCodec.decodeWav(1L, spliced).get
+    assert((m.sample_rate, m.channels, m.n_samples) === ((16000, 1, 40L)))
+  }
+
+  test("WAV demux rejects non-RIFF payloads") {
+    assert(MediaCodec.decodeWav(1L, "not a wav at all, nope".getBytes("UTF-8")).isEmpty)
+    assert(MediaCodec.decodeWav(1L, Array.emptyByteArray).isEmpty)
+  }
+
   test("withMediaPayload → decodeMetadata recovers every doc's embedded dims") {
     val docs = graft.sources.Tables.parquet(spark, sfDir, "documents").limit(60)
     val decoded = Multimodal.decodeMetadata(Multimodal.withMediaPayload(docs, "doc_id", "text")).toDF()
