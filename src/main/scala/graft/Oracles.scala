@@ -1876,6 +1876,70 @@ object Oracles {
         |SELECT CAST(day AS TIMESTAMP) AS day, net,
         |  sum(net) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_open
         |FROM n ORDER BY day""".stripMargin,
+    "q182_dpp_prune" -> {
+      val rev = away("CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)", 2)
+      s"""SELECT o_orderpriority, count(*) AS n_orders, $rev AS revenue
+         |FROM orders
+         |WHERE o_orderpriority IN (
+         |  SELECT DISTINCT o_orderpriority FROM orders WHERE o_orderpriority < '3')
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    },
+    // identical peeling rounds unrolled as chained CTEs over the same
+    // banding candidates. MATERIALIZED is load-bearing: each round
+    // references the previous edge set several times, and DuckDB
+    // inlines plain CTEs — without it the minhash pipeline re-evaluates
+    // ~5^rounds times
+    "q183_kcore" -> {
+      val rounds = (1 to 3)
+        .map { r =>
+          val p = r - 1
+          s"""s$p AS (SELECT u, v FROM e$p UNION ALL SELECT v, u FROM e$p),
+             |k$p AS (SELECT u FROM s$p GROUP BY u HAVING count(*) >= 2),
+             |e$r AS MATERIALIZED (SELECT e$p.u, e$p.v FROM e$p
+             |  JOIN k$p x ON e$p.u = x.u JOIN k$p y ON e$p.v = y.u)""".stripMargin
+        }
+        .mkString(",\n")
+      s"""WITH $minhashCandCtes,
+         |e0 AS MATERIALIZED (SELECT d1 AS u, d2 AS v FROM cand),
+         |$rounds,
+         |s3 AS (SELECT u, v FROM e3 UNION ALL SELECT v, u FROM e3)
+         |SELECT u AS doc_id, count(*) AS deg FROM s3 GROUP BY u ORDER BY doc_id""".stripMargin
+    },
+    "q184_kmv_bottomk" -> {
+      val k = 64
+      s"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+         |h AS (SELECT event_type, user_id, ${hx("CAST(user_id AS VARCHAR)")} AS h FROM du),
+         |r AS (SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h, user_id) AS rk,
+         |    count(*) OVER (PARTITION BY event_type) AS n_exact
+         |  FROM h),
+         |pick AS (SELECT * FROM r WHERE rk = $k OR (n_exact < $k AND rk = n_exact)),
+         |est AS (SELECT event_type, n_exact,
+         |    CASE WHEN n_exact < $k THEN n_exact ELSE (${k - 1}) * 4294967296 // h END AS kmv_est
+         |  FROM pick)
+         |SELECT event_type, n_exact, kmv_est,
+         |  CAST(kmv_est >= n_exact / 2.0 AND kmv_est <= n_exact * 2 AS INTEGER) AS kmv_ok
+         |FROM est ORDER BY event_type""".stripMargin
+    },
+    "q185_weighted_systematic" ->
+      """WITH w AS (SELECT event_type, user_id, count(*) AS w
+        |  FROM events GROUP BY event_type, user_id),
+        |c AS (SELECT event_type, user_id, w,
+        |    sum(w) OVER (PARTITION BY event_type ORDER BY user_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(w) OVER (PARTITION BY event_type) AS tot
+        |  FROM w)
+        |SELECT event_type, user_id, w, cum FROM c
+        |WHERE cum // greatest(tot // 10, 1) > (cum - w) // greatest(tot // 10, 1)
+        |ORDER BY event_type, user_id""".stripMargin,
+    // the source-side checksums; a green match_ok proves the replica's
+    // checksums equalled them on the Spark side
+    "q186_table_checksum" -> {
+      val h = hx("CAST(event_id AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")
+      s"""SELECT event_id % 32 AS bucket, count(*) AS n_rows,
+         |  CAST(sum($h) AS BIGINT) AS checksum, CAST(1 AS INTEGER) AS match_ok
+         |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
     // exact containment rerank over the SAME banding candidates as q27
     "q181_containment_pairs" ->
       s"""WITH $minhashCandCtes,

@@ -3438,6 +3438,142 @@ object Queries {
       .orderBy("d1", "d2")
   }
 
+  // dynamic partition pruning, end to end: the fact table is REWRITTEN
+  // hive-partitioned on the join key (the q87 sink), the dimension side
+  // carries a selective filter, and at execution time Spark turns the
+  // dim's surviving keys into a runtime partition filter on the fact
+  // scan — only the matching directories are read. At 100 TB this is
+  // the difference between scanning 2 of 5 partitions and scanning the
+  // table; the filter exists only at runtime (a static optimizer never
+  // sees it), which is why it gets its own plan assertion
+  // (dynamicpruning in the fact scan, PlanSpec).
+  def dppPrune(s: SparkSession, dir: String): DataFrame = {
+    val scratch = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    t(s, dir, "orders")
+      .write
+      .mode("overwrite")
+      .partitionBy("o_orderpriority")
+      .parquet(s"$scratch/orders_part")
+    val fact = s.read.parquet(s"$scratch/orders_part")
+    val dim = t(s, dir, "orders")
+      .select(col("o_orderpriority"))
+      .distinct()
+      .filter(col("o_orderpriority") < "3")
+    fact
+      .join(dim, Seq("o_orderpriority"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), NumOps.exactSum(col("o_totalprice"), 2).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  // k-core of the near-dup candidate graph (k=2, 3 peeling rounds):
+  // nodes that keep ≥2 surviving neighbors after iterated pruning —
+  // the cohesive template families, with the hash-noise tendrils
+  // peeled away. Fixed rounds ⇒ deterministic; the oracle replays the
+  // identical peels as chained CTEs. Per-round cost is one keyed
+  // degree agg + two semi joins; per-round parquet snapshots stop the
+  // two-reference lineage doubling (the CC pattern).
+  def kcoreDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sigs = NearDup.minhashSignatures(docs, col("doc_id"), col("text"), k = 16, n = 3)
+    val pairs = NearDup.lshCandidatePairs(sigs, bands = 4, rowsPerBand = 4)
+    graft.operators.KCore
+      .kcore(pairs, col("d1"), col("d2"), k = 2, rounds = 3)
+      .select(col("id").as("doc_id"), col("deg"))
+      .orderBy("doc_id")
+  }
+
+  // KMV (k-minimum-values) bottom-k sketch per group: keep the k
+  // smallest user-id hashes per event type. The sample is UNIFORM over
+  // distinct users (a hash is a random rank), MERGEABLE (union two
+  // samples, re-take the k smallest — the TopKAggregator shape), and
+  // doubles as a distinct-count estimator: est = (k−1)·2³²/h_k. One
+  // keyed distinct + one keyed bounded rank; the estimate is
+  // bound-asserted against the exact count from the same scan (q38
+  // posture), switching to the exact count when a group has < k users.
+  def kmvBottomK(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val du = Tables
+      .events(s, dir)
+      .select(col("event_type"), col("user_id"))
+      .distinct()
+      .withColumn("h", TextOps.hash32(col("user_id").cast("string")))
+    val byType = Window.partitionBy("event_type")
+    val ranked = du
+      .withColumn("rk", row_number().over(byType.orderBy(col("h"), col("user_id"))))
+      .withColumn("n_exact", count(lit(1)).over(byType))
+    ranked
+      .filter(col("rk") === k || (col("n_exact") < k && col("rk") === col("n_exact")))
+      .select(
+        col("event_type"),
+        col("n_exact"),
+        when(col("n_exact") < k, col("n_exact"))
+          .otherwise(expr(s"($k - 1) * 4294967296 div h"))
+          .as("kmv_est")
+      )
+      .withColumn(
+        "kmv_ok",
+        (col("kmv_est") >= col("n_exact") / 2 && col("kmv_est") <= col("n_exact") * 2).cast("int")
+      )
+      .orderBy("event_type")
+  }
+
+  // weighted systematic (PPS) sampling per stratum: walk each event
+  // type's users in key order accumulating weight (event count); a
+  // user is sampled iff their weight span straddles a step boundary
+  // (step = total/10) — so inclusion probability is proportional to
+  // weight, the sample is EXACTLY reproducible (no RNG; pure integer
+  // div), and heavy users are always caught. All windows are keyed by
+  // stratum; the q125 hash-gate samples uniformly, this one samples
+  // the traffic.
+  def weightedSystematicSample(s: SparkSession, dir: String): DataFrame = {
+    val wts = Tables
+      .events(s, dir)
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("w"))
+    val byType = Window.partitionBy("event_type")
+    wts
+      .withColumn("cum", sum(col("w")).over(byType.orderBy("user_id")))
+      .withColumn("tot", sum(col("w")).over(byType))
+      .filter(expr("cum div greatest(tot div 10, 1) > (cum - w) div greatest(tot div 10, 1)"))
+      .select(col("event_type"), col("user_id"), col("w"), col("cum"))
+      .orderBy("event_type", "user_id")
+  }
+
+  // distributed table checksum / replica reconciliation: write a
+  // replica (truncate-and-load), then compare per-bucket row-hash sums
+  // — the Merkle-lite anti-entropy check that verifies a 100 TB copy
+  // with 32 numbers instead of a row-by-row join. The per-row hash is
+  // order-independent under SUM, so bucket checksums are partition-
+  // and insertion-order-invariant; a green match column IS the
+  // verification (the oracle recomputes the same checksums from the
+  // source side).
+  def tableChecksum(s: SparkSession, dir: String): DataFrame = {
+    val scratch = java.nio.file.Files.createTempDirectory("graft-cksum").toString
+    val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"))
+    ev.write.mode("overwrite").parquet(s"$scratch/replica")
+    val replica = s.read.parquet(s"$scratch/replica")
+    def sums(df: DataFrame) = df
+      .select(
+        pmod(col("event_id"), lit(32)).as("bucket"),
+        TextOps.hash32(concat_ws(":", col("event_id"), col("user_id"))).as("h")
+      )
+      .groupBy("bucket")
+      .agg(sum(col("h")).as("checksum"), count(lit(1)).as("n_rows"))
+    sums(ev)
+      .join(
+        sums(replica).select(col("bucket"), col("checksum").as("r_checksum"), col("n_rows").as("r_n")),
+        Seq("bucket")
+      )
+      .select(
+        col("bucket"),
+        col("n_rows"),
+        col("checksum"),
+        (col("checksum") === col("r_checksum") && col("n_rows") === col("r_n")).cast("int").as("match_ok")
+      )
+      .orderBy("bucket")
+  }
+
   // whole-file binary source: the ingestion front door for multimodal
   // corpora (the reference's raw API payloads; here the deterministic
   // calls fixtures) — one row per FILE, payload as a binary column,

@@ -314,6 +314,20 @@ class PlanSpec extends SparkSpec {
     assert(aggBelow.nonEmpty, s"sweep-line window must see day deltas, not raw orders:\n${df.queryExecution.optimizedPlan}")
   }
 
+  test("DPP (q182): the fact scan carries a runtime partition-pruning filter") {
+    // useStats=false: tiny local stats would talk the planner out of a
+    // pruning subquery that pays for itself at any real scale
+    val prev = spark.conf.getOption("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+      val p = Queries.dppPrune(spark, sfDir).queryExecution.executedPlan.toString
+      assert(p.toLowerCase.contains("dynamicpruning"), s"no runtime partition filter on the fact scan:\n$p")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", v)
+      case None => spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    }
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime (skew=true)") {
     // isolated session: aggressive thresholds so the 16k-row hot key
     // trips the same OptimizeSkewedJoin rule that saves a 100 TB join

@@ -527,4 +527,46 @@ class QueriesSpec extends SparkSpec {
     val j = Queries.setsimPrefixJoin(spark, sfDir).select(col("d1"), col("d2"), col("jaccard_permille"))
     assert(c.join(j, Seq("d1", "d2")).filter(col("containment_permille") < col("jaccard_permille")).count() === 0)
   }
+
+  test("k-core: survivors are a subset of the raw graph's deg≥2 nodes, degrees never grow") {
+    val docs = graft.sources.Tables.parquet(spark, sfDir, "documents")
+    val sigs = operators.NearDup.minhashSignatures(docs, col("doc_id"), col("text"), k = 16, n = 3)
+    val pairs = operators.NearDup.lshCandidatePairs(sigs, bands = 4, rowsPerBand = 4)
+    val sym = pairs.unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+    val rawDeg = sym.groupBy(col("d1").as("doc_id")).agg(count(lit(1)).as("raw_deg"))
+    val core = Queries.kcoreDocs(spark, sfDir)
+    val joined = core.join(rawDeg, Seq("doc_id"), "left")
+    assert(joined.filter(col("raw_deg").isNull || col("raw_deg") < 2).count() === 0)
+    assert(joined.filter(col("deg") > col("raw_deg")).count() === 0)
+  }
+
+  test("KMV: deterministic estimate lands in the asserted band for every group") {
+    val r = Queries.kmvBottomK(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getAs[Int]("kmv_ok") === 1))
+  }
+
+  test("weighted systematic sample: ~10 per stratum, heavy users always caught") {
+    val wts = graft.sources.Tables
+      .events(spark, sfDir)
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("w"))
+    val tots = wts.groupBy("event_type").agg(sum("w").as("tot"))
+    val got = Queries.weightedSystematicSample(spark, sfDir)
+    val perType = got.groupBy("event_type").count().collect()
+    assert(perType.forall { r => val n = r.getLong(1); n >= 8 && n <= 12 })
+    // any user whose weight spans a full step must straddle a boundary
+    val heavy = wts
+      .join(tots, Seq("event_type"))
+      .filter(col("w") >= greatest(expr("tot div 10"), lit(1L)))
+      .select("event_type", "user_id")
+    assert(heavy.join(got, Seq("event_type", "user_id"), "left_anti").count() === 0)
+  }
+
+  test("table checksum: every bucket matches and row counts total the table") {
+    val r = Queries.tableChecksum(spark, sfDir)
+    assert(r.filter(col("match_ok") =!= 1).count() === 0)
+    assert(r.agg(sum("n_rows")).head.getLong(0) ===
+      graft.sources.Tables.events(spark, sfDir).count())
+  }
 }
