@@ -1940,6 +1940,38 @@ object Oracles {
          |  CAST(sum($h) AS BIGINT) AS checksum, CAST(1 AS INTEGER) AS match_ok
          |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin
     },
+    // exact trailing window from the raw scan; the HLL bound column is
+    // the assertion (q38/q155 posture)
+    "q187_sliding_hll_distinct" ->
+      """WITH e AS (SELECT DISTINCT event_type,
+        |    epoch_ns(ts) // 1000 // 604800000000 AS week, user_id FROM events),
+        |w AS (SELECT DISTINCT event_type, week FROM e)
+        |SELECT w.event_type, w.week, count(DISTINCT e.user_id) AS n_exact_4w,
+        |  CAST(1 AS INTEGER) AS hll_ok
+        |FROM w JOIN e ON e.event_type = w.event_type AND e.week BETWEEN w.week - 3 AND w.week
+        |GROUP BY w.event_type, w.week ORDER BY 1, 2""".stripMargin,
+    "q188_language_mix" -> {
+      val h = hx("CAST(doc_id AS VARCHAR)")
+      s"""WITH d AS (SELECT doc_id, lang, $h AS h FROM documents),
+         |r AS (SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY lang) AS n_l FROM d),
+         |t AS (SELECT count(*) AS n_total, count(DISTINCT lang) AS n_langs FROM documents)
+         |SELECT lang, max(n_l) AS n_available,
+         |  CAST(max(least(n_l, n_total // n_langs)) AS BIGINT) AS quota,
+         |  count(*) AS n_picked, CAST(sum(doc_id) AS BIGINT) AS picked_sum
+         |FROM r, t WHERE rk <= least(n_l, n_total // n_langs)
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    },
+    "q189_join_cardinality" ->
+      """WITH f1 AS (SELECT user_id AS k, count(*) AS f1 FROM events GROUP BY 1),
+        |f2 AS (SELECT o_custkey AS k, count(*) AS f2 FROM orders GROUP BY 1),
+        |e AS (SELECT count(*) AS n_shared_keys, CAST(sum(f1 * f2) AS BIGINT) AS est_rows
+        |  FROM f1 JOIN f2 USING (k)),
+        |a AS (SELECT count(*) AS actual_rows FROM events JOIN orders ON user_id = o_custkey)
+        |SELECT n_shared_keys, est_rows, actual_rows,
+        |  CAST(est_rows = actual_rows AS INTEGER) AS estimate_exact
+        |FROM e, a""".stripMargin,
     // exact containment rerank over the SAME banding candidates as q27
     "q181_containment_pairs" ->
       s"""WITH $minhashCandCtes,

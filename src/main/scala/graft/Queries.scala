@@ -3574,6 +3574,112 @@ object Queries {
       .orderBy("bucket")
   }
 
+  // the approximate rung of q177's sliding distinct: per-(type, week)
+  // HLL sketches, union-merged over a trailing 4-week window (the
+  // window frame operates on SKETCHES — constant-size state per cell,
+  // so a year of history re-windows by merging 52 kilobyte-sized
+  // blobs, never rescanning events). The estimate is bound-asserted
+  // against the exact trailing count computed by the q177 bitmap
+  // replication on the same scan — the two rungs of the ladder
+  // verifying each other.
+  def slidingHllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(s, dir)
+      .select(col("event_type"), expr("unix_micros(ts) div 604800000000").as("week"), col("user_id"))
+    val parts = ev.groupBy("event_type", "week").agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val est = parts.selectExpr(
+      "event_type",
+      "week",
+      """CAST(hll_sketch_estimate(hll_union_agg(sk) OVER (
+        |  PARTITION BY event_type ORDER BY week
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) AS BIGINT) AS est""".stripMargin
+    )
+    val weeks = ev.select(col("event_type"), col("week")).distinct()
+    val exact = ev
+      .groupBy(col("event_type"), col("week"), expr("bitmap_bucket_number(user_id)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+      .select(col("event_type"), explode(expr("sequence(week, week + 3)")).as("week"), col("bucket"), col("bm"))
+      .join(weeks, Seq("event_type", "week"), "left_semi")
+      .groupBy("event_type", "week", "bucket")
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+      .groupBy("event_type", "week")
+      .agg(sum(expr("bitmap_count(bm)")).as("n_exact_4w"))
+    exact
+      .join(est, Seq("event_type", "week"))
+      .select(
+        col("event_type"),
+        col("week"),
+        col("n_exact_4w"),
+        (col("est") >= col("n_exact_4w") * 0.95 && col("est") <= col("n_exact_4w") * 1.05)
+          .cast("int")
+          .as("hll_ok")
+      )
+      .orderBy("event_type", "week")
+  }
+
+  // language-mix rebalancing: cap every language at an equal quota —
+  // the data-recipe step that stops one dominant language from
+  // swamping a training mix. Quota = min(available, total/n_langs);
+  // membership is a deterministic hash rank within each language (the
+  // q57/q63 hash-gate posture: adding documents never un-picks an
+  // already-picked one below the quota). All ranking windows are keyed
+  // by language; the output is the per-language audit row with a
+  // checksum over the picked ids so the oracle verifies the exact
+  // membership, not just the counts.
+  def languageMixSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val byLang = Window.partitionBy("lang")
+    val ranked = docs
+      .withColumn("h", TextOps.hash32(col("doc_id").cast("string")))
+      .withColumn("rk", row_number().over(byLang.orderBy(col("h"), col("doc_id"))))
+      .withColumn("n_l", count(lit(1)).over(byLang))
+    val withTotal = ranked.crossJoin(
+      broadcast(
+        docs.agg(count(lit(1)).as("n_total"), countDistinct(col("lang")).as("n_langs"))
+      )
+    )
+    withTotal
+      .filter(col("rk") <= least(col("n_l"), expr("n_total div n_langs")))
+      .groupBy("lang")
+      .agg(
+        max(col("n_l")).as("n_available"),
+        max(expr("least(n_l, n_total div n_langs)")).as("quota"),
+        count(lit(1)).as("n_picked"),
+        sum(col("doc_id")).as("picked_sum")
+      )
+      .orderBy("lang")
+  }
+
+  // join-cardinality estimation from per-key histograms: predict a
+  // join's output size BEFORE paying for it — Σ f₁(k)·f₂(k) over the
+  // two sides' key-frequency tables. The histograms cost two keyed
+  // (map-side-combined) aggregations whose output is key-cardinality
+  // sized; the join they price could be 100 TB × 100 TB. With exact
+  // histograms the estimate IS the join size (asserted against the
+  // actually-executed join here); a production planner swaps in CMS
+  // point queries (q156) for the same formula when even the key set is
+  // too big.
+  def joinCardinalityEstimate(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val ord = t(s, dir, "orders")
+    val f1 = ev.groupBy(col("user_id").as("k")).agg(count(lit(1)).as("f1"))
+    val f2 = ord.groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("f2"))
+    val est = f1
+      .join(f2, Seq("k"))
+      .agg(count(lit(1)).as("n_shared_keys"), sum(col("f1") * col("f2")).as("est_rows"))
+    val actual = ev
+      .join(ord, col("user_id") === col("o_custkey"))
+      .agg(count(lit(1)).as("actual_rows"))
+    est
+      .crossJoin(actual)
+      .select(
+        col("n_shared_keys"),
+        col("est_rows"),
+        col("actual_rows"),
+        (col("est_rows") === col("actual_rows")).cast("int").as("estimate_exact")
+      )
+  }
+
   // whole-file binary source: the ingestion front door for multimodal
   // corpora (the reference's raw API payloads; here the deterministic
   // calls fixtures) — one row per FILE, payload as a binary column,

@@ -563,6 +563,32 @@ class QueriesSpec extends SparkSpec {
     assert(heavy.join(got, Seq("event_type", "user_id"), "left_anti").count() === 0)
   }
 
+  test("sliding HLL: estimate in band for every (type, week); one row per observed cell") {
+    val r = Queries.slidingHllDistinct(spark, sfDir)
+    assert(r.filter(col("hll_ok") =!= 1).count() === 0)
+    val cells = graft.sources.Tables
+      .events(spark, sfDir)
+      .select(col("event_type"), expr("unix_micros(ts) div 604800000000").as("week"))
+      .distinct()
+      .count()
+    assert(r.count() === cells)
+  }
+
+  test("language mix: every language filled to its quota, none above") {
+    val r = Queries.languageMixSample(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_picked") === row.getAs[Long]("quota"))
+      assert(row.getAs[Long]("quota") <= row.getAs[Long]("n_available"))
+    }
+  }
+
+  test("join cardinality: the histogram-product estimate equals the executed join") {
+    val r = Queries.joinCardinalityEstimate(spark, sfDir).head
+    assert(r.getAs[Int]("estimate_exact") === 1)
+    assert(r.getAs[Long]("actual_rows") > 0)
+  }
+
   test("table checksum: every bucket matches and row counts total the table") {
     val r = Queries.tableChecksum(spark, sfDir)
     assert(r.filter(col("match_ok") =!= 1).count() === 0)
