@@ -1643,7 +1643,8 @@ object Oracles {
          |    sum(CASE WHEN is_train THEN 0 ELSE 1 END) AS n_test
          |  FROM b GROUP BY event_type),
          |t AS (SELECT sum(n_train) AS t_train, sum(n_test) AS t_test FROM c)
-         |SELECT event_type, n_train, n_test, $tvd AS tvd_contrib
+         |SELECT event_type, CAST(n_train AS BIGINT) AS n_train,
+         |  CAST(n_test AS BIGINT) AS n_test, $tvd AS tvd_contrib
          |FROM c, t ORDER BY event_type""".stripMargin
     },
     // identical degree-ordered orientation → wedge join → closing-edge
@@ -1719,7 +1720,7 @@ object Oracles {
          |    sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS s2
          |  FROM events GROUP BY 1, 2),
          |m AS (SELECT event_type, sum(n) AS n, sum(s1) AS s1, sum(s2) AS s2 FROM p GROUP BY event_type)
-         |SELECT event_type, n, $mean AS mean, $vr AS variance
+         |SELECT event_type, CAST(n AS BIGINT) AS n, $mean AS mean, $vr AS variance
          |FROM m ORDER BY event_type""".stripMargin
     },
     "q168_cooccurrence" ->
@@ -1801,7 +1802,7 @@ object Oracles {
         |  FROM orders),
         |n AS (SELECT digit, count(*) AS n FROM d WHERE digit BETWEEN '1' AND '9' GROUP BY digit),
         |t AS (SELECT sum(n) AS total FROM n)
-        |SELECT digit, n, n * 10000 // total AS share_permyriad
+        |SELECT digit, n, CAST(n * 10000 // total AS BIGINT) AS share_permyriad
         |FROM n, t ORDER BY digit""".stripMargin,
     "q176_date_spine" -> {
       val rev = away("CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)", 2)
@@ -1864,8 +1865,8 @@ object Oracles {
         |    sum(cnt) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
         |    sum(cnt) OVER (PARTITION BY g) AS tot
         |  FROM h)
-        |SELECT g AS l_returnflag, (cum - 1) * 4 // tot AS bin_id,
-        |  sum(cnt) AS n_rows, min(v) AS lo, max(v) AS hi
+        |SELECT g AS l_returnflag, CAST((cum - 1) * 4 // tot AS BIGINT) AS bin_id,
+        |  CAST(sum(cnt) AS BIGINT) AS n_rows, min(v) AS lo, max(v) AS hi
         |FROM c GROUP BY 1, 2 ORDER BY l_returnflag, bin_id""".stripMargin,
     "q180_open_order_concurrency" ->
       """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS sd,
@@ -1873,8 +1874,8 @@ object Oracles {
         |d AS (SELECT sd AS day, CAST(1 AS BIGINT) AS delta FROM o
         |  UNION ALL SELECT ed, CAST(-1 AS BIGINT) FROM o),
         |n AS (SELECT day, sum(delta) AS net FROM d GROUP BY day)
-        |SELECT CAST(day AS TIMESTAMP) AS day, net,
-        |  sum(net) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_open
+        |SELECT CAST(day AS TIMESTAMP) AS day, CAST(net AS BIGINT) AS net,
+        |  CAST(sum(net) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_open
         |FROM n ORDER BY day""".stripMargin,
     "q182_dpp_prune" -> {
       val rev = away("CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)", 2)
@@ -1929,7 +1930,7 @@ object Oracles {
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
         |    sum(w) OVER (PARTITION BY event_type) AS tot
         |  FROM w)
-        |SELECT event_type, user_id, w, cum FROM c
+        |SELECT event_type, user_id, w, CAST(cum AS BIGINT) AS cum FROM c
         |WHERE cum // greatest(tot // 10, 1) > (cum - w) // greatest(tot // 10, 1)
         |ORDER BY event_type, user_id""".stripMargin,
     // the source-side checksums; a green match_ok proves the replica's

@@ -2594,8 +2594,7 @@ object Queries {
   // principled per-cluster canonical pick.
   def pagerank(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val sigs = NearDup.minhashSignatures(docs, col("doc_id"), col("text"), k = 16, n = 3)
-    val pairs = NearDup.lshCandidatePairs(sigs, bands = 4, rowsPerBand = 4)
+    val pairs = graft.operators.CandidateGraph.pairs(s, docs, dir)
     graft.operators.PageRank
       .integerPageRank(docs.select(col("doc_id")), col("doc_id"), pairs, col("d1"), col("d2"), iters = 10)
       .select(col("id").as("doc_id"), col("deg"), col("pr"))
@@ -2723,8 +2722,13 @@ object Queries {
   // map-side like any aggregate buffer.
   def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(col("user_id"))
-    val slack = 60L // ceil(eps · N) at sf0.01; scales with the data
-    val sk = ev.agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk"))
+    // slack = ceil(eps · N) computed from the SAME scan that builds the
+    // sketch — the CMS over-count bound is data-relative, so a constant
+    // would silently break at any other scale factor
+    val sk = ev.agg(
+      expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk"),
+      ceil(count(lit(1)) * lit(0.001)).cast("long").as("slack")
+    )
     val top = ev
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"))
@@ -2741,7 +2745,7 @@ object Queries {
       .select(
         col("user_id"),
         col("n_events"),
-        (col("est") >= col("n_events") && col("est") <= col("n_events") + lit(slack))
+        (col("est") >= col("n_events") && col("est") <= col("n_events") + col("slack"))
           .cast("int")
           .as("cms_ok")
       )
@@ -2876,19 +2880,13 @@ object Queries {
   // — two equi-joins, no theta join, no double counting to divide away.
   def triangleCensus(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val sigs = NearDup.minhashSignatures(docs, col("doc_id"), col("text"), k = 16, n = 3)
     // the edge list feeds four plan positions (degrees, both orient
-    // lookups, the closing-edge probe, the edge count): snapshot it to
-    // parquet once — the PageRank/CC pattern; no cached blocks left in
-    // the session (NoLeakSpec-clean), no 4× recompute of the banding
-    val scratch = java.nio.file.Files.createTempDirectory("graft-tri").toString
-    NearDup
-      .lshCandidatePairs(sigs, bands = 4, rowsPerBand = 4)
-      .select("d1", "d2")
-      .write
-      .mode("overwrite")
-      .parquet(s"$scratch/pairs")
-    val pairs = s.read.parquet(s"$scratch/pairs")
+    // lookups, the closing-edge probe, the edge count): the shared
+    // CandidateGraph snapshot serves all four as cheap parquet re-reads
+    // — no cached blocks in the session (NoLeakSpec-clean), no 4×
+    // recompute of the banding, and the snapshot is shared with
+    // q150/q162/q181/q183 instead of rebuilt per query
+    val pairs = graft.operators.CandidateGraph.pairs(s, docs, dir).select("d1", "d2")
     val sym = pairs.unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
     val deg = sym.groupBy(col("d1").as("id")).agg(count(lit(1)).as("deg"))
     // orient each undirected edge toward the (deg, id)-larger endpoint
@@ -2922,8 +2920,7 @@ object Queries {
   // the left join: the histogram must account for every node.
   def degreeHistogram(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val sigs = NearDup.minhashSignatures(docs, col("doc_id"), col("text"), k = 16, n = 3)
-    val pairs = NearDup.lshCandidatePairs(sigs, bands = 4, rowsPerBand = 4).select("d1", "d2")
+    val pairs = graft.operators.CandidateGraph.pairs(s, docs, dir).select("d1", "d2")
     val sym = pairs.unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
     val deg = sym.groupBy(col("d1").as("doc_id")).agg(count(lit(1)).as("deg"))
     docs
@@ -3416,8 +3413,7 @@ object Queries {
   // integer form (4·∩ ≥ 3·min ⟺ c ≥ 0.75), permille output.
   def containmentPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val sigs = NearDup.minhashSignatures(docs, col("doc_id"), col("text"), k = 16, n = 3)
-    val cand = NearDup.lshCandidatePairs(sigs, bands = 4, rowsPerBand = 4)
+    val cand = graft.operators.CandidateGraph.pairs(s, docs, dir)
     val sh = NearDup.shingleTable(docs, col("doc_id"), col("text"), n = 3)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     cand
@@ -3448,7 +3444,7 @@ object Queries {
   // sees it), which is why it gets its own plan assertion
   // (dynamicpruning in the fact scan, PlanSpec).
   def dppPrune(s: SparkSession, dir: String): DataFrame = {
-    val scratch = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    val scratch = graft.operators.Scratch.dir("graft-dpp")
     t(s, dir, "orders")
       .write
       .mode("overwrite")
@@ -3475,8 +3471,7 @@ object Queries {
   // two-reference lineage doubling (the CC pattern).
   def kcoreDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val sigs = NearDup.minhashSignatures(docs, col("doc_id"), col("text"), k = 16, n = 3)
-    val pairs = NearDup.lshCandidatePairs(sigs, bands = 4, rowsPerBand = 4)
+    val pairs = graft.operators.CandidateGraph.pairs(s, docs, dir)
     graft.operators.KCore
       .kcore(pairs, col("d1"), col("d2"), k = 2, rounds = 3)
       .select(col("id").as("doc_id"), col("deg"))
@@ -3549,7 +3544,7 @@ object Queries {
   // verification (the oracle recomputes the same checksums from the
   // source side).
   def tableChecksum(s: SparkSession, dir: String): DataFrame = {
-    val scratch = java.nio.file.Files.createTempDirectory("graft-cksum").toString
+    val scratch = graft.operators.Scratch.dir("graft-cksum")
     val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"))
     ev.write.mode("overwrite").parquet(s"$scratch/replica")
     val replica = s.read.parquet(s"$scratch/replica")

@@ -1,6 +1,5 @@
 package graft.operators
 
-import java.nio.file.Files
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -71,7 +70,7 @@ object ConnectedComponents {
       },
       s"minLabel needs integral node ids (checksum convergence sums them exactly); got $idType"
     )
-    val base = scratchDir.getOrElse(Files.createTempDirectory("graft-cc").toString)
+    val base = scratchDir.getOrElse(Scratch.dir("graft-cc"))
 
     def snapshot(df: DataFrame, name: String): DataFrame = {
       val path = s"$base/$name"
@@ -161,7 +160,7 @@ object ConnectedComponents {
       scratchDir: Option[String] = None
   ): DataFrame = {
     val spark = nodes.sparkSession
-    val base = scratchDir.getOrElse(Files.createTempDirectory("graft-cc-star").toString)
+    val base = scratchDir.getOrElse(Scratch.dir("graft-cc-star"))
 
     def snapshot(df: DataFrame, name: String): DataFrame = {
       val path = s"$base/$name"

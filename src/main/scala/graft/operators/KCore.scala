@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -32,9 +30,9 @@ object KCore {
     * holds each undirected pair once; nodes whose edges are all peeled
     * vanish from the output.
     */
-  def kcore(edges: DataFrame, a: Column, b: Column, k: Int, rounds: Int): DataFrame = {
+  def kcore(edges: DataFrame, a: Column, b: Column, k: Int, rounds: Int, scratchDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
-    val scratch = Files.createTempDirectory("graft-kcore").toString
+    val scratch = scratchDir.getOrElse(Scratch.dir("graft-kcore"))
     var e = edges.select(a.as("u"), b.as("v"))
     for (r <- 1 to rounds) {
       val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))

@@ -272,6 +272,9 @@ object Multimodal {
       while (i + 8 <= b.length) {
         val size = le32(i + 4)
         if (size < 0) return None // corrupt size: stop the walk, not the task
+        // a declared chunk body past EOF means a truncated payload —
+        // drop the row (None), never index out of bounds in the task
+        if (i + 8 + size > b.length) return None
         if (isRiffTag(b, i, "fmt ") && size >= 16) {
           channels = le16(i + 10)
           rate = le32(i + 12)

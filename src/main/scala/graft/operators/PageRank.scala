@@ -1,6 +1,5 @@
 package graft.operators
 
-import java.nio.file.Files
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -61,7 +60,7 @@ object PageRank {
       scratchDir: Option[String] = None
   ): DataFrame = {
     val spark = nodes.sparkSession
-    val base = scratchDir.getOrElse(Files.createTempDirectory("graft-pr").toString)
+    val base = scratchDir.getOrElse(Scratch.dir("graft-pr"))
 
     def snapshot(df: DataFrame, name: String): DataFrame = {
       val path = s"$base/$name"

@@ -59,6 +59,17 @@ def main(out_dir: str, sf_dir: str) -> int:
             problems.append(f"rows {len(got)} vs {len(exp)}")
         if sorted(got.columns) != sorted(exp.columns):
             problems.append(f"cols {sorted(got.columns)} vs {sorted(exp.columns)}")
+        elif dtype_mismatches := [
+            # dtype-strict: the driver renders int64 5 and float64 5.0
+            # differently, so a DuckDB HUGEINT (→ float64 via pandas)
+            # against a Spark BIGINT must FAIL here even though the
+            # values hash equal under %.9g. Compare dtype *kind* per
+            # column: int-vs-float is the driver-visible divergence.
+            f"{c}: spark={got[c].dtype} oracle={exp[c].dtype}"
+            for c in sorted(got.columns)
+            if {got[c].dtype.kind, exp[c].dtype.kind} == {"i", "f"}
+        ]:
+            problems.append("dtype mismatch " + "; ".join(dtype_mismatches))
         elif canon(got) != canon(exp):
             problems.append("value hash mismatch")
             merged = got.reindex(sorted(got.columns), axis=1)
