@@ -2,16 +2,44 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: one JSON line of per-query wall times at the target
-  * scale factor. A warm-up pass at sf0.001 runs first (untimed) so the
-  * measurements capture steady-state execution, not Janino/JIT
-  * compilation of each query's generated code — on a cold JVM that
-  * warm-up tax dominates small-scale timings (observed 6 s → 0.7 s for
-  * the same query).
+  * scale factor, printed to stdout on completion.
+  *
+  * Round-4 lesson: the suite doubled to 188 queries and the driver's
+  * bench run was killed at its timeout (rc 124) with ZERO numbers —
+  * an unbounded sweep is worthless the moment it doesn't finish. This
+  * version is budget-aware and interruption-safe:
+  *
+  *   - A wall-clock budget (`SPARK_GRAFT_BENCH_BUDGET_SEC`, default
+  *     900 s) bounds the whole run. Warm-up stops at 35% of budget;
+  *     the timed sweep stops at 95%; whatever remains is recorded
+  *     with sentinel -2.0 (skipped) rather than silently dropped, so
+  *     the emitted line always covers every query name.
+  *   - After EVERY timed query a cumulative JSON line (same schema as
+  *     the final line) goes to stderr — if an external timeout kills
+  *     the process anyway, the captured output tail still carries the
+  *     numbers measured so far. stdout stays exactly one line.
+  *   - Queries are ordered by their numeric id, so the reference-
+  *     parity surface (q01–q89) is measured before the extension tail.
+  *   - A query that throws records sentinel -1.0, never a plausible-
+  *     looking elapsed time (round-4 advice: `timed` used to swallow
+  *     failures into timings).
+  *   - Rerun policy is adaptive: sub-second queries get a second pass
+  *     (min of two) because JIT/GC noise dominates them; multi-second
+  *     queries — streaming micro-batch starts, snapshot-checkpoint
+  *     graph loops — are measured once, since their runtime is I/O
+  *     bound and a second pass doubles the dominant cost for ~no
+  *     variance reduction.
+  *
+  * A warm-up pass at sf0.001 runs first (untimed) so measurements
+  * capture steady-state execution, not Janino/JIT compilation of each
+  * query's generated code — on a cold JVM that tax dominates
+  * small-scale timings (observed 6 s → 0.7 s for the same query).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "900").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,34 +50,63 @@ object Bench {
       .config("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm-up: run every query at the smallest tier; ignore failures so
-    // a broken query surfaces in its own timed slot, not here
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try { fn(spark, "/root/testdata/sf0.001").count() } catch { case _: Throwable => () }
+
+    val t0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - t0) / 1e9
+
+    // numeric ordering: "q9_x" before "q10_x" (lexicographic would
+    // interleave the extension tail into the parity head)
+    val ordered = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
+      (name.drop(1).takeWhile(_.isDigit).toInt, name)
+    }
+
+    // warm-up at the smallest tier; ignore failures so a broken query
+    // surfaces in its own timed slot, not here. Budget-capped: cold
+    // queries past the cap just pay their JIT inside the timed slot.
+    val warmupDeadline = budgetSec * 0.35
+    ordered.foreach { case (_, fn) =>
+      if (elapsed < warmupDeadline) {
+        try { fn(spark, "/root/testdata/sf0.001").count() } catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+      }
+    }
+
+    def timedOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val s0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - s0) / 1e9
       spark.catalog.clearCache()
+      if (ok) dt else -1.0
     }
-    // best of 2 timed runs per query (3 when the two disagree by >50% —
-    // a GC pause or state-store maintenance hit one of them): JIT, GC
-    // and AQE re-planning add multi-second noise to single measurements
-    // at this scale. Cache is cleared between runs so (a) queries that
-    // persist() intermediates don't accumulate blocks across the
-    // full-suite sweep and (b) each timing is a cold-cache measurement.
-    def timed(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      dt
+
+    def jsonLine(rs: Seq[(String, Double)]): String = {
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val total = rs.collect { case (_, v) if v > 0 => v }.sum
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val two = Seq(timed(fn), timed(fn))
-      val best = if (two.max / two.min > 1.5) (two :+ timed(fn)).min else two.min
-      name -> best
+
+    val sweepDeadline = budgetSec * 0.95
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    ordered.foreach { case (name, fn) =>
+      val v =
+        if (elapsed >= sweepDeadline) -2.0 // budget exhausted: skipped
+        else {
+          val first = timedOnce(fn)
+          // second pass only where it pays: fast queries whose timing
+          // is noise-dominated, and only while budget remains
+          if (first >= 0 && first < 1.0 && elapsed < sweepDeadline) {
+            val second = timedOnce(fn)
+            if (second >= 0) math.min(first, second) else first
+          } else first
+        }
+      results += (name -> v)
+      // crash/timeout insurance: cumulative snapshot on stderr
+      System.err.println(jsonLine(results.toSeq))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    println(jsonLine(results.toSeq))
     spark.stop()
   }
 }

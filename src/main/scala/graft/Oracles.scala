@@ -1983,6 +1983,42 @@ object Oracles {
          |SELECT it.d1, it.d2, inter, least(x.n_sh, y.n_sh) AS n_min,
          |  inter * 1000 // least(x.n_sh, y.n_sh) AS containment_permille
          |FROM it JOIN sz x ON it.d1 = x.doc_id JOIN sz y ON it.d2 = y.doc_id
-         |WHERE 4 * inter >= 3 * least(x.n_sh, y.n_sh) ORDER BY d1, d2""".stripMargin
+         |WHERE 4 * inter >= 3 * least(x.n_sh, y.n_sh) ORDER BY d1, d2""".stripMargin,
+    // replays the engine's two-phase watermark rule relationally:
+    // phase 1 = the 48-hour head, which advances the checkpointed
+    // watermark to epoch_ms(max ts) − 72 h; phase 2 = everything
+    // older, where a row is dropped iff its day-window end ≤ that
+    // restored watermark (ms floor — the unit Spark tracks event time
+    // in). n_dropped must equal the engine's numRowsDroppedByWatermark.
+    "q191_late_data_audit" ->
+      """WITH m AS (SELECT max(ts) AS mx, epoch_ms(max(ts)) - 72*3600*1000 AS wm_ms FROM events)
+        |SELECT
+        |  count(*) FILTER (WHERE ts >= mx - INTERVAL 48 HOUR) AS n_on_time,
+        |  count(*) FILTER (WHERE ts < mx - INTERVAL 48 HOUR) AS n_late,
+        |  count(DISTINCT date_trunc('day', ts)) FILTER (WHERE ts < mx - INTERVAL 48 HOUR
+        |    AND epoch_ms(date_trunc('day', ts) + INTERVAL 1 DAY) <= wm_ms) AS n_windows_dropped,
+        |  count(*) FILTER (WHERE ts < mx - INTERVAL 48 HOUR
+        |    AND epoch_ms(date_trunc('day', ts) + INTERVAL 1 DAY) <= wm_ms) AS n_rows_dropped,
+        |  count(*) FILTER (WHERE ts < mx - INTERVAL 48 HOUR
+        |    AND epoch_ms(date_trunc('day', ts) + INTERVAL 1 DAY) > wm_ms) AS n_rows_kept
+        |FROM events, m""".stripMargin,
+    // re-derives the plan from the PHYSICAL files the engine wrote:
+    // read_blob byte lengths == _metadata.file_size, same name-ordered
+    // next-fit fold — proving every file is covered exactly once and
+    // each group's bytes obey the next-fit bound
+    "q192_compaction_plan" ->
+      """WITH f AS (SELECT DISTINCT
+        |    regexp_extract(filename, 'o_orderstatus=([^/]+)', 1) AS o_orderstatus,
+        |    parse_filename(filename) AS file_name,
+        |    octet_length(content) AS file_size
+        |  FROM read_blob('/tmp/graft_compact/orders/*/*.parquet')),
+        |w AS (SELECT o_orderstatus, file_name, file_size,
+        |    sum(file_size) OVER (PARTITION BY o_orderstatus ORDER BY file_name
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - file_size AS bytes_before
+        |  FROM f)
+        |SELECT o_orderstatus, CAST(bytes_before // 65536 AS BIGINT) AS grp,
+        |  count(*) AS n_files, CAST(sum(file_size) AS BIGINT) AS group_bytes,
+        |  min(file_name) AS first_file
+        |FROM w GROUP BY 1, 2 ORDER BY o_orderstatus, grp""".stripMargin
   )
 }

@@ -2193,6 +2193,12 @@ object Queries {
   def streamLeftOuterJoin(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamAgg.leftOuterConversions(s, dir)
 
+  // watermark late-data audit: numRowsDroppedByWatermark surfaced as
+  // an oracled result via a two-phase checkpoint-restart replay — see
+  // [[graft.streaming.StreamAgg.lateDataAudit]]
+  def lateDataAudit(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamAgg.lateDataAudit(s, dir)
+
   // cross-language shared vocabulary: distinct token sets per language
   // (collect_set after a keyed distinct — the heavy lifting), then
   // pairwise overlap via array_intersect over the LANGUAGE-cardinality
@@ -3692,5 +3698,54 @@ object Queries {
         md5(col("content")).as("content_md5")
       )
       .orderBy("file_name")
+  }
+
+  // compaction planner: the operational follow-on to q144's lineage
+  // audit. A fact table written with high task parallelism leaves
+  // dozens of small files per partition directory; the planner reads
+  // ONLY the file inventory (`_metadata.file_name`/`file_size`,
+  // deduplicated — metadata-cardinality, never row-cardinality work
+  // after the scan) and bin-packs each directory's files into
+  // target-size compaction groups via next-fit on a name-ordered
+  // cumulative byte sum: grp = floor(bytes_before / target). That is a
+  // pure keyed window — at 100 TB the planning input is one row per
+  // FILE (millions, not trillions), the window key is the partition
+  // dir (compaction can never merge across hive partitions), and the
+  // resulting (dir, grp) groups feed a rewrite job downstream. Every
+  // file lands in exactly one group; a group exceeds the target only
+  // by less than its last file (the next-fit bound) — both properties
+  // the oracle re-derives by reading the very same physical files'
+  // byte lengths. Fixed path (not Scratch): the DuckDB oracle runs
+  // after this JVM exits and must find the same artifacts.
+  def compactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val base = "/tmp/graft_compact/orders"
+    val target = 64 * 1024L // compaction target bytes per output group
+    t(s, dir, "orders")
+      .repartition(16, col("o_orderkey"))
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("o_orderstatus")
+      .parquet(base)
+    val files = s.read
+      .parquet(base)
+      .select(
+        col("o_orderstatus"),
+        col("_metadata.file_name").as("file_name"),
+        col("_metadata.file_size").as("file_size")
+      )
+      .distinct() // one row per physical file: metadata-cardinality
+    val byDir = Window.partitionBy("o_orderstatus").orderBy("file_name")
+    files
+      .withColumn("bytes_before", sum(col("file_size")).over(byDir) - col("file_size"))
+      // integer div, not double `/`: floor semantics by construction,
+      // immune to any 53-bit mantissa edge at petabyte cumulative sums
+      .withColumn("grp", expr(s"bytes_before div $target"))
+      .groupBy(col("o_orderstatus"), col("grp"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col("file_size")).as("group_bytes"),
+        min(col("file_name")).as("first_file")
+      )
+      .orderBy("o_orderstatus", "grp")
   }
 }

@@ -69,11 +69,8 @@ object Sessionize {
   def run(spark: SparkSession, dir: String, gapMinutes: Int): Dataset[Session] = {
     StateConf.withStatePartitions(spark, 8) {
       import spark.implicits._
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = spark.read.parquet(s"$dir/events.parquet").schema
-      val raw = spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(dir)
+      val raw = graft.sources.Tables.eventsStream(spark, dir)
       val events = raw
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div: see Tables.events
         .select(col("event_id"), col("user_id"), col("ts").cast("timestamp").as("ts"), col("value"))
         .as[Event]
       val sessions = events
