@@ -109,6 +109,46 @@ object Oracles {
        |SELECT qid, nid, sim, rnk FROM rk WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
   }
 
+  /** Exact mirror of [[graft.operators.Similarity.pqTopK]] (q190,
+    * m=16 subspaces × dsub=4, ksub=16, 2 Lloyd iterations, k=3).
+    * Identical arithmetic to the q36 mirror but per subspace: init =
+    * the ksub lowest-id vectors' slices, assignment argmax with
+    * (s DESC, j DESC) ties, 6dp-decimal centroid means; the ADC score
+    * quantizes each per-subspace dot to DECIMAL(25,6) before the
+    * m-term sum, so the total is exact on both engines.
+    */
+  private val annPqSql: String = {
+    val dsub = 4; val m = 16; val ksub = 16; val k = 3
+    def dotD(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, $dsub), i -> $a[CAST(i AS INTEGER)] * $b[CAST(i AS INTEGER)]))"
+    def score(src: String, cent: String) =
+      s"${dotD(s"$src.se", s"$cent.ce")} - list_sum(list_transform($cent.ce, x -> x * x)) / 2.0"
+    def iter(i: Int, prev: String): String =
+      s"""s$i AS (SELECT t.vid, t.sub, t.se, c.j, ${score("t", "c")} AS s FROM vs t JOIN $prev c ON c.sub = t.sub),
+         |a$i AS (SELECT vid, sub, se, j AS cell FROM (SELECT vid, sub, se, j, row_number() OVER (PARTITION BY vid, sub ORDER BY s DESC, j DESC) AS rn FROM s$i) t WHERE rn = 1),
+         |x$i AS (SELECT sub, cell, se, CAST(unnest(generate_series(1, $dsub)) AS INTEGER) AS pos FROM a$i),
+         |m$i AS (SELECT sub, cell, pos, CAST(sum(CAST(${away("se[pos]", 6)} AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS mm FROM x$i GROUP BY sub, cell, pos),
+         |n$i AS (SELECT sub, cell, list(mm ORDER BY pos) AS nce FROM m$i GROUP BY sub, cell),
+         |c$i AS (SELECT p.sub, p.j, COALESCE(n$i.nce, p.ce) AS ce FROM $prev p LEFT JOIN n$i ON n$i.sub = p.sub AND n$i.cell = p.j)""".stripMargin
+    s"""WITH v AS (SELECT vec_id AS vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e, (vec_id < 50) AS is_q FROM embeddings),
+       |subs AS (SELECT CAST(unnest(generate_series(0, ${m - 1})) AS INTEGER) AS sub),
+       |vs AS (SELECT vid, is_q, sub, e[(sub*$dsub+1):(sub*$dsub+$dsub)] AS se FROM v, subs),
+       |low AS (SELECT vid FROM v ORDER BY vid LIMIT $ksub),
+       |c0 AS (SELECT vs.sub, CAST(row_number() OVER (PARTITION BY vs.sub ORDER BY vs.vid) - 1 AS INTEGER) AS j, vs.se AS ce
+       |  FROM vs JOIN low ON vs.vid = low.vid),
+       |${iter(1, "c0")},
+       |${iter(2, "c1")},
+       |sf AS (SELECT t.vid, t.sub, t.se, c.j, ${score("t", "c")} AS s FROM vs t JOIN c2 c ON c.sub = t.sub),
+       |code AS (SELECT vid AS nid, sub, j AS cell FROM (SELECT vid, sub, j, row_number() OVER (PARTITION BY vid, sub ORDER BY s DESC, j DESC) AS rn FROM sf) t WHERE rn = 1),
+       |lut AS (SELECT t.vid AS qid, t.sub, c.j AS cell, CAST(${away(dotD("t.se", "c.ce"), 6)} AS DECIMAL(25,6)) AS d
+       |  FROM vs t JOIN c2 c ON c.sub = t.sub WHERE t.is_q),
+       |adc AS (SELECT l.qid, cd.nid, CAST(sum(l.d) AS DOUBLE) AS sim
+       |  FROM code cd JOIN lut l ON l.sub = cd.sub AND l.cell = cd.cell
+       |  WHERE l.qid <> cd.nid GROUP BY 1, 2),
+       |rk AS (SELECT qid, nid, sim, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INTEGER) AS rnk FROM adc)
+       |SELECT qid, nid, sim, rnk FROM rk WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+  }
+
   /** Shared by q45 (direct CSV read) and q49 (the same frame after a
     * parquet snapshot round-trip — byte-identical values by contract).
     */
@@ -445,6 +485,7 @@ object Oracles {
     },
     "q31_ann_lsh" -> annLshSql,
     "q36_ann_ivf" -> annIvfSql,
+    "q190_ann_pq" -> annPqSql,
     "q38_dim_agg_approx" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(year(l_shipdate) AS INTEGER) AS ship_year,

@@ -347,6 +347,16 @@ object Queries {
       .withColumnRenamed("rank", "rnk")
       .orderBy("qid", "rnk")
 
+  // PQ ANN (16 subspaces × 16-cell codebooks over 4-dim slices,
+  // asymmetric-distance scan): the compressed-corpus rung that
+  // completes the brute→LSH→IVF→PQ ladder — see
+  // [[graft.operators.Similarity.pqTopK]]
+  def annPq(s: SparkSession, dir: String): DataFrame =
+    Similarity
+      .pqTopK(t(s, dir, "embeddings"), col("vec_id"), col("embedding"), col("vec_id") < 50, m = 16, ksub = 16, k = 3, lloydIters = 2)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy("qid", "rnk")
+
   // LSH-bucketed ANN (rows-only oracle; recall checked in tests)
   def annLsh(s: SparkSession, dir: String): DataFrame =
     Similarity

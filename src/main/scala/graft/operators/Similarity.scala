@@ -320,4 +320,149 @@ object Similarity {
     import org.apache.spark.sql.graft.bridge
     bridge.column(graft.plans.NearestCells(bridge.expression(v), centroids, n))
   }
+
+  /** Product-quantization ANN — the fourth rung of the ladder
+    * (brute q29 → hyperplane LSH q31 → IVF q36 → PQ): the corpus is
+    * compressed to `m` small codes per vector (one per `dim/m`-wide
+    * subspace, each quantized by its own `ksub`-cell k-means codebook),
+    * and queries score candidates by ASYMMETRIC distance — the exact
+    * query subvector dotted against the candidate's per-subspace
+    * centroid, summed across subspaces — without ever touching the
+    * original corpus floats.
+    *
+    * Scale shape (the reason PQ exists at 100 TB): the corpus
+    * materializes once as (nid, sub, cell) codes — m small ints per
+    * vector instead of `dim` floats, a 32–64× footprint cut — and the
+    * scoring join is codes ⋈ broadcast(LUT) on the EQUI-key
+    * (sub, cell), where the LUT (n_queries × m × ksub rows: every
+    * query's dot against every centroid of every subspace) is
+    * dimension-sized, never corpus-sized. Map-side partial aggregation
+    * collapses the per-subspace contributions to (qid, nid) partials
+    * before the shuffle, and the bounded [[TopKAggregator]] keeps only
+    * k rows per query thereafter. No cartesian, no theta join, no
+    * corpus-side shuffle of raw embeddings (PlanSpec-asserted).
+    *
+    * Determinism mirrors [[ivfTopK]] exactly, per subspace: codebooks
+    * init from the `ksub` lowest-id vectors' slices, fixed Lloyd
+    * iterations with 6dp-decimal means, assignment ties break
+    * (score desc, cell desc) inside [[graft.plans.NearestCells]], and
+    * the ADC sum quantizes each LUT entry to DECIMAL(25,6) so the
+    * m-term sum is associative — bit-identical on any partitioning and
+    * in the DuckDB oracle (q190), which unrolls the same training.
+    */
+  def pqTopK(
+      vecs: DataFrame,
+      id: Column,
+      emb: Column,
+      isQuery: Column,
+      m: Int,
+      ksub: Int,
+      k: Int,
+      lloydIters: Int = 1
+  ): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    // cached for TRAINING only (the Lloyd collects), like ivfTopK;
+    // unpersisted before the search plan is built
+    val base = vecs.select(id.as("vid"), emb.as("e"), isQuery.as("is_q")).persist()
+    var codebooks: Array[Array[Array[Double]]] = null // m × ksub × dsub
+    var dsub = 0
+    try {
+      // deterministic init: the ksub lowest-id vectors, sliced per subspace
+      val init = base
+        .orderBy("vid")
+        .limit(ksub)
+        .select("e")
+        .collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val dim = init(0).length
+      require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+      dsub = dim / m
+      codebooks = Array.tabulate(m)(sub => init.map(v => v.slice(sub * dsub, (sub + 1) * dsub)))
+
+      def subSlice(sub: Int): Column = slice(col("e"), sub * dsub + 1, dsub)
+
+      (1 to lloydIters).foreach { _ =>
+        // ONE pass over the corpus assigns every subspace (m structs
+        // exploded map-side — plan size O(m), not O(m·ksub))
+        val assigned = base
+          .select(
+            explode(array((0 until m).map { sub =>
+              struct(
+                lit(sub).as("sub"),
+                subSlice(sub).as("se"),
+                element_at(cellsOf(subSlice(sub), codebooks(sub), 1), 1).as("cell")
+              )
+            }: _*)).as("a")
+          )
+          .select(col("a.sub").as("sub"), col("a.se").as("se"), col("a.cell").as("cell"))
+        val means = assigned
+          .select(col("sub"), col("cell"), posexplode(col("se")).as(Seq("pos", "x")))
+          .groupBy("sub", "cell", "pos")
+          .agg(
+            (sum(NumOps.roundAway(col("x").cast("double"), 6).cast("decimal(25,6)")).cast("double") / count(lit(1))).as("mm")
+          )
+          .collect()
+        val bySubCell = means.groupBy(r => (r.getAs[Int]("sub"), r.getAs[Int]("cell")))
+        codebooks = Array.tabulate(m) { sub =>
+          Array.tabulate(ksub) { j =>
+            bySubCell.get((sub, j)) match {
+              case Some(rows) => rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("mm"))
+              case None => codebooks(sub)(j) // empty cell keeps its centroid
+            }
+          }
+        }
+      }
+    } finally {
+      base.unpersist(blocking = true)
+    }
+
+    def subSlice(sub: Int): Column = slice(col("e"), sub * dsub + 1, dsub)
+
+    // corpus → codes: m small ints per vector, the PQ-compressed corpus
+    val codes = base
+      .select(
+        col("vid").as("nid"),
+        explode(array((0 until m).map { sub =>
+          struct(
+            lit(sub).as("sub"),
+            element_at(cellsOf(subSlice(sub), codebooks(sub), 1), 1).as("cell")
+          )
+        }: _*)).as("c")
+      )
+      .select(col("nid"), col("c.sub").as("sub"), col("c.cell").as("cell"))
+
+    // asymmetric-distance LUT: every query × every (sub, cell) centroid
+    // — n_queries·m·ksub rows, dimension-sized, broadcast below
+    val cents = (for { sub <- 0 until m; j <- 0 until ksub } yield (sub, j, codebooks(sub)(j).toSeq))
+      .toDF("sub", "cell", "ce")
+    val lut = base
+      .filter(col("is_q"))
+      .select(
+        col("vid").as("qid"),
+        explode(array((0 until m).map { sub =>
+          struct(lit(sub).as("sub"), subSlice(sub).as("qse"))
+        }: _*)).as("q")
+      )
+      .select(col("qid"), col("q.sub").as("sub"), col("q.qse").as("qse"))
+      .join(broadcast(cents), Seq("sub"))
+      .select(
+        col("qid"),
+        col("sub"),
+        col("cell"),
+        // 6dp decimal per entry: the m-term ADC sum is then exact and
+        // associative — partition-order invariant, oracle-reproducible
+        NumOps.roundAway(VectorOps.dot(col("qse"), col("ce")), 6).cast("decimal(25,6)").as("d")
+      )
+
+    // ADC scan: codes ⋈ broadcast LUT on (sub, cell), then one keyed
+    // aggregation with map-side partials — the whole search is one
+    // corpus scan over the compressed codes
+    val scored = codes
+      .join(broadcast(lut), Seq("sub", "cell"))
+      .filter(col("qid") =!= col("nid"))
+      .groupBy("qid", "nid")
+      .agg(sum(col("d")).cast("double").as("sim"))
+    topKPerQuery(scored, k)
+  }
 }

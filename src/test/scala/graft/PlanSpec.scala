@@ -328,6 +328,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("PQ ANN (q190): ADC scan is codes ⋈ broadcast(LUT) on the (sub, cell) equi-key") {
+    val p = plan(Queries.annPq(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"ADC scoring must ride the (sub, cell) equi-key, never a cross product:\n$p")
+    // the LUT side (queries × m × ksub rows — dimension-sized) must
+    // broadcast; the compressed corpus codes must stream, never shuffle
+    // their raw embeddings to the scoring join. executedPlan.toString
+    // inlines the join keys on the operator line.
+    val ep = Queries.annPq(spark, sfDir).queryExecution.executedPlan.toString
+    assert(
+      ep.linesIterator.exists(l => l.contains("BroadcastHashJoin") && l.contains("sub") && l.contains("cell")),
+      s"LUT must broadcast-hash-join the code stream on (sub, cell):\n$ep"
+    )
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime (skew=true)") {
     // isolated session: aggressive thresholds so the 16k-row hot key
     // trips the same OptimizeSkewedJoin rule that saves a 100 TB join

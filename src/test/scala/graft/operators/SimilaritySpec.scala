@@ -78,6 +78,42 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.3, s"IVF recall too low: $recall")
   }
 
+  test("PQ ANN: k ranked neighbors per query from the compressed codes, recall above chance") {
+    // ADC approximates the raw DOT product (max-inner-product search),
+    // so ground truth is exact dot top-k — not bruteForceTopK's cosine,
+    // which ranks differently when norms vary. Fixture is small: exact
+    // truth computed driver-side.
+    val all = vecs
+      .select($"vec_id", $"embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val exact = (for {
+      (qid, qe) <- all.filter(_._1 < 20)
+      (nid, _) <- all
+        .filter(_._1 != qid)
+        .map { case (nid, ne) => (nid, dot(qe, ne)) }
+        .sortBy { case (nid, d) => (-d, nid) }
+        .take(3)
+    } yield (qid, nid)).toSet
+    val pq = Similarity
+      .pqTopK(vecs, $"vec_id", $"embedding", $"vec_id" < 20, m = 16, ksub = 16, k = 3, lloydIters = 2)
+    val rows = pq.collect()
+    assert(rows.groupBy(_.getAs[Long]("qid")).size === 20)
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq === (1 to sorted.length))
+      val sims = sorted.map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    val got = rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    // 16 subspaces × 16 cells over dim 64 (4-dim sub-quantizers): lossy
+    // by design but far above chance (measured ~0.42 on this fixture)
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall > 0.3, s"PQ recall too low: $recall")
+  }
+
   test("LSH near-dup pairs: subset of brute-force pairs with identical sims") {
     val brute = Similarity
       .nearDupPairs(vecs, $"vec_id", $"embedding", threshold = 0.4)
