@@ -3335,7 +3335,10 @@ object Queries {
   // The per-doc ordering window is keyed by doc (never global), and
   // the df rank joins a vocabulary-sized dimension.
   def setsimPrefixJoin(s: SparkSession, dir: String): DataFrame = {
-    val sh = NearDup.shingleTable(t(s, dir, "documents"), col("doc_id"), col("text"), n = 3)
+    // the shingle table feeds FIVE plan positions (df counts, prefix
+    // ranking, both rerank sides, set sizes): read the shared snapshot
+    // instead of re-running tokenize→explode→distinct five times
+    val sh = graft.operators.CandidateGraph.shingles(s, t(s, dir, "documents"), dir)
     val dfs = sh.groupBy("g").agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy("doc_id")
     val ranked = sh
@@ -3430,7 +3433,10 @@ object Queries {
   def containmentPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val cand = graft.operators.CandidateGraph.pairs(s, docs, dir)
-    val sh = NearDup.shingleTable(docs, col("doc_id"), col("text"), n = 3)
+    // shared snapshot: the rerank references the shingle table three
+    // times (both intersect sides + sizes) — cheap re-reads, no 3×
+    // re-shingle
+    val sh = graft.operators.CandidateGraph.shingles(s, docs, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     cand
       .join(sh.select(col("doc_id").as("d1"), col("g")), Seq("d1"))

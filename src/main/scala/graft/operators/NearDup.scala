@@ -116,8 +116,16 @@ object NearDup {
   /** MinHash signature table: doc_id plus k `sig_i` columns, each the
     * min of h_i over the doc's shingles. One explode + one groupBy.
     */
-  def minhashSignatures(docs: DataFrame, id: Column, text: Column, k: Int = 16, n: Int = 3): DataFrame = {
-    val sh = shingleTable(docs, id, text, n).withColumn("x", TextOps.hash32(col("g")))
+  def minhashSignatures(docs: DataFrame, id: Column, text: Column, k: Int = 16, n: Int = 3): DataFrame =
+    minhashSignaturesFromShingles(shingleTable(docs, id, text, n), k)
+
+  /** [[minhashSignatures]] over an ALREADY-built `(doc_id, g)` shingle
+    * table — the entry point when the shingle table is materialized
+    * once and shared (CandidateGraph); row-identical to the composed
+    * form since the signature depends only on the shingle set.
+    */
+  def minhashSignaturesFromShingles(shingles: DataFrame, k: Int = 16): DataFrame = {
+    val sh = shingles.withColumn("x", TextOps.hash32(col("g")))
     val aggs = minhashParams(k).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(lit(a) * col("x") + lit(b), lit(MinhashPrime))).as(s"sig_$i")
     }
