@@ -595,4 +595,42 @@ class QueriesSpec extends SparkSpec {
     assert(r.agg(sum("n_rows")).head.getLong(0) ===
       graft.sources.Tables.events(spark, sfDir).count())
   }
+
+  test("late-data audit: the split partitions the table and loss accounting closes") {
+    val r = Queries.lateDataAudit(spark, sfDir).head
+    val (onTime, late) = (r.getAs[Long]("n_on_time"), r.getAs[Long]("n_late"))
+    val (wDropped, rDropped, rKept) =
+      (r.getAs[Long]("n_windows_dropped"), r.getAs[Long]("n_rows_dropped"), r.getAs[Long]("n_rows_kept"))
+    assert(onTime + late === graft.sources.Tables.events(spark, sfDir).count())
+    assert(rDropped + rKept === late)
+    // the state operator refuses whole windows; rows lost can only
+    // exceed (or equal) the windows they lived in, and a lost row
+    // implies a refused window
+    assert(wDropped <= rDropped)
+    assert((wDropped > 0) === (rDropped > 0))
+  }
+
+  test("compaction plan: covers every physical file exactly once within the next-fit bound") {
+    val r = Queries.compactionPlan(spark, sfDir).collect()
+    val base = "/tmp/graft_compact/orders"
+    val files = spark.read
+      .parquet(base)
+      .select(col("o_orderstatus"), col("_metadata.file_name").as("f"), col("_metadata.file_size").as("sz"))
+      .distinct()
+      .collect()
+    // exactly-once coverage: per-status file counts in the plan equal
+    // the physical inventory
+    val planned = r.map(row => row.getAs[String]("o_orderstatus") -> row.getAs[Long]("n_files"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val physical = files.map(_.getAs[String]("o_orderstatus"))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(planned === physical)
+    // next-fit bound: a group exceeds the 64 KiB target by less than
+    // one file (= its last file), so group_bytes < target + max file
+    val maxFile = files.map(_.getAs[Long]("sz")).max
+    r.foreach { row =>
+      assert(row.getAs[Long]("group_bytes") < 64 * 1024L + maxFile,
+        s"group ${row.getAs[Long]("grp")} of ${row.getAs[String]("o_orderstatus")} breaks the next-fit bound")
+    }
+  }
 }
