@@ -149,6 +149,66 @@ object Oracles {
        |SELECT qid, nid, sim, rnk FROM rk WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
   }
 
+  /** Exact mirror of [[graft.operators.Similarity.ivfPqTopK]] (q193):
+    * the q36 coarse training (nlist=16, 2 Lloyd iterations over the
+    * full vectors) and the q190 per-subspace codebook training
+    * (m=16 × ksub=16, 2 iterations) unrolled in ONE query; candidates
+    * are probes ⋈ corpus cells on the coarse cell (nprobe=4), scored
+    * by the same decimal-quantized ADC sum restricted to those
+    * candidates.
+    */
+  private val annIvfPqSql: String = {
+    val dim = 64; val nlist = 16; val nprobe = 4
+    val dsub = 4; val m = 16; val ksub = 16; val k = 3
+    def dotFull(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, $dim), i -> $a[CAST(i AS INTEGER)] * $b[CAST(i AS INTEGER)]))"
+    def dotSub(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, $dsub), i -> $a[CAST(i AS INTEGER)] * $b[CAST(i AS INTEGER)]))"
+    def scoreC(src: String, cent: String) =
+      s"${dotFull(s"$src.e", s"$cent.ce")} - list_sum(list_transform($cent.ce, x -> x * x)) / 2.0"
+    def scoreP(src: String, cent: String) =
+      s"${dotSub(s"$src.se", s"$cent.ce")} - list_sum(list_transform($cent.ce, x -> x * x)) / 2.0"
+    def citer(i: Int, prev: String): String =
+      s"""ds$i AS (SELECT t.vid, t.e, c.j, ${scoreC("t", "c")} AS s FROM v t, $prev c),
+         |da$i AS (SELECT vid, e, j AS cell FROM (SELECT vid, e, j, row_number() OVER (PARTITION BY vid ORDER BY s DESC, j DESC) AS rn FROM ds$i) t WHERE rn = 1),
+         |dx$i AS (SELECT cell, e, CAST(unnest(generate_series(1, $dim)) AS INTEGER) AS pos FROM da$i),
+         |dm$i AS (SELECT cell, pos, CAST(sum(CAST(${away("e[pos]", 6)} AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS mm FROM dx$i GROUP BY cell, pos),
+         |dn$i AS (SELECT cell, list(mm ORDER BY pos) AS nce FROM dm$i GROUP BY cell),
+         |cc$i AS (SELECT p.j, COALESCE(dn$i.nce, p.ce) AS ce FROM $prev p LEFT JOIN dn$i ON dn$i.cell = p.j)""".stripMargin
+    def piter(i: Int, prev: String): String =
+      s"""ps$i AS (SELECT t.vid, t.sub, t.se, c.j, ${scoreP("t", "c")} AS s FROM vs t JOIN $prev c ON c.sub = t.sub),
+         |pa$i AS (SELECT vid, sub, se, j AS cell FROM (SELECT vid, sub, se, j, row_number() OVER (PARTITION BY vid, sub ORDER BY s DESC, j DESC) AS rn FROM ps$i) t WHERE rn = 1),
+         |px$i AS (SELECT sub, cell, se, CAST(unnest(generate_series(1, $dsub)) AS INTEGER) AS pos FROM pa$i),
+         |pm$i AS (SELECT sub, cell, pos, CAST(sum(CAST(${away("se[pos]", 6)} AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS mm FROM px$i GROUP BY sub, cell, pos),
+         |pn$i AS (SELECT sub, cell, list(mm ORDER BY pos) AS nce FROM pm$i GROUP BY sub, cell),
+         |pc$i AS (SELECT p.sub, p.j, COALESCE(pn$i.nce, p.ce) AS ce FROM $prev p LEFT JOIN pn$i ON pn$i.sub = p.sub AND pn$i.cell = p.j)""".stripMargin
+    s"""WITH v AS (SELECT vec_id AS vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e, (vec_id < 50) AS is_q FROM embeddings),
+       |subs AS (SELECT CAST(unnest(generate_series(0, ${m - 1})) AS INTEGER) AS sub),
+       |vs AS (SELECT vid, is_q, sub, e[(sub*$dsub+1):(sub*$dsub+$dsub)] AS se FROM v, subs),
+       |cc0 AS (SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS INTEGER) AS j, e AS ce FROM (SELECT vid, e FROM v ORDER BY vid LIMIT $nlist) t),
+       |${citer(1, "cc0")},
+       |${citer(2, "cc1")},
+       |lowp AS (SELECT vid FROM v ORDER BY vid LIMIT $ksub),
+       |pc0 AS (SELECT vs.sub, CAST(row_number() OVER (PARTITION BY vs.sub ORDER BY vs.vid) - 1 AS INTEGER) AS j, vs.se AS ce
+       |  FROM vs JOIN lowp ON vs.vid = lowp.vid),
+       |${piter(1, "pc0")},
+       |${piter(2, "pc1")},
+       |fin AS (SELECT t.vid, t.is_q, t.e, c.j, ${scoreC("t", "c")} AS s FROM v t, cc2 c),
+       |corpcell AS (SELECT vid AS nid, j AS ccell FROM (SELECT vid, j, row_number() OVER (PARTITION BY vid ORDER BY s DESC, j DESC) AS rn FROM fin) t WHERE rn = 1),
+       |probe AS (SELECT vid AS qid, j AS ccell FROM (SELECT vid, j, row_number() OVER (PARTITION BY vid ORDER BY s DESC, j DESC) AS rn FROM fin WHERE is_q) t WHERE rn <= $nprobe),
+       |cand AS (SELECT p.qid, c.nid FROM probe p JOIN corpcell c ON p.ccell = c.ccell AND p.qid <> c.nid),
+       |pfin AS (SELECT t.vid, t.sub, t.se, c.j, ${scoreP("t", "c")} AS s FROM vs t JOIN pc2 c ON c.sub = t.sub),
+       |code AS (SELECT vid AS nid, sub, j AS cell FROM (SELECT vid, sub, j, row_number() OVER (PARTITION BY vid, sub ORDER BY s DESC, j DESC) AS rn FROM pfin) t WHERE rn = 1),
+       |lut AS (SELECT t.vid AS qid, t.sub, c.j AS cell, CAST(${away(dotSub("t.se", "c.ce"), 6)} AS DECIMAL(25,6)) AS d
+       |  FROM vs t JOIN pc2 c ON c.sub = t.sub WHERE t.is_q),
+       |adc AS (SELECT ca.qid, ca.nid, CAST(sum(l.d) AS DOUBLE) AS sim
+       |  FROM cand ca JOIN code cd ON cd.nid = ca.nid
+       |  JOIN lut l ON l.qid = ca.qid AND l.sub = cd.sub AND l.cell = cd.cell
+       |  GROUP BY 1, 2),
+       |rk AS (SELECT qid, nid, sim, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INTEGER) AS rnk FROM adc)
+       |SELECT qid, nid, sim, rnk FROM rk WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+  }
+
   /** Shared by q45 (direct CSV read) and q49 (the same frame after a
     * parquet snapshot round-trip — byte-identical values by contract).
     */
@@ -486,6 +546,7 @@ object Oracles {
     "q31_ann_lsh" -> annLshSql,
     "q36_ann_ivf" -> annIvfSql,
     "q190_ann_pq" -> annPqSql,
+    "q193_ann_ivfpq" -> annIvfPqSql,
     "q38_dim_agg_approx" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(year(l_shipdate) AS INTEGER) AS ship_year,

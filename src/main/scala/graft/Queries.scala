@@ -357,6 +357,19 @@ object Queries {
       .withColumnRenamed("rank", "rnk")
       .orderBy("qid", "rnk")
 
+  // IVF-PQ ANN: coarse cells prune the corpus to nprobe buckets per
+  // query, PQ asymmetric distance scores only those candidates — the
+  // billion-vector production composition of q36 and q190; see
+  // [[graft.operators.Similarity.ivfPqTopK]]
+  def annIvfPq(s: SparkSession, dir: String): DataFrame =
+    Similarity
+      .ivfPqTopK(
+        t(s, dir, "embeddings"), col("vec_id"), col("embedding"), col("vec_id") < 50,
+        nlist = 16, nprobe = 4, m = 16, ksub = 16, k = 3
+      )
+      .withColumnRenamed("rank", "rnk")
+      .orderBy("qid", "rnk")
+
   // LSH-bucketed ANN (rows-only oracle; recall checked in tests)
   def annLsh(s: SparkSession, dir: String): DataFrame =
     Similarity

@@ -465,4 +465,163 @@ object Similarity {
       .agg(sum(col("d")).cast("double").as("sim"))
     topKPerQuery(scored, k)
   }
+
+  /** IVF-PQ — the production composition of the two rungs above and
+    * the top of the ANN ladder (q193): the COARSE quantizer ([[ivfTopK]]'s
+    * cells) prunes the corpus to each query's `nprobe` nearest cells,
+    * and only those candidates are scored, by [[pqTopK]]'s asymmetric
+    * distance over the compressed codes. This is the shape FAISS-style
+    * systems deploy at billion-vector scale, restated relationally:
+    *
+    *   - candidate generation is probes ⋈ corpus-cells on the coarse
+    *     cell id — an equi-join whose output is corpus/nlist·nprobe
+    *     rows per query, never the full corpus;
+    *   - scoring is candidates ⋈ codes on nid, then ⋈ broadcast(LUT)
+    *     on (qid, sub, cell) — the LUT is still dimension-sized
+    *     (n_queries·m·ksub rows), and the original floats are never
+    *     touched after encoding (plain PQ codes, not residuals — the
+    *     IVF-Flat-PQ hybrid — keeping the arithmetic the oracle
+    *     already mirrors for q36 and q190);
+    *   - each (qid, nid) candidate arises exactly once (a corpus
+    *     vector lives in ONE coarse cell), so no dedup shuffle is
+    *     needed before the keyed ADC aggregation.
+    *
+    * Determinism: both trainings are the proven ones — coarse cells
+    * exactly as [[ivfTopK]], per-subspace codebooks exactly as
+    * [[pqTopK]] — and the DuckDB oracle (q193) unrolls both in one
+    * query.
+    */
+  def ivfPqTopK(
+      vecs: DataFrame,
+      id: Column,
+      emb: Column,
+      isQuery: Column,
+      nlist: Int,
+      nprobe: Int,
+      m: Int,
+      ksub: Int,
+      k: Int,
+      lloydIters: Int = 2
+  ): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val base = vecs.select(id.as("vid"), emb.as("e"), isQuery.as("is_q")).persist()
+    var coarse: Array[Array[Double]] = null
+    var codebooks: Array[Array[Array[Double]]] = null
+    var dsub = 0
+    try {
+      val init = base
+        .orderBy("vid")
+        .limit(math.max(nlist, ksub))
+        .select("e")
+        .collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val dim = init(0).length
+      require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+      dsub = dim / m
+
+      // ——— coarse training: identical arithmetic to ivfTopK ———
+      coarse = init.take(nlist)
+      (1 to lloydIters).foreach { _ =>
+        val assigned = base.select(
+          col("vid"),
+          col("e"),
+          element_at(cellsOf(col("e"), coarse, 1), 1).as("cell")
+        )
+        val means = assigned
+          .select(col("cell"), posexplode(col("e")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos")
+          .agg((sum(NumOps.roundAway(col("x").cast("double"), 6).cast("decimal(25,6)")).cast("double") / count(lit(1))).as("mm"))
+          .collect()
+        val byCell = means.groupBy(_.getAs[Int]("cell"))
+        coarse = coarse.zipWithIndex.map { case (old, j) =>
+          byCell.get(j) match {
+            case Some(rows) => rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("mm"))
+            case None => old
+          }
+        }
+      }
+
+      // ——— PQ codebook training: identical arithmetic to pqTopK ———
+      def subSliceT(sub: Int): Column = slice(col("e"), sub * dsub + 1, dsub)
+      codebooks = Array.tabulate(m)(sub => init.take(ksub).map(v => v.slice(sub * dsub, (sub + 1) * dsub)))
+      (1 to lloydIters).foreach { _ =>
+        val assigned = base
+          .select(
+            explode(array((0 until m).map { sub =>
+              struct(
+                lit(sub).as("sub"),
+                subSliceT(sub).as("se"),
+                element_at(cellsOf(subSliceT(sub), codebooks(sub), 1), 1).as("cell")
+              )
+            }: _*)).as("a")
+          )
+          .select(col("a.sub").as("sub"), col("a.se").as("se"), col("a.cell").as("cell"))
+        val means = assigned
+          .select(col("sub"), col("cell"), posexplode(col("se")).as(Seq("pos", "x")))
+          .groupBy("sub", "cell", "pos")
+          .agg((sum(NumOps.roundAway(col("x").cast("double"), 6).cast("decimal(25,6)")).cast("double") / count(lit(1))).as("mm"))
+          .collect()
+        val bySubCell = means.groupBy(r => (r.getAs[Int]("sub"), r.getAs[Int]("cell")))
+        codebooks = Array.tabulate(m) { sub =>
+          Array.tabulate(ksub) { j =>
+            bySubCell.get((sub, j)) match {
+              case Some(rows) => rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("mm"))
+              case None => codebooks(sub)(j)
+            }
+          }
+        }
+      }
+    } finally {
+      base.unpersist(blocking = true)
+    }
+
+    def subSlice(sub: Int): Column = slice(col("e"), sub * dsub + 1, dsub)
+
+    // coarse pruning: one cell per corpus vector, nprobe per query
+    val corpusCells = base.select(col("vid").as("nid"), element_at(cellsOf(col("e"), coarse, 1), 1).as("ccell"))
+    val probes = base
+      .filter(col("is_q"))
+      .select(col("vid").as("qid"), explode(cellsOf(col("e"), coarse, nprobe)).as("ccell"))
+    val cand = probes
+      .join(corpusCells, Seq("ccell"))
+      .filter(col("qid") =!= col("nid"))
+      .select("qid", "nid")
+
+    // PQ compressed corpus + the query LUT (both as in pqTopK)
+    val codes = base
+      .select(
+        col("vid").as("nid"),
+        explode(array((0 until m).map { sub =>
+          struct(lit(sub).as("sub"), element_at(cellsOf(subSlice(sub), codebooks(sub), 1), 1).as("cell"))
+        }: _*)).as("c")
+      )
+      .select(col("nid"), col("c.sub").as("sub"), col("c.cell").as("cell"))
+    val cents = (for { sub <- 0 until m; j <- 0 until ksub } yield (sub, j, codebooks(sub)(j).toSeq))
+      .toDF("sub", "cell", "ce")
+    val lut = base
+      .filter(col("is_q"))
+      .select(
+        col("vid").as("qid"),
+        explode(array((0 until m).map { sub =>
+          struct(lit(sub).as("sub"), subSlice(sub).as("qse"))
+        }: _*)).as("q")
+      )
+      .select(col("qid"), col("q.sub").as("sub"), col("q.qse").as("qse"))
+      .join(broadcast(cents), Seq("sub"))
+      .select(
+        col("qid"),
+        col("sub"),
+        col("cell"),
+        NumOps.roundAway(VectorOps.dot(col("qse"), col("ce")), 6).cast("decimal(25,6)").as("d")
+      )
+
+    // ADC over the PRUNED candidate set only
+    val scored = cand
+      .join(codes, Seq("nid"))
+      .join(broadcast(lut), Seq("qid", "sub", "cell"))
+      .groupBy("qid", "nid")
+      .agg(sum(col("d")).cast("double").as("sim"))
+    topKPerQuery(scored, k)
+  }
 }

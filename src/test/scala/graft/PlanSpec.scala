@@ -343,6 +343,22 @@ class PlanSpec extends SparkSpec {
     )
   }
 
+  test("IVF-PQ ANN (q193): coarse pruning and ADC scoring are equi-joins only; LUT broadcasts") {
+    val df = Queries.annIvfPq(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate pruning and ADC must never cross-product:\n$p")
+    val ep = df.queryExecution.executedPlan.toString
+    assert(
+      ep.linesIterator.exists(l => l.contains("BroadcastHashJoin") && l.contains("sub") && l.contains("cell")),
+      s"the dimension-sized LUT must broadcast into the ADC join:\n$ep"
+    )
+    assert(
+      ep.linesIterator.exists(l => l.contains("Join") && l.contains("ccell")),
+      s"candidates must come from the coarse-cell equi-join:\n$ep"
+    )
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime (skew=true)") {
     // isolated session: aggressive thresholds so the 16k-row hot key
     // trips the same OptimizeSkewedJoin rule that saves a 100 TB join

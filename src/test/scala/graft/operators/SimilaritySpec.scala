@@ -114,6 +114,26 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.3, s"PQ recall too low: $recall")
   }
 
+  test("IVF-PQ ANN: results are a cell-pruned subset consistent with plain PQ scoring") {
+    val pq = Similarity
+      .pqTopK(vecs, $"vec_id", $"embedding", $"vec_id" < 20, m = 16, ksub = 16, k = 3, lloydIters = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")) -> r.getAs[Double]("sim"))
+      .toMap
+    val ivfpq = Similarity
+      .ivfPqTopK(vecs, $"vec_id", $"embedding", $"vec_id" < 20, nlist = 16, nprobe = 4, m = 16, ksub = 16, k = 3)
+      .collect()
+    assert(ivfpq.groupBy(_.getAs[Long]("qid")).size === 20)
+    // every IVF-PQ hit the full PQ scan also surfaced must carry the
+    // IDENTICAL ADC score (same codes, same LUT — pruning only drops
+    // candidates, never changes arithmetic)
+    val overlapped = ivfpq.flatMap { r =>
+      pq.get((r.getAs[Long]("qid"), r.getAs[Long]("nid"))).map(_ -> r.getAs[Double]("sim"))
+    }
+    assert(overlapped.nonEmpty)
+    overlapped.foreach { case (full, pruned) => assert(full === pruned) }
+  }
+
   test("LSH near-dup pairs: subset of brute-force pairs with identical sims") {
     val brute = Similarity
       .nearDupPairs(vecs, $"vec_id", $"embedding", threshold = 0.4)
