@@ -296,21 +296,23 @@ object Queries {
   // as spec-only ground truth (NearDupSpec); never ship it at scale.
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     NearDup
-      .jaccardPairsFiltered(t(s, dir, "documents"), col("doc_id"), col("text"), n = 3, threshold = 0.8, maxDf = 50)
+      .jaccardPairsFilteredFromShingles(
+        graft.operators.CandidateGraph.shingles(s, t(s, dir, "documents"), dir), threshold = 0.8, maxDf = 50)
       .orderBy("d1", "d2")
 
   // the aggressive-cap variant (df > 15 dropped): tighter join bound at
   // maxDf × |shingles|, Jaccard over only the most discriminative sets
   def ngramJaccardFiltered(s: SparkSession, dir: String): DataFrame =
     NearDup
-      .jaccardPairsFiltered(t(s, dir, "documents"), col("doc_id"), col("text"), n = 3, threshold = 0.8, maxDf = 15)
+      .jaccardPairsFilteredFromShingles(
+        graft.operators.CandidateGraph.shingles(s, t(s, dir, "documents"), dir), threshold = 0.8, maxDf = 15)
       .orderBy("d1", "d2")
 
   // MinHash + LSH banding candidate pairs (16 hashes, 4 bands × 4)
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sigs = NearDup.minhashSignatures(t(s, dir, "documents"), col("doc_id"), col("text"), k = 16, n = 3)
-    NearDup.lshCandidatePairs(sigs, bands = 4, rowsPerBand = 4).orderBy("d1", "d2")
-  }
+  def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    // the same banding candidate list the graph-analytics queries
+    // consume: read the shared per-dataset snapshot
+    graft.operators.CandidateGraph.pairs(s, t(s, dir, "documents"), dir).orderBy("d1", "d2")
 
   // 32-bit SimHash per document
   def simhash(s: SparkSession, dir: String): DataFrame =
@@ -1583,8 +1585,11 @@ object Queries {
   def minhashEstimate(s: SparkSession, dir: String): DataFrame = {
     val k = 16
     val docs = t(s, dir, "documents")
-    val sigs = NearDup.minhashSignatures(docs, col("doc_id"), col("text"), k = k, n = 3)
-    val pairs = NearDup.lshCandidatePairs(sigs, bands = 4, rowsPerBand = 4)
+    // signatures from the shared shingle snapshot; candidates from the
+    // shared banding snapshot (identical params) — nothing re-derived
+    val sh0 = graft.operators.CandidateGraph.shingles(s, docs, dir)
+    val sigs = NearDup.minhashSignaturesFromShingles(sh0, k = k)
+    val pairs = graft.operators.CandidateGraph.pairs(s, docs, dir)
     val matches = (0 until k)
       .map(i => when(col(s"a.sig_$i") === col(s"b.sig_$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -1592,7 +1597,7 @@ object Queries {
       .join(sigs.as("a"), col("d1") === col("a.doc_id"))
       .join(sigs.as("b"), col("d2") === col("b.doc_id"))
       .select(col("d1"), col("d2"), matches.as("sig_matches"))
-    val sh = NearDup.shingleTable(docs, col("doc_id"), col("text"), n = 3)
+    val sh = sh0
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = withEst
       .join(sh.as("sa"), col("d1") === col("sa.doc_id"))

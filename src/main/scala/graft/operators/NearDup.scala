@@ -84,8 +84,15 @@ object NearDup {
     * difference between O(Σf²) and O(maxDf·Σf) at 100 TB. (Same idea as
     * CountVectorizer's maxDF / web-dedup's stopword shingles.)
     */
-  def jaccardPairsFiltered(docs: DataFrame, id: Column, text: Column, n: Int = 3, threshold: Double = 0.8, maxDf: Int = 15): DataFrame = {
-    val sh = shingleTable(docs, id, text, n)
+  def jaccardPairsFiltered(docs: DataFrame, id: Column, text: Column, n: Int = 3, threshold: Double = 0.8, maxDf: Int = 15): DataFrame =
+    jaccardPairsFilteredFromShingles(shingleTable(docs, id, text, n), threshold, maxDf)
+
+  /** [[jaccardPairsFiltered]] over an already-built `(doc_id, g)`
+    * shingle table (the CandidateGraph snapshot) — row-identical, one
+    * shingle derivation instead of one per plan reference.
+    */
+  def jaccardPairsFilteredFromShingles(shingles: DataFrame, threshold: Double, maxDf: Int): DataFrame = {
+    val sh = shingles
     // drop via BROADCAST ANTI-join against the STOP set (df > maxDf),
     // not an equi-join against the keep set: stop shingles are the few
     // heavy hitters (≤ Σf/maxDf of them by pigeonhole), so the stop

@@ -44,7 +44,14 @@ class NoLeakSpec extends SparkSpec {
   }
 
   test("LSH banding self-join materializes its shared side once (ReuseExchange)") {
-    val df = Queries.minhashLsh(spark, sfDir)
+    // q27 itself now reads the CandidateGraph snapshot (the stronger
+    // form of "build once"); the ReuseExchange guarantee belongs to
+    // the LIVE banding operator that builds that snapshot, so assert
+    // it on the operator directly
+    val docs = graft.sources.Tables.parquet(spark, sfDir, "documents")
+    val sigs = graft.operators.NearDup
+      .minhashSignatures(docs, org.apache.spark.sql.functions.col("doc_id"), org.apache.spark.sql.functions.col("text"), k = 16, n = 3)
+    val df = graft.operators.NearDup.lshCandidatePairs(sigs, bands = 4, rowsPerBand = 4)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("ReusedExchange"), s"banding sides must share one shuffle:\n$p")
