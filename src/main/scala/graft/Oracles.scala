@@ -2108,6 +2108,25 @@ object Oracles {
     // read_blob byte lengths == _metadata.file_size, same name-ordered
     // next-fit fold — proving every file is covered exactly once and
     // each group's bytes obey the next-fit bound
+    // verifies the rewrite from the REWRITTEN files themselves:
+    // read_parquet over the compacted hive layout recounts rows, key
+    // checksums, groups, and physical files — the engine's audit row
+    // must match what is actually on disk
+    "q194_compaction_execute" ->
+      """WITH c AS (SELECT o_orderstatus, grp, o_orderkey, filename
+        |  FROM read_parquet('/tmp/graft_compact_exec/compacted/*/*/*.parquet',
+        |                    hive_partitioning=true, filename=true)),
+        |s AS (SELECT o_orderstatus, count(*) AS src_rows,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS src_sum FROM orders GROUP BY 1),
+        |a AS (SELECT o_orderstatus, count(DISTINCT grp) AS n_groups,
+        |    count(DISTINCT CAST(grp AS VARCHAR) || '/' || filename) AS n_files,
+        |    count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |  FROM c GROUP BY 1)
+        |SELECT a.o_orderstatus, CAST(n_groups AS BIGINT) AS n_groups,
+        |  CAST(n_files = n_groups AS INTEGER) AS one_file_per_group,
+        |  n_rows,
+        |  CAST(n_rows = src_rows AND key_sum = src_sum AS INTEGER) AS lossless
+        |FROM a JOIN s USING (o_orderstatus) ORDER BY o_orderstatus""".stripMargin,
     "q192_compaction_plan" ->
       """WITH f AS (SELECT DISTINCT
         |    regexp_extract(filename, 'o_orderstatus=([^/]+)', 1) AS o_orderstatus,

@@ -3751,8 +3751,21 @@ object Queries {
   // the oracle re-derives by reading the very same physical files'
   // byte lengths. Fixed path (not Scratch): the DuckDB oracle runs
   // after this JVM exits and must find the same artifacts.
-  def compactionPlan(s: SparkSession, dir: String): DataFrame = {
-    val base = "/tmp/graft_compact/orders"
+  def compactionPlan(s: SparkSession, dir: String): DataFrame =
+    compactionGroups(s, dir, "/tmp/graft_compact/orders")
+      .groupBy(col("o_orderstatus"), col("grp"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col("file_size")).as("group_bytes"),
+        min(col("file_name")).as("first_file")
+      )
+      .orderBy("o_orderstatus", "grp")
+
+  /** Shared by the planner (q192) and the executor (q194): writes the
+    * small-file layout for `orders` under `base` and returns one row
+    * per physical file with its next-fit compaction group.
+    */
+  private def compactionGroups(s: SparkSession, dir: String, base: String): DataFrame = {
     val target = 64 * 1024L // compaction target bytes per output group
     t(s, dir, "orders")
       .repartition(16, col("o_orderkey"))
@@ -3774,12 +3787,63 @@ object Queries {
       // integer div, not double `/`: floor semantics by construction,
       // immune to any 53-bit mantissa edge at petabyte cumulative sums
       .withColumn("grp", expr(s"bytes_before div $target"))
-      .groupBy(col("o_orderstatus"), col("grp"))
-      .agg(
-        count(lit(1)).as("n_files"),
-        sum(col("file_size")).as("group_bytes"),
-        min(col("file_name")).as("first_file")
+  }
+
+  // compaction EXECUTION: the rewrite job q192's plan feeds, plus the
+  // fidelity audit that makes it safe to swap in. The row stream joins
+  // the (file → group) plan on its `_metadata` provenance (the plan is
+  // metadata-cardinality — always broadcastable), repartitions on the
+  // GROUP key — hash co-location puts every group's rows in exactly
+  // one task, so the partitioned write emits exactly ONE file per
+  // group directory — and writes the compacted layout. The audit then
+  // proves the swap lossless from the REWRITTEN files alone: per
+  // partition dir, row count, key checksum (sum of orderkeys — exact,
+  // associative), and one output file per planned group. At 100 TB
+  // this is the nightly compactor: plan from metadata, rewrite only
+  // small-file dirs, verify checksums before the atomic swap. Fixed
+  // path (not Scratch): the oracle re-plans from the same input files
+  // after this JVM exits.
+  def compactionExecute(s: SparkSession, dir: String): DataFrame = {
+    val base = "/tmp/graft_compact_exec/orders"
+    val out = "/tmp/graft_compact_exec/compacted"
+    val plan = compactionGroups(s, dir, base).select("o_orderstatus", "file_name", "grp")
+    s.read
+      .parquet(base)
+      .withColumn("file_name", col("_metadata.file_name"))
+      .join(broadcast(plan), Seq("o_orderstatus", "file_name"))
+      .drop("file_name")
+      .repartition(col("o_orderstatus"), col("grp"))
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("o_orderstatus", "grp")
+      .parquet(out)
+    val source = t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("src_rows"), sum(col("o_orderkey")).as("src_sum"))
+    s.read
+      .parquet(out)
+      .select(
+        col("o_orderstatus"),
+        col("grp"),
+        col("o_orderkey"),
+        col("_metadata.file_name").as("f")
       )
-      .orderBy("o_orderstatus", "grp")
+      .groupBy("o_orderstatus")
+      .agg(
+        countDistinct(col("grp")).as("n_groups"),
+        countDistinct(col("grp"), col("f")).as("n_files"),
+        count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("key_sum")
+      )
+      .join(broadcast(source), Seq("o_orderstatus"))
+      .select(
+        col("o_orderstatus"),
+        col("n_groups"),
+        // one physical file per planned group — the point of the rewrite
+        (col("n_files") === col("n_groups")).cast("int").as("one_file_per_group"),
+        col("n_rows"),
+        (col("n_rows") === col("src_rows") && col("key_sum") === col("src_sum")).cast("int").as("lossless")
+      )
+      .orderBy("o_orderstatus")
   }
 }
