@@ -2108,6 +2108,24 @@ object Oracles {
     // read_blob byte lengths == _metadata.file_size, same name-ordered
     // next-fit fold — proving every file is covered exactly once and
     // each group's bytes obey the next-fit bound
+    // identical winnowing: min-md5 per 50-window of char 8-grams,
+    // distinct prints, df-cap, pair join — md5-substring parity is the
+    // q24 contract, window frames are spelled identically
+    "q195_winnowed_overlap" ->
+      """WITH idx AS (SELECT doc_id, CAST(unnest(generate_series(1, greatest(length(text) - 7, 1))) AS INTEGER) AS i, text FROM documents),
+        |g AS (SELECT doc_id, i, md5(substr(text, i, 8)) AS h, count(*) OVER (PARTITION BY doc_id) AS cnt FROM idx),
+        |wmin AS (SELECT doc_id, i, cnt, min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 49 FOLLOWING) AS fp FROM g),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE i + 49 <= cnt
+        |  UNION SELECT doc_id, min(h) AS fp FROM g WHERE cnt < 50 GROUP BY doc_id),
+        |stop AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) > 20),
+        |kept AS (SELECT doc_id, fp FROM fps WHERE fp NOT IN (SELECT fp FROM stop)),
+        |sz AS (SELECT doc_id, count(*) AS n_fp FROM kept GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+        |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT pr.d1, pr.d2, n_shared,
+        |  n_shared * 1000 // least(x.n_fp, y.n_fp) AS containment_permille
+        |FROM pr JOIN sz x ON pr.d1 = x.doc_id JOIN sz y ON pr.d2 = y.doc_id
+        |WHERE n_shared >= 5 ORDER BY d1, d2""".stripMargin,
     // verifies the rewrite from the REWRITTEN files themselves:
     // read_parquet over the compacted hive layout recounts rows, key
     // checksums, groups, and physical files — the engine's audit row

@@ -3789,6 +3789,25 @@ object Queries {
       .withColumn("grp", expr(s"bytes_before div $target"))
   }
 
+  // winnowed-fingerprint copy detection: the MOSS/winnowing rung of
+  // the dedup ladder, with the guarantee the other rungs lack — ANY
+  // shared substring of at least w+k−1 (= 57) characters shares at
+  // least one selected fingerprint, by the winnowing theorem — so
+  // long-verbatim overlap (boilerplate, quotes, copies) is detected
+  // with certain recall, not probabilistic recall. Per doc: hash every
+  // char 8-gram, take the min per 50-wide sliding window (a KEYED
+  // window — each doc's selection is independent, embarrassingly
+  // parallel at any corpus size), keep the distinct ~2n/w selected
+  // prints. Pairs come from a df-capped fingerprint equi-join (the
+  // q26/q42 stop-shingle guard: a print in f docs costs f² rows, so
+  // the broadcast anti-join caps f) — never a doc×doc product. The
+  // shared-print count plus containment vs the smaller print set is
+  // the audit a training-data pipeline acts on.
+  def winnowedOverlapPairs(s: SparkSession, dir: String): DataFrame =
+    NearDup
+      .winnowedOverlapPairs(t(s, dir, "documents"), col("doc_id"), col("text"), k = 8, w = 50, maxDf = 20, minShared = 5)
+      .orderBy("d1", "d2")
+
   // compaction EXECUTION: the rewrite job q192's plan feeds, plus the
   // fidelity audit that makes it safe to swap in. The row stream joins
   // the (file → group) plan on its `_metadata` provenance (the plan is

@@ -359,6 +359,17 @@ class PlanSpec extends SparkSpec {
     )
   }
 
+  test("winnowing (q195): doc-keyed selection window; pairs via df-capped equi-join only") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val df = Queries.winnowedOverlapPairs(spark, sfDir)
+    val windows = df.queryExecution.optimizedPlan.collect { case w: logical.Window => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "fingerprint selection must be per-document, never a global window")
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"copy candidates must come from the fingerprint equi-join:\n$p")
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime (skew=true)") {
     // isolated session: aggressive thresholds so the 16k-row hot key
     // trips the same OptimizeSkewedJoin rule that saves a 100 TB join

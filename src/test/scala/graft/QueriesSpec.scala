@@ -610,6 +610,32 @@ class QueriesSpec extends SparkSpec {
     assert((wDropped > 0) === (rDropped > 0))
   }
 
+  test("winnowing: a shared >= w+k-1 substring is always detected; disjoint docs never pair") {
+    import spark.implicits._
+    // deterministic synthetic texts: docs 1 and 2 share a 200-char
+    // verbatim block (well past the w+k-1 = 57 guarantee bound) with
+    // different unique tails; docs 3 and 4 are entirely disjoint
+    def blob(seed: Int, n: Int): String =
+      (0 until n)
+        .map(i => ('a' + math.floorMod(scala.util.hashing.MurmurHash3.stringHash(s"$seed:$i"), 26)).toChar)
+        .mkString
+    val shared = blob(7, 200)
+    val docs = Seq(
+      (1L, shared + blob(1, 120)),
+      (2L, blob(2, 120) + shared),
+      (3L, blob(3, 300)),
+      (4L, blob(4, 300))
+    ).toDF("doc_id", "text")
+    val pairs = graft.operators.NearDup
+      .winnowedOverlapPairs(docs, col("doc_id"), col("text"), k = 8, w = 50, maxDf = 20, minShared = 1)
+      .collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")))
+      .toSet
+    assert(pairs.contains((1L, 2L)), s"the winnowing guarantee missed the shared block: $pairs")
+    assert(!pairs.exists { case (a, b) => Set(a, b).intersect(Set(3L, 4L)).nonEmpty && Set(a, b) != Set(1L, 2L) },
+      s"disjoint docs must not pair: $pairs")
+  }
+
   test("compaction plan: covers every physical file exactly once within the next-fit bound") {
     val r = Queries.compactionPlan(spark, sfDir).collect()
     val base = "/tmp/graft_compact/orders"
