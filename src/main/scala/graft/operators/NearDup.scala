@@ -269,14 +269,16 @@ object NearDup {
       .withColumn("premin", min(col("h")).over(byBlockAsc))
       .withColumn("sufmin", min(col("h")).over(byBlockDesc))
       .withColumn("endmin", lead(col("premin"), w - 1).over(byDoc))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("doc_id")))
     val full = annotated
       .filter(col("endmin").isNotNull)
       .select(col("doc_id"), least(col("sufmin"), col("endmin")).as("fp"))
-    val short = annotated
-      .filter(col("cnt") < w)
+    // short docs via ONE keyed aggregation of the raw grams — no
+    // per-row count window on the hot path
+    val short = grams
       .groupBy("doc_id")
-      .agg(min(col("h")).as("fp"))
+      .agg(min(col("h")).as("fp"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") < w)
+      .select("doc_id", "fp")
     full.unionByName(short).distinct()
   }
 
