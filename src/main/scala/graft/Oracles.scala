@@ -2158,6 +2158,44 @@ object Oracles {
         |SELECT o_orderstatus, CAST(bytes_before // 65536 AS BIGINT) AS grp,
         |  count(*) AS n_files, CAST(sum(file_size) AS BIGINT) AS group_bytes,
         |  min(file_name) AS first_file
-        |FROM w GROUP BY 1, 2 ORDER BY o_orderstatus, grp""".stripMargin
+        |FROM w GROUP BY 1, 2 ORDER BY o_orderstatus, grp""".stripMargin,
+    // same five-stage fold: q92's quality predicates verbatim, md5
+    // keeper window over stage-3 survivors, the q27 banding candidates
+    // confirmed by exact shingle Jaccard at the integer-crossed 0.5
+    // threshold — drop rule is one-pass greedy on stage-4 survivorship
+    "q196_curation_funnel" ->
+      raw"""WITH $minhashCandCtes,
+         |qf AS (SELECT doc_id, text, lang, regexp_split_to_array(trim(text), '\s+') AS qws,
+         |    CAST(len(regexp_replace(trim(text), '\s+', '', 'g')) AS INTEGER) AS sum_len
+         |  FROM documents),
+         |fl AS (SELECT doc_id, text,
+         |    (lang IN ('en', 'es', 'de', 'fr')) AS ok_lang,
+         |    ((lang IN ('en', 'es', 'de', 'fr'))
+         |      AND len(qws) BETWEEN 30 AND 600
+         |      AND sum_len >= len(qws) * 3 AND sum_len <= len(qws) * 6
+         |      AND len(list_filter(qws, x -> list_contains(['the','a','and','is','of'], x))) * 50 >= len(qws)
+         |      AND len(list_distinct(qws)) * 5 >= len(qws)) AS ok_q
+         |  FROM qf),
+         |s4 AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |  FROM fl WHERE ok_q) WHERE rn = 1),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |conf AS (SELECT c.d1, c.d2, count(*) AS inter FROM cand c
+         |    JOIN s4 k1 ON k1.doc_id = c.d1 JOIN s4 k2 ON k2.doc_id = c.d2
+         |    JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.g = a.g
+         |  GROUP BY 1, 2),
+         |dr AS (SELECT DISTINCT conf.d2 FROM conf JOIN sz x ON conf.d1 = x.doc_id JOIN sz y ON conf.d2 = y.doc_id
+         |  WHERE inter * 2 >= x.n_sh + y.n_sh - inter),
+         |tot AS (SELECT count(*) AS n1,
+         |    CAST(sum(CASE WHEN ok_lang THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |    CAST(sum(CASE WHEN ok_q THEN 1 ELSE 0 END) AS BIGINT) AS n3 FROM fl),
+         |k4 AS (SELECT count(*) AS c FROM s4),
+         |k5 AS (SELECT count(*) AS c FROM dr)
+         |SELECT stage_id, stage, n_docs FROM (
+         |  SELECT 1 AS stage_id, 'ingest' AS stage, n1 AS n_docs FROM tot
+         |  UNION ALL SELECT 2, 'language', n2 FROM tot
+         |  UNION ALL SELECT 3, 'quality', n3 FROM tot
+         |  UNION ALL SELECT 4, 'exact_dedup', (SELECT c FROM k4)
+         |  UNION ALL SELECT 5, 'near_dedup', (SELECT c FROM k4) - (SELECT c FROM k5)
+         |) ORDER BY stage_id""".stripMargin
   )
 }

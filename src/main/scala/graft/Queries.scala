@@ -3865,4 +3865,80 @@ object Queries {
       )
       .orderBy("o_orderstatus")
   }
+
+  // corpus curation funnel: the end-to-end shape of an LLM training-data
+  // pipeline — ingest → language allowlist → quality rules (q92's four
+  // predicates) → exact dedup (min-id per content digest) → near-dedup
+  // (LSH candidates confirmed by exact shingle Jaccard ≥ 0.5) — reported
+  // as one row per stage with the surviving doc count, the first table a
+  // curation run prints. Composition, not new machinery: the per-doc
+  // flags come from ONE projection pass (stages 1–3 are three sums of
+  // that pass), the digest keeper is a keyed window over stage-3
+  // survivors only, and the near-dup rung reuses the shared
+  // CandidateGraph banding + shingle snapshots — the funnel adds zero
+  // shuffles beyond what its rungs already pay. The drop rule is the
+  // standard one-pass greedy (drop d2 of any confirmed pair whose d1
+  // also survived exact dedup): deterministic, non-iterative, and
+  // exactly what the oracle re-derives. At 100 TB each stage's
+  // survivor set is what the next stage scans, so the expensive rungs
+  // (banding, confirm join) run on the already-shrunk corpus; the
+  // integer cross-multiplied threshold (2·inter ≥ n1+n2−inter) keeps
+  // the confirm exact with no float compare.
+  def curationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val ws = TextOps.tokens(col("text"))
+    val nWords = size(ws)
+    val sumLen = length(regexp_replace(trim(col("text")), "\\s+", ""))
+    val nStop = size(filter(ws, w => w.isInCollection(Seq("the", "a", "and", "is", "of"))))
+    val nDistinct = size(array_distinct(ws))
+    val qPass = nWords >= 30 && nWords <= 600 &&
+      sumLen >= nWords * 3 && sumLen <= nWords * 6 &&
+      nStop * 50 >= nWords && nDistinct * 5 >= nWords
+    val langPass = col("lang").isin("en", "es", "de", "fr")
+    val flagged = docs.select(
+      col("doc_id"),
+      col("text"),
+      langPass.as("ok_lang"),
+      (langPass && qPass).as("ok_q")
+    )
+    val exactKeep = flagged
+      .filter(col("ok_q"))
+      .withColumn("rn", row_number().over(Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select("doc_id")
+    val cand = graft.operators.CandidateGraph.pairs(s, docs, dir)
+    val sh = graft.operators.CandidateGraph.shingles(s, docs, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val dropped = cand
+      .join(exactKeep.select(col("doc_id").as("d1")), Seq("d1"))
+      .join(exactKeep.select(col("doc_id").as("d2")), Seq("d2"))
+      .join(sh.select(col("doc_id").as("d1"), col("g")), Seq("d1"))
+      .join(sh.select(col("doc_id").as("d2"), col("g")), Seq("d2", "g"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2")), Seq("d2"))
+      .filter(col("inter") * 2 >= col("n1") + col("n2") - col("inter"))
+      .select(col("d2").as("doc_id"))
+      .distinct()
+    val base = flagged.agg(
+      count(lit(1)).as("n_ingest"),
+      sum(col("ok_lang").cast("long")).as("n_lang"),
+      sum(col("ok_q").cast("long")).as("n_quality")
+    )
+    // one-row frames throughout: every crossJoin broadcasts a scalar
+    base
+      .crossJoin(broadcast(exactKeep.agg(count(lit(1)).as("n_exact"))))
+      .crossJoin(broadcast(dropped.agg(count(lit(1)).as("n_dropped"))))
+      .selectExpr(
+        """stack(5,
+          |  1, 'ingest',      n_ingest,
+          |  2, 'language',    n_lang,
+          |  3, 'quality',     n_quality,
+          |  4, 'exact_dedup', n_exact,
+          |  5, 'near_dedup',  n_exact - n_dropped
+          |) AS (stage_id, stage, n_docs)""".stripMargin
+      )
+      .orderBy("stage_id")
+  }
 }
