@@ -109,6 +109,46 @@ object Oracles {
        |SELECT qid, nid, sim, rnk FROM rk WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
   }
 
+  /** Exact mirror of [[graft.operators.Similarity.semanticDedupCells]]
+    * (q197): the q36 coarse training unrolled verbatim (same init,
+    * ties, 6dp-decimal means), then cosine pairs WITHIN each final
+    * cell at 6dp, greedy larger-id drop at threshold 0.4 (the q51
+    * fixture threshold), per-cell accounting.
+    */
+  private val semanticDedupSql: String = {
+    val dim = 64; val nlist = 16; val tau = "0.4"
+    def dotD(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, $dim), i -> $a[CAST(i AS INTEGER)] * $b[CAST(i AS INTEGER)]))"
+    def score(src: String, cent: String) =
+      s"${dotD(s"$src.e", s"$cent.ce")} - list_sum(list_transform($cent.ce, x -> x * x)) / 2.0"
+    def iter(i: Int, prevC: String): String =
+      s"""s$i AS (SELECT v.vid, v.e, c.j, ${score("v", "c")} AS s FROM v, $prevC c),
+         |a$i AS (SELECT vid, e, j AS cell FROM (SELECT vid, e, j, row_number() OVER (PARTITION BY vid ORDER BY s DESC, j DESC) AS rn FROM s$i) t WHERE rn = 1),
+         |x$i AS (SELECT cell, e, CAST(unnest(generate_series(1, $dim)) AS INTEGER) AS pos FROM a$i),
+         |m$i AS (SELECT cell, pos, CAST(sum(CAST(${away("e[pos]", 6)} AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS m FROM x$i GROUP BY cell, pos),
+         |n$i AS (SELECT cell, list(m ORDER BY pos) AS nce FROM m$i GROUP BY cell),
+         |c$i AS (SELECT $prevC.j, COALESCE(n$i.nce, $prevC.ce) AS ce FROM $prevC LEFT JOIN n$i ON n$i.cell = $prevC.j)""".stripMargin
+    s"""WITH v AS (SELECT vec_id AS vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS INTEGER) AS j, e AS ce FROM (SELECT vid, e FROM v ORDER BY vid LIMIT $nlist) t),
+       |${iter(1, "c0")},
+       |${iter(2, "c1")},
+       |sf AS (SELECT v.vid, v.e, c.j, ${score("v", "c")} AS s FROM v, c2 c),
+       |corpus AS (SELECT vid, e, j AS cell FROM (SELECT vid, e, j, row_number() OVER (PARTITION BY vid ORDER BY s DESC, j DESC) AS rn FROM sf) t WHERE rn = 1),
+       |p AS (SELECT a.cell, a.vid AS v1, b.vid AS v2,
+       |    ${away(s"${dotD("a.e", "b.e")} / sqrt(${dotD("a.e", "a.e")} * ${dotD("b.e", "b.e")})", 6)} AS sim
+       |  FROM corpus a JOIN corpus b ON a.cell = b.cell AND a.vid < b.vid),
+       |dp AS (SELECT cell, v1, v2 FROM p WHERE sim >= $tau),
+       |pc AS (SELECT cell, count(*) AS n_vecs FROM corpus GROUP BY cell),
+       |ps AS (SELECT cell, count(*) AS n_dup_pairs FROM dp GROUP BY cell),
+       |ds AS (SELECT cell, count(DISTINCT v2) AS n_dropped FROM dp GROUP BY cell)
+       |SELECT pc.cell, pc.n_vecs,
+       |  COALESCE(ps.n_dup_pairs, CAST(0 AS BIGINT)) AS n_dup_pairs,
+       |  COALESCE(ds.n_dropped, CAST(0 AS BIGINT)) AS n_dropped,
+       |  pc.n_vecs - COALESCE(ds.n_dropped, CAST(0 AS BIGINT)) AS n_kept
+       |FROM pc LEFT JOIN ps ON ps.cell = pc.cell LEFT JOIN ds ON ds.cell = pc.cell
+       |ORDER BY pc.cell""".stripMargin
+  }
+
   /** Exact mirror of [[graft.operators.Similarity.pqTopK]] (q190,
     * m=16 subspaces × dsub=4, ksub=16, 2 Lloyd iterations, k=3).
     * Identical arithmetic to the q36 mirror but per subspace: init =
@@ -547,6 +587,7 @@ object Oracles {
     "q36_ann_ivf" -> annIvfSql,
     "q190_ann_pq" -> annPqSql,
     "q193_ann_ivfpq" -> annIvfPqSql,
+    "q197_semantic_dedup" -> semanticDedupSql,
     "q38_dim_agg_approx" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(year(l_shipdate) AS INTEGER) AS ship_year,

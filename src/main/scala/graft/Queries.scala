@@ -3941,4 +3941,18 @@ object Queries {
       )
       .orderBy("stage_id")
   }
+
+  // SemDeDup rung of the embedding ladder: the LSH rung (q51) catches
+  // near-identical vectors; this one buckets by the SAME deterministic
+  // coarse quantizer the IVF rungs train (q36/q193) and scores cosine
+  // only within a cell — semantic redundancy, keyed candidates, never
+  // a corpus cross product. Threshold 0.4 is the q51 fixture value.
+  def semanticDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedupCells(
+      t(s, dir, "embeddings"),
+      col("vec_id"),
+      col("embedding"),
+      nlist = 16,
+      threshold = 0.4
+    )
 }

@@ -256,34 +256,10 @@ object Similarity {
     def nearestCell(v: Column): Column =
       element_at(cellsOf(v, centroids, 1), 1)
 
-    // Lloyd refinement: reassign, recompute cell means. Means quantize
-    // elements to 6dp (far below embedding noise) and sum as decimal so
-    // the result is partition-order invariant and oracle-reproducible.
     // try/finally: a failed init or training collect must not leak the
     // cache (the finally is the ONLY unpersist path)
     try {
-      // deterministic init: the nlist lowest-id vectors
-      centroids = base
-        .orderBy("vid")
-        .limit(nlist)
-        .select("e")
-        .collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-      (1 to lloydIters).foreach { _ =>
-        val assigned = base.select(col("vid"), col("e"), nearestCell(col("e")).as("cell"))
-        val means = assigned
-          .select(col("cell"), posexplode(col("e")).as(Seq("pos", "x")))
-          .groupBy("cell", "pos")
-          .agg((sum(NumOps.roundAway(col("x").cast("double"), 6).cast("decimal(25,6)")).cast("double") / count(lit(1))).as("m"))
-          .collect()
-        val byCell = means.groupBy(_.getAs[Int]("cell"))
-        centroids = centroids.zipWithIndex.map { case (old, j) =>
-          byCell.get(j) match {
-            case Some(rows) => rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m"))
-            case None => old // empty cell keeps its centroid
-          }
-        }
-      }
+      centroids = trainCentroids(base, nlist, lloydIters)
     } finally {
       // training done (or failed) — drop the cache before building the
       // search plan: the corpus/probe branches below re-read the
@@ -307,6 +283,103 @@ object Similarity {
       .select(col("qid"), col("nid"), NumOps.roundAway(VectorOps.dot(col("qe"), col("ne")) / sqrt(col("qn") * col("nn")), 6).as("sim"))
       .distinct() // a neighbor can surface via several probed cells
     topKPerQuery(scored, k)
+  }
+
+  /** Deterministic coarse k-means (shared by [[ivfTopK]], [[ivfPqTopK]]
+    * and [[semanticDedupCells]]): init = the `nlist` lowest-id vectors,
+    * `lloydIters` fixed Lloyd passes, no RNG. Means quantize elements
+    * to 6dp and sum as decimal — exact, associative, partition-order
+    * invariant — so every engine (and the DuckDB oracle's unrolled
+    * iterations) lands on bit-identical centroids. Expects `base` to
+    * carry `vid` / `e` columns and be persisted by the caller (each
+    * pass collect()s against it).
+    */
+  private[graft] def trainCentroids(base: DataFrame, nlist: Int, lloydIters: Int): Array[Array[Double]] = {
+    // deterministic init: the nlist lowest-id vectors
+    var centroids: Array[Array[Double]] = base
+      .orderBy("vid")
+      .limit(nlist)
+      .select("e")
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    (1 to lloydIters).foreach { _ =>
+      val assigned = base.select(col("vid"), col("e"), element_at(cellsOf(col("e"), centroids, 1), 1).as("cell"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("e")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg((sum(NumOps.roundAway(col("x").cast("double"), 6).cast("decimal(25,6)")).cast("double") / count(lit(1))).as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getAs[Int]("cell"))
+      centroids = centroids.zipWithIndex.map { case (old, j) =>
+        byCell.get(j) match {
+          case Some(rows) => rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m"))
+          case None => old // empty cell keeps its centroid
+        }
+      }
+    }
+    centroids
+  }
+
+  /** SemDeDup-shaped semantic dedup: bucket the corpus by the SAME
+    * deterministic coarse quantizer the IVF rungs train, score cosine
+    * only WITHIN a cell, and greedily drop the larger id of any pair
+    * at/above `threshold`. Returns one row per occupied cell with the
+    * dedup accounting (members, confirmed pairs, dropped, kept).
+    *
+    * This is the embedding twin of the MinHash ladder: LSH buckets
+    * (q51) catch near-identical vectors; k-means cells catch
+    * SEMANTIC redundancy — paraphrases that share meaning, not bytes.
+    * At 100 TB the cell assignment is one map pass against broadcast
+    * centroids (train on a sample), the pair join is keyed on the cell
+    * — never a corpus cross product — and cell population is bounded
+    * by the nlist choice, exactly how production SemDeDup shards.
+    */
+  def semanticDedupCells(
+      vecs: DataFrame,
+      id: Column,
+      emb: Column,
+      nlist: Int,
+      threshold: Double,
+      lloydIters: Int = 2
+  ): DataFrame = {
+    val base = vecs.select(id.as("vid"), emb.as("e")).persist()
+    val centroids =
+      try trainCentroids(base, nlist, lloydIters)
+      finally base.unpersist(blocking = true)
+    val assigned = base.select(
+      col("vid"),
+      col("e"),
+      VectorOps.normSq(col("e")).as("nn"),
+      element_at(cellsOf(col("e"), centroids, 1), 1).as("cell")
+    )
+    val dupPairs = assigned
+      .as("a")
+      .join(assigned.as("b"), col("a.cell") === col("b.cell") && col("a.vid") < col("b.vid"))
+      .select(
+        col("a.cell").as("cell"),
+        col("a.vid").as("v1"),
+        col("b.vid").as("v2"),
+        NumOps.roundAway(VectorOps.dot(col("a.e"), col("b.e")) / sqrt(col("a.nn") * col("b.nn")), 6).as("sim")
+      )
+      .filter(col("sim") >= threshold)
+    val perCell = assigned.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    val pairStats = dupPairs.groupBy("cell").agg(count(lit(1)).as("n_dup_pairs"))
+    val dropStats = dupPairs
+      .select(col("cell"), col("v2"))
+      .distinct()
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_dropped"))
+    perCell
+      .join(pairStats, Seq("cell"), "left")
+      .join(dropStats, Seq("cell"), "left")
+      .select(
+        col("cell"),
+        col("n_vecs"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_vecs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept")
+      )
+      .orderBy("cell")
   }
 
   /** The nprobe nearest cells for a query vector — the same
