@@ -2237,6 +2237,30 @@ object Oracles {
          |  UNION ALL SELECT 3, 'quality', n3 FROM tot
          |  UNION ALL SELECT 4, 'exact_dedup', (SELECT c FROM k4)
          |  UNION ALL SELECT 5, 'near_dedup', (SELECT c FROM k4) - (SELECT c FROM k5)
-         |) ORDER BY stage_id""".stripMargin
+         |) ORDER BY stage_id""".stripMargin,
+    // identical arithmetic order to the engine: idf = ln of exact-int
+    // ratio, per-term contribution away-rounded to 6dp, decimal sum
+    "q198_bm25_topk" -> {
+      val co = away(
+        "idf * tf / (tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))",
+        6
+      )
+      raw"""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
+         |dl AS (SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS dl FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |  WHERE term IN ('spark', 'join', 'stream') GROUP BY 1, 2),
+         |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id, tf.tf, dl.dl,
+         |    ln(CAST(1.0 AS DOUBLE) + (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))) AS idf,
+         |    CAST(sum_dl AS DOUBLE) / n_docs AS avgdl
+         |  FROM tf JOIN dl USING (doc_id) JOIN dft USING (term), st),
+         |co AS (SELECT doc_id, $co AS contrib FROM sc),
+         |ag AS (SELECT doc_id, CAST(sum(CAST(contrib AS DECIMAL(25,6))) AS DOUBLE) AS score,
+         |    count(*) AS n_terms_hit FROM co GROUP BY 1),
+         |rk AS (SELECT doc_id, score, n_terms_hit,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rnk FROM ag)
+         |SELECT doc_id, score, n_terms_hit, rnk FROM rk WHERE rnk <= 10 ORDER BY rnk""".stripMargin
+    }
   )
 }

@@ -3955,4 +3955,58 @@ object Queries {
       nlist = 16,
       threshold = 0.4
     )
+
+  // BM25 top-k retrieval (k1=1.2, b=0.75, the Robertson '+1' idf —
+  // positive even for terms in most docs): the sparse-retrieval rung
+  // the dense ANN ladder (q29→q193) composes with. Shape, not UDFs:
+  // tf is one keyed (map-side-combined) aggregation over the exploded
+  // term postings FILTERED to the query terms at the explode — the
+  // posting shuffle carries |query| terms' rows, not the corpus; df
+  // and the corpus stats are term-cardinality / one-row frames that
+  // BROADCAST onto the postings; the final top-k is orderBy+limit
+  // (TakeOrdered — no global sort materializes). Float parity by the
+  // PQ recipe: each per-term contribution is away-rounded to 6dp then
+  // summed as DECIMAL — exact, associative, partition-order invariant.
+  // At 100 TB: same plan with the term filter pushed to the scan;
+  // score normalization needs no second pass because idf/avgdl ride
+  // the broadcast.
+  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val queryTerms = Seq("spark", "join", "stream")
+    val docs = t(s, dir, "documents")
+    val dl = docs.select(col("doc_id"), TextOps.tokenCount(col("text")).as("dl"))
+    val tf = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .filter(col("term").isInCollection(queryTerms))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val dfTerm = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(dfTerm), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .select(
+        col("doc_id"),
+        NumOps
+          .roundAway(
+            col("idf") * col("tf") /
+              (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))),
+            6
+          )
+          .as("contrib")
+      )
+    val top = contrib
+      .groupBy("doc_id")
+      .agg(
+        sum(col("contrib").cast("decimal(25,6)")).cast("double").as("score"),
+        count(lit(1)).as("n_terms_hit")
+      )
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+    // rank assigned AFTER the TakeOrdered top-k: the global window
+    // runs over 10 rows, never the corpus
+    top.withColumn("rnk", row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+  }
 }
