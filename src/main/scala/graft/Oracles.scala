@@ -2261,6 +2261,16 @@ object Oracles {
          |rk AS (SELECT doc_id, score, n_terms_hit,
          |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rnk FROM ag)
          |SELECT doc_id, score, n_terms_hit, rnk FROM rk WHERE rnk <= 10 ORDER BY rnk""".stripMargin
-    }
+    },
+    // q29's mirror with the label-exclusion predicate on the pair join
+    "q199_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql FROM embeddings WHERE vec_id < 20),
+         |p AS (SELECT q.qid, q.qe, e.vec_id AS nid, e.embedding AS ne
+         |  FROM q, embeddings e WHERE e.label <> q.ql),
+         |s AS (SELECT qid, nid, ${cosineSql("qe", "ne")} AS c FROM p),
+         |r AS (SELECT qid, nid, ${away("c", 6)} AS sim FROM s),
+         |k AS (SELECT qid, nid, sim,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INTEGER) AS rnk FROM r)
+         |SELECT qid, nid, sim, rnk FROM k WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
   )
 }

@@ -4009,4 +4009,19 @@ object Queries {
     // runs over 10 rows, never the corpus
     top.withColumn("rnk", row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
   }
+
+  // hard negatives: per query, the closest DIFFERENT-label neighbors —
+  // see Similarity.hardNegativeTopK for the plan rationale
+  def hardNegatives(s: SparkSession, dir: String): DataFrame =
+    Similarity
+      .hardNegativeTopK(
+        t(s, dir, "embeddings"),
+        col("vec_id"),
+        col("embedding"),
+        col("label"),
+        col("vec_id") < 20,
+        k = 5
+      )
+      .withColumnRenamed("rank", "rnk")
+      .orderBy("qid", "rnk")
 }

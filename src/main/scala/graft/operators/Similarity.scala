@@ -74,6 +74,40 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the `k` highest-cosine neighbors whose `label` DIFFERS —
+    * the semantically-closest wrong answers, the negatives that teach
+    * an embedding model the most. Same plan skeleton as
+    * [[bruteForceTopK]] (broadcast queries onto the streaming corpus,
+    * k-bounded map-side TopK partials), with the label-exclusion
+    * predicate riding the SAME join — no second pass, no post-filter
+    * that would under-fill k. At 100 TB swap the candidate stage for
+    * the IVF probe (q36/q193): the exclusion predicate composes
+    * identically on the (cell-keyed) candidate rows; the brute rung
+    * here is the recall baseline, mirroring the q29/q51 ladder shape.
+    */
+  def hardNegativeTopK(
+      vecs: DataFrame,
+      id: Column,
+      emb: Column,
+      label: Column,
+      isQuery: Column,
+      k: Int
+  ): DataFrame = {
+    val q = vecs
+      .filter(isQuery)
+      .select(id.as("qid"), emb.as("qe"), VectorOps.normSq(emb).as("qn"), label.as("ql"))
+    val c = vecs.select(id.as("nid"), emb.as("ne"), VectorOps.normSq(emb).as("nn"), label.as("nl"))
+    val scored = c
+      .join(broadcast(q), col("ql") =!= col("nl"))
+      .select(
+        col("qid"),
+        col("nid"),
+        NumOps.roundAway(VectorOps.dot(col("qe"), col("ne")) / sqrt(col("qn") * col("nn")), 6).as("sim")
+      )
+    topKPerQuery(scored, k)
+  }
+
   /** All corpus pairs with cosine ≥ threshold — embedding-based
     * near-duplicate detection (brute rung). No forced broadcast: both
     * sides are the corpus, so the planner picks BroadcastNestedLoop
