@@ -2271,6 +2271,42 @@ object Oracles {
          |r AS (SELECT qid, nid, ${away("c", 6)} AS sim FROM s),
          |k AS (SELECT qid, nid, sim,
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INTEGER) AS rnk FROM r)
-         |SELECT qid, nid, sim, rnk FROM k WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+         |SELECT qid, nid, sim, rnk FROM k WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // greedy MMR unrolled (3 picks, λ=0.7): pool = q29's top-10 shape
+    // for vec_id<5; each round's argmax uses identical double literals
+    // and (score DESC, nid) ties on both engines
+    "q200_mmr_diversify" -> {
+      val mmr = "CAST(0.7 AS DOUBLE) * rel - CAST(0.3 AS DOUBLE) * ms"
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |ap AS (SELECT q.qid, e.vec_id AS nid, ${away(cosineSql("q.qe", "e.embedding"), 6)} AS rel
+         |  FROM q, embeddings e WHERE e.vec_id <> q.qid),
+         |pool AS (SELECT qid, nid, rel FROM (SELECT qid, nid, rel,
+         |    row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rn FROM ap) t WHERE rn <= 10),
+         |pv AS (SELECT p.qid, p.nid, p.rel, e.embedding AS ev FROM pool p JOIN embeddings e ON e.vec_id = p.nid),
+         |ps AS (SELECT a.qid, a.nid AS n1, b.nid AS n2, ${away(cosineSql("a.ev", "b.ev"), 6)} AS ps
+         |  FROM pv a JOIN pv b ON a.qid = b.qid AND a.nid <> b.nid),
+         |s1 AS (SELECT qid, nid, rel FROM (SELECT qid, nid, rel,
+         |    row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rn FROM pool) t WHERE rn = 1),
+         |c2 AS (SELECT p.qid, p.nid, p.rel, max(ps.ps) AS ms FROM pool p
+         |  JOIN ps ON ps.qid = p.qid AND ps.n1 = p.nid
+         |  JOIN s1 ON s1.qid = ps.qid AND s1.nid = ps.n2
+         |  WHERE NOT EXISTS (SELECT 1 FROM s1 x WHERE x.qid = p.qid AND x.nid = p.nid)
+         |  GROUP BY 1, 2, 3),
+         |s2 AS (SELECT qid, nid, rel FROM (SELECT qid, nid, rel,
+         |    row_number() OVER (PARTITION BY qid ORDER BY $mmr DESC, nid) AS rn FROM c2) t WHERE rn = 1),
+         |sel2 AS (SELECT qid, nid FROM s1 UNION ALL SELECT qid, nid FROM s2),
+         |c3 AS (SELECT p.qid, p.nid, p.rel, max(ps.ps) AS ms FROM pool p
+         |  JOIN ps ON ps.qid = p.qid AND ps.n1 = p.nid
+         |  JOIN sel2 ON sel2.qid = ps.qid AND sel2.nid = ps.n2
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel2 x WHERE x.qid = p.qid AND x.nid = p.nid)
+         |  GROUP BY 1, 2, 3),
+         |s3 AS (SELECT qid, nid, rel FROM (SELECT qid, nid, rel,
+         |    row_number() OVER (PARTITION BY qid ORDER BY $mmr DESC, nid) AS rn FROM c3) t WHERE rn = 1)
+         |SELECT qid, pick, nid, rel FROM (
+         |  SELECT qid, 1 AS pick, nid, rel FROM s1
+         |  UNION ALL SELECT qid, 2, nid, rel FROM s2
+         |  UNION ALL SELECT qid, 3, nid, rel FROM s3
+         |) ORDER BY qid, pick""".stripMargin
+    }
   )
 }

@@ -4024,4 +4024,67 @@ object Queries {
       )
       .withColumnRenamed("rank", "rnk")
       .orderBy("qid", "rnk")
+
+  // MMR (maximal-marginal-relevance) diversified re-ranking: from each
+  // query's top-10 relevance pool, greedily pick 3 results trading
+  // relevance against redundancy — pick_r = argmax λ·rel − (1−λ)·max
+  // sim to the already-picked (λ=0.7). The greedy rounds are FIXED and
+  // unrolled into the plan (the Lloyd/q36 precedent — no driver
+  // collect, no data-dependent iteration count); every intermediate is
+  // pool-bounded: the pairwise-sim join is keyed on qid over ≤k rows
+  // per query, so at 100 TB the rerank costs O(queries · k²) after the
+  // ANN rung (q36/q193) delivers the pool — the standard RAG shape:
+  // cheap candidate retrieval, expensive diverse final ranking over a
+  // bounded set. Float parity: rel and pairwise sims are away-rounded
+  // 6dp; the MMR combination uses identical double literals on both
+  // engines; ties break on nid.
+  def mmrDiversify(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps
+    val emb = t(s, dir, "embeddings")
+    val pool = Similarity
+      .bruteForceTopK(emb, col("vec_id"), col("embedding"), col("vec_id") < 5, k = 10)
+      .select(col("qid"), col("nid"), col("sim").as("rel"))
+    val v = emb.select(col("vec_id"), col("embedding"))
+    // pairwise cosine WITHIN each query's pool: (qid, n1, n2) keyed
+    // join, ≤ k² rows per query by construction
+    val pairSims = pool
+      .select(col("qid"), col("nid").as("n1"))
+      .join(pool.select(col("qid"), col("nid").as("n2")), Seq("qid"))
+      .filter(col("n1") =!= col("n2"))
+      .join(v.select(col("vec_id").as("n1"), col("embedding").as("e1")), Seq("n1"))
+      .join(v.select(col("vec_id").as("n2"), col("embedding").as("e2")), Seq("n2"))
+      .select(
+        col("qid"),
+        col("n1"),
+        col("n2"),
+        NumOps
+          .roundAway(
+            VectorOps.dot(col("e1"), col("e2")) /
+              sqrt(VectorOps.normSq(col("e1")) * VectorOps.normSq(col("e2"))),
+            6
+          )
+          .as("ps")
+      )
+    val byQ = Window.partitionBy("qid")
+    // round 1: pure relevance argmax
+    var selected = pool
+      .withColumn("rk", row_number().over(byQ.orderBy(col("rel").desc, col("nid"))))
+      .filter(col("rk") === 1)
+      .select(col("qid"), col("nid"), col("rel"), lit(1).as("pick"))
+    (2 to 3).foreach { r =>
+      val remaining = pool.join(selected.select("qid", "nid"), Seq("qid", "nid"), "left_anti")
+      val maxSim = pairSims
+        .join(selected.select(col("qid"), col("nid").as("n2")), Seq("qid", "n2"))
+        .groupBy(col("qid"), col("n1").as("nid"))
+        .agg(max(col("ps")).as("ms"))
+      val pick = remaining
+        .join(maxSim, Seq("qid", "nid"))
+        .withColumn("mmr", lit(0.7) * col("rel") - lit(0.3) * col("ms"))
+        .withColumn("rk", row_number().over(byQ.orderBy(col("mmr").desc, col("nid"))))
+        .filter(col("rk") === 1)
+        .select(col("qid"), col("nid"), col("rel"), lit(r).as("pick"))
+      selected = selected.unionByName(pick)
+    }
+    selected.select(col("qid"), col("pick"), col("nid"), col("rel")).orderBy("qid", "pick")
+  }
 }
