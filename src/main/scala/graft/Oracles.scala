@@ -2307,6 +2307,27 @@ object Oracles {
          |  UNION ALL SELECT qid, 2, nid, rel FROM s2
          |  UNION ALL SELECT qid, 3, nid, rel FROM s3
          |) ORDER BY qid, pick""".stripMargin
-    }
+    },
+    // one keyed pass; q92's predicates; integer permyriad en-share;
+    // away-rounded exact-int mean
+    "q201_corpus_report" ->
+      raw"""WITH d AS (SELECT source, lang, regexp_split_to_array(trim(text), '\s+') AS ws,
+         |    CAST(len(regexp_replace(trim(text), '\s+', '', 'g')) AS INTEGER) AS sum_len,
+         |    md5(text) AS digest FROM documents),
+         |f AS (SELECT source, lang, digest, CAST(len(ws) AS INTEGER) AS n_tok,
+         |    CASE WHEN len(ws) BETWEEN 30 AND 600
+         |      AND sum_len >= len(ws) * 3 AND sum_len <= len(ws) * 6
+         |      AND len(list_filter(ws, x -> list_contains(['the','a','and','is','of'], x))) * 50 >= len(ws)
+         |      AND len(list_distinct(ws)) * 5 >= len(ws) THEN 1 ELSE 0 END AS p_q,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+         |  FROM d)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  count(DISTINCT lang) AS n_langs,
+         |  CAST(sum(p_q) AS BIGINT) AS n_quality_pass,
+         |  count(*) - count(DISTINCT digest) AS n_exact_dup,
+         |  ${away("CAST(sum(n_tok) AS DOUBLE) / count(*)", 4)} AS avg_tokens,
+         |  CAST(sum(is_en) AS BIGINT) * 10000 // count(*) AS en_permyriad
+         |FROM f GROUP BY source ORDER BY source""".stripMargin
   )
 }

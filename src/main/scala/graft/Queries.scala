@@ -4087,4 +4087,46 @@ object Queries {
     }
     selected.select(col("qid"), col("pick"), col("nid"), col("rel")).orderBy("qid", "pick")
   }
+
+  // corpus report card: the one-page dataset summary a curation run
+  // publishes — per source: volume (docs, tokens), language spread,
+  // quality pass rate (q92's predicates), exact-dup count, mean doc
+  // length. ONE keyed aggregation pass over a single projection (the
+  // two countDistincts expand map-side; everything else is a sum);
+  // integer permyriad for the en-share (no float division in a grouped
+  // result), away-rounded exact-int mean for avg_tokens. At 100 TB
+  // this is a nightly metadata job: source-cardinality output, full
+  // map-side combine, no joins.
+  def corpusReport(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextOps.tokens(col("text"))
+    val nWords = size(ws)
+    val sumLen = length(regexp_replace(trim(col("text")), "\\s+", ""))
+    val nStop = size(filter(ws, w => w.isInCollection(Seq("the", "a", "and", "is", "of"))))
+    val nDistinct = size(array_distinct(ws))
+    val qPass = nWords >= 30 && nWords <= 600 &&
+      sumLen >= nWords * 3 && sumLen <= nWords * 6 &&
+      nStop * 50 >= nWords && nDistinct * 5 >= nWords
+    t(s, dir, "documents")
+      .select(
+        col("source"),
+        col("lang"),
+        nWords.as("n_tok"),
+        md5(col("text")).as("digest"),
+        qPass.cast("long").as("p_q"),
+        (col("lang") === "en").cast("long").as("is_en")
+      )
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("is_en")).as("n_en"),
+        sum(col("p_q")).as("n_quality_pass"),
+        (count(lit(1)) - countDistinct(col("digest"))).as("n_exact_dup"),
+        NumOps.roundAway(sum(col("n_tok")).cast("double") / count(lit(1)), 4).as("avg_tokens")
+      )
+      .withColumn("en_permyriad", expr("n_en * 10000 div n_docs"))
+      .drop("n_en")
+      .orderBy("source")
+  }
 }
