@@ -370,6 +370,49 @@ class PlanSpec extends SparkSpec {
       s"copy candidates must come from the fingerprint equi-join:\n$p")
   }
 
+  test("curation funnel (q196): digest keeper is a keyed window; confirm stage is equi-joins only") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val df = Queries.curationFunnel(spark, sfDir)
+    val windows = df.queryExecution.optimizedPlan.collect { case w: logical.Window => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "the exact-dedup keeper must window per digest, never globally")
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere in the funnel:\n$p")
+  }
+
+  test("semantic dedup (q197): the cosine pair join is keyed on the cell — no cross product") {
+    val p = plan(Queries.semanticDedup(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"within-cell pairs must come from the cell equi-join:\n$p")
+  }
+
+  test("bm25 (q198): term stats broadcast onto the postings; top-k is TakeOrdered, not a global sort") {
+    val p = plan(Queries.bm25TopK(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"df/corpus stats must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 must not materialize a global sort:\n$p")
+  }
+
+  test("hard negatives (q199): the query side broadcasts; the corpus streams once") {
+    val p = plan(Queries.hardNegatives(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"queries must broadcast onto the streaming corpus:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "TopK partials must combine map-side before the final per-query merge")
+  }
+
+  test("mmr (q200): pool pair-sims and pick joins are equi-keyed — no cartesian rerank") {
+    val p = plan(Queries.mmrDiversify(spark, sfDir))
+    assert(!p.contains("CartesianProduct"),
+      s"the rerank must stay keyed on qid / pool ids:\n$p")
+  }
+
+  test("corpus report (q201): one two-phase aggregation, zero joins") {
+    val p = plan(Queries.corpusReport(spark, sfDir))
+    assert(!p.contains("Join"), s"the report is a single keyed pass:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final HashAggregate")
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime (skew=true)") {
     // isolated session: aggressive thresholds so the 16k-row hot key
     // trips the same OptimizeSkewedJoin rule that saves a 100 TB join

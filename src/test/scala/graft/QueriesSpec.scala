@@ -659,4 +659,84 @@ class QueriesSpec extends SparkSpec {
         s"group ${row.getAs[Long]("grp")} of ${row.getAs[String]("o_orderstatus")} breaks the next-fit bound")
     }
   }
+
+  test("curation funnel: stages are monotone non-increasing from the full corpus") {
+    val rows = Queries.curationFunnel(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("stage_id")).toSeq === Seq(1, 2, 3, 4, 5))
+    val counts = rows.map(_.getAs[Long]("n_docs")).toSeq
+    assert(counts.head === graft.sources.Tables.parquet(spark, sfDir, "documents").count())
+    counts.sliding(2).foreach { case Seq(a, b) => assert(b <= a, s"funnel grew: $counts") }
+    assert(counts.last > 0, "the funnel must not drain the corpus")
+  }
+
+  test("semantic dedup: accounting closes per cell and totals the corpus") {
+    val rows = Queries.semanticDedup(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") === r.getAs[Long]("n_vecs"))
+      assert(r.getAs[Long]("n_dropped") <= r.getAs[Long]("n_dup_pairs"))
+    }
+    val total = rows.map(_.getAs[Long]("n_vecs")).sum
+    assert(total === graft.sources.Tables.parquet(spark, sfDir, "embeddings").count())
+  }
+
+  test("bm25: scores strictly ordered by rank, every hit contains a query term") {
+    val rows = Queries.bm25TopK(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        val (sa, sb) = (a.getAs[Double]("score"), b.getAs[Double]("score"))
+        assert(sa > sb || (sa == sb && a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id")))
+      case _ =>
+    }
+    rows.foreach(r => assert(r.getAs[Long]("n_terms_hit") >= 1 && r.getAs[Long]("n_terms_hit") <= 3))
+  }
+
+  test("hard negatives: no neighbor shares its query's label") {
+    import spark.implicits._
+    val labels = graft.sources.Tables
+      .parquet(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"))
+      .as[(Long, Int)]
+      .collect()
+      .toMap
+    Queries.hardNegatives(spark, sfDir).collect().foreach { r =>
+      val (q, n) = (r.getAs[Long]("qid"), r.getAs[Long]("nid"))
+      assert(labels(q) !== labels(n), s"negative $n shares label with query $q")
+    }
+  }
+
+  test("mmr: three distinct picks per query, all drawn from the relevance pool, pick 1 = argmax rel") {
+    val picks = Queries.mmrDiversify(spark, sfDir).collect()
+    val pool = graft.operators.Similarity
+      .bruteForceTopK(
+        graft.sources.Tables.parquet(spark, sfDir, "embeddings"),
+        col("vec_id"),
+        col("embedding"),
+        col("vec_id") < 5,
+        k = 10
+      )
+      .collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"), r.getAs[Double]("sim")))
+    val poolSet = pool.map(p => (p._1, p._2)).toSet
+    picks.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rows) =>
+      val ids = rows.sortBy(_.getAs[Int]("pick")).map(_.getAs[Long]("nid"))
+      assert(ids.length === 3 && ids.distinct.length === 3, s"$qid picked $ids")
+      ids.foreach(n => assert(poolSet((qid, n)), s"pick $n not in $qid's pool"))
+      // pick 1 is the relevance argmax (ties by nid)
+      val best = pool.filter(_._1 == qid).minBy(p => (-p._3, p._2))._2
+      assert(ids.head === best)
+    }
+  }
+
+  test("corpus report: per-source totals close against the raw table") {
+    val rows = Queries.corpusReport(spark, sfDir).collect()
+    val docs = graft.sources.Tables.parquet(spark, sfDir, "documents")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_quality_pass") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_exact_dup") >= 0L)
+      val pm = r.getAs[Long]("en_permyriad")
+      assert(pm >= 0L && pm <= 10000L)
+    }
+  }
 }
