@@ -619,7 +619,7 @@ object Similarity {
     try {
       val init = base
         .orderBy("vid")
-        .limit(math.max(nlist, ksub))
+        .limit(ksub)
         .select("e")
         .collect()
         .map(_.getSeq[Float](0).map(_.toDouble).toArray)
@@ -627,27 +627,8 @@ object Similarity {
       require(dim % m == 0, s"dim $dim must divide into $m subspaces")
       dsub = dim / m
 
-      // ——— coarse training: identical arithmetic to ivfTopK ———
-      coarse = init.take(nlist)
-      (1 to lloydIters).foreach { _ =>
-        val assigned = base.select(
-          col("vid"),
-          col("e"),
-          element_at(cellsOf(col("e"), coarse, 1), 1).as("cell")
-        )
-        val means = assigned
-          .select(col("cell"), posexplode(col("e")).as(Seq("pos", "x")))
-          .groupBy("cell", "pos")
-          .agg((sum(NumOps.roundAway(col("x").cast("double"), 6).cast("decimal(25,6)")).cast("double") / count(lit(1))).as("mm"))
-          .collect()
-        val byCell = means.groupBy(_.getAs[Int]("cell"))
-        coarse = coarse.zipWithIndex.map { case (old, j) =>
-          byCell.get(j) match {
-            case Some(rows) => rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("mm"))
-            case None => old
-          }
-        }
-      }
+      // ——— coarse training: THE ivfTopK/semanticDedupCells quantizer ———
+      coarse = trainCentroids(base, nlist, lloydIters)
 
       // ——— PQ codebook training: identical arithmetic to pqTopK ———
       def subSliceT(sub: Int): Column = slice(col("e"), sub * dsub + 1, dsub)
