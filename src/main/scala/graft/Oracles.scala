@@ -317,7 +317,12 @@ object Oracles {
     * Shared by q27 (which emits the candidates) and q181 (which reranks
     * them by exact containment).
     */
-  private val minhashCandCtes: String = {
+  /** Shingles → minhash signatures → 4×4 banding, through the `band`
+    * CTE; the candidate join on top differs per consumer (self-join
+    * d1<d2 for the batch dedup family, new×old for the incremental
+    * probe q202).
+    */
+  private val minhashBandCtes: String = {
     val p = graft.operators.NearDup.MinhashPrime
     val params = graft.operators.NearDup.minhashParams(16)
     val sigCols = params.zipWithIndex
@@ -329,11 +334,6 @@ object Oracles {
         s"md5($parts) AS band_$j"
       }
       .mkString(",\n  ")
-    val bandJoins = (0 until 4)
-      .map(j =>
-        s"SELECT a.doc_id AS d1, b.doc_id AS d2 FROM band a JOIN band b ON a.band_$j = b.band_$j AND a.doc_id < b.doc_id"
-      )
-      .mkString("\nUNION\n")
     s"""$ShingleCte,
        |hx AS (SELECT doc_id, ${hx("g")} AS x FROM sh),
        |sig AS (SELECT doc_id,
@@ -341,7 +341,16 @@ object Oracles {
        |FROM hx GROUP BY doc_id),
        |band AS (SELECT doc_id,
        |  $bandCols
-       |FROM sig),
+       |FROM sig)""".stripMargin
+  }
+
+  private val minhashCandCtes: String = {
+    val bandJoins = (0 until 4)
+      .map(j =>
+        s"SELECT a.doc_id AS d1, b.doc_id AS d2 FROM band a JOIN band b ON a.band_$j = b.band_$j AND a.doc_id < b.doc_id"
+      )
+      .mkString("\nUNION\n")
+    s"""$minhashBandCtes,
        |cand AS ($bandJoins)""".stripMargin
   }
 
@@ -2328,6 +2337,26 @@ object Oracles {
          |  count(*) - count(DISTINCT digest) AS n_exact_dup,
          |  ${away("CAST(sum(n_tok) AS DOUBLE) / count(*)", 4)} AS avg_tokens,
          |  CAST(sum(is_en) AS BIGINT) * 10000 // count(*) AS en_permyriad
-         |FROM f GROUP BY source ORDER BY source""".stripMargin
+         |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    // the probe-join variant of the banding candidates (new×old only),
+    // exact-Jaccard confirmed at the integer-crossed 0.5 threshold
+    "q202_incremental_dedup" -> {
+      val probeJoins = (0 until 4)
+        .map(j =>
+          s"SELECT a.doc_id AS new_id, b.doc_id AS old_id FROM band a JOIN band b ON a.band_$j = b.band_$j AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0"
+        )
+        .mkString("\nUNION\n")
+      s"""WITH $minhashBandCtes,
+         |cand AS ($probeJoins),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |it AS (SELECT c.new_id, c.old_id, count(*) AS inter FROM cand c
+         |  JOIN sh x ON x.doc_id = c.new_id JOIN sh y ON y.doc_id = c.old_id AND y.g = x.g
+         |  GROUP BY 1, 2)
+         |SELECT it.new_id, it.old_id, inter,
+         |  inter * 1000 // (x.n_sh + y.n_sh - inter) AS jaccard_permille
+         |FROM it JOIN sz x ON it.new_id = x.doc_id JOIN sz y ON it.old_id = y.doc_id
+         |WHERE inter * 2 >= x.n_sh + y.n_sh - inter
+         |ORDER BY new_id, old_id""".stripMargin
+    }
   )
 }

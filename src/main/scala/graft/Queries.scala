@@ -4129,4 +4129,40 @@ object Queries {
       .drop("n_en")
       .orderBy("source")
   }
+
+  // incremental near-dup: the continuous-dedup production shape — a
+  // NEW batch (doc_id ≡ 0 mod 5, the deterministic stand-in for
+  // today's arrivals) probes the EXISTING corpus's banding index; the
+  // join is new × old only (see NearDup.lshProbePairs), confirmed by
+  // exact shingle Jaccard at the integer-crossed 0.5 threshold from
+  // the shared snapshot. Per-day cost at 100 TB: |batch| signatures +
+  // one keyed join against the persisted index — the corpus is never
+  // re-paired against itself.
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sh = graft.operators.CandidateGraph.shingles(s, docs, dir)
+    val sigs = NearDup.minhashSignaturesFromShingles(sh, k = 16)
+    val cand = NearDup.lshProbePairs(
+      sigs.filter(col("doc_id") % 5 === 0),
+      sigs.filter(col("doc_id") % 5 =!= 0),
+      bands = 4,
+      rowsPerBand = 4
+    )
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    cand
+      .join(sh.select(col("doc_id").as("new_id"), col("g")), Seq("new_id"))
+      .join(sh.select(col("doc_id").as("old_id"), col("g")), Seq("old_id", "g"))
+      .groupBy("new_id", "old_id")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("new_id"), col("n_sh").as("n1")), Seq("new_id"))
+      .join(sizes.select(col("doc_id").as("old_id"), col("n_sh").as("n2")), Seq("old_id"))
+      .filter(col("inter") * 2 >= col("n1") + col("n2") - col("inter"))
+      .select(
+        col("new_id"),
+        col("old_id"),
+        col("inter"),
+        expr("inter * 1000 div (n1 + n2 - inter)").as("jaccard_permille")
+      )
+      .orderBy("new_id", "old_id")
+  }
 }

@@ -167,6 +167,33 @@ object NearDup {
       .distinct()
   }
 
+  /** Incremental LSH probe: candidates between a NEW batch and the
+    * EXISTING corpus only — the production shape of continuous dedup,
+    * where yesterday's index is a materialized (band idx, band hash)
+    * table and today's arrivals probe it. Same banding as
+    * [[lshCandidatePairs]], but the join is new × old (never new×new
+    * or old×old: intra-batch dup handling is a separate, far smaller
+    * concern, and re-pairing the existing corpus against itself would
+    * redo the work already paid at indexing time). At 100 TB the old
+    * side's explode is the PERSISTED index scan — per-day cost is
+    * |batch| signatures plus one keyed join against it.
+    */
+  def lshProbePairs(sigsNew: DataFrame, sigsOld: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    def explodeBands(sigs: DataFrame, idName: String): DataFrame = {
+      val bandStructs = (0 until bands).map { j =>
+        val cols = (0 until rowsPerBand).map(r => col(s"sig_${j * rowsPerBand + r}").cast("string"))
+        struct(lit(j).as("bi"), md5(concat_ws(":", cols: _*)).as("bv"))
+      }
+      sigs
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+        .select(col("doc_id").as(idName), col("b.bi").as("bi"), col("b.bv").as("bv"))
+    }
+    explodeBands(sigsNew, "new_id")
+      .join(explodeBands(sigsOld, "old_id"), Seq("bi", "bv"))
+      .select(col("new_id"), col("old_id"))
+      .distinct()
+  }
+
   /** SimHash near-duplicate pairs — the candidate rung ABOVE
     * [[simhash32]]: pairs within `maxHamming` bit flips. Pigeonhole
     * bucketing makes it a keyed join: split the 32 bits into
