@@ -2340,23 +2340,28 @@ object Oracles {
          |FROM f GROUP BY source ORDER BY source""".stripMargin,
     // the probe-join variant of the banding candidates (new×old only),
     // exact-Jaccard confirmed at the integer-crossed 0.5 threshold
-    "q202_incremental_dedup" -> {
-      val probeJoins = (0 until 4)
-        .map(j =>
-          s"SELECT a.doc_id AS new_id, b.doc_id AS old_id FROM band a JOIN band b ON a.band_$j = b.band_$j AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0"
-        )
-        .mkString("\nUNION\n")
-      s"""WITH $minhashBandCtes,
-         |cand AS ($probeJoins),
-         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         |it AS (SELECT c.new_id, c.old_id, count(*) AS inter FROM cand c
-         |  JOIN sh x ON x.doc_id = c.new_id JOIN sh y ON y.doc_id = c.old_id AND y.g = x.g
-         |  GROUP BY 1, 2)
-         |SELECT it.new_id, it.old_id, inter,
-         |  inter * 1000 // (x.n_sh + y.n_sh - inter) AS jaccard_permille
-         |FROM it JOIN sz x ON it.new_id = x.doc_id JOIN sz y ON it.old_id = y.doc_id
-         |WHERE inter * 2 >= x.n_sh + y.n_sh - inter
-         |ORDER BY new_id, old_id""".stripMargin
-    }
+    "q202_incremental_dedup" -> incrementalDedupSql,
+    // the streaming twin computes the IDENTICAL result (per-row
+    // signatures + stream-static index join) — same oracle by design
+    "q203_stream_dedup_probe" -> incrementalDedupSql
   )
+
+  private lazy val incrementalDedupSql: String = {
+    val probeJoins = (0 until 4)
+      .map(j =>
+        s"SELECT a.doc_id AS new_id, b.doc_id AS old_id FROM band a JOIN band b ON a.band_$j = b.band_$j AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0"
+      )
+      .mkString("\nUNION\n")
+    s"""WITH $minhashBandCtes,
+       |cand AS ($probeJoins),
+       |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |it AS (SELECT c.new_id, c.old_id, count(*) AS inter FROM cand c
+       |  JOIN sh x ON x.doc_id = c.new_id JOIN sh y ON y.doc_id = c.old_id AND y.g = x.g
+       |  GROUP BY 1, 2)
+       |SELECT it.new_id, it.old_id, inter,
+       |  inter * 1000 // (x.n_sh + y.n_sh - inter) AS jaccard_permille
+       |FROM it JOIN sz x ON it.new_id = x.doc_id JOIN sz y ON it.old_id = y.doc_id
+       |WHERE inter * 2 >= x.n_sh + y.n_sh - inter
+       |ORDER BY new_id, old_id""".stripMargin
+  }
 }

@@ -4165,4 +4165,9 @@ object Queries {
       )
       .orderBy("new_id", "old_id")
   }
+
+  // the streaming twin of q202 on the SAME oracle — per-row signatures,
+  // stream-static index join, scalar confirm; see StreamAgg.dedupProbePairs
+  def streamDedupProbe(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamAgg.dedupProbePairs(s, dir)
 }

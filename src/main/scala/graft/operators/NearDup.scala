@@ -139,6 +139,20 @@ object NearDup {
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-ROW minhash signatures from a shingle-ARRAY column — the
+    * stateless twin of [[minhashSignaturesFromShingles]] for streaming
+    * frames (no aggregation, so no streaming state): sig_i is the
+    * array-min of the same (a·hash32(g)+b) mod p over the same
+    * distinct shingle set, hence value-identical by construction.
+    */
+  def rowSignatures(df: DataFrame, shingleArr: Column, k: Int = 16): DataFrame = {
+    val sigs = minhashParams(k).zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(shingleArr, g => pmod(lit(a) * TextOps.hash32(g) + lit(b), lit(MinhashPrime))))
+        .as(s"sig_$i")
+    }
+    df.select(col("*") +: sigs: _*)
+  }
+
   /** LSH banding over the signature table: `bands` bands of
     * `rowsPerBand` signature values hash (MD5 of ':' join) to a bucket;
     * docs sharing any bucket become a candidate pair. Returns distinct
@@ -146,19 +160,29 @@ object NearDup {
     * verification join (exact Jaccard on candidates only) stays linear
     * in candidate count.
     */
-  def lshCandidatePairs(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  /** The (doc_id, band idx, band hash) rows of the LSH index — one row
+    * per (doc, band), band hash = MD5 of the ':'-joined signature
+    * slice. `carry` forwards extra columns alongside (the streaming
+    * probe keeps the shingle array for its scalar confirm). Stateless
+    * (select + explode only), so it applies to streaming frames too.
+    */
+  def bandRows(signatures: DataFrame, bands: Int, rowsPerBand: Int, carry: Seq[String] = Nil): DataFrame = {
     val bandStructs = (0 until bands).map { j =>
       val cols = (0 until rowsPerBand).map(r => col(s"sig_${j * rowsPerBand + r}").cast("string"))
       struct(lit(j).as("bi"), md5(concat_ws(":", cols: _*)).as("bv"))
     }
+    signatures
+      .select(col("doc_id") +: carry.map(col) :+ explode(array(bandStructs: _*)).as("b"): _*)
+      .select(col("doc_id") +: carry.map(col) :+ col("b.bi").as("bi") :+ col("b.bv").as("bv"): _*)
+  }
+
+  def lshCandidatePairs(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     // one (doc, band) row per band, ONE self-join keyed (band idx, band
     // hash) — not a join per band: both sides are the identical
     // subtree, so the planner materializes its shuffle ONCE
     // (ReuseExchange — plan-asserted in NoLeakSpec) instead of running
     // the signature pipeline per side; no persist, nothing leaks
-    val exploded = signatures
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
-      .select(col("doc_id"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+    val exploded = bandRows(signatures, bands, rowsPerBand)
     exploded
       .as("a")
       .join(exploded.as("b"), Seq("bi", "bv"))
@@ -178,21 +202,12 @@ object NearDup {
     * side's explode is the PERSISTED index scan — per-day cost is
     * |batch| signatures plus one keyed join against it.
     */
-  def lshProbePairs(sigsNew: DataFrame, sigsOld: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    def explodeBands(sigs: DataFrame, idName: String): DataFrame = {
-      val bandStructs = (0 until bands).map { j =>
-        val cols = (0 until rowsPerBand).map(r => col(s"sig_${j * rowsPerBand + r}").cast("string"))
-        struct(lit(j).as("bi"), md5(concat_ws(":", cols: _*)).as("bv"))
-      }
-      sigs
-        .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
-        .select(col("doc_id").as(idName), col("b.bi").as("bi"), col("b.bv").as("bv"))
-    }
-    explodeBands(sigsNew, "new_id")
-      .join(explodeBands(sigsOld, "old_id"), Seq("bi", "bv"))
+  def lshProbePairs(sigsNew: DataFrame, sigsOld: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    bandRows(sigsNew, bands, rowsPerBand)
+      .withColumnRenamed("doc_id", "new_id")
+      .join(bandRows(sigsOld, bands, rowsPerBand).withColumnRenamed("doc_id", "old_id"), Seq("bi", "bv"))
       .select(col("new_id"), col("old_id"))
       .distinct()
-  }
 
   /** SimHash near-duplicate pairs — the candidate rung ABOVE
     * [[simhash32]]: pairs within `maxHamming` bit flips. Pigeonhole

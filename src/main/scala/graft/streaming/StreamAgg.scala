@@ -240,6 +240,75 @@ object StreamAgg {
     }
   }
 
+  /** Streaming near-dup probe — the streaming twin of the batch
+    * incremental dedup (q202), proving stream/batch parity on the SAME
+    * oracle: arriving documents (the `doc_id ≡ 0 mod 5` batch) compute
+    * their MinHash signature PER ROW (array-min over the shingle
+    * array — [[graft.operators.NearDup.rowSignatures]]; no streaming
+    * aggregation, so no agg state), explode into band rows, and
+    * equi-join the STATIC banding index of the existing corpus — the
+    * stream-static enrichment shape, stateless for the join. The exact
+    * confirm is a SCALAR on the joined row (array_intersect against
+    * the broadcast old-side shingle sets — no second shuffle), and the
+    * only stateful operator is the final pair dropDuplicates (a pair
+    * can surface via several shared bands). At 100 TB the static index
+    * is yesterday's persisted (band, bucket) table; per-arrival cost
+    * is k hashes + one keyed lookup — this is how continuous-ingest
+    * dedup actually deploys.
+    */
+  def dedupProbePairs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CandidateGraph, NearDup}
+    StateConf.withStatePartitions(spark, 8) {
+      val docsB = graft.sources.Tables.parquet(spark, dir, "documents")
+      val sh = CandidateGraph.shingles(spark, docsB, dir)
+      val oldSide = col("doc_id") % 5 =!= 0
+      val oldIndex = NearDup
+        .bandRows(NearDup.minhashSignaturesFromShingles(sh.filter(oldSide), k = 16), bands = 4, rowsPerBand = 4)
+        .withColumnRenamed("doc_id", "old_id")
+      val oldShingles = sh
+        .filter(oldSide)
+        .groupBy(col("doc_id").as("old_id"))
+        .agg(collect_set(col("g")).as("old_sh"))
+      val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+      val arrivals = spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .filter(col("doc_id") % 5 === 0)
+        .select(
+          col("doc_id"),
+          array_distinct(graft.functions.TextOps.wordShingles(graft.functions.TextOps.tokens(col("text")), 3)).as("shs")
+        )
+        .filter(size(col("shs")) >= 1)
+      val confirmed = NearDup
+        .bandRows(NearDup.rowSignatures(arrivals, col("shs"), k = 16), bands = 4, rowsPerBand = 4, carry = Seq("shs"))
+        .withColumnRenamed("doc_id", "new_id")
+        .join(oldIndex, Seq("bi", "bv"))
+        .join(broadcast(oldShingles), Seq("old_id"))
+        .withColumn("inter", size(array_intersect(col("shs"), col("old_sh"))).cast("long"))
+        .withColumn("n1", size(col("shs")).cast("long"))
+        .withColumn("n2", size(col("old_sh")).cast("long"))
+        .filter(col("inter") * 2 >= col("n1") + col("n2") - col("inter"))
+        .select(
+          col("new_id"),
+          col("old_id"),
+          col("inter"),
+          expr("inter * 1000 div (n1 + n2 - inter)").as("jaccard_permille")
+        )
+        .dropDuplicates("new_id", "old_id")
+      val name = s"graft_stream_probe_${runSeq.incrementAndGet()}"
+      val q = confirmed.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+      spark.table(name).orderBy("new_id", "old_id")
+    }
+  }
+
   /** Streaming dedup with BOUNDED state: `dropDuplicatesWithinWatermark`
     * over (user_id, event_type) keyed by event time — the
     * `StreamingDeduplicateWithinWatermark` operator. Unlike plain
