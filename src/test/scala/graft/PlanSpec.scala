@@ -413,6 +413,12 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final HashAggregate")
   }
 
+  test("incremental dedup (q202): probe and confirm are equi-joins only — the index is never crossed") {
+    val p = plan(Queries.incrementalDedup(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the new batch must probe the band index by key:\n$p")
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime (skew=true)") {
     // isolated session: aggressive thresholds so the 16k-row hot key
     // trips the same OptimizeSkewedJoin rule that saves a 100 TB join

@@ -728,6 +728,22 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup: pairs are strictly new x old; confirmed Jaccard never below the threshold") {
+    val rows = Queries.incrementalDedup(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("new_id") % 5 === 0L)
+      assert(r.getAs[Long]("old_id") % 5 !== 0L)
+      val pm = r.getAs[Long]("jaccard_permille")
+      assert(pm >= 500L && pm <= 1000L, s"confirm let through $pm")
+    }
+  }
+
+  test("streaming probe equals the batch incremental dedup row for row") {
+    val batch = Queries.incrementalDedup(spark, sfDir).collect().map(_.toSeq).toSet
+    val stream = Queries.streamDedupProbe(spark, sfDir).collect().map(_.toSeq).toSet
+    assert(stream === batch)
+  }
+
   test("corpus report: per-source totals close against the raw table") {
     val rows = Queries.corpusReport(spark, sfDir).collect()
     val docs = graft.sources.Tables.parquet(spark, sfDir, "documents")
