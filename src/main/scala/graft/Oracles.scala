@@ -115,8 +115,13 @@ object Oracles {
     * cell at 6dp, greedy larger-id drop at threshold 0.4 (the q51
     * fixture threshold), per-cell accounting.
     */
-  private val semanticDedupSql: String = {
-    val dim = 64; val nlist = 16; val tau = "0.4"
+  /** The q36 coarse training unrolled through the final cell
+    * assignment: CTE chain ending in `corpus (vid, e, cell)` — shared
+    * by the semantic-dedup mirror (q197) and the cluster-balanced
+    * sample (q205).
+    */
+  private val coarseCellCtes: String = {
+    val dim = 64; val nlist = 16
     def dotD(a: String, b: String) =
       s"list_sum(list_transform(generate_series(1, $dim), i -> $a[CAST(i AS INTEGER)] * $b[CAST(i AS INTEGER)]))"
     def score(src: String, cent: String) =
@@ -128,12 +133,19 @@ object Oracles {
          |m$i AS (SELECT cell, pos, CAST(sum(CAST(${away("e[pos]", 6)} AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS m FROM x$i GROUP BY cell, pos),
          |n$i AS (SELECT cell, list(m ORDER BY pos) AS nce FROM m$i GROUP BY cell),
          |c$i AS (SELECT $prevC.j, COALESCE(n$i.nce, $prevC.ce) AS ce FROM $prevC LEFT JOIN n$i ON n$i.cell = $prevC.j)""".stripMargin
-    s"""WITH v AS (SELECT vec_id AS vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+    s"""v AS (SELECT vec_id AS vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS INTEGER) AS j, e AS ce FROM (SELECT vid, e FROM v ORDER BY vid LIMIT $nlist) t),
        |${iter(1, "c0")},
        |${iter(2, "c1")},
        |sf AS (SELECT v.vid, v.e, c.j, ${score("v", "c")} AS s FROM v, c2 c),
-       |corpus AS (SELECT vid, e, j AS cell FROM (SELECT vid, e, j, row_number() OVER (PARTITION BY vid ORDER BY s DESC, j DESC) AS rn FROM sf) t WHERE rn = 1),
+       |corpus AS (SELECT vid, e, j AS cell FROM (SELECT vid, e, j, row_number() OVER (PARTITION BY vid ORDER BY s DESC, j DESC) AS rn FROM sf) t WHERE rn = 1)""".stripMargin
+  }
+
+  private val semanticDedupSql: String = {
+    val dim = 64; val tau = "0.4"
+    def dotD(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, $dim), i -> $a[CAST(i AS INTEGER)] * $b[CAST(i AS INTEGER)]))"
+    s"""WITH $coarseCellCtes,
        |p AS (SELECT a.cell, a.vid AS v1, b.vid AS v2,
        |    ${away(s"${dotD("a.e", "b.e")} / sqrt(${dotD("a.e", "a.e")} * ${dotD("b.e", "b.e")})", 6)} AS sim
        |  FROM corpus a JOIN corpus b ON a.cell = b.cell AND a.vid < b.vid),
@@ -2343,7 +2355,30 @@ object Oracles {
     "q202_incremental_dedup" -> incrementalDedupSql,
     // the streaming twin computes the IDENTICAL result (per-row
     // signatures + stream-static index join) — same oracle by design
-    "q203_stream_dedup_probe" -> incrementalDedupSql
+    "q203_stream_dedup_probe" -> incrementalDedupSql,
+    // integer permyriad/milli arithmetic throughout — no float shares
+    "q204_mixture_schedule" ->
+      raw"""WITH a AS (SELECT lang,
+         |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS available_tokens
+         |  FROM documents GROUP BY 1),
+         |t AS (SELECT CAST(sum(available_tokens) AS BIGINT) AS total_tokens FROM a),
+         |w(lang, target_permyriad) AS (VALUES
+         |  ('en', CAST(4000 AS BIGINT)), ('de', CAST(1500 AS BIGINT)), ('es', CAST(1500 AS BIGINT)),
+         |  ('fr', CAST(1500 AS BIGINT)), ('zh', CAST(1500 AS BIGINT)))
+         |SELECT a.lang, available_tokens, target_permyriad,
+         |  total_tokens * target_permyriad // 10000 AS target_tokens,
+         |  (total_tokens * target_permyriad // 10000) * 1000 // available_tokens AS repeat_milli
+         |FROM a JOIN w USING (lang), t ORDER BY lang""".stripMargin,
+    // the q197 cells re-used for diversity-PRESERVING subsampling:
+    // deterministic per-cell uniform pick via the hash32 order
+    "q205_cluster_balanced_sample" -> {
+      val h = hx("CAST(vid AS VARCHAR)")
+      s"""WITH $coarseCellCtes,
+         |r AS (SELECT cell, vid, $h AS h FROM corpus),
+         |k AS (SELECT cell, vid,
+         |    CAST(row_number() OVER (PARTITION BY cell ORDER BY h, vid) AS INTEGER) AS rk FROM r)
+         |SELECT cell, vid, rk FROM k WHERE rk <= 8 ORDER BY cell, rk""".stripMargin
+    }
   )
 
   private lazy val incrementalDedupSql: String = {

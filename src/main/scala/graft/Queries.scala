@@ -4170,4 +4170,55 @@ object Queries {
   // stream-static index join, scalar confirm; see StreamAgg.dedupProbePairs
   def streamDedupProbe(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamAgg.dedupProbePairs(s, dir)
+
+  // training mixture schedule: given target sampling weights per
+  // domain (the broadcast literal dimension every mixture config is),
+  // compute each source-language domain's available tokens, its target
+  // share of the training budget, and the repetition factor (epochs,
+  // in millis) the sampler must apply — the planning table a mixture
+  // run (e.g. upweighting under-represented languages) reads. All
+  // integer arithmetic: shares in permyriad of the total available
+  // token count, repeat factor = target_tokens·1000 div available.
+  // One keyed aggregation + one broadcast join; domain-cardinality
+  // output. At 100 TB the weights table is config, the token counts
+  // come from the q201 report — this is the join between them.
+  def mixtureSchedule(s: SparkSession, dir: String): DataFrame = {
+    // target weights per language (permyriad of the training budget):
+    // upweight the non-en tail — the standard multilingual rebalance
+    val weights = Seq(("en", 4000L), ("de", 1500L), ("es", 1500L), ("fr", 1500L), ("zh", 1500L))
+    val wdf = s.createDataFrame(weights).toDF("lang", "target_permyriad")
+    val avail = t(s, dir, "documents")
+      .select(col("lang"), TextOps.tokenCount(col("text")).as("n_tok"))
+      .groupBy("lang")
+      .agg(sum(col("n_tok")).as("available_tokens"))
+    val total = avail.agg(sum(col("available_tokens")).as("total_tokens"))
+    avail
+      .join(broadcast(wdf), Seq("lang"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("lang"),
+        col("available_tokens"),
+        col("target_permyriad"),
+        expr("total_tokens * target_permyriad div 10000").as("target_tokens"),
+        expr("(total_tokens * target_permyriad div 10000) * 1000 div available_tokens")
+          .as("repeat_milli")
+      )
+      .orderBy("lang")
+  }
+
+  // cluster-balanced diverse subsampling: k per semantic cell, picked
+  // by deterministic hash order — the SemDeDup companion that KEEPS
+  // spread instead of dropping redundancy: a uniform sample
+  // over-represents dense regions; sampling per coarse cell caps every
+  // region at k. Reuses the shared quantizer (one map pass against
+  // broadcast centroids), then one keyed window — at 100 TB this is
+  // how eval/probe subsets get drawn from a skewed corpus.
+  def clusterBalancedSample(s: SparkSession, dir: String): DataFrame =
+    Similarity
+      .assignCells(t(s, dir, "embeddings"), col("vec_id"), col("embedding"), nlist = 16)
+      .withColumn("h", TextOps.hash32(col("vid").cast("string")))
+      .withColumn("rk", row_number().over(Window.partitionBy("cell").orderBy(col("h"), col("vid"))))
+      .filter(col("rk") <= 8)
+      .select(col("cell"), col("vid"), col("rk"))
+      .orderBy("cell", "rk")
 }

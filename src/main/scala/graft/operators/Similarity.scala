@@ -354,6 +354,26 @@ object Similarity {
     centroids
   }
 
+  /** Every vector's coarse-cell assignment under the shared
+    * deterministic quantizer — the reusable first half of
+    * [[semanticDedupCells]], and the bucketing for cluster-balanced
+    * diverse subsampling (q205): train (on a sample at scale), then
+    * ONE map pass against broadcast centroids.
+    */
+  def assignCells(
+      vecs: DataFrame,
+      id: Column,
+      emb: Column,
+      nlist: Int,
+      lloydIters: Int = 2
+  ): DataFrame = {
+    val base = vecs.select(id.as("vid"), emb.as("e")).persist()
+    val centroids =
+      try trainCentroids(base, nlist, lloydIters)
+      finally base.unpersist(blocking = true)
+    base.select(col("vid"), element_at(cellsOf(col("e"), centroids, 1), 1).as("cell"))
+  }
+
   /** SemDeDup-shaped semantic dedup: bucket the corpus by the SAME
     * deterministic coarse quantizer the IVF rungs train, score cosine
     * only WITHIN a cell, and greedily drop the larger id of any pair
