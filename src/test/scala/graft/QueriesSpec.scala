@@ -744,6 +744,27 @@ class QueriesSpec extends SparkSpec {
     assert(stream === batch)
   }
 
+  test("mixture schedule: weights cover the budget; repeat factors reproduce the integer math") {
+    val rows = Queries.mixtureSchedule(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("target_permyriad")).sum === 10000L)
+    val total = rows.map(_.getAs[Long]("available_tokens")).sum
+    rows.foreach { r =>
+      val expected = total * r.getAs[Long]("target_permyriad") / 10000L
+      assert(r.getAs[Long]("target_tokens") === expected)
+      assert(r.getAs[Long]("repeat_milli") === expected * 1000L / r.getAs[Long]("available_tokens"))
+    }
+  }
+
+  test("cluster-balanced sample: at most k per cell, ranks contiguous, picks unique") {
+    val rows = Queries.clusterBalancedSample(spark, sfDir).collect()
+    val vids = rows.map(_.getAs[Long]("vid"))
+    assert(vids.distinct.length === vids.length)
+    rows.groupBy(_.getAs[Int]("cell")).foreach { case (cell, rs) =>
+      val rks = rs.map(_.getAs[Int]("rk")).sorted.toSeq
+      assert(rks.length <= 8 && rks === (1 to rks.length), s"cell $cell ranks $rks")
+    }
+  }
+
   test("corpus report: per-source totals close against the raw table") {
     val rows = Queries.corpusReport(spark, sfDir).collect()
     val docs = graft.sources.Tables.parquet(spark, sfDir, "documents")
