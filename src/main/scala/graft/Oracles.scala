@@ -75,16 +75,30 @@ object Oracles {
        |SELECT qid, nid, sim, rnk FROM rk WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
   }
 
-  /** Exact mirror of [[graft.operators.Similarity.ivfTopK]] (q36,
-    * nlist=16, nprobe=4, k=3, 2 Lloyd iterations unrolled). Matching
+  /** Exact mirror of [[graft.operators.Similarity.bruteForceTopK]]
+    * (q29, k=10) — also the ground-truth side of the recall report
+    * (q206).
+    */
+  private val annBruteSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 50),
+       |p AS (SELECT q.qid, q.qe, e.vec_id AS nid, e.embedding AS ne FROM q, embeddings e WHERE e.vec_id <> q.qid),
+       |s AS (SELECT qid, nid, ${cosineSql("qe", "ne")} AS c FROM p),
+       |r AS (SELECT qid, nid, ${away("c", 6)} AS sim FROM s),
+       |k AS (SELECT qid, nid, sim,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INTEGER) AS rnk FROM r)
+       |SELECT qid, nid, sim, rnk FROM k WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+
+  /** Exact mirror of [[graft.operators.Similarity.ivfTopK]]
+    * (nlist=16, 2 Lloyd iterations unrolled; q36 at nprobe=4, k=3 —
+    * the q206 recall report re-instantiates it at k=10). Matching
     * relies on the operator's deterministic arithmetic: init = lowest-id
     * vectors, assignment = argmax(dot − |c|²/2) with (score, idx)
     * lexicographic ties, centroid means = 6dp-quantized decimal sums
     * (associative, so Spark's partitioning can't perturb them), and all
     * dots sequential-double on both engines.
     */
-  private val annIvfSql: String = {
-    val dim = 64; val nlist = 16; val nprobe = 4; val k = 3
+  private def annIvfSqlFor(nprobe: Int, k: Int): String = {
+    val dim = 64; val nlist = 16
     def dotD(a: String, b: String) =
       s"list_sum(list_transform(generate_series(1, $dim), i -> $a[CAST(i AS INTEGER)] * $b[CAST(i AS INTEGER)]))"
     def score(src: String, cent: String) =
@@ -108,6 +122,8 @@ object Oracles {
        |rk AS (SELECT qid, nid, sim, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INTEGER) AS rnk FROM sc)
        |SELECT qid, nid, sim, rnk FROM rk WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
   }
+
+  private val annIvfSql: String = annIvfSqlFor(nprobe = 4, k = 3)
 
   /** Exact mirror of [[graft.operators.Similarity.semanticDedupCells]]
     * (q197): the q36 coarse training unrolled verbatim (same init,
@@ -619,14 +635,7 @@ object Oracles {
         |FROM lineitem
         |GROUP BY 1, 2, 3, 4
         |ORDER BY 1, 2, 3, 4""".stripMargin,
-    "q29_ann_brute_force" ->
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 50),
-         |p AS (SELECT q.qid, q.qe, e.vec_id AS nid, e.embedding AS ne FROM q, embeddings e WHERE e.vec_id <> q.qid),
-         |s AS (SELECT qid, nid, ${cosineSql("qe", "ne")} AS c FROM p),
-         |r AS (SELECT qid, nid, ${away("c", 6)} AS sim FROM s),
-         |k AS (SELECT qid, nid, sim,
-         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INTEGER) AS rnk FROM r)
-         |SELECT qid, nid, sim, rnk FROM k WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+    "q29_ann_brute_force" -> annBruteSql,
     // container sizes mirror MediaCodec: PNG wraps content in +57
     // bytes (sig + IHDR + IDAT + IEND framing), JPEG in +17 (SOI +
     // SOF0 + EOI), GIF in +26 + one length byte per 255-byte sub-block
@@ -2378,7 +2387,15 @@ object Oracles {
          |k AS (SELECT cell, vid,
          |    CAST(row_number() OVER (PARTITION BY cell ORDER BY h, vid) AS INTEGER) AS rk FROM r)
          |SELECT cell, vid, rk FROM k WHERE rk <= 8 ORDER BY cell, rk""".stripMargin
-    }
+    },
+    // both ladders' own mirrors as subqueries; recall in integer permille
+    "q206_ann_recall_report" ->
+      s"""WITH b AS ($annBruteSql),
+         |i AS (${annIvfSqlFor(nprobe = 4, k = 10)}),
+         |m AS (SELECT b.qid, count(*) AS n_true, count(i.nid) AS n_hit
+         |  FROM b LEFT JOIN i ON i.qid = b.qid AND i.nid = b.nid GROUP BY b.qid)
+         |SELECT qid, n_true, n_hit, n_hit * 1000 // n_true AS recall_permille
+         |FROM m ORDER BY qid""".stripMargin
   )
 
   private lazy val incrementalDedupSql: String = {

@@ -4221,4 +4221,33 @@ object Queries {
       .filter(col("rk") <= 8)
       .select(col("cell"), col("vid"), col("rk"))
       .orderBy("cell", "rk")
+
+  // ANN recall report — "measure, don't guess" as a first-class query:
+  // recall@10 of the IVF rung against the brute-force ground truth,
+  // per query, in integer permille. Both sides are the ladder's own
+  // oracled operators; the join is (qid, nid)-keyed over two
+  // k-bounded frames (≤ 10·|queries| rows each), so the report costs
+  // nothing beyond the searches it audits. At 100 TB this runs on a
+  // query SAMPLE and is the dashboard number that decides nprobe.
+  def annRecallReport(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val isQ = col("vec_id") < 50
+    val brute = Similarity
+      .bruteForceTopK(emb, col("vec_id"), col("embedding"), isQ, k = 10)
+      .select(col("qid"), col("nid"))
+    val ivf = Similarity
+      .ivfTopK(emb, col("vec_id"), col("embedding"), isQ, nlist = 16, nprobe = 4, k = 10)
+      .select(col("qid"), col("nid"), lit(1).as("hit"))
+    brute
+      .join(ivf, Seq("qid", "nid"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_hit"))
+      .select(
+        col("qid"),
+        col("n_true"),
+        col("n_hit"),
+        expr("n_hit * 1000 div n_true").as("recall_permille")
+      )
+      .orderBy("qid")
+  }
 }
