@@ -2395,7 +2395,35 @@ object Oracles {
          |m AS (SELECT b.qid, count(*) AS n_true, count(i.nid) AS n_hit
          |  FROM b LEFT JOIN i ON i.qid = b.qid AND i.nid = b.nid GROUP BY b.qid)
          |SELECT qid, n_true, n_hit, n_hit * 1000 // n_true AS recall_permille
-         |FROM m ORDER BY qid""".stripMargin
+         |FROM m ORDER BY qid""".stripMargin,
+    // q202's probe shape with the hash split as the side predicate;
+    // leaky test docs counted once, ledger rows derived by arithmetic
+    "q207_leakage_free_split" -> {
+      val h = hx("CAST(a.doc_id AS VARCHAR)")
+      val hb = hx("CAST(b.doc_id AS VARCHAR)")
+      val probeJoins = (0 until 4)
+        .map(j =>
+          s"SELECT a.doc_id AS new_id, b.doc_id AS old_id FROM band a JOIN band b ON a.band_$j = b.band_$j AND $h % 10 = 0 AND $hb % 10 <> 0"
+        )
+        .mkString("\nUNION\n")
+      s"""WITH $minhashBandCtes,
+         |spl AS (SELECT doc_id, (${hx("CAST(doc_id AS VARCHAR)")} % 10 = 0) AS is_test FROM documents),
+         |cand AS ($probeJoins),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |it AS (SELECT c.new_id, c.old_id, count(*) AS inter FROM cand c
+         |  JOIN sh x ON x.doc_id = c.new_id JOIN sh y ON y.doc_id = c.old_id AND y.g = x.g
+         |  GROUP BY 1, 2),
+         |leaky AS (SELECT DISTINCT it.new_id
+         |  FROM it JOIN sz x ON it.new_id = x.doc_id JOIN sz y ON it.old_id = y.doc_id
+         |  WHERE inter * 2 >= x.n_sh + y.n_sh - inter),
+         |t0 AS (SELECT CAST(sum(CASE WHEN is_test THEN 1 ELSE 0 END) AS BIGINT) AS n_test0,
+         |    CAST(sum(CASE WHEN is_test THEN 0 ELSE 1 END) AS BIGINT) AS n_train0 FROM spl),
+         |l AS (SELECT count(*) AS n_leaky FROM leaky)
+         |SELECT split, n_initial, n_moved, n_final FROM (
+         |  SELECT 'test' AS split, n_test0 AS n_initial, n_leaky AS n_moved, n_test0 - n_leaky AS n_final FROM t0, l
+         |  UNION ALL SELECT 'train', n_train0, n_leaky, n_train0 + n_leaky FROM t0, l
+         |) ORDER BY split""".stripMargin
+    }
   )
 
   private lazy val incrementalDedupSql: String = {

@@ -4250,4 +4250,55 @@ object Queries {
       )
       .orderBy("qid")
   }
+
+  // leakage-free split: hash-assign train/test (10% test), then CLOSE
+  // the near-dup back door q83's 6-gram decontamination leaves open —
+  // a test doc whose near-duplicate sits in train leaks the answer
+  // without sharing a 6-gram. Candidates come from the q202 probe
+  // shape (test side × train side banding join only), confirmed by
+  // exact shingle Jaccard at the integer-crossed 0.5 threshold; any
+  // confirmed-leaky test doc is REASSIGNED to train (moving it keeps
+  // the doc usable; deleting it would waste data). Output is the
+  // 2-row movement ledger. At 100 TB the eval split is tiny, so the
+  // probe join's test side is the small one — the cost is one keyed
+  // lookup against the corpus band index, exactly like q202.
+  def leakageFreeSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sh = graft.operators.CandidateGraph.shingles(s, docs, dir)
+    val withSplit = docs.select(
+      col("doc_id"),
+      (TextOps.hash32(col("doc_id").cast("string")) % 10 === 0).as("is_test")
+    )
+    val sigs = NearDup.minhashSignaturesFromShingles(sh, k = 16)
+    val cand = NearDup.lshProbePairs(
+      sigs.join(withSplit.filter(col("is_test")).select("doc_id"), Seq("doc_id")),
+      sigs.join(withSplit.filter(!col("is_test")).select("doc_id"), Seq("doc_id")),
+      bands = 4,
+      rowsPerBand = 4
+    )
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val leaky = cand
+      .join(sh.select(col("doc_id").as("new_id"), col("g")), Seq("new_id"))
+      .join(sh.select(col("doc_id").as("old_id"), col("g")), Seq("old_id", "g"))
+      .groupBy("new_id", "old_id")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("new_id"), col("n_sh").as("n1")), Seq("new_id"))
+      .join(sizes.select(col("doc_id").as("old_id"), col("n_sh").as("n2")), Seq("old_id"))
+      .filter(col("inter") * 2 >= col("n1") + col("n2") - col("inter"))
+      .select(col("new_id"))
+      .distinct()
+    withSplit
+      .agg(
+        sum(col("is_test").cast("long")).as("n_test0"),
+        sum((!col("is_test")).cast("long")).as("n_train0")
+      )
+      .crossJoin(broadcast(leaky.agg(count(lit(1)).as("n_leaky"))))
+      .selectExpr(
+        """stack(2,
+          |  'test',  n_test0,  n_leaky, n_test0 - n_leaky,
+          |  'train', n_train0, n_leaky, n_train0 + n_leaky
+          |) AS (split, n_initial, n_moved, n_final)""".stripMargin
+      )
+      .orderBy("split")
+  }
 }
