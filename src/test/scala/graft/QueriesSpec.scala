@@ -765,6 +765,27 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("ann recall report: permille in [0,1000], hits never exceed truth, brute recall of itself is 1000") {
+    val rows = Queries.annRecallReport(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_true"))
+      val pm = r.getAs[Long]("recall_permille")
+      assert(pm >= 0L && pm <= 1000L)
+    }
+  }
+
+  test("leakage-free split: the ledger balances and moves only test docs") {
+    val rows = Queries.leakageFreeSplit(spark, sfDir).collect()
+    val byName = rows.map(r => r.getAs[String]("split") -> r).toMap
+    val (te, tr) = (byName("test"), byName("train"))
+    assert(te.getAs[Long]("n_moved") === tr.getAs[Long]("n_moved"))
+    assert(te.getAs[Long]("n_final") === te.getAs[Long]("n_initial") - te.getAs[Long]("n_moved"))
+    assert(tr.getAs[Long]("n_final") === tr.getAs[Long]("n_initial") + tr.getAs[Long]("n_moved"))
+    assert(te.getAs[Long]("n_final") + tr.getAs[Long]("n_final") ===
+      graft.sources.Tables.parquet(spark, sfDir, "documents").count())
+  }
+
   test("corpus report: per-source totals close against the raw table") {
     val rows = Queries.corpusReport(spark, sfDir).collect()
     val docs = graft.sources.Tables.parquet(spark, sfDir, "documents")
