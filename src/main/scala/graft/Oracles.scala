@@ -2423,7 +2423,24 @@ object Oracles {
          |  SELECT 'test' AS split, n_test0 AS n_initial, n_leaky AS n_moved, n_test0 - n_leaky AS n_final FROM t0, l
          |  UNION ALL SELECT 'train', n_train0, n_leaky, n_train0 + n_leaky FROM t0, l
          |) ORDER BY split""".stripMargin
-    }
+    },
+    // the q27 candidates confirmed at the 0.5 integer threshold, rolled
+    // up by source pair
+    "q208_contamination_matrix" ->
+      s"""WITH $minhashCandCtes,
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |it AS (SELECT c.d1, c.d2, count(*) AS inter FROM cand c
+         |  JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.g = a.g
+         |  GROUP BY 1, 2),
+         |conf AS (SELECT it.d1, it.d2
+         |  FROM it JOIN sz x ON it.d1 = x.doc_id JOIN sz y ON it.d2 = y.doc_id
+         |  WHERE inter * 2 >= x.n_sh + y.n_sh - inter)
+         |SELECT s1.source AS src1, s2.source AS src2, count(*) AS n_pairs,
+         |  count(DISTINCT conf.d1) AS n_docs_1, count(DISTINCT conf.d2) AS n_docs_2
+         |FROM conf
+         |JOIN documents s1 ON s1.doc_id = conf.d1
+         |JOIN documents s2 ON s2.doc_id = conf.d2
+         |GROUP BY 1, 2 ORDER BY src1, src2""".stripMargin
   )
 
   private lazy val incrementalDedupSql: String = {

@@ -4301,4 +4301,41 @@ object Queries {
       )
       .orderBy("split")
   }
+
+  // cross-source contamination matrix: WHO copies from WHOM — the
+  // confirmed near-dup pairs (q27 candidates, exact-Jaccard ≥ 0.5)
+  // rolled up by (source of d1, source of d2), with the pair count and
+  // the distinct docs implicated on each side. The curation diagnostic
+  // that decides which feed to de-prioritize: a hot (src_a, src_b)
+  // cell means one feed is mirroring the other. Reuses the shared
+  // banding + shingle snapshots; the source lookup is a broadcast of
+  // the (doc_id, source) projection onto pair-cardinality rows — at
+  // 100 TB the matrix is |sources|² cells from a pairs table the
+  // dedup job already materialized.
+  def contaminationMatrix(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cand = graft.operators.CandidateGraph.pairs(s, docs, dir)
+    val sh = graft.operators.CandidateGraph.shingles(s, docs, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val confirmed = cand
+      .join(sh.select(col("doc_id").as("d1"), col("g")), Seq("d1"))
+      .join(sh.select(col("doc_id").as("d2"), col("g")), Seq("d2", "g"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2")), Seq("d2"))
+      .filter(col("inter") * 2 >= col("n1") + col("n2") - col("inter"))
+      .select("d1", "d2")
+    val src = docs.select(col("doc_id"), col("source"))
+    confirmed
+      .join(broadcast(src.select(col("doc_id").as("d1"), col("source").as("src1"))), Seq("d1"))
+      .join(broadcast(src.select(col("doc_id").as("d2"), col("source").as("src2"))), Seq("d2"))
+      .groupBy("src1", "src2")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("d1")).as("n_docs_1"),
+        countDistinct(col("d2")).as("n_docs_2")
+      )
+      .orderBy("src1", "src2")
+  }
 }
