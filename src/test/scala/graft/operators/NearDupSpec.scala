@@ -69,4 +69,29 @@ class NearDupSpec extends SparkSpec {
       .toSet
     assert(viaBuckets === brute, "pigeonhole recall must be exact, not probabilistic")
   }
+
+  test("per-row signatures equal the aggregated signature table value for value") {
+    // the q203 streaming path depends on this equivalence: the
+    // stateless array-min form must reproduce the groupBy-min form
+    val sh = NearDup.shingleTable(docs, $"doc_id", $"text", n = 3)
+    val agg = NearDup
+      .minhashSignaturesFromShingles(sh, k = 16)
+      .collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(i => r.getLong(i)).toSeq)
+      .toMap
+    val perRow = NearDup
+      .rowSignatures(
+        docs.select(
+          $"doc_id",
+          array_distinct(graft.functions.TextOps.wordShingles(graft.functions.TextOps.tokens($"text"), 3)).as("shs")
+        ).filter(size($"shs") >= 1),
+        $"shs",
+        k = 16
+      )
+      .drop("shs")
+      .collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(i => r.getLong(i)).toSeq)
+      .toMap
+    assert(perRow === agg)
+  }
 }
