@@ -21,6 +21,29 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.parquet(s, dir, name)
 
+  /** q92's four quality predicates over a text column — THE rule set;
+    * the funnel (q196) and report (q201) state they apply "q92's
+    * predicates", so all three (and their oracles) must stay in
+    * lock-step through this single definition.
+    */
+  private final case class QualityFlags(passLen: Column, passWordLen: Column, passStop: Column, passDiversity: Column) {
+    def all: Column = passLen && passWordLen && passStop && passDiversity
+  }
+
+  private def qualityFlags(text: Column): QualityFlags = {
+    val ws = TextOps.tokens(text)
+    val nWords = size(ws)
+    val sumLen = length(regexp_replace(trim(text), "\\s+", ""))
+    val nStop = size(filter(ws, w => w.isInCollection(Seq("the", "a", "and", "is", "of"))))
+    val nDistinct = size(array_distinct(ws))
+    QualityFlags(
+      nWords >= 30 && nWords <= 600,
+      sumLen >= nWords * 3 && sumLen <= nWords * 6, // 3 <= mean word len <= 6
+      nStop * 50 >= nWords, // stopword share >= 2%
+      nDistinct * 5 >= nWords // distinct share >= 20%
+    )
+  }
+
   // — §2.5 A4: the core aggregation (countDistinct + avgs over dims) —
   def dimAgg(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
@@ -1350,23 +1373,15 @@ object Queries {
   // lang-keyed exchange of partial counts. The classic pre-training
   // corpus filter (Gopher §A1.1 rules re-expressed relationally).
   def qualityFilter(s: SparkSession, dir: String): DataFrame = {
-    val ws = TextOps.tokens(col("text"))
-    val nWords = size(ws)
-    val sumLen = length(regexp_replace(trim(col("text")), "\\s+", ""))
-    val nStop = size(filter(ws, w => w.isInCollection(Seq("the", "a", "and", "is", "of"))))
-    val nDistinct = size(array_distinct(ws))
-    val passLen = nWords >= 30 && nWords <= 600
-    val passWordLen = sumLen >= nWords * 3 && sumLen <= nWords * 6 // 3 <= mean len <= 6
-    val passStop = nStop * 50 >= nWords // stopword share >= 2%
-    val passDiversity = nDistinct * 5 >= nWords // distinct share >= 20%
+    val q = qualityFlags(col("text"))
     t(s, dir, "documents")
       .select(
         col("lang"),
-        passLen.cast("int").as("p_len"),
-        passWordLen.cast("int").as("p_wordlen"),
-        passStop.cast("int").as("p_stop"),
-        passDiversity.cast("int").as("p_div"),
-        (passLen && passWordLen && passStop && passDiversity).cast("int").as("p_all")
+        q.passLen.cast("int").as("p_len"),
+        q.passWordLen.cast("int").as("p_wordlen"),
+        q.passStop.cast("int").as("p_stop"),
+        q.passDiversity.cast("int").as("p_div"),
+        q.all.cast("int").as("p_all")
       )
       .groupBy("lang")
       .agg(
@@ -3886,14 +3901,7 @@ object Queries {
   // the confirm exact with no float compare.
   def curationFunnel(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val ws = TextOps.tokens(col("text"))
-    val nWords = size(ws)
-    val sumLen = length(regexp_replace(trim(col("text")), "\\s+", ""))
-    val nStop = size(filter(ws, w => w.isInCollection(Seq("the", "a", "and", "is", "of"))))
-    val nDistinct = size(array_distinct(ws))
-    val qPass = nWords >= 30 && nWords <= 600 &&
-      sumLen >= nWords * 3 && sumLen <= nWords * 6 &&
-      nStop * 50 >= nWords && nDistinct * 5 >= nWords
+    val qPass = qualityFlags(col("text")).all
     val langPass = col("lang").isin("en", "es", "de", "fr")
     val flagged = docs.select(
       col("doc_id"),
@@ -3908,17 +3916,11 @@ object Queries {
       .select("doc_id")
     val cand = graft.operators.CandidateGraph.pairs(s, docs, dir)
     val sh = graft.operators.CandidateGraph.shingles(s, docs, dir)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val dropped = cand
+    val survivorCand = cand
       .join(exactKeep.select(col("doc_id").as("d1")), Seq("d1"))
       .join(exactKeep.select(col("doc_id").as("d2")), Seq("d2"))
-      .join(sh.select(col("doc_id").as("d1"), col("g")), Seq("d1"))
-      .join(sh.select(col("doc_id").as("d2"), col("g")), Seq("d2", "g"))
-      .groupBy("d1", "d2")
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1")), Seq("d1"))
-      .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2")), Seq("d2"))
-      .filter(col("inter") * 2 >= col("n1") + col("n2") - col("inter"))
+    val dropped = NearDup
+      .confirmJaccardHalf(survivorCand, sh, "d1", "d2")
       .select(col("d2").as("doc_id"))
       .distinct()
     val base = flagged.agg(
@@ -4098,19 +4100,12 @@ object Queries {
   // this is a nightly metadata job: source-cardinality output, full
   // map-side combine, no joins.
   def corpusReport(s: SparkSession, dir: String): DataFrame = {
-    val ws = TextOps.tokens(col("text"))
-    val nWords = size(ws)
-    val sumLen = length(regexp_replace(trim(col("text")), "\\s+", ""))
-    val nStop = size(filter(ws, w => w.isInCollection(Seq("the", "a", "and", "is", "of"))))
-    val nDistinct = size(array_distinct(ws))
-    val qPass = nWords >= 30 && nWords <= 600 &&
-      sumLen >= nWords * 3 && sumLen <= nWords * 6 &&
-      nStop * 50 >= nWords && nDistinct * 5 >= nWords
+    val qPass = qualityFlags(col("text")).all
     t(s, dir, "documents")
       .select(
         col("source"),
         col("lang"),
-        nWords.as("n_tok"),
+        TextOps.tokenCount(col("text")).as("n_tok"),
         md5(col("text")).as("digest"),
         qPass.cast("long").as("p_q"),
         (col("lang") === "en").cast("long").as("is_en")
@@ -4148,15 +4143,8 @@ object Queries {
       bands = 4,
       rowsPerBand = 4
     )
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    cand
-      .join(sh.select(col("doc_id").as("new_id"), col("g")), Seq("new_id"))
-      .join(sh.select(col("doc_id").as("old_id"), col("g")), Seq("old_id", "g"))
-      .groupBy("new_id", "old_id")
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("new_id"), col("n_sh").as("n1")), Seq("new_id"))
-      .join(sizes.select(col("doc_id").as("old_id"), col("n_sh").as("n2")), Seq("old_id"))
-      .filter(col("inter") * 2 >= col("n1") + col("n2") - col("inter"))
+    NearDup
+      .confirmJaccardHalf(cand, sh, "new_id", "old_id")
       .select(
         col("new_id"),
         col("old_id"),
@@ -4276,15 +4264,8 @@ object Queries {
       bands = 4,
       rowsPerBand = 4
     )
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val leaky = cand
-      .join(sh.select(col("doc_id").as("new_id"), col("g")), Seq("new_id"))
-      .join(sh.select(col("doc_id").as("old_id"), col("g")), Seq("old_id", "g"))
-      .groupBy("new_id", "old_id")
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("new_id"), col("n_sh").as("n1")), Seq("new_id"))
-      .join(sizes.select(col("doc_id").as("old_id"), col("n_sh").as("n2")), Seq("old_id"))
-      .filter(col("inter") * 2 >= col("n1") + col("n2") - col("inter"))
+    val leaky = NearDup
+      .confirmJaccardHalf(cand, sh, "new_id", "old_id")
       .select(col("new_id"))
       .distinct()
     withSplit
@@ -4316,20 +4297,16 @@ object Queries {
     val docs = t(s, dir, "documents")
     val cand = graft.operators.CandidateGraph.pairs(s, docs, dir)
     val sh = graft.operators.CandidateGraph.shingles(s, docs, dir)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val confirmed = cand
-      .join(sh.select(col("doc_id").as("d1"), col("g")), Seq("d1"))
-      .join(sh.select(col("doc_id").as("d2"), col("g")), Seq("d2", "g"))
-      .groupBy("d1", "d2")
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1")), Seq("d1"))
-      .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2")), Seq("d2"))
-      .filter(col("inter") * 2 >= col("n1") + col("n2") - col("inter"))
+    val confirmed = NearDup
+      .confirmJaccardHalf(cand, sh, "d1", "d2")
       .select("d1", "d2")
+    // no broadcast hint: the (doc_id, source) projection is
+    // corpus-cardinality — forcing it onto executors contradicts the
+    // 100 TB posture; AQE broadcasts it while small, shuffles beyond
     val src = docs.select(col("doc_id"), col("source"))
     confirmed
-      .join(broadcast(src.select(col("doc_id").as("d1"), col("source").as("src1"))), Seq("d1"))
-      .join(broadcast(src.select(col("doc_id").as("d2"), col("source").as("src2"))), Seq("d2"))
+      .join(src.select(col("doc_id").as("d1"), col("source").as("src1")), Seq("d1"))
+      .join(src.select(col("doc_id").as("d2"), col("source").as("src2")), Seq("d2"))
       .groupBy("src1", "src2")
       .agg(
         count(lit(1)).as("n_pairs"),

@@ -139,6 +139,27 @@ object NearDup {
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Exact shingle-Jaccard confirm over a candidate-pair frame at the
+    * integer-crossed 0.5 threshold (2·inter ≥ n1+n2−inter ⟺ J ≥ 0.5,
+    * no float compare) — the shared verification rung behind the
+    * funnel (q196), the incremental probe (q202), the leakage-free
+    * split (q207) and the contamination matrix (q208). `left`/`right`
+    * name the candidate frame's id columns. Returns the surviving
+    * pairs with (inter, n1, n2) attached; candidates-only cost — the
+    * shingle joins are keyed on the pair ids, linear in candidates.
+    */
+  def confirmJaccardHalf(cand: DataFrame, shingles: DataFrame, left: String, right: String): DataFrame = {
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    cand
+      .join(shingles.select(col("doc_id").as(left), col("g")), Seq(left))
+      .join(shingles.select(col("doc_id").as(right), col("g")), Seq(right, "g"))
+      .groupBy(left, right)
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as(left), col("n_sh").as("n1")), Seq(left))
+      .join(sizes.select(col("doc_id").as(right), col("n_sh").as("n2")), Seq(right))
+      .filter(col("inter") * 2 >= col("n1") + col("n2") - col("inter"))
+  }
+
   /** Per-ROW minhash signatures from a shingle-ARRAY column — the
     * stateless twin of [[minhashSignaturesFromShingles]] for streaming
     * frames (no aggregation, so no streaming state): sig_i is the
@@ -153,13 +174,6 @@ object NearDup {
     df.select(col("*") +: sigs: _*)
   }
 
-  /** LSH banding over the signature table: `bands` bands of
-    * `rowsPerBand` signature values hash (MD5 of ':' join) to a bucket;
-    * docs sharing any bucket become a candidate pair. Returns distinct
-    * (d1 < d2) pairs — recall is tunable via band shape, and the
-    * verification join (exact Jaccard on candidates only) stays linear
-    * in candidate count.
-    */
   /** The (doc_id, band idx, band hash) rows of the LSH index — one row
     * per (doc, band), band hash = MD5 of the ':'-joined signature
     * slice. `carry` forwards extra columns alongside (the streaming
@@ -176,6 +190,13 @@ object NearDup {
       .select(col("doc_id") +: carry.map(col) :+ col("b.bi").as("bi") :+ col("b.bv").as("bv"): _*)
   }
 
+  /** LSH banding over the signature table: `bands` bands of
+    * `rowsPerBand` signature values hash (MD5 of ':' join) to a bucket;
+    * docs sharing any bucket become a candidate pair. Returns distinct
+    * (d1 < d2) pairs — recall is tunable via band shape, and the
+    * verification join (exact Jaccard on candidates only) stays linear
+    * in candidate count.
+    */
   def lshCandidatePairs(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     // one (doc, band) row per band, ONE self-join keyed (band idx, band
     // hash) — not a join per band: both sides are the identical
