@@ -477,93 +477,96 @@ object Similarity {
     * m-term sum is associative — bit-identical on any partitioning and
     * in the DuckDB oracle (q190), which unrolls the same training.
     */
-  def pqTopK(
-      vecs: DataFrame,
-      id: Column,
-      emb: Column,
-      isQuery: Column,
+  /** Deterministic per-subspace PQ codebook training (shared by
+    * [[pqTopK]] and [[ivfPqTopK]]): init = the `ksub` lowest-id
+    * vectors' slices, `lloydIters` fixed passes; ONE pass over the
+    * corpus assigns every subspace per iteration (m structs exploded
+    * map-side — plan size O(m), not O(m·ksub)); means quantize to 6dp
+    * decimal like [[trainCentroids]]. Codebook width per subspace is
+    * min(n, ksub) — the rebuild preserves each subspace's actual
+    * length, so a corpus smaller than ksub trains (and searches)
+    * rather than indexing past the init array. Expects `base`
+    * persisted with `vid`/`e`. Returns (codebooks, dsub).
+    */
+  private[graft] def trainCodebooks(
+      base: DataFrame,
       m: Int,
       ksub: Int,
-      k: Int,
-      lloydIters: Int = 1
-  ): DataFrame = {
-    val spark = vecs.sparkSession
-    import spark.implicits._
-    // cached for TRAINING only (the Lloyd collects), like ivfTopK;
-    // unpersisted before the search plan is built
-    val base = vecs.select(id.as("vid"), emb.as("e"), isQuery.as("is_q")).persist()
-    var codebooks: Array[Array[Array[Double]]] = null // m × ksub × dsub
-    var dsub = 0
-    try {
-      // deterministic init: the ksub lowest-id vectors, sliced per subspace
-      val init = base
-        .orderBy("vid")
-        .limit(ksub)
-        .select("e")
+      lloydIters: Int
+  ): (Array[Array[Array[Double]]], Int) = {
+    val init = base
+      .orderBy("vid")
+      .limit(ksub)
+      .select("e")
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dim = init(0).length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val dsub = dim / m
+    def subSlice(sub: Int): Column = slice(col("e"), sub * dsub + 1, dsub)
+    var codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(sub => init.map(v => v.slice(sub * dsub, (sub + 1) * dsub)))
+    (1 to lloydIters).foreach { _ =>
+      val assigned = base
+        .select(
+          explode(array((0 until m).map { sub =>
+            struct(
+              lit(sub).as("sub"),
+              subSlice(sub).as("se"),
+              element_at(cellsOf(subSlice(sub), codebooks(sub), 1), 1).as("cell")
+            )
+          }: _*)).as("a")
+        )
+        .select(col("a.sub").as("sub"), col("a.se").as("se"), col("a.cell").as("cell"))
+      val means = assigned
+        .select(col("sub"), col("cell"), posexplode(col("se")).as(Seq("pos", "x")))
+        .groupBy("sub", "cell", "pos")
+        .agg(
+          (sum(NumOps.roundAway(col("x").cast("double"), 6).cast("decimal(25,6)")).cast("double") / count(lit(1))).as("mm")
+        )
         .collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-      val dim = init(0).length
-      require(dim % m == 0, s"dim $dim must divide into $m subspaces")
-      dsub = dim / m
-      codebooks = Array.tabulate(m)(sub => init.map(v => v.slice(sub * dsub, (sub + 1) * dsub)))
-
-      def subSlice(sub: Int): Column = slice(col("e"), sub * dsub + 1, dsub)
-
-      (1 to lloydIters).foreach { _ =>
-        // ONE pass over the corpus assigns every subspace (m structs
-        // exploded map-side — plan size O(m), not O(m·ksub))
-        val assigned = base
-          .select(
-            explode(array((0 until m).map { sub =>
-              struct(
-                lit(sub).as("sub"),
-                subSlice(sub).as("se"),
-                element_at(cellsOf(subSlice(sub), codebooks(sub), 1), 1).as("cell")
-              )
-            }: _*)).as("a")
-          )
-          .select(col("a.sub").as("sub"), col("a.se").as("se"), col("a.cell").as("cell"))
-        val means = assigned
-          .select(col("sub"), col("cell"), posexplode(col("se")).as(Seq("pos", "x")))
-          .groupBy("sub", "cell", "pos")
-          .agg(
-            (sum(NumOps.roundAway(col("x").cast("double"), 6).cast("decimal(25,6)")).cast("double") / count(lit(1))).as("mm")
-          )
-          .collect()
-        val bySubCell = means.groupBy(r => (r.getAs[Int]("sub"), r.getAs[Int]("cell")))
-        codebooks = Array.tabulate(m) { sub =>
-          Array.tabulate(ksub) { j =>
-            bySubCell.get((sub, j)) match {
-              case Some(rows) => rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("mm"))
-              case None => codebooks(sub)(j) // empty cell keeps its centroid
-            }
+      val bySubCell = means.groupBy(r => (r.getAs[Int]("sub"), r.getAs[Int]("cell")))
+      codebooks = codebooks.zipWithIndex.map { case (old, sub) =>
+        old.zipWithIndex.map { case (oldCell, j) =>
+          bySubCell.get((sub, j)) match {
+            case Some(rows) => rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("mm"))
+            case None => oldCell // empty cell keeps its centroid
           }
         }
       }
-    } finally {
-      base.unpersist(blocking = true)
     }
+    (codebooks, dsub)
+  }
 
+  /** The PQ-compressed corpus: m small (sub, cell) codes per vector. */
+  private def pqCodes(base: DataFrame, codebooks: Array[Array[Array[Double]]], dsub: Int): DataFrame = {
+    val m = codebooks.length
     def subSlice(sub: Int): Column = slice(col("e"), sub * dsub + 1, dsub)
-
-    // corpus → codes: m small ints per vector, the PQ-compressed corpus
-    val codes = base
+    base
       .select(
         col("vid").as("nid"),
         explode(array((0 until m).map { sub =>
-          struct(
-            lit(sub).as("sub"),
-            element_at(cellsOf(subSlice(sub), codebooks(sub), 1), 1).as("cell")
-          )
+          struct(lit(sub).as("sub"), element_at(cellsOf(subSlice(sub), codebooks(sub), 1), 1).as("cell"))
         }: _*)).as("c")
       )
       .select(col("nid"), col("c.sub").as("sub"), col("c.cell").as("cell"))
+  }
 
-    // asymmetric-distance LUT: every query × every (sub, cell) centroid
-    // — n_queries·m·ksub rows, dimension-sized, broadcast below
-    val cents = (for { sub <- 0 until m; j <- 0 until ksub } yield (sub, j, codebooks(sub)(j).toSeq))
-      .toDF("sub", "cell", "ce")
-    val lut = base
+  /** The asymmetric-distance LUT: every query × every (sub, cell)
+    * centroid — n_queries·m·ksub rows, dimension-sized, meant to be
+    * broadcast by the caller. Each entry quantizes to 6dp decimal so
+    * the m-term ADC sum is exact and associative — partition-order
+    * invariant, oracle-reproducible.
+    */
+  private def pqLut(base: DataFrame, codebooks: Array[Array[Array[Double]]], dsub: Int): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val m = codebooks.length
+    def subSlice(sub: Int): Column = slice(col("e"), sub * dsub + 1, dsub)
+    val cents =
+      (for { sub <- 0 until m; j <- codebooks(sub).indices } yield (sub, j, codebooks(sub)(j).toSeq))
+        .toDF("sub", "cell", "ce")
+    base
       .filter(col("is_q"))
       .select(
         col("vid").as("qid"),
@@ -577,16 +580,32 @@ object Similarity {
         col("qid"),
         col("sub"),
         col("cell"),
-        // 6dp decimal per entry: the m-term ADC sum is then exact and
-        // associative — partition-order invariant, oracle-reproducible
         NumOps.roundAway(VectorOps.dot(col("qse"), col("ce")), 6).cast("decimal(25,6)").as("d")
       )
+  }
+
+  def pqTopK(
+      vecs: DataFrame,
+      id: Column,
+      emb: Column,
+      isQuery: Column,
+      m: Int,
+      ksub: Int,
+      k: Int,
+      lloydIters: Int = 1
+  ): DataFrame = {
+    // cached for TRAINING only (the Lloyd collects), like ivfTopK;
+    // unpersisted before the search plan is built
+    val base = vecs.select(id.as("vid"), emb.as("e"), isQuery.as("is_q")).persist()
+    val (codebooks, dsub) =
+      try trainCodebooks(base, m, ksub, lloydIters)
+      finally base.unpersist(blocking = true)
 
     // ADC scan: codes ⋈ broadcast LUT on (sub, cell), then one keyed
     // aggregation with map-side partials — the whole search is one
     // corpus scan over the compressed codes
-    val scored = codes
-      .join(broadcast(lut), Seq("sub", "cell"))
+    val scored = pqCodes(base, codebooks, dsub)
+      .join(broadcast(pqLut(base, codebooks, dsub)), Seq("sub", "cell"))
       .filter(col("qid") =!= col("nid"))
       .groupBy("qid", "nid")
       .agg(sum(col("d")).cast("double").as("sim"))
@@ -630,61 +649,15 @@ object Similarity {
       k: Int,
       lloydIters: Int = 2
   ): DataFrame = {
-    val spark = vecs.sparkSession
-    import spark.implicits._
     val base = vecs.select(id.as("vid"), emb.as("e"), isQuery.as("is_q")).persist()
-    var coarse: Array[Array[Double]] = null
-    var codebooks: Array[Array[Array[Double]]] = null
-    var dsub = 0
-    try {
-      val init = base
-        .orderBy("vid")
-        .limit(ksub)
-        .select("e")
-        .collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-      val dim = init(0).length
-      require(dim % m == 0, s"dim $dim must divide into $m subspaces")
-      dsub = dim / m
-
-      // ——— coarse training: THE ivfTopK/semanticDedupCells quantizer ———
-      coarse = trainCentroids(base, nlist, lloydIters)
-
-      // ——— PQ codebook training: identical arithmetic to pqTopK ———
-      def subSliceT(sub: Int): Column = slice(col("e"), sub * dsub + 1, dsub)
-      codebooks = Array.tabulate(m)(sub => init.take(ksub).map(v => v.slice(sub * dsub, (sub + 1) * dsub)))
-      (1 to lloydIters).foreach { _ =>
-        val assigned = base
-          .select(
-            explode(array((0 until m).map { sub =>
-              struct(
-                lit(sub).as("sub"),
-                subSliceT(sub).as("se"),
-                element_at(cellsOf(subSliceT(sub), codebooks(sub), 1), 1).as("cell")
-              )
-            }: _*)).as("a")
-          )
-          .select(col("a.sub").as("sub"), col("a.se").as("se"), col("a.cell").as("cell"))
-        val means = assigned
-          .select(col("sub"), col("cell"), posexplode(col("se")).as(Seq("pos", "x")))
-          .groupBy("sub", "cell", "pos")
-          .agg((sum(NumOps.roundAway(col("x").cast("double"), 6).cast("decimal(25,6)")).cast("double") / count(lit(1))).as("mm"))
-          .collect()
-        val bySubCell = means.groupBy(r => (r.getAs[Int]("sub"), r.getAs[Int]("cell")))
-        codebooks = Array.tabulate(m) { sub =>
-          Array.tabulate(ksub) { j =>
-            bySubCell.get((sub, j)) match {
-              case Some(rows) => rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("mm"))
-              case None => codebooks(sub)(j)
-            }
-          }
-        }
-      }
-    } finally {
-      base.unpersist(blocking = true)
-    }
-
-    def subSlice(sub: Int): Column = slice(col("e"), sub * dsub + 1, dsub)
+    // both trainings against one cached frame: the coarse quantizer is
+    // THE ivfTopK/semanticDedupCells one, the codebooks THE pqTopK ones
+    val (coarse, codebooks, dsub) =
+      try {
+        val c = trainCentroids(base, nlist, lloydIters)
+        val (cb, d) = trainCodebooks(base, m, ksub, lloydIters)
+        (c, cb, d)
+      } finally base.unpersist(blocking = true)
 
     // coarse pruning: one cell per corpus vector, nprobe per query
     val corpusCells = base.select(col("vid").as("nid"), element_at(cellsOf(col("e"), coarse, 1), 1).as("ccell"))
@@ -696,38 +669,10 @@ object Similarity {
       .filter(col("qid") =!= col("nid"))
       .select("qid", "nid")
 
-    // PQ compressed corpus + the query LUT (both as in pqTopK)
-    val codes = base
-      .select(
-        col("vid").as("nid"),
-        explode(array((0 until m).map { sub =>
-          struct(lit(sub).as("sub"), element_at(cellsOf(subSlice(sub), codebooks(sub), 1), 1).as("cell"))
-        }: _*)).as("c")
-      )
-      .select(col("nid"), col("c.sub").as("sub"), col("c.cell").as("cell"))
-    val cents = (for { sub <- 0 until m; j <- 0 until ksub } yield (sub, j, codebooks(sub)(j).toSeq))
-      .toDF("sub", "cell", "ce")
-    val lut = base
-      .filter(col("is_q"))
-      .select(
-        col("vid").as("qid"),
-        explode(array((0 until m).map { sub =>
-          struct(lit(sub).as("sub"), subSlice(sub).as("qse"))
-        }: _*)).as("q")
-      )
-      .select(col("qid"), col("q.sub").as("sub"), col("q.qse").as("qse"))
-      .join(broadcast(cents), Seq("sub"))
-      .select(
-        col("qid"),
-        col("sub"),
-        col("cell"),
-        NumOps.roundAway(VectorOps.dot(col("qse"), col("ce")), 6).cast("decimal(25,6)").as("d")
-      )
-
-    // ADC over the PRUNED candidate set only
+    // ADC over the PRUNED candidate set only (codes + LUT as in pqTopK)
     val scored = cand
-      .join(codes, Seq("nid"))
-      .join(broadcast(lut), Seq("qid", "sub", "cell"))
+      .join(pqCodes(base, codebooks, dsub), Seq("nid"))
+      .join(broadcast(pqLut(base, codebooks, dsub)), Seq("qid", "sub", "cell"))
       .groupBy("qid", "nid")
       .agg(sum(col("d")).cast("double").as("sim"))
     topKPerQuery(scored, k)

@@ -151,4 +151,20 @@ class SimilaritySpec extends SparkSpec {
     // candidate recall at this loose threshold should still beat 1/2
     assert(lsh.size.toDouble / brute.size > 0.5, s"recall ${lsh.size}/${brute.size}")
   }
+
+  test("PQ trains and searches a corpus SMALLER than ksub (codebook width = n, no crash)") {
+    // regression: the codebook rebuild used to tabulate ksub cells and
+    // index past the min(n, ksub)-wide init array on small corpora
+    val tiny = spark
+      .range(0, 6)
+      .selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 8), i -> CAST(pmod(id * 31 + i * 7, 13) AS FLOAT)) AS embedding"
+      )
+    val out = Similarity
+      .pqTopK(tiny, $"vec_id", $"embedding", $"vec_id" < 2, m = 4, ksub = 16, k = 3, lloydIters = 2)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("qid")).distinct.sorted.toSeq === Seq(0L, 1L))
+  }
 }
