@@ -2203,7 +2203,7 @@ object Oracles {
     // must match what is actually on disk
     "q194_compaction_execute" ->
       """WITH c AS (SELECT o_orderstatus, grp, o_orderkey, filename
-        |  FROM read_parquet('/tmp/graft_compact_exec/compacted/*/*/*.parquet',
+        |  FROM read_parquet('/tmp/graft_compact_exec/sf0.01/compacted/*/*/*.parquet',
         |                    hive_partitioning=true, filename=true)),
         |s AS (SELECT o_orderstatus, count(*) AS src_rows,
         |    CAST(sum(o_orderkey) AS BIGINT) AS src_sum FROM orders GROUP BY 1),
@@ -2221,7 +2221,7 @@ object Oracles {
         |    regexp_extract(filename, 'o_orderstatus=([^/]+)', 1) AS o_orderstatus,
         |    parse_filename(filename) AS file_name,
         |    octet_length(content) AS file_size
-        |  FROM read_blob('/tmp/graft_compact/orders/*/*.parquet')),
+        |  FROM read_blob('/tmp/graft_compact/sf0.01/orders/*/*.parquet')),
         |w AS (SELECT o_orderstatus, file_name, file_size,
         |    sum(file_size) OVER (PARTITION BY o_orderstatus ORDER BY file_name
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - file_size AS bytes_before

@@ -3764,10 +3764,14 @@ object Queries {
   // file lands in exactly one group; a group exceeds the target only
   // by less than its last file (the next-fit bound) — both properties
   // the oracle re-derives by reading the very same physical files'
-  // byte lengths. Fixed path (not Scratch): the DuckDB oracle runs
-  // after this JVM exits and must find the same artifacts.
+  // byte lengths. Fixed path (not Scratch) because the DuckDB oracle
+  // runs after this JVM exits and must find the same artifacts — but
+  // keyed by the dataset dir's basename: a Bench run at sf0.1 must
+  // not rewrite the files an sf0.01 Verify dump's oracle is about to
+  // read (the oracle SQL hardcodes the sf0.01 path — the driver's
+  // correctness tier).
   def compactionPlan(s: SparkSession, dir: String): DataFrame =
-    compactionGroups(s, dir, "/tmp/graft_compact/orders")
+    compactionGroups(s, dir, s"/tmp/graft_compact/${new java.io.File(dir).getName}/orders")
       .groupBy(col("o_orderstatus"), col("grp"))
       .agg(
         count(lit(1)).as("n_files"),
@@ -3838,8 +3842,10 @@ object Queries {
   // path (not Scratch): the oracle re-plans from the same input files
   // after this JVM exits.
   def compactionExecute(s: SparkSession, dir: String): DataFrame = {
-    val base = "/tmp/graft_compact_exec/orders"
-    val out = "/tmp/graft_compact_exec/compacted"
+    // per-SF paths for the same reason as compactionPlan's
+    val sf = new java.io.File(dir).getName
+    val base = s"/tmp/graft_compact_exec/$sf/orders"
+    val out = s"/tmp/graft_compact_exec/$sf/compacted"
     val plan = compactionGroups(s, dir, base).select("o_orderstatus", "file_name", "grp")
     s.read
       .parquet(base)

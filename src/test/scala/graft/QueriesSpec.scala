@@ -638,7 +638,7 @@ class QueriesSpec extends SparkSpec {
 
   test("compaction plan: covers every physical file exactly once within the next-fit bound") {
     val r = Queries.compactionPlan(spark, sfDir).collect()
-    val base = "/tmp/graft_compact/orders"
+    val base = s"/tmp/graft_compact/${new java.io.File(sfDir).getName}/orders"
     val files = spark.read
       .parquet(base)
       .select(col("o_orderstatus"), col("_metadata.file_name").as("f"), col("_metadata.file_size").as("sz"))
