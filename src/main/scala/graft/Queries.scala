@@ -320,7 +320,7 @@ object Queries {
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     NearDup
       .jaccardPairsFilteredFromShingles(
-        graft.operators.CandidateGraph.shingles(s, t(s, dir, "documents"), dir), threshold = 0.8, maxDf = 50)
+        graft.operators.CandidateGraph.shingles(s, dir), threshold = 0.8, maxDf = 50)
       .orderBy("d1", "d2")
 
   // the aggressive-cap variant (df > 15 dropped): tighter join bound at
@@ -328,14 +328,14 @@ object Queries {
   def ngramJaccardFiltered(s: SparkSession, dir: String): DataFrame =
     NearDup
       .jaccardPairsFilteredFromShingles(
-        graft.operators.CandidateGraph.shingles(s, t(s, dir, "documents"), dir), threshold = 0.8, maxDf = 15)
+        graft.operators.CandidateGraph.shingles(s, dir), threshold = 0.8, maxDf = 15)
       .orderBy("d1", "d2")
 
   // MinHash + LSH banding candidate pairs (16 hashes, 4 bands × 4)
   def minhashLsh(s: SparkSession, dir: String): DataFrame =
     // the same banding candidate list the graph-analytics queries
     // consume: read the shared per-dataset snapshot
-    graft.operators.CandidateGraph.pairs(s, t(s, dir, "documents"), dir).orderBy("d1", "d2")
+    graft.operators.CandidateGraph.pairs(s, dir).orderBy("d1", "d2")
 
   // 32-bit SimHash per document
   def simhash(s: SparkSession, dir: String): DataFrame =
@@ -1599,12 +1599,11 @@ object Queries {
   // (agreeing positions / k); exact similarity is the q26 formula.
   def minhashEstimate(s: SparkSession, dir: String): DataFrame = {
     val k = 16
-    val docs = t(s, dir, "documents")
     // signatures from the shared shingle snapshot; candidates from the
     // shared banding snapshot (identical params) — nothing re-derived
-    val sh0 = graft.operators.CandidateGraph.shingles(s, docs, dir)
+    val sh0 = graft.operators.CandidateGraph.shingles(s, dir)
     val sigs = NearDup.minhashSignaturesFromShingles(sh0, k = k)
-    val pairs = graft.operators.CandidateGraph.pairs(s, docs, dir)
+    val pairs = graft.operators.CandidateGraph.pairs(s, dir)
     val matches = (0 until k)
       .map(i => when(col(s"a.sig_$i") === col(s"b.sig_$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -2643,7 +2642,7 @@ object Queries {
   // principled per-cluster canonical pick.
   def pagerank(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val pairs = graft.operators.CandidateGraph.pairs(s, docs, dir)
+    val pairs = graft.operators.CandidateGraph.pairs(s, dir)
     graft.operators.PageRank
       .integerPageRank(docs.select(col("doc_id")), col("doc_id"), pairs, col("d1"), col("d2"), iters = 10)
       .select(col("id").as("doc_id"), col("deg"), col("pr"))
@@ -2928,14 +2927,13 @@ object Queries {
   // max degree of the hub) and each triangle is generated exactly once
   // — two equi-joins, no theta join, no double counting to divide away.
   def triangleCensus(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
     // the edge list feeds four plan positions (degrees, both orient
     // lookups, the closing-edge probe, the edge count): the shared
     // CandidateGraph snapshot serves all four as cheap parquet re-reads
     // — no cached blocks in the session (NoLeakSpec-clean), no 4×
     // recompute of the banding, and the snapshot is shared with
     // q150/q162/q181/q183 instead of rebuilt per query
-    val pairs = graft.operators.CandidateGraph.pairs(s, docs, dir).select("d1", "d2")
+    val pairs = graft.operators.CandidateGraph.pairs(s, dir).select("d1", "d2")
     val sym = pairs.unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
     val deg = sym.groupBy(col("d1").as("id")).agg(count(lit(1)).as("deg"))
     // orient each undirected edge toward the (deg, id)-larger endpoint
@@ -2969,7 +2967,7 @@ object Queries {
   // the left join: the histogram must account for every node.
   def degreeHistogram(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val pairs = graft.operators.CandidateGraph.pairs(s, docs, dir).select("d1", "d2")
+    val pairs = graft.operators.CandidateGraph.pairs(s, dir).select("d1", "d2")
     val sym = pairs.unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
     val deg = sym.groupBy(col("d1").as("doc_id")).agg(count(lit(1)).as("deg"))
     docs
@@ -3371,7 +3369,7 @@ object Queries {
     // the shingle table feeds FIVE plan positions (df counts, prefix
     // ranking, both rerank sides, set sizes): read the shared snapshot
     // instead of re-running tokenize→explode→distinct five times
-    val sh = graft.operators.CandidateGraph.shingles(s, t(s, dir, "documents"), dir)
+    val sh = graft.operators.CandidateGraph.shingles(s, dir)
     val dfs = sh.groupBy("g").agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy("doc_id")
     val ranked = sh
@@ -3464,12 +3462,11 @@ object Queries {
   // containment = ∩ / min(|A|,|B|) compares in cross-multiplied
   // integer form (4·∩ ≥ 3·min ⟺ c ≥ 0.75), permille output.
   def containmentPairs(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val cand = graft.operators.CandidateGraph.pairs(s, docs, dir)
+    val cand = graft.operators.CandidateGraph.pairs(s, dir)
     // shared snapshot: the rerank references the shingle table three
     // times (both intersect sides + sizes) — cheap re-reads, no 3×
     // re-shingle
-    val sh = graft.operators.CandidateGraph.shingles(s, docs, dir)
+    val sh = graft.operators.CandidateGraph.shingles(s, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     cand
       .join(sh.select(col("doc_id").as("d1"), col("g")), Seq("d1"))
@@ -3525,8 +3522,7 @@ object Queries {
   // degree agg + two semi joins; per-round parquet snapshots stop the
   // two-reference lineage doubling (the CC pattern).
   def kcoreDocs(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val pairs = graft.operators.CandidateGraph.pairs(s, docs, dir)
+    val pairs = graft.operators.CandidateGraph.pairs(s, dir)
     graft.operators.KCore
       .kcore(pairs, col("d1"), col("d2"), k = 2, rounds = 3)
       .select(col("id").as("doc_id"), col("deg"))
@@ -3920,8 +3916,8 @@ object Queries {
       .withColumn("rn", row_number().over(Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
       .filter(col("rn") === 1)
       .select("doc_id")
-    val cand = graft.operators.CandidateGraph.pairs(s, docs, dir)
-    val sh = graft.operators.CandidateGraph.shingles(s, docs, dir)
+    val cand = graft.operators.CandidateGraph.pairs(s, dir)
+    val sh = graft.operators.CandidateGraph.shingles(s, dir)
     val survivorCand = cand
       .join(exactKeep.select(col("doc_id").as("d1")), Seq("d1"))
       .join(exactKeep.select(col("doc_id").as("d2")), Seq("d2"))
@@ -4140,8 +4136,7 @@ object Queries {
   // one keyed join against the persisted index — the corpus is never
   // re-paired against itself.
   def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val sh = graft.operators.CandidateGraph.shingles(s, docs, dir)
+    val sh = graft.operators.CandidateGraph.shingles(s, dir)
     val sigs = NearDup.minhashSignaturesFromShingles(sh, k = 16)
     val cand = NearDup.lshProbePairs(
       sigs.filter(col("doc_id") % 5 === 0),
@@ -4258,7 +4253,7 @@ object Queries {
   // lookup against the corpus band index, exactly like q202.
   def leakageFreeSplit(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val sh = graft.operators.CandidateGraph.shingles(s, docs, dir)
+    val sh = graft.operators.CandidateGraph.shingles(s, dir)
     val withSplit = docs.select(
       col("doc_id"),
       (TextOps.hash32(col("doc_id").cast("string")) % 10 === 0).as("is_test")
@@ -4301,8 +4296,8 @@ object Queries {
   // dedup job already materialized.
   def contaminationMatrix(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val cand = graft.operators.CandidateGraph.pairs(s, docs, dir)
-    val sh = graft.operators.CandidateGraph.shingles(s, docs, dir)
+    val cand = graft.operators.CandidateGraph.pairs(s, dir)
+    val sh = graft.operators.CandidateGraph.shingles(s, dir)
     val confirmed = NearDup
       .confirmJaccardHalf(cand, sh, "d1", "d2")
       .select("d1", "d2")

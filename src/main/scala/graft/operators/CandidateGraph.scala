@@ -41,13 +41,18 @@ object CandidateGraph {
     * At 100 TB this is the materialized shingle table a dedup job
     * writes once per corpus snapshot.
     */
-  def shingles(s: SparkSession, docs: DataFrame, dir: String): DataFrame = {
+  def shingles(s: SparkSession, dir: String): DataFrame = {
     val path = shCache.computeIfAbsent(
       dir,
       _ => {
         val scratch = Scratch.dir("graft-shingles")
+        // the documents table is derived HERE from the cache key, not
+        // passed in: a docs parameter would be silently ignored on
+        // every call after the first per dir — an API trap (a caller
+        // passing a filtered frame would get the full-corpus snapshot
+        // back with no error)
         NearDup
-          .shingleTable(docs, col("doc_id"), col("text"), n = 3)
+          .shingleTable(graft.sources.Tables.parquet(s, dir, "documents"), col("doc_id"), col("text"), n = 3)
           .write
           .mode("overwrite")
           .parquet(s"$scratch/sh")
@@ -63,12 +68,12 @@ object CandidateGraph {
     * runs twice); later calls (any session) read the snapshot. Scratch
     * dirs are registered with [[Scratch]] and removed at JVM exit.
     */
-  def pairs(s: SparkSession, docs: DataFrame, dir: String): DataFrame = {
+  def pairs(s: SparkSession, dir: String): DataFrame = {
     val path = cache.computeIfAbsent(
       dir,
       _ => {
         val scratch = Scratch.dir("graft-candgraph")
-        val sigs = NearDup.minhashSignaturesFromShingles(shingles(s, docs, dir), k = 16)
+        val sigs = NearDup.minhashSignaturesFromShingles(shingles(s, dir), k = 16)
         NearDup
           .lshCandidatePairs(sigs, bands = 4, rowsPerBand = 4)
           .write

@@ -259,8 +259,7 @@ object StreamAgg {
   def dedupProbePairs(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{CandidateGraph, NearDup}
     StateConf.withStatePartitions(spark, 8) {
-      val docsB = graft.sources.Tables.parquet(spark, dir, "documents")
-      val sh = CandidateGraph.shingles(spark, docsB, dir)
+      val sh = CandidateGraph.shingles(spark, dir)
       val oldSide = col("doc_id") % 5 =!= 0
       val oldIndex = NearDup
         .bandRows(NearDup.minhashSignaturesFromShingles(sh.filter(oldSide), k = 16), bands = 4, rowsPerBand = 4)
