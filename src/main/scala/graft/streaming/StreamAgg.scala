@@ -478,12 +478,21 @@ object StreamAgg {
       // needs to turn "the counter moved" into "this many rows from
       // these days are missing".
       val wmMs = mxUs / 1000 - 72L * 3600 * 1000
-      val late = ev.filter(unix_micros(col("ts")) < splitUs)
+      val isLate = unix_micros(col("ts")) < splitUs
       val lostPred =
         unix_millis(date_trunc("DAY", col("ts")) + expr("INTERVAL 1 DAY")) <= wmMs
-      val nOnTime = ev.filter(unix_micros(col("ts")) >= splitUs).count()
-      val nLate = late.count()
-      val nRowsDropped = late.filter(lostPred).count()
+      // the three row counts in ONE scan (conditional sums), not three
+      // separate count() jobs over the same unpersisted frame — the
+      // same single pass the DuckDB oracle runs
+      val counts = ev
+        .agg(
+          sum((!isLate).cast("long")).as("n_on_time"),
+          sum(isLate.cast("long")).as("n_late"),
+          sum((isLate && lostPred).cast("long")).as("n_rows_dropped")
+        )
+        .head()
+      val (nOnTime, nLate, nRowsDropped) =
+        (counts.getLong(0), counts.getLong(1), counts.getLong(2))
       spark
         .range(1)
         .select(
