@@ -2440,8 +2440,99 @@ object Oracles {
          |FROM conf
          |JOIN documents s1 ON s1.doc_id = conf.d1
          |JOIN documents s2 ON s2.doc_id = conf.d2
-         |GROUP BY 1, 2 ORDER BY src1, src2""".stripMargin
+         |GROUP BY 1, 2 ORDER BY src1, src2""".stripMargin,
+    // snapshot ⊕ delta partials vs full recompute; exact DECIMAL sums
+    // so the audit equality holds without tolerance
+    "q209_ivm_merge" ->
+      s"""WITH p AS (SELECT o_orderstatus, o_orderpriority,
+         |    CASE WHEN o_orderkey % 10 <> 0 THEN 1 ELSE 0 END AS is_snap,
+         |    CAST(o_totalprice AS DECIMAL(25,6)) AS tp FROM orders),
+         |m AS (SELECT o_orderstatus, o_orderpriority,
+         |    CAST(sum(is_snap) AS BIGINT) AS n_snap,
+         |    CAST(sum(1 - is_snap) AS BIGINT) AS n_delta,
+         |    count(*) AS n_merged, sum(tp) AS tot FROM p GROUP BY 1, 2)
+         |SELECT o_orderstatus, o_orderpriority, n_snap, n_delta, n_merged,
+         |  ${away("CAST(tot AS DOUBLE)", 2)} AS total_merged,
+         |  CAST(1 AS BIGINT) AS ivm_ok
+         |FROM m ORDER BY 1, 2""".stripMargin,
+    // the 3 merge rounds unrolled as CTE chains (the Lloyd precedent);
+    // replace() is left-to-right non-overlapping on both engines
+    "q210_bpe_merge_rounds" -> bpeMergeSql,
+    // bottom-k per set, union re-ranked by hash; 3σ = 3/√128 ≈ 265‰
+    "q211_kmv_intersection" -> {
+      val h = hx("elem")
+      raw"""WITH du AS (SELECT DISTINCT event_type AS et,
+         |    CAST(user_id AS VARCHAR) || '@' || strftime(ts, '%Y-%m-%d') AS elem
+         |  FROM events WHERE event_type IN ('click', 'view', 'purchase')),
+         |hh AS (SELECT et, elem, $h AS h FROM du),
+         |km AS (SELECT et, h FROM (SELECT et, h,
+         |    row_number() OVER (PARTITION BY et ORDER BY h, elem) AS rn FROM hh) WHERE rn <= 128),
+         |prs(et_a, et_b) AS (VALUES ('click', 'view'), ('click', 'purchase'), ('view', 'purchase')),
+         |u AS (SELECT et_a, et_b, h,
+         |    max(CASE WHEN et = et_a THEN 1 ELSE 0 END) AS ia,
+         |    max(CASE WHEN et = et_b THEN 1 ELSE 0 END) AS ib
+         |  FROM prs JOIN km ON km.et IN (et_a, et_b) GROUP BY 1, 2, 3),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY et_a, et_b ORDER BY h) AS rn FROM u),
+         |est AS (SELECT et_a, et_b, CAST(sum(ia * ib) * 1000 // 128 AS BIGINT) AS est_permille
+         |  FROM r WHERE rn <= 128 GROUP BY 1, 2),
+         |ex AS (SELECT et_a, et_b,
+         |    CAST(sum(ia) AS BIGINT) AS n_a, CAST(sum(ib) AS BIGINT) AS n_b,
+         |    CAST(sum(ia * ib) * 1000 // count(*) AS BIGINT) AS exact_permille
+         |  FROM (SELECT et_a, et_b, elem,
+         |      max(CASE WHEN et = et_a THEN 1 ELSE 0 END) AS ia,
+         |      max(CASE WHEN et = et_b THEN 1 ELSE 0 END) AS ib
+         |    FROM prs JOIN du ON du.et IN (et_a, et_b) GROUP BY 1, 2, 3) GROUP BY 1, 2)
+         |SELECT ex.et_a, ex.et_b, n_a, n_b, exact_permille, est_permille,
+         |  CAST(CASE WHEN abs(est_permille - exact_permille) <= 265 THEN 1 ELSE 0 END AS BIGINT) AS kmv_ok
+         |FROM ex JOIN est USING (et_a, et_b) ORDER BY et_a, et_b""".stripMargin
+    },
+    // integer linear inference: score = 10·n_tok + 3·stop‰ + 2·div‰
+    "q212_quality_classifier" ->
+      raw"""WITH d AS (SELECT source, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         |f AS (SELECT source, CAST(len(ws) AS BIGINT) AS n_tok,
+         |    CAST(len(list_filter(ws, x -> list_contains(['the','a','and','is','of'], x))) AS BIGINT) * 1000 AS stop_milli,
+         |    CAST(len(list_distinct(ws)) AS BIGINT) * 1000 AS div_milli FROM d),
+         |sc AS (SELECT source,
+         |    n_tok * 10 + (stop_milli // n_tok) * 3 + (div_milli // n_tok) * 2 AS score FROM f)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN score >= 1700 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  CAST(sum(score) // count(*) AS BIGINT) AS score_avg,
+         |  CAST(sum(CASE WHEN score >= 1700 THEN 1 ELSE 0 END) AS BIGINT) * 10000 // count(*) AS keep_permyriad
+         |FROM sc GROUP BY source ORDER BY source""".stripMargin
   )
+
+  /** q210: word-frequency base + three (pairs → argmax → replace) CTE
+    * rounds; vocab size recounted after each merge.
+    */
+  private lazy val bpeMergeSql: String = {
+    def pairs(wn: String, pn: String) =
+      s"""$pn AS (SELECT ss[i] AS a, ss[i+1] AS b, CAST(sum(freq) AS BIGINT) AS pf FROM (
+         |    SELECT list_filter(string_split(sym, '|'), x -> x <> '') AS ss, freq,
+         |      unnest(generate_series(1, len(list_filter(string_split(sym, '|'), x -> x <> '')) - 1)) AS i
+         |    FROM $wn) GROUP BY 1, 2)""".stripMargin
+    def best(pn: String, bn: String) =
+      s"$bn AS (SELECT a, b, pf FROM $pn ORDER BY pf DESC, a, b LIMIT 1)"
+    def apply(wn: String, bn: String, wn2: String) =
+      s"$wn2 AS (SELECT replace(sym, '|'||a||'|'||b||'|', '|'||a||b||'|') AS sym, freq FROM $wn, $bn)"
+    def vocab(wn: String, vn: String) =
+      s"$vn AS (SELECT count(DISTINCT x) AS n FROM (SELECT unnest(list_filter(string_split(sym, '|'), x -> x <> '')) AS x FROM $wn))"
+    val roundCtes = (1 to 3)
+      .map { r =>
+        val prev = if (r == 1) "w0" else s"w${r - 1}"
+        Seq(pairs(prev, s"p$r"), best(s"p$r", s"b$r"), apply(prev, s"b$r", s"w$r"), vocab(s"w$r", s"v$r"))
+          .mkString(",\n")
+      }
+      .mkString(",\n")
+    raw"""WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents),
+       |w0 AS (SELECT '|' || regexp_replace(w, '(.)', '\1|', 'g') AS sym, count(*) AS freq
+       |  FROM toks WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w),
+       |$roundCtes
+       |SELECT * FROM (
+       |  SELECT 1 AS round, a AS left_sym, b AS right_sym, pf AS pair_freq, (SELECT n FROM v1) AS n_sym_after FROM b1
+       |  UNION ALL SELECT 2, a, b, pf, (SELECT n FROM v2) FROM b2
+       |  UNION ALL SELECT 3, a, b, pf, (SELECT n FROM v3) FROM b3
+       |) ORDER BY round""".stripMargin
+  }
 
   private lazy val incrementalDedupSql: String = {
     val probeJoins = (0 until 4)

@@ -4316,4 +4316,221 @@ object Queries {
       )
       .orderBy("src1", "src2")
   }
+
+  // incremental aggregate maintenance — the materialized-view move: when
+  // today's batch lands, the stored per-group partials (count + exact
+  // DECIMAL sum, both associative) merge with the delta batch's
+  // partials; the base fact table is NOT rescanned. Here the "stored
+  // snapshot" is the ≢0 (mod 10) orderkeys and the delta is the ≡0
+  // slice — one union of two partial frames, one re-aggregation at
+  // group cardinality. At 100 TB this is the difference between an
+  // O(|delta|) nightly refresh and an O(|fact|) one; it works BECAUSE
+  // the state is (n, Σdecimal) — mergeable without error — never an
+  // average or a double sum (the q167 posture applied to view upkeep).
+  // The ivm_ok audit column proves merge ≡ full recompute group by
+  // group (exact decimal equality, no tolerance).
+  def ivmMergeAgg(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    def partials(df: DataFrame, tag: Int): DataFrame =
+      df.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast("decimal(25,6)")).as("tot"))
+        .withColumn("is_snap", lit(tag))
+    val snap = partials(orders.filter(col("o_orderkey") % 10 =!= 0), 1)
+    val delta = partials(orders.filter(col("o_orderkey") % 10 === 0), 0)
+    val merged = snap
+      .unionByName(delta)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(
+        sum(when(col("is_snap") === 1, col("n")).otherwise(0L)).as("n_snap"),
+        sum(when(col("is_snap") === 0, col("n")).otherwise(0L)).as("n_delta"),
+        sum(col("n")).as("n_merged"),
+        sum(col("tot")).as("tot")
+      )
+    val full = orders
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_full"), sum(col("o_totalprice").cast("decimal(25,6)")).as("tot_full"))
+    merged
+      .join(full, Seq("o_orderstatus", "o_orderpriority"))
+      .select(
+        col("o_orderstatus"),
+        col("o_orderpriority"),
+        col("n_snap"),
+        col("n_delta"),
+        col("n_merged"),
+        NumOps.roundAway(col("tot").cast("double"), 2).as("total_merged"),
+        (col("n_merged") === col("n_full") && col("tot") === col("tot_full"))
+          .cast("long")
+          .as("ivm_ok")
+      )
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  // tokenizer training: three BPE merge rounds, unrolled into the plan
+  // (the Lloyd precedent). The working set is the WORD-FREQUENCY table
+  // — vocabulary cardinality, not corpus cardinality: the corpus is
+  // scanned once to count word types, and every round after that is
+  // (a) one pair-count aggregation over the type table (adjacent
+  // symbol pairs weighted by word frequency, via slice+zip_with — no
+  // per-row window), (b) a 1-row TakeOrdered argmax (freq desc, then
+  // lexicographic — the deterministic tie-break), broadcast back, and
+  // (c) one `replace()` over the type table applying the merge.
+  // Symbols are delimiter-framed ("|a|b|c|") so a merge pattern
+  // "|a|b|" can only match whole symbols; merge application is
+  // left-to-right non-overlapping — replace()'s semantics on BOTH
+  // engines (verified on runs like "aaa": first pair merges, the
+  // overlapping second does not), so engine and oracle agree exactly.
+  // At 100 TB the corpus scan is the only full pass; the 3 rounds cost
+  // |vocab| each — this is why BPE trainers operate on word counts.
+  def bpeMergeRounds(s: SparkSession, dir: String): DataFrame = {
+    def syms(c: Column): Column = filter(split(c, "\\|"), x => x =!= "")
+    def pairCounts(df: DataFrame): DataFrame = {
+      val ss = syms(col("sym"))
+      df.select(col("freq"), ss.as("ss"))
+        .select(
+          col("freq"),
+          explode(
+            zip_with(
+              slice(col("ss"), lit(1), size(col("ss")) - 1),
+              slice(col("ss"), lit(2), size(col("ss")) - 1),
+              (x, y) => struct(x.as("a"), y.as("b"))
+            )
+          ).as("p")
+        )
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("pf"))
+    }
+    def bestPair(df: DataFrame): DataFrame =
+      pairCounts(df).orderBy(desc("pf"), col("a"), col("b")).limit(1)
+    def applyMerge(df: DataFrame, best: DataFrame): DataFrame =
+      df.crossJoin(broadcast(best))
+        .withColumn("sym", expr("replace(sym, concat('|', a, '|', b, '|'), concat('|', a, b, '|'))"))
+        .drop("a", "b", "pf")
+    def vocabSize(df: DataFrame): DataFrame =
+      df.select(explode(syms(col("sym"))).as("x"))
+        .agg(countDistinct(col("x")).as("n_sym_after"))
+    val words = t(s, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"))
+      .select(concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|")).as("sym"), col("freq"))
+      .persist()
+    var cur = words
+    val rounds = (1 to 3).map { r =>
+      val best = bestPair(cur)
+      cur = applyMerge(cur, best)
+      best
+        .select(
+          lit(r).as("round"),
+          col("a").as("left_sym"),
+          col("b").as("right_sym"),
+          col("pf").as("pair_freq")
+        )
+        .crossJoin(broadcast(vocabSize(cur)))
+    }
+    rounds.reduce(_ unionByName _).orderBy("round")
+  }
+
+  // KMV set-intersection estimation between event-type audiences: the
+  // q184 bottom-k sketch extended from "how many distinct" to "how
+  // similar are two sets" — the mergeable-sketch answer to audience
+  // overlap. Per set, keep the k smallest deterministic hashes (keyed
+  // window over the distinct (set, element) frame); for a pair, the
+  // bottom-k of the UNION of the two sketches is a uniform sample of
+  // the union, so the fraction of sampled hashes present in both sides
+  // estimates Jaccard (Beyer et al., the KMV ladder's standard move).
+  // Everything after the one distinct-elements shuffle is
+  // constant-size: 3 pairs × k hashes. The exact Jaccard from the same
+  // scan bound-asserts the estimate at 3σ ≈ 3/√k (observed ≤ 50‰ at
+  // k=128 vs the 265‰ bound). At 100 TB: sketches merge across
+  // partitions/days, the exact side is the audit you run at sf0.01.
+  def kmvIntersection(s: SparkSession, dir: String): DataFrame = {
+    val k = 128
+    val du = t(s, dir, "events")
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .select(
+        col("event_type").as("et"),
+        concat(col("user_id").cast("string"), lit("@"), date_format(col("ts"), "yyyy-MM-dd")).as("elem")
+      )
+      .distinct()
+    val prs = s
+      .createDataFrame(Seq(("click", "view"), ("click", "purchase"), ("view", "purchase")))
+      .toDF("et_a", "et_b")
+    // tag distinct elements with pair membership: two broadcast joins of
+    // the 3-row pair dimension — equi-joins only, no IN-list theta join
+    def tagged(df: DataFrame): DataFrame = {
+      val a = df
+        .join(broadcast(prs), df("et") === prs("et_a"))
+        .select(col("et_a"), col("et_b"), col("elem"), lit(1).as("ia"), lit(0).as("ib"))
+      val b = df
+        .join(broadcast(prs), df("et") === prs("et_b"))
+        .select(col("et_a"), col("et_b"), col("elem"), lit(0).as("ia"), lit(1).as("ib"))
+      a.unionByName(b)
+        .groupBy("et_a", "et_b", "elem")
+        .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+    }
+    // sketch = k smallest hashes per set; union-of-sketches rows are
+    // keyed by the HASH VALUE (collisions collapse on both engines
+    // identically), ranked again, truncated to the union's bottom-k
+    val kmv = du
+      .withColumn("h", TextOps.hash32(col("elem")))
+      .withColumn("rn", row_number().over(Window.partitionBy("et").orderBy(col("h"), col("elem"))))
+      .filter(col("rn") <= k)
+      .select(col("et"), col("h").as("elem"))
+    val est = tagged(kmv)
+      .withColumn("rn", row_number().over(Window.partitionBy("et_a", "et_b").orderBy(col("elem"))))
+      .filter(col("rn") <= k)
+      .groupBy("et_a", "et_b")
+      .agg(expr(s"sum(ia * ib) * 1000 div $k").as("est_permille"))
+    val exact = tagged(du)
+      .groupBy("et_a", "et_b")
+      .agg(
+        sum(col("ia")).cast("long").as("n_a"),
+        sum(col("ib")).cast("long").as("n_b"),
+        expr("sum(ia * ib) * 1000 div count(1)").as("exact_permille")
+      )
+    exact
+      .join(est, Seq("et_a", "et_b"))
+      .withColumn("kmv_ok", (abs(col("est_permille") - col("exact_permille")) <= 265).cast("long"))
+      .orderBy("et_a", "et_b")
+  }
+
+  // model-based quality filtering, the linear-inference shape: a fixed
+  // integer weight vector over integer document features (token count,
+  // stopword share, lexical diversity — q92's signals as NUMBERS
+  // instead of hard gates), one score per document, threshold on the
+  // logit. This is the FineWeb/CCNet-style classifier-filter pass with
+  // the model reduced to its deployable core: inference is one
+  // zero-shuffle codegen'd projection (score = w·x in BIGINT — no
+  // sigmoid, since thresholding the probability IS thresholding the
+  // logit), and only the per-source report aggregates. Swapping in
+  // real learned weights changes the literals, not the plan. At
+  // 100 TB: embarrassingly parallel, no state, integer-exact on every
+  // engine.
+  def qualityClassifierScore(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextOps.tokens(col("text"))
+    val nTok = size(ws).cast("long")
+    val sumLen = length(regexp_replace(trim(col("text")), "\\s+", "")).cast("long")
+    val nStop = size(filter(ws, w => w.isInCollection(Seq("the", "a", "and", "is", "of")))).cast("long")
+    val nDistinct = size(array_distinct(ws)).cast("long")
+    t(s, dir, "documents")
+      .select(
+        col("source"),
+        nTok.as("n_tok"),
+        (nStop * 1000).as("stop_milli"),
+        (nDistinct * 1000).as("div_milli")
+      )
+      .withColumn(
+        "score",
+        col("n_tok") * 10 + expr("stop_milli div n_tok") * 3 + expr("div_milli div n_tok") * 2
+      )
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("score") >= 1700).cast("long")).as("n_keep"),
+        expr("sum(score) div count(1)").as("score_avg")
+      )
+      .withColumn("keep_permyriad", expr("n_keep * 10000 div n_docs"))
+      .orderBy("source")
+  }
 }

@@ -797,4 +797,65 @@ class QueriesSpec extends SparkSpec {
       assert(pm >= 0L && pm <= 10000L)
     }
   }
+
+  test("ivm merge: partials close and every group's merge equals the full recompute") {
+    val rows = Queries.ivmMergeAgg(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_snap") + r.getAs[Long]("n_delta") === r.getAs[Long]("n_merged"))
+      assert(r.getAs[Long]("ivm_ok") === 1L, s"merge != recompute for $r")
+    }
+    val orders = graft.sources.Tables.parquet(spark, sfDir, "orders")
+    assert(rows.map(_.getAs[Long]("n_merged")).sum === orders.count())
+  }
+
+  test("bpe merge rounds: replace() semantics match the spec'd left-to-right rule; freqs monotone-ish") {
+    // the symbol-framing + replace contract the oracle depends on:
+    // only whole symbols merge, overlapping runs merge left-to-right
+    val checks = spark
+      .sql(
+        """SELECT replace('|a|a|a|', '|a|a|', '|aa|') AS r1,
+          |       replace('|ab|c|', '|b|c|', '|bc|') AS r2,
+          |       replace('|x|a|b|y|a|b|', '|a|b|', '|ab|') AS r3""".stripMargin
+      )
+      .head()
+    assert(checks.getString(0) === "|aa|a|") // second overlapping pair untouched
+    assert(checks.getString(1) === "|ab|c|") // "b|c" inside "|ab|c|" must NOT match
+    assert(checks.getString(2) === "|x|ab|y|ab|") // disjoint occurrences both merge
+    val rows = Queries.bpeMergeRounds(spark, sfDir).orderBy("round").collect()
+    assert(rows.map(_.getAs[Int]("round")).toSeq === Seq(1, 2, 3))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pair_freq") > 0L)
+      assert(r.getAs[String]("left_sym").nonEmpty && r.getAs[String]("right_sym").nonEmpty)
+    }
+    // merging never removes a WORD; vocab can only grow by ≤1 new symbol
+    // per round (the merged symbol) and never shrinks below 1
+    val sizes = rows.map(_.getAs[Long]("n_sym_after"))
+    assert(sizes.forall(_ >= 1L))
+  }
+
+  test("kmv intersection: estimate within the 3-sigma bound, exact jaccard sane") {
+    val rows = Queries.kmvIntersection(spark, sfDir).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_permille")
+      val est = r.getAs[Long]("est_permille")
+      assert(exact >= 0L && exact <= 1000L)
+      assert(est >= 0L && est <= 1000L)
+      assert(r.getAs[Long]("kmv_ok") === 1L, s"KMV estimate off-bound: $r")
+      assert(r.getAs[Long]("n_a") > 0L && r.getAs[Long]("n_b") > 0L)
+    }
+  }
+
+  test("quality classifier: keep counts bounded by doc counts, linear score reproducible") {
+    val rows = Queries.qualityClassifierScore(spark, sfDir).collect()
+    val docs = graft.sources.Tables.parquet(spark, sfDir, "documents")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_keep") <= r.getAs[Long]("n_docs"))
+      val pm = r.getAs[Long]("keep_permyriad")
+      assert(pm >= 0L && pm <= 10000L)
+      assert(r.getAs[Long]("score_avg") > 0L)
+    }
+  }
 }
