@@ -2498,7 +2498,15 @@ object Oracles {
          |  CAST(sum(CASE WHEN score >= 1700 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
          |  CAST(sum(score) // count(*) AS BIGINT) AS score_avg,
          |  CAST(sum(CASE WHEN score >= 1700 THEN 1 ELSE 0 END) AS BIGINT) * 10000 // count(*) AS keep_permyriad
-         |FROM sc GROUP BY source ORDER BY source""".stripMargin
+         |FROM sc GROUP BY source ORDER BY source""".stripMargin,
+    // the v2-state streaming run reduces to the per-user lifetime
+    // aggregate; cents via the exact-IEEE floor(v·100 + 0.5) form
+    "q213_transform_with_state" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(COALESCE(CAST(floor(value * 100 + 0.5) AS BIGINT), 0)) AS BIGINT) AS sum_cents,
+        |  min(epoch_ms(ts)) AS first_ms, max(epoch_ms(ts)) AS last_ms,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 
   /** q210: word-frequency base + three (pairs → argmax → replace) CTE

@@ -4533,4 +4533,10 @@ object Queries {
       .withColumn("keep_permyriad", expr("n_keep * 10000 div n_docs"))
       .orderBy("source")
   }
+
+  // the v2 arbitrary-state streaming API (transformWithState) driven
+  // end-to-end: per-user lifetime counters in a named ValueState cell
+  // on RocksDB — see graft.streaming.StateV2 for the scale argument
+  def transformWithStateStats(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StateV2.lifetimeStats(s, dir)
 }
