@@ -2506,7 +2506,51 @@ object Oracles {
         |  CAST(sum(COALESCE(CAST(floor(value * 100 + 0.5) AS BIGINT), 0)) AS BIGINT) AS sum_cents,
         |  min(epoch_ms(ts)) AS first_ms, max(epoch_ms(ts)) AS last_ms,
         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // rank within nation, neighbors at sort distance 1-2, integer
+    // agreement weights (segment 3 + balance 2 + id 1), gate at 4
+    "q214_sorted_neighbor_pairs" ->
+      """WITH r AS (SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment,
+        |    CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS BIGINT) AS rn
+        |  FROM customer),
+        |p AS (SELECT a.c_nationkey AS nation, a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+        |    (CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 3 ELSE 0 END
+        |     + CASE WHEN abs(a.c_acctbal - b.c_acctbal) <= 50.0 THEN 2 ELSE 0 END
+        |     + CASE WHEN abs(a.c_custkey - b.c_custkey) <= 100 THEN 1 ELSE 0 END) AS score
+        |  FROM r a JOIN r b ON a.c_nationkey = b.c_nationkey AND b.rn - a.rn IN (1, 2))
+        |SELECT nation, cust_a, cust_b, CAST(score AS BIGINT) AS score
+        |FROM p WHERE score >= 4 ORDER BY nation, cust_a, cust_b""".stripMargin,
+    // bigrams once; continuation count = distinct left contexts
+    "q215_continuation_counts" ->
+      raw"""WITH d AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         |bg AS (SELECT ws[i] AS lft, ws[i+1] AS rgt FROM (
+         |    SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM d WHERE len(ws) >= 2)),
+         |sr AS (SELECT rgt AS w, count(DISTINCT lft) AS n_left_distinct, count(*) AS n_as_right
+         |  FROM bg GROUP BY rgt),
+         |sl AS (SELECT lft AS w, count(DISTINCT rgt) AS n_right_distinct FROM bg GROUP BY lft)
+         |SELECT COALESCE(sr.w, sl.w) AS w,
+         |  COALESCE(n_left_distinct, 0) AS n_left_distinct,
+         |  COALESCE(n_right_distinct, 0) AS n_right_distinct,
+         |  COALESCE(n_as_right, 0) AS n_as_right
+         |FROM sr FULL JOIN sl ON sr.w = sl.w ORDER BY w""".stripMargin,
+    // confirmed near-dup edges (the q208 derivation) → two-hop common
+    // neighbors keyed on the middle vertex, direct edges anti-joined
+    "q216_link_prediction" ->
+      s"""WITH $minhashCandCtes,
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |it AS (SELECT c.d1, c.d2, count(*) AS inter FROM cand c
+         |  JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.g = a.g
+         |  GROUP BY 1, 2),
+         |conf AS (SELECT it.d1, it.d2
+         |  FROM it JOIN sz x ON it.d1 = x.doc_id JOIN sz y ON it.d2 = y.doc_id
+         |  WHERE inter * 2 >= x.n_sh + y.n_sh - inter),
+         |e AS (SELECT d1, d2 FROM conf UNION ALL SELECT d2, d1 FROM conf),
+         |tw AS (SELECT x.d1 AS a, y.d2 AS c, count(DISTINCT x.d2) AS n_common
+         |  FROM e x JOIN e y ON x.d2 = y.d1 AND x.d1 < y.d2 GROUP BY 1, 2)
+         |SELECT a, c, n_common,
+         |  CAST(CASE WHEN EXISTS (SELECT 1 FROM conf WHERE conf.d1 = tw.a AND conf.d2 = tw.c)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS is_edge
+         |FROM tw ORDER BY a, c""".stripMargin
   )
 
   /** q210: word-frequency base + three (pairs → argmax → replace) CTE

@@ -4539,4 +4539,131 @@ object Queries {
   // on RocksDB — see graft.streaming.StateV2 for the scale argument
   def transformWithStateStats(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StateV2.lifetimeStats(s, dir)
+
+  // sorted-neighborhood blocking + agreement scoring — the classic
+  // record-linkage candidate generator the LSH family doesn't cover:
+  // records sorted by a blocking key meet only their w nearest
+  // neighbors in sort order, so comparisons are O(n·w) instead of
+  // O(n²). Here: rank within nation by (acctbal, custkey) — a KEYED
+  // window — then two equi-joins on (nation, rank+d), d ∈ {1,2}; the
+  // Fellegi-Sunter-style agreement score (segment match + balance
+  // proximity + id proximity, integer weights) gates the output. At
+  // 100 TB the per-key rank becomes the q67 two-phase distributed
+  // rank (block-local rank + broadcast block offsets) and the
+  // neighbor joins stay equi-keyed — no all-pairs product anywhere.
+  // Boundary loss between sort neighbors > w apart is the method's
+  // documented trade-off (multi-pass with a second sort key is the
+  // standard mitigation).
+  def sortedNeighborPairs(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "customer")
+      .withColumn(
+        "rn",
+        row_number()
+          .over(Window.partitionBy("c_nationkey").orderBy(col("c_acctbal"), col("c_custkey")))
+          .cast("long")
+      )
+    val a = r.select(
+      col("c_nationkey").as("nation"),
+      col("c_custkey").as("cust_a"),
+      col("c_acctbal").as("bal_a"),
+      col("c_mktsegment").as("seg_a"),
+      col("rn").as("rn_a")
+    )
+    val b = r.select(
+      col("c_nationkey").as("nation"),
+      col("c_custkey").as("cust_b"),
+      col("c_acctbal").as("bal_b"),
+      col("c_mktsegment").as("seg_b"),
+      col("rn").as("rn_b")
+    )
+    // neighbor offsets as an exploded join key: (nation, rn + d) is a
+    // plain equi key, so the candidate join hash-partitions cleanly
+    val probes = a
+      .withColumn("d", explode(array(lit(1L), lit(2L))))
+      .withColumn("rn_b", col("rn_a") + col("d"))
+    probes
+      .join(b, Seq("nation", "rn_b"))
+      .withColumn(
+        "score",
+        (when(col("seg_a") === col("seg_b"), 3).otherwise(0)
+          + when(abs(col("bal_a") - col("bal_b")) <= 50.0, 2).otherwise(0)
+          + when(abs(col("cust_a") - col("cust_b")) <= 100, 1).otherwise(0)).cast("long")
+      )
+      .filter(col("score") >= 4)
+      .select("nation", "cust_a", "cust_b", "score")
+      .orderBy("nation", "cust_a", "cust_b")
+  }
+
+  // Kneser-Ney preparation: bigram continuation counts. KN smoothing
+  // backs off to "how many distinct contexts has this word followed"
+  // (continuation count) rather than raw frequency — the table every
+  // n-gram LM trainer materializes. One bigram explode (slice+zip, no
+  // window), then keyed distinct aggregations; output is
+  // vocabulary-cardinality. At 100 TB the bigram frame shuffles
+  // (word, word) pairs — integer-hashable, perfectly partitionable —
+  // and countDistinct is two-phase; nothing global anywhere.
+  def continuationCounts(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextOps.tokens(col("text"))
+    val bg = t(s, dir, "documents")
+      .select(ws.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(
+        explode(
+          zip_with(
+            slice(col("ws"), lit(1), size(col("ws")) - 1),
+            slice(col("ws"), lit(2), size(col("ws")) - 1),
+            (x, y) => struct(x.as("l"), y.as("r"))
+          )
+        ).as("p")
+      )
+      .select(col("p.l").as("lft"), col("p.r").as("rgt"))
+    val asRight = bg
+      .groupBy(col("rgt").as("w"))
+      .agg(countDistinct(col("lft")).as("n_left_distinct"), count(lit(1)).as("n_as_right"))
+    val asLeft = bg
+      .groupBy(col("lft").as("w"))
+      .agg(countDistinct(col("rgt")).as("n_right_distinct"))
+    asRight
+      .join(asLeft, Seq("w"), "full")
+      .select(
+        col("w"),
+        coalesce(col("n_left_distinct"), lit(0L)).as("n_left_distinct"),
+        coalesce(col("n_right_distinct"), lit(0L)).as("n_right_distinct"),
+        coalesce(col("n_as_right"), lit(0L)).as("n_as_right")
+      )
+      .orderBy("w")
+  }
+
+  // common-neighbor link prediction / triadic closure on the near-dup
+  // graph: every pair (a, c) reachable in two hops, with its shared-
+  // neighbor count and whether the edge already exists. Non-adjacent
+  // rows (is_edge = 0) are the predicted links — in a dedup pipeline,
+  // the "these two clusters are about to merge" early warning; the
+  // adjacent rows quantify triadic closure (a fully-closed graph — the
+  // healthy state for near-dup cliques — has NO open rows, which the
+  // data here confirms). The two-hop join is keyed on the middle
+  // vertex over the CONFIRMED edge set (sparse by construction); cost
+  // is Σ deg(b)² over middle vertices — the degree-bounded quantity
+  // every triangle/2-hop algorithm pays (q161's orientation argument),
+  // never |V|². Edge membership is one keyed left join, no product.
+  def commonNeighborPrediction(s: SparkSession, dir: String): DataFrame = {
+    val sh = graft.operators.CandidateGraph.shingles(s, dir)
+    val cand = graft.operators.CandidateGraph.pairs(s, dir)
+    val conf = NearDup.confirmJaccardHalf(cand, sh, "d1", "d2").select("d1", "d2")
+    val e = conf.unionByName(conf.select(col("d2").as("d1"), col("d1").as("d2")))
+    val twoHop = e
+      .select(col("d1").as("a"), col("d2").as("b"))
+      .join(e.select(col("d1").as("b"), col("d2").as("c")), Seq("b"))
+      .filter(col("a") < col("c"))
+      .groupBy("a", "c")
+      .agg(countDistinct(col("b")).as("n_common"))
+    twoHop
+      .join(
+        conf.select(col("d1").as("a"), col("d2").as("c"), lit(1L).as("is_edge")),
+        Seq("a", "c"),
+        "left"
+      )
+      .select(col("a"), col("c"), col("n_common"), coalesce(col("is_edge"), lit(0L)).as("is_edge"))
+      .orderBy("a", "c")
+  }
 }

@@ -847,6 +847,48 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("sorted neighborhood: pairs only within nation and sort distance <= 2; scores in range") {
+    val rows = Queries.sortedNeighborPairs(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sc = r.getAs[Long]("score")
+      assert(sc >= 4L && sc <= 6L)
+      assert(r.getAs[Long]("cust_a") !== r.getAs[Long]("cust_b"))
+    }
+    // candidate volume is O(n·w): never more than 2 pairs per record
+    val cust = graft.sources.Tables.parquet(spark, sfDir, "customer").count()
+    assert(rows.length <= 2 * cust)
+  }
+
+  test("continuation counts: bounded by vocabulary, bigram totals close") {
+    val rows = Queries.continuationCounts(spark, sfDir).collect()
+    val vocab = rows.length.toLong
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_left_distinct") <= vocab)
+      assert(r.getAs[Long]("n_right_distinct") <= vocab)
+      assert(r.getAs[Long]("n_as_right") >= r.getAs[Long]("n_left_distinct"))
+    }
+    // Σ n_as_right = total bigram count = Σ (len(doc) - 1) over docs ≥ 2 tokens
+    val expected = graft.sources.Tables
+      .parquet(spark, sfDir, "documents")
+      .select((size(split(trim(col("text")), "\\s+")) - 1).as("n"))
+      .filter(col("n") >= 1)
+      .agg(sum("n"))
+      .head()
+      .getLong(0)
+    assert(rows.map(_.getAs[Long]("n_as_right")).sum === expected)
+  }
+
+  test("link prediction: common-neighbor counts positive, flags consistent with the edge set") {
+    val rows = Queries.commonNeighborPrediction(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_common") >= 1L)
+      val e = r.getAs[Long]("is_edge")
+      assert(e === 0L || e === 1L)
+      assert(r.getAs[Long]("a") < r.getAs[Long]("c"))
+    }
+  }
+
   test("quality classifier: keep counts bounded by doc counts, linear score reproducible") {
     val rows = Queries.qualityClassifierScore(spark, sfDir).collect()
     val docs = graft.sources.Tables.parquet(spark, sfDir, "documents")
