@@ -2550,7 +2550,61 @@ object Oracles {
          |SELECT a, c, n_common,
          |  CAST(CASE WHEN EXISTS (SELECT 1 FROM conf WHERE conf.d1 = tw.a AND conf.d2 = tw.c)
          |    THEN 1 ELSE 0 END AS BIGINT) AS is_edge
-         |FROM tw ORDER BY a, c""".stripMargin
+         |FROM tw ORDER BY a, c""".stripMargin,
+    // shared shingle CTE → df → per-doc dup share in integer permille
+    "q217_dup_ngram_fraction" ->
+      s"""WITH $ShingleCte,
+         |df AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+         |p AS (SELECT doc_id, count(*) AS n_shingles,
+         |    CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |  FROM sh JOIN df USING (g) GROUP BY doc_id)
+         |SELECT doc_id, n_shingles, n_dup, n_dup * 1000 // n_shingles AS dup_permille
+         |FROM p ORDER BY doc_id""".stripMargin,
+    // power sums in HUGEINT, slope by truncating integer division
+    // (both engines truncate toward zero — verified on negatives)
+    "q218_grouped_trend" ->
+      """WITH d AS (SELECT event_type,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |s AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(x * y) AS sxy FROM d GROUP BY 1)
+        |SELECT event_type, n,
+        |  CAST(sy // n AS BIGINT) AS mean_y_cents,
+        |  CAST((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) AS BIGINT) AS slope_micro_cents
+        |FROM s ORDER BY event_type""".stripMargin,
+    // hash-parity arms; χ² in the cross-multiplied 2×2 integer form
+    "q219_ab_test_report" -> {
+      val h = hx("CAST(user_id AS VARCHAR)")
+      s"""WITH u0 AS (SELECT user_id, count(*) AS ne,
+         |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+         |  FROM events GROUP BY user_id),
+         |u AS (SELECT user_id,
+         |    CASE WHEN np * 5 >= ne THEN 1 ELSE 0 END AS converted,
+         |    $h % 2 AS arm
+         |  FROM u0),
+         |t AS (SELECT
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+         |  FROM u)
+         |SELECT n_a, n_b,
+         |  conv_a * 1000 // n_a AS conv_a_permille,
+         |  conv_b * 1000 // n_b AS conv_b_permille,
+         |  CAST(((n_a + n_b)
+         |      * (conv_a * (n_b - conv_b) - conv_b * (n_a - conv_a))
+         |      * (conv_a * (n_b - conv_b) - conv_b * (n_a - conv_a))
+         |      * 1000)
+         |    // (n_a * n_b * (conv_a + conv_b) * (n_a + n_b - conv_a - conv_b)) AS BIGINT) AS chi2_milli,
+         |  CAST(CASE WHEN ((n_a + n_b)
+         |      * (conv_a * (n_b - conv_b) - conv_b * (n_a - conv_a))
+         |      * (conv_a * (n_b - conv_b) - conv_b * (n_a - conv_a))
+         |      * 1000)
+         |    // (n_a * n_b * (conv_a + conv_b) * (n_a + n_b - conv_a - conv_b)) >= 3841
+         |    THEN 1 ELSE 0 END AS BIGINT) AS significant
+         |FROM t""".stripMargin
+    }
   )
 
   /** q210: word-frequency base + three (pairs → argmax → replace) CTE

@@ -4666,4 +4666,118 @@ object Queries {
       .select(col("a"), col("c"), col("n_common"), coalesce(col("is_edge"), lit(0L)).as("is_edge"))
       .orderBy("a", "c")
   }
+
+  // duplicate-n-gram fraction — the C4/Gopher repetition-ACROSS-corpus
+  // quality signal (q93 measures repetition WITHIN a document): per
+  // document, the share of its distinct 3-gram shingles that occur in
+  // at least one other document. High dup_permille = boilerplate or a
+  // near-copy — the score dedup pipelines threshold on before paying
+  // for pairwise confirmation. Reuses the shared per-dataset shingle
+  // snapshot; document frequency is one keyed count over it, and the
+  // per-doc roll-up joins (shingle → df) back on the same key — two
+  // shuffles total on (shingle), payloads are (id, hashable-string)
+  // pairs. At 100 TB the df table is vocabulary-of-shingles sized and
+  // the join is the same shape q108's stopword pruning already proves.
+  def dupNgramFraction(s: SparkSession, dir: String): DataFrame = {
+    val sh = graft.operators.CandidateGraph.shingles(s, dir)
+    val df = sh.groupBy("g").agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("g"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum((col("df") > 1).cast("long")).as("n_dup")
+      )
+      .withColumn("dup_permille", expr("n_dup * 1000 div n_shingles"))
+      .orderBy("doc_id")
+  }
+
+  // per-group OLS trend as aggregation: daily value-trend per event
+  // type from the five power sums (n, Σx, Σy, Σx², Σxy) — regression
+  // without a solver, the q167/q75 exact-arithmetic posture. Sums
+  // accumulate as DECIMAL(38,0) (associative, partition-invariant, and
+  // immune to the BIGINT overflow n·Σxy hits at large scale under ANSI
+  // mode); the slope surfaces as integer micro-cents-per-day via
+  // truncating division — both engines truncate toward zero, verified.
+  // One keyed aggregation, group-cardinality output; at 100 TB this is
+  // a single two-phase HashAggregate over the fact scan.
+  def groupedTrend(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    t(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(
+        col("event_type"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).cast("long").as("x"),
+        floor(col("value") * 100 + 0.5).cast("long").as("y")
+      )
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy")
+      )
+      .select(
+        col("event_type"),
+        col("n"),
+        expr("CAST(sy div n AS BIGINT)").as("mean_y_cents"),
+        expr("CAST((n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx) AS BIGINT)")
+          .as("slope_micro_cents")
+      )
+      .orderBy("event_type")
+  }
+
+  // deterministic A/B comparison report: users split by hash parity
+  // (the q57 gate), per-arm purchase conversion, and the 2×2 χ²
+  // statistic in its all-integer cross-multiplied form
+  // N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) — significance without a
+  // single floating-point op until the final milli scaling, so the
+  // report is bit-identical on any engine at any parallelism. The
+  // per-user reduction is one keyed aggregation; the 2×2 table is four
+  // numbers, so everything after it is constant-size. χ²(1df, α=.05)
+  // = 3.841 → significant ⟺ chi2_milli ≥ 3841. DECIMAL(38,0)
+  // cross-products: (ad−bc)² overflows BIGINT long before the table
+  // stops fitting in a register.
+  def abTestReport(s: SparkSession, dir: String): DataFrame = {
+    // the per-user binary outcome must VARY at any scale: "has a
+    // purchase" saturates (every user converts once events per user
+    // grow), so the metric is the scale-invariant purchase SHARE —
+    // ≥ 1/5 of the user's events (the multinomial expectation), which
+    // splits the population near 50/50 at every SF
+    val perUser = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("ne"),
+        sum((col("event_type") === "purchase").cast("long")).as("np")
+      )
+      .select(
+        col("user_id"),
+        (col("np") * 5 >= col("ne")).cast("long").as("converted")
+      )
+      .withColumn("arm", TextOps.hash32(col("user_id").cast("string")) % 2)
+    val dec = "decimal(38,0)"
+    perUser
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 0, col("converted")).otherwise(0L)).as("conv_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 1, col("converted")).otherwise(0L)).as("conv_b")
+      )
+      .select(
+        col("n_a"),
+        col("n_b"),
+        expr("conv_a * 1000 div n_a").as("conv_a_permille"),
+        expr("conv_b * 1000 div n_b").as("conv_b_permille"),
+        expr(
+          s"""CAST(
+             |  (CAST(n_a + n_b AS $dec)
+             |   * (CAST(conv_a AS $dec) * (n_b - conv_b) - CAST(conv_b AS $dec) * (n_a - conv_a))
+             |   * (CAST(conv_a AS $dec) * (n_b - conv_b) - CAST(conv_b AS $dec) * (n_a - conv_a))
+             |   * 1000)
+             |  div (CAST(n_a AS $dec) * n_b * (conv_a + conv_b) * (n_a + n_b - conv_a - conv_b))
+             |AS BIGINT)""".stripMargin
+        ).as("chi2_milli")
+      )
+      .withColumn("significant", (col("chi2_milli") >= 3841L).cast("long"))
+  }
 }

@@ -889,6 +889,50 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("dup-ngram fraction: permille bounded, dup count never exceeds shingle count") {
+    val rows = Queries.dupNgramFraction(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dup") <= r.getAs[Long]("n_shingles"))
+      val pm = r.getAs[Long]("dup_permille")
+      assert(pm >= 0L && pm <= 1000L)
+    }
+  }
+
+  test("grouped trend: slope reproduces the closed form on a hand-computed group") {
+    val rows = Queries.groupedTrend(spark, sfDir).collect()
+    assert(rows.length === 5)
+    // recompute one group's slope driver-side from raw rows
+    val raw = graft.sources.Tables
+      .parquet(spark, sfDir, "events")
+      .filter(col("value").isNotNull && col("event_type") === "click")
+      .select(
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).cast("long").as("x"),
+        floor(col("value") * 100 + 0.5).cast("long").as("y")
+      )
+      .collect()
+      .map(r => (BigInt(r.getLong(0)), BigInt(r.getLong(1))))
+    val n = BigInt(raw.length)
+    val sx = raw.map(_._1).sum; val sy = raw.map(_._2).sum
+    val sxx = raw.map(p => p._1 * p._1).sum; val sxy = raw.map(p => p._1 * p._2).sum
+    val expected = ((n * sxy - sx * sy) * 1000000 / (n * sxx - sx * sx)).toLong
+    val got = rows.find(_.getString(0) == "click").get.getAs[Long]("slope_micro_cents")
+    assert(got === expected)
+  }
+
+  test("ab test report: arms partition the users, chi2 non-negative, flag matches threshold") {
+    val r = Queries.abTestReport(spark, sfDir).head()
+    val users = graft.sources.Tables
+      .parquet(spark, sfDir, "events")
+      .select("user_id")
+      .distinct()
+      .count()
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") === users)
+    assert(r.getAs[Long]("chi2_milli") >= 0L)
+    assert(r.getAs[Long]("significant") === (if (r.getAs[Long]("chi2_milli") >= 3841L) 1L else 0L))
+    assert(r.getAs[Long]("conv_a_permille") <= 1000L && r.getAs[Long]("conv_b_permille") <= 1000L)
+  }
+
   test("quality classifier: keep counts bounded by doc counts, linear score reproducible") {
     val rows = Queries.qualityClassifierScore(spark, sfDir).collect()
     val docs = graft.sources.Tables.parquet(spark, sfDir, "documents")
