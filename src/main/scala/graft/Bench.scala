@@ -56,9 +56,14 @@ object Bench {
 
     // numeric ordering: "q9_x" before "q10_x" (lexicographic would
     // interleave the extension tail into the parity head)
-    val ordered = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
-      (name.drop(1).takeWhile(_.isDigit).toInt, name)
-    }
+    // dev-only narrowing (driver never sets it): comma-separated names,
+    // the Verify.SPARK_GRAFT_ONLY convention
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val ordered = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .sortBy { case (name, _) =>
+        (name.drop(1).takeWhile(_.isDigit).toInt, name)
+      }
 
     // warm-up at the smallest tier; ignore failures so a broken query
     // surfaces in its own timed slot, not here. Budget-capped: cold

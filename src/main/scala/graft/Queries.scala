@@ -3916,13 +3916,14 @@ object Queries {
       .withColumn("rn", row_number().over(Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
       .filter(col("rn") === 1)
       .select("doc_id")
-    val cand = graft.operators.CandidateGraph.pairs(s, dir)
-    val sh = graft.operators.CandidateGraph.shingles(s, dir)
-    val survivorCand = cand
+    // per-pair confirmation is independent of the rest of the corpus,
+    // so confirmed-among-survivors ≡ (shared confirmed snapshot)
+    // semi-joined to the survivor set — the expensive shingle-confirm
+    // join never re-runs here
+    val dropped = graft.operators.CandidateGraph
+      .confirmedPairs(s, dir)
       .join(exactKeep.select(col("doc_id").as("d1")), Seq("d1"))
       .join(exactKeep.select(col("doc_id").as("d2")), Seq("d2"))
-    val dropped = NearDup
-      .confirmJaccardHalf(survivorCand, sh, "d1", "d2")
       .select(col("d2").as("doc_id"))
       .distinct()
     val base = flagged.agg(
@@ -4296,11 +4297,7 @@ object Queries {
   // dedup job already materialized.
   def contaminationMatrix(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val cand = graft.operators.CandidateGraph.pairs(s, dir)
-    val sh = graft.operators.CandidateGraph.shingles(s, dir)
-    val confirmed = NearDup
-      .confirmJaccardHalf(cand, sh, "d1", "d2")
-      .select("d1", "d2")
+    val confirmed = graft.operators.CandidateGraph.confirmedPairs(s, dir).select("d1", "d2")
     // no broadcast hint: the (doc_id, source) projection is
     // corpus-cardinality — forcing it onto executors contradicts the
     // 100 TB posture; AQE broadcasts it while small, shuffles beyond
@@ -4379,8 +4376,13 @@ object Queries {
   // left-to-right non-overlapping — replace()'s semantics on BOTH
   // engines (verified on runs like "aaa": first pair merges, the
   // overlapping second does not), so engine and oracle agree exactly.
-  // At 100 TB the corpus scan is the only full pass; the 3 rounds cost
-  // |vocab| each — this is why BPE trainers operate on word counts.
+  // The winning pair is COLLECTED each round (one row — the IVF
+  // trainCentroids precedent) and applied as a literal, keeping every
+  // round's plan shallow over the persisted type table; leaving the
+  // argmax as a crossJoined subtree instead re-derives every earlier
+  // round inside every later one (measured 4.3 s → sub-second at
+  // sf0.1). At 100 TB the corpus scan is the only full pass; the 3
+  // rounds cost |vocab| each — why BPE trainers operate on word counts.
   def bpeMergeRounds(s: SparkSession, dir: String): DataFrame = {
     def syms(c: Column): Column = filter(split(c, "\\|"), x => x =!= "")
     def pairCounts(df: DataFrame): DataFrame = {
@@ -4399,15 +4401,6 @@ object Queries {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("freq")).as("pf"))
     }
-    def bestPair(df: DataFrame): DataFrame =
-      pairCounts(df).orderBy(desc("pf"), col("a"), col("b")).limit(1)
-    def applyMerge(df: DataFrame, best: DataFrame): DataFrame =
-      df.crossJoin(broadcast(best))
-        .withColumn("sym", expr("replace(sym, concat('|', a, '|', b, '|'), concat('|', a, b, '|'))"))
-        .drop("a", "b", "pf")
-    def vocabSize(df: DataFrame): DataFrame =
-      df.select(explode(syms(col("sym"))).as("x"))
-        .agg(countDistinct(col("x")).as("n_sym_after"))
     val words = t(s, dir, "documents")
       .select(explode(TextOps.tokens(col("text"))).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
@@ -4415,20 +4408,24 @@ object Queries {
       .agg(count(lit(1)).as("freq"))
       .select(concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|")).as("sym"), col("freq"))
       .persist()
-    var cur = words
-    val rounds = (1 to 3).map { r =>
-      val best = bestPair(cur)
-      cur = applyMerge(cur, best)
-      best
-        .select(
-          lit(r).as("round"),
-          col("a").as("left_sym"),
-          col("b").as("right_sym"),
-          col("pf").as("pair_freq")
-        )
-        .crossJoin(broadcast(vocabSize(cur)))
-    }
-    rounds.reduce(_ unionByName _).orderBy("round")
+    try {
+      var cur = words
+      val rounds = (1 to 3).map { r =>
+        val best = pairCounts(cur).orderBy(desc("pf"), col("a"), col("b")).limit(1).head()
+        val (a, b, pf) = (best.getString(0), best.getString(1), best.getLong(2))
+        // symbols are [a-z]+ by the word filter — safe as SQL literals
+        cur = cur.withColumn("sym", expr(s"replace(sym, '|$a|$b|', '|$a$b|')"))
+        val nSym = cur
+          .select(explode(syms(col("sym"))).as("x"))
+          .agg(countDistinct(col("x")))
+          .head()
+          .getLong(0)
+        (r, a, b, pf, nSym)
+      }
+      s.createDataFrame(rounds)
+        .toDF("round", "left_sym", "right_sym", "pair_freq", "n_sym_after")
+        .orderBy("round")
+    } finally words.unpersist()
   }
 
   // KMV set-intersection estimation between event-type audiences: the
@@ -4647,9 +4644,7 @@ object Queries {
   // every triangle/2-hop algorithm pays (q161's orientation argument),
   // never |V|². Edge membership is one keyed left join, no product.
   def commonNeighborPrediction(s: SparkSession, dir: String): DataFrame = {
-    val sh = graft.operators.CandidateGraph.shingles(s, dir)
-    val cand = graft.operators.CandidateGraph.pairs(s, dir)
-    val conf = NearDup.confirmJaccardHalf(cand, sh, "d1", "d2").select("d1", "d2")
+    val conf = graft.operators.CandidateGraph.confirmedPairs(s, dir).select("d1", "d2")
     val e = conf.unionByName(conf.select(col("d2").as("d1"), col("d1").as("d2")))
     val twoHop = e
       .select(col("d1").as("a"), col("d2").as("b"))

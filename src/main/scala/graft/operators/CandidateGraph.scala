@@ -30,6 +30,7 @@ import org.apache.spark.sql.functions._
 object CandidateGraph {
   private val cache = new ConcurrentHashMap[String, String]()
   private val shCache = new ConcurrentHashMap[String, String]()
+  private val confCache = new ConcurrentHashMap[String, String]()
 
   /** The word-3-shingle table `(doc_id, g)` for the `documents` table
     * under `dir`, materialized once per dir and shared by every
@@ -80,6 +81,32 @@ object CandidateGraph {
           .mode("overwrite")
           .parquet(s"$scratch/pairs")
         s"$scratch/pairs"
+      }
+    )
+    s.read.parquet(path)
+  }
+
+  /** CONFIRMED near-dup pairs `(d1, d2, inter, n1, n2)` — [[pairs]]
+    * passed through the exact-Jaccard ≥ 0.5 confirm against the shared
+    * [[shingles]] snapshot, materialized once per dir. The confirm (a
+    * shingle × shingle join keyed on the pair ids) is the third
+    * expensive common subexpression after banding and shingling;
+    * the curation funnel (q196), the contamination matrix (q208) and
+    * the link-prediction report (q216) all consume exactly this table.
+    * At 100 TB it is the `confirmed_pairs` table the dedup job
+    * publishes next to its candidate edge list.
+    */
+  def confirmedPairs(s: SparkSession, dir: String): DataFrame = {
+    val path = confCache.computeIfAbsent(
+      dir,
+      _ => {
+        val scratch = Scratch.dir("graft-confpairs")
+        NearDup
+          .confirmJaccardHalf(pairs(s, dir), shingles(s, dir), "d1", "d2")
+          .write
+          .mode("overwrite")
+          .parquet(s"$scratch/conf")
+        s"$scratch/conf"
       }
     )
     s.read.parquet(path)
