@@ -2604,6 +2604,59 @@ object Oracles {
          |    // (n_a * n_b * (conv_a + conv_b) * (n_a + n_b - conv_a - conv_b)) >= 3841
          |    THEN 1 ELSE 0 END AS BIGINT) AS significant
          |FROM t""".stripMargin
+    },
+    // anti-join per surface; checksums recomputable from the erased copy
+    "q220_erasure_audit" -> {
+      val h = hx("CAST(user_id AS VARCHAR)")
+      s"""WITH del AS (SELECT DISTINCT user_id FROM events WHERE $h % 20 = 0),
+         |kept AS (SELECT * FROM events WHERE user_id NOT IN (SELECT user_id FROM del)),
+         |ev AS (SELECT 'events' AS surface, (SELECT count(*) FROM events) AS rows_before,
+         |    count(*) AS rows_after, CAST(sum(event_id) AS BIGINT) AS checksum_after FROM kept),
+         |pu AS (SELECT user_id FROM events GROUP BY user_id),
+         |puk AS (SELECT user_id FROM pu WHERE user_id NOT IN (SELECT user_id FROM del)),
+         |up AS (SELECT 'user_profiles' AS surface, (SELECT count(*) FROM pu) AS rows_before,
+         |    count(*) AS rows_after, CAST(sum(user_id) AS BIGINT) AS checksum_after FROM puk)
+         |SELECT surface, rows_before, rows_before - rows_after AS rows_deleted,
+         |  rows_after, checksum_after
+         |FROM (SELECT * FROM ev UNION ALL SELECT * FROM up) ORDER BY surface""".stripMargin
+    },
+    // the q212 score bucketed at width 200, observed q92 pass rate
+    "q221_classifier_calibration" ->
+      raw"""WITH d AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ws,
+         |    len(regexp_replace(trim(text), '\s+', '', 'g')) AS sum_len FROM documents),
+         |f AS (SELECT CAST(len(ws) AS BIGINT) AS n_tok,
+         |    CAST(len(list_filter(ws, x -> list_contains(['the','a','and','is','of'], x))) AS BIGINT) * 1000 AS sm,
+         |    CAST(len(list_distinct(ws)) AS BIGINT) * 1000 AS dm,
+         |    CASE WHEN len(ws) BETWEEN 30 AND 600 AND sum_len >= len(ws) * 3 AND sum_len <= len(ws) * 6
+         |      AND len(list_filter(ws, x -> list_contains(['the','a','and','is','of'], x))) * 50 >= len(ws)
+         |      AND len(list_distinct(ws)) * 5 >= len(ws) THEN 1 ELSE 0 END AS pass FROM d),
+         |sc AS (SELECT n_tok * 10 + (sm // n_tok) * 3 + (dm // n_tok) * 2 AS score, pass FROM f)
+         |SELECT score // 200 AS bucket, count(*) AS n, CAST(sum(pass) AS BIGINT) AS n_pass,
+         |  CAST(sum(pass) AS BIGINT) * 1000 // count(*) AS pass_permille
+         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    // upper-triangle power sums; float×float exact in double, decimal
+    // cast per the q102 convention; covariance assembled in fixed-order
+    // double ops
+    "q222_embedding_covariance" -> {
+      val cov = away(
+        "(CAST(sxy AS DOUBLE) * n_vecs - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (n_vecs * n_vecs)",
+        6
+      )
+      """WITH prs AS (SELECT i.i AS dim_i, j.j AS dim_j
+        |  FROM (SELECT unnest(generate_series(1, 6)) AS i) i,
+        |       (SELECT unnest(generate_series(1, 6)) AS j) j
+        |  WHERE j.j >= i.i),
+        |p AS (SELECT dim_i, dim_j,
+        |    CAST(embedding[CAST(dim_i AS INTEGER)] AS DECIMAL(25,12)) AS dx,
+        |    CAST(embedding[CAST(dim_j AS INTEGER)] AS DECIMAL(25,12)) AS dy,
+        |    CAST(CAST(embedding[CAST(dim_i AS INTEGER)] AS DOUBLE)
+        |       * CAST(embedding[CAST(dim_j AS INTEGER)] AS DOUBLE) AS DECIMAL(25,12)) AS dxy
+        |  FROM embeddings, prs),
+        |s AS (SELECT dim_i, dim_j, count(*) AS n_vecs,
+        |    sum(dx) AS sx, sum(dy) AS sy, sum(dxy) AS sxy
+        |  FROM p GROUP BY 1, 2)
+        |SELECT CAST(dim_i AS INTEGER) AS dim_i, CAST(dim_j AS INTEGER) AS dim_j, n_vecs,
+        |""".stripMargin + cov + " AS cov_val FROM s ORDER BY dim_i, dim_j"
     }
   )
 

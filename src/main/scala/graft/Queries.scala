@@ -4775,4 +4775,126 @@ object Queries {
       )
       .withColumn("significant", (col("chi2_milli") >= 3841L).cast("long"))
   }
+
+  // right-to-erasure propagation audit — the operational privacy pass
+  // (q119 scrubs PII in place; this DELETES whole subjects): a
+  // deterministic delete cohort (hash ≡ 0 mod 20 — the stand-in for
+  // the request list), anti-joined through every user-keyed surface,
+  // with the audit a compliance review needs: rows before/deleted/
+  // after per surface plus a post-deletion checksum the re-audit can
+  // recompute from the erased copy alone. Three surfaces prove the
+  // propagation shapes: the raw fact table (row-level anti join), the
+  // per-user aggregate (subject-level anti join), and the distinct
+  // subject dimension. At 100 TB the delete list is request-sized —
+  // always broadcast — and every anti join is one keyed pass; the
+  // checksums are associative integer sums, so the audit row merges
+  // across partitions like any other aggregate.
+  def erasureAudit(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val del = ev
+      .select(col("user_id"))
+      .distinct()
+      .filter(TextOps.hash32(col("user_id").cast("string")) % 20 === 0)
+    val evAudit = ev
+      .join(broadcast(del), Seq("user_id"), "left_anti")
+      .agg(count(lit(1)).as("rows_after"), sum(col("event_id")).as("checksum_after"))
+      .crossJoin(broadcast(ev.agg(count(lit(1)).as("rows_before"))))
+    val perUser = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+    val userAudit = perUser
+      .join(broadcast(del), Seq("user_id"), "left_anti")
+      .agg(count(lit(1)).as("rows_after"), sum(col("user_id")).as("checksum_after"))
+      .crossJoin(broadcast(perUser.agg(count(lit(1)).as("rows_before"))))
+    evAudit
+      .withColumn("surface", lit("events"))
+      .unionByName(userAudit.withColumn("surface", lit("user_profiles")))
+      .select(
+        col("surface"),
+        col("rows_before"),
+        (col("rows_before") - col("rows_after")).as("rows_deleted"),
+        col("rows_after"),
+        col("checksum_after")
+      )
+      .orderBy("surface")
+  }
+
+  // classifier calibration curve — "is the score a probability?": the
+  // q212 linear score bucketed (fixed-width, score div 200), each
+  // bucket's observed q92 rule-suite pass rate in integer permille.
+  // This is the ML-ops audit that decides whether a threshold is
+  // transferable: a calibrated score has monotone pass rates; this
+  // corpus's curve peaks mid-range, which is exactly the finding the
+  // report exists to surface. One projection pass computes score and
+  // ground truth together (no join — the q201 zero-join posture), one
+  // keyed aggregation at bucket cardinality.
+  def classifierCalibration(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextOps.tokens(col("text"))
+    val nTok = size(ws).cast("long")
+    val nStop = size(filter(ws, w => w.isInCollection(Seq("the", "a", "and", "is", "of")))).cast("long")
+    val nDistinct = size(array_distinct(ws)).cast("long")
+    val pass = qualityFlags(col("text")).all
+    t(s, dir, "documents")
+      .select(
+        (nStop * 1000).as("stop_milli"),
+        (nDistinct * 1000).as("div_milli"),
+        nTok.as("n_tok"),
+        pass.cast("long").as("pass")
+      )
+      // the IDENTICAL q212 score formula — calibration audits THAT model
+      .select(
+        (col("n_tok") * 10 + expr("stop_milli div n_tok") * 3 + expr("div_milli div n_tok") * 2)
+          .as("score"),
+        col("pass")
+      )
+      .groupBy(expr("score div 200").as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("pass")).as("n_pass")
+      )
+      .withColumn("pass_permille", expr("n_pass * 1000 div n"))
+      .orderBy("bucket")
+  }
+
+  // embedding covariance entries — the statistics PCA/whitening starts
+  // from, as ONE keyed aggregation: upper-triangle (i ≤ j) dimension
+  // pairs over the leading 6 dims explode per row (21 pairs — a
+  // constant fan-out), per-pair power sums accumulate as
+  // DECIMAL(25,12) (float×float products are EXACT in double — 24-bit
+  // mantissas fit 53 — and the decimal cast rounds identically on
+  // both engines, the q102 convention), and the covariance assembles
+  // once per pair in fixed-order double arithmetic. Output is
+  // dims²-cardinality. At 100 TB: the shuffle carries 21 decimal
+  // partials per input partition, nothing else — the full 64×64
+  // matrix is the same query with a 2080-pair fan-out.
+  def embeddingCovariance(s: SparkSession, dir: String): DataFrame = {
+    val dims = 6
+    val prs = for { i <- 1 to dims; j <- i to dims } yield (i, j)
+    t(s, dir, "embeddings")
+      .select(col("embedding"), explode(typedLit(prs)).as("p"))
+      .select(
+        col("p._1").as("dim_i"),
+        col("p._2").as("dim_j"),
+        element_at(col("embedding"), col("p._1")).as("x"),
+        element_at(col("embedding"), col("p._2")).as("y")
+      )
+      .groupBy("dim_i", "dim_j")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("x").cast("decimal(25,12)")).as("sx"),
+        sum(col("y").cast("decimal(25,12)")).as("sy"),
+        sum((col("x").cast("double") * col("y").cast("double")).cast("decimal(25,12)")).as("sxy")
+      )
+      .select(
+        col("dim_i"),
+        col("dim_j"),
+        col("n_vecs"),
+        NumOps
+          .roundAway(
+            (col("sxy").cast("double") * col("n_vecs") - col("sx").cast("double") * col("sy").cast("double"))
+              / (col("n_vecs") * col("n_vecs")),
+            6
+          )
+          .as("cov_val")
+      )
+      .orderBy("dim_i", "dim_j")
+  }
 }

@@ -933,6 +933,43 @@ class QueriesSpec extends SparkSpec {
     assert(r.getAs[Long]("conv_a_permille") <= 1000L && r.getAs[Long]("conv_b_permille") <= 1000L)
   }
 
+  test("erasure audit: deletion accounting closes and nothing from the cohort survives") {
+    val rows = Queries.erasureAudit(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("surface")).toSet === Set("events", "user_profiles"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rows_before") === r.getAs[Long]("rows_deleted") + r.getAs[Long]("rows_after"))
+      assert(r.getAs[Long]("rows_deleted") >= 0L)
+    }
+    // re-derive the cohort and prove zero surviving rows reference it
+    val ev = graft.sources.Tables.parquet(spark, sfDir, "events")
+    val survivors = ev.filter(functions.TextOps.hash32(col("user_id").cast("string")) % 20 =!= 0)
+    val evRow = rows.find(_.getAs[String]("surface") == "events").get
+    assert(survivors.count() === evRow.getAs[Long]("rows_after"))
+  }
+
+  test("calibration: buckets partition the corpus, rates bounded") {
+    val rows = Queries.classifierCalibration(spark, sfDir).collect()
+    val docs = graft.sources.Tables.parquet(spark, sfDir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n")).sum === docs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pass") <= r.getAs[Long]("n"))
+      val pm = r.getAs[Long]("pass_permille")
+      assert(pm >= 0L && pm <= 1000L)
+    }
+  }
+
+  test("embedding covariance: diagonal non-negative, symmetric pairs present once, n constant") {
+    val rows = Queries.embeddingCovariance(spark, sfDir).collect()
+    assert(rows.length === 21) // 6 dims upper triangle
+    val n = rows.head.getAs[Long]("n_vecs")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") === n)
+      assert(r.getAs[Int]("dim_i") <= r.getAs[Int]("dim_j"))
+      if (r.getAs[Int]("dim_i") == r.getAs[Int]("dim_j"))
+        assert(r.getAs[Double]("cov_val") >= 0.0, s"negative variance: $r")
+    }
+  }
+
   test("quality classifier: keep counts bounded by doc counts, linear score reproducible") {
     val rows = Queries.qualityClassifierScore(spark, sfDir).collect()
     val docs = graft.sources.Tables.parquet(spark, sfDir, "documents")
