@@ -2657,7 +2657,45 @@ object Oracles {
         |  FROM p GROUP BY 1, 2)
         |SELECT CAST(dim_i AS INTEGER) AS dim_i, CAST(dim_j AS INTEGER) AS dim_j, n_vecs,
         |""".stripMargin + cov + " AS cov_val FROM s ORDER BY dim_i, dim_j"
-    }
+    },
+    // q37's islands plus the timer rule: last islands emit iff
+    // end + gap ≤ (ms-floored max event time − 1 h delay) — the exact
+    // watermark replay (q133 discipline)
+    "q223_timer_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch_ms(ts) AS tms, value, event_id,
+        |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 43200000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tms, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM x),
+        |s AS (SELECT user_id, grp, min(tms) AS start_ms, max(tms) AS end_ms,
+        |        count(*) AS n_events,
+        |        CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        |      FROM g GROUP BY user_id, grp),
+        |m AS (SELECT user_id, max(grp) AS maxgrp FROM s GROUP BY user_id),
+        |w AS (SELECT max(epoch_ms(ts)) - 3600000 AS wm FROM events)
+        |SELECT s.user_id, s.start_ms, s.end_ms, s.n_events, s.sum_value
+        |FROM s JOIN m ON s.user_id = m.user_id, w
+        |WHERE s.grp < m.maxgrp OR s.end_ms + 43200000 <= w.wm
+        |ORDER BY s.user_id, s.start_ms""".stripMargin,
+    // DuckDB's native LATERAL — same top-3-per-customer contract
+    "q224_lateral_topk" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice
+        |  FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 3
+        |) o
+        |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin,
+    // the UDF body inlined — what Catalyst does on the Spark side
+    "q225_sql_udf" ->
+      raw"""SELECT source, count(*) AS n_docs,
+         |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+         |  CAST(max(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS max_tokens
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
 
   /** q210: word-frequency base + three (pairs → argmax → replace) CTE

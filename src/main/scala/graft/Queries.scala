@@ -4537,6 +4537,58 @@ object Queries {
   def transformWithStateStats(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StateV2.lifetimeStats(s, dir)
 
+  // event-time timers close sessions (the v2 API's eviction story);
+  // emitted set = in-batch closures + timer closures at the final
+  // watermark — see StateV2.SessionTimers for the replay rule
+  def timerSessions(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StateV2.timerSessions(s, dir)
+
+  // correlated LATERAL subquery with LIMIT — "top 3 orders per
+  // customer" in the form analysts actually write it. Catalyst
+  // decorrelates the per-row subquery into a window-rank plan (no
+  // per-customer re-execution — the same physical shape as q121's
+  // explicit rank window; PlanSpec pins no-nested-loop), so the SQL
+  // sugar costs nothing at scale: one keyed exchange, rank, filter.
+  def lateralTopK(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_lat")
+    t(s, dir, "customer").createOrReplaceTempView("customer_lat")
+    s.sql("""
+      SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      FROM customer_lat c
+      JOIN LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders_lat o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 3
+      ) o
+      ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
+    """)
+  }
+
+  // SQL-defined scalar function (Spark 4 SQL UDF): the engine's
+  // extension surface for analysts who write SQL, not Scala — the
+  // function body is an EXPRESSION, so Catalyst inlines it into the
+  // calling plan (plain codegen'd ops, no serialization wall, unlike
+  // a lambda UDF). The declaration is session state; the plan below
+  // is identical to writing the expression inline — which is exactly
+  // what the oracle does.
+  def sqlUdfTokens(s: SparkSession, dir: String): DataFrame = {
+    s.sql("""
+      CREATE OR REPLACE TEMPORARY FUNCTION graft_tok_count(t STRING)
+      RETURNS BIGINT
+      RETURN CAST(size(split(trim(t), '\\s+')) AS BIGINT)
+    """)
+    t(s, dir, "documents").createOrReplaceTempView("documents_udf")
+    s.sql("""
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(graft_tok_count(text)) AS BIGINT) AS n_tokens,
+        CAST(max(graft_tok_count(text)) AS BIGINT) AS max_tokens
+      FROM documents_udf
+      GROUP BY source ORDER BY source
+    """)
+  }
+
   // sorted-neighborhood blocking + agreement scoring — the classic
   // record-linkage candidate generator the LSH family doesn't cover:
   // records sorted by a blocking key meet only their w nearest

@@ -74,6 +74,112 @@ object StateV2 {
   private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
   private val RocksDb = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  /** Event-time-timer sessionization — the v2 API's marquee feature
+    * over q37's `flatMapGroupsWithState`: instead of open sessions
+    * sitting in state forever (q37's NoTimeout contract), each key
+    * re-arms ONE timer at last-seen + gap; when the WATERMARK passes
+    * it, `handleExpiredTimer` emits the session and clears the state.
+    * In-batch closures (a later event > gap after) emit immediately,
+    * exactly like q37. Under available-now the engine runs a final
+    * no-data micro-batch after the watermark advances, so sessions
+    * whose (end + gap) ≤ final watermark close DETERMINISTICALLY —
+    * the emitted set replays as: all islands closed by a successor,
+    * plus last islands with end + gap ≤ (ms-floored max event time −
+    * delay), which is precisely what the oracle computes (the q133
+    * watermark-replay discipline). At 100 TB this is how streaming
+    * session state stays bounded: the timer IS the eviction policy.
+    */
+  class SessionTimers(gapMs: Long) extends StatefulProcessor[Long, Sessionize.Event, Sessionize.Session] {
+    @transient private var st: ValueState[Sessionize.SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Sessionize.SessionState](
+        "session",
+        Encoders.product[Sessionize.SessionState],
+        TTLConfig.NONE
+      )
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[Sessionize.Event],
+        timers: TimerValues
+    ): Iterator[Sessionize.Session] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Sessionize.Session]
+      var cur = if (st.exists()) Option(st.get()) else None
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        val cents = math.round(e.value * 100.0)
+        cur match {
+          case Some(s) if t - s.lastSeenMs > gapMs =>
+            out += Sessionize.Session(key, s.startMs, s.lastSeenMs, s.nEvents, s.cents / 100.0)
+            cur = Some(Sessionize.SessionState(t, t, 1L, cents))
+          case Some(s) =>
+            cur = Some(Sessionize.SessionState(s.startMs, t, s.nEvents + 1, s.cents + cents))
+          case None =>
+            cur = Some(Sessionize.SessionState(t, t, 1L, cents))
+        }
+      }
+      cur.foreach(st.update)
+      // exactly one live timer per key: re-arm at last-seen + gap
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      cur.foreach(s => getHandle.registerTimer(s.lastSeenMs + gapMs))
+      out.iterator
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo
+    ): Iterator[Sessionize.Session] =
+      if (st.exists()) {
+        val s = st.get()
+        st.clear()
+        Iterator.single(Sessionize.Session(key, s.startMs, s.lastSeenMs, s.nEvents, s.cents / 100.0))
+      } else Iterator.empty
+  }
+
+  /** Run timer-closed sessionization (gap 12 h, watermark delay 1 h)
+    * over the static events table through available-now.
+    */
+  def timerSessions(spark: SparkSession, dir: String): DataFrame = {
+    val prev = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey, RocksDb)
+    try {
+      StateConf.withStatePartitions(spark, 8) {
+        import spark.implicits._
+        val events = graft.sources.Tables
+          .eventsStream(spark, dir)
+          .select(col("event_id"), col("user_id"), col("ts").cast("timestamp").as("ts"), col("value"))
+          .withWatermark("ts", "1 hour")
+          .as[Sessionize.Event]
+        val sessions = events
+          .groupByKey(_.user_id)
+          .transformWithState(
+            new SessionTimers(12L * 3600 * 1000),
+            TimeMode.EventTime(),
+            OutputMode.Append()
+          )
+        val name = s"graft_timersess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val q = sessions.writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination()
+        finally q.stop()
+        spark
+          .table(name)
+          .select("user_id", "start_ms", "end_ms", "n_events", "sum_value")
+          .orderBy("user_id", "start_ms")
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(ProviderKey, v)
+      case None => spark.conf.unset(ProviderKey)
+    }
+  }
+
   /** Run the lifetime-stats processor over the static events table
     * through the streaming engine (available-now, RocksDB provider —
     * transformWithState requires it) and keep each user's final row.

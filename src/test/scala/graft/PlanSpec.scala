@@ -442,4 +442,29 @@ class PlanSpec extends SparkSpec {
     val p = j.queryExecution.executedPlan.toString
     assert(p.contains("skew=true"), s"OptimizeSkewedJoin did not fire:\n$p")
   }
+
+  test("sorted neighborhood (q214): candidate joins are equi-keyed — no product anywhere") {
+    val p = plan(Queries.sortedNeighborPairs(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"neighbor probes must join on (nation, rank+d):\n$p")
+  }
+
+  test("lateral top-k (q224): the correlated LIMIT decorrelates into a rank window — no per-row subquery") {
+    val p = plan(Queries.lateralTopK(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LATERAL must decorrelate:\n$p")
+    assert(p.contains("Window"), s"expected the rank-window rewrite of the correlated LIMIT:\n$p")
+  }
+
+  test("embedding covariance (q222): one two-phase aggregation, constant fan-out, zero joins") {
+    val p = plan(Queries.embeddingCovariance(spark, sfDir))
+    assert(!p.contains("Join"), s"covariance is a single keyed pass:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final HashAggregate")
+  }
+
+  test("erasure audit (q220): the delete cohort broadcasts onto every surface") {
+    val p = plan(Queries.erasureAudit(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), s"the request-sized cohort must broadcast:\n$p")
+  }
 }

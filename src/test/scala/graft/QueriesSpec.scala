@@ -970,6 +970,40 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("timer sessions: a superset of q37's closed sessions, never more than all islands") {
+    val withTimers = Queries.timerSessions(spark, sfDir).collect()
+    val closedOnly = graft.streaming.Sessionize.run(spark, sfDir, gapMinutes = 720).collect()
+    // every successor-closed session also appears in the timer run
+    val timerKeys = withTimers.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_ms"))).toSet
+    closedOnly.foreach { s =>
+      assert(timerKeys.contains((s.user_id, s.start_ms)), s"q37 session missing under timers: $s")
+    }
+    assert(withTimers.length >= closedOnly.length)
+  }
+
+  test("lateral top-k: at most 3 orders per customer, descending within customer") {
+    val rows = Queries.lateralTopK(spark, sfDir).collect()
+    rows.groupBy(_.getAs[Long]("c_custkey")).foreach { case (_, g) =>
+      assert(g.length <= 3)
+      val prices = g.map(_.getAs[Double]("o_totalprice")).toSeq
+      assert(prices === prices.sorted.reverse)
+    }
+  }
+
+  test("sql udf: totals equal the inline-expression computation") {
+    val viaUdf = Queries.sqlUdfTokens(spark, sfDir).collect()
+    val inline = graft.sources.Tables
+      .parquet(spark, sfDir, "documents")
+      .groupBy("source")
+      .agg(sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tokens"))
+      .collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_tokens"))
+      .toMap
+    viaUdf.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") === inline(r.getAs[String]("source")))
+    }
+  }
+
   test("quality classifier: keep counts bounded by doc counts, linear score reproducible") {
     val rows = Queries.qualityClassifierScore(spark, sfDir).collect()
     val docs = graft.sources.Tables.parquet(spark, sfDir, "documents")
