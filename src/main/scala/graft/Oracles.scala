@@ -2695,7 +2695,18 @@ object Oracles {
       raw"""SELECT source, count(*) AS n_docs,
          |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
          |  CAST(max(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS max_tokens
-         |FROM documents GROUP BY source ORDER BY source""".stripMargin
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // the MapState run reduces to the plain keyed count
+    "q226_mapstate_type_counts" ->
+      """SELECT user_id, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
+    // earliest-3 per user by (ms-floored ts, event_id) — the engine
+    // compares unix_millis, so the oracle must rank on epoch_ms too
+    "q227_liststate_earliest" ->
+      """SELECT user_id, CAST(rnk AS INTEGER) AS rnk, event_id, ts_ms FROM (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS rnk
+        |  FROM events) WHERE rnk <= 3 ORDER BY user_id, rnk""".stripMargin
   )
 
   /** q210: word-frequency base + three (pairs → argmax → replace) CTE

@@ -4543,6 +4543,14 @@ object Queries {
   def timerSessions(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StateV2.timerSessions(s, dir)
 
+  // MapState: per-user event-type counts as per-entry KV state
+  def mapStateTypeCounts(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StateV2.typeCounts(s, dir)
+
+  // ListState: earliest-3 events per user, k-bounded state by construction
+  def listStateEarliest(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StateV2.earliestEvents(s, dir)
+
   // correlated LATERAL subquery with LIMIT — "top 3 orders per
   // customer" in the form analysts actually write it. Catalyst
   // decorrelates the per-row subquery into a window-rank plan (no

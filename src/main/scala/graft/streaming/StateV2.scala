@@ -139,6 +139,133 @@ object StateV2 {
       } else Iterator.empty
   }
 
+  final case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** MapState: per-user map event_type → count. Each touched key emits
+    * its full map each batch (counts are monotone per entry, so the
+    * final row per (user, type) is the max — the q213 dedup rule). The
+    * map is domain-sized per user (≤ |event types| entries), the
+    * canonical MapState shape: point lookups and single-entry updates
+    * instead of deserializing a whole per-key blob (what ValueState of
+    * a Map would cost) — on RocksDB each entry is its own KV pair.
+    */
+  class TypeCounts extends StatefulProcessor[Long, Ev2, TypeCount] {
+    @transient private var st: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getMapState[String, Long](
+        "counts",
+        Encoders.STRING,
+        Encoders.scalaLong,
+        TTLConfig.NONE
+      )
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev2], timers: TimerValues): Iterator[TypeCount] = {
+      rows.foreach { e =>
+        val cur = if (st.containsKey(e.event_type)) st.getValue(e.event_type) else 0L
+        st.updateValue(e.event_type, cur + 1L)
+      }
+      st.iterator().map { case (t, n) => TypeCount(key, t, n) }
+    }
+  }
+
+  final case class Ev2(user_id: Long, event_type: String)
+  final case class EarlyEv(user_id: Long, rnk: Int, event_id: Long, ts_ms: Long)
+
+  /** ListState: the earliest 3 events per user. The state list is
+    * REWRITTEN each batch as the sorted-truncated merge of (state ∪
+    * batch) — an order-independent fold, so the emitted k-set only
+    * ever improves toward the true earliest-k whatever the micro-batch
+    * layout; the final row per (user, rank) is the lexicographic min
+    * (the dedup rule below). Bounded state by construction: k rows per
+    * key, ever — the ListState shape for "keep a small top-k per key"
+    * streaming state.
+    */
+  class EarliestK(k: Int) extends StatefulProcessor[Long, Ev, EarlyEv] {
+    @transient private var st: org.apache.spark.sql.streaming.ListState[EarlyEv] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getListState[EarlyEv]("early", Encoders.product[EarlyEv], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev], timers: TimerValues): Iterator[EarlyEv] = {
+      val prev = if (st.exists()) st.get().toSeq else Seq.empty
+      val merged = (prev ++ rows.map(e => EarlyEv(key, 0, e.event_id, e.ts_ms)))
+        .sortBy(e => (e.ts_ms, e.event_id))
+        .take(k)
+        .zipWithIndex
+        .map { case (e, i) => e.copy(rnk = i + 1) }
+      st.put(merged.toArray)
+      merged.iterator
+    }
+  }
+
+  /** Run the MapState type counter; final row per (user, type) = max n. */
+  def typeCounts(spark: SparkSession, dir: String): DataFrame =
+    runAvailableNow(spark) {
+      import spark.implicits._
+      graft.sources.Tables
+        .eventsStream(spark, dir)
+        .select(col("user_id"), col("event_type"))
+        .as[Ev2]
+        .groupByKey(_.user_id)
+        .transformWithState(new TypeCounts, TimeMode.None(), OutputMode.Update())
+    } { t =>
+      graft.operators.Dedup
+        .keepOnePerKey(t, key = Seq(col("user_id"), col("event_type")), order = Seq(col("n").desc))
+        .orderBy("user_id", "event_type")
+    }
+
+  /** Run the ListState earliest-3; final row per (user, rank) = lex min. */
+  def earliestEvents(spark: SparkSession, dir: String): DataFrame =
+    runAvailableNow(spark) {
+      import spark.implicits._
+      graft.sources.Tables
+        .eventsStream(spark, dir)
+        .select(
+          col("event_id"),
+          col("user_id"),
+          expr("unix_millis(ts)").as("ts_ms"),
+          lit(0L).as("cents"),
+          lit(0L).as("is_purchase")
+        )
+        .as[Ev]
+        .groupByKey(_.user_id)
+        .transformWithState(new EarliestK(3), TimeMode.None(), OutputMode.Update())
+    } { t =>
+      graft.operators.Dedup
+        .keepOnePerKey(t, key = Seq(col("user_id"), col("rnk")), order = Seq(col("ts_ms"), col("event_id")))
+        .orderBy("user_id", "rnk")
+    }
+
+  /** Shared runner: RocksDB provider + 8 state partitions + available-
+    * now through a memory sink; `finish` post-processes the emitted
+    * table (the per-batch emissions) into the final frame.
+    */
+  private def runAvailableNow(
+      spark: SparkSession
+  )(build: => org.apache.spark.sql.Dataset[_])(finish: DataFrame => DataFrame): DataFrame = {
+    val prev = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey, RocksDb)
+    try {
+      StateConf.withStatePartitions(spark, 8) {
+        val rows = build
+        val name = s"graft_statev2_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val q = rows.writeStream
+          .outputMode("update")
+          .format("memory")
+          .queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination()
+        finally q.stop()
+        finish(spark.table(name))
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(ProviderKey, v)
+      case None => spark.conf.unset(ProviderKey)
+    }
+  }
+
   /** Run timer-closed sessionization (gap 12 h, watermark delay 1 h)
     * over the static events table through available-now.
     */

@@ -41,4 +41,46 @@ class StateV2Spec extends SparkSpec {
       assert(s.getAs[Long]("n_purchase") === b.getAs[Long]("n_purchase"))
     }
   }
+
+  test("mapstate type counts equal the batch keyed count") {
+    val streamed = graft.Queries.mapStateTypeCounts(spark, sfDir).collect()
+    val batch = graft.sources.Tables
+      .parquet(spark, sfDir, "events")
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("user_id", "event_type")
+      .collect()
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getAs[Long]("user_id") === b.getAs[Long]("user_id"))
+      assert(s.getAs[String]("event_type") === b.getAs[String]("event_type"))
+      assert(s.getAs[Long]("n") === b.getAs[Long]("n"))
+    }
+  }
+
+  test("liststate earliest-k: exactly the batch rank-window answer, k-bounded per user") {
+    val streamed = graft.Queries.listStateEarliest(spark, sfDir).collect()
+    streamed.groupBy(_.getAs[Long]("user_id")).foreach { case (_, g) =>
+      assert(g.length <= 3)
+      assert(g.map(_.getAs[Int]("rnk")).sorted.toSeq === (1 to g.length))
+    }
+    val batch = graft.sources.Tables
+      .parquet(spark, sfDir, "events")
+      .withColumn("ts_ms", expr("unix_millis(ts)"))
+      .withColumn(
+        "rnk",
+        org.apache.spark.sql.functions.row_number
+          .over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("user_id")
+              .orderBy(col("ts_ms"), col("event_id"))
+          )
+      )
+      .filter(col("rnk") <= 3)
+      .orderBy("user_id", "rnk")
+      .select("user_id", "rnk", "event_id", "ts_ms")
+      .collect()
+    assert(streamed.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+      === batch.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq)
+  }
 }
