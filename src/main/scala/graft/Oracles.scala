@@ -2501,12 +2501,10 @@ object Oracles {
          |FROM sc GROUP BY source ORDER BY source""".stripMargin,
     // the v2-state streaming run reduces to the per-user lifetime
     // aggregate; cents via the exact-IEEE floor(v·100 + 0.5) form
-    "q213_transform_with_state" ->
-      """SELECT user_id, count(*) AS n_events,
-        |  CAST(sum(COALESCE(CAST(floor(value * 100 + 0.5) AS BIGINT), 0)) AS BIGINT) AS sum_cents,
-        |  min(epoch_ms(ts)) AS first_ms, max(epoch_ms(ts)) AS last_ms,
-        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q213_transform_with_state" -> lifetimeStatsSql,
+    // warm-start (batch snapshot + streamed delta) must equal the SAME
+    // full aggregate — state bootstrap ≡ recompute, by construction
+    "q228_initial_state" -> lifetimeStatsSql,
     // rank within nation, neighbors at sort distance 1-2, integer
     // agreement weights (segment 3 + balance 2 + id 1), gate at 4
     "q214_sorted_neighbor_pairs" ->
@@ -2706,8 +2704,35 @@ object Oracles {
       """SELECT user_id, CAST(rnk AS INTEGER) AS rnk, event_id, ts_ms FROM (
         |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
         |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS rnk
-        |  FROM events) WHERE rnk <= 3 ORDER BY user_id, rnk""".stripMargin
+        |  FROM events) WHERE rnk <= 3 ORDER BY user_id, rnk""".stripMargin,
+    // every number re-derived from the engine's written files
+    "q229_range_layout" ->
+      """WITH f AS (SELECT filename AS fn, count(*) AS n,
+        |    min(o_orderdate) AS lo, max(o_orderdate) AS hi
+        |  FROM read_parquet('/tmp/graft_range_layout/sf0.01/orders/*.parquet', filename=true)
+        |  GROUP BY filename),
+        |a AS (SELECT *, lead(lo) OVER (ORDER BY lo, fn) AS next_lo FROM f)
+        |SELECT count(*) AS n_files, CAST(sum(n) AS BIGINT) AS n_rows,
+        |  min(lo) AS span_start, max(hi) AS span_end,
+        |  CAST(sum(CASE WHEN next_lo IS NOT NULL AND hi > next_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_overlaps,
+        |  CAST(CASE WHEN sum(CASE WHEN next_lo IS NOT NULL AND hi > next_lo THEN 1 ELSE 0 END) = 0
+        |    THEN 1 ELSE 0 END AS BIGINT) AS layout_disjoint
+        |FROM a""".stripMargin,
+    // footer-exact global aggregates
+    "q230_agg_pushdown" ->
+      """SELECT count(*) AS n_rows, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust FROM orders""".stripMargin
   )
+
+  /** Shared by q213 (plain v2-state run) and q228 (warm-start run) —
+    * both must equal the full per-user lifetime aggregate.
+    */
+  private lazy val lifetimeStatsSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(COALESCE(CAST(floor(value * 100 + 0.5) AS BIGINT), 0)) AS BIGINT) AS sum_cents,
+      |  min(epoch_ms(ts)) AS first_ms, max(epoch_ms(ts)) AS last_ms,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** q210: word-frequency base + three (pairs → argmax → replace) CTE
     * rounds; vocab size recounted after each merge.

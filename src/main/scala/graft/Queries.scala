@@ -4551,6 +4551,86 @@ object Queries {
   def listStateEarliest(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StateV2.earliestEvents(s, dir)
 
+  // state bootstrap (StatefulProcessorWithInitialState): batch snapshot
+  // + streamed delta ≡ full aggregate — the q209 invariant in streaming
+  def initialStateWarmStart(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StateV2.lifetimeStatsWarmStart(s, dir)
+
+  // range-clustered file layout + data-skipping audit: repartitionByRange
+  // on the sort key + sortWithinPartitions, then the audit every
+  // zone-map consumer depends on, recomputed from the WRITTEN files'
+  // `_metadata`: per-file [min, max] date ranges must not overlap
+  // (range partitioning never splits equal keys, so file ranges are
+  // disjoint by construction). This is q142's z-order sibling for
+  // 1-dimensional access patterns: a date-range scan touches
+  // width/|span| of the files instead of all of them, BEFORE any
+  // engine sees a row — the layout IS the index. Partitioner sampling
+  // makes the exact boundaries run-dependent, so the audit reports
+  // boundary-invariant facts only: file count, row totals, global
+  // span, and the disjointness proof. Fixed path (not Scratch): the
+  // oracle re-derives every number from the same physical files.
+  def rangeLayoutAudit(s: SparkSession, dir: String): DataFrame = {
+    val sf = new java.io.File(dir).getName
+    val out = s"/tmp/graft_range_layout/$sf/orders"
+    t(s, dir, "orders")
+      .repartitionByRange(4, col("o_orderdate"))
+      .sortWithinPartitions("o_orderdate")
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(out)
+    val perFile = s.read
+      .parquet(out)
+      .groupBy(col("_metadata.file_name").as("fn"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("o_orderdate")).as("lo"),
+        max(col("o_orderdate")).as("hi")
+      )
+    // adjacency in lo-order: overlap ⟺ some file's hi exceeds the next
+    // file's lo; the frame is file-cardinality, so the window is cheap
+    val w = Window.orderBy("lo", "fn")
+    perFile
+      .withColumn("next_lo", lead(col("lo"), 1).over(w))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col("n")).as("n_rows"),
+        min(col("lo")).as("span_start"),
+        max(col("hi")).as("span_end"),
+        sum(when(col("next_lo").isNotNull && col("hi") > col("next_lo"), 1L).otherwise(0L))
+          .as("n_overlaps")
+      )
+      .withColumn("layout_disjoint", (col("n_overlaps") === 0L).cast("long"))
+  }
+
+  // parquet aggregate pushdown: global count/min/max answered from
+  // row-group FOOTER STATISTICS — zero data pages decoded (the plan
+  // shows PushedAggregation; PlanSpec pins it). At 100 TB this is the
+  // difference between a metadata read and a full scan for the
+  // "how many rows / what span" queries every pipeline runs first.
+  // The conf is enabled here (and left on — semantics are identical,
+  // footer stats are exact); pushdown applies because the scan has no
+  // filters and the aggregates are min/max/count over non-nested,
+  // non-floating columns.
+  def aggregatePushdown(s: SparkSession, dir: String): DataFrame = {
+    // aggregate pushdown is a DataSource-V2 capability: parquet reads
+    // default to the V1 path (useV1SourceList), so an ISOLATED child
+    // session (same SparkContext, own conf) flips this one scan to V2
+    // + footer aggregation without perturbing any other query's plan
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    // pushdown-eligible aggregates only: COUNT(*) and integral MIN/MAX
+    // (timestamp min/max would silently fall back to a full scan)
+    t(s2, dir, "orders")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        min(col("o_custkey")).as("min_cust"),
+        max(col("o_custkey")).as("max_cust")
+      )
+  }
+
   // correlated LATERAL subquery with LIMIT — "top 3 orders per
   // customer" in the form analysts actually write it. Catalyst
   // decorrelates the per-row subquery into a window-rank plan (no

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{
   OutputMode,
   StatefulProcessor,
+  StatefulProcessorWithInitialState,
   TTLConfig,
   TimeMode,
   TimerValues,
@@ -236,6 +237,87 @@ object StateV2 {
         .keepOnePerKey(t, key = Seq(col("user_id"), col("rnk")), order = Seq(col("ts_ms"), col("event_id")))
         .orderBy("user_id", "rnk")
     }
+
+  /** Warm-start variant: lifetime stats whose state is BOOTSTRAPPED
+    * from a batch-computed snapshot (`handleInitialState`) before the
+    * stream runs — the migration path from a batch pipeline to
+    * streaming, and the recovery path when a checkpoint is lost but
+    * yesterday's aggregate table survives. Here the "snapshot" is the
+    * even-event_id half aggregated in batch; the stream replays only
+    * the odd half; the final rows must equal the full-table aggregate
+    * (q213's oracle, shared verbatim) — state bootstrap + incremental
+    * merge ≡ recompute, the q209 invariant lifted into streaming.
+    */
+  class LifetimeStatsWithInit extends StatefulProcessorWithInitialState[Long, Ev, UserRow, UserAgg] {
+    @transient private var st: ValueState[UserAgg] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[UserAgg]("agg", Encoders.product[UserAgg], TTLConfig.NONE)
+
+    override def handleInitialState(key: Long, initial: UserAgg, timers: TimerValues): Unit =
+      st.update(initial)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev], timers: TimerValues): Iterator[UserRow] = {
+      var s =
+        if (st.exists()) st.get()
+        else UserAgg(0L, 0L, Long.MaxValue, Long.MinValue, 0L)
+      rows.foreach { e =>
+        s = UserAgg(
+          s.n_events + 1L,
+          s.sum_cents + e.cents,
+          math.min(s.first_ms, e.ts_ms),
+          math.max(s.last_ms, e.ts_ms),
+          s.n_purchase + e.is_purchase
+        )
+      }
+      st.update(s)
+      Iterator.single(UserRow(key, s.n_events, s.sum_cents, s.first_ms, s.last_ms, s.n_purchase))
+    }
+  }
+
+  /** Run warm-started lifetime stats: batch snapshot of the even half,
+    * streamed replay of the odd half; result = the full aggregate.
+    */
+  def lifetimeStatsWarmStart(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def evCols(df: DataFrame) = df.select(
+      col("event_id"),
+      col("user_id"),
+      expr("unix_millis(ts)").as("ts_ms"),
+      coalesce(floor(col("value") * 100 + 0.5).cast("long"), lit(0L)).as("cents"),
+      (col("event_type") === "purchase").cast("long").as("is_purchase")
+    )
+    val snapshot = evCols(graft.sources.Tables.parquet(spark, dir, "events"))
+      .filter(col("event_id") % 2 === 0)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("ts_ms")).as("first_ms"),
+        max(col("ts_ms")).as("last_ms"),
+        sum(col("is_purchase")).as("n_purchase")
+      )
+      .as[UserRow]
+      .groupByKey(_.user_id)
+      .mapValues(r => UserAgg(r.n_events, r.sum_cents, r.first_ms, r.last_ms, r.n_purchase))
+    runAvailableNow(spark) {
+      evCols(graft.sources.Tables.eventsStream(spark, dir))
+        .filter(col("event_id") % 2 =!= 0)
+        .as[Ev]
+        .groupByKey(_.user_id)
+        .transformWithState(
+          new LifetimeStatsWithInit,
+          TimeMode.None(),
+          OutputMode.Update(),
+          snapshot
+        )
+    } { t =>
+      graft.operators.Dedup
+        .keepOnePerKey(t, key = Seq(col("user_id")), order = Seq(col("n_events").desc))
+        .select("user_id", "n_events", "sum_cents", "first_ms", "last_ms", "n_purchase")
+        .orderBy("user_id")
+    }
+  }
 
   /** Shared runner: RocksDB provider + 8 state partitions + available-
     * now through a memory sink; `finish` post-processes the emitted

@@ -462,6 +462,15 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final HashAggregate")
   }
 
+  test("aggregate pushdown (q230): count/min/max answered from parquet footer statistics") {
+    val p = plan(Queries.aggregatePushdown(spark, sfDir))
+    assert(p.contains("PushedAggregation"), s"expected footer-stats aggregation pushdown:\n$p")
+    assert(
+      p.contains("COUNT(*)") && p.contains("MIN(o_orderkey)"),
+      s"all five aggregates should push down:\n$p"
+    )
+  }
+
   test("erasure audit (q220): the delete cohort broadcasts onto every surface") {
     val p = plan(Queries.erasureAudit(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p)

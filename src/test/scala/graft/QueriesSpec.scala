@@ -1004,6 +1004,21 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("warm-start equals the plain v2-state run row for row") {
+    val warm = Queries.initialStateWarmStart(spark, sfDir).collect()
+    val plain = Queries.transformWithStateStats(spark, sfDir).collect()
+    assert(warm.length === plain.length)
+    warm.zip(plain).foreach { case (w, p) => assert(w === p) }
+  }
+
+  test("range layout: disjoint file ranges, totals close") {
+    val r = Queries.rangeLayoutAudit(spark, sfDir).head()
+    assert(r.getAs[Long]("layout_disjoint") === 1L, s"overlapping file ranges: $r")
+    assert(r.getAs[Long]("n_overlaps") === 0L)
+    val orders = graft.sources.Tables.parquet(spark, sfDir, "orders").count()
+    assert(r.getAs[Long]("n_rows") === orders)
+  }
+
   test("quality classifier: keep counts bounded by doc counts, linear score reproducible") {
     val rows = Queries.qualityClassifierScore(spark, sfDir).collect()
     val docs = graft.sources.Tables.parquet(spark, sfDir, "documents")
