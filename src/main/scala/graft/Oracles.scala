@@ -2718,6 +2718,17 @@ object Oracles {
         |  CAST(CASE WHEN sum(CASE WHEN next_lo IS NOT NULL AND hi > next_lo THEN 1 ELSE 0 END) = 0
         |    THEN 1 ELSE 0 END AS BIGINT) AS layout_disjoint
         |FROM a""".stripMargin,
+    // the pipe form lowers to this exact aggregate
+    "q231_pipe_syntax" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderstatus = 'O'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the variable folds to its literal
+    "q232_session_variables" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders WHERE o_totalprice >= 200000.0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // footer-exact global aggregates
     "q230_agg_pushdown" ->
       """SELECT count(*) AS n_rows, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,

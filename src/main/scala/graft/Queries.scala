@@ -4602,6 +4602,37 @@ object Queries {
       .withColumn("layout_disjoint", (col("n_overlaps") === 0L).cast("long"))
   }
 
+  // SQL pipe syntax (Spark 4): the linear |> spelling of
+  // filter → aggregate → sort. Pure surface — the parser lowers pipes
+  // to the identical logical plan as the nested form (same pushdown,
+  // same two-phase aggregate), so analysts get readability for free.
+  def pipeSyntax(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_pipe")
+    s.sql("""
+      FROM orders_pipe
+      |> WHERE o_orderstatus = 'O'
+      |> AGGREGATE count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+           GROUP BY o_orderpriority
+      |> ORDER BY o_orderpriority
+    """)
+  }
+
+  // SQL session variables (Spark 4): DECLARE / SET VAR / reference in a
+  // query — parameterized SQL without string splicing; the variable
+  // folds to a literal at plan time, so the filter still pushes down.
+  def sessionVariables(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_var")
+    s.sql("DECLARE OR REPLACE VARIABLE graft_min_price DOUBLE DEFAULT 0.0")
+    s.sql("SET VAR graft_min_price = 200000.0")
+    s.sql("""
+      SELECT o_orderpriority, count(*) AS n_orders
+      FROM orders_var
+      WHERE o_totalprice >= graft_min_price
+      GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """)
+  }
+
   // parquet aggregate pushdown: global count/min/max answered from
   // row-group FOOTER STATISTICS — zero data pages decoded (the plan
   // shows PushedAggregation; PlanSpec pins it). At 100 TB this is the

@@ -1019,6 +1019,24 @@ class QueriesSpec extends SparkSpec {
     assert(r.getAs[Long]("n_rows") === orders)
   }
 
+  test("pipe syntax lowers to the same answer as the nested spelling; variables fold to literals") {
+    val piped = Queries.pipeSyntax(spark, sfDir).collect()
+    val nested = graft.sources.Tables
+      .parquet(spark, sfDir, "orders")
+      .filter(col("o_orderstatus") === "O")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(25,6)")).cast("double").as("total")
+      )
+      .orderBy("o_orderpriority")
+      .collect()
+    assert(piped.map(_.toString).toSeq === nested.map(_.toString).toSeq)
+    val varred = Queries.sessionVariables(spark, sfDir).collect()
+    assert(varred.nonEmpty)
+    varred.foreach(r => assert(r.getAs[Long]("n_orders") > 0L))
+  }
+
   test("quality classifier: keep counts bounded by doc counts, linear score reproducible") {
     val rows = Queries.qualityClassifierScore(spark, sfDir).collect()
     val docs = graft.sources.Tables.parquet(spark, sfDir, "documents")
