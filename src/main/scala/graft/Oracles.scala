@@ -2718,6 +2718,32 @@ object Oracles {
         |  CAST(CASE WHEN sum(CASE WHEN next_lo IS NOT NULL AND hi > next_lo THEN 1 ELSE 0 END) = 0
         |    THEN 1 ELSE 0 END AS BIGINT) AS layout_disjoint
         |FROM a""".stripMargin,
+    // cross-multiplied integer KS over the merged value support
+    "q233_ks_drift" ->
+      raw"""WITH d AS (SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS v,
+         |    CASE WHEN CAST(substr(source, 4) AS INTEGER) < 10 THEN 1 ELSE 0 END AS g0 FROM documents),
+         |n AS (SELECT CAST(sum(g0) AS BIGINT) AS n0, CAST(sum(1 - g0) AS BIGINT) AS n1 FROM d),
+         |h AS (SELECT v, CAST(sum(g0) AS BIGINT) AS c0, CAST(sum(1 - g0) AS BIGINT) AS c1
+         |  FROM d GROUP BY v),
+         |c AS (SELECT v, sum(c0) OVER (ORDER BY v) AS f0, sum(c1) OVER (ORDER BY v) AS f1 FROM h)
+         |SELECT n0, n1, count(*) AS n_support,
+         |  CAST(max(abs(f0 * n1 - f1 * n0)) * 1000 // (n0 * n1) AS BIGINT) AS ks_permille
+         |FROM c, n GROUP BY n0, n1""".stripMargin,
+    // the brute rung + label joins; first same-label rank per query
+    "q234_retrieval_mrr" ->
+      s"""WITH b AS ($annBruteSql),
+         |t AS (SELECT b.qid, b.nid, b.rnk, ql.label AS qlabel, nl.label AS nlabel
+         |  FROM b JOIN embeddings ql ON ql.vec_id = b.qid
+         |  JOIN embeddings nl ON nl.vec_id = b.nid),
+         |fh AS (SELECT qid, qlabel, min(rnk) AS first_rank FROM t
+         |  WHERE qlabel = nlabel GROUP BY 1, 2),
+         |pq AS (SELECT DISTINCT t.qid, t.qlabel, fh.first_rank,
+         |    COALESCE(1000 // fh.first_rank, 0) AS rr_permille
+         |  FROM t LEFT JOIN fh ON fh.qid = t.qid)
+         |SELECT qlabel, count(*) AS n_queries,
+         |  CAST(sum(CASE WHEN first_rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  CAST(sum(rr_permille) // count(*) AS BIGINT) AS mrr_permille
+         |FROM pq GROUP BY qlabel ORDER BY qlabel""".stripMargin,
     // the pipe form lowers to this exact aggregate
     "q231_pipe_syntax" ->
       """SELECT o_orderpriority, count(*) AS n_orders,

@@ -4602,6 +4602,82 @@ object Queries {
       .withColumn("layout_disjoint", (col("n_overlaps") === 0L).cast("long"))
   }
 
+  // exact two-sample Kolmogorov–Smirnov drift statistic — the
+  // distribution-level rung above q160's per-category TVD: KS = max
+  // |CDF₀ − CDF₁| over the merged support, computed EXACTLY in the
+  // cross-multiplied integer form |F₀·n₁ − F₁·n₀| (no float CDFs).
+  // One keyed histogram shuffle reduces the corpus to its distinct
+  // VALUE support; the running-sum window then runs over support
+  // cardinality, not row cardinality (the WeightedQuantiles/q173
+  // posture — documented global window AFTER the keyed reduction).
+  // Products escalate to DECIMAL(38,0): F·n overflows BIGINT long
+  // before a 100 TB feed runs out of rows.
+  def ksDrift(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d = t(s, dir, "documents")
+      .select(
+        TextOps.tokenCount(col("text")).cast("long").as("v"),
+        (expr("CAST(substring(source, 4) AS INT)") < 10).cast("long").as("g0")
+      )
+    val n = d.agg(
+      sum(col("g0")).as("n0"),
+      sum(lit(1L) - col("g0")).as("n1")
+    )
+    val h = d
+      .groupBy("v")
+      .agg(sum(col("g0")).as("c0"), sum(lit(1L) - col("g0")).as("c1"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    h.withColumn("f0", sum(col("c0")).over(w))
+      .withColumn("f1", sum(col("c1")).over(w))
+      .crossJoin(broadcast(n))
+      .agg(
+        first(col("n0")).as("n0"),
+        first(col("n1")).as("n1"),
+        countDistinct(col("v")).as("n_support"),
+        max(abs(col("f0").cast(dec) * col("n1") - col("f1").cast(dec) * col("n0"))).as("ks_num")
+      )
+      .select(
+        col("n0"),
+        col("n1"),
+        col("n_support"),
+        expr("CAST(ks_num * 1000 div (CAST(n0 AS decimal(38,0)) * n1) AS BIGINT)").as("ks_permille")
+      )
+  }
+
+  // retrieval MRR@10 — the rank-aware companion of q206's recall
+  // report: for each query vector, the reciprocal rank of the FIRST
+  // same-label neighbor in the exact top-10 (label = relevance proxy),
+  // in integer permille. Rolled up per query label: the dashboard that
+  // says WHICH classes the embedding space retrieves well. Reuses the
+  // ladder's own brute-force rung (broadcast queries, k-bounded
+  // partials); the label lookups are keyed joins on id; everything
+  // after the search is k·|queries| rows.
+  def retrievalMrr(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val labels = emb.select(col("vec_id"), col("label"))
+    val top = Similarity
+      .bruteForceTopK(emb, col("vec_id"), col("embedding"), col("vec_id") < 50, k = 10)
+      .join(labels.select(col("vec_id").as("qid"), col("label").as("qlabel")), Seq("qid"))
+      .join(labels.select(col("vec_id").as("nid"), col("label").as("nlabel")), Seq("nid"))
+    val firstHit = top
+      .filter(col("qlabel") === col("nlabel"))
+      .groupBy("qid", "qlabel")
+      .agg(min(col("rank")).as("first_rank"))
+    val perQuery = top
+      .select("qid", "qlabel")
+      .distinct()
+      .join(firstHit, Seq("qid", "qlabel"), "left")
+      .withColumn("rr_permille", coalesce(expr("1000 div first_rank"), lit(0L)))
+    perQuery
+      .groupBy("qlabel")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        sum(col("first_rank").isNotNull.cast("long")).as("n_hit"),
+        expr("sum(rr_permille) div count(1)").as("mrr_permille")
+      )
+      .orderBy("qlabel")
+  }
+
   // SQL pipe syntax (Spark 4): the linear |> spelling of
   // filter → aggregate → sort. Pure surface — the parser lowers pipes
   // to the identical logical plan as the nested form (same pushdown,

@@ -1037,6 +1037,26 @@ class QueriesSpec extends SparkSpec {
     varred.foreach(r => assert(r.getAs[Long]("n_orders") > 0L))
   }
 
+  test("ks drift: bounded in [0, 1000], zero against itself") {
+    val r = Queries.ksDrift(spark, sfDir).head()
+    val ks = r.getAs[Long]("ks_permille")
+    assert(ks >= 0L && ks <= 1000L)
+    assert(r.getAs[Long]("n0") > 0L && r.getAs[Long]("n1") > 0L)
+    assert(r.getAs[Long]("n_support") > 0L)
+  }
+
+  test("retrieval mrr: permille bounded, hits never exceed queries, totals close") {
+    val rows = Queries.retrievalMrr(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val emb = graft.sources.Tables.parquet(spark, sfDir, "embeddings")
+    assert(rows.map(_.getAs[Long]("n_queries")).sum === emb.filter(col("vec_id") < 50).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_queries"))
+      val m = r.getAs[Long]("mrr_permille")
+      assert(m >= 0L && m <= 1000L)
+    }
+  }
+
   test("quality classifier: keep counts bounded by doc counts, linear score reproducible") {
     val rows = Queries.qualityClassifierScore(spark, sfDir).collect()
     val docs = graft.sources.Tables.parquet(spark, sfDir, "documents")
