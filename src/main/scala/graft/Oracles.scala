@@ -2718,6 +2718,34 @@ object Oracles {
         |  CAST(CASE WHEN sum(CASE WHEN next_lo IS NOT NULL AND hi > next_lo THEN 1 ELSE 0 END) = 0
         |    THEN 1 ELSE 0 END AS BIGINT) AS layout_disjoint
         |FROM a""".stripMargin,
+    // confirmed edges → recursive-CTE min-label fixpoint over paired
+    // nodes only → per-cluster member/pair stats; density in the
+    // cross-multiplied 2× integral form
+    "q235_cluster_quality" ->
+      s"""WITH RECURSIVE $minhashCandCtes,
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |cdd AS (SELECT DISTINCT d1, d2 FROM cand),
+         |it AS (SELECT c.d1, c.d2, count(*) AS inter FROM cdd c
+         |  JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.g = a.g
+         |  GROUP BY 1, 2),
+         |conf AS (SELECT it.d1, it.d2, inter, x.n_sh AS na, y.n_sh AS nb
+         |  FROM it JOIN sz x ON it.d1 = x.doc_id JOIN sz y ON it.d2 = y.doc_id
+         |  WHERE inter * 2 >= x.n_sh + y.n_sh - inter),
+         |sym AS (SELECT d1 AS src, d2 AS dst FROM conf UNION ALL SELECT d2, d1 FROM conf),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM sym
+         |  UNION
+         |  SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+         |),
+         |lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         |mem AS (SELECT cluster, count(*) AS n_members, min(id) AS keeper FROM lab GROUP BY cluster),
+         |pj AS (SELECT conf.d1, inter * 1000 // (na + nb - inter) AS j FROM conf),
+         |ps AS (SELECT lab.cluster, count(*) AS n_pairs,
+         |    CAST(min(j) AS BIGINT) AS min_j_permille, CAST(max(j) AS BIGINT) AS max_j_permille
+         |  FROM pj JOIN lab ON lab.id = pj.d1 GROUP BY 1)
+         |SELECT mem.cluster, n_members, keeper, n_pairs, min_j_permille, max_j_permille,
+         |  n_pairs * 2 * 10000 // (n_members * (n_members - 1)) AS density_permyriad
+         |FROM mem JOIN ps ON ps.cluster = mem.cluster ORDER BY mem.cluster""".stripMargin,
     // cross-multiplied integer KS over the merged value support
     "q233_ks_drift" ->
       raw"""WITH d AS (SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS v,

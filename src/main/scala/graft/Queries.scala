@@ -4678,6 +4678,39 @@ object Queries {
       .orderBy("qlabel")
   }
 
+  // dedup-cluster quality report — the table a curation reviewer reads
+  // BEFORE approving a near-dup purge: per confirmed cluster (size ≥
+  // 2), the member count, keeper (min id), the within-cluster exact-
+  // Jaccard range, and edge density (confirmed pairs as a permyriad of
+  // all member pairs — low density flags chains glued by borderline
+  // edges, the classic over-merge smell). Composes three shared
+  // snapshots (confirmed pairs → min-label CC over ONLY the paired
+  // nodes → pair stats re-keyed by cluster); everything downstream of
+  // the snapshots is pair/cluster-cardinality. The density
+  // denominator n(n−1)/2 stays integral via the cross-multiplied 2×
+  // form.
+  def clusterQualityReport(s: SparkSession, dir: String): DataFrame = {
+    val conf = graft.operators.CandidateGraph.confirmedPairs(s, dir)
+    val nodes = conf
+      .select(col("d1").as("doc_id"))
+      .unionByName(conf.select(col("d2").as("doc_id")))
+      .distinct()
+    val lab = graft.operators.ConnectedComponents
+      .minLabel(nodes, col("doc_id"), conf, col("d1"), col("d2"))
+    val members = lab
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"), min(col("id")).as("keeper"))
+    val pairStats = conf
+      .select(col("d1"), expr("inter * 1000 div (n1 + n2 - inter)").as("j"))
+      .join(lab.select(col("id").as("d1"), col("cluster")), Seq("d1"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_pairs"), min(col("j")).as("min_j_permille"), max(col("j")).as("max_j_permille"))
+    members
+      .join(pairStats, Seq("cluster"))
+      .withColumn("density_permyriad", expr("n_pairs * 2 * 10000 div (n_members * (n_members - 1))"))
+      .orderBy("cluster")
+  }
+
   // SQL pipe syntax (Spark 4): the linear |> spelling of
   // filter → aggregate → sort. Pure surface — the parser lowers pipes
   // to the identical logical plan as the nested form (same pushdown,

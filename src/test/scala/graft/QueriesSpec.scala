@@ -1057,6 +1057,19 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("cluster quality: density and jaccard ranges bounded, keeper is the min member") {
+    val rows = Queries.clusterQualityReport(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_members") >= 2L)
+      assert(r.getAs[Long]("keeper") === r.getAs[Long]("cluster")) // min-label == min id
+      val d = r.getAs[Long]("density_permyriad")
+      assert(d >= 1L && d <= 10000L)
+      val lo = r.getAs[Long]("min_j_permille"); val hi = r.getAs[Long]("max_j_permille")
+      // confirmed at 2·inter ≥ union ⇒ inter·1000 div union ≥ 500 exactly
+      assert(lo >= 500L && lo <= hi && hi <= 1000L)
+    }
+  }
+
   test("quality classifier: keep counts bounded by doc counts, linear score reproducible") {
     val rows = Queries.qualityClassifierScore(spark, sfDir).collect()
     val docs = graft.sources.Tables.parquet(spark, sfDir, "documents")
