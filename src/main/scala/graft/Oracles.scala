@@ -2184,7 +2184,7 @@ object Oracles {
     // q24 contract, window frames are spelled identically
     "q195_winnowed_overlap" ->
       """WITH idx AS (SELECT doc_id, CAST(unnest(generate_series(1, greatest(length(text) - 7, 1))) AS INTEGER) AS i, text FROM documents),
-        |g AS (SELECT doc_id, i, md5(substr(text, i, 8)) AS h, count(*) OVER (PARTITION BY doc_id) AS cnt FROM idx),
+        |g AS (SELECT doc_id, i, CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 15)) AS BIGINT) AS h, count(*) OVER (PARTITION BY doc_id) AS cnt FROM idx),
         |wmin AS (SELECT doc_id, i, cnt, min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 49 FOLLOWING) AS fp FROM g),
         |fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE i + 49 <= cnt
         |  UNION SELECT doc_id, min(h) AS fp FROM g WHERE cnt < 50 GROUP BY doc_id),

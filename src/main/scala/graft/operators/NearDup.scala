@@ -293,12 +293,24 @@ object NearDup {
       )
   }
 
-  /** Winnowed fingerprint selection (MOSS): min MD5 per `w`-wide
+  /** Winnowed fingerprint selection (MOSS): min hash per `w`-wide
     * sliding window over the char `k`-gram hashes, distinct per doc —
     * ~2n/w selected prints with the winnowing GUARANTEE: any substring
     * of length ≥ w + k − 1 shared by two documents contributes at
-    * least one identical selected print to both. Selection is a keyed
-    * per-doc window — embarrassingly parallel at any corpus size.
+    * least one identical selected print to both (the hash is a pure
+    * function of the gram, so the guarantee survives any hash).
+    * Selection is a keyed per-doc window — embarrassingly parallel at
+    * any corpus size.
+    *
+    * Prints are 60-bit BIGINTs (first 15 MD5 hex chars) rather than
+    * 32-char MD5 strings: the gram frame is the hot path's largest
+    * (≈|text| rows per doc), and every downstream operation — two
+    * block-window sorts, the doc-keyed lead, the pair equi-join —
+    * compares/shuffles the print, so 8-byte longs beat 32-byte
+    * strings on every exchange and sort key. 60 bits keeps the
+    * birthday collision odds ~1e-6 at millions of grams AND fits a
+    * signed BIGINT on both engines (16 hex chars would overflow the
+    * ANSI cast).
     */
   def winnowedFingerprints(docs: DataFrame, id: Column, text: Column, k: Int = 8, w: Int = 50): DataFrame = {
     val grams = docs
@@ -306,7 +318,10 @@ object NearDup {
       .select(
         col("doc_id"),
         posexplode(
-          expr(s"transform(sequence(1, greatest(length(__t) - ${k - 1}, 1)), i -> md5(substring(__t, i, $k)))")
+          expr(
+            s"transform(sequence(1, greatest(length(__t) - ${k - 1}, 1)), " +
+              s"i -> CAST(conv(substring(md5(substring(__t, i, $k)), 1, 15), 16, 10) AS BIGINT))"
+          )
         ).as(Seq("pos", "h"))
       )
     // Sliding-window min WITHOUT the O(n·w) frame recompute a naive
