@@ -83,6 +83,12 @@ object Bench {
         catch { case _: Throwable => false }
       val dt = (System.nanoTime() - s0) / 1e9
       spark.catalog.clearCache()
+      // ~15 streaming queries each load state-store providers (RocksDB
+      // native memory + maintenance threads) that otherwise accumulate
+      // for the rest of the sweep and perturb later timings; unload
+      // them between queries — the next streaming start reloads cleanly
+      try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      catch { case _: Throwable => () }
       if (ok) dt else -1.0
     }
 
