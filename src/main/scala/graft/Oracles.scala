@@ -2718,6 +2718,34 @@ object Oracles {
         |  CAST(CASE WHEN sum(CASE WHEN next_lo IS NOT NULL AND hi > next_lo THEN 1 ELSE 0 END) = 0
         |    THEN 1 ELSE 0 END AS BIGINT) AS layout_disjoint
         |FROM a""".stripMargin,
+    // q91's history CTEs + the interval-containment join; the audit
+    // proves the exactly-one property of half-open version intervals
+    "q236_point_in_time_join" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |f AS (SELECT *, CASE WHEN prev IS NULL OR o_orderpriority <> prev THEN 1 ELSE 0 END AS chg FROM o),
+        |v AS (SELECT *, sum(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ver FROM f),
+        |i AS (SELECT o_custkey, ver, max(o_orderpriority) AS dim_priority,
+        |    strftime(min(o_orderdate), '%Y-%m-%d') AS valid_from FROM v GROUP BY o_custkey, ver),
+        |hist AS (SELECT *, lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY ver) AS valid_to FROM i),
+        |facts AS (SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS d, o_orderpriority, o_orderkey FROM orders),
+        |j AS (SELECT facts.o_orderkey, facts.o_orderpriority, hist.dim_priority
+        |  FROM facts JOIN hist ON hist.o_custkey = facts.o_custkey
+        |    AND facts.d >= hist.valid_from AND (hist.valid_to IS NULL OR facts.d < hist.valid_to)),
+        |per AS (SELECT o_orderkey, count(*) AS nm,
+        |    max(CASE WHEN o_orderpriority = dim_priority THEN 1 ELSE 0 END) AS pm
+        |  FROM j GROUP BY o_orderkey),
+        |a AS (SELECT count(*) AS n_facts,
+        |    CAST(sum(COALESCE(nm, 0)) AS BIGINT) AS n_matches,
+        |    CAST(sum(CASE WHEN COALESCE(nm, 0) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exactly_one,
+        |    CAST(sum(COALESCE(pm, 0)) AS BIGINT) AS n_priority_match
+        |  FROM facts LEFT JOIN per USING (o_orderkey))
+        |SELECT n_facts, n_matches, n_exactly_one, n_priority_match,
+        |  CAST(CASE WHEN n_facts = n_exactly_one THEN 1 ELSE 0 END AS BIGINT) AS pit_exact,
+        |  n_priority_match * 1000 // n_facts AS priority_match_permille
+        |FROM a""".stripMargin,
     // confirmed edges → recursive-CTE min-label fixpoint over paired
     // nodes only → per-cluster member/pair stats; density in the
     // cross-multiplied 2× integral form

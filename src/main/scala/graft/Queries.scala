@@ -4711,6 +4711,56 @@ object Queries {
       .orderBy("cluster")
   }
 
+  // point-in-time (PIT) join against the SCD2 dimension — the temporal
+  // lookup every warehouse fact load performs: each fact row joins the
+  // dimension VERSION whose [valid_from, valid_to) interval contains
+  // the fact date. The q91 history's half-open intervals PARTITION each
+  // key's timeline (an intra-day priority flip yields an empty
+  // [d, d) interval that can match nothing — its orders land in the
+  // same-day successor), so every fact matches EXACTLY one version —
+  // which the audit proves, along with the share whose version
+  // priority equals the fact's own (the intra-day collapses are the
+  // deterministic remainder). Join shape: one equi-join on the
+  // dimension key + an interval filter; fan-out is bounded by
+  // versions-per-key, and ISO-date STRINGS compare chronologically on
+  // both engines, so no timestamp arithmetic crosses the boundary.
+  def pointInTimeJoin(s: SparkSession, dir: String): DataFrame = {
+    val hist = scd2History(s, dir)
+      .select(
+        col("o_custkey"),
+        col("o_orderpriority").as("dim_priority"),
+        col("valid_from"),
+        col("valid_to")
+      )
+    val facts = t(s, dir, "orders")
+      .select(
+        col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+        col("o_orderpriority"),
+        col("o_orderkey")
+      )
+    val j = facts
+      .join(hist, Seq("o_custkey"))
+      .filter(col("d") >= col("valid_from") && (col("valid_to").isNull || col("d") < col("valid_to")))
+    val per = j
+      .groupBy("o_orderkey")
+      .agg(
+        count(lit(1)).as("nm"),
+        max((col("o_orderpriority") === col("dim_priority")).cast("long")).as("pm")
+      )
+    facts
+      .select("o_orderkey")
+      .join(per, Seq("o_orderkey"), "left")
+      .agg(
+        count(lit(1)).as("n_facts"),
+        sum(coalesce(col("nm"), lit(0L))).as("n_matches"),
+        sum((coalesce(col("nm"), lit(0L)) === 1L).cast("long")).as("n_exactly_one"),
+        sum(coalesce(col("pm"), lit(0L))).as("n_priority_match")
+      )
+      .withColumn("pit_exact", (col("n_facts") === col("n_exactly_one")).cast("long"))
+      .withColumn("priority_match_permille", expr("n_priority_match * 1000 div n_facts"))
+  }
+
   // SQL pipe syntax (Spark 4): the linear |> spelling of
   // filter → aggregate → sort. Pure surface — the parser lowers pipes
   // to the identical logical plan as the nested form (same pushdown,

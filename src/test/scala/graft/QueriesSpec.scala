@@ -1070,6 +1070,15 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("point-in-time join: every fact matches exactly one version") {
+    val r = Queries.pointInTimeJoin(spark, sfDir).head()
+    assert(r.getAs[Long]("pit_exact") === 1L, s"intervals must partition the timeline: $r")
+    assert(r.getAs[Long]("n_matches") === r.getAs[Long]("n_facts"))
+    assert(r.getAs[Long]("n_priority_match") <= r.getAs[Long]("n_facts"))
+    val orders = graft.sources.Tables.parquet(spark, sfDir, "orders").count()
+    assert(r.getAs[Long]("n_facts") === orders)
+  }
+
   test("quality classifier: keep counts bounded by doc counts, linear score reproducible") {
     val rows = Queries.qualityClassifierScore(spark, sfDir).collect()
     val docs = graft.sources.Tables.parquet(spark, sfDir, "documents")
