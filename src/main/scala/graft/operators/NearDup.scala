@@ -311,6 +311,14 @@ object NearDup {
     * birthday collision odds ~1e-6 at millions of grams AND fits a
     * signed BIGINT on both engines (16 hex chars would overflow the
     * ANSI cast).
+    *
+    * Why not `xxhash64` (one call vs the md5+substring+conv chain)?
+    * The oracle: prints must be recomputable bit-identically in DuckDB,
+    * which has no xxHash64 (its `hash()` is a different, version-
+    * internal function). MD5 is the only 64-bit-derivable hash both
+    * engines share, so the chain stays — ~5 s solo at sf0.1 is the
+    * price of certain-recall copy detection with a cross-engine-exact
+    * fingerprint (round-5 advice item 6: evaluated, documented, kept).
     */
   def winnowedFingerprints(docs: DataFrame, id: Column, text: Column, k: Int = 8, w: Int = 50): DataFrame = {
     val grams = docs

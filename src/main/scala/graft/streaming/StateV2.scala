@@ -83,10 +83,12 @@ object StateV2 {
     * In-batch closures (a later event > gap after) emit immediately,
     * exactly like q37. Under available-now the engine runs a final
     * no-data micro-batch after the watermark advances, so sessions
-    * whose (end + gap) ≤ final watermark close DETERMINISTICALLY —
-    * the emitted set replays as: all islands closed by a successor,
-    * plus last islands with end + gap ≤ (ms-floored max event time −
-    * delay), which is precisely what the oracle computes (the q133
+    * whose (end + gap) < final watermark close DETERMINISTICALLY —
+    * the comparison is STRICT: TimerBoundaryProbe showed a timer whose
+    * expiry equals the eviction watermark does NOT fire. The emitted
+    * set replays as: all islands closed by a successor, plus last
+    * islands with end + gap < (ms-floored max event time − delay),
+    * which is precisely what the oracle computes (the q133
     * watermark-replay discipline). At 100 TB this is how streaming
     * session state stays bounded: the timer IS the eviction policy.
     */
@@ -116,7 +118,18 @@ object StateV2 {
             out += Sessionize.Session(key, s.startMs, s.lastSeenMs, s.nEvents, s.cents / 100.0)
             cur = Some(Sessionize.SessionState(t, t, 1L, cents))
           case Some(s) =>
-            cur = Some(Sessionize.SessionState(s.startMs, t, s.nEvents + 1, s.cents + cents))
+            // merge guard: a later micro-batch may deliver an event with
+            // t < lastSeenMs (cross-batch disorder inside the watermark);
+            // min/max keep the island's bounds order-independent instead
+            // of letting a late arrival move lastSeenMs backwards
+            cur = Some(
+              Sessionize.SessionState(
+                math.min(s.startMs, t),
+                math.max(s.lastSeenMs, t),
+                s.nEvents + 1,
+                s.cents + cents
+              )
+            )
           case None =>
             cur = Some(Sessionize.SessionState(t, t, 1L, cents))
         }
@@ -287,7 +300,8 @@ object StateV2 {
       coalesce(floor(col("value") * 100 + 0.5).cast("long"), lit(0L)).as("cents"),
       (col("event_type") === "purchase").cast("long").as("is_purchase")
     )
-    val snapshot = evCols(graft.sources.Tables.parquet(spark, dir, "events"))
+    val cols = Seq("user_id", "n_events", "sum_cents", "first_ms", "last_ms", "n_purchase")
+    val snapshotDf = evCols(graft.sources.Tables.parquet(spark, dir, "events"))
       .filter(col("event_id") % 2 === 0)
       .groupBy("user_id")
       .agg(
@@ -297,6 +311,7 @@ object StateV2 {
         max(col("ts_ms")).as("last_ms"),
         sum(col("is_purchase")).as("n_purchase")
       )
+    val snapshot = snapshotDf
       .as[UserRow]
       .groupByKey(_.user_id)
       .mapValues(r => UserAgg(r.n_events, r.sum_cents, r.first_ms, r.last_ms, r.n_purchase))
@@ -312,10 +327,21 @@ object StateV2 {
           snapshot
         )
     } { t =>
-      graft.operators.Dedup
+      val streamed = graft.operators.Dedup
         .keepOnePerKey(t, key = Seq(col("user_id")), order = Seq(col("n_events").desc))
-        .select("user_id", "n_events", "sum_cents", "first_ms", "last_ms", "n_purchase")
-        .orderBy("user_id")
+        .select(cols.map(col): _*)
+      // bootstrap-only keys: a user whose events are ALL in the batch
+      // snapshot gets state via handleInitialState but never a streamed
+      // row, so handleInputRows never emits it — fall back to the
+      // snapshot aggregate for exactly those keys (an anti-join of the
+      // request-sized snapshot against the emitted set), so warm start
+      // still equals the full recompute whatever the key split.
+      // Data-dependent today (every test user has an odd event) but a
+      // correctness hole at any other split — round-5 advice item.
+      val bootstrapOnly = snapshotDf
+        .join(streamed.select("user_id"), Seq("user_id"), "left_anti")
+        .select(cols.map(col): _*)
+      streamed.unionByName(bootstrapOnly).orderBy("user_id")
     }
   }
 
