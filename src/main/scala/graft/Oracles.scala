@@ -2458,6 +2458,9 @@ object Oracles {
     // the 3 merge rounds unrolled as CTE chains (the Lloyd precedent);
     // replace() is left-to-right non-overlapping on both engines
     "q210_bpe_merge_rounds" -> bpeMergeSql,
+    // the learned merges applied back to the corpus: per-doc token
+    // count + chars-per-token compression via the encoded vocab
+    "q238_bpe_encode" -> bpeEncodeSql,
     // bottom-k per set, union re-ranked by hash; 3σ = 3/√128 ≈ 265‰
     "q211_kmv_intersection" -> {
       val h = hx("elem")
@@ -2657,7 +2660,9 @@ object Oracles {
         |""".stripMargin + cov + " AS cov_val FROM s ORDER BY dim_i, dim_j"
     },
     // q37's islands plus the timer rule: last islands emit iff
-    // end + gap ≤ (ms-floored max event time − 1 h delay) — the exact
+    // end + gap < (ms-floored max event time − 1 h delay) — STRICT, as
+    // probed empirically (TimerBoundaryProbe: a timer whose expiry lands
+    // exactly on the eviction watermark does NOT fire) — the exact
     // watermark replay (q133 discipline)
     "q223_timer_sessions" ->
       """WITH x AS (
@@ -2675,7 +2680,7 @@ object Oracles {
         |w AS (SELECT max(epoch_ms(ts)) - 3600000 AS wm FROM events)
         |SELECT s.user_id, s.start_ms, s.end_ms, s.n_events, s.sum_value
         |FROM s JOIN m ON s.user_id = m.user_id, w
-        |WHERE s.grp < m.maxgrp OR s.end_ms + 43200000 <= w.wm
+        |WHERE s.grp < m.maxgrp OR s.end_ms + 43200000 < w.wm
         |ORDER BY s.user_id, s.start_ms""".stripMargin,
     // DuckDB's native LATERAL — same top-3-per-customer contract
     "q224_lateral_topk" ->
@@ -2705,7 +2710,12 @@ object Oracles {
         |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
         |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS rnk
         |  FROM events) WHERE rnk <= 3 ORDER BY user_id, rnk""".stripMargin,
-    // every number re-derived from the engine's written files
+    // every number re-derived from the engine's written files. NOTE:
+    // like q194, this oracle is sf0.01-only and engine-run-order
+    // dependent — the driver's Verify at sf0.01 runs the engine query
+    // (which rewrites /tmp/graft_range_layout/sf0.01) before DuckDB
+    // reads it back; at any other sf the path would not match the
+    // engine's derived `<basename(dir)>` segment.
     "q229_range_layout" ->
       """WITH f AS (SELECT filename AS fn, count(*) AS n,
         |    min(o_orderdate) AS lo, max(o_orderdate) AS hi
@@ -2814,7 +2824,30 @@ object Oracles {
     // footer-exact global aggregates
     "q230_agg_pushdown" ->
       """SELECT count(*) AS n_rows, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
-        |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust FROM orders""".stripMargin
+        |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust FROM orders""".stripMargin,
+    // KN bigram LM with d = 3/4 → rational probabilities; log-probs as
+    // mn(num) − mn(den) with mn = floor(ln·1e6 + 0.5) over INTEGERS
+    // only, so per-doc sums are exact BIGINTs on both engines
+    "q237_perplexity_filter" -> {
+      def mn(e: String) = s"CAST(floor(ln(CAST($e AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+      raw"""WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         |bg AS (SELECT doc_id, ws[i] AS lft, ws[i+1] AS rgt FROM (
+         |    SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM d WHERE len(ws) >= 2)),
+         |cnt AS (SELECT lft, rgt, count(*) AS c FROM bg GROUP BY 1, 2),
+         |lc AS (SELECT lft, CAST(sum(c) AS BIGINT) AS cl, count(*) AS n1p FROM cnt GROUP BY lft),
+         |rc AS (SELECT rgt, count(*) AS nleft FROM cnt GROUP BY rgt),
+         |nbt AS (SELECT count(*) AS nb FROM cnt),
+         |st AS (SELECT cnt.lft, cnt.rgt,
+         |    ${mn("nb * (c * 4 - 3) + n1p * nleft * 3")} - ${mn("cl * nb * 4")} AS lp_micro
+         |  FROM cnt JOIN lc USING (lft) JOIN rc USING (rgt), nbt),
+         |p AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(lp_micro) AS BIGINT) AS sum_lp
+         |  FROM bg JOIN st USING (lft, rgt) GROUP BY doc_id),
+         |q AS (SELECT doc_id, n_bigrams, sum_lp // n_bigrams AS mean_logp_micro FROM p)
+         |SELECT doc_id, n_bigrams, mean_logp_micro,
+         |  (0 - mean_logp_micro) // 500000 AS ppl_bucket_halfnat,
+         |  CAST(CASE WHEN mean_logp_micro >= -3400000 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM q ORDER BY doc_id""".stripMargin
+    }
   )
 
   /** Shared by q213 (plain v2-state run) and q228 (warm-start run) —
@@ -2827,10 +2860,12 @@ object Oracles {
       |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
-  /** q210: word-frequency base + three (pairs → argmax → replace) CTE
-    * rounds; vocab size recounted after each merge.
+  /** Shared BPE training chain (q210 + q238): word-frequency base and
+    * three (pairs → argmax → replace) CTE rounds, producing merge CTEs
+    * b1..b3 and word states w1..w3; optional per-round vocab recounts
+    * v1..v3 (q210's report column only).
     */
-  private lazy val bpeMergeSql: String = {
+  private def bpeTrainCtes(withVocabCounts: Boolean): String = {
     def pairs(wn: String, pn: String) =
       s"""$pn AS (SELECT ss[i] AS a, ss[i+1] AS b, CAST(sum(freq) AS BIGINT) AS pf FROM (
          |    SELECT list_filter(string_split(sym, '|'), x -> x <> '') AS ss, freq,
@@ -2845,20 +2880,45 @@ object Oracles {
     val roundCtes = (1 to 3)
       .map { r =>
         val prev = if (r == 1) "w0" else s"w${r - 1}"
-        Seq(pairs(prev, s"p$r"), best(s"p$r", s"b$r"), apply(prev, s"b$r", s"w$r"), vocab(s"w$r", s"v$r"))
-          .mkString(",\n")
+        val base = Seq(pairs(prev, s"p$r"), best(s"p$r", s"b$r"), apply(prev, s"b$r", s"w$r"))
+        (if (withVocabCounts) base :+ vocab(s"w$r", s"v$r") else base).mkString(",\n")
       }
       .mkString(",\n")
-    raw"""WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents),
+    raw"""toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents),
        |w0 AS (SELECT '|' || regexp_replace(w, '(.)', '\1|', 'g') AS sym, count(*) AS freq
        |  FROM toks WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w),
-       |$roundCtes
+       |$roundCtes""".stripMargin
+  }
+
+  /** q210: the training chain + per-round vocab size report. */
+  private lazy val bpeMergeSql: String =
+    s"""WITH ${bpeTrainCtes(withVocabCounts = true)}
        |SELECT * FROM (
        |  SELECT 1 AS round, a AS left_sym, b AS right_sym, pf AS pair_freq, (SELECT n FROM v1) AS n_sym_after FROM b1
        |  UNION ALL SELECT 2, a, b, pf, (SELECT n FROM v2) FROM b2
        |  UNION ALL SELECT 3, a, b, pf, (SELECT n FROM v3) FROM b3
        |) ORDER BY round""".stripMargin
-  }
+
+  /** q238: the training chain's learned merges b1..b3 applied to the
+    * distinct word vocabulary, then rolled up per document.
+    */
+  private lazy val bpeEncodeSql: String =
+    raw"""WITH ${bpeTrainCtes(withVocabCounts = false)},
+       |toks2 AS (SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]+$$')),
+       |v0 AS (SELECT DISTINCT w, '|' || regexp_replace(w, '(.)', '\1|', 'g') AS sym FROM toks2),
+       |u1 AS (SELECT w, replace(sym, '|'||a||'|'||b||'|', '|'||a||b||'|') AS sym FROM v0, b1),
+       |u2 AS (SELECT w, replace(sym, '|'||a||'|'||b||'|', '|'||a||b||'|') AS sym FROM u1, b2),
+       |u3 AS (SELECT w, replace(sym, '|'||a||'|'||b||'|', '|'||a||b||'|') AS sym FROM u2, b3),
+       |enc AS (SELECT w, CAST(len(list_filter(string_split(sym, '|'), x -> x <> '')) AS BIGINT) AS n_tok,
+       |    CAST(length(w) AS BIGINT) AS n_ch FROM u3),
+       |p AS (SELECT doc_id, count(*) AS n_words, CAST(sum(n_ch) AS BIGINT) AS n_chars,
+       |    CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |  FROM toks2 JOIN enc USING (w) GROUP BY doc_id)
+       |SELECT doc_id, n_words, n_chars, n_tokens,
+       |  n_chars * 1000 // n_tokens AS chars_per_token_permille
+       |FROM p ORDER BY doc_id""".stripMargin
 
   private lazy val incrementalDedupSql: String = {
     val probeJoins = (0 until 4)

@@ -4383,40 +4383,56 @@ object Queries {
   // round inside every later one (measured 4.3 s → sub-second at
   // sf0.1). At 100 TB the corpus scan is the only full pass; the 3
   // rounds cost |vocab| each — why BPE trainers operate on word counts.
-  def bpeMergeRounds(s: SparkSession, dir: String): DataFrame = {
-    def syms(c: Column): Column = filter(split(c, "\\|"), x => x =!= "")
-    def pairCounts(df: DataFrame): DataFrame = {
-      val ss = syms(col("sym"))
-      df.select(col("freq"), ss.as("ss"))
-        .select(
-          col("freq"),
-          explode(
-            zip_with(
-              slice(col("ss"), lit(1), size(col("ss")) - 1),
-              slice(col("ss"), lit(2), size(col("ss")) - 1),
-              (x, y) => struct(x.as("a"), y.as("b"))
-            )
-          ).as("p")
-        )
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("freq")).as("pf"))
-    }
-    val words = t(s, dir, "documents")
+  /** Pipe-framed symbol list of a BPE word state ("|a|b|c|" → [a,b,c]). */
+  private def bpeSyms(c: Column): Column = filter(split(c, "\\|"), x => x =!= "")
+
+  /** Frequency-weighted adjacent-pair counts over the (sym, freq) vocab. */
+  private def bpePairCounts(df: DataFrame): DataFrame = {
+    val ss = bpeSyms(col("sym"))
+    df.select(col("freq"), ss.as("ss"))
+      .select(
+        col("freq"),
+        explode(
+          zip_with(
+            slice(col("ss"), lit(1), size(col("ss")) - 1),
+            slice(col("ss"), lit(2), size(col("ss")) - 1),
+            (x, y) => struct(x.as("a"), y.as("b"))
+          )
+        ).as("p")
+      )
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("pf"))
+  }
+
+  /** Apply one learned merge (a, b) → ab to a pipe-framed sym column.
+    * Symbols are [a-z]+ by the word filter — safe as SQL literals;
+    * replace() is left-to-right non-overlapping on both engines
+    * (spec-pinned on overlapping runs).
+    */
+  private def bpeApplyMerge(df: DataFrame, a: String, b: String): DataFrame =
+    df.withColumn("sym", expr(s"replace(sym, '|$a|$b|', '|$a$b|')"))
+
+  /** The corpus's BPE word universe: distinct [a-z]+ words with corpus
+    * frequency and the initial char-framed symbol state.
+    */
+  private def bpeVocab(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
       .select(explode(TextOps.tokens(col("text"))).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
       .groupBy("w")
       .agg(count(lit(1)).as("freq"))
-      .select(concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|")).as("sym"), col("freq"))
-      .persist()
+      .select(col("w"), concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|")).as("sym"), col("freq"))
+
+  def bpeMergeRounds(s: SparkSession, dir: String): DataFrame = {
+    val words = bpeVocab(s, dir).select("sym", "freq").persist()
     try {
       var cur = words
       val rounds = (1 to 3).map { r =>
-        val best = pairCounts(cur).orderBy(desc("pf"), col("a"), col("b")).limit(1).head()
+        val best = bpePairCounts(cur).orderBy(desc("pf"), col("a"), col("b")).limit(1).head()
         val (a, b, pf) = (best.getString(0), best.getString(1), best.getLong(2))
-        // symbols are [a-z]+ by the word filter — safe as SQL literals
-        cur = cur.withColumn("sym", expr(s"replace(sym, '|$a|$b|', '|$a$b|')"))
+        cur = bpeApplyMerge(cur, a, b)
         val nSym = cur
-          .select(explode(syms(col("sym"))).as("x"))
+          .select(explode(bpeSyms(col("sym"))).as("x"))
           .agg(countDistinct(col("x")))
           .head()
           .getLong(0)
@@ -4426,6 +4442,50 @@ object Queries {
         .toDF("round", "left_sym", "right_sym", "pair_freq", "n_sym_after")
         .orderBy("round")
     } finally words.unpersist()
+  }
+
+  // BPE ENCODE — the apply half of the tokenizer story (q210 trains the
+  // merges; this pass tokenizes the corpus with them and reports the
+  // compression the tokenizer actually buys). Train: the same 3
+  // argmax-collect rounds as q210 (1-row collect per round, the Lloyd
+  // precedent). Encode: the merge list is applied to the DISTINCT word
+  // vocabulary (vocab-cardinality work, not corpus-cardinality — each
+  // surface form is encoded once), and the corpus pass is one
+  // broadcast join of the exploded tokens against the |V|-row encoded
+  // vocab plus a map-combined groupBy(doc_id). chars-per-token is the
+  // permille compression ratio every tokenizer eval reports. At
+  // 100 TB: identical shape — the learned merge table is tiny and
+  // literal, the vocab broadcast, the corpus never pair-shuffled.
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val vocab = bpeVocab(s, dir).persist()
+    try {
+      var cur = vocab.select("sym", "freq")
+      val merges = (1 to 3).map { _ =>
+        val best = bpePairCounts(cur).orderBy(desc("pf"), col("a"), col("b")).limit(1).head()
+        val (a, b) = (best.getString(0), best.getString(1))
+        cur = bpeApplyMerge(cur, a, b)
+        (a, b)
+      }
+      val enc = merges
+        .foldLeft(vocab.select("w", "sym")) { case (df, (a, b)) => bpeApplyMerge(df, a, b) }
+        .select(
+          col("w"),
+          size(bpeSyms(col("sym"))).cast("long").as("n_tok"),
+          length(col("w")).cast("long").as("n_ch")
+        )
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        .filter(col("w").rlike("^[a-z]+$"))
+        .join(broadcast(enc), Seq("w"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum(col("n_ch")).as("n_chars"),
+          sum(col("n_tok")).as("n_tokens")
+        )
+        .withColumn("chars_per_token_permille", expr("n_chars * 1000 div n_tokens"))
+        .orderBy("doc_id")
+    } finally vocab.unpersist()
   }
 
   // KMV set-intersection estimation between event-type audiences: the
@@ -4507,7 +4567,6 @@ object Queries {
   def qualityClassifierScore(s: SparkSession, dir: String): DataFrame = {
     val ws = TextOps.tokens(col("text"))
     val nTok = size(ws).cast("long")
-    val sumLen = length(regexp_replace(trim(col("text")), "\\s+", "")).cast("long")
     val nStop = size(filter(ws, w => w.isInCollection(Seq("the", "a", "and", "is", "of")))).cast("long")
     val nDistinct = size(array_distinct(ws)).cast("long")
     t(s, dir, "documents")
@@ -5226,5 +5285,89 @@ object Queries {
           .as("cov_val")
       )
       .orderBy("dim_i", "dim_j")
+  }
+
+  /** Per-doc bigram token stream — q215's zip_with/slice extraction,
+    * keeping `doc_id` so scoring can roll back up to documents.
+    */
+  private def docBigrams(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(
+        col("doc_id"),
+        explode(
+          zip_with(
+            slice(col("ws"), lit(1), size(col("ws")) - 1),
+            slice(col("ws"), lit(2), size(col("ws")) - 1),
+            (x, y) => struct(x.as("l"), y.as("r"))
+          )
+        ).as("p")
+      )
+      .select(col("doc_id"), col("p.l").as("lft"), col("p.r").as("rgt"))
+
+  /** Integer micro-nats: floor(ln(x)·1e6 + 0.5) of a positive BIGINT.
+    * ln of an INTEGER input is the only libm call — both JVM Math.log
+    * and DuckDB's std::log are ≤1 ulp, so after scaling to 1e-6
+    * resolution a cross-engine flip needs the true value within ~4e-9
+    * of a rounding boundary (odds ~1e-8 per distinct count value).
+    */
+  private def microNats(x: Column): Column =
+    floor(log(x.cast("double")) * lit(1000000.0) + lit(0.5)).cast("long")
+
+  // CCNet-style perplexity filtering — the model-based curation pass
+  // every production corpus pipeline runs: train an interpolated
+  // Kneser-Ney bigram LM on the corpus (the q215 continuation counts
+  // ARE the KN ingredients) and score each document by mean log-prob.
+  // With discount d = 3/4 every probability is RATIONAL:
+  //
+  //   P(r|l) = (c(l,r) − 3/4)/c(l·) + (3/4)·N1+(l·)/c(l·) · N1+(·r)/NB
+  //          = [NB·(4c(l,r) − 3) + 3·N1+(l·)·N1+(·r)] / [4·c(l·)·NB]
+  //
+  // (no unseen-bigram branch: the LM is trained on the corpus it
+  // scores, so every in-doc bigram has c ≥ 1 — the self-scoring setup
+  // CCNet uses with a held-out LM reduces to the same plan shape).
+  // log-probs are integer micro-nats: mn(num) − mn(den) with mn =
+  // floor(ln·1e6 + 0.5) applied to INTEGER num/den only, so the score
+  // is an exact integer on both engines and per-doc sums/means are
+  // hash-stable. At 100 TB: the count tables are vocab-bounded (|V|
+  // rows for contexts, ≤|V|² for the scored bigram table) and
+  // BROADCAST; the scoring pass is one projection over the exploded
+  // bigram stream plus a single map-combined groupBy(doc_id) — the
+  // corpus is never shuffled on a high-cardinality key. perplexity
+  // bucket = half-nat bins of −mean; keep gate at mean ≥ −3.4 nats
+  // (≈ ppl 30, the uniform-over-vocab line for this 31-word corpus).
+  def perplexityFilter(s: SparkSession, dir: String): DataFrame = {
+    val bg = docBigrams(s, dir)
+    val cnt = bg.groupBy("lft", "rgt").agg(count(lit(1)).as("c"))
+    val leftCtx = cnt
+      .groupBy("lft")
+      .agg(sum(col("c")).as("cl"), count(lit(1)).as("n1p"))
+    val rightCtx = cnt.groupBy("rgt").agg(count(lit(1)).as("nleft"))
+    val nb = cnt.agg(count(lit(1)).as("nb"))
+    // bigram-type score table: ≤ |V|² rows, the broadcast LM "model"
+    val st = cnt
+      .join(broadcast(leftCtx), Seq("lft"))
+      .join(broadcast(rightCtx), Seq("rgt"))
+      .crossJoin(broadcast(nb))
+      .select(
+        col("lft"),
+        col("rgt"),
+        (microNats(col("nb") * (col("c") * 4 - 3) + col("n1p") * col("nleft") * 3)
+          - microNats(col("cl") * col("nb") * 4)).as("lp_micro")
+      )
+    bg
+      .join(broadcast(st), Seq("lft", "rgt"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("sum_lp"))
+      .withColumn("mean_logp_micro", expr("sum_lp div n_bigrams"))
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        col("mean_logp_micro"),
+        expr("(0 - mean_logp_micro) div 500000").as("ppl_bucket_halfnat"),
+        (col("mean_logp_micro") >= -3400000L).cast("long").as("keep")
+      )
+      .orderBy("doc_id")
   }
 }

@@ -476,4 +476,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastHashJoin"), s"the request-sized cohort must broadcast:\n$p")
   }
+
+  test("perplexity filter (q237): LM tables broadcast — the corpus bigram stream is never sort-merge shuffled") {
+    val p = plan(Queries.perplexityFilter(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"the vocab²-bounded score table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-keyed merge join anywhere:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("bpe encode (q238): the encoded vocabulary broadcasts onto the token stream") {
+    val p = plan(Queries.bpeEncode(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"the |V|-row encoded vocab must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"tokens join the vocab by broadcast only:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

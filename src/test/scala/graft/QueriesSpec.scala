@@ -1090,4 +1090,62 @@ class QueriesSpec extends SparkSpec {
       assert(r.getAs[Long]("score_avg") > 0L)
     }
   }
+
+  test("perplexity filter: KN probabilities sum to 1 per context; scores negative and bucketed consistently") {
+    import org.apache.spark.sql.functions._
+    // independent re-derivation of the KN mass: for every left context l,
+    // sum_r P(r|l) must be exactly 1 (the smoothing redistributes the
+    // discounted mass, it never creates or destroys any)
+    val bg = graft.sources.Tables
+      .parquet(spark, sfDir, "documents")
+      .select(graft.functions.TextOps.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .selectExpr("explode(zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), (x, y) -> struct(x AS l, y AS r))) AS p")
+      .select(col("p.l").as("l"), col("p.r").as("r"))
+    val cnt = bg.groupBy("l", "r").count().collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val cl = cnt.groupBy(_._1._1).map { case (l, m) => l -> m.values.sum }
+    val n1p = cnt.groupBy(_._1._1).map { case (l, m) => l -> m.size.toLong }
+    val nleft = cnt.groupBy(_._1._2).map { case (r, m) => r -> m.size.toLong }
+    val nb = cnt.size.toLong
+    cl.keys.foreach { l =>
+      val mass = cnt.collect {
+        case ((`l`, r), c) =>
+          (c - 0.75) / cl(l) + 0.75 * n1p(l) / cl(l) * nleft(r) / nb
+      }.sum +
+        // unseen continuations of l still receive backoff mass
+        nleft.collect { case (r, nl) if !cnt.contains((l, r)) => 0.75 * n1p(l) / cl(l) * nl.toDouble / nb }.sum
+      assert(math.abs(mass - 1.0) < 1e-9, s"KN mass for context '$l' = $mass")
+    }
+    val rows = Queries.perplexityFilter(spark, sfDir).collect()
+    val totalBigrams = cnt.values.sum
+    assert(rows.map(_.getAs[Long]("n_bigrams")).sum === totalBigrams)
+    rows.foreach { r =>
+      val mean = r.getAs[Long]("mean_logp_micro")
+      assert(mean < 0L, "log-probs are negative")
+      assert(r.getAs[Long]("ppl_bucket_halfnat") === (-mean) / 500000L)
+      assert(r.getAs[Long]("keep") === (if (mean >= -3400000L) 1L else 0L))
+    }
+  }
+
+  test("bpe encode: per-doc counts bounded, merges actually compress") {
+    import org.apache.spark.sql.functions._
+    val rows = Queries.bpeEncode(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (nw, nc, nt) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"), r.getAs[Long]("n_tokens"))
+      assert(nw >= 1L && nt >= nw, "at least one token per word")
+      assert(nt <= nc, "merges only shrink the per-word symbol count")
+      assert(r.getAs[Long]("chars_per_token_permille") >= 1000L)
+      assert(r.getAs[Long]("chars_per_token_permille") === nc * 1000 / nt)
+    }
+    // chars re-derived independently: sum of [a-z]+ word lengths per doc
+    val expectChars = graft.sources.Tables
+      .parquet(spark, sfDir, "documents")
+      .select(explode(graft.functions.TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .agg(sum(length(col("w")))).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_chars")).sum === expectChars)
+    // three merge rounds on this corpus must compress: strictly fewer
+    // tokens than characters in total
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum < expectChars)
+  }
 }
