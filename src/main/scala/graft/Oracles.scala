@@ -2638,27 +2638,10 @@ object Oracles {
     // upper-triangle power sums; float×float exact in double, decimal
     // cast per the q102 convention; covariance assembled in fixed-order
     // double ops
-    "q222_embedding_covariance" -> {
-      val cov = away(
-        "(CAST(sxy AS DOUBLE) * n_vecs - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (n_vecs * n_vecs)",
-        6
-      )
-      """WITH prs AS (SELECT i.i AS dim_i, j.j AS dim_j
-        |  FROM (SELECT unnest(generate_series(1, 6)) AS i) i,
-        |       (SELECT unnest(generate_series(1, 6)) AS j) j
-        |  WHERE j.j >= i.i),
-        |p AS (SELECT dim_i, dim_j,
-        |    CAST(embedding[CAST(dim_i AS INTEGER)] AS DECIMAL(25,12)) AS dx,
-        |    CAST(embedding[CAST(dim_j AS INTEGER)] AS DECIMAL(25,12)) AS dy,
-        |    CAST(CAST(embedding[CAST(dim_i AS INTEGER)] AS DOUBLE)
-        |       * CAST(embedding[CAST(dim_j AS INTEGER)] AS DOUBLE) AS DECIMAL(25,12)) AS dxy
-        |  FROM embeddings, prs),
-        |s AS (SELECT dim_i, dim_j, count(*) AS n_vecs,
-        |    sum(dx) AS sx, sum(dy) AS sy, sum(dxy) AS sxy
-        |  FROM p GROUP BY 1, 2)
-        |SELECT CAST(dim_i AS INTEGER) AS dim_i, CAST(dim_j AS INTEGER) AS dim_j, n_vecs,
-        |""".stripMargin + cov + " AS cov_val FROM s ORDER BY dim_i, dim_j"
-    },
+    "q222_embedding_covariance" -> covarianceSql,
+    // fixed-order power-iteration eigensolver unrolled into 1-row CTE
+    // chains; projection replayed per embedding
+    "q239_pca_projection" -> pcaSql,
     // q37's islands plus the timer rule: last islands emit iff
     // end + gap < (ms-floored max event time − 1 h delay) — STRICT, as
     // probed empirically (TimerBoundaryProbe: a timer whose expiry lands
@@ -2849,6 +2832,108 @@ object Oracles {
          |FROM q ORDER BY doc_id""".stripMargin
     }
   )
+
+  /** q222 (and q239's input): upper-triangle power sums; float×float
+    * exact in double, decimal cast per the q102 convention; covariance
+    * assembled in fixed-order double ops.
+    */
+  private lazy val covarianceSql: String = {
+    val cov = away(
+      "(CAST(sxy AS DOUBLE) * n_vecs - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (n_vecs * n_vecs)",
+      6
+    )
+    """WITH prs AS (SELECT i.i AS dim_i, j.j AS dim_j
+      |  FROM (SELECT unnest(generate_series(1, 6)) AS i) i,
+      |       (SELECT unnest(generate_series(1, 6)) AS j) j
+      |  WHERE j.j >= i.i),
+      |p AS (SELECT dim_i, dim_j,
+      |    CAST(embedding[CAST(dim_i AS INTEGER)] AS DECIMAL(25,12)) AS dx,
+      |    CAST(embedding[CAST(dim_j AS INTEGER)] AS DECIMAL(25,12)) AS dy,
+      |    CAST(CAST(embedding[CAST(dim_i AS INTEGER)] AS DOUBLE)
+      |       * CAST(embedding[CAST(dim_j AS INTEGER)] AS DOUBLE) AS DECIMAL(25,12)) AS dxy
+      |  FROM embeddings, prs),
+      |s AS (SELECT dim_i, dim_j, count(*) AS n_vecs,
+      |    sum(dx) AS sx, sum(dy) AS sy, sum(dxy) AS sxy
+      |  FROM p GROUP BY 1, 2)
+      |SELECT CAST(dim_i AS INTEGER) AS dim_i, CAST(dim_j AS INTEGER) AS dim_j, n_vecs,
+      |""".stripMargin + cov + " AS cov_val FROM s ORDER BY dim_i, dim_j"
+  }
+
+  /** q239: the q222 covariance re-derived as a CTE, the SAME fixed-order
+    * cyclic-Jacobi eigensolver as operators/Pca unrolled into 1-row CTE
+    * chains — one (θ, t, (c,s), updated A+V) quartet per rotation of the
+    * fixed 6-sweep schedule, every FP expression a left-associative
+    * chain and the only libm call IEEE-exact sqrt — then the top-2
+    * columns of V selected by descending diagonal and applied per
+    * embedding.
+    */
+  private lazy val pcaSql: String = {
+    val dims = 6
+    val ds = 1 to dims
+    val schedule = for { _ <- 1 to 6; p <- 1 until dims; q <- p + 1 to dims } yield (p, q)
+    // MATERIALIZED throughout: DuckDB inlines single-reference CTEs, and
+    // each rotation references the previous state ~100 times — textual
+    // expansion would re-expand the parquet scan combinatorially
+    // (observed as "Too many open files" with the 36 cv subqueries)
+    val rotations = schedule.zipWithIndex.map { case ((p, q), idx) =>
+      val r = idx + 1
+      val prev = s"j${r - 1}"
+      val th = s"th$r AS MATERIALIZED (SELECT a$p$q AS apq, " +
+        s"CASE WHEN a$p$q = 0.0 THEN 0.0 ELSE (a$q$q - a$p$p) / (2.0 * a$p$q) END AS theta FROM $prev)"
+      val tt = s"tt$r AS MATERIALIZED (SELECT CASE WHEN apq = 0.0 THEN 0.0 " +
+        s"WHEN theta >= 0.0 THEN 1.0 / (theta + sqrt(theta * theta + 1.0)) " +
+        s"ELSE 1.0 / (theta - sqrt(theta * theta + 1.0)) END AS t FROM th$r)"
+      val rot = s"rot$r AS MATERIALIZED (SELECT 1.0 / sqrt(t * t + 1.0) AS c, " +
+        s"t * (1.0 / sqrt(t * t + 1.0)) AS s FROM tt$r)"
+      def aCol(i: Int, j: Int): String =
+        if (i == p && j == p) s"c * c * a$p$p - 2.0 * s * c * a$p$q + s * s * a$q$q"
+        else if (i == q && j == q) s"s * s * a$p$p + 2.0 * s * c * a$p$q + c * c * a$q$q"
+        else if ((i == p && j == q) || (i == q && j == p)) "0.0"
+        else if (i == p) s"c * a$p$j - s * a$q$j"
+        else if (j == p) s"c * a$p$i - s * a$q$i"
+        else if (i == q) s"s * a$p$j + c * a$q$j"
+        else if (j == q) s"s * a$p$i + c * a$q$i"
+        else s"a$i$j"
+      def vCol(i: Int, j: Int): String =
+        if (j == p) s"c * v$i$p - s * v$i$q"
+        else if (j == q) s"s * v$i$p + c * v$i$q"
+        else s"v$i$j"
+      val cols = (for { i <- ds; j <- ds } yield s"${aCol(i, j)} AS a$i$j") ++
+        (for { i <- ds; j <- ds } yield s"${vCol(i, j)} AS v$i$j")
+      val jn = s"j$r AS MATERIALIZED (SELECT ${cols.mkString(", ")} FROM $prev, rot$r)"
+      Seq(th, tt, rot, jn).mkString(",\n")
+    }
+    val last = s"j${schedule.size}"
+    val cmCols = (for { i <- ds; j <- ds } yield {
+      val (lo, hi) = (math.min(i, j), math.max(i, j))
+      s"(SELECT cov_val FROM cv WHERE dim_i = $lo AND dim_j = $hi) AS c$i$j"
+    }).mkString(",\n    ")
+    val j0Cols = (for { i <- ds; j <- ds } yield s"cm.c$i$j AS a$i$j") ++
+      (for { i <- ds; j <- ds } yield s"${if (i == j) "1.0" else "0.0"} AS v$i$j")
+    val muCols = ds
+      .map(i => s"CAST(sum(CAST(embedding[$i] AS DECIMAL(25,12))) AS DOUBLE) / count(*) AS m$i")
+      .mkString(",\n    ")
+    val egRows = ds
+      .map(j => s"SELECT $j AS idx, a$j$j AS ev, ${ds.map(i => s"v$i$j AS w$i").mkString(", ")} FROM $last")
+      .mkString("\nUNION ALL ")
+    def proj(b: String) =
+      ds.map(i => s"(CAST(embedding[$i] AS DOUBLE) - mu.m$i) * $b.w$i").mkString(" + ")
+    s"""WITH cv AS MATERIALIZED ($covarianceSql),
+       |mu AS MATERIALIZED (SELECT $muCols FROM embeddings),
+       |cm AS MATERIALIZED (SELECT $cmCols),
+       |j0 AS MATERIALIZED (SELECT ${j0Cols.mkString(", ")} FROM cm),
+       |${rotations.mkString(",\n")},
+       |eg AS MATERIALIZED ($egRows),
+       |b1 AS MATERIALIZED (SELECT * FROM eg ORDER BY ev DESC, idx LIMIT 1),
+       |b2 AS MATERIALIZED (SELECT * FROM eg ORDER BY ev DESC, idx LIMIT 1 OFFSET 1)
+       |SELECT vec_id,
+       |  ${away(proj("b1"), 6)} AS pc1,
+       |  ${away(proj("b2"), 6)} AS pc2,
+       |  ${away("b1.ev", 6)} AS eig1,
+       |  ${away("b2.ev", 6)} AS eig2
+       |FROM embeddings, mu, b1, b2
+       |ORDER BY vec_id""".stripMargin
+  }
 
   /** Shared by q213 (plain v2-state run) and q228 (warm-start run) —
     * both must equal the full per-user lifetime aggregate.

@@ -5370,4 +5370,32 @@ object Queries {
       )
       .orderBy("doc_id")
   }
+
+  // PCA projection — the follow-on that makes q222's covariance
+  // USABLE: top-2 eigenpairs extracted on the driver (fixed-order
+  // power iteration over the dims² matrix — see operators/Pca for the
+  // determinism contract) and broadcast back as LITERALS, so the
+  // projection is one zero-shuffle codegen'd pass over the corpus:
+  // pc_k = Σ_i (x_i − μ_i)·v_k,i evaluated left-associatively, the
+  // exact expression the oracle replays. Eigenvalues ride along as the
+  // variance-explained report. At 100 TB the plan is unchanged — the
+  // eigen-solve cost is dims²-bounded driver work and the corpus pass
+  // is embarrassingly parallel with no state.
+  def pcaProjection(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pca
+    val b = Pca.topTwo(embeddingCovariance(s, dir), t(s, dir, "embeddings"))
+    def proj(v: Array[Double]): Column =
+      (1 to Pca.Dims)
+        .map(i => (element_at(col("embedding"), lit(i)).cast("double") - lit(b.means(i))) * lit(v(i)))
+        .reduceLeft(_ + _)
+    t(s, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        NumOps.roundAway(proj(b.v1), 6).as("pc1"),
+        NumOps.roundAway(proj(b.v2), 6).as("pc2"),
+        lit(Pca.roundAway6(b.lam1)).as("eig1"),
+        lit(Pca.roundAway6(b.lam2)).as("eig2")
+      )
+      .orderBy("vec_id")
+  }
 }

@@ -490,4 +490,10 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"tokens join the vocab by broadcast only:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("pca projection (q239): the corpus pass is a literal-basis projection — no join, no aggregate") {
+    val p = plan(Queries.pcaProjection(spark, sfDir))
+    assert(!p.contains("Join"), s"the basis is broadcast as literals, never joined:\n$p")
+    assert(!p.contains("HashAggregate"), s"the projection pass aggregates nothing:\n$p")
+  }
 }
