@@ -2639,9 +2639,27 @@ object Oracles {
     // cast per the q102 convention; covariance assembled in fixed-order
     // double ops
     "q222_embedding_covariance" -> covarianceSql,
-    // fixed-order power-iteration eigensolver unrolled into 1-row CTE
+    // fixed-order cyclic-Jacobi eigensolver unrolled into 1-row CTE
     // chains; projection replayed per embedding
     "q239_pca_projection" -> pcaSql,
+    // Spark groups/joins on UNICODE_CI_AI collated strings; the oracle
+    // pins the identical semantics as explicit lower(strip_accents(…))
+    // normalization over the same deterministically-injected variants
+    "q240_collated_census" ->
+      raw"""WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         |tk AS (SELECT doc_id, i - 1 AS pos, ws[i] AS w FROM (
+         |    SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM d)),
+         |cs AS (SELECT doc_id, pos, CASE WHEN (doc_id + pos) % 2 = 0 THEN upper(w) ELSE w END AS m FROM tk),
+         |ms AS (SELECT CASE WHEN (doc_id + pos) % 5 = 0
+         |    THEN translate(m, 'AEIOUaeiou', 'ÁÉÍÓÚáéíóú') ELSE m END AS messy FROM cs),
+         |g AS (SELECT lower(strip_accents(messy)) AS w_norm,
+         |    count(DISTINCT messy) AS n_variants, count(*) AS n_total
+         |  FROM ms GROUP BY 1),
+         |kw(kw) AS (VALUES ('SPARK'), ('Tablé'), ('QUERY'), ('agg'))
+         |SELECT w_norm, n_variants, n_total,
+         |  CAST(CASE WHEN EXISTS (SELECT 1 FROM kw WHERE lower(strip_accents(kw.kw)) = g.w_norm)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS is_keyword
+         |FROM g ORDER BY w_norm""".stripMargin,
     // q37's islands plus the timer rule: last islands emit iff
     // end + gap < (ms-floored max event time − 1 h delay) — STRICT, as
     // probed empirically (TimerBoundaryProbe: a timer whose expiry lands

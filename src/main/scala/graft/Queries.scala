@@ -5398,4 +5398,63 @@ object Queries {
       )
       .orderBy("vec_id")
   }
+
+  // Spark 4 collation surface — case/accent-insensitive GROUPING and
+  // JOIN over multilingual text, the SQL-level answer to "merge
+  // 'Tokyo', 'TOKYO' and 'Tōkyō' without a normalize-everything
+  // preprocessing pass". The corpus text is all-lowercase ASCII, so the
+  // case/accent variation is INJECTED deterministically per token
+  // position ((doc_id+pos) % 2 → uppercase, % 5 → accented vowels) —
+  // both engines construct the identical variant multiset, then Spark
+  // groups/joins on UNICODE_CI_AI collated strings (ICU primary
+  // strength: case and accents ignored) while the oracle pins the same
+  // semantics explicitly via lower(strip_accents(...)), so the query
+  // verifies that the collation behaves exactly like the normalization
+  // every engine-independent pipeline would hand-write. The keyword
+  // join probes collated EQUALITY across case AND accent differences
+  // ('Tablé' must hit 'table').
+  //
+  // 100 TB posture — a real Spark-4 collation caveat, by design: ICU
+  // collations (UNICODE_*) do NOT support binary equality, so Spark
+  // refuses hash-based joins on them and falls back to sort-merge
+  // (JoinSelection logs exactly that). The plan is still scale-safe
+  // here because the collated JOIN runs on the POST-AGGREGATION frame
+  // (vocab-bounded, 31 rows) against the 4-row keyword dim — only the
+  // groupBy touches the corpus, and collated GROUPING does hash-
+  // partition (on the collation key). Joining a raw 100 TB fact on an
+  // ICU-collated key would be the anti-pattern: normalize-then-join
+  // (or UTF8_LCASE, which keeps hashability) is the fast path, and
+  // this query's oracle proves the normalization is semantics-
+  // preserving for exactly this reason.
+  def collatedCensus(s: SparkSession, dir: String): DataFrame = {
+    val coll = "UNICODE_CI_AI"
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "w")))
+    val messy = toks
+      .withColumn("m", when((col("doc_id") + col("pos")) % 2 === 0, upper(col("w"))).otherwise(col("w")))
+      .withColumn(
+        "messy",
+        when((col("doc_id") + col("pos")) % 5 === 0, translate(col("m"), "AEIOUaeiou", "ÁÉÍÓÚáéíóú"))
+          .otherwise(col("m"))
+      )
+    val grouped = messy
+      .groupBy(collate(col("messy"), coll).as("k"))
+      .agg(
+        min(lower(translate(col("messy"), "ÁÉÍÓÚáéíóú", "AEIOUaeiou"))).as("w_norm"),
+        countDistinct(col("messy")).as("n_variants"),
+        count(lit(1)).as("n_total")
+      )
+    val kws = s
+      .createDataFrame(Seq(Tuple1("SPARK"), Tuple1("Tablé"), Tuple1("QUERY"), Tuple1("agg")))
+      .toDF("kw")
+    grouped
+      .join(kws, collate(col("w_norm"), coll) === collate(col("kw"), coll), "left")
+      .select(
+        col("w_norm"),
+        col("n_variants"),
+        col("n_total"),
+        col("kw").isNotNull.cast("long").as("is_keyword")
+      )
+      .orderBy("w_norm")
+  }
 }

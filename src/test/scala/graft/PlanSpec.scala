@@ -496,4 +496,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"the basis is broadcast as literals, never joined:\n$p")
     assert(!p.contains("HashAggregate"), s"the projection pass aggregates nothing:\n$p")
   }
+
+  test("collated census (q240): corpus is touched only by the grouping — the unhashable ICU join runs post-aggregation") {
+    val df = Queries.collatedCensus(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    // ICU collations refuse hash joins (no binary equality): Spark
+    // must pick SortMergeJoin — acceptable ONLY because both inputs
+    // are vocab-bounded. Assert the corpus-side aggregation sits BELOW
+    // the join, so a refactor that joins the raw token stream on a
+    // collated key fails here.
+    assert(p.contains("SortMergeJoin"), s"expected the documented ICU-collation join fallback:\n$p")
+    val joined = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joined.nonEmpty)
+    joined.foreach { j =>
+      val leftHasAgg = j.left.collect { case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }.nonEmpty
+      assert(leftHasAgg, s"the collated join must consume the aggregated (vocab-bounded) frame, not the corpus:\n${j.left}")
+    }
+  }
 }

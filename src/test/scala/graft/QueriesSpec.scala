@@ -1148,4 +1148,30 @@ class QueriesSpec extends SparkSpec {
     // tokens than characters in total
     assert(rows.map(_.getAs[Long]("n_tokens")).sum < expectChars)
   }
+
+  test("collated census: CI_AI grouping merges the injected variants; keyword join crosses case and accents") {
+    import org.apache.spark.sql.functions._
+    val rows = Queries.collatedCensus(spark, sfDir).collect()
+    val norms = rows.map(_.getAs[String]("w_norm"))
+    assert(norms.distinct.length === norms.length, "one row per collated group")
+    assert(norms.forall(w => w.matches("^[a-z]+$")), "normalized keys are plain lowercase ascii")
+    // every token of the corpus lands in exactly one group
+    val totalTokens = graft.sources.Tables
+      .parquet(spark, sfDir, "documents")
+      .select(explode(graft.functions.TextOps.tokens(col("text"))).as("w"))
+      .count()
+    assert(rows.map(_.getAs[Long]("n_total")).sum === totalTokens)
+    // the (doc_id+pos) jitter injects upper/accent variants: collation
+    // must fold several spellings per frequent token, never more than
+    // the 4 constructible forms
+    rows.foreach { r =>
+      val nv = r.getAs[Long]("n_variants")
+      assert(nv >= 1L && nv <= 4L, s"${r.getAs[String]("w_norm")}: $nv variants")
+    }
+    assert(rows.count(_.getAs[Long]("n_variants") >= 3L) > 5, "frequent tokens fold at least 3 spellings")
+    // collated equality crosses case ('SPARK', 'QUERY'), accents
+    // ('Tablé') and the identity case ('agg')
+    val keywords = rows.filter(_.getAs[Long]("is_keyword") == 1L).map(_.getAs[String]("w_norm")).sorted
+    assert(keywords === Array("agg", "query", "spark", "table"))
+  }
 }
