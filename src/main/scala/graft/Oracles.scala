@@ -2642,6 +2642,8 @@ object Oracles {
     // fixed-order cyclic-Jacobi eigensolver unrolled into 1-row CTE
     // chains; projection replayed per embedding
     "q239_pca_projection" -> pcaSql,
+    // same Jacobi chain, full ordered basis, 1/sqrt(ev) scaling
+    "q242_whitened_embeddings" -> whitenSql,
     // Spark groups/joins on UNICODE_CI_AI collated strings; the oracle
     // pins the identical semantics as explicit lower(strip_accents(…))
     // normalization over the same deterministically-injected variants
@@ -2829,27 +2831,46 @@ object Oracles {
     // KN bigram LM with d = 3/4 → rational probabilities; log-probs as
     // mn(num) − mn(den) with mn = floor(ln·1e6 + 0.5) over INTEGERS
     // only, so per-doc sums are exact BIGINTs on both engines
-    "q237_perplexity_filter" -> {
-      def mn(e: String) = s"CAST(floor(ln(CAST($e AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
-      raw"""WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
-         |bg AS (SELECT doc_id, ws[i] AS lft, ws[i+1] AS rgt FROM (
-         |    SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM d WHERE len(ws) >= 2)),
-         |cnt AS (SELECT lft, rgt, count(*) AS c FROM bg GROUP BY 1, 2),
-         |lc AS (SELECT lft, CAST(sum(c) AS BIGINT) AS cl, count(*) AS n1p FROM cnt GROUP BY lft),
-         |rc AS (SELECT rgt, count(*) AS nleft FROM cnt GROUP BY rgt),
-         |nbt AS (SELECT count(*) AS nb FROM cnt),
-         |st AS (SELECT cnt.lft, cnt.rgt,
-         |    ${mn("nb * (c * 4 - 3) + n1p * nleft * 3")} - ${mn("cl * nb * 4")} AS lp_micro
-         |  FROM cnt JOIN lc USING (lft) JOIN rc USING (rgt), nbt),
-         |p AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(lp_micro) AS BIGINT) AS sum_lp
-         |  FROM bg JOIN st USING (lft, rgt) GROUP BY doc_id),
-         |q AS (SELECT doc_id, n_bigrams, sum_lp // n_bigrams AS mean_logp_micro FROM p)
+    "q237_perplexity_filter" ->
+      s"""WITH $perplexityCtes
          |SELECT doc_id, n_bigrams, mean_logp_micro,
          |  (0 - mean_logp_micro) // 500000 AS ppl_bucket_halfnat,
          |  CAST(CASE WHEN mean_logp_micro >= -3400000 THEN 1 ELSE 0 END AS BIGINT) AS keep
-         |FROM q ORDER BY doc_id""".stripMargin
-    }
+         |FROM q ORDER BY doc_id""".stripMargin,
+    // the q237 per-doc scores rolled up as a source × bucket histogram
+    "q241_perplexity_report" ->
+      s"""WITH $perplexityCtes,
+         |f AS (SELECT q.doc_id, mean_logp_micro,
+         |    (0 - mean_logp_micro) // 500000 AS ppl_bucket_halfnat,
+         |    CASE WHEN mean_logp_micro >= -3400000 THEN 1 ELSE 0 END AS keep,
+         |    documents.source
+         |  FROM q JOIN documents ON documents.doc_id = q.doc_id)
+         |SELECT source, ppl_bucket_halfnat, count(*) AS n_docs,
+         |  CAST(sum(keep) AS BIGINT) AS n_keep,
+         |  CAST(sum(mean_logp_micro) AS BIGINT) // count(*) AS avg_mean_logp_micro
+         |FROM f GROUP BY source, ppl_bucket_halfnat
+         |ORDER BY source, ppl_bucket_halfnat""".stripMargin
   )
+
+  /** q237/q241 shared chain: KN bigram-LM count tables → per-bigram
+    * integer micro-nat log-probs → per-doc sums and truncated means.
+    */
+  private lazy val perplexityCtes: String = {
+    def mn(e: String) = s"CAST(floor(ln(CAST($e AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+    raw"""d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+       |bg AS (SELECT doc_id, ws[i] AS lft, ws[i+1] AS rgt FROM (
+       |    SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM d WHERE len(ws) >= 2)),
+       |cnt AS (SELECT lft, rgt, count(*) AS c FROM bg GROUP BY 1, 2),
+       |lc AS (SELECT lft, CAST(sum(c) AS BIGINT) AS cl, count(*) AS n1p FROM cnt GROUP BY lft),
+       |rc AS (SELECT rgt, count(*) AS nleft FROM cnt GROUP BY rgt),
+       |nbt AS (SELECT count(*) AS nb FROM cnt),
+       |st AS (SELECT cnt.lft, cnt.rgt,
+       |    ${mn("nb * (c * 4 - 3) + n1p * nleft * 3")} - ${mn("cl * nb * 4")} AS lp_micro
+       |  FROM cnt JOIN lc USING (lft) JOIN rc USING (rgt), nbt),
+       |p AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(lp_micro) AS BIGINT) AS sum_lp
+       |  FROM bg JOIN st USING (lft, rgt) GROUP BY doc_id),
+       |q AS (SELECT doc_id, n_bigrams, sum_lp // n_bigrams AS mean_logp_micro FROM p)""".stripMargin
+  }
 
   /** q222 (and q239's input): upper-triangle power sums; float×float
     * exact in double, decimal cast per the q102 convention; covariance
@@ -2885,8 +2906,23 @@ object Oracles {
     * columns of V selected by descending diagonal and applied per
     * embedding.
     */
-  private lazy val pcaSql: String = {
-    val dims = 6
+  // `final` without a type annotation = a compile-time constant, which
+  // matters: the `sql` map val forces the lazy pca SQL during object
+  // construction, BEFORE later plain vals initialize (a non-final val
+  // here would read as 0 and generate empty CTE bodies)
+  private final val PcaDims = 6
+
+  /** Centered projection of an embedding onto basis-CTE `b`, divided by
+    * nothing ("" scale) or an expression suffix.
+    */
+  private def pcaProjExpr(b: String): String =
+    (1 to PcaDims).map(i => s"(CAST(embedding[$i] AS DOUBLE) - mu.m$i) * $b.w$i").mkString(" + ")
+
+  /** Shared q239/q242 prefix: covariance + means + the unrolled Jacobi
+    * chain, ending in the 6-row eigenpair CTE `eg` (idx, ev, w1..w6).
+    */
+  private lazy val pcaCommonCtes: String = {
+    val dims = PcaDims
     val ds = 1 to dims
     val schedule = for { _ <- 1 to 6; p <- 1 until dims; q <- p + 1 to dims } yield (p, q)
     // MATERIALIZED throughout: DuckDB inlines single-reference CTEs, and
@@ -2928,28 +2964,55 @@ object Oracles {
     }).mkString(",\n    ")
     val j0Cols = (for { i <- ds; j <- ds } yield s"cm.c$i$j AS a$i$j") ++
       (for { i <- ds; j <- ds } yield s"${if (i == j) "1.0" else "0.0"} AS v$i$j")
+    // NOT a decimal sum: cross-engine float→decimal casts diverge at
+    // ~1e-7 relative (DuckDB renders the float's shortest 7-digit form
+    // first; Spark widens through the exact double). floor(x·2³⁰) is
+    // pure IEEE → identical BIGINTs → exact sum → fixed-order double
+    // mean, bit-identical to the driver's (see Pca.momentsFromCov).
     val muCols = ds
-      .map(i => s"CAST(sum(CAST(embedding[$i] AS DECIMAL(25,12))) AS DOUBLE) / count(*) AS m$i")
+      .map(i =>
+        s"CAST(sum(CAST(floor(CAST(embedding[$i] AS DOUBLE) * 1073741824.0) AS BIGINT)) AS DOUBLE)" +
+          s" / count(*) / 1073741824.0 AS m$i"
+      )
       .mkString(",\n    ")
     val egRows = ds
       .map(j => s"SELECT $j AS idx, a$j$j AS ev, ${ds.map(i => s"v$i$j AS w$i").mkString(", ")} FROM $last")
       .mkString("\nUNION ALL ")
-    def proj(b: String) =
-      ds.map(i => s"(CAST(embedding[$i] AS DOUBLE) - mu.m$i) * $b.w$i").mkString(" + ")
-    s"""WITH cv AS MATERIALIZED ($covarianceSql),
+    s"""cv AS MATERIALIZED ($covarianceSql),
        |mu AS MATERIALIZED (SELECT $muCols FROM embeddings),
        |cm AS MATERIALIZED (SELECT $cmCols),
        |j0 AS MATERIALIZED (SELECT ${j0Cols.mkString(", ")} FROM cm),
        |${rotations.mkString(",\n")},
-       |eg AS MATERIALIZED ($egRows),
-       |b1 AS MATERIALIZED (SELECT * FROM eg ORDER BY ev DESC, idx LIMIT 1),
-       |b2 AS MATERIALIZED (SELECT * FROM eg ORDER BY ev DESC, idx LIMIT 1 OFFSET 1)
+       |eg AS MATERIALIZED ($egRows)""".stripMargin
+  }
+
+  /** Ranked-eigenpair CTE: `name` = the k-th pair by (ev DESC, idx). */
+  private def pcaRankCte(name: String, k: Int): String =
+    s"$name AS MATERIALIZED (SELECT * FROM eg ORDER BY ev DESC, idx LIMIT 1 OFFSET ${k - 1})"
+
+  private lazy val pcaSql: String =
+    s"""WITH $pcaCommonCtes,
+       |${pcaRankCte("b1", 1)},
+       |${pcaRankCte("b2", 2)}
        |SELECT vec_id,
-       |  ${away(proj("b1"), 6)} AS pc1,
-       |  ${away(proj("b2"), 6)} AS pc2,
+       |  ${away(pcaProjExpr("b1"), 6)} AS pc1,
+       |  ${away(pcaProjExpr("b2"), 6)} AS pc2,
        |  ${away("b1.ev", 6)} AS eig1,
        |  ${away("b2.ev", 6)} AS eig2
        |FROM embeddings, mu, b1, b2
+       |ORDER BY vec_id""".stripMargin
+
+  /** q242: the full ordered eigenbasis applied with 1/√λ scaling. */
+  private lazy val whitenSql: String = {
+    val ranks = (1 to PcaDims).map(k => pcaRankCte(s"b$k", k)).mkString(",\n")
+    val cols = (1 to PcaDims)
+      .map(k => s"  ${away(s"(${pcaProjExpr(s"b$k")}) / sqrt(b$k.ev)", 6)} AS wc$k")
+      .mkString(",\n")
+    s"""WITH $pcaCommonCtes,
+       |$ranks
+       |SELECT vec_id,
+       |$cols
+       |FROM embeddings, mu, ${(1 to PcaDims).map(k => s"b$k").mkString(", ")}
        |ORDER BY vec_id""".stripMargin
   }
 

@@ -5337,7 +5337,10 @@ object Queries {
   // corpus is never shuffled on a high-cardinality key. perplexity
   // bucket = half-nat bins of −mean; keep gate at mean ≥ −3.4 nats
   // (≈ ppl 30, the uniform-over-vocab line for this 31-word corpus).
-  def perplexityFilter(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc KN scores (doc_id, n_bigrams, mean_logp_micro, bucket,
+    * keep) — q237 emits this ordered; q241 rolls it up per source.
+    */
+  private def perplexityPerDoc(s: SparkSession, dir: String): DataFrame = {
     val bg = docBigrams(s, dir)
     val cnt = bg.groupBy("lft", "rgt").agg(count(lit(1)).as("c"))
     val leftCtx = cnt
@@ -5368,8 +5371,30 @@ object Queries {
         expr("(0 - mean_logp_micro) div 500000").as("ppl_bucket_halfnat"),
         (col("mean_logp_micro") >= -3400000L).cast("long").as("keep")
       )
-      .orderBy("doc_id")
   }
+
+  def perplexityFilter(s: SparkSession, dir: String): DataFrame =
+    perplexityPerDoc(s, dir).orderBy("doc_id")
+
+  // The curation dashboard over q237: perplexity-bucket histogram per
+  // source — which slices of the corpus the LM filter would cut, the
+  // report a CCNet-style pipeline publishes before committing to a
+  // threshold. The per-doc score frame is corpus-sized but NARROW
+  // (five longs); the source label joins back on doc_id (one keyed
+  // equi-join of two corpus-sized-but-narrow frames — at 100 TB you'd
+  // carry `source` through the scoring groupBy instead, same shuffle
+  // count either way) and the rollup is a map-combined two-key
+  // aggregate, domain-bounded output (sources × buckets).
+  def perplexityReport(s: SparkSession, dir: String): DataFrame =
+    perplexityPerDoc(s, dir)
+      .join(t(s, dir, "documents").select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source", "ppl_bucket_halfnat")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("keep")).as("n_keep"),
+        expr("sum(mean_logp_micro) div count(1)").as("avg_mean_logp_micro")
+      )
+      .orderBy("source", "ppl_bucket_halfnat")
 
   // PCA projection — the follow-on that makes q222's covariance
   // USABLE: top-2 eigenpairs extracted on the driver (fixed-order
@@ -5381,21 +5406,44 @@ object Queries {
   // variance-explained report. At 100 TB the plan is unchanged — the
   // eigen-solve cost is dims²-bounded driver work and the corpus pass
   // is embarrassingly parallel with no state.
+  /** Centered dot with a literal basis vector, left-associative. */
+  private def pcaProj(means: Array[Double], v: Array[Double]): Column =
+    (1 to graft.operators.Pca.Dims)
+      .map(i => (element_at(col("embedding"), lit(i)).cast("double") - lit(means(i))) * lit(v(i)))
+      .reduceLeft(_ + _)
+
   def pcaProjection(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Pca
     val b = Pca.topTwo(embeddingCovariance(s, dir), t(s, dir, "embeddings"))
-    def proj(v: Array[Double]): Column =
-      (1 to Pca.Dims)
-        .map(i => (element_at(col("embedding"), lit(i)).cast("double") - lit(b.means(i))) * lit(v(i)))
-        .reduceLeft(_ + _)
     t(s, dir, "embeddings")
       .select(
         col("vec_id"),
-        NumOps.roundAway(proj(b.v1), 6).as("pc1"),
-        NumOps.roundAway(proj(b.v2), 6).as("pc2"),
+        NumOps.roundAway(pcaProj(b.means, b.v1), 6).as("pc1"),
+        NumOps.roundAway(pcaProj(b.means, b.v2), 6).as("pc2"),
         lit(Pca.roundAway6(b.lam1)).as("eig1"),
         lit(Pca.roundAway6(b.lam2)).as("eig2")
       )
+      .orderBy("vec_id")
+  }
+
+  // PCA WHITENING — the full-rank companion of q239 and the
+  // preprocessing step semantic-dedup and ANN pipelines actually
+  // apply: rotate into the eigenbasis and scale each coordinate by
+  // 1/√λ so the output covariance is the identity (cosine thresholds
+  // then mean the same thing in every direction — SemDeDup's stated
+  // precondition). Same scale shape as q239: eigen-solve on the
+  // driver over the dims² matrix, basis and scales broadcast as
+  // literals, one zero-shuffle pass; the oracle replays the identical
+  // Jacobi chain and divides by the identical sqrt. PcaSpec asserts
+  // the whitened sample covariance IS the identity.
+  def whitenedEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pca
+    val e = Pca.eigenAll(embeddingCovariance(s, dir), t(s, dir, "embeddings"))
+    val cols = e.pairs.zipWithIndex.map { case ((lam, v), k) =>
+      NumOps.roundAway(pcaProj(e.means, v) / lit(math.sqrt(lam)), 6).as(s"wc${k + 1}")
+    }
+    t(s, dir, "embeddings")
+      .select(col("vec_id") +: cols: _*)
       .orderBy("vec_id")
   }
 

@@ -45,8 +45,19 @@ object Pca {
 
   /** (n, means, cov): cov is the symmetric matrix assembled from the
     * ROUNDED q222 `cov_val`s (hash-green, so both engines hold the
-    * same doubles); means replay q222's exact-decimal-sum → double
-    * cast → divide path.
+    * same doubles).
+    *
+    * Means deliberately AVOID the decimal-sum route: cross-engine
+    * float→decimal casts are NOT bit-reliable (DuckDB renders the
+    * float's 7-significant-digit shortest representation before
+    * scaling; Spark widens through the exact double — measured ~1e-7
+    * relative drift on this data, which q222 survives only because
+    * its output rounds at 1e-6). Instead each component is quantized
+    * by floor(x·2³⁰) — float→double widening is exact and unique, the
+    * ·2³⁰ and floor are IEEE ops, so both engines produce the SAME
+    * BIGINT — summed exactly, and the mean is the fixed-order double
+    * chain (S/n)/2³⁰. A ≤2⁻³⁰ quantization of the centering point is
+    * semantically free; bit-identical means are not.
     */
   def momentsFromCov(cov: DataFrame, embeddings: DataFrame): (Long, Array[Double], Array[Array[Double]]) = {
     val c = Array.ofDim[Double](Dims + 1, Dims + 1)
@@ -56,11 +67,13 @@ object Pca {
       c(j)(i) = v
     }
     val aggs = count(lit(1)).as("n") +:
-      (1 to Dims).map(i => sum(element_at(col("embedding"), lit(i)).cast("decimal(25,12)")).cast("double").as(s"s$i"))
+      (1 to Dims).map(i =>
+        sum(floor(element_at(col("embedding"), lit(i)).cast("double") * lit(1073741824.0))).as(s"s$i")
+      )
     val st = embeddings.agg(aggs.head, aggs.tail: _*).head()
     val n = st.getLong(0)
     val m = Array.ofDim[Double](Dims + 1)
-    (1 to Dims).foreach(i => m(i) = st.getDouble(i) / n)
+    (1 to Dims).foreach(i => m(i) = st.getLong(i).toDouble / n / 1073741824.0)
     (n, m, c)
   }
 
@@ -128,17 +141,29 @@ object Pca {
       cov: Array[Array[Double]]
   )
 
-  /** Top-2 eigenpairs of the q222 covariance plus the per-dim means.
-    * Selection is by descending diagonal value with index as the tie
-    * break — the oracle's ORDER BY ev DESC, idx.
+  final case class Eigen(
+      n: Long,
+      means: Array[Double],
+      pairs: Seq[(Double, Array[Double])],
+      cov: Array[Array[Double]]
+  )
+
+  /** ALL eigenpairs of the q222 covariance ordered by descending
+    * eigenvalue (index tie break — the oracle's ORDER BY ev DESC, idx),
+    * plus the per-dim means.
     */
-  def topTwo(cov: DataFrame, embeddings: DataFrame): Basis = {
+  def eigenAll(cov: DataFrame, embeddings: DataFrame): Eigen = {
     val (n, m, c) = momentsFromCov(cov, embeddings)
     val (a, v) = jacobi(c)
-    val order = (1 to Dims).sortBy(i => (-a(i)(i), i))
-    val (i1, i2) = (order(0), order(1))
     def column(j: Int): Array[Double] = (0 to Dims).map(i => if (i == 0) 0.0 else v(i)(j)).toArray
-    Basis(n, m, column(i1), a(i1)(i1), column(i2), a(i2)(i2), c)
+    val pairs = (1 to Dims).sortBy(i => (-a(i)(i), i)).map(i => (a(i)(i), column(i)))
+    Eigen(n, m, pairs, c)
+  }
+
+  /** Top-2 eigenpairs (q239's basis). */
+  def topTwo(cov: DataFrame, embeddings: DataFrame): Basis = {
+    val e = eigenAll(cov, embeddings)
+    Basis(e.n, e.means, e.pairs(0)._2, e.pairs(0)._1, e.pairs(1)._2, e.pairs(1)._1, e.cov)
   }
 
   /** The driver twin of the oracle's `away()` rounding. */

@@ -1149,6 +1149,21 @@ class QueriesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_tokens")).sum < expectChars)
   }
 
+  test("perplexity report: the source histogram closes against the per-doc scores") {
+    import org.apache.spark.sql.functions._
+    val report = Queries.perplexityReport(spark, sfDir).collect()
+    val perDoc = Queries.perplexityFilter(spark, sfDir)
+    assert(report.map(_.getAs[Long]("n_docs")).sum === perDoc.count())
+    assert(report.map(_.getAs[Long]("n_keep")).sum === perDoc.agg(sum(col("keep"))).head().getLong(0))
+    report.foreach { r =>
+      assert(r.getAs[Long]("n_keep") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("avg_mean_logp_micro") < 0L)
+      // bucket k holds means in (-(k+1)·0.5, -k·0.5] nats — the keep
+      // gate at -3.4 nats cannot pass anything in bucket 7+
+      if (r.getAs[Long]("ppl_bucket_halfnat") >= 7L) assert(r.getAs[Long]("n_keep") === 0L)
+    }
+  }
+
   test("collated census: CI_AI grouping merges the injected variants; keyword join crosses case and accents") {
     import org.apache.spark.sql.functions._
     val rows = Queries.collatedCensus(spark, sfDir).collect()

@@ -90,4 +90,23 @@ class PcaSpec extends SparkSpec {
       .sum
     assert(basis.lam1 + basis.lam2 >= bestAxes - 1e-12, "eigenbasis must capture at least as much variance as the best two raw axes")
   }
+
+  test("whitening (q242): the whitened sample covariance is the identity") {
+    val df = graft.Queries.whitenedEmbeddings(spark, sfDir)
+    val n = df.count().toDouble
+    val cols = (1 to Pca.Dims).map(k => s"wc$k")
+    val aggs = cols.map(c => sum(col(c)).as(s"s_$c")) ++
+      (for { i <- cols.indices; j <- i until cols.length }
+        yield sum(col(cols(i)) * col(cols(j))).as(s"q_${i}_$j"))
+    val sums = df.agg(aggs.head, aggs.tail: _*).head()
+    val mean = cols.indices.map(i => sums.getAs[Double](s"s_${cols(i)}") / n)
+    for { i <- cols.indices; j <- i until cols.length } {
+      val covIj = sums.getAs[Double](s"q_${i}_$j") / n - mean(i) * mean(j)
+      val target = if (i == j) 1.0 else 0.0
+      assert(
+        math.abs(covIj - target) < 2e-3,
+        s"whitened cov($i,$j)=$covIj must be $target (q222 rounding tolerance)"
+      )
+    }
+  }
 }
