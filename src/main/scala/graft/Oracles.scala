@@ -2837,6 +2837,22 @@ object Oracles {
          |  (0 - mean_logp_micro) // 500000 AS ppl_bucket_halfnat,
          |  CAST(CASE WHEN mean_logp_micro >= -3400000 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM q ORDER BY doc_id""".stripMargin,
+    // rank/freq are integers → micro-nat logs; OLS power sums in
+    // HUGEINT (Spark: DECIMAL(38,0)) with truncating division
+    "q243_zipf_fit" -> {
+      def mn(e: String) = s"CAST(floor(ln(CAST($e AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+      raw"""WITH tk AS (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents),
+         |vc AS (SELECT source, w, count(*) AS freq FROM tk GROUP BY 1, 2),
+         |rk AS (SELECT source, freq, row_number() OVER (PARTITION BY source ORDER BY freq DESC, w) AS rnk FROM vc),
+         |xy AS (SELECT source, ${mn("rnk")} AS x, ${mn("freq")} AS y FROM rk),
+         |st AS (SELECT source, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+         |  FROM xy GROUP BY source)
+         |SELECT source, n AS n_vocab,
+         |  CAST(CAST(n * sxy - sx * sy AS HUGEINT) * 1000 // (n * sxx - sx * sx) AS BIGINT) AS slope_milli,
+         |  CAST((CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy) // (n * sxx - sx * sx) AS BIGINT) AS intercept_micro
+         |FROM st ORDER BY source""".stripMargin
+    },
     // the q237 per-doc scores rolled up as a source × bucket histogram
     "q241_perplexity_report" ->
       s"""WITH $perplexityCtes,

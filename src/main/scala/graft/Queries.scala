@@ -5469,11 +5469,13 @@ object Queries {
   // here because the collated JOIN runs on the POST-AGGREGATION frame
   // (vocab-bounded, 31 rows) against the 4-row keyword dim — only the
   // groupBy touches the corpus, and collated GROUPING does hash-
-  // partition (on the collation key). Joining a raw 100 TB fact on an
-  // ICU-collated key would be the anti-pattern: normalize-then-join
-  // (or UTF8_LCASE, which keeps hashability) is the fast path, and
-  // this query's oracle proves the normalization is semantics-
-  // preserving for exactly this reason.
+  // partition (on the collation key). Joining a raw 100 TB fact on a
+  // collated key would be the anti-pattern — probed: Spark 4.1 refuses
+  // hash joins for EVERY non-binary collation, UTF8_LCASE included —
+  // so normalize-then-join (explicit lower()/translate with binary
+  // equality, broadcast-able) is the fast path, and this query's
+  // oracle proves that normalization is semantics-preserving for
+  // exactly this reason.
   def collatedCensus(s: SparkSession, dir: String): DataFrame = {
     val coll = "UNICODE_CI_AI"
     val toks = t(s, dir, "documents")
@@ -5504,5 +5506,42 @@ object Queries {
         col("kw").isNotNull.cast("long").as("is_keyword")
       )
       .orderBy("w_norm")
+  }
+
+  // Zipf rank-frequency fit per source — the corpus-health diagnostic
+  // every tokenizer/quality pipeline plots: slope of ln(freq) vs
+  // ln(rank) ≈ −1 for natural text, flatter for synthetic or
+  // boilerplate-heavy slices (THIS corpus's 31-word vocab is close to
+  // uniform — the report is exactly how you'd catch that). Exactness
+  // posture: ranks and frequencies are integers, so ln goes through
+  // the q237 micro-nat fixed-point (floor(ln·1e6 + 0.5) of an
+  // INTEGER), and the OLS is q218's power-sum form in DECIMAL(38,0) —
+  // micro-nat products overflow BIGINT — with truncating div. One
+  // vocab-sized aggregate per source after the token count; ranking
+  // is a keyed window over source-partitioned vocab (vocab-bounded,
+  // never corpus-bounded).
+  def zipfFit(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    t(s, dir, "documents")
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("source", "w")
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("rnk", row_number().over(Window.partitionBy("source").orderBy(desc("freq"), col("w"))))
+      .select(col("source"), microNats(col("rnk")).as("x"), microNats(col("freq")).as("y"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy")
+      )
+      .select(
+        col("source"),
+        col("n").as("n_vocab"),
+        expr("CAST((n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx) AS BIGINT)").as("slope_milli"),
+        expr("CAST((sy * sxx - sx * sxy) div (n * sxx - sx * sx) AS BIGINT)").as("intercept_micro")
+      )
+      .orderBy("source")
   }
 }

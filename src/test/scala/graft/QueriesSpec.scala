@@ -1149,6 +1149,32 @@ class QueriesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_tokens")).sum < expectChars)
   }
 
+  test("zipf fit: slope reproduces a BigInt recomputation from raw counts; non-positive on rank-ordered data") {
+    import org.apache.spark.sql.functions._
+    val rows = Queries.zipfFit(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("slope_milli") <= 0L, "frequency is non-increasing in rank"))
+    // independent recomputation for one source with BigInt arithmetic
+    val src = rows.head.getAs[String]("source")
+    val freqs = graft.sources.Tables
+      .parquet(spark, sfDir, "documents")
+      .filter(col("source") === src)
+      .select(explode(graft.functions.TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w")
+      .count()
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (w, f) => (-f, w) }
+    def mn(v: Long): BigInt = BigInt(math.floor(math.log(v.toDouble) * 1e6 + 0.5).toLong)
+    val xy = freqs.zipWithIndex.map { case ((_, f), i) => (mn(i + 1L), mn(f)) }
+    val n = BigInt(xy.length)
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum; val sxy = xy.map(p => p._1 * p._2).sum
+    val slope = (n * sxy - sx * sy) * 1000 / (n * sxx - sx * sx)
+    assert(rows.head.getAs[Long]("n_vocab") === xy.length.toLong)
+    assert(BigInt(rows.head.getAs[Long]("slope_milli")) === slope, s"slope mismatch for $src")
+  }
+
   test("perplexity report: the source histogram closes against the per-doc scores") {
     import org.apache.spark.sql.functions._
     val report = Queries.perplexityReport(spark, sfDir).collect()
