@@ -2183,11 +2183,7 @@ object Oracles {
     // distinct prints, df-cap, pair join — md5-substring parity is the
     // q24 contract, window frames are spelled identically
     "q195_winnowed_overlap" ->
-      """WITH idx AS (SELECT doc_id, CAST(unnest(generate_series(1, greatest(length(text) - 7, 1))) AS INTEGER) AS i, text FROM documents),
-        |g AS (SELECT doc_id, i, CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 15)) AS BIGINT) AS h, count(*) OVER (PARTITION BY doc_id) AS cnt FROM idx),
-        |wmin AS (SELECT doc_id, i, cnt, min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 49 FOLLOWING) AS fp FROM g),
-        |fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE i + 49 <= cnt
-        |  UNION SELECT doc_id, min(h) AS fp FROM g WHERE cnt < 50 GROUP BY doc_id),
+      s"""WITH $winnowFpsCtes,
         |stop AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) > 20),
         |kept AS (SELECT doc_id, fp FROM fps WHERE fp NOT IN (SELECT fp FROM stop)),
         |sz AS (SELECT doc_id, count(*) AS n_fp FROM kept GROUP BY doc_id),
@@ -2837,6 +2833,57 @@ object Oracles {
          |  (0 - mean_logp_micro) // 500000 AS ppl_bucket_halfnat,
          |  CAST(CASE WHEN mean_logp_micro >= -3400000 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM q ORDER BY doc_id""".stripMargin,
+    // truncated top-25 train vocab (truncation is what creates OOV);
+    // per-source token/type OOV rates in integer permille
+    "q245_oov_report" ->
+      raw"""WITH tk AS (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents),
+         |tv AS (SELECT w FROM (
+         |    SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS rnk
+         |    FROM tk WHERE CAST(substr(source, 4) AS INTEGER) < 10 GROUP BY w)
+         |  WHERE rnk <= 25),
+         |j AS (SELECT tk.source, tk.w, (tv.w IS NOT NULL) AS inv FROM tk LEFT JOIN tv ON tv.w = tk.w)
+         |SELECT source, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN inv THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+         |  count(DISTINCT w) AS n_types,
+         |  count(DISTINCT CASE WHEN NOT inv THEN w END) AS n_oov_types,
+         |  CAST(sum(CASE WHEN inv THEN 0 ELSE 1 END) AS BIGINT) * 1000 // count(*) AS oov_permille
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    // test prints semi-joined against the distinct train-print set —
+    // the winnowing guarantee turned into a leakage exposure share
+    "q246_memorization_probe" -> {
+      val h = hx("CAST(doc_id AS VARCHAR)")
+      s"""WITH $winnowFpsCtes,
+         |tg AS (SELECT doc_id, fp, ($h % 10 = 0) AS is_test FROM fps),
+         |tr AS (SELECT DISTINCT fp FROM tg WHERE NOT is_test),
+         |p AS (SELECT t.doc_id, count(*) AS n_prints,
+         |    CAST(sum(CASE WHEN tr.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+         |  FROM tg t LEFT JOIN tr ON tr.fp = t.fp WHERE t.is_test GROUP BY 1)
+         |SELECT doc_id, n_prints, n_shared, n_shared * 1000 // n_prints AS shared_permille
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+    // two-sided delta-join identity; counts + key checksums must equal
+    // the full recompute exactly
+    "q244_ivm_join" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, o_orderpriority, (o_orderkey % 10 <> 0) AS osnap FROM orders),
+        |c AS (SELECT c_custkey AS o_custkey, (c_custkey % 20 <> 0) AS csnap FROM customer),
+        |j AS (SELECT o.o_orderpriority, o.o_orderkey, o.osnap, c.csnap FROM o JOIN c USING (o_custkey)),
+        |sn AS (SELECT o_orderpriority, count(*) AS n_snap_join, CAST(sum(o_orderkey) AS BIGINT) AS ck
+        |  FROM j WHERE osnap AND csnap GROUP BY 1),
+        |dl AS (SELECT o_orderpriority, count(*) AS n_delta_join, CAST(sum(o_orderkey) AS BIGINT) AS ck
+        |  FROM j WHERE NOT (osnap AND csnap) GROUP BY 1),
+        |fl AS (SELECT o_orderpriority, count(*) AS n_full, CAST(sum(o_orderkey) AS BIGINT) AS ck
+        |  FROM j GROUP BY 1)
+        |SELECT fl.o_orderpriority,
+        |  COALESCE(n_snap_join, 0) AS n_snap_join,
+        |  COALESCE(n_delta_join, 0) AS n_delta_join,
+        |  COALESCE(n_snap_join, 0) + COALESCE(n_delta_join, 0) AS n_incremental,
+        |  n_full,
+        |  CAST(CASE WHEN COALESCE(n_snap_join, 0) + COALESCE(n_delta_join, 0) = n_full
+        |    AND COALESCE(sn.ck, 0) + COALESCE(dl.ck, 0) = fl.ck THEN 1 ELSE 0 END AS BIGINT) AS ivm_ok
+        |FROM fl
+        |LEFT JOIN sn ON sn.o_orderpriority = fl.o_orderpriority
+        |LEFT JOIN dl ON dl.o_orderpriority = fl.o_orderpriority
+        |ORDER BY fl.o_orderpriority""".stripMargin,
     // rank/freq are integers → micro-nat logs; OLS power sums in
     // HUGEINT (Spark: DECIMAL(38,0)) with truncating division
     "q243_zipf_fit" -> {
@@ -2867,6 +2914,18 @@ object Oracles {
          |FROM f GROUP BY source, ppl_bucket_halfnat
          |ORDER BY source, ppl_bucket_halfnat""".stripMargin
   )
+
+  /** q195/q246 shared winnowing chain: char-8-gram 60-bit prints,
+    * naive sliding-min spelling (states the semantics; the engine runs
+    * the two-block decomposition), full-windows-only plus the
+    * short-doc global min — ends in `fps(doc_id, fp)` distinct.
+    */
+  private lazy val winnowFpsCtes: String =
+    """idx AS (SELECT doc_id, CAST(unnest(generate_series(1, greatest(length(text) - 7, 1))) AS INTEGER) AS i, text FROM documents),
+      |g AS (SELECT doc_id, i, CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 15)) AS BIGINT) AS h, count(*) OVER (PARTITION BY doc_id) AS cnt FROM idx),
+      |wmin AS (SELECT doc_id, i, cnt, min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 49 FOLLOWING) AS fp FROM g),
+      |fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE i + 49 <= cnt
+      |  UNION SELECT doc_id, min(h) AS fp FROM g WHERE cnt < 50 GROUP BY doc_id)""".stripMargin
 
   /** q237/q241 shared chain: KN bigram-LM count tables → per-bigram
     * integer micro-nat log-probs → per-doc sums and truncated means.

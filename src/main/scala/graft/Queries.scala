@@ -5544,4 +5544,113 @@ object Queries {
       )
       .orderBy("source")
   }
+
+  // Incremental view maintenance for JOINS — q209 proves merge ≡
+  // recompute for aggregates; this is the same invariant for the other
+  // stateful view class, via the two-sided delta identity
+  //
+  //   J(S∪ΔS, T∪ΔT) = J(S,T) ∪ J(S,ΔT) ∪ J(ΔS,T) ∪ J(ΔS,ΔT)
+  //
+  // (disjoint terms, because the splits partition each side). Both
+  // sides take deltas — the case naive "append-only fact" IVM gets
+  // wrong. The audit compares the incrementally-maintained join
+  // against the full recompute per group on count AND an o_orderkey
+  // checksum, exact integers, no tolerance. At 100 TB: J(S,T) is the
+  // stored view (recomputed here only to audit); the nightly work is
+  // the three delta terms, each keyed on custkey with a DELTA-sized
+  // side — broadcast the delta, never rescan-join the snapshots.
+  def ivmJoinMerge(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      col("o_custkey"),
+      col("o_orderkey"),
+      col("o_orderpriority"),
+      (col("o_orderkey") % 10 =!= 0).as("o_snap")
+    )
+    val c = t(s, dir, "customer").select(
+      col("c_custkey").as("o_custkey"),
+      (col("c_custkey") % 20 =!= 0).as("c_snap")
+    )
+    def term(oSnap: Boolean, cSnap: Boolean): DataFrame =
+      o.filter(col("o_snap") === oSnap)
+        .join(if (cSnap) c.filter(col("c_snap")) else broadcast(c.filter(!col("c_snap"))), Seq("o_custkey"))
+        .select(col("o_orderpriority"), col("o_orderkey"))
+    val snapJoin = term(oSnap = true, cSnap = true)
+    val deltas = Seq(term(true, false), term(false, true), term(false, false))
+    def agg(df: DataFrame, nName: String, ckName: String): DataFrame =
+      df.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as(nName), sum(col("o_orderkey")).as(ckName))
+    val inc = agg(snapJoin, "n_snap_join", "ck_snap")
+      .join(agg(deltas.reduce(_ unionByName _), "n_delta_join", "ck_delta"), Seq("o_orderpriority"), "full")
+      .na
+      .fill(0L)
+    val full = agg(o.join(c, Seq("o_custkey")), "n_full", "ck_full")
+    inc
+      .join(full, Seq("o_orderpriority"))
+      .select(
+        col("o_orderpriority"),
+        col("n_snap_join"),
+        col("n_delta_join"),
+        (col("n_snap_join") + col("n_delta_join")).as("n_incremental"),
+        col("n_full"),
+        (col("n_snap_join") + col("n_delta_join") === col("n_full")
+          && col("ck_snap") + col("ck_delta") === col("ck_full")).cast("long").as("ivm_ok")
+      )
+      .orderBy("o_orderpriority")
+  }
+
+  // Vocabulary coverage / OOV-rate report — the tokenizer-eval metric:
+  // train a TRUNCATED vocabulary on the train split (top-25 words by
+  // frequency — truncation is what creates OOV, exactly as real vocab
+  // caps do) and measure per-source out-of-vocabulary token and type
+  // rates. The vocab ranking is a window over the VOCAB aggregate
+  // (|V| rows, never the corpus — single-partition sort of a
+  // vocab-bounded frame, the standard truncation move), the vocab
+  // broadcasts, and the corpus pass is one broadcast left join plus a
+  // map-combined per-source aggregate.
+  def oovReport(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+    val trainVocab = toks
+      .filter(expr("CAST(substring(source, 4) AS INT) < 10"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("rnk", row_number().over(Window.orderBy(desc("freq"), col("w"))))
+      .filter(col("rnk") <= 25)
+      .select(col("w"), lit(1L).as("in_vocab"))
+    toks
+      .join(broadcast(trainVocab), Seq("w"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"),
+        countDistinct(col("w")).as("n_types"),
+        countDistinct(when(col("in_vocab").isNull, col("w"))).as("n_oov_types")
+      )
+      .withColumn("oov_permille", expr("n_oov * 1000 div n_tokens"))
+      .orderBy("source")
+  }
+
+  // Verbatim-memorization exposure probe — before training, measure
+  // how much of each TEST document already appears verbatim in the
+  // train split: the q195 winnowing machinery (certain recall for
+  // shared substrings ≥ 57 chars) pointed at the train/test boundary
+  // instead of doc pairs. Per test doc: share of its selected prints
+  // found anywhere in train. Unlike q195's pair join, the probe joins
+  // each test print against the DISTINCT train-print SET — a semi
+  // join, at most one hit per print, so no df cap is needed (no f²
+  // pair blowup exists to guard against). At 100 TB both sides are
+  // print-keyed and the rollup is one map-combined groupBy(doc_id).
+  def memorizationProbe(s: SparkSession, dir: String): DataFrame = {
+    val fps = NearDup
+      .winnowedFingerprints(t(s, dir, "documents"), col("doc_id"), col("text"))
+      .withColumn("is_test", TextOps.hash32(col("doc_id").cast("string")) % 10 === 0)
+    val trainPrints = fps.filter(!col("is_test")).select("fp").distinct().withColumn("hit", lit(1L))
+    fps
+      .filter(col("is_test"))
+      .join(trainPrints, Seq("fp"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_prints"), sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+      .withColumn("shared_permille", expr("n_shared * 1000 div n_prints"))
+      .orderBy("doc_id")
+  }
 }

@@ -1149,6 +1149,61 @@ class QueriesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_tokens")).sum < expectChars)
   }
 
+  test("oov report: rates bounded, truncation really creates OOV, totals close against the raw token count") {
+    import org.apache.spark.sql.functions._
+    val rows = Queries.oovReport(spark, sfDir).collect()
+    val totalTokens = graft.sources.Tables
+      .parquet(spark, sfDir, "documents")
+      .select(explode(graft.functions.TextOps.tokens(col("text"))).as("w"))
+      .count()
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum === totalTokens)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_oov") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("n_oov_types") <= r.getAs[Long]("n_types"))
+      val pm = r.getAs[Long]("oov_permille")
+      assert(pm >= 0L && pm <= 1000L)
+    }
+    // the corpus vocabulary exceeds the 25-word cap, so SOME source
+    // must see out-of-vocabulary tokens
+    assert(rows.map(_.getAs[Long]("n_oov")).sum > 0L)
+  }
+
+  test("memorization probe: only test docs, shares bounded, prints close against the winnowed selection") {
+    import org.apache.spark.sql.functions._
+    val rows = Queries.memorizationProbe(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val testIds = rows.map(_.getAs[Long]("doc_id")).toSet
+    val expected = graft.operators.NearDup
+      .winnowedFingerprints(graft.sources.Tables.parquet(spark, sfDir, "documents"), col("doc_id"), col("text"))
+      .withColumn("is_test", graft.functions.TextOps.hash32(col("doc_id").cast("string")) % 10 === 0)
+      .filter(col("is_test"))
+      .groupBy("doc_id")
+      .count()
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(testIds === expected.keySet, "exactly the test docs that have prints")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_prints") === expected(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Long]("n_shared") <= r.getAs[Long]("n_prints"))
+      val pm = r.getAs[Long]("shared_permille")
+      assert(pm >= 0L && pm <= 1000L)
+    }
+  }
+
+  test("ivm join: the two-sided delta identity closes against the full recompute in every group") {
+    val rows = Queries.ivmJoinMerge(spark, sfDir).collect()
+    assert(rows.length >= 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("ivm_ok") === 1L, s"${r.getAs[String]("o_orderpriority")}: incremental != full")
+      assert(r.getAs[Long]("n_incremental") === r.getAs[Long]("n_full"))
+    }
+    // both splits genuinely contribute: some rows flow through the
+    // delta terms, most through the stored snapshot join
+    assert(rows.map(_.getAs[Long]("n_delta_join")).sum > 0L)
+    assert(rows.map(_.getAs[Long]("n_snap_join")).sum > rows.map(_.getAs[Long]("n_delta_join")).sum)
+  }
+
   test("zipf fit: slope reproduces a BigInt recomputation from raw counts; non-positive on rank-ordered data") {
     import org.apache.spark.sql.functions._
     val rows = Queries.zipfFit(spark, sfDir).collect()
