@@ -2833,6 +2833,32 @@ object Oracles {
          |  (0 - mean_logp_micro) // 500000 AS ppl_bucket_halfnat,
          |  CAST(CASE WHEN mean_logp_micro >= -3400000 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM q ORDER BY doc_id""".stripMargin,
+    // fixed-grid histogram sketch: per-bucket counts, cumulative probe
+    // at ceil-rank targets, exact order statistic as the audit, partial
+    // merge closure across orderstatus
+    "q247_quantile_sketch" ->
+      """WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    o_orderkey, o_orderstatus FROM orders),
+        |pa AS (SELECT o_orderstatus, cents // 65536 AS bucket, count(*) AS cnt FROM c GROUP BY 1, 2),
+        |mg AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS n FROM pa GROUP BY bucket),
+        |dr AS (SELECT cents // 65536 AS bucket, count(*) AS n_direct FROM c GROUP BY 1),
+        |mok AS (SELECT CAST(min(CASE WHEN COALESCE(n, -1) = COALESCE(n_direct, -2) THEN 1 ELSE 0 END) AS BIGINT) AS merge_ok
+        |  FROM mg FULL JOIN dr USING (bucket)),
+        |cm AS (SELECT bucket, n,
+        |    sum(n) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM mg),
+        |cb AS (SELECT bucket, cum, cum - n AS cum_before FROM cm),
+        |tt AS (SELECT count(*) AS n_total FROM c),
+        |qs AS (SELECT q_permille, n_total, (n_total * q_permille + 999) // 1000 AS k
+        |  FROM (VALUES (10), (250), (500), (750), (950), (990)) AS v(q_permille), tt),
+        |es AS (SELECT q_permille, n_total, k, bucket * 65536 + 65535 AS est_cents
+        |  FROM qs JOIN cb ON cb.cum >= qs.k AND cb.cum_before < qs.k),
+        |rk AS (SELECT cents, row_number() OVER (ORDER BY cents, o_orderkey) AS rn FROM c)
+        |SELECT CAST(q_permille AS BIGINT) AS q_permille, n_total, est_cents,
+        |  rk.cents AS exact_cents, est_cents - rk.cents AS err_cents,
+        |  CAST(CASE WHEN est_cents >= rk.cents AND est_cents - rk.cents < 65536 THEN 1 ELSE 0 END AS BIGINT) AS within_grid,
+        |  merge_ok
+        |FROM es JOIN rk ON rk.rn = es.k, mok
+        |ORDER BY q_permille""".stripMargin,
     // truncated top-25 train vocab (truncation is what creates OOV);
     // per-source token/type OOV rates in integer permille
     "q245_oov_report" ->

@@ -5653,4 +5653,60 @@ object Queries {
       .withColumn("shared_permille", expr("n_shared * 1000 div n_prints"))
       .orderBy("doc_id")
   }
+
+  // Mergeable quantile sketch — the gap in the sketch family (HLL =
+  // distinct, CMS = frequency, KMV = similarity, bitmap = exact small
+  // domains; nothing yet answered "p95"). KLL/t-digest are
+  // order-dependent (compaction history varies with partition layout),
+  // so the DETERMINISTIC mergeable alternative is the fixed-grid
+  // histogram sketch: counts per 2¹⁶-cent bucket. Merge = integer
+  // bucket-count addition (orderstatus partials re-merged and audited
+  // against the direct global sketch — the q209 closure), estimate =
+  // first bucket whose cumulative count reaches the target rank, with
+  // the PROVABLE bound est ∈ [exact, exact + grid) — checked row by
+  // row against the true order statistic (the exact side is the audit
+  // you run at sf0.01; the sketch is what ships at 100 TB: constant
+  // size, one map-combined aggregate, no global sort). The
+  // quantile-to-bucket probe is a broadcast range join of 6 rows
+  // against the SKETCH (≈ domain/2¹⁶ rows) — sketch-cardinality, not
+  // data-cardinality.
+  def quantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val grid = 65536L
+    val cents = t(s, dir, "orders")
+      .select(floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"), col("o_orderkey"), col("o_orderstatus"))
+    val partials = cents.groupBy(col("o_orderstatus"), expr(s"cents div $grid").as("bucket")).count()
+    val merged = partials.groupBy("bucket").agg(sum(col("count")).as("n"))
+    val direct = cents.groupBy(expr(s"cents div $grid").as("bucket")).agg(count(lit(1)).as("n_direct"))
+    val mergeOk = merged
+      .join(direct, Seq("bucket"), "full")
+      .agg(min((coalesce(col("n"), lit(-1L)) === coalesce(col("n_direct"), lit(-2L))).cast("long")).as("merge_ok"))
+    val cum = merged
+      .withColumn("cum", sum(col("n")).over(Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum_before", col("cum") - col("n"))
+    val total = cents.agg(count(lit(1)).as("n_total"))
+    val qs = s
+      .createDataFrame(Seq(10L, 250L, 500L, 750L, 950L, 990L).map(Tuple1(_)))
+      .toDF("q_permille")
+      .crossJoin(broadcast(total))
+      .withColumn("k", expr("(n_total * q_permille + 999) div 1000"))
+    val est = qs
+      .join(broadcast(cum), col("cum") >= col("k") && col("cum_before") < col("k"))
+      .select(col("q_permille"), col("n_total"), col("k"), (col("bucket") * grid + (grid - 1)).as("est_cents"))
+    val ranked = cents.withColumn("rn", row_number().over(Window.orderBy(col("cents"), col("o_orderkey"))))
+    est
+      .join(ranked.select(col("rn").as("k"), col("cents").as("exact_cents")), Seq("k"))
+      .crossJoin(broadcast(mergeOk))
+      .select(
+        col("q_permille"),
+        col("n_total"),
+        col("est_cents"),
+        col("exact_cents"),
+        (col("est_cents") - col("exact_cents")).as("err_cents"),
+        (col("est_cents") >= col("exact_cents") && col("est_cents") - col("exact_cents") < grid)
+          .cast("long")
+          .as("within_grid"),
+        col("merge_ok")
+      )
+      .orderBy("q_permille")
+  }
 }

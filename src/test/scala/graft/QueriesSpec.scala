@@ -1149,6 +1149,20 @@ class QueriesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_tokens")).sum < expectChars)
   }
 
+  test("quantile sketch: every estimate lands within one grid of the true order statistic; partial merge closes") {
+    val rows = Queries.quantileSketch(spark, sfDir).collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("within_grid") === 1L, s"q=${r.getAs[Long]("q_permille")}: estimate outside the grid bound")
+      assert(r.getAs[Long]("merge_ok") === 1L, "orderstatus partials must merge to the direct sketch")
+      val err = r.getAs[Long]("err_cents")
+      assert(err >= 0L && err < 65536L)
+    }
+    // quantile estimates are monotone in the target rank
+    val ests = rows.sortBy(_.getAs[Long]("q_permille")).map(_.getAs[Long]("est_cents"))
+    assert(ests.zip(ests.tail).forall { case (a, b) => a <= b })
+  }
+
   test("oov report: rates bounded, truncation really creates OOV, totals close against the raw token count") {
     import org.apache.spark.sql.functions._
     val rows = Queries.oovReport(spark, sfDir).collect()
