@@ -2833,6 +2833,26 @@ object Oracles {
          |  (0 - mean_logp_micro) // 500000 AS ppl_bucket_halfnat,
          |  CAST(CASE WHEN mean_logp_micro >= -3400000 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM q ORDER BY doc_id""".stripMargin,
+    // MP4 mirror: parameters the builder derives from content length
+    // (mp4Params/dims), container overhead 144 + 100·tracks bytes —
+    // the box walk must read all of it back out of the bytes
+    "q248_multimodal_video" ->
+      """WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n FROM documents),
+        |p AS (SELECT doc_id, n,
+        |    CASE CAST(n % 4 AS INTEGER) WHEN 0 THEN 600 WHEN 1 THEN 1000
+        |      WHEN 2 THEN 48000 ELSE 90000 END AS ts,
+        |    CAST(1 + n % 3 AS INTEGER) AS tracks FROM m),
+        |q AS (SELECT doc_id, n, ts, tracks,
+        |    ts + CAST((CAST(n AS BIGINT) * 3) % 100000 AS INTEGER) AS dur FROM p)
+        |SELECT doc_id,
+        |  CAST(144 + 100 * tracks + n AS INTEGER) AS n_bytes,
+        |  CAST(3 AS INTEGER) AS n_top_boxes,
+        |  tracks AS n_tracks,
+        |  CAST(ts AS INTEGER) AS timescale,
+        |  CAST(CAST(dur AS BIGINT) * 1000 // ts AS BIGINT) AS duration_ms,
+        |  CAST(64 + n % 577 AS INTEGER) AS width,
+        |  CAST(64 + (n * 31) % 417 AS INTEGER) AS height
+        |FROM q ORDER BY doc_id""".stripMargin,
     // fixed-grid histogram sketch: per-bucket counts, cumulative probe
     // at ceil-rank targets, exact order statistic as the audit, partial
     // merge closure across orderstatus

@@ -5654,6 +5654,21 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // MP4/ISO-BMFF demux — the video rung of the multimodal family
+  // (PNG/JPEG/GIF decode q32, WAV demux q166): documents wrapped in
+  // real ISO-BMFF containers (genuine box headers, mvhd movie
+  // parameters, per-track tkhd with 16.16 fixed-point dimensions),
+  // then a genuine nested box WALK recovers top-level box count,
+  // track count, timescale, duration and dimensions — everything a
+  // demuxer answers without codecs. Same 100 TB posture as the rest
+  // of the family: payloads never shuffle, metadata-only downstream
+  // queries prune the binary column, corrupt payloads drop rows
+  // (bounds-guarded walk), never kill tasks.
+  def multimodalVideo(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.withVideoPayload(t(s, dir, "documents"), "doc_id", "text")
+    Multimodal.decodeVideo(media).toDF().orderBy("doc_id")
+  }
+
   // Mergeable quantile sketch — the gap in the sketch family (HLL =
   // distinct, CMS = frequency, KMV = similarity, bitmap = exact small
   // domains; nothing yet answered "p95"). KLL/t-digest are

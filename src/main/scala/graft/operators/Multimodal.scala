@@ -36,6 +36,18 @@ object Multimodal {
   /** Typed metadata emitted by the WAV demux. */
   final case class AudioMeta(doc_id: Long, n_bytes: Int, sample_rate: Int, channels: Int, bits: Int, n_samples: Long, ms: Long)
 
+  /** Typed metadata emitted by the MP4 box walk. */
+  final case class Mp4Meta(
+      doc_id: Long,
+      n_bytes: Int,
+      n_top_boxes: Int,
+      n_tracks: Int,
+      timescale: Int,
+      duration_ms: Long,
+      width: Int,
+      height: Int
+  )
+
   /** Build + parse of real media containers (headers, not pixels). */
   object MediaCodec {
 
@@ -319,6 +331,117 @@ object Multimodal {
 
     private def readBe32(b: Array[Byte], off: Int): Int =
       ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) | ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+    /** Deterministic MP4 parameters from content size — (timescale,
+      * track count, duration in timescale units); the builder embeds
+      * them, the box walk must read them back.
+      */
+    def mp4Params(n: Int): (Int, Int, Int) = {
+      val timescales = Array(600, 1000, 48000, 90000)
+      (timescales(n % 4), 1 + n % 3, timescales(n % 4) + ((n.toLong * 3) % 100000).toInt)
+    }
+
+    private def mp4Box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val out = new ByteArrayOutputStream(8 + payload.length)
+      val sz = new Array[Byte](4)
+      writeBe32(sz, 0, 8 + payload.length)
+      out.write(sz, 0, 4)
+      out.write(typ.getBytes(StandardCharsets.US_ASCII), 0, 4)
+      out.write(payload, 0, payload.length)
+      out.toByteArray
+    }
+
+    /** Minimal-but-real ISO-BMFF (MP4): ftyp, moov(mvhd, trak(tkhd)×k),
+      * mdat carrying `content`. Box sizes/types are genuine big-endian
+      * box headers; mvhd carries timescale/duration, each tkhd its
+      * 16.16 fixed-point width/height and track id — everything a real
+      * demuxer reads to answer "what is this file" without codecs.
+      * Total size = 144 + 100·tracks + content.
+      */
+    def buildMp4(timescale: Int, duration: Int, nTracks: Int, width: Int, height: Int, content: Array[Byte]): Array[Byte] = {
+      val ftyp = {
+        val p = new Array[Byte](12)
+        "isom".getBytes(StandardCharsets.US_ASCII).copyToArray(p, 0)
+        "isom".getBytes(StandardCharsets.US_ASCII).copyToArray(p, 8)
+        mp4Box("ftyp", p)
+      }
+      val mvhd = {
+        val p = new Array[Byte](100)
+        writeBe32(p, 12, timescale)
+        writeBe32(p, 16, duration)
+        writeBe32(p, 20, 0x00010000) // rate 1.0
+        p(24) = 0x01 // volume 1.0 (8.8)
+        // identity matrix
+        writeBe32(p, 36, 0x00010000); writeBe32(p, 52, 0x00010000); writeBe32(p, 68, 0x40000000)
+        writeBe32(p, 96, nTracks + 1) // next_track_ID
+        mp4Box("mvhd", p)
+      }
+      val traks = (1 to nTracks).map { tid =>
+        val p = new Array[Byte](84)
+        writeBe32(p, 0, 0x00000007) // version 0, flags: enabled|in-movie|in-preview
+        writeBe32(p, 12, tid)
+        writeBe32(p, 20, duration)
+        writeBe32(p, 40, 0x00010000); writeBe32(p, 56, 0x00010000); writeBe32(p, 72, 0x40000000)
+        writeBe32(p, 76, width << 16) // 16.16 fixed
+        writeBe32(p, 80, height << 16)
+        mp4Box("trak", mp4Box("tkhd", p))
+      }
+      val moov = mp4Box("moov", (mvhd +: traks).reduce(_ ++ _))
+      val mdat = mp4Box("mdat", content)
+      ftyp ++ moov ++ mdat
+    }
+
+    private def boxType(b: Array[Byte], off: Int): String =
+      new String(b, off + 4, 4, StandardCharsets.US_ASCII)
+
+    /** Genuine ISO-BMFF box walk: top-level boxes counted by declared
+      * size, moov children walked for trak count and mvhd fields, the
+      * first tkhd's fixed-point dimensions decoded. Every declared size
+      * is bounds-guarded (size < 8 or running past EOF ⇒ None — the WAV
+      * truncation posture), so corrupt payloads drop rows, never throw.
+      */
+    def decodeMp4(docId: Long, b: Array[Byte]): Option[Mp4Meta] = {
+      var i = 0
+      var nTop = 0
+      var nTracks = 0
+      var timescale = 0
+      var duration = 0
+      var width = -1
+      var height = -1
+      while (i + 8 <= b.length) {
+        val size = readBe32(b, i)
+        if (size < 8 || i + size > b.length) return None
+        nTop += 1
+        if (boxType(b, i) == "moov") {
+          var j = i + 8
+          val end = i + size
+          while (j + 8 <= end) {
+            val csize = readBe32(b, j)
+            if (csize < 8 || j + csize > end) return None
+            boxType(b, j) match {
+              case "mvhd" =>
+                if (j + 8 + 20 > end) return None
+                timescale = readBe32(b, j + 8 + 12)
+                duration = readBe32(b, j + 8 + 16)
+              case "trak" =>
+                nTracks += 1
+                // first trak: find the tkhd child and decode 16.16 dims
+                if (width < 0 && j + 16 <= end && boxType(b, j + 8) == "tkhd") {
+                  val tkEnd = j + 8 + readBe32(b, j + 8)
+                  if (tkEnd > end || j + 16 + 84 > tkEnd) return None
+                  width = readBe32(b, j + 16 + 76) >>> 16
+                  height = readBe32(b, j + 16 + 80) >>> 16
+                }
+              case _ => ()
+            }
+            j += csize
+          }
+        }
+        i += size
+      }
+      if (i != b.length || timescale <= 0 || nTracks == 0 || width < 0) None
+      else Some(Mp4Meta(docId, b.length, nTop, nTracks, timescale, duration.toLong * 1000L / timescale, width, height))
+    }
   }
 
   /** Media-ingest boundary: wrap each document's bytes in a real
@@ -417,6 +540,38 @@ object Multimodal {
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) => MediaCodec.decodeWav(id, bytes) })
+  }
+
+  /** MP4 ingest boundary: each document's bytes wrapped in a real
+    * ISO-BMFF container with [[MediaCodec.mp4Params]]-derived movie
+    * parameters and [[MediaCodec.dims]] track dimensions.
+    */
+  def withVideoPayload(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val content = text.getBytes(StandardCharsets.UTF_8)
+        val (ts, tracks, duration) = MediaCodec.mp4Params(content.length)
+        val (w, h) = MediaCodec.dims(content.length)
+        (id, MediaCodec.buildMp4(ts, duration, tracks, w, h, content))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** Per-partition MP4 demux: binary in, typed movie metadata out —
+    * unparseable payloads are dropped (flatMap), the corrupt-input
+    * posture of a production decode stage.
+    */
+  def decodeVideo(media: DataFrame): Dataset[Mp4Meta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => MediaCodec.decodeMp4(id, bytes) })
   }
 
   def sampleFrames(media: DataFrame): DataFrame = {

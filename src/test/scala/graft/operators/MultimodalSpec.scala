@@ -98,6 +98,47 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodec.decodeWav(1L, Array.emptyByteArray).isEmpty)
   }
 
+  test("mp4 box walk recovers the embedded movie parameters; corrupt payloads drop cleanly") {
+    val content = "hello mp4 world, this is the mdat payload".getBytes("UTF-8")
+    val b = MediaCodec.buildMp4(90000, 123456, 2, 640, 480, content)
+    val m = MediaCodec.decodeMp4(7L, b).get
+    assert(m.n_bytes === b.length)
+    assert(b.length === 144 + 100 * 2 + content.length)
+    assert(m.n_top_boxes === 3)
+    assert(m.n_tracks === 2)
+    assert(m.timescale === 90000)
+    assert(m.duration_ms === 123456L * 1000 / 90000)
+    assert((m.width, m.height) === ((640, 480)))
+    // truncation anywhere inside the box tree must return None, not throw
+    (1 until b.length by 17).foreach { cut =>
+      assert(MediaCodec.decodeMp4(7L, b.take(cut)).isEmpty, s"truncated at $cut must not parse")
+    }
+    // a corrupted declared size must stop the walk, not run off the end
+    val corrupt = b.clone(); corrupt(0) = 0x7f.toByte
+    assert(MediaCodec.decodeMp4(7L, corrupt).isEmpty)
+    assert(MediaCodec.decodeMp4(7L, Array.emptyByteArray).isEmpty)
+  }
+
+  test("withVideoPayload → decodeVideo round-trips every doc's parameters") {
+    val docs = graft.sources.Tables.parquet(spark, sfDir, "documents").limit(40)
+    val decoded = Multimodal.decodeVideo(Multimodal.withVideoPayload(docs, "doc_id", "text")).toDF().collect()
+    val texts = docs.select(col("doc_id").cast("long"), col("text")).collect()
+    assert(decoded.length === texts.length)
+    val byId = decoded.map(r => r.getLong(0) -> r).toMap
+    texts.foreach { r =>
+      val id = r.getLong(0)
+      val n = r.getString(1).getBytes(StandardCharsets.UTF_8).length
+      val (ts, tracks, dur) = MediaCodec.mp4Params(n)
+      val (w, h) = MediaCodec.dims(n)
+      val d = byId(id)
+      assert(d.getInt(1) === 144 + 100 * tracks + n, s"doc $id n_bytes")
+      assert(d.getInt(3) === tracks, s"doc $id tracks")
+      assert(d.getInt(4) === ts, s"doc $id timescale")
+      assert(d.getLong(5) === dur.toLong * 1000 / ts, s"doc $id duration")
+      assert((d.getInt(6), d.getInt(7)) === ((w, h)), s"doc $id dims")
+    }
+  }
+
   test("withMediaPayload → decodeMetadata recovers every doc's embedded dims") {
     val docs = graft.sources.Tables.parquet(spark, sfDir, "documents").limit(60)
     val decoded = Multimodal.decodeMetadata(Multimodal.withMediaPayload(docs, "doc_id", "text")).toDF()
