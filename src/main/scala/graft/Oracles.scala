@@ -2833,6 +2833,32 @@ object Oracles {
          |  (0 - mean_logp_micro) // 500000 AS ppl_bucket_halfnat,
          |  CAST(CASE WHEN mean_logp_micro >= -3400000 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM q ORDER BY doc_id""".stripMargin,
+    // simhash pigeonhole candidates scored against the minhash-banded,
+    // Jaccard-confirmed truth set; one-row completeness/reduction report
+    "q249_blocking_quality" ->
+      s"""WITH $minhashCandCtes,
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |it AS (SELECT c.d1, c.d2, count(*) AS inter FROM cand c
+         |  JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.g = a.g
+         |  GROUP BY 1, 2),
+         |conf AS (SELECT it.d1, it.d2
+         |  FROM it JOIN sz x ON it.d1 = x.doc_id JOIN sz y ON it.d2 = y.doc_id
+         |  WHERE inter * 2 >= x.n_sh + y.n_sh - inter),
+         |ssig AS (SELECT doc_id, simhash FROM ($simhashSql)),
+         |sblk AS (SELECT doc_id, simhash, bi, (simhash >> (bi * 8)) & 255 AS bv
+         |  FROM ssig, (SELECT unnest(generate_series(0, 3)) AS bi)),
+         |scand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM sblk a JOIN sblk b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |nt AS (SELECT count(*) AS n_truth FROM conf),
+         |nc AS (SELECT count(*) AS n_candidates FROM scand),
+         |fd AS (SELECT count(*) AS n_found FROM conf JOIN scand ON scand.d1 = conf.d1 AND scand.d2 = conf.d2)
+         |SELECT n_docs, n_docs * (n_docs - 1) // 2 AS n_possible_pairs,
+         |  n_candidates, n_truth, n_found,
+         |  n_found * 1000 // n_truth AS completeness_permille,
+         |  (n_docs * (n_docs - 1) // 2 - n_candidates) * 10000 // (n_docs * (n_docs - 1) // 2) AS reduction_permyriad
+         |FROM nd, nt, nc, fd""".stripMargin,
     // MP4 mirror: parameters the builder derives from content length
     // (mp4Params/dims), container overhead 144 + 100·tracks bytes —
     // the box walk must read all of it back out of the bytes

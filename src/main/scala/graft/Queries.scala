@@ -5654,6 +5654,42 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // Blocking-quality report — the record-linkage evaluation every
+  // production dedup/linkage system publishes before trusting a
+  // blocking scheme: PAIRS COMPLETENESS (what fraction of true
+  // matches does the blocker still surface) and REDUCTION RATIO (what
+  // fraction of the n² comparison space it prunes). Evaluated on two
+  // INDEPENDENT signals so the answer is non-trivial: candidates from
+  // SimHash pigeonhole blocking (q85's machinery), truth from the
+  // MinHash-banded + exact-Jaccard-confirmed pairs (the q208
+  // derivation). Every input frame is pair-bucketed (no n² anywhere);
+  // the report itself is four 1-row aggregates cross-joined. At
+  // 100 TB this is the audit that says "this blocking key is safe to
+  // ship" — run at sample scale, exactly as here.
+  def blockingQuality(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val truth = graft.operators.CandidateGraph.confirmedPairs(s, dir).select("d1", "d2")
+    val cand = NearDup.simhashNearDupPairs(docs, col("doc_id"), col("text")).select("d1", "d2")
+    val found = truth.join(cand, Seq("d1", "d2")).agg(count(lit(1)).as("n_found"))
+    val nt = truth.agg(count(lit(1)).as("n_truth"))
+    val nc = cand.agg(count(lit(1)).as("n_candidates"))
+    docs
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(nc))
+      .crossJoin(broadcast(nt))
+      .crossJoin(broadcast(found))
+      .withColumn("n_possible_pairs", expr("n_docs * (n_docs - 1) div 2"))
+      .select(
+        col("n_docs"),
+        col("n_possible_pairs"),
+        col("n_candidates"),
+        col("n_truth"),
+        col("n_found"),
+        expr("n_found * 1000 div n_truth").as("completeness_permille"),
+        expr("(n_possible_pairs - n_candidates) * 10000 div n_possible_pairs").as("reduction_permyriad")
+      )
+  }
+
   // MP4/ISO-BMFF demux — the video rung of the multimodal family
   // (PNG/JPEG/GIF decode q32, WAV demux q166): documents wrapped in
   // real ISO-BMFF containers (genuine box headers, mvhd movie

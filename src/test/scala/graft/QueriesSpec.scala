@@ -1149,6 +1149,22 @@ class QueriesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_tokens")).sum < expectChars)
   }
 
+  test("blocking quality: counts consistent, rates bounded, candidates bounded by the pair space") {
+    val r = Queries.blockingQuality(spark, sfDir).head()
+    val (nDocs, nPoss) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_possible_pairs"))
+    assert(nPoss === nDocs * (nDocs - 1) / 2)
+    assert(r.getAs[Long]("n_found") <= r.getAs[Long]("n_truth"))
+    assert(r.getAs[Long]("n_candidates") <= nPoss)
+    val cp = r.getAs[Long]("completeness_permille")
+    val rr = r.getAs[Long]("reduction_permyriad")
+    assert(cp >= 0L && cp <= 1000L)
+    assert(rr >= 0L && rr <= 10000L)
+    // the evaluation is non-trivial on this corpus: the blocker prunes
+    // nearly everything yet still surfaces most confirmed duplicates
+    assert(rr >= 9000L, s"simhash blocking must prune >90% of the pair space, got $rr permyriad")
+    assert(cp >= 500L, s"simhash blocking must surface most confirmed duplicates, got $cp permille")
+  }
+
   test("quantile sketch: every estimate lands within one grid of the true order statistic; partial merge closes") {
     val rows = Queries.quantileSketch(spark, sfDir).collect()
     assert(rows.length === 6)
