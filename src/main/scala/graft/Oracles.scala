@@ -2833,6 +2833,19 @@ object Oracles {
          |  (0 - mean_logp_micro) // 500000 AS ppl_bucket_halfnat,
          |  CAST(CASE WHEN mean_logp_micro >= -3400000 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM q ORDER BY doc_id""".stripMargin,
+    // sorted-rank Gini identity over per-user counts, all integers
+    "q250_skew_report" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS cnt FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, cnt,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cnt, user_id) AS rn FROM c),
+        |a AS (SELECT event_type, count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total,
+        |    CAST(max(cnt) AS BIGINT) AS max_cnt, CAST(sum(rn * cnt) AS BIGINT) AS sic
+        |  FROM r GROUP BY event_type)
+        |SELECT event_type, n_keys, total,
+        |  (2 * sic - (n_keys + 1) * total) * 10000 // (n_keys * total) AS gini_permyriad,
+        |  max_cnt * 1000 // total AS top_share_permille,
+        |  max_cnt * n_keys * 1000 // total AS hot_key_factor_permille
+        |FROM a ORDER BY event_type""".stripMargin,
     // simhash pigeonhole candidates scored against the minhash-banded,
     // Jaccard-confirmed truth set; one-row completeness/reduction report
     "q249_blocking_quality" ->

@@ -5654,6 +5654,41 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // Key-skew concentration report — the diagnostic that DECIDES the
+  // q47/q35 salting question instead of guessing: per event type, the
+  // exact Gini coefficient of the per-user event-count distribution
+  // (sorted-rank identity G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx), pure
+  // integers → permyriad), the hottest key's traffic share, and how
+  // many times above average it sits. Everything runs at KEY
+  // cardinality: one keyed count, one keyed window over the per-user
+  // aggregate (never the raw events), one rollup. At 100 TB this
+  // report is what turns "the join is slow" into "event type X needs
+  // salt factor ~hot_key_factor".
+  def skewReport(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables
+      .events(s, dir)
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("rn", row_number().over(Window.partitionBy("event_type").orderBy(col("cnt"), col("user_id"))))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("total"),
+        max(col("cnt")).as("max_cnt"),
+        sum(col("rn") * col("cnt")).as("sic")
+      )
+      .select(
+        col("event_type"),
+        col("n_keys"),
+        col("total"),
+        expr("(2 * sic - (n_keys + 1) * total) * 10000 div (n_keys * total)").as("gini_permyriad"),
+        expr("max_cnt * 1000 div total").as("top_share_permille"),
+        expr("max_cnt * n_keys * 1000 div total").as("hot_key_factor_permille")
+      )
+      .orderBy("event_type")
+  }
+
   // Blocking-quality report — the record-linkage evaluation every
   // production dedup/linkage system publishes before trusting a
   // blocking scheme: PAIRS COMPLETENESS (what fraction of true

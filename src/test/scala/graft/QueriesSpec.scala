@@ -1149,6 +1149,34 @@ class QueriesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_tokens")).sum < expectChars)
   }
 
+  test("skew report: Gini reproduces a direct recomputation; bounds hold") {
+    import org.apache.spark.sql.functions._
+    val rows = Queries.skewReport(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = r.getAs[Long]("gini_permyriad")
+      assert(g >= 0L && g < 10000L, s"gini out of range: $g")
+      assert(r.getAs[Long]("top_share_permille") <= 1000L)
+      // hottest key sits at or above the average by construction
+      assert(r.getAs[Long]("hot_key_factor_permille") >= 1000L)
+    }
+    // direct recomputation for one event type
+    val et = rows.head.getAs[String]("event_type")
+    val cnts = graft.sources.Tables
+      .events(spark, sfDir)
+      .filter(col("event_type") === et)
+      .groupBy("user_id")
+      .count()
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (u, c) => (c, u) }
+      .map(_._2)
+    val n = cnts.length.toLong
+    val s0 = cnts.sum
+    val sic = cnts.zipWithIndex.map { case (c, i) => (i + 1) * c }.sum
+    assert(rows.head.getAs[Long]("gini_permyriad") === (2 * sic - (n + 1) * s0) * 10000 / (n * s0))
+  }
+
   test("blocking quality: counts consistent, rates bounded, candidates bounded by the pair space") {
     val r = Queries.blockingQuality(spark, sfDir).head()
     val (nDocs, nPoss) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_possible_pairs"))
