@@ -2833,6 +2833,27 @@ object Oracles {
          |  (0 - mean_logp_micro) // 500000 AS ppl_bucket_halfnat,
          |  CAST(CASE WHEN mean_logp_micro >= -3400000 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM q ORDER BY doc_id""".stripMargin,
+    // H = ln N − (Σ c·ln c)/N in q237 micro-nats — ln of integers only
+    "q251_entropy_report" -> {
+      def mn(e: String) = s"CAST(floor(ln(CAST($e AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+      raw"""WITH d AS (SELECT source, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         |u AS (SELECT source, w, count(*) AS c FROM (
+         |    SELECT source, unnest(ws) AS w FROM d) GROUP BY 1, 2),
+         |ua AS (SELECT source, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_types,
+         |    CAST(sum(c * ${mn("c")}) AS BIGINT) AS smc FROM u GROUP BY source),
+         |ue AS (SELECT source, n AS n_tokens, n_types AS n_vocab,
+         |    ${mn("n")} - smc // n AS h_unigram_micro FROM ua),
+         |b AS (SELECT source, w, count(*) AS c FROM (
+         |    SELECT source, ws[i] || ' ' || ws[i + 1] AS w FROM (
+         |      SELECT source, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM d WHERE len(ws) >= 2))
+         |  GROUP BY 1, 2),
+         |ba AS (SELECT source, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_types,
+         |    CAST(sum(c * ${mn("c")}) AS BIGINT) AS smc FROM b GROUP BY source),
+         |be AS (SELECT source, n_types AS n_bigram_types, ${mn("n")} - smc // n AS h_bigram_micro FROM ba)
+         |SELECT ue.source, n_tokens, n_vocab, h_unigram_micro, n_bigram_types, h_bigram_micro,
+         |  h_bigram_micro - h_unigram_micro AS h_cond_micro
+         |FROM ue JOIN be ON be.source = ue.source ORDER BY ue.source""".stripMargin
+    },
     // sorted-rank Gini identity over per-user counts, all integers
     "q250_skew_report" ->
       """WITH c AS (SELECT event_type, user_id, count(*) AS cnt FROM events GROUP BY 1, 2),

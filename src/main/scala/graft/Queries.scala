@@ -3820,7 +3820,7 @@ object Queries {
   // the audit a training-data pipeline acts on.
   def winnowedOverlapPairs(s: SparkSession, dir: String): DataFrame =
     NearDup
-      .winnowedOverlapPairs(t(s, dir, "documents"), col("doc_id"), col("text"), k = 8, w = 50, maxDf = 20, minShared = 5)
+      .winnowedOverlapPairsFromPrints(graft.operators.CandidateGraph.winnowedPrints(s, dir), maxDf = 20, minShared = 5)
       .orderBy("d1", "d2")
 
   // compaction EXECUTION: the rewrite job q192's plan feeds, plus the
@@ -5641,8 +5641,8 @@ object Queries {
   // pair blowup exists to guard against). At 100 TB both sides are
   // print-keyed and the rollup is one map-combined groupBy(doc_id).
   def memorizationProbe(s: SparkSession, dir: String): DataFrame = {
-    val fps = NearDup
-      .winnowedFingerprints(t(s, dir, "documents"), col("doc_id"), col("text"))
+    val fps = graft.operators.CandidateGraph
+      .winnowedPrints(s, dir)
       .withColumn("is_test", TextOps.hash32(col("doc_id").cast("string")) % 10 === 0)
     val trainPrints = fps.filter(!col("is_test")).select("fp").distinct().withColumn("hit", lit(1L))
     fps
@@ -5652,6 +5652,59 @@ object Queries {
       .agg(count(lit(1)).as("n_prints"), sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
       .withColumn("shared_permille", expr("n_shared * 1000 div n_prints"))
       .orderBy("doc_id")
+  }
+
+  // Token-entropy report — the information-theoretic corpus-health
+  // pair every diversity dashboard wants: per source, the unigram
+  // Shannon entropy of the token distribution (how varied is the
+  // vocabulary usage) and the bigram conditional entropy H(r|l) =
+  // H(bigram) − H(unigram) (how much NEW information each token
+  // carries given its predecessor — low means templated/boilerplate
+  // text). Exactness: H = ln N − (Σ c·ln c)/N needs only ln of
+  // INTEGERS, so the q237 micro-nat fixed point applies verbatim:
+  // H_micro = mn(N) − (Σ c·mn(c)) div N, every term an exact BIGINT
+  // on both engines. All aggregation is (source × vocab)-bounded
+  // after one map-combined count; no doubles anywhere.
+  def entropyReport(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("source"), TextOps.tokens(col("text")).as("ws"))
+    def entropyOf(counts: DataFrame): DataFrame =
+      counts
+        .groupBy("source")
+        .agg(sum(col("c")).as("n"), sum(col("c") * microNats(col("c"))).as("smc"), count(lit(1)).as("n_types"))
+        .select(
+          col("source"),
+          col("n"),
+          col("n_types"),
+          (microNats(col("n")) - expr("smc div n")).as("h_micro")
+        )
+    val uni = entropyOf(
+      toks.select(col("source"), explode(col("ws")).as("w")).groupBy("source", "w").agg(count(lit(1)).as("c"))
+    )
+    val bi = entropyOf(
+      toks
+        .filter(size(col("ws")) >= 2)
+        .select(
+          col("source"),
+          explode(
+            zip_with(
+              slice(col("ws"), lit(1), size(col("ws")) - 1),
+              slice(col("ws"), lit(2), size(col("ws")) - 1),
+              (x, y) => concat_ws(" ", x, y)
+            )
+          ).as("w")
+        )
+        .groupBy("source", "w")
+        .agg(count(lit(1)).as("c"))
+    )
+    uni
+      .select(col("source"), col("n").as("n_tokens"), col("n_types").as("n_vocab"), col("h_micro").as("h_unigram_micro"))
+      .join(
+        bi.select(col("source"), col("n_types").as("n_bigram_types"), col("h_micro").as("h_bigram_micro")),
+        Seq("source")
+      )
+      .withColumn("h_cond_micro", col("h_bigram_micro") - col("h_unigram_micro"))
+      .orderBy("source")
   }
 
   // Key-skew concentration report — the diagnostic that DECIDES the

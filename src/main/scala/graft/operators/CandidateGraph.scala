@@ -111,4 +111,33 @@ object CandidateGraph {
     )
     s.read.parquet(path)
   }
+
+  /** Winnowed fingerprint selection `(doc_id, fp)` — the q195/q246
+    * common subexpression, materialized once per dir like [[shingles]].
+    * The selection itself is two per-doc window sorts over the char
+    * n-gram frame (cheap once), but q195's copy-detection consumer
+    * references the frame FOUR times (stop list, df-capped kept set,
+    * per-doc sizes, both sides of the pair join) — against the live
+    * subtree each reference re-runs the window pass (measured 11 s vs
+    * ~1.5 s for one pass at sf0.1); against the snapshot each is a
+    * columnar re-read. At 100 TB this is the fingerprint table a copy-
+    * detection job writes once per corpus snapshot.
+    */
+  def winnowedPrints(s: SparkSession, dir: String): DataFrame = {
+    val path = fpCache.computeIfAbsent(
+      dir,
+      _ => {
+        val scratch = Scratch.dir("graft-winnowfp")
+        NearDup
+          .winnowedFingerprints(graft.sources.Tables.parquet(s, dir, "documents"), col("doc_id"), col("text"))
+          .write
+          .mode("overwrite")
+          .parquet(s"$scratch/fp")
+        s"$scratch/fp"
+      }
+    )
+    s.read.parquet(path)
+  }
+
+  private val fpCache = new ConcurrentHashMap[String, String]()
 }

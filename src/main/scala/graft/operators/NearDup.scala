@@ -384,8 +384,15 @@ object NearDup {
       w: Int,
       maxDf: Int,
       minShared: Int
-  ): DataFrame = {
-    val fps = winnowedFingerprints(docs, id, text, k, w)
+  ): DataFrame =
+    winnowedOverlapPairsFromPrints(winnowedFingerprints(docs, id, text, k, w), maxDf, minShared)
+
+  /** The pair stage over a PRECOMPUTED (doc_id, fp) print frame —
+    * callers holding the per-dataset snapshot (CandidateGraph
+    * .winnowedPrints) use this so the four references below hit a
+    * columnar re-read, not four re-runs of the selection windows.
+    */
+  def winnowedOverlapPairsFromPrints(fps: DataFrame, maxDf: Int, minShared: Int): DataFrame = {
     val stop = fps.groupBy("fp").agg(count(lit(1)).as("df")).filter(col("df") > maxDf).select("fp")
     val kept = fps.join(broadcast(stop), Seq("fp"), "left_anti")
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))

@@ -361,11 +361,17 @@ class PlanSpec extends SparkSpec {
 
   test("winnowing (q195): doc-keyed selection window; pairs via df-capped equi-join only") {
     import org.apache.spark.sql.catalyst.plans.logical
-    val df = Queries.winnowedOverlapPairs(spark, sfDir)
-    val windows = df.queryExecution.optimizedPlan.collect { case w: logical.Window => w }
+    import org.apache.spark.sql.functions.col
+    // the selection pass (now materialized once per dataset via the
+    // CandidateGraph snapshot) must be per-document windows, never a
+    // global sort — asserted on the producing plan
+    val sel = graft.operators.NearDup
+      .winnowedFingerprints(graft.sources.Tables.parquet(spark, sfDir, "documents"), col("doc_id"), col("text"))
+    val windows = sel.queryExecution.optimizedPlan.collect { case w: logical.Window => w }
     assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
       "fingerprint selection must be per-document, never a global window")
-    val p = plan(df)
+    // the consumer (q195) joins the snapshot on the print key only
+    val p = plan(Queries.winnowedOverlapPairs(spark, sfDir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"copy candidates must come from the fingerprint equi-join:\n$p")
   }

@@ -1149,6 +1149,35 @@ class QueriesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_tokens")).sum < expectChars)
   }
 
+  test("entropy report: micro-nat entropies reproduce a direct recomputation and respect the ln(V) bound") {
+    import org.apache.spark.sql.functions._
+    val rows = Queries.entropyReport(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    def mn(v: Long): Long = math.floor(math.log(v.toDouble) * 1e6 + 0.5).toLong
+    rows.foreach { r =>
+      val h1 = r.getAs[Long]("h_unigram_micro")
+      // entropy is non-negative and bounded by ln(vocab) (+1 micro-nat
+      // of fixed-point slack)
+      assert(h1 >= 0L && h1 <= mn(r.getAs[Long]("n_vocab")) + 1)
+      // each next token carries SOME new information on natural-ish text
+      assert(r.getAs[Long]("h_cond_micro") > 0L)
+      assert(r.getAs[Long]("h_bigram_micro") <= 2 * h1 + 2, "H(bigram) <= 2 H(unigram) for near-independent tokens")
+    }
+    // direct recomputation for one source
+    val src = rows.head.getAs[String]("source")
+    val counts = graft.sources.Tables
+      .parquet(spark, sfDir, "documents")
+      .filter(col("source") === src)
+      .select(explode(graft.functions.TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w")
+      .count()
+      .collect()
+      .map(_.getLong(1))
+    val n = counts.sum
+    val expected = mn(n) - counts.map(c => c * mn(c)).sum / n
+    assert(rows.head.getAs[Long]("h_unigram_micro") === expected)
+  }
+
   test("skew report: Gini reproduces a direct recomputation; bounds hold") {
     import org.apache.spark.sql.functions._
     val rows = Queries.skewReport(spark, sfDir).collect()
