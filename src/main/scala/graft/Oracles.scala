@@ -2833,6 +2833,28 @@ object Oracles {
          |  (0 - mean_logp_micro) // 500000 AS ppl_bucket_halfnat,
          |  CAST(CASE WHEN mean_logp_micro >= -3400000 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM q ORDER BY doc_id""".stripMargin,
+    // GROUP BY ALL is the same sugar in DuckDB — spelled explicitly so
+    // the oracle doesn't depend on the sugar resolving identically
+    "q252_group_by_all" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    // DuckDB resolves lateral aliases natively; same all-BIGINT chain
+    "q253_lateral_aliases" ->
+      """SELECT l_returnflag,
+        |  count(*) AS n_items,
+        |  CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(25,6)) * (1 - CAST(l_discount AS DECIMAL(25,6)))) * 100) AS BIGINT) AS revenue_cents,
+        |  revenue_cents * 25 // 100 AS est_cost_cents,
+        |  revenue_cents - est_cost_cents AS margin_cents,
+        |  margin_cents // n_items AS margin_per_item_cents
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the resolved form of the parameterized query — binding ≡ literal
+    "q254_parameterized_sql" ->
+      """SELECT o_orderpriority, count(*) AS n_orders, min(o_orderdate) AS first_day
+        |FROM orders
+        |WHERE o_totalprice >= 150000.0 AND o_orderdate < DATE '1997-01-01'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // H = ln N − (Σ c·ln c)/N in q237 micro-nats — ln of integers only
     "q251_entropy_report" -> {
       def mn(e: String) = s"CAST(floor(ln(CAST($e AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"

@@ -5654,6 +5654,65 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // GROUP BY ALL / ORDER BY ALL (Spark 4 SQL sugar, same semantics in
+  // DuckDB): every non-aggregate select item becomes a grouping key —
+  // the analyst-facing spelling that eliminates the classic
+  // added-a-column-forgot-the-group-by bug. Lowers to the identical
+  // two-phase hash aggregate as the explicit form (same plan, purely
+  // front-end), which is exactly why it is safe sugar at 100 TB.
+  def groupByAll(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_gba")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+        |FROM orders_gba
+        |GROUP BY ALL
+        |ORDER BY ALL""".stripMargin
+    )
+  }
+
+  // Lateral column aliases (Spark 3.4+/4 SQL): a select item referring
+  // to an alias defined EARLIER IN THE SAME SELECT — the derived-
+  // metric chain (revenue → cost → margin → margin share) written
+  // once instead of via nested subqueries or repeated expressions.
+  // Catalyst inlines the chain (no extra projection nodes), so the
+  // sugar costs nothing at scale; DuckDB resolves the same aliases
+  // natively, pinning the semantics.
+  def lateralAliases(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_lca")
+    // all-BIGINT chain: floor() before the integer cast (decimal→int
+    // CASTS disagree across engines — Spark truncates, DuckDB rounds)
+    // and `div` thereafter, the truncation-verified operator pair
+    s.sql(
+      """SELECT l_returnflag,
+        |  count(*) AS n_items,
+        |  CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(25,6)) * (1 - CAST(l_discount AS DECIMAL(25,6)))) * 100) AS BIGINT) AS revenue_cents,
+        |  revenue_cents * 25 div 100 AS est_cost_cents,
+        |  revenue_cents - est_cost_cents AS margin_cents,
+        |  margin_cents div n_items AS margin_per_item_cents
+        |FROM lineitem_lca
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
+    )
+  }
+
+  // Parameterized SQL (Spark 3.4+/4 `spark.sql(text, args)`): the
+  // injection-safe templating surface — named markers bind TYPED
+  // literals, fold like constants (the filter still pushes to the
+  // scan), and the query text stays cacheable. The oracle runs the
+  // resolved form, pinning that binding ≡ literal substitution.
+  def parameterizedSql(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_psql")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders, min(o_orderdate) AS first_day
+        |FROM orders_psql
+        |WHERE o_totalprice >= :minTotal AND o_orderdate < :beforeDay
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+      Map("minTotal" -> 150000.0, "beforeDay" -> java.sql.Date.valueOf("1997-01-01"))
+    )
+  }
+
   // Token-entropy report — the information-theoretic corpus-health
   // pair every diversity dashboard wants: per source, the unigram
   // Shannon entropy of the token distribution (how varied is the

@@ -503,6 +503,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), s"the projection pass aggregates nothing:\n$p")
   }
 
+  test("parameterized sql (q254): bound parameters fold to literals and push to the scan") {
+    val p = plan(Queries.parameterizedSql(spark, sfDir))
+    assert(p.contains("PushedFilters:"), p)
+    assert(
+      p.contains("GreaterThanOrEqual(o_totalprice,150000.0)"),
+      s"the bound numeric parameter must reach the parquet scan:\n${p.linesIterator.filter(_.contains("Pushed")).mkString("\n")}"
+    )
+    assert(
+      p.contains("LessThan(o_orderdate,"),
+      s"the bound date parameter must reach the parquet scan:\n${p.linesIterator.filter(_.contains("Pushed")).mkString("\n")}"
+    )
+  }
+
   test("collated census (q240): corpus is touched only by the grouping — the unhashable ICU join runs post-aggregation") {
     val df = Queries.collatedCensus(spark, sfDir)
     val p = plan(df)

@@ -1149,6 +1149,24 @@ class QueriesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_tokens")).sum < expectChars)
   }
 
+  test("group by all lowers to the explicit grouping; lateral alias chain reproduces its own arithmetic") {
+    import org.apache.spark.sql.functions._
+    val sugar = Queries.groupByAll(spark, sfDir).collect()
+    val explicit = graft.sources.Tables
+      .parquet(spark, sfDir, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice").cast("decimal(25,6)")).cast("double").as("total"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+      .collect()
+    assert(sugar.toSeq === explicit.toSeq)
+    Queries.lateralAliases(spark, sfDir).collect().foreach { r =>
+      val rev = r.getAs[Long]("revenue_cents")
+      assert(r.getAs[Long]("est_cost_cents") === rev * 25 / 100)
+      assert(r.getAs[Long]("margin_cents") === rev - rev * 25 / 100)
+      assert(r.getAs[Long]("margin_per_item_cents") === r.getAs[Long]("margin_cents") / r.getAs[Long]("n_items"))
+    }
+  }
+
   test("entropy report: micro-nat entropies reproduce a direct recomputation and respect the ln(V) bound") {
     import org.apache.spark.sql.functions._
     val rows = Queries.entropyReport(spark, sfDir).collect()
