@@ -97,7 +97,10 @@ object Oracles {
     * (associative, so Spark's partitioning can't perturb them), and all
     * dots sequential-double on both engines.
     */
-  private def annIvfSqlFor(nprobe: Int, k: Int): String = {
+  /** Shared pieces of the deterministic IVF coarse quantizer SQL
+    * (q36/q193/q197/q206 and q255's separation report).
+    */
+  private object IvfSqlBits {
     val dim = 64; val nlist = 16
     def dotD(a: String, b: String) =
       s"list_sum(list_transform(generate_series(1, $dim), i -> $a[CAST(i AS INTEGER)] * $b[CAST(i AS INTEGER)]))"
@@ -110,10 +113,17 @@ object Oracles {
          |m$i AS (SELECT cell, pos, CAST(sum(CAST(${away("e[pos]", 6)} AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS m FROM x$i GROUP BY cell, pos),
          |n$i AS (SELECT cell, list(m ORDER BY pos) AS nce FROM m$i GROUP BY cell),
          |c$i AS (SELECT $prevC.j, COALESCE(n$i.nce, $prevC.ce) AS ce FROM $prevC LEFT JOIN n$i ON n$i.cell = $prevC.j)""".stripMargin
-    s"""WITH v AS (SELECT vec_id AS vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e, (vec_id < 50) AS is_q FROM embeddings),
-       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS INTEGER) AS j, e AS ce FROM (SELECT vid, e FROM v ORDER BY vid LIMIT $nlist) t),
-       |${iter(1, "c0")},
-       |${iter(2, "c1")},
+    /** v (double-cast vectors), c0 init, two Lloyd rounds → c2. */
+    lazy val lloydCtes: String =
+      s"""v AS (SELECT vec_id AS vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e, (vec_id < 50) AS is_q FROM embeddings),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS INTEGER) AS j, e AS ce FROM (SELECT vid, e FROM v ORDER BY vid LIMIT $nlist) t),
+         |${iter(1, "c0")},
+         |${iter(2, "c1")}""".stripMargin
+  }
+
+  private def annIvfSqlFor(nprobe: Int, k: Int): String = {
+    import IvfSqlBits.{dotD, score}
+    s"""WITH ${IvfSqlBits.lloydCtes},
        |sf AS (SELECT v.vid, v.e, v.is_q, c.j, ${score("v", "c")} AS s FROM v, c2 c),
        |corpus AS (SELECT vid AS nid, e AS ne, j AS cell FROM (SELECT vid, e, j, row_number() OVER (PARTITION BY vid ORDER BY s DESC, j DESC) AS rn FROM sf) t WHERE rn = 1),
        |probes AS (SELECT vid AS qid, e AS qe, j AS cell FROM (SELECT vid, e, j, row_number() OVER (PARTITION BY vid ORDER BY s DESC, j DESC) AS rn FROM sf WHERE is_q) t WHERE rn <= $nprobe),
@@ -2833,6 +2843,27 @@ object Oracles {
          |  (0 - mean_logp_micro) // 500000 AS ppl_bucket_halfnat,
          |  CAST(CASE WHEN mean_logp_micro >= -3400000 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM q ORDER BY doc_id""".stripMargin,
+    // the shared Lloyd chain → per-vector best/second-best cell scores
+    // → squared-distance separation ratios in integer permille
+    "q255_cluster_separation" -> {
+      import IvfSqlBits.score
+      s"""WITH ${IvfSqlBits.lloydCtes},
+         |sx AS (SELECT v.vid, v.e, c.j, ${score("v", "c")} AS s FROM v, c2 c),
+         |rk AS (SELECT vid, e, j, s, row_number() OVER (PARTITION BY vid ORDER BY s DESC, j DESC) AS rn FROM sx),
+         |b1 AS (SELECT vid, e, j AS cell, s AS s1 FROM rk WHERE rn = 1),
+         |b2 AS (SELECT vid, s AS s2 FROM rk WHERE rn = 2),
+         |d AS (SELECT b1.vid, b1.cell,
+         |    list_sum(list_transform(b1.e, x -> x * x)) - 2 * b1.s1 AS d2own,
+         |    list_sum(list_transform(b1.e, x -> x * x)) - 2 * b2.s2 AS d2next
+         |  FROM b1 JOIN b2 ON b2.vid = b1.vid),
+         |p AS (SELECT vid, cell, CASE WHEN d2own <= 0 THEN 100000
+         |    ELSE least(CAST(floor(d2next * 1000 / d2own) AS BIGINT), 100000) END AS sep
+         |  FROM d)
+         |SELECT cell, count(*) AS n_members,
+         |  CAST(min(sep) AS BIGINT) AS min_sep_permille,
+         |  CAST(sum(sep) AS BIGINT) // count(*) AS avg_sep_permille
+         |FROM p GROUP BY cell ORDER BY cell""".stripMargin
+    },
     // GROUP BY ALL is the same sugar in DuckDB — spelled explicitly so
     // the oracle doesn't depend on the sugar resolving identically
     "q252_group_by_all" ->

@@ -167,4 +167,20 @@ class SimilaritySpec extends SparkSpec {
     assert(out.nonEmpty)
     assert(out.map(_.getAs[Long]("qid")).distinct.sorted.toSeq === Seq(0L, 1L))
   }
+
+  test("cluster separation (q255): membership is total and ratios respect the argmin bound") {
+    val rows = graft.Queries.clusterSeparation(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val totalMembers = rows.map(_.getAs[Long]("n_members")).sum
+    val nVecs = graft.sources.Tables.parquet(spark, sfDir, "embeddings").count()
+    assert(totalMembers === nVecs, "every vector lands in exactly one cell")
+    rows.foreach { r =>
+      val mn = r.getAs[Long]("min_sep_permille")
+      val av = r.getAs[Long]("avg_sep_permille")
+      // the own centroid is the argmin distance, so the second-best
+      // squared-distance ratio can never drop below 1
+      assert(mn >= 1000L, s"cell ${r.getAs[Int]("cell")}: min ratio $mn below 1000")
+      assert(av >= mn && av <= 100000L)
+    }
+  }
 }
