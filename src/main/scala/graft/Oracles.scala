@@ -2514,6 +2514,10 @@ object Oracles {
     // warm-start (batch snapshot + streamed delta) must equal the SAME
     // full aggregate — state bootstrap ≡ recompute, by construction
     "q228_initial_state" -> lifetimeStatsSql,
+    // four-chunk maxFilesPerTrigger=1 replay must ALSO equal it —
+    // cross-batch state merging ≡ recompute under a real multi-batch
+    // layout (the runner require()s ≥4 data batches)
+    "q256_multibatch_replay" -> lifetimeStatsSql,
     // rank within nation, neighbors at sort distance 1-2, integer
     // agreement weights (segment 3 + balance 2 + id 1), gate at 4
     "q214_sorted_neighbor_pairs" ->

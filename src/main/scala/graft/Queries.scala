@@ -5656,6 +5656,19 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // Multi-batch streaming replay — the determinism claim the rest of
+  // the streaming matrix makes ("order-independent merge, identical
+  // whatever the micro-batch layout") actually EXERCISED: the events
+  // table is split into four chunk files and streamed one file per
+  // trigger, so the v2-state lifetime counters really merge across
+  // ≥4 micro-batches (the single-file test data otherwise collapses
+  // every streaming query into one batch); the runner require()s the
+  // multi-batch property so a regression fails loudly. Result ≡ the
+  // full batch aggregate — q213's oracle, now proven under a
+  // partitioned replay.
+  def multiBatchReplay(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StateV2.lifetimeStatsMultiBatch(s, dir)
+
   // Cluster-separation report — "is my IVF clustering any good",
   // the evaluation rung the ANN ladder (q36/q190/q193) and SemDeDup
   // (q197) sit on top of: per coarse cell, the simplified-silhouette

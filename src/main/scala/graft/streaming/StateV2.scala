@@ -345,13 +345,64 @@ object StateV2 {
     }
   }
 
+  /** GENUINELY multi-batch replay of the lifetime counters: the events
+    * table is split into four deterministic chunk FILES (event_id % 4,
+    * one parquet file each in a scratch dir) and streamed with
+    * `maxFilesPerTrigger = 1`, so available-now really runs ≥4
+    * micro-batches and every cross-batch state-merge path executes —
+    * the single-file test data otherwise collapses all streaming
+    * queries into one batch (round-5 advice), leaving "order-
+    * independent merge" claims unexercised. The runner REQUIRES the
+    * multi-batch property at runtime (deterministic data ⇒ always
+    * true; a regression to one batch fails loudly rather than
+    * silently weakening the test). Result must equal the full batch
+    * aggregate — the same oracle as q213/q228, now proven under a
+    * partitioned replay instead of a monolithic one.
+    */
+  def lifetimeStatsMultiBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scratch = graft.operators.Scratch.dir("graft-multibatch")
+    val ev = graft.sources.Tables.events(spark, dir)
+    (0 to 3).foreach { i =>
+      ev.filter(col("event_id") % 4 === i).coalesce(1).write.mode("overwrite").parquet(s"$scratch/chunk$i")
+    }
+    val schema = spark.read.parquet(s"$scratch/chunk0").schema
+    var batches = 0L
+    val out = runAvailableNowObserved(spark) {
+      spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(scratch)
+        .select(
+          col("event_id"),
+          col("user_id"),
+          expr("unix_millis(ts)").as("ts_ms"),
+          coalesce(floor(col("value") * 100 + 0.5).cast("long"), lit(0L)).as("cents"),
+          (col("event_type") === "purchase").cast("long").as("is_purchase")
+        )
+        .as[Ev]
+        .groupByKey(_.user_id)
+        .transformWithState(new LifetimeStats, TimeMode.None(), OutputMode.Update())
+    } { t =>
+      graft.operators.Dedup
+        .keepOnePerKey(t, key = Seq(col("user_id")), order = Seq(col("n_events").desc))
+        .select("user_id", "n_events", "sum_cents", "first_ms", "last_ms", "n_purchase")
+        .orderBy("user_id")
+    } { q => batches = q.recentProgress.count(_.numInputRows > 0).toLong }
+    require(batches >= 4, s"multi-batch replay degenerated to $batches data batches")
+    out
+  }
+
   /** Shared runner: RocksDB provider + 8 state partitions + available-
     * now through a memory sink; `finish` post-processes the emitted
     * table (the per-batch emissions) into the final frame.
     */
-  private def runAvailableNow(
+  private def runAvailableNowObserved(
       spark: SparkSession
-  )(build: => org.apache.spark.sql.Dataset[_])(finish: DataFrame => DataFrame): DataFrame = {
+  )(build: => org.apache.spark.sql.Dataset[_])(finish: DataFrame => DataFrame)(
+      observe: org.apache.spark.sql.streaming.StreamingQuery => Unit
+  ): DataFrame = {
     val prev = spark.conf.getOption(ProviderKey)
     spark.conf.set(ProviderKey, RocksDb)
     try {
@@ -364,8 +415,10 @@ object StateV2 {
           .queryName(name)
           .trigger(Trigger.AvailableNow())
           .start()
-        try q.awaitTermination()
-        finally q.stop()
+        try {
+          q.awaitTermination()
+          observe(q)
+        } finally q.stop()
         finish(spark.table(name))
       }
     } finally prev match {
@@ -373,6 +426,11 @@ object StateV2 {
       case None => spark.conf.unset(ProviderKey)
     }
   }
+
+  private def runAvailableNow(
+      spark: SparkSession
+  )(build: => org.apache.spark.sql.Dataset[_])(finish: DataFrame => DataFrame): DataFrame =
+    runAvailableNowObserved(spark)(build)(finish)(_ => ())
 
   /** Run timer-closed sessionization (gap 12 h, watermark delay 1 h)
     * over the static events table through available-now.

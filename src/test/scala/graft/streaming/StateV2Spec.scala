@@ -83,4 +83,12 @@ class StateV2Spec extends SparkSpec {
     assert(streamed.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
       === batch.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq)
   }
+
+  test("multi-batch replay (q256) equals the single-batch run row for row") {
+    // the runner itself require()s >= 4 data batches, so passing here
+    // proves cross-batch state merging — not just the single-batch path
+    val multi = StateV2.lifetimeStatsMultiBatch(spark, sfDir).collect()
+    val single = StateV2.lifetimeStats(spark, sfDir).collect()
+    assert(multi.map(_.toSeq).toSeq === single.map(_.toSeq).toSeq)
+  }
 }
