@@ -2847,6 +2847,23 @@ object Oracles {
          |  (0 - mean_logp_micro) // 500000 AS ppl_bucket_halfnat,
          |  CAST(CASE WHEN mean_logp_micro >= -3400000 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM q ORDER BY doc_id""".stripMargin,
+    // KL(doc ‖ corpus) in the integer micro-nat algebra — ln of
+    // integer counts only
+    "q257_doc_typicality" -> {
+      def mn(e: String) = s"CAST(floor(ln(CAST($e AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+      raw"""WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents),
+         |cw AS (SELECT w, count(*) AS cw FROM tk GROUP BY w),
+         |tt AS (SELECT CAST(sum(cw) AS BIGINT) AS nn FROM cw),
+         |dc AS (SELECT doc_id, w, count(*) AS c FROM tk GROUP BY 1, 2),
+         |p AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(sum(c * (${mn("c")} - ${mn("cw")})) AS BIGINT) AS part
+         |  FROM dc JOIN cw USING (w) GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         |  part // n_tokens + ${mn("nn")} - ${mn("n_tokens")} AS kl_micro,
+         |  CAST(CASE WHEN part // n_tokens + ${mn("nn")} - ${mn("n_tokens")} <= 500000
+         |    THEN 1 ELSE 0 END AS BIGINT) AS typical
+         |FROM p, tt ORDER BY doc_id""".stripMargin
+    },
     // the shared Lloyd chain → per-vector best/second-best cell scores
     // → squared-distance separation ratios in integer permille
     "q255_cluster_separation" -> {

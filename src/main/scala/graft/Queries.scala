@@ -5656,6 +5656,42 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // Per-doc typicality via KL divergence from the corpus unigram
+  // distribution — the Moore-Lewis-shaped data-selection signal: a
+  // high KL(doc ‖ corpus) marks vocabulary that doesn't look like the
+  // corpus (domain shift, boilerplate, noise), the score selection
+  // pipelines threshold before the expensive LM pass. Exact-integer
+  // form via the micro-nat algebra:
+  //
+  //   KL·1e6 = [Σ_w c_w·(mn(c_w) − mn(C_w))] div n + mn(N) − mn(n)
+  //
+  // (c_w doc counts, C_w corpus counts, n/N totals — only ln of
+  // INTEGERS, so the score hashes exactly). The corpus table is
+  // vocab-bounded and broadcast; the per-doc pass is one
+  // groupBy(doc_id, w) count plus a map-combined rollup.
+  def docTypicality(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+    val corpus = toks.groupBy("w").agg(count(lit(1)).as("cw"))
+    val totals = corpus.agg(sum(col("cw")).as("nn"))
+    val docCounts = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    docCounts
+      .join(broadcast(corpus), Seq("w"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        sum(col("c") * (microNats(col("c")) - microNats(col("cw")))).as("part")
+      )
+      .crossJoin(broadcast(totals))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        (expr("part div n_tokens") + microNats(col("nn")) - microNats(col("n_tokens"))).as("kl_micro")
+      )
+      .withColumn("typical", (col("kl_micro") <= 500000L).cast("long"))
+      .orderBy("doc_id")
+  }
+
   // Multi-batch streaming replay — the determinism claim the rest of
   // the streaming matrix makes ("order-independent merge, identical
   // whatever the micro-batch layout") actually EXERCISED: the events

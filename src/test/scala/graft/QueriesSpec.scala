@@ -1149,6 +1149,30 @@ class QueriesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_tokens")).sum < expectChars)
   }
 
+  test("doc typicality: KL non-negative within fixed-point slack and reproduces a direct recomputation") {
+    import org.apache.spark.sql.functions._
+    val rows = Queries.docTypicality(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // Gibbs: KL >= 0; the micro-nat fixed point can dip a few units
+    // below zero from truncation, never more
+    rows.foreach { r =>
+      assert(r.getAs[Long]("kl_micro") >= -5L, s"doc ${r.getAs[Long]("doc_id")}: KL ${r.getAs[Long]("kl_micro")}")
+      assert(r.getAs[Long]("typical") === (if (r.getAs[Long]("kl_micro") <= 500000L) 1L else 0L))
+    }
+    // direct recomputation for one document
+    def mn(v: Long): Long = math.floor(math.log(v.toDouble) * 1e6 + 0.5).toLong
+    val docId = rows.head.getAs[Long]("doc_id")
+    val toks = graft.sources.Tables
+      .parquet(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(graft.functions.TextOps.tokens(col("text"))).as("w"))
+    val corpus = toks.groupBy("w").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nn = corpus.values.sum
+    val dc = toks.filter(col("doc_id") === docId).groupBy("w").count().collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = dc.map(_._2).sum
+    val part = dc.map { case (w, c) => c * (mn(c) - mn(corpus(w))) }.sum
+    assert(rows.head.getAs[Long]("kl_micro") === part / n + mn(nn) - mn(n))
+  }
+
   test("group by all lowers to the explicit grouping; lateral alias chain reproduces its own arithmetic") {
     import org.apache.spark.sql.functions._
     val sugar = Queries.groupByAll(spark, sfDir).collect()
