@@ -2847,6 +2847,21 @@ object Oracles {
          |  (0 - mean_logp_micro) // 500000 AS ppl_bucket_halfnat,
          |  CAST(CASE WHEN mean_logp_micro >= -3400000 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM q ORDER BY doc_id""".stripMargin,
+    // per-event gap extends the running max end; islands break on
+    // STRICTLY greater (probed: ts == prev_end merges)
+    "q258_dynamic_gap_sessions" ->
+      """WITH x AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN 86400000000 ELSE 43200000000 END AS gap_us,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isp
+        |  FROM events),
+        |o AS (SELECT *, max(us + gap_us) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM x),
+        |b AS (SELECT *, CASE WHEN prev_end IS NULL OR us > prev_end THEN 1 ELSE 0 END AS brk FROM o),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM b)
+        |SELECT user_id, min(us) // 1000 AS start_ms, max(us + gap_us) // 1000 AS end_ms,
+        |  count(*) AS n_events, CAST(sum(isp) AS BIGINT) AS n_purchase
+        |FROM g GROUP BY user_id, grp ORDER BY user_id, start_ms""".stripMargin,
     // KL(doc ‖ corpus) in the integer micro-nat algebra — ln of
     // integer counts only
     "q257_doc_typicality" -> {

@@ -5656,6 +5656,37 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // DYNAMIC-GAP session windows (Spark 3.2+/4 `session_window` with a
+  // gap EXPRESSION): each event extends its session by its own
+  // event-type-dependent gap — purchases hold the session open 24 h,
+  // everything else 12 h — the "engaged users get longer sessions"
+  // rule every product-analytics pipeline eventually wants and the
+  // fixed-gap rungs (q37/q90/q104/q223) cannot express. Semantics
+  // pinned by probe: an event at exactly the previous window's end
+  // MERGES (inclusive), so the oracle's island rule is
+  // strictly-greater on the running max of (ts + gap). Batch mode
+  // here (the streaming twin is q104's shape); one keyed aggregation,
+  // session merging runs inside the per-user sort — no self-join.
+  def dynamicGapSessions(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .groupBy(
+        col("user_id"),
+        session_window(col("ts"), when(col("event_type") === "purchase", "24 hours").otherwise("12 hours"))
+      )
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum((col("event_type") === "purchase").cast("long")).as("n_purchase")
+      )
+      .select(
+        col("user_id"),
+        expr("unix_millis(session_window.start)").as("start_ms"),
+        expr("unix_millis(session_window.end)").as("end_ms"),
+        col("n_events"),
+        col("n_purchase")
+      )
+      .orderBy("user_id", "start_ms")
+
   // Per-doc typicality via KL divergence from the corpus unigram
   // distribution — the Moore-Lewis-shaped data-selection signal: a
   // high KL(doc ‖ corpus) marks vocabulary that doesn't look like the

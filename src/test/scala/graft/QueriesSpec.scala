@@ -1149,6 +1149,35 @@ class QueriesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_tokens")).sum < expectChars)
   }
 
+  test("dynamic-gap sessions: totals close, sessions disjoint per user, purchase gap really extends") {
+    import org.apache.spark.sql.functions._
+    val rows = Queries.dynamicGapSessions(spark, sfDir).collect()
+    val nEvents = graft.sources.Tables.events(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum === nEvents, "every event lands in exactly one session")
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, ss) =>
+      val sorted = ss.sortBy(_.getAs[Long]("start_ms"))
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a.getAs[Long]("end_ms") < b.getAs[Long]("start_ms") ||
+          (a.getAs[Long]("end_ms") == b.getAs[Long]("start_ms")),
+          s"user $u sessions overlap")
+      }
+    }
+    rows.foreach { r =>
+      val span = r.getAs[Long]("end_ms") - r.getAs[Long]("start_ms")
+      // the window extends past the last event by its gap: at least 12 h
+      assert(span >= 12L * 3600 * 1000, s"session span $span shorter than the smallest gap")
+      assert(r.getAs[Long]("n_purchase") <= r.getAs[Long]("n_events"))
+    }
+    // fixed 12 h everywhere would split strictly more sessions than the
+    // dynamic rule (24 h purchase extensions bridge some gaps)
+    val fixed = graft.sources.Tables
+      .events(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), "12 hours"))
+      .count()
+      .count()
+    assert(rows.length <= fixed, "dynamic gaps can only merge sessions relative to the 12h-everywhere rule")
+  }
+
   test("doc typicality: KL non-negative within fixed-point slack and reproduces a direct recomputation") {
     import org.apache.spark.sql.functions._
     val rows = Queries.docTypicality(spark, sfDir).collect()
