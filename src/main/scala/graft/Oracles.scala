@@ -2847,6 +2847,46 @@ object Oracles {
          |  (0 - mean_logp_micro) // 500000 AS ppl_bucket_halfnat,
          |  CAST(CASE WHEN mean_logp_micro >= -3400000 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM q ORDER BY doc_id""".stripMargin,
+    // the q237 chain + a renamed q257 chain + q92's predicates + the
+    // md5 keeper, staged left-to-right; counts unpivot to 4 rows
+    "q259_curation_funnel_v2" -> {
+      def mn(e: String) = s"CAST(floor(ln(CAST($e AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+      raw"""WITH $perplexityCtes,
+         |qf AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS qws,
+         |    len(regexp_replace(trim(text), '\s+', '', 'g')) AS qsl FROM documents),
+         |fl AS (SELECT doc_id, text, CASE WHEN len(qws) BETWEEN 30 AND 600
+         |    AND qsl >= len(qws) * 3 AND qsl <= len(qws) * 6
+         |    AND len(list_filter(qws, x -> list_contains(['the','a','and','is','of'], x))) * 50 >= len(qws)
+         |    AND len(list_distinct(qws)) * 5 >= len(qws) THEN 1 ELSE 0 END AS ok_rules FROM qf),
+         |pk AS (SELECT doc_id, CASE WHEN mean_logp_micro >= -3400000 THEN 1 ELSE 0 END AS ok_ppl FROM q),
+         |ktk AS (SELECT doc_id, unnest(ws) AS w FROM d),
+         |kcw AS (SELECT w, count(*) AS cw FROM ktk GROUP BY w),
+         |ktt AS (SELECT CAST(sum(cw) AS BIGINT) AS nn FROM kcw),
+         |kdc AS (SELECT doc_id, w, count(*) AS c FROM ktk GROUP BY 1, 2),
+         |kp AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(sum(c * (${mn("c")} - ${mn("cw")})) AS BIGINT) AS part
+         |  FROM kdc JOIN kcw USING (w) GROUP BY doc_id),
+         |kk AS (SELECT doc_id, CASE WHEN part // n_tokens + ${mn("nn")} - ${mn("n_tokens")} <= 500000
+         |    THEN 1 ELSE 0 END AS ok_kl FROM kp, ktt),
+         |jn AS (SELECT fl.doc_id, fl.text, fl.ok_rules,
+         |    CASE WHEN fl.ok_rules = 1 AND COALESCE(pk.ok_ppl, 0) = 1 THEN 1 ELSE 0 END AS s2,
+         |    CASE WHEN fl.ok_rules = 1 AND COALESCE(pk.ok_ppl, 0) = 1 AND COALESCE(kk.ok_kl, 0) = 1
+         |      THEN 1 ELSE 0 END AS s3
+         |  FROM fl LEFT JOIN pk ON pk.doc_id = fl.doc_id LEFT JOIN kk ON kk.doc_id = fl.doc_id),
+         |kpx AS (SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |  FROM jn WHERE s3 = 1),
+         |ag AS (SELECT (SELECT count(*) FROM jn) AS n0,
+         |    CAST((SELECT sum(ok_rules) FROM jn) AS BIGINT) AS n1,
+         |    CAST((SELECT sum(s2) FROM jn) AS BIGINT) AS n2,
+         |    CAST((SELECT sum(s3) FROM jn) AS BIGINT) AS n3,
+         |    CAST((SELECT count(*) FROM kpx WHERE rn = 1) AS BIGINT) AS n4)
+         |SELECT stage, n_in, n_out, n_in - n_out AS n_dropped FROM (
+         |  SELECT 'rules' AS stage, n0 AS n_in, n1 AS n_out FROM ag
+         |  UNION ALL SELECT 'perplexity', n1, n2 FROM ag
+         |  UNION ALL SELECT 'typicality', n2, n3 FROM ag
+         |  UNION ALL SELECT 'exact_dedup', n3, n4 FROM ag)
+         |ORDER BY stage""".stripMargin
+    },
     // per-event gap extends the running max end; islands break on
     // STRICTLY greater (probed: ts == prev_end merges)
     "q258_dynamic_gap_sessions" ->

@@ -5656,6 +5656,49 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // Curation funnel v2 — the q196 rule-based funnel upgraded with the
+  // round-6 MODEL-BASED stages, composed exactly the way a production
+  // pipeline layers them (cheap gates first, each stage filtering the
+  // previous stage's survivors):
+  //   rules (q92) → perplexity keep (q237) → typicality keep (q257)
+  //   → exact-dup keeper (md5 rank-1 among survivors).
+  // Every per-doc signal is a NARROW frame joined on doc_id; the stage
+  // counts collapse into one aggregate and unpivot into the 4-row
+  // report. The point of the query is the composition claim itself:
+  // all three model scores reuse their query definitions verbatim, so
+  // funnel counts can never drift from the standalone reports.
+  def curationFunnelV2(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val flags = docs.select(col("doc_id"), col("text"), qualityFlags(col("text")).all.as("ok_rules"))
+    val ppl = perplexityPerDoc(s, dir).select(col("doc_id"), (col("keep") === 1L).as("ok_ppl"))
+    val kl = docTypicality(s, dir).select(col("doc_id"), (col("typical") === 1L).as("ok_kl"))
+    val joined = flags
+      .join(ppl, Seq("doc_id"), "left")
+      .join(kl, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("text"),
+        col("ok_rules"),
+        (col("ok_rules") && coalesce(col("ok_ppl"), lit(false))).as("s2"),
+        (col("ok_rules") && coalesce(col("ok_ppl"), lit(false)) && coalesce(col("ok_kl"), lit(false))).as("s3")
+      )
+    val keeper = joined
+      .filter(col("s3"))
+      .withColumn("rn", row_number().over(Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .withColumn("s4", col("rn") === 1)
+    val c = joined
+      .agg(
+        count(lit(1)).as("n0"),
+        sum(col("ok_rules").cast("long")).as("n1"),
+        sum(col("s2").cast("long")).as("n2"),
+        sum(col("s3").cast("long")).as("n3")
+      )
+      .crossJoin(broadcast(keeper.agg(sum(col("s4").cast("long")).as("n4"))))
+    c.selectExpr("stack(4, 'rules', n0, n1, 'perplexity', n1, n2, 'typicality', n2, n3, 'exact_dedup', n3, n4) AS (stage, n_in, n_out)")
+      .withColumn("n_dropped", col("n_in") - col("n_out"))
+      .orderBy("stage")
+  }
+
   // DYNAMIC-GAP session windows (Spark 3.2+/4 `session_window` with a
   // gap EXPRESSION): each event extends its session by its own
   // event-type-dependent gap — purchases hold the session open 24 h,

@@ -1149,6 +1149,33 @@ class QueriesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_tokens")).sum < expectChars)
   }
 
+  test("curation funnel v2: stages chain (n_out feeds the next n_in) and close against the standalone gates") {
+    import org.apache.spark.sql.functions._
+    val byStage = Queries.curationFunnelV2(spark, sfDir).collect().map(r => r.getString(0) -> r).toMap
+    val order = Seq("rules", "perplexity", "typicality", "exact_dedup")
+    order.zip(order.tail).foreach { case (a, b) =>
+      assert(byStage(a).getAs[Long]("n_out") === byStage(b).getAs[Long]("n_in"), s"$a -> $b must chain")
+    }
+    order.foreach { st =>
+      val r = byStage(st)
+      assert(r.getAs[Long]("n_out") <= r.getAs[Long]("n_in"))
+      assert(r.getAs[Long]("n_dropped") === r.getAs[Long]("n_in") - r.getAs[Long]("n_out"))
+    }
+    assert(byStage("rules").getAs[Long]("n_in") === graft.sources.Tables.parquet(spark, sfDir, "documents").count())
+    // the perplexity stage must agree with the standalone q237 gate on
+    // rule-passing docs (q92's predicates recomputed here)
+    val docs = graft.sources.Tables.parquet(spark, sfDir, "documents")
+    val ws = graft.functions.TextOps.tokens(col("text"))
+    val nW = size(ws)
+    val sl = length(regexp_replace(trim(col("text")), "\\s+", ""))
+    val nStop = size(filter(ws, w => w.isInCollection(Seq("the", "a", "and", "is", "of"))))
+    val rulesPass = docs
+      .filter(nW >= 30 && nW <= 600 && sl >= nW * 3 && sl <= nW * 6 && nStop * 50 >= nW && size(array_distinct(ws)) * 5 >= nW)
+      .select("doc_id")
+    val q237Keep = Queries.perplexityFilter(spark, sfDir).filter(col("keep") === 1).select("doc_id")
+    assert(byStage("perplexity").getAs[Long]("n_out") === rulesPass.join(q237Keep, Seq("doc_id")).count())
+  }
+
   test("dynamic-gap sessions: totals close, sessions disjoint per user, purchase gap really extends") {
     import org.apache.spark.sql.functions._
     val rows = Queries.dynamicGapSessions(spark, sfDir).collect()
