@@ -2847,6 +2847,47 @@ object Oracles {
          |  (0 - mean_logp_micro) // 500000 AS ppl_bucket_halfnat,
          |  CAST(CASE WHEN mean_logp_micro >= -3400000 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM q ORDER BY doc_id""".stripMargin,
+    // train-split KN tables + Laplace continuation floor; three-branch
+    // scoring (seen bigram / seen context / unseen context), all
+    // integer micro-nats
+    "q260_heldout_perplexity" -> {
+      def mn(e: String) = s"CAST(floor(ln(CAST($e AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+      val h = hx("CAST(doc_id AS VARCHAR)")
+      raw"""WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws,
+         |    ($h % 10 = 0) AS is_test FROM documents),
+         |bg AS (SELECT doc_id, is_test, ws[i] AS lft, ws[i+1] AS rgt FROM (
+         |    SELECT doc_id, is_test, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+         |    FROM d WHERE len(ws) >= 2)),
+         |cnt AS (SELECT lft, rgt, count(*) AS c FROM bg WHERE NOT is_test GROUP BY 1, 2),
+         |lc AS (SELECT lft, CAST(sum(c) AS BIGINT) AS cl, count(*) AS n1p FROM cnt GROUP BY lft),
+         |rc AS (SELECT rgt, count(*) AS nleft FROM cnt GROUP BY rgt),
+         |ct AS (SELECT (SELECT count(*) FROM cnt) + (SELECT count(*) FROM rc) + 1 AS denc),
+         |sc AS (SELECT bg.doc_id, cnt.c, lc.cl, lc.n1p,
+         |    COALESCE(rc.nleft, 0) + 1 AS numc, ct.denc
+         |  FROM bg LEFT JOIN cnt ON cnt.lft = bg.lft AND cnt.rgt = bg.rgt
+         |  LEFT JOIN lc ON lc.lft = bg.lft
+         |  LEFT JOIN rc ON rc.rgt = bg.rgt, ct
+         |  WHERE bg.is_test),
+         |lp AS (SELECT doc_id,
+         |    CASE WHEN c IS NOT NULL THEN
+         |        ${mn("(c * 4 - 3) * denc + n1p * numc * 3")} - ${mn("cl * denc * 4")}
+         |      WHEN cl IS NOT NULL THEN
+         |        ${mn("n1p * numc * 3")} - ${mn("cl * denc * 4")}
+         |      ELSE ${mn("numc")} - ${mn("denc")} END AS lp_micro,
+         |    CASE WHEN c IS NULL AND cl IS NOT NULL THEN 1 ELSE 0 END AS ub,
+         |    CASE WHEN cl IS NULL THEN 1 ELSE 0 END AS uc
+         |  FROM sc),
+         |p AS (SELECT doc_id, count(*) AS n_bigrams,
+         |    CAST(sum(ub) AS BIGINT) AS n_unseen_bigrams,
+         |    CAST(sum(uc) AS BIGINT) AS n_unseen_contexts,
+         |    CAST(sum(lp_micro) AS BIGINT) AS sum_lp
+         |  FROM lp GROUP BY doc_id),
+         |q2 AS (SELECT doc_id, n_bigrams, n_unseen_bigrams, n_unseen_contexts,
+         |    sum_lp // n_bigrams AS mean_logp_micro FROM p)
+         |SELECT doc_id, n_bigrams, n_unseen_bigrams, n_unseen_contexts, mean_logp_micro,
+         |  (0 - mean_logp_micro) // 500000 AS ppl_bucket_halfnat
+         |FROM q2 ORDER BY doc_id""".stripMargin
+    },
     // the q237 chain + a renamed q257 chain + q92's predicates + the
     // md5 keeper, staged left-to-right; counts unpivot to 4 rows
     "q259_curation_funnel_v2" -> {

@@ -5656,6 +5656,81 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // HELD-OUT perplexity — the true CCNet setup q237's self-scoring
+  // approximates: the KN bigram LM is trained on the TRAIN split
+  // (q207's hash rule) and scores TEST documents, so the
+  // unseen-bigram/unseen-context backoff branches actually execute.
+  // The smoothed model stays RATIONAL end-to-end (micro-nat exact):
+  // with continuation probability Pcont(r) = (N1+(·r)+1)/(NB+V+1)
+  // (Laplace over continuation TYPES, one extra type as OOV mass):
+  //   seen (l,r):   p = [(4c−3)(NB+V+1) + 3·N1+(l·)(N1+(·r)+1)] / [4·c(l·)(NB+V+1)]
+  //   seen l only:  p = 3·N1+(l·)(N1+(·r)+1) / [4·c(l·)(NB+V+1)]
+  //   unseen l:     p = (N1+(·r)+1) / (NB+V+1)
+  // Per test doc: mean log-prob plus the unseen/backoff counts — the
+  // diagnostics that say whether a poor score means unusual text or
+  // just vocabulary the train split never saw. Same plan shape as
+  // q237: broadcast LM tables, one projection over the test bigram
+  // stream, map-combined rollup.
+  def heldoutPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val isTest = TextOps.hash32(col("doc_id").cast("string")) % 10 === 0
+    val bg = docBigrams(s, dir).withColumn("is_test", isTest)
+    val train = bg.filter(!col("is_test"))
+    val cnt = train.groupBy("lft", "rgt").agg(count(lit(1)).as("c"))
+    val leftCtx = cnt.groupBy("lft").agg(sum(col("c")).as("cl"), count(lit(1)).as("n1p"))
+    val rightCtx = cnt.groupBy("rgt").agg(count(lit(1)).as("nleft"))
+    val consts = cnt
+      .agg(count(lit(1)).as("nb"))
+      .crossJoin(broadcast(rightCtx.agg(count(lit(1)).as("vr"))))
+      .select((col("nb") + col("vr") + 1).as("denc"))
+    val scored = bg
+      .filter(col("is_test"))
+      .join(broadcast(cnt), Seq("lft", "rgt"), "left")
+      .join(broadcast(leftCtx), Seq("lft"), "left")
+      .join(broadcast(rightCtx), Seq("rgt"), "left")
+      .crossJoin(broadcast(consts))
+      .select(
+        col("doc_id"),
+        coalesce(col("nleft"), lit(0L)).as("numc0"),
+        col("c"),
+        col("cl"),
+        col("n1p"),
+        col("denc")
+      )
+      .withColumn("numc", col("numc0") + 1)
+      .withColumn(
+        "lp_micro",
+        when(
+          col("c").isNotNull,
+          microNats((col("c") * 4 - 3) * col("denc") + col("n1p") * col("numc") * 3)
+            - microNats(col("cl") * col("denc") * 4)
+        ).when(
+            col("cl").isNotNull,
+            microNats(col("n1p") * col("numc") * 3) - microNats(col("cl") * col("denc") * 4)
+          )
+          .otherwise(microNats(col("numc")) - microNats(col("denc")))
+      )
+      .withColumn("unseen_bigram", (col("c").isNull && col("cl").isNotNull).cast("long"))
+      .withColumn("unseen_context", col("cl").isNull.cast("long"))
+    scored
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("unseen_bigram")).as("n_unseen_bigrams"),
+        sum(col("unseen_context")).as("n_unseen_contexts"),
+        sum(col("lp_micro")).as("sum_lp")
+      )
+      .withColumn("mean_logp_micro", expr("sum_lp div n_bigrams"))
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        col("n_unseen_bigrams"),
+        col("n_unseen_contexts"),
+        col("mean_logp_micro"),
+        expr("(0 - mean_logp_micro) div 500000").as("ppl_bucket_halfnat")
+      )
+      .orderBy("doc_id")
+  }
+
   // Curation funnel v2 — the q196 rule-based funnel upgraded with the
   // round-6 MODEL-BASED stages, composed exactly the way a production
   // pipeline layers them (cheap gates first, each stage filtering the

@@ -1149,6 +1149,49 @@ class QueriesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_tokens")).sum < expectChars)
   }
 
+  test("held-out perplexity: backoff branches fire on novel text and scores stay ordered") {
+    import org.apache.spark.sql.functions._
+    // the shared corpus has a 31-word vocab, so every test bigram is
+    // train-seen and the backoff branches never execute there — build a
+    // synthetic corpus where one TEST doc carries novel vocabulary
+    val ids = spark
+      .range(0, 40)
+      .select(col("id"), (graft.functions.TextOps.hash32(col("id").cast("string")) % 10 === 0).as("t"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1))
+    val testId = ids.collectFirst { case (i, true) => i }.get
+    val dir = java.nio.file.Files.createTempDirectory("graft_heldout").toString
+    import spark.implicits._
+    ids.toSeq
+      .map { case (i, isTest) =>
+        val text =
+          if (i == testId) "alpha beta zzznovel qqnovel alpha beta"
+          else "alpha beta gamma delta alpha beta gamma"
+        (i, text, "en", "src01", text.length.toLong)
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val rows = Queries.heldoutPerplexity(spark, dir).collect()
+    val novel = rows.find(_.getAs[Long]("doc_id") == testId).get
+    // "beta zzznovel" = seen context, unseen continuation; "zzznovel
+    // qqnovel" + "qqnovel alpha" = unseen contexts
+    assert(novel.getAs[Long]("n_unseen_bigrams") >= 1L, "seen-context/unseen-bigram branch must fire")
+    assert(novel.getAs[Long]("n_unseen_contexts") >= 2L, "unseen-context branch must fire")
+    assert(novel.getAs[Long]("mean_logp_micro") < 0L)
+    // novel vocabulary must score strictly worse than in-distribution
+    // test docs (if any other test doc exists)
+    rows.filter(_.getAs[Long]("doc_id") != testId).foreach { r =>
+      assert(r.getAs[Long]("mean_logp_micro") > novel.getAs[Long]("mean_logp_micro"))
+    }
+    // on the real corpus the query still runs with zero backoff hits
+    val real = Queries.heldoutPerplexity(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach(r => assert(r.getAs[Long]("mean_logp_micro") < 0L))
+  }
+
   test("curation funnel v2: stages chain (n_out feeds the next n_in) and close against the standalone gates") {
     import org.apache.spark.sql.functions._
     val byStage = Queries.curationFunnelV2(spark, sfDir).collect().map(r => r.getString(0) -> r).toMap
