@@ -2847,6 +2847,44 @@ object Oracles {
          |  (0 - mean_logp_micro) // 500000 AS ppl_bucket_halfnat,
          |  CAST(CASE WHEN mean_logp_micro >= -3400000 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM q ORDER BY doc_id""".stripMargin,
+    // the q212 score ranked into exact integer deciles; cumulative
+    // lift in the cross-multiplied form
+    "q262_classifier_gains" ->
+      raw"""WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws,
+         |    len(regexp_replace(trim(text), '\s+', '', 'g')) AS sum_len FROM documents),
+         |f AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tok,
+         |    CAST(len(list_filter(ws, x -> list_contains(['the','a','and','is','of'], x))) AS BIGINT) * 1000 AS sm,
+         |    CAST(len(list_distinct(ws)) AS BIGINT) * 1000 AS dm,
+         |    CASE WHEN len(ws) BETWEEN 30 AND 600 AND sum_len >= len(ws) * 3 AND sum_len <= len(ws) * 6
+         |      AND len(list_filter(ws, x -> list_contains(['the','a','and','is','of'], x))) * 50 >= len(ws)
+         |      AND len(list_distinct(ws)) * 5 >= len(ws) THEN 1 ELSE 0 END AS pass FROM d),
+         |sc AS (SELECT doc_id, n_tok * 10 + (sm // n_tok) * 3 + (dm // n_tok) * 2 AS score, pass FROM f),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk,
+         |    (SELECT count(*) FROM sc) AS n_total, CAST((SELECT sum(pass) FROM sc) AS BIGINT) AS total_pass
+         |  FROM sc),
+         |dc AS (SELECT (rnk - 1) * 10 // n_total AS decile, count(*) AS n_docs,
+         |    CAST(sum(pass) AS BIGINT) AS n_pass, max(n_total) AS n_total, max(total_pass) AS total_pass
+         |  FROM rk GROUP BY 1),
+         |cm AS (SELECT *, sum(n_docs) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+         |    sum(n_pass) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pass
+         |  FROM dc)
+         |SELECT decile, n_docs, n_pass,
+         |  n_pass * 1000 // n_docs AS pass_permille,
+         |  CAST(cum_pass * n_total * 1000 // (cum_n * total_pass) AS BIGINT) AS cum_lift_permille
+         |FROM cm ORDER BY decile""".stripMargin,
+    // distinct (source, word) sets; word-keyed pair join, exact
+    // Jaccard/containment in permille
+    "q261_source_vocab_overlap" ->
+      raw"""WITH sv AS (SELECT DISTINCT source, w FROM (
+         |    SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents)),
+         |sz AS (SELECT source, count(*) AS n FROM sv GROUP BY source),
+         |pr AS (SELECT a.source AS src1, b.source AS src2, count(*) AS n_shared
+         |  FROM sv a JOIN sv b ON a.w = b.w AND a.source < b.source GROUP BY 1, 2)
+         |SELECT src1, src2, x.n AS n1, y.n AS n2, n_shared,
+         |  n_shared * 1000 // (x.n + y.n - n_shared) AS jaccard_permille,
+         |  n_shared * 1000 // least(x.n, y.n) AS containment_permille
+         |FROM pr JOIN sz x ON x.source = pr.src1 JOIN sz y ON y.source = pr.src2
+         |ORDER BY src1, src2""".stripMargin,
     // train-split KN tables + Laplace continuation floor; three-branch
     // scoring (seen bigram / seen context / unseen context), all
     // integer micro-nats

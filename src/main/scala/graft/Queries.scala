@@ -5656,6 +5656,90 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // Classifier gains table — the ranking-quality counterpart of q221's
+  // calibration: rank documents by the q212 linear score, cut into
+  // exact deciles, and report per-decile rule-pass rate plus the
+  // CUMULATIVE LIFT over the base rate — "if I only keep the top k/10
+  // by model score, how much richer in good documents am I than
+  // random?" — the chart that justifies (or kills) a quality model
+  // before it gates a corpus. Deciles are exact integer cuts
+  // ((rank−1)·10 div n, never percent_rank floats); lift is the
+  // cross-multiplied integer form. The global rank window is the
+  // audit-scale posture (at 100 TB you'd decile by score histogram —
+  // the q247 sketch — not a global sort).
+  def classifierGains(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextOps.tokens(col("text"))
+    val nTok = size(ws).cast("long")
+    val nStop = size(filter(ws, w => w.isInCollection(Seq("the", "a", "and", "is", "of")))).cast("long")
+    val nDistinct = size(array_distinct(ws)).cast("long")
+    val scored = t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        nTok.as("n_tok"),
+        (nStop * 1000).as("stop_milli"),
+        (nDistinct * 1000).as("div_milli"),
+        qualityFlags(col("text")).all.cast("long").as("pass")
+      )
+      .select(
+        col("doc_id"),
+        expr("n_tok * 10 + (stop_milli div n_tok) * 3 + (div_milli div n_tok) * 2").as("score"),
+        col("pass")
+      )
+    val ranked = scored
+      .withColumn("rnk", row_number().over(Window.orderBy(desc("score"), col("doc_id"))))
+      .crossJoin(broadcast(scored.agg(count(lit(1)).as("n_total"), sum(col("pass")).as("total_pass"))))
+      .withColumn("decile", expr("(rnk - 1) * 10 div n_total"))
+    ranked
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("pass")).as("n_pass"),
+        max(col("n_total")).as("n_total"),
+        max(col("total_pass")).as("total_pass")
+      )
+      .withColumn("cum_n", sum(col("n_docs")).over(Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum_pass", sum(col("n_pass")).over(Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)))
+      .select(
+        col("decile"),
+        col("n_docs"),
+        col("n_pass"),
+        expr("n_pass * 1000 div n_docs").as("pass_permille"),
+        expr("cum_pass * n_total * 1000 div (cum_n * total_pass)").as("cum_lift_permille")
+      )
+      .orderBy("decile")
+  }
+
+  // Source-pair vocabulary overlap — the corpus-composition diagnostic
+  // ("which sources are feeding me the same language?") that guides
+  // mixture weights before any document-level dedup: exact Jaccard
+  // and containment of the DISTINCT-vocabulary sets for every source
+  // pair. The join is keyed on the word over the (source, word)
+  // distinct frame — vocab-bounded per source, |S|² output rows —
+  // never doc-cardinality; the same shape scales to thousands of
+  // sources because vocabularies, not corpora, meet in the join.
+  def sourceVocabOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sv = t(s, dir, "documents")
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+      .distinct()
+    val sz = sv.groupBy("source").agg(count(lit(1)).as("n"))
+    sv.as("a")
+      .join(sv.as("b"), col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src1"), col("b.source").as("src2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sz.select(col("source").as("src1"), col("n").as("n1"))), Seq("src1"))
+      .join(broadcast(sz.select(col("source").as("src2"), col("n").as("n2"))), Seq("src2"))
+      .select(
+        col("src1"),
+        col("src2"),
+        col("n1"),
+        col("n2"),
+        col("n_shared"),
+        expr("n_shared * 1000 div (n1 + n2 - n_shared)").as("jaccard_permille"),
+        expr("n_shared * 1000 div least(n1, n2)").as("containment_permille")
+      )
+      .orderBy("src1", "src2")
+  }
+
   // HELD-OUT perplexity — the true CCNet setup q237's self-scoring
   // approximates: the KN bigram LM is trained on the TRAIN split
   // (q207's hash rule) and scores TEST documents, so the

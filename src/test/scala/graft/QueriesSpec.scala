@@ -1149,6 +1149,34 @@ class QueriesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_tokens")).sum < expectChars)
   }
 
+  test("source vocab overlap: symmetric-pair coverage, jaccard bounded by containment, sizes honest") {
+    import org.apache.spark.sql.functions._
+    val rows = Queries.sourceVocabOverlap(spark, sfDir).collect()
+    val nSources = graft.sources.Tables
+      .parquet(spark, sfDir, "documents")
+      .select("source")
+      .distinct()
+      .count()
+    assert(rows.length === nSources * (nSources - 1) / 2, "one row per unordered source pair")
+    rows.foreach { r =>
+      val (j, c) = (r.getAs[Long]("jaccard_permille"), r.getAs[Long]("containment_permille"))
+      assert(j >= 0L && j <= c && c <= 1000L, "jaccard never exceeds containment")
+      assert(r.getAs[Long]("n_shared") <= math.min(r.getAs[Long]("n1"), r.getAs[Long]("n2")))
+    }
+  }
+
+  test("classifier gains: deciles partition the corpus and the full-corpus lift is exactly 1") {
+    val rows = Queries.classifierGains(spark, sfDir).collect().sortBy(_.getAs[Long]("decile"))
+    val total = graft.sources.Tables.parquet(spark, sfDir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === total)
+    assert(rows.last.getAs[Long]("cum_lift_permille") === 1000L, "keeping everything is lift 1 by definition")
+    rows.foreach { r =>
+      val pm = r.getAs[Long]("pass_permille")
+      assert(pm >= 0L && pm <= 1000L)
+      assert(r.getAs[Long]("n_pass") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("held-out perplexity: backoff branches fire on novel text and scores stay ordered") {
     import org.apache.spark.sql.functions._
     // the shared corpus has a 31-word vocab, so every test bigram is
