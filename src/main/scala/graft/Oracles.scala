@@ -2847,6 +2847,27 @@ object Oracles {
          |  (0 - mean_logp_micro) // 500000 AS ppl_bucket_halfnat,
          |  CAST(CASE WHEN mean_logp_micro >= -3400000 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM q ORDER BY doc_id""".stripMargin,
+    // first-occurrence buckets over doc-rank fifths; right join keeps
+    // zero-new-type buckets
+    "q263_vocab_growth" ->
+      raw"""WITH rk AS (SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY source) AS nd
+         |  FROM documents),
+         |bk AS (SELECT source, doc_id, (rn - 1) * 5 // nd AS bucket FROM rk),
+         |fo AS (SELECT source, w, min(doc_id) AS doc_id FROM (
+         |    SELECT source, doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents)
+         |  GROUP BY source, w),
+         |nt AS (SELECT bk.source, bk.bucket, count(*) AS n_new_types
+         |  FROM fo JOIN bk ON bk.source = fo.source AND bk.doc_id = fo.doc_id
+         |  GROUP BY 1, 2),
+         |dd AS (SELECT source, bucket, count(*) AS n_docs FROM bk GROUP BY 1, 2),
+         |j AS (SELECT dd.source, dd.bucket, dd.n_docs, COALESCE(nt.n_new_types, 0) AS n_new_types
+         |  FROM dd LEFT JOIN nt ON nt.source = dd.source AND nt.bucket = dd.bucket)
+         |SELECT source, bucket, n_docs, n_new_types,
+         |  CAST(sum(n_new_types) OVER (PARTITION BY source ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types
+         |FROM j ORDER BY source, bucket""".stripMargin,
     // the q212 score ranked into exact integer deciles; cumulative
     // lift in the cross-multiplied form
     "q262_classifier_gains" ->

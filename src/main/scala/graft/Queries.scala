@@ -5656,6 +5656,40 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // Vocabulary growth curve (Heaps' law) — "does feeding more of this
+  // source still buy new vocabulary?": docs are ranked per source in
+  // ingestion (doc_id) order and cut into exact fifths; each word is
+  // charged to the bucket of its FIRST occurrence, so the per-bucket
+  // new-type counts + running total trace the growth curve whose
+  // flattening says a source is exhausted. Everything is keyed:
+  // first-occurrence = one (source, word) min; the bucket lookup is a
+  // keyed join back to the ranked docs frame; output is |S|×5 rows.
+  def vocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val ranked = docs
+      .select(col("source"), col("doc_id"))
+      .withColumn("rn", row_number().over(Window.partitionBy("source").orderBy("doc_id")))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy("source")))
+      .withColumn("bucket", expr("(rn - 1) * 5 div nd"))
+    val firstOcc = docs
+      .select(col("source"), col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("source", "w")
+      .agg(min(col("doc_id")).as("doc_id"))
+    firstOcc
+      .join(ranked, Seq("source", "doc_id"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_new_types"))
+      .join(ranked.groupBy("source", "bucket").agg(count(lit(1)).as("n_docs")), Seq("source", "bucket"), "right")
+      .na
+      .fill(0L, Seq("n_new_types"))
+      .withColumn(
+        "cum_types",
+        sum(col("n_new_types")).over(Window.partitionBy("source").orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0))
+      )
+      .select("source", "bucket", "n_docs", "n_new_types", "cum_types")
+      .orderBy("source", "bucket")
+  }
+
   // Classifier gains table — the ranking-quality counterpart of q221's
   // calibration: rank documents by the q212 linear score, cut into
   // exact deciles, and report per-decile rule-pass rate plus the

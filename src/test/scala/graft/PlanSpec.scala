@@ -503,6 +503,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), s"the projection pass aggregates nothing:\n$p")
   }
 
+  test("quantile sketch (q247): the probe joins the sketch, never the fact — no corpus-scale product") {
+    val p = plan(Queries.quantileSketch(spark, sfDir))
+    // the only non-equi join is the 6-row quantile probe against the
+    // sketch-cardinality cumulative histogram — a bounded nested loop;
+    // nothing may cartesian over the fact table
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"probe and exact-rank joins must broadcast their bounded sides:\n$p")
+  }
+
+  test("skew report (q250): pure keyed aggregation — no join anywhere") {
+    val p = plan(Queries.skewReport(spark, sfDir))
+    assert(!p.contains("Join"), s"the report is counts + a keyed window + a rollup:\n$p")
+  }
+
+  test("doc typicality (q257): the corpus count table broadcasts onto the per-doc counts") {
+    val p = plan(Queries.docTypicality(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"the vocab-bounded corpus table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-keyed merge join:\n$p")
+  }
+
   test("parameterized sql (q254): bound parameters fold to literals and push to the scan") {
     val p = plan(Queries.parameterizedSql(spark, sfDir))
     assert(p.contains("PushedFilters:"), p)

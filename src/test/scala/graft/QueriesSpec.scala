@@ -1149,6 +1149,32 @@ class QueriesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_tokens")).sum < expectChars)
   }
 
+  test("vocab growth: buckets partition docs, cumulative total equals the per-source vocabulary") {
+    import org.apache.spark.sql.functions._
+    val rows = Queries.vocabGrowth(spark, sfDir).collect()
+    val docs = graft.sources.Tables.parquet(spark, sfDir, "documents")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    val vocabPerSource = docs
+      .select(col("source"), explode(graft.functions.TextOps.tokens(col("text"))).as("w"))
+      .distinct()
+      .groupBy("source")
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, bs) =>
+      val sorted = bs.sortBy(_.getAs[Long]("bucket"))
+      assert(sorted.map(_.getAs[Long]("bucket")).toSeq === (0L to 4L), s"$src: five buckets")
+      assert(sorted.last.getAs[Long]("cum_types") === vocabPerSource(src), s"$src: growth curve must end at |V|")
+      // monotone growth; the first bucket carries the bulk on this
+      // small-vocab corpus
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a.getAs[Long]("cum_types") <= b.getAs[Long]("cum_types"))
+      }
+      assert(sorted.head.getAs[Long]("n_new_types") >= sorted.last.getAs[Long]("n_new_types"))
+    }
+  }
+
   test("source vocab overlap: symmetric-pair coverage, jaccard bounded by containment, sizes honest") {
     import org.apache.spark.sql.functions._
     val rows = Queries.sourceVocabOverlap(spark, sfDir).collect()
