@@ -2847,6 +2847,19 @@ object Oracles {
          |  (0 - mean_logp_micro) // 500000 AS ppl_bucket_halfnat,
          |  CAST(CASE WHEN mean_logp_micro >= -3400000 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM q ORDER BY doc_id""".stripMargin,
+    // the brute and IVF k=10 mirrors joined on (qid, nid); tail-sum
+    // coefficients shared with the engine as integer nanos
+    "q264_rank_rbo" -> {
+      val tails = graft.functions.NumOps.rboTailNanos(10, 0.9)
+      val cases = (1 to 10).map(m => s"WHEN greatest(i.rnk, b.rnk) = $m THEN ${tails(m - 1)}").mkString(" ")
+      s"""WITH b AS ($annBruteSql),
+         |i AS (${annIvfSqlFor(nprobe = 4, k = 10)}),
+         |j AS (SELECT b.qid, i.rnk AS ra, b.rnk AS rb,
+         |    CASE WHEN i.rnk IS NULL THEN 0 $cases END AS c
+         |  FROM b LEFT JOIN i ON i.qid = b.qid AND i.nid = b.nid)
+         |SELECT qid, count(ra) AS n_common, CAST(sum(c) AS BIGINT) AS rbo_nanos
+         |FROM j GROUP BY qid ORDER BY qid""".stripMargin
+    },
     // first-occurrence buckets over doc-rank fifths; right join keeps
     // zero-new-type buckets
     "q263_vocab_growth" ->

@@ -5656,6 +5656,46 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // Rank-biased overlap (RBO@10, p = 0.9) between the IVF and exact
+  // rankings — the third leg of the ANN evaluation stool after
+  // recall@10 (q206, set agreement) and MRR (q234, first-hit rank):
+  // RBO weights agreement toward the TOP of the lists, so it
+  // penalizes an index that finds the right neighbors in the wrong
+  // order. Exactness: a common item at ranks (ra, rb) contributes
+  // Σ_{d ≥ max(ra,rb)} (1−p)p^{d−1}/d — a TAIL SUM over ten fixed
+  // coefficients, precomputed on the driver in a fixed order and
+  // quantized to integer NANOS, so the per-query score is a plain
+  // integer sum (no float aggregation order anywhere). The join is
+  // (qid, nid)-keyed over two k-bounded frames; runs on the query
+  // sample like the rest of the evaluation suite.
+  def rankRbo(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val tailNanos = NumOps.rboTailNanos(k, p = 0.9)
+    val emb = t(s, dir, "embeddings")
+    val isQ = col("vec_id") < 50
+    val brute = Similarity
+      .bruteForceTopK(emb, col("vec_id"), col("embedding"), isQ, k = k)
+      .select(col("qid"), col("nid"), col("rank").as("rb"))
+    val ivf = Similarity
+      .ivfTopK(emb, col("vec_id"), col("embedding"), isQ, nlist = 16, nprobe = 4, k = k)
+      .select(col("qid"), col("nid"), col("rank").as("ra"))
+    // null guard FIRST: Spark's greatest() SKIPS nulls (returns the
+    // largest non-null), so an ivf-missing row would otherwise score
+    // as if its brute rank were the agreement depth
+    val contrib = when(
+      col("ra").isNull,
+      lit(0L)
+    ).otherwise((1 to k).foldLeft(lit(0L)) { (acc, m) =>
+      when(greatest(col("ra"), col("rb")) === m, lit(tailNanos(m - 1))).otherwise(acc)
+    })
+    brute
+      .join(ivf, Seq("qid", "nid"), "left")
+      .select(col("qid"), col("ra"), contrib.as("c"))
+      .groupBy("qid")
+      .agg(count(col("ra")).as("n_common"), sum(col("c")).as("rbo_nanos"))
+      .orderBy("qid")
+  }
+
   // Vocabulary growth curve (Heaps' law) — "does feeding more of this
   // source still buy new vocabulary?": docs are ranked per source in
   // ingestion (doc_id) order and cut into exact fifths; each word is

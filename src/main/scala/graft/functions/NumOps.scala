@@ -47,4 +47,14 @@ object NumOps {
   /** Exact sum surfaced as a rounded double. */
   def exactSum(c: Column, scale: Int = 2): Column =
     roundAway(sum(c.cast(SumType)).cast("double"), scale)
+
+  /** RBO tail weights quantized to integer nanos: tail(m) =
+    * Σ_{d=m..k} (1−p)·p^{d−1}/d, evaluated ascending-d left-to-right.
+    * Shared by the q264 engine query and its oracle builder so both
+    * sides embed bit-identical literals.
+    */
+  def rboTailNanos(k: Int, p: Double): Seq[Long] = {
+    val coeff = (1 to k).map(d => (1 - p) * math.pow(p, d - 1) / d)
+    (1 to k).map(m => math.floor(coeff.drop(m - 1).reduceLeft(_ + _) * 1e9 + 0.5).toLong)
+  }
 }

@@ -1149,6 +1149,23 @@ class QueriesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_tokens")).sum < expectChars)
   }
 
+  test("rank rbo: bounded by perfect agreement, disjoint lists score zero") {
+    val rows = Queries.rankRbo(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // perfect agreement: every common pair sits at (m, m) and
+    // contributes tail(m), so the maximum score is Σ tail(m) — the
+    // truncated-RBO mass of two identical top-10 lists (≈ 0.67e9)
+    val tails = graft.functions.NumOps.rboTailNanos(10, 0.9)
+    val perfectScore = tails.sum
+    assert(perfectScore > 600000000L && perfectScore < 1000000000L)
+    rows.foreach { r =>
+      val v = r.getAs[Long]("rbo_nanos")
+      assert(v >= 0L && v <= perfectScore, s"qid ${r.getAs[Long]("qid")}: rbo $v outside [0, $perfectScore]")
+      if (r.getAs[Long]("n_common") == 0L) assert(v === 0L)
+      if (r.getAs[Long]("n_common") == 10L) assert(v > 0L)
+    }
+  }
+
   test("vocab growth: buckets partition docs, cumulative total equals the per-source vocabulary") {
     import org.apache.spark.sql.functions._
     val rows = Queries.vocabGrowth(spark, sfDir).collect()
