@@ -5313,6 +5313,10 @@ object Queries {
     * and DuckDB's std::log are ≤1 ulp, so after scaling to 1e-6
     * resolution a cross-engine flip needs the true value within ~4e-9
     * of a rounding boundary (odds ~1e-8 per distinct count value).
+    * Scale note: the BIGINT→double widening stays exact below 2⁵³;
+    * composite arguments (q237's NB·(4c−3) products) approach that
+    * only past ~10¹⁵-token corpora, where the factoring
+    * mn(a·b) = mn(a) + mn(b) ± 1µnat keeps each ln argument small.
     */
   private def microNats(x: Column): Column =
     floor(log(x.cast("double")) * lit(1000000.0) + lit(0.5)).cast("long")
@@ -5778,7 +5782,10 @@ object Queries {
         col("n_docs"),
         col("n_pass"),
         expr("n_pass * 1000 div n_docs").as("pass_permille"),
-        expr("cum_pass * n_total * 1000 div (cum_n * total_pass)").as("cum_lift_permille")
+        // cross-multiplied lift goes through DECIMAL(38,0): the
+        // numerator is ~n²·1e3, past BIGINT at billions of docs
+        expr("CAST(CAST(cum_pass AS DECIMAL(38,0)) * n_total * 1000 div (cum_n * total_pass) AS BIGINT)")
+          .as("cum_lift_permille")
       )
       .orderBy("decile")
   }
@@ -6195,9 +6202,14 @@ object Queries {
         col("event_type"),
         col("n_keys"),
         col("total"),
-        expr("(2 * sic - (n_keys + 1) * total) * 10000 div (n_keys * total)").as("gini_permyriad"),
+        // DECIMAL(38,0) before the ×10000: sic ≈ n_keys·total, so the
+        // numerator is ~n·S·1e4 — fine here, BIGINT-overflow at the
+        // hundreds-of-billions-of-events scale this report targets
+        expr("CAST(CAST(2 * sic - (n_keys + 1) * total AS DECIMAL(38,0)) * 10000 div (n_keys * total) AS BIGINT)")
+          .as("gini_permyriad"),
         expr("max_cnt * 1000 div total").as("top_share_permille"),
-        expr("max_cnt * n_keys * 1000 div total").as("hot_key_factor_permille")
+        expr("CAST(CAST(max_cnt AS DECIMAL(38,0)) * n_keys * 1000 div total AS BIGINT)")
+          .as("hot_key_factor_permille")
       )
       .orderBy("event_type")
   }
