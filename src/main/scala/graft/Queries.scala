@@ -5933,7 +5933,10 @@ object Queries {
         sum(col("s2").cast("long")).as("n2"),
         sum(col("s3").cast("long")).as("n3")
       )
-      .crossJoin(broadcast(keeper.agg(sum(col("s4").cast("long")).as("n4"))))
+      // coalesce: an empty survivor set must report 0 kept, not NULL
+      // (the oracle's COUNT form returns 0 — a data-dependent mismatch
+      // otherwise)
+      .crossJoin(broadcast(keeper.agg(coalesce(sum(col("s4").cast("long")), lit(0L)).as("n4"))))
     c.selectExpr("stack(4, 'rules', n0, n1, 'perplexity', n1, n2, 'typicality', n2, n3, 'exact_dedup', n3, n4) AS (stage, n_in, n_out)")
       .withColumn("n_dropped", col("n_in") - col("n_out"))
       .orderBy("stage")
