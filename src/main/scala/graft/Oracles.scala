@@ -107,18 +107,24 @@ object Oracles {
     def score(src: String, cent: String) =
       s"${dotD(s"$src.e", s"$cent.ce")} - list_sum(list_transform($cent.ce, x -> x * x)) / 2.0"
     def iter(i: Int, prevC: String): String =
-      s"""s$i AS (SELECT v.vid, v.e, c.j, ${score("v", "c")} AS s FROM v, $prevC c),
+      s"""s$i AS (SELECT vt.vid, vt.e, c.j, ${score("vt", "c")} AS s FROM vt, $prevC c),
          |a$i AS (SELECT vid, e, j AS cell FROM (SELECT vid, e, j, row_number() OVER (PARTITION BY vid ORDER BY s DESC, j DESC) AS rn FROM s$i) t WHERE rn = 1),
          |x$i AS (SELECT cell, e, CAST(unnest(generate_series(1, $dim)) AS INTEGER) AS pos FROM a$i),
          |m$i AS (SELECT cell, pos, CAST(sum(CAST(${away("e[pos]", 6)} AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS m FROM x$i GROUP BY cell, pos),
          |n$i AS (SELECT cell, list(m ORDER BY pos) AS nce FROM m$i GROUP BY cell),
          |c$i AS (SELECT $prevC.j, COALESCE(n$i.nce, $prevC.ce) AS ce FROM $prevC LEFT JOIN n$i ON n$i.cell = $prevC.j)""".stripMargin
-    /** v (double-cast vectors), c0 init, two Lloyd rounds → c2. */
-    lazy val lloydCtes: String =
+    /** v (double-cast vectors), training subset vt, c0 init, two Lloyd
+      * rounds → c2. `trainPred` narrows TRAINING only (q265's frozen
+      * old-half index); assignment consumers still see every vector
+      * through `v`.
+      */
+    def lloydCtesFor(trainPred: String): String =
       s"""v AS (SELECT vec_id AS vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e, (vec_id < 50) AS is_q FROM embeddings),
-         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS INTEGER) AS j, e AS ce FROM (SELECT vid, e FROM v ORDER BY vid LIMIT $nlist) t),
+         |vt AS (SELECT * FROM v WHERE $trainPred),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS INTEGER) AS j, e AS ce FROM (SELECT vid, e FROM vt ORDER BY vid LIMIT $nlist) t),
          |${iter(1, "c0")},
          |${iter(2, "c1")}""".stripMargin
+    lazy val lloydCtes: String = lloydCtesFor("TRUE")
   }
 
   private def annIvfSqlFor(nprobe: Int, k: Int): String = {
@@ -2847,6 +2853,20 @@ object Oracles {
          |  (0 - mean_logp_micro) // 500000 AS ppl_bucket_halfnat,
          |  CAST(CASE WHEN mean_logp_micro >= -3400000 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM q ORDER BY doc_id""".stripMargin,
+    // Lloyd chain trained on the old half only; every vector assigned
+    // against the frozen c2; per-cell old/new census
+    "q265_ivf_maintenance" -> {
+      import IvfSqlBits.score
+      s"""WITH ${IvfSqlBits.lloydCtesFor("vid % 10 <> 0")},
+         |sx AS (SELECT v.vid, c.j, ${score("v", "c")} AS s FROM v, c2 c),
+         |asg AS (SELECT vid, j AS cell FROM (
+         |    SELECT vid, j, row_number() OVER (PARTITION BY vid ORDER BY s DESC, j DESC) AS rn FROM sx)
+         |  WHERE rn = 1)
+         |SELECT cell, CAST(sum(CASE WHEN vid % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+         |  CAST(sum(CASE WHEN vid % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         |  CAST(sum(CASE WHEN vid % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) * 1000 // count(*) AS new_share_permille
+         |FROM asg GROUP BY cell ORDER BY cell""".stripMargin
+    },
     // the brute and IVF k=10 mirrors joined on (qid, nid); tail-sum
     // coefficients shared with the engine as integer nanos
     "q264_rank_rbo" -> {

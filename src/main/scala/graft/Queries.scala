@@ -5660,6 +5660,48 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // IVF index maintenance WITHOUT retraining — the operational rung
+  // the ANN ladder needs in production: new vectors (the 10% delta)
+  // are assigned against centroids FROZEN on the old corpus (one map
+  // pass over broadcast literals — no Lloyd rounds touch the delta),
+  // and the per-cell report compares old vs new populations. A cell
+  // whose new_share drifts far from the corpus-wide delta share is
+  // where the frozen quantizer has gone stale — the signal that
+  // schedules a retrain, measured without paying for one. Assignment
+  // uses the same (score, idx)-struct argmax as q255; the oracle
+  // trains its unrolled Lloyd chain on the same old-half predicate.
+  def ivfIndexMaintenance(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps
+    val nlist = 16
+    val base = t(s, dir, "embeddings").select(col("vec_id").as("vid"), col("embedding").as("e"))
+    val oldBase = base.filter(col("vid") % 10 =!= 0).persist()
+    try {
+      val cents = Similarity.trainCentroids(oldBase, nlist, lloydIters = 2)
+      val halfNorm = cents.map(c => c.map(x => x * x).reduceLeft(_ + _) / 2.0)
+      val scored = cents.indices.map { j =>
+        struct((VectorOps.dot(col("e"), lit(cents(j))) - lit(halfNorm(j))).as("s"), lit(j).as("j"))
+      }
+      base
+        .select(
+          col("vid"),
+          element_at(sort_array(array(scored: _*), asc = false), 1).getField("j").as("cell"),
+          (col("vid") % 10 === 0).cast("long").as("is_new")
+        )
+        .groupBy("cell")
+        .agg(
+          sum(lit(1L) - col("is_new")).as("n_old"),
+          sum(col("is_new")).as("n_new")
+        )
+        .select(
+          col("cell"),
+          col("n_old"),
+          col("n_new"),
+          expr("n_new * 1000 div (n_old + n_new)").as("new_share_permille")
+        )
+        .orderBy("cell")
+    } finally oldBase.unpersist()
+  }
+
   // Rank-biased overlap (RBO@10, p = 0.9) between the IVF and exact
   // rankings — the third leg of the ANN evaluation stool after
   // recall@10 (q206, set agreement) and MRR (q234, first-hit rank):

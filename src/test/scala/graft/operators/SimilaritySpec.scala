@@ -168,6 +168,24 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("qid")).distinct.sorted.toSeq === Seq(0L, 1L))
   }
 
+  test("ivf maintenance (q265): census is total, every cell holds old members, shares bounded") {
+    val rows = graft.Queries.ivfIndexMaintenance(spark, sfDir).collect()
+    val nVecs = graft.sources.Tables.parquet(spark, sfDir, "embeddings").count()
+    assert(rows.map(r => r.getAs[Long]("n_old") + r.getAs[Long]("n_new")).sum === nVecs)
+    val newTotal = rows.map(_.getAs[Long]("n_new")).sum
+    assert(newTotal === graft.sources.Tables
+      .parquet(spark, sfDir, "embeddings")
+      .filter(col("vec_id") % 10 === 0)
+      .count())
+    rows.foreach { r =>
+      val pm = r.getAs[Long]("new_share_permille")
+      assert(pm >= 0L && pm <= 1000L)
+    }
+    // the frozen index was trained on the old half, so every occupied
+    // cell contains at least one old member (Lloyd means sit on data)
+    assert(rows.forall(_.getAs[Long]("n_old") > 0L))
+  }
+
   test("cluster separation (q255): membership is total and ratios respect the argmin bound") {
     val rows = graft.Queries.clusterSeparation(spark, sfDir).collect()
     assert(rows.nonEmpty)
