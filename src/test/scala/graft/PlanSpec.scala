@@ -62,7 +62,13 @@ class PlanSpec extends SparkSpec {
   test("hot expressions stay inside whole-stage codegen") {
     Seq(
       codegenPlan(Queries.dimAgg(spark, sfDir)),
-      codegenPlan(Queries.tokenCount(spark, sfDir))
+      codegenPlan(Queries.tokenCount(spark, sfDir)),
+      // the round-6 micro-nat scoring paths are pure built-ins: the
+      // floor(ln·1e6 + 0.5) fixed point must compile, not interpret
+      codegenPlan(Queries.perplexityFilter(spark, sfDir)),
+      codegenPlan(Queries.docTypicality(spark, sfDir)),
+      // the literal-basis projection (21 VecDot terms) likewise
+      codegenPlan(Queries.pcaProjection(spark, sfDir))
     ).foreach { p =>
       assert(!p.startsWith("Found 0 WholeStageCodegen"), "expected at least one codegen subtree")
     }
