@@ -2853,6 +2853,32 @@ object Oracles {
          |  (0 - mean_logp_micro) // 500000 AS ppl_bucket_halfnat,
          |  CAST(CASE WHEN mean_logp_micro >= -3400000 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM q ORDER BY doc_id""".stripMargin,
+    // exact md5 keeper, then the confirmed-pairs greedy drop among
+    // exact survivors; retention rolled up by source
+    "q266_dedup_retention" ->
+      s"""WITH $minhashCandCtes,
+         |szx AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |itx AS (SELECT c.d1, c.d2, count(*) AS inter FROM cand c
+         |  JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.g = a.g
+         |  GROUP BY 1, 2),
+         |conf AS (SELECT itx.d1, itx.d2
+         |  FROM itx JOIN szx x ON itx.d1 = x.doc_id JOIN szx y ON itx.d2 = y.doc_id
+         |  WHERE inter * 2 >= x.n_sh + y.n_sh - inter),
+         |ex AS (SELECT doc_id, source,
+         |    CASE WHEN row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 THEN 1 ELSE 0 END AS exact_drop
+         |  FROM documents),
+         |sv AS (SELECT doc_id FROM ex WHERE exact_drop = 0),
+         |nd AS (SELECT DISTINCT conf.d2 AS doc_id FROM conf
+         |  JOIN sv a ON a.doc_id = conf.d1 JOIN sv b ON b.doc_id = conf.d2)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(exact_drop) AS BIGINT) AS n_exact_dropped,
+         |  CAST(sum(CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup_dropped,
+         |  count(*) - CAST(sum(exact_drop) AS BIGINT)
+         |    - CAST(sum(CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  (count(*) - CAST(sum(exact_drop) AS BIGINT)
+         |    - CAST(sum(CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)) * 1000 // count(*) AS keep_permille
+         |FROM ex LEFT JOIN nd ON nd.doc_id = ex.doc_id
+         |GROUP BY source ORDER BY source""".stripMargin,
     // Lloyd chain trained on the old half only; every vector assigned
     // against the frozen c2; per-cell old/new census
     "q265_ivf_maintenance" -> {

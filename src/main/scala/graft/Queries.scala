@@ -5660,6 +5660,41 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // Per-source dedup retention — the accounting question every corpus
+  // owner asks after a dedup pass: WHO lost how much? q196's two drop
+  // rules (exact md5 keeper, then near-dup greedy larger-id drop
+  // among exact survivors, from the shared confirmed-pairs snapshot)
+  // rolled up by source with keep rates. Complements q208 (which
+  // pairs collide ACROSS sources) with the per-source retention view
+  // mixture planning actually consumes. All frames narrow and keyed;
+  // the expensive confirm work is the shared snapshot.
+  def dedupRetention(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+    val exact = docs
+      .withColumn("rn", row_number().over(Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .select(col("doc_id"), col("source"), (col("rn") > 1).cast("long").as("exact_drop"))
+    val survivors = exact.filter(col("exact_drop") === 0L).select(col("doc_id"))
+    val nearDropped = graft.operators.CandidateGraph
+      .confirmedPairs(s, dir)
+      .select(col("d1"), col("d2"))
+      .join(survivors.select(col("doc_id").as("d1")), Seq("d1"))
+      .join(survivors.select(col("doc_id").as("d2")), Seq("d2"))
+      .select(col("d2").as("doc_id"))
+      .distinct()
+      .withColumn("near_drop", lit(1L))
+    exact
+      .join(nearDropped, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("exact_drop")).as("n_exact_dropped"),
+        sum(coalesce(col("near_drop"), lit(0L))).as("n_neardup_dropped")
+      )
+      .withColumn("n_kept", col("n_docs") - col("n_exact_dropped") - col("n_neardup_dropped"))
+      .withColumn("keep_permille", expr("n_kept * 1000 div n_docs"))
+      .orderBy("source")
+  }
+
   // IVF index maintenance WITHOUT retraining — the operational rung
   // the ANN ladder needs in production: new vectors (the 10% delta)
   // are assigned against centroids FROZEN on the old corpus (one map

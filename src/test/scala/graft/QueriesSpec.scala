@@ -1149,6 +1149,22 @@ class QueriesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_tokens")).sum < expectChars)
   }
 
+  test("dedup retention: per-source accounting closes and totals match the funnel's drop universe") {
+    val rows = Queries.dedupRetention(spark, sfDir).collect()
+    val total = graft.sources.Tables.parquet(spark, sfDir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === total)
+    rows.foreach { r =>
+      assert(
+        r.getAs[Long]("n_kept") ===
+          r.getAs[Long]("n_docs") - r.getAs[Long]("n_exact_dropped") - r.getAs[Long]("n_neardup_dropped")
+      )
+      val pm = r.getAs[Long]("keep_permille")
+      assert(pm >= 0L && pm <= 1000L)
+    }
+    // the near-dup rule really fires on this corpus
+    assert(rows.map(_.getAs[Long]("n_neardup_dropped")).sum > 0L)
+  }
+
   test("rank rbo: bounded by perfect agreement, disjoint lists score zero") {
     val rows = Queries.rankRbo(spark, sfDir).collect()
     assert(rows.nonEmpty)
