@@ -2853,6 +2853,40 @@ object Oracles {
          |  (0 - mean_logp_micro) // 500000 AS ppl_bucket_halfnat,
          |  CAST(CASE WHEN mean_logp_micro >= -3400000 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM q ORDER BY doc_id""".stripMargin,
+    // apriori-pruned pair generation over frequent-item baskets;
+    // support/confidence/lift in cross-multiplied integers
+    "q268_frequent_pairs" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |no AS (SELECT count(DISTINCT ok) AS n_orders FROM b),
+        |fi AS (SELECT pk, count(*) AS cnt FROM b GROUP BY pk HAVING count(*) >= 3),
+        |fb AS (SELECT b.ok, b.pk, fi.cnt FROM b JOIN fi USING (pk)),
+        |pr AS (SELECT a.pk AS p1, c.pk AS p2, count(*) AS nb, max(a.cnt) AS c1, max(c.cnt) AS c2
+        |  FROM fb a JOIN fb c ON a.ok = c.ok AND a.pk < c.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT p1, p2, CAST(nb AS BIGINT) AS n_both,
+        |  CAST(c1 AS BIGINT) AS n_p1, CAST(c2 AS BIGINT) AS n_p2,
+        |  CAST(nb AS BIGINT) * 1000 // c1 AS conf_p1_to_p2_permille,
+        |  CAST(CAST(nb AS HUGEINT) * n_orders * 1000 // (c1 * c2) AS BIGINT) AS lift_permille
+        |FROM pr, no ORDER BY p1, p2""".stripMargin,
+    // exact integer quintiles per RFM dimension over the customer
+    // aggregate; 125-segment census
+    "q267_rfm_segments" ->
+      """WITH pc AS (SELECT o_custkey, max(o_orderdate) AS last_day, count(*) AS freq,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |an AS (SELECT max(o_orderdate) AS anchor, count(DISTINCT o_custkey) AS n FROM orders),
+        |rk AS (SELECT o_custkey, cents,
+        |    CAST(date_diff('day', last_day, anchor) AS BIGINT) AS rec_days, n,
+        |    row_number() OVER (ORDER BY date_diff('day', last_day, anchor), o_custkey) AS r_rn,
+        |    row_number() OVER (ORDER BY freq DESC, o_custkey) AS f_rn,
+        |    row_number() OVER (ORDER BY cents DESC, o_custkey) AS m_rn
+        |  FROM pc, an),
+        |q5 AS (SELECT o_custkey, cents,
+        |    (r_rn - 1) * 5 // n + 1 AS r_q, (f_rn - 1) * 5 // n + 1 AS f_q, (m_rn - 1) * 5 // n + 1 AS m_q
+        |  FROM rk)
+        |SELECT r_q, f_q, m_q, count(*) AS n_customers,
+        |  CAST(sum(cents) AS BIGINT) // count(*) AS avg_cents
+        |FROM q5 GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""".stripMargin,
     // exact md5 keeper, then the confirmed-pairs greedy drop among
     // exact survivors; retention rolled up by source
     "q266_dedup_retention" ->

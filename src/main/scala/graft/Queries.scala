@@ -5660,6 +5660,80 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // Frequent-pair mining (the Apriori first pass) — the association
+  // family the engine did not yet speak: which part pairs co-occur in
+  // orders beyond chance, with support / confidence / lift. The SCALE
+  // move is the Apriori pruning itself: pair candidates are generated
+  // ONLY among items that individually clear the support floor (the
+  // downward-closure theorem makes this lossless), so the per-order
+  // self-join runs over the frequent-item-filtered baskets — cost
+  // Σ fk², with the broadcast frequent-item filter applied before any
+  // pairing — never the raw basket cross product. Metrics are
+  // cross-multiplied integers per the q219 discipline.
+  def frequentPairs(s: SparkSession, dir: String): DataFrame = {
+    val minSupport = 3L
+    val baskets = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val nOrders = baskets.agg(countDistinct(col("ok")).as("n_orders"))
+    val freqItems = baskets.groupBy("pk").agg(count(lit(1)).as("cnt")).filter(col("cnt") >= minSupport)
+    val fb = baskets.join(broadcast(freqItems), Seq("pk"))
+    val pairs = fb
+      .select(col("ok"), col("pk").as("p1"), col("cnt").as("c1"))
+      .join(fb.select(col("ok"), col("pk").as("p2"), col("cnt").as("c2")), Seq("ok"))
+      .filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2")
+      .agg(count(lit(1)).as("nb"), max(col("c1")).as("c1"), max(col("c2")).as("c2"))
+      .filter(col("nb") >= minSupport)
+    pairs
+      .crossJoin(broadcast(nOrders))
+      .select(
+        col("p1"),
+        col("p2"),
+        col("nb").as("n_both"),
+        col("c1").as("n_p1"),
+        col("c2").as("n_p2"),
+        expr("nb * 1000 div c1").as("conf_p1_to_p2_permille"),
+        // lift = P(both)/(P(p1)·P(p2)) cross-multiplied: nb·N/(c1·c2)
+        expr("CAST(CAST(nb AS DECIMAL(38,0)) * n_orders * 1000 div (c1 * c2) AS BIGINT)").as("lift_permille")
+      )
+      .orderBy("p1", "p2")
+  }
+
+  // RFM segmentation — the classic customer-analytics cut the engine
+  // did not yet speak: per customer, Recency (days since last order,
+  // against the corpus max date), Frequency (order count) and
+  // Monetary (exact cents), each cut into EXACT integer quintiles
+  // ((rank−1)·5 div n — never percent_rank floats), then the segment
+  // census with average monetary value. Ranks are windows over the
+  // CUSTOMER aggregate (key cardinality); output is ≤125 segments.
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val perCust = t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(
+        max(col("o_orderdate")).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents")
+      )
+      .crossJoin(broadcast(t(s, dir, "orders").agg(max(col("o_orderdate")).as("anchor"), countDistinct(col("o_custkey")).as("n"))))
+      .withColumn("rec_days", datediff(col("anchor"), col("last_day")).cast("long"))
+    val ranked = perCust
+      .withColumn("r_rn", row_number().over(Window.orderBy(col("rec_days"), col("o_custkey"))))
+      .withColumn("f_rn", row_number().over(Window.orderBy(desc("freq"), col("o_custkey"))))
+      .withColumn("m_rn", row_number().over(Window.orderBy(desc("cents"), col("o_custkey"))))
+      .select(
+        col("o_custkey"),
+        col("cents"),
+        expr("(r_rn - 1) * 5 div n + 1").as("r_q"),
+        expr("(f_rn - 1) * 5 div n + 1").as("f_q"),
+        expr("(m_rn - 1) * 5 div n + 1").as("m_q")
+      )
+    ranked
+      .groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("sum_cents"))
+      .withColumn("avg_cents", expr("sum_cents div n_customers"))
+      .select("r_q", "f_q", "m_q", "n_customers", "avg_cents")
+      .orderBy("r_q", "f_q", "m_q")
+  }
+
   // Per-source dedup retention — the accounting question every corpus
   // owner asks after a dedup pass: WHO lost how much? q196's two drop
   // rules (exact md5 keeper, then near-dup greedy larger-id drop

@@ -1149,6 +1149,41 @@ class QueriesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_tokens")).sum < expectChars)
   }
 
+  test("rfm segments: quintile census partitions the customers, ranks stay in 1..5") {
+    val rows = Queries.rfmSegments(spark, sfDir).collect()
+    val nCust = graft.sources.Tables
+      .parquet(spark, sfDir, "orders")
+      .select("o_custkey")
+      .distinct()
+      .count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum === nCust)
+    rows.foreach { r =>
+      Seq("r_q", "f_q", "m_q").foreach { c =>
+        val q = r.getAs[Long](c)
+        assert(q >= 1L && q <= 5L, s"$c=$q out of range")
+      }
+      assert(r.getAs[Long]("avg_cents") > 0L)
+    }
+    // each single dimension's quintiles are near-equal-sized by the
+    // exact integer cut: marginal sums per r_q within 1 of n/5 ± ties
+    val byR = rows.groupBy(_.getAs[Long]("r_q")).view.mapValues(_.map(_.getAs[Long]("n_customers")).sum)
+    assert(byR.values.max - byR.values.min <= 1L, s"quintile sizes must be balanced: $byR")
+  }
+
+  test("frequent pairs: downward closure holds and metrics are internally consistent") {
+    val rows = Queries.frequentPairs(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nb, c1, c2) = (r.getAs[Long]("n_both"), r.getAs[Long]("n_p1"), r.getAs[Long]("n_p2"))
+      // downward closure: a frequent pair's items are frequent, and the
+      // pair support never exceeds either item's support
+      assert(nb >= 3L && c1 >= 3L && c2 >= 3L)
+      assert(nb <= c1 && nb <= c2)
+      assert(r.getAs[Long]("conf_p1_to_p2_permille") === nb * 1000 / c1)
+      assert(r.getAs[Long]("lift_permille") > 0L)
+    }
+  }
+
   test("dedup retention: per-source accounting closes and totals match the funnel's drop universe") {
     val rows = Queries.dedupRetention(spark, sfDir).collect()
     val total = graft.sources.Tables.parquet(spark, sfDir, "documents").count()
