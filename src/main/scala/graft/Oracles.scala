@@ -2853,6 +2853,32 @@ object Oracles {
          |  (0 - mean_logp_micro) // 500000 AS ppl_bucket_halfnat,
          |  CAST(CASE WHEN mean_logp_micro >= -3400000 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM q ORDER BY doc_id""".stripMargin,
+    // incremental I/U/D apply vs the declarative CASE spec of the same
+    // final state; per-status counts and cent checksums must agree
+    "q269_cdc_apply" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |snap AS (SELECT * FROM o WHERE k % 10 <> 0),
+        |ins AS (SELECT * FROM o WHERE k % 10 = 0),
+        |upd AS (SELECT k, cents + 100000 AS new_cents FROM snap WHERE k % 7 = 0),
+        |del AS (SELECT k FROM snap WHERE k % 13 = 0 AND k % 7 <> 0),
+        |ap AS (SELECT s.k, s.st, COALESCE(u.new_cents, s.cents) AS cents
+        |  FROM snap s LEFT JOIN upd u ON u.k = s.k
+        |  WHERE s.k NOT IN (SELECT k FROM del)
+        |  UNION ALL SELECT k, st, cents FROM ins),
+        |dr AS (SELECT k, st,
+        |    CASE WHEN k % 10 <> 0 AND k % 7 = 0 THEN cents + 100000 ELSE cents END AS cents
+        |  FROM o WHERE NOT (k % 10 <> 0 AND k % 13 = 0 AND k % 7 <> 0)),
+        |aa AS (SELECT st, count(*) AS n_after, CAST(sum(cents) AS BIGINT) AS ck_after FROM ap GROUP BY st),
+        |da AS (SELECT st, count(*) AS n_direct, CAST(sum(cents) AS BIGINT) AS ck_direct FROM dr GROUP BY st),
+        |du AS (SELECT s.st, count(*) AS n_updated FROM upd JOIN snap s ON s.k = upd.k GROUP BY s.st),
+        |dd AS (SELECT s.st, count(*) AS n_deleted FROM del JOIN snap s ON s.k = del.k GROUP BY s.st)
+        |SELECT aa.st AS o_orderstatus, n_after,
+        |  COALESCE(n_updated, 0) AS n_updated, COALESCE(n_deleted, 0) AS n_deleted,
+        |  CAST(CASE WHEN n_after = n_direct AND ck_after = ck_direct THEN 1 ELSE 0 END AS BIGINT) AS cdc_ok
+        |FROM aa JOIN da ON da.st = aa.st
+        |LEFT JOIN du ON du.st = aa.st LEFT JOIN dd ON dd.st = aa.st
+        |ORDER BY o_orderstatus""".stripMargin,
     // apriori-pruned pair generation over frequent-item baskets;
     // support/confidence/lift in cross-multiplied integers
     "q268_frequent_pairs" ->

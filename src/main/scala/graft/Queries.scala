@@ -5660,6 +5660,56 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // CDC apply with DELETES — the change-data-capture semantics q58's
+  // upsert lacks: a deterministic op stream (inserts = the 10% key
+  // class, updates and deletes = disjoint classes of snapshot keys)
+  // applied through the real machinery — anti-join for D, keyed
+  // replace for U, union for I — then audited per status against a
+  // DIRECT single-pass CASE derivation of the same final state. The
+  // audit is an implementation-equivalence proof: the incremental
+  // apply path (what a warehouse runs nightly) must land bit-exactly
+  // on the declarative spec of the final state. All joins are keyed
+  // on the primary key; op streams are delta-sized.
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select(
+        col("o_orderkey").as("k"),
+        col("o_orderstatus").as("st"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents")
+      )
+    val snap = orders.filter(col("k") % 10 =!= 0)
+    val inserts = orders.filter(col("k") % 10 === 0)
+    val updates = snap.filter(col("k") % 7 === 0).select(col("k"), (col("cents") + 100000L).as("new_cents"))
+    val deletes = snap.filter(col("k") % 13 === 0 && col("k") % 7 =!= 0).select(col("k"))
+    val applied = snap
+      .join(deletes, Seq("k"), "left_anti")
+      .join(updates, Seq("k"), "left")
+      .select(col("k"), col("st"), coalesce(col("new_cents"), col("cents")).as("cents"))
+      .unionByName(inserts)
+    // the declarative spec of the same final state, one CASE pass
+    val direct = orders
+      .filter(!(col("k") % 10 =!= 0 && col("k") % 13 === 0 && col("k") % 7 =!= 0))
+      .select(
+        col("k"),
+        col("st"),
+        when(col("k") % 10 =!= 0 && col("k") % 7 === 0, col("cents") + 100000L).otherwise(col("cents")).as("cents")
+      )
+    def audit(df: DataFrame, n: String, ck: String) =
+      df.groupBy("st").agg(count(lit(1)).as(n), sum(col("cents")).as(ck))
+    audit(applied, "n_after", "ck_after")
+      .join(audit(direct, "n_direct", "ck_direct"), Seq("st"))
+      .join(deletes.join(snap, Seq("k")).groupBy("st").agg(count(lit(1)).as("n_deleted")), Seq("st"), "left")
+      .join(updates.join(snap, Seq("k")).groupBy("st").agg(count(lit(1)).as("n_updated")), Seq("st"), "left")
+      .select(
+        col("st").as("o_orderstatus"),
+        col("n_after"),
+        coalesce(col("n_updated"), lit(0L)).as("n_updated"),
+        coalesce(col("n_deleted"), lit(0L)).as("n_deleted"),
+        (col("n_after") === col("n_direct") && col("ck_after") === col("ck_direct")).cast("long").as("cdc_ok")
+      )
+      .orderBy("o_orderstatus")
+  }
+
   // Frequent-pair mining (the Apriori first pass) — the association
   // family the engine did not yet speak: which part pairs co-occur in
   // orders beyond chance, with support / confidence / lift. The SCALE

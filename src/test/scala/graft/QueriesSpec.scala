@@ -1149,6 +1149,22 @@ class QueriesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_tokens")).sum < expectChars)
   }
 
+  test("cdc apply: incremental path equals the declarative final state in every status group") {
+    import org.apache.spark.sql.functions._
+    val rows = Queries.cdcApply(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cdc_ok") === 1L, s"${r.getAs[String]("o_orderstatus")}: apply != direct")
+    }
+    // the op classes genuinely fire
+    assert(rows.map(_.getAs[Long]("n_updated")).sum > 0L)
+    assert(rows.map(_.getAs[Long]("n_deleted")).sum > 0L)
+    // final row count closes: orders - deletes (inserts were the 10%
+    // class of the same table, so n_after = n_orders - n_deleted)
+    val nOrders = graft.sources.Tables.parquet(spark, sfDir, "orders").count()
+    assert(rows.map(_.getAs[Long]("n_after")).sum === nOrders - rows.map(_.getAs[Long]("n_deleted")).sum)
+  }
+
   test("rfm segments: quintile census partitions the customers, ranks stay in 1..5") {
     val rows = Queries.rfmSegments(spark, sfDir).collect()
     val nCust = graft.sources.Tables
