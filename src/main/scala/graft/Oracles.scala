@@ -2853,6 +2853,20 @@ object Oracles {
          |  (0 - mean_logp_micro) // 500000 AS ppl_bucket_halfnat,
          |  CAST(CASE WHEN mean_logp_micro >= -3400000 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM q ORDER BY doc_id""".stripMargin,
+    // ES priorities from the hash-derived uniform in exact micro-nats;
+    // k smallest per stratum
+    "q270_weighted_sample" -> {
+      def mn(e: String) = s"CAST(floor(ln(CAST($e AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+      val h = hx("CAST(doc_id AS VARCHAR)")
+      s"""WITH p AS (SELECT doc_id, source, n_chars,
+         |    (${mn("1000001")} - ${mn(s"$h % 1000000 + 1")}) * 1000 AS neg_ln_u_nano
+         |  FROM documents),
+         |r AS (SELECT *, neg_ln_u_nano // n_chars AS priority_nano FROM p),
+         |k AS (SELECT source, doc_id, n_chars, priority_nano,
+         |    row_number() OVER (PARTITION BY source ORDER BY priority_nano, doc_id) AS rn FROM r)
+         |SELECT source, CAST(rn AS INTEGER) AS rn, doc_id, n_chars, priority_nano
+         |FROM k WHERE rn <= 5 ORDER BY source, rn""".stripMargin
+    },
     // incremental I/U/D apply vs the declarative CASE spec of the same
     // final state; per-status counts and cent checksums must agree
     "q269_cdc_apply" ->

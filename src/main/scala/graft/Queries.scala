@@ -5660,6 +5660,38 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // Weighted sampling without replacement (Efraimidis–Spirakis) — the
+  // weighted-reservoir gap in the sampling family (q63 hash-uniform,
+  // q81 stratified, q125 tiered, q185 systematic): keep the k items
+  // with smallest −ln(u)/w, where u is the q63-style hash-derived
+  // uniform — deterministic, so the "random" sample is replayable and
+  // oracle-checkable, the same hash-as-randomness posture as the A/B
+  // arms. Exactness: u = (h mod 10⁶ + 1)/(10⁶+1), so −ln(u) =
+  // mn(10⁶+1) − mn(h mod 10⁶ + 1) is an exact integer micro-nat and
+  // the priority (÷ weight, scaled to nanos) is a truncating integer
+  // div. One keyed window per stratum at doc cardinality; the ES
+  // property (inclusion odds ∝ weight) is spec-checked: the sample's
+  // mean weight must exceed the population's.
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val hm = TextOps.hash32(col("doc_id").cast("string")) % 1000000L
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("n_chars"),
+        ((microNats(lit(1000001L)) - microNats(hm + 1)) * 1000).as("neg_ln_u_nano")
+      )
+      .withColumn("priority_nano", expr("neg_ln_u_nano div n_chars"))
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy("source").orderBy(col("priority_nano"), col("doc_id")))
+      )
+      .filter(col("rn") <= k)
+      .select(col("source"), col("rn"), col("doc_id"), col("n_chars"), col("priority_nano"))
+      .orderBy("source", "rn")
+  }
+
   // CDC apply with DELETES — the change-data-capture semantics q58's
   // upsert lacks: a deterministic op stream (inserts = the 10% key
   // class, updates and deletes = disjoint classes of snapshot keys)

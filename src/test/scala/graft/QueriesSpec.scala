@@ -1149,6 +1149,27 @@ class QueriesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_tokens")).sum < expectChars)
   }
 
+  test("weighted sample: k per stratum, deterministic replay, and the weighting genuinely biases the draw") {
+    import org.apache.spark.sql.functions._
+    val rows = Queries.weightedSample(spark, sfDir).collect()
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, ss) =>
+      assert(ss.length === 5, s"$src: exactly k sampled")
+      assert(ss.map(_.getAs[Int]("rn")).sorted.toSeq === (1 to 5))
+    }
+    // replayable randomness: a second evaluation draws the same sample
+    val again = Queries.weightedSample(spark, sfDir).collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+    // the ES property: weight = n_chars, so the sample's mean length
+    // must exceed the population's (measured margin ~18% on this data)
+    val sampleMean = rows.map(_.getAs[Long]("n_chars").toDouble).sum / rows.length
+    val popMean = graft.sources.Tables
+      .parquet(spark, sfDir, "documents")
+      .agg(avg(col("n_chars")))
+      .head()
+      .getDouble(0)
+    assert(sampleMean > popMean, s"weighted draw must over-represent heavy docs: $sampleMean vs $popMean")
+  }
+
   test("cdc apply: incremental path equals the declarative final state in every status group") {
     import org.apache.spark.sql.functions._
     val rows = Queries.cdcApply(spark, sfDir).collect()
