@@ -131,7 +131,7 @@ object Bench {
     System.err.println(finalLine)
     System.err.println(finalLine)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), finalLine + "\n")
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () } // best-effort tee; fatal errors must still kill the driver
     println(finalLine)
     spark.stop()
   }

@@ -2861,7 +2861,7 @@ object Oracles {
       s"""WITH p AS (SELECT doc_id, source, n_chars,
          |    (${mn("1000001")} - ${mn(s"$h % 1000000 + 1")}) * 1000 AS neg_ln_u_nano
          |  FROM documents),
-         |r AS (SELECT *, neg_ln_u_nano // n_chars AS priority_nano FROM p),
+         |r AS (SELECT *, neg_ln_u_nano // greatest(n_chars, 1) AS priority_nano FROM p),
          |k AS (SELECT source, doc_id, n_chars, priority_nano,
          |    row_number() OVER (PARTITION BY source ORDER BY priority_nano, doc_id) AS rn FROM r)
          |SELECT source, CAST(rn AS INTEGER) AS rn, doc_id, n_chars, priority_nano
@@ -3225,9 +3225,9 @@ object Oracles {
         |    CAST(max(cnt) AS BIGINT) AS max_cnt, CAST(sum(rn * cnt) AS BIGINT) AS sic
         |  FROM r GROUP BY event_type)
         |SELECT event_type, n_keys, total,
-        |  (2 * sic - (n_keys + 1) * total) * 10000 // (n_keys * total) AS gini_permyriad,
+        |  CAST(CAST(2 * sic - (n_keys + 1) * total AS HUGEINT) * 10000 // (n_keys * total) AS BIGINT) AS gini_permyriad,
         |  max_cnt * 1000 // total AS top_share_permille,
-        |  max_cnt * n_keys * 1000 // total AS hot_key_factor_permille
+        |  CAST(CAST(max_cnt AS HUGEINT) * n_keys * 1000 // total AS BIGINT) AS hot_key_factor_permille
         |FROM a ORDER BY event_type""".stripMargin,
     // simhash pigeonhole candidates scored against the minhash-banded,
     // Jaccard-confirmed truth set; one-row completeness/reduction report

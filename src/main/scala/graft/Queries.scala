@@ -8,8 +8,8 @@ import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
-import graft.functions.{NumOps, TextOps, TimeOps}
-import graft.operators.{Dedup, DimAgg, Multimodal, NearDup, Profiling, Similarity}
+import graft.functions.{NumOps, TextOps, TimeOps, TopKAggregator}
+import graft.operators.{Dedup, DimAgg, Multimodal, NearDup, Ntile, Profiling, Similarity}
 import graft.sources.{DictSource, Fixtures, PagedFetch, Tables, WindowedIngest}
 
 /** The engine's query surface over the driver testdata, one entry per
@@ -5403,9 +5403,10 @@ object Queries {
       .orderBy("source", "ppl_bucket_halfnat")
 
   // PCA projection — the follow-on that makes q222's covariance
-  // USABLE: top-2 eigenpairs extracted on the driver (fixed-order
-  // power iteration over the dims² matrix — see operators/Pca for the
-  // determinism contract) and broadcast back as LITERALS, so the
+  // USABLE: top-2 eigenpairs extracted on the driver (trig-free
+  // cyclic Jacobi over the dims² matrix — see operators/Pca for the
+  // determinism contract; power iteration stalls on this
+  // near-isotropic covariance, per PcaSpec) and broadcast back as LITERALS, so the
   // projection is one zero-shuffle codegen'd pass over the corpus:
   // pc_k = Σ_i (x_i − μ_i)·v_k,i evaluated left-associatively, the
   // exact expression the oracle replays. Eigenvalues ride along as the
@@ -5669,25 +5670,35 @@ object Queries {
   // arms. Exactness: u = (h mod 10⁶ + 1)/(10⁶+1), so −ln(u) =
   // mn(10⁶+1) − mn(h mod 10⁶ + 1) is an exact integer micro-nat and
   // the priority (÷ weight, scaled to nanos) is a truncating integer
-  // div. One keyed window per stratum at doc cardinality; the ES
-  // property (inclusion odds ∝ weight) is spec-checked: the sample's
-  // mean weight must exceed the population's.
+  // div — guarded by greatest(n_chars, 1) so a zero-weight row can
+  // never turn into a cross-engine ÷0 divergence. The per-source
+  // top-k goes through the bounded TopKAggregator (map-side partials
+  // ship ≤k rows per partition), NOT a per-source window — source
+  // cardinality is tiny, so a window partition would be a
+  // corpus/|S|-sized single-task sort for a k=5 answer. Priorities
+  // round-trip the aggregator's Double exactly (≤1.4e10 ≪ 2⁵³). The
+  // ES property (inclusion odds ∝ weight) is spec-checked: the
+  // sample's mean weight must exceed the population's.
   def weightedSample(s: SparkSession, dir: String): DataFrame = {
     val k = 5
     val hm = TextOps.hash32(col("doc_id").cast("string")) % 1000000L
-    t(s, dir, "documents")
+    val scored = t(s, dir, "documents")
       .select(
         col("doc_id"),
         col("source"),
         col("n_chars"),
         ((microNats(lit(1000001L)) - microNats(hm + 1)) * 1000).as("neg_ln_u_nano")
       )
-      .withColumn("priority_nano", expr("neg_ln_u_nano div n_chars"))
-      .withColumn(
-        "rn",
-        row_number().over(Window.partitionBy("source").orderBy(col("priority_nano"), col("doc_id")))
-      )
-      .filter(col("rn") <= k)
+      .withColumn("priority_nano", expr("neg_ln_u_nano div greatest(n_chars, 1)"))
+    val topk = udaf(new TopKAggregator(k))
+    // sim = −priority: the aggregator ranks (sim DESC, id ASC) ≡ (priority ASC, doc_id ASC)
+    val top = scored
+      .groupBy("source")
+      .agg(topk(-col("priority_nano").cast("double"), col("doc_id")).as("tk"))
+      .select(posexplode(col("tk")))
+      .select(col("col.nid").as("doc_id"), (col("pos") + 1).as("rn"))
+    scored
+      .join(broadcast(top), Seq("doc_id"))
       .select(col("source"), col("rn"), col("doc_id"), col("n_chars"), col("priority_nano"))
       .orderBy("source", "rn")
   }
@@ -5785,8 +5796,11 @@ object Queries {
   // against the corpus max date), Frequency (order count) and
   // Monetary (exact cents), each cut into EXACT integer quintiles
   // ((rank−1)·5 div n — never percent_rank floats), then the segment
-  // census with average monetary value. Ranks are windows over the
-  // CUSTOMER aggregate (key cardinality); output is ≤125 segments.
+  // census with average monetary value. Key cardinality is billions of
+  // customers at warehouse scale, so the three ranks are q67 two-phase
+  // distributed ranks (Ntile.exactRank) — never unpartitioned windows,
+  // which would funnel the whole customer aggregate through one task
+  // three times. Output is ≤125 segments.
   def rfmSegments(s: SparkSession, dir: String): DataFrame = {
     val perCust = t(s, dir, "orders")
       .groupBy("o_custkey")
@@ -5797,10 +5811,11 @@ object Queries {
       )
       .crossJoin(broadcast(t(s, dir, "orders").agg(max(col("o_orderdate")).as("anchor"), countDistinct(col("o_custkey")).as("n"))))
       .withColumn("rec_days", datediff(col("anchor"), col("last_day")).cast("long"))
-    val ranked = perCust
-      .withColumn("r_rn", row_number().over(Window.orderBy(col("rec_days"), col("o_custkey"))))
-      .withColumn("f_rn", row_number().over(Window.orderBy(desc("freq"), col("o_custkey"))))
-      .withColumn("m_rn", row_number().over(Window.orderBy(desc("cents"), col("o_custkey"))))
+    perCust.persist() // three rank passes (histogram + rank each) share the aggregate
+    val (r1, _) = Ntile.exactRank(perCust, col("rec_days"), col("o_custkey"), binWidth = 16.0, rankCol = "r_rn")
+    val (r2, _) = Ntile.exactRank(r1, -col("freq"), col("o_custkey"), binWidth = 1.0, rankCol = "f_rn")
+    val (r3, _) = Ntile.exactRank(r2, -col("cents"), col("o_custkey"), binWidth = 100000.0, rankCol = "m_rn")
+    val ranked = r3
       .select(
         col("o_custkey"),
         col("cents"),
@@ -5975,9 +5990,10 @@ object Queries {
   // random?" — the chart that justifies (or kills) a quality model
   // before it gates a corpus. Deciles are exact integer cuts
   // ((rank−1)·10 div n, never percent_rank floats); lift is the
-  // cross-multiplied integer form. The global rank window is the
-  // audit-scale posture (at 100 TB you'd decile by score histogram —
-  // the q247 sketch — not a global sort).
+  // cross-multiplied integer form. The rank is the q67 two-phase
+  // distributed rank (Ntile.exactRank: deterministic score bins →
+  // bounded histogram → offsets + per-bin windows), NOT a global
+  // window — no single-partition sort at corpus cardinality.
   def classifierGains(s: SparkSession, dir: String): DataFrame = {
     val ws = TextOps.tokens(col("text"))
     val nTok = size(ws).cast("long")
@@ -5996,8 +6012,9 @@ object Queries {
         expr("n_tok * 10 + (stop_milli div n_tok) * 3 + (div_milli div n_tok) * 2").as("score"),
         col("pass")
       )
-    val ranked = scored
-      .withColumn("rnk", row_number().over(Window.orderBy(desc("score"), col("doc_id"))))
+    scored.persist() // scanned by the rank histogram, the rank itself, and the totals agg
+    val (rankedBase, _) = Ntile.exactRank(scored, -col("score"), col("doc_id"), binWidth = 50.0, rankCol = "rnk")
+    val ranked = rankedBase
       .crossJoin(broadcast(scored.agg(count(lit(1)).as("n_total"), sum(col("pass")).as("total_pass"))))
       .withColumn("decile", expr("(rnk - 1) * 10 div n_total"))
     ranked
@@ -6008,6 +6025,8 @@ object Queries {
         max(col("n_total")).as("n_total"),
         max(col("total_pass")).as("total_pass")
       )
+      // cum windows run over the ≤10 decile rows POST-aggregation —
+      // the oovReport bounded-frame standard, not a corpus-size window
       .withColumn("cum_n", sum(col("n_docs")).over(Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("cum_pass", sum(col("n_pass")).over(Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)))
       .select(

@@ -425,12 +425,22 @@ object Multimodal {
                 duration = readBe32(b, j + 8 + 16)
               case "trak" =>
                 nTracks += 1
-                // first trak: find the tkhd child and decode 16.16 dims
-                if (width < 0 && j + 16 <= end && boxType(b, j + 8) == "tkhd") {
-                  val tkEnd = j + 8 + readBe32(b, j + 8)
-                  if (tkEnd > end || j + 16 + 84 > tkEnd) return None
-                  width = readBe32(b, j + 16 + 76) >>> 16
-                  height = readBe32(b, j + 16 + 80) >>> 16
+                // first trak bearing a tkhd: SCAN the trak's children
+                // (tkhd need not be the first child — edts/udta may
+                // precede it in a structurally valid file)
+                if (width < 0) {
+                  var c = j + 8
+                  val tEnd = j + csize
+                  while (width < 0 && c + 8 <= tEnd) {
+                    val tsize = readBe32(b, c)
+                    if (tsize < 8 || c + tsize > tEnd) return None
+                    if (boxType(b, c) == "tkhd") {
+                      if (tsize < 8 + 84) return None
+                      width = readBe32(b, c + 8 + 76) >>> 16
+                      height = readBe32(b, c + 8 + 80) >>> 16
+                    }
+                    c += tsize
+                  }
                 }
               case _ => ()
             }

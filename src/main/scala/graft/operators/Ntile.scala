@@ -48,10 +48,14 @@ import org.apache.spark.sql.functions._
   */
 object Ntile {
 
-  /** `df` plus an integer `bucketCol` ∈ 1..k — exactly
-    * `ntile(k) OVER (ORDER BY value, tieKey)`.
+  /** `df` plus a BIGINT `rankCol` — exactly
+    * `row_number() OVER (ORDER BY value, tieKey)`, computed with the
+    * sharded bin-histogram plan (no single-partition window). Also
+    * returns the total row count (free from the histogram), so callers
+    * cutting ranks into buckets (`(rank−1)·k div n`) don't need a
+    * second count pass. Order DESC by passing a negated `value`.
     */
-  def exact(df: DataFrame, value: Column, tieKey: Column, k: Int, binWidth: Double = 1.0, bucketCol: String = "bucket"): DataFrame = {
+  def exactRank(df: DataFrame, value: Column, tieKey: Column, binWidth: Double = 1.0, rankCol: String = "rank"): (DataFrame, Long) = {
     val spark = df.sparkSession
     val binned = df.withColumn("__bin", floor(value / binWidth).cast("long"))
 
@@ -66,14 +70,25 @@ object Ntile {
     val offsets = hist.map { case (bin, c) => val o = acc; acc += c; (bin, o) }
     val total = acc
 
+    val offDf = broadcast(spark.createDataFrame(offsets.toIndexedSeq).toDF("__bin", "__off"))
+    val w = Window.partitionBy(col("__bin")).orderBy(value.asc, tieKey.asc)
+    val ranked = binned
+      .join(offDf, "__bin")
+      .withColumn(rankCol, col("__off") + row_number().over(w))
+      .drop("__bin", "__off")
+    (ranked, total)
+  }
+
+  /** `df` plus an integer `bucketCol` ∈ 1..k — exactly
+    * `ntile(k) OVER (ORDER BY value, tieKey)`.
+    */
+  def exact(df: DataFrame, value: Column, tieKey: Column, k: Int, binWidth: Double = 1.0, bucketCol: String = "bucket"): DataFrame = {
+    val (ranked, total) = exactRank(df, value, tieKey, binWidth, "__rank")
+
     val base = total / k
     val rem = total % k
     val headRows = rem * (base + 1) // rows living in the base+1-sized buckets
     val safeBase = math.max(base, 1L) // base=0 ⇒ every row is a head row; guard the dead branch's ÷
-
-    val offDf = broadcast(spark.createDataFrame(offsets.toIndexedSeq).toDF("__bin", "__off"))
-    val w = Window.partitionBy(col("__bin")).orderBy(value.asc, tieKey.asc)
-    val rank = (col("__off") + row_number().over(w)).as("__rank")
 
     val bucket = when(
       col("__rank") <= headRows,
@@ -82,10 +97,8 @@ object Ntile {
       lit(rem) + floor((col("__rank") - 1 - headRows) / safeBase) + 1
     )
 
-    binned
-      .join(offDf, "__bin")
-      .withColumn("__rank", rank)
+    ranked
       .withColumn(bucketCol, bucket.cast("int"))
-      .drop("__bin", "__off", "__rank")
+      .drop("__rank")
   }
 }

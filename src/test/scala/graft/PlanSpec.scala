@@ -543,6 +543,33 @@ class PlanSpec extends SparkSpec {
     )
   }
 
+  test("classifier gains (q262): the corpus rank window is bin-partitioned; unpartitioned windows only consume the decile aggregate") {
+    val df = Queries.classifierGains(spark, sfDir)
+    val ws = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(ws.exists(_.partitionSpec.nonEmpty), "expected the Ntile.exactRank bin-partitioned window")
+    ws.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val hasAgg = w.child.collect { case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }.nonEmpty
+      assert(hasAgg, s"an unpartitioned window may only run over the ≤10-row decile aggregate, never the corpus:\n$w")
+    }
+  }
+
+  test("rfm segments (q267): every rank window is bin-partitioned — no single-partition sort at customer cardinality") {
+    val ws = Queries.rfmSegments(spark, sfDir).queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(ws.nonEmpty, "expected three Ntile.exactRank windows")
+    ws.foreach(w => assert(w.partitionSpec.nonEmpty, s"unpartitioned window at customer cardinality:\n$w"))
+  }
+
+  test("weighted sample (q270): per-source top-k is the bounded aggregator — no window, winners broadcast back") {
+    val p = plan(Queries.weightedSample(spark, sfDir))
+    assert(!p.contains("Window"), s"the per-source top-5 must not sort a corpus/|S|-sized window partition:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"expected the k-bounded TopKAggregator partial/final pair:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"the |S|·k winner set must broadcast onto the scored frame:\n$p")
+  }
+
   test("collated census (q240): corpus is touched only by the grouping — the unhashable ICU join runs post-aggregation") {
     val df = Queries.collatedCensus(spark, sfDir)
     val p = plan(df)

@@ -119,6 +119,26 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodec.decodeMp4(7L, Array.emptyByteArray).isEmpty)
   }
 
+  test("mp4 trak child scan: tkhd is found even when another box (edts) precedes it") {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload).array()
+    }
+    def putBe32(p: Array[Byte], off: Int, v: Int): Unit = {
+      p(off) = (v >>> 24).toByte; p(off + 1) = (v >>> 16).toByte
+      p(off + 2) = (v >>> 8).toByte; p(off + 3) = v.toByte
+    }
+    val mvhd = { val p = new Array[Byte](100); putBe32(p, 12, 90000); putBe32(p, 16, 4500); box("mvhd", p) }
+    val tkhd = { val p = new Array[Byte](84); putBe32(p, 76, 320 << 16); putBe32(p, 80, 240 << 16); box("tkhd", p) }
+    // edts BEFORE tkhd — a structurally valid layout the builder never emits
+    val trak = box("trak", box("edts", new Array[Byte](16)) ++ tkhd)
+    val bytes = box("ftyp", new Array[Byte](12)) ++ box("moov", mvhd ++ trak) ++ box("mdat", "x".getBytes("UTF-8"))
+    val m = MediaCodec.decodeMp4(1L, bytes).get
+    assert(m.n_tracks === 1)
+    assert(m.timescale === 90000)
+    assert((m.width, m.height) === ((320, 240)))
+  }
+
   test("withVideoPayload → decodeVideo round-trips every doc's parameters") {
     val docs = graft.sources.Tables.parquet(spark, sfDir, "documents").limit(40)
     val decoded = Multimodal.decodeVideo(Multimodal.withVideoPayload(docs, "doc_id", "text")).toDF().collect()
