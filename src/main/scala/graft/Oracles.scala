@@ -3380,7 +3380,103 @@ object Oracles {
          |  CAST(sum(keep) AS BIGINT) AS n_keep,
          |  CAST(sum(mean_logp_micro) AS BIGINT) // count(*) AS avg_mean_logp_micro
          |FROM f GROUP BY source, ppl_bucket_halfnat
-         |ORDER BY source, ppl_bucket_halfnat""".stripMargin
+         |ORDER BY source, ppl_bucket_halfnat""".stripMargin,
+    // composed (U+00E9) vs decomposed (e + U+0301) forms synthesized
+    // from the distinct vocabulary; raw byte joins miss every accented
+    // pair, nfc_normalize recovers them all
+    "q271_nfc_vocab_fold" ->
+      raw"""WITH v AS (SELECT DISTINCT source, w FROM (
+         |    SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents)),
+         |c AS (SELECT source, replace(w, 'e', chr(233)) AS f FROM v),
+         |d AS (SELECT source, replace(w, 'e', 'e' || chr(769)) AS g FROM v),
+         |af AS (SELECT source, f FROM c UNION ALL SELECT source, g AS f FROM d),
+         |st AS (SELECT source, count(DISTINCT f) AS n_raw_forms,
+         |    count(DISTINCT nfc_normalize(f)) AS n_nfc_forms,
+         |    CAST(sum(strlen(f)) AS BIGINT) AS raw_bytes,
+         |    CAST(sum(strlen(nfc_normalize(f))) AS BIGINT) AS nfc_bytes
+         |  FROM af GROUP BY source),
+         |ty AS (SELECT source, count(*) AS n_types FROM v GROUP BY source),
+         |jr AS (SELECT c.source, count(DISTINCT c.f) AS n_join_raw
+         |  FROM c JOIN d ON d.source = c.source AND c.f = d.g GROUP BY c.source),
+         |jn AS (SELECT c.source, count(DISTINCT c.f) AS n_join_nfc
+         |  FROM c JOIN d ON d.source = c.source AND c.f = nfc_normalize(d.g) GROUP BY c.source)
+         |SELECT ty.source, n_types, n_raw_forms, n_nfc_forms,
+         |  COALESCE(n_join_raw, 0) AS n_join_raw,
+         |  COALESCE(n_join_nfc, 0) AS n_join_nfc, raw_bytes, nfc_bytes
+         |FROM ty JOIN st ON st.source = ty.source
+         |LEFT JOIN jr ON jr.source = ty.source
+         |LEFT JOIN jn ON jn.source = ty.source
+         |ORDER BY ty.source""".stripMargin,
+    // the stored-index serve path must land bit-exactly on the direct
+    // in-memory IVF-PQ result (q193's oracle), so the oracle is that
+    // result with the audit flag pinned to 1: any storage-path drift
+    // fails the hash
+    "q272_ann_index_lifecycle" ->
+      s"""SELECT qid, nid, sim, rnk, CAST(1 AS BIGINT) AS eq_direct
+         |FROM ($annIvfPqSql) t ORDER BY qid, rnk""".stripMargin,
+    // seeded global order, running token total, fixed-budget shards cut
+    // at each doc's FIRST token; single-node window here, two-phase
+    // prefix sum in the engine
+    "q273_shard_pack" ->
+      raw"""WITH d AS (SELECT doc_id,
+         |    ${hx("CAST(doc_id AS VARCHAR) || '#epoch42'")} AS h,
+         |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_tok,
+         |    CAST(sum(n_tok) OVER (ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+         |  FROM d),
+         |s AS (SELECT *, (cum_tok - n_tok) // 2048 AS shard_id FROM c)
+         |SELECT shard_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS shard_tokens,
+         |  min_by(doc_id, cum_tok) AS first_doc, max_by(doc_id, cum_tok) AS last_doc
+         |FROM s GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+    // trigram KN over q260's bigram backbone: P3 = A + B·(N2/D2) with
+    // the same three bigram branches, all integer micro-nats
+    "q274_trigram_perplexity" -> {
+      def mn(e: String) = s"CAST(floor(ln(CAST($e AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+      val h = hx("CAST(doc_id AS VARCHAR)")
+      raw"""WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws,
+         |    ($h % 10 = 0) AS is_test FROM documents),
+         |tg AS (SELECT doc_id, is_test, ws[i] AS u, ws[i+1] AS v, ws[i+2] AS w FROM (
+         |    SELECT doc_id, is_test, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+         |    FROM d WHERE len(ws) >= 3)),
+         |t3 AS (SELECT u, v, w, count(*) AS c3 FROM tg WHERE NOT is_test GROUP BY 1, 2, 3),
+         |x3 AS (SELECT u, v, CAST(sum(c3) AS BIGINT) AS c2, count(*) AS n1uv FROM t3 GROUP BY 1, 2),
+         |bgr AS (SELECT doc_id, is_test, ws[i] AS lft, ws[i+1] AS rgt FROM (
+         |    SELECT doc_id, is_test, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+         |    FROM d WHERE len(ws) >= 2)),
+         |cnt AS (SELECT lft, rgt, count(*) AS c FROM bgr WHERE NOT is_test GROUP BY 1, 2),
+         |lc AS (SELECT lft, CAST(sum(c) AS BIGINT) AS cl, count(*) AS n1p FROM cnt GROUP BY lft),
+         |rc AS (SELECT rgt, count(*) AS nleft FROM cnt GROUP BY rgt),
+         |ct AS (SELECT (SELECT count(*) FROM cnt) + (SELECT count(*) FROM rc) + 1 AS denc),
+         |sc AS (SELECT tg.doc_id, t3.c3, x3.c2, x3.n1uv, cnt.c, lc.cl, lc.n1p,
+         |    COALESCE(rc.nleft, 0) + 1 AS numc, ct.denc
+         |  FROM tg LEFT JOIN t3 ON t3.u = tg.u AND t3.v = tg.v AND t3.w = tg.w
+         |  LEFT JOIN x3 ON x3.u = tg.u AND x3.v = tg.v
+         |  LEFT JOIN cnt ON cnt.lft = tg.v AND cnt.rgt = tg.w
+         |  LEFT JOIN lc ON lc.lft = tg.v
+         |  LEFT JOIN rc ON rc.rgt = tg.w, ct
+         |  WHERE tg.is_test),
+         |ev AS (SELECT doc_id, c3, c2, n1uv,
+         |    CASE WHEN c IS NOT NULL THEN (4 * c - 3) * denc + n1p * numc * 3
+         |         WHEN cl IS NOT NULL THEN n1p * numc * 3 ELSE numc END AS n2,
+         |    CASE WHEN cl IS NOT NULL THEN 4 * cl * denc ELSE denc END AS d2
+         |  FROM sc),
+         |lp AS (SELECT doc_id,
+         |    CASE WHEN c3 IS NOT NULL THEN ${mn("(4 * c3 - 3) * d2 + n1uv * n2 * 3")} - ${mn("4 * c2")} - ${mn("d2")}
+         |         WHEN c2 IS NOT NULL THEN ${mn("n1uv * n2 * 3")} - ${mn("4 * c2")} - ${mn("d2")}
+         |         ELSE ${mn("n2")} - ${mn("d2")} END AS lpm,
+         |    CASE WHEN c3 IS NULL AND c2 IS NOT NULL THEN 1 ELSE 0 END AS bb,
+         |    CASE WHEN c2 IS NULL THEN 1 ELSE 0 END AS bf
+         |  FROM ev),
+         |ag AS (SELECT doc_id, count(*) AS n_trigrams,
+         |    CAST(sum(bb) AS BIGINT) AS n_backoff_bigram,
+         |    CAST(sum(bf) AS BIGINT) AS n_backoff_full,
+         |    CAST(sum(lpm) AS BIGINT) // count(*) AS mean_logp_micro
+         |  FROM lp GROUP BY doc_id)
+         |SELECT doc_id, n_trigrams, n_backoff_bigram, n_backoff_full, mean_logp_micro,
+         |  (0 - mean_logp_micro) // 500000 AS ppl_bucket_halfnat
+         |FROM ag ORDER BY doc_id""".stripMargin
+    }
   )
 
   /** q195/q246 shared winnowing chain: char-8-gram 60-bit prints,

@@ -6575,4 +6575,245 @@ object Queries {
       )
       .orderBy("q_permille")
   }
+
+  // Unicode NFC normalization as a first-class text op — the step
+  // q240 proved necessary (normalize-then-join is the scale-safe path)
+  // but only approximated with ASCII translate/lower. Real
+  // multilingual corpora carry the same grapheme in composed (é =
+  // U+00E9) and decomposed (e + U+0301) byte forms; every byte-keyed
+  // operator — exact dedup, shingles, vocabulary joins — treats them
+  // as distinct until the text is NFC-normalized. The corpus here is
+  // ASCII, so both forms are synthesized DETERMINISTICALLY from the
+  // distinct vocabulary (replace 'e' with each form), then the audit
+  // runs both ways: raw byte equality joins only the accent-free
+  // tokens; joining on nfc() recovers every pair, and the distinct
+  // NFC form count collapses back to the type count. Normalization is
+  // the codegen'd NfcNormalize expression (ASCII fast path returns
+  // the input untouched — at 100 TB the overwhelmingly-ASCII corpus
+  // pays one byte scan per row, NOT a String round-trip); every frame
+  // is vocab-bounded, the corpus is scanned once for the vocabulary.
+  def nfcVocabFold(s: SparkSession, dir: String): DataFrame = {
+    val vocab = t(s, dir, "documents")
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+      .distinct()
+    vocab.persist() // four vocab-bounded consumers below
+    val comp = vocab.select(col("source"), expr("replace(w, 'e', 'é')").as("f"))
+    val deco = vocab.select(col("source"), expr("replace(w, 'e', 'é')").as("f"))
+    val allForms = comp.unionByName(deco)
+    val stats = allForms
+      .groupBy("source")
+      .agg(
+        countDistinct(col("f")).as("n_raw_forms"),
+        countDistinct(TextOps.nfc(col("f"))).as("n_nfc_forms"),
+        sum(octet_length(col("f")).cast("long")).as("raw_bytes"),
+        sum(octet_length(TextOps.nfc(col("f"))).cast("long")).as("nfc_bytes")
+      )
+    val types = vocab.groupBy("source").agg(count(lit(1)).as("n_types"))
+    val decoG = deco.withColumnRenamed("f", "g").withColumnRenamed("source", "src2")
+    val joinRaw = comp
+      .join(decoG, col("source") === col("src2") && col("f") === col("g"))
+      .groupBy("source")
+      .agg(countDistinct(col("f")).as("n_join_raw"))
+    val joinNfc = comp
+      .join(decoG, col("source") === col("src2") && col("f") === TextOps.nfc(col("g")))
+      .groupBy("source")
+      .agg(countDistinct(col("f")).as("n_join_nfc"))
+    types
+      .join(stats, Seq("source"))
+      .join(joinRaw, Seq("source"), "left")
+      .join(joinNfc, Seq("source"), "left")
+      .select(
+        col("source"),
+        col("n_types"),
+        col("n_raw_forms"),
+        col("n_nfc_forms"),
+        coalesce(col("n_join_raw"), lit(0L)).as("n_join_raw"),
+        coalesce(col("n_join_nfc"), lit(0L)).as("n_join_nfc"),
+        col("raw_bytes"),
+        col("nfc_bytes")
+      )
+      .orderBy("source")
+  }
+
+  // ANN index lifecycle — the production half q265's maintenance view
+  // assumed but nothing exercised: BUILD the IVF-PQ index artifacts
+  // (coarse centroids, PQ codebooks, corpus cell assignment, corpus
+  // codes), STORE them as parquet through the RetryingSink, then
+  // SERVE the q193 probe from the READ-BACK tables only — the
+  // original corpus floats are never touched by the probe, which is
+  // the point of an index at 100 TB: train once, mount four tables,
+  // answer forever. The audit column proves the lifecycle is
+  // lossless: every served (nid, sim) must equal the in-memory
+  // ivfPqTopK result bit-for-bit (doubles round-trip parquet
+  // exactly), so eq_direct is 1 on every row or the storage path lied.
+  def annIndexLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val root = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_ivfpq_index"
+    ).getAbsolutePath
+    val vecs = t(s, dir, "embeddings")
+    val paths = Similarity.buildIvfPqIndex(vecs, col("vec_id"), col("embedding"), nlist = 16, m = 16, ksub = 16, root = root)
+    val served = Similarity
+      .servedIvfPqTopK(vecs.filter(col("vec_id") < 50), col("vec_id"), col("embedding"), paths, nprobe = 4, k = 3)
+      .withColumnRenamed("rank", "rnk")
+    val direct = Similarity
+      .ivfPqTopK(
+        vecs, col("vec_id"), col("embedding"), col("vec_id") < 50,
+        nlist = 16, nprobe = 4, m = 16, ksub = 16, k = 3
+      )
+      .select(col("qid"), col("rank").as("rnk"), col("nid").as("d_nid"), col("sim").as("d_sim"))
+    served
+      .join(direct, Seq("qid", "rnk"))
+      .select(
+        col("qid"),
+        col("rnk"),
+        col("nid"),
+        col("sim"),
+        (col("nid") === col("d_nid") && col("sim") === col("d_sim")).cast("long").as("eq_direct")
+      )
+      .orderBy("qid", "rnk")
+  }
+
+  // Epoch-shuffle + shard packing — the last batch step before
+  // training, composing q62 (sequence packing) and q188 (mixture
+  // rebalance) into the dataloader-prep shape: a deterministic SEEDED
+  // global order (hash of doc_id + epoch seed — replayable, and a new
+  // seed reshuffles every epoch without data movement), then
+  // fixed-token-budget shards cut by the RUNNING token total, each doc
+  // assigned to the shard where its first token lands. The running
+  // total is the q67 two-phase machinery generalized to weights
+  // (Ntile.exactPrefixSum: hash-bin histogram of per-bin token sums →
+  // broadcast offsets → bin-partitioned running sum) — the global
+  // cumulative order costs NO single-partition window, so the same
+  // plan shards a 100 TB epoch. Output is shard-bounded: census,
+  // token fill, and the first/last doc of each shard (replayable
+  // manifest bounds).
+  def shardPack(s: SparkSession, dir: String): DataFrame = {
+    val budget = 2048L
+    val docs = t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        TextOps.hash32(concat(col("doc_id").cast("string"), lit("#epoch42"))).as("h"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok")
+      )
+    val (cum, _) = Ntile.exactPrefixSum(docs, col("n_tok"), col("h"), col("doc_id"), binWidth = (1L << 20).toDouble, cumCol = "cum_tok")
+    cum
+      .withColumn("shard_id", expr(s"(cum_tok - n_tok) div $budget"))
+      .groupBy("shard_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("shard_tokens"),
+        min_by(col("doc_id"), col("cum_tok")).as("first_doc"),
+        max_by(col("doc_id"), col("cum_tok")).as("last_doc")
+      )
+      .orderBy("shard_id")
+  }
+
+  // Trigram KN with interpolated backoff — q260's held-out bigram
+  // model composed ONE ORDER DEEPER, the shape production CCNet-style
+  // filters (5-gram KenLM) actually run. With discount d = 3/4 the
+  // trigram level is rational over the bigram level's rational P₂:
+  //   P₃(w|u,v) = (c₃(uvw) − 3/4)/c₂(uv) + (3/4)·N1+(uv·)/c₂(uv) · P₂(w|v)
+  // where P₂ = N₂/D₂ is EXACTLY q260's three-branch bigram (seen /
+  // seen-left / continuation floor). So with P₂ = N₂/D₂:
+  //   seen trigram:  lp = mn((4c₃−3)·D₂ + 3·N1uv·N₂) − mn(4c₂) − mn(D₂)
+  //   seen uv only:  lp = mn(3·N1uv·N₂) − mn(4c₂) − mn(D₂)
+  //   unseen uv:     lp = mn(N₂) − mn(D₂)      (pure bigram backoff)
+  // The mn() factoring (numerator minus BOTH denominator factors) is
+  // computed identically on both engines, so the micro-nat score is
+  // an exact integer; magnitude bound: (4c₃)·D₂ ≤ 4T·4T·(NB+V+1) with
+  // T corpus tokens, V vocab — under 2⁵³ through ~10⁶-token corpora,
+  // past which the mn(a·b)=mn(a)+mn(b) factoring splits the product
+  // (same trade as q237's scale note). Plan shape unchanged from
+  // q260: every LM table is vocab-bounded (≤V³ trigram types) and
+  // BROADCAST onto the test trigram stream; one projection, one
+  // map-combined rollup; the corpus never shuffles on a
+  // high-cardinality key. The per-doc backoff counters report HOW the
+  // model scored (trigram hit / bigram backoff / full backoff) — the
+  // diagnostic separating unusual text from short-context coverage.
+  def trigramPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val isTest = TextOps.hash32(col("doc_id").cast("string")) % 10 === 0
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+    val n = size(col("ws"))
+    val inner = zip_with(
+      slice(col("ws"), lit(2), n - 2),
+      slice(col("ws"), lit(3), n - 2),
+      (y, z) => struct(y.as("v"), z.as("w"))
+    )
+    val tg = docs
+      .select(
+        col("doc_id"),
+        explode(
+          zip_with(
+            slice(col("ws"), lit(1), n - 2),
+            inner,
+            (x, p) => struct(x.as("u"), p.getField("v").as("v"), p.getField("w").as("w"))
+          )
+        ).as("t")
+      )
+      .select(col("doc_id"), col("t.u").as("u"), col("t.v").as("v"), col("t.w").as("w"))
+      .withColumn("is_test", isTest)
+    val train3 = tg.filter(!col("is_test"))
+    val cnt3 = train3.groupBy("u", "v", "w").agg(count(lit(1)).as("c3"))
+    val ctx3 = cnt3.groupBy("u", "v").agg(sum(col("c3")).as("c2"), count(lit(1)).as("n1uv"))
+    // q260's bigram backbone, trained on the same TRAIN split
+    val bg = docBigrams(s, dir).withColumn("is_test", isTest).filter(!col("is_test"))
+    val cnt = bg.groupBy("lft", "rgt").agg(count(lit(1)).as("c"))
+    val leftCtx = cnt.groupBy("lft").agg(sum(col("c")).as("cl"), count(lit(1)).as("n1p"))
+    val rightCtx = cnt.groupBy("rgt").agg(count(lit(1)).as("nleft"))
+    val consts = cnt
+      .agg(count(lit(1)).as("nb"))
+      .crossJoin(broadcast(rightCtx.agg(count(lit(1)).as("vr"))))
+      .select((col("nb") + col("vr") + 1).as("denc"))
+    val scored = tg
+      .filter(col("is_test"))
+      .join(broadcast(cnt3), Seq("u", "v", "w"), "left")
+      .join(broadcast(ctx3), Seq("u", "v"), "left")
+      .join(broadcast(cnt.withColumnRenamed("lft", "v").withColumnRenamed("rgt", "w")), Seq("v", "w"), "left")
+      .join(broadcast(leftCtx.withColumnRenamed("lft", "v")), Seq("v"), "left")
+      .join(broadcast(rightCtx.withColumnRenamed("rgt", "w")), Seq("w"), "left")
+      .crossJoin(broadcast(consts))
+      .withColumn("numc", coalesce(col("nleft"), lit(0L)) + 1)
+      .withColumn(
+        "n2",
+        when(col("c").isNotNull, (col("c") * 4 - 3) * col("denc") + col("n1p") * col("numc") * 3)
+          .when(col("cl").isNotNull, col("n1p") * col("numc") * 3)
+          .otherwise(col("numc"))
+      )
+      .withColumn("d2", when(col("cl").isNotNull, col("cl") * col("denc") * 4).otherwise(col("denc")))
+      .withColumn(
+        "lp_micro",
+        when(
+          col("c3").isNotNull,
+          microNats((col("c3") * 4 - 3) * col("d2") + col("n1uv") * col("n2") * 3)
+            - microNats(col("c2") * 4) - microNats(col("d2"))
+        ).when(
+            col("c2").isNotNull,
+            microNats(col("n1uv") * col("n2") * 3) - microNats(col("c2") * 4) - microNats(col("d2"))
+          )
+          .otherwise(microNats(col("n2")) - microNats(col("d2")))
+      )
+      .withColumn("backoff_bigram", (col("c3").isNull && col("c2").isNotNull).cast("long"))
+      .withColumn("backoff_full", col("c2").isNull.cast("long"))
+    scored
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_trigrams"),
+        sum(col("backoff_bigram")).as("n_backoff_bigram"),
+        sum(col("backoff_full")).as("n_backoff_full"),
+        sum(col("lp_micro")).as("sum_lp")
+      )
+      .withColumn("mean_logp_micro", expr("sum_lp div n_trigrams"))
+      .select(
+        col("doc_id"),
+        col("n_trigrams"),
+        col("n_backoff_bigram"),
+        col("n_backoff_full"),
+        col("mean_logp_micro"),
+        expr("(0 - mean_logp_micro) div 500000").as("ppl_bucket_halfnat")
+      )
+      .orderBy("doc_id")
+  }
 }

@@ -38,6 +38,17 @@ object TextOps {
   def hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** Unicode NFC normalization — the codegen'd
+    * [[graft.plans.NfcNormalize]] expression (ASCII rows return the
+    * input untouched). The mandatory first step before any byte-keyed
+    * text operator (exact dedup, shingles, vocabulary joins) on
+    * multilingual corpora; DuckDB mirrors it with `nfc_normalize`.
+    */
+  def nfc(c: Column): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.plans.NfcNormalize(bridge.expression(c)))
+  }
+
   /** Word n-grams (shingles) as space-joined strings; empty array when
     * fewer than n tokens. Native codegen'd expression
     * ([[graft.plans.WordNGrams]]) — the higher-order-function

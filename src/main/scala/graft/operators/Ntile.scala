@@ -79,6 +79,40 @@ object Ntile {
     (ranked, total)
   }
 
+  /** `df` plus a BIGINT `cumCol` — exactly
+    * `sum(weight) OVER (ORDER BY value, tieKey ROWS UNBOUNDED
+    * PRECEDING)` (the INCLUSIVE running total), computed with the same
+    * sharded bin plan as [[exactRank]]: the histogram aggregates
+    * per-bin weight sums instead of counts, exclusive prefix sums over
+    * the ordered bins broadcast back as offsets, and the within-bin
+    * running sum is a window PARTITIONED BY bin. Also returns the
+    * grand total. The primitive behind global packing/sharding
+    * (q273): cumulative token budgets over a deterministic global
+    * order with no single-partition window.
+    */
+  def exactPrefixSum(df: DataFrame, weight: Column, value: Column, tieKey: Column, binWidth: Double = 1.0, cumCol: String = "cum"): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val binned = df.withColumn("__bin", floor(value / binWidth).cast("long"))
+
+    val hist = binned
+      .groupBy("__bin")
+      .agg(sum(weight.cast("long")).as("__s"))
+      .collect()
+      .map(r => (r.getAs[Long]("__bin"), r.getAs[Long]("__s")))
+      .sortBy(_._1)
+    var acc = 0L
+    val offsets = hist.map { case (bin, s) => val o = acc; acc += s; (bin, o) }
+    val total = acc
+
+    val offDf = broadcast(spark.createDataFrame(offsets.toIndexedSeq).toDF("__bin", "__off"))
+    val w = Window.partitionBy(col("__bin")).orderBy(value.asc, tieKey.asc).rowsBetween(Window.unboundedPreceding, 0)
+    val summed = binned
+      .join(offDf, "__bin")
+      .withColumn(cumCol, col("__off") + sum(weight.cast("long")).over(w))
+      .drop("__bin", "__off")
+    (summed, total)
+  }
+
   /** `df` plus an integer `bucketCol` ∈ 1..k — exactly
     * `ntile(k) OVER (ORDER BY value, tieKey)`.
     */

@@ -558,18 +558,24 @@ object Similarity {
     * the m-term ADC sum is exact and associative — partition-order
     * invariant, oracle-reproducible.
     */
-  private def pqLut(base: DataFrame, codebooks: Array[Array[Array[Double]]], dsub: Int): DataFrame = {
-    val spark = base.sparkSession
+  private def pqLut(base: DataFrame, codebooks: Array[Array[Array[Double]]], dsub: Int): DataFrame =
+    pqLutForQueries(base.filter(col("is_q")).select(col("vid").as("qid"), col("e")), codebooks, dsub)
+
+  /** [[pqLut]] over an explicit (qid, e) query frame — shared by the
+    * in-memory path and the stored-index serve path so the ADC terms
+    * cannot drift between them.
+    */
+  private def pqLutForQueries(q: DataFrame, codebooks: Array[Array[Array[Double]]], dsub: Int): DataFrame = {
+    val spark = q.sparkSession
     import spark.implicits._
     val m = codebooks.length
     def subSlice(sub: Int): Column = slice(col("e"), sub * dsub + 1, dsub)
     val cents =
       (for { sub <- 0 until m; j <- codebooks(sub).indices } yield (sub, j, codebooks(sub)(j).toSeq))
         .toDF("sub", "cell", "ce")
-    base
-      .filter(col("is_q"))
+    q
       .select(
-        col("vid").as("qid"),
+        col("qid"),
         explode(array((0 until m).map { sub =>
           struct(lit(sub).as("sub"), subSlice(sub).as("qse"))
         }: _*)).as("q")
@@ -582,6 +588,107 @@ object Similarity {
         col("cell"),
         NumOps.roundAway(VectorOps.dot(col("qse"), col("ce")), 6).cast("decimal(25,6)").as("d")
       )
+  }
+
+  // ——— stored-index lifecycle: build → store → probe (q272) ———
+
+  /** Locations of the four persisted IVF-PQ index tables under `root`:
+    * the nlist coarse centroids, the m×ksub PQ codebooks, the
+    * corpus→cell assignment, and the m codes per corpus vector.
+    * Centroids/codebooks are dimension-sized; the assignment and code
+    * tables are the corpus-cardinality artifacts whose whole point is
+    * to be built ONCE and served many times.
+    */
+  final case class IvfPqIndexPaths(root: String) {
+    def centroids: String = s"$root/centroids"
+    def codebooks: String = s"$root/codebooks"
+    def corpusCells: String = s"$root/corpus_cells"
+    def pqCodes: String = s"$root/pq_codes"
+  }
+
+  /** BUILD + STORE: train exactly the [[ivfPqTopK]] quantizers
+    * (deterministic Lloyd, same cached frame for both trainings), then
+    * persist the four index tables through [[RetryingSink]] — the
+    * production index lifecycle's write half. Doubles round-trip
+    * parquet bit-exactly, so a probe served from these files must
+    * reproduce the in-memory path to the last bit ([[servedIvfPqTopK]]
+    * is audited against [[ivfPqTopK]] in q272).
+    */
+  def buildIvfPqIndex(
+      vecs: DataFrame,
+      id: Column,
+      emb: Column,
+      nlist: Int,
+      m: Int,
+      ksub: Int,
+      root: String,
+      lloydIters: Int = 2
+  ): IvfPqIndexPaths = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val base = vecs.select(id.as("vid"), emb.as("e")).persist()
+    val coarse = trainCentroids(base, nlist, lloydIters)
+    val (codebooks, dsub) = trainCodebooks(base, m, ksub, lloydIters)
+    val paths = IvfPqIndexPaths(root)
+    val centDf = coarse.zipWithIndex.map { case (v, j) => (j, v.toSeq) }.toSeq.toDF("j", "ce")
+    val cbDf =
+      (for { sub <- codebooks.indices; j <- codebooks(sub).indices } yield (sub, j, codebooks(sub)(j).toSeq))
+        .toDF("sub", "cell", "ce")
+    graft.sinks.RetryingSink.overwriteParquet(centDf, paths.centroids)
+    graft.sinks.RetryingSink.overwriteParquet(cbDf, paths.codebooks)
+    graft.sinks.RetryingSink.overwriteParquet(
+      base.select(col("vid").as("nid"), element_at(cellsOf(col("e"), coarse, 1), 1).as("ccell")),
+      paths.corpusCells
+    )
+    graft.sinks.RetryingSink.overwriteParquet(pqCodes(base, codebooks, dsub), paths.pqCodes)
+    base.unpersist(blocking = true)
+    paths
+  }
+
+  /** PROBE a stored index: queries are scored against the READ-BACK
+    * tables only — the original corpus floats are never touched, which
+    * is the serving contract at 100 TB (the index tables are the only
+    * thing the query cluster mounts). Centroids and codebooks are the
+    * bounded driver collects (nlist·dim and m·ksub·dsub doubles — the
+    * [[ivfTopK]] class of dimension-sized pulls); candidates come from
+    * the stored assignment, ADC from the stored codes + a broadcast
+    * query LUT, top-k through the bounded aggregator.
+    */
+  def servedIvfPqTopK(
+      queries: DataFrame,
+      id: Column,
+      emb: Column,
+      paths: IvfPqIndexPaths,
+      nprobe: Int,
+      k: Int
+  ): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = spark.read
+      .parquet(paths.centroids)
+      .orderBy("j")
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("ce").toArray)
+    val cbRows = spark.read.parquet(paths.codebooks).collect()
+    val m = cbRows.iterator.map(_.getAs[Int]("sub")).max + 1
+    val codebooks = Array.tabulate(m) { sub =>
+      cbRows
+        .filter(_.getAs[Int]("sub") == sub)
+        .sortBy(_.getAs[Int]("cell"))
+        .map(_.getAs[scala.collection.Seq[Double]]("ce").toArray)
+    }
+    val dsub = codebooks(0)(0).length
+    val q = queries.select(id.as("qid"), emb.as("e"))
+    val probes = q.select(col("qid"), explode(cellsOf(col("e"), cents, nprobe)).as("ccell"))
+    val cand = probes
+      .join(spark.read.parquet(paths.corpusCells), Seq("ccell"))
+      .filter(col("qid") =!= col("nid"))
+      .select("qid", "nid")
+    val scored = cand
+      .join(spark.read.parquet(paths.pqCodes), Seq("nid"))
+      .join(broadcast(pqLutForQueries(q, codebooks, dsub)), Seq("qid", "sub", "cell"))
+      .groupBy("qid", "nid")
+      .agg(sum(col("d")).cast("double").as("sim"))
+    topKPerQuery(scored, k)
   }
 
   def pqTopK(

@@ -431,7 +431,7 @@ object StreamAgg {
   def lateDataAudit(spark: SparkSession, dir: String): DataFrame = {
     StateConf.withStatePartitions(spark, 8) {
       val ev = graft.sources.Tables.events(spark, dir).select(col("ts"), col("event_id"))
-      val mxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+      val mxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
       val splitUs = mxUs - 48L * 3600 * 1000000 // late = older than 48 h
       val scratch = graft.operators.Scratch.dir("graft-late")
       val in = s"$scratch/in"

@@ -570,6 +570,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"the |S|·k winner set must broadcast onto the scored frame:\n$p")
   }
 
+  test("shard pack (q273): the running token total is bin-partitioned — no single-partition window over the epoch") {
+    val ws = Queries.shardPack(spark, sfDir).queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(ws.nonEmpty, "expected the exactPrefixSum bin-partitioned running sum")
+    ws.foreach(w => assert(w.partitionSpec.nonEmpty, s"unpartitioned window over the corpus order:\n$w"))
+  }
+
+  test("trigram perplexity (q274): every LM table broadcasts — the test trigram stream is never merge-joined") {
+    val p = plan(Queries.trigramPerplexity(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"vocab-bounded LM tables must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-keyed merge join anywhere:\n$p")
+  }
+
+  test("nfc vocab fold (q271): all joins are keyed — no product; the corpus is scanned only for the vocabulary") {
+    val p = plan(Queries.nfcVocabFold(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"form joins must stay equi-keyed (f = nfc(g)):\n$p")
+  }
+
   test("collated census (q240): corpus is touched only by the grouping — the unhashable ICU join runs post-aggregation") {
     val df = Queries.collatedCensus(spark, sfDir)
     val p = plan(df)

@@ -42,6 +42,25 @@ class TextOpsSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("nfc: decomposed folds to composed; ASCII and nulls pass through; codegen matches interpreted") {
+    val composed = "café"
+    val decomposed = "café"
+    val d = Seq(Some(composed), Some(decomposed), Some("ascii only"), None).toDF("t")
+    val got = d.select(TextOps.nfc($"t").as("n")).collect().map(r => Option(r.getString(0)))
+    assert(got(0) === Some(composed))
+    assert(got(1) === Some(composed), "decomposed é must normalize to the composed code point")
+    assert(got(2) === Some("ascii only"))
+    assert(got(3) === None)
+    // interpreted path (eval) must agree with the codegen'd result
+    val e = graft.plans.NfcNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal(org.apache.spark.unsafe.types.UTF8String.fromString(decomposed))
+    )
+    assert(e.eval(null).toString === composed)
+    // NFC is canonical only — NOT NFKC: fullwidth stays fullwidth (so token counts never change)
+    val full = "ＡＢ"
+    assert(Seq(full).toDF("t").select(TextOps.nfc($"t")).head().getString(0) === full)
+  }
+
   test("langId picks the language with most stopword hits; en wins ties") {
     val d = Seq("el la de que y come", "the a and is of", "nothing matching here").toDF("text")
     val got = d.select(TextOps.langId(TextOps.tokens($"text"))).collect().map(_.getString(0))
