@@ -3476,6 +3476,80 @@ object Oracles {
          |SELECT doc_id, n_trigrams, n_backoff_bigram, n_backoff_full, mean_logp_micro,
          |  (0 - mean_logp_micro) // 500000 AS ppl_bucket_halfnat
          |FROM ag ORDER BY doc_id""".stripMargin
+    },
+    // three (bands × rows) shapes over the same k=16 signatures,
+    // each measured against the published confirmed-pairs truth
+    "q275_lsh_band_sweep" -> {
+      def bandCfg(name: String, b: Int, r: Int): String = {
+        val bandCols = (0 until b)
+          .map { j =>
+            val parts = (0 until r).map(rr => s"sig_${j * r + rr}").mkString(" || ':' || ")
+            s"md5($parts) AS band_$j"
+          }
+          .mkString(", ")
+        val joins = (0 until b)
+          .map(j =>
+            s"SELECT a.doc_id AS d1, b.doc_id AS d2 FROM ${name}b a JOIN ${name}b b ON a.band_$j = b.band_$j AND a.doc_id < b.doc_id"
+          )
+          .mkString(" UNION ")
+        s"""${name}b AS (SELECT doc_id, $bandCols FROM sig),
+           |${name}c AS ($joins)""".stripMargin
+      }
+      def cfgRow(name: String, b: Int, r: Int): String =
+        s"""SELECT CAST($b AS INTEGER) AS bands, CAST($r AS INTEGER) AS rows_per_band,
+           |  (SELECT count(*) FROM ${name}c) AS n_cand,
+           |  (SELECT count(*) FROM ${name}c JOIN conf ON conf.d1 = ${name}c.d1 AND conf.d2 = ${name}c.d2) AS n_hit,
+           |  (SELECT count(*) FROM conf) AS n_truth""".stripMargin
+      s"""WITH $minhashCandCtes,
+         |szx AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |itx AS (SELECT c.d1, c.d2, count(*) AS inter FROM cand c
+         |  JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.g = a.g
+         |  GROUP BY 1, 2),
+         |conf AS (SELECT itx.d1, itx.d2
+         |  FROM itx JOIN szx x ON itx.d1 = x.doc_id JOIN szx y ON itx.d2 = y.doc_id
+         |  WHERE inter * 2 >= x.n_sh + y.n_sh - inter),
+         |${bandCfg("w1", 2, 8)},
+         |${bandCfg("w2", 4, 4)},
+         |${bandCfg("w3", 8, 2)},
+         |u AS (${cfgRow("w1", 2, 8)} UNION ALL ${cfgRow("w2", 4, 4)} UNION ALL ${cfgRow("w3", 8, 2)})
+         |SELECT bands, rows_per_band, n_cand, n_hit, n_truth,
+         |  n_hit * 1000 // n_truth AS recall_permille,
+         |  n_hit * 1000 // greatest(n_cand, 1) AS precision_permille
+         |FROM u ORDER BY bands""".stripMargin
+    },
+    // sqrt is IEEE correctly-rounded, so the T=2 temperature shares
+    // are bit-deterministic integers on both engines
+    "q276_temperature_mix" ->
+      raw"""WITH per AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |q AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000) AS BIGINT) AS q_milli FROM per),
+         |tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot, CAST(sum(q_milli) AS BIGINT) AS tot_q FROM q)
+         |SELECT source, n_docs, n_tokens,
+         |  n_tokens * 1000 // tot AS p_permille,
+         |  q_milli * 1000 // tot_q AS q_permille,
+         |  CAST(CAST(q_milli AS HUGEINT) * tot * 1000 // (CAST(tot_q AS HUGEINT) * n_tokens) AS BIGINT) AS boost_permille
+         |FROM q, tt ORDER BY source""".stripMargin,
+    // QI = (priority, date) with the day -> month -> year -> dropped
+    // generalization ladder; suppression cost of k=5 at each level
+    "q277_k_anonymity" -> {
+      def level(name: String, dateExpr: Option[String]): String = {
+        val grp = dateExpr match {
+          case Some(e) => s"SELECT o_orderpriority AS pri, $e AS qi_date, count(*) AS g FROM orders GROUP BY 1, 2"
+          case None => s"SELECT o_orderpriority AS pri, count(*) AS g FROM orders GROUP BY 1"
+        }
+        s"""SELECT '$name' AS level, count(*) AS n_groups,
+           |  CAST(sum(CASE WHEN g < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+           |  CAST(sum(g) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN g < 5 THEN g ELSE 0 END) AS BIGINT) AS n_suppressed,
+           |  CAST(sum(CASE WHEN g < 5 THEN g ELSE 0 END) AS BIGINT) * 1000 // CAST(sum(g) AS BIGINT) AS suppressed_permille
+           |FROM ($grp)""".stripMargin
+      }
+      s"""${level("1_day", Some("strftime(o_orderdate, '%Y-%m-%d')"))}
+         |UNION ALL ${level("2_month", Some("strftime(o_orderdate, '%Y-%m')"))}
+         |UNION ALL ${level("3_year", Some("strftime(o_orderdate, '%Y')"))}
+         |UNION ALL ${level("4_dropped", None)}
+         |ORDER BY level""".stripMargin
     }
   )
 

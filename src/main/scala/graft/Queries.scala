@@ -6816,4 +6816,112 @@ object Queries {
       )
       .orderBy("doc_id")
   }
+
+  // LSH band-shape sweep — the tuning artifact behind every MinHash
+  // deployment: with k=16 signature slots, how do (bands × rows)
+  // splits trade candidate volume against recall? The sweep measures
+  // each shape against the PUBLISHED confirmed-pairs table (the
+  // operational question: would a cheaper index have found the pairs
+  // we ship?). One signature pass (persisted), three banding
+  // self-joins — each the standard keyed bucket join, candidates only
+  // ever meet the truth set in an id-keyed join. Wider bands (8 rows)
+  // collapse candidates but drop recall; narrower (2 rows) approach
+  // recall 1 at the candidate-volume price — the S-curve made
+  // concrete on this corpus.
+  def lshBandSweep(s: SparkSession, dir: String): DataFrame = {
+    val sigs = NearDup.minhashSignaturesFromShingles(graft.operators.CandidateGraph.shingles(s, dir), k = 16)
+    sigs.persist()
+    val conf = graft.operators.CandidateGraph.confirmedPairs(s, dir).select("d1", "d2")
+    val configs = Seq((2, 8), (4, 4), (8, 2))
+    configs
+      .map { case (b, r) =>
+        val cand = NearDup.lshCandidatePairs(sigs, bands = b, rowsPerBand = r)
+        cand
+          .agg(count(lit(1)).as("n_cand"))
+          .crossJoin(broadcast(cand.join(conf, Seq("d1", "d2")).agg(count(lit(1)).as("n_hit"))))
+          .crossJoin(broadcast(conf.agg(count(lit(1)).as("n_truth"))))
+          .select(
+            lit(b).as("bands"),
+            lit(r).as("rows_per_band"),
+            col("n_cand"),
+            col("n_hit"),
+            col("n_truth"),
+            expr("n_hit * 1000 div n_truth").as("recall_permille"),
+            expr("n_hit * 1000 div greatest(n_cand, 1)").as("precision_permille")
+          )
+      }
+      .reduce(_ unionByName _)
+      .orderBy("bands")
+  }
+
+  // Temperature-scaled mixture sampling (the XLM-R/mT5 move): at
+  // temperature T the per-source sampling share is n_s^(1/T)
+  // renormalized — T>1 upsamples the tail so low-resource sources are
+  // seen more than proportionally. T=2 (α=1/2) is the one exponent
+  // with an EXACT cross-engine story: IEEE sqrt is correctly rounded
+  // (unlike ln/exp), so floor(sqrt(tokens)·1000) is bit-deterministic
+  // on both engines — the α=0.7 variant would need the q237 micro-nat
+  // ladder plus an exp. Boost = q/p in cross-multiplied integers,
+  // widened through DECIMAL(38,0): q_milli·tot ~ √T·T·10³ passes
+  // BIGINT at ~10¹³ tokens, exactly the corpus size this targets.
+  // One grouped aggregate, source-bounded everything.
+  def temperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      .withColumn("q_milli", floor(sqrt(col("n_tokens").cast("double")) * 1000).cast("long"))
+    per
+      .crossJoin(broadcast(per.agg(sum(col("n_tokens")).as("tot"), sum(col("q_milli")).as("tot_q"))))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_tokens"),
+        expr("n_tokens * 1000 div tot").as("p_permille"),
+        expr("q_milli * 1000 div tot_q").as("q_permille"),
+        expr("CAST(CAST(q_milli AS DECIMAL(38,0)) * tot * 1000 div (CAST(tot_q AS DECIMAL(38,0)) * n_tokens) AS BIGINT)")
+          .as("boost_permille")
+      )
+      .orderBy("source")
+  }
+
+  // k-anonymity audit with a generalization ladder — the privacy
+  // gate a corpus/warehouse publisher runs before release: treat
+  // (order date, priority) as the quasi-identifier and walk the
+  // classic date-generalization ladder (exact day → month → year →
+  // dropped), reporting at each level how many QI groups fall below
+  // k=5 and what fraction of ROWS suppression would cost. The trade
+  // the ladder exposes is the whole method: finer QI ⇒ more utility,
+  // more sub-k groups to suppress. Each level is one map-combined
+  // grouped count over a domain-bounded key; output is 4 rows.
+  def kAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val k = 5L
+    val o = t(s, dir, "orders").select(col("o_orderpriority").as("pri"), col("o_orderdate").as("d"))
+    def level(name: String, qiDate: Option[Column]): DataFrame = {
+      val keyed = qiDate match {
+        case Some(g) => o.groupBy(col("pri"), g.as("qi_date"))
+        case None => o.groupBy(col("pri"))
+      }
+      keyed
+        .agg(count(lit(1)).as("g"))
+        .agg(
+          count(lit(1)).as("n_groups"),
+          sum(when(col("g") < k, 1L).otherwise(0L)).as("n_small_groups"),
+          sum(col("g")).as("n_rows"),
+          sum(when(col("g") < k, col("g")).otherwise(0L)).as("n_suppressed")
+        )
+        .select(
+          lit(name).as("level"),
+          col("n_groups"),
+          col("n_small_groups"),
+          col("n_rows"),
+          col("n_suppressed"),
+          expr("n_suppressed * 1000 div n_rows").as("suppressed_permille")
+        )
+    }
+    level("1_day", Some(date_format(col("d"), "yyyy-MM-dd")))
+      .unionByName(level("2_month", Some(date_format(col("d"), "yyyy-MM"))))
+      .unionByName(level("3_year", Some(date_format(col("d"), "yyyy"))))
+      .unionByName(level("4_dropped", None))
+      .orderBy("level")
+  }
 }

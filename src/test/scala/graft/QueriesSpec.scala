@@ -1762,4 +1762,48 @@ class QueriesSpec extends SparkSpec {
     val median = deltas(deltas.length / 2)
     assert(math.abs(median) < 1000000L, s"trigram vs bigram median delta $median µnats out of band")
   }
+
+  test("lsh band sweep: candidates grow and precision falls as bands narrow; recall is monotone in bands") {
+    val rows = Queries.lshBandSweep(spark, sfDir).collect().sortBy(_.getAs[Int]("bands"))
+    assert(rows.map(_.getAs[Int]("bands")).toSeq === Seq(2, 4, 8))
+    assert(rows.map(_.getAs[Long]("n_truth")).distinct.length === 1, "truth set is config-independent")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_cand") <= b.getAs[Long]("n_cand"), "more bands can only add candidates")
+      assert(a.getAs[Long]("recall_permille") <= b.getAs[Long]("recall_permille"))
+      assert(a.getAs[Long]("precision_permille") >= b.getAs[Long]("precision_permille"))
+    }
+    rows.foreach(r => assert(r.getAs[Long]("n_hit") <= math.min(r.getAs[Long]("n_cand"), r.getAs[Long]("n_truth"))))
+  }
+
+  test("temperature mix: T=2 boosts small sources above proportional and shares stay normalized") {
+    val rows = Queries.temperatureMix(spark, sfDir).collect()
+    assert(rows.length > 1)
+    val p = rows.map(_.getAs[Long]("p_permille")).sum
+    val q = rows.map(_.getAs[Long]("q_permille")).sum
+    // truncating integer shares: sum in (1000 − |S|, 1000]
+    assert(p > 1000L - rows.length && p <= 1000L)
+    assert(q > 1000L - rows.length && q <= 1000L)
+    // boost ∝ 1/sqrt(n): strictly anti-monotone in token count
+    val byTok = rows.sortBy(_.getAs[Long]("n_tokens"))
+    byTok.sliding(2).foreach { case Array(a, b) =>
+      if (a.getAs[Long]("n_tokens") < b.getAs[Long]("n_tokens"))
+        assert(a.getAs[Long]("boost_permille") >= b.getAs[Long]("boost_permille"),
+          s"${a.getAs[String]("source")} vs ${b.getAs[String]("source")}: smaller source must boost at least as much")
+    }
+    // the smallest source is upsampled, the largest downsampled
+    assert(byTok.head.getAs[Long]("boost_permille") > 1000L)
+    assert(byTok.last.getAs[Long]("boost_permille") < 1000L)
+  }
+
+  test("k-anonymity ladder: coarser generalization monotonically shrinks groups and suppression; rows conserved") {
+    val rows = Queries.kAnonymity(spark, sfDir).collect().sortBy(_.getAs[String]("level"))
+    assert(rows.map(_.getAs[String]("level")).toSeq === Seq("1_day", "2_month", "3_year", "4_dropped"))
+    assert(rows.map(_.getAs[Long]("n_rows")).distinct.length === 1, "generalization never drops rows")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_groups") >= b.getAs[Long]("n_groups"))
+      assert(a.getAs[Long]("n_suppressed") >= b.getAs[Long]("n_suppressed"),
+        "coarser QI can only merge groups above the k threshold")
+    }
+    rows.foreach(r => assert(r.getAs[Long]("n_suppressed") < 5L * r.getAs[Long]("n_small_groups") + 1L))
+  }
 }
