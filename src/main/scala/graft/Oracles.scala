@@ -3550,6 +3550,40 @@ object Oracles {
          |UNION ALL ${level("3_year", Some("strftime(o_orderdate, '%Y')"))}
          |UNION ALL ${level("4_dropped", None)}
          |ORDER BY level""".stripMargin
+    },
+    // order-2 next-event examples with the hash train/valid split;
+    // the dataset card: counts + user coverage per context cell
+    "q278_next_event_dataset" -> {
+      val h = hx("CAST(event_id AS VARCHAR)")
+      s"""WITH x AS (SELECT user_id, event_id, event_type,
+         |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev1,
+         |    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev2
+         |  FROM events),
+         |f AS (SELECT *, CASE WHEN $h % 10 < 8 THEN 'train' ELSE 'valid' END AS split
+         |  FROM x WHERE prev1 IS NOT NULL AND prev2 IS NOT NULL)
+         |SELECT split, prev2, prev1, event_type AS label,
+         |  count(*) AS n_examples, count(DISTINCT user_id) AS n_users
+         |FROM f GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin
+    },
+    // flatten the length-bucket histogram by hash-gated downsampling
+    // toward the smallest bucket's mass
+    "q279_bucket_resample" -> {
+      val h = hx("CAST(doc_id AS VARCHAR)")
+      s"""WITH d AS (SELECT doc_id, n_chars // 100 AS bucket FROM documents),
+         |hist AS (SELECT bucket, count(*) AS n_before FROM d GROUP BY bucket),
+         |tt AS (SELECT min(n_before) AS m, CAST(sum(n_before) AS BIGINT) AS total FROM hist),
+         |rates AS (SELECT bucket, n_before, total, m * 1000 // n_before AS accept_permille FROM hist, tt),
+         |k AS (SELECT d.bucket, r.n_before, r.accept_permille, r.total,
+         |    CASE WHEN $h % 1000 < r.accept_permille THEN 1 ELSE 0 END AS keep
+         |  FROM d JOIN rates r ON r.bucket = d.bucket),
+         |g AS (SELECT bucket, max(n_before) AS n_before, max(accept_permille) AS accept_permille,
+         |    CAST(sum(keep) AS BIGINT) AS n_after, max(total) AS total
+         |  FROM k GROUP BY bucket),
+         |ta AS (SELECT CAST(sum(n_after) AS BIGINT) AS total_after FROM g)
+         |SELECT bucket, n_before, accept_permille, n_after,
+         |  n_before * 1000 // total AS share_before_permille,
+         |  n_after * 1000 // greatest(total_after, 1) AS share_after_permille
+         |FROM g, ta ORDER BY bucket""".stripMargin
     }
   )
 

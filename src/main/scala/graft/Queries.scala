@@ -6652,15 +6652,15 @@ object Queries {
       "graft_ivfpq_index"
     ).getAbsolutePath
     val vecs = t(s, dir, "embeddings")
-    val paths = Similarity.buildIvfPqIndex(vecs, col("vec_id"), col("embedding"), nlist = 16, m = 16, ksub = 16, root = root)
+    val idx = Similarity.buildIvfPqIndex(vecs, col("vec_id"), col("embedding"), nlist = 16, m = 16, ksub = 16, root = root)
     val served = Similarity
-      .servedIvfPqTopK(vecs.filter(col("vec_id") < 50), col("vec_id"), col("embedding"), paths, nprobe = 4, k = 3)
+      .servedIvfPqTopK(vecs.filter(col("vec_id") < 50), col("vec_id"), col("embedding"), idx.paths, nprobe = 4, k = 3)
       .withColumnRenamed("rank", "rnk")
+    // the in-memory probe on the SAME training: storage is the only
+    // variable between the two plans (training itself is deterministic
+    // and oracle-pinned by q193)
     val direct = Similarity
-      .ivfPqTopK(
-        vecs, col("vec_id"), col("embedding"), col("vec_id") < 50,
-        nlist = 16, nprobe = 4, m = 16, ksub = 16, k = 3
-      )
+      .inMemoryIvfPqTopK(vecs, col("vec_id"), col("embedding"), col("vec_id") < 50, idx, nprobe = 4, k = 3)
       .select(col("qid"), col("rank").as("rnk"), col("nid").as("d_nid"), col("sim").as("d_sim"))
     served
       .join(direct, Seq("qid", "rnk"))
@@ -6923,5 +6923,73 @@ object Queries {
       .unionByName(level("3_year", Some(date_format(col("d"), "yyyy"))))
       .unionByName(level("4_dropped", None))
       .orderBy("level")
+  }
+
+  // Next-event training-example builder — the step that turns an event
+  // log into a sequence-model dataset: per user, ordered by (ts,
+  // event_id), each event becomes an example labeled by itself with
+  // the two previous event types as context (order-2, one deeper than
+  // q153's transition matrix), plus the standard hash train/valid
+  // split. The lag windows are PARTITIONED BY user (key cardinality,
+  // shards across the cluster); the emitted artifact is the dataset
+  // CARD — example counts and user coverage per (split, context,
+  // label) cell, |splits|·|E|³-bounded — the class-balance table a
+  // trainer reads before fitting.
+  def nextEventDataset(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables
+      .events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev1", lag(col("event_type"), 1).over(w))
+      .withColumn("prev2", lag(col("event_type"), 2).over(w))
+      .filter(col("prev1").isNotNull && col("prev2").isNotNull)
+      .withColumn("split", when(TextOps.hash32(col("event_id").cast("string")) % 10 < 8, "train").otherwise("valid"))
+      .groupBy(col("split"), col("prev2"), col("prev1"), col("event_type").as("label"))
+      .agg(count(lit(1)).as("n_examples"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy("split", "prev2", "prev1", "label")
+  }
+
+  // Distribution-matching resample (the CCNet move): downsample each
+  // length bucket toward the SMALLEST bucket's mass so the kept corpus
+  // is flat across buckets. Acceptance is a deterministic hash gate —
+  // keep a doc iff hash(doc_id) mod 1000 < accept_permille(bucket),
+  // with accept_permille = m·1000 div n_bucket (m = min bucket count)
+  // — the stateless, replayable acceptance production pipelines use
+  // (a per-bucket exact-rank cut would sort corpus/|B| rows per
+  // bucket: the q270 single-task shape). Counts are therefore
+  // hash-binomial around the target, and the report quantifies it:
+  // per-bucket before/after shares plus the achieved acceptance. The
+  // spec asserts the point of the whole op — the AFTER distribution
+  // is strictly flatter (smaller TVD to uniform) than the BEFORE.
+  // Buckets are a broadcast dimension; the corpus is scanned once.
+  def bucketResample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), expr("n_chars div 100").as("bucket"))
+    val hist = docs.groupBy("bucket").agg(count(lit(1)).as("n_before"))
+    val rates = hist
+      .crossJoin(broadcast(hist.agg(min(col("n_before")).as("m"), sum(col("n_before")).as("total"))))
+      .select(col("bucket"), col("n_before"), col("total"), expr("m * 1000 div n_before").as("accept_permille"))
+    val kept = docs
+      .join(broadcast(rates), Seq("bucket"))
+      .withColumn("keep", (TextOps.hash32(col("doc_id").cast("string")) % 1000 < col("accept_permille")).cast("long"))
+      .groupBy("bucket")
+      .agg(
+        max(col("n_before")).as("n_before"),
+        max(col("accept_permille")).as("accept_permille"),
+        sum(col("keep")).as("n_after"),
+        max(col("total")).as("total")
+      )
+    kept.persist() // bucket-bounded; read twice (rows + the total-after broadcast)
+    kept
+      .crossJoin(broadcast(kept.agg(sum(col("n_after")).as("total_after"))))
+      .select(
+        col("bucket"),
+        col("n_before"),
+        col("accept_permille"),
+        col("n_after"),
+        expr("n_before * 1000 div total").as("share_before_permille"),
+        expr("n_after * 1000 div greatest(total_after, 1)").as("share_after_permille")
+      )
+      .orderBy("bucket")
   }
 }

@@ -606,6 +606,20 @@ object Similarity {
     def pqCodes: String = s"$root/pq_codes"
   }
 
+  /** [[buildIvfPqIndex]]'s result: the stored table locations plus the
+    * trained quantizers as driver arrays — so an audit can run the
+    * in-memory probe against the SAME training and isolate the storage
+    * round-trip as the only difference (training is deterministic, but
+    * paying it twice per audit would double the build cost for no
+    * extra coverage — q193's oracle already pins the trained values).
+    */
+  final case class IvfPqIndex(
+      paths: IvfPqIndexPaths,
+      coarse: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      dsub: Int
+  )
+
   /** BUILD + STORE: train exactly the [[ivfPqTopK]] quantizers
     * (deterministic Lloyd, same cached frame for both trainings), then
     * persist the four index tables through [[RetryingSink]] — the
@@ -623,7 +637,7 @@ object Similarity {
       ksub: Int,
       root: String,
       lloydIters: Int = 2
-  ): IvfPqIndexPaths = {
+  ): IvfPqIndex = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val base = vecs.select(id.as("vid"), emb.as("e")).persist()
@@ -642,7 +656,39 @@ object Similarity {
     )
     graft.sinks.RetryingSink.overwriteParquet(pqCodes(base, codebooks, dsub), paths.pqCodes)
     base.unpersist(blocking = true)
-    paths
+    IvfPqIndex(paths, coarse, codebooks, dsub)
+  }
+
+  /** The in-memory IVF-PQ probe for GIVEN quantizers — exactly
+    * [[ivfPqTopK]] after training (coarse pruning from `vecs`, ADC
+    * over recomputed codes + LUT). The q272 audit runs this against
+    * [[servedIvfPqTopK]] on the same [[IvfPqIndex]] so storage is the
+    * only variable between the two plans.
+    */
+  def inMemoryIvfPqTopK(
+      vecs: DataFrame,
+      id: Column,
+      emb: Column,
+      isQuery: Column,
+      idx: IvfPqIndex,
+      nprobe: Int,
+      k: Int
+  ): DataFrame = {
+    val base = vecs.select(id.as("vid"), emb.as("e"), isQuery.as("is_q"))
+    val corpusCells = base.select(col("vid").as("nid"), element_at(cellsOf(col("e"), idx.coarse, 1), 1).as("ccell"))
+    val probes = base
+      .filter(col("is_q"))
+      .select(col("vid").as("qid"), explode(cellsOf(col("e"), idx.coarse, nprobe)).as("ccell"))
+    val cand = probes
+      .join(corpusCells, Seq("ccell"))
+      .filter(col("qid") =!= col("nid"))
+      .select("qid", "nid")
+    val scored = cand
+      .join(pqCodes(base, idx.codebooks, idx.dsub), Seq("nid"))
+      .join(broadcast(pqLut(base, idx.codebooks, idx.dsub)), Seq("qid", "sub", "cell"))
+      .groupBy("qid", "nid")
+      .agg(sum(col("d")).cast("double").as("sim"))
+    topKPerQuery(scored, k)
   }
 
   /** PROBE a stored index: queries are scored against the READ-BACK

@@ -1806,4 +1806,44 @@ class QueriesSpec extends SparkSpec {
     }
     rows.foreach(r => assert(r.getAs[Long]("n_suppressed") < 5L * r.getAs[Long]("n_small_groups") + 1L))
   }
+
+  test("next-event dataset: example count closes against per-user sequence lengths; both splits populated") {
+    import org.apache.spark.sql.functions._
+    val rows = Queries.nextEventDataset(spark, sfDir).collect()
+    // every user with n events contributes exactly max(0, n−2) examples
+    val expected = graft.sources.Tables
+      .events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(greatest(count(lit(1)) - 2, lit(0L)).as("n"))
+      .agg(sum("n"))
+      .head()
+      .getLong(0)
+    assert(rows.map(_.getAs[Long]("n_examples")).sum === expected)
+    val splits = rows.map(_.getAs[String]("split")).distinct.sorted
+    assert(splits.toSeq === Seq("train", "valid"))
+    val tr = rows.filter(_.getAs[String]("split") == "train").map(_.getAs[Long]("n_examples")).sum
+    val va = rows.filter(_.getAs[String]("split") == "valid").map(_.getAs[Long]("n_examples")).sum
+    // 80/20 hash split within binomial slack
+    assert(math.abs(tr * 10 - (tr + va) * 8) < (tr + va), s"split skewed: train=$tr valid=$va")
+    rows.foreach(r => assert(r.getAs[Long]("n_users") <= r.getAs[Long]("n_examples")))
+  }
+
+  test("bucket resample: the kept corpus is strictly flatter across length buckets") {
+    val rows = Queries.bucketResample(spark, sfDir).collect()
+    assert(rows.length > 2)
+    def tvd(shares: Seq[Long]): Long = {
+      val u = 1000L / shares.length
+      shares.map(x => math.abs(x - u)).sum
+    }
+    val before = tvd(rows.map(_.getAs[Long]("share_before_permille")).toSeq)
+    val after = tvd(rows.map(_.getAs[Long]("share_after_permille")).toSeq)
+    assert(after < before, s"resample must flatten: TVD before=$before after=$after")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_after") <= r.getAs[Long]("n_before"))
+      assert(r.getAs[Long]("accept_permille") <= 1000L)
+      // the hash gate lands within binomial slack of the target rate
+      val want = r.getAs[Long]("n_before") * r.getAs[Long]("accept_permille") / 1000L
+      assert(math.abs(r.getAs[Long]("n_after") - want) <= math.max(8L, want / 4), s"bucket ${r.getAs[Long]("bucket")}")
+    }
+  }
 }
