@@ -5802,19 +5802,34 @@ object Queries {
   // which would funnel the whole customer aggregate through one task
   // three times. Output is ≤125 segments.
   def rfmSegments(s: SparkSession, dir: String): DataFrame = {
-    val perCust = t(s, dir, "orders")
+    val base = t(s, dir, "orders")
       .groupBy("o_custkey")
       .agg(
         max(col("o_orderdate")).as("last_day"),
         count(lit(1)).as("freq"),
         sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents")
       )
-      .crossJoin(broadcast(t(s, dir, "orders").agg(max(col("o_orderdate")).as("anchor"), countDistinct(col("o_custkey")).as("n"))))
+    base.persist() // consumed by its own anchor/n rollup and the rank passes
+    // anchor = max(last_day), n = row count — both from the CUSTOMER
+    // aggregate, never a second corpus-cardinality pass over orders
+    val perCust = base
+      .crossJoin(broadcast(base.agg(max(col("last_day")).as("anchor"), count(lit(1)).as("n"))))
       .withColumn("rec_days", datediff(col("anchor"), col("last_day")).cast("long"))
-    perCust.persist() // three rank passes (histogram + rank each) share the aggregate
-    val (r1, _) = Ntile.exactRank(perCust, col("rec_days"), col("o_custkey"), binWidth = 16.0, rankCol = "r_rn")
-    val (r2, _) = Ntile.exactRank(r1, -col("freq"), col("o_custkey"), binWidth = 1.0, rankCol = "f_rn")
-    val (r3, _) = Ntile.exactRank(r2, -col("cents"), col("o_custkey"), binWidth = 100000.0, rankCol = "m_rn")
+    // ALL THREE ranks through one fused histogram job (Ntile.exactRanks)
+    // — three sequential exactRank calls would pay a histogram-collect
+    // job each. Bench note: at sf0.1 this query is plan-compile-bound
+    // (~2.7 s of whole-stage-codegen for the agg/persist/histogram/
+    // multi-window plans over a 15k-row aggregate — profiled, not
+    // data); the r06 single-partition-window form was 0.5 s here and
+    // unrunnable at customer cardinality. That is the intended trade.
+    val r3 = Ntile.exactRanks(
+      perCust,
+      Seq(
+        Ntile.RankSpec(col("rec_days"), col("o_custkey"), 16.0, "r_rn"),
+        Ntile.RankSpec(-col("freq"), col("o_custkey"), 1.0, "f_rn"),
+        Ntile.RankSpec(-col("cents"), col("o_custkey"), 100000.0, "m_rn")
+      )
+    )
     val ranked = r3
       .select(
         col("o_custkey"),

@@ -79,6 +79,46 @@ object Ntile {
     (ranked, total)
   }
 
+  /** One rank dimension for [[exactRanks]]: rank = `row_number() OVER
+    * (ORDER BY value, tieKey)`, bins of `binWidth`, output `rankCol`.
+    */
+  final case class RankSpec(value: Column, tieKey: Column, binWidth: Double, rankCol: String)
+
+  /** Several exact global ranks over the SAME frame for the cost of
+    * ONE histogram job: the q267 shape (R/F/M quintile ranks over one
+    * customer aggregate) would otherwise pay a sequential
+    * histogram-collect job per dimension. All dimensions' bin counts
+    * go through a single exploded (dim, bin) aggregation + driver
+    * collect; the per-dim offsets broadcast back as tiny joins and the
+    * within-bin windows land in one final job.
+    */
+  def exactRanks(df: DataFrame, specs: Seq[RankSpec]): DataFrame = {
+    val spark = df.sparkSession
+    val binned = specs.zipWithIndex.foldLeft(df) { case (d, (sp, i)) =>
+      d.withColumn(s"__bin_$i", floor(sp.value / sp.binWidth).cast("long"))
+    }
+
+    // one (dim, bin) histogram job covering every rank dimension
+    val hist = binned
+      .select(explode(array(specs.indices.map(i => struct(lit(i).as("d"), col(s"__bin_$i").as("b"))): _*)).as("x"))
+      .groupBy(col("x.d").as("d"), col("x.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getAs[Int]("d"), r.getAs[Long]("b"), r.getAs[Long]("c")))
+
+    specs.zipWithIndex.foldLeft(binned) { case (out, (sp, i)) =>
+      val h = hist.filter(_._1 == i).map(t => (t._2, t._3)).sortBy(_._1)
+      var acc = 0L
+      val offsets = h.map { case (b, c) => val o = acc; acc += c; (b, o) }
+      val offDf = broadcast(spark.createDataFrame(offsets.toIndexedSeq).toDF(s"__bin_$i", s"__off_$i"))
+      val w = Window.partitionBy(col(s"__bin_$i")).orderBy(sp.value.asc, sp.tieKey.asc)
+      out
+        .join(offDf, s"__bin_$i")
+        .withColumn(sp.rankCol, col(s"__off_$i") + row_number().over(w))
+        .drop(s"__bin_$i", s"__off_$i")
+    }
+  }
+
   /** `df` plus a BIGINT `cumCol` — exactly
     * `sum(weight) OVER (ORDER BY value, tieKey ROWS UNBOUNDED
     * PRECEDING)` (the INCLUSIVE running total), computed with the same

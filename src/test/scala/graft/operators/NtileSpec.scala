@@ -42,6 +42,25 @@ class NtileSpec extends SparkSpec {
     assert(summed.orderBy(desc("cum")).select("cum").head().getLong(0) === total)
   }
 
+  test("exactRanks (fused) matches three independent exactRank passes column-for-column") {
+    val fused = Ntile.exactRanks(
+      df,
+      Seq(
+        Ntile.RankSpec(col("v"), col("id"), 5.0, "ra"),
+        Ntile.RankSpec(-col("v"), col("id"), 5.0, "rb"),
+        Ntile.RankSpec(col("wt"), col("id"), 1.0, "rc")
+      )
+    )
+    val (ea, _) = Ntile.exactRank(df, col("v"), col("id"), 5.0, "ea")
+    val (eb, _) = Ntile.exactRank(df, -col("v"), col("id"), 5.0, "eb")
+    val (ec, _) = Ntile.exactRank(df, col("wt"), col("id"), 1.0, "ec")
+    val joined = fused
+      .join(ea.select("id", "ea"), "id")
+      .join(eb.select("id", "eb"), "id")
+      .join(ec.select("id", "ec"), "id")
+    assert(joined.filter(col("ra") =!= col("ea") || col("rb") =!= col("eb") || col("rc") =!= col("ec")).count() === 0)
+  }
+
   test("exactRank descending via negated value matches desc row_number") {
     val (ranked, _) = Ntile.exactRank(df, -col("v"), col("id"), binWidth = 5.0, rankCol = "r")
     val expected = df.withColumn("r2", row_number().over(Window.orderBy(col("v").desc, col("id"))).cast("long"))
