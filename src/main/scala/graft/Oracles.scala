@@ -3584,6 +3584,65 @@ object Oracles {
          |  n_before * 1000 // total AS share_before_permille,
          |  n_after * 1000 // greatest(total_after, 1) AS share_after_permille
          |FROM g, ta ORDER BY bucket""".stripMargin
+    },
+    // mod vs rendezvous placement under N=8 -> 9; rendezvous argmax via
+    // the packed score*16 + (15-j) integer so max() decides the shard
+    "q280_consistent_hash_resize" -> {
+      val h = hx("CAST(doc_id AS VARCHAR)")
+      val hj = hx("CAST(doc_id AS VARCHAR) || '#shard' || j")
+      s"""WITH d AS (SELECT doc_id, $h AS h FROM documents),
+         |x AS (SELECT doc_id, h, j, $hj * 16 + (15 - j) AS packed
+         |  FROM d, (SELECT unnest(generate_series(0, 8)) AS j)),
+         |p AS (SELECT doc_id, h, max(CASE WHEN j < 8 THEN packed END) AS p_old, max(packed) AS p_new
+         |  FROM x GROUP BY 1, 2),
+         |m AS (SELECT doc_id,
+         |    CASE WHEN h % 8 <> h % 9 THEN 1 ELSE 0 END AS moved_mod,
+         |    CASE WHEN p_old % 16 <> p_new % 16 THEN 1 ELSE 0 END AS moved_rv
+         |  FROM p),
+         |a AS (SELECT count(*) AS n_docs, CAST(sum(moved_mod) AS BIGINT) AS mm,
+         |    CAST(sum(moved_rv) AS BIGINT) AS mr FROM m)
+         |SELECT '1_mod' AS scheme, n_docs, mm AS n_moved, mm * 1000 // n_docs AS moved_permille FROM a
+         |UNION ALL
+         |SELECT '2_rendezvous', n_docs, mr, mr * 1000 // n_docs FROM a
+         |ORDER BY scheme""".stripMargin
+    },
+    // top-3-df conjunctive cascade; the oracle computes the stage
+    // counts once (index and scan are the same VALUES — the two-path
+    // audit is engine-side machinery) and pins the equality flag
+    "q281_boolean_retrieval" ->
+      raw"""WITH p AS (SELECT DISTINCT doc_id, w FROM (
+         |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents)),
+         |dfq AS (SELECT w, count(*) AS df FROM p GROUP BY w),
+         |t3 AS (SELECT w, df, stage FROM (
+         |    SELECT w, df, CAST(row_number() OVER (ORDER BY df DESC, w) AS INTEGER) AS stage FROM dfq)
+         |  WHERE stage <= 3),
+         |dc AS (SELECT p.doc_id, t3.stage FROM p JOIN t3 ON t3.w = p.w),
+         |cm AS (SELECT dc.doc_id, s.stage FROM dc,
+         |    (SELECT CAST(unnest(generate_series(1, 3)) AS INTEGER) AS stage) s
+         |  WHERE dc.stage <= s.stage GROUP BY dc.doc_id, s.stage
+         |  HAVING count(DISTINCT dc.stage) = s.stage),
+         |cnt AS (SELECT stage, count(*) AS n_matching FROM cm GROUP BY stage)
+         |SELECT t3.stage, t3.w AS term, t3.df, cnt.n_matching, cnt.n_matching AS n_direct,
+         |  CAST(1 AS BIGINT) AS index_eq_scan
+         |FROM t3 JOIN cnt ON cnt.stage = t3.stage ORDER BY t3.stage""".stripMargin,
+    // balance quintiles (real ntile), F-order target, +1 Laplace WOE in
+    // micro-nats, IV contribution in cross-multiplied nanos
+    "q282_woe_encoding" -> {
+      def mn(e: String) = s"CAST(floor(ln(CAST($e AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+      val woe = s"${mn("(n_good + 1) * (bb + 5)")} - ${mn("(n_bad + 1) * (g + 5)")}"
+      s"""WITH f AS (SELECT c.c_custkey, c.c_acctbal,
+         |    CASE WHEN fo.ck IS NOT NULL THEN 1 ELSE 0 END AS pos
+         |  FROM customer c LEFT JOIN (
+         |    SELECT DISTINCT o_custkey AS ck FROM orders WHERE o_orderstatus = 'F') fo
+         |  ON fo.ck = c.c_custkey),
+         |bkt AS (SELECT *, CAST(ntile(5) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS bucket FROM f),
+         |per AS (SELECT bucket, count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_good,
+         |    CAST(sum(1 - pos) AS BIGINT) AS n_bad FROM bkt GROUP BY bucket),
+         |tt AS (SELECT CAST(sum(n_good) AS BIGINT) AS g, CAST(sum(n_bad) AS BIGINT) AS bb FROM per),
+         |w AS (SELECT bucket, n, n_good, n_bad, g, bb, $woe AS woe_micro FROM per, tt)
+         |SELECT bucket, n, n_good, n_bad, woe_micro,
+         |  (n_good * bb - n_bad * g) * woe_micro // (g * bb) AS iv_nano
+         |FROM w ORDER BY bucket""".stripMargin
     }
   )
 

@@ -7007,4 +7007,140 @@ object Queries {
       )
       .orderBy("bucket")
   }
+
+  // Consistent-hashing resize audit — the infrastructure question
+  // behind every shard/bucket count change (compaction targets, state
+  // stores, the q273 shards): growing N→N+1 shards, what fraction of
+  // keys MOVE? Mod-hashing reassigns ~N/(N+1) of all keys (every
+  // downstream cache/co-location invalidated); rendezvous (highest-
+  // random-weight) hashing reassigns only the ~1/(N+1) that land on
+  // the new shard — the whole point of consistent placement. Both
+  // schemes are computed per doc in one pass: rendezvous scores are
+  // hash(doc,shard) packed with the shard id into one integer
+  // (score·16 + (15−j)), so the per-doc argmax is a plain max and the
+  // winning shard falls out of the modulus — no argmax-with-tiebreak
+  // construct needed on either engine. Output: 2 rows.
+  def consistentHashResize(s: SparkSession, dir: String): DataFrame = {
+    val nOld = 8
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val scored = docs
+      .select(
+        col("doc_id"),
+        TextOps.hash32(col("doc_id").cast("string")).as("h"),
+        explode(array((0 until nOld + 1).map(j =>
+          struct(
+            lit(j).as("j"),
+            (TextOps.hash32(concat(col("doc_id").cast("string"), lit(s"#shard$j"))) * 16 + (15 - j)).as("packed")
+          )
+        ): _*)).as("x")
+      )
+      .select(col("doc_id"), col("h"), col("x.j").as("j"), col("x.packed").as("packed"))
+    val perDoc = scored
+      .groupBy("doc_id", "h")
+      .agg(
+        max(when(col("j") < nOld, col("packed"))).as("p_old"),
+        max(col("packed")).as("p_new")
+      )
+      .select(
+        col("doc_id"),
+        (col("h") % nOld =!= col("h") % (nOld + 1)).cast("long").as("moved_mod"),
+        (lit(15) - col("p_old") % 16 =!= lit(15) - col("p_new") % 16).cast("long").as("moved_rv")
+      )
+    perDoc
+      .agg(count(lit(1)).as("n_docs"), sum(col("moved_mod")).as("mm"), sum(col("moved_rv")).as("mr"))
+      .select(
+        explode(
+          array(
+            struct(lit("1_mod").as("scheme"), col("n_docs"), col("mm").as("n_moved")),
+            struct(lit("2_rendezvous").as("scheme"), col("n_docs"), col("mr").as("n_moved"))
+          )
+        ).as("r")
+      )
+      .select(col("r.scheme").as("scheme"), col("r.n_docs").as("n_docs"), col("r.n_moved").as("n_moved"))
+      .withColumn("moved_permille", expr("n_moved * 1000 div n_docs"))
+      .orderBy("scheme")
+  }
+
+  // Conjunctive boolean retrieval over an inverted index — the
+  // posting-list intersection every keyword search engine runs before
+  // ranking (q198's BM25 scores a candidate set; THIS is how the
+  // candidate set is built): the three highest-df corpus terms are
+  // intersected most-selective-LAST (classic cascade order), and each
+  // cascade stage is a count over the postings semi-intersections.
+  // The audit recomputes the final count by direct text scan (all
+  // three terms present) — index and scan must agree exactly. The
+  // postings table is the vocab-keyed distinct frame; term selection
+  // is a vocab-bounded top-3 (driver literals, bounded like the IVF
+  // centroid pull); every join is doc_id-keyed.
+  def booleanRetrieval(s: SparkSession, dir: String): DataFrame = {
+    val postings = t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      .distinct()
+    postings.persist()
+    val terms = postings
+      .groupBy("w")
+      .agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), col("w"))
+      .limit(3)
+      .collect()
+      .map(r => (r.getAs[String]("w"), r.getAs[Long]("df")))
+    val ws = terms.map(_._1)
+    // cascade: docs containing terms[0], then ∩ terms[1], then ∩ terms[2]
+    def docsWith(w: String) = postings.filter(col("w") === w).select("doc_id")
+    val cums = ws.indices.map { i =>
+      ws.take(i + 1).map(docsWith).reduce((a, b) => a.join(b, Seq("doc_id"))).count()
+    }
+    // per-stage direct text scans — the index must agree at EVERY stage
+    val direct = ws.indices.map { i =>
+      val d = t(s, dir, "documents").select(TextOps.tokens(col("text")).as("ts"))
+      ws.take(i + 1).foldLeft(d) { case (df, w) => df.filter(array_contains(col("ts"), w)) }.count()
+    }
+    import s.implicits._
+    terms.zipWithIndex
+      .map { case ((w, df), i) => (i + 1, w, df, cums(i), direct(i)) }
+      .toSeq
+      .toDF("stage", "term", "df", "n_matching", "n_direct")
+      .withColumn("index_eq_scan", (col("n_matching") === col("n_direct")).cast("long"))
+      .orderBy("stage")
+  }
+
+  // Weight-of-evidence encoding — the credit-scoring feature transform
+  // (and a corpus-quality binning tool): customers cut into EXACT
+  // balance quintiles (Ntile.exact — the distributed ntile, q67's
+  // machinery), target = "has at least one F-status order", and per
+  // bucket WOE = ln((good_i/G)/(bad_i/B)) with +1 Laplace smoothing so
+  // empty cells never hit ln(0):
+  //   woe_micro = mn((good_i+1)·(B+k)) − mn((bad_i+1)·(G+k))
+  // — exact integer micro-nats (the q237 pattern), and the information
+  // value contribution iv_nano = (good_i·B − bad_i·G)·woe_micro div
+  // (G·B) in cross-multiplied integers. The orders side collapses to
+  // a per-customer flag before joining the customer dimension.
+  def woeEncoding(s: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val flagged = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+      .join(
+        t(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("c_custkey"))
+          .distinct()
+          .withColumn("pos", lit(1L)),
+        Seq("c_custkey"),
+        "left"
+      )
+      .select(col("c_custkey"), col("c_acctbal"), coalesce(col("pos"), lit(0L)).as("pos"))
+    val bucketed = Ntile.exact(flagged, col("c_acctbal"), col("c_custkey"), k = k, binWidth = 100.0, bucketCol = "bucket")
+    val per = bucketed
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_good"), sum(lit(1L) - col("pos")).as("n_bad"))
+    per
+      .crossJoin(broadcast(per.agg(sum(col("n_good")).as("g"), sum(col("n_bad")).as("b"))))
+      .withColumn(
+        "woe_micro",
+        microNats((col("n_good") + 1) * (col("b") + k)) - microNats((col("n_bad") + 1) * (col("g") + k))
+      )
+      .withColumn("iv_nano", expr("(n_good * b - n_bad * g) * woe_micro div (g * b)"))
+      .select("bucket", "n", "n_good", "n_bad", "woe_micro", "iv_nano")
+      .orderBy("bucket")
+  }
 }

@@ -1846,4 +1846,43 @@ class QueriesSpec extends SparkSpec {
       assert(math.abs(r.getAs[Long]("n_after") - want) <= math.max(8L, want / 4), s"bucket ${r.getAs[Long]("bucket")}")
     }
   }
+
+  test("consistent-hash resize: rendezvous moves ~1/(N+1) of keys, mod moves ~N/(N+1)") {
+    val rows = Queries.consistentHashResize(spark, sfDir).collect().map(r => r.getAs[String]("scheme") -> r).toMap
+    val mod = rows("1_mod").getAs[Long]("moved_permille")
+    val rv = rows("2_rendezvous").getAs[Long]("moved_permille")
+    // N=8 -> 9: theory says mod ≈ 8/9 ≈ 889‰, rendezvous ≈ 1/9 ≈ 111‰
+    assert(math.abs(mod - 889) < 80, s"mod moved $mod permille, expected ~889")
+    assert(math.abs(rv - 111) < 80, s"rendezvous moved $rv permille, expected ~111")
+    assert(rv * 4 < mod, "rendezvous must move far fewer keys than mod")
+  }
+
+  test("boolean retrieval: the cascade narrows monotonically and the index agrees with the scan at every stage") {
+    val rows = Queries.booleanRetrieval(spark, sfDir).collect().sortBy(_.getAs[Int]("stage"))
+    assert(rows.length === 3)
+    rows.foreach(r => assert(r.getAs[Long]("index_eq_scan") === 1L, s"stage ${r.getAs[Int]("stage")} diverged"))
+    assert(rows.head.getAs[Long]("n_matching") === rows.head.getAs[Long]("df"), "stage 1 is the first term's posting list")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("df") >= b.getAs[Long]("df"), "terms ordered by df desc")
+      assert(a.getAs[Long]("n_matching") >= b.getAs[Long]("n_matching"), "intersection can only narrow")
+    }
+    rows.foreach(r => assert(r.getAs[Long]("n_matching") <= r.getAs[Long]("df")))
+  }
+
+  test("woe encoding: totals close, woe sign tracks the smoothed odds ratio, information value non-negative") {
+    val rows = Queries.woeEncoding(spark, sfDir).collect()
+    assert(rows.length === 5)
+    val g = rows.map(_.getAs[Long]("n_good")).sum
+    val b = rows.map(_.getAs[Long]("n_bad")).sum
+    val n = rows.map(_.getAs[Long]("n")).sum
+    assert(g + b === n)
+    rows.foreach { r =>
+      val woe = r.getAs[Long]("woe_micro")
+      // sign check against the smoothed cross-ratio the definition uses
+      val lhs = (r.getAs[Long]("n_good") + 1) * (b + 5)
+      val rhs = (r.getAs[Long]("n_bad") + 1) * (g + 5)
+      assert((woe > 0) === (lhs > rhs) || woe == 0L)
+      assert(r.getAs[Long]("iv_nano") >= -1000L, "IV contributions are non-negative up to smoothing slack")
+    }
+  }
 }
