@@ -590,6 +590,46 @@ class PlanSpec extends SparkSpec {
       s"form joins must stay equi-keyed (f = nfc(g)):\n$p")
   }
 
+  // The round-6 verdict's regression-killer: q262/q267/q270 each shipped
+  // correct but with a corpus-cardinality unpartitioned rank window — the
+  // plan shape that dies first at 100×. The per-query fixes above pin the
+  // replacements; THIS sweep makes the class structurally impossible: every
+  // registered query's optimized plan is walked, and an unpartitioned
+  // logical Window is a failure unless the query is on the allowlist below,
+  // where each entry names the bound that makes the single-partition sort
+  // safe (vocab-/dimension-/bin-count-cardinality input, never the corpus).
+  // The comparison is EXACT set equality, so an allowlist entry whose
+  // window disappears goes stale loudly instead of rotting.
+  test("registry sweep: no unpartitioned window over an unbounded frame in any registered query plan") {
+    val allowlisted: Map[String, String] = Map(
+      "q114_user_growth" -> "cumulative sum over the per-DAY first-seen aggregate — date-cardinality",
+      "q173_pareto_frontier" -> "prefix max over the per-day max aggregate — date-cardinality (the documented q67-lesson posture)",
+      "q180_open_order_concurrency" -> "sweep-line running sum over per-day deltas — date-cardinality (own plan test above)",
+      "q198_bm25_topk" -> "rank assigned AFTER limit(10) — 10-row frame",
+      "q229_range_layout" -> "lead() over the per-FILE min/max frame — file-count (4) cardinality",
+      "q233_ks_drift" -> "CDF running sum over the distinct value support, post keyed histogram reduction",
+      "q245_oov_report" -> "vocab truncation over the |V|-bounded aggregate — the documented standard move",
+      "q247_quantile_sketch" -> "two rank passes over the occupied GRID BINS, post keyed reduction",
+      "q262_classifier_gains" -> "cut lookup over the ≤10-row decile aggregate (own plan test asserts the bound)"
+    )
+    val offenders = scala.collection.mutable.SortedMap[String, Int]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      val bare = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+      }
+      if (bare.nonEmpty) offenders(name) = bare.length
+    }
+    spark.catalog.clearCache()
+    val unexpected = offenders.keySet -- allowlisted.keySet
+    val stale = allowlisted.keySet -- offenders.keySet
+    assert(
+      unexpected.isEmpty,
+      s"unpartitioned Window in queries not allowlisted as bounded: ${unexpected.mkString(", ")} (counts: $offenders)"
+    )
+    assert(stale.isEmpty, s"allowlist entries whose unpartitioned window no longer exists — remove them: ${stale.mkString(", ")}")
+  }
+
   test("collated census (q240): corpus is touched only by the grouping — the unhashable ICU join runs post-aggregation") {
     val df = Queries.collatedCensus(spark, sfDir)
     val p = plan(df)
