@@ -3643,7 +3643,76 @@ object Oracles {
          |SELECT bucket, n, n_good, n_bad, woe_micro,
          |  (n_good * bb - n_bad * g) * woe_micro // (g * bb) AS iv_nano
          |FROM w ORDER BY bucket""".stripMargin
-    }
+    },
+    // DSIR hashed-unigram importance weights: target = the 'en' slice,
+    // raw = the whole corpus, 1024 Laplace-smoothed buckets, per-doc
+    // weight in exact integer micro-nats, rolled up per source
+    "q283_importance_weights" -> {
+      def mn(e: String) = s"CAST(floor(ln(CAST($e AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+      val h = hx("w")
+      raw"""WITH tok AS (SELECT doc_id, source, lang,
+         |    unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents),
+         |bk AS (SELECT doc_id, source, lang, HX % 1024 AS b FROM tok),
+         |cr AS (SELECT b, count(*) AS cr FROM bk GROUP BY b),
+         |ct AS (SELECT b, count(*) AS ct FROM bk WHERE lang = 'en' GROUP BY b),
+         |lut AS (SELECT cr.b, COALESCE(ct.ct, 0) AS ct, cr.cr FROM cr LEFT JOIN ct ON ct.b = cr.b),
+         |inc AS (SELECT b, ${mn("ct + 1")} - ${mn("cr + 1")} AS inc FROM lut),
+         |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr FROM lut),
+         |pd AS (SELECT x.doc_id, x.source, count(*) AS n_tok, CAST(sum(inc) AS BIGINT) AS sum_inc
+         |  FROM bk x JOIN inc ON inc.b = x.b GROUP BY 1, 2),
+         |w AS (SELECT doc_id, source, n_tok,
+         |    sum_inc - n_tok * (${mn("tt + 1024")} - ${mn("tr + 1024")}) AS w_micro FROM pd, tot),
+         |cp AS (SELECT CAST(sum(w_micro) AS BIGINT) AS sw, CAST(sum(n_tok) AS BIGINT) AS st FROM w),
+         |sel AS (SELECT source, w_micro,
+         |    CASE WHEN CAST(w_micro AS HUGEINT) * st > CAST(n_tok AS HUGEINT) * sw
+         |      THEN 1 ELSE 0 END AS selected, n_tok FROM w, cp)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(w_micro) // count(*) AS BIGINT) AS mean_w_micro,
+         |  CAST(sum(w_micro) // sum(n_tok) AS BIGINT) AS rate_micro,
+         |  CAST(sum(selected) AS BIGINT) AS n_selected,
+         |  CAST(sum(selected) * 1000 // count(*) AS BIGINT) AS selected_permille
+         |FROM sel GROUP BY source ORDER BY source""".stripMargin.replace("HX", h)
+    },
+    // greedy bigram decode: per-context argmax transition table (ties
+    // to the smallest continuation), four unrolled decode joins from
+    // the five most frequent seeds; terminal tokens null out
+    "q284_greedy_decode" ->
+      raw"""WITH d AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         |tok AS (SELECT unnest(ws) AS w FROM d),
+         |bg AS (SELECT ws[i] AS l, ws[i+1] AS r FROM (
+         |    SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM d WHERE len(ws) >= 2)),
+         |c AS (SELECT l, r, count(*) AS cnt FROM bg GROUP BY 1, 2),
+         |best AS (SELECT l, r AS nxt FROM (
+         |    SELECT l, r, row_number() OVER (PARTITION BY l ORDER BY cnt DESC, r) AS rn FROM c)
+         |  WHERE rn = 1),
+         |seeds AS (SELECT CAST(row_number() OVER (ORDER BY freq DESC, w) AS INTEGER) AS rnk, w AS seed
+         |  FROM (SELECT w, count(*) AS freq FROM tok GROUP BY w ORDER BY freq DESC, w LIMIT 5))
+         |SELECT rnk, seed, b1.nxt AS s1, b2.nxt AS s2, b3.nxt AS s3, b4.nxt AS s4
+         |FROM seeds
+         |LEFT JOIN best b1 ON b1.l = seeds.seed
+         |LEFT JOIN best b2 ON b2.l = b1.nxt
+         |LEFT JOIN best b3 ON b3.l = b2.nxt
+         |LEFT JOIN best b4 ON b4.l = b3.nxt
+         |ORDER BY rnk""".stripMargin,
+    // per-language fertility/TTR report: whitespace words vs the
+    // BPE-floor token count vs chars, ratios in integer permille
+    "q285_tokenizer_fertility" ->
+      raw"""WITH pd AS (SELECT lang, doc_id,
+         |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+         |    CAST(len(regexp_split_to_array(trim(text), '\s+'))
+         |      + length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS n_bpe,
+         |    n_chars FROM documents),
+         |ty AS (SELECT lang, CAST(count(DISTINCT w) AS BIGINT) AS n_types, count(*) AS n_tokens FROM (
+         |    SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents)
+         |  GROUP BY lang),
+         |ag AS (SELECT lang, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS n_words,
+         |    CAST(sum(n_bpe) AS BIGINT) AS n_bpe, CAST(sum(n_chars) AS BIGINT) AS n_chars
+         |  FROM pd GROUP BY lang)
+         |SELECT ag.lang, n_docs, n_words, n_bpe,
+         |  n_bpe * 1000 // n_words AS fertility_permille,
+         |  n_chars * 1000 // n_bpe AS chars_per_token_permille,
+         |  n_types * 1000 // n_tokens AS ttr_permille
+         |FROM ag JOIN ty ON ty.lang = ag.lang ORDER BY ag.lang""".stripMargin
   )
 
   /** q195/q246 shared winnowing chain: char-8-gram 60-bit prints,

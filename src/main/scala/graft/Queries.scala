@@ -7143,4 +7143,162 @@ object Queries {
       .select("bucket", "n", "n_good", "n_bad", "woe_micro", "iv_nano")
       .orderBy("bucket")
   }
+
+  // DSIR-style importance weighting (Xie et al., "Data Selection for
+  // Language Models via Importance Resampling"): score every document
+  // by how much likelier its tokens are under a TARGET-domain unigram
+  // LM (here: the English slice) than under the RAW-corpus LM, over
+  // HASHED n-gram bucket features — the trick that makes the LMs
+  // fixed-size (1024 buckets) regardless of vocabulary, so both count
+  // tables broadcast at any corpus scale. With +1 Laplace smoothing
+  // every bucket probability is rational and the per-doc log-weight is
+  // exact integer micro-nats:
+  //   w(d) = Σ_tok [mn(c_t[b]+1) − mn(c_r[b]+1)] − n_tok·[mn(T+B) − mn(R+B)]
+  // One corpus pass builds buckets, one broadcast join scores them.
+  // Selection: the raw weight is shifted wholesale by the target/raw
+  // smoothing imbalance (T ≪ R pulls every doc negative), so the
+  // acceptance region is RELATIVE — a doc is selected when its
+  // per-token rate beats the corpus mean rate, decided in exact
+  // cross-multiplied integers w·Σn > n·Σw (DECIMAL(38,0): at 100 TB
+  // the product is ~1e9·1e13, far past BIGINT). Per-source report =
+  // n_docs, mean weight, per-token rate, selected share. Nothing here
+  // exceeds B = 1024 rows except the doc-keyed aggregates.
+  def importanceWeights(s: SparkSession, dir: String): DataFrame = {
+    val nB = 1024
+    val docs = t(s, dir, "documents")
+    def buckets(df: DataFrame) = df
+      .select(col("doc_id"), col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+      .select(col("doc_id"), col("source"), (TextOps.hash32(col("w")) % nB).as("b"))
+    val raw = buckets(docs)
+    val cr = raw.groupBy("b").agg(count(lit(1)).as("cr"))
+    val ct = buckets(docs.filter(col("lang") === "en")).groupBy("b").agg(count(lit(1)).as("ct"))
+    val lut = cr
+      .join(ct, Seq("b"), "left")
+      .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"), col("cr"))
+    val inc = lut.select(col("b"), (microNats(col("ct") + 1) - microNats(col("cr") + 1)).as("inc"))
+    val tot = lut.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val perDoc = raw
+      .join(broadcast(inc), Seq("b"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_tok"), sum(col("inc")).as("sum_inc"))
+      .crossJoin(broadcast(tot))
+      .withColumn(
+        "w_micro",
+        col("sum_inc") - col("n_tok") * (microNats(col("tt") + nB) - microNats(col("tr") + nB))
+      )
+      .select("doc_id", "source", "n_tok", "w_micro")
+    perDoc.persist()
+    val corpus = perDoc.agg(sum(col("w_micro")).as("sw"), sum(col("n_tok")).as("st"))
+    perDoc
+      .crossJoin(broadcast(corpus))
+      .withColumn(
+        "selected",
+        (col("w_micro").cast("decimal(38,0)") * col("st") > col("n_tok").cast("decimal(38,0)") * col("sw"))
+          .cast("long")
+      )
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("sum(w_micro) div count(1)").as("mean_w_micro"),
+        expr("sum(w_micro) div sum(n_tok)").as("rate_micro"),
+        sum(col("selected")).as("n_selected")
+      )
+      .withColumn("selected_permille", expr("n_selected * 1000 div n_docs"))
+      .orderBy("source")
+  }
+
+  // Greedy argmax decoding from the corpus bigram LM — the serving
+  // rung of the LM ladder (q215 counts → q237 scores → THIS decodes):
+  // the five most frequent corpus tokens seed four steps of
+  // most-probable-continuation generation. The decode loop never
+  // touches the corpus: one pass builds the bigram count table, an
+  // l-partitioned (so never single-partition) rank window reduces it
+  // to the greedy TRANSITION TABLE best(l) = argmax_r
+  // c(l,r) (ties to the lexicographically smallest r), and the four
+  // steps are four self-joins of seed-cardinality frames against the
+  // broadcast transition table. A terminal token (never seen as a
+  // left context) ends its chain with nulls — the left joins carry
+  // that through every later step.
+  def greedyDecode(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextOps.tokens(col("text"))
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(explode(ws).as("w"))
+    val bg = docs
+      .select(ws.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(
+        explode(
+          zip_with(
+            slice(col("ws"), lit(1), size(col("ws")) - 1),
+            slice(col("ws"), lit(2), size(col("ws")) - 1),
+            (x, y) => struct(x.as("l"), y.as("r"))
+          )
+        ).as("p")
+      )
+      .select(col("p.l").as("l"), col("p.r").as("r"))
+      .groupBy("l", "r")
+      .agg(count(lit(1)).as("cnt"))
+    val best = bg
+      .withColumn("rn", row_number().over(Window.partitionBy("l").orderBy(desc("cnt"), col("r"))))
+      .filter(col("rn") === 1)
+      .select(col("l"), col("r").as("nxt"))
+    val seeds = toks
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), col("w"))
+      .limit(5)
+      .withColumn("rnk", row_number().over(Window.orderBy(desc("freq"), col("w"))))
+      .select(col("rnk"), col("w").as("seed"))
+    (1 to 4)
+      .foldLeft(seeds.withColumn("cur", col("seed"))) { (acc, i) =>
+        val step = best.withColumnRenamed("l", "cur").withColumnRenamed("nxt", s"s$i")
+        acc.join(broadcast(step), Seq("cur"), "left").drop("cur").withColumn("cur", col(s"s$i"))
+      }
+      .select("rnk", "seed", "s1", "s2", "s3", "s4")
+      .orderBy("rnk")
+  }
+
+  // Tokenizer fertility report — the multilingual tokenizer-quality
+  // diagnostic (how many subword tokens per whitespace word, how many
+  // characters per token) that decides whether a tokenizer taxes some
+  // languages with longer sequences: per language, words vs the
+  // BPE-ish regex token count (TextOps.bpeTokenCount — words plus one
+  // token per non-alphanumeric char, the pre-merge floor a byte-level
+  // BPE starts from) vs characters, plus type-token ratio as the
+  // repetition control. All ratios in integer permille; one corpus
+  // pass for the token explode (TTR needs the distinct), one keyed
+  // rollup per language — nothing wider than |langs| leaves the agg.
+  def tokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val perDoc = docs.select(
+      col("lang"),
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_words"),
+      TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe"),
+      col("n_chars")
+    )
+    val types = docs
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("lang")
+      .agg(countDistinct(col("w")).as("n_types"), count(lit(1)).as("n_tokens"))
+    perDoc
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe")).as("n_bpe"),
+        sum(col("n_chars")).as("n_chars")
+      )
+      .join(types, Seq("lang"))
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("n_words"),
+        col("n_bpe"),
+        expr("n_bpe * 1000 div n_words").as("fertility_permille"),
+        expr("n_chars * 1000 div n_bpe").as("chars_per_token_permille"),
+        expr("n_types * 1000 div n_tokens").as("ttr_permille")
+      )
+      .orderBy("lang")
+  }
 }

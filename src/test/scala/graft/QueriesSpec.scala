@@ -1885,4 +1885,57 @@ class QueriesSpec extends SparkSpec {
       assert(r.getAs[Long]("iv_nano") >= -1000L, "IV contributions are non-negative up to smoothing slack")
     }
   }
+
+  test("importance weights: every source reported, acceptance share within [0,1000], en-heavy docs score high") {
+    val rows = Queries.importanceWeights(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pm = r.getAs[Long]("selected_permille")
+      assert(pm >= 0L && pm <= 1000L)
+      assert(r.getAs[Long]("n_selected") <= r.getAs[Long]("n_docs"))
+    }
+    // the target LM is trained on the 'en' slice: averaged over sources,
+    // SOME docs must fall on each side of the acceptance boundary —
+    // a degenerate all-positive or all-negative weighting means the
+    // two LMs collapsed to the same distribution
+    assert(rows.map(_.getAs[Long]("n_selected")).sum > 0, "nothing selected — target LM indistinguishable from raw")
+    assert(rows.exists(r => r.getAs[Long]("n_selected") < r.getAs[Long]("n_docs")), "everything selected")
+  }
+
+  test("greedy decode: five seed chains, each step is the argmax continuation of the previous token") {
+    val rows = Queries.greedyDecode(spark, sfDir).collect().sortBy(_.getAs[Int]("rnk"))
+    assert(rows.length === 5)
+    assert(rows.map(_.getAs[String]("seed")).distinct.length === 5)
+    // recompute the transition argmax for row 1's seed directly
+    val seed = rows.head.getAs[String]("seed")
+    val s1 = rows.head.getAs[String]("s1")
+    if (s1 != null) {
+      import org.apache.spark.sql.functions._
+      val bg = Queries // rebuild the bigram counts the query used
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val ws = graft.functions.TextOps.tokens(col("text"))
+      val pairs = docs
+        .select(ws.as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(explode(expr("zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), (x, y) -> struct(x AS l, y AS r))")).as("p"))
+        .select(col("p.l").as("l"), col("p.r").as("r"))
+        .filter(col("l") === seed)
+        .groupBy("r")
+        .agg(count(lit(1)).as("cnt"))
+        .collect()
+      val want = pairs.map(r => (r.getAs[Long]("cnt"), r.getAs[String]("r"))).sortBy { case (c, t) => (-c, t) }.head._2
+      assert(s1 === want, s"step 1 from '$seed' should be the argmax continuation")
+    }
+  }
+
+  test("tokenizer fertility: all five languages, fertility >= 1000 permille, TTR within (0, 1000]") {
+    val rows = Queries.tokenizerFertility(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("lang")).sorted.toSeq === Seq("de", "en", "es", "fr", "zh"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("fertility_permille") >= 1000L, "BPE-floor tokens can never undercut whitespace words")
+      val ttr = r.getAs[Long]("ttr_permille")
+      assert(ttr > 0L && ttr <= 1000L)
+      assert(r.getAs[Long]("chars_per_token_permille") > 0L)
+    }
+  }
 }
