@@ -3712,7 +3712,88 @@ object Oracles {
          |  n_bpe * 1000 // n_words AS fertility_permille,
          |  n_chars * 1000 // n_bpe AS chars_per_token_permille,
          |  n_types * 1000 // n_tokens AS ttr_permille
-         |FROM ag JOIN ty ON ty.lang = ag.lang ORDER BY ag.lang""".stripMargin
+         |FROM ag JOIN ty ON ty.lang = ag.lang ORDER BY ag.lang""".stripMargin,
+    // q80's recursive CC clusters + per-cluster majority language
+    // (ties to the smaller label) -> per-language minority census
+    "q286_cluster_label_audit" ->
+      s"""WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ($minhashSql)),
+         |sym AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+         |),
+         |cc AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+         |lab AS (SELECT d.doc_id, d.lang, cc.cluster FROM documents d JOIN cc ON cc.doc_id = d.doc_id),
+         |sz AS (SELECT cluster, count(*) AS cl_size FROM lab GROUP BY cluster),
+         |bl AS (SELECT cluster, lang, count(*) AS cnt FROM lab GROUP BY 1, 2),
+         |mj AS (SELECT cluster, lang AS maj_lang FROM (
+         |    SELECT cluster, lang, row_number() OVER (PARTITION BY cluster ORDER BY cnt DESC, lang) AS rn
+         |    FROM bl) WHERE rn = 1)
+         |SELECT lab.lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN cl_size > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_dup_clusters,
+         |  CAST(sum(CASE WHEN lab.lang <> maj_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_minority,
+         |  CAST(sum(CASE WHEN lab.lang <> maj_lang THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT) AS minority_permille
+         |FROM lab JOIN mj ON mj.cluster = lab.cluster JOIN sz ON sz.cluster = lab.cluster
+         |GROUP BY lab.lang ORDER BY lab.lang""".stripMargin,
+    // Apriori triples at support 2: the oracle counts all basket
+    // triples directly (the engine's closure pruning is lossless, so
+    // HAVING >= 2 lands on the same set), confidence from the pair join
+    "q287_frequent_triples" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |fp AS (SELECT p1, p2, count(*) AS n12 FROM (
+         |    SELECT a.ok, a.pk AS p1, c.pk AS p2 FROM b a JOIN b c ON c.ok = a.ok AND a.pk < c.pk)
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |tr AS (SELECT a.pk AS p1, c.pk AS p2, z.pk AS p3, count(*) AS n_all
+         |  FROM b a JOIN b c ON c.ok = a.ok AND a.pk < c.pk JOIN b z ON z.ok = a.ok AND c.pk < z.pk
+         |  GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+         |SELECT tr.p1, tr.p2, tr.p3, n_all, n_all * 1000 // n12 AS conf_pair_to_third_permille
+         |FROM tr JOIN fp ON fp.p1 = tr.p1 AND fp.p2 = tr.p2
+         |ORDER BY 1, 2, 3""".stripMargin,
+    // LOO unigram attribution: additive count ablation, shared-V
+    // Laplace, mean per-held-out-token micro-nats, HUGEINT sums
+    "q288_loo_source_value" -> {
+      def mn(e: String) = s"CAST(floor(ln(CAST($e AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+      val h = hx("CAST(doc_id AS VARCHAR)")
+      raw"""WITH d AS (SELECT doc_id, source, text, $h % 1000 < 100 AS ho FROM documents),
+         |trt AS (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM d WHERE NOT ho),
+         |c AS (SELECT w, count(*) AS c FROM trt GROUP BY w),
+         |ns AS (SELECT source, w, count(*) AS nsw FROM trt GROUP BY 1, 2),
+         |ts AS (SELECT source, count(*) AS t_s FROM trt GROUP BY source),
+         |gl AS (SELECT CAST(sum(c) AS BIGINT) AS tt, count(*) AS v FROM c),
+         |hot AS (SELECT w, count(*) AS f FROM (
+         |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM d WHERE ho) GROUP BY w),
+         |hs AS (SELECT hot.w, hot.f, COALESCE(c.c, 0) AS c FROM hot LEFT JOIN c ON c.w = hot.w),
+         |bn AS (SELECT CAST(sum(CAST(f AS HUGEINT) * ${mn("c + 1")}) AS HUGEINT) AS base,
+         |    CAST(sum(f) AS BIGINT) AS n_ho FROM hs),
+         |co AS (SELECT ns.source,
+         |    CAST(sum(CAST(f AS HUGEINT) * (${mn("c - nsw + 1")} - ${mn("c + 1")})) AS HUGEINT) AS corr
+         |  FROM hs JOIN ns ON ns.w = hs.w GROUP BY 1),
+         |r AS (SELECT ts.source, ts.t_s, COALESCE(co.corr, 0) AS corr FROM ts LEFT JOIN co ON co.source = ts.source)
+         |SELECT source, t_s,
+         |  CAST(base // n_ho - ${mn("tt + v")} AS BIGINT) AS mll_full_micro,
+         |  CAST((base + corr) // n_ho - ${mn("tt - t_s + v")} AS BIGINT) AS mll_loo_micro,
+         |  CAST(((base + corr) // n_ho - ${mn("tt - t_s + v")})
+         |    - (base // n_ho - ${mn("tt + v")}) AS BIGINT) AS delta_micro
+         |FROM r, bn, gl ORDER BY source""".stripMargin
+    },
+    // unequal-rate stratified hash sample, HT inverse-probability
+    // estimate vs truth, ratio cross-multiplied in HUGEINT
+    "q289_ht_estimator_audit" -> {
+      val h = hx("CAST(o_orderkey AS VARCHAR)")
+      s"""WITH o AS (SELECT o_orderpriority AS stratum,
+         |    CAST(substr(o_orderpriority, 1, 1) AS INTEGER) * 100 AS rate,
+         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         |    o_orderkey FROM orders),
+         |tru AS (SELECT stratum, count(*) AS n_pop, CAST(sum(cents) AS HUGEINT) AS truth_c FROM o GROUP BY stratum),
+         |sm AS (SELECT stratum, max(rate) AS rate, count(*) AS n_sampled,
+         |    CAST(sum(cents) AS HUGEINT) AS samp_c
+         |  FROM o WHERE $h % 1000 < rate GROUP BY stratum)
+         |SELECT tru.stratum, n_pop, n_sampled,
+         |  n_sampled * 1000 // n_pop AS sampled_permille, rate,
+         |  CAST(samp_c * 1000000 // (rate * truth_c) AS BIGINT) AS ht_ratio_permille
+         |FROM tru JOIN sm ON sm.stratum = tru.stratum ORDER BY tru.stratum""".stripMargin
+    }
   )
 
   /** q195/q246 shared winnowing chain: char-8-gram 60-bit prints,

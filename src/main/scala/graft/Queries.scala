@@ -7301,4 +7301,194 @@ object Queries {
       )
       .orderBy("lang")
   }
+
+  // Label propagation over the dedup graph — the label-noise detector
+  // duplicates give you for free: if two documents are near-duplicates
+  // they should carry the same language label, so per connected
+  // component (the q80 clusters, from the shared CandidateGraph
+  // snapshot) the majority label is the propagated truth and the
+  // minority members are the suspected mislabels. Majority is decided
+  // by a CLUSTER-partitioned rank (ties to the smaller label) — keyed,
+  // never single-partition — and the census rolls up per language:
+  // how many docs sit in multi-doc clusters, and how many disagree
+  // with their cluster's majority.
+  def clusterLabelAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val pairs = graft.operators.CandidateGraph.pairs(s, dir)
+    val cc = graft.operators.ConnectedComponents
+      .minLabel(docs.select(col("doc_id")), col("doc_id"), pairs, col("d1"), col("d2"))
+      .select(col("id").as("doc_id"), col("cluster"))
+    val labeled = docs.join(cc, Seq("doc_id"))
+    val sizes = labeled.groupBy("cluster").agg(count(lit(1)).as("cl_size"))
+    val majority = labeled
+      .groupBy("cluster", "lang")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(Window.partitionBy("cluster").orderBy(desc("cnt"), col("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("lang").as("maj_lang"))
+    labeled
+      .join(majority, Seq("cluster"))
+      .join(sizes, Seq("cluster"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("cl_size") > 1).cast("long")).as("n_in_dup_clusters"),
+        sum((col("lang") =!= col("maj_lang")).cast("long")).as("n_minority")
+      )
+      .withColumn("minority_permille", expr("n_minority * 1000 div n_docs"))
+      .orderBy("lang")
+  }
+
+  // Frequent triples — the lattice rung above q268's pairs, and the
+  // scale argument that makes Apriori viable at all: candidate triples
+  // are generated ONLY from baskets already restricted to frequent
+  // items, and each widening join is semi-pruned by the broadcast
+  // frequent-PAIR set before the next item joins in (downward closure:
+  // support(abc) ≤ support(any sub-pair), so the pruning is lossless
+  // and the intermediate never holds an infrequent prefix). Support
+  // threshold 2 — triple supports thin out fast at higher SFs, which
+  // is itself the classic Apriori observation. Confidence of the
+  // (p1,p2) → p3 rule comes from the broadcast pair-support join.
+  def frequentTriples(s: SparkSession, dir: String): DataFrame = {
+    val minSupport = 2L
+    val baskets = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val freqItems = baskets
+      .groupBy("pk")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minSupport)
+      .select("pk")
+    val fb = baskets.join(broadcast(freqItems), Seq("pk"))
+    val freqPairs = fb
+      .select(col("ok"), col("pk").as("p1"))
+      .join(fb.select(col("ok"), col("pk").as("p2")), Seq("ok"))
+      .filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2")
+      .agg(count(lit(1)).as("n12"))
+      .filter(col("n12") >= minSupport)
+    val pairSet = freqPairs.select("p1", "p2")
+    val base = fb
+      .select(col("ok"), col("pk").as("p1"))
+      .join(fb.select(col("ok"), col("pk").as("p2")), Seq("ok"))
+      .filter(col("p1") < col("p2"))
+      .join(broadcast(pairSet), Seq("p1", "p2"), "left_semi")
+    base
+      .join(fb.select(col("ok"), col("pk").as("p3")), Seq("ok"))
+      .filter(col("p2") < col("p3"))
+      .join(broadcast(pairSet.select(col("p1").as("p2"), col("p2").as("p3"))), Seq("p2", "p3"), "left_semi")
+      .join(broadcast(pairSet.select(col("p1"), col("p2").as("p3"))), Seq("p1", "p3"), "left_semi")
+      .groupBy("p1", "p2", "p3")
+      .agg(count(lit(1)).as("n_all"))
+      .filter(col("n_all") >= minSupport)
+      .join(broadcast(freqPairs), Seq("p1", "p2"))
+      .select(
+        col("p1"),
+        col("p2"),
+        col("p3"),
+        col("n_all"),
+        expr("n_all * 1000 div n12").as("conf_pair_to_third_permille")
+      )
+      .orderBy("p1", "p2", "p3")
+  }
+
+  // Leave-one-source-out data valuation — "how much does source s
+  // contribute to held-out likelihood?" answered WITHOUT retraining:
+  // unigram counts are additive by source, so the model trained on
+  // everything-but-s is just (c(w) − n_s(w), T − T_s) — one count
+  // pass yields all |S| ablated models at once (the count-table
+  // algebra production data-valuation pipelines lean on; per-source
+  // Laplace over the SHARED train vocabulary V keeps the models
+  // comparable). Held-out = the q63 hash-sample convention (10%),
+  // reduced to vocab-bounded term frequencies before any scoring
+  // join; the LOO correction touches only (w, s) pairs the source
+  // actually saw. Scores are mean per-held-out-token log-probs in
+  // exact integer micro-nats; sums escalate to DECIMAL(38,0) since
+  // f·mn(c) products pass BIGINT long before 100 TB does. delta > 0
+  // means dropping the source IMPROVES held-out fit (the source is
+  // hurting; the DoReMi/data-mixture signal).
+  def looSourceAttribution(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val isHo = pmod(TextOps.hash32(col("doc_id").cast("string")), lit(1000)) < 100
+    val trTok = docs.filter(!isHo).select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+    val c = trTok.groupBy("w").agg(count(lit(1)).as("c"))
+    val ns = trTok.groupBy("source", "w").agg(count(lit(1)).as("nsw"))
+    val ts = trTok.groupBy("source").agg(count(lit(1)).as("t_s"))
+    val glob = c.agg(sum(col("c")).as("tt"), count(lit(1)).as("v"))
+    val hoTok = docs
+      .filter(isHo)
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("f"))
+    val hoScored = hoTok
+      .join(c, Seq("w"), "left")
+      .select(col("w"), col("f"), coalesce(col("c"), lit(0L)).as("c"))
+    hoScored.persist()
+    val baseN = hoScored.agg(
+      sum(col("f").cast("decimal(38,0)") * microNats(col("c") + 1)).as("base"),
+      sum(col("f")).as("n_ho")
+    )
+    val corr = hoScored
+      .join(ns, Seq("w"))
+      .groupBy("source")
+      .agg(
+        sum(col("f").cast("decimal(38,0)") * (microNats(col("c") - col("nsw") + 1) - microNats(col("c") + 1)))
+          .as("corr")
+      )
+    ts.join(corr, Seq("source"), "left")
+      .select(col("source"), col("t_s"), coalesce(col("corr"), lit(0L).cast("decimal(38,0)")).as("corr"))
+      .crossJoin(broadcast(baseN))
+      .crossJoin(broadcast(glob))
+      .select(
+        col("source"),
+        col("t_s"),
+        expr("CAST(base div n_ho AS BIGINT)").as("mll0"),
+        expr("CAST((base + corr) div n_ho AS BIGINT)").as("mll1"),
+        microNats(col("tt") + col("v")).as("z0"),
+        microNats(col("tt") - col("t_s") + col("v")).as("z1")
+      )
+      .select(
+        col("source"),
+        col("t_s"),
+        (col("mll0") - col("z0")).as("mll_full_micro"),
+        (col("mll1") - col("z1")).as("mll_loo_micro"),
+        ((col("mll1") - col("z1")) - (col("mll0") - col("z0"))).as("delta_micro")
+      )
+      .orderBy("source")
+  }
+
+  // Horvitz–Thompson estimation audit — the statistical contract
+  // behind every hash-sampled metric this engine ships (q63, q81,
+  // q125): a deterministic per-stratum sample at UNEQUAL rates (rate
+  // = leading priority digit × 100‰) inverse-probability-weights back
+  // to an estimate of the full-population total, and the audit
+  // compares estimate to truth per stratum in integer permille. All
+  // arithmetic is exact: cents via the floor(x·100 + ½) convention,
+  // sums in DECIMAL(38,0) (cents totals pass BIGINT at warehouse
+  // scale), and the ratio cross-multiplied so no float division ever
+  // runs. One scan for truth, one for the sample; both keyed rollups.
+  def htEstimatorAudit(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      col("o_orderpriority").as("stratum"),
+      substring(col("o_orderpriority"), 1, 1).cast("int").multiply(100).as("rate"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+      col("o_orderkey")
+    )
+    val truth = o
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_pop"), sum(col("cents").cast("decimal(38,0)")).as("truth_c"))
+    val sampled = o
+      .filter(pmod(TextOps.hash32(col("o_orderkey").cast("string")), lit(1000)) < col("rate"))
+      .groupBy("stratum")
+      .agg(max(col("rate")).as("rate"), count(lit(1)).as("n_sampled"), sum(col("cents").cast("decimal(38,0)")).as("samp_c"))
+    truth
+      .join(sampled, Seq("stratum"))
+      .select(
+        col("stratum"),
+        col("n_pop"),
+        col("n_sampled"),
+        expr("n_sampled * 1000 div n_pop").as("sampled_permille"),
+        col("rate"),
+        expr("CAST(samp_c * 1000000 div (rate * truth_c) AS BIGINT)").as("ht_ratio_permille")
+      )
+      .orderBy("stratum")
+  }
 }

@@ -1938,4 +1938,53 @@ class QueriesSpec extends SparkSpec {
       assert(r.getAs[Long]("chars_per_token_permille") > 0L)
     }
   }
+
+  test("cluster label audit: census is complete, minority docs only exist inside multi-doc clusters") {
+    val rows = Queries.clusterLabelAudit(spark, sfDir).collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs, "every document lands in exactly one language row")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_minority") <= r.getAs[Long]("n_in_dup_clusters"),
+        "a minority doc disagrees with its cluster majority, which needs at least a 2-doc cluster")
+    }
+  }
+
+  test("frequent triples: support bounds respected, every triple's pairs are at least as supported") {
+    val rows = Queries.frequentTriples(spark, sfDir).collect()
+    assert(rows.nonEmpty, "sf0.001 has known support-2 triples")
+    rows.foreach { r =>
+      val (p1, p2, p3) = (r.getAs[Long]("p1"), r.getAs[Long]("p2"), r.getAs[Long]("p3"))
+      assert(p1 < p2 && p2 < p3, "canonical ordering")
+      assert(r.getAs[Long]("n_all") >= 2L)
+      val conf = r.getAs[Long]("conf_pair_to_third_permille")
+      assert(conf > 0L && conf <= 1000L, "support(abc) <= support(ab) makes confidence a probability")
+    }
+  }
+
+  test("loo source value: identity mll_loo = mll_full + delta holds and ablating a source moves the normalizer") {
+    val rows = Queries.looSourceAttribution(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(
+        r.getAs[Long]("mll_loo_micro") === r.getAs[Long]("mll_full_micro") + r.getAs[Long]("delta_micro"),
+        "delta is defined as the LOO-full difference"
+      )
+      assert(r.getAs[Long]("t_s") > 0L)
+      assert(r.getAs[Long]("mll_full_micro") < 0L, "mean log-prob of a real corpus is negative")
+    }
+    assert(rows.map(_.getAs[Long]("delta_micro")).distinct.length > 1, "sources must not all ablate identically")
+  }
+
+  test("ht estimator audit: sampling rate tracks the stratum design and the HT ratio lands near 1000 permille") {
+    val rows = Queries.htEstimatorAudit(spark, sfDir).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val rate = r.getAs[Int]("rate")
+      assert(rate === r.getAs[String]("stratum").head.asDigit * 100)
+      val sp = r.getAs[Long]("sampled_permille")
+      assert(math.abs(sp - rate) < 120, s"stratum ${r.getAs[String]("stratum")}: sampled $sp permille at design rate $rate")
+      val ratio = r.getAs[Long]("ht_ratio_permille")
+      assert(ratio > 700L && ratio < 1300L, s"HT estimate off by ${ratio - 1000} permille")
+    }
+  }
 }
