@@ -241,9 +241,14 @@ object Oracles {
     * by the same decimal-quantized ADC sum restricted to those
     * candidates.
     */
-  private val annIvfPqSql: String = {
+  private val annIvfPqSql: String = annIvfPqSqlK(3)
+
+  /** The q193 statement with the final cut parameterized — q290 reuses
+    * the whole training+probe chain at k_short=10 as its shortlist.
+    */
+  private def annIvfPqSqlK(k: Int): String = {
     val dim = 64; val nlist = 16; val nprobe = 4
-    val dsub = 4; val m = 16; val ksub = 16; val k = 3
+    val dsub = 4; val m = 16; val ksub = 16
     def dotFull(a: String, b: String) =
       s"list_sum(list_transform(generate_series(1, $dim), i -> $a[CAST(i AS INTEGER)] * $b[CAST(i AS INTEGER)]))"
     def dotSub(a: String, b: String) =
@@ -415,6 +420,61 @@ object Oracles {
        |  $bitSums
        |FROM h GROUP BY doc_id)
        |SELECT doc_id, $assemble AS simhash FROM bs ORDER BY doc_id""".stripMargin
+  }
+
+  /** q198's full statement, shared so q292 can wrap the ranking as a
+    * derived table for the recall/precision eval.
+    */
+  private val bm25Sql: String = {
+    val co = away(
+      "idf * tf / (tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))",
+      6
+    )
+    raw"""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
+       |dl AS (SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS dl FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       |  WHERE term IN ('spark', 'join', 'stream') GROUP BY 1, 2),
+       |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT tf.doc_id, tf.tf, dl.dl,
+       |    ln(CAST(1.0 AS DOUBLE) + (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))) AS idf,
+       |    CAST(sum_dl AS DOUBLE) / n_docs AS avgdl
+       |  FROM tf JOIN dl USING (doc_id) JOIN dft USING (term), st),
+       |co AS (SELECT doc_id, $co AS contrib FROM sc),
+       |ag AS (SELECT doc_id, CAST(sum(CAST(contrib AS DECIMAL(25,6))) AS DOUBLE) AS score,
+       |    count(*) AS n_terms_hit FROM co GROUP BY 1),
+       |rk AS (SELECT doc_id, score, n_terms_hit,
+       |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rnk FROM ag)
+       |SELECT doc_id, score, n_terms_hit, rnk FROM rk WHERE rnk <= 10 ORDER BY rnk""".stripMargin
+  }
+
+  /** q288's full statement, shared so q291 can wrap it as a CTE (the
+    * reweighting is pure arithmetic over the valuation frame).
+    */
+  private val looSourceValueSql: String = {
+    def mn(e: String) = s"CAST(floor(ln(CAST($e AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+    val h = hx("CAST(doc_id AS VARCHAR)")
+    raw"""WITH d AS (SELECT doc_id, source, text, $h % 1000 < 100 AS ho FROM documents),
+       |trt AS (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM d WHERE NOT ho),
+       |c AS (SELECT w, count(*) AS c FROM trt GROUP BY w),
+       |ns AS (SELECT source, w, count(*) AS nsw FROM trt GROUP BY 1, 2),
+       |ts AS (SELECT source, count(*) AS t_s FROM trt GROUP BY source),
+       |gl AS (SELECT CAST(sum(c) AS BIGINT) AS tt, count(*) AS v FROM c),
+       |hot AS (SELECT w, count(*) AS f FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM d WHERE ho) GROUP BY w),
+       |hs AS (SELECT hot.w, hot.f, COALESCE(c.c, 0) AS c FROM hot LEFT JOIN c ON c.w = hot.w),
+       |bn AS (SELECT CAST(sum(CAST(f AS HUGEINT) * ${mn("c + 1")}) AS HUGEINT) AS base,
+       |    CAST(sum(f) AS BIGINT) AS n_ho FROM hs),
+       |co AS (SELECT ns.source,
+       |    CAST(sum(CAST(f AS HUGEINT) * (${mn("c - nsw + 1")} - ${mn("c + 1")})) AS HUGEINT) AS corr
+       |  FROM hs JOIN ns ON ns.w = hs.w GROUP BY 1),
+       |r AS (SELECT ts.source, ts.t_s, COALESCE(co.corr, 0) AS corr FROM ts LEFT JOIN co ON co.source = ts.source)
+       |SELECT source, t_s,
+       |  CAST(base // n_ho - ${mn("tt + v")} AS BIGINT) AS mll_full_micro,
+       |  CAST((base + corr) // n_ho - ${mn("tt - t_s + v")} AS BIGINT) AS mll_loo_micro,
+       |  CAST(((base + corr) // n_ho - ${mn("tt - t_s + v")})
+       |    - (base // n_ho - ${mn("tt + v")}) AS BIGINT) AS delta_micro
+       |FROM r, bn, gl ORDER BY source""".stripMargin
   }
 
   val sql: Map[String, String] = Map(
@@ -2282,28 +2342,7 @@ object Oracles {
          |) ORDER BY stage_id""".stripMargin,
     // identical arithmetic order to the engine: idf = ln of exact-int
     // ratio, per-term contribution away-rounded to 6dp, decimal sum
-    "q198_bm25_topk" -> {
-      val co = away(
-        "idf * tf / (tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))",
-        6
-      )
-      raw"""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
-         |dl AS (SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS dl FROM documents),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
-         |  WHERE term IN ('spark', 'join', 'stream') GROUP BY 1, 2),
-         |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
-         |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         |sc AS (SELECT tf.doc_id, tf.tf, dl.dl,
-         |    ln(CAST(1.0 AS DOUBLE) + (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))) AS idf,
-         |    CAST(sum_dl AS DOUBLE) / n_docs AS avgdl
-         |  FROM tf JOIN dl USING (doc_id) JOIN dft USING (term), st),
-         |co AS (SELECT doc_id, $co AS contrib FROM sc),
-         |ag AS (SELECT doc_id, CAST(sum(CAST(contrib AS DECIMAL(25,6))) AS DOUBLE) AS score,
-         |    count(*) AS n_terms_hit FROM co GROUP BY 1),
-         |rk AS (SELECT doc_id, score, n_terms_hit,
-         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rnk FROM ag)
-         |SELECT doc_id, score, n_terms_hit, rnk FROM rk WHERE rnk <= 10 ORDER BY rnk""".stripMargin
-    },
+    "q198_bm25_topk" -> bm25Sql,
     // q29's mirror with the label-exclusion predicate on the pair join
     "q199_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql FROM embeddings WHERE vec_id < 20),
@@ -3752,31 +3791,7 @@ object Oracles {
          |ORDER BY 1, 2, 3""".stripMargin,
     // LOO unigram attribution: additive count ablation, shared-V
     // Laplace, mean per-held-out-token micro-nats, HUGEINT sums
-    "q288_loo_source_value" -> {
-      def mn(e: String) = s"CAST(floor(ln(CAST($e AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
-      val h = hx("CAST(doc_id AS VARCHAR)")
-      raw"""WITH d AS (SELECT doc_id, source, text, $h % 1000 < 100 AS ho FROM documents),
-         |trt AS (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM d WHERE NOT ho),
-         |c AS (SELECT w, count(*) AS c FROM trt GROUP BY w),
-         |ns AS (SELECT source, w, count(*) AS nsw FROM trt GROUP BY 1, 2),
-         |ts AS (SELECT source, count(*) AS t_s FROM trt GROUP BY source),
-         |gl AS (SELECT CAST(sum(c) AS BIGINT) AS tt, count(*) AS v FROM c),
-         |hot AS (SELECT w, count(*) AS f FROM (
-         |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM d WHERE ho) GROUP BY w),
-         |hs AS (SELECT hot.w, hot.f, COALESCE(c.c, 0) AS c FROM hot LEFT JOIN c ON c.w = hot.w),
-         |bn AS (SELECT CAST(sum(CAST(f AS HUGEINT) * ${mn("c + 1")}) AS HUGEINT) AS base,
-         |    CAST(sum(f) AS BIGINT) AS n_ho FROM hs),
-         |co AS (SELECT ns.source,
-         |    CAST(sum(CAST(f AS HUGEINT) * (${mn("c - nsw + 1")} - ${mn("c + 1")})) AS HUGEINT) AS corr
-         |  FROM hs JOIN ns ON ns.w = hs.w GROUP BY 1),
-         |r AS (SELECT ts.source, ts.t_s, COALESCE(co.corr, 0) AS corr FROM ts LEFT JOIN co ON co.source = ts.source)
-         |SELECT source, t_s,
-         |  CAST(base // n_ho - ${mn("tt + v")} AS BIGINT) AS mll_full_micro,
-         |  CAST((base + corr) // n_ho - ${mn("tt - t_s + v")} AS BIGINT) AS mll_loo_micro,
-         |  CAST(((base + corr) // n_ho - ${mn("tt - t_s + v")})
-         |    - (base // n_ho - ${mn("tt + v")}) AS BIGINT) AS delta_micro
-         |FROM r, bn, gl ORDER BY source""".stripMargin
-    },
+    "q288_loo_source_value" -> looSourceValueSql,
     // unequal-rate stratified hash sample, HT inverse-probability
     // estimate vs truth, ratio cross-multiplied in HUGEINT
     "q289_ht_estimator_audit" -> {
@@ -3793,7 +3808,44 @@ object Oracles {
          |  n_sampled * 1000 // n_pop AS sampled_permille, rate,
          |  CAST(samp_c * 1000000 // (rate * truth_c) AS BIGINT) AS ht_ratio_permille
          |FROM tru JOIN sm ON sm.stratum = tru.stratum ORDER BY tru.stratum""".stripMargin
-    }
+    },
+    // the whole q193 training+probe chain at k_short=10, exact cosine
+    // re-rank on the shortlist only, final cut at 3
+    "q290_ann_rerank" ->
+      s"""WITH short AS (SELECT qid, nid FROM (${annIvfPqSqlK(10)})),
+         |n2 AS (SELECT vec_id AS vid, embedding AS e FROM embeddings),
+         |sc AS (SELECT s.qid, s.nid, ${cosineSql("q.e", "c.e")} AS c
+         |  FROM short s JOIN n2 q ON q.vid = s.qid JOIN n2 c ON c.vid = s.nid),
+         |r AS (SELECT qid, nid, ${away("c", 6)} AS sim FROM sc),
+         |rr AS (SELECT qid, nid, sim,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INTEGER) AS rnk FROM r)
+         |SELECT qid, nid, sim, rnk FROM rr WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    // linearized multiplicative DoReMi update over the q288 frame
+    "q291_doremi_reweight" ->
+      s"""WITH loo AS ($looSourceValueSql),
+         |f AS (SELECT source, t_s, greatest(1, 1000000 - 10 * delta_micro) AS factor FROM loo),
+         |m AS (SELECT source, t_s, factor, CAST(t_s AS HUGEINT) * factor AS mass FROM f),
+         |t AS (SELECT CAST(sum(mass) AS HUGEINT) AS tot, CAST(sum(t_s) AS BIGINT) AS tot_t FROM m)
+         |SELECT source, t_s, t_s * 1000 // tot_t AS old_permille, factor,
+         |  CAST(mass * 1000 // tot AS BIGINT) AS new_permille
+         |FROM m, t ORDER BY source""".stripMargin,
+    // recall/precision@k of the q198 ranking against the conjunctive
+    // ('spark' AND 'join' AND 'stream') gold set
+    "q292_retrieval_eval" ->
+      raw"""WITH ranked AS (SELECT doc_id, rnk FROM ($bm25Sql)),
+         |gold AS (SELECT doc_id FROM documents
+         |  WHERE list_contains(regexp_split_to_array(trim(text), '\s+'), 'spark')
+         |    AND list_contains(regexp_split_to_array(trim(text), '\s+'), 'join')
+         |    AND list_contains(regexp_split_to_array(trim(text), '\s+'), 'stream')),
+         |ng AS (SELECT count(*) AS n_gold FROM gold),
+         |x AS (SELECT k.k, r.rnk, CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_gold
+         |  FROM ranked r LEFT JOIN gold g ON g.doc_id = r.doc_id,
+         |    (SELECT CAST(unnest([1, 3, 10]) AS INTEGER) AS k) k
+         |  WHERE r.rnk <= k.k)
+         |SELECT x.k, ng.n_gold, CAST(sum(is_gold) AS BIGINT) AS n_hits,
+         |  CAST(sum(is_gold) * 1000 // max(ng.n_gold) AS BIGINT) AS recall_permille,
+         |  CAST(sum(is_gold) * 1000 // count(*) AS BIGINT) AS precision_permille
+         |FROM x, ng GROUP BY x.k, ng.n_gold ORDER BY x.k""".stripMargin
   )
 
   /** q195/q246 shared winnowing chain: char-8-gram 60-bit prints,

@@ -7491,4 +7491,89 @@ object Queries {
       )
       .orderBy("stratum")
   }
+
+  // Two-stage retrieval: the IVF-PQ index (q193's exact machinery)
+  // produces a k_short=10 ADC shortlist per query, and ONLY those
+  // |Q|·10 pairs pay the exact full-vector cosine before the final
+  // top-3 cut — the universal production serving shape (quantization
+  // decides recall, never the served order). See
+  // Similarity.rerankExactTopK for the plan contract.
+  def annRerank(s: SparkSession, dir: String): DataFrame = {
+    val vecs = t(s, dir, "embeddings")
+    val shortlist = Similarity.ivfPqTopK(
+      vecs, col("vec_id"), col("embedding"), col("vec_id") < 50,
+      nlist = 16, nprobe = 4, m = 16, ksub = 16, k = 10
+    )
+    Similarity
+      .rerankExactTopK(shortlist, vecs, col("vec_id"), col("embedding"), k = 3)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy("qid", "rnk")
+  }
+
+  // DoReMi-style mixture reweighting — closing the loop the q288
+  // valuation opens: sources whose ablation IMPROVES held-out fit
+  // (delta > 0: the source hurts) are down-weighted, sources whose
+  // removal hurts are boosted, by the linearized multiplicative
+  // update  factor = max(1, 1e6 − η·delta_micro)  (exp(−η·Δ) to first
+  // order — exact in integers, so the new mixture is reproducible
+  // bit-for-bit, unlike a float softmax). New token budget per source
+  // ∝ t_s·factor, reported in permille next to the old share. The
+  // LOO frame is |S| rows; everything after it is arithmetic.
+  def doremiReweight(s: SparkSession, dir: String): DataFrame = {
+    val eta = 10L
+    val loo = looSourceAttribution(s, dir)
+    val w = loo
+      .select(
+        col("source"),
+        col("t_s"),
+        greatest(lit(1L), lit(1000000L) - lit(eta) * col("delta_micro")).as("factor")
+      )
+      .withColumn("mass", col("t_s").cast("decimal(38,0)") * col("factor"))
+    w.persist()
+    w.crossJoin(broadcast(w.agg(sum(col("mass")).as("tot"), sum(col("t_s")).as("tot_t"))))
+      .select(
+        col("source"),
+        col("t_s"),
+        expr("t_s * 1000 div tot_t").as("old_permille"),
+        col("factor"),
+        expr("CAST(mass * 1000 div tot AS BIGINT)").as("new_permille")
+      )
+      .orderBy("source")
+  }
+
+  // Retrieval evaluation — recall/precision@k of the q198 BM25 ranker
+  // against the conjunctive gold set (documents containing ALL query
+  // terms — q281's cascade endpoint, the classic pseudo-relevance
+  // setup when no human labels exist). The ranked list is 10 rows and
+  // gold is one filtered corpus scan reduced to doc_ids; every metric
+  // is exact integer permille. The eval frame is 3 rows (k ∈ 1,3,10).
+  def retrievalEval(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "join", "stream")
+    val ranked = bm25TopK(s, dir).select(col("doc_id"), col("rnk"))
+    val gold = terms
+      .foldLeft(t(s, dir, "documents").select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))) {
+        case (df, w) => df.filter(array_contains(col("ts"), w))
+      }
+      .select(col("doc_id"), lit(1L).as("is_gold"))
+    val hits = ranked.join(broadcast(gold.select(col("doc_id"), col("is_gold"))), Seq("doc_id"), "left")
+    val nGold = gold.agg(count(lit(1)).as("n_gold"))
+    hits
+      .crossJoin(broadcast(nGold))
+      .select(explode(array(lit(1), lit(3), lit(10))).as("k"), col("rnk"), col("is_gold"), col("n_gold"))
+      .filter(col("rnk") <= col("k"))
+      .groupBy("k")
+      .agg(
+        max(col("n_gold")).as("n_gold"),
+        count(lit(1)).as("n_ranked"),
+        sum(coalesce(col("is_gold"), lit(0L))).as("n_hits")
+      )
+      .select(
+        col("k"),
+        col("n_gold"),
+        col("n_hits"),
+        expr("n_hits * 1000 div n_gold").as("recall_permille"),
+        expr("n_hits * 1000 div n_ranked").as("precision_permille")
+      )
+      .orderBy("k")
+  }
 }

@@ -54,6 +54,36 @@ object Similarity {
       .select(col("qid"), col("col.nid").as("nid"), col("col.sim").as("sim"), (col("pos") + 1).as("rank"))
   }
 
+  /** Two-stage retrieval's second stage: an ANN SHORTLIST (any
+    * candidate generator — IVF-PQ in q290) re-scored EXACTLY against
+    * the full vectors, then cut to the final k. This is the production
+    * serving shape: the compressed index does the corpus-scale pruning
+    * and the expensive exact cosine runs only on |Q|·k_short rows — so
+    * quantization error decides RECALL (a truly-close neighbor the
+    * shortlist missed stays missed) but never the final ORDER. Both
+    * vector fetches are id-keyed equi-joins; the query side is
+    * |Q|-bounded.
+    */
+  def rerankExactTopK(
+      shortlist: DataFrame,
+      vecs: DataFrame,
+      id: Column,
+      emb: Column,
+      k: Int
+  ): DataFrame = {
+    val side = vecs.select(id.as("vid"), emb.as("e"), VectorOps.normSq(emb).as("n2"))
+    val scored = shortlist
+      .select("qid", "nid")
+      .join(side.select(col("vid").as("qid"), col("e").as("qe"), col("n2").as("qn")), Seq("qid"))
+      .join(side.select(col("vid").as("nid"), col("e").as("ne"), col("n2").as("nn")), Seq("nid"))
+      .select(
+        col("qid"),
+        col("nid"),
+        NumOps.roundAway(VectorOps.dot(col("qe"), col("ne")) / sqrt(col("qn") * col("nn")), 6).as("sim")
+      )
+    topKPerQuery(scored, k)
+  }
+
   /** Exact cosine top-k: for each query vector (filter `isQuery`), the
     * `k` highest-cosine neighbors (excluding self). The QUERY side is
     * broadcast (it's the small one); the corpus streams — broadcasting

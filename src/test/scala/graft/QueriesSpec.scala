@@ -1987,4 +1987,51 @@ class QueriesSpec extends SparkSpec {
       assert(ratio > 700L && ratio < 1300L, s"HT estimate off by ${ratio - 1000} permille")
     }
   }
+
+  test("ann rerank: exact scores on the shortlist, every served neighbor ranked by true cosine") {
+    val rows = Queries.annRerank(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val brute = Queries.annBruteForce(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")) -> r.getAs[Double]("sim")).toMap
+    rows.foreach { r =>
+      val (qid, nid) = (r.getAs[Long]("qid"), r.getAs[Long]("nid"))
+      val rnk = r.getAs[Number]("rnk").longValue
+      assert(rnk >= 1L && rnk <= 3L)
+      // wherever the served neighbor also appears in the exact top-10,
+      // the rerank must have assigned the identical exact cosine
+      brute.get((qid, nid)).foreach(exact => assert(r.getAs[Double]("sim") === exact,
+        s"rerank score for ($qid,$nid) diverged from the exact cosine"))
+    }
+    // per query, rank order must be non-increasing in sim
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getAs[Number]("rnk").longValue).map(_.getAs[Double]("sim"))
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("doremi reweight: shares normalize, factor moves against delta, valuable sources gain share") {
+    val loo = Queries.looSourceAttribution(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("delta_micro")).toMap
+    val rows = Queries.doremiReweight(spark, sfDir).collect()
+    assert(rows.length === loo.size)
+    val tot = rows.map(_.getAs[Long]("new_permille")).sum
+    assert(math.abs(tot - 1000L) <= rows.length, s"new mixture sums to $tot permille (rounding slack only)")
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("factor") === math.max(1L, 1000000L - 10L * loo(src)),
+        s"factor must be the linearized update of $src's delta")
+    }
+  }
+
+  test("retrieval eval: monotone hits in k, recall <= 1000, precision@k consistent with hits") {
+    val rows = Queries.retrievalEval(spark, sfDir).collect().sortBy(_.getAs[Int]("k"))
+    assert(rows.map(_.getAs[Int]("k")).toSeq === Seq(1, 3, 10))
+    val hits = rows.map(_.getAs[Long]("n_hits"))
+    assert(hits.zip(hits.tail).forall { case (a, b) => a <= b }, "hits can only grow with k")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_gold"))
+      assert(r.getAs[Long]("recall_permille") <= 1000L)
+      assert(r.getAs[Long]("precision_permille") === r.getAs[Long]("n_hits") * 1000 / r.getAs[Int]("k"))
+    }
+  }
 }
