@@ -3845,7 +3845,66 @@ object Oracles {
          |SELECT x.k, ng.n_gold, CAST(sum(is_gold) AS BIGINT) AS n_hits,
          |  CAST(sum(is_gold) * 1000 // max(ng.n_gold) AS BIGINT) AS recall_permille,
          |  CAST(sum(is_gold) * 1000 // count(*) AS BIGINT) AS precision_permille
-         |FROM x, ng GROUP BY x.k, ng.n_gold ORDER BY x.k""".stripMargin
+         |FROM x, ng GROUP BY x.k, ng.n_gold ORDER BY x.k""".stripMargin,
+    // per-tier ceil/mod padding accounting: no-packing vs the
+    // perfect-packing floor, all integer
+    "q293_packing_efficiency" ->
+      raw"""WITH d AS (SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok FROM documents),
+         |x AS (SELECT n_tok, cap FROM d, (SELECT CAST(unnest([512, 1024, 2048]) AS BIGINT) AS cap)),
+         |a AS (SELECT cap, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tok,
+         |    CAST(sum((n_tok + cap - 1) // cap) AS BIGINT) AS n_seq_nopack,
+         |    CAST(sum((cap - n_tok % cap) % cap) AS BIGINT) AS pad_nopack
+         |  FROM x GROUP BY cap)
+         |SELECT cap, n_docs, total_tok, n_seq_nopack,
+         |  pad_nopack * 1000 // (n_seq_nopack * cap) AS pad_nopack_permille,
+         |  (total_tok + cap - 1) // cap AS n_seq_packed,
+         |  ((cap - total_tok % cap) % cap) * 1000 // (((total_tok + cap - 1) // cap) * cap) AS pad_packed_permille
+         |FROM a ORDER BY cap""".stripMargin,
+    // per-chunk TVD vs the full-corpus category distribution, exact
+    // cross-multiplied integers (the streaming side is engine machinery;
+    // chunk identity is data-carried so arrival order cannot matter)
+    "q294_stream_drift_monitor" ->
+      """WITH ev AS (SELECT event_id % 4 AS chunk, event_type FROM events),
+         |per AS (SELECT chunk, event_type, count(*) AS n FROM ev GROUP BY 1, 2),
+         |ref AS (SELECT event_type, count(*) AS rn FROM ev GROUP BY 1),
+         |rt AS (SELECT CAST(sum(rn) AS BIGINT) AS rt FROM ref),
+         |bt AS (SELECT chunk, CAST(sum(n) AS BIGINT) AS bt FROM per GROUP BY chunk),
+         |mx AS (SELECT b.chunk, r.event_type, b.bt, r.rn, COALESCE(p.n, 0) AS n
+         |  FROM bt b CROSS JOIN ref r LEFT JOIN per p ON p.chunk = b.chunk AND p.event_type = r.event_type)
+         |SELECT chunk, bt AS n_events,
+         |  CAST(sum(abs(CAST(n AS HUGEINT) * rt.rt - CAST(rn AS HUGEINT) * bt)) * 1000
+         |    // (2 * bt * max(rt.rt)) AS BIGINT) AS tvd_permille
+         |FROM mx, rt GROUP BY chunk, bt ORDER BY chunk""".stripMargin,
+    // split-conformal: integer slope from the calibration half, exact
+    // ceil(0.9(n+1))-th residual via support histogram + prefix count,
+    // coverage on the held-out half
+    "q295_conformal_interval" -> {
+      val h = hx("CAST(doc_id AS VARCHAR)")
+      raw"""WITH d AS (SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+         |    n_chars, $h % 1000 < 500 AS is_cal FROM documents),
+         |sl AS (SELECT CAST(sum(n_chars) AS BIGINT) // CAST(sum(n_tok) AS BIGINT) AS r FROM d WHERE is_cal),
+         |res AS (SELECT is_cal, abs(n_chars - n_tok * sl.r) AS res FROM d, sl),
+         |h AS (SELECT res, count(*) AS cnt FROM res WHERE is_cal GROUP BY res),
+         |c AS (SELECT res, CAST(sum(cnt) OVER (ORDER BY res) AS BIGINT) AS cum FROM h),
+         |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_cal FROM h),
+         |q AS (SELECT min(res) AS q_hat, max(n_cal) AS n_cal FROM c, t WHERE cum * 10 >= (n_cal + 1) * 9)
+         |SELECT q.n_cal, count(*) AS n_test, q.q_hat,
+         |  CAST(sum(CASE WHEN res <= q_hat THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT) AS coverage_permille
+         |FROM res, q WHERE NOT is_cal GROUP BY q.n_cal, q.q_hat""".stripMargin
+    },
+    // top-N coverage / OOV ladder over the frequency-ranked vocabulary
+    "q296_vocab_coverage" ->
+      raw"""WITH f AS (SELECT w, count(*) AS f FROM (
+         |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents) GROUP BY w),
+         |rk AS (SELECT f, row_number() OVER (ORDER BY f DESC, w) AS rnk FROM f),
+         |t AS (SELECT CAST(sum(f) AS BIGINT) AS tot, count(*) AS n_types FROM f),
+         |x AS (SELECT f, rnk, vsize FROM rk, (SELECT CAST(unnest([1000, 2000, 4000]) AS INTEGER) AS vsize)
+         |  WHERE rnk <= vsize)
+         |SELECT vsize, t.n_types, count(*) AS n_kept, CAST(sum(f) AS BIGINT) AS covered,
+         |  t.tot AS total_tokens,
+         |  CAST(sum(f) * 1000 // t.tot AS BIGINT) AS coverage_permille,
+         |  CAST((t.tot - sum(f)) * 1000 // t.tot AS BIGINT) AS oov_permille
+         |FROM x, t GROUP BY vsize, t.n_types, t.tot ORDER BY vsize""".stripMargin
   )
 
   /** q195/q246 shared winnowing chain: char-8-gram 60-bit prints,

@@ -7576,4 +7576,175 @@ object Queries {
       )
       .orderBy("k")
   }
+
+  // Packing-efficiency audit — the padding-waste accounting that
+  // decides whether a dataloader needs sequence packing (q62/q273) at
+  // all: for each max-seq-len tier, compare the no-packing cost (each
+  // doc rounded up to whole sequences; the last one padded) against
+  // the perfect-packing floor (total tokens rounded up once). The
+  // whole audit is ONE corpus scan of a single long column exploded
+  // ×3 tiers into a map-combined keyed rollup — integer ceil/mod
+  // arithmetic only, no floats anywhere.
+  def packingEfficiency(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+      .select(col("n_tok"), explode(array(lit(512L), lit(1024L), lit(2048L))).as("cap"))
+      .groupBy("cap")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tok"),
+        sum(expr("(n_tok + cap - 1) div cap")).as("n_seq_nopack"),
+        sum(expr("(cap - n_tok % cap) % cap")).as("pad_nopack")
+      )
+      .select(
+        col("cap"),
+        col("n_docs"),
+        col("total_tok"),
+        col("n_seq_nopack"),
+        expr("pad_nopack * 1000 div (n_seq_nopack * cap)").as("pad_nopack_permille"),
+        expr("(total_tok + cap - 1) div cap").as("n_seq_packed"),
+        expr("((cap - total_tok % cap) % cap) * 1000 div (((total_tok + cap - 1) div cap) * cap)")
+          .as("pad_packed_permille")
+      )
+      .orderBy("cap")
+
+  // Streaming drift monitor — the production data-quality tripwire:
+  // each arriving micro-batch's category distribution is compared to
+  // the full-corpus reference by total variation distance, computed in
+  // exact cross-multiplied integers  TVD = Σ|n·R − r·B| / (2·B·R).
+  // The stream is the q256 multi-batch replay convention (4 chunk
+  // files, maxFilesPerTrigger=1, ≥4 real micro-batches required);
+  // foreachBatch reduces each batch to its CATEGORY-BOUNDED count rows
+  // before anything reaches the driver, and results key on the chunk
+  // id carried IN the data (event_id % 4), so the report is invariant
+  // to file-arrival order. At scale the per-batch reduction is the
+  // only streaming work; the reference is one batch aggregate.
+  def streamDriftMonitor(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scratch = graft.operators.Scratch.dir("graft-driftmon")
+    val ev = Tables.events(s, dir)
+    (0 to 3).foreach { i =>
+      ev.filter(col("event_id") % 4 === i).coalesce(1).write.mode("overwrite").parquet(s"$scratch/chunk$i")
+    }
+    val schema = s.read.parquet(s"$scratch/chunk0").schema
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    var batches = 0
+    val q = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(scratch)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch
+          .groupBy((col("event_id") % 4).as("chunk"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .collect()
+        buf.synchronized {
+          batches += 1
+          rows.foreach(r => buf += ((r.getAs[Long]("chunk"), r.getAs[String]("event_type"), r.getAs[Long]("n"))))
+        }
+        (): Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    require(batches >= 4 && buf.map(_._1).distinct.size >= 4, s"multi-batch replay degenerated to $batches batches")
+    val per = buf.toSeq.toDF("chunk", "event_type", "n")
+    val ref = ev.groupBy(col("event_type")).agg(count(lit(1)).as("rn"))
+    val refTot = ref.agg(sum(col("rn")).as("rt"))
+    val chunkTot = per.groupBy("chunk").agg(sum(col("n")).as("bt"))
+    chunkTot
+      .crossJoin(broadcast(ref))
+      .join(per, Seq("chunk", "event_type"), "left")
+      .select(col("chunk"), col("bt"), col("rn"), coalesce(col("n"), lit(0L)).as("n"))
+      .crossJoin(broadcast(refTot))
+      .withColumn("num", abs(col("n").cast("decimal(38,0)") * col("rt") - col("rn").cast("decimal(38,0)") * col("bt")))
+      .groupBy("chunk", "bt", "rt")
+      .agg(sum(col("num")).as("sn"))
+      .select(
+        col("chunk"),
+        col("bt").as("n_events"),
+        expr("CAST(sn * 1000 div (2 * bt * rt) AS BIGINT)").as("tvd_permille")
+      )
+      .orderBy("chunk")
+  }
+
+  // Split-conformal prediction interval — the distribution-free
+  // calibration rung above q221's binned reliability: a hash-split
+  // calibration half fits the trivial predictor chars ≈ r·tokens
+  // (integer slope), the 90% nonconformity quantile q̂ is the EXACT
+  // ⌈0.9(n+1)⌉-th smallest calibration residual, and the held-out
+  // half's coverage must then be ≥ ~900‰ by the conformal guarantee —
+  // which the output exposes for the spec to check. The order
+  // statistic is computed with NO global sort: residual-support
+  // histogram + prefix count (the q233 posture; the only unpartitioned
+  // window runs over the support, not the corpus), and the ceil test
+  // is the integer cross-multiplication 10·cum ≥ 9·(n+1).
+  def conformalInterval(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(
+      TextOps.tokenCount(col("text")).cast("long").as("n_tok"),
+      col("n_chars"),
+      (pmod(TextOps.hash32(col("doc_id").cast("string")), lit(1000)) < 500).as("is_cal")
+    )
+    val slope = d.filter(col("is_cal")).agg(expr("sum(n_chars) div sum(n_tok)").as("r"))
+    val resid = d
+      .crossJoin(broadcast(slope))
+      .select(col("is_cal"), abs(col("n_chars") - col("n_tok") * col("r")).as("res"))
+    resid.persist()
+    val hist = resid.filter(col("is_cal")).groupBy("res").agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn(
+      "cum",
+      sum(col("cnt")).over(Window.orderBy("res").rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    )
+    val tot = hist.agg(sum(col("cnt")).as("n_cal"))
+    val qhat = cum
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") * 10 >= (col("n_cal") + 1) * 9)
+      .agg(min(col("res")).as("q_hat"), max(col("n_cal")).as("n_cal"))
+    resid
+      .filter(!col("is_cal"))
+      .crossJoin(broadcast(qhat))
+      .agg(
+        max(col("n_cal")).as("n_cal"),
+        count(lit(1)).as("n_test"),
+        max(col("q_hat")).as("q_hat"),
+        sum((col("res") <= col("q_hat")).cast("long")).as("n_in")
+      )
+      .select(col("n_cal"), col("n_test"), col("q_hat"), expr("n_in * 1000 div n_test").as("coverage_permille"))
+  }
+
+  // Vocabulary-size selection ladder — "how big must the vocab be":
+  // for candidate sizes 1k/2k/4k, the corpus coverage of the top-N
+  // tokens (frequency-ranked, ties to the smaller token) and the OOV
+  // rate the cut would leave. The rank is the documented |V|-bounded
+  // truncation window (the q245 pattern) over the vocabulary
+  // aggregate; the corpus itself is touched once for the counts.
+  def vocabCoverageLadder(s: SparkSession, dir: String): DataFrame = {
+    val freq = t(s, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("f"))
+    freq.persist()
+    val ranked = freq.withColumn("rnk", row_number().over(Window.orderBy(desc("f"), col("w"))))
+    val tot = freq.agg(sum(col("f")).as("tot"), count(lit(1)).as("n_types"))
+    ranked
+      .select(col("f"), col("rnk"), explode(array(lit(1000), lit(2000), lit(4000))).as("vsize"))
+      .filter(col("rnk") <= col("vsize"))
+      .groupBy("vsize")
+      .agg(count(lit(1)).as("n_kept"), sum(col("f")).as("covered"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("vsize"),
+        col("n_types"),
+        col("n_kept"),
+        col("covered"),
+        col("tot").as("total_tokens"),
+        expr("covered * 1000 div tot").as("coverage_permille"),
+        expr("(tot - covered) * 1000 div tot").as("oov_permille")
+      )
+      .orderBy("vsize")
+  }
 }

@@ -612,7 +612,9 @@ class PlanSpec extends SparkSpec {
       "q247_quantile_sketch" -> "two rank passes over the occupied GRID BINS, post keyed reduction",
       "q262_classifier_gains" -> "cut lookup over the ≤10-row decile aggregate (own plan test asserts the bound)",
       "q284_greedy_decode" -> "seed rank over the 5-row frame, post TakeOrdered",
-      "q292_retrieval_eval" -> "inherits q198's 10-row post-limit rank (the ranked list under eval)"
+      "q292_retrieval_eval" -> "inherits q198's 10-row post-limit rank (the ranked list under eval)",
+      "q295_conformal_interval" -> "prefix count over the residual-SUPPORT histogram (the q233 posture)",
+      "q296_vocab_coverage" -> "vocab truncation over the |V|-bounded aggregate (the q245 pattern)"
     )
     val offenders = scala.collection.mutable.SortedMap[String, Int]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -2034,4 +2034,54 @@ class QueriesSpec extends SparkSpec {
       assert(r.getAs[Long]("precision_permille") === r.getAs[Long]("n_hits") * 1000 / r.getAs[Int]("k"))
     }
   }
+
+  test("packing efficiency: no-packing can never beat the perfect floor, waste shrinks as capacity shrinks") {
+    val rows = Queries.packingEfficiency(spark, sfDir).collect().sortBy(_.getAs[Long]("cap"))
+    assert(rows.map(_.getAs[Long]("cap")).toSeq === Seq(512L, 1024L, 2048L))
+    rows.foreach { r =>
+      val cap = r.getAs[Long]("cap")
+      assert(r.getAs[Long]("n_seq_nopack") >= r.getAs[Long]("n_seq_packed"))
+      assert(r.getAs[Long]("n_seq_nopack") * cap === r.getAs[Long]("total_tok") + r.getAs[Long]("pad_nopack_permille") * 0 +
+        (r.getAs[Long]("n_seq_nopack") * cap - r.getAs[Long]("total_tok")), "arithmetic sanity")
+      assert(r.getAs[Long]("pad_nopack_permille") >= 0L && r.getAs[Long]("pad_nopack_permille") < 1000L)
+    }
+    // larger capacity -> more padding waste per sequence when docs are short
+    val waste = rows.map(_.getAs[Long]("pad_nopack_permille"))
+    assert(waste.zip(waste.tail).forall { case (a, b) => a <= b }, s"waste should grow with capacity: ${waste.toSeq}")
+  }
+
+  test("stream drift monitor: four chunks, TVD within [0,1000], chunks jointly reproduce the reference") {
+    val rows = Queries.streamDriftMonitor(spark, sfDir).collect()
+    assert(rows.length === 4)
+    assert(rows.map(_.getAs[Long]("chunk")).sorted.toSeq === Seq(0L, 1L, 2L, 3L))
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    val all = spark.read.parquet(s"$sfDir/events.parquet").count()
+    assert(total === all, "chunks partition the corpus")
+    rows.foreach { r =>
+      val tvd = r.getAs[Long]("tvd_permille")
+      assert(tvd >= 0L && tvd <= 1000L)
+    }
+  }
+
+  test("conformal interval: exact 90% quantile yields held-out coverage near the guarantee") {
+    val r = Queries.conformalInterval(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_cal") > 0L && r.getAs[Long]("n_test") > 0L)
+    assert(r.getAs[Long]("q_hat") >= 0L)
+    val cov = r.getAs[Long]("coverage_permille")
+    // finite-sample wiggle around the 900 guarantee, but gross misses mean
+    // the order statistic or the split is wrong
+    assert(cov > 800L && cov <= 1000L, s"coverage $cov permille")
+  }
+
+  test("vocab coverage ladder: coverage grows with vocab size and complements OOV exactly") {
+    val rows = Queries.vocabCoverageLadder(spark, sfDir).collect().sortBy(_.getAs[Int]("vsize"))
+    assert(rows.map(_.getAs[Int]("vsize")).toSeq === Seq(1000, 2000, 4000))
+    val covs = rows.map(_.getAs[Long]("coverage_permille"))
+    assert(covs.zip(covs.tail).forall { case (a, b) => a <= b })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Int]("vsize").toLong)
+      assert(r.getAs[Long]("coverage_permille") + r.getAs[Long]("oov_permille") <= 1000L + 1L)
+      assert(r.getAs[Long]("covered") <= r.getAs[Long]("total_tokens"))
+    }
+  }
 }
