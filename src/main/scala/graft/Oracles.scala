@@ -3904,7 +3904,41 @@ object Oracles {
          |  t.tot AS total_tokens,
          |  CAST(sum(f) * 1000 // t.tot AS BIGINT) AS coverage_permille,
          |  CAST((t.tot - sum(f)) * 1000 // t.tot AS BIGINT) AS oov_permille
-         |FROM x, t GROUP BY vsize, t.n_types, t.tot ORDER BY vsize""".stripMargin
+         |FROM x, t GROUP BY vsize, t.n_types, t.tot ORDER BY vsize""".stripMargin,
+    // q94's 3-token passage hashes, repetition df >= 5 across distinct
+    // docs marks boilerplate, per-source scrub report
+    "q297_boilerplate_scrub" ->
+      raw"""WITH d AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         |ch AS (SELECT doc_id, source,
+         |    md5(array_to_string(ws[(ci * 3 + 1):(ci * 3 + 3)], ' ')) AS h
+         |  FROM (SELECT doc_id, source, ws, unnest(generate_series(0, (len(ws) - 1) // 3)) AS ci FROM d)),
+         |dfh AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM ch GROUP BY h)
+         |SELECT source, CAST(count(DISTINCT ch.doc_id) AS BIGINT) AS n_docs, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN ndocs >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+         |  CAST(sum(CASE WHEN ndocs >= 5 THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS boiler_permyriad
+         |FROM ch JOIN dfh ON dfh.h = ch.h
+         |GROUP BY source ORDER BY source""".stripMargin,
+    // two seeded epoch orders, exact footrule vs the independent
+    // expectation (n^2-1)/3, fixed points counted
+    "q298_epoch_shuffle_audit" -> {
+      val h1 = hx("CAST(doc_id AS VARCHAR) || '#e1'")
+      val h2 = hx("CAST(doc_id AS VARCHAR) || '#e2'")
+      s"""WITH d AS (SELECT doc_id, $h1 AS h1, $h2 AS h2 FROM documents),
+         |r AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY h1, doc_id) AS r1,
+         |    row_number() OVER (ORDER BY h2, doc_id) AS r2 FROM d)
+         |SELECT count(*) AS n,
+         |  CAST(sum(CASE WHEN r1 = r2 THEN 1 ELSE 0 END) AS BIGINT) AS n_fixed,
+         |  CAST(CAST(sum(abs(r1 - r2)) AS HUGEINT) * 3000
+         |    // (CAST(count(*) AS HUGEINT) * count(*) - 1) AS BIGINT) AS footrule_ratio_permille
+         |FROM r""".stripMargin
+    },
+    // the sink-side audit reduces to the plain category census with the
+    // idempotence flag pinned TRUE (duplicate-free by construction is
+    // the engine-side machinery under test)
+    "q299_exactly_once_sink" ->
+      """SELECT event_type, count(*) AS n, CAST(1 AS BIGINT) AS sink_eq_batch
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 
   /** q195/q246 shared winnowing chain: char-8-gram 60-bit prints,

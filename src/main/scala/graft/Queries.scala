@@ -7747,4 +7747,148 @@ object Queries {
       )
       .orderBy("vsize")
   }
+
+  // Boilerplate passage removal — the header/footer/nav-text scrub a
+  // web corpus runs before anything else: a passage (the q94 3-token
+  // chunk convention) appearing in ≥ 5 DISTINCT documents is
+  // boilerplate by repetition, and the per-source report shows how
+  // much of each source the scrub would delete. Plan: one chunk pass,
+  // a hash-keyed document-frequency aggregate, one h-keyed join back —
+  // never doc×doc; the df table is bounded by distinct passage count.
+  def boilerplateScrub(s: SparkSession, dir: String): DataFrame = {
+    val passage = 3
+    val minDf = 5L
+    val ws = TextOps.tokens(col("text"))
+    val chunks = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), ws.as("ws"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        explode(sequence(lit(0), floor((size(col("ws")) - 1) / passage).cast("int"))).as("ci"),
+        col("ws")
+      )
+      .select(
+        col("doc_id"),
+        col("source"),
+        md5(concat_ws(" ", slice(col("ws"), col("ci") * passage + 1, lit(passage)))).as("h")
+      )
+    chunks.persist()
+    val df_ = chunks.groupBy("h").agg(countDistinct(col("doc_id")).as("ndocs"))
+    chunks
+      .join(df_, Seq("h"))
+      .groupBy("source")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum((col("ndocs") >= minDf).cast("long")).as("n_boiler")
+      )
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_chunks"),
+        col("n_boiler"),
+        expr("n_boiler * 10000 div n_chunks").as("boiler_permyriad")
+      )
+      .orderBy("source")
+  }
+
+  // Epoch-shuffle independence audit — "is my seeded shuffle actually
+  // reshuffling": two epochs order the corpus by hash(doc_id#e) (the
+  // q63 seedless convention), and Spearman's footrule Σ|r₁−r₂|
+  // between the two EXACT global ranks is compared to the
+  // independent-permutation expectation (n²−1)/3 — ratio ≈ 1000‰
+  // means epoch 2 forgot epoch 1's order, tiny means the "shuffle"
+  // barely moved anything. Both ranks come from ONE Ntile.exactRanks
+  // histogram job (bin-partitioned, no single-partition sort);
+  // products escalate to DECIMAL(38,0) since n² clears BIGINT at
+  // corpus scale. Fixed points (r₁ = r₂) are reported against their
+  // expectation of exactly 1.
+  def epochShuffleAudit(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(
+      col("doc_id"),
+      TextOps.hash32(concat(col("doc_id").cast("string"), lit("#e1"))).as("h1"),
+      TextOps.hash32(concat(col("doc_id").cast("string"), lit("#e2"))).as("h2")
+    )
+    val binW = (1L << 20).toDouble
+    val ranked = Ntile.exactRanks(
+      d,
+      Seq(
+        Ntile.RankSpec(col("h1"), col("doc_id"), binW, "r1"),
+        Ntile.RankSpec(col("h2"), col("doc_id"), binW, "r2")
+      )
+    )
+    ranked
+      .agg(
+        count(lit(1)).as("n"),
+        sum((col("r1") === col("r2")).cast("long")).as("n_fixed"),
+        sum(abs(col("r1") - col("r2")).cast("decimal(38,0)")).as("footrule")
+      )
+      .select(
+        col("n"),
+        col("n_fixed"),
+        expr("CAST(footrule * 3000 div (CAST(n AS DECIMAL(38,0)) * n - 1) AS BIGINT)")
+          .as("footrule_ratio_permille")
+      )
+  }
+
+  // Idempotent exactly-once sink — the production answer to "what if
+  // the stream restarts and replays": each micro-batch reduces to its
+  // category counts and lands at a DATA-derived deterministic path
+  // (chunk id = event_id % 4) in overwrite mode, so a full second
+  // replay from a fresh checkpoint rewrites byte-identical partitions
+  // instead of appending duplicates. The audit runs the stream TWICE,
+  // then proves the sink equals the one-pass batch aggregate — the
+  // delete-then-insert idempotence contract (the same shape as
+  // partition-overwrite CDC, q269) that makes at-least-once delivery
+  // exactly-once at the sink.
+  def exactlyOnceSink(s: SparkSession, dir: String): DataFrame = {
+    val scratch = graft.operators.Scratch.dir("graft-eos")
+    val sink = s"$scratch/sink"
+    val ev = Tables.events(s, dir)
+    (0 to 3).foreach { i =>
+      ev.filter(col("event_id") % 4 === i).coalesce(1).write.mode("overwrite").parquet(s"$scratch/in/chunk$i")
+    }
+    val schema = s.read.parquet(s"$scratch/in/chunk0").schema
+    def runOnce(): Unit = {
+      val q = s.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(s"$scratch/in")
+        .writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val parts = batch
+            .groupBy((col("event_id") % 4).as("chunk"), col("event_type"))
+            .agg(count(lit(1)).as("n"))
+          parts
+            .select(col("chunk"))
+            .distinct()
+            .collect()
+            .map(_.getAs[Long]("chunk"))
+            .foreach { c =>
+              graft.sinks.RetryingSink
+                .overwriteParquet(parts.filter(col("chunk") === c), s"$sink/chunk$c"): Unit
+            }
+          (): Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    }
+    runOnce()
+    runOnce() // the replay: same data, fresh checkpoint, same sink paths
+    val sunk = s.read.option("recursiveFileLookup", "true").parquet(sink)
+    val fromSink = sunk.groupBy("event_type").agg(sum(col("n")).as("n"))
+    val direct = ev.groupBy("event_type").agg(count(lit(1)).as("n_direct"))
+    fromSink
+      .join(direct, Seq("event_type"))
+      .select(
+        col("event_type"),
+        col("n"),
+        (col("n") === col("n_direct")).cast("long").as("sink_eq_batch")
+      )
+      .orderBy("event_type")
+  }
 }

@@ -2084,4 +2084,33 @@ class QueriesSpec extends SparkSpec {
       assert(r.getAs[Long]("covered") <= r.getAs[Long]("total_tokens"))
     }
   }
+
+  test("boilerplate scrub: every source reported and the scrub fraction is a valid permyriad") {
+    val rows = Queries.boilerplateScrub(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_boiler") <= r.getAs[Long]("n_chunks"))
+      val pm = r.getAs[Long]("boiler_permyriad")
+      assert(pm >= 0L && pm <= 10000L)
+    }
+    // the synthetic corpus repeats passages across documents: a scrub
+    // that finds NOTHING anywhere means the df threshold logic is dead
+    assert(rows.map(_.getAs[Long]("n_boiler")).sum > 0L, "no boilerplate found in a corpus with known repetition")
+  }
+
+  test("epoch shuffle audit: ranks are permutations, footrule lands near the independence expectation") {
+    val r = Queries.epochShuffleAudit(spark, sfDir).collect().head
+    val n = r.getAs[Long]("n")
+    assert(n > 0)
+    assert(r.getAs[Long]("n_fixed") <= math.max(5L, n / 20), "far too many fixed points for independent epochs")
+    val ratio = r.getAs[Long]("footrule_ratio_permille")
+    assert(ratio > 700L && ratio < 1300L, s"footrule ratio $ratio permille — epochs are not independently shuffled")
+  }
+
+  test("exactly-once sink: a full second replay leaves the sink equal to the one-pass batch aggregate") {
+    val rows = Queries.exactlyOnceSink(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("sink_eq_batch") === 1L,
+      s"${r.getAs[String]("event_type")}: replay duplicated or lost rows"))
+  }
 }
