@@ -140,4 +140,37 @@ object CandidateGraph {
   }
 
   private val fpCache = new ConcurrentHashMap[String, String]()
+
+  /** Dedup cluster labels `(id, cluster)` over the full documents
+    * table and the [[pairs]] candidate graph — the connected-components
+    * fixpoint, materialized once per dir like the other snapshots.
+    * q80 (min-id canonicalization), q118 (keep-best) and q286 (label
+    * propagation) all consume exactly this labeling; against the live
+    * subtree each would re-run the iterative CC rounds. At 100 TB this
+    * is the `clusters` table the dedup job publishes after the edge
+    * list converges.
+    */
+  def clusters(s: SparkSession, dir: String): DataFrame = {
+    val path = ccCache.computeIfAbsent(
+      dir,
+      _ => {
+        val scratch = Scratch.dir("graft-ccclusters")
+        ConnectedComponents
+          .minLabel(
+            graft.sources.Tables.parquet(s, dir, "documents").select(col("doc_id")),
+            col("doc_id"),
+            pairs(s, dir),
+            col("d1"),
+            col("d2")
+          )
+          .write
+          .mode("overwrite")
+          .parquet(s"$scratch/cc")
+        s"$scratch/cc"
+      }
+    )
+    s.read.parquet(path)
+  }
+
+  private val ccCache = new ConcurrentHashMap[String, String]()
 }
