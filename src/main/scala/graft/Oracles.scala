@@ -3938,7 +3938,85 @@ object Oracles {
     // the engine-side machinery under test)
     "q299_exactly_once_sink" ->
       """SELECT event_type, count(*) AS n, CAST(1 AS BIGINT) AS sink_eq_batch
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // per-column stats over the canonical string forms (cents for
+    // money, fixed-format timestamps — no raw doubles)
+    "q300_analyze_table" ->
+      """WITH c AS (
+        |  SELECT 'o_custkey' AS cname, CAST(o_custkey AS VARCHAR) AS v FROM orders
+        |  UNION ALL SELECT 'o_orderdate', strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') FROM orders
+        |  UNION ALL SELECT 'o_orderkey', CAST(o_orderkey AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+        |  UNION ALL SELECT 'o_totalprice', CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR) FROM orders)
+        |SELECT cname, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(count(DISTINCT v) AS BIGINT) AS ndv, min(v) AS min_s, max(v) AS max_s
+        |FROM c GROUP BY cname ORDER BY cname""".stripMargin,
+    // exact integer moments, floor(sqrt(integer)) sd proxy (IEEE sqrt
+    // is correctly rounded -> cross-engine safe), budget split by
+    // N_h*S_h vs N_h
+    "q301_neyman_allocation" ->
+      """WITH c AS (SELECT c_mktsegment AS stratum,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS y FROM customer),
+        |p AS (SELECT stratum, count(*) AS n_pop, CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy FROM c GROUP BY stratum),
+        |v AS (SELECT stratum, n_pop, n_pop * syy - sy * sy AS vnum FROM p),
+        |sd AS (SELECT stratum, n_pop,
+        |    CAST(floor(sqrt(CAST(vnum * 1000000 // (n_pop * (n_pop - 1)) AS DOUBLE))) AS BIGINT) AS sd_milli FROM v),
+        |w AS (SELECT stratum, n_pop, sd_milli, CAST(n_pop AS HUGEINT) * sd_milli AS w FROM sd),
+        |t AS (SELECT CAST(sum(w) AS HUGEINT) AS tw, CAST(sum(n_pop) AS BIGINT) AS tn FROM w)
+        |SELECT stratum, n_pop, sd_milli,
+        |  1000 * n_pop // tn AS alloc_prop,
+        |  CAST(1000 * w // tw AS BIGINT) AS alloc_neyman
+        |FROM w, t ORDER BY stratum""".stripMargin,
+    // three sliced brute-force rungs vs the full-vector truth; the
+    // 64-dim rung is the identity control
+    "q302_matryoshka_recall" -> {
+      def bf(tag: String, emb: String) =
+        s"""q$tag AS (SELECT vec_id AS qid, $emb AS qe FROM v WHERE vec_id < 50),
+           |c$tag AS (SELECT vec_id AS nid, $emb AS ne FROM v),
+           |s$tag AS (SELECT q.qid, c.nid, ${away(cosineSql("q.qe", "c.ne"), 6)} AS sim
+           |  FROM q$tag q, c$tag c WHERE c.nid <> q.qid),
+           |k$tag AS (SELECT qid, nid, sim,
+           |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s$tag),
+           |t$tag AS (SELECT qid, nid, rnk FROM k$tag WHERE rnk <= 10)""".stripMargin
+      s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+         |${bf("f", "embedding")},
+         |${bf("a", "embedding[1:16]")},
+         |${bf("b", "embedding[1:32]")},
+         |${bf("d", "embedding[1:64]")},
+         |m AS (SELECT 16 AS dims, qid, nid, rnk FROM ta
+         |  UNION ALL SELECT 32, qid, nid, rnk FROM tb
+         |  UNION ALL SELECT 64, qid, nid, rnk FROM td),
+         |ov AS (SELECT m.dims, count(*) AS n_pairs,
+         |    CAST(sum(CASE WHEN f.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+         |  FROM m LEFT JOIN tf f ON f.qid = m.qid AND f.nid = m.nid GROUP BY m.dims),
+         |o1 AS (SELECT m.dims, count(*) AS n_q,
+         |    CAST(sum(CASE WHEN f.nid = m.nid THEN 1 ELSE 0 END) AS BIGINT) AS n_top1
+         |  FROM m JOIN tf f ON f.qid = m.qid AND f.rnk = 1 WHERE m.rnk = 1 GROUP BY m.dims)
+         |SELECT ov.dims, n_overlap, n_overlap * 1000 // n_pairs AS recall_permille,
+         |  n_top1 * 1000 // n_q AS top1_match_permille
+         |FROM ov JOIN o1 ON o1.dims = ov.dims ORDER BY ov.dims""".stripMargin
+    },
+    // batches of 32 padded to the batch max: arrival order vs
+    // length-sorted order
+    "q303_length_bucketing" ->
+      raw"""WITH d AS (SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok FROM documents),
+         |ra AS (SELECT n_tok, (row_number() OVER (ORDER BY doc_id) - 1) // 32 AS batch FROM d),
+         |rl AS (SELECT n_tok, (row_number() OVER (ORDER BY n_tok, doc_id) - 1) // 32 AS batch FROM d),
+         |wa AS (SELECT batch, count(*) AS nb, max(n_tok) AS mx, CAST(sum(n_tok) AS BIGINT) AS st
+         |  FROM ra GROUP BY batch),
+         |wl AS (SELECT batch, count(*) AS nb, max(n_tok) AS mx, CAST(sum(n_tok) AS BIGINT) AS st
+         |  FROM rl GROUP BY batch),
+         |aa AS (SELECT '1_arrival' AS strategy, count(*) AS n_batches, CAST(sum(st) AS BIGINT) AS total_tok,
+         |    CAST(sum(nb * mx - st) AS BIGINT) AS pad_tok,
+         |    CAST(sum(nb * mx - st) * 1000 // sum(nb * mx) AS BIGINT) AS pad_permille FROM wa),
+         |al AS (SELECT '2_length_sorted', count(*), CAST(sum(st) AS BIGINT),
+         |    CAST(sum(nb * mx - st) AS BIGINT),
+         |    CAST(sum(nb * mx - st) * 1000 // sum(nb * mx) AS BIGINT) FROM wl)
+         |SELECT * FROM aa UNION ALL SELECT * FROM al ORDER BY strategy""".stripMargin
   )
 
   /** q195/q246 shared winnowing chain: char-8-gram 60-bit prints,

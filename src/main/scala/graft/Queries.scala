@@ -7914,4 +7914,154 @@ object Queries {
       )
       .orderBy("event_type")
   }
+
+  // ANALYZE TABLE — the statistics pass every cost-based optimizer and
+  // zone-map pruner feeds on: per column, row/null counts, exact NDV
+  // and lexicographic min/max of a CANONICAL string form (ints as
+  // digits, money as cents, timestamps as fixed-format — never a raw
+  // double, whose shortest-repr rendering differs across engines; the
+  // q222 lesson). One pass: each row explodes into |cols| (name,
+  // value) pairs and a single map-combined keyed aggregate produces
+  // the whole stats frame — the multi-distinct Expand plan ANALYZE
+  // needs anyway, never |cols| separate scans. min/max are
+  // lexicographic bounds of the canonical form (the string zone-map
+  // contract), not numeric bounds — documented, matched by the oracle.
+  def analyzeTable(s: SparkSession, dir: String): DataFrame = {
+    val canon: Seq[(String, Column)] = Seq(
+      "o_custkey" -> col("o_custkey").cast("string"),
+      "o_orderdate" -> date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+      "o_orderkey" -> col("o_orderkey").cast("string"),
+      "o_orderpriority" -> col("o_orderpriority"),
+      "o_orderstatus" -> col("o_orderstatus"),
+      "o_totalprice" -> floor(col("o_totalprice") * 100 + 0.5).cast("long").cast("string")
+    )
+    t(s, dir, "orders")
+      .select(explode(array(canon.map { case (n, c) => struct(lit(n).as("cname"), c.as("v")) }: _*)).as("x"))
+      .select(col("x.cname").as("cname"), col("x.v").as("v"))
+      .groupBy("cname")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("v").isNull.cast("long")).as("n_null"),
+        countDistinct(col("v")).as("ndv"),
+        min(col("v")).as("min_s"),
+        max(col("v")).as("max_s")
+      )
+      .orderBy("cname")
+  }
+
+  // Neyman (variance-optimal) sample allocation — the survey-sampling
+  // upgrade over proportional allocation the q289 HT audit implies:
+  // with a fixed budget, strata get samples ∝ N_h·S_h, so volatile
+  // strata are oversampled and uniform ones starved. All moments are
+  // exact integers (cents, DECIMAL power sums); the only float op is
+  // sqrt of an ALREADY-INTEGER variance argument — IEEE sqrt is
+  // correctly rounded and int→double conversion rounds identically on
+  // both engines, so floor(sqrt(·)) is cross-engine deterministic
+  // (unlike ln, which needs the micro-nat treatment).
+  def neymanAllocation(s: SparkSession, dir: String): DataFrame = {
+    val budget = 1000L
+    val per = t(s, dir, "customer")
+      .select(col("c_mktsegment").as("stratum"), floor(col("c_acctbal") * 100 + 0.5).cast("long").as("y"))
+      .groupBy("stratum")
+      .agg(
+        count(lit(1)).as("n_pop"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy")
+      )
+      .withColumn("vnum", col("n_pop") * col("syy") - col("sy") * col("sy"))
+      .withColumn(
+        "sd_milli",
+        floor(sqrt(expr("CAST(vnum * 1000000 div (n_pop * (n_pop - 1)) AS DOUBLE)"))).cast("long")
+      )
+      .withColumn("w", col("n_pop").cast("decimal(38,0)") * col("sd_milli"))
+    per.persist()
+    per
+      .crossJoin(broadcast(per.agg(sum(col("w")).as("tw"), sum(col("n_pop")).as("tn"))))
+      .select(
+        col("stratum"),
+        col("n_pop"),
+        col("sd_milli"),
+        expr(s"$budget * n_pop div tn").as("alloc_prop"),
+        expr(s"CAST($budget * w div tw AS BIGINT)").as("alloc_neyman")
+      )
+      .orderBy("stratum")
+  }
+
+  // Matryoshka truncation ladder — "how many dimensions does serving
+  // actually need": exact cosine top-10 recall (and top-1 agreement)
+  // when queries and corpus are truncated to the first 16/32/64 dims,
+  // against the full-vector ground truth. The 64-dim rung is the
+  // built-in control (identical to full ⇒ 1000‰). Each rung is the
+  // q29 brute plan over a SLICED embedding column (the slice happens
+  // at the scan, so a 16-dim rung moves a quarter of the bytes);
+  // overlap joins are (qid, nid)-keyed against the |Q|·10 truth set.
+  def matryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    val vecs = t(s, dir, "embeddings")
+    def top(d: Option[Int]) = {
+      val emb = d.map(n => slice(col("embedding"), 1, n)).getOrElse(col("embedding"))
+      Similarity
+        .bruteForceTopK(vecs, col("vec_id"), emb, col("vec_id") < 50, k = 10)
+        .select(col("qid"), col("nid"), col("rank"))
+    }
+    val full = top(None)
+    full.persist()
+    val truncs = Seq(16, 32, 64)
+      .map(d => top(Some(d)).withColumn("dims", lit(d)))
+      .reduce(_ unionByName _)
+    truncs.persist()
+    val overlap = truncs
+      .join(broadcast(full.select(col("qid"), col("nid")).withColumn("m", lit(1L))), Seq("qid", "nid"), "left")
+      .groupBy("dims")
+      .agg(count(lit(1)).as("n_pairs"), sum(coalesce(col("m"), lit(0L))).as("n_overlap"))
+    val top1 = truncs
+      .filter(col("rank") === 1)
+      .join(broadcast(full.filter(col("rank") === 1).select(col("qid"), col("nid").as("n1"))), Seq("qid"))
+      .groupBy("dims")
+      .agg(count(lit(1)).as("n_q"), sum((col("nid") === col("n1")).cast("long")).as("n_top1"))
+    overlap
+      .join(top1, Seq("dims"))
+      .select(
+        col("dims"),
+        col("n_overlap"),
+        expr("n_overlap * 1000 div n_pairs").as("recall_permille"),
+        expr("n_top1 * 1000 div n_q").as("top1_match_permille")
+      )
+      .orderBy("dims")
+  }
+
+  // Length bucketing for batched training — the padding-waste
+  // comparison that justifies sorting by sequence length before
+  // batching: fixed batches of 32, padded to the batch max. Arrival
+  // order mixes long and short docs into the same batch (waste ≈ the
+  // length spread); length-sorted batches hold near-equal lengths
+  // (waste → the floor q293 computed). BOTH global orders come from
+  // Ntile.exactRank — the bin-histogram rank, no single-partition
+  // sort — and the per-batch rollup keys on the batch id derived from
+  // the rank, so the whole audit is two ranked passes + keyed aggs.
+  def lengthBucketing(s: SparkSession, dir: String): DataFrame = {
+    val b = 32L
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+    def waste(ranked: DataFrame, strategy: String): DataFrame =
+      ranked
+        .withColumn("batch", expr(s"(rank - 1) div $b"))
+        .groupBy("batch")
+        .agg(count(lit(1)).as("nb"), max(col("n_tok")).as("mx"), sum(col("n_tok")).as("st"))
+        .agg(
+          count(lit(1)).as("n_batches"),
+          sum(col("st")).as("total_tok"),
+          sum(col("nb") * col("mx") - col("st")).as("pad_tok"),
+          sum(col("nb") * col("mx")).as("padded")
+        )
+        .select(
+          lit(strategy).as("strategy"),
+          col("n_batches"),
+          col("total_tok"),
+          col("pad_tok"),
+          expr("pad_tok * 1000 div padded").as("pad_permille")
+        )
+    val byArrival = Ntile.exactRank(d, col("doc_id"), col("doc_id"), binWidth = 64.0, rankCol = "rank")._1
+    val byLength = Ntile.exactRank(d, col("n_tok"), col("doc_id"), binWidth = 8.0, rankCol = "rank")._1
+    waste(byArrival, "1_arrival").unionByName(waste(byLength, "2_length_sorted")).orderBy("strategy")
+  }
 }

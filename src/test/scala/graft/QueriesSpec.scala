@@ -2113,4 +2113,49 @@ class QueriesSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("sink_eq_batch") === 1L,
       s"${r.getAs[String]("event_type")}: replay duplicated or lost rows"))
   }
+
+  test("analyze table: one row per column, ndv bounded by rows, keys unique, canonical bounds ordered") {
+    val rows = Queries.analyzeTable(spark, sfDir).collect()
+    assert(rows.length === 6)
+    val byName = rows.map(r => r.getAs[String]("cname") -> r).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("ndv") <= r.getAs[Long]("n_rows") - r.getAs[Long]("n_null"))
+      assert(r.getAs[String]("min_s") <= r.getAs[String]("max_s"))
+    }
+    val ok = byName("o_orderkey")
+    assert(ok.getAs[Long]("ndv") === ok.getAs[Long]("n_rows"), "order keys are unique")
+    assert(byName("o_orderstatus").getAs[Long]("ndv") <= 3L)
+  }
+
+  test("neyman allocation: budget is preserved up to rounding and volatile strata are oversampled vs proportional") {
+    val rows = Queries.neymanAllocation(spark, sfDir).collect()
+    assert(rows.length === 5)
+    val neyman = rows.map(_.getAs[Long]("alloc_neyman")).sum
+    val prop = rows.map(_.getAs[Long]("alloc_prop")).sum
+    assert(math.abs(neyman - 1000L) <= rows.length && math.abs(prop - 1000L) <= rows.length)
+    rows.foreach(r => assert(r.getAs[Long]("sd_milli") > 0L, "acctbal varies in every segment"))
+    // the two schemes must actually differ somewhere, else the weighting is dead code
+    assert(rows.exists(r => r.getAs[Long]("alloc_neyman") != r.getAs[Long]("alloc_prop")) ||
+      rows.forall(r => math.abs(r.getAs[Long]("alloc_neyman") - r.getAs[Long]("alloc_prop")) <= 1))
+  }
+
+  test("matryoshka recall: the 64-dim control is exact, recall grows with dimensions") {
+    val rows = Queries.matryoshkaRecall(spark, sfDir).collect().sortBy(_.getAs[Int]("dims"))
+    assert(rows.map(_.getAs[Int]("dims")).toSeq === Seq(16, 32, 64))
+    val r64 = rows.last
+    assert(r64.getAs[Long]("recall_permille") === 1000L, "full-width truncation must reproduce the truth exactly")
+    assert(r64.getAs[Long]("top1_match_permille") === 1000L)
+    val recalls = rows.map(_.getAs[Long]("recall_permille"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b }, s"recall must not degrade with more dims: ${recalls.toSeq}")
+  }
+
+  test("length bucketing: sorting by length strictly reduces padding waste") {
+    val rows = Queries.lengthBucketing(spark, sfDir).collect().sortBy(_.getAs[String]("strategy"))
+    assert(rows.map(_.getAs[String]("strategy")).toSeq === Seq("1_arrival", "2_length_sorted"))
+    val Array(arrival, sorted) = rows
+    assert(arrival.getAs[Long]("total_tok") === sorted.getAs[Long]("total_tok"), "same corpus either way")
+    assert(arrival.getAs[Long]("n_batches") === sorted.getAs[Long]("n_batches"))
+    assert(sorted.getAs[Long]("pad_tok") < arrival.getAs[Long]("pad_tok"),
+      "length-sorted batching must beat arrival order on a length-varying corpus")
+  }
 }
