@@ -4016,7 +4016,72 @@ object Oracles {
          |al AS (SELECT '2_length_sorted', count(*), CAST(sum(st) AS BIGINT),
          |    CAST(sum(nb * mx - st) AS BIGINT),
          |    CAST(sum(nb * mx - st) * 1000 // sum(nb * mx) AS BIGINT) FROM wl)
-         |SELECT * FROM aa UNION ALL SELECT * FROM al ORDER BY strategy""".stripMargin
+         |SELECT * FROM aa UNION ALL SELECT * FROM al ORDER BY strategy""".stripMargin,
+    // H1 vs H2 PSI in exact micro-nats: Laplace-smoothed bucket
+    // masses, cross-multiplied contribution, HUGEINT products
+    "q304_psi_drift" -> {
+      def mn(e: String) = s"CAST(floor(ln(CAST($e AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+      s"""WITH o AS (SELECT (o_orderdate < TIMESTAMP '2019-07-01') AS is_base,
+         |    least(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 5000000, 9) AS bin FROM orders),
+         |p AS (SELECT bin, CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) + 1 AS c,
+         |    CAST(sum(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT) + 1 AS d FROM o GROUP BY bin),
+         |t AS (SELECT CAST(sum(c) AS BIGINT) AS nn, CAST(sum(d) AS BIGINT) AS mm FROM p)
+         |SELECT bin, c - 1 AS n_base, d - 1 AS n_curr,
+         |  CAST((CAST(c AS HUGEINT) * mm - CAST(d AS HUGEINT) * nn)
+         |    * (${mn("CAST(c AS HUGEINT) * mm")} - ${mn("CAST(d AS HUGEINT) * nn")})
+         |    // (CAST(nn AS HUGEINT) * mm) AS BIGINT) AS psi_contrib_micro
+         |FROM p, t ORDER BY bin""".stripMargin
+    },
+    // the q277 ladder, sensitive attribute = order status: worst-case
+    // l and the disclosure cost of single-valued groups
+    "q305_l_diversity" -> {
+      def level(name: String, dateExpr: Option[String]): String = {
+        val grp = dateExpr match {
+          case Some(e) =>
+            s"SELECT o_orderpriority AS pri, $e AS qi_date, count(*) AS g, count(DISTINCT o_orderstatus) AS l FROM orders GROUP BY 1, 2"
+          case None =>
+            s"SELECT o_orderpriority AS pri, count(*) AS g, count(DISTINCT o_orderstatus) AS l FROM orders GROUP BY 1"
+        }
+        s"""SELECT '$name' AS level, count(*) AS n_groups,
+           |  CAST(min(l) AS BIGINT) AS l_min,
+           |  CAST(sum(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_single_valued,
+           |  CAST(sum(g) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN l = 1 THEN g ELSE 0 END) AS BIGINT) * 1000 // CAST(sum(g) AS BIGINT) AS disclosing_permille
+           |FROM ($grp)""".stripMargin
+      }
+      s"""${level("1_day", Some("strftime(o_orderdate, '%Y-%m-%d')"))}
+         |UNION ALL ${level("2_month", Some("strftime(o_orderdate, '%Y-%m')"))}
+         |UNION ALL ${level("3_year", Some("strftime(o_orderdate, '%Y')"))}
+         |UNION ALL ${level("4_dropped", None)}
+         |ORDER BY level""".stripMargin
+    },
+    // discrete KM with censoring at the last observed week; survival
+    // carried in log-space micro-nats (exact integers)
+    "q306_km_survival" -> {
+      def mn(e: String) = s"CAST(floor(ln(CAST($e AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+      s"""WITH ev AS (SELECT user_id,
+         |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS wk
+         |  FROM events),
+         |u AS (SELECT user_id, min(wk) AS w0, max(wk) AS w1 FROM ev GROUP BY user_id),
+         |wm AS (SELECT max(wk) AS wmax FROM ev),
+         |lv AS (SELECT w1 - w0 AS t, CASE WHEN w1 = wmax THEN 1 ELSE 0 END AS censored FROM u, wm),
+         |pw AS (SELECT t, count(*) AS ending, CAST(sum(censored) AS BIGINT) AS n_censored FROM lv GROUP BY t),
+         |pe AS (SELECT t, ending, n_censored, ending - n_censored AS n_events FROM pw),
+         |ar AS (SELECT *, CAST(sum(ending) OVER (ORDER BY t DESC) AS BIGINT) AS n_at_risk FROM pe)
+         |SELECT t, n_at_risk, n_events, n_censored,
+         |  CAST(sum(${mn("n_at_risk - n_events")} - ${mn("n_at_risk")}) OVER (ORDER BY t) AS BIGINT) AS log_surv_micro
+         |FROM ar ORDER BY t""".stripMargin
+    },
+    // hottest-key skew diagnosis and the AQE-style salt decision
+    "q307_skew_join_planner" ->
+      """WITH k AS (SELECT o_custkey, count(*) AS kn FROM orders GROUP BY o_custkey),
+        |hot AS (SELECT o_custkey AS top_key, kn AS max_key_rows FROM k ORDER BY kn DESC, o_custkey LIMIT 1),
+        |a AS (SELECT count(*) AS n_keys, CAST(sum(kn) AS BIGINT) AS total_rows FROM k)
+        |SELECT total_rows, n_keys, top_key, max_key_rows,
+        |  CAST(CAST(max_key_rows AS HUGEINT) * n_keys * 1000 // total_rows AS BIGINT) AS skew_ratio_permille,
+        |  greatest(total_rows // 32, 1) AS target_rows,
+        |  (max_key_rows + greatest(total_rows // 32, 1) - 1) // greatest(total_rows // 32, 1) AS salt_factor
+        |FROM a, hot""".stripMargin
   )
 
   /** q195/q246 shared winnowing chain: char-8-gram 60-bit prints,

@@ -8064,4 +8064,162 @@ object Queries {
     val byLength = Ntile.exactRank(d, col("n_tok"), col("doc_id"), binWidth = 8.0, rankCol = "rank")._1
     waste(byArrival, "1_arrival").unionByName(waste(byLength, "2_length_sorted")).orderBy("strategy")
   }
+
+  // Population stability index — THE industry drift metric (credit
+  // scoring, model monitoring): base = H1-2019 orders, current = H2,
+  // value binned into 10 fixed cents-width buckets, and each bucket
+  // contributes (p−q)·ln(p/q). With +1 Laplace on both sides every
+  // ratio is rational, so the contribution is EXACT integer
+  // micro-nats via the cross-multiplied form
+  //   (c'M − d'N)·(mn(c'M) − mn(d'N)) div (N·M)
+  // (both factors share sign ⇒ every contribution ≥ 0; products ride
+  // DECIMAL(38,0) — c'·M clears BIGINT at warehouse scale). Two scans,
+  // one 10-row frame; PSI > 0.2 (200k micro) is the standard alarm.
+  def psiDrift(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      (col("o_orderdate") < lit("2019-07-01")).as("is_base"),
+      least(floor(floor(col("o_totalprice") * 100 + 0.5) / 5000000L), lit(9L)).cast("long").as("bin")
+    )
+    val per = o
+      .groupBy("bin")
+      .agg(
+        sum(col("is_base").cast("long")).as("c0"),
+        sum((!col("is_base")).cast("long")).as("d0")
+      )
+      .select(col("bin"), (col("c0") + 1).as("c"), (col("d0") + 1).as("d"))
+    per.persist()
+    val tot = per.agg(sum(col("c")).as("nn"), sum(col("d")).as("mm"))
+    per
+      .crossJoin(broadcast(tot))
+      .select(
+        col("bin"),
+        (col("c") - 1).as("n_base"),
+        (col("d") - 1).as("n_curr"),
+        expr(
+          "CAST((CAST(c AS DECIMAL(38,0)) * mm - CAST(d AS DECIMAL(38,0)) * nn) AS DECIMAL(38,0))"
+        ).as("num"),
+        (microNats(col("c").cast("decimal(38,0)") * col("mm")) -
+          microNats(col("d").cast("decimal(38,0)") * col("nn"))).as("lr"),
+        col("nn"),
+        col("mm")
+      )
+      .select(
+        col("bin"),
+        col("n_base"),
+        col("n_curr"),
+        expr("CAST(num * lr div (CAST(nn AS DECIMAL(38,0)) * mm) AS BIGINT)").as("psi_contrib_micro")
+      )
+      .orderBy("bin")
+  }
+
+  // l-diversity — the second rung of the privacy ladder (q277 counts
+  // group SIZES; this counts distinct SENSITIVE values per group): a
+  // k-anonymous group whose members all share one order status still
+  // leaks the attribute. Same generalization ladder, sensitive =
+  // o_orderstatus; per level: worst-case l, how many groups are
+  // single-valued (attribute-disclosing), and the row cost of
+  // suppressing them. Domain-bounded keyed aggregates at every level.
+  def lDiversity(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("pri"), col("o_orderdate").as("d"), col("o_orderstatus").as("sv"))
+    def level(name: String, qiDate: Option[Column]): DataFrame = {
+      val keyed = qiDate match {
+        case Some(g) => o.groupBy(col("pri"), g.as("qi_date"))
+        case None => o.groupBy(col("pri"))
+      }
+      keyed
+        .agg(count(lit(1)).as("g"), countDistinct(col("sv")).as("l"))
+        .agg(
+          count(lit(1)).as("n_groups"),
+          min(col("l")).as("l_min"),
+          sum(when(col("l") === 1, 1L).otherwise(0L)).as("n_single_valued"),
+          sum(col("g")).as("n_rows"),
+          sum(when(col("l") === 1, col("g")).otherwise(0L)).as("n_disclosing_rows")
+        )
+        .select(
+          lit(name).as("level"),
+          col("n_groups"),
+          col("l_min"),
+          col("n_single_valued"),
+          col("n_rows"),
+          expr("n_disclosing_rows * 1000 div n_rows").as("disclosing_permille")
+        )
+    }
+    level("1_day", Some(date_format(col("d"), "yyyy-MM-dd")))
+      .unionByName(level("2_month", Some(date_format(col("d"), "yyyy-MM"))))
+      .unionByName(level("3_year", Some(date_format(col("d"), "yyyy"))))
+      .unionByName(level("4_dropped", None))
+      .orderBy("level")
+  }
+
+  // Discrete Kaplan–Meier survival over user lifetimes — the churn
+  // curve with CENSORING done right: a user last seen on the final
+  // observed day hasn't churned, they're censored, and ignoring that
+  // biases survival down (the classic mistake). Days-as-support keeps
+  // everything bounded: lifetimes reduce per user, then per-day
+  // events/censorings aggregate, and the survival curve's cumulative
+  // product Π(1 − e/n) is carried in EXACT integer micro-nats
+  // (log-space: Σ mn(n−e) − mn(n), a prefix sum over the day
+  // support — the q233 posture). n_at_risk is derived from suffix
+  // sums of the same day frame, no second scan of the corpus.
+  def kmSurvival(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(s, dir)
+      .select(col("user_id"), unix_date(to_date(col("ts"))).cast("long").as("wk"))
+    val users = ev.groupBy("user_id").agg(min(col("wk")).as("w0"), max(col("wk")).as("w1"))
+    val lastWk = ev.agg(max(col("wk")).as("wmax"))
+    val lives = users
+      .crossJoin(broadcast(lastWk))
+      .select(
+        (col("w1") - col("w0")).as("t"),
+        (col("w1") === col("wmax")).cast("long").as("censored")
+      )
+    val perWeek = lives
+      .groupBy("t")
+      .agg(count(lit(1)).as("ending"), sum(col("censored")).as("n_censored"))
+      .withColumn("n_events", col("ending") - col("n_censored"))
+    // at-risk at t = users with lifetime >= t: suffix sum over the
+    // bounded week support
+    val wRisk = Window.orderBy(desc("t")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSurv = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perWeek
+      .withColumn("n_at_risk", sum(col("ending")).over(wRisk))
+      .withColumn(
+        "log_surv_micro",
+        sum(microNats(col("n_at_risk") - col("n_events")) - microNats(col("n_at_risk"))).over(wSurv)
+      )
+      .select("t", "n_at_risk", "n_events", "n_censored", "log_surv_micro")
+      .orderBy("t")
+  }
+
+  // Skew-join planner — the diagnosis step before q47's salted join:
+  // per-key frequencies of the fact join key, the hottest key, the
+  // skew ratio against a uniform spread, and the salt factor that
+  // would level the hottest key onto 32-way parallelism — the exact
+  // integer decision rule (ceil(max/target)) an engine's AQE skew
+  // handler applies at runtime, surfaced as a plannable report. One
+  // keyed count, one TakeOrdered(1), dimension-sized everything.
+  def skewJoinPlanner(s: SparkSession, dir: String): DataFrame = {
+    val parts = 32L
+    val keyed = t(s, dir, "orders").groupBy(col("o_custkey")).agg(count(lit(1)).as("kn"))
+    keyed.persist()
+    val hot = keyed.orderBy(desc("kn"), col("o_custkey")).limit(1).select(
+      col("o_custkey").as("top_key"),
+      col("kn").as("max_key_rows")
+    )
+    keyed
+      .agg(count(lit(1)).as("n_keys"), sum(col("kn")).as("total_rows"))
+      .crossJoin(broadcast(hot))
+      .select(
+        col("total_rows"),
+        col("n_keys"),
+        col("top_key"),
+        col("max_key_rows"),
+        expr("CAST(CAST(max_key_rows AS DECIMAL(38,0)) * n_keys * 1000 div total_rows AS BIGINT)")
+          .as("skew_ratio_permille"),
+        expr(s"greatest(total_rows div $parts, 1)").as("target_rows"),
+        expr(s"(max_key_rows + greatest(total_rows div $parts, 1) - 1) div greatest(total_rows div $parts, 1)")
+          .as("salt_factor")
+      )
+  }
 }

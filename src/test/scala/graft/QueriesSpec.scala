@@ -2158,4 +2158,50 @@ class QueriesSpec extends SparkSpec {
     assert(sorted.getAs[Long]("pad_tok") < arrival.getAs[Long]("pad_tok"),
       "length-sorted batching must beat arrival order on a length-varying corpus")
   }
+
+  test("psi drift: contributions are non-negative and the total stays under the alarm on a stationary split") {
+    val rows = Queries.psiDrift(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("psi_contrib_micro") >= 0L, "PSI terms share sign by construction"))
+    val total = rows.map(_.getAs[Long]("psi_contrib_micro")).sum
+    // H1 vs H2 of the same synthetic generator: stable distribution,
+    // PSI must sit far below the 0.2 (200000 micro) industry alarm
+    assert(total < 200000L, s"PSI $total micro-nats on a stationary split")
+    assert(rows.map(r => r.getAs[Long]("n_base") + r.getAs[Long]("n_curr")).sum > 0)
+  }
+
+  test("l-diversity: l can only degrade as the QI gets finer, and dropped-date groups see every status") {
+    val rows = Queries.lDiversity(spark, sfDir).collect().sortBy(_.getAs[String]("level"))
+    assert(rows.map(_.getAs[String]("level")).toSeq === Seq("1_day", "2_month", "3_year", "4_dropped"))
+    val lmin = rows.map(_.getAs[Long]("l_min"))
+    assert(lmin.zip(lmin.tail).forall { case (fine, coarse) => fine <= coarse },
+      s"coarser QI can only merge groups, never lower l: ${lmin.toSeq}")
+    assert(rows.last.getAs[Long]("l_min") === 3L, "priority-only groups contain all three statuses")
+    rows.foreach(r => assert(r.getAs[Long]("disclosing_permille") <= 1000L))
+  }
+
+  test("km survival: log-survival is non-increasing, at-risk counts telescope, censoring only at the horizon week") {
+    val rows = Queries.kmSurvival(spark, sfDir).collect().sortBy(_.getAs[Long]("t"))
+    assert(rows.nonEmpty)
+    val ls = rows.map(_.getAs[Long]("log_surv_micro"))
+    assert(ls.zip(ls.tail).forall { case (a, b) => b <= a }, "survival cannot increase")
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        val drop = a.getAs[Long]("n_events") + a.getAs[Long]("n_censored")
+        assert(a.getAs[Long]("n_at_risk") - drop === b.getAs[Long]("n_at_risk"),
+          "at-risk must telescope exactly by that week's endings")
+      case _ => ()
+    }
+    val totalEnd = rows.map(r => r.getAs[Long]("n_events") + r.getAs[Long]("n_censored")).sum
+    assert(totalEnd === rows.head.getAs[Long]("n_at_risk"), "every user ends exactly once")
+  }
+
+  test("skew join planner: ratio >= uniform, salt factor is the exact ceiling rule") {
+    val r = Queries.skewJoinPlanner(spark, sfDir).collect().head
+    assert(r.getAs[Long]("skew_ratio_permille") >= 1000L, "the max key is at least the mean key")
+    val target = r.getAs[Long]("target_rows")
+    val mx = r.getAs[Long]("max_key_rows")
+    assert(r.getAs[Long]("salt_factor") === (mx + target - 1) / target)
+    assert(r.getAs[Long]("total_rows") > 0 && r.getAs[Long]("n_keys") > 0)
+  }
 }
