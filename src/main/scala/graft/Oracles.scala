@@ -4081,7 +4081,35 @@ object Oracles {
         |  CAST(CAST(max_key_rows AS HUGEINT) * n_keys * 1000 // total_rows AS BIGINT) AS skew_ratio_permille,
         |  greatest(total_rows // 32, 1) AS target_rows,
         |  (max_key_rows + greatest(total_rows // 32, 1) - 1) // greatest(total_rows // 32, 1) AS salt_factor
-        |FROM a, hot""".stripMargin
+        |FROM a, hot""".stripMargin,
+    // pre-filtered exact search: corpus = label 1 only, queries
+    // vec_id < 20, k = 5 — the q29 mirror with the predicate pushed
+    // under the scoring join
+    "q308_filtered_vector_search" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS nid, embedding AS ne FROM embeddings WHERE label = 1),
+         |p AS (SELECT q.qid, q.qe, c.nid, c.ne FROM q, c WHERE c.nid <> q.qid),
+         |s AS (SELECT qid, nid, ${cosineSql("qe", "ne")} AS cs FROM p),
+         |r AS (SELECT qid, nid, ${away("cs", 6)} AS sim FROM s),
+         |k AS (SELECT qid, nid, sim,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INTEGER) AS rnk FROM r)
+         |SELECT qid, nid, sim, rnk FROM k WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // RRF of the q198 BM25 list and the raw-tf list: exact integer
+    // reciprocal terms, missing ranker contributes zero
+    "q309_hybrid_rrf_fusion" ->
+      raw"""WITH bm AS (SELECT doc_id, rnk AS r1 FROM ($bm25Sql)),
+         |tfq AS (SELECT doc_id, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents)
+         |  WHERE w IN ('spark', 'join', 'stream') GROUP BY doc_id),
+         |t10 AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY tf DESC, doc_id) AS INTEGER) AS r2
+         |  FROM tfq ORDER BY tf DESC, doc_id LIMIT 10),
+         |f AS (SELECT COALESCE(bm.doc_id, t10.doc_id) AS doc_id,
+         |    COALESCE(CAST(1000000 AS BIGINT) // (60 + r1), 0) + COALESCE(CAST(1000000 AS BIGINT) // (60 + r2), 0) AS rrf_micro,
+         |    COALESCE(r1, 0) AS bm25_rank, COALESCE(r2, 0) AS tf_rank
+         |  FROM bm FULL JOIN t10 ON t10.doc_id = bm.doc_id)
+         |SELECT doc_id, rrf_micro, bm25_rank, tf_rank,
+         |  CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS INTEGER) AS fused_rank
+         |FROM f ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin
   )
 
   /** q195/q246 shared winnowing chain: char-8-gram 60-bit prints,

@@ -8222,4 +8222,59 @@ object Queries {
           .as("salt_factor")
       )
   }
+
+  // Filtered vector search — the metadata-predicate + similarity
+  // composition every vector store serves ("nearest label-1 vectors"):
+  // the predicate narrows the CORPUS before any distance math runs
+  // (pre-filtering — post-filtering a plain top-k under-fills k
+  // whenever the predicate is selective, the classic filtered-ANN
+  // bug). Exact rung via Similarity.exactTopKBetween; at scale the
+  // same predicate composes onto the IVF candidate rows (q36's cell
+  // join takes the filtered corpus identically).
+  def filteredVectorSearch(s: SparkSession, dir: String): DataFrame = {
+    val vecs = t(s, dir, "embeddings")
+    Similarity
+      .exactTopKBetween(
+        vecs.filter(col("vec_id") < 20),
+        vecs.filter(col("label") === 1),
+        col("vec_id"),
+        col("embedding"),
+        k = 5
+      )
+      .withColumnRenamed("rank", "rnk")
+      .orderBy("qid", "rnk")
+  }
+
+  // Hybrid retrieval fusion (reciprocal rank fusion) — the standard
+  // way production search merges rankers without score calibration:
+  // RRF(d) = Σ_r 1/(60 + rank_r(d)), here over the q198 BM25 list and
+  // a raw term-frequency list for the same query. Each term is the
+  // EXACT integer 1000000 div (60 + rank) (no float reciprocal), a
+  // missing ranker contributes zero via the full outer join of two
+  // 10-row frames, and every rank window in sight runs over ≤10-row
+  // post-limit frames.
+  def hybridRrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val bm = bm25TopK(s, dir).select(col("doc_id"), col("rnk").as("r1"))
+    val terms = Seq("spark", "join", "stream")
+    val tf = t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w").isInCollection(terms))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("tf"))
+      .orderBy(desc("tf"), col("doc_id"))
+      .limit(10)
+      .withColumn("r2", row_number().over(Window.orderBy(desc("tf"), col("doc_id"))))
+      .select(col("doc_id"), col("r2"))
+    bm.join(tf, Seq("doc_id"), "full")
+      .select(
+        col("doc_id"),
+        (coalesce(expr("1000000 div (60 + r1)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + r2)"), lit(0L))).as("rrf_micro"),
+        coalesce(col("r1"), lit(0)).as("bm25_rank"),
+        coalesce(col("r2"), lit(0)).as("tf_rank")
+      )
+      .orderBy(desc("rrf_micro"), col("doc_id"))
+      .limit(10)
+      .withColumn("fused_rank", row_number().over(Window.orderBy(desc("rrf_micro"), col("doc_id"))))
+  }
 }

@@ -84,6 +84,27 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Exact cosine top-k of a query frame against a SEPARATE corpus
+    * frame — the FILTERED-search primitive: a metadata predicate
+    * narrows the corpus BEFORE any scoring, so the scan only moves the
+    * eligible vectors (the "filtered ANN" production shape; the
+    * post-filter alternative under-fills k whenever the predicate is
+    * selective). Same plan skeleton as [[bruteForceTopK]]: queries
+    * broadcast, corpus streams, k-bounded aggregator.
+    */
+  def exactTopKBetween(queries: DataFrame, corpus: DataFrame, id: Column, emb: Column, k: Int): DataFrame = {
+    val q = queries.select(id.as("qid"), emb.as("qe"), VectorOps.normSq(emb).as("qn"))
+    val c = corpus.select(id.as("nid"), emb.as("ne"), VectorOps.normSq(emb).as("nn"))
+    val scored = c
+      .join(broadcast(q), col("qid") =!= col("nid"))
+      .select(
+        col("qid"),
+        col("nid"),
+        NumOps.roundAway(VectorOps.dot(col("qe"), col("ne")) / sqrt(col("qn") * col("nn")), 6).as("sim")
+      )
+    topKPerQuery(scored, k)
+  }
+
   /** Exact cosine top-k: for each query vector (filter `isQuery`), the
     * `k` highest-cosine neighbors (excluding self). The QUERY side is
     * broadcast (it's the small one); the corpus streams — broadcasting

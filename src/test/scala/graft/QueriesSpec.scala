@@ -2204,4 +2204,30 @@ class QueriesSpec extends SparkSpec {
     assert(r.getAs[Long]("salt_factor") === (mx + target - 1) / target)
     assert(r.getAs[Long]("total_rows") > 0 && r.getAs[Long]("n_keys") > 0)
   }
+
+  test("filtered vector search: every served neighbor satisfies the predicate, k fills when candidates exist") {
+    val rows = Queries.filteredVectorSearch(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val label1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.col("label") === 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    rows.foreach(r => assert(label1.contains(r.getAs[Long]("nid")),
+      s"neighbor ${r.getAs[Long]("nid")} violates the label predicate"))
+    // with ~label-cardinality candidates available, every query must fill k = 5
+    val perQuery = rows.groupBy(_.getAs[Long]("qid")).map(_._2.length)
+    assert(perQuery.forall(_ === 5), "pre-filtering must never under-fill k while candidates remain")
+  }
+
+  test("hybrid rrf fusion: a doc on both lists outranks rank-equivalent single-list docs, scores decay with rank") {
+    val rows = Queries.hybridRrfFusion(spark, sfDir).collect().sortBy(_.getAs[Int]("fused_rank"))
+    assert(rows.length === 10)
+    val scores = rows.map(_.getAs[Long]("rrf_micro"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "fused order must follow the fused score")
+    rows.foreach { r =>
+      val (b, t) = (r.getAs[Int]("bm25_rank"), r.getAs[Int]("tf_rank"))
+      assert(b > 0 || t > 0, "a fused doc must come from at least one ranker")
+      val expect = (if (b > 0) 1000000L / (60 + b) else 0L) + (if (t > 0) 1000000L / (60 + t) else 0L)
+      assert(r.getAs[Long]("rrf_micro") === expect, "RRF term must be the exact integer reciprocal sum")
+    }
+  }
 }
