@@ -4109,7 +4109,33 @@ object Oracles {
          |  FROM bm FULL JOIN t10 ON t10.doc_id = bm.doc_id)
          |SELECT doc_id, rrf_micro, bm25_rank, tf_rank,
          |  CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS INTEGER) AS fused_rank
-         |FROM f ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin
+         |FROM f ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin,
+    // restart-resumed streaming census must equal one-pass batch; the
+    // checkpoint/state mechanics are the engine-side machinery
+    "q310_checkpoint_resume" ->
+      """SELECT event_type, count(*) AS n, CAST(1 AS BIGINT) AS resume_eq_batch
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // exact integer waterline: largest fully-fundable prefix, residual
+    // budget spread evenly over the capped tail
+    "q311_budget_waterfill" ->
+      raw"""WITH p AS (SELECT source,
+         |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS t_s
+         |  FROM documents GROUP BY source),
+         |t AS (SELECT CAST(sum(t_s) AS BIGINT) AS tot, count(*) AS ns FROM p),
+         |r AS (SELECT source, t_s, CAST(row_number() OVER (ORDER BY t_s, source) AS INTEGER) AS rk,
+         |    CAST(sum(t_s) OVER (ORDER BY t_s, source) AS BIGINT) AS cum FROM p),
+         |c AS (SELECT r.*, t.tot, t.ns, t.tot * 600 // 1000 AS b,
+         |    CASE WHEN cum + (t.ns - rk) * t_s <= t.tot * 600 // 1000 THEN 1 ELSE 0 END AS feas
+         |  FROM r, t),
+         |k AS (SELECT COALESCE(max(CASE WHEN feas = 1 THEN rk END), 0) AS k,
+         |    CAST(COALESCE(max(CASE WHEN feas = 1 THEN cum END), 0) AS BIGINT) AS cumk,
+         |    max(b) AS b, max(ns) AS ns, max(tot) AS tot FROM c),
+         |w AS (SELECT CASE WHEN ns = k THEN tot ELSE (b - cumk) // (ns - k) END AS waterline FROM k)
+         |SELECT p.source, p.t_s,
+         |  least(p.t_s, w.waterline) AS alloc_tokens,
+         |  CAST(CASE WHEN p.t_s <= w.waterline THEN 1 ELSE 0 END AS BIGINT) AS funded_fully,
+         |  w.waterline
+         |FROM p, w ORDER BY p.source""".stripMargin
   )
 
   /** q195/q246 shared winnowing chain: char-8-gram 60-bit prints,

@@ -8277,4 +8277,107 @@ object Queries {
       .limit(10)
       .withColumn("fused_rank", row_number().over(Window.orderBy(desc("rrf_micro"), col("doc_id"))))
   }
+
+  // Checkpoint resume — the restart contract that makes streaming
+  // aggregation durable: launch one processes the first two chunk
+  // files and checkpoints its aggregation state; two more files then
+  // "arrive"; launch two starts from the SAME checkpoint, and the file
+  // source's processed-file log makes it read ONLY the new chunks
+  // while the state store carries the old counts forward. The final
+  // complete-mode emission must therefore equal the one-pass batch
+  // census — which is exactly what the audit pins. (The q256 replay
+  // proves multi-batch execution; THIS proves state survives a cold
+  // JVM-level restart of the query.)
+  def checkpointResume(s: SparkSession, dir: String): DataFrame = {
+    val scratch = graft.operators.Scratch.dir("graft-ckptresume")
+    val ckpt = s"$scratch/ckpt"
+    val sink = s"$scratch/out"
+    val ev = Tables.events(s, dir)
+    def writeChunk(i: Int): Unit =
+      ev.filter(col("event_id") % 4 === i).coalesce(1).write.mode("overwrite").parquet(s"$scratch/in/chunk$i"): Unit
+    (0 to 1).foreach(writeChunk)
+    val schema = s.read.parquet(s"$scratch/in/chunk0").schema
+    def launch(): Unit = {
+      val q = s.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(s"$scratch/in")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.sinks.RetryingSink.overwriteParquet(batch, sink): Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    }
+    launch()
+    (2 to 3).foreach(writeChunk) // late-arriving data between launches
+    launch()
+    val direct = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_direct"))
+    s.read
+      .parquet(sink)
+      .join(direct, Seq("event_type"))
+      .select(
+        col("event_type"),
+        col("n"),
+        (col("n") === col("n_direct")).cast("long").as("resume_eq_batch")
+      )
+      .orderBy("event_type")
+  }
+
+  // Water-filling under a token budget — the constrained mixture
+  // allocator: spend B = 60% of the corpus's tokens across sources as
+  // EVENLY as possible, except no source can contribute more than it
+  // has. The classic waterline solution — sources below the line are
+  // fully funded, everyone else is capped AT the line — computed
+  // exactly: sort sources by size (an |S|-bounded rank), find the
+  // largest prefix k* whose full funding stays feasible
+  // (cum_k + (|S|−k)·t_k ≤ B), then λ = (B − cum_{k*}) div (|S|−k*).
+  // All integer; the only windows run over the |S|-row source frame.
+  def budgetWaterfill(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "documents")
+      .groupBy("source")
+      .agg(sum(TextOps.tokenCount(col("text")).cast("long")).as("t_s"))
+    per.persist()
+    val tot = per.agg(sum(col("t_s")).as("tot"), count(lit(1)).as("ns"))
+    val ranked = per
+      .withColumn("rk", row_number().over(Window.orderBy(col("t_s"), col("source"))))
+      .withColumn(
+        "cum",
+        sum(col("t_s")).over(
+          Window.orderBy(col("t_s"), col("source")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+      )
+    val ks = ranked
+      .crossJoin(broadcast(tot))
+      .withColumn("b", expr("tot * 600 div 1000"))
+      .withColumn("feasible", col("cum") + (col("ns") - col("rk")) * col("t_s") <= col("b"))
+      .agg(
+        coalesce(max(when(col("feasible"), col("rk"))), lit(0)).as("k"),
+        coalesce(max(when(col("feasible"), col("cum"))), lit(0L)).as("cumk"),
+        max(col("b")).as("b"),
+        max(col("ns")).as("ns"),
+        max(col("tot")).as("tot")
+      )
+      .withColumn(
+        "waterline",
+        when(col("ns") === col("k"), col("tot")).otherwise(expr("(b - cumk) div (ns - k)"))
+      )
+    per
+      .crossJoin(broadcast(ks.select("waterline", "b")))
+      .select(
+        col("source"),
+        col("t_s"),
+        least(col("t_s"), col("waterline")).as("alloc_tokens"),
+        (col("t_s") <= col("waterline")).cast("long").as("funded_fully"),
+        col("waterline")
+      )
+      .orderBy("source")
+  }
 }

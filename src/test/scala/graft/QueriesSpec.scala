@@ -2230,4 +2230,28 @@ class QueriesSpec extends SparkSpec {
       assert(r.getAs[Long]("rrf_micro") === expect, "RRF term must be the exact integer reciprocal sum")
     }
   }
+
+  test("checkpoint resume: state carried across a second launch reproduces the one-pass batch census") {
+    val rows = Queries.checkpointResume(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("resume_eq_batch") === 1L,
+      s"${r.getAs[String]("event_type")}: resumed state diverged from batch"))
+  }
+
+  test("budget waterfill: allocation exhausts the budget up to truncation and never exceeds a source's supply") {
+    val rows = Queries.budgetWaterfill(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val totalT = rows.map(_.getAs[Long]("t_s")).sum
+    val budget = totalT * 600 / 1000
+    val alloc = rows.map(_.getAs[Long]("alloc_tokens")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("alloc_tokens") <= r.getAs[Long]("t_s"), "cannot allocate more than a source has")
+      val funded = r.getAs[Long]("funded_fully") === 1L
+      assert(funded === (r.getAs[Long]("t_s") <= r.getAs[Long]("waterline")))
+    }
+    assert(alloc <= budget, "waterline must respect the budget")
+    // truncation slack: at most one waterline-unit per capped source
+    val nCapped = rows.count(_.getAs[Long]("funded_fully") === 0L)
+    assert(budget - alloc <= math.max(nCapped.toLong, 1L), s"left $budget-$alloc on the table with $nCapped capped sources")
+  }
 }
