@@ -4135,7 +4135,39 @@ object Oracles {
          |  least(p.t_s, w.waterline) AS alloc_tokens,
          |  CAST(CASE WHEN p.t_s <= w.waterline THEN 1 ELSE 0 END AS BIGINT) AS funded_fully,
          |  w.waterline
-         |FROM p, w ORDER BY p.source""".stripMargin
+         |FROM p, w ORDER BY p.source""".stripMargin,
+    // gaps of sorted per-term doc ids, varint width by the exact CASE
+    // ladder, top-20 df terms
+    "q312_posting_compression" ->
+      raw"""WITH p AS (SELECT DISTINCT doc_id, w FROM (
+         |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents)),
+         |top AS (SELECT w, count(*) AS df FROM p GROUP BY w ORDER BY df DESC, w LIMIT 20),
+         |g AS (SELECT p.w, p.doc_id,
+         |    p.doc_id - COALESCE(lag(p.doc_id) OVER (PARTITION BY p.w ORDER BY p.doc_id), 0) AS gap
+         |  FROM p JOIN top ON top.w = p.w),
+         |v AS (SELECT w, CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+         |    WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4 ELSE 5 END AS vb FROM g)
+         |SELECT v.w AS term, count(*) AS df, count(*) * 8 AS raw_bytes,
+         |  CAST(sum(vb) AS BIGINT) AS varint_bytes,
+         |  CAST(sum(vb) * 1000 // (count(*) * 8) AS BIGINT) AS compressed_permille
+         |FROM v GROUP BY v.w ORDER BY df DESC, term""".stripMargin,
+    // HRU benefit table over the 8-cuboid lattice; containment by
+    // grouping-id bitmask
+    "q313_cube_view_selection" ->
+      """WITH li AS (SELECT l_returnflag, l_linestatus, year(l_shipdate) AS ship_year FROM lineitem),
+        |g AS (SELECT CAST(GROUPING(l_returnflag, l_linestatus, ship_year) AS INTEGER) AS gid
+        |  FROM li GROUP BY CUBE (l_returnflag, l_linestatus, ship_year)),
+        |s AS (SELECT gid, count(*) AS n_rows FROM g GROUP BY gid),
+        |b AS (SELECT n_rows AS base_rows FROM s WHERE gid = 0),
+        |d AS (SELECT v.gid, v.n_rows, count(*) AS n_derivable
+        |  FROM s v JOIN s w ON (w.gid & v.gid) = v.gid GROUP BY 1, 2)
+        |SELECT d.gid,
+        |  concat_ws('+', CASE WHEN (d.gid & 4) = 0 THEN 'flag' END,
+        |    CASE WHEN (d.gid & 2) = 0 THEN 'status' END,
+        |    CASE WHEN (d.gid & 1) = 0 THEN 'year' END) AS cuboid,
+        |  d.n_rows, d.n_derivable,
+        |  (b.base_rows - d.n_rows) * d.n_derivable AS benefit_rows
+        |FROM d, b ORDER BY d.gid""".stripMargin
   )
 
   /** q195/q246 shared winnowing chain: char-8-gram 60-bit prints,

@@ -8380,4 +8380,85 @@ object Queries {
       )
       .orderBy("source")
   }
+
+  // Posting-list compression audit — the index-size planning math
+  // behind every inverted index (and parquet's own delta encodings):
+  // per high-df term, doc ids sorted ascending compress to GAPS, and
+  // each gap costs its varint width (1 byte per started 7-bit group —
+  // an exact integer CASE ladder, no logs). Report raw (8 B/id) vs
+  // delta-varint bytes and the compression ratio; the gap windows are
+  // TERM-partitioned (keyed), term selection is a bounded TakeOrdered.
+  def postingCompression(s: SparkSession, dir: String): DataFrame = {
+    val postings = t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      .distinct()
+    postings.persist()
+    val top = postings
+      .groupBy("w")
+      .agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), col("w"))
+      .limit(20)
+    val gaps = postings
+      .join(broadcast(top), Seq("w"))
+      .withColumn("prev", lag(col("doc_id"), 1).over(Window.partitionBy("w").orderBy("doc_id")))
+      .withColumn("gap", col("doc_id") - coalesce(col("prev"), lit(0L)))
+      .withColumn(
+        "vbytes",
+        when(col("gap") < 128L, 1L)
+          .when(col("gap") < 16384L, 2L)
+          .when(col("gap") < 2097152L, 3L)
+          .when(col("gap") < 268435456L, 4L)
+          .otherwise(5L)
+      )
+    gaps
+      .groupBy("w")
+      .agg(count(lit(1)).as("df"), sum(col("vbytes")).as("varint_bytes"))
+      .withColumn("raw_bytes", col("df") * 8L)
+      .select(
+        col("w").as("term"),
+        col("df"),
+        col("raw_bytes"),
+        col("varint_bytes"),
+        expr("varint_bytes * 1000 div raw_bytes").as("compressed_permille")
+      )
+      .orderBy(desc("df"), col("term"))
+  }
+
+  // Materialized-view selection over the cube lattice — the
+  // Harinarayan–Rajaraman–Ullman benefit table: one CUBE scan sizes
+  // all 8 cuboids of (returnflag, linestatus, ship_year); a cuboid w
+  // is answerable from v iff key(w) ⊆ key(v) (grouping-id bitmask
+  // containment), and materializing v alone saves
+  // (|base| − |v|) per answerable cuboid. The lattice is 8 rows, the
+  // containment join 8×8 — the entire optimizer decision costs one
+  // scan plus constant-size arithmetic, at any data scale.
+  def cubeViewSelection(s: SparkSession, dir: String): DataFrame = {
+    val sizes = t(s, dir, "lineitem")
+      .withColumn("ship_year", year(col("l_shipdate")))
+      .cube(col("l_returnflag"), col("l_linestatus"), col("ship_year"))
+      .agg(grouping_id().cast("int").as("gid"))
+      .groupBy("gid")
+      .agg(count(lit(1)).as("n_rows"))
+    sizes.persist()
+    val base = sizes.filter(col("gid") === 0).select(col("n_rows").as("base_rows"))
+    val names = Map(0 -> "flag", 1 -> "status", 2 -> "year")
+    val label = (0 to 2)
+      .map(b => when(col("gid").bitwiseAND(lit(1 << (2 - b))) === 0, names(b)).otherwise(lit(null)))
+    sizes
+      .join(
+        broadcast(sizes.select(col("gid").as("gw"), col("n_rows").as("nw"))),
+        expr("(gw & gid) = gid") // every dim rolled up in v stays rolled up in w ⇒ w derivable from v
+      )
+      .groupBy("gid", "n_rows")
+      .agg(count(lit(1)).as("n_derivable"))
+      .crossJoin(broadcast(base))
+      .select(
+        col("gid"),
+        concat_ws("+", label: _*).as("cuboid"),
+        col("n_rows"),
+        col("n_derivable"),
+        ((col("base_rows") - col("n_rows")) * col("n_derivable")).as("benefit_rows")
+      )
+      .orderBy("gid")
+  }
 }

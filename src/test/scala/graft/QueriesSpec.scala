@@ -2254,4 +2254,30 @@ class QueriesSpec extends SparkSpec {
     val nCapped = rows.count(_.getAs[Long]("funded_fully") === 0L)
     assert(budget - alloc <= math.max(nCapped.toLong, 1L), s"left $budget-$alloc on the table with $nCapped capped sources")
   }
+
+  test("posting compression: delta-varint always beats raw int64 and widths obey the byte ladder") {
+    val rows = Queries.postingCompression(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("varint_bytes") < r.getAs[Long]("raw_bytes"),
+        s"term ${r.getAs[String]("term")}: gaps of sorted ids must varint-compress below 8 B/id")
+      assert(r.getAs[Long]("varint_bytes") >= r.getAs[Long]("df"), "at least one byte per posting")
+      assert(r.getAs[Long]("compressed_permille") < 1000L)
+    }
+  }
+
+  test("cube view selection: eight cuboids, base has zero benefit, apex derives only itself") {
+    val rows = Queries.cubeViewSelection(spark, sfDir).collect().sortBy(_.getAs[Int]("gid"))
+    assert(rows.length === 8)
+    val byGid = rows.map(r => r.getAs[Int]("gid") -> r).toMap
+    assert(byGid(0).getAs[Long]("benefit_rows") === 0L, "materializing the base again saves nothing")
+    assert(byGid(0).getAs[Long]("n_derivable") === 8L, "the base answers every cuboid")
+    assert(byGid(7).getAs[Long]("n_derivable") === 1L, "the apex answers only the apex")
+    assert(byGid(7).getAs[String]("cuboid") === "")
+    assert(byGid(0).getAs[String]("cuboid") === "flag+status+year")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") <= byGid(0).getAs[Long]("n_rows"), "no cuboid outgrows the base")
+      assert(r.getAs[Long]("benefit_rows") >= 0L)
+    }
+  }
 }
