@@ -4167,7 +4167,27 @@ object Oracles {
         |    CASE WHEN (d.gid & 1) = 0 THEN 'year' END) AS cuboid,
         |  d.n_rows, d.n_derivable,
         |  (b.base_rows - d.n_rows) * d.n_derivable AS benefit_rows
-        |FROM d, b ORDER BY d.gid""".stripMargin
+        |FROM d, b ORDER BY d.gid""".stripMargin,
+    // permille-quantized PAV via the minimax characterization over the
+    // bounded occupied-bin lattice (prefix-sum windows, j<=i<=k trio)
+    "q314_isotonic_calibration" ->
+      raw"""WITH doc AS (SELECT lang, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         |f AS (SELECT CAST(len(ws) AS BIGINT) AS n_tok,
+         |    CAST(len(list_filter(ws, x -> list_contains(['the','a','and','is','of'], x))) AS BIGINT) * 1000 AS stop_milli,
+         |    CAST(len(list_distinct(ws)) AS BIGINT) * 1000 AS div_milli,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM doc),
+         |sc AS (SELECT n_tok * 10 + (stop_milli // n_tok) * 3 + (div_milli // n_tok) * 2 AS score, pos FROM f),
+         |b AS (SELECT least(score // 100, 49) AS bin, count(*) AS n, CAST(sum(pos) AS BIGINT) AS p
+         |  FROM sc GROUP BY 1),
+         |pre AS (SELECT bin, n, p, CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+         |    CAST(sum(p) OVER (ORDER BY bin) AS BIGINT) AS cp FROM b),
+         |mi AS (SELECT i.bin, i.n, i.p, j.bin AS jb,
+         |    min((k.cp - (j.cp - j.p)) * 1000 // (k.cn - (j.cn - j.n))) AS mr
+         |  FROM pre i JOIN pre j ON j.bin <= i.bin JOIN pre k ON k.bin >= i.bin
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT bin, n, p AS n_pos, p * 1000 // n AS rate_permille,
+         |  CAST(max(mr) AS BIGINT) AS iso_permille
+         |FROM mi GROUP BY bin, n, p ORDER BY bin""".stripMargin
   )
 
   /** q195/q246 shared winnowing chain: char-8-gram 60-bit prints,

@@ -8461,4 +8461,57 @@ object Queries {
       )
       .orderBy("gid")
   }
+
+  // Isotonic (PAV) calibration of the quality score — q221 bins a
+  // classifier's reliability; THIS fits the monotone calibration map
+  // itself. The fit uses the minimax characterization of
+  // pool-adjacent-violators,  iso(i) = max_{j≤i} min_{k≥i} rate[j..k],
+  // evaluated over score bins QUANTIZED TO PERMILLE so every compared
+  // value is an integer (exact on both engines; the fit is PAV up to
+  // 1‰ tie resolution — documented semantics). Scale shape: the
+  // corpus reduces to ≤50 occupied score bins in one pass; prefix
+  // sums and the j×i×k lattice are all ≤50-row bounded frames, so the
+  // "cubic" fit costs constant work at any data size — the Jacobi
+  // argument applied to calibration.
+  def isotonicCalibration(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextOps.tokens(col("text"))
+    val scored = t(s, dir, "documents")
+      .select(
+        col("lang"),
+        size(ws).cast("long").as("n_tok"),
+        (size(filter(ws, w => w.isInCollection(Seq("the", "a", "and", "is", "of")))).cast("long") * 1000)
+          .as("stop_milli"),
+        (size(array_distinct(ws)).cast("long") * 1000).as("div_milli")
+      )
+      .select(
+        (col("n_tok") * 10 + expr("stop_milli div n_tok") * 3 + expr("div_milli div n_tok") * 2).as("score"),
+        (col("lang") === "en").cast("long").as("pos")
+      )
+    val bins = scored
+      .select(least(expr("score div 100"), lit(49L)).as("bin"), col("pos"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
+    val wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = bins.withColumn("cn", sum(col("n")).over(wb)).withColumn("cp", sum(col("p")).over(wb))
+    pre.persist()
+    val jf = pre.select(col("bin").as("j"), (col("cn") - col("n")).as("cnj"), (col("cp") - col("p")).as("cpj"))
+    val kf = pre.select(col("bin").as("k"), col("cn").as("cnk"), col("cp").as("cpk"))
+    pre
+      .select(col("bin"), col("n"), col("p"))
+      .join(broadcast(jf), col("j") <= col("bin"))
+      .join(broadcast(kf), col("k") >= col("bin"))
+      .withColumn("r", expr("(cpk - cpj) * 1000 div (cnk - cnj)"))
+      .groupBy("bin", "n", "p", "j")
+      .agg(min(col("r")).as("mr"))
+      .groupBy("bin", "n", "p")
+      .agg(max(col("mr")).as("iso_permille"))
+      .select(
+        col("bin"),
+        col("n"),
+        col("p").as("n_pos"),
+        expr("p * 1000 div n").as("rate_permille"),
+        col("iso_permille")
+      )
+      .orderBy("bin")
+  }
 }

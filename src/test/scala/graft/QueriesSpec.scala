@@ -2280,4 +2280,21 @@ class QueriesSpec extends SparkSpec {
       assert(r.getAs[Long]("benefit_rows") >= 0L)
     }
   }
+
+  test("isotonic calibration: fit is monotone non-decreasing, pools average the raw rates, bounds hold") {
+    val rows = Queries.isotonicCalibration(spark, sfDir).collect().sortBy(_.getAs[Long]("bin"))
+    assert(rows.nonEmpty)
+    val iso = rows.map(_.getAs[Long]("iso_permille"))
+    assert(iso.zip(iso.tail).forall { case (a, b) => a <= b }, s"PAV output must be non-decreasing: ${iso.toSeq}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("iso_permille") >= 0L && r.getAs[Long]("iso_permille") <= 1000L)
+      assert(r.getAs[Long]("n_pos") <= r.getAs[Long]("n"))
+    }
+    // total mass is conserved up to the permille quantization: the
+    // weighted mean of the fit tracks the overall positive rate
+    val n = rows.map(_.getAs[Long]("n")).sum
+    val pos = rows.map(_.getAs[Long]("n_pos")).sum
+    val fitMass = rows.map(r => r.getAs[Long]("iso_permille") * r.getAs[Long]("n")).sum
+    assert(math.abs(fitMass - pos * 1000L) <= n * 2L, "PAV conserves the mean up to quantization")
+  }
 }
