@@ -4187,7 +4187,48 @@ object Oracles {
          |  GROUP BY 1, 2, 3, 4)
          |SELECT bin, n, p AS n_pos, p * 1000 // n AS rate_permille,
          |  CAST(max(mr) AS BIGINT) AS iso_permille
-         |FROM mi GROUP BY bin, n, p ORDER BY bin""".stripMargin
+         |FROM mi GROUP BY bin, n, p ORDER BY bin""".stripMargin,
+    // FS m/u estimation: confirmed near-dup pairs vs the deterministic
+    // id-shift unmatch pairs; log-odds weights in exact micro-nats
+    "q315_fellegi_sunter" -> {
+      def mn(e: String) = s"CAST(floor(ln(CAST($e AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+      s"""WITH $minhashCandCtes,
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |it AS (SELECT c.d1, c.d2, count(*) AS inter FROM cand c
+         |  JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.g = a.g
+         |  GROUP BY 1, 2),
+         |conf AS (SELECT it.d1, it.d2
+         |  FROM it JOIN sz x ON it.d1 = x.doc_id JOIN sz y ON it.d2 = y.doc_id
+         |  WHERE inter * 2 >= x.n_sh + y.n_sh - inter),
+         |dd AS (SELECT doc_id, lang, source, n_chars // 100 AS lb FROM documents),
+         |mx AS (SELECT max(doc_id) AS mx FROM dd),
+         |unp AS (SELECT d1, d2 FROM (
+         |    SELECT a.doc_id AS d1, (a.doc_id + 137) % (mx.mx + 1) AS d2 FROM dd a, mx) s
+         |  WHERE d1 < d2 AND EXISTS (SELECT 1 FROM dd WHERE dd.doc_id = s.d2)
+         |    AND NOT EXISTS (SELECT 1 FROM conf WHERE conf.d1 = s.d1 AND conf.d2 = s.d2)),
+         |fm AS (SELECT count(*) AS n,
+         |    CAST(sum(CASE WHEN x.lang = y.lang THEN 1 ELSE 0 END) AS BIGINT) AS al,
+         |    CAST(sum(CASE WHEN x.source = y.source THEN 1 ELSE 0 END) AS BIGINT) AS asrc,
+         |    CAST(sum(CASE WHEN x.lb = y.lb THEN 1 ELSE 0 END) AS BIGINT) AS alb
+         |  FROM conf JOIN dd x ON x.doc_id = conf.d1 JOIN dd y ON y.doc_id = conf.d2),
+         |fu AS (SELECT count(*) AS n,
+         |    CAST(sum(CASE WHEN x.lang = y.lang THEN 1 ELSE 0 END) AS BIGINT) AS al,
+         |    CAST(sum(CASE WHEN x.source = y.source THEN 1 ELSE 0 END) AS BIGINT) AS asrc,
+         |    CAST(sum(CASE WHEN x.lb = y.lb THEN 1 ELSE 0 END) AS BIGINT) AS alb
+         |  FROM unp JOIN dd x ON x.doc_id = unp.d1 JOIN dd y ON y.doc_id = unp.d2),
+         |m AS (SELECT * FROM (VALUES ('1_lang'), ('2_source'), ('3_lenbucket')) t(field)),
+         |sm AS (SELECT m.field, fm.n AS n_m,
+         |    CASE m.field WHEN '1_lang' THEN fm.al WHEN '2_source' THEN fm.asrc ELSE fm.alb END AS agree_m
+         |  FROM m, fm),
+         |su AS (SELECT m.field, fu.n AS n_u,
+         |    CASE m.field WHEN '1_lang' THEN fu.al WHEN '2_source' THEN fu.asrc ELSE fu.alb END AS agree_u
+         |  FROM m, fu)
+         |SELECT sm.field, n_m, n_u,
+         |  (agree_m + 1) * 1000 // (n_m + 2) AS m_permille,
+         |  (agree_u + 1) * 1000 // (n_u + 2) AS u_permille,
+         |  ${mn("(agree_m + 1) * (n_u + 2)")} - ${mn("(agree_u + 1) * (n_m + 2)")} AS weight_micro
+         |FROM sm JOIN su ON su.field = sm.field ORDER BY sm.field""".stripMargin
+    }
   )
 
   /** q195/q246 shared winnowing chain: char-8-gram 60-bit prints,

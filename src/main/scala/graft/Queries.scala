@@ -8514,4 +8514,69 @@ object Queries {
       )
       .orderBy("bin")
   }
+
+  // Fellegi–Sunter record-linkage weights — the probabilistic-matching
+  // parameters (m = P(field agrees | match), u = P(agrees | unmatch))
+  // every entity-resolution scorer needs: matches come from the
+  // CONFIRMED near-dup pairs (the shared CandidateGraph snapshot),
+  // unmatches from a deterministic id-shift pairing (d, (d+137) mod
+  // (max+1)) anti-joined against the matches — no random sampling, so
+  // the estimates replay bit-for-bit. Per field (lang / source /
+  // length bucket): Laplace-smoothed m and u in permille and the FS
+  // log-odds weight  mn((a_m+1)(n_u+2)) − mn((a_u+1)(n_m+2))  in
+  // exact integer micro-nats. Both pair sets are doc-keyed joins; the
+  // reshape runs on 1-row aggregates.
+  def fellegiSunter(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), expr("n_chars div 100").as("lb"))
+    docs.persist()
+    val conf = graft.operators.CandidateGraph.confirmedPairs(s, dir).select("d1", "d2")
+    def fields(p: DataFrame): DataFrame = p
+      .join(
+        docs.select(col("doc_id").as("d1"), col("lang").as("l1"), col("source").as("s1"), col("lb").as("b1")),
+        Seq("d1")
+      )
+      .join(
+        docs.select(col("doc_id").as("d2"), col("lang").as("l2"), col("source").as("s2"), col("lb").as("b2")),
+        Seq("d2")
+      )
+      .agg(
+        count(lit(1)).as("n"),
+        sum((col("l1") === col("l2")).cast("long")).as("al"),
+        sum((col("s1") === col("s2")).cast("long")).as("asrc"),
+        sum((col("b1") === col("b2")).cast("long")).as("alb")
+      )
+    val maxId = docs.agg(max(col("doc_id")).as("mx"))
+    val unp = docs
+      .select(col("doc_id").as("a"))
+      .crossJoin(broadcast(maxId))
+      .withColumn("bb", (col("a") + 137L) % (col("mx") + 1))
+      .filter(col("a") < col("bb"))
+      .select(col("a").as("d1"), col("bb").as("d2"))
+      .join(docs.select(col("doc_id").as("d2")), Seq("d2"), "left_semi")
+      .join(conf, Seq("d1", "d2"), "left_anti")
+    def shape(df: DataFrame, side: String) = df
+      .select(
+        explode(
+          array(
+            struct(lit("1_lang").as("field"), col("n"), col("al").as("agree")),
+            struct(lit("2_source").as("field"), col("n"), col("asrc").as("agree")),
+            struct(lit("3_lenbucket").as("field"), col("n"), col("alb").as("agree"))
+          )
+        ).as("x")
+      )
+      .select(col("x.field").as("field"), col("x.n").as(s"n_$side"), col("x.agree").as(s"agree_$side"))
+    shape(fields(conf), "m")
+      .join(shape(fields(unp), "u"), Seq("field"))
+      .select(
+        col("field"),
+        col("n_m"),
+        col("n_u"),
+        expr("(agree_m + 1) * 1000 div (n_m + 2)").as("m_permille"),
+        expr("(agree_u + 1) * 1000 div (n_u + 2)").as("u_permille"),
+        (microNats((col("agree_m") + 1) * (col("n_u") + 2)) -
+          microNats((col("agree_u") + 1) * (col("n_m") + 2))).as("weight_micro")
+      )
+      .orderBy("field")
+  }
 }

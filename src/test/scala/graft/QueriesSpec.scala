@@ -2297,4 +2297,16 @@ class QueriesSpec extends SparkSpec {
     val fitMass = rows.map(r => r.getAs[Long]("iso_permille") * r.getAs[Long]("n")).sum
     assert(math.abs(fitMass - pos * 1000L) <= n * 2L, "PAV conserves the mean up to quantization")
   }
+
+  test("fellegi-sunter: matches agree more than unmatches on every field, so all weights are positive") {
+    val rows = Queries.fellegiSunter(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("field")).sorted.toSeq === Seq("1_lang", "2_source", "3_lenbucket"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_m") > 0L && r.getAs[Long]("n_u") > 0L)
+      assert(r.getAs[Long]("m_permille") > r.getAs[Long]("u_permille"),
+        s"${r.getAs[String]("field")}: near-duplicates must agree more often than shifted random pairs")
+      assert(r.getAs[Long]("weight_micro") > 0L)
+      assert(r.getAs[Long]("m_permille") <= 1000L && r.getAs[Long]("u_permille") <= 1000L)
+    }
+  }
 }
