@@ -622,12 +622,22 @@ class PlanSpec extends SparkSpec {
       // (InMemoryRelation), so the sweep never sees them — bounded anyway
     )
     val offenders = scala.collection.mutable.SortedMap[String, Int]()
+    val cartesians = scala.collection.mutable.SortedSet[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       val bare = df.queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
       }
       if (bare.nonEmpty) offenders(name) = bare.length
+      // the OTHER scale-killer class: a non-broadcast product means the
+      // planner could not broadcast either side — at corpus cardinality
+      // that is |A|·|B| rows through every executor. No allowlist: the
+      // engine's legitimate cross joins all broadcast a 1-row/domain-
+      // bounded side and plan as BroadcastNestedLoopJoin instead.
+      val cart = df.queryExecution.sparkPlan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }
+      if (cart.nonEmpty) cartesians += name
     }
     spark.catalog.clearCache()
     val unexpected = offenders.keySet -- allowlisted.keySet
@@ -637,6 +647,7 @@ class PlanSpec extends SparkSpec {
       s"unpartitioned Window in queries not allowlisted as bounded: ${unexpected.mkString(", ")} (counts: $offenders)"
     )
     assert(stale.isEmpty, s"allowlist entries whose unpartitioned window no longer exists — remove them: ${stale.mkString(", ")}")
+    assert(cartesians.isEmpty, s"non-broadcast CartesianProduct in: ${cartesians.mkString(", ")}")
   }
 
   test("collated census (q240): corpus is touched only by the grouping — the unhashable ICU join runs post-aggregation") {
