@@ -4228,7 +4228,49 @@ object Oracles {
          |  (agree_u + 1) * 1000 // (n_u + 2) AS u_permille,
          |  ${mn("(agree_m + 1) * (n_u + 2)")} - ${mn("(agree_u + 1) * (n_m + 2)")} AS weight_micro
          |FROM sm JOIN su ON su.field = sm.field ORDER BY sm.field""".stripMargin
-    }
+    },
+    "q316_substring_excise" ->
+      """WITH w AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |i5 AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i FROM w WHERE len(ws) >= 5),
+        |sp AS (SELECT doc_id, i AS start,
+        |    ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1] || ' ' || ws[CAST(i AS INTEGER) + 2]
+        |      || ' ' || ws[CAST(i AS INTEGER) + 3] || ' ' || ws[CAST(i AS INTEGER) + 4] AS g
+        |  FROM i5),
+        |dup AS (SELECT g FROM sp GROUP BY g HAVING count(*) >= 2),
+        |mk AS (SELECT doc_id, start FROM sp JOIN dup USING (g)),
+        |rn AS (SELECT doc_id, start,
+        |    CASE WHEN max(start + 5) OVER (PARTITION BY doc_id ORDER BY start
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= start THEN 0 ELSE 1 END AS brk
+        |  FROM mk),
+        |gr AS (SELECT doc_id, start, sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM rn),
+        |iv AS (SELECT doc_id, grp, count(*) AS n_marks, min(start) AS lo, max(start) + 5 AS hi
+        |  FROM gr GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, CAST(sum(n_marks) AS BIGINT) AS dup_spans, count(*) AS n_runs,
+        |    CAST(sum(hi - lo) AS BIGINT) AS excised
+        |  FROM iv GROUP BY 1),
+        |tk AS (SELECT doc_id, source, len(ws) AS n_tok FROM w)
+        |SELECT tk.source, count(*) AS n_docs, count(pd.doc_id) AS docs_affected,
+        |  CAST(sum(tk.n_tok) AS BIGINT) AS total_tokens,
+        |  CAST(coalesce(sum(pd.dup_spans), 0) AS BIGINT) AS dup_spans,
+        |  CAST(coalesce(sum(pd.n_runs), 0) AS BIGINT) AS merged_runs,
+        |  CAST(coalesce(sum(pd.excised), 0) AS BIGINT) AS excised_tokens,
+        |  CAST(coalesce(sum(pd.excised), 0) * 1000 // sum(tk.n_tok) AS BIGINT) AS excised_permille
+        |FROM tk LEFT JOIN pd ON pd.doc_id = tk.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q317_ams_f2" ->
+      s"""WITH fr AS (SELECT w, count(*) AS f FROM
+         |    (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents) GROUP BY w),
+         |ex AS (SELECT CAST(sum(CAST(f AS HUGEINT) * f) AS HUGEINT) AS f2,
+         |    CAST(sum(f) AS BIGINT) AS n_tok, count(*) AS n_vocab FROM fr),
+         |sg AS (SELECT r, CAST(sum(CASE WHEN ${hx("w || '#' || r")} % 2 = 0 THEN f ELSE -f END) AS BIGINT) AS s_r
+         |  FROM fr, (SELECT unnest(generate_series(0, 31)) AS r) GROUP BY r),
+         |gx AS (SELECT r // 4 AS grp, CAST(sum(CAST(s_r AS HUGEINT) * s_r) AS HUGEINT) AS gsum FROM sg GROUP BY 1),
+         |md AS (SELECT list_sort(list(gsum)) AS gs FROM gx)
+         |SELECT n_tok, n_vocab, CAST(f2 AS BIGINT) AS f2_exact,
+         |  CAST((gs[4] + gs[5]) // 8 AS BIGINT) AS f2_est,
+         |  CAST(abs((gs[4] + gs[5]) - 8 * f2) * 1000 // (8 * f2) AS BIGINT) AS err_permille
+         |FROM md, ex""".stripMargin
   )
 
   /** q195/q246 shared winnowing chain: char-8-gram 60-bit prints,

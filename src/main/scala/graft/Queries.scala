@@ -8579,4 +8579,113 @@ object Queries {
       )
       .orderBy("field")
   }
+
+  // Repeated-span excision — the EXACT-substring dedup pass from
+  // Lee et al. 2022 ("Deduplicating Training Data Makes Language
+  // Models Better"): any span of L tokens that occurs more than once
+  // ANYWHERE in the corpus (across docs or within one) is marked for
+  // removal, overlapping marks are merged per document, and the
+  // per-source accounting reports how much text excision would cut.
+  // The paper builds a corpus suffix array; the distributed
+  // re-expression is the rolling fixed-L span table (stride 1, the
+  // word_ngrams codegen kernel), whose global count ≥ 2 test finds
+  // the identical marked positions for span length exactly L — a
+  // suffix array generalizes over L, the span table IS the L-row of
+  // it. Scale shape: one shuffle keyed on the span text (the same
+  // key distribution as every shingle pass here), a semi join back
+  // to positions, and the interval merge as a doc_id-PARTITIONED
+  // window — nothing global, nothing quadratic; duplicated-span
+  // positions are a small fraction of corpus tokens, so the window
+  // input is already reduced. (At 100 TB the span string would be
+  // replaced by its 128-bit hash to shrink the shuffle — kept as
+  // text here so the oracle shares the exact key.)
+  def substringExcise(s: SparkSession, dir: String): DataFrame = {
+    val L = 5
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("ws"))
+    val spans = toks
+      .select(col("doc_id"), posexplode(TextOps.wordShingles(col("ws"), L)).as(Seq("start", "g")))
+    val dup = spans.groupBy("g").agg(count(lit(1)).as("occ")).filter(col("occ") >= 2)
+    val marked = spans.join(dup.select("g"), Seq("g"), "left_semi")
+    // classic interval merge, distributed: within each doc the spans
+    // [start, start+L) sorted by start form a new run exactly when the
+    // running max of previous ends stays short of the next start
+    val wPrev = Window.partitionBy("doc_id").orderBy("start").rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("doc_id").orderBy("start").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runs = marked
+      .withColumn("pme", max(col("start") + L).over(wPrev))
+      .withColumn("brk", when(col("pme").isNull || col("pme") < col("start"), 1L).otherwise(0L))
+      .withColumn("grp", sum(col("brk")).over(wRun))
+    val perDoc = runs
+      .groupBy("doc_id", "grp")
+      .agg(count(lit(1)).as("n_marks"), min(col("start")).as("lo"), (max(col("start")) + L).as("hi"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("n_marks")).as("dup_spans"),
+        count(lit(1)).as("n_runs"),
+        sum(col("hi") - col("lo")).as("excised")
+      )
+    toks
+      .select(col("doc_id"), col("source"), size(col("ws")).cast("long").as("n_tok"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(col("excised")).as("docs_affected"),
+        sum(col("n_tok")).as("total_tokens"),
+        coalesce(sum(col("dup_spans")), lit(0L)).as("dup_spans"),
+        coalesce(sum(col("n_runs")), lit(0L)).as("merged_runs"),
+        coalesce(sum(col("excised")), lit(0L)).as("excised_tokens")
+      )
+      .withColumn("excised_permille", expr("excised_tokens * 1000 div total_tokens"))
+      .orderBy("source")
+  }
+
+  // AMS "tug-of-war" sketch — the classic LINEAR sketch for the second
+  // frequency moment F2 = Σ f(w)² (self-join size / skew of the token
+  // distribution), audited against the exact value. Chosen over
+  // Misra–Gries/SpaceSaving deliberately: those summaries are
+  // MERGE-ORDER-DEPENDENT (same grounds on which q247 rejects
+  // KLL/t-digest), while a linear sketch is a sum — any partition
+  // order, any merge tree, same bits. 32 estimators S_r = Σ_w
+  // s_r(w)·f(w) with md5-derived ±1 signs, squared, summed in groups
+  // of 4, lower-median-pair of the 8 group sums — the textbook
+  // median-of-means, all in exact integer arithmetic (DECIMAL(38,0)
+  // for the squares: S_r ≤ n, so S_r² overflows BIGINT past ~3e9
+  // tokens — exactly the scale this targets). Scale shape: one
+  // token-keyed count (the vocabulary pass every corpus query here
+  // shares), a vocab×32 projection, and a 32-row reduction; the
+  // corpus is touched once.
+  def amsF2(s: SparkSession, dir: String): DataFrame = {
+    val freq = t(s, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("f"))
+    freq.persist()
+    val exact = freq.agg(
+      sum(expr("CAST(f AS DECIMAL(38,0)) * f")).as("f2"),
+      sum(col("f")).as("n_tok"),
+      count(lit(1)).as("n_vocab")
+    )
+    val med = freq
+      .select(col("w"), col("f"), explode(sequence(lit(0), lit(31))).as("r"))
+      .withColumn(
+        "sgn",
+        when(TextOps.hash32(concat(col("w"), lit("#"), col("r"))) % 2 === 0, lit(1L)).otherwise(lit(-1L))
+      )
+      .groupBy("r")
+      .agg(sum(col("sgn") * col("f")).as("s_r"))
+      .groupBy(expr("r div 4").as("grp"))
+      .agg(sum(expr("CAST(s_r AS DECIMAL(38,0)) * s_r")).as("gsum"))
+      .agg(sort_array(collect_list(col("gsum"))).as("gs"))
+    med
+      .crossJoin(broadcast(exact))
+      .select(
+        col("n_tok"),
+        col("n_vocab"),
+        col("f2").cast("long").as("f2_exact"),
+        expr("CAST((gs[3] + gs[4]) div 8 AS BIGINT)").as("f2_est"),
+        expr("CAST(abs((gs[3] + gs[4]) - 8 * f2) * 1000 div (8 * f2) AS BIGINT)").as("err_permille")
+      )
+  }
 }

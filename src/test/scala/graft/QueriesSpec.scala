@@ -2309,4 +2309,71 @@ class QueriesSpec extends SparkSpec {
       assert(r.getAs[Long]("m_permille") <= 1000L && r.getAs[Long]("u_permille") <= 1000L)
     }
   }
+
+  test("substring excise: cross-doc overlap merges to one run, within-doc repeats stay two, short docs ignored") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_excise").toString
+    Seq(
+      // docs 0/1 share spans at starts 0 and 1 -> marks {0,1} merge to [0,6): 2 marks, 1 run, 6 tokens
+      (0L, "a b c d e f g h i j", "s1"),
+      (1L, "a b c d e f X0 Y0 Z0 W0", "s1"),
+      // doc 2 repeats "p q r s t" at starts 0 and 7 -> two DISJOINT runs, 10 tokens
+      (2L, "p q r s t u1 u2 p q r s t", "s1"),
+      // doc 3 all-unique; doc 4 below span length: neither is affected
+      (3L, "m1 m2 m3 m4 m5 m6", "s2"),
+      (4L, "x1 x2 x3", "s2")
+    ).map { case (i, text, src) => (i, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val by = Queries.substringExcise(spark, dir).collect().map(r => r.getAs[String]("source") -> r).toMap
+    val s1 = by("s1")
+    assert(s1.getAs[Long]("n_docs") === 3L)
+    assert(s1.getAs[Long]("docs_affected") === 3L)
+    assert(s1.getAs[Long]("total_tokens") === 32L)
+    assert(s1.getAs[Long]("dup_spans") === 6L)
+    assert(s1.getAs[Long]("merged_runs") === 4L)
+    assert(s1.getAs[Long]("excised_tokens") === 22L)
+    assert(s1.getAs[Long]("excised_permille") === 22L * 1000L / 32L)
+    val s2 = by("s2")
+    assert(s2.getAs[Long]("docs_affected") === 0L)
+    assert(s2.getAs[Long]("excised_tokens") === 0L)
+    // real corpus: repetition exists by construction; invariants hold per source
+    val real = Queries.substringExcise(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getAs[Long]("excised_tokens") <= r.getAs[Long]("total_tokens"))
+      assert(r.getAs[Long]("merged_runs") <= r.getAs[Long]("dup_spans"))
+      assert(r.getAs[Long]("excised_tokens") <= 5L * r.getAs[Long]("dup_spans"))
+      assert(r.getAs[Long]("excised_tokens") >= 5L * r.getAs[Long]("merged_runs"))
+    }
+    assert(real.map(_.getAs[Long]("dup_spans")).sum > 0L, "known-repetitive corpus produced zero duplicated spans")
+  }
+
+  test("AMS F2 sketch: exact moment is right, the linear sketch replays bit-for-bit and lands in range") {
+    import org.apache.spark.sql.functions._
+    val r = Queries.amsF2(spark, sfDir).collect().head
+    // F2 ≥ F1 always (f² ≥ f), with equality only when every f = 1
+    assert(r.getAs[Long]("f2_exact") >= r.getAs[Long]("n_tok"))
+    // cross-check the exact moment against an independent computation
+    val f2 = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select(explode(graft.functions.TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w")
+      .count()
+      .agg(sum(col("count") * col("count")))
+      .collect()
+      .head
+      .getLong(0)
+    assert(r.getAs[Long]("f2_exact") === f2)
+    // a linear sketch is a SUM: partition order cannot change the bits
+    val again = Queries.amsF2(spark, sfDir).collect().head
+    assert(again === r, "tug-of-war sketch must be merge-order independent")
+    // 8×4 median-of-means keeps the estimate within the coarse
+    // Chebyshev envelope even on this tiny 31-word vocabulary
+    assert(r.getAs[Long]("f2_est") > 0L)
+    assert(r.getAs[Long]("err_permille") < 950L, s"estimate off by ${r.getAs[Long]("err_permille")} permille")
+  }
 }
