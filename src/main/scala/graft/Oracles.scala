@@ -4270,7 +4270,43 @@ object Oracles {
          |SELECT n_tok, n_vocab, CAST(f2 AS BIGINT) AS f2_exact,
          |  CAST((gs[4] + gs[5]) // 8 AS BIGINT) AS f2_est,
          |  CAST(abs((gs[4] + gs[5]) - 8 * f2) * 1000 // (8 * f2) AS BIGINT) AS err_permille
-         |FROM md, ex""".stripMargin
+         |FROM md, ex""".stripMargin,
+    "q318_dp_histogram" -> {
+      def g(tag: String) = {
+        val k = s"(${hx(s"source || '|' || lang || '|$tag'")} % 1048576 + 1)"
+        s"(19 - (length(bin($k)) - 1) + CASE WHEN ($k & ($k - 1)) = 0 THEN 1 ELSE 0 END)"
+      }
+      s"""WITH c AS (SELECT source, lang, count(*) AS n_true FROM documents GROUP BY 1, 2),
+         |z AS (SELECT source, lang, n_true, CAST(${g("a")} - ${g("b")} AS BIGINT) AS z_noise FROM c)
+         |SELECT source, lang, n_true, z_noise,
+         |  CAST(greatest(0, n_true + z_noise) AS BIGINT) AS n_released,
+         |  CAST(693147 AS BIGINT) AS epsilon_micro
+         |FROM z ORDER BY source, lang""".stripMargin
+    },
+    "q319_phrase_search" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |i3 AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w WHERE len(ws) >= 3),
+        |sh AS (SELECT doc_id,
+        |    ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1] || ' ' || ws[CAST(i AS INTEGER) + 2] AS g
+        |  FROM i3),
+        |top AS (SELECT g AS phrase FROM (SELECT g, count(*) AS cnt FROM sh GROUP BY g)
+        |  ORDER BY cnt DESC, g LIMIT 1)
+        |SELECT doc_id, top.phrase, count(*) AS n_matches
+        |FROM sh JOIN top ON sh.g = top.phrase
+        |GROUP BY 1, 2 ORDER BY n_matches DESC, doc_id LIMIT 20""".stripMargin,
+    "q320_seasonal_decompose" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1),
+        |dn AS (SELECT day, n, CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) AS dnum FROM d),
+        |wi AS (SELECT day, n, dnum,
+        |    count(*) OVER w7 AS win_days, CAST(sum(n) OVER w7 AS BIGINT) AS win_sum
+        |  FROM dn WINDOW w7 AS (ORDER BY dnum RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |it AS (SELECT day, n, dnum % 7 AS dow, win_sum * 1000 // 7 AS trend_milli,
+        |    n * 1000 - win_sum * 1000 // 7 AS detr_milli
+        |  FROM wi WHERE win_days = 7),
+        |sea AS (SELECT dow, CAST(sum(detr_milli) AS BIGINT) // count(*) AS seasonal_milli FROM it GROUP BY 1)
+        |SELECT strftime(it.day, '%Y-%m-%d') AS day, it.n, it.trend_milli, sea.seasonal_milli,
+        |  it.detr_milli - sea.seasonal_milli AS remainder_milli
+        |FROM it JOIN sea USING (dow) ORDER BY it.day""".stripMargin
   )
 
   /** q195/q246 shared winnowing chain: char-8-gram 60-bit prints,

@@ -8688,4 +8688,122 @@ object Queries {
         expr("CAST(abs((gs[3] + gs[4]) - 8 * f2) * 1000 div (8 * f2) AS BIGINT)").as("err_permille")
       )
   }
+
+  // ε-differentially-private histogram release — the privacy
+  // mechanism a corpus publisher runs before sharing per-cell counts:
+  // each (source, lang) count gets two-sided geometric noise
+  // Z = G₁ − G₂ (the discrete Laplace), which at α = 1/2 gives
+  // ε = ln 2 per cell and, by parallel composition over disjoint
+  // cells, ln 2 for the whole histogram. The geometric quantile is
+  // PURE INTEGER: with u = k/2²⁰, G = ⌊−log₂ u⌋ = 19 − ⌊log₂ k⌋ +
+  // [k is a power of two], and ⌊log₂ k⌋ is just len(bin(k)) − 1 — no
+  // libm anywhere, so the "noise" (a seeded md5 PRNG stand-in for a
+  // true entropy source, same convention as q270's exponentials)
+  // replays bit-for-bit on both engines. Released counts are
+  // post-processed to max(0, ·) as publishers do. The domain is the
+  // observed cell set (the released HISTOGRAM shape is public here;
+  // a closed-world release would enumerate a fixed domain — noted,
+  // not modeled). Scale: one keyed aggregate; noise is per-CELL, so
+  // the mechanism costs nothing more at 100 TB.
+  def dpHistogram(s: SparkSession, dir: String): DataFrame = {
+    def geo(tag: String): Column = {
+      val k = TextOps.hash32(concat(col("source"), lit("|"), col("lang"), lit("|" + tag))) % 1048576L + 1L
+      val bl = (length(bin(k)) - 1).cast("long")
+      lit(19L) - bl + when(k.bitwiseAND(k - 1) === 0L, 1L).otherwise(0L)
+    }
+    t(s, dir, "documents")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("z_noise", geo("a") - geo("b"))
+      .select(
+        col("source"),
+        col("lang"),
+        col("n_true"),
+        col("z_noise"),
+        greatest(lit(0L), col("n_true") + col("z_noise")).as("n_released"),
+        lit(693147L).as("epsilon_micro")
+      )
+      .orderBy("source", "lang")
+  }
+
+  // Positional phrase search — the inverted-index operation BOOLEAN
+  // retrieval (q281) can't express: "these words, ADJACENT, in this
+  // order". The corpus's most frequent trigram (count desc, text asc —
+  // deterministic) becomes the query phrase; its three single-term
+  // posting lists (doc_id, position) are joined on (same doc,
+  // consecutive positions) — the classic positional-postings merge.
+  // Scale shape: term postings are filtered FIRST by a broadcast of
+  // the 1-row phrase (each list is df(term)-bounded, never the whole
+  // index), and the adjacency conditions are pure equi-joins on
+  // (doc_id, position±k), so the planner hash-partitions by document.
+  def phraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents").select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+    toks.persist()
+    val top = toks
+      .select(explode(TextOps.wordShingles(col("ws"), 3)).as("g"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("g"))
+      .limit(1)
+      .select(
+        col("g").as("phrase"),
+        split(col("g"), " ").getItem(0).as("w1"),
+        split(col("g"), " ").getItem(1).as("w2"),
+        split(col("g"), " ").getItem(2).as("w3")
+      )
+    val pos = toks.select(col("doc_id"), posexplode(col("ws")).as(Seq("p", "w")))
+    def postings(term: Column, d: String, pc: String): DataFrame =
+      pos.join(broadcast(top.select(term.as("w"))), Seq("w")).select(col("doc_id").as(d), col("p").as(pc))
+    postings(col("w1"), "doc_id", "p")
+      .join(postings(col("w2"), "d2", "p2"), col("d2") === col("doc_id") && col("p2") === col("p") + 1)
+      .join(postings(col("w3"), "d3", "p3"), col("d3") === col("doc_id") && col("p3") === col("p") + 2)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"))
+      .crossJoin(broadcast(top.select("phrase")))
+      .select(col("doc_id"), col("phrase"), col("n_matches"))
+      .orderBy(desc("n_matches"), col("doc_id"))
+      .limit(20)
+  }
+
+  // Classical seasonal decomposition (the moving-average method) of
+  // the daily event count: trend = centered 7-day mean (computed only
+  // where the full ±3-day calendar window exists — a RANGE frame on
+  // epoch-day, so date GAPS disable the estimate instead of silently
+  // borrowing rows), seasonal = per-day-of-week mean of the detrended
+  // series, remainder = what's left. Day-of-week is epoch-day mod 7 —
+  // an integer both engines compute identically, dodging the
+  // Sunday=0-vs-1 convention split. All in exact milli units
+  // (value·1000, div). Scale: the corpus reduces to the per-DAY
+  // aggregate first; every window after that is date-cardinality
+  // (the q114/q180 allowlisted posture).
+  def seasonalDecompose(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dnum", datediff(col("day"), lit("1970-01-01")).cast("long"))
+    val w7 = Window.orderBy("dnum").rangeBetween(-3, 3)
+    val interior = daily
+      .withColumn("win_days", count(lit(1)).over(w7))
+      .withColumn("win_sum", sum(col("n")).over(w7))
+      .filter(col("win_days") === 7)
+      .withColumn("trend_milli", expr("win_sum * 1000 div 7"))
+      .withColumn("detr_milli", col("n") * 1000 - col("trend_milli"))
+      .withColumn("dow", expr("dnum % 7"))
+    interior.persist()
+    val seasonal = interior
+      .groupBy("dow")
+      .agg(sum(col("detr_milli")).as("ds"), count(lit(1)).as("dc"))
+      .select(col("dow"), expr("ds div dc").as("seasonal_milli"))
+    interior
+      .join(broadcast(seasonal), Seq("dow"))
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"),
+        col("trend_milli"),
+        col("seasonal_milli"),
+        (col("detr_milli") - col("seasonal_milli")).as("remainder_milli")
+      )
+      .orderBy("day")
+  }
 }

@@ -617,7 +617,8 @@ class PlanSpec extends SparkSpec {
       "q296_vocab_coverage" -> "vocab truncation over the |V|-bounded aggregate (the q245 pattern)",
       "q306_km_survival" -> "suffix/prefix sums over the WEEK-support frame (two windows, q233 posture)",
       "q309_hybrid_rrf_fusion" -> "three post-limit ranks over ≤10-row frames (q198's + the tf list + the fused list)",
-      "q311_budget_waterfill" -> "rank + prefix sum over the |S|-row per-source aggregate"
+      "q311_budget_waterfill" -> "rank + prefix sum over the |S|-row per-source aggregate",
+      "q320_seasonal_decompose" -> "centered 7-day RANGE mean over the per-DAY aggregate — date-cardinality (the q114/q180 posture)"
       // q314's ≤50-bin prefix-sum windows sit under a persisted subtree
       // (InMemoryRelation), so the sweep never sees them — bounded anyway
     )

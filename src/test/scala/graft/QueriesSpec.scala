@@ -2376,4 +2376,84 @@ class QueriesSpec extends SparkSpec {
     assert(r.getAs[Long]("f2_est") > 0L)
     assert(r.getAs[Long]("err_permille") < 950L, s"estimate off by ${r.getAs[Long]("err_permille")} permille")
   }
+
+  test("DP histogram: releases post-process to >= 0, noise is bounded two-sided geometric and actually fires") {
+    val rows = Queries.dpHistogram(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val z = r.getAs[Long]("z_noise")
+      // each geometric quantile is <= 20 at 2^-20 resolution
+      assert(math.abs(z) <= 20L, s"noise $z outside the geometric envelope")
+      assert(r.getAs[Long]("n_released") === math.max(0L, r.getAs[Long]("n_true") + z))
+      assert(r.getAs[Long]("epsilon_micro") === 693147L)
+    }
+    assert(rows.exists(_.getAs[Long]("z_noise") != 0L), "noise never fired — the mechanism is the identity")
+    assert(rows.exists(_.getAs[Long]("z_noise") > 0L) && rows.exists(_.getAs[Long]("z_noise") < 0L),
+      "two-SIDED noise must produce both signs across ~100 cells")
+  }
+
+  test("phrase search: adjacency is positional (scattered terms do not match), overlaps slide") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_phrase").toString
+    Seq(
+      (0L, "t t t t"), // "t t t" at positions 0 and 1 — overlapping matches both count
+      (1L, "t t t q1 q2"),
+      (2L, "t q3 t q4 t"), // three t's, none adjacent — a bag-of-words match that must NOT surface
+      (3L, "u1 u2 u3 u4 u5")
+    ).map { case (i, text) => (i, text, "en", "s1", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val rows = Queries.phraseSearch(spark, dir).collect()
+    assert(rows.forall(_.getAs[String]("phrase") == "t t t"))
+    assert(rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_matches")).toSeq === Seq(0L -> 2L, 1L -> 1L))
+    // real corpus: the postings-adjacency count must equal the direct shingle count of the same phrase
+    import org.apache.spark.sql.functions._
+    val real = Queries.phraseSearch(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    val phrase = real.head.getAs[String]("phrase")
+    val direct = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), explode(graft.functions.TextOps.wordShingles(graft.functions.TextOps.tokens(col("text")), 3)).as("g"))
+      .filter(col("g") === phrase)
+      .groupBy("doc_id")
+      .count()
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    real.foreach(r => assert(direct(r.getAs[Long]("doc_id")) === r.getAs[Long]("n_matches"),
+      s"postings join and shingle count disagree on doc ${r.getAs[Long]("doc_id")}"))
+  }
+
+  test("seasonal decompose: a calendar gap disables the ±3-day trend window instead of borrowing rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_seasonal").toString
+    val days = (1 to 15).filter(_ != 8) // Feb 8 missing
+    days
+      .map(d => (d.toLong, java.sql.Timestamp.valueOf(f"2024-02-$d%02d 12:00:00"), 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val rows = Queries.seasonalDecompose(spark, dir).collect()
+    // only Feb 4 and Feb 12 have a complete ±3-day calendar window
+    assert(rows.map(_.getAs[String]("day")).toSeq === Seq("2024-02-04", "2024-02-12"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") === 1L)
+      assert(r.getAs[Long]("trend_milli") === 1000L)
+      assert(r.getAs[Long]("seasonal_milli") === 0L)
+      assert(r.getAs[Long]("remainder_milli") === 0L)
+    }
+    // real corpus: decomposition identity holds in milli units up to the two floor-divs
+    val real = Queries.seasonalDecompose(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      val resid = r.getAs[Long]("n") * 1000L - r.getAs[Long]("trend_milli") -
+        r.getAs[Long]("seasonal_milli") - r.getAs[Long]("remainder_milli")
+      assert(resid === 0L, s"decomposition identity broken on ${r.getAs[String]("day")}: $resid")
+    }
+  }
 }
