@@ -4306,7 +4306,65 @@ object Oracles {
         |sea AS (SELECT dow, CAST(sum(detr_milli) AS BIGINT) // count(*) AS seasonal_milli FROM it GROUP BY 1)
         |SELECT strftime(it.day, '%Y-%m-%d') AS day, it.n, it.trend_milli, sea.seasonal_milli,
         |  it.detr_milli - sea.seasonal_milli AS remainder_milli
-        |FROM it JOIN sea USING (dow) ORDER BY it.day""".stripMargin
+        |FROM it JOIN sea USING (dow) ORDER BY it.day""".stripMargin,
+    "q321_naive_bayes" -> {
+      def mn(e: String) = s"CAST(floor(ln(CAST($e AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+      s"""WITH d0 AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+         |tr AS (SELECT * FROM d0 WHERE doc_id % 5 <> 0),
+         |te AS (SELECT * FROM d0 WHERE doc_id % 5 = 0),
+         |trt AS (SELECT lang AS c, unnest(ws) AS w FROM tr),
+         |wc AS (SELECT w, c, count(*) AS cnt FROM trt GROUP BY 1, 2),
+         |cs AS (SELECT c, n_c, tok_c FROM
+         |    (SELECT lang AS c, count(*) AS n_c FROM tr GROUP BY 1) a JOIN
+         |    (SELECT c, CAST(sum(cnt) AS BIGINT) AS tok_c FROM wc GROUP BY 1) b USING (c)),
+         |g AS (SELECT (SELECT count(*) FROM tr) AS n_train, (SELECT count(DISTINCT w) FROM trt) AS v),
+         |ms AS (SELECT t.doc_id, wc.c, CAST(sum(${mn("wc.cnt + 1")}) AS BIGINT) AS msum
+         |  FROM (SELECT doc_id, unnest(ws) AS w FROM te) t JOIN wc ON wc.w = t.w GROUP BY 1, 2),
+         |sc AS (SELECT te.doc_id, te.lang, cs.c,
+         |    ${mn("cs.n_c")} - ${mn("g.n_train")} + coalesce(ms.msum, 0)
+         |      - len(te.ws) * ${mn("cs.tok_c + g.v")} AS score
+         |  FROM te CROSS JOIN cs CROSS JOIN g
+         |  LEFT JOIN ms ON ms.doc_id = te.doc_id AND ms.c = cs.c),
+         |pr AS (SELECT doc_id, lang, c,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c) AS rn FROM sc)
+         |SELECT lang, c AS pred_lang, count(*) AS n_docs
+         |FROM pr WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+    "q322_jl_distortion" ->
+      s"""WITH q AS (SELECT vec_id, i - 1 AS i,
+         |    CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1024) AS BIGINT) AS qi
+         |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i FROM embeddings)),
+         |y AS (SELECT vec_id, j,
+         |    CAST(sum(CASE WHEN ${hx("'jl|' || i || '|' || j")} % 2 = 0 THEN qi ELSE -qi END) AS BIGINT) AS yj
+         |  FROM q CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) GROUP BY 1, 2),
+         |do2 AS (SELECT a.vec_id, CAST(sum((a.qi - b.qi) * (a.qi - b.qi)) AS BIGINT) AS d2_orig
+         |  FROM q a JOIN q b ON b.vec_id = a.vec_id + 1 AND b.i = a.i GROUP BY 1),
+         |dp2 AS (SELECT a.vec_id, CAST(sum((a.yj - b.yj) * (a.yj - b.yj)) AS BIGINT) AS d2_proj
+         |  FROM y a JOIN y b ON b.vec_id = a.vec_id + 1 AND b.j = a.j GROUP BY 1)
+         |SELECT ratio_permille // 100 AS bucket, count(*) AS n_pairs FROM
+         |  (SELECT d2_proj * 1000 // (16 * d2_orig) AS ratio_permille
+         |   FROM do2 JOIN dp2 USING (vec_id) WHERE d2_orig > 0)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q323_late_interaction" ->
+      """WITH sub AS (SELECT vec_id, (i - 1) // 4 AS sub, (i - 1) % 4 AS off,
+        |    CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1024) AS BIGINT) AS qi
+        |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i FROM embeddings)),
+        |p AS (SELECT vec_id, sub,
+        |    CAST(sum(CASE WHEN off = 0 THEN qi ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN off = 1 THEN qi ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN off = 2 THEN qi ELSE 0 END) AS BIGINT) AS c2,
+        |    CAST(sum(CASE WHEN off = 3 THEN qi ELSE 0 END) AS BIGINT) AS c3
+        |  FROM sub GROUP BY 1, 2),
+        |qs AS (SELECT vec_id AS qid, sub AS qsub, c0 AS q0, c1 AS q1, c2 AS q2, c3 AS q3
+        |  FROM p WHERE vec_id < 5),
+        |ds AS (SELECT * FROM p WHERE vec_id >= 5),
+        |dots AS (SELECT qs.qid, ds.vec_id AS did, qs.qsub,
+        |    max(q0 * c0 + q1 * c1 + q2 * c2 + q3 * c3) AS best
+        |  FROM ds CROSS JOIN qs GROUP BY 1, 2, 3),
+        |sc AS (SELECT qid, did, CAST(sum(best) AS BIGINT) AS score FROM dots GROUP BY 1, 2),
+        |rk AS (SELECT qid, did, score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, did) AS rank FROM sc)
+        |SELECT qid, rank, did, score FROM rk WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   )
 
   /** q195/q246 shared winnowing chain: char-8-gram 60-bit prints,

@@ -8806,4 +8806,153 @@ object Queries {
       )
       .orderBy("day")
   }
+
+  // Multinomial Naive Bayes — the fastText-shaped bag-of-words
+  // classifier production pipelines train as the cheap quality/domain
+  // filter (and the natural supervised rung above q23's rule-based
+  // language ID): train Laplace-smoothed token-class counts on the
+  // 80% split (doc_id % 5 ≠ 0, the q207 convention), score the
+  // held-out 20%, report the confusion matrix. The whole model is
+  // exact integer micro-nats: score(c,d) = mn(n_c) − mn(n) +
+  // Σ_{w∈d} mn(cnt(w,c)+1) − |d|·mn(tok_c + V), where the unmatched-
+  // word term vanishes because mn(0+1) = 0 — so the SPARSE (w,c)
+  // table is sufficient, no dense vocab×class frame ever
+  // materializes. Argmax is a groupBy min(struct(−score, class)) —
+  // deterministic tie-break to the lexicographically first class,
+  // no window. Scale shape: one token-keyed train count, one
+  // token-keyed test join, a ×|C| broadcast grid; the corpus is
+  // touched twice and shuffled on tokens only.
+  def naiveBayes(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("ws"))
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val test = docs.filter(col("doc_id") % 5 === 0)
+    val trainToks = train.select(col("lang").as("c"), explode(col("ws")).as("w"))
+    val wc = trainToks.groupBy("w", "c").agg(count(lit(1)).as("cnt"))
+    wc.persist()
+    val classStats = train
+      .groupBy(col("lang").as("c"))
+      .agg(count(lit(1)).as("n_c"))
+      .join(wc.groupBy("c").agg(sum(col("cnt")).as("tok_c")), Seq("c"))
+    val globals = train
+      .agg(count(lit(1)).as("n_train"))
+      .crossJoin(broadcast(wc.select("w").distinct().agg(count(lit(1)).as("v"))))
+    val msum = test
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+      .join(wc, Seq("w"))
+      .groupBy("doc_id", "c")
+      .agg(sum(microNats(col("cnt") + 1)).as("msum"))
+    test
+      .select(col("doc_id"), col("lang"), size(col("ws")).cast("long").as("n_d"))
+      .crossJoin(broadcast(classStats))
+      .crossJoin(broadcast(globals))
+      .join(msum, Seq("doc_id", "c"), "left")
+      .withColumn(
+        "score_micro",
+        microNats(col("n_c")) - microNats(col("n_train")) +
+          coalesce(col("msum"), lit(0L)) - col("n_d") * microNats(col("tok_c") + col("v"))
+      )
+      .groupBy("doc_id", "lang")
+      .agg(min(struct((-col("score_micro")).as("ns"), col("c").as("pc"))).as("m"))
+      .select(col("lang"), col("m.pc").as("pred_lang"))
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  // Johnson–Lindenstrauss distortion audit — before trusting a cheap
+  // random projection as the ANN/clustering pre-pass, measure how far
+  // it bends pairwise distances. Rademacher (±1) projection matrix
+  // from md5 parity (the signed-random-projection family SimHash
+  // already uses, here kept DENSE so E‖y_a−y_b‖² = k·‖x_a−x_b‖²),
+  // embeddings pre-quantized to floor(x·2¹⁰) longs so every sum and
+  // square is EXACT integer arithmetic on both engines (the q222/PCA
+  // float lesson). Distortion ratio per consecutive-id pair in
+  // permille of the JL expectation, histogrammed. Scale shape: the
+  // projection is a 64→16 per-row linear pass (explode×16, keyed
+  // re-aggregate — at 100 TB this is the mapPartitions-free form of
+  // a GEMM, still one shuffle on vec_id); pairs are a keyed
+  // self-join on vec_id+1, never all-pairs.
+  def jlDistortion(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"), floor(col("x").cast("double") * 1024).cast("long").as("qi"))
+    q.persist()
+    val y = q
+      .select(col("vec_id"), col("i"), col("qi"), explode(sequence(lit(0), lit(15))).as("j"))
+      .withColumn(
+        "sgn",
+        when(TextOps.hash32(concat(lit("jl|"), col("i"), lit("|"), col("j"))) % 2 === 0, lit(1L)).otherwise(lit(-1L))
+      )
+      .groupBy("vec_id", "j")
+      .agg(sum(col("sgn") * col("qi")).as("yj"))
+    val dOrig = q
+      .join(
+        q.select((col("vec_id") - 1).as("vec_id"), col("i"), col("qi").as("qb")),
+        Seq("vec_id", "i")
+      )
+      .groupBy("vec_id")
+      .agg(sum((col("qi") - col("qb")) * (col("qi") - col("qb"))).as("d2_orig"))
+    val dProj = y
+      .join(
+        y.select((col("vec_id") - 1).as("vec_id"), col("j"), col("yj").as("yb")),
+        Seq("vec_id", "j")
+      )
+      .groupBy("vec_id")
+      .agg(sum((col("yj") - col("yb")) * (col("yj") - col("yb"))).as("d2_proj"))
+    dOrig
+      .join(dProj, Seq("vec_id"))
+      .filter(col("d2_orig") > 0)
+      .select(expr("d2_proj * 1000 div (16 * d2_orig)").as("ratio_permille"))
+      .groupBy(expr("ratio_permille div 100").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("bucket")
+  }
+
+  // Late-interaction (MaxSim) retrieval — the ColBERT-style scorer
+  // between single-vector ANN and full cross-attention: each vector
+  // is viewed as 16 sub-vectors of 4 dims (the Matryoshka/PQ slicing
+  // q302/q190 already use), and score(q, d) = Σ_j max_k qsub_j·dsub_k
+  // — every query sub-vector matches its best document sub-vector.
+  // Same floor(x·2¹⁰) integer quantization, so all 256 dots per pair
+  // are exact. Scale shape: the query side (5 probes × 16 subs) is a
+  // broadcast literal-sized frame, the document side streams — the
+  // brute rung of this ladder, with the same IVF cell-routing as
+  // q193 as the stated scale path; top-3 per query via a
+  // query-PARTITIONED rank window.
+  def lateInteraction(s: SparkSession, dir: String): DataFrame = {
+    val subs = t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(
+        col("vec_id"),
+        expr("i div 4").as("sub"),
+        expr("i % 4").as("off"),
+        floor(col("x").cast("double") * 1024).cast("long").as("qi")
+      )
+      .groupBy("vec_id", "sub")
+      .agg(
+        sum(when(col("off") === 0, col("qi")).otherwise(0L)).as("c0"),
+        sum(when(col("off") === 1, col("qi")).otherwise(0L)).as("c1"),
+        sum(when(col("off") === 2, col("qi")).otherwise(0L)).as("c2"),
+        sum(when(col("off") === 3, col("qi")).otherwise(0L)).as("c3")
+      )
+    val qs = subs
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("sub").as("qsub"),
+        col("c0").as("q0"), col("c1").as("q1"), col("c2").as("q2"), col("c3").as("q3"))
+    val ds = subs.filter(col("vec_id") >= 5)
+    val scores = ds
+      .crossJoin(broadcast(qs))
+      .withColumn("dot", col("q0") * col("c0") + col("q1") * col("c1") + col("q2") * col("c2") + col("q3") * col("c3"))
+      .groupBy(col("qid"), col("vec_id").as("did"), col("qsub"))
+      .agg(max(col("dot")).as("best"))
+      .groupBy("qid", "did")
+      .agg(sum(col("best")).as("score"))
+    scores
+      .withColumn("rank", row_number().over(Window.partitionBy("qid").orderBy(desc("score"), col("did"))))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("did"), col("score"))
+      .orderBy("qid", "rank")
+  }
 }

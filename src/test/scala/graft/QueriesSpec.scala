@@ -2456,4 +2456,70 @@ class QueriesSpec extends SparkSpec {
       assert(resid === 0L, s"decomposition identity broken on ${r.getAs[String]("day")}: $resid")
     }
   }
+
+  test("naive bayes: confusion matrix covers exactly the held-out docs and a learnable signal separates classes") {
+    import spark.implicits._
+    // synthetic corpus with a clean vocabulary split per class: NB must ace it
+    val dir = java.nio.file.Files.createTempDirectory("graft_nb").toString
+    (0L until 60L)
+      .map { i =>
+        val lang = if (i % 2 == 0) "aa" else "bb"
+        val text = if (lang == "aa") "apple apple banana cherry" else "dog dog emu fox"
+        (i, text, lang, "s1", text.length.toLong)
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val clean = Queries.naiveBayes(spark, dir).collect()
+    assert(clean.forall(r => r.getAs[String]("lang") === r.getAs[String]("pred_lang")),
+      s"separable vocabulary must classify perfectly, got ${clean.mkString(";")}")
+    assert(clean.map(_.getAs[Long]("n_docs")).sum === 12L) // 60 docs, doc_id % 5 == 0 held out
+    // real corpus: every held-out doc appears exactly once in the matrix
+    val rows = Queries.naiveBayes(spark, sfDir).collect()
+    val nTest = spark.read.parquet(s"$sfDir/documents.parquet").filter("doc_id % 5 = 0").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nTest)
+    assert(rows.forall(_.getAs[Long]("n_docs") > 0L))
+  }
+
+  test("JL distortion: every consecutive pair is audited and mass concentrates on the k-scaled expectation") {
+    val rows = Queries.jlDistortion(spark, sfDir).collect()
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val total = rows.map(_.getAs[Long]("n_pairs")).sum
+    assert(total === n - 1, "every consecutive-id pair must land in exactly one bucket")
+    // E[d2_proj] = 16·d2_orig → ratio_permille ≈ 1000 → bucket ≈ 10
+    val near = rows.filter(r => { val b = r.getAs[Long]("bucket"); b >= 5 && b <= 15 })
+      .map(_.getAs[Long]("n_pairs")).sum
+    assert(near * 10 >= total * 5, s"only $near/$total pairs within ±50% of the JL expectation")
+    val wmean = rows.map(r => r.getAs[Long]("bucket") * r.getAs[Long]("n_pairs")).sum / total
+    assert(wmean >= 7L && wmean <= 13L, s"weighted mean bucket $wmean drifted off the expectation")
+  }
+
+  test("late interaction: top-3 per query, ordered, and MaxSim recomputes locally for the top hit") {
+    val rows = Queries.lateInteraction(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size === 5)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq === Seq(1, 2, 3))
+      val ordered = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("score"))
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b })
+      rs.foreach(r => assert(r.getAs[Long]("did") >= 5L))
+    }
+    // recompute MaxSim on the driver for one (query, hit) pair
+    val top = rows.filter(r => r.getAs[Long]("qid") == 0L && r.getAs[Int]("rank") == 1).head
+    val vecs = spark.read
+      .parquet(s"$sfDir/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.col("vec_id").isin(0L, top.getAs[Long]("did")))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1024).toLong).toArray)
+      .toMap
+    val (qv, dv) = (vecs(0L), vecs(top.getAs[Long]("did")))
+    val maxsim = (0 until 16).map { j =>
+      (0 until 16).map { k =>
+        (0 until 4).map(o => qv(j * 4 + o) * dv(k * 4 + o)).sum
+      }.max
+    }.sum
+    assert(maxsim === top.getAs[Long]("score"), "distributed MaxSim disagrees with the local recomputation")
+  }
 }
