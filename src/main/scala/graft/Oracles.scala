@@ -4364,7 +4364,59 @@ object Oracles {
         |sc AS (SELECT qid, did, CAST(sum(best) AS BIGINT) AS score FROM dots GROUP BY 1, 2),
         |rk AS (SELECT qid, did, score,
         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, did) AS rank FROM sc)
-        |SELECT qid, rank, did, score FROM rk WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+        |SELECT qid, rank, did, score FROM rk WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "q324_opq_allocation" -> opqSql,
+    "q325_t_closeness" -> {
+      def lvl(tag: String, name: String, qi: String) =
+        s"""g$tag AS (SELECT $qi AS qi, sv, count(*) AS c FROM ob GROUP BY 1, 2),
+           |sz$tag AS (SELECT qi, CAST(sum(c) AS BIGINT) AS n_g FROM g$tag GROUP BY 1),
+           |dn$tag AS (SELECT sz$tag.qi, sz$tag.n_g, gl.sv, gl.cg, coalesce(g$tag.c, 0) AS c
+           |  FROM sz$tag CROSS JOIN gl LEFT JOIN g$tag ON g$tag.qi = sz$tag.qi AND g$tag.sv = gl.sv),
+           |cm$tag AS (SELECT qi, n_g,
+           |    abs(sum(CAST(c AS HUGEINT) * gt.n - CAST(cg AS HUGEINT) * n_g)
+           |      OVER (PARTITION BY qi ORDER BY sv ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cabs
+           |  FROM dn$tag, gt),
+           |em$tag AS (SELECT qi, n_g,
+           |    CAST(CAST(sum(cabs) AS HUGEINT) * 1000 // (gt.m1 * n_g * gt.n) AS BIGINT) AS emd
+           |  FROM cm$tag, gt GROUP BY qi, n_g, gt.m1, gt.n),
+           |lv$tag AS (SELECT '$name' AS level, count(*) AS n_groups, max(emd) AS t_max_permille,
+           |    CAST(sum(CASE WHEN emd > 333 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+           |    CAST(sum(CASE WHEN emd > 333 THEN n_g ELSE 0 END) * 1000 // sum(n_g) AS BIGINT) AS exposed_permille
+           |  FROM em$tag)""".stripMargin
+      s"""WITH ob AS (SELECT o_orderpriority AS pri, o_orderdate AS d,
+         |    least(CAST(floor(o_totalprice) AS BIGINT) // 50000, 9) AS sv FROM orders),
+         |gl AS (SELECT sv, count(*) AS cg FROM ob GROUP BY 1),
+         |gt AS (SELECT count(*) AS n, count(DISTINCT sv) - 1 AS m1 FROM ob),
+         |${lvl("a", "1_month", "pri || '|' || strftime(d, '%Y-%m')")},
+         |${lvl("b", "2_year", "pri || '|' || strftime(d, '%Y')")},
+         |${lvl("c", "3_priority", "pri")}
+         |SELECT * FROM lva UNION ALL SELECT * FROM lvb UNION ALL SELECT * FROM lvc ORDER BY level""".stripMargin
+    },
+    "q326_ndcg" -> {
+      def mn(e: String) = s"CAST(floor(ln(CAST($e AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+      raw"""WITH g AS (SELECT doc_id,
+         |    CAST(CASE WHEN list_contains(ws, 'spark') THEN 1 ELSE 0 END
+         |     + CASE WHEN list_contains(ws, 'join') THEN 1 ELSE 0 END
+         |     + CASE WHEN list_contains(ws, 'stream') THEN 1 ELSE 0 END AS BIGINT) AS rel
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents)),
+         |h AS (SELECT CAST(sum(CASE WHEN rel = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         |    CAST(sum(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |    CAST(sum(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1 FROM g),
+         |ranked AS (SELECT doc_id, rnk FROM ($bm25Sql)),
+         |ks AS (SELECT CAST(unnest([3, 10]) AS BIGINT) AS k),
+         |dc AS (SELECT ks.k, CAST(sum(CAST((1 << CAST(g.rel AS INTEGER)) - 1 AS BIGINT) * 1000000000
+         |      // ${mn("r.rnk + 1")}) AS BIGINT) AS dcg_nano
+         |  FROM ranked r JOIN g ON g.doc_id = r.doc_id CROSS JOIN ks
+         |  WHERE r.rnk <= ks.k GROUP BY ks.k),
+         |id AS (SELECT ks.k, CAST(sum(CAST(CASE WHEN pos <= n3 THEN 7
+         |      WHEN pos <= n3 + n2 THEN 3 WHEN pos <= n3 + n2 + n1 THEN 1 ELSE 0 END AS BIGINT) * 1000000000
+         |      // ${mn("pos + 1")}) AS BIGINT) AS idcg_nano
+         |  FROM (SELECT unnest(generate_series(1, 10)) AS pos) p CROSS JOIN h CROSS JOIN ks
+         |  WHERE pos <= ks.k GROUP BY ks.k)
+         |SELECT dc.k, dc.dcg_nano, id.idcg_nano,
+         |  dc.dcg_nano * 1000 // id.idcg_nano AS ndcg_permille
+         |FROM dc JOIN id ON id.k = dc.k ORDER BY dc.k""".stripMargin
+    }
   )
 
   /** q195/q246 shared winnowing chain: char-8-gram 60-bit prints,
@@ -4541,6 +4593,36 @@ object Oracles {
        |$cols
        |FROM embeddings, mu, ${(1 to PcaDims).map(k => s"b$k").mkString(", ")}
        |ORDER BY vec_id""".stripMargin
+  }
+
+  /** q324: the same covariance + unrolled Jacobi chain; variance
+    * products per PQ subspace under the three allocation schemes,
+    * the snake order being the parametric-OPQ balance.
+    */
+  private lazy val opqSql: String = {
+    val ranks = (1 to PcaDims).map(k => pcaRankCte(s"b$k", k)).mkString(",\n")
+    val dgn = (1 to PcaDims)
+      .map(i => s"(SELECT cov_val FROM cv WHERE dim_i = $i AND dim_j = $i) AS d$i")
+      .mkString(", ")
+    s"""WITH $pcaCommonCtes,
+       |$ranks,
+       |dgn AS (SELECT $dgn),
+       |pr AS (
+       |  SELECT '1_original' AS scheme, 1 AS subspace, d1 * d2 AS p FROM dgn
+       |  UNION ALL SELECT '1_original', 2, d3 * d4 FROM dgn
+       |  UNION ALL SELECT '1_original', 3, d5 * d6 FROM dgn
+       |  UNION ALL SELECT '2_pca_ordered', 1, b1.ev * b2.ev FROM b1, b2
+       |  UNION ALL SELECT '2_pca_ordered', 2, b3.ev * b4.ev FROM b3, b4
+       |  UNION ALL SELECT '2_pca_ordered', 3, b5.ev * b6.ev FROM b5, b6
+       |  UNION ALL SELECT '3_pca_snake', 1, b1.ev * b6.ev FROM b1, b6
+       |  UNION ALL SELECT '3_pca_snake', 2, b2.ev * b5.ev FROM b2, b5
+       |  UNION ALL SELECT '3_pca_snake', 3, b3.ev * b4.ev FROM b3, b4
+       |)
+       |SELECT scheme, CAST(subspace AS INTEGER) AS subspace, ${away("p", 6)} AS var_product,
+       |  CAST(floor(mx / mn * 1000.0 + 0.5) AS BIGINT) AS balance_permille
+       |FROM (SELECT *, max(p) OVER (PARTITION BY scheme) AS mx,
+       |      min(p) OVER (PARTITION BY scheme) AS mn FROM pr)
+       |ORDER BY scheme, subspace""".stripMargin
   }
 
   /** Shared by q213 (plain v2-state run) and q228 (warm-start run) —

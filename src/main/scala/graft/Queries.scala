@@ -8955,4 +8955,164 @@ object Queries {
       .select(col("qid"), col("rank"), col("did"), col("score"))
       .orderBy("qid", "rank")
   }
+
+  // OPQ eigenvalue allocation — the parametric Optimized Product
+  // Quantization result (Ge et al. 2013): after rotating into the PCA
+  // eigenbasis, assign eigen-dimensions to PQ subspaces so the
+  // per-subspace VARIANCE PRODUCTS balance (for Gaussian data the
+  // quantization-optimal split), which the snake/boustrophedon order
+  // (1st+6th, 2nd+5th, 3rd+4th eigenvalue) achieves against the naive
+  // ordered split. Three schemes audited on the q222/q239 machinery:
+  // original-coordinate diagonal pairs, PCA-ordered pairs, PCA-snake
+  // pairs — variance products and the max/min balance ratio per
+  // scheme. Scale shape: identical to q239 — the corpus is touched
+  // only by the distributed covariance pass; eigen/allocation math is
+  // dims²-bounded driver work the oracle replays bit-for-bit through
+  // the same unrolled Jacobi chain.
+  def opqAllocation(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pca
+    val e = Pca.eigenAll(embeddingCovariance(s, dir), t(s, dir, "embeddings"))
+    val ev = e.pairs.map(_._1).toArray
+    val dg = (1 to 6).map(i => e.cov(i)(i)).toArray
+    def scheme(name: String, prods: Seq[Double]): Seq[(String, Int, Double, Long)] = {
+      val bal = math.floor(prods.max / prods.min * 1000.0 + 0.5).toLong
+      prods.zipWithIndex.map { case (p, i) => (name, i + 1, Pca.roundAway6(p), bal) }
+    }
+    val rows =
+      scheme("1_original", Seq(dg(0) * dg(1), dg(2) * dg(3), dg(4) * dg(5))) ++
+        scheme("2_pca_ordered", Seq(ev(0) * ev(1), ev(2) * ev(3), ev(4) * ev(5))) ++
+        scheme("3_pca_snake", Seq(ev(0) * ev(5), ev(1) * ev(4), ev(2) * ev(3)))
+    import s.implicits._
+    rows.toDF("scheme", "subspace", "var_product", "balance_permille").orderBy("scheme", "subspace")
+  }
+
+  // t-closeness — the third rung of the anonymity ladder (q277
+  // k-anonymity → q305 l-diversity → here): l-diversity only counts
+  // DISTINCT sensitive values per QI group, so a group can be
+  // "diverse" while its distribution still leaks (99% of one value).
+  // t-closeness bounds the ORDERED EARTH-MOVER'S DISTANCE between
+  // each group's sensitive distribution and the global one. Sensitive
+  // attribute: the order-price decile bin (ordered, so EMD =
+  // (1/(m−1))·Σ|cumulative differences|); the rational cumulative
+  // difference q_j − p_j rides the common denominator n_g·N as the
+  // integer Σ_{j≤i}(c_gj·N − C_j·n_g) — EXACT permille, no floats.
+  // DECIMAL(38,0) on the products: n_g·N·1000 passes 2⁶³ in the
+  // billions-of-rows regime this targets. Scale shape: one keyed
+  // group×bin aggregate, the dense grid via a broadcast of the
+  // m-row global distribution, cumulative sums in group-PARTITIONED
+  // windows, per-level 1-row rollups.
+  def tCloseness(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(
+        col("o_orderpriority").as("pri"),
+        col("o_orderdate").as("d"),
+        least(expr("CAST(floor(o_totalprice) AS BIGINT) div 50000"), lit(9L)).as("sv")
+      )
+    o.persist()
+    val global = o.groupBy("sv").agg(count(lit(1)).as("cg"))
+    val nTot = o.agg(count(lit(1)).as("n"), (countDistinct(col("sv")) - 1).as("m1"))
+    def level(name: String, qi: Column): DataFrame = {
+      val groups = o.groupBy(qi.as("qi"), col("sv")).agg(count(lit(1)).as("c"))
+      val sizes = groups.groupBy("qi").agg(sum(col("c")).as("n_g"))
+      val dense = sizes
+        .crossJoin(broadcast(global))
+        .join(groups, Seq("qi", "sv"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val wCum = Window.partitionBy("qi").orderBy("sv").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val emd = dense
+        .crossJoin(broadcast(nTot))
+        .withColumn("dterm", expr("CAST(c AS DECIMAL(38,0)) * n - CAST(cg AS DECIMAL(38,0)) * n_g"))
+        .withColumn("cum", sum(col("dterm")).over(wCum))
+        .groupBy("qi", "n_g")
+        .agg(sum(abs(col("cum"))).as("sabs"), max(col("n")).as("n"), max(col("m1")).as("m1"))
+        // the last cumulative term is always 0 (both sides sum to 1),
+        // so summing |cum| over ALL m bins equals the (m−1)-term EMD
+        .withColumn("emd_permille", expr("CAST(sabs * 1000 div (m1 * n_g * n) AS BIGINT)"))
+      emd
+        .agg(
+          count(lit(1)).as("n_groups"),
+          max(col("emd_permille")).as("t_max_permille"),
+          sum(when(col("emd_permille") > 333, 1L).otherwise(0L)).as("n_violating"),
+          sum(col("n_g")).as("n_rows"),
+          sum(when(col("emd_permille") > 333, col("n_g")).otherwise(0L)).as("exposed_rows")
+        )
+        .select(
+          lit(name).as("level"),
+          col("n_groups"),
+          col("t_max_permille"),
+          col("n_violating"),
+          expr("exposed_rows * 1000 div n_rows").as("exposed_permille")
+        )
+    }
+    level("1_month", concat(col("pri"), lit("|"), date_format(col("d"), "yyyy-MM")))
+      .unionByName(level("2_year", concat(col("pri"), lit("|"), date_format(col("d"), "yyyy"))))
+      .unionByName(level("3_priority", col("pri")))
+      .orderBy("level")
+  }
+
+  // nDCG — the GRADED-relevance retrieval metric q292's binary
+  // recall/precision can't express: relevance = how many of the three
+  // query terms a document contains (0–3), gain = 2^rel − 1, discount
+  // = 1/ln(rank+1) carried as the exact integer  gain·10⁹ div
+  // mn(rank+1)  (the log base cancels between DCG and the ideal DCG,
+  // both computed with the same micro-nat denominators). The ideal
+  // ranking comes from the global grade counts — positions 1..n₃ get
+  // gain 7, the next n₂ gain 3, the next n₁ gain 1 — so IDCG needs no
+  // sort at all, just the 3-row grade histogram. Scale shape: one
+  // corpus pass for grades (map-combined 4-row rollup), the k×rank
+  // lattice is ≤20 rows of broadcast arithmetic on the q198 top-10.
+  def ndcgEval(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "join", "stream")
+    val graded = t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        terms
+          .map(w => array_contains(TextOps.tokens(col("text")), w).cast("long"))
+          .reduce(_ + _)
+          .as("rel")
+      )
+    graded.persist()
+    val hist = graded.agg(
+      sum(when(col("rel") === 3, 1L).otherwise(0L)).as("n3"),
+      sum(when(col("rel") === 2, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("rel") === 1, 1L).otherwise(0L)).as("n1")
+    )
+    val dcg = bm25TopK(s, dir)
+      .select(col("doc_id"), col("rnk"))
+      .join(broadcast(graded.filter(col("rel") > 0)), Seq("doc_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+      .select(explode(array(lit(3L), lit(10L))).as("k"), col("rnk"), col("rel"))
+      .filter(col("rnk") <= col("k"))
+      .withColumn("gain", expr("CAST(shiftleft(1L, CAST(rel AS INT)) AS BIGINT) - 1"))
+      .withColumn("mn_r", microNats(col("rnk") + 1))
+      .withColumn("term", expr("gain * 1000000000 div mn_r"))
+      .groupBy("k")
+      .agg(sum(col("term")).as("dcg_nano"))
+    val ideal = s
+      .range(1, 11)
+      .select(col("id").as("pos"))
+      .select(explode(array(lit(3L), lit(10L))).as("k"), col("pos"))
+      .filter(col("pos") <= col("k"))
+      .crossJoin(broadcast(hist))
+      .withColumn(
+        "gain",
+        when(col("pos") <= col("n3"), 7L)
+          .when(col("pos") <= col("n3") + col("n2"), 3L)
+          .when(col("pos") <= col("n3") + col("n2") + col("n1"), 1L)
+          .otherwise(0L)
+      )
+      .withColumn("mn_r", microNats(col("pos") + 1))
+      .withColumn("term", expr("gain * 1000000000 div mn_r"))
+      .groupBy("k")
+      .agg(sum(col("term")).as("idcg_nano"))
+    dcg
+      .join(ideal, Seq("k"))
+      .select(
+        col("k"),
+        col("dcg_nano"),
+        col("idcg_nano"),
+        expr("dcg_nano * 1000 div idcg_nano").as("ndcg_permille")
+      )
+      .orderBy("k")
+  }
 }

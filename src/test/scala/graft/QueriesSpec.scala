@@ -2522,4 +2522,57 @@ class QueriesSpec extends SparkSpec {
     }.sum
     assert(maxsim === top.getAs[Long]("score"), "distributed MaxSim disagrees with the local recomputation")
   }
+
+  test("OPQ allocation: snake order balances subspace variance products at least as well as the ordered split") {
+    val rows = Queries.opqAllocation(spark, sfDir).collect()
+    assert(rows.length === 9)
+    rows.foreach(r => assert(r.getAs[Double]("var_product") > 0.0))
+    val bal = rows.map(r => r.getAs[String]("scheme") -> r.getAs[Long]("balance_permille")).toMap
+    assert(bal.values.forall(_ >= 1000L), "max/min ratio is >= 1 by construction")
+    assert(bal("3_pca_snake") <= bal("2_pca_ordered"),
+      s"snake ${bal("3_pca_snake")} must not be worse than ordered ${bal("2_pca_ordered")} — the OPQ allocation claim")
+  }
+
+  test("t-closeness: max EMD is monotone under QI refinement (month >= year >= priority)") {
+    val by = Queries.tCloseness(spark, sfDir).collect().map(r => r.getAs[String]("level") -> r).toMap
+    assert(by.size === 3)
+    val (m, y, p) = (by("1_month"), by("2_year"), by("3_priority"))
+    // EMD(·, P) is convex, so a group's EMD is <= the max over any refinement of it
+    assert(m.getAs[Long]("t_max_permille") >= y.getAs[Long]("t_max_permille"))
+    assert(y.getAs[Long]("t_max_permille") >= p.getAs[Long]("t_max_permille"))
+    assert(m.getAs[Long]("n_groups") >= y.getAs[Long]("n_groups"))
+    assert(y.getAs[Long]("n_groups") >= p.getAs[Long]("n_groups"))
+    Seq(m, y, p).foreach { r =>
+      assert(r.getAs[Long]("t_max_permille") >= 0L && r.getAs[Long]("t_max_permille") <= 1000L)
+      assert(r.getAs[Long]("n_violating") <= r.getAs[Long]("n_groups"))
+      assert(r.getAs[Long]("exposed_permille") <= 1000L)
+    }
+  }
+
+  test("nDCG: bounded by the ideal, and a tf-saturated distractor actually drags it under 1000") {
+    val rows = Queries.ndcgEval(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("k")).toSeq === Seq(3L, 10L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dcg_nano") <= r.getAs[Long]("idcg_nano"), "DCG can never beat the ideal ordering")
+      assert(r.getAs[Long]("ndcg_permille") <= 1000L && r.getAs[Long]("ndcg_permille") > 0L)
+    }
+    // synthetic: a doc stuffed with the rare term outranks the all-terms doc
+    // under BM25 (idf·saturated-tf), but the IDEAL ranking puts rel=3 first
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndcg").toString
+    (Seq(
+      (0L, "spark spark spark spark spark spark"), // rel 1, high tf on the rare term
+      (1L, "spark join stream") // rel 3
+    ) ++ (2L until 12L).map(i => (i, "join stream filler" + i))) // rel 2 crowd making join/stream common
+      .map { case (i, text) => (i, text, "en", "s1", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val synth = Queries.ndcgEval(spark, dir).collect()
+    synth.foreach(r => assert(r.getAs[Long]("dcg_nano") <= r.getAs[Long]("idcg_nano")))
+    assert(synth.exists(_.getAs[Long]("ndcg_permille") < 1000L),
+      s"distractor corpus should yield imperfect nDCG, got ${synth.mkString(";")}")
+  }
 }
