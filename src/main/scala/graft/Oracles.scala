@@ -4416,7 +4416,17 @@ object Oracles {
          |SELECT dc.k, dc.dcg_nano, id.idcg_nano,
          |  dc.dcg_nano * 1000 // id.idcg_nano AS ndcg_permille
          |FROM dc JOIN id ON id.k = dc.k ORDER BY dc.k""".stripMargin
-    }
+    },
+    "q328_markov_attribution" -> markovSql,
+    // the scripting loop computes the smallest power of two >= max —
+    // closed form: 1 << len(bin(mx - 1)) (mx >= 2 always holds here)
+    "q327_sql_scripting" ->
+      """WITH mxv AS (SELECT max(CAST(floor(o_totalprice) AS BIGINT)) AS mx FROM orders),
+        |wv AS (SELECT (CAST(1 AS BIGINT) << length(bin(mx - 1))) // 8 AS bin_width FROM mxv)
+        |SELECT CAST(floor(o_totalprice) AS BIGINT) // bin_width AS bin,
+        |  count(*) AS n_orders, bin_width
+        |FROM orders, wv
+        |GROUP BY 1, 3 ORDER BY 1""".stripMargin
   )
 
   /** q195/q246 shared winnowing chain: char-8-gram 60-bit prints,
@@ -4623,6 +4633,66 @@ object Oracles {
        |FROM (SELECT *, max(p) OVER (PARTITION BY scheme) AS mx,
        |      min(p) OVER (PARTITION BY scheme) AS mn FROM pr)
        |ORDER BY scheme, subspace""".stripMargin
+  }
+
+  /** q328: transition counts from per-user prefixes, then 32 rounds of
+    * synchronous integer value iteration UNROLLED as materialized CTEs
+    * (the q239 Jacobi pattern) — once for the base chain and once per
+    * removed channel. Channel list is the generator's fixed event
+    * domain minus the conversion event (the q292 fixed-terms posture).
+    */
+  private lazy val markovSql: String = {
+    val chans = Seq("click", "error", "signup", "view")
+    val rounds = 32
+    def chain(tag: String, excluded: Option[String]): String = {
+      val states = ("START" +: chans.filterNot(excluded.contains)).map(c => s"'$c'").mkString(", ")
+      val ex = excluded.map(c => s"WHERE e.s <> '$c' AND e.t <> '$c'").getOrElse("")
+      val base = s"v_${tag}_0 AS (SELECT s, CAST(0 AS BIGINT) AS v FROM (SELECT unnest([$states]) AS s))"
+      val steps = (1 to rounds).map { r =>
+        s"""v_${tag}_$r AS MATERIALIZED (SELECT e.s,
+           |    CAST((max(kc.kconv) + coalesce(sum(e.c * cv.v), 0)) // max(tt.tot) AS BIGINT) AS v
+           |  FROM edgesx e JOIN v_${tag}_${r - 1} cv ON cv.s = e.t
+           |  JOIN tot tt ON tt.s = e.s JOIN kc ON kc.s = e.s
+           |  $ex GROUP BY e.s)""".stripMargin
+      }
+      (base +: steps).mkString(",\n")
+    }
+    val chains = (("base", None) +: chans.map(c => (c, Some(c)))).map { case (t, ex) => chain(t, ex) }.mkString(",\n")
+    val resRows = chans
+      .map(c =>
+        s"SELECT '$c' AS channel, (SELECT v FROM v_base_$rounds WHERE s = 'START') AS base_conv_nano, " +
+          s"(SELECT v FROM v_${c}_$rounds WHERE s = 'START') AS removal_conv_nano"
+      )
+      .mkString("\nUNION ALL ")
+    s"""WITH ev AS (SELECT user_id, ts, event_id, event_type,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk FROM events),
+       |fp AS (SELECT user_id, min(rk) AS fp_rk FROM ev WHERE event_type = 'purchase' GROUP BY 1),
+       |kept AS (SELECT ev.*, fp.fp_rk FROM ev LEFT JOIN fp USING (user_id)
+       |  WHERE fp.fp_rk IS NULL OR ev.rk <= fp.fp_rk),
+       |nx AS (SELECT *, lead(event_type) OVER (PARTITION BY user_id ORDER BY rk) AS next_type FROM kept),
+       |edges0 AS (
+       |  SELECT 'START' AS s, CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END AS t
+       |  FROM nx WHERE rk = 1
+       |  UNION ALL
+       |  SELECT event_type, CASE WHEN next_type = 'purchase' THEN 'CONV' ELSE next_type END
+       |  FROM nx WHERE next_type IS NOT NULL
+       |  UNION ALL
+       |  SELECT event_type, 'NULL' FROM nx WHERE next_type IS NULL AND fp_rk IS NULL),
+       |edges AS (SELECT s, t, CAST(count(*) AS BIGINT) AS c FROM edges0 GROUP BY 1, 2),
+       |edgesx AS (SELECT s, t, c FROM edges
+       |  UNION ALL SELECT DISTINCT s, 'START', CAST(0 AS BIGINT) FROM edges),
+       |tot AS (SELECT s, CAST(sum(c) AS BIGINT) AS tot FROM edges GROUP BY 1),
+       |kc AS (SELECT s, CAST(sum(CASE WHEN t = 'CONV' THEN c ELSE 0 END) AS BIGINT) * 1000000000 AS kconv
+       |  FROM edges GROUP BY 1),
+       |$chains,
+       |res AS ($resRows),
+       |eff AS (SELECT channel, base_conv_nano, removal_conv_nano,
+       |    (base_conv_nano - removal_conv_nano) * 1000 // base_conv_nano AS effect_permille,
+       |    base_conv_nano - removal_conv_nano AS d FROM res),
+       |sm AS (SELECT CAST(sum(d) AS BIGINT) AS sd FROM eff)
+       |SELECT channel, base_conv_nano, removal_conv_nano, effect_permille,
+       |  CASE WHEN sm.sd = 0 THEN CAST(0 AS BIGINT) ELSE d * 1000 // sm.sd END AS share_permille
+       |FROM eff, sm ORDER BY channel""".stripMargin
   }
 
   /** Shared by q213 (plain v2-state run) and q228 (warm-start run) —

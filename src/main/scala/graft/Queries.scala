@@ -9115,4 +9115,122 @@ object Queries {
       )
       .orderBy("k")
   }
+
+  // Spark 4 SQL scripting (BEGIN…END, DECLARE, WHILE) — the last
+  // SQL-surface rung after q231/q232/q252–254: procedural control
+  // flow INSIDE the SQL engine, no driver round-trips per step. The
+  // script derives a power-of-two histogram width by iterative
+  // doubling (the loop is genuinely data-dependent: it reads
+  // max(o_totalprice) and doubles until it covers it), then the final
+  // statement — whose result IS the script's result — bins the table
+  // with it. Scale note: the loop runs log₂(max) times over a 1-row
+  // aggregate; the single corpus pass is the final keyed GROUP BY,
+  // identical to a hand-planned histogram.
+  def sqlScripting(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_script")
+    s.conf.set("spark.sql.scripting.enabled", "true")
+    s.sql("""
+      BEGIN
+        DECLARE mx BIGINT DEFAULT 1;
+        DECLARE w BIGINT DEFAULT 1;
+        SET mx = (SELECT max(CAST(floor(o_totalprice) AS BIGINT)) FROM orders_script);
+        WHILE w < mx DO
+          SET w = w * 2;
+        END WHILE;
+        SELECT CAST(floor(o_totalprice) AS BIGINT) div (w div 8) AS bin,
+          count(*) AS n_orders,
+          w div 8 AS bin_width
+        FROM orders_script
+        GROUP BY 1
+        ORDER BY 1;
+      END
+    """)
+  }
+
+  // Markov-chain attribution with removal effects — the
+  // data-to-decision step beyond q141's positional attribution and
+  // q153's transition matrix: model each user's event prefix (up to
+  // the first purchase) as a chain over channels with absorbing CONV
+  // and NULL states, compute the conversion probability from START,
+  // then re-compute it with each channel REMOVED (its visits dumped
+  // to NULL — the Anderl et al. removal-effect definition); a
+  // channel's attribution share is its relative conversion drop.
+  // Absorption runs as 32 rounds of synchronous value iteration in
+  // integer nano-mass — floor division only, so the driver loop and
+  // the oracle's bounded recursive CTE replay the identical bits.
+  // Scale shape: the corpus pass is ONE keyed window (per-user rank)
+  // + a (state×state)-bounded transition count; everything after is
+  // |channels|²-bounded driver math (the Pca/centroid posture —
+  // collect() of a domain-bounded aggregate, never corpus rows).
+  def markovAttribution(s: SparkSession, dir: String): DataFrame = {
+    val wu = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ranked = Tables
+      .events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rk", row_number().over(wu))
+    val fp = ranked
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(min(col("rk")).as("fp_rk"))
+    val wk = Window.partitionBy("user_id").orderBy("rk")
+    val kept = ranked
+      .join(fp, Seq("user_id"), "left")
+      .filter(col("fp_rk").isNull || col("rk") <= col("fp_rk"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(wk))
+    val asState = (c: Column) => when(c === "purchase", "CONV").otherwise(c)
+    val edges = kept
+      .filter(col("rk") === 1)
+      .select(lit("START").as("s"), asState(col("event_type")).as("dst"))
+      .unionByName(
+        kept
+          .filter(col("next_type").isNotNull)
+          .select(col("event_type").as("s"), asState(col("next_type")).as("dst"))
+      )
+      .unionByName(
+        kept
+          .filter(col("next_type").isNull && col("fp_rk").isNull)
+          .select(col("event_type").as("s"), lit("NULL").as("dst"))
+      )
+      .groupBy("s", "dst")
+      .agg(count(lit(1)).as("c"))
+      .collect() // bounded by (|event types|+1)² — domain, not data
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val channels = edges.keys
+      .flatMap { case (a, b) => Seq(a, b) }
+      .filter(x => x != "START" && x != "CONV" && x != "NULL")
+      .toSeq
+      .distinct
+      .sorted
+    val tot = edges.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    def absorb(excluded: Option[String]): Long = {
+      val srcs = channels.filterNot(excluded.contains) :+ "START"
+      var v = srcs.map(_ -> 0L).toMap
+      for (_ <- 1 to 32) {
+        v = srcs.map { s0 =>
+          val num = edges.iterator.map {
+            case ((`s0`, t), c) if !excluded.contains(t) =>
+              c * (t match {
+                case "CONV" => 1000000000L
+                case "NULL" => 0L
+                case ch => v.getOrElse(ch, 0L)
+              })
+            case _ => 0L
+          }.sum
+          s0 -> num / tot(s0)
+        }.toMap
+      }
+      v("START")
+    }
+    val base = absorb(None)
+    val drops = channels.map(c => c -> (base - absorb(Some(c))))
+    val sumD = drops.map(_._2).sum
+    val rows = drops.map { case (c, d) =>
+      (c, base, base - d, d * 1000L / base, if (sumD == 0L) 0L else d * 1000L / sumD)
+    }
+    import s.implicits._
+    rows
+      .toDF("channel", "base_conv_nano", "removal_conv_nano", "effect_permille", "share_permille")
+      .orderBy("channel")
+  }
 }

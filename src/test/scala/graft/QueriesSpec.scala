@@ -2575,4 +2575,59 @@ class QueriesSpec extends SparkSpec {
     assert(synth.exists(_.getAs[Long]("ndcg_permille") < 1000L),
       s"distractor corpus should yield imperfect nDCG, got ${synth.mkString(";")}")
   }
+
+  test("SQL scripting: the WHILE loop lands on the smallest power of two covering max, bins cover the table") {
+    val rows = Queries.sqlScripting(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val bw = rows.head.getAs[Long]("bin_width")
+    val w = bw * 8
+    assert((w & (w - 1)) === 0L, s"8·bin_width = $w must be a power of two")
+    val mx = spark.read
+      .parquet(s"$sfDir/orders.parquet")
+      .agg(org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.expr("CAST(floor(o_totalprice) AS BIGINT)")))
+      .collect()
+      .head
+      .getLong(0)
+    assert(w >= mx && w / 2 < mx, s"loop must stop at the SMALLEST covering power of two (w=$w, mx=$mx)")
+    assert(rows.forall { r => val b = r.getAs[Long]("bin"); b >= 0L && b <= 8L })
+    val total = rows.map(_.getAs[Long]("n_orders")).sum
+    assert(total === spark.read.parquet(s"$sfDir/orders.parquet").count())
+  }
+
+  test("markov attribution: the sole converting channel takes the whole removal effect, exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_markov").toString
+    def ev(id: Long, user: Long, sec: Int, tpe: String) =
+      (id, java.sql.Timestamp.valueOf(f"2024-03-01 10:00:$sec%02d"), user, tpe, 1.0, "{}")
+    val events =
+      (1L to 10L).flatMap(u => Seq(ev(u * 10, u, 1, "view"), ev(u * 10 + 1, u, 2, "purchase"))) ++
+        Seq(11L, 12L).flatMap(u => Seq(ev(u * 10, u, 1, "click"), ev(u * 10 + 1, u, 2, "error")))
+    events
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val by = Queries.markovAttribution(spark, dir).collect().map(r => r.getAs[String]("channel") -> r).toMap
+    assert(by.keySet === Set("view", "click", "error"))
+    // base = (10·1e9 + 2·0) / 12, floored
+    assert(by("view").getAs[Long]("base_conv_nano") === 10L * 1000000000L / 12L)
+    assert(by("view").getAs[Long]("removal_conv_nano") === 0L)
+    assert(by("view").getAs[Long]("effect_permille") === 1000L)
+    assert(by("view").getAs[Long]("share_permille") === 1000L)
+    Seq("click", "error").foreach { c =>
+      assert(by(c).getAs[Long]("effect_permille") === 0L, s"$c never reaches CONV, removing it changes nothing")
+      assert(by(c).getAs[Long]("share_permille") === 0L)
+    }
+    // real corpus invariants: removal can only lose conversion mass; shares sum to 1000 up to truncation
+    val real = Queries.markovAttribution(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getAs[Long]("removal_conv_nano") <= r.getAs[Long]("base_conv_nano"))
+      assert(r.getAs[Long]("effect_permille") >= 0L && r.getAs[Long]("effect_permille") <= 1000L)
+    }
+    val shareSum = real.map(_.getAs[Long]("share_permille")).sum
+    assert(shareSum <= 1000L && shareSum >= 1000L - real.length,
+      s"shares must sum to 1000 up to per-channel floor truncation, got $shareSum")
+  }
 }
