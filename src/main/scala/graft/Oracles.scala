@@ -4418,6 +4418,68 @@ object Oracles {
          |FROM dc JOIN id ON id.k = dc.k ORDER BY dc.k""".stripMargin
     },
     "q328_markov_attribution" -> markovSql,
+    "q329_partition_advisor" -> {
+      def lay(name: String, key: String) =
+        s"""SELECT '$name' AS layout, $key AS pk, count(*) AS rws,
+           |    min(dt) AS dt_min, max(dt) AS dt_max, min(pri) AS pri_min, max(pri) AS pri_max,
+           |    min(st) AS st_min, max(st) AS st_max, min(ck) AS ck_min, max(ck) AS ck_max
+           |  FROM ob GROUP BY 2""".stripMargin
+      // zone-map intersect composed with exact partition-key pruning
+      // where the predicate column determines the layout key
+      val conds = Seq(
+        (
+          "w1_date_month",
+          "(dt_min <= '1996-01-31' AND dt_max >= '1996-01-01') AND (layout <> '2_by_month' OR pk = '1996-01')"
+        ),
+        (
+          "w2_priority_eq",
+          "(pri_min <= '1-URGENT' AND pri_max >= '1-URGENT') AND (layout <> '1_by_priority' OR pk = '1-URGENT')"
+        ),
+        ("w3_status_eq", "(st_min <= 'F' AND st_max >= 'F') AND (layout <> '3_by_status' OR pk = 'F')"),
+        ("w4_cust_eq", "(ck_min <= 37 AND ck_max >= 37) AND (layout <> '4_by_custbucket' OR pk = '5')")
+      )
+      val evals = conds
+        .map { case (w, c) =>
+          s"""SELECT layout, '$w' AS workload, count(*) AS n_parts,
+             |  CAST(sum(CASE WHEN $c THEN 1 ELSE 0 END) AS BIGINT) AS parts_scanned,
+             |  CAST(sum(CASE WHEN $c THEN rws ELSE 0 END) * 1000 // sum(rws) AS BIGINT) AS scan_permille
+             |FROM stats GROUP BY 1""".stripMargin
+        }
+        .mkString("\nUNION ALL\n")
+      s"""WITH ob AS (SELECT o_orderpriority AS pri, strftime(o_orderdate, '%Y-%m') AS mon,
+         |    o_orderstatus AS st, o_custkey AS ck, strftime(o_orderdate, '%Y-%m-%d') AS dt FROM orders),
+         |stats AS (
+         |  ${lay("1_by_priority", "pri")}
+         |  UNION ALL ${lay("2_by_month", "mon")}
+         |  UNION ALL ${lay("3_by_status", "st")}
+         |  UNION ALL ${lay("4_by_custbucket", "CAST(ck % 16 AS VARCHAR)")}
+         |)
+         |$evals
+         |ORDER BY layout, workload""".stripMargin
+    },
+    "q330_hits" -> {
+      val rounds = (1 to 8)
+        .map { r =>
+          s"""hr$r AS MATERIALIZED (SELECT e.src AS id, CAST(sum(a.v) AS BIGINT) AS v
+             |  FROM ed e JOIN a${r - 1} a ON a.id = e.dst GROUP BY 1),
+             |ht$r AS (SELECT CAST(sum(v) AS HUGEINT) AS tot FROM hr$r),
+             |h$r AS MATERIALIZED (SELECT id, CAST(CAST(v AS HUGEINT) * 1000000000 // tot AS BIGINT) AS v FROM hr$r, ht$r),
+             |ar$r AS MATERIALIZED (SELECT e.dst AS id, CAST(sum(h.v) AS BIGINT) AS v
+             |  FROM ed e JOIN h$r h ON h.id = e.src GROUP BY 1),
+             |at$r AS (SELECT CAST(sum(v) AS HUGEINT) AS tot FROM ar$r),
+             |a$r AS MATERIALIZED (SELECT id, CAST(CAST(v AS HUGEINT) * 1000000000 // tot AS BIGINT) AS v FROM ar$r, at$r)""".stripMargin
+        }
+        .mkString(",\n")
+      s"""WITH pairs AS (SELECT d1, d2 FROM ($minhashSql)),
+         |ed AS (SELECT DISTINCT greatest(d1, d2) AS src, least(d1, d2) AS dst FROM pairs),
+         |nodes AS (SELECT src AS id FROM ed UNION SELECT dst FROM ed),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |a0 AS (SELECT id, CAST(1000000000 // (SELECT n FROM nn) AS BIGINT) AS v FROM nodes),
+         |$rounds
+         |SELECT COALESCE(a.id, h.id) AS doc_id, COALESCE(a.v, 0) AS auth_nano, COALESCE(h.v, 0) AS hub_nano
+         |FROM a8 a FULL JOIN h8 h ON h.id = a.id
+         |ORDER BY auth_nano DESC, doc_id LIMIT 10""".stripMargin
+    },
     // the scripting loop computes the smallest power of two >= max —
     // closed form: 1 << len(bin(mx - 1)) (mx >= 2 always holds here)
     "q327_sql_scripting" ->

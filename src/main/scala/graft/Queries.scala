@@ -9233,4 +9233,157 @@ object Queries {
       .toDF("channel", "base_conv_nano", "removal_conv_nano", "effect_permille", "share_permille")
       .orderBy("channel")
   }
+
+  // Partition-layout advisor — the physical-design what-if every
+  // 100 TB warehouse runs before choosing a partition key: for each
+  // CANDIDATE layout (priority / month / status / customer-bucket),
+  // partition the table, keep per-partition ZONE MAPS (min/max of
+  // every workload column — exactly what parquet row-group stats and
+  // q229's range layout give for free), and replay a fixed workload
+  // of predicates against the stats alone: a partition is scanned iff
+  // its [min,max] interval intersects the predicate. scan_permille is
+  // the fraction of ROWS the layout fails to skip — the number a
+  // partitioning decision is actually made on. Everything is one
+  // keyed stats aggregate per layout (bounded by partition counts)
+  // plus constant-size interval checks; the corpus is read once per
+  // layout and never again.
+  def partitionAdvisor(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      col("o_orderpriority").as("pri"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("mon"),
+      col("o_orderstatus").as("st"),
+      col("o_custkey").as("ck"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("dt")
+    )
+    o.persist()
+    def layout(name: String, key: Column): DataFrame = o
+      .groupBy(key.as("pk"))
+      .agg(
+        count(lit(1)).as("rows"),
+        min(col("dt")).as("dt_min"),
+        max(col("dt")).as("dt_max"),
+        min(col("pri")).as("pri_min"),
+        max(col("pri")).as("pri_max"),
+        min(col("st")).as("st_min"),
+        max(col("st")).as("st_max"),
+        min(col("ck")).as("ck_min"),
+        max(col("ck")).as("ck_max")
+      )
+      .withColumn("layout", lit(name))
+    val stats = layout("1_by_priority", col("pri"))
+      .unionByName(layout("2_by_month", col("mon")))
+      .unionByName(layout("3_by_status", col("st")))
+      .unionByName(layout("4_by_custbucket", pmod(col("ck"), lit(16L)).cast("string")))
+    // two pruning mechanisms COMPOSE, as in a real optimizer: zone
+    // maps (min/max intersect) prune any layout, and exact
+    // partition-KEY pruning applies when the predicate column is a
+    // function of the layout key — the decisive case for the modulo
+    // bucket layout, whose per-bucket min/max spans the whole key
+    // domain (zone maps alone can never skip a hash bucket).
+    val workloads = Seq(
+      (
+        "w1_date_month",
+        (col("dt_min") <= "1996-01-31" && col("dt_max") >= "1996-01-01") &&
+          (col("layout") =!= "2_by_month" || col("pk") === "1996-01")
+      ),
+      (
+        "w2_priority_eq",
+        (col("pri_min") <= "1-URGENT" && col("pri_max") >= "1-URGENT") &&
+          (col("layout") =!= "1_by_priority" || col("pk") === "1-URGENT")
+      ),
+      (
+        "w3_status_eq",
+        (col("st_min") <= "F" && col("st_max") >= "F") &&
+          (col("layout") =!= "3_by_status" || col("pk") === "F")
+      ),
+      (
+        "w4_cust_eq",
+        (col("ck_min") <= 37L && col("ck_max") >= 37L) &&
+          (col("layout") =!= "4_by_custbucket" || col("pk") === lit((37L % 16L).toString))
+      )
+    )
+    workloads
+      .map { case (w, hit) =>
+        stats
+          .groupBy("layout")
+          .agg(
+            count(lit(1)).as("n_parts"),
+            sum(hit.cast("long")).as("parts_scanned"),
+            sum(col("rows")).as("n_rows"),
+            sum(when(hit, col("rows")).otherwise(0L)).as("rows_scanned")
+          )
+          .select(
+            col("layout"),
+            lit(w).as("workload"),
+            col("n_parts"),
+            col("parts_scanned"),
+            expr("rows_scanned * 1000 div n_rows").as("scan_permille")
+          )
+      }
+      .reduce(_.unionByName(_))
+      .orderBy("layout", "workload")
+  }
+
+  // HITS hubs & authorities — the second classic link-analysis
+  // operator next to q150's PageRank, on the near-dup candidate graph
+  // ORIENTED newer→older (a citation shape: later documents "point
+  // at" the earlier documents they duplicate). Eight rounds of the
+  // mutual recursion h = Σ_out a, a = Σ_in h, renormalized to 10⁹
+  // total mass per round with floor division only — bit-replayable.
+  // Scale shape: each half-round is one edge-keyed join + keyed
+  // aggregate over the BOUNDED candidate-pair set (never all-pairs);
+  // rounds snapshot to parquet so the plan never deepens (the
+  // PageRank/CC posture).
+  def hitsScores(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    val base = graft.operators.Scratch.dir("graft-hits")
+    def snapshot(df: DataFrame, name: String): DataFrame = {
+      val path = s"$base/$name"
+      df.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+    val edges = snapshot(
+      graft.operators.CandidateGraph
+        .pairs(s, dir)
+        .select(greatest(col("d1"), col("d2")).as("src"), least(col("d1"), col("d2")).as("dst"))
+        .distinct(),
+      "edges"
+    )
+    val nodes = snapshot(
+      edges.select(col("src").as("id")).unionByName(edges.select(col("dst").as("id"))).distinct(),
+      "nodes"
+    )
+    val nV = nodes.count()
+    require(nV > 0, "HITS over an empty candidate graph")
+    val One = 1000000000L
+    def renorm(df: DataFrame, value: String): DataFrame = {
+      val tot = df.agg(sum(col(value)).as("tot"))
+      // DECIMAL(38,0) on the product: pre-normalization mass reaches
+      // |E|·10⁹, so value·10⁹ would pass 2⁶³ on dense graphs
+      df.crossJoin(broadcast(tot))
+        .select(col("id"), expr(s"CAST(CAST($value AS DECIMAL(38,0)) * $One div tot AS BIGINT)").as(value))
+    }
+    var a = snapshot(nodes.select(col("id"), lit(One / nV).as("a")), "a0")
+    var h: DataFrame = null
+    for (r <- 1 to 8) {
+      val hRaw = edges
+        .join(a.select(col("id").as("dst"), col("a")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(sum(col("a")).as("h"))
+      h = snapshot(renorm(hRaw, "h"), s"h$r")
+      val aRaw = edges
+        .join(h.select(col("id").as("src"), col("h")), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("h")).as("a"))
+      a = snapshot(renorm(aRaw, "a"), s"a$r")
+    }
+    a.join(h, Seq("id"), "full")
+      .select(
+        col("id").as("doc_id"),
+        coalesce(col("a"), lit(0L)).as("auth_nano"),
+        coalesce(col("h"), lit(0L)).as("hub_nano")
+      )
+      .orderBy(desc("auth_nano"), col("doc_id"))
+      .limit(10)
+  }
 }

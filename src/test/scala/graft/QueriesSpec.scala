@@ -2630,4 +2630,42 @@ class QueriesSpec extends SparkSpec {
     assert(shareSum <= 1000L && shareSum >= 1000L - real.length,
       s"shares must sum to 1000 up to per-channel floor truncation, got $shareSum")
   }
+
+  test("partition advisor: the layout matching each workload's predicate column skips the most rows") {
+    val rows = Queries.partitionAdvisor(spark, sfDir).collect()
+    assert(rows.length === 16)
+    val best = Map(
+      "w1_date_month" -> "2_by_month",
+      "w2_priority_eq" -> "1_by_priority",
+      "w3_status_eq" -> "3_by_status",
+      "w4_cust_eq" -> "4_by_custbucket"
+    )
+    best.foreach { case (w, expectedLayout) =>
+      val forW = rows.filter(_.getAs[String]("workload") == w)
+      val winner = forW.minBy(r => (r.getAs[Long]("scan_permille"), r.getAs[String]("layout")))
+      assert(winner.getAs[String]("layout") === expectedLayout,
+        s"$w: expected $expectedLayout to win, got ${winner.getAs[String]("layout")} " +
+          s"(${forW.map(r => r.getAs[String]("layout") -> r.getAs[Long]("scan_permille")).mkString(",")})")
+      // a matching layout must actually SKIP something; a mismatched one scans everything
+      assert(winner.getAs[Long]("scan_permille") < 1000L)
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("parts_scanned") <= r.getAs[Long]("n_parts"))
+      assert(r.getAs[Long]("scan_permille") <= 1000L)
+    }
+  }
+
+  test("HITS: mass is normalized, ordering is by authority, and the iteration replays bit-for-bit") {
+    val rows = Queries.hitsScores(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val auths = rows.map(_.getAs[Long]("auth_nano"))
+    assert(auths.zip(auths.tail).forall { case (a, b) => a >= b }, "must be ordered by authority desc")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("auth_nano") >= 0L && r.getAs[Long]("auth_nano") <= 1000000000L)
+      assert(r.getAs[Long]("hub_nano") >= 0L && r.getAs[Long]("hub_nano") <= 1000000000L)
+    }
+    assert(auths.head > 0L, "top authority must carry mass")
+    val again = Queries.hitsScores(spark, sfDir).collect()
+    assert(again.toSeq === rows.toSeq, "integer HITS must replay identically")
+  }
 }
