@@ -4418,6 +4418,45 @@ object Oracles {
          |FROM dc JOIN id ON id.k = dc.k ORDER BY dc.k""".stripMargin
     },
     "q328_markov_attribution" -> markovSql,
+    "q331_sprt" -> {
+      def mn(e: String) = s"CAST(floor(ln(CAST($e AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+      val inc = s"(${mn("3")} - ${mn("2")})"
+      s"""WITH u AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv FROM events GROUP BY 1),
+         |ua AS (SELECT *, CASE WHEN ${hx("CAST(user_id AS VARCHAR)")} % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+         |  FROM u),
+         |d AS (SELECT arm, first_day, count(*) AS n_users,
+         |    CAST(sum(CASE WHEN conv = 1 THEN $inc ELSE -$inc END) AS BIGINT) AS d_llr
+         |  FROM ua GROUP BY 1, 2),
+         |c AS (SELECT *, sum(d_llr) OVER (PARTITION BY arm ORDER BY first_day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d),
+         |f AS (SELECT arm, CAST(sum(n_users) AS BIGINT) AS n_users, count(*) AS n_days,
+         |    CAST(sum(d_llr) AS BIGINT) AS final_llr_micro,
+         |    min(CASE WHEN cum >= ${mn("19")} THEN first_day END) AS up_day,
+         |    min(CASE WHEN cum <= -${mn("19")} THEN first_day END) AS down_day
+         |  FROM c GROUP BY 1)
+         |SELECT arm, n_users, n_days, final_llr_micro,
+         |  strftime(least(up_day, down_day), '%Y-%m-%d') AS cross_day,
+         |  CASE WHEN up_day IS NOT NULL AND (down_day IS NULL OR up_day <= down_day) THEN 'accept_h1'
+         |       WHEN down_day IS NOT NULL THEN 'accept_h0' ELSE 'continue' END AS decision
+         |FROM f ORDER BY arm""".stripMargin
+    },
+    "q332_sequential_patterns" ->
+      """WITH rk AS (SELECT user_id, event_type AS t,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk FROM events),
+        |ext AS (SELECT user_id, t, min(rk) AS frank, max(rk) AS lrank FROM rk GROUP BY 1, 2),
+        |nu AS (SELECT count(DISTINCT user_id) AS n_u FROM ext),
+        |s2 AS (SELECT a.t || '>' || b.t AS pattern, CAST(2 AS INTEGER) AS len,
+        |    count(DISTINCT a.user_id) AS support
+        |  FROM ext a JOIN ext b ON b.user_id = a.user_id AND a.frank < b.lrank GROUP BY 1, 2),
+        |fb2 AS (SELECT r.user_id, a.t AS ta, r.t AS tb, min(r.rk) AS fb
+        |  FROM rk r JOIN ext a ON a.user_id = r.user_id AND r.rk > a.frank GROUP BY 1, 2, 3),
+        |s3 AS (SELECT f.ta || '>' || f.tb || '>' || c.t AS pattern, CAST(3 AS INTEGER) AS len,
+        |    count(DISTINCT f.user_id) AS support
+        |  FROM fb2 f JOIN ext c ON c.user_id = f.user_id AND c.lrank > f.fb GROUP BY 1, 2),
+        |al AS (SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+        |SELECT pattern, len, support, support * 1000 // (SELECT n_u FROM nu) AS support_permille
+        |FROM al ORDER BY support DESC, pattern LIMIT 12""".stripMargin,
     "q329_partition_advisor" -> {
       def lay(name: String, key: String) =
         s"""SELECT '$name' AS layout, $key AS pk, count(*) AS rws,

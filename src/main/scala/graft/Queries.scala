@@ -9386,4 +9386,113 @@ object Queries {
       .orderBy(desc("auth_nano"), col("doc_id"))
       .limit(10)
   }
+
+  // Wald's SPRT — the SEQUENTIAL companion of q219's fixed-horizon
+  // A/B report: walk users in arrival order (first-seen day), add the
+  // log-likelihood ratio of their conversion under H₁: p=0.6 vs
+  // H₀: p=0.4, and stop the day the walk leaves (−ln A, +ln A) with
+  // A = (1−β)/α = 19 (α = β = 0.05). Every term is an exact
+  // micro-nat: ±(mn(3) − mn(2)) per user (the p-pair is chosen so
+  // converter and non-converter increments are symmetric rationals),
+  // boundary mn(19). Scale shape: users reduce to (arm, first-day)
+  // increments — one keyed aggregate — and the walk is a cumulative
+  // sum over the per-DAY frame PARTITIONED BY ARM (a keyed window,
+  // date-cardinality input); the crossing day falls out of a
+  // conditional aggregate, no second pass.
+  def sprtSequentialTest(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables
+      .events(s, dir)
+      .groupBy("user_id")
+      .agg(
+        min(to_date(col("ts"))).as("first_day"),
+        max((col("event_type") === "purchase").cast("long")).as("conv")
+      )
+      .withColumn("arm", when(TextOps.hash32(col("user_id").cast("string")) % 2 === 0, "A").otherwise("B"))
+    val inc = microNats(lit(3)) - microNats(lit(2))
+    val daily = users
+      .groupBy("arm", "first_day")
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("conv") === 1, inc).otherwise(-inc)).as("d_llr")
+      )
+    val wArm = Window.partitionBy("arm").orderBy("first_day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bound = microNats(lit(19))
+    daily
+      .withColumn("cum", sum(col("d_llr")).over(wArm))
+      .groupBy("arm")
+      .agg(
+        sum(col("n_users")).as("n_users"),
+        count(lit(1)).as("n_days"),
+        sum(col("d_llr")).as("final_llr_micro"),
+        min(when(col("cum") >= bound, col("first_day"))).as("up_day"),
+        min(when(col("cum") <= -bound, col("first_day"))).as("down_day")
+      )
+      .select(
+        col("arm"),
+        col("n_users"),
+        col("n_days"),
+        col("final_llr_micro"),
+        date_format(least(col("up_day"), col("down_day")), "yyyy-MM-dd").as("cross_day"),
+        when(col("up_day").isNotNull && (col("down_day").isNull || col("up_day") <= col("down_day")), "accept_h1")
+          .when(col("down_day").isNotNull, "accept_h0")
+          .otherwise("continue")
+          .as("decision")
+      )
+      .orderBy("arm")
+  }
+
+  // Sequential-pattern mining (PrefixSpan shape) — ORDERED patterns
+  // with arbitrary gaps, which the frequent ITEMSET rungs (q268
+  // pairs, q287 triples) cannot express: "view … then click … then
+  // purchase" is a different fact than {view, click, purchase}
+  // co-occurring. Containment tests are rank algebra, not scans: a
+  // user supports a>b iff first(a) < last(b), and a>b>c iff the first
+  // b AFTER the first a still precedes the last c — each test a
+  // couple of per-(user, type) extrema. Scale shape: one per-user
+  // rank window, a (user, type)-keyed extrema table (|T| rows per
+  // user), and |T|²/|T|³ bounded candidate joins all keyed by
+  // user_id; support is a countDistinct per pattern. The alphabet is
+  // the event-type domain — bounded — which is exactly when
+  // sequential mining is tractable at 100 TB.
+  def sequentialPatterns(s: SparkSession, dir: String): DataFrame = {
+    val wu = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ranks = Tables
+      .events(s, dir)
+      .select(col("user_id"), col("event_type").as("t"), col("ts"), col("event_id"))
+      .withColumn("rk", row_number().over(wu))
+      .select("user_id", "t", "rk")
+    ranks.persist()
+    val ext = ranks.groupBy("user_id", "t").agg(min(col("rk")).as("frank"), max(col("rk")).as("lrank"))
+    ext.persist()
+    val nu = ext.agg(countDistinct(col("user_id")).as("n_u"))
+    val sup2 = ext
+      .select(col("user_id"), col("t").as("ta"), col("frank").as("fa"))
+      .join(ext.select(col("user_id"), col("t").as("tb"), col("lrank").as("lb")), Seq("user_id"))
+      .filter(col("fa") < col("lb"))
+      .groupBy("ta", "tb")
+      .agg(countDistinct(col("user_id")).as("support"))
+      .select(concat(col("ta"), lit(">"), col("tb")).as("pattern"), lit(2).as("len"), col("support"))
+    val fb2 = ranks
+      .select(col("user_id"), col("t").as("tb"), col("rk"))
+      .join(ext.select(col("user_id"), col("t").as("ta"), col("frank").as("fa")), Seq("user_id"))
+      .filter(col("rk") > col("fa"))
+      .groupBy("user_id", "ta", "tb")
+      .agg(min(col("rk")).as("fb"))
+    val sup3 = fb2
+      .join(ext.select(col("user_id"), col("t").as("tc"), col("lrank").as("lc")), Seq("user_id"))
+      .filter(col("lc") > col("fb"))
+      .groupBy("ta", "tb", "tc")
+      .agg(countDistinct(col("user_id")).as("support"))
+      .select(
+        concat(col("ta"), lit(">"), col("tb"), lit(">"), col("tc")).as("pattern"),
+        lit(3).as("len"),
+        col("support")
+      )
+    sup2
+      .unionByName(sup3)
+      .crossJoin(broadcast(nu))
+      .select(col("pattern"), col("len"), col("support"), expr("support * 1000 div n_u").as("support_permille"))
+      .orderBy(desc("support"), col("pattern"))
+      .limit(12)
+  }
 }

@@ -2668,4 +2668,73 @@ class QueriesSpec extends SparkSpec {
     val again = Queries.hitsScores(spark, sfDir).collect()
     assert(again.toSeq === rows.toSeq, "integer HITS must replay identically")
   }
+
+  test("SPRT: all-failure traffic accepts H0, a tiny sample keeps sampling, dense conversions accept H1") {
+    import spark.implicits._
+    def write(dir: String, users: Seq[Long], convert: Boolean): Unit =
+      users
+        .flatMap { u =>
+          val base = Seq((u * 10, java.sql.Timestamp.valueOf("2024-03-01 10:00:01"), u, "view", 1.0, "{}"))
+          if (convert) base :+ ((u * 10 + 1, java.sql.Timestamp.valueOf("2024-03-01 10:00:02"), u, "purchase", 1.0, "{}"))
+          else base
+        }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1)
+        .write
+        .mode("overwrite")
+        .parquet(s"$dir/events.parquet")
+    val d1 = java.nio.file.Files.createTempDirectory("graft_sprt1").toString
+    write(d1, 1L to 50L, convert = false) // ~25 per arm, 8 suffice to cross −ln 19
+    Queries.sprtSequentialTest(spark, d1).collect().foreach { r =>
+      assert(r.getAs[String]("decision") === "accept_h0", r.toString)
+      assert(r.getAs[String]("cross_day") === "2024-03-01")
+    }
+    val d2 = java.nio.file.Files.createTempDirectory("graft_sprt2").toString
+    write(d2, 1L to 6L, convert = false) // even 6-0 split stays inside the boundaries
+    Queries.sprtSequentialTest(spark, d2).collect().foreach { r =>
+      assert(r.getAs[String]("decision") === "continue", r.toString)
+      assert(r.getAs[String]("cross_day") == null)
+    }
+    // the shared corpus converts nearly everyone: the walk drifts up —
+    // H1 if the arm has enough users to cross, else still sampling
+    val real = Queries.sprtSequentialTest(spark, sfDir).collect()
+    assert(real.map(_.getAs[String]("arm")).sorted.toSeq === Seq("A", "B"))
+    real.foreach { r =>
+      assert(r.getAs[Long]("final_llr_micro") > 0L, r.toString)
+      assert(Set("accept_h1", "continue").contains(r.getAs[String]("decision")), r.toString)
+    }
+  }
+
+  test("sequential patterns: order matters (view>click supported, click>view not) and support is anti-monotone") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_seqpat").toString
+    (1L to 10L)
+      .flatMap(u =>
+        Seq(
+          (u * 10, java.sql.Timestamp.valueOf("2024-03-01 10:00:01"), u, "view", 1.0, "{}"),
+          (u * 10 + 1, java.sql.Timestamp.valueOf("2024-03-01 10:00:02"), u, "click", 1.0, "{}")
+        )
+      )
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val rows = Queries.sequentialPatterns(spark, dir).collect()
+    val byPat = rows.map(r => r.getAs[String]("pattern") -> r.getAs[Long]("support")).toMap
+    assert(byPat("view>click") === 10L)
+    assert(!byPat.contains("click>view"), "reverse order is never contained, it must not surface")
+    assert(!byPat.keys.exists(_.count(_ == '>') == 2), "no 3-pattern exists in 2-event sequences")
+    // real corpus: permille bounded; a 3-pattern can never beat its own 2-prefix
+    val real = Queries.sequentialPatterns(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    val sup = real.map(r => r.getAs[String]("pattern") -> r.getAs[Long]("support")).toMap
+    real.foreach { r =>
+      assert(r.getAs[Long]("support_permille") <= 1000L)
+      val p = r.getAs[String]("pattern").split('>')
+      if (p.length == 3) sup.get(s"${p(0)}>${p(1)}").foreach { prefix =>
+        assert(r.getAs[Long]("support") <= prefix, s"${r.getAs[String]("pattern")} beats its prefix")
+      }
+    }
+  }
 }
