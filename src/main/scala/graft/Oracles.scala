@@ -4418,6 +4418,57 @@ object Oracles {
          |FROM dc JOIN id ON id.k = dc.k ORDER BY dc.k""".stripMargin
     },
     "q328_markov_attribution" -> markovSql,
+    "q333_slice_finder" ->
+      raw"""WITH d AS (SELECT lang, source, CAST(n_chars // 500 AS VARCHAR) AS lenb,
+         |    regexp_split_to_array(trim(text), '\s+') AS ws,
+         |    len(regexp_replace(trim(text), '\s+', '', 'g')) AS sum_len FROM documents),
+         |f AS (SELECT lang, source, lenb, len(ws) AS n_words, sum_len,
+         |    len(list_filter(ws, x -> list_contains(['the','a','and','is','of'], x))) AS n_stop,
+         |    len(list_distinct(ws)) AS n_distinct FROM d),
+         |p AS (SELECT lang, source, lenb,
+         |    CASE WHEN n_words >= 30 AND n_words <= 600 AND sum_len >= n_words * 3 AND sum_len <= n_words * 6
+         |      AND n_stop * 50 >= n_words AND n_distinct * 5 >= n_words THEN 1 ELSE 0 END AS pass FROM f),
+         |g AS (SELECT count(*) AS nn, CAST(sum(pass) AS BIGINT) AS pp FROM p),
+         |sl AS (
+         |  SELECT 'lang=' || lang AS slice, count(*) AS n, CAST(sum(pass) AS BIGINT) AS n_pass FROM p GROUP BY 1
+         |  UNION ALL SELECT 'source=' || source, count(*), CAST(sum(pass) AS BIGINT) FROM p GROUP BY 1
+         |  UNION ALL SELECT 'lenb=' || lenb, count(*), CAST(sum(pass) AS BIGINT) FROM p GROUP BY 1
+         |  UNION ALL SELECT 'lang=' || lang || '|source=' || source, count(*), CAST(sum(pass) AS BIGINT)
+         |    FROM p GROUP BY 1
+         |  UNION ALL SELECT 'lang=' || lang || '|lenb=' || lenb, count(*), CAST(sum(pass) AS BIGINT)
+         |    FROM p GROUP BY 1
+         |  UNION ALL SELECT 'source=' || source || '|lenb=' || lenb, count(*), CAST(sum(pass) AS BIGINT)
+         |    FROM p GROUP BY 1),
+         |sc AS (SELECT slice, n, n_pass * 1000 // n AS rate_permille,
+         |    g.pp * 1000 // g.nn AS global_rate_permille,
+         |    CAST(abs(CAST(n_pass AS HUGEINT) * g.nn - CAST(g.pp AS HUGEINT) * n) * 1000
+         |      // (CAST(n AS HUGEINT) * g.nn) AS BIGINT) AS dev_permille
+         |  FROM sl, g WHERE n >= 20)
+         |SELECT slice, n, rate_permille, global_rate_permille, dev_permille, dev_permille * n AS score
+         |FROM sc ORDER BY score DESC, slice LIMIT 10""".stripMargin,
+    "q334_compression_advisor" ->
+      """WITH tall AS (
+        |  SELECT o_orderkey AS k, '1_status' AS c, o_orderstatus AS v FROM orders
+        |  UNION ALL SELECT o_orderkey, '2_priority', o_orderpriority FROM orders
+        |  UNION ALL SELECT o_orderkey, '3_month', strftime(o_orderdate, '%Y-%m') FROM orders
+        |  UNION ALL SELECT o_orderkey, '4_price', CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) FROM orders),
+        |pl AS (SELECT c, count(*) AS n, CAST(sum(length(v)) * 8 AS BIGINT) AS plain_bits FROM tall GROUP BY 1),
+        |dc AS (SELECT c, count(*) AS ndv, CAST(sum(length(v)) * 8 AS BIGINT) AS dlen_bits
+        |  FROM (SELECT DISTINCT c, v FROM tall) GROUP BY 1),
+        |rn AS (SELECT a.c, CAST(sum(CASE WHEN a.v <> b.v THEN 1 ELSE 0 END) AS BIGINT) AS changes,
+        |    CAST(sum(CASE WHEN a.v <> b.v THEN length(b.v) ELSE 0 END) AS BIGINT) AS change_bytes
+        |  FROM tall a JOIN tall b ON b.c = a.c AND b.k = a.k + 1 GROUP BY 1),
+        |hd AS (SELECT c, CAST(length(v) AS BIGINT) AS head_bytes FROM tall WHERE k = 0),
+        |x AS (SELECT pl.c, pl.n, dc.ndv, pl.plain_bits,
+        |    dc.dlen_bits + pl.n * length(bin(dc.ndv - 1)) AS dict_bits,
+        |    rn.changes + 1 AS rle_runs,
+        |    (hd.head_bytes + rn.change_bytes) * 8 + (rn.changes + 1) * 32 AS rle_bits
+        |  FROM pl JOIN dc USING (c) JOIN rn ON rn.c = pl.c JOIN hd ON hd.c = pl.c)
+        |SELECT c AS "column", n, ndv, plain_bits, dict_bits, rle_runs, rle_bits,
+        |  CASE WHEN plain_bits <= dict_bits AND plain_bits <= rle_bits THEN 'plain'
+        |       WHEN dict_bits <= rle_bits THEN 'dict' ELSE 'rle' END AS winner,
+        |  least(plain_bits, dict_bits, rle_bits) * 1000 // plain_bits AS best_ratio_permille
+        |FROM x ORDER BY 1""".stripMargin,
     "q331_sprt" -> {
       def mn(e: String) = s"CAST(floor(ln(CAST($e AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
       val inc = s"(${mn("3")} - ${mn("2")})"

@@ -9495,4 +9495,124 @@ object Queries {
       .orderBy(desc("support"), col("pattern"))
       .limit(12)
   }
+
+  // Slice finder — the model-debugging sweep that answers "WHERE does
+  // quality fail": every 1- and 2-dimensional slice of (lang, source,
+  // length-bucket) is scored by how far its q92-rules pass rate
+  // deviates from the corpus rate, weighted by slice size (deviation
+  // alone surfaces 3-row noise; size alone surfaces the whole
+  // corpus). The deviation is exact on the n·N common denominator —
+  // |n_pass·N − P·n|·1000 div (n·N) — no float rates compared. Scale
+  // shape: ONE corpus pass computes the pass bit, then six keyed
+  // aggregates over bounded slice keys; the score join is a 1-row
+  // broadcast. Slices under 20 rows are dropped (the SliceFinder
+  // minimum-support move).
+  def sliceFinder(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .select(
+        col("lang"),
+        col("source"),
+        expr("CAST(n_chars div 500 AS STRING)").as("lenb"),
+        qualityFlags(col("text")).all.cast("long").as("pass")
+      )
+    base.persist()
+    val g = base.agg(count(lit(1)).as("nn"), sum(col("pass")).as("pp"))
+    def slices(label: Column): DataFrame =
+      base.groupBy(label.as("slice")).agg(count(lit(1)).as("n"), sum(col("pass")).as("n_pass"))
+    val all = Seq(
+      concat(lit("lang="), col("lang")),
+      concat(lit("source="), col("source")),
+      concat(lit("lenb="), col("lenb")),
+      concat(lit("lang="), col("lang"), lit("|source="), col("source")),
+      concat(lit("lang="), col("lang"), lit("|lenb="), col("lenb")),
+      concat(lit("source="), col("source"), lit("|lenb="), col("lenb"))
+    ).map(slices).reduce(_.unionByName(_))
+    all
+      .filter(col("n") >= 20)
+      .crossJoin(broadcast(g))
+      // DECIMAL(38,0) products: n·N passes 2⁶³ in the trillions-of-rows regime
+      .withColumn(
+        "dev_permille",
+        expr("CAST(abs(CAST(n_pass AS DECIMAL(38,0)) * nn - CAST(pp AS DECIMAL(38,0)) * n) * 1000 div (CAST(n AS DECIMAL(38,0)) * nn) AS BIGINT)")
+      )
+      .select(
+        col("slice"),
+        col("n"),
+        expr("n_pass * 1000 div n").as("rate_permille"),
+        expr("pp * 1000 div nn").as("global_rate_permille"),
+        col("dev_permille"),
+        (col("dev_permille") * col("n")).as("score")
+      )
+      .orderBy(desc("score"), col("slice"))
+      .limit(10)
+  }
+
+  // Columnar-compression advisor — the storage-design companion of
+  // q329: for each candidate column, estimate PLAIN vs DICTIONARY vs
+  // RLE encoded size from three statistics a single pass produces
+  // (total value bytes; distinct-value bytes + ⌈log₂ndv⌉ code bits
+  // per row; run count and run-head bytes), and name the winner. Run
+  // boundaries come from the contiguous-key ADJACENCY SELF-JOIN
+  // (k ↔ k+1, a keyed equi-join — the JL-pair pattern), never a
+  // corpus-wide ordered window; this is exactly the decision parquet
+  // writers make per row group, lifted to a query. All integer bit
+  // arithmetic.
+  def compressionAdvisor(s: SparkSession, dir: String): DataFrame = {
+    val tall = t(s, dir, "orders")
+      .select(
+        col("o_orderkey").as("k"),
+        explode(
+          array(
+            struct(lit("1_status").as("c"), col("o_orderstatus").as("v")),
+            struct(lit("2_priority").as("c"), col("o_orderpriority").as("v")),
+            struct(lit("3_month").as("c"), date_format(col("o_orderdate"), "yyyy-MM").as("v")),
+            struct(lit("4_price").as("c"), expr("CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING)").as("v"))
+          )
+        ).as("x")
+      )
+      .select(col("k"), col("x.c").as("c"), col("x.v").as("v"))
+    tall.persist()
+    val plain = tall.groupBy("c").agg(count(lit(1)).as("n"), (sum(length(col("v"))) * 8).as("plain_bits"))
+    val dict = tall
+      .select("c", "v")
+      .distinct()
+      .groupBy("c")
+      .agg(count(lit(1)).as("ndv"), (sum(length(col("v"))) * 8).as("dlen_bits"))
+    val runs = tall
+      .join(
+        tall.select((col("k") - 1).as("k"), col("c"), col("v").as("vn")),
+        Seq("k", "c")
+      )
+      .groupBy("c")
+      .agg(
+        sum((col("v") =!= col("vn")).cast("long")).as("changes"),
+        sum(when(col("v") =!= col("vn"), length(col("vn")).cast("long")).otherwise(0L)).as("change_bytes")
+      )
+    val head = tall.filter(col("k") === 0).select(col("c"), length(col("v")).cast("long").as("head_bytes"))
+    plain
+      .join(dict, Seq("c"))
+      .join(runs, Seq("c"))
+      .join(head, Seq("c"))
+      .withColumn("dict_bits", col("dlen_bits") + col("n") * (length(bin(col("ndv") - 1))).cast("long"))
+      .withColumn("rle_runs", col("changes") + 1)
+      .withColumn("rle_bits", (col("head_bytes") + col("change_bytes")) * 8 + col("rle_runs") * 32)
+      .withColumn(
+        "winner",
+        when(col("plain_bits") <= col("dict_bits") && col("plain_bits") <= col("rle_bits"), "plain")
+          .when(col("dict_bits") <= col("rle_bits"), "dict")
+          .otherwise("rle")
+      )
+      .select(
+        col("c").as("column"),
+        col("n"),
+        col("ndv"),
+        col("plain_bits"),
+        col("dict_bits"),
+        col("rle_runs"),
+        col("rle_bits"),
+        col("winner"),
+        expr("least(plain_bits, dict_bits, rle_bits) * 1000 div plain_bits").as("best_ratio_permille")
+      )
+      .orderBy("column")
+  }
 }

@@ -2737,4 +2737,59 @@ class QueriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("slice finder: a concentrated failing slice tops the ranking; scores stay size-weighted deviations") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_slice").toString
+    val goodText = ("the" +: (1 to 39).map(i => f"w$i%02d")).mkString(" ") // passes all four q92 rules
+    val docs =
+      (1L to 60L).map(i => (i, goodText, "en", "s1")) ++
+        (61L to 120L).map(i => (i, goodText, "fr", "s2")) ++
+        (121L to 160L).map(i => (i, "tiny doc fails rules", "en", "s9"))
+    docs
+      .map { case (i, text, lang, src) => (i, text, lang, src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val rows = Queries.sliceFinder(spark, dir).collect()
+    val top = rows.head
+    assert(top.getAs[String]("slice") === "lang=en|source=s9", rows.map(_.getAs[String]("slice")).mkString(","))
+    assert(top.getAs[Long]("rate_permille") === 0L)
+    // real corpus: ranking invariants
+    val real = Queries.sliceFinder(spark, sfDir).collect()
+    assert(real.nonEmpty && real.length <= 10)
+    val scores = real.map(_.getAs[Long]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    real.foreach { r =>
+      assert(r.getAs[Long]("n") >= 20L)
+      assert(r.getAs[Long]("score") === r.getAs[Long]("dev_permille") * r.getAs[Long]("n"))
+      val gap = math.abs(r.getAs[Long]("rate_permille") - r.getAs[Long]("global_rate_permille"))
+      assert(math.abs(gap - r.getAs[Long]("dev_permille")) <= 2L, s"dev disagrees with the rate gap: $r")
+    }
+  }
+
+  test("compression advisor: dictionary wins the 3-value column, plain wins the near-unique one, bits recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = Queries.compressionAdvisor(spark, sfDir).collect()
+    assert(rows.length === 4)
+    val by = rows.map(r => r.getAs[String]("column") -> r).toMap
+    assert(by("1_status").getAs[String]("winner") === "dict")
+    assert(by("4_price").getAs[String]("winner") === "plain")
+    assert(by("4_price").getAs[Long]("best_ratio_permille") === 1000L)
+    // plain_bits recomputes independently for the status column
+    val statusBits = spark.read
+      .parquet(s"$sfDir/orders.parquet")
+      .agg(sum(length(col("o_orderstatus"))))
+      .collect()
+      .head
+      .getLong(0) * 8L
+    assert(by("1_status").getAs[Long]("plain_bits") === statusBits)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rle_runs") <= r.getAs[Long]("n"))
+      assert(r.getAs[Long]("ndv") <= r.getAs[Long]("n"))
+      assert(r.getAs[Long]("best_ratio_permille") <= 1000L)
+    }
+  }
 }
