@@ -4418,6 +4418,68 @@ object Oracles {
          |FROM dc JOIN id ON id.k = dc.k ORDER BY dc.k""".stripMargin
     },
     "q328_markov_attribution" -> markovSql,
+    "q336_theil_sen" ->
+      """WITH d AS (SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |mx AS (SELECT max(x) AS mx FROM d),
+        |se AS (SELECT '1_raw' AS tag, x, n FROM d
+        |  UNION ALL SELECT '2_outlier', x,
+        |    CAST(CASE WHEN x = (SELECT mx FROM mx) THEN n * 10 ELSE n END AS BIGINT) FROM d),
+        |sl AS (SELECT a.tag, (b.n - a.n) * 1000 // (b.x - a.x) AS sl
+        |  FROM se a JOIN se b ON b.tag = a.tag AND b.x > a.x),
+        |tsm AS (SELECT tag, count(*) AS n_pairs, list_sort(list(sl)) AS arr FROM sl GROUP BY 1),
+        |ts2 AS (SELECT tag, n_pairs, arr[CAST((n_pairs + 1) // 2 AS INTEGER)] AS ts_slope_milli FROM tsm),
+        |ol AS (SELECT tag, count(*) AS n_days, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(n) AS BIGINT) AS sy,
+        |    CAST(sum(x * n) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx FROM se GROUP BY 1),
+        |ol2 AS (SELECT tag, n_days,
+        |    (n_days * sxy - sx * sy) * 1000 // (n_days * sxx - sx * sx) AS ols_slope_milli FROM ol)
+        |SELECT ts2.tag, ol2.n_days, ts2.n_pairs, ts2.ts_slope_milli, ol2.ols_slope_milli
+        |FROM ts2 JOIN ol2 ON ol2.tag = ts2.tag ORDER BY ts2.tag""".stripMargin,
+    "q337_token_offsets" ->
+      raw"""WITH w AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         |tk AS (SELECT doc_id, source, array_to_string(ws, ' ') AS norm, i - 1 AS i,
+         |    ws[CAST(i AS INTEGER)] AS tok
+         |  FROM (SELECT doc_id, source, ws, unnest(generate_series(1, len(ws))) AS i FROM w)),
+         |st AS (SELECT *, CAST(coalesce(sum(length(tok) + 1) OVER (PARTITION BY doc_id ORDER BY i
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt FROM tk)
+         |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN substr(norm, CAST(strt + 1 AS INTEGER), length(tok)) = tok
+         |    THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+         |  CAST(max(length(tok)) AS BIGINT) AS max_token_len,
+         |  CAST(sum((strt + 1) * (${hx("tok")} % 997)) AS BIGINT) AS offset_checksum
+         |FROM st GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q335_join_discovery" -> {
+      val defs = Seq(
+        ("customer", "c_custkey"),
+        ("orders", "o_custkey"),
+        ("orders", "o_orderkey"),
+        ("lineitem", "l_orderkey"),
+        ("lineitem", "l_partkey"),
+        ("lineitem", "l_suppkey"),
+        ("part", "p_partkey"),
+        ("supplier", "s_suppkey")
+      )
+      val tallSel = defs
+        .map { case (tb, c) => s"SELECT DISTINCT '$tb.$c' AS col, CAST($c AS BIGINT) AS v FROM $tb" }
+        .mkString("\nUNION ALL ")
+      s"""WITH tall AS ($tallSel),
+         |nd AS (SELECT col, count(*) AS ndv FROM tall GROUP BY 1),
+         |smp AS (SELECT col, v FROM (SELECT col, v,
+         |    row_number() OVER (PARTITION BY col ORDER BY ${hx("CAST(v AS VARCHAR)")}, v) AS rn FROM tall)
+         |  WHERE rn <= 64),
+         |km AS (SELECT s.col AS col_a, t2.col AS col_b, count(*) AS m FROM smp s
+         |  JOIN tall t2 ON t2.v = s.v AND t2.col <> s.col GROUP BY 1, 2),
+         |ex AS (SELECT a.col AS col_a, b.col AS col_b, count(*) AS xm FROM tall a
+         |  JOIN tall b ON b.v = a.v AND b.col <> a.col GROUP BY 1, 2),
+         |pr AS (SELECT a.col AS col_a, a.ndv AS ndv_a, b.col AS col_b FROM nd a, nd b WHERE a.col <> b.col)
+         |SELECT pr.col_a, pr.col_b, pr.ndv_a,
+         |  CAST(coalesce(km.m, 0) AS BIGINT) AS kmv_matches,
+         |  CAST(coalesce(km.m, 0) * 1000 // least(64, pr.ndv_a) AS BIGINT) AS est_permille,
+         |  CAST(coalesce(ex.xm, 0) * 1000 // pr.ndv_a AS BIGINT) AS exact_permille
+         |FROM pr LEFT JOIN km ON km.col_a = pr.col_a AND km.col_b = pr.col_b
+         |LEFT JOIN ex ON ex.col_a = pr.col_a AND ex.col_b = pr.col_b
+         |ORDER BY pr.col_a, pr.col_b""".stripMargin
+    },
     "q333_slice_finder" ->
       raw"""WITH d AS (SELECT lang, source, CAST(n_chars // 500 AS VARCHAR) AS lenb,
          |    regexp_split_to_array(trim(text), '\s+') AS ws,

@@ -9615,4 +9615,162 @@ object Queries {
       )
       .orderBy("column")
   }
+
+  // Join-column discovery — the data-catalog operation that finds
+  // joinable column pairs across tables nobody documented: for every
+  // ordered pair of key columns, estimate CONTAINMENT (what fraction
+  // of A's values appear in B) from a KMV bottom-64 sample — the k
+  // minimum md5 hashes of A's distinct values are a uniform sample
+  // of them, so membership of the sample in B estimates |A∩B|/|A| —
+  // and audit it against the exact distinct-join containment. The
+  // sample is built with the bounded TopKAggregator (k rows per
+  // group·partition cross the wire, never the column), NOT a
+  // per-column rank window — ndv of a key column at 100 TB is
+  // billions, exactly the single-partition sort the registry sweep
+  // forbids. Membership and the exact audit are value-keyed joins.
+  def joinDiscovery(s: SparkSession, dir: String): DataFrame = {
+    val cols: Seq[(String, String, String)] = Seq(
+      ("customer", "c_custkey", "customer.c_custkey"),
+      ("orders", "o_custkey", "orders.o_custkey"),
+      ("orders", "o_orderkey", "orders.o_orderkey"),
+      ("lineitem", "l_orderkey", "lineitem.l_orderkey"),
+      ("lineitem", "l_partkey", "lineitem.l_partkey"),
+      ("lineitem", "l_suppkey", "lineitem.l_suppkey"),
+      ("part", "p_partkey", "part.p_partkey"),
+      ("supplier", "s_suppkey", "supplier.s_suppkey")
+    )
+    val tall = cols
+      .map { case (tbl, c, label) =>
+        t(s, dir, tbl).select(lit(label).as("col"), col(c).cast("long").as("v")).distinct()
+      }
+      .reduce(_.unionByName(_))
+    tall.persist()
+    val nd = tall.groupBy("col").agg(count(lit(1)).as("ndv"))
+    val topk = udaf(new graft.functions.TopKAggregator(64))
+    // sim = −hash ranks ascending by hash, ties by value — the KMV order
+    val smp = tall
+      .groupBy("col")
+      .agg(topk((-TextOps.hash32(col("v").cast("string"))).cast("double"), col("v")).as("tk"))
+      .select(col("col"), explode(col("tk")).as("x"))
+      .select(col("col"), col("x.nid").as("v"))
+    val km = smp
+      .join(tall.select(col("col").as("col_b"), col("v")), Seq("v"))
+      .filter(col("col") =!= col("col_b"))
+      .groupBy(col("col").as("col_a"), col("col_b"))
+      .agg(count(lit(1)).as("kmv_matches"))
+    val ex = tall
+      .join(tall.select(col("col").as("col_b"), col("v")), Seq("v"))
+      .filter(col("col") =!= col("col_b"))
+      .groupBy(col("col").as("col_a"), col("col_b"))
+      .agg(count(lit(1)).as("xm"))
+    val pairs = nd
+      .select(col("col").as("col_a"), col("ndv").as("ndv_a"))
+      .crossJoin(broadcast(nd.select(col("col").as("col_b"))))
+      .filter(col("col_a") =!= col("col_b"))
+    pairs
+      .join(km, Seq("col_a", "col_b"), "left")
+      .join(ex, Seq("col_a", "col_b"), "left")
+      .select(
+        col("col_a"),
+        col("col_b"),
+        col("ndv_a"),
+        coalesce(col("kmv_matches"), lit(0L)).as("kmv_matches"),
+        expr("coalesce(kmv_matches, 0) * 1000 div least(64, ndv_a)").as("est_permille"),
+        expr("coalesce(xm, 0) * 1000 div ndv_a").as("exact_permille")
+      )
+      .orderBy("col_a", "col_b")
+  }
+
+  // Theil–Sen robust trend — the median of pairwise slopes, the
+  // estimator that survives what breaks q218's OLS: one corrupted
+  // day. Both estimators run on the daily series AND on the same
+  // series with the last day inflated 10× (a deterministic outlier
+  // injection), so the output itself demonstrates the breakdown
+  // point: OLS jumps, the TS median barely moves. Slopes are
+  // truncated-milli rationals (documented semantics; both engines
+  // truncate identically), the median the lower order statistic of
+  // the days²-bounded pair set — collected into ONE sorted array on
+  // a 1-row aggregate (the occupied-bins posture; at 100 TB this
+  // frame is |days|², wall-time-squared-bounded, not data-bounded).
+  def theilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("x", datediff(col("day"), lit("1970-01-01")).cast("long"))
+      .select("x", "n")
+    daily.persist()
+    val mx = daily.agg(max(col("x")).as("mx"))
+    val series = daily
+      .crossJoin(broadcast(mx))
+      .select(
+        explode(
+          array(
+            struct(lit("1_raw").as("tag"), col("x"), col("n")),
+            struct(lit("2_outlier").as("tag"), col("x"), when(col("x") === col("mx"), col("n") * 10).otherwise(col("n")).as("n"))
+          )
+        ).as("r")
+      )
+      .select(col("r.tag").as("tag"), col("r.x").as("x"), col("r.n").as("n"))
+    series.persist()
+    val slopes = series
+      .join(
+        series.select(col("tag"), col("x").as("x2"), col("n").as("n2")),
+        Seq("tag")
+      )
+      .filter(col("x2") > col("x"))
+      .select(col("tag"), expr("(n2 - n) * 1000 div (x2 - x)").as("sl"))
+    val ts = slopes
+      .groupBy("tag")
+      .agg(count(lit(1)).as("n_pairs"), sort_array(collect_list(col("sl"))).as("arr"))
+      .select(col("tag"), col("n_pairs"), element_at(col("arr"), expr("CAST((n_pairs + 1) div 2 AS INT)")).as("ts_slope_milli"))
+    val ols = series
+      .groupBy("tag")
+      .agg(
+        count(lit(1)).as("nd"),
+        sum(col("x")).as("sx"),
+        sum(col("n")).as("sy"),
+        sum(col("x") * col("n")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx")
+      )
+      .select(
+        col("tag"),
+        col("nd").as("n_days"),
+        expr("(nd * sxy - sx * sy) * 1000 div (nd * sxx - sx * sx)").as("ols_slope_milli")
+      )
+    ts.join(ols, Seq("tag")).select("tag", "n_days", "n_pairs", "ts_slope_milli", "ols_slope_milli").orderBy("tag")
+  }
+
+  // Token-offset table — the char↔token alignment every span-level
+  // labeling pipeline needs (NER tags, quality-span excision, the
+  // q316 excise intervals expressed back in characters): token i of
+  // the whitespace-normalized text starts at Σ_{j<i}(len_j + 1), a
+  // doc-PARTITIONED cumulative sum. The audit substrings the
+  // normalized text at every computed offset and requires it to
+  // reproduce the token EXACTLY — n_violations is the output that
+  // must be zero — plus an offset-weighted checksum so the oracle
+  // compares content, not just counts. One corpus pass, one keyed
+  // window, a per-source rollup.
+  def tokenOffsets(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        col("source"),
+        concat_ws(" ", TextOps.tokens(col("text"))).as("norm"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("i", "tok"))
+      )
+    val wDoc = Window.partitionBy("doc_id").orderBy("i").rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("start", coalesce(sum(length(col("tok")) + 1).over(wDoc), lit(0)).cast("long"))
+      .withColumn("ok", expr("substring(norm, CAST(start + 1 AS INT), length(tok)) = tok"))
+      .groupBy("source")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_violations"),
+        max(length(col("tok"))).cast("long").as("max_token_len"),
+        sum((col("start") + 1) * (TextOps.hash32(col("tok")) % 997)).as("offset_checksum")
+      )
+      .orderBy("source")
+  }
 }

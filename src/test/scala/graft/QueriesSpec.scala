@@ -2792,4 +2792,55 @@ class QueriesSpec extends SparkSpec {
       assert(r.getAs[Long]("best_ratio_permille") <= 1000L)
     }
   }
+
+  test("join discovery: referential pairs surface at full containment and the KMV sample tracks the exact audit") {
+    val rows = Queries.joinDiscovery(spark, sfDir).collect()
+    assert(rows.length === 8 * 7)
+    val by = rows.map(r => (r.getAs[String]("col_a"), r.getAs[String]("col_b")) -> r).toMap
+    Seq(
+      ("orders.o_custkey", "customer.c_custkey"),
+      ("lineitem.l_orderkey", "orders.o_orderkey"),
+      ("lineitem.l_partkey", "part.p_partkey"),
+      ("lineitem.l_suppkey", "supplier.s_suppkey")
+    ).foreach { fk =>
+      assert(by(fk).getAs[Long]("exact_permille") === 1000L, s"referential pair $fk must be fully contained")
+    }
+    rows.filter(_.getAs[Long]("ndv_a") >= 64L).foreach { r =>
+      val gap = math.abs(r.getAs[Long]("est_permille") - r.getAs[Long]("exact_permille"))
+      assert(gap <= 250L, s"KMV estimate off by $gap permille on ${r.getAs[String]("col_a")}->${r.getAs[String]("col_b")}")
+    }
+  }
+
+  test("Theil-Sen: a single injected outlier barely moves the median slope but drags OLS") {
+    val by = Queries.theilSen(spark, sfDir).collect().map(r => r.getAs[String]("tag") -> r).toMap
+    assert(by.size === 2)
+    val (raw, out) = (by("1_raw"), by("2_outlier"))
+    val nDays = raw.getAs[Long]("n_days")
+    assert(raw.getAs[Long]("n_pairs") === nDays * (nDays - 1) / 2)
+    val tsShift = math.abs(out.getAs[Long]("ts_slope_milli") - raw.getAs[Long]("ts_slope_milli"))
+    val olsShift = math.abs(out.getAs[Long]("ols_slope_milli") - raw.getAs[Long]("ols_slope_milli"))
+    assert(tsShift < olsShift, s"median slope moved $tsShift but OLS only $olsShift — robustness inverted")
+    assert(olsShift > 0L, "a 10x outlier on the last day must move OLS")
+  }
+
+  test("token offsets: every computed offset substrings back to its token, including multi-space normalization") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_offsets").toString
+    Seq((0L, "  a  bb   ccc ", "en", "s1", 14L), (1L, "x1 y22 z333", "en", "s1", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val synth = Queries.tokenOffsets(spark, dir).collect()
+    assert(synth.length === 1)
+    assert(synth.head.getAs[Long]("n_tokens") === 6L)
+    assert(synth.head.getAs[Long]("n_violations") === 0L)
+    val real = Queries.tokenOffsets(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getAs[Long]("n_violations") === 0L, s"offset table disagrees with the text on ${r.getAs[String]("source")}")
+      assert(r.getAs[Long]("n_tokens") > 0L)
+    }
+  }
 }
