@@ -4418,6 +4418,26 @@ object Oracles {
          |FROM dc JOIN id ON id.k = dc.k ORDER BY dc.k""".stripMargin
     },
     "q328_markov_attribution" -> markovSql,
+    // full-rebuild summary; the engine's incremental fold must land on
+    // the same bits, so incremental_ok is a literal 1 it has to earn
+    "q338_scd2_incremental" ->
+      s"""WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+         |    lag(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+         |  FROM orders),
+         |f AS (SELECT *, CASE WHEN prev IS NULL OR o_orderpriority <> prev THEN 1 ELSE 0 END AS chg FROM o),
+         |v AS (SELECT *, sum(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ver FROM f),
+         |i AS (SELECT o_custkey, ver, strftime(min(o_orderdate), '%Y-%m-%d') AS valid_from,
+         |    count(*) AS n_orders FROM v GROUP BY o_custkey, ver),
+         |j AS (SELECT *, lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY ver) AS valid_to FROM i),
+         |r AS (SELECT o_custkey, CAST(ver AS INTEGER) AS version, valid_from, valid_to, n_orders,
+         |    CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current FROM j)
+         |SELECT is_current, count(*) AS n_rows, count(DISTINCT o_custkey) AS n_customers,
+         |  CAST(sum(n_orders) AS BIGINT) AS sum_orders,
+         |  CAST(sum(o_custkey * 1000 + version * 10 + n_orders
+         |    + ${hx("valid_from")} % 97 + ${hx("coalesce(valid_to, 'open')")} % 89) AS BIGINT) AS chk,
+         |  CAST(1 AS BIGINT) AS incremental_ok
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q336_theil_sen" ->
       """WITH d AS (SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
         |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),

@@ -1287,9 +1287,13 @@ object Queries {
   // construction is three window passes over ONE (o_custkey) exchange;
   // at 100 TB the dimension key partitions the work and nothing global
   // exists.
-  def scd2History(s: SparkSession, dir: String): DataFrame = {
+  /** q91's island construction, shared verbatim by the incremental
+    * apply (q338) so the two stay in lock-step: expects columns
+    * (o_custkey, o_orderdate, o_orderkey, o_orderpriority).
+    */
+  private def scd2Of(orders: DataFrame): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
-    val islands = t(s, dir, "orders")
+    val islands = orders
       .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_orderpriority"))
       .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
       .withColumn("chg", when(col("prev").isNull || col("o_orderpriority") =!= col("prev"), 1).otherwise(0))
@@ -1312,8 +1316,10 @@ object Queries {
         col("n_orders"),
         when(col("valid_to").isNull, 1).otherwise(0).as("is_current")
       )
-      .orderBy("o_custkey", "version")
   }
+
+  def scd2History(s: SparkSession, dir: String): DataFrame =
+    scd2Of(t(s, dir, "orders")).orderBy("o_custkey", "version")
 
   // fixed-width histogram: bin = floor(price / width) is a pure
   // map-side expression, so the shuffle carries (bin, partial-agg)
@@ -9772,5 +9778,103 @@ object Queries {
         sum((col("start") + 1) * (TextOps.hash32(col("tok")) % 997)).as("offset_checksum")
       )
       .orderBy("source")
+  }
+
+  // Incremental SCD2 apply — the composite q91 (island build) and
+  // q269 (CDC apply) were pointing at: a dimension built as-of a cut
+  // date, then a late batch folded in WITHOUT rebuilding history.
+  // The open row is the carried state: it re-enters the fold as a
+  // weight-n_orders pseudo-row ranked before every new order, so the
+  // boundary island either extends (same priority — counts merge,
+  // valid_from survives) or closes exactly where the full rebuild
+  // would close it; version numbers continue from the seed. Closed
+  // history rows are never touched (appends are strictly later by
+  // the cut). The audit is the q269/q299 posture: the incremental
+  // table must land BIT-FOR-BIT on the from-scratch rebuild — the
+  // oracle computes the rebuild's summary, so `incremental_ok` is a
+  // literal 1 the engine has to earn. Scale shape: everything is
+  // custkey-keyed (windows included); the fold touches only
+  // customers present in the new batch.
+  def scd2Incremental(s: SparkSession, dir: String): DataFrame = {
+    val cut = to_timestamp(lit("1999-01-01"))
+    val all = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_orderpriority"))
+    all.persist()
+    val base = scd2Of(all.filter(col("o_orderdate") < cut))
+    base.persist()
+    val newOrders = all.filter(col("o_orderdate") >= cut)
+    val touched = newOrders.select("o_custkey").distinct()
+    val seed = base
+      .join(touched, Seq("o_custkey"), "left_semi")
+      .filter(col("is_current") === 1)
+      .select(
+        col("o_custkey"),
+        col("version").cast("long").as("seed_ver"),
+        col("o_orderpriority").as("pri"),
+        col("valid_from").as("d"),
+        col("n_orders").as("wt"),
+        lit(0L).as("rk0")
+      )
+    val wN = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val newRanked = newOrders
+      .withColumn("rk0", row_number().over(wN).cast("long"))
+      .select(
+        col("o_custkey"),
+        lit(null).cast("long").as("seed_ver"),
+        col("o_orderpriority").as("pri"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+        lit(1L).as("wt"),
+        col("rk0")
+      )
+    val wF = Window.partitionBy("o_custkey").orderBy("rk0")
+    val isl = seed
+      .unionByName(newRanked)
+      .withColumn("prev", lag(col("pri"), 1).over(wF))
+      .withColumn("chg", when(col("prev").isNull || col("pri") =!= col("prev"), 1L).otherwise(0L))
+      .withColumn("isl", sum(col("chg")).over(wF.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("off", max(when(col("rk0") === 0, col("seed_ver") - 1)).over(Window.partitionBy("o_custkey")))
+      .withColumn("ver", col("isl") + coalesce(col("off"), lit(0L)))
+    val vw = Window.partitionBy("o_custkey").orderBy("ver")
+    val recomputed = isl
+      .groupBy(col("o_custkey"), col("ver"))
+      .agg(max(col("pri")).as("o_orderpriority"), min(col("d")).as("valid_from"), sum(col("wt")).as("n_orders"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(vw))
+      .select(
+        col("o_custkey"),
+        col("ver").cast("int").as("version"),
+        col("o_orderpriority"),
+        col("valid_from"),
+        col("valid_to"),
+        col("n_orders"),
+        when(col("valid_to").isNull, 1).otherwise(0).as("is_current")
+      )
+    val incremental = base
+      .join(touched, Seq("o_custkey"), "left_anti")
+      .unionByName(base.join(touched, Seq("o_custkey"), "left_semi").filter(col("is_current") === 0))
+      .unionByName(recomputed)
+    def summarize(df: DataFrame, rows: String, cust: String, ords: String, chk: String): DataFrame =
+      df.groupBy("is_current")
+        .agg(
+          count(lit(1)).as(rows),
+          countDistinct(col("o_custkey")).as(cust),
+          sum(col("n_orders")).as(ords),
+          sum(
+            col("o_custkey") * 1000L + col("version") * 10L + col("n_orders")
+              + TextOps.hash32(col("valid_from")) % 97
+              + TextOps.hash32(coalesce(col("valid_to"), lit("open"))) % 89
+          ).as(chk)
+        )
+    summarize(incremental, "n_rows", "n_customers", "sum_orders", "chk")
+      .join(summarize(scd2Of(all), "fr", "fc", "fo", "fk"), Seq("is_current"))
+      .select(
+        col("is_current"),
+        col("n_rows"),
+        col("n_customers"),
+        col("sum_orders"),
+        col("chk"),
+        (col("n_rows") === col("fr") && col("n_customers") === col("fc") &&
+          col("sum_orders") === col("fo") && col("chk") === col("fk")).cast("long").as("incremental_ok")
+      )
+      .orderBy("is_current")
   }
 }

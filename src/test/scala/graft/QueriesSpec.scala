@@ -2843,4 +2843,29 @@ class QueriesSpec extends SparkSpec {
       assert(r.getAs[Long]("n_tokens") > 0L)
     }
   }
+
+  test("incremental SCD2: the fold lands bit-for-bit on the rebuild, and the data exercises the extend path") {
+    import org.apache.spark.sql.functions._
+    val rows = Queries.scd2Incremental(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("is_current")).sorted.toSeq === Seq(0, 1))
+    rows.foreach(r => assert(r.getAs[Long]("incremental_ok") === 1L,
+      s"incremental apply diverged from the from-scratch rebuild: $r"))
+    // the interesting branch: at least one customer's OPEN island spans the
+    // cut (valid_from before it, new orders after), so the seed-extend merge
+    // actually executed rather than every boundary trivially closing
+    val hist = Queries.scd2History(spark, sfDir)
+    val spanning = hist
+      .filter(col("is_current") === 1 && col("valid_from") < "1999-01-01")
+      .join(
+        spark.read
+          .parquet(s"$sfDir/orders.parquet")
+          .filter(col("o_orderdate") >= org.apache.spark.sql.functions.to_timestamp(lit("1999-01-01")))
+          .select(col("o_custkey"))
+          .distinct(),
+        Seq("o_custkey"),
+        "left_semi"
+      )
+      .count()
+    assert(spanning > 0L, "no open island spans the cut — the merge path was never exercised")
+  }
 }
