@@ -4418,6 +4418,35 @@ object Oracles {
          |FROM dc JOIN id ON id.k = dc.k ORDER BY dc.k""".stripMargin
     },
     "q328_markov_attribution" -> markovSql,
+    "q339_timed_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+        |v AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN us END) AS t_view FROM e GROUP BY 1),
+        |c AS (SELECT e.user_id, v.t_view,
+        |    min(CASE WHEN e.event_type = 'click' AND e.us > v.t_view THEN e.us END) AS t_click_any,
+        |    min(CASE WHEN e.event_type = 'click' AND e.us > v.t_view
+        |      AND e.us <= v.t_view + 604800000000 THEN e.us END) AS t_click
+        |  FROM e JOIN v ON v.user_id = e.user_id GROUP BY 1, 2),
+        |p AS (SELECT e.user_id, c.t_view, c.t_click_any, c.t_click,
+        |    min(CASE WHEN e.event_type = 'purchase' AND e.us > c.t_click
+        |      AND e.us <= c.t_click + 604800000000 THEN e.us END) AS t_purchase
+        |  FROM e JOIN c ON c.user_id = e.user_id GROUP BY 1, 2, 3, 4)
+        |SELECT count(*) AS n_users, count(t_view) AS n_viewed, count(t_click_any) AS n_clicked_any,
+        |  count(t_click) AS n_clicked_7d, count(t_purchase) AS n_purchased_7d
+        |FROM p""".stripMargin,
+    "q340_lag_features" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1),
+        |dn AS (SELECT day, CAST(n AS BIGINT) AS n,
+        |    CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) AS dnum FROM d),
+        |w AS (SELECT *,
+        |    CASE WHEN lag(dnum) OVER o = dnum - 1 THEN lag(n) OVER o END AS lag1,
+        |    max(n) OVER (ORDER BY dnum RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS lag7,
+        |    count(*) OVER t7 AS win7, CAST(sum(n) OVER t7 AS BIGINT) AS sum7,
+        |    CASE WHEN lead(dnum) OVER o = dnum + 1 THEN lead(n) OVER o END AS target
+        |  FROM dn WINDOW o AS (ORDER BY dnum),
+        |    t7 AS (ORDER BY dnum RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT strftime(day, '%Y-%m-%d') AS day, n, lag1, lag7, sum7 * 1000 // 7 AS ma7_milli, target
+        |FROM w WHERE lag1 IS NOT NULL AND lag7 IS NOT NULL AND win7 = 7 AND target IS NOT NULL
+        |ORDER BY day""".stripMargin,
     // full-rebuild summary; the engine's incremental fold must land on
     // the same bits, so incremental_ok is a literal 1 it has to earn
     "q338_scd2_incremental" ->

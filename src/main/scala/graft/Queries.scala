@@ -9877,4 +9877,92 @@ object Queries {
       )
       .orderBy("is_current")
   }
+
+  // Time-BOUNDED funnel — q151 with the constraint real product
+  // funnels always carry: each step must follow the previous one's
+  // first occurrence within a window (7 days here), because a click
+  // three months after the view is not attribution, it's coincidence.
+  // Both the bounded and unbounded counts are reported side by side
+  // so the output shows what the deadline costs. Same plan shape as
+  // q151: three chained per-user window aggregates over ONE
+  // (user_id) exchange, a rank filter to one row per user, a global
+  // fold — no joins.
+  def timedFunnel(s: SparkSession, dir: String): DataFrame = {
+    val horizon = 7L * 86400L * 1000000L // 7 days in microseconds
+    val w = Window.partitionBy("user_id")
+    val seq0 = Window.partitionBy("user_id").orderBy(col("us"), col("event_type"))
+    Tables
+      .events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("t_view", min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn(
+        "t_click_any",
+        min(when(col("event_type") === "click" && col("us") > col("t_view"), col("us"))).over(w)
+      )
+      .withColumn(
+        "t_click",
+        min(
+          when(
+            col("event_type") === "click" && col("us") > col("t_view") && col("us") <= col("t_view") + horizon,
+            col("us")
+          )
+        ).over(w)
+      )
+      .withColumn(
+        "t_purchase",
+        min(
+          when(
+            col("event_type") === "purchase" && col("us") > col("t_click") && col("us") <= col("t_click") + horizon,
+            col("us")
+          )
+        ).over(w)
+      )
+      .withColumn("rn", row_number().over(seq0))
+      .filter(col("rn") === 1)
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("t_view")).as("n_viewed"),
+        count(col("t_click_any")).as("n_clicked_any"),
+        count(col("t_click")).as("n_clicked_7d"),
+        count(col("t_purchase")).as("n_purchased_7d")
+      )
+  }
+
+  // Lag-feature matrix — the supervised-dataset build for
+  // forecasting, the tabular sibling of q278's next-event dataset:
+  // per day, yesterday's and last week's counts, the trailing 7-day
+  // mean (exclusive, in exact milli), and tomorrow's count as the
+  // label. Rows survive only when the FULL feature window exists
+  // (count == 7 over the trailing RANGE frame — calendar gaps
+  // disable a row rather than silently shortening its mean, the
+  // q320 discipline). Everything runs on the per-DAY aggregate:
+  // date-cardinality windows, one corpus pass.
+  def lagFeatures(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dnum", datediff(col("day"), lit("1970-01-01")).cast("long"))
+    val byDay = Window.orderBy("dnum")
+    val trail7 = byDay.rangeBetween(-7, -1)
+    daily
+      .withColumn("lag1", when(lag(col("dnum"), 1).over(byDay) === col("dnum") - 1, lag(col("n"), 1).over(byDay)))
+      .withColumn("lag7", max(col("n")).over(byDay.rangeBetween(-7, -7)))
+      .withColumn("win7", count(lit(1)).over(trail7))
+      .withColumn("sum7", sum(col("n")).over(trail7))
+      .withColumn(
+        "target",
+        when(lead(col("dnum"), 1).over(byDay) === col("dnum") + 1, lead(col("n"), 1).over(byDay))
+      )
+      .filter(col("lag1").isNotNull && col("lag7").isNotNull && col("win7") === 7 && col("target").isNotNull)
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"),
+        col("lag1"),
+        col("lag7"),
+        expr("sum7 * 1000 div 7").as("ma7_milli"),
+        col("target")
+      )
+      .orderBy("day")
+  }
 }

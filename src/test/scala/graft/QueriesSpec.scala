@@ -2868,4 +2868,41 @@ class QueriesSpec extends SparkSpec {
       .count()
     assert(spanning > 0L, "no open island spans the cut — the merge path was never exercised")
   }
+
+  test("timed funnel: the 7-day deadline can only lose conversions, and a late click is really excluded") {
+    import spark.implicits._
+    val r = Queries.timedFunnel(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_clicked_7d") <= r.getAs[Long]("n_clicked_any"))
+    assert(r.getAs[Long]("n_purchased_7d") <= r.getAs[Long]("n_clicked_7d"))
+    // q151's unbounded count and this query's any-click count are the same definition
+    val unbounded = Queries.funnel(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_clicked_any") === unbounded.getAs[Long]("n_clicked_after_view"))
+    // synthetic: a click 8 days after the view misses the window
+    val dir = java.nio.file.Files.createTempDirectory("graft_tfunnel").toString
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-03-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-03-09 11:00:00"), 1L, "click", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val late = Queries.timedFunnel(spark, dir).collect().head
+    assert(late.getAs[Long]("n_clicked_any") === 1L)
+    assert(late.getAs[Long]("n_clicked_7d") === 0L, "a click 8 days out must miss the 7-day window")
+  }
+
+  test("lag features: every feature recomputes from the neighboring output rows") {
+    val rows = Queries.lagFeatures(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byDay = rows.map(r => r.getAs[String]("day") -> r).toMap
+    rows.foreach { r =>
+      val prev = java.time.LocalDate.parse(r.getAs[String]("day")).minusDays(1).toString
+      byDay.get(prev).foreach { p =>
+        assert(r.getAs[Long]("lag1") === p.getAs[Long]("n"), s"lag1 of ${r.getAs[String]("day")} != n of $prev")
+        assert(p.getAs[Long]("target") === r.getAs[Long]("n"), s"target of $prev != n of ${r.getAs[String]("day")}")
+      }
+      assert(r.getAs[Long]("ma7_milli") >= 0L)
+    }
+  }
 }
