@@ -4447,6 +4447,14 @@ object Oracles {
         |SELECT strftime(day, '%Y-%m-%d') AS day, n, lag1, lag7, sum7 * 1000 // 7 AS ma7_milli, target
         |FROM w WHERE lag1 IS NOT NULL AND lag7 IS NOT NULL AND win7 = 7 AND target IS NOT NULL
         |ORDER BY day""".stripMargin,
+    // bucketing is a physical-layout property; the oracle sees only the
+    // relational join-aggregate the bucketed plan must reproduce
+    "q341_bucketed_join" ->
+      """SELECT o.o_orderpriority, count(*) AS n_lines,
+        |  count(DISTINCT o.o_orderkey) AS n_orders,
+        |  CAST(sum(CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // full-rebuild summary; the engine's incremental fold must land on
     // the same bits, so incremental_ok is a literal 1 it has to earn
     "q338_scd2_incremental" ->

@@ -9965,4 +9965,51 @@ object Queries {
       )
       .orderBy("day")
   }
+
+  // Bucketed co-located join — the registered form of what
+  // sources/Bucketing proves in its spec: pre-shuffling the two fact
+  // tables ONCE at write time (CLUSTERED BY the join key, 8 buckets)
+  // turns the orders⋈lineitem equi-join into a bucket-local zip with
+  // ZERO exchanges under the join (PlanSpec asserts it on this exact
+  // query). At 100 TB this is THE physical design move for a fact
+  // table joined repeatedly on one key: the shuffle is paid once at
+  // ingest, never per query; the merge hint pins the sort-merge path
+  // so the claim is about bucketing, not a small-side broadcast that
+  // would vanish at scale. Result is the plain join-aggregate, so the
+  // oracle sees nothing but relational semantics — bucketing must be
+  // invisible to answers, visible only to the plan.
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.operators.Scratch.dir("graft-bucketjoin")
+    def write(df: DataFrame, tbl: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+      df.write
+        .mode("overwrite")
+        .option("path", s"$base/$tbl")
+        .bucketBy(8, "k")
+        .sortBy("k")
+        .format("parquet")
+        .saveAsTable(tbl)
+    }
+    write(
+      t(s, dir, "orders").select(col("o_orderkey").as("k"), col("o_orderpriority")),
+      "graft_q341_orders_b"
+    )
+    write(
+      t(s, dir, "lineitem").select(
+        col("l_orderkey").as("k"),
+        floor(col("l_quantity")).cast("long").as("qty")
+      ),
+      "graft_q341_lineitem_b"
+    )
+    s.table("graft_q341_orders_b")
+      .hint("merge")
+      .join(s.table("graft_q341_lineitem_b").hint("merge"), Seq("k"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        countDistinct(col("k")).as("n_orders"),
+        sum(col("qty")).as("sum_qty")
+      )
+      .orderBy("o_orderpriority")
+  }
 }

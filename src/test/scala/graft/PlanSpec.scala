@@ -590,6 +590,12 @@ class PlanSpec extends SparkSpec {
       s"form joins must stay equi-keyed (f = nfc(g)):\n$p")
   }
 
+  test("bucketed join (q341): no exchange on the join key — the bucket layout carries the partitioning") {
+    val p = plan(Queries.bucketedJoin(spark, sfDir))
+    assert(p.contains("SortMergeJoin"), s"the merge hint must pin the sort-merge path (a broadcast would vanish at scale):\n$p")
+    assert(!p.contains("Exchange hashpartitioning(k"), s"bucketed sides must join shuffle-free (only the priority rollup may shuffle):\n$p")
+  }
+
   // The round-6 verdict's regression-killer: q262/q267/q270 each shipped
   // correct but with a corpus-cardinality unpartitioned rank window — the
   // plan shape that dies first at 100×. The per-query fixes above pin the
