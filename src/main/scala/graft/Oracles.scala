@@ -4455,6 +4455,7 @@ object Oracles {
         |  CAST(sum(CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q342_fd_profile" -> fdProfileSql,
     // full-rebuild summary; the engine's incremental fold must land on
     // the same bits, so incremental_ok is a literal 1 it has to earn
     "q338_scd2_incremental" ->
@@ -5035,6 +5036,38 @@ object Oracles {
        |SELECT doc_id, n_words, n_chars, n_tokens,
        |  n_chars * 1000 // n_tokens AS chars_per_token_permille
        |FROM p ORDER BY doc_id""".stripMargin
+
+  /** q342: per candidate-pair FD audit (exact + g3 violation mass),
+    * one rollup CTE per pair, unioned — mirrors the engine's
+    * pair-independent keyed aggregates.
+    */
+  private lazy val fdProfileSql: String = {
+    val pairs = Seq(
+      ("customer", "c_custkey", "c_nationkey"),
+      ("customer", "c_nationkey", "c_mktsegment"),
+      ("orders", "o_orderkey", "o_orderstatus"),
+      ("orders", "o_custkey", "o_orderpriority"),
+      ("part", "p_partkey", "p_brand"),
+      ("part", "p_brand", "p_type")
+    )
+    val ctes = pairs.zipWithIndex
+      .map { case ((tbl, lhs, rhs), i) =>
+        s"""a$i AS (SELECT l, sum(c) AS tot, max(c) AS mx, count(*) AS nd FROM (
+           |    SELECT CAST($lhs AS VARCHAR) AS l, CAST($rhs AS VARCHAR) AS r, count(*) AS c
+           |    FROM $tbl GROUP BY 1, 2) GROUP BY l)""".stripMargin
+      }
+      .mkString(",\n")
+    val selects = pairs.zipWithIndex
+      .map { case ((tbl, lhs, rhs), i) =>
+        s"""SELECT '$tbl' AS tbl, '$lhs' AS lhs, '$rhs' AS rhs, count(*) AS n_groups,
+           |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+           |  CAST(sum(tot - mx) AS BIGINT) AS g3_violations,
+           |  CAST(CASE WHEN max(nd) = 1 THEN 1 ELSE 0 END AS INTEGER) AS is_fd
+           |FROM a$i""".stripMargin
+      }
+      .mkString("\nUNION ALL\n")
+    s"WITH $ctes\n$selects\nORDER BY tbl, lhs, rhs"
+  }
 
   private lazy val incrementalDedupSql: String = {
     val probeJoins = (0 until 4)

@@ -10012,4 +10012,48 @@ object Queries {
       )
       .orderBy("o_orderpriority")
   }
+
+  // Functional-dependency profiler — the data-profiling primitive
+  // behind key discovery and normalization audits (the TANE family):
+  // for each candidate X → Y over a FIXED bounded pair set, report
+  // whether the dependency holds exactly and, when it doesn't, HOW
+  // BADLY via the g3 measure (minimum rows to delete so it holds —
+  // Σ_groups (group size − dominant-Y count), Kivinen & Mannila's
+  // error). Keys audit as exact FDs; attribute→attribute pairs
+  // quantify their violation mass. Scale shape: each pair is two
+  // keyed aggregates (value-pair counts, then per-LHS rollup) and a
+  // scalar reduce — no windows, no products; pairs are audited
+  // independently so the union parallelizes and a 100 TB profile is
+  // |pairs| bounded passes over projected columns only.
+  def fdProfile(s: SparkSession, dir: String): DataFrame = {
+    def audit(df: DataFrame, tbl: String, lhs: String, rhs: String): DataFrame =
+      df.select(col(lhs).cast("string").as("l"), col(rhs).cast("string").as("r"))
+        .groupBy("l", "r")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("l")
+        .agg(sum(col("c")).as("tot"), max(col("c")).as("mx"), count(lit(1)).as("nd"))
+        .agg(
+          count(lit(1)).as("n_groups"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating_groups"),
+          sum(col("tot") - col("mx")).as("g3_violations"),
+          max(col("nd")).as("max_nd")
+        )
+        .select(
+          lit(tbl).as("tbl"),
+          lit(lhs).as("lhs"),
+          lit(rhs).as("rhs"),
+          col("n_groups"),
+          col("n_violating_groups"),
+          col("g3_violations"),
+          when(col("max_nd") === 1, 1).otherwise(0).cast("int").as("is_fd")
+        )
+    Seq(
+      audit(t(s, dir, "customer"), "customer", "c_custkey", "c_nationkey"),
+      audit(t(s, dir, "customer"), "customer", "c_nationkey", "c_mktsegment"),
+      audit(t(s, dir, "orders"), "orders", "o_orderkey", "o_orderstatus"),
+      audit(t(s, dir, "orders"), "orders", "o_custkey", "o_orderpriority"),
+      audit(t(s, dir, "part"), "part", "p_partkey", "p_brand"),
+      audit(t(s, dir, "part"), "part", "p_brand", "p_type")
+    ).reduce(_.unionByName(_)).orderBy("tbl", "lhs", "rhs")
+  }
 }
