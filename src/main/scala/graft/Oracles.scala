@@ -4456,6 +4456,7 @@ object Oracles {
         |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q342_fd_profile" -> fdProfileSql,
+    "q343_join_order_advisor" -> joinOrderSql,
     // full-rebuild summary; the engine's incremental fold must land on
     // the same bits, so incremental_ok is a literal 1 it has to earn
     "q338_scd2_incremental" ->
@@ -5036,6 +5037,47 @@ object Oracles {
        |SELECT doc_id, n_words, n_chars, n_tokens,
        |  n_chars * 1000 // n_tokens AS chars_per_token_permille
        |FROM p ORDER BY doc_id""".stripMargin
+
+  /** q343: the Selinger enumeration replayed — same 8 connected
+    * orders, same interleaved-division cardinality model, in HUGEINT.
+    */
+  private lazy val joinOrderSql: String = {
+    val tn = Seq("region", "nation", "customer", "orders")
+    val orders = Seq(
+      Seq(0, 1, 2, 3),
+      Seq(1, 0, 2, 3),
+      Seq(1, 2, 0, 3),
+      Seq(1, 2, 3, 0),
+      Seq(2, 1, 0, 3),
+      Seq(2, 1, 3, 0),
+      Seq(2, 3, 1, 0),
+      Seq(3, 2, 1, 0)
+    )
+    def sizeExpr(i: Int, j: Int): String = {
+      var e = s"CAST(c$i AS HUGEINT)"
+      for (k <- i + 1 to j) e = s"(($e * c$k) // m${k - 1}$k)"
+      e
+    }
+    val branches = orders
+      .map { o =>
+        val cost = (2 to 4)
+          .map { len => val p = o.take(len); sizeExpr(p.min, p.max) }
+          .mkString("(", " + ", ")")
+        s"SELECT '${o.map(tn).mkString("->")}' AS join_order, $cost AS est_cost, ${sizeExpr(0, 3)} AS est_final_rows FROM m"
+      }
+      .mkString("\nUNION ALL\n")
+    s"""WITH st AS (SELECT * FROM
+       |    (SELECT count(*) AS c0, count(DISTINCT r_regionkey) AS d0 FROM region),
+       |    (SELECT count(*) AS c1, count(DISTINCT n_regionkey) AS d1r, count(DISTINCT n_nationkey) AS d1n FROM nation),
+       |    (SELECT count(*) AS c2, count(DISTINCT c_nationkey) AS d2n, count(DISTINCT c_custkey) AS d2c FROM customer),
+       |    (SELECT count(*) AS c3, count(DISTINCT o_custkey) AS d3 FROM orders)),
+       |m AS (SELECT *, greatest(d0, d1r) AS m01, greatest(d1n, d2n) AS m12, greatest(d2c, d3) AS m23 FROM st),
+       |costs AS ($branches)
+       |SELECT join_order, CAST(est_cost AS BIGINT) AS est_cost,
+       |  CAST(est_final_rows AS BIGINT) AS est_final_rows,
+       |  CAST(CASE WHEN est_cost = (SELECT min(est_cost) FROM costs) THEN 1 ELSE 0 END AS INTEGER) AS is_best
+       |FROM costs ORDER BY est_cost, join_order""".stripMargin
+  }
 
   /** q342: per candidate-pair FD audit (exact + g3 violation mass),
     * one rollup CTE per pair, unioned — mirrors the engine's

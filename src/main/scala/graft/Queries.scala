@@ -10056,4 +10056,98 @@ object Queries {
       audit(t(s, dir, "part"), "part", "p_brand", "p_type")
     ).reduce(_.unionByName(_)).orderBy("tbl", "lhs", "rhs")
   }
+
+  // Cost-based join-order advisor — the Selinger System-R core as an
+  // auditable query: over the region–nation–customer–orders FK chain,
+  // estimate every CONNECTED left-deep order (8 of 24 permutations
+  // keep each prefix connected; the cross-product orders are never
+  // enumerated, the classic pruning) with the textbook cardinality
+  // model |A⋈B| = |A|·|B| / max(d_A(k), d_B(k)), and cost = Σ
+  // intermediate sizes. Arithmetic is DECIMAL(38,0) with divisions
+  // INTERLEAVED per joined table (acc = (acc·|T|) div m_edge, left to
+  // right in chain position order) so intermediates stay near true
+  // join sizes instead of overflowing as a raw 4-card product — the
+  // same reason real CBOs fold selectivities as they go. Equal-cost
+  // orders tie visibly (cost depends on the prefix SET, so e.g.
+  // R,N,C,O and N,R,C,O price identically — Selinger's "interesting
+  // orders" refinement would split them; out of scope, noted). Scale
+  // shape: stats are ONE bounded aggregate per table (the ANALYZE
+  // pass), persisted and reused by all 8 priced orders; the plan
+  // never touches a fact row beyond the stats scans.
+  def joinOrderAdvisor(s: SparkSession, dir: String): DataFrame = {
+    val stats = t(s, dir, "region")
+      .agg(count(lit(1)).as("c0"), countDistinct(col("r_regionkey")).as("d0"))
+      .crossJoin(
+        broadcast(
+          t(s, dir, "nation")
+            .agg(
+              count(lit(1)).as("c1"),
+              countDistinct(col("n_regionkey")).as("d1r"),
+              countDistinct(col("n_nationkey")).as("d1n")
+            )
+        )
+      )
+      .crossJoin(
+        broadcast(
+          t(s, dir, "customer")
+            .agg(
+              count(lit(1)).as("c2"),
+              countDistinct(col("c_nationkey")).as("d2n"),
+              countDistinct(col("c_custkey")).as("d2c")
+            )
+        )
+      )
+      .crossJoin(
+        broadcast(
+          t(s, dir, "orders")
+            .agg(count(lit(1)).as("c3"), countDistinct(col("o_custkey")).as("d3"))
+        )
+      )
+      .withColumn("m01", greatest(col("d0"), col("d1r")))
+      .withColumn("m12", greatest(col("d1n"), col("d2n")))
+      .withColumn("m23", greatest(col("d2c"), col("d3")))
+    stats.persist()
+    val tn = Seq("region", "nation", "customer", "orders")
+    // connected left-deep orders of the path graph R—N—C—O: every
+    // prefix must be a contiguous interval (2^(n-1) = 8 of them)
+    val orders = Seq(
+      Seq(0, 1, 2, 3),
+      Seq(1, 0, 2, 3),
+      Seq(1, 2, 0, 3),
+      Seq(1, 2, 3, 0),
+      Seq(2, 1, 0, 3),
+      Seq(2, 1, 3, 0),
+      Seq(2, 3, 1, 0),
+      Seq(3, 2, 1, 0)
+    )
+    def sizeExpr(i: Int, j: Int): String = {
+      var e = s"CAST(c$i AS DECIMAL(38,0))"
+      for (k <- i + 1 to j) e = s"(($e * c$k) div m${k - 1}$k)"
+      e
+    }
+    val priced = orders
+      .map { o =>
+        val cost = (2 to 4)
+          .map { len =>
+            val p = o.take(len)
+            sizeExpr(p.min, p.max)
+          }
+          .mkString("(", " + ", ")")
+        stats.select(
+          lit(o.map(tn).mkString("->")).as("join_order"),
+          expr(cost).cast("long").as("est_cost"),
+          expr(sizeExpr(0, 3)).cast("long").as("est_final_rows")
+        )
+      }
+      .reduce(_.unionByName(_))
+    priced
+      .crossJoin(broadcast(priced.agg(min(col("est_cost")).as("best_cost"))))
+      .select(
+        col("join_order"),
+        col("est_cost"),
+        col("est_final_rows"),
+        when(col("est_cost") === col("best_cost"), 1).otherwise(0).cast("int").as("is_best")
+      )
+      .orderBy("est_cost", "join_order")
+  }
 }
