@@ -4457,6 +4457,27 @@ object Oracles {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q342_fd_profile" -> fdProfileSql,
     "q343_join_order_advisor" -> joinOrderSql,
+    "q344_sketch_join_estimate" ->
+      """WITH seeds(r, ha, hb) AS (VALUES (0, 1299721, 7), (1, 15485863, 101),
+        |    (2, 32452843, 1009), (3, 49979687, 10007)),
+        |se AS (SELECT r, ((ha * user_id + hb) % 2147483647) % 64 AS bucket, count(*) AS c
+        |  FROM events, seeds GROUP BY 1, 2),
+        |so AS (SELECT r, ((ha * o_custkey + hb) % 2147483647) % 64 AS bucket, count(*) AS c
+        |  FROM orders, seeds GROUP BY 1, 2),
+        |ip AS (SELECT se.r, sum(CAST(se.c AS HUGEINT) * so.c) AS ip
+        |  FROM se JOIN so ON se.r = so.r AND se.bucket = so.bucket GROUP BY 1),
+        |est AS (SELECT min(ip) AS est FROM ip),
+        |ex AS (SELECT sum(CAST(fe AS HUGEINT) * fo) AS exact FROM
+        |  (SELECT user_id AS k, count(*) AS fe FROM events GROUP BY 1) a JOIN
+        |  (SELECT o_custkey AS k, count(*) AS fo FROM orders GROUP BY 1) b USING (k)),
+        |ms AS (SELECT * FROM (SELECT count(*) AS n_left FROM events),
+        |  (SELECT count(*) AS n_right FROM orders))
+        |SELECT CAST(4 AS INTEGER) AS d_rows, CAST(64 AS INTEGER) AS w,
+        |  CAST(n_left AS BIGINT) AS n_left, CAST(n_right AS BIGINT) AS n_right,
+        |  CAST(exact AS BIGINT) AS exact_pairs, CAST(est AS BIGINT) AS est_pairs,
+        |  CAST((est - exact) * 1000 // exact AS BIGINT) AS err_permille,
+        |  CAST(CAST(n_left AS HUGEINT) * n_right // 64 * 1000 // exact AS BIGINT) AS bound_permille
+        |FROM est, ex, ms""".stripMargin,
     // full-rebuild summary; the engine's incremental fold must land on
     // the same bits, so incremental_ok is a literal 1 it has to earn
     "q338_scd2_incremental" ->

@@ -10150,4 +10150,67 @@ object Queries {
       )
       .orderBy("est_cost", "join_order")
   }
+
+  // Sketch-based join-size estimation — the Count-Min inner product
+  // (Cormode & Garofalakis): |R ⋈ S| = Σ_k f_R(k)·f_S(k) is estimated
+  // by min_r Σ_b cmR[r][b]·cmS[r][b] over d=4 hash rows of w=64
+  // buckets, an OVERestimate by construction (collision cross-terms
+  // are nonnegative), so err_permille ≥ 0 and honestly nonzero here:
+  // both sides key many-to-many (events.user_id × orders.o_custkey)
+  // with more distinct keys than buckets. Hashes are universal
+  // ((a·k + b) mod p mod w, p = 2³¹−1, fixed literal a,b per row) so
+  // both engines replay them bit-for-bit — no engine-private hash in
+  // the contract. Scale shape: each sketch is one projected pass +
+  // keyed (row, bucket) aggregate into a d·w-bounded table; the
+  // estimate joins two 256-row sketches — the fact tables never meet.
+  // The exact control is itself scale-safe (per-key counts joined,
+  // never row×row). The realized error rides next to the a-priori
+  // expected collision mass E[err_row] = ‖f_R‖₁·‖f_S‖₁ / w — on a
+  // SELECTIVE join (shared keys ≪ either side) that mass dwarfs the
+  // true size, which is precisely why real optimizers fall back to
+  // distinct-count models (q343) there and reserve CMS inner products
+  // for dense joins; the report makes that trade visible instead of
+  // hiding it.
+  def sketchJoinEstimate(s: SparkSession, dir: String): DataFrame = {
+    val p = 2147483647L
+    val w = 64
+    val as = Seq(1299721L, 15485863L, 32452843L, 49979687L)
+    val bs = Seq(7L, 101L, 1009L, 10007L)
+    val seeds = s.createDataFrame(as.indices.map(r => (r, as(r), bs(r)))).toDF("r", "ha", "hb")
+    def sketch(df: DataFrame, key: String): DataFrame =
+      df.select(col(key).cast("long").as("k"))
+        .crossJoin(broadcast(seeds))
+        .withColumn("bucket", expr(s"((ha * k + hb) % $p) % $w"))
+        .groupBy("r", "bucket")
+        .agg(count(lit(1)).as("c"))
+    val est = sketch(Tables.events(s, dir), "user_id")
+      .join(sketch(t(s, dir, "orders"), "o_custkey").withColumnRenamed("c", "c2"), Seq("r", "bucket"))
+      .groupBy("r")
+      .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * c2")).as("ip"))
+      .agg(min(col("ip")).as("est"))
+    val exact = Tables
+      .events(s, dir)
+      .groupBy(col("user_id").as("k"))
+      .agg(count(lit(1)).as("fe"))
+      .join(t(s, dir, "orders").groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("fo")), Seq("k"))
+      .agg(sum(expr("CAST(fe AS DECIMAL(38,0)) * fo")).as("exact"))
+    val masses = Tables
+      .events(s, dir)
+      .agg(count(lit(1)).as("n_left"))
+      .crossJoin(broadcast(t(s, dir, "orders").agg(count(lit(1)).as("n_right"))))
+    est
+      .crossJoin(broadcast(exact))
+      .crossJoin(broadcast(masses))
+      .select(
+        lit(4).as("d_rows"),
+        lit(w).as("w"),
+        col("n_left"),
+        col("n_right"),
+        col("exact").cast("long").as("exact_pairs"),
+        col("est").cast("long").as("est_pairs"),
+        expr("CAST((est - exact) * 1000 div exact AS BIGINT)").as("err_permille"),
+        expr(s"CAST(CAST(n_left AS DECIMAL(38,0)) * n_right div $w * 1000 div exact AS BIGINT)")
+          .as("bound_permille")
+      )
+  }
 }

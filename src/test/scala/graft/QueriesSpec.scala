@@ -2905,4 +2905,41 @@ class QueriesSpec extends SparkSpec {
       assert(r.getAs[Long]("ma7_milli") >= 0L)
     }
   }
+
+  test("sketch join estimate: CMS inner product overestimates, within the expected collision mass") {
+    val r = Queries.sketchJoinEstimate(spark, sfDir).collect().head
+    val exact = r.getAs[Long]("exact_pairs")
+    val est = r.getAs[Long]("est_pairs")
+    assert(exact > 0L)
+    assert(est >= exact, "collision cross-terms are nonnegative — CMS can never underestimate an inner product")
+    // e·(‖f‖₁‖g‖₁/w) is the Markov tail cut; the min over 4 independent
+    // rows sitting above it would be a (1/e)^4 event — deterministic
+    // here (fixed hashes, fixed data), so assert it outright
+    val bound = r.getAs[Long]("n_left") * r.getAs[Long]("n_right") / r.getAs[Int]("w")
+    assert(est - exact <= 3L * bound, s"realized error ${est - exact} implausibly above e·E[err] ≈ ${3L * bound}")
+  }
+
+  test("fd profile: keys audit as exact FDs with zero g3 mass; violated pairs carry positive mass") {
+    val rows = Queries.fdProfile(spark, sfDir).collect()
+    val by = rows.map(r => (r.getAs[String]("tbl"), r.getAs[String]("lhs")) -> r).toMap
+    val key = by(("customer", "c_custkey"))
+    assert(key.getAs[Int]("is_fd") === 1 && key.getAs[Long]("g3_violations") === 0L)
+    rows.foreach { r =>
+      val fd = r.getAs[Int]("is_fd") === 1
+      val g3 = r.getAs[Long]("g3_violations")
+      assert(if (fd) g3 === 0L else g3 > 0L, s"g3 mass and the FD flag must agree: $r")
+      assert(r.getAs[Long]("n_violating_groups") <= r.getAs[Long]("n_groups"))
+    }
+  }
+
+  test("join-order advisor: best orders join the fact table last, and ties are prefix-set ties") {
+    val rows = Queries.joinOrderAdvisor(spark, sfDir).collect()
+    assert(rows.length === 8)
+    val best = rows.filter(_.getAs[Int]("is_best") === 1)
+    assert(best.nonEmpty)
+    best.foreach(r => assert(r.getAs[String]("join_order").endsWith("->orders"), s"a plan starting from the fact side should never win: $r"))
+    // all 8 orders agree on the final size (it's the full-set estimate)
+    assert(rows.map(_.getAs[Long]("est_final_rows")).distinct.length === 1)
+    assert(rows.map(_.getAs[Long]("est_cost")).min === best.head.getAs[Long]("est_cost"))
+  }
 }
