@@ -4478,6 +4478,23 @@ object Oracles {
         |  CAST((est - exact) * 1000 // exact AS BIGINT) AS err_permille,
         |  CAST(CAST(n_left AS HUGEINT) * n_right // 64 * 1000 // exact AS BIGINT) AS bound_permille
         |FROM est, ex, ms""".stripMargin,
+    "q345_dp_clipped_mean" -> {
+      def g(tag: String) = {
+        val k = s"(${hx(s"source || '|$tag'")} % 1048576 + 1)"
+        s"(19 - (length(bin($k)) - 1) + CASE WHEN ($k & ($k - 1)) = 0 THEN 1 ELSE 0 END)"
+      }
+      s"""WITH c AS (SELECT source, count(*) AS n_true,
+         |    CAST(sum(least(n_chars, 2000)) AS BIGINT) AS sum_clip FROM documents GROUP BY 1),
+         |u AS (SELECT *, sum_clip // 2000 AS units_true FROM c),
+         |z AS (SELECT *, greatest(0, units_true + (${g("ua")} - ${g("ub")})) AS units_released,
+         |    greatest(1, n_true + (${g("na")} - ${g("nb")})) AS n_released FROM u)
+         |SELECT source, n_true, CAST(n_released AS BIGINT) AS n_released,
+         |  CAST(units_true AS BIGINT) AS units_true, CAST(units_released AS BIGINT) AS units_released,
+         |  CAST(sum_clip // n_true AS BIGINT) AS mean_clip_true,
+         |  CAST(units_released * 2000 // n_released AS BIGINT) AS mean_est,
+         |  CAST(1386294 AS BIGINT) AS epsilon_micro
+         |FROM z ORDER BY source""".stripMargin
+    },
     // full-rebuild summary; the engine's incremental fold must land on
     // the same bits, so incremental_ok is a literal 1 it has to earn
     "q338_scd2_incremental" ->

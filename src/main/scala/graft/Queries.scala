@@ -10213,4 +10213,46 @@ object Queries {
           .as("bound_permille")
       )
   }
+
+  // ε-DP mean release — the second classic mechanism next to q318's
+  // histogram: per-source mean document length published under
+  // clipping + discrete noise. Each document's contribution is
+  // clipped to C = 2000 chars (the sensitivity bound DP-SGD-style
+  // pipelines impose), the clipped sum is QUANTIZED to units of C —
+  // so one document moves it by at most one unit — and both the unit
+  // sum and the count get q318's two-sided-geometric noise at
+  // α = 1/2 (ε = ln 2 each; sequential composition → ε = 2·ln 2 per
+  // source, parallel across disjoint sources). The mean estimate is
+  // post-processed pure-integer arithmetic over the two released
+  // scalars (post-processing is ε-free), with the true clipped mean
+  // alongside so the privacy cost is measurable. Quantization trades
+  // ≤ C of sum resolution for the unit sensitivity — the documented
+  // price of an integer-exact mechanism both engines replay
+  // bit-for-bit. Scale shape: one keyed aggregate; noise is
+  // per-SOURCE, so the mechanism costs nothing more at 100 TB.
+  def dpClippedMean(s: SparkSession, dir: String): DataFrame = {
+    val C = 2000L
+    def geo(tag: String): Column = {
+      val k = TextOps.hash32(concat(col("source"), lit("|" + tag))) % 1048576L + 1L
+      val bl = (length(bin(k)) - 1).cast("long")
+      lit(19L) - bl + when(k.bitwiseAND(k - 1) === 0L, 1L).otherwise(0L)
+    }
+    t(s, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_true"), sum(least(col("n_chars"), lit(C))).as("sum_clip"))
+      .withColumn("units_true", expr(s"sum_clip div $C"))
+      .withColumn("units_released", greatest(lit(0L), col("units_true") + (geo("ua") - geo("ub"))))
+      .withColumn("n_released", greatest(lit(1L), col("n_true") + (geo("na") - geo("nb"))))
+      .select(
+        col("source"),
+        col("n_true"),
+        col("n_released"),
+        col("units_true"),
+        col("units_released"),
+        expr("sum_clip div n_true").as("mean_clip_true"),
+        expr(s"units_released * $C div n_released").as("mean_est"),
+        lit(1386294L).as("epsilon_micro")
+      )
+      .orderBy("source")
+  }
 }
