@@ -4495,6 +4495,7 @@ object Oracles {
          |  CAST(1386294 AS BIGINT) AS epsilon_micro
          |FROM z ORDER BY source""".stripMargin
     },
+    "q346_voptimal_histogram" -> vOptimalSql,
     // full-rebuild summary; the engine's incremental fold must land on
     // the same bits, so incremental_ok is a literal 1 it has to earn
     "q338_scd2_incremental" ->
@@ -5115,6 +5116,37 @@ object Oracles {
        |  CAST(est_final_rows AS BIGINT) AS est_final_rows,
        |  CAST(CASE WHEN est_cost = (SELECT min(est_cost) FROM costs) THEN 1 ELSE 0 END AS INTEGER) AS is_best
        |FROM costs ORDER BY est_cost, join_order""".stripMargin
+  }
+
+  /** q346: the v-optimal DP replayed — same fixed-point SSE, same
+    * unrolled L1..L6 min-fold over the ≤50-value p_size support.
+    */
+  private lazy val vOptimalSql: String = {
+    val levels = (2 to 6)
+      .map { b =>
+        s"""l$b AS (SELECT rj AS e, min(pc + err_fp) AS cost FROM pairs
+           |  JOIN (SELECT e AS pe, cost AS pc FROM l${b - 1}) p ON ri - 1 = pe GROUP BY rj)""".stripMargin
+      }
+      .mkString(",\n")
+    val branches = (1 to 6)
+      .map { b =>
+        s"""SELECT CAST($b AS INTEGER) AS n_buckets, CAST(cost AS BIGINT) AS min_sse_fp,
+           |  CAST(n AS BIGINT) AS n_values FROM l$b, nm WHERE e = n""".stripMargin
+      }
+      .mkString("\nUNION ALL\n")
+    s"""WITH sup AS (SELECT p_size AS v, count(*) AS f FROM part GROUP BY 1),
+       |pre AS (SELECT v, f, row_number() OVER (ORDER BY v) AS r,
+       |    CAST(sum(f) OVER (ORDER BY v) AS HUGEINT) AS sf,
+       |    CAST(sum(CAST(f AS HUGEINT) * f) OVER (ORDER BY v) AS HUGEINT) AS sf2 FROM sup),
+       |pairs AS (SELECT i.r AS ri, j.r AS rj,
+       |    (j.sf2 - (i.sf2 - CAST(i.f AS HUGEINT) * i.f)) * 1048576
+       |      - ((j.sf - (i.sf - i.f)) * (j.sf - (i.sf - i.f)) * 1048576) // (j.r - i.r + 1) AS err_fp
+       |  FROM pre j JOIN pre i ON j.r >= i.r),
+       |nm AS (SELECT max(r) AS n FROM pre),
+       |l1 AS (SELECT rj AS e, err_fp AS cost FROM pairs WHERE ri = 1),
+       |$levels
+       |$branches
+       |ORDER BY n_buckets""".stripMargin
   }
 
   /** q342: per candidate-pair FD audit (exact + g3 violation mass),

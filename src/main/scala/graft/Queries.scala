@@ -10255,4 +10255,68 @@ object Queries {
       )
       .orderBy("source")
   }
+
+  // V-optimal histogram error frontier — the optimizer-statistics
+  // construction (Jagadish et al., VLDB'98): over the p_size
+  // frequency vector, the MINIMUM total within-bucket SSE achievable
+  // with b = 1..6 contiguous buckets, by exact dynamic programming
+  // L_b(j) = min_i L_{b-1}(i) + err(i+1, j). This is the error curve
+  // an ANALYZE phase walks to pick bucket counts (equi-depth — q179 —
+  // is the heuristic this bounds). SSE is fixed-point integer:
+  // err·2²⁰ = S₂·2²⁰ − (S²·2²⁰) div n, DECIMAL(38,0) throughout, so
+  // the frontier replays bit-for-bit. Scale shape: the corpus is
+  // touched ONCE for the |V|-bounded support (|V| ≤ 50 here — the
+  // documented vocab-truncation posture, persisted so the bounded
+  // windows stay under an InMemoryRelation); the DP itself is
+  // |V|²-bounded frames — pair costs via a broadcast self-join,
+  // five equi-keyed min-fold rounds — never a corpus operation.
+  def vOptimalHistogram(s: SparkSession, dir: String): DataFrame = {
+    val Q = 1048576L // 2^20 fixed-point scale
+    val sup = t(s, dir, "part").groupBy(col("p_size").as("v")).agg(count(lit(1)).as("f"))
+    val byV = Window.orderBy("v")
+    val pre = sup
+      .select(
+        col("v"),
+        col("f"),
+        row_number().over(byV).as("r"),
+        sum(col("f")).over(byV).as("sf"),
+        sum(expr("CAST(f AS DECIMAL(38,0)) * f")).over(byV).as("sf2")
+      )
+    pre.persist()
+    val iSide = pre.select(
+      col("r").as("ri"),
+      col("f").as("fi"),
+      (col("sf") - col("f")).as("sfp"),
+      (col("sf2") - expr("CAST(f AS DECIMAL(38,0)) * f")).as("sf2p")
+    )
+    val jSide = pre.select(col("r").as("rj"), col("sf").as("sfj"), col("sf2").as("sf2j"))
+    val pairs = jSide
+      .join(broadcast(iSide), col("rj") >= col("ri"))
+      .select(
+        col("ri"),
+        col("rj"),
+        expr(s"(sf2j - sf2p) * $Q - ((sfj - sfp) * (sfj - sfp) * $Q) div (rj - ri + 1)").as("err_fp")
+      )
+    pairs.persist()
+    val nm = pre.agg(max(col("r")).as("n"))
+    def atEnd(l: DataFrame, b: Int): DataFrame =
+      l.join(broadcast(nm), col("e") === col("n"))
+        .select(
+          lit(b).as("n_buckets"),
+          col("cost").cast("long").as("min_sse_fp"),
+          col("n").cast("long").as("n_values")
+        )
+    var lb = pairs.filter(col("ri") === 1).select(col("rj").as("e"), col("err_fp").as("cost"))
+    val frontier = scala.collection.mutable.ArrayBuffer(atEnd(lb, 1))
+    for (b <- 2 to 6) {
+      lb = pairs
+        .withColumn("pe", col("ri") - lit(1))
+        .join(broadcast(lb.select(col("e").as("pe"), col("cost").as("pc"))), Seq("pe"))
+        .groupBy(col("rj"))
+        .agg(min(col("pc") + col("err_fp")).as("cost"))
+        .select(col("rj").as("e"), col("cost"))
+      frontier += atEnd(lb, b)
+    }
+    frontier.reduce(_.unionByName(_)).orderBy("n_buckets")
+  }
 }

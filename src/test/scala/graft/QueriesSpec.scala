@@ -2942,4 +2942,25 @@ class QueriesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("est_final_rows")).distinct.length === 1)
     assert(rows.map(_.getAs[Long]("est_cost")).min === best.head.getAs[Long]("est_cost"))
   }
+
+  test("v-optimal frontier: non-increasing in bucket count; b=1 replays the direct total SSE") {
+    val rows = Queries.vOptimalHistogram(spark, sfDir).collect().sortBy(_.getAs[Int]("n_buckets"))
+    assert(rows.length === 6)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(
+        b.getAs[Long]("min_sse_fp") <= a.getAs[Long]("min_sse_fp"),
+        "an extra bucket can always reuse the previous split — the frontier cannot rise"
+      )
+    }
+    // independent replication of the one-bucket cost from raw counts
+    val fs = graft.sources.Tables
+      .parquet(spark, sfDir, "part")
+      .groupBy("p_size")
+      .count()
+      .collect()
+      .map(_.getAs[Long]("count"))
+    val (n, s1, s2) = (BigInt(fs.length), fs.map(BigInt(_)).sum, fs.map(f => BigInt(f) * f).sum)
+    val q = BigInt(1048576)
+    assert(BigInt(rows.head.getAs[Long]("min_sse_fp")) === s2 * q - (s1 * s1 * q) / n)
+  }
 }
