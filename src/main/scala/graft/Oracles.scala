@@ -4496,6 +4496,32 @@ object Oracles {
          |FROM z ORDER BY source""".stripMargin
     },
     "q346_voptimal_histogram" -> vOptimalSql,
+    "q347_mutual_best_matching" -> mutualBestSql,
+    "q348_group_kfold" ->
+      s"""WITH ev AS (SELECT *, CAST(${hx("'gkf1|' || user_id")} % 5 AS INTEGER) AS fold FROM events),
+         |lk AS (SELECT max(nf) AS max_folds_per_user FROM (
+         |  SELECT user_id, count(DISTINCT fold) AS nf FROM ev GROUP BY 1)),
+         |tt AS (SELECT count(*) AS n_total FROM ev)
+         |SELECT fold, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+         |  CAST(count(*) * 1000 // (SELECT n_total FROM tt) AS BIGINT) AS share_permille,
+         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT) AS purchase_permille,
+         |  (SELECT CAST(max_folds_per_user AS BIGINT) FROM lk) AS max_folds_per_user
+         |FROM ev GROUP BY fold ORDER BY fold""".stripMargin,
+    "q349_kendall_tau" ->
+      """WITH pp AS (SELECT l_partkey AS partkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY 1),
+        |top AS (SELECT * FROM pp ORDER BY rev_cents DESC, partkey LIMIT 20),
+        |rk AS (SELECT row_number() OVER (ORDER BY rev_cents DESC, partkey) AS ri,
+        |    row_number() OVER (ORDER BY qty DESC, partkey) AS qi FROM top)
+        |SELECT CAST(20 AS INTEGER) AS k, count(*) AS n_pairs,
+        |  CAST(sum(CASE WHEN a.qi < b.qi THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+        |  CAST(sum(CASE WHEN a.qi > b.qi THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+        |  CAST((sum(CASE WHEN a.qi < b.qi THEN 1 ELSE 0 END)
+        |    - sum(CASE WHEN a.qi > b.qi THEN 1 ELSE 0 END)) * 1000 // count(*) AS BIGINT) AS tau_permille
+        |FROM rk a JOIN rk b ON a.ri < b.ri""".stripMargin,
+    "q350_label_propagation" -> labelPropSql,
     // full-rebuild summary; the engine's incremental fold must land on
     // the same bits, so incremental_ok is a literal 1 it has to earn
     "q338_scd2_incremental" ->
@@ -5116,6 +5142,59 @@ object Oracles {
        |  CAST(est_final_rows AS BIGINT) AS est_final_rows,
        |  CAST(CASE WHEN est_cost = (SELECT min(est_cost) FROM costs) THEN 1 ELSE 0 END AS INTEGER) AS is_best
        |FROM costs ORDER BY est_cost, join_order""".stripMargin
+  }
+
+  /** q350: the four synchronous LPA rounds unrolled over the q27
+    * candidate pairs — majority vote with smallest-label ties, self
+    * vote included, exactly the engine's min(struct(-c, lbl)) rule.
+    */
+  private lazy val labelPropSql: String = {
+    val rounds = (1 to 4)
+      .map { r =>
+        s"""m$r AS (SELECT e.src AS id, l.lbl FROM e JOIN l${r - 1} l ON e.dst = l.id
+           |  UNION ALL SELECT id, lbl FROM l${r - 1}),
+           |l$r AS (SELECT id, lbl FROM (SELECT id, lbl,
+           |    row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+           |  FROM (SELECT id, lbl, count(*) AS c FROM m$r GROUP BY 1, 2)) WHERE rn = 1)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH prs AS (SELECT d1, d2 FROM ($minhashSql)),
+       |e AS (SELECT DISTINCT src, dst FROM
+       |  (SELECT d1 AS src, d2 AS dst FROM prs UNION ALL SELECT d2, d1 FROM prs)),
+       |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e),
+       |$rounds,
+       |com AS (SELECT lbl AS community, count(*) AS n_members FROM l4 GROUP BY 1),
+       |tot AS (SELECT count(*) AS n_communities FROM com)
+       |SELECT community, n_members, (SELECT n_communities FROM tot) AS n_communities
+       |FROM com WHERE n_members >= 2
+       |ORDER BY n_members DESC, community LIMIT 20""".stripMargin
+  }
+
+  /** q347: the mutual-best matching rounds replayed over q202's pair
+    * scores — rank-1-both-sides per round, matched ids leave the pool.
+    */
+  private lazy val mutualBestSql: String = {
+    val rounds = (1 to 3)
+      .map { r =>
+        val prev = if (r == 1) "" else s"""p$r AS (SELECT * FROM p${r - 1}
+           |  WHERE new_id NOT IN (SELECT new_id FROM m${r - 1})
+           |    AND old_id NOT IN (SELECT old_id FROM m${r - 1})),\n""".stripMargin
+        s"""${prev}bn$r AS (SELECT new_id, old_id FROM (SELECT new_id, old_id,
+           |    row_number() OVER (PARTITION BY new_id ORDER BY w DESC, old_id) AS rn FROM p$r) WHERE rn = 1),
+           |bo$r AS (SELECT new_id, old_id FROM (SELECT new_id, old_id,
+           |    row_number() OVER (PARTITION BY old_id ORDER BY w DESC, new_id) AS rn FROM p$r) WHERE rn = 1),
+           |m$r AS (SELECT p.new_id, p.old_id, p.w FROM p$r p
+           |  JOIN bn$r USING (new_id, old_id) JOIN bo$r USING (new_id, old_id))""".stripMargin
+      }
+      .mkString(",\n")
+    val selects = (1 to 3)
+      .map(r => s"SELECT CAST($r AS INTEGER) AS round, new_id, old_id, w AS jaccard_permille FROM m$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH base AS ($incrementalDedupSql),
+       |p1 AS (SELECT new_id, old_id, CAST(jaccard_permille AS BIGINT) AS w FROM base),
+       |$rounds
+       |$selects
+       |ORDER BY round, new_id""".stripMargin
   }
 
   /** q346: the v-optimal DP replayed — same fixed-point SSE, same

@@ -10319,4 +10319,177 @@ object Queries {
     }
     frontier.reduce(_.unionByName(_)).orderBy("n_buckets")
   }
+
+  // One-to-one entity assignment — the step record linkage runs AFTER
+  // scoring (q202's new→old similarity pairs, q315's decision theory):
+  // each new document may claim at most one old and vice versa. Greedy
+  // mutual-best rounds: a pair matches when each side is the other's
+  // argmax (weight desc, id asc — deterministic), matched nodes leave
+  // the pool, repeat ×3 — the parallel variant of greedy weighted
+  // matching (≥ ½ the optimal weight, and exactly the "mutual nearest
+  // neighbor" rule dedup canonicalization uses). Scale shape: each
+  // round is two keyed argmax aggregates over the CANDIDATE pair set
+  // (LSH-bounded, never all-pairs) and keyed anti-joins — no windows,
+  // no products; rounds persist so the pool never recomputes.
+  def mutualBestMatching(s: SparkSession, dir: String): DataFrame = {
+    var pool = incrementalDedup(s, dir)
+      .select(col("new_id"), col("old_id"), col("jaccard_permille").as("w"))
+    val matchedRounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 1 to 3) {
+      pool.persist()
+      def best(keyCol: String, otherCol: String): DataFrame =
+        pool
+          .groupBy(col(keyCol))
+          .agg(min(struct((-col("w")).as("nw"), col(otherCol).as("o"))).as("b"))
+          .select(col(keyCol), col("b.o").as(otherCol))
+      val m = pool
+        .join(best("new_id", "old_id"), Seq("new_id", "old_id"))
+        .join(best("old_id", "new_id"), Seq("new_id", "old_id"))
+        .select(lit(r).as("round"), col("new_id"), col("old_id"), col("w"))
+      m.persist()
+      matchedRounds += m
+      pool = pool
+        .join(m.select("new_id"), Seq("new_id"), "left_anti")
+        .join(m.select("old_id"), Seq("old_id"), "left_anti")
+    }
+    matchedRounds
+      .reduce(_.unionByName(_))
+      .select(col("round"), col("new_id"), col("old_id"), col("w").as("jaccard_permille"))
+      .orderBy("round", "new_id")
+  }
+
+  // Group k-fold assignment — the cross-validation split that keeps
+  // ALL of a user's events in one fold (the grouped sibling of q57's
+  // row split and q207's leakage-free doc split: entity leakage across
+  // folds inflates validation scores exactly like near-dup leakage
+  // does). Folds are seeded-hash of the GROUP key, so assignment is
+  // reproducible, shuffle-free to compute, and stable under data
+  // growth for existing users. The audit is computed from the JOINED
+  // event table — fold sizes, event shares, per-fold purchase rate —
+  // plus the integrity gate itself: max folds touched by any user,
+  // which must be 1 by construction and is EARNED from the data, not
+  // asserted. Scale shape: one keyed aggregate per report column; the
+  // leakage gate is a two-level keyed rollup.
+  def groupKFold(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(s, dir)
+      .withColumn("fold", (TextOps.hash32(concat(lit("gkf1|"), col("user_id"))) % 5).cast("int"))
+    ev.persist()
+    val leak = ev
+      .groupBy("user_id")
+      .agg(countDistinct(col("fold")).as("nf"))
+      .agg(max(col("nf")).as("max_folds_per_user"))
+    val tot = ev.agg(count(lit(1)).as("n_total"))
+    ev.groupBy("fold")
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases")
+      )
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(leak))
+      .select(
+        col("fold"),
+        col("n_users"),
+        col("n_events"),
+        expr("n_events * 1000 div n_total").as("share_permille"),
+        expr("n_purchases * 1000 div n_events").as("purchase_permille"),
+        col("max_folds_per_user")
+      )
+      .orderBy("fold")
+  }
+
+  // Kendall τ rank agreement — the exact concordance companion to
+  // q264's RBO (RBO weighs top-heaviness; τ counts pairwise order
+  // inversions outright): do revenue and unit-volume rank the top-20
+  // parts the same way? Both rankings carry deterministic tie-breaks
+  // (metric desc, partkey asc) so τ-a is exact — no tie terms. Scale
+  // shape: the corpus collapses to a per-part keyed aggregate; ranks
+  // live on the 20-row post-TakeOrdered frame (persisted, the q198
+  // bound) and the pair census is a broadcast self-join over 20·19/2
+  // pairs — k²-bounded, never data-sized.
+  def kendallTau(s: SparkSession, dir: String): DataFrame = {
+    val perPart = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(
+        sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")).as("rev_cents"),
+        sum(floor(col("l_quantity")).cast("long")).as("qty")
+      )
+    val ranked = perPart
+      .orderBy(desc("rev_cents"), asc("partkey"))
+      .limit(20)
+      .withColumn("ri", row_number().over(Window.orderBy(desc("rev_cents"), asc("partkey"))))
+      .withColumn("qi", row_number().over(Window.orderBy(desc("qty"), asc("partkey"))))
+      .select("ri", "qi")
+    ranked.persist()
+    ranked
+      .join(broadcast(ranked.select(col("ri").as("rj"), col("qi").as("qj"))), col("ri") < col("rj"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("qi") < col("qj"), 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("qi") > col("qj"), 1L).otherwise(0L)).as("discordant")
+      )
+      .select(
+        lit(20).as("k"),
+        col("n_pairs"),
+        col("concordant"),
+        col("discordant"),
+        expr("(concordant - discordant) * 1000 div n_pairs").as("tau_permille")
+      )
+  }
+
+  // Label propagation communities — the THIRD classic next to q150's
+  // PageRank and q330's HITS, and the one that answers a different
+  // question: not "which documents matter" but "which documents move
+  // together". Every node starts as its own label; four synchronous
+  // rounds of adopt-the-neighborhood-majority (self vote included,
+  // ties to the smallest label — fully deterministic, unlike the
+  // random-order LPA of Raghavan et al. it derandomizes). Near-dup
+  // cliques collapse to their minimum id within a round or two, so
+  // the community census doubles as a sanity check against q80's
+  // connected components (LPA refines CC: it can SPLIT weakly-joined
+  // blobs CC glues together). Scale shape: each round is one
+  // edge-keyed join + two keyed aggregates over the bounded candidate
+  // graph, snapshot per round — the q150/q183 posture.
+  def labelPropagation(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    val base = graft.operators.Scratch.dir("graft-lpa")
+    def snapshot(df: DataFrame, name: String): DataFrame = {
+      val path = s"$base/$name"
+      df.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+    val pairs = graft.operators.CandidateGraph.pairs(s, dir)
+    val edges = snapshot(
+      pairs
+        .select(col("d1").as("src"), col("d2").as("dst"))
+        .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+        .distinct(),
+      "edges"
+    )
+    var labels = snapshot(edges.select(col("src").as("id")).distinct().withColumn("lbl", col("id")), "l0")
+    for (r <- 1 to 4) {
+      val msgs = edges
+        .join(labels.select(col("id").as("dst"), col("lbl")), Seq("dst"))
+        .select(col("src").as("id"), col("lbl"))
+        .unionByName(labels)
+      labels = snapshot(
+        msgs
+          .groupBy("id", "lbl")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("id")
+          .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("b"))
+          .select(col("id"), col("b.l").as("lbl")),
+        s"l$r"
+      )
+    }
+    val com = labels.groupBy(col("lbl").as("community")).agg(count(lit(1)).as("n_members"))
+    com.persist()
+    com
+      .filter(col("n_members") >= 2)
+      .crossJoin(broadcast(com.agg(count(lit(1)).as("n_communities"))))
+      .select(col("community"), col("n_members"), col("n_communities"))
+      .orderBy(desc("n_members"), asc("community"))
+      .limit(20)
+  }
 }

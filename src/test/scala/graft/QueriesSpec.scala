@@ -2963,4 +2963,49 @@ class QueriesSpec extends SparkSpec {
     val q = BigInt(1048576)
     assert(BigInt(rows.head.getAs[Long]("min_sse_fp")) === s2 * q - (s1 * s1 * q) / n)
   }
+
+  test("mutual-best matching: the assignment is one-to-one across all rounds") {
+    val rows = Queries.mutualBestMatching(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val news = rows.map(_.getAs[Long]("new_id"))
+    val olds = rows.map(_.getAs[Long]("old_id"))
+    assert(news.distinct.length === news.length, "a new doc claimed two old docs")
+    assert(olds.distinct.length === olds.length, "an old doc was claimed twice")
+    rows.foreach(r => assert(r.getAs[Int]("round") >= 1 && r.getAs[Int]("round") <= 3))
+  }
+
+  test("group k-fold: zero entity leakage and shares that sum to the corpus") {
+    val rows = Queries.groupKFold(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("max_folds_per_user") === 1L, "a user's events crossed folds"))
+    val share = rows.map(_.getAs[Long]("share_permille")).sum
+    assert(share >= 1000L - rows.length && share <= 1000L, s"fold shares must tile the corpus: $share")
+  }
+
+  test("kendall tau: concordant + discordant tile all k(k-1)/2 pairs (no ties by construction)") {
+    val r = Queries.kendallTau(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_pairs") === 190L)
+    assert(r.getAs[Long]("concordant") + r.getAs[Long]("discordant") === 190L)
+    val tau = r.getAs[Long]("tau_permille")
+    assert(tau >= -1000L && tau <= 1000L)
+  }
+
+  test("label propagation: every reported community is a subset of one connected component") {
+    // LPA refines CC — a community spanning two q80 clusters would be
+    // structurally impossible (labels only travel along edges)
+    val com = Queries.labelPropagation(spark, sfDir).collect()
+    assert(com.nonEmpty)
+    com.foreach(r => assert(r.getAs[Long]("n_members") >= 2L))
+    val clusters = Queries
+      .dedupClusters(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster"))
+      .toMap
+    // the community label IS a member id (labels start as ids and only
+    // ever adopt a neighbor's), so it must sit in some cluster
+    com.foreach { r =>
+      val c = r.getAs[Long]("community")
+      assert(clusters.contains(c), s"community label $c is not a graph node")
+    }
+  }
 }
