@@ -4522,6 +4522,24 @@ object Oracles {
         |    - sum(CASE WHEN a.qi > b.qi THEN 1 ELSE 0 END)) * 1000 // count(*) AS BIGINT) AS tau_permille
         |FROM rk a JOIN rk b ON a.ri < b.ri""".stripMargin,
     "q350_label_propagation" -> labelPropSql,
+    "q351_auc_report" ->
+      raw"""WITH d AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ws,
+         |    CAST(len(regexp_replace(trim(text), '\s+', '', 'g')) AS BIGINT) AS sum_len FROM documents),
+         |f AS (SELECT CAST(len(ws) AS BIGINT) AS n_tok, sum_len,
+         |    CAST(len(list_filter(ws, x -> list_contains(['the','a','and','is','of'], x))) AS BIGINT) AS n_stop,
+         |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct FROM d),
+         |sc AS (SELECT n_tok * 10 + (n_stop * 1000 // n_tok) * 3 + (n_distinct * 1000 // n_tok) * 2 AS score,
+         |    CASE WHEN n_tok >= 30 AND n_tok <= 600 AND sum_len >= n_tok * 3 AND sum_len <= n_tok * 6
+         |      AND n_stop * 50 >= n_tok AND n_distinct * 5 >= n_tok THEN 1 ELSE 0 END AS pos FROM f),
+         |bys AS (SELECT score, CAST(sum(pos) AS BIGINT) AS np, CAST(sum(1 - pos) AS BIGINT) AS nn
+         |  FROM sc GROUP BY 1),
+         |pre AS (SELECT *, CAST(sum(nn) OVER (ORDER BY score) AS BIGINT) - nn AS cumneg FROM bys),
+         |ag AS (SELECT CAST(sum(np) AS BIGINT) AS p, CAST(sum(nn) AS BIGINT) AS n,
+         |    sum(CAST(np AS HUGEINT) * (2 * cumneg + nn)) AS num2 FROM pre)
+         |SELECT p AS n_pos, n AS n_neg,
+         |  CAST(num2 * 10000 // (2 * p * n) AS BIGINT) AS auc_permyriad,
+         |  CAST(num2 * 10000 // (p * n) - 10000 AS BIGINT) AS gini_permyriad
+         |FROM ag""".stripMargin,
     // full-rebuild summary; the engine's incremental fold must land on
     // the same bits, so incremental_ok is a literal 1 it has to earn
     "q338_scd2_incremental" ->

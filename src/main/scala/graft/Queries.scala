@@ -10492,4 +10492,56 @@ object Queries {
       .orderBy(desc("n_members"), asc("community"))
       .limit(20)
   }
+
+  // Exact ROC-AUC — the threshold-free companion to q221's calibration
+  // and q262's gains table: does q212's cheap quality score RANK
+  // rule-passing documents (the q92 predicate label) above failing
+  // ones? AUC is the Mann-Whitney statistic, computed EXACTLY and
+  // tie-aware from the score histogram: group by distinct score value,
+  // prefix-sum the negatives below, then
+  // 2·P·N·AUC = Σ_v np_v·(2·cumneg_<v + nn_v) — wins count double,
+  // ties once, all integer (the midrank rule without midranks). On
+  // this corpus the verdict is AUC < ½: the score is dominated by raw
+  // token count while the rule label CAPS length at 600 words, so the
+  // score anti-ranks the label — exactly the misalignment an AUC
+  // audit exists to catch before anyone thresholds that score. Scale
+  // shape: one corpus pass to the VALUE-bounded score histogram; the
+  // prefix sum runs over the distinct-score support (the q233 CDF
+  // posture), never the corpus — this is the q67 lesson applied to
+  // AUC, where the naive rank-sum would be a corpus-cardinality
+  // unpartitioned window.
+  def aucReport(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextOps.tokens(col("text"))
+    val nTok = size(ws).cast("long")
+    val nStop = size(filter(ws, w => w.isInCollection(Seq("the", "a", "and", "is", "of")))).cast("long")
+    val nDistinct = size(array_distinct(ws)).cast("long")
+    val scored = t(s, dir, "documents")
+      .select(
+        nTok.as("n_tok"),
+        (nStop * 1000).as("stop_milli"),
+        (nDistinct * 1000).as("div_milli"),
+        qualityFlags(col("text")).all.cast("long").as("pos")
+      )
+      .select(
+        (col("n_tok") * 10 + expr("stop_milli div n_tok") * 3 + expr("div_milli div n_tok") * 2)
+          .as("score"),
+        col("pos")
+      )
+    val byScore = scored
+      .groupBy("score")
+      .agg(sum(col("pos")).as("np"), sum(lit(1L) - col("pos")).as("nn"))
+    val pre = byScore.withColumn("cumneg", sum(col("nn")).over(Window.orderBy("score")) - col("nn"))
+    pre
+      .agg(
+        sum(col("np")).as("p"),
+        sum(col("nn")).as("n"),
+        sum(expr("CAST(np AS DECIMAL(38,0)) * (2 * cumneg + nn)")).as("num2")
+      )
+      .select(
+        col("p").as("n_pos"),
+        col("n").as("n_neg"),
+        expr("CAST(num2 * 10000 div (2 * p * n) AS BIGINT)").as("auc_permyriad"),
+        expr("CAST(num2 * 10000 div (p * n) - 10000 AS BIGINT)").as("gini_permyriad")
+      )
+  }
 }

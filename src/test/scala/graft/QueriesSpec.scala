@@ -2990,6 +2990,34 @@ class QueriesSpec extends SparkSpec {
     assert(tau >= -1000L && tau <= 1000L)
   }
 
+  test("auc report: the histogram rank-sum replays brute-force pair counting") {
+    val r = Queries.aucReport(spark, sfDir).collect().head
+    // brute force over the collected (score, pos) sample: wins + ties/2;
+    // tokenization mirrors TextOps.tokens (trim + split on \s+)
+    val docs = graft.sources.Tables
+      .parquet(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.col("text"))
+      .collect()
+      .map(_.getString(0).trim.split("\\s+").toSeq)
+    val sp = docs.map { toks =>
+      val nTok = toks.length.toLong
+      val nStop = toks.count(Set("the", "a", "and", "is", "of")).toLong
+      val nDist = toks.distinct.length.toLong
+      val sumLen = toks.map(_.length).sum.toLong
+      val score = nTok * 10 + nStop * 1000 / nTok * 3 + nDist * 1000 / nTok * 2
+      val pos = nTok >= 30 && nTok <= 600 && sumLen >= nTok * 3 && sumLen <= nTok * 6 &&
+        nStop * 50 >= nTok && nDist * 5 >= nTok
+      (score, pos)
+    }
+    val posS = sp.filter(_._2).map(_._1)
+    val negS = sp.filterNot(_._2).map(_._1)
+    assert(r.getAs[Long]("n_pos") === posS.length.toLong)
+    assert(r.getAs[Long]("n_neg") === negS.length.toLong)
+    val num2 = posS.map(p => negS.count(n => p > n) * 2L + negS.count(n => p == n).toLong).sum
+    val expected = BigInt(num2) * 10000 / (2L * posS.length * negS.length)
+    assert(BigInt(r.getAs[Long]("auc_permyriad")) === expected)
+  }
+
   test("label propagation: every reported community is a subset of one connected component") {
     // LPA refines CC — a community spanning two q80 clusters would be
     // structurally impossible (labels only travel along edges)
