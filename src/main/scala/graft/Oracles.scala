@@ -4540,6 +4540,8 @@ object Oracles {
          |  CAST(num2 * 10000 // (2 * p * n) AS BIGINT) AS auc_permyriad,
          |  CAST(num2 * 10000 // (p * n) - 10000 AS BIGINT) AS gini_permyriad
          |FROM ag""".stripMargin,
+    "q352_lof_outliers" -> lofSql,
+    "q353_cohens_kappa" -> kappaSql,
     // full-rebuild summary; the engine's incremental fold must land on
     // the same bits, so incremental_ok is a literal 1 it has to earn
     "q338_scd2_incremental" ->
@@ -5160,6 +5162,69 @@ object Oracles {
        |  CAST(est_final_rows AS BIGINT) AS est_final_rows,
        |  CAST(CASE WHEN est_cost = (SELECT min(est_cost) FROM costs) THEN 1 ELSE 0 END AS INTEGER) AS is_best
        |FROM costs ORDER BY est_cost, join_order""".stripMargin
+  }
+
+  /** q352: within-cell LOF replayed — the q36 Lloyd assignment CTEs,
+    * then integer-grid distances, corrected isqrt, and the fixed-point
+    * lrd/lof chain.
+    */
+  private lazy val lofSql: String = {
+    import IvfSqlBits.score
+    s"""WITH ${IvfSqlBits.lloydCtes},
+       |sf AS (SELECT v.vid, v.e, c.j, ${score("v", "c")} AS s FROM v, c2 c),
+       |asn AS (SELECT vid, e, j AS cell FROM (SELECT vid, e, j,
+       |    row_number() OVER (PARTITION BY vid ORDER BY s DESC, j DESC) AS rn FROM sf) t WHERE rn = 1),
+       |sz AS (SELECT cell, count(*) AS n FROM asn GROUP BY 1),
+       |ok AS (SELECT asn.vid, asn.cell, list_transform(asn.e, x -> CAST(floor(x * 1024) AS BIGINT)) AS q
+       |  FROM asn JOIN sz USING (cell) WHERE n >= 4),
+       |pr AS (SELECT a.vid AS av, b.vid AS bv, a.cell AS cell,
+       |    CAST(list_sum(list_transform(generate_series(1, 64), i ->
+       |      (a.q[CAST(i AS INTEGER)] - b.q[CAST(i AS INTEGER)])
+       |        * (a.q[CAST(i AS INTEGER)] - b.q[CAST(i AS INTEGER)]))) AS BIGINT) AS d2
+       |  FROM ok a JOIN ok b ON a.cell = b.cell AND a.vid <> b.vid),
+       |dd AS (SELECT *, CAST(floor(sqrt(CAST(d2 AS DOUBLE))) AS BIGINT) AS s0 FROM pr),
+       |de AS (SELECT av, bv, cell,
+       |    CASE WHEN (s0 + 1) * (s0 + 1) <= d2 THEN s0 + 1 WHEN s0 * s0 > d2 THEN s0 - 1 ELSE s0 END AS d
+       |  FROM dd),
+       |nb AS (SELECT av, bv, cell, d FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY av ORDER BY d, bv) AS rn FROM de) t WHERE rn <= 3),
+       |kd AS (SELECT av AS vid, max(d) AS kdist FROM nb GROUP BY 1),
+       |lr AS (SELECT nb.av AS vid,
+       |    CAST(3 * 1048576 // greatest(sum(greatest(kb.kdist, nb.d)), 1) AS BIGINT) AS lrd
+       |  FROM nb JOIN kd kb ON kb.vid = nb.bv GROUP BY 1),
+       |sl AS (SELECT nb.av AS vid, CAST(sum(lb.lrd) AS BIGINT) AS slrd
+       |  FROM nb JOIN lr lb ON lb.vid = nb.bv GROUP BY 1)
+       |SELECT sl.vid AS vec_id, CAST(ok.cell AS INTEGER) AS cell, kd.kdist, lr.lrd AS lrd_fp,
+       |  CAST(sl.slrd * 1000 // (3 * lr.lrd) AS BIGINT) AS lof_permille
+       |FROM sl JOIN lr ON lr.vid = sl.vid JOIN kd ON kd.vid = sl.vid JOIN ok ON ok.vid = sl.vid
+       |ORDER BY lof_permille DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** q353: κ replayed — q36 Lloyd assignment, per-cell majority label
+    * (count desc, label asc), then the confusion-matrix integers.
+    */
+  private lazy val kappaSql: String = {
+    import IvfSqlBits.score
+    s"""WITH ${IvfSqlBits.lloydCtes},
+       |sf AS (SELECT v.vid, c.j, ${score("v", "c")} AS s FROM v, c2 c),
+       |asn AS (SELECT vid, j AS cell FROM (SELECT vid, j,
+       |    row_number() OVER (PARTITION BY vid ORDER BY s DESC, j DESC) AS rn FROM sf) t WHERE rn = 1),
+       |lab AS (SELECT a.vid, a.cell, e2.label FROM asn a JOIN embeddings e2 ON e2.vec_id = a.vid),
+       |mj AS (SELECT cell, label AS pred FROM (SELECT cell, label,
+       |    row_number() OVER (PARTITION BY cell ORDER BY c DESC, label) AS rn
+       |  FROM (SELECT cell, label, count(*) AS c FROM lab GROUP BY 1, 2)) t WHERE rn = 1),
+       |cf AS (SELECT lab.label, mj.pred, count(*) AS c FROM lab JOIN mj USING (cell) GROUP BY 1, 2),
+       |dg AS (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS agree FROM cf WHERE label = pred),
+       |rc AS (SELECT label, sum(c) AS rowc FROM cf GROUP BY 1),
+       |cc AS (SELECT pred AS label, sum(c) AS colc FROM cf GROUP BY 1),
+       |ch AS (SELECT sum(CAST(COALESCE(rowc, 0) AS HUGEINT) * COALESCE(colc, 0)) AS pe_num,
+       |    count(*) AS n_classes FROM rc FULL JOIN cc USING (label)),
+       |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cf)
+       |SELECT n, n_classes, CAST(agree * 1000 // n AS BIGINT) AS agree_permille,
+       |  CAST(pe_num * 1000 // (CAST(n AS HUGEINT) * n) AS BIGINT) AS chance_permille,
+       |  CAST((CAST(n AS HUGEINT) * agree - pe_num) * 1000
+       |    // (CAST(n AS HUGEINT) * n - pe_num) AS BIGINT) AS kappa_permille
+       |FROM nn, dg, ch""".stripMargin
   }
 
   /** q350: the four synchronous LPA rounds unrolled over the q27

@@ -10544,4 +10544,128 @@ object Queries {
         expr("CAST(num2 * 10000 div (p * n) - 10000 AS BIGINT)").as("gini_permyriad")
       )
   }
+
+  // Local Outlier Factor — density-ratio anomaly detection on the
+  // embedding corpus (Breunig et al.): a vector is anomalous when its
+  // local reachability density is low RELATIVE to its neighbors'
+  // (lof ≈ 1 inlier, ≫ 1 outlier), which catches cluster-edge
+  // stragglers that a global distance cutoff misses. Exactness
+  // contract: kNN (k=3) runs on the floor(x·2¹⁰) integer grid (the
+  // q324 convention) so distances are exact integers, sqrt via
+  // float-sqrt + a one-step integer correction (exact for d² < 2⁵²),
+  // and lrd/lof are fixed-point divisions both engines replay. Scale
+  // shape: neighbors are searched WITHIN the IVF coarse cell
+  // (q36/q197's deterministic Lloyd assignment — the documented
+  // approximation real LOF-at-scale systems make), so the pair join
+  // is cell-keyed, never all-pairs; everything downstream is keyed
+  // joins + keyed windows over 3-row neighbor sets. Cells smaller
+  // than k+1 abstain rather than emit degenerate densities; duplicate
+  // points guard the zero reach-sum (both documented).
+  def lofOutliers(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings").select(col("vec_id").as("vid"), col("embedding").as("e"))
+    base.persist()
+    val centroids = Similarity.trainCentroids(base.select(col("vid"), col("e")), nlist = 16, lloydIters = 2)
+    val asn = base.select(
+      col("vid"),
+      Similarity.coarseCell(col("e"), centroids).as("cell"),
+      expr("transform(e, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT))").as("q")
+    )
+    val ok = asn
+      .join(asn.groupBy("cell").agg(count(lit(1)).as("n")), Seq("cell"))
+      .filter(col("n") >= 4)
+      .select("vid", "cell", "q")
+    ok.persist()
+    val dd = ok
+      .as("a")
+      .join(ok.as("b"), col("a.cell") === col("b.cell") && col("a.vid") =!= col("b.vid"))
+      .select(
+        col("a.vid").as("av"),
+        col("b.vid").as("bv"),
+        col("a.cell").as("cell"),
+        expr("aggregate(zip_with(a.q, b.q, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+          .as("d2")
+      )
+      .withColumn("s0", expr("CAST(floor(sqrt(CAST(d2 AS DOUBLE))) AS BIGINT)"))
+      .withColumn(
+        "d",
+        expr("CASE WHEN (s0 + 1) * (s0 + 1) <= d2 THEN s0 + 1 WHEN s0 * s0 > d2 THEN s0 - 1 ELSE s0 END")
+      )
+    val nb = dd
+      .withColumn("rn", row_number().over(Window.partitionBy("av").orderBy("d", "bv")))
+      .filter(col("rn") <= 3)
+      .select("av", "bv", "cell", "d")
+    nb.persist()
+    val kd = nb.groupBy(col("av").as("vid")).agg(max(col("d")).as("kdist"))
+    val lr = nb
+      .join(kd.select(col("vid").as("bv"), col("kdist").as("kb")), Seq("bv"))
+      .groupBy(col("av").as("vid"))
+      .agg(expr("CAST(3 * 1048576 div greatest(sum(greatest(kb, d)), 1) AS BIGINT)").as("lrd"))
+    nb.join(lr.select(col("vid").as("bv"), col("lrd").as("lb")), Seq("bv"))
+      .groupBy(col("av").as("vid"))
+      .agg(sum(col("lb")).as("slrd"))
+      .join(lr, Seq("vid"))
+      .join(kd, Seq("vid"))
+      .join(ok.select(col("vid"), col("cell")), Seq("vid"))
+      .select(
+        col("vid").as("vec_id"),
+        col("cell").cast("int").as("cell"),
+        col("kdist"),
+        col("lrd").as("lrd_fp"),
+        expr("CAST(slrd * 1000 div (3 * lrd) AS BIGINT)").as("lof_permille")
+      )
+      .orderBy(desc("lof_permille"), asc("vec_id"))
+      .limit(10)
+  }
+
+  // Cohen's κ — chance-corrected agreement, the missing piece next to
+  // q286's purity and q321's accuracy: does the UNSUPERVISED coarse
+  // quantizer (each vector predicted as its IVF cell's majority label)
+  // agree with the true labels beyond what the marginals alone would
+  // produce? Raw agreement flatters imbalanced labelings; κ subtracts
+  // the chance floor p_e = Σ_c row_c·col_c / n². Pure confusion-matrix
+  // integers: κ·1000 = (n·Σdiag − Σ row·col)·1000 div (n² − Σ row·col).
+  // Scale shape: assignment is the broadcast-centroid argmax (one
+  // pass), majority-per-cell is a keyed argmax over the cell×label
+  // frame, and everything after lives on the |classes|²-bounded
+  // confusion matrix.
+  def cohensKappa(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings").select(col("vec_id").as("vid"), col("embedding").as("e"), col("label"))
+    base.persist()
+    val centroids = Similarity.trainCentroids(base.select(col("vid"), col("e")), nlist = 16, lloydIters = 2)
+    val asn = base.select(col("vid"), col("label"), Similarity.coarseCell(col("e"), centroids).as("cell"))
+    asn.persist()
+    val majority = asn
+      .groupBy("cell", "label")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("cell")
+      .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l"))).as("b"))
+      .select(col("cell"), col("b.l").as("pred"))
+    val conf = asn
+      .join(majority, Seq("cell"))
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("c"))
+    conf.persist()
+    val diag = conf.filter(col("label") === col("pred")).agg(coalesce(sum(col("c")), lit(0L)).as("agree"))
+    val chance = conf
+      .groupBy("label")
+      .agg(sum(col("c")).as("rowc"))
+      .join(conf.groupBy(col("pred").as("label")).agg(sum(col("c")).as("colc")), Seq("label"), "full")
+      .agg(
+        sum(expr("CAST(coalesce(rowc, 0) AS DECIMAL(38,0)) * coalesce(colc, 0)")).as("pe_num"),
+        count(lit(1)).as("n_classes")
+      )
+    conf
+      .agg(sum(col("c")).as("n"))
+      .crossJoin(broadcast(diag))
+      .crossJoin(broadcast(chance))
+      .select(
+        col("n"),
+        col("n_classes"),
+        expr("agree * 1000 div n").as("agree_permille"),
+        expr("CAST(pe_num * 1000 div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)").as("chance_permille"),
+        expr(
+          "CAST((CAST(n AS DECIMAL(38,0)) * agree - pe_num) * 1000 div (CAST(n AS DECIMAL(38,0)) * n - pe_num) AS BIGINT)"
+        ).as("kappa_permille")
+      )
+  }
 }

@@ -499,6 +499,13 @@ object Similarity {
     bridge.column(graft.plans.NearestCells(bridge.expression(v), centroids, n))
   }
 
+  /** The single nearest coarse cell — the IVF assignment (q36/q197
+    * argmax, same deterministic tie rule) exposed for operators that
+    * partition work BY cell (q352's within-cell LOF).
+    */
+  private[graft] def coarseCell(v: Column, centroids: Array[Array[Double]]): Column =
+    element_at(cellsOf(v, centroids, 1), 1)
+
   /** Product-quantization ANN — the fourth rung of the ladder
     * (brute q29 → hyperplane LSH q31 → IVF q36 → PQ): the corpus is
     * compressed to `m` small codes per vector (one per `dim/m`-wide

@@ -3018,6 +3018,26 @@ class QueriesSpec extends SparkSpec {
     assert(BigInt(r.getAs[Long]("auc_permyriad")) === expected)
   }
 
+  test("lof outliers: densities positive, report sorted, and lof is a genuine ratio") {
+    val rows = Queries.lofOutliers(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("kdist") > 0L && r.getAs[Long]("lrd_fp") > 0L && r.getAs[Long]("lof_permille") > 0L)
+    }
+    val lofs = rows.map(_.getAs[Long]("lof_permille"))
+    assert(lofs.sameElements(lofs.sortBy(-_)), "top-10 must be sorted by lof desc")
+  }
+
+  test("cohens kappa: the chance correction sits between raw agreement and zero") {
+    val r = Queries.cohensKappa(spark, sfDir).collect().head
+    val (agree, chance, kappa) =
+      (r.getAs[Long]("agree_permille"), r.getAs[Long]("chance_permille"), r.getAs[Long]("kappa_permille"))
+    assert(kappa >= -1000L && kappa <= 1000L)
+    // sign of kappa follows sign of (agree - chance), and |kappa| <= |agree normalized|
+    assert((kappa > 0) === (agree > chance) || kappa === 0L)
+    assert(kappa <= agree, "chance correction can only shrink positive agreement")
+  }
+
   test("label propagation: every reported community is a subset of one connected component") {
     // LPA refines CC — a community spanning two q80 clusters would be
     // structurally impossible (labels only travel along edges)
