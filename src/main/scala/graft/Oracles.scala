@@ -4542,6 +4542,64 @@ object Oracles {
          |FROM ag""".stripMargin,
     "q352_lof_outliers" -> lofSql,
     "q353_cohens_kappa" -> kappaSql,
+    "q354_ucb_index" -> {
+      def mn(e: String) = s"CAST(floor(ln(CAST($e AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+      s"""WITH ev AS (SELECT CAST(ts AS DATE) AS day, event_type AS arm,
+         |    CASE WHEN value >= 50 THEN 1 ELSE 0 END AS succ FROM events),
+         |daily AS (SELECT day, arm, count(*) AS t, CAST(sum(succ) AS BIGINT) AS sx FROM ev GROUP BY 1, 2),
+         |spine AS (SELECT day, arm FROM (SELECT DISTINCT day FROM ev), (SELECT DISTINCT arm FROM ev)),
+         |cum AS (SELECT s.day, s.arm, COALESCE(d.t, 0) AS t, COALESCE(d.sx, 0) AS sx
+         |  FROM spine s LEFT JOIN daily d USING (day, arm)),
+         |ci AS (SELECT *, CAST(sum(t) OVER (PARTITION BY arm ORDER BY day) AS BIGINT) AS n_i,
+         |    CAST(sum(sx) OVER (PARTITION BY arm ORDER BY day) AS BIGINT) AS s_i FROM cum),
+         |dt AS (SELECT day, CAST(sum(t) AS BIGINT) AS dtot FROM daily GROUP BY 1),
+         |dn AS (SELECT day, CAST(sum(dtot) OVER (ORDER BY day) AS BIGINT) AS nn FROM dt),
+         |wt AS (SELECT ci.*, dn.nn FROM ci JOIN dn USING (day) WHERE n_i > 0),
+         |ix AS (SELECT *, s_i * 1000000 // n_i AS mean_micro, ${mn("nn")} AS lnn FROM wt),
+         |b AS (SELECT *, 2 * lnn * 1000000 // n_i AS b2 FROM ix),
+         |sc AS (SELECT *, CAST(floor(sqrt(CAST(b2 AS DOUBLE))) AS BIGINT) AS s0 FROM b),
+         |u AS (SELECT *, mean_micro + (CASE WHEN (s0 + 1) * (s0 + 1) <= b2 THEN s0 + 1
+         |    WHEN s0 * s0 > b2 THEN s0 - 1 ELSE s0 END) AS ucb_micro FROM sc),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY day ORDER BY ucb_micro DESC, arm) AS rk FROM u)
+         |SELECT strftime(day, '%Y-%m-%d') AS day, arm, n_i,
+         |  CAST(mean_micro AS BIGINT) AS mean_micro, CAST(ucb_micro AS BIGINT) AS ucb_micro,
+         |  CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS INTEGER) AS is_chosen
+         |FROM rk ORDER BY day, arm""".stripMargin
+    },
+    "q355_good_turing" ->
+      raw"""WITH w AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         |i3 AS (SELECT ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w WHERE len(ws) >= 3),
+         |bg AS (SELECT ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1]
+         |    || ' ' || ws[CAST(i AS INTEGER) + 2] AS g FROM i3),
+         |fr AS (SELECT g, count(*) AS f FROM bg GROUP BY 1),
+         |nr AS (SELECT f AS r, count(*) AS n_r FROM fr GROUP BY 1),
+         |tot AS (SELECT CAST(sum(f) AS BIGINT) AS n_tok, count(*) AS n_vocab FROM fr),
+         |n1 AS (SELECT CAST(COALESCE(sum(n_r), 0) AS BIGINT) AS n_1 FROM nr WHERE r = 1)
+         |SELECT CAST(a.r AS BIGINT) AS r, a.n_r,
+         |  CAST(COALESCE(b.n_r, 0) AS BIGINT) AS n_r_plus1,
+         |  CAST((a.r + 1) * COALESCE(b.n_r, 0) * 1000 // a.n_r AS BIGINT) AS rstar_permille,
+         |  n_tok, n_vocab, CAST(n_1 * 10000 // n_tok AS BIGINT) AS unseen_mass_permyriad
+         |FROM nr a LEFT JOIN nr b ON b.r = a.r + 1, tot, n1
+         |WHERE a.r <= 5 ORDER BY r""".stripMargin,
+    "q356_chi_squared" ->
+      """WITH o AS (SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2),
+        |r AS (SELECT source, CAST(sum(o) AS BIGINT) AS rc FROM o GROUP BY 1),
+        |c AS (SELECT lang, CAST(sum(o) AS BIGINT) AS cc FROM o GROUP BY 1),
+        |g AS (SELECT r.source, c.lang, CAST(COALESCE(o.o, 0) AS BIGINT) AS o, r.rc, c.cc
+        |  FROM r CROSS JOIN c LEFT JOIN o ON o.source = r.source AND o.lang = c.lang),
+        |nt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+        |dm AS (SELECT (SELECT count(*) FROM r) AS nr, (SELECT count(*) FROM c) AS nc),
+        |ag AS (SELECT CAST(sum((CAST(o AS HUGEINT) * n - CAST(rc AS HUGEINT) * cc)
+        |      * (CAST(o AS HUGEINT) * n - CAST(rc AS HUGEINT) * cc) * 1000
+        |      // (CAST(rc AS HUGEINT) * cc)) AS HUGEINT) AS num, max(n) AS n FROM g, nt),
+        |st AS (SELECT n, nr, nc, (nr - 1) * (nc - 1) AS dof,
+        |    CAST(num // n AS BIGINT) AS chi2_milli FROM ag, dm),
+        |v2 AS (SELECT *, chi2_milli * 1000 // (n * least(nr - 1, nc - 1)) AS v2 FROM st),
+        |sq AS (SELECT *, CAST(floor(sqrt(CAST(v2 AS DOUBLE))) AS BIGINT) AS s0 FROM v2)
+        |SELECT n, nr AS n_rows, nc AS n_cols, CAST(dof AS BIGINT) AS dof, chi2_milli,
+        |  CAST(CASE WHEN (s0 + 1) * (s0 + 1) <= v2 THEN s0 + 1
+        |    WHEN s0 * s0 > v2 THEN s0 - 1 ELSE s0 END AS BIGINT) AS cramers_v_permille
+        |FROM sq""".stripMargin,
     // full-rebuild summary; the engine's incremental fold must land on
     // the same bits, so incremental_ok is a literal 1 it has to earn
     "q338_scd2_incremental" ->

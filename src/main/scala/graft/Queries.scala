@@ -10668,4 +10668,161 @@ object Queries {
         ).as("kappa_permille")
       )
   }
+
+  // UCB1 index table — the bandit companion to q331's SPRT: at each
+  // day boundary, every arm's optimism-adjusted index
+  // ucb = mean + √(2·ln N / n_arm) (Auer et al.), the quantity an
+  // explore/exploit scheduler would argmax the next morning. All
+  // integer: means in micro, ln via the established micro-nat call,
+  // and the square root via q352's corrected integer sqrt —
+  // bonus_micro = isqrt(2·mn(N)·10⁶ div n). The day×arm grid is
+  // DENSIFIED (day spine × broadcast arms) so cumulative counts are
+  // right even on days an arm sat idle; is_chosen marks the argmax
+  // (ties to the lexicographically first arm). Scale shape: one keyed
+  // day×arm aggregate, cumulative sums PARTITIONED BY ARM
+  // (date-cardinality keyed windows), and the argmax is a keyed
+  // per-day rank over |arms| rows.
+  def ucbIndexTable(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(s, dir)
+      .select(
+        to_date(col("ts")).as("day"),
+        col("event_type").as("arm"),
+        (col("value") >= 50.0).cast("long").as("succ")
+      )
+    val daily = ev.groupBy("day", "arm").agg(count(lit(1)).as("t"), sum(col("succ")).as("sx"))
+    val spine = ev.select("day").distinct().crossJoin(broadcast(ev.select("arm").distinct()))
+    val byArm = Window.partitionBy("arm").orderBy("day")
+    val cum = spine
+      .join(daily, Seq("day", "arm"), "left")
+      .select(col("day"), col("arm"), coalesce(col("t"), lit(0L)).as("t"), coalesce(col("sx"), lit(0L)).as("sx"))
+      .withColumn("n_i", sum(col("t")).over(byArm))
+      .withColumn("s_i", sum(col("sx")).over(byArm))
+    // total pulls N from the per-DAY aggregate (date-cardinality — the
+    // q114 posture), then joins back onto the arm grid
+    val dayTotals = daily
+      .groupBy("day")
+      .agg(sum(col("t")).as("dt"))
+      .withColumn("nn", sum(col("dt")).over(Window.orderBy("day")))
+      .select("day", "nn")
+    val withTotal = cum
+      .join(dayTotals, Seq("day"))
+      .filter(col("n_i") > 0)
+      .withColumn("mean_micro", expr("s_i * 1000000 div n_i"))
+      .withColumn("lnN_micro", microNats(col("nn")))
+      .withColumn("b2", expr("2 * lnN_micro * 1000000 div n_i"))
+      .withColumn("s0", expr("CAST(floor(sqrt(CAST(b2 AS DOUBLE))) AS BIGINT)"))
+      .withColumn(
+        "bonus_micro",
+        expr("CASE WHEN (s0 + 1) * (s0 + 1) <= b2 THEN s0 + 1 WHEN s0 * s0 > b2 THEN s0 - 1 ELSE s0 END")
+      )
+      .withColumn("ucb_micro", col("mean_micro") + col("bonus_micro"))
+    withTotal
+      .withColumn("rk", row_number().over(Window.partitionBy("day").orderBy(desc("ucb_micro"), asc("arm"))))
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("arm"),
+        col("n_i"),
+        col("mean_micro"),
+        col("ucb_micro"),
+        when(col("rk") === 1, 1).otherwise(0).cast("int").as("is_chosen")
+      )
+      .orderBy("day", "arm")
+  }
+
+  // Good-Turing frequency re-estimation — the smoothing idea UNDER
+  // q237/q274's Kneser-Ney: how much probability mass do the unseen
+  // TRIGRAMS deserve, and how should low counts be discounted? (The
+  // support is trigrams, not words: this corpus's word vocabulary is
+  // dense — min frequency ≈ 26 — so word-level N_{r≤5} is empty,
+  // while trigrams carry the Zipf singleton tail GT was invented
+  // for.) From the frequency-of-frequencies table N_r, the GT
+  // adjusted count is r* = (r+1)·N_{r+1}/N_r and the unseen mass is
+  // N₁/N (Good 1953) — reported raw for r ≤ 5 where N_r is large
+  // (the Gale–Sampson smoothing of the N_r tail is out of scope and
+  // flagged by the n_r column itself). Everything is a ratio of
+  // counts → exact integers. Scale shape: one shingle pass → keyed
+  // trigram counts → |distinct r|-bounded frequency-of-frequencies
+  // table → keyed self-join on r+1.
+  def goodTuring(s: SparkSession, dir: String): DataFrame = {
+    val freq = t(s, dir, "documents")
+      .select(explode(TextOps.wordShingles(TextOps.tokens(col("text")), 3)).as("g"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("f"))
+    freq.persist()
+    val nr = freq.groupBy(col("f").as("r")).agg(count(lit(1)).as("n_r"))
+    nr.persist()
+    val tot = freq.agg(sum(col("f")).as("n_tok"), count(lit(1)).as("n_vocab"))
+    val n1 = nr.filter(col("r") === 1).agg(coalesce(sum(col("n_r")), lit(0L)).as("n_1"))
+    nr.filter(col("r") <= 5)
+      .join(nr.select((col("r") - 1).as("r"), col("n_r").as("n_r1")), Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(n1))
+      .select(
+        col("r"),
+        col("n_r"),
+        coalesce(col("n_r1"), lit(0L)).as("n_r_plus1"),
+        expr("(r + 1) * coalesce(n_r1, 0) * 1000 div n_r").as("rstar_permille"),
+        col("n_tok"),
+        col("n_vocab"),
+        expr("n_1 * 10000 div n_tok").as("unseen_mass_permyriad")
+      )
+      .orderBy("r")
+  }
+
+  // Pearson χ² independence test + Cramér's V — the statistical audit
+  // behind every "is this feature informative" question (q342's FD
+  // profile asks it structurally; χ² asks it distributionally): are
+  // source and language independent in the corpus? The contingency
+  // grid is DENSIFIED (observed-zero cells still carry expectation),
+  // and the statistic is exact fixed-point integer arithmetic:
+  // χ²·1000 = Σ_cells ((O·n − r·c)²·1000 div (r·c)) div n, Cramér's V
+  // via q352's corrected isqrt. Scale shape: one keyed contingency
+  // aggregate; the grid is |sources|×|langs|-bounded, the marginals
+  // keyed, and nothing after the first pass touches a document.
+  def chiSquared(s: SparkSession, dir: String): DataFrame = {
+    val obs = t(s, dir, "documents").groupBy("source", "lang").agg(count(lit(1)).as("o"))
+    obs.persist()
+    val rows = obs.groupBy("source").agg(sum(col("o")).as("rc"))
+    val cols = obs.groupBy("lang").agg(sum(col("o")).as("cc"))
+    val grid = rows
+      .crossJoin(broadcast(cols))
+      .join(obs, Seq("source", "lang"), "left")
+      .select(col("source"), col("lang"), coalesce(col("o"), lit(0L)).as("o"), col("rc"), col("cc"))
+    val nTot = obs.agg(sum(col("o")).as("n"))
+    val dims = rows
+      .agg(count(lit(1)).as("nr"))
+      .crossJoin(broadcast(cols.agg(count(lit(1)).as("nc"))))
+    grid
+      .crossJoin(broadcast(nTot))
+      .agg(
+        sum(
+          expr(
+            "(CAST(o AS DECIMAL(38,0)) * n - CAST(rc AS DECIMAL(38,0)) * cc)" +
+              " * (CAST(o AS DECIMAL(38,0)) * n - CAST(rc AS DECIMAL(38,0)) * cc)" +
+              " * 1000 div (CAST(rc AS DECIMAL(38,0)) * cc)"
+          )
+        ).as("num"),
+        max(col("n")).as("n")
+      )
+      .crossJoin(broadcast(dims))
+      .select(
+        col("n"),
+        col("nr").as("n_rows"),
+        col("nc").as("n_cols"),
+        ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+        expr("CAST(num div n AS BIGINT)").as("chi2_milli")
+      )
+      .withColumn("v2", expr("chi2_milli * 1000 div (n * least(n_rows - 1, n_cols - 1))"))
+      .withColumn("s0", expr("CAST(floor(sqrt(CAST(v2 AS DOUBLE))) AS BIGINT)"))
+      .select(
+        col("n"),
+        col("n_rows"),
+        col("n_cols"),
+        col("dof"),
+        col("chi2_milli"),
+        expr("CASE WHEN (s0 + 1) * (s0 + 1) <= v2 THEN s0 + 1 WHEN s0 * s0 > v2 THEN s0 - 1 ELSE s0 END")
+          .as("cramers_v_permille")
+      )
+  }
 }

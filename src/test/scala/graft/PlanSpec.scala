@@ -626,7 +626,8 @@ class PlanSpec extends SparkSpec {
       "q311_budget_waterfill" -> "rank + prefix sum over the |S|-row per-source aggregate",
       "q326_ndcg" -> "inherits q198's 10-row post-limit rank (the q292 posture — the ranked list under eval)",
       "q340_lag_features" -> "lag/lead/RANGE frames over the per-DAY aggregate — date-cardinality (the q114/q180 posture)",
-      "q351_auc_report" -> "prefix negatives over the distinct-SCORE support, post keyed histogram reduction (the q233 posture)"
+      "q351_auc_report" -> "prefix negatives over the distinct-SCORE support, post keyed histogram reduction (the q233 posture)",
+      "q354_ucb_index" -> "cumulative trial total over the per-DAY aggregate — date-cardinality (the q114 posture); per-arm cumsums are keyed"
       // q320's date-cardinality RANGE windows sit under the persisted
       // `interior` subtree (InMemoryRelation), so the sweep never sees
       // them — bounded anyway (the q314 situation)

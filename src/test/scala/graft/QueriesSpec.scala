@@ -3038,6 +3038,41 @@ class QueriesSpec extends SparkSpec {
     assert(kappa <= agree, "chance correction can only shrink positive agreement")
   }
 
+  test("ucb index: one chosen arm per day, optimism never below the mean, trials never shrink") {
+    val rows = Queries.ucbIndexTable(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("day")).foreach { case (d, rs) =>
+      assert(rs.count(_.getAs[Int]("is_chosen") === 1) === 1, s"exactly one argmax on $d")
+    }
+    rows.foreach(r => assert(r.getAs[Long]("ucb_micro") >= r.getAs[Long]("mean_micro")))
+    rows.groupBy(_.getAs[String]("arm")).foreach { case (_, rs) =>
+      val ns = rs.sortBy(_.getAs[String]("day")).map(_.getAs[Long]("n_i"))
+      assert(ns.sameElements(ns.sorted), "cumulative trials must be non-decreasing")
+    }
+  }
+
+  test("good-turing: discounts reconstruct from the N_r table and the unseen mass from N_1") {
+    val rows = Queries.goodTuring(spark, sfDir).collect().sortBy(_.getAs[Long]("r"))
+    assert(rows.nonEmpty)
+    val byR = rows.map(r => r.getAs[Long]("r") -> r.getAs[Long]("n_r")).toMap
+    rows.foreach { r =>
+      val rr = r.getAs[Long]("r")
+      val expected = (rr + 1) * byR.getOrElse(rr + 1, r.getAs[Long]("n_r_plus1")) * 1000 / r.getAs[Long]("n_r")
+      assert(r.getAs[Long]("rstar_permille") === expected)
+    }
+    val head = rows.head
+    assert(head.getAs[Long]("r") === 1L)
+    assert(head.getAs[Long]("unseen_mass_permyriad") === head.getAs[Long]("n_r") * 10000 / head.getAs[Long]("n_tok"))
+  }
+
+  test("chi-squared: nonnegative statistic, V in [0,1], dof from the grid dims") {
+    val r = Queries.chiSquared(spark, sfDir).collect().head
+    assert(r.getAs[Long]("chi2_milli") >= 0L)
+    val v = r.getAs[Long]("cramers_v_permille")
+    assert(v >= 0L && v <= 1000L)
+    assert(r.getAs[Long]("dof") === (r.getAs[Long]("n_rows") - 1) * (r.getAs[Long]("n_cols") - 1))
+  }
+
   test("label propagation: every reported community is a subset of one connected component") {
     // LPA refines CC — a community spanning two q80 clusters would be
     // structurally impossible (labels only travel along edges)
