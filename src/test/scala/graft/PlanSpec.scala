@@ -622,35 +622,61 @@ class PlanSpec extends SparkSpec {
       "q295_conformal_interval" -> "prefix count over the residual-SUPPORT histogram (the q233 posture)",
       "q296_vocab_coverage" -> "vocab truncation over the |V|-bounded aggregate (the q245 pattern)",
       "q306_km_survival" -> "suffix/prefix sums over the WEEK-support frame (two windows, q233 posture)",
+      "q314_isotonic_calibration" -> "≤50-bin prefix windows under the persisted bin frame — bin-count cardinality, seen through the cache recursion",
+      "q320_seasonal_decompose" -> "date-cardinality RANGE windows under the persisted interior subtree (the q114 posture, behind a cache)",
+      "q346_voptimal_histogram" -> "rank/prefix-sum over the ≤50-value p_size SUPPORT under the persisted DP frame — counted once per cache reference",
+      "q349_kendall_tau" -> "rank windows over the 20-row post-TakeOrdered persisted frame (the q198 bound, behind a cache)",
       "q309_hybrid_rrf_fusion" -> "three post-limit ranks over ≤10-row frames (q198's + the tf list + the fused list)",
       "q311_budget_waterfill" -> "rank + prefix sum over the |S|-row per-source aggregate",
       "q326_ndcg" -> "inherits q198's 10-row post-limit rank (the q292 posture — the ranked list under eval)",
       "q340_lag_features" -> "lag/lead/RANGE frames over the per-DAY aggregate — date-cardinality (the q114/q180 posture)",
       "q351_auc_report" -> "prefix negatives over the distinct-SCORE support, post keyed histogram reduction (the q233 posture)",
       "q354_ucb_index" -> "cumulative trial total over the per-DAY aggregate — date-cardinality (the q114 posture); per-arm cumsums are keyed"
-      // q320's date-cardinality RANGE windows sit under the persisted
-      // `interior` subtree (InMemoryRelation), so the sweep never sees
-      // them — bounded anyway (the q314 situation)
-      // q314's ≤50-bin prefix-sum windows sit under a persisted subtree
-      // (InMemoryRelation), so the sweep never sees them — bounded anyway
     )
+    // persist() must not hide a window from this sweep: a cached
+    // subtree shows up in the optimized plan as an InMemoryRelation
+    // whose work lives in `cachedPlan` (a PHYSICAL plan), so the walk
+    // recurses into it — WindowExec with an empty partitionSpec counts
+    // exactly like a bare logical Window, and nested caches (an
+    // InMemoryTableScanExec inside a cached plan) recurse further.
+    // AQE wraps every cached plan in an AdaptiveSparkPlanExec LEAF —
+    // a plain collect stops there, which was exactly the blind spot.
+    // Unwrap it (and post-execution query stages) before collecting.
+    def physCount(sp: org.apache.spark.sql.execution.SparkPlan)(
+        hit: PartialFunction[org.apache.spark.sql.execution.SparkPlan, Int]
+    ): Int = {
+      val rec: PartialFunction[org.apache.spark.sql.execution.SparkPlan, Int] = {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          physCount(a.executedPlan)(hit)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          physCount(qs.plan)(hit)
+        case ts: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          physCount(ts.relation.cachedPlan)(hit)
+      }
+      sp.collect(rec.orElse(hit)).sum
+    }
+    def cachedBareWindows(sp: org.apache.spark.sql.execution.SparkPlan): Int =
+      physCount(sp) {
+        case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => 1
+      }
+    def cartesianCount(sp: org.apache.spark.sql.execution.SparkPlan): Int =
+      physCount(sp) { case _: org.apache.spark.sql.execution.joins.CartesianProductExec => 1 }
     val offenders = scala.collection.mutable.SortedMap[String, Int]()
     val cartesians = scala.collection.mutable.SortedSet[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       val bare = df.queryExecution.optimizedPlan.collect {
-        case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
-      }
-      if (bare.nonEmpty) offenders(name) = bare.length
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => 1
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          cachedBareWindows(r.cachedPlan)
+      }.sum
+      if (bare > 0) offenders(name) = bare
       // the OTHER scale-killer class: a non-broadcast product means the
       // planner could not broadcast either side — at corpus cardinality
       // that is |A|·|B| rows through every executor. No allowlist: the
       // engine's legitimate cross joins all broadcast a 1-row/domain-
       // bounded side and plan as BroadcastNestedLoopJoin instead.
-      val cart = df.queryExecution.sparkPlan.collect {
-        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
-      }
-      if (cart.nonEmpty) cartesians += name
+      if (cartesianCount(df.queryExecution.sparkPlan) > 0) cartesians += name
     }
     spark.catalog.clearCache()
     val unexpected = offenders.keySet -- allowlisted.keySet
