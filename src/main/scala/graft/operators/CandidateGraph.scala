@@ -141,6 +141,42 @@ object CandidateGraph {
 
   private val fpCache = new ConcurrentHashMap[String, String]()
 
+  /** The CONFIRMED new×old incremental-dedup pool `(new_id, old_id,
+    * inter, n1, n2)` — today's batch (doc_id ≡ 0 mod 5) probing the
+    * existing corpus's banding index, exact-Jaccard-confirmed at the
+    * 0.5 threshold. q202 reports it, q347's matching consumes it as
+    * its candidate pool; before this snapshot q347 re-derived the
+    * whole signatures→probe→confirm chain inline (the most expensive
+    * query in the suite for zero new information). At 100 TB this is
+    * the per-day `incoming_matches` table the continuous-dedup job
+    * publishes — scored once, consumed by every linkage step after.
+    */
+  def incrementalConfirmed(s: SparkSession, dir: String): DataFrame = {
+    val path = incCache.computeIfAbsent(
+      dir,
+      _ => {
+        val scratch = Scratch.dir("graft-incpairs")
+        val sh = shingles(s, dir)
+        val sigs = NearDup.minhashSignaturesFromShingles(sh, k = 16)
+        val cand = NearDup.lshProbePairs(
+          sigs.filter(col("doc_id") % 5 === 0),
+          sigs.filter(col("doc_id") % 5 =!= 0),
+          bands = 4,
+          rowsPerBand = 4
+        )
+        NearDup
+          .confirmJaccardHalf(cand, sh, "new_id", "old_id")
+          .write
+          .mode("overwrite")
+          .parquet(s"$scratch/inc")
+        s"$scratch/inc"
+      }
+    )
+    s.read.parquet(path)
+  }
+
+  private val incCache = new ConcurrentHashMap[String, String]()
+
   /** Dedup cluster labels `(id, cluster)` over the full documents
     * table and the [[pairs]] candidate graph — the connected-components
     * fixpoint, materialized once per dir like the other snapshots.
