@@ -245,8 +245,12 @@ object Oracles {
 
   /** The q193 statement with the final cut parameterized — q290 reuses
     * the whole training+probe chain at k_short=10 as its shortlist.
+    * `candPred`/`probePred` (extra AND-terms on the candidate corpus /
+    * query sides) let q357 mirror the erased-index serve: training is
+    * unchanged (erasure does not retrain), only candidates and queries
+    * shrink.
     */
-  private def annIvfPqSqlK(k: Int): String = {
+  private def annIvfPqSqlK(k: Int, candPred: String = "", probePred: String = ""): String = {
     val dim = 64; val nlist = 16; val nprobe = 4
     val dsub = 4; val m = 16; val ksub = 16
     def dotFull(a: String, b: String) =
@@ -284,8 +288,8 @@ object Oracles {
        |${piter(2, "pc1")},
        |fin AS (SELECT t.vid, t.is_q, t.e, c.j, ${scoreC("t", "c")} AS s FROM v t, cc2 c),
        |corpcell AS (SELECT vid AS nid, j AS ccell FROM (SELECT vid, j, row_number() OVER (PARTITION BY vid ORDER BY s DESC, j DESC) AS rn FROM fin) t WHERE rn = 1),
-       |probe AS (SELECT vid AS qid, j AS ccell FROM (SELECT vid, j, row_number() OVER (PARTITION BY vid ORDER BY s DESC, j DESC) AS rn FROM fin WHERE is_q) t WHERE rn <= $nprobe),
-       |cand AS (SELECT p.qid, c.nid FROM probe p JOIN corpcell c ON p.ccell = c.ccell AND p.qid <> c.nid),
+       |probe AS (SELECT vid AS qid, j AS ccell FROM (SELECT vid, j, row_number() OVER (PARTITION BY vid ORDER BY s DESC, j DESC) AS rn FROM fin WHERE is_q$probePred) t WHERE rn <= $nprobe),
+       |cand AS (SELECT p.qid, c.nid FROM probe p JOIN corpcell c ON p.ccell = c.ccell AND p.qid <> c.nid$candPred),
        |pfin AS (SELECT t.vid, t.sub, t.se, c.j, ${scoreP("t", "c")} AS s FROM vs t JOIN pc2 c ON c.sub = t.sub),
        |code AS (SELECT vid AS nid, sub, j AS cell FROM (SELECT vid, sub, j, row_number() OVER (PARTITION BY vid, sub ORDER BY s DESC, j DESC) AS rn FROM pfin) t WHERE rn = 1),
        |lut AS (SELECT t.vid AS qid, t.sub, c.j AS cell, CAST(${away(dotSub("t.se", "c.ce"), 6)} AS DECIMAL(25,6)) AS d
@@ -4600,6 +4604,44 @@ object Oracles {
         |  CAST(CASE WHEN (s0 + 1) * (s0 + 1) <= v2 THEN s0 + 1
         |    WHEN s0 * s0 > v2 THEN s0 - 1 ELSE s0 END AS BIGINT) AS cramers_v_permille
         |FROM sq""".stripMargin,
+    // erased-index serve: the SAME training (erasure never retrains),
+    // with the cohort removed from candidates and queries — exactly
+    // what serving from the rewritten corpus_cells/pq_codes tables
+    // must produce; the audit flag is pinned so any erased id that
+    // leaks into the served top-k fails the hash
+    "q357_erasure_stored_index" ->
+      s"""SELECT qid, nid, sim, rnk, CAST(1 AS BIGINT) AS no_erased_hit
+         |FROM (${annIvfPqSqlK(3, candPred = " AND c.nid % 20 <> 0", probePred = " AND vid % 20 <> 0")}) t
+         |ORDER BY qid, rnk""".stripMargin,
+    // full + old fixpoints via recursive CTEs; the engine's maintained
+    // labels must equal the full recompute bit-for-bit (eq_full earned
+    // per row), relabeled = new node or member of a touched component
+    "q358_incremental_clusters" ->
+      s"""WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ($minhashSql)),
+         |sym AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+         |),
+         |full_lbl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         |opairs AS (SELECT d1, d2 FROM pairs WHERE d1 % 5 <> 0 AND d2 % 5 <> 0),
+         |osym AS (SELECT d1 AS src, d2 AS dst FROM opairs UNION ALL SELECT d2, d1 FROM opairs),
+         |oreach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents WHERE doc_id % 5 <> 0
+         |  UNION
+         |  SELECT oreach.id, osym.dst FROM oreach JOIN osym ON oreach.r = osym.src
+         |),
+         |old_lbl AS (SELECT id, min(r) AS cluster FROM oreach GROUP BY id),
+         |dep AS (SELECT d1 AS id FROM pairs WHERE d1 % 5 = 0 OR d2 % 5 = 0
+         |  UNION SELECT d2 FROM pairs WHERE d1 % 5 = 0 OR d2 % 5 = 0),
+         |aff AS (SELECT DISTINCT ol.cluster FROM old_lbl ol JOIN dep ON dep.id = ol.id)
+         |SELECT f.id AS doc_id, f.cluster,
+         |  CAST(CASE WHEN f.id % 5 = 0 OR ol.cluster IN (SELECT cluster FROM aff)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS relabeled,
+         |  CAST(1 AS BIGINT) AS eq_full
+         |FROM full_lbl f LEFT JOIN old_lbl ol ON ol.id = f.id
+         |ORDER BY doc_id""".stripMargin,
     // full-rebuild summary; the engine's incremental fold must land on
     // the same bits, so incremental_ok is a literal 1 it has to earn
     "q338_scd2_incremental" ->

@@ -10828,4 +10828,87 @@ object Queries {
           .as("cramers_v_permille")
       )
   }
+
+  // Right-to-erasure propagated into STORED artifacts — q220 deletes
+  // subjects from row surfaces, q272 persists the IVF-PQ index; this
+  // closes the loop between them: an erasure request (vec_id ≡ 0 mod
+  // 20, the request-list stand-in) must reach the DERIVED tables, or
+  // the "deleted" vector keeps being served from pq_codes forever.
+  // The two corpus-cardinality index tables (corpus_cells, pq_codes)
+  // are rewritten WITHOUT the cohort through the retrying sink — one
+  // broadcast-free anti filter each, the per-request cost at 100 TB —
+  // while centroids/codebooks pass through untouched: they are
+  // dimension-sized MODEL parameters (k-means means over the corpus),
+  // not per-subject rows, the same boundary DP-SGD draws. Serving then
+  // runs purely from the rewritten tables (the q272 contract: the
+  // original floats are never mounted), so the audit column is earned
+  // from the data: no served neighbor can be in the cohort. Surviving
+  // (query, neighbor) ADC scores are bit-identical to the pre-erasure
+  // index — erasure only removes candidates — which the spec asserts
+  // pair-by-pair against the v1 serve.
+  def erasureStoredIndex(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AnnIndex.notErased
+    val v2 = graft.operators.AnnIndex.erasedStored(s, dir)
+    val queries = t(s, dir, "embeddings").filter(col("vec_id") < 50 && notErased(col("vec_id")))
+    Similarity
+      .servedIvfPqTopK(queries, col("vec_id"), col("embedding"), v2, nprobe = 4, k = 3)
+      .select(
+        col("qid"),
+        col("rank").as("rnk"),
+        col("nid"),
+        col("sim"),
+        notErased(col("nid")).cast("long").as("no_erased_hit")
+      )
+      .orderBy("qid", "rnk")
+  }
+
+  // Incremental connected components — q202 discovers today's new×old
+  // near-dup edges without re-pairing the corpus; this maintains the
+  // PUBLISHED cluster labels (q80) under those edges without full-graph
+  // CC, via ConnectedComponents.incrementalMinLabel: only components a
+  // delta edge touches re-run the fixpoint (additions only merge,
+  // never split), everything else carries through. The audit is the
+  // q338 discipline — bit-for-bit equality against the full recompute,
+  // EARNED per row from the data (eq_full), with `relabeled` exposing
+  // the day's write amplification: how few rows maintenance actually
+  // touched. Scale shape: the full fixpoint runs ONCE at bootstrap
+  // (here: the shared clusters snapshot); each day after costs two
+  // keyed semi-joins plus CC over a delta-bounded subgraph.
+  def incrementalClusters(s: SparkSession, dir: String): DataFrame = {
+    def isNew(c: Column): Column = c % 5 === 0
+    val pairs = graft.operators.CandidateGraph.pairs(s, dir)
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val base = graft.operators.Scratch.dir("graft-inc-cc-q358")
+    // yesterday's published labeling: the graph without today's batch
+    val oldLabels = graft.operators.ConnectedComponents.minLabel(
+      docs.filter(!isNew(col("doc_id"))),
+      col("doc_id"),
+      pairs.filter(!isNew(col("d1")) && !isNew(col("d2"))),
+      col("d1"),
+      col("d2"),
+      scratchDir = Some(s"$base/old")
+    )
+    val merged = graft.operators.ConnectedComponents.incrementalMinLabel(
+      docs.filter(isNew(col("doc_id"))),
+      col("doc_id"),
+      oldLabels,
+      pairs.filter(!isNew(col("d1")) && !isNew(col("d2"))),
+      pairs.filter(isNew(col("d1")) || isNew(col("d2"))),
+      col("d1"),
+      col("d2"),
+      scratchDir = Some(s"$base/inc")
+    )
+    val full = graft.operators.CandidateGraph
+      .clusters(s, dir)
+      .select(col("id"), col("cluster").as("full_cluster"))
+    merged
+      .join(full, Seq("id"), "full")
+      .select(
+        col("id").as("doc_id"),
+        col("cluster"),
+        coalesce(col("relabeled"), lit(-1L)).as("relabeled"),
+        coalesce((col("cluster") === col("full_cluster")).cast("long"), lit(0L)).as("eq_full")
+      )
+      .orderBy("doc_id")
+  }
 }

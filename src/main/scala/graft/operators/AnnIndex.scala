@@ -37,4 +37,40 @@ object AnnIndex {
           root = Scratch.dir("graft-annindex")
         )
     )
+
+  /** The erasure cohort every consumer of [[erasedStored]] agrees on —
+    * vec_id ≡ 0 mod 20, the deterministic stand-in for the request
+    * list (q220's convention applied to the vector corpus).
+    */
+  def notErased(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = c % 20 =!= 0
+
+  /** [[stored]]'s ERASED twin: the cohort tombstoned out of the two
+    * corpus-cardinality artifacts (corpus_cells, pq_codes) by an
+    * anti-filter rewrite through the retrying sink — the per-request
+    * cost at 100 TB. Centroids/codebooks pass through unchanged: they
+    * are dimension-sized MODEL parameters (k-means means over the
+    * corpus), not per-subject rows — the same boundary DP-SGD draws;
+    * erasure never retrains.
+    */
+  def erasedStored(s: SparkSession, dir: String): Similarity.IvfPqIndexPaths =
+    erasedCache.computeIfAbsent(
+      dir,
+      _ => {
+        val v1 = stored(s, dir).paths
+        val v2 = Similarity.IvfPqIndexPaths(Scratch.dir("graft-annindex-erased"))
+        graft.sinks.RetryingSink.overwriteParquet(s.read.parquet(v1.centroids), v2.centroids)
+        graft.sinks.RetryingSink.overwriteParquet(s.read.parquet(v1.codebooks), v2.codebooks)
+        graft.sinks.RetryingSink.overwriteParquet(
+          s.read.parquet(v1.corpusCells).filter(notErased(col("nid"))),
+          v2.corpusCells
+        )
+        graft.sinks.RetryingSink.overwriteParquet(
+          s.read.parquet(v1.pqCodes).filter(notErased(col("nid"))),
+          v2.pqCodes
+        )
+        v2
+      }
+    )
+
+  private val erasedCache = new ConcurrentHashMap[String, Similarity.IvfPqIndexPaths]()
 }

@@ -131,6 +131,80 @@ object ConnectedComponents {
     labels.withColumnRenamed("lbl", "cluster")
   }
 
+  /** Incremental connected components — cluster-label MAINTENANCE
+    * under edge arrivals, the production shape continuous dedup needs:
+    * yesterday's labeling is PUBLISHED (`oldLabels`), today's batch
+    * adds `newNodes` and `deltaEdges`, and a full-graph recompute per
+    * day is exactly the cost this exists to avoid. Only components a
+    * delta edge touches can change (adding nodes/edges only MERGES
+    * components — it can never split one), so the fixpoint re-runs on
+    * the bounded subgraph of (new nodes ∪ members of affected
+    * components) with (delta edges ∪ old edges inside affected
+    * components); every other label is carried through untouched.
+    * Returns (id, cluster, relabeled) — relabeled marks the rows the
+    * maintenance pass actually recomputed, which is also the day's
+    * write amplification. Audited ≡ the full recompute in q358 (and
+    * bit-for-bit on a cluster-merging fixture in the spec): min-label
+    * is a pure function of the graph, and the subgraph preserves all
+    * connectivity among exactly the nodes whose labels can move.
+    * Scale shape: two keyed semi-joins to find the affected closure,
+    * then [[minLabel]] over a delta-bounded subgraph — the corpus
+    * never re-pairs, and rounds follow the SUBGRAPH diameter.
+    */
+  def incrementalMinLabel(
+      newNodes: DataFrame,
+      id: Column,
+      oldLabels: DataFrame, // (id, cluster) — yesterday's published labeling
+      oldEdges: DataFrame,
+      deltaEdges: DataFrame,
+      a: Column,
+      b: Column,
+      scratchDir: Option[String] = None
+  ): DataFrame = {
+    val spark = newNodes.sparkSession
+    val base = scratchDir.getOrElse(Scratch.dir("graft-inc-cc"))
+    def snapshot(df: DataFrame, name: String): DataFrame = {
+      val path = s"$base/$name"
+      df.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+    val delta = snapshot(deltaEdges.select(a.as("d1"), b.as("d2")), "delta")
+    val endpoints = delta
+      .select(col("d1").as("id"))
+      .unionByName(delta.select(col("d2").as("id")))
+      .distinct()
+    // affected closure: every OLD component a delta edge touches — the
+    // label, not just the endpoint, because the whole component may
+    // inherit a smaller minimum through the merge
+    val affected = snapshot(
+      oldLabels.join(endpoints, Seq("id"), "left_semi").select("cluster").distinct(),
+      "affected"
+    )
+    val subNodes = newNodes
+      .select(id.as("id"))
+      .unionByName(oldLabels.join(affected, Seq("cluster"), "left_semi").select("id"))
+      .distinct()
+    // old edges inside affected components: both endpoints share a
+    // component by construction, so classifying by d1's label suffices
+    val oldAffected = oldEdges
+      .select(a.as("d1"), b.as("d2"))
+      .join(oldLabels.select(col("id").as("d1"), col("cluster")), Seq("d1"))
+      .join(affected, Seq("cluster"), "left_semi")
+      .select("d1", "d2")
+    val subLabels = minLabel(
+      subNodes,
+      col("id"),
+      delta.unionByName(oldAffected),
+      col("d1"),
+      col("d2"),
+      scratchDir = Some(s"$base/cc")
+    )
+    oldLabels
+      .join(affected, Seq("cluster"), "left_anti")
+      .select(col("id"), col("cluster"), lit(0L).as("relabeled"))
+      .unionByName(subLabels.select(col("id"), col("cluster"), lit(1L).as("relabeled")))
+  }
+
   /** Alternating large-star / small-star connected components
     * [Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC'14] — the round-count upgrade over [[minLabel]]: O(log²n)

@@ -48,6 +48,23 @@ object Multimodal {
       height: Int
   )
 
+  /** Per-track sample-table metadata emitted by the full MP4 demux
+    * (q359): what video keyframe sampling actually plans against —
+    * frame counts, tick-exact durations, byte budgets and chunk
+    * layout, all read back out of genuine stts/stsz/stsc boxes.
+    */
+  final case class Mp4TrackMeta(
+      doc_id: Long,
+      track_id: Int,
+      timescale: Int,
+      n_samples: Int,
+      duration_ticks: Long,
+      duration_ms: Long,
+      total_bytes: Long,
+      mean_sample_size: Long,
+      n_chunks: Int
+  )
+
   /** Build + parse of real media containers (headers, not pixels). */
   object MediaCodec {
 

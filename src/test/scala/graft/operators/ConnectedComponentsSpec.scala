@@ -36,6 +36,41 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("incremental maintenance equals full recompute when a batch merges two existing clusters") {
+    // yesterday: {1,2,3} (label 1), {5,6} (label 5), {8,9} (label 8), singleton 4
+    val oldNodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 8L, 9L).toDF("id")
+    val oldEdges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L)).toDF("a", "b")
+    val oldLabels = ConnectedComponents.minLabel(oldNodes, col("id"), oldEdges, col("a"), col("b"))
+    // today: node 10 BRIDGES {1,2,3} and {5,6} (the merge case), node 11
+    // attaches to {8,9}, node 12 arrives edge-less; {4} stays untouched
+    val newNodes = Seq(10L, 11L, 12L).toDF("id")
+    val deltaEdges = Seq((3L, 10L), (10L, 5L), (11L, 9L)).toDF("a", "b")
+    val got = ConnectedComponents
+      .incrementalMinLabel(newNodes, col("id"), oldLabels, oldEdges, deltaEdges, col("a"), col("b"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val full = ConnectedComponents
+      .minLabel(
+        oldNodes.unionByName(newNodes),
+        col("id"),
+        oldEdges.unionByName(deltaEdges),
+        col("a"),
+        col("b")
+      )
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got.view.mapValues(_._1).toMap === full, "maintained labels must equal the full recompute bit-for-bit")
+    // the merged component {1,2,3,5,6,10} relabels (5,6 move to 1), the
+    // touched {8,9,11} relabels, the edge-less arrival relabels (to
+    // itself), and ONLY the untouched singleton 4 is carried through
+    assert(got(5L) === ((1L, 1L)) && got(6L) === ((1L, 1L)), "merge must pull the second cluster onto the joint minimum")
+    assert(got(12L) === ((12L, 1L)), "an edge-less arrival labels itself through the maintenance pass")
+    assert(got(4L) === ((4L, 0L)), "an untouched component must be carried through, not recomputed")
+    assert(got.values.count(_._2 == 0L) === 1, "write amplification: only the untouched singleton is carried")
+  }
+
   test("alternating-star equals min-label on chains, cliques, and seeded random graphs") {
     def compare(nodes: org.apache.spark.sql.DataFrame, edges: org.apache.spark.sql.DataFrame): Unit = {
       val viaLabel = ConnectedComponents

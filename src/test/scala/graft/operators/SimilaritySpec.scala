@@ -10,6 +10,25 @@ class SimilaritySpec extends SparkSpec {
 
   private lazy val vecs = graft.sources.Tables.parquet(spark, sfDir, "embeddings")
 
+  test("erased stored index: no cohort id is served, and surviving pair scores are bit-identical to the pre-erasure serve") {
+    val idx = AnnIndex.stored(spark, sfDir)
+    val v2 = AnnIndex.erasedStored(spark, sfDir)
+    val queries = vecs.filter($"vec_id" < 50 && AnnIndex.notErased($"vec_id"))
+    val served2 = Similarity
+      .servedIvfPqTopK(queries, $"vec_id", $"embedding", v2, nprobe = 4, k = 3)
+      .select($"qid", $"nid", $"sim")
+    assert(served2.filter(!AnnIndex.notErased($"nid")).count() === 0, "an erased id leaked into the served top-k")
+    // erasure only REMOVES candidates: every surviving (qid, nid) pair's
+    // ADC score must equal the pre-erasure index's score for that pair
+    // bit-for-bit (k large enough to cover the full candidate set)
+    val served1 = Similarity
+      .servedIvfPqTopK(queries, $"vec_id", $"embedding", idx.paths, nprobe = 4, k = 1 << 20)
+      .select($"qid", $"nid", $"sim".as("sim1"))
+    val joined = served2.join(served1, Seq("qid", "nid"), "left")
+    assert(joined.filter($"sim1".isNull).count() === 0, "a served pair was absent from the pre-erasure candidate set")
+    assert(joined.filter($"sim" =!= $"sim1").count() === 0, "a surviving pair's score drifted through the erasure rewrite")
+  }
+
   test("native VecDot is bit-identical to the higher-order formulation") {
     val both = vecs
       .limit(50)
