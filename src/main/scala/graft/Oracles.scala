@@ -4642,6 +4642,34 @@ object Oracles {
          |  CAST(1 AS BIGINT) AS eq_full
          |FROM full_lbl f LEFT JOIN old_lbl ol ON ol.id = f.id
          |ORDER BY doc_id""".stripMargin,
+    // per-(doc, track) sample-table mirror: the builder's arithmetic
+    // (mp4TrackSamples / mp4Params) recomputed from content length —
+    // the box walk must recover every column from the bytes
+    "q359_mp4_sample_tables" ->
+      """WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n FROM documents),
+        |p AS (SELECT doc_id, n,
+        |    CASE CAST(n % 4 AS INTEGER) WHEN 0 THEN 600 WHEN 1 THEN 1000
+        |      WHEN 2 THEN 48000 ELSE 90000 END AS ts,
+        |    CAST(1 + n % 3 AS INTEGER) AS tracks FROM m),
+        |t AS (SELECT doc_id, n, ts, CAST(unnest(generate_series(1, tracks)) AS INTEGER) AS tid FROM p),
+        |s AS (SELECT doc_id, tid, ts, n,
+        |    CAST(8 + ((n + 13 * tid) % 40) AS INTEGER) AS ns,
+        |    1 + n % 500 AS d1,
+        |    1 + (3 * n + tid) % 500 AS d2,
+        |    1 + (n + tid) % 7 AS spc FROM t),
+        |x AS (SELECT doc_id, tid, ts, ns, spc,
+        |    CAST((ns // 2) * d1 + (ns - ns // 2) * d2 AS BIGINT) AS ticks,
+        |    CASE WHEN tid % 2 = 1 THEN CAST(ns AS BIGINT) * (64 + n % 1024)
+        |         ELSE CAST(list_sum(list_transform(generate_series(0, ns - 1),
+        |           i -> 32 + ((n + 11 * i) % 992))) AS BIGINT) END AS total_bytes
+        |  FROM s)
+        |SELECT doc_id, tid AS track_id, CAST(ts AS INTEGER) AS timescale, ns AS n_samples,
+        |  ticks AS duration_ticks,
+        |  CAST(ticks * 1000 // ts AS BIGINT) AS duration_ms,
+        |  total_bytes,
+        |  CAST(total_bytes // ns AS BIGINT) AS mean_sample_size,
+        |  CAST((ns + spc - 1) // spc AS INTEGER) AS n_chunks
+        |FROM x ORDER BY doc_id, track_id""".stripMargin,
     // full-rebuild summary; the engine's incremental fold must land on
     // the same bits, so incremental_ok is a literal 1 it has to earn
     "q338_scd2_incremental" ->

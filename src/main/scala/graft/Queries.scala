@@ -10911,4 +10911,21 @@ object Queries {
       )
       .orderBy("doc_id")
   }
+
+  // MP4 at FRAME granularity — q248 reads the movie header (who/what);
+  // this reads the sample tables (stts/stsz/stsc under each
+  // trak/mdia/minf/stbl), which is what video keyframe sampling
+  // actually plans against: per-track frame counts, tick-exact
+  // durations, byte budgets, chunk layout. The builder writes genuine
+  // ISO-BMFF boxes (two stts runs; BOTH stsz modes — fixed-size on odd
+  // tracks, explicit per-sample table on even; a chunk map whose last
+  // run is resolved against the sample total, stco-free) and the demux
+  // walks them back bounds-guarded, cross-checking stts against stsz
+  // and dropping corrupt tracks. Same scale shape as every decode
+  // stage: typed mapPartitions, payloads never shuffle, one row per
+  // (doc, track).
+  def multimodalSampleTables(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.withSampledVideoPayload(t(s, dir, "documents"), "doc_id", "text")
+    Multimodal.decodeVideoTracks(media).toDF().orderBy("doc_id", "track_id")
+  }
 }

@@ -469,6 +469,204 @@ object Multimodal {
       if (i != b.length || timescale <= 0 || nTracks == 0 || width < 0) None
       else Some(Mp4Meta(docId, b.length, nTop, nTracks, timescale, duration.toLong * 1000L / timescale, width, height))
     }
+
+    // ——— sample tables (q359): stts/stsz/stsc under trak/mdia/minf/stbl ———
+
+    /** Deterministic per-track sample parameters from (content size,
+      * track id) — (n_samples, run1 count, run1 delta, run2 count,
+      * run2 delta, samples per chunk). The builder writes them into
+      * genuine stts/stsz/stsc boxes; the demux must read them back.
+      */
+    def mp4TrackSamples(n: Int, tid: Int): (Int, Int, Int, Int, Int, Int) = {
+      val ns = 8 + ((n + 13 * tid) % 40)
+      val n1 = ns / 2
+      (ns, n1, 1 + n % 500, ns - n1, 1 + (3 * n + tid) % 500, 1 + (n + tid) % 7)
+    }
+
+    private def tkhdBox(tid: Int, duration: Int, width: Int, height: Int): Array[Byte] = {
+      val p = new Array[Byte](84)
+      writeBe32(p, 0, 0x00000007)
+      writeBe32(p, 12, tid)
+      writeBe32(p, 20, duration)
+      writeBe32(p, 40, 0x00010000); writeBe32(p, 56, 0x00010000); writeBe32(p, 72, 0x40000000)
+      writeBe32(p, 76, width << 16)
+      writeBe32(p, 80, height << 16)
+      mp4Box("tkhd", p)
+    }
+
+    /** [[buildMp4]] extended to FRAME granularity: each trak gains a
+      * real mdia(mdhd, minf(stbl(stts, stsz, stsc))) subtree — the
+      * decoding-time table (two stts runs), the sample-size table
+      * (fixed-size mode on odd tracks, an explicit per-sample table on
+      * even ones — both real ISO-BMFF modes), and the chunk map. This
+      * is everything a keyframe-sampling plan reads without touching a
+      * codec.
+      */
+    def buildMp4Sampled(timescale: Int, duration: Int, nTracks: Int, width: Int, height: Int, content: Array[Byte]): Array[Byte] = {
+      val n = content.length
+      val ftyp = {
+        val p = new Array[Byte](12)
+        "isom".getBytes(StandardCharsets.US_ASCII).copyToArray(p, 0)
+        "isom".getBytes(StandardCharsets.US_ASCII).copyToArray(p, 8)
+        mp4Box("ftyp", p)
+      }
+      val mvhd = {
+        val p = new Array[Byte](100)
+        writeBe32(p, 12, timescale)
+        writeBe32(p, 16, duration)
+        writeBe32(p, 20, 0x00010000)
+        p(24) = 0x01
+        writeBe32(p, 36, 0x00010000); writeBe32(p, 52, 0x00010000); writeBe32(p, 68, 0x40000000)
+        writeBe32(p, 96, nTracks + 1)
+        mp4Box("mvhd", p)
+      }
+      val traks = (1 to nTracks).map { tid =>
+        val (ns, n1, d1, n2, d2, spc) = mp4TrackSamples(n, tid)
+        val mdhd = {
+          val p = new Array[Byte](24)
+          writeBe32(p, 12, timescale)
+          writeBe32(p, 16, n1 * d1 + n2 * d2)
+          mp4Box("mdhd", p)
+        }
+        val stts = {
+          val p = new Array[Byte](4 + 4 + 16)
+          writeBe32(p, 4, 2)
+          writeBe32(p, 8, n1); writeBe32(p, 12, d1)
+          writeBe32(p, 16, n2); writeBe32(p, 20, d2)
+          mp4Box("stts", p)
+        }
+        val stsz =
+          if (tid % 2 == 1) {
+            val p = new Array[Byte](12)
+            writeBe32(p, 4, 64 + n % 1024) // fixed-size mode
+            writeBe32(p, 8, ns)
+            mp4Box("stsz", p)
+          } else {
+            val p = new Array[Byte](12 + 4 * ns)
+            writeBe32(p, 4, 0) // table mode
+            writeBe32(p, 8, ns)
+            (0 until ns).foreach(i => writeBe32(p, 12 + 4 * i, 32 + ((n + 11 * i) % 992)))
+            mp4Box("stsz", p)
+          }
+        val stsc = {
+          val p = new Array[Byte](4 + 4 + 12)
+          writeBe32(p, 4, 1)
+          writeBe32(p, 8, 1); writeBe32(p, 12, spc); writeBe32(p, 16, 1)
+          mp4Box("stsc", p)
+        }
+        val stbl = mp4Box("stbl", stts ++ stsz ++ stsc)
+        mp4Box("trak", tkhdBox(tid, duration, width, height) ++ mp4Box("mdia", mdhd ++ mp4Box("minf", stbl)))
+      }
+      val moov = mp4Box("moov", (mvhd +: traks).reduce(_ ++ _))
+      ftyp ++ moov ++ mp4Box("mdat", content)
+    }
+
+    /** Child box offsets of the container at [start, end), or None on
+      * any malformed size — the shared bounds-guarded walk.
+      */
+    private def childOffsets(b: Array[Byte], start: Int, end: Int): Option[List[Int]] = {
+      var c = start
+      val acc = List.newBuilder[Int]
+      while (c + 8 <= end) {
+        val sz = readBe32(b, c)
+        if (sz < 8 || c + sz > end) return None
+        acc += c
+        c += sz
+      }
+      if (c != end) None else Some(acc.result())
+    }
+
+    /** The full demux (q359): per-track sample tables read back out of
+      * the bytes — n_samples cross-checked between stts and stsz (a
+      * mismatched pair is a corrupt track and drops), tick-exact
+      * duration from the stts runs, byte totals from either stsz mode,
+      * and the chunk count walked from the stsc runs. Corrupt payloads
+      * yield no rows, never throw.
+      */
+    def decodeMp4Tracks(docId: Long, b: Array[Byte]): Seq[Mp4TrackMeta] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Mp4TrackMeta]
+      val top = childOffsets(b, 0, b.length).getOrElse(return Seq.empty)
+      for (m <- top if boxType(b, m) == "moov") {
+        val kids = childOffsets(b, m + 8, m + readBe32(b, m)).getOrElse(return Seq.empty)
+        for (t <- kids if boxType(b, t) == "trak") {
+          val tKids = childOffsets(b, t + 8, t + readBe32(b, t)).getOrElse(return Seq.empty)
+          var trackId = -1
+          var mTs = 0
+          var nStts = 0L
+          var ticks = 0L
+          var nStsz = -1
+          var totalBytes = 0L
+          var chunksBeforeLast = 0L
+          var coveredBeforeLast = 0L
+          var lastSpc = -1
+          for (c <- tKids) boxType(b, c) match {
+            case "tkhd" if readBe32(b, c) >= 8 + 84 =>
+              trackId = readBe32(b, c + 8 + 12)
+            case "mdia" =>
+              for (mc <- childOffsets(b, c + 8, c + readBe32(b, c)).getOrElse(return Seq.empty))
+                boxType(b, mc) match {
+                  case "mdhd" if readBe32(b, mc) >= 8 + 24 =>
+                    mTs = readBe32(b, mc + 8 + 12)
+                  case "minf" =>
+                    for (
+                      sc <- childOffsets(b, mc + 8, mc + readBe32(b, mc)).getOrElse(return Seq.empty)
+                      if boxType(b, sc) == "stbl";
+                      sb <- childOffsets(b, sc + 8, sc + readBe32(b, sc)).getOrElse(return Seq.empty)
+                    ) boxType(b, sb) match {
+                      case "stts" =>
+                        val ec = readBe32(b, sb + 12)
+                        if (sb + 16 + 8 * ec > sb + readBe32(b, sb)) return Seq.empty
+                        (0 until ec).foreach { e =>
+                          val cnt = readBe32(b, sb + 16 + 8 * e)
+                          nStts += cnt
+                          ticks += cnt.toLong * readBe32(b, sb + 20 + 8 * e)
+                        }
+                      case "stsz" =>
+                        val ss = readBe32(b, sb + 12)
+                        nStsz = readBe32(b, sb + 16)
+                        if (ss != 0) totalBytes = ss.toLong * nStsz
+                        else {
+                          if (sb + 20 + 4 * nStsz > sb + readBe32(b, sb)) return Seq.empty
+                          (0 until nStsz).foreach(i => totalBytes += readBe32(b, sb + 20 + 4 * i))
+                        }
+                      case "stsc" =>
+                        val ec = readBe32(b, sb + 12)
+                        if (ec <= 0 || sb + 16 + 12 * ec > sb + readBe32(b, sb)) return Seq.empty
+                        // runs: entry e covers chunks first_e .. first_{e+1}-1
+                        // at spc_e each; the LAST run's extent is resolved
+                        // against the stts sample total AFTER the walk
+                        // (box order inside stbl is writer-dependent)
+                        (0 until ec - 1).foreach { e =>
+                          val run = readBe32(b, sb + 16 + 12 * (e + 1)) - readBe32(b, sb + 16 + 12 * e)
+                          chunksBeforeLast += run
+                          coveredBeforeLast += run.toLong * readBe32(b, sb + 20 + 12 * e)
+                        }
+                        lastSpc = readBe32(b, sb + 20 + 12 * (ec - 1))
+                      case _ => ()
+                    }
+                  case _ => ()
+                }
+            case _ => ()
+          }
+          val nChunks =
+            if (lastSpc <= 0) -1
+            else (chunksBeforeLast + (math.max(0L, nStts - coveredBeforeLast) + lastSpc - 1) / lastSpc).toInt
+          if (trackId > 0 && mTs > 0 && nStts > 0 && nStts == nStsz && nChunks > 0)
+            out += Mp4TrackMeta(
+              docId,
+              trackId,
+              mTs,
+              nStts.toInt,
+              ticks,
+              ticks * 1000L / mTs,
+              totalBytes,
+              totalBytes / nStts,
+              nChunks
+            )
+        }
+      }
+      out.toSeq
+    }
   }
 
   /** Media-ingest boundary: wrap each document's bytes in a real
@@ -599,6 +797,36 @@ object Multimodal {
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) => MediaCodec.decodeMp4(id, bytes) })
+  }
+
+  /** The sample-table ingest boundary (q359): [[withVideoPayload]]'s
+    * parameters with a full stbl subtree per trak.
+    */
+  def withSampledVideoPayload(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val content = text.getBytes(StandardCharsets.UTF_8)
+        val (ts, tracks, duration) = MediaCodec.mp4Params(content.length)
+        val (w, h) = MediaCodec.dims(content.length)
+        (id, MediaCodec.buildMp4Sampled(ts, duration, tracks, w, h, content))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** Per-partition full demux: one typed row per (doc, track) out of
+    * the stts/stsz/stsc walk; corrupt payloads drop (flatMap).
+    */
+  def decodeVideoTracks(media: DataFrame): Dataset[Mp4TrackMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => MediaCodec.decodeMp4Tracks(id, bytes) })
   }
 
   def sampleFrames(media: DataFrame): DataFrame = {

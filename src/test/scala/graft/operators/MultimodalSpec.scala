@@ -139,6 +139,38 @@ class MultimodalSpec extends SparkSpec {
     assert((m.width, m.height) === ((320, 240)))
   }
 
+  test("mp4 sample tables: stts/stsz/stsc read back per track, both stsz modes, corrupt tracks drop") {
+    val content = ("x" * 137).getBytes("UTF-8")
+    val n = content.length
+    val b = MediaCodec.buildMp4Sampled(48000, 99999, 2, 320, 240, content)
+    val rows = MediaCodec.decodeMp4Tracks(3L, b)
+    assert(rows.map(_.track_id) === Seq(1, 2), "one row per track, in track order")
+    rows.foreach { r =>
+      val (ns, n1, d1, n2, d2, spc) = MediaCodec.mp4TrackSamples(n, r.track_id)
+      assert(r.n_samples === ns)
+      assert(r.duration_ticks === n1.toLong * d1 + n2.toLong * d2, "tick-exact duration from the two stts runs")
+      assert(r.duration_ms === r.duration_ticks * 1000 / 48000)
+      val expectBytes =
+        if (r.track_id % 2 == 1) ns.toLong * (64 + n % 1024) // fixed-size stsz mode
+        else (0 until ns).map(i => 32L + ((n + 11 * i) % 992)).sum // explicit table mode
+      assert(r.total_bytes === expectBytes)
+      assert(r.mean_sample_size === expectBytes / ns)
+      assert(r.n_chunks === (ns + spc - 1) / spc)
+    }
+    // an stts/stsz sample-count mismatch is a corrupt track: flip the
+    // stsz count field (first stsz is fixed-mode at a known offset
+    // pattern — corrupt via searching the box) and assert the row drops
+    val tag = "stsz".getBytes("US-ASCII")
+    val at = b.indexOfSlice(tag)
+    val corrupt = b.clone()
+    corrupt(at + 4 + 8 + 3) = (corrupt(at + 4 + 8 + 3) + 1).toByte // sample_count += 1
+    val survivors = MediaCodec.decodeMp4Tracks(3L, corrupt)
+    assert(survivors.map(_.track_id) === Seq(2), "the mismatched track drops; the intact one survives")
+    // truncation never throws
+    (1 until b.length by 23).foreach(cut => MediaCodec.decodeMp4Tracks(3L, b.take(cut)))
+    assert(MediaCodec.decodeMp4Tracks(3L, Array.emptyByteArray).isEmpty)
+  }
+
   test("withVideoPayload → decodeVideo round-trips every doc's parameters") {
     val docs = graft.sources.Tables.parquet(spark, sfDir, "documents").limit(40)
     val decoded = Multimodal.decodeVideo(Multimodal.withVideoPayload(docs, "doc_id", "text")).toDF().collect()
