@@ -4670,6 +4670,76 @@ object Oracles {
         |  CAST(total_bytes // ns AS BIGINT) AS mean_sample_size,
         |  CAST((ns + spc - 1) // spc AS INTEGER) AS n_chunks
         |FROM x ORDER BY doc_id, track_id""".stripMargin,
+    // q274's KN formulas with the seen-trigram branch gated on
+    // c3 >= min_count and the backoff weight renormalized per context
+    // (λ = (3K + 4S)/(4·c2) — pruned mass S redistributed through P2;
+    // K=N1+, S=0 reproduces q274 at min_count=1), swept over three
+    // pruning levels in one pass; the bigram reference is P2 = N2/D2
+    "q360_pruned_trigram_lm" -> {
+      def mn(e: String) = s"CAST(floor(ln(CAST($e AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+      val h = hx("CAST(doc_id AS VARCHAR)")
+      raw"""WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws,
+         |    ($h % 10 = 0) AS is_test FROM documents),
+         |tg AS (SELECT doc_id, is_test, ws[i] AS u, ws[i+1] AS v, ws[i+2] AS w FROM (
+         |    SELECT doc_id, is_test, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+         |    FROM d WHERE len(ws) >= 3)),
+         |t3 AS (SELECT u, v, w, count(*) AS c3 FROM tg WHERE NOT is_test GROUP BY 1, 2, 3),
+         |bgr AS (SELECT doc_id, is_test, ws[i] AS lft, ws[i+1] AS rgt FROM (
+         |    SELECT doc_id, is_test, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+         |    FROM d WHERE len(ws) >= 2)),
+         |cnt AS (SELECT lft, rgt, count(*) AS c FROM bgr WHERE NOT is_test GROUP BY 1, 2),
+         |lc AS (SELECT lft, CAST(sum(c) AS BIGINT) AS cl, count(*) AS n1p FROM cnt GROUP BY lft),
+         |rc AS (SELECT rgt, count(*) AS nleft FROM cnt GROUP BY rgt),
+         |ct AS (SELECT (SELECT count(*) FROM cnt) + (SELECT count(*) FROM rc) + 1 AS denc),
+         |lv AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS min_count),
+         |fs AS (SELECT count(*) AS n_tri_types_full FROM t3),
+         |kp AS (SELECT min_count, count(*) AS n_tri_types_kept FROM t3, lv
+         |  WHERE c3 >= min_count GROUP BY 1),
+         |x3 AS (SELECT u, v, min_count, CAST(sum(c3) AS BIGINT) AS c2,
+         |    CAST(sum(CASE WHEN c3 >= min_count THEN 1 ELSE 0 END) AS BIGINT) AS kcnt,
+         |    CAST(sum(CASE WHEN c3 < min_count THEN c3 ELSE 0 END) AS BIGINT) AS smass
+         |  FROM t3, lv GROUP BY 1, 2, 3),
+         |sc AS (SELECT lv.min_count, t3.c3, x3.c2, x3.kcnt * 3 + x3.smass * 4 AS lam_num,
+         |    cnt.c, lc.cl, lc.n1p,
+         |    COALESCE(rc.nleft, 0) + 1 AS numc, ct.denc
+         |  FROM tg CROSS JOIN lv
+         |  LEFT JOIN t3 ON t3.u = tg.u AND t3.v = tg.v AND t3.w = tg.w
+         |  LEFT JOIN x3 ON x3.u = tg.u AND x3.v = tg.v AND x3.min_count = lv.min_count
+         |  LEFT JOIN cnt ON cnt.lft = tg.v AND cnt.rgt = tg.w
+         |  LEFT JOIN lc ON lc.lft = tg.v
+         |  LEFT JOIN rc ON rc.rgt = tg.w, ct
+         |  WHERE tg.is_test),
+         |ev AS (SELECT min_count, c3, c2, lam_num,
+         |    CASE WHEN c IS NOT NULL THEN (4 * c - 3) * denc + n1p * numc * 3
+         |         WHEN cl IS NOT NULL THEN n1p * numc * 3 ELSE numc END AS n2,
+         |    CASE WHEN cl IS NOT NULL THEN 4 * cl * denc ELSE denc END AS d2
+         |  FROM sc),
+         |lp AS (SELECT min_count,
+         |    CASE WHEN c3 IS NOT NULL AND c3 >= min_count THEN 1 ELSE 0 END AS hit,
+         |    ${mn("n2")} - ${mn("d2")} AS lp_bi,
+         |    CASE WHEN c3 IS NOT NULL AND c3 >= min_count
+         |           THEN ${mn("(4 * c3 - 3) * d2 + lam_num * n2")} - ${mn("4 * c2")} - ${mn("d2")}
+         |         WHEN c2 IS NOT NULL
+         |           THEN ${mn("lam_num * n2")} - ${mn("4 * c2")} - ${mn("d2")}
+         |         ELSE ${mn("n2")} - ${mn("d2")} END AS lp,
+         |    CASE WHEN (c3 IS NULL OR c3 < min_count) AND c2 IS NOT NULL THEN 1 ELSE 0 END AS bb,
+         |    CASE WHEN c2 IS NULL THEN 1 ELSE 0 END AS bf
+         |  FROM ev),
+         |ag AS (SELECT min_count, count(*) AS n_test_trigrams,
+         |    CAST(sum(hit) AS BIGINT) AS n_tri_hits,
+         |    CAST(sum(bb) AS BIGINT) AS n_backoff_bigram,
+         |    CAST(sum(bf) AS BIGINT) AS n_backoff_full,
+         |    CAST(sum(lp) AS BIGINT) AS sum_lp,
+         |    CAST(sum(lp_bi) AS BIGINT) AS sum_lp_bi
+         |  FROM lp GROUP BY 1)
+         |SELECT min_count, (SELECT n_tri_types_full FROM fs) AS n_tri_types_full,
+         |  n_tri_types_kept,
+         |  n_tri_types_kept * 1000 // (SELECT n_tri_types_full FROM fs) AS kept_permille,
+         |  n_test_trigrams, n_tri_hits, n_backoff_bigram, n_backoff_full,
+         |  sum_lp // n_test_trigrams AS mean_lp_micro,
+         |  (sum_lp - sum_lp_bi) // n_test_trigrams AS gain_vs_bigram_micro
+         |FROM ag JOIN kp USING (min_count) ORDER BY min_count""".stripMargin
+    },
     // full-rebuild summary; the engine's incremental fold must land on
     // the same bits, so incremental_ok is a literal 1 it has to earn
     "q338_scd2_incremental" ->

@@ -10928,4 +10928,140 @@ object Queries {
     val media = Multimodal.withSampledVideoPayload(t(s, dir, "documents"), "doc_id", "text")
     Multimodal.decodeVideoTracks(media).toDF().orderBy("doc_id", "track_id")
   }
+
+  // Pruned higher-order LM — acting on q274's own measured finding
+  // (the unpruned trigram buys ~0.22 nats at the median over the
+  // bigram): the production deploy shape (the KenLM `--prune` move) is
+  // not the full trigram table but a COUNT-PRUNED one, because at web
+  // scale the table's long tail of singletons is most of its bytes and
+  // almost none of its likelihood. This query IS the size/quality
+  // frontier: one row per min-count level (1 = unpruned — exactly
+  // q274's model; 2; 4), each scoring the same test stream with q274's
+  // KN formulas where the seen-trigram branch is gated on c3 ≥
+  // min_count AND the per-context backoff weight renormalized so the
+  // pruned mass is redistributed, not leaked:
+  //   λ(uv) = (3/4·K + S)/c2,  K = kept types, S = Σ pruned counts —
+  // at min_count = 1 this is EXACTLY q274's λ = 3/4·N1+(uv·)/c2, so
+  // the unpruned row reproduces q274's model to the bit. The report
+  // carries kept types, the hit/backoff census, the mean score, and
+  // the gain over the pure bigram model (q260's three-branch P₂ — the
+  // gap q274 measured the trigram LOSES on this sparse corpus; the
+  // frontier shows pruning recovering it), all exact integer
+  // micro-nats: kept trigram lp = mn((4c3−3)·D₂ + (3K+4S)·N₂) −
+  // mn(4c2) − mn(D₂), backoff lp = mn((3K+4S)·N₂) − mn(4c2) − mn(D₂).
+  // Plan shape is q274's unchanged: vocab-bounded count tables
+  // broadcast onto the test stream; the 3-level sweep rides ONE
+  // scoring pass (a 3-row broadcast cross), so the frontier costs one
+  // projection + one keyed rollup regardless of corpus size.
+  def prunedTrigramLm(s: SparkSession, dir: String): DataFrame = {
+    val isTest = TextOps.hash32(col("doc_id").cast("string")) % 10 === 0
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+    val n = size(col("ws"))
+    val inner = zip_with(
+      slice(col("ws"), lit(2), n - 2),
+      slice(col("ws"), lit(3), n - 2),
+      (v, w) => struct(v.as("v"), w.as("w"))
+    )
+    val tg = docs
+      .select(
+        col("doc_id"),
+        explode(
+          zip_with(
+            slice(col("ws"), lit(1), n - 2),
+            inner,
+            (x, p) => struct(x.as("u"), p.getField("v").as("v"), p.getField("w").as("w"))
+          )
+        ).as("t")
+      )
+      .select(col("doc_id"), col("t.u").as("u"), col("t.v").as("v"), col("t.w").as("w"))
+      .withColumn("is_test", isTest)
+    val cnt3 = tg.filter(!col("is_test")).groupBy("u", "v", "w").agg(count(lit(1)).as("c3"))
+    val bg = docBigrams(s, dir).withColumn("is_test", isTest).filter(!col("is_test"))
+    val cnt = bg.groupBy("lft", "rgt").agg(count(lit(1)).as("c"))
+    val leftCtx = cnt.groupBy("lft").agg(sum(col("c")).as("cl"), count(lit(1)).as("n1p"))
+    val rightCtx = cnt.groupBy("rgt").agg(count(lit(1)).as("nleft"))
+    val consts = cnt
+      .agg(count(lit(1)).as("nb"))
+      .crossJoin(broadcast(rightCtx.agg(count(lit(1)).as("vr"))))
+      .select((col("nb") + col("vr") + 1).as("denc"))
+    val levels = s.createDataFrame(Seq(Tuple1(1L), Tuple1(2L), Tuple1(4L))).toDF("min_count")
+    val fullSize = cnt3.agg(count(lit(1)).as("n_tri_types_full"))
+    val kept = cnt3
+      .crossJoin(broadcast(levels))
+      .filter(col("c3") >= col("min_count"))
+      .groupBy("min_count")
+      .agg(count(lit(1)).as("n_tri_types_kept"))
+    // per-(context, level) pruned stats: total c2 (unchanged by
+    // pruning), kept type count K, and the pruned mass S the backoff
+    // weight reabsorbs
+    val ctx3L = cnt3
+      .crossJoin(broadcast(levels))
+      .groupBy("u", "v", "min_count")
+      .agg(
+        sum(col("c3")).as("c2"),
+        sum((col("c3") >= col("min_count")).cast("long")).as("kcnt"),
+        sum(when(col("c3") < col("min_count"), col("c3")).otherwise(0L)).as("smass")
+      )
+    val scored = tg
+      .filter(col("is_test"))
+      .join(broadcast(cnt3), Seq("u", "v", "w"), "left")
+      .join(broadcast(cnt.withColumnRenamed("lft", "v").withColumnRenamed("rgt", "w")), Seq("v", "w"), "left")
+      .join(broadcast(leftCtx.withColumnRenamed("lft", "v")), Seq("v"), "left")
+      .join(broadcast(rightCtx.withColumnRenamed("rgt", "w")), Seq("w"), "left")
+      .crossJoin(broadcast(consts))
+      .withColumn("numc", coalesce(col("nleft"), lit(0L)) + 1)
+      .withColumn(
+        "n2",
+        when(col("c").isNotNull, (col("c") * 4 - 3) * col("denc") + col("n1p") * col("numc") * 3)
+          .when(col("cl").isNotNull, col("n1p") * col("numc") * 3)
+          .otherwise(col("numc"))
+      )
+      .withColumn("d2", when(col("cl").isNotNull, col("cl") * col("denc") * 4).otherwise(col("denc")))
+      .withColumn("lp_bi", microNats(col("n2")) - microNats(col("d2")))
+      .crossJoin(broadcast(levels))
+      .join(broadcast(ctx3L), Seq("u", "v", "min_count"), "left")
+      .withColumn("hit", (col("c3").isNotNull && col("c3") >= col("min_count")).cast("long"))
+      .withColumn("lam_num", col("kcnt") * 3 + col("smass") * 4)
+      .withColumn(
+        "lp",
+        when(
+          col("hit") === 1,
+          microNats((col("c3") * 4 - 3) * col("d2") + col("lam_num") * col("n2"))
+            - microNats(col("c2") * 4) - microNats(col("d2"))
+        ).when(
+            col("c2").isNotNull,
+            microNats(col("lam_num") * col("n2")) - microNats(col("c2") * 4) - microNats(col("d2"))
+          )
+          .otherwise(col("lp_bi"))
+      )
+      .withColumn("backoff_bigram", (col("hit") === 0 && col("c2").isNotNull).cast("long"))
+      .withColumn("backoff_full", col("c2").isNull.cast("long"))
+    scored
+      .groupBy("min_count")
+      .agg(
+        count(lit(1)).as("n_test_trigrams"),
+        sum(col("hit")).as("n_tri_hits"),
+        sum(col("backoff_bigram")).as("n_backoff_bigram"),
+        sum(col("backoff_full")).as("n_backoff_full"),
+        sum(col("lp")).as("sum_lp"),
+        sum(col("lp_bi")).as("sum_lp_bi")
+      )
+      .join(broadcast(kept), Seq("min_count"))
+      .crossJoin(broadcast(fullSize))
+      .select(
+        col("min_count"),
+        col("n_tri_types_full"),
+        col("n_tri_types_kept"),
+        expr("n_tri_types_kept * 1000 div n_tri_types_full").as("kept_permille"),
+        col("n_test_trigrams"),
+        col("n_tri_hits"),
+        col("n_backoff_bigram"),
+        col("n_backoff_full"),
+        expr("sum_lp div n_test_trigrams").as("mean_lp_micro"),
+        expr("(sum_lp - sum_lp_bi) div n_test_trigrams").as("gain_vs_bigram_micro")
+      )
+      .orderBy("min_count")
+  }
 }

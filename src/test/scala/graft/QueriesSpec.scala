@@ -3091,4 +3091,25 @@ class QueriesSpec extends SparkSpec {
       assert(clusters.contains(c), s"community label $c is not a graph node")
     }
   }
+
+  test("pruned trigram frontier (q360): the table shrinks and the sparsity loss is recovered, not leaked") {
+    val rows = Queries.prunedTrigramLm(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("min_count")).toSeq === Seq(1L, 2L, 4L))
+    val kept = rows.map(_.getAs[Long]("n_tri_types_kept"))
+    assert(kept(0) > kept(1) && kept(1) > kept(2), "higher min-count must keep strictly fewer types")
+    assert(rows.map(_.getAs[Long]("n_tri_types_full")).distinct.length === 1)
+    val gain = rows.map(_.getAs[Long]("gain_vs_bigram_micro"))
+    // q274's finding on this sparse corpus: the unpruned trigram LOSES
+    // to the bigram; the renormalized pruned model must never do WORSE
+    // than the unpruned one by more than rounding, and the harshest
+    // prune should recover toward the bigram (gain → 0)
+    assert(gain(0) < 0, "the unpruned row must reproduce the measured trigram-vs-bigram loss")
+    assert(gain(2) > gain(0), "count pruning with renormalized backoff must recover sparsity loss")
+    // hit census: pruning can only reduce trigram hits, and the
+    // bigram-backoff bucket absorbs exactly what pruning removes
+    val hits = rows.map(_.getAs[Long]("n_tri_hits"))
+    val bb = rows.map(_.getAs[Long]("n_backoff_bigram"))
+    assert(hits(0) > hits(1) && hits(1) > hits(2))
+    assert((0 to 2).forall(i => hits(i) + bb(i) === hits(0) + bb(0)), "hit + bigram-backoff mass is conserved")
+  }
 }
