@@ -4740,6 +4740,7 @@ object Oracles {
          |  (sum_lp - sum_lp_bi) // n_test_trigrams AS gain_vs_bigram_micro
          |FROM ag JOIN kp USING (min_count) ORDER BY min_count""".stripMargin
     },
+    "q361_histogram_join_advisor" -> histogramJoinSql,
     // full-rebuild summary; the engine's incremental fold must land on
     // the same bits, so incremental_ok is a literal 1 it has to earn
     "q338_scd2_incremental" ->
@@ -5539,6 +5540,81 @@ object Oracles {
       }
       .mkString("\nUNION ALL\n")
     s"WITH $ctes\n$selects\nORDER BY tbl, lhs, rhs"
+  }
+
+  /** q361: the v-optimal DP with argmin backtrace over the
+    * o_totalprice/10k support, histogram-mass selectivity for the
+    * `< 15` cut, the q343 chain pricing with the filtered cardinality,
+    * and the executed audit join.
+    */
+  private lazy val histogramJoinSql: String = {
+    def level(b: Int): String =
+      s"""l$b AS (SELECT e, cost, pe FROM (SELECT rj AS e, pc + err_fp AS cost, pe2 AS pe,
+         |    row_number() OVER (PARTITION BY rj ORDER BY pc + err_fp, pe2) AS rn
+         |  FROM pairs JOIN (SELECT e AS pe2, cost AS pc FROM l${b - 1}) ON ri - 1 = pe2) WHERE rn = 1)""".stripMargin
+    val tn = Seq("nation", "customer", "orders_f")
+    val orders3 = Seq(Seq(0, 1, 2), Seq(1, 0, 2), Seq(1, 2, 0), Seq(2, 1, 0))
+    def sizeExpr(i: Int, j: Int): String = {
+      var e = s"CAST(c$i AS HUGEINT)"
+      for (k <- i + 1 to j) e = s"(($e * c$k) // m${k - 1}$k)"
+      e
+    }
+    val branches = orders3
+      .map { o =>
+        val cost = (2 to 3)
+          .map { len => val p = o.take(len); sizeExpr(p.min, p.max) }
+          .mkString("(", " + ", ")")
+        s"SELECT '${o.map(tn).mkString("->")}' AS join_order, $cost AS est_cost, ${sizeExpr(0, 2)} AS est_final_rows FROM m"
+      }
+      .mkString("\nUNION ALL\n")
+    s"""WITH sup AS (SELECT CAST(floor(o_totalprice / 10000) AS BIGINT) AS v, count(*) AS f
+       |  FROM orders GROUP BY 1),
+       |pre AS (SELECT v, f, row_number() OVER (ORDER BY v) AS r,
+       |    CAST(sum(f) OVER (ORDER BY v) AS BIGINT) AS sf,
+       |    CAST(sum(CAST(f AS HUGEINT) * f) OVER (ORDER BY v) AS HUGEINT) AS sf2 FROM sup),
+       |pairs AS (SELECT i.r AS ri, j.r AS rj,
+       |    (j.sf2 - (i.sf2 - CAST(i.f AS HUGEINT) * i.f)) * 1048576
+       |      - ((j.sf - (i.sf - i.f)) * (j.sf - (i.sf - i.f)) * 1048576) // (j.r - i.r + 1) AS err_fp
+       |  FROM pre j JOIN pre i ON j.r >= i.r),
+       |nm AS (SELECT max(r) AS n FROM pre),
+       |l1 AS (SELECT rj AS e, err_fp AS cost, 0 AS pe FROM pairs WHERE ri = 1),
+       |${level(2)},
+       |${level(3)},
+       |${level(4)},
+       |c3 AS (SELECT pe AS e3 FROM l4, nm WHERE e = n),
+       |c2x AS (SELECT l3.pe AS e2, e3 FROM l3, c3 WHERE l3.e = e3),
+       |c1x AS (SELECT l2.pe AS e1, e2, e3 FROM l2, c2x WHERE l2.e = e2),
+       |bks AS (SELECT 0 AS lo_r, e1 AS hi_r FROM c1x
+       |  UNION ALL SELECT e1, e2 FROM c1x
+       |  UNION ALL SELECT e2, e3 FROM c1x
+       |  UNION ALL SELECT e3, n FROM c1x, nm),
+       |bst AS (SELECT lo.v AS lo_v, hi.v AS hi_v, hi.sf - COALESCE(lo2.sf, 0) AS mass
+       |  FROM bks JOIN pre hi ON hi.r = bks.hi_r
+       |  JOIN pre lo ON lo.r = bks.lo_r + 1
+       |  LEFT JOIN pre lo2 ON lo2.r = bks.lo_r),
+       |eh AS (SELECT CAST(sum(CASE WHEN hi_v < 15 THEN mass WHEN lo_v >= 15 THEN 0
+       |    ELSE mass * (15 - lo_v) // (hi_v - lo_v + 1) END) AS BIGINT) AS est_o_rows_hist FROM bst),
+       |vm AS (SELECT min(v) AS vmin, max(v) AS vmax, CAST(sum(f) AS BIGINT) AS n_orders FROM sup),
+       |eu AS (SELECT CAST(n_orders * least(greatest(15 - vmin, 0), vmax - vmin + 1)
+       |    // (vmax - vmin + 1) AS BIGINT) AS est_o_rows_uniform FROM vm),
+       |exo AS (SELECT CAST(COALESCE(sum(f), 0) AS BIGINT) AS exact_o_rows FROM sup WHERE v < 15),
+       |st AS (SELECT * FROM
+       |    (SELECT count(*) AS c0, count(DISTINCT n_nationkey) AS d0n FROM nation),
+       |    (SELECT count(*) AS c1, count(DISTINCT c_nationkey) AS d1n, count(DISTINCT c_custkey) AS d1c FROM customer),
+       |    (SELECT count(DISTINCT o_custkey) AS d2 FROM orders), eh),
+       |m AS (SELECT *, est_o_rows_hist AS c2, greatest(d0n, d1n) AS m01, greatest(d1c, d2) AS m12 FROM st),
+       |costs AS ($branches),
+       |exq AS (SELECT count(*) AS executed_final_rows FROM nation
+       |  JOIN customer ON n_nationkey = c_nationkey
+       |  JOIN orders ON c_custkey = o_custkey
+       |  WHERE CAST(floor(o_totalprice / 10000) AS BIGINT) < 15)
+       |SELECT join_order, CAST(est_cost AS BIGINT) AS est_cost,
+       |  CAST(est_final_rows AS BIGINT) AS est_final_rows,
+       |  CAST(CASE WHEN est_cost = (SELECT min(est_cost) FROM costs) THEN 1 ELSE 0 END AS INTEGER) AS is_best,
+       |  est_o_rows_hist, est_o_rows_uniform, exact_o_rows,
+       |  CAST(executed_final_rows AS BIGINT) AS executed_final_rows,
+       |  CAST((est_final_rows - executed_final_rows) * 1000 // executed_final_rows AS BIGINT) AS final_err_permille
+       |FROM costs, eh, eu, exo, exq ORDER BY est_cost, join_order""".stripMargin
   }
 
   private lazy val incrementalDedupSql: String = {

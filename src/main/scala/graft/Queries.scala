@@ -11064,4 +11064,177 @@ object Queries {
       )
       .orderBy("min_count")
   }
+
+  // Selectivity-aware join ordering — the CBO story's two halves
+  // joined: q343's Selinger enumerator priced a predicate-free chain
+  // with uniform |A|/d cardinalities; q346 built the v-optimal error
+  // frontier but never USED the histogram. Here the histogram prices a
+  // real predicate (orders.o_totalprice < 150k, in 10k-unit support
+  // values): the b=4 v-optimal DP runs WITH an argmin backtrace (each
+  // level keeps its best predecessor; four bounded joins walk the
+  // boundaries back out), each bucket stores (lo_v, hi_v, mass), and
+  // the estimate is full-bucket mass plus the classic
+  // uniform-within-bucket partial term mass·(cut−lo)/(width). That
+  // estimate replaces |orders| in the chain pricing
+  // (nation—customer—orders'), next to the UNIFORM-model estimate it
+  // improves on and the exact count it approximates; the executed
+  // final cardinality rides along per plan, so the report shows priced
+  // vs executed — the feedback loop real optimizers close with
+  // runtime stats. Scale shape: the corpus collapses to the |V|≤60
+  // support in one pass (q346's posture — the bounded windows sit
+  // under a persisted frame, sweep-allowlisted); DP, backtrace, and
+  // pricing are support²-bounded broadcast work; the executed audit is
+  // the one real join, keyed end to end.
+  def histogramJoinAdvisor(s: SparkSession, dir: String): DataFrame = {
+    val Q = 1048576L
+    val cut = 15L
+    val vExpr = "CAST(floor(o_totalprice / 10000) AS BIGINT)"
+    val sup = t(s, dir, "orders").groupBy(expr(vExpr).as("v")).agg(count(lit(1)).as("f"))
+    val byV = Window.orderBy("v")
+    val pre = sup
+      .select(
+        col("v"),
+        col("f"),
+        row_number().over(byV).cast("long").as("r"),
+        sum(col("f")).over(byV).as("sf"),
+        sum(expr("CAST(f AS DECIMAL(38,0)) * f")).over(byV).as("sf2")
+      )
+    pre.persist()
+    val iSide = pre.select(
+      col("r").as("ri"),
+      (col("sf") - col("f")).as("sfp"),
+      (col("sf2") - expr("CAST(f AS DECIMAL(38,0)) * f")).as("sf2p")
+    )
+    val jSide = pre.select(col("r").as("rj"), col("sf").as("sfj"), col("sf2").as("sf2j"))
+    val pairs = jSide
+      .join(broadcast(iSide), col("rj") >= col("ri"))
+      .select(
+        col("ri"),
+        col("rj"),
+        expr(s"(sf2j - sf2p) * $Q - ((sfj - sfp) * (sfj - sfp) * $Q) div (rj - ri + 1)").as("err_fp")
+      )
+    pairs.persist()
+    val nm = pre.agg(max(col("r")).as("n"))
+    // DP with argmin PREDECESSOR kept per (level, end) — ties to the
+    // smaller predecessor, so the backtrace is deterministic
+    var lb = pairs
+      .filter(col("ri") === 1)
+      .select(col("rj").as("e"), col("err_fp").as("cost"), lit(0L).as("pe"))
+    val lvl = scala.collection.mutable.ArrayBuffer[DataFrame](lb)
+    for (_ <- 2 to 4) {
+      lb = pairs
+        .withColumn("pecand", col("ri") - 1)
+        .join(broadcast(lvl.last.select(col("e").as("pecand"), col("cost").as("pc"))), Seq("pecand"))
+        .groupBy(col("rj"))
+        .agg(min(struct((col("pc") + col("err_fp")).as("cost"), col("pecand").as("pe"))).as("b"))
+        .select(col("rj").as("e"), col("b.cost").as("cost"), col("b.pe").as("pe"))
+      lvl += lb
+    }
+    val e3 = lvl(3).join(broadcast(nm), col("e") === col("n")).select(col("pe").as("e3"))
+    val e2 = lvl(2).join(broadcast(e3), col("e") === col("e3")).select(col("pe").as("e2"), col("e3"))
+    val e1 = lvl(1).join(broadcast(e2), col("e") === col("e2")).select(col("pe").as("e1"), col("e2"), col("e3"))
+    val buckets = e1
+      .crossJoin(broadcast(nm))
+      .select(
+        explode(
+          array(
+            struct(lit(0L).as("lo_r"), col("e1").as("hi_r")),
+            struct(col("e1").as("lo_r"), col("e2").as("hi_r")),
+            struct(col("e2").as("lo_r"), col("e3").as("hi_r")),
+            struct(col("e3").as("lo_r"), col("n").as("hi_r"))
+          )
+        ).as("bk")
+      )
+      .select(col("bk.lo_r").as("lo_r"), col("bk.hi_r").as("hi_r"))
+    val rv = pre.select(col("r"), col("v"), col("sf"))
+    val bstats = buckets
+      .join(broadcast(rv.select(col("r").as("hi_r"), col("v").as("hi_v"), col("sf").as("sf_hi"))), Seq("hi_r"))
+      .join(broadcast(rv.select((col("r") - 1).as("lo_r"), col("v").as("lo_v"))), Seq("lo_r"))
+      .join(broadcast(rv.select(col("r").as("lo_r"), col("sf").as("sf_lo"))), Seq("lo_r"), "left")
+      .select(col("lo_v"), col("hi_v"), (col("sf_hi") - coalesce(col("sf_lo"), lit(0L))).as("mass"))
+    val estHist = bstats
+      .select(
+        when(col("hi_v") < cut, col("mass"))
+          .when(col("lo_v") >= cut, lit(0L))
+          .otherwise(expr(s"mass * ($cut - lo_v) div (hi_v - lo_v + 1)"))
+          .as("part")
+      )
+      .agg(sum(col("part")).as("est_o_rows_hist"))
+    val estUniform = pre
+      .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"), sum(col("f")).as("n_orders"))
+      .select(
+        expr(s"n_orders * least(greatest($cut - vmin, 0), vmax - vmin + 1) div (vmax - vmin + 1)")
+          .as("est_o_rows_uniform")
+      )
+    val exact = sup.filter(col("v") < cut).agg(coalesce(sum(col("f")), lit(0L)).as("exact_o_rows"))
+    val stats = t(s, dir, "nation")
+      .agg(count(lit(1)).as("c0"), countDistinct(col("n_nationkey")).as("d0n"))
+      .crossJoin(
+        broadcast(
+          t(s, dir, "customer").agg(
+            count(lit(1)).as("c1"),
+            countDistinct(col("c_nationkey")).as("d1n"),
+            countDistinct(col("c_custkey")).as("d1c")
+          )
+        )
+      )
+      .crossJoin(broadcast(t(s, dir, "orders").agg(countDistinct(col("o_custkey")).as("d2"))))
+      .crossJoin(broadcast(estHist))
+      .withColumn("c2", col("est_o_rows_hist"))
+      .withColumn("m01", greatest(col("d0n"), col("d1n")))
+      .withColumn("m12", greatest(col("d1c"), col("d2")))
+    stats.persist()
+    val tn = Seq("nation", "customer", "orders_f")
+    val orders3 = Seq(Seq(0, 1, 2), Seq(1, 0, 2), Seq(1, 2, 0), Seq(2, 1, 0))
+    def sizeExpr(i: Int, j: Int): String = {
+      var e = s"CAST(c$i AS DECIMAL(38,0))"
+      for (k <- i + 1 to j) e = s"(($e * c$k) div m${k - 1}$k)"
+      e
+    }
+    val priced = orders3
+      .map { o =>
+        val cost = (2 to 3)
+          .map { len =>
+            val p = o.take(len)
+            sizeExpr(p.min, p.max)
+          }
+          .mkString("(", " + ", ")")
+        stats.select(
+          lit(o.map(tn).mkString("->")).as("join_order"),
+          expr(cost).cast("long").as("est_cost"),
+          expr(sizeExpr(0, 2)).cast("long").as("est_final_rows")
+        )
+      }
+      .reduce(_.unionByName(_))
+    val executed = t(s, dir, "nation")
+      .select(col("n_nationkey"))
+      .join(
+        t(s, dir, "customer").select(col("c_nationkey"), col("c_custkey")),
+        col("n_nationkey") === col("c_nationkey")
+      )
+      .join(
+        t(s, dir, "orders").filter(expr(vExpr) < cut).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey")
+      )
+      .agg(count(lit(1)).as("executed_final_rows"))
+    priced
+      .crossJoin(broadcast(priced.agg(min(col("est_cost")).as("best_cost"))))
+      .crossJoin(broadcast(estHist))
+      .crossJoin(broadcast(estUniform))
+      .crossJoin(broadcast(exact))
+      .crossJoin(broadcast(executed))
+      .select(
+        col("join_order"),
+        col("est_cost"),
+        col("est_final_rows"),
+        when(col("est_cost") === col("best_cost"), 1).otherwise(0).cast("int").as("is_best"),
+        col("est_o_rows_hist"),
+        col("est_o_rows_uniform"),
+        col("exact_o_rows"),
+        col("executed_final_rows"),
+        expr("(est_final_rows - executed_final_rows) * 1000 div executed_final_rows")
+          .as("final_err_permille")
+      )
+      .orderBy("est_cost", "join_order")
+  }
 }
