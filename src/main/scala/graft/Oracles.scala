@@ -4741,6 +4741,136 @@ object Oracles {
          |FROM ag JOIN kp USING (min_count) ORDER BY min_count""".stripMargin
     },
     "q361_histogram_join_advisor" -> histogramJoinSql,
+    // stss sync indices (1, 1+g, …) priced against stsz sizes — the
+    // builder's arithmetic recomputed; the demux must recover the plan
+    // from the boxes alone
+    "q362_keyframe_plan" ->
+      """WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n FROM documents),
+        |p AS (SELECT doc_id, n, CAST(1 + n % 3 AS INTEGER) AS tracks FROM m),
+        |t AS (SELECT doc_id, n, CAST(unnest(generate_series(1, tracks)) AS INTEGER) AS tid FROM p),
+        |s AS (SELECT doc_id, tid, n,
+        |    CAST(8 + ((n + 13 * tid) % 40) AS INTEGER) AS ns,
+        |    CAST(2 + ((n + tid) % 5) AS INTEGER) AS g FROM t),
+        |y AS (SELECT *, CAST((ns + g - 1) // g AS INTEGER) AS n_sync,
+        |    1 + ((ns + g - 1) // g - 1) * g AS last_idx FROM s),
+        |x AS (SELECT doc_id, tid, ns, g, n_sync,
+        |    CASE WHEN tid % 2 = 1 THEN CAST(n_sync AS BIGINT) * (64 + n % 1024)
+        |      ELSE CAST(list_sum(list_transform(generate_series(0, n_sync - 1),
+        |        j -> 32 + ((n + 11 * (j * g)) % 992))) AS BIGINT) END AS planned_bytes,
+        |    CASE WHEN tid % 2 = 1 THEN CAST(ns AS BIGINT) * (64 + n % 1024)
+        |      ELSE CAST(list_sum(list_transform(generate_series(0, ns - 1),
+        |        i -> 32 + ((n + 11 * i) % 992))) AS BIGINT) END AS total_bytes,
+        |    CASE WHEN tid % 2 = 1 THEN CAST(last_idx - 1 AS BIGINT) * (64 + n % 1024)
+        |      ELSE CAST(COALESCE(list_sum(list_transform(generate_series(0, last_idx - 2),
+        |        i -> 32 + ((n + 11 * i) % 992))), 0) AS BIGINT) END AS last_sync_offset
+        |  FROM y)
+        |SELECT doc_id, tid AS track_id, ns AS n_samples, n_sync,
+        |  CAST(CASE WHEN n_sync >= 2 THEN g ELSE 0 END AS INTEGER) AS sync_stride,
+        |  planned_bytes, total_bytes, last_sync_offset,
+        |  CAST(planned_bytes * 1000 // total_bytes AS BIGINT) AS fetch_permille
+        |FROM x ORDER BY doc_id, track_id""".stripMargin,
+    // Morton interleave + per-file zone maps for both layouts; the
+    // same 2-D box predicate priced against each
+    "q363_zorder_layout" -> {
+      val zBits = (0 until 6)
+        .map(i => s"(((db >> $i) & 1) * ${1L << (2 * i + 1)} + ((pb >> $i) & 1) * ${1L << (2 * i)})")
+        .mkString(" + ")
+      def audit(fileExpr: String, name: String): String =
+        s"""SELECT '$name' AS layout, count(*) AS n_files,
+           |  CAST(sum(CASE WHEN hi_d >= 10 AND lo_d <= 19 AND hi_p >= 10 AND lo_p <= 19 THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+           |  CAST(sum(CASE WHEN hi_d >= 10 AND lo_d <= 19 AND hi_p >= 10 AND lo_p <= 19 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+           |  CAST(sum(n_rows) AS BIGINT) AS rows_total
+           |FROM (SELECT $fileExpr AS f, count(*) AS n_rows,
+           |    min(db) AS lo_d, max(db) AS hi_d, min(pb) AS lo_p, max(pb) AS hi_p
+           |  FROM b GROUP BY 1)""".stripMargin
+      s"""WITH b AS (SELECT
+         |    least(date_diff('day', DATE '1992-01-01', o_orderdate) // 64, 63) AS db,
+         |    least(CAST(floor(o_totalprice / 10000) AS BIGINT), 63) AS pb
+         |  FROM orders),
+         |mt AS (SELECT count(*) AS rows_matched FROM b
+         |  WHERE db BETWEEN 10 AND 19 AND pb BETWEEN 10 AND 19),
+         |au AS (${audit(s"(($zBits)) // 64", "zorder")}
+         |  UNION ALL
+         |  ${audit("(db * 64 + pb) // 64", "date_major")})
+         |SELECT layout, n_files, files_touched, rows_total, rows_scanned,
+         |  (SELECT rows_matched FROM mt) AS rows_matched,
+         |  CAST(rows_scanned * 1000 // rows_total AS BIGINT) AS scan_permille,
+         |  CAST((SELECT rows_matched FROM mt) * 1000 // greatest(rows_scanned, 1) AS BIGINT) AS hit_permille
+         |FROM au ORDER BY layout""".stripMargin
+    },
+    // priority q = w*2^20 // u with hash-seeded u; top-32 by (q desc,
+    // id) with the 33rd priority as threshold; ŵ = max(w, τ) audited
+    // against the true token total
+    "q364_priority_sample" ->
+      raw"""WITH d AS (SELECT doc_id,
+         |    greatest(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT), 1) AS w
+         |  FROM documents),
+         |q AS (SELECT doc_id, w,
+         |    w * 1048576 // (${hx("'ps|' || doc_id")} % 1048576 + 1) AS q FROM d),
+         |rk AS (SELECT doc_id, w, q, row_number() OVER (ORDER BY q DESC, doc_id) AS rk FROM q),
+         |ta AS (SELECT q AS tau FROM rk WHERE rk = 33),
+         |tt AS (SELECT count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS total_tokens FROM d),
+         |sm AS (SELECT doc_id, w, q AS priority, (SELECT tau FROM ta) AS tau,
+         |    greatest(w, (SELECT tau FROM ta)) AS w_hat FROM rk WHERE rk <= 32),
+         |es AS (SELECT CAST(sum(w_hat) AS BIGINT) AS est_total_tokens FROM sm)
+         |SELECT doc_id, w, priority, tau, w_hat, n_docs, total_tokens, est_total_tokens,
+         |  CAST((est_total_tokens - total_tokens) * 1000 // total_tokens AS BIGINT) AS err_permille
+         |FROM sm, tt, es ORDER BY priority DESC, doc_id""".stripMargin,
+    // hash-derived {0,1,2} Poisson-bootstrap counts, 32 replicate
+    // means, 2nd/31st order statistics as the interval
+    "q365_bootstrap_ci" ->
+      raw"""WITH d AS (SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS w FROM documents),
+         |r AS (SELECT CAST(unnest(generate_series(0, 31)) AS INTEGER) AS b),
+         |x AS (SELECT b, w, ${hx("'bs' || b || '|' || doc_id")} % 4 AS hm FROM d, r),
+         |c AS (SELECT b, w, CASE WHEN hm = 0 THEN 0 WHEN hm = 1 THEN 2 ELSE 1 END AS c FROM x),
+         |mm AS (SELECT CAST(b AS BIGINT) AS b,
+         |    CAST(sum(c * w) * 1000 // greatest(sum(c), 1) AS BIGINT) AS mean_milli
+         |  FROM c GROUP BY b),
+         |sl AS (SELECT mean_milli AS boot_lo_milli FROM (
+         |  SELECT mean_milli, row_number() OVER (ORDER BY mean_milli, b) AS rn FROM mm) WHERE rn = 2),
+         |sh AS (SELECT mean_milli AS boot_hi_milli FROM (
+         |  SELECT mean_milli, row_number() OVER (ORDER BY mean_milli DESC, b) AS rn FROM mm) WHERE rn = 2),
+         |tt AS (SELECT count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS total_tokens FROM d)
+         |SELECT n_docs, total_tokens,
+         |  CAST(total_tokens * 1000 // n_docs AS BIGINT) AS mean_milli,
+         |  CAST(32 AS INTEGER) AS n_replicates, boot_lo_milli, boot_hi_milli,
+         |  boot_hi_milli - boot_lo_milli AS width_milli,
+         |  CAST(CASE WHEN total_tokens * 1000 // n_docs BETWEEN boot_lo_milli AND boot_hi_milli
+         |    THEN 1 ELSE 0 END AS BIGINT) AS point_in_interval
+         |FROM tt, sl, sh""".stripMargin,
+    // four unrolled peeling rounds: per-edge triangle support via the
+    // wedge join, keep support >= 1 (k=3), census per round
+    "q366_ktruss" -> {
+      // MATERIALIZED is load-bearing (the q118/HITS lesson): every
+      // round references the previous edge set three times, so an
+      // inlined chain re-derives the whole banding pipeline 3^r times
+      val rounds = (1 to 4)
+        .map { r =>
+          s"""sym$r AS MATERIALIZED (SELECT lo AS u, hi AS v FROM e${r - 1} UNION ALL SELECT hi, lo FROM e${r - 1}),
+             |sp$r AS MATERIALIZED (SELECT a.v AS a, b.v AS b, count(*) AS supp
+             |  FROM sym$r a JOIN sym$r b ON a.u = b.u AND a.v < b.v GROUP BY 1, 2),
+             |e$r AS MATERIALIZED (SELECT lo, hi FROM e${r - 1}
+             |  LEFT JOIN sp$r ON sp$r.a = lo AND sp$r.b = hi
+             |  WHERE COALESCE(supp, 0) >= 1)""".stripMargin
+        }
+        .mkString(",\n")
+      val rows = (1 to 4)
+        .map(r =>
+          s"""SELECT CAST($r AS INTEGER) AS round,
+             |  (SELECT count(*) FROM e${r - 1}) AS n_edges_before,
+             |  (SELECT count(*) FROM e$r) AS n_edges_after""".stripMargin
+        )
+        .mkString("\nUNION ALL\n")
+      s"""WITH prs AS (SELECT d1, d2 FROM ($minhashSql)),
+         |e0 AS MATERIALIZED (SELECT DISTINCT least(d1, d2) AS lo, greatest(d1, d2) AS hi FROM prs WHERE d1 <> d2),
+         |$rounds,
+         |cen AS ($rows)
+         |SELECT round, n_edges_before, n_edges_after,
+         |  n_edges_before - n_edges_after AS n_removed,
+         |  CAST(CASE WHEN n_edges_before = n_edges_after THEN 1 ELSE 0 END AS BIGINT) AS is_fixpoint
+         |FROM cen ORDER BY round""".stripMargin
+    },
     // full-rebuild summary; the engine's incremental fold must land on
     // the same bits, so incremental_ok is a literal 1 it has to earn
     "q338_scd2_incremental" ->

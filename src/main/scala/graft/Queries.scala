@@ -10929,6 +10929,254 @@ object Queries {
     Multimodal.decodeVideoTracks(media).toDF().orderBy("doc_id", "track_id")
   }
 
+  // Keyframe fetch planning — q359 read the sample tables; this makes
+  // them ACTIONABLE: the stss sync-sample box resolved against stsz
+  // byte offsets gives, per track, exactly what a keyframe-only video
+  // sampler fetches from object storage (sample count, byte total,
+  // last offset, fetched fraction of the track). This is the range-GET
+  // plan a 100 TB video pipeline executes instead of reading whole
+  // files — the demux touches only the moov header, offsets are
+  // per-track prefix sums over a ≤sample-count array in the JVM, and
+  // payloads never shuffle (the q359 posture).
+  def keyframePlan(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.withSampledVideoPayload(t(s, dir, "documents"), "doc_id", "text")
+    Multimodal.decodeKeyframePlans(media).toDF().orderBy("doc_id", "track_id")
+  }
+
+  // Z-order layout advisor — the multidimensional-clustering decision
+  // (Delta/Iceberg OPTIMIZE ZORDER BY) measured instead of asserted:
+  // q329 showed zone maps compose with 1-D layout; a 2-D box predicate
+  // (date range × price range) defeats any single-column sort, because
+  // every date strip contains every price. Rows get a 6+6-bit Morton
+  // code (bit-interleaved date/price buckets — pure integer shifts,
+  // codegen'd); both layouts cut the SAME 64-cell files (z-order →
+  // 8×8 squares, date-major → 1×64 strips), each file keeps min/max
+  // zone maps on both columns, and the report counts files/rows a
+  // zone-map-pruned scan touches under each layout for the same box —
+  // next to the true match count, so false-positive scan volume is
+  // explicit. Scale shape: code assignment is map-side arithmetic;
+  // per-file zone maps are one keyed aggregate at file cardinality;
+  // nothing shuffles twice. At 100 TB this table IS the evidence an
+  // OPTIMIZE job cites before rewriting petabytes.
+  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val zBits = (0 until 6)
+      .map(i => s"((shiftright(db, $i) & 1) * ${1L << (2 * i + 1)} + (shiftright(pb, $i) & 1) * ${1L << (2 * i)})")
+      .mkString(" + ")
+    val base = t(s, dir, "orders")
+      .select(
+        expr("least(datediff(o_orderdate, DATE'1992-01-01') div 64, 63)").cast("long").as("db"),
+        expr("least(CAST(floor(o_totalprice / 10000) AS BIGINT), 63)").as("pb")
+      )
+      .withColumn("zfile", expr(s"($zBits) div 64"))
+      .withColumn("linfile", expr("(db * 64 + pb) div 64"))
+    val inBox = col("db").between(10, 19) && col("pb").between(10, 19)
+    val matched = base.filter(inBox).agg(count(lit(1)).as("rows_matched"))
+    def audit(fileCol: String, name: String): DataFrame =
+      base
+        .groupBy(col(fileCol).as("f"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min(col("db")).as("lo_d"),
+          max(col("db")).as("hi_d"),
+          min(col("pb")).as("lo_p"),
+          max(col("pb")).as("hi_p")
+        )
+        .agg(
+          count(lit(1)).as("n_files"),
+          sum(
+            (col("hi_d") >= 10 && col("lo_d") <= 19 && col("hi_p") >= 10 && col("lo_p") <= 19)
+              .cast("long")
+          ).as("files_touched"),
+          sum(
+            when(col("hi_d") >= 10 && col("lo_d") <= 19 && col("hi_p") >= 10 && col("lo_p") <= 19, col("n_rows"))
+              .otherwise(0L)
+          ).as("rows_scanned"),
+          sum(col("n_rows")).as("rows_total")
+        )
+        .select(lit(name).as("layout"), col("n_files"), col("files_touched"), col("rows_scanned"), col("rows_total"))
+    audit("zfile", "zorder")
+      .unionByName(audit("linfile", "date_major"))
+      .crossJoin(broadcast(matched))
+      .select(
+        col("layout"),
+        col("n_files"),
+        col("files_touched"),
+        col("rows_total"),
+        col("rows_scanned"),
+        col("rows_matched"),
+        expr("rows_scanned * 1000 div rows_total").as("scan_permille"),
+        expr("rows_matched * 1000 div greatest(rows_scanned, 1)").as("hit_permille")
+      )
+      .orderBy("layout")
+  }
+
+  // Weighted priority sampling (Duffield–Lund–Thorup) — the ONE-PASS
+  // bounded-memory weighted sample every dataset builder needs when
+  // "take k docs proportional to token count" must not sort the
+  // corpus: priority q = w·2²⁰ div u with u a per-doc hash draw, keep
+  // the top k by (q desc, id asc) through the bounded TopKAggregator
+  // (k+1 per partition ship — never a rank window), and the (k+1)-th
+  // priority is the threshold τ that makes the sample ESTIMATING:
+  // ŵ = max(w, τ) per kept row is unbiased for any subset-sum, which
+  // the output audits against the true corpus token total. The
+  // deterministic u (seeded hash) makes the draw replayable across
+  // engines and reshards — the q63 gate philosophy applied to weighted
+  // sampling. Scale shape: one projection, one bounded aggregate, a
+  // k-row join back for weights; the corpus never sorts and never
+  // shuffles on a high-cardinality key.
+  def prioritySample(s: SparkSession, dir: String): DataFrame = {
+    val k = 32
+    val docs = t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        greatest(TextOps.tokenCount(col("text")).cast("long"), lit(1L)).as("w")
+      )
+      .withColumn("u", TextOps.hash32(concat(lit("ps|"), col("doc_id").cast("string"))) % 1048576L + 1L)
+      .withColumn("q", expr("w * 1048576 div u"))
+    val topk = udaf(new graft.functions.TopKAggregator(k + 1))
+    val ranked = docs
+      .agg(topk(col("q").cast("double"), col("doc_id")).as("tk"))
+      .select(posexplode(col("tk")))
+      .select((col("pos") + 1).as("rk"), col("col.nid").as("doc_id"), col("col.sim").cast("long").as("priority"))
+    ranked.persist() // k+1 rows — the threshold and the sample both read it
+    val tau = ranked.filter(col("rk") === k + 1).select(col("priority").as("tau"))
+    val totals = docs.agg(count(lit(1)).as("n_docs"), sum(col("w")).as("total_tokens"))
+    val sample = ranked
+      .filter(col("rk") <= k)
+      .join(docs.select(col("doc_id"), col("w")), Seq("doc_id"))
+      .crossJoin(broadcast(tau))
+      .withColumn("w_hat", greatest(col("w"), col("tau")))
+    sample
+      .crossJoin(broadcast(sample.agg(sum(col("w_hat")).as("est_total_tokens"))))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("doc_id"),
+        col("w"),
+        col("priority"),
+        col("tau"),
+        col("w_hat"),
+        col("n_docs"),
+        col("total_tokens"),
+        col("est_total_tokens"),
+        expr("(est_total_tokens - total_tokens) * 1000 div total_tokens").as("err_permille")
+      )
+      .orderBy(desc("priority"), col("doc_id"))
+  }
+
+  // Deterministic Poisson bootstrap — the error bar every corpus
+  // metric should ship with, in the only form that scales AND replays:
+  // classical resampling needs the row count up front and a global
+  // shuffle per replicate; the Poisson bootstrap gives each row an
+  // independent per-replicate count, so all B=32 replicates ride ONE
+  // map-side pass (row × 32 expansion, combined before the shuffle;
+  // the shuffle carries 32 partial rows). Counts are hash-derived
+  // {0,1,2} with P = (¼, ½, ¼) — mean 1, replayable bit-for-bit on
+  // both engines (the q318 discipline applied to resampling). The
+  // interval is the 2nd/31st order statistics of the replicate means
+  // (a ~94% percentile interval at B=32), pulled through the bounded
+  // TopKAggregator from both ends — no rank window over anything. The
+  // point estimate's membership in its own interval is earned, not
+  // asserted.
+  def bootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    val B = 32
+    val reps = s.createDataFrame((0 until B).map(Tuple1(_))).toDF("b")
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("w"))
+    val repMeans = docs
+      .crossJoin(broadcast(reps))
+      .withColumn("h", TextOps.hash32(concat(lit("bs"), col("b").cast("string"), lit("|"), col("doc_id").cast("string"))) % 4)
+      .withColumn("c", expr("CASE WHEN h = 0 THEN 0 WHEN h = 1 THEN 2 ELSE 1 END"))
+      .groupBy("b")
+      .agg(sum(expr("c * w")).as("sw"), sum(col("c")).as("sc"))
+      .select(col("b").cast("long").as("b"), expr("sw * 1000 div greatest(sc, 1)").as("mean_milli"))
+    val top2 = udaf(new graft.functions.TopKAggregator(2))
+    val lo = repMeans
+      .agg(top2((-col("mean_milli")).cast("double"), col("b")).as("tk"))
+      .select(posexplode(col("tk")))
+      .filter(col("pos") === 1)
+      .select((-col("col.sim")).cast("long").as("boot_lo_milli"))
+    val hi = repMeans
+      .agg(top2(col("mean_milli").cast("double"), col("b")).as("tk"))
+      .select(posexplode(col("tk")))
+      .filter(col("pos") === 1)
+      .select(col("col.sim").cast("long").as("boot_hi_milli"))
+    t(s, dir, "documents")
+      .select(TextOps.tokenCount(col("text")).cast("long").as("w"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("total_tokens"))
+      .select(col("n_docs"), col("total_tokens"), expr("total_tokens * 1000 div n_docs").as("mean_milli"))
+      .crossJoin(broadcast(lo))
+      .crossJoin(broadcast(hi))
+      .select(
+        col("n_docs"),
+        col("total_tokens"),
+        col("mean_milli"),
+        lit(B).as("n_replicates"),
+        col("boot_lo_milli"),
+        col("boot_hi_milli"),
+        (col("boot_hi_milli") - col("boot_lo_milli")).as("width_milli"),
+        (col("mean_milli") >= col("boot_lo_milli") && col("mean_milli") <= col("boot_hi_milli"))
+          .cast("long")
+          .as("point_in_interval")
+      )
+  }
+
+  // k-truss decomposition (k=3) — the cohesion rung ABOVE connected
+  // components for dedup-cluster hygiene: CC merges through any single
+  // spurious LSH edge, while a k-truss keeps an edge only if it closes
+  // ≥ k−2 = 1 triangle, so bridge edges (the classic false-merge
+  // vector) peel away while genuinely clustered docs survive. Four peeling rounds over the candidate graph, each one
+  // wedge-join (common-neighbor count per edge — the q196 triangle
+  // machinery) + one keyed filter, edge sets parquet-snapshotted per
+  // round (the CC/HITS discipline). The census reports each round's
+  // before/after/removed and whether the peel reached its fixpoint —
+  // earned from the data, since peeling can cascade. Scale shape:
+  // Σ deg² wedge work per round, all keyed joins, never node².
+  def kTruss(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.operators.Scratch.dir("graft-ktruss")
+    def snapshot(df: DataFrame, name: String): DataFrame = {
+      val path = s"$base/$name"
+      df.write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+    }
+    var edges = snapshot(
+      graft.operators.CandidateGraph
+        .pairs(s, dir)
+        .select(least(col("d1"), col("d2")).as("lo"), greatest(col("d1"), col("d2")).as("hi"))
+        .filter(col("lo") =!= col("hi"))
+        .distinct(),
+      "e0"
+    )
+    val census = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 1 to 4) {
+      val sym = edges
+        .select(col("lo").as("u"), col("hi").as("v"))
+        .unionByName(edges.select(col("hi").as("u"), col("lo").as("v")))
+      val supp = sym
+        .select(col("v").as("a"), col("u").as("x"))
+        .join(sym.select(col("v").as("b"), col("u").as("x")), Seq("x"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("supp"))
+      val kept = snapshot(
+        edges
+          .join(supp.select(col("a").as("lo"), col("b").as("hi"), col("supp")), Seq("lo", "hi"), "left")
+          .filter(coalesce(col("supp"), lit(0L)) >= 1)
+          .select("lo", "hi"),
+        s"e$r"
+      )
+      census += edges
+        .agg(count(lit(1)).as("n_edges_before"))
+        .crossJoin(kept.agg(count(lit(1)).as("n_edges_after")))
+        .select(lit(r).as("round"), col("n_edges_before"), col("n_edges_after"))
+      edges = kept
+    }
+    census
+      .reduce(_.unionByName(_))
+      .withColumn("n_removed", col("n_edges_before") - col("n_edges_after"))
+      .withColumn("is_fixpoint", (col("n_removed") === 0L).cast("long"))
+      .orderBy("round")
+  }
+
   // Pruned higher-order LM — acting on q274's own measured finding
   // (the unpruned trigram buys ~0.22 nats at the median over the
   // bigram): the production deploy shape (the KenLM `--prune` move) is

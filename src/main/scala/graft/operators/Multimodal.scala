@@ -65,6 +65,23 @@ object Multimodal {
       n_chunks: Int
   )
 
+  /** Per-track keyframe fetch plan (q362): which samples are sync
+    * points (stss), what they cost to fetch (stsz prefix offsets), and
+    * the fraction of the track a keyframe-only read touches — the plan
+    * a video sampling job executes against object storage.
+    */
+  final case class KeyframePlan(
+      doc_id: Long,
+      track_id: Int,
+      n_samples: Int,
+      n_sync: Int,
+      sync_stride: Int,
+      planned_bytes: Long,
+      total_bytes: Long,
+      last_sync_offset: Long,
+      fetch_permille: Long
+  )
+
   /** Build + parse of real media containers (headers, not pixels). */
   object MediaCodec {
 
@@ -483,6 +500,11 @@ object Multimodal {
       (ns, n1, 1 + n % 500, ns - n1, 1 + (3 * n + tid) % 500, 1 + (n + tid) % 7)
     }
 
+    /** Sync-sample stride the builder writes into stss (every g-th
+      * sample, 1-based, starting at 1) — the q362 plan reads it back.
+      */
+    def mp4SyncStride(n: Int, tid: Int): Int = 2 + ((n + tid) % 5)
+
     private def tkhdBox(tid: Int, duration: Int, width: Int, height: Int): Array[Byte] = {
       val p = new Array[Byte](84)
       writeBe32(p, 0, 0x00000007)
@@ -554,7 +576,15 @@ object Multimodal {
           writeBe32(p, 8, 1); writeBe32(p, 12, spc); writeBe32(p, 16, 1)
           mp4Box("stsc", p)
         }
-        val stbl = mp4Box("stbl", stts ++ stsz ++ stsc)
+        val stss = {
+          val g = mp4SyncStride(n, tid)
+          val syncs = (1 to ns by g).toArray
+          val p = new Array[Byte](8 + 4 * syncs.length)
+          writeBe32(p, 4, syncs.length)
+          syncs.indices.foreach(j => writeBe32(p, 8 + 4 * j, syncs(j)))
+          mp4Box("stss", p)
+        }
+        val stbl = mp4Box("stbl", stts ++ stsz ++ stsc ++ stss)
         mp4Box("trak", tkhdBox(tid, duration, width, height) ++ mp4Box("mdia", mdhd ++ mp4Box("minf", stbl)))
       }
       val moov = mp4Box("moov", (mvhd +: traks).reduce(_ ++ _))
@@ -663,6 +693,72 @@ object Multimodal {
               totalBytes / nStts,
               nChunks
             )
+        }
+      }
+      out.toSeq
+    }
+
+    /** The keyframe FETCH plan (q362): stss sync indices resolved
+      * against stsz byte offsets — per track, how many samples a
+      * keyframe-only read touches, their total bytes, the offset of
+      * the last one, and the fetched fraction of the track. Sample
+      * sizes come from either stsz mode; offsets are prefix sums over
+      * the per-track table (≤ sample-count work in the JVM, map-side).
+      */
+    def decodeKeyframePlans(docId: Long, b: Array[Byte]): Seq[KeyframePlan] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[KeyframePlan]
+      val top = childOffsets(b, 0, b.length).getOrElse(return Seq.empty)
+      for (m <- top if boxType(b, m) == "moov") {
+        val kids = childOffsets(b, m + 8, m + readBe32(b, m)).getOrElse(return Seq.empty)
+        for (t <- kids if boxType(b, t) == "trak") {
+          val tKids = childOffsets(b, t + 8, t + readBe32(b, t)).getOrElse(return Seq.empty)
+          var trackId = -1
+          var sizes: Array[Long] = null
+          var syncs: Array[Int] = null
+          for (c <- tKids) boxType(b, c) match {
+            case "tkhd" if readBe32(b, c) >= 8 + 84 =>
+              trackId = readBe32(b, c + 8 + 12)
+            case "mdia" =>
+              for (
+                mc <- childOffsets(b, c + 8, c + readBe32(b, c)).getOrElse(return Seq.empty)
+                if boxType(b, mc) == "minf";
+                sc <- childOffsets(b, mc + 8, mc + readBe32(b, mc)).getOrElse(return Seq.empty)
+                if boxType(b, sc) == "stbl";
+                sb <- childOffsets(b, sc + 8, sc + readBe32(b, sc)).getOrElse(return Seq.empty)
+              ) boxType(b, sb) match {
+                case "stsz" =>
+                  val ss = readBe32(b, sb + 12)
+                  val cnt = readBe32(b, sb + 16)
+                  if (ss != 0) sizes = Array.fill(cnt)(ss.toLong)
+                  else {
+                    if (sb + 20 + 4 * cnt > sb + readBe32(b, sb)) return Seq.empty
+                    sizes = Array.tabulate(cnt)(i => readBe32(b, sb + 20 + 4 * i).toLong)
+                  }
+                case "stss" =>
+                  val cnt = readBe32(b, sb + 12)
+                  if (sb + 16 + 4 * cnt > sb + readBe32(b, sb)) return Seq.empty
+                  syncs = Array.tabulate(cnt)(j => readBe32(b, sb + 16 + 4 * j))
+                case _ => ()
+              }
+            case _ => ()
+          }
+          if (trackId > 0 && sizes != null && syncs != null && syncs.nonEmpty &&
+            syncs.forall(i => i >= 1 && i <= sizes.length)) {
+            val offsets = sizes.scanLeft(0L)(_ + _) // offsets(i) = bytes before 1-based sample i+1
+            val planned = syncs.map(i => sizes(i - 1)).sum
+            val total = sizes.sum
+            out += KeyframePlan(
+              docId,
+              trackId,
+              sizes.length,
+              syncs.length,
+              if (syncs.length >= 2) syncs(1) - syncs(0) else 0,
+              planned,
+              total,
+              offsets(syncs.last - 1),
+              planned * 1000L / total
+            )
+          }
         }
       }
       out.toSeq
@@ -827,6 +923,16 @@ object Multimodal {
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) => MediaCodec.decodeMp4Tracks(id, bytes) })
+  }
+
+  /** Per-partition keyframe-plan extraction (q362). */
+  def decodeKeyframePlans(media: DataFrame): Dataset[KeyframePlan] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => MediaCodec.decodeKeyframePlans(id, bytes) })
   }
 
   def sampleFrames(media: DataFrame): DataFrame = {
