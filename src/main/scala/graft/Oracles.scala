@@ -4890,43 +4890,107 @@ object Oracles {
         |  CAST(1024 * 1000 // rate AS BIGINT) AS frame_ms,
         |  CAST(CASE WHEN nf > 0 THEN (1024 + (nf - 1) * 256) * 1000 // ns ELSE 0 END AS BIGINT) AS coverage_permille
         |FROM f ORDER BY doc_id""".stripMargin,
-    // HRW argmax per doc over 8 vs 9 shards (score desc, shard asc
-    // ties) next to modulo movement — both from the seeded hash
-    "q368_rendezvous_sharding" ->
-      s"""WITH d AS (SELECT doc_id FROM documents),
-         |sh AS (SELECT CAST(unnest(generate_series(0, 8)) AS INTEGER) AS shard),
-         |sc AS (SELECT doc_id, shard, ${hx("shard || '|' || doc_id")} AS score FROM d, sh),
-         |a8 AS (SELECT doc_id, shard AS hrw8 FROM (SELECT doc_id, shard,
-         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, shard) AS rn
-         |  FROM sc WHERE shard < 8) WHERE rn = 1),
-         |a9 AS (SELECT doc_id, shard AS hrw9 FROM (SELECT doc_id, shard,
-         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, shard) AS rn
-         |  FROM sc) WHERE rn = 1),
-         |hr AS (SELECT count(*) AS n_docs,
-         |    CAST(sum(CASE WHEN hrw8 <> hrw9 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
-         |  FROM a8 JOIN a9 USING (doc_id)),
-         |mo AS (SELECT count(*) AS n_docs,
-         |    CAST(sum(CASE WHEN ${hx("CAST(doc_id AS VARCHAR)")} % 8 <> ${hx("CAST(doc_id AS VARCHAR)")} % 9
-         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_moved FROM d),
-         |u AS (SELECT 'rendezvous' AS strategy, n_docs, n_moved FROM hr
-         |  UNION ALL SELECT 'modulo', n_docs, n_moved FROM mo)
-         |SELECT strategy, n_docs, n_moved,
-         |  CAST(n_moved * 1000 // n_docs AS BIGINT) AS moved_permille
-         |FROM u ORDER BY strategy""".stripMargin,
-    // leading digit of the integer price vs the Benford constants
-    "q369_benford_audit" -> {
-      val e = "CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 125 WHEN 4 THEN 97" +
-        " WHEN 5 THEN 79 WHEN 6 THEN 67 WHEN 7 THEN 58 WHEN 8 THEN 51 ELSE 46 END"
-      s"""WITH v AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS v FROM orders WHERE o_totalprice > 0),
-         |d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER) AS digit FROM v WHERE v > 0),
-         |g AS (SELECT digit, count(*) AS n_values FROM d GROUP BY 1),
-         |t AS (SELECT count(*) AS n_total FROM orders)
-         |SELECT digit, n_values,
-         |  CAST(n_values * 1000 // n_total AS BIGINT) AS observed_permille,
-         |  CAST($e AS BIGINT) AS benford_permille,
-         |  CAST(n_values * 1000 // n_total - ($e) AS BIGINT) AS delta_permille
-         |FROM g, t ORDER BY digit""".stripMargin
+    // stream/batch parity: the tombstone anti-join's batch equivalent
+    "q370_stream_erasure" -> {
+      val h = hx("CAST(user_id AS VARCHAR)")
+      s"""WITH del AS (SELECT DISTINCT user_id FROM events WHERE $h % 20 = 0)
+         |SELECT event_type, count(*) AS n_events, CAST(sum(event_id) AS BIGINT) AS checksum
+         |FROM events WHERE user_id NOT IN (SELECT user_id FROM del)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    // the q104 SCD2 islands probed at three AS-OF dates
+    "q371_time_travel" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |f AS (SELECT *, CASE WHEN prev IS NULL OR o_orderpriority <> prev THEN 1 ELSE 0 END AS chg FROM o),
+        |v AS (SELECT *, sum(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ver FROM f),
+        |i AS (SELECT o_custkey, ver, strftime(min(o_orderdate), '%Y-%m-%d') AS valid_from,
+        |    count(*) AS n_orders FROM v GROUP BY o_custkey, ver),
+        |j AS (SELECT *, lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY ver) AS valid_to FROM i),
+        |ts AS (SELECT unnest(['1996-01-01', '1998-01-01', '2000-01-01']) AS as_of)
+        |SELECT as_of, count(*) AS n_entities,
+        |  CAST(sum(CASE WHEN ver > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_evolved,
+        |  CAST(sum(n_orders) AS BIGINT) AS n_orders_active,
+        |  CAST(max(ver) AS INTEGER) AS max_version
+        |FROM j JOIN ts ON valid_from <= as_of AND (valid_to IS NULL OR valid_to > as_of)
+        |GROUP BY as_of ORDER BY as_of""".stripMargin,
+    // int8 affine codes vs the q190 PQ codebooks, both reconstructed
+    // on the floor(x·2¹⁰) grid — the training CTEs are the q190 mirror
+    "q372_quantization_audit" -> {
+      val dsub = 4
+      def dotD(a: String, b: String) =
+        s"list_sum(list_transform(generate_series(1, $dsub), i -> $a[CAST(i AS INTEGER)] * $b[CAST(i AS INTEGER)]))"
+      def score(src: String, cent: String) =
+        s"${dotD(s"$src.se", s"$cent.ce")} - list_sum(list_transform($cent.ce, x -> x * x)) / 2.0"
+      def iter(i: Int, prev: String): String =
+        s"""s$i AS (SELECT t.vid, t.sub, t.se, c.j, ${score("t", "c")} AS s FROM vs t JOIN $prev c ON c.sub = t.sub),
+           |a$i AS (SELECT vid, sub, se, j AS cell FROM (SELECT vid, sub, se, j, row_number() OVER (PARTITION BY vid, sub ORDER BY s DESC, j DESC) AS rn FROM s$i) t WHERE rn = 1),
+           |x$i AS (SELECT sub, cell, se, CAST(unnest(generate_series(1, $dsub)) AS INTEGER) AS pos FROM a$i),
+           |m$i AS (SELECT sub, cell, pos, CAST(sum(CAST(${away("se[pos]", 6)} AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS mm FROM x$i GROUP BY sub, cell, pos),
+           |n$i AS (SELECT sub, cell, list(mm ORDER BY pos) AS nce FROM m$i GROUP BY sub, cell),
+           |c$i AS (SELECT p.sub, p.j, COALESCE(n$i.nce, p.ce) AS ce FROM $prev p LEFT JOIN n$i ON n$i.sub = p.sub AND n$i.cell = p.j)""".stripMargin
+      s"""WITH v AS (SELECT vec_id AS vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |xq AS MATERIALIZED (SELECT vid, i, CAST(floor(e[i] * 1024) AS BIGINT) AS xq FROM (
+         |    SELECT vid, e, CAST(unnest(generate_series(1, 64)) AS INTEGER) AS i FROM v)),
+         |rg AS (SELECT i, min(xq) AS mn, max(xq) AS mx FROM xq GROUP BY i),
+         |i8 AS (SELECT count(DISTINCT vid) AS n_vectors,
+         |    CAST(sum((xq - (mn + ((xq - mn) * 255 // greatest(mx - mn, 1)) * (mx - mn) // 255))
+         |      * (xq - (mn + ((xq - mn) * 255 // greatest(mx - mn, 1)) * (mx - mn) // 255))) AS BIGINT) AS sse
+         |  FROM xq JOIN rg USING (i)),
+         |subs AS (SELECT CAST(unnest(generate_series(0, 15)) AS INTEGER) AS sub),
+         |vs AS (SELECT vid, sub, e[(sub*$dsub+1):(sub*$dsub+$dsub)] AS se FROM v, subs),
+         |low AS (SELECT vid FROM v ORDER BY vid LIMIT 16),
+         |c0 AS (SELECT vs.sub, CAST(row_number() OVER (PARTITION BY vs.sub ORDER BY vs.vid) - 1 AS INTEGER) AS j, vs.se AS ce
+         |  FROM vs JOIN low ON vs.vid = low.vid),
+         |${iter(1, "c0")},
+         |${iter(2, "c1")},
+         |sf AS (SELECT t.vid, t.sub, t.se, c.j, ${score("t", "c")} AS s FROM vs t JOIN c2 c ON c.sub = t.sub),
+         |code AS (SELECT vid, sub, j AS cell FROM (SELECT vid, sub, j, row_number() OVER (PARTITION BY vid, sub ORDER BY s DESC, j DESC) AS rn FROM sf) t WHERE rn = 1),
+         |prq AS (SELECT code.vid, CAST(code.sub * $dsub + dj AS INTEGER) AS i,
+         |    CAST(floor(c2.ce[dj] * 1024) AS BIGINT) AS rq
+         |  FROM code JOIN c2 ON c2.sub = code.sub AND c2.j = code.cell,
+         |    (SELECT CAST(unnest(generate_series(1, $dsub)) AS INTEGER) AS dj)),
+         |pq AS (SELECT count(DISTINCT xq.vid) AS n_vectors,
+         |    CAST(sum((xq.xq - rq) * (xq.xq - rq)) AS BIGINT) AS sse
+         |  FROM xq JOIN prq ON prq.vid = xq.vid AND prq.i = xq.i),
+         |u AS (SELECT 'int8_scalar' AS method, CAST(512 AS BIGINT) AS bits_per_vector, n_vectors, sse FROM i8
+         |  UNION ALL SELECT 'pq_16x4', CAST(64 AS BIGINT), n_vectors, sse FROM pq)
+         |SELECT method, bits_per_vector, n_vectors, sse AS sum_sq_err_fp,
+         |  CAST(sse // (n_vectors * 64) AS BIGINT) AS mean_sq_err_fp
+         |FROM u ORDER BY method""".stripMargin
+    },
+    // the q23 predictor's confusion rollup: per-class P/R/F1 permille
+    // plus the macro row (label '~macro' sorts last)
+    "q373_langid_eval" ->
+      raw"""WITH w AS (SELECT lang, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         |p AS (SELECT lang, $langCase AS pred FROM w),
+         |cf AS (SELECT lang, pred, count(*) AS c FROM p GROUP BY 1, 2),
+         |rc AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_true FROM cf GROUP BY 1),
+         |cc AS (SELECT pred AS lang, CAST(sum(c) AS BIGINT) AS n_pred FROM cf GROUP BY 1),
+         |dg AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_correct FROM cf WHERE lang = pred GROUP BY 1),
+         |pc AS (SELECT COALESCE(rc.lang, cc.lang) AS label,
+         |    COALESCE(n_true, 0) AS n_true, COALESCE(n_pred, 0) AS n_pred,
+         |    COALESCE(n_correct, 0) AS n_correct
+         |  FROM rc FULL JOIN cc ON cc.lang = rc.lang
+         |  LEFT JOIN dg ON dg.lang = COALESCE(rc.lang, cc.lang)),
+         |pm AS (SELECT *, n_correct * 1000 // greatest(n_pred, 1) AS precision_permille,
+         |    n_correct * 1000 // greatest(n_true, 1) AS recall_permille FROM pc),
+         |f AS (SELECT *, 2 * precision_permille * recall_permille
+         |    // greatest(precision_permille + recall_permille, 1) AS f1_permille FROM pm),
+         |mc AS (SELECT '~macro' AS label, CAST(sum(n_true) AS BIGINT) AS n_true,
+         |    CAST(sum(n_pred) AS BIGINT) AS n_pred, CAST(sum(n_correct) AS BIGINT) AS n_correct,
+         |    CAST(sum(precision_permille) // count(*) AS BIGINT) AS precision_permille,
+         |    CAST(sum(recall_permille) // count(*) AS BIGINT) AS recall_permille,
+         |    CAST(sum(f1_permille) // count(*) AS BIGINT) AS f1_permille FROM f)
+         |SELECT label, n_true, n_pred, n_correct,
+         |  CAST(precision_permille AS BIGINT) AS precision_permille,
+         |  CAST(recall_permille AS BIGINT) AS recall_permille,
+         |  CAST(f1_permille AS BIGINT) AS f1_permille
+         |FROM f
+         |UNION ALL SELECT * FROM mc
+         |ORDER BY label""".stripMargin,
     // full-rebuild summary; the engine's incremental fold must land on
     // the same bits, so incremental_ok is a literal 1 it has to earn
     "q338_scd2_incremental" ->

@@ -10944,7 +10944,10 @@ object Queries {
   }
 
   // Z-order layout advisor — the multidimensional-clustering decision
-  // (Delta/Iceberg OPTIMIZE ZORDER BY) measured instead of asserted:
+  // (Delta/Iceberg OPTIMIZE ZORDER BY) measured instead of asserted.
+  // q142 profiles one z-ordered layout's blocks; THIS query prices the
+  // decision: the same 2-D box predicate against z-order vs the 1-D
+  // date-major layout it would replace, per-file zone maps on both.
   // q329 showed zone maps compose with 1-D layout; a 2-D box predicate
   // (date range × price range) defeats any single-column sort, because
   // every date strip contains every price. Rows get a 6+6-bit Morton
@@ -11217,78 +11220,139 @@ object Queries {
       .orderBy("doc_id")
   }
 
-  // Rendezvous (HRW) sharding advisor — the resharding-cost question
-  // every growing corpus hits: adding a 9th shard under modulo
-  // placement moves ~8/9 of all keys (every derived artifact rebuilt);
-  // under highest-random-weight placement each doc goes to its
-  // max-scoring shard, so ONLY keys whose argmax is the new shard move
-  // (~1/9). Both strategies replayed with the seeded hash and measured
-  // on the corpus — movement earned per doc by comparing the 8-shard
-  // and 9-shard assignments, computed in ONE pass (a doc × 9 broadcast
-  // cross, two conditional argmin aggregates). This is the evidence
-  // table behind choosing consistent placement for the 100 TB shard
-  // map; scale cost is a 9× map-side expansion and one keyed rollup.
-  def rendezvousSharding(s: SparkSession, dir: String): DataFrame = {
-    val shards = s.createDataFrame((0 until 9).map(Tuple1(_))).toDF("shard")
-    val docs = t(s, dir, "documents").select(col("doc_id"))
-    val asg = docs
-      .crossJoin(broadcast(shards))
-      .withColumn(
-        "score",
-        TextOps.hash32(concat(col("shard").cast("string"), lit("|"), col("doc_id").cast("string")))
+  // streaming erasure enforcement — see StreamAgg.erasureFilteredCounts
+  def streamErasureFilter(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamAgg.erasureFilteredCounts(s, dir)
+
+  // Time-travel (AS OF) reads over the SCD2 dimension — the query
+  // pattern the q104/q338 history table EXISTS to serve: "what did the
+  // dimension look like on date T?" is one interval predicate
+  // (valid_from ≤ T < valid_to) against the versioned table, never a
+  // reprocessing job. Three pinned read timestamps ride one broadcast
+  // join; per timestamp the report carries the active-entity census,
+  // how many were already past their first version (the dimension's
+  // churn at T), the active islands' order mass, and the deepest
+  // version — the audit a warehouse runs before trusting point-in-time
+  // joins (q236 is the per-FACT point-in-time join; this is the
+  // dimension SNAPSHOT read at fixed dates — the other half of the
+  // time-travel surface). Scale shape: the SCD2 build is q104's keyed
+  // windows; the as-of probe is a 3-row broadcast against the
+  // versioned frame.
+  def timeTravelRead(s: SparkSession, dir: String): DataFrame = {
+    val scd = scd2Of(t(s, dir, "orders"))
+    val tsf = s.createDataFrame(Seq("1996-01-01", "1998-01-01", "2000-01-01").map(Tuple1(_))).toDF("as_of")
+    scd
+      .join(
+        broadcast(tsf),
+        col("valid_from") <= col("as_of") && (col("valid_to").isNull || col("valid_to") > col("as_of"))
       )
-      .groupBy("doc_id")
+      .groupBy("as_of")
       .agg(
-        min(when(col("shard") < 8, struct((-col("score")).as("ns"), col("shard").as("sh")))).as("a8"),
-        min(struct((-col("score")).as("ns"), col("shard").as("sh"))).as("a9")
+        count(lit(1)).as("n_entities"),
+        sum((col("version") > 1).cast("long")).as("n_evolved"),
+        sum(col("n_orders")).as("n_orders_active"),
+        max(col("version")).as("max_version")
       )
-      .select(col("doc_id"), col("a8.sh").as("hrw8"), col("a9.sh").as("hrw9"))
-    val hrw = asg.agg(
-      count(lit(1)).as("n_docs"),
-      sum((col("hrw8") =!= col("hrw9")).cast("long")).as("n_moved")
-    )
-    val modulo = docs
-      .withColumn("h", TextOps.hash32(col("doc_id").cast("string")))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum((col("h") % 8 =!= col("h") % 9).cast("long")).as("n_moved")
-      )
-    hrw
-      .select(lit("rendezvous").as("strategy"), col("n_docs"), col("n_moved"))
-      .unionByName(modulo.select(lit("modulo").as("strategy"), col("n_docs"), col("n_moved")))
-      .withColumn("moved_permille", expr("n_moved * 1000 div n_docs"))
-      .orderBy("strategy")
+      .orderBy("as_of")
   }
 
-  // Benford first-digit audit — the classic fabricated-numbers screen
-  // a data-quality pass runs over monetary columns: leading digits of
-  // natural multiplicative data follow log10(1+1/d), and a synthetic
-  // or truncated feed shows up as mass piled on low digits. Observed
-  // first-digit shares of o_totalprice next to the Benford expectation
-  // (fixed permille literals — model constants, not data) and the
-  // per-digit deviation. The verdict here is honest: TPC-H prices are
-  // uniform-ish over a bounded range, so the audit FLAGS them — which
-  // is exactly what it should do to generated data. One projection
-  // (leading digit via the decimal string's first char — identical on
-  // both engines for positive integers), one 9-row keyed rollup.
-  def benfordAudit(s: SparkSession, dir: String): DataFrame = {
-    val expected = "CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 125 WHEN 4 THEN 97" +
-      " WHEN 5 THEN 79 WHEN 6 THEN 67 WHEN 7 THEN 58 WHEN 8 THEN 51 ELSE 46 END"
-    t(s, dir, "orders")
-      .select(expr("CAST(floor(o_totalprice) AS BIGINT)").as("v"))
-      .filter(col("v") > 0)
-      .withColumn("digit", expr("CAST(substr(CAST(v AS STRING), 1, 1) AS INT)"))
-      .groupBy("digit")
-      .agg(count(lit(1)).as("n_values"))
-      .crossJoin(broadcast(t(s, dir, "orders").agg(count(lit(1)).as("n_total"))))
-      .select(
-        col("digit"),
-        col("n_values"),
-        expr("n_values * 1000 div n_total").as("observed_permille"),
-        expr(expected).cast("long").as("benford_permille"),
-        expr(s"n_values * 1000 div n_total - ($expected)").as("delta_permille")
+  // Index-compression accuracy audit — the decision behind every ANN
+  // deployment: scalar int8 (8 bits/dim, 512 bits/vector here) versus
+  // the stored PQ codes (16 subspaces × 4-bit cells = 64 bits/vector):
+  // what does 8× fewer bits cost in reconstruction error? Both are
+  // measured on the floor(x·2¹⁰) integer grid (the q352 move) so the
+  // error sums replay bit-for-bit: int8 reconstructs through per-dim
+  // min/max affine codes (one 64-row range table, broadcast back);
+  // PQ reconstructs each subspace from the STORED codebook centroid
+  // its stored code names — the serving artifacts themselves are under
+  // audit, not a re-derivation (q101 round-trips a scalar quantizer
+  // per vector; this prices the int8-vs-PQ DECISION in exact error).
+  // Scale shape: one corpus×dims
+  // projection, keyed joins against dimension-bounded tables, two
+  // global sums.
+  def quantizationAudit(s: SparkSession, dir: String): DataFrame = {
+    val idx = graft.operators.AnnIndex.stored(s, dir)
+    val dims = t(s, dir, "embeddings")
+      .select(col("vec_id").as("nid"), posexplode(col("embedding")))
+      .select(col("nid"), (col("pos") + 1).as("i"), expr("CAST(floor(CAST(col AS DOUBLE) * 1024) AS BIGINT)").as("xq"))
+    val ranges = dims.groupBy("i").agg(min(col("xq")).as("mn"), max(col("xq")).as("mx"))
+    val int8 = dims
+      .join(broadcast(ranges), Seq("i"))
+      .withColumn("code", expr("(xq - mn) * 255 div greatest(mx - mn, 1)"))
+      .withColumn("recon", expr("mn + code * (mx - mn) div 255"))
+      .agg(
+        sum(expr("(xq - recon) * (xq - recon)")).as("sum_sq_err_fp"),
+        countDistinct(col("nid")).as("n_vectors")
       )
-      .orderBy("digit")
+    val pqRecon = s.read
+      .parquet(idx.paths.pqCodes)
+      .join(broadcast(s.read.parquet(idx.paths.codebooks)), Seq("sub", "cell"))
+      .select(col("nid"), col("sub"), posexplode(col("ce")))
+      .select(
+        col("nid"),
+        (col("sub") * 4 + col("pos") + 1).as("i"),
+        expr("CAST(floor(CAST(col AS DOUBLE) * 1024) AS BIGINT)").as("rq")
+      )
+    val pq = dims
+      .join(pqRecon, Seq("nid", "i"))
+      .agg(
+        sum(expr("(xq - rq) * (xq - rq)")).as("sum_sq_err_fp"),
+        countDistinct(col("nid")).as("n_vectors")
+      )
+    int8
+      .select(lit("int8_scalar").as("method"), lit(512L).as("bits_per_vector"), col("n_vectors"), col("sum_sq_err_fp"))
+      .unionByName(
+        pq.select(lit("pq_16x4").as("method"), lit(64L).as("bits_per_vector"), col("n_vectors"), col("sum_sq_err_fp"))
+      )
+      .withColumn("mean_sq_err_fp", expr("sum_sq_err_fp div (n_vectors * 64)"))
+      .orderBy("method")
+  }
+
+  // Language-ID quality report — q23 emits per-doc predictions; a
+  // curation run needs the CONFUSION-level audit before trusting the
+  // cheap heuristic as a mixture gate: per true language, how much
+  // mass the stopword scorer captures (recall), how polluted its
+  // predictions are (precision), and the harmonic F1 — plus the macro
+  // row, the number that weights the under-represented tail equally
+  // (exactly what multilingual rebalancing cares about). Integer
+  // permille throughout; the confusion matrix is a |langs|²-bounded
+  // keyed aggregate; per-class and macro rows come off the bounded
+  // frame.
+  def langIdEval(s: SparkSession, dir: String): DataFrame = {
+    val cf = t(s, dir, "documents")
+      .select(col("lang"), TextOps.langId(TextOps.tokens(col("text"))).as("pred"))
+      .groupBy("lang", "pred")
+      .agg(count(lit(1)).as("c"))
+    cf.persist()
+    val rc = cf.groupBy("lang").agg(sum(col("c")).as("n_true"))
+    val cc = cf.groupBy(col("pred").as("lang")).agg(sum(col("c")).as("n_pred"))
+    val dg = cf.filter(col("lang") === col("pred")).groupBy("lang").agg(sum(col("c")).as("n_correct"))
+    val perClass = rc
+      .join(cc, Seq("lang"), "full")
+      .join(dg, Seq("lang"), "left")
+      .select(
+        col("lang").as("label"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_correct"), lit(0L)).as("n_correct")
+      )
+      .withColumn("precision_permille", expr("n_correct * 1000 div greatest(n_pred, 1)"))
+      .withColumn("recall_permille", expr("n_correct * 1000 div greatest(n_true, 1)"))
+      .withColumn(
+        "f1_permille",
+        expr("2 * precision_permille * recall_permille div greatest(precision_permille + recall_permille, 1)")
+      )
+    val macroRow = perClass.agg(
+      sum(col("n_true")).as("n_true"),
+      sum(col("n_pred")).as("n_pred"),
+      sum(col("n_correct")).as("n_correct"),
+      expr("sum(precision_permille) div count(1)").as("precision_permille"),
+      expr("sum(recall_permille) div count(1)").as("recall_permille"),
+      expr("sum(f1_permille) div count(1)").as("f1_permille")
+    )
+    perClass
+      .unionByName(macroRow.select((lit("~macro").as("label") +: macroRow.columns.map(col)): _*))
+      .orderBy("label")
   }
 
   // Pruned higher-order LM — acting on q274's own measured finding

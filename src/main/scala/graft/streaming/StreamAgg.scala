@@ -504,4 +504,39 @@ object StreamAgg {
         )
     }
   }
+
+  /** Streaming right-to-erasure enforcement (q370) — the privacy twin
+    * of the q202 stream-static shape: an arriving event stream is
+    * anti-joined against the BROADCAST tombstone list (q220's erasure
+    * cohort — request-sized, always broadcastable) BEFORE any state or
+    * sink sees it, so an erased subject's events never enter derived
+    * aggregates. This is the deploy shape of erasure for live
+    * pipelines: the stored-artifact rewrite (q357) handles yesterday,
+    * this filter handles tomorrow. Per-type counts and an integer
+    * checksum run in complete mode; the DuckDB oracle is the batch
+    * equivalent, so stream/batch parity is the correctness claim.
+    */
+  def erasureFilteredCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StateConf.withStatePartitions(spark, 8) {
+      val del = graft.sources.Tables
+        .events(spark, dir)
+        .select(col("user_id"))
+        .distinct()
+        .filter(graft.functions.TextOps.hash32(col("user_id").cast("string")) % 20 === 0)
+      val counts = graft.sources.Tables
+        .eventsStream(spark, dir)
+        .join(broadcast(del), Seq("user_id"), "left_anti")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("checksum"))
+      val name = s"graft_stream_erasure_${runSeq.incrementAndGet()}"
+      val q = counts.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+      spark.table(name).orderBy("event_type")
+    }
 }
