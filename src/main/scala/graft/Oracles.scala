@@ -4842,19 +4842,6 @@ object Oracles {
     // four unrolled peeling rounds: per-edge triangle support via the
     // wedge join, keep support >= 1 (k=3), census per round
     "q366_ktruss" -> {
-      // MATERIALIZED is load-bearing (the q118/HITS lesson): every
-      // round references the previous edge set three times, so an
-      // inlined chain re-derives the whole banding pipeline 3^r times
-      val rounds = (1 to 4)
-        .map { r =>
-          s"""sym$r AS MATERIALIZED (SELECT lo AS u, hi AS v FROM e${r - 1} UNION ALL SELECT hi, lo FROM e${r - 1}),
-             |sp$r AS MATERIALIZED (SELECT a.v AS a, b.v AS b, count(*) AS supp
-             |  FROM sym$r a JOIN sym$r b ON a.u = b.u AND a.v < b.v GROUP BY 1, 2),
-             |e$r AS MATERIALIZED (SELECT lo, hi FROM e${r - 1}
-             |  LEFT JOIN sp$r ON sp$r.a = lo AND sp$r.b = hi
-             |  WHERE COALESCE(supp, 0) >= 1)""".stripMargin
-        }
-        .mkString(",\n")
       val rows = (1 to 4)
         .map(r =>
           s"""SELECT CAST($r AS INTEGER) AS round,
@@ -4862,15 +4849,41 @@ object Oracles {
              |  (SELECT count(*) FROM e$r) AS n_edges_after""".stripMargin
         )
         .mkString("\nUNION ALL\n")
-      s"""WITH prs AS (SELECT d1, d2 FROM ($minhashSql)),
-         |e0 AS MATERIALIZED (SELECT DISTINCT least(d1, d2) AS lo, greatest(d1, d2) AS hi FROM prs WHERE d1 <> d2),
-         |$rounds,
+      s"""WITH $trussRoundCtes,
          |cen AS ($rows)
          |SELECT round, n_edges_before, n_edges_after,
          |  n_edges_before - n_edges_after AS n_removed,
          |  CAST(CASE WHEN n_edges_before = n_edges_after THEN 1 ELSE 0 END AS BIGINT) AS is_fixpoint
          |FROM cen ORDER BY round""".stripMargin
     },
+    // the peel's final edge set re-clustered (recursive CTE fixpoint)
+    // against the full clustering — truss components refine clusters
+    "q374_truss_split_audit" ->
+      s"""WITH RECURSIVE $trussRoundCtes,
+         |fsym AS (SELECT d1 AS src, d2 AS dst FROM prs UNION ALL SELECT d2, d1 FROM prs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.id, fsym.dst FROM reach JOIN fsym ON reach.r = fsym.src
+         |),
+         |full_lbl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         |tsym AS (SELECT lo AS src, hi AS dst FROM e4 UNION ALL SELECT hi, lo FROM e4),
+         |treach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT treach.id, tsym.dst FROM treach JOIN tsym ON treach.r = tsym.src
+         |),
+         |truss_lbl AS (SELECT id, min(r) AS tcluster FROM treach GROUP BY id),
+         |sz AS (SELECT tcluster, count(*) AS part_size FROM truss_lbl GROUP BY 1),
+         |j AS (SELECT f.cluster, t.tcluster, sz.part_size
+         |  FROM full_lbl f JOIN truss_lbl t ON t.id = f.id JOIN sz ON sz.tcluster = t.tcluster),
+         |g AS (SELECT cluster, count(*) AS n_docs, count(DISTINCT tcluster) AS n_truss_parts,
+         |    CAST(sum(CASE WHEN part_size >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_core,
+         |    CAST(sum(CASE WHEN part_size = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cut_loose
+         |  FROM j GROUP BY 1)
+         |SELECT cluster, n_docs, n_truss_parts, n_in_core, n_cut_loose,
+         |  CAST(CASE WHEN n_truss_parts > 1 THEN 1 ELSE 0 END AS BIGINT) AS split
+         |FROM g WHERE n_docs >= 2 ORDER BY cluster""".stripMargin,
     // q166's WAV parameters framed at win=1024/hop=256 — the demux
     // fields recomputed from content length, then pure arithmetic
     "q367_stft_plan" ->
@@ -5865,6 +5878,28 @@ object Oracles {
        |  CAST(executed_final_rows AS BIGINT) AS executed_final_rows,
        |  CAST((est_final_rows - executed_final_rows) * 1000 // executed_final_rows AS BIGINT) AS final_err_permille
        |FROM costs, eh, eu, exo, exq ORDER BY est_cost, join_order""".stripMargin
+  }
+
+  /** The q366/q374 truss peel as CTEs: `prs` (candidate pairs), `e0`
+    * (normalized edges), four peeling rounds ending in `e4`.
+    * MATERIALIZED is load-bearing (the q118/HITS lesson): every round
+    * references the previous edge set three times, so an inlined chain
+    * re-derives the whole banding pipeline 3^r times.
+    */
+  private lazy val trussRoundCtes: String = {
+    val rounds = (1 to 4)
+      .map { r =>
+        s"""sym$r AS MATERIALIZED (SELECT lo AS u, hi AS v FROM e${r - 1} UNION ALL SELECT hi, lo FROM e${r - 1}),
+           |sp$r AS MATERIALIZED (SELECT a.v AS a, b.v AS b, count(*) AS supp
+           |  FROM sym$r a JOIN sym$r b ON a.u = b.u AND a.v < b.v GROUP BY 1, 2),
+           |e$r AS MATERIALIZED (SELECT lo, hi FROM e${r - 1}
+           |  LEFT JOIN sp$r ON sp$r.a = lo AND sp$r.b = hi
+           |  WHERE COALESCE(supp, 0) >= 1)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""prs AS (SELECT d1, d2 FROM ($minhashSql)),
+       |e0 AS MATERIALIZED (SELECT DISTINCT least(d1, d2) AS lo, greatest(d1, d2) AS hi FROM prs WHERE d1 <> d2),
+       |$rounds""".stripMargin
   }
 
   private lazy val incrementalDedupSql: String = {

@@ -11134,7 +11134,11 @@ object Queries {
   // before/after/removed and whether the peel reached its fixpoint —
   // earned from the data, since peeling can cascade. Scale shape:
   // Σ deg² wedge work per round, all keyed joins, never node².
-  def kTruss(s: SparkSession, dir: String): DataFrame = {
+  /** The q366/q374 peel: 4 triangle-support rounds over the candidate
+    * graph, each round's edge set parquet-snapshotted. Returns the
+    * per-round census frames and the FINAL (trussed) edge set.
+    */
+  private def trussPeel(s: SparkSession, dir: String): (Seq[DataFrame], DataFrame) = {
     val base = graft.operators.Scratch.dir("graft-ktruss")
     def snapshot(df: DataFrame, name: String): DataFrame = {
       val path = s"$base/$name"
@@ -11173,11 +11177,53 @@ object Queries {
         .select(lit(r).as("round"), col("n_edges_before"), col("n_edges_after"))
       edges = kept
     }
+    (census.toSeq, edges)
+  }
+
+  def kTruss(s: SparkSession, dir: String): DataFrame = {
+    val (census, _) = trussPeel(s, dir)
     census
       .reduce(_.unionByName(_))
       .withColumn("n_removed", col("n_edges_before") - col("n_edges_after"))
       .withColumn("is_fixpoint", (col("n_removed") === 0L).cast("long"))
       .orderBy("round")
+  }
+
+  // Truss split audit — the ACTION q366's peel recommends, taken and
+  // measured: re-cluster (connected components) over the TRUSSED edge
+  // set and compare against the published q80 clustering. Truss edges
+  // are a subset of the candidate edges, so truss components strictly
+  // REFINE the original clusters — per non-singleton cluster the
+  // report shows how many parts it splits into, how many docs stay in
+  // a triangle-supported core, and how many are cut loose (docs that
+  // were merged through a single unsupported bridge edge — the classic
+  // LSH false-merge). This is the dedup-hygiene decision table: a
+  // cluster with split=1 was conflating distinct near-dup groups, and
+  // its cut-loose docs get their identity back. Scale shape: the peel
+  // (Σdeg² wedge rounds), one CC fixpoint over the trussed subgraph,
+  // and a keyed rollup — all snapshot-disciplined.
+  def trussSplitAudit(s: SparkSession, dir: String): DataFrame = {
+    val (_, truss) = trussPeel(s, dir)
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val tl = graft.operators.ConnectedComponents
+      .minLabel(docs, col("doc_id"), truss, col("lo"), col("hi"))
+      .select(col("id"), col("cluster").as("truss_cluster"))
+    val sizes = tl.groupBy("truss_cluster").agg(count(lit(1)).as("part_size"))
+    graft.operators.CandidateGraph
+      .clusters(s, dir)
+      .select(col("id"), col("cluster"))
+      .join(tl, Seq("id"))
+      .join(sizes, Seq("truss_cluster"))
+      .groupBy("cluster")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("truss_cluster")).as("n_truss_parts"),
+        sum((col("part_size") >= 2).cast("long")).as("n_in_core"),
+        sum((col("part_size") === 1).cast("long")).as("n_cut_loose")
+      )
+      .filter(col("n_docs") >= 2)
+      .withColumn("split", (col("n_truss_parts") > 1).cast("long"))
+      .orderBy("cluster")
   }
 
   // STFT framing plan — the audio twin of q362's keyframe plan: before
