@@ -4884,6 +4884,47 @@ object Oracles {
          |SELECT cluster, n_docs, n_truss_parts, n_in_core, n_cut_loose,
          |  CAST(CASE WHEN n_truss_parts > 1 THEN 1 ELSE 0 END AS BIGINT) AS split
          |FROM g WHERE n_docs >= 2 ORDER BY cluster""".stripMargin,
+    // q273's seeded packing order at two budgets; cross-doc ordered
+    // token pairs per shard = S² − Σlᵢ²
+    "q375_packing_contamination" ->
+      raw"""WITH d AS (SELECT doc_id,
+         |    ${hx("CAST(doc_id AS VARCHAR) || '#epoch42'")} AS h,
+         |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_tok,
+         |    CAST(sum(n_tok) OVER (ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+         |  FROM d),
+         |cp AS (SELECT CAST(unnest([1024, 2048]) AS BIGINT) AS cap),
+         |sh AS (SELECT cap, (cum_tok - n_tok) // cap AS shard_id,
+         |    count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS s_tok,
+         |    CAST(sum(n_tok * n_tok) AS BIGINT) AS sum_sq
+         |  FROM c, cp GROUP BY 1, 2)
+         |SELECT cap, count(*) AS n_shards, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(sum(s_tok) AS BIGINT) AS total_tokens,
+         |  CAST(sum(s_tok * s_tok) AS BIGINT) AS total_pairs,
+         |  CAST(sum(s_tok * s_tok - sum_sq) AS BIGINT) AS cross_pairs,
+         |  CAST(max(n_docs) AS BIGINT) AS max_docs_per_shard,
+         |  CAST(sum(s_tok * s_tok - sum_sq) * 1000 // sum(s_tok * s_tok) AS BIGINT) AS contamination_permille
+         |FROM sh GROUP BY cap ORDER BY cap""".stripMargin,
+    // per-type geometric noise, argmax (noisy desc, type asc), the
+    // winner and the argmax-preserved honesty flag
+    "q376_dp_noisy_max" -> {
+      def g(tag: String) = {
+        val k = s"(${hx(s"event_type || '|$tag'")} % 1048576 + 1)"
+        s"(19 - (length(bin($k)) - 1) + CASE WHEN ($k & ($k - 1)) = 0 THEN 1 ELSE 0 END)"
+      }
+      s"""WITH n AS (SELECT event_type, count(*) AS n_true FROM events GROUP BY 1),
+         |z AS (SELECT event_type, n_true,
+         |    CAST(${g("nma")} - ${g("nmb")} AS BIGINT) AS z_noise FROM n),
+         |y AS (SELECT *, n_true + z_noise AS n_noisy FROM z),
+         |w AS (SELECT event_type AS winner FROM y ORDER BY n_noisy DESC, event_type LIMIT 1),
+         |tm AS (SELECT event_type AS true_max FROM y ORDER BY n_true DESC, event_type LIMIT 1)
+         |SELECT event_type, n_true, z_noise, CAST(n_noisy AS BIGINT) AS n_noisy,
+         |  CAST(CASE WHEN event_type = (SELECT winner FROM w) THEN 1 ELSE 0 END AS BIGINT) AS is_winner,
+         |  CAST(CASE WHEN (SELECT winner FROM w) = (SELECT true_max FROM tm) THEN 1 ELSE 0 END AS BIGINT) AS argmax_preserved,
+         |  CAST(693147 AS BIGINT) AS epsilon_micro
+         |FROM y ORDER BY event_type""".stripMargin
+    },
     // q166's WAV parameters framed at win=1024/hop=256 — the demux
     // fields recomputed from content length, then pure arithmetic
     "q367_stft_plan" ->

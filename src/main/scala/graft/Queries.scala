@@ -11226,6 +11226,90 @@ object Queries {
       .orderBy("cluster")
   }
 
+  // Packing contamination audit — the SAFETY half of the packing story
+  // q293 (padding waste) leaves out: sequences packed without
+  // block-diagonal attention masks let every token attend across doc
+  // boundaries, and the damage is exactly countable — per shard with
+  // token total S and per-doc lengths lᵢ, the cross-doc ordered token
+  // pairs are S² − Σlᵢ². Shards come from q273's seeded-order
+  // fixed-budget packing (the two-phase exactPrefixSum — no
+  // single-partition window), swept at two budgets in one pass; the
+  // report prices each budget's contamination share, the number that
+  // decides whether the trainer MUST implement masking or can eat the
+  // leakage. All integer: S ≤ budget + max doc, so the squares stay
+  // far under 2⁶³ per shard and the rollup is a plain sum.
+  def packingContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        TextOps.hash32(concat(col("doc_id").cast("string"), lit("#epoch42"))).as("h"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok")
+      )
+    val (cum, _) = graft.operators.Ntile
+      .exactPrefixSum(docs, col("n_tok"), col("h"), col("doc_id"), binWidth = (1L << 20).toDouble, cumCol = "cum_tok")
+    val caps = s.createDataFrame(Seq(Tuple1(1024L), Tuple1(2048L))).toDF("cap")
+    cum
+      .crossJoin(broadcast(caps))
+      .withColumn("shard_id", expr("(cum_tok - n_tok) div cap"))
+      .groupBy("cap", "shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("s_tok"), sum(expr("n_tok * n_tok")).as("sum_sq"))
+      .groupBy("cap")
+      .agg(
+        count(lit(1)).as("n_shards"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("s_tok")).as("total_tokens"),
+        sum(expr("s_tok * s_tok")).as("total_pairs"),
+        sum(expr("s_tok * s_tok - sum_sq")).as("cross_pairs"),
+        max(col("n_docs")).as("max_docs_per_shard")
+      )
+      .withColumn("contamination_permille", expr("cross_pairs * 1000 div total_pairs"))
+      .orderBy("cap")
+  }
+
+  // ε-DP report-noisy-max — the THIRD classic mechanism next to q318's
+  // histogram and q345's clipped mean: "which category is biggest?"
+  // answered without exposing exact counts, by adding two-sided
+  // integer geometric noise to every candidate's count and reporting
+  // the argmax (noisy desc, type asc — deterministic). The mechanism's
+  // privacy hinges on releasing ONLY the winner; the full noisy table
+  // rides here because the audit needs it, with the winner flag and
+  // the honesty check (did noise flip the argmax?) earned from the
+  // data. Domain-cardinality aggregate; noise is per-TYPE, so the
+  // mechanism costs nothing more at 100 TB.
+  def dpNoisyMax(s: SparkSession, dir: String): DataFrame = {
+    def geo(tag: String): Column = {
+      val k = TextOps.hash32(concat(col("event_type"), lit("|" + tag))) % 1048576L + 1L
+      val bl = (length(bin(k)) - 1).cast("long")
+      lit(19L) - bl + when(k.bitwiseAND(k - 1) === 0L, 1L).otherwise(0L)
+    }
+    val noisy = Tables
+      .events(s, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("z_noise", geo("nma") - geo("nmb"))
+      .withColumn("n_noisy", col("n_true") + col("z_noise"))
+    noisy.persist() // |event types| rows — the two argmax probes below
+    val winner = noisy
+      .agg(min(struct((-col("n_noisy")).as("nn"), col("event_type").as("t"))).as("b"))
+      .select(col("b.t").as("winner"))
+    val trueMax = noisy
+      .agg(min(struct((-col("n_true")).as("nn"), col("event_type").as("t"))).as("b"))
+      .select(col("b.t").as("true_max"))
+    noisy
+      .crossJoin(broadcast(winner))
+      .crossJoin(broadcast(trueMax))
+      .select(
+        col("event_type"),
+        col("n_true"),
+        col("z_noise"),
+        col("n_noisy"),
+        (col("event_type") === col("winner")).cast("long").as("is_winner"),
+        (col("winner") === col("true_max")).cast("long").as("argmax_preserved"),
+        lit(693147L).as("epsilon_micro")
+      )
+      .orderBy("event_type")
+  }
+
   // STFT framing plan — the audio twin of q362's keyframe plan: before
   // a feature-extraction job (spectrograms, VAD, whisper-style
   // encoders) touches a byte of PCM, it plans windows. From the WAV
