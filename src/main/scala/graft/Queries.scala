@@ -11042,7 +11042,13 @@ object Queries {
       .select(posexplode(col("tk")))
       .select((col("pos") + 1).as("rk"), col("col.nid").as("doc_id"), col("col.sim").cast("long").as("priority"))
     ranked.persist() // k+1 rows — the threshold and the sample both read it
-    val tau = ranked.filter(col("rk") === k + 1).select(col("priority").as("tau"))
+    // tau as a 1-row AGGREGATE, not a filter: on a corpus of <= k docs
+    // the rank-(k+1) row doesn't exist, and an empty tau frame would
+    // annihilate the whole sample through the crossJoin — the agg
+    // yields NULL tau instead, greatest() skips it (both engines), and
+    // w_hat degrades to w exactly as the DuckDB oracle's scalar
+    // subquery does
+    val tau = ranked.agg(max(when(col("rk") === k + 1, col("priority"))).as("tau"))
     val totals = docs.agg(count(lit(1)).as("n_docs"), sum(col("w")).as("total_tokens"))
     val sample = ranked
       .filter(col("rk") <= k)

@@ -150,6 +150,15 @@ object ConnectedComponents {
     * Scale shape: two keyed semi-joins to find the affected closure,
     * then [[minLabel]] over a delta-bounded subgraph — the corpus
     * never re-pairs, and rounds follow the SUBGRAPH diameter.
+    *
+    * PRECONDITION: `oldLabels` must cover every OLD node that
+    * `oldEdges` or `deltaEdges` references — i.e. each delta endpoint
+    * is either in `newNodes` or has a row in `oldLabels`. An endpoint
+    * in neither is silently absent from the subgraph's node set while
+    * its edges still enter the sub-fixpoint, which can emit labels for
+    * nodes outside the declared universe. That invariant is exactly
+    * "yesterday's labeling was complete", which a published labeling
+    * satisfies by construction (q358's call site does).
     */
   def incrementalMinLabel(
       newNodes: DataFrame,

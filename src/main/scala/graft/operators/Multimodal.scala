@@ -599,7 +599,9 @@ object Multimodal {
       val acc = List.newBuilder[Int]
       while (c + 8 <= end) {
         val sz = readBe32(b, c)
-        if (sz < 8 || c + sz > end) return None
+        // bound check in Long: a corrupt sz near 2^31 would wrap
+        // c + sz negative in Int, pass the guard, and walk off the end
+        if (sz < 8 || c.toLong + sz > end) return None
         acc += c
         c += sz
       }
@@ -645,7 +647,13 @@ object Multimodal {
                     ) boxType(b, sb) match {
                       case "stts" =>
                         val ec = readBe32(b, sb + 12)
-                        if (sb + 16 + 8 * ec > sb + readBe32(b, sb)) return Seq.empty
+                        // entry-count guards compare in Long: an
+                        // attacker-controlled count near 2^30 wraps the
+                        // Int product negative and slips past an Int
+                        // comparison, turning the documented "corrupt
+                        // payloads yield no rows" contract into an
+                        // ArrayIndexOutOfBoundsException
+                        if (ec < 0 || 16 + 8L * ec > readBe32(b, sb)) return Seq.empty
                         (0 until ec).foreach { e =>
                           val cnt = readBe32(b, sb + 16 + 8 * e)
                           nStts += cnt
@@ -654,14 +662,15 @@ object Multimodal {
                       case "stsz" =>
                         val ss = readBe32(b, sb + 12)
                         nStsz = readBe32(b, sb + 16)
+                        if (nStsz < 0) return Seq.empty
                         if (ss != 0) totalBytes = ss.toLong * nStsz
                         else {
-                          if (sb + 20 + 4 * nStsz > sb + readBe32(b, sb)) return Seq.empty
+                          if (20 + 4L * nStsz > readBe32(b, sb)) return Seq.empty
                           (0 until nStsz).foreach(i => totalBytes += readBe32(b, sb + 20 + 4 * i))
                         }
                       case "stsc" =>
                         val ec = readBe32(b, sb + 12)
-                        if (ec <= 0 || sb + 16 + 12 * ec > sb + readBe32(b, sb)) return Seq.empty
+                        if (ec <= 0 || 16 + 12L * ec > readBe32(b, sb)) return Seq.empty
                         // runs: entry e covers chunks first_e .. first_{e+1}-1
                         // at spc_e each; the LAST run's extent is resolved
                         // against the stts sample total AFTER the walk
@@ -729,14 +738,19 @@ object Multimodal {
                 case "stsz" =>
                   val ss = readBe32(b, sb + 12)
                   val cnt = readBe32(b, sb + 16)
+                  // negative counts throw from Array.fill/tabulate and
+                  // Int-wrapped bound products slip the guard — reject
+                  // both up front, compare in Long (same contract as
+                  // the demux: corrupt payloads drop, never throw)
+                  if (cnt < 0) return Seq.empty
                   if (ss != 0) sizes = Array.fill(cnt)(ss.toLong)
                   else {
-                    if (sb + 20 + 4 * cnt > sb + readBe32(b, sb)) return Seq.empty
+                    if (20 + 4L * cnt > readBe32(b, sb)) return Seq.empty
                     sizes = Array.tabulate(cnt)(i => readBe32(b, sb + 20 + 4 * i).toLong)
                   }
                 case "stss" =>
                   val cnt = readBe32(b, sb + 12)
-                  if (sb + 16 + 4 * cnt > sb + readBe32(b, sb)) return Seq.empty
+                  if (cnt < 0 || 16 + 4L * cnt > readBe32(b, sb)) return Seq.empty
                   syncs = Array.tabulate(cnt)(j => readBe32(b, sb + 16 + 4 * j))
                 case _ => ()
               }
@@ -747,7 +761,9 @@ object Multimodal {
             val offsets = sizes.scanLeft(0L)(_ + _) // offsets(i) = bytes before 1-based sample i+1
             val planned = syncs.map(i => sizes(i - 1)).sum
             val total = sizes.sum
-            out += KeyframePlan(
+            // all-zero sample sizes (corrupt): drop the track rather
+            // than divide by zero in the permille below
+            if (total > 0) out += KeyframePlan(
               docId,
               trackId,
               sizes.length,
