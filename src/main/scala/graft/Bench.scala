@@ -95,6 +95,8 @@ object Bench {
     warmBuild("incrementalConfirmed")(graft.operators.CandidateGraph.incrementalConfirmed(spark, sfDir).count())
     warmBuild("annIndex")(graft.operators.AnnIndex.stored(spark, sfDir))
     warmBuild("annErased")(graft.operators.AnnIndex.erasedStored(spark, sfDir))
+    warmBuild("annBase")(graft.operators.AnnIndex.storedBase(spark, sfDir))
+    warmBuild("annAppended")(graft.operators.AnnIndex.appendedStored(spark, sfDir))
 
     def timedOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val s0 = System.nanoTime()

@@ -248,9 +248,13 @@ object Oracles {
     * `candPred`/`probePred` (extra AND-terms on the candidate corpus /
     * query sides) let q357 mirror the erased-index serve: training is
     * unchanged (erasure does not retrain), only candidates and queries
-    * shrink.
+    * shrink. `trainPred` restricts which vectors TRAIN the quantizers
+    * (init picks + Lloyd assignments/means) while assignment, codes
+    * and serving still cover the full corpus — q377's delta append
+    * mirror: the batch is encoded with quantizers frozen on the OLD
+    * corpus, exactly what "append never retrains" means.
     */
-  private def annIvfPqSqlK(k: Int, candPred: String = "", probePred: String = ""): String = {
+  private def annIvfPqSqlK(k: Int, candPred: String = "", probePred: String = "", trainPred: String = "TRUE"): String = {
     val dim = 64; val nlist = 16; val nprobe = 4
     val dsub = 4; val m = 16; val ksub = 16
     def dotFull(a: String, b: String) =
@@ -262,26 +266,28 @@ object Oracles {
     def scoreP(src: String, cent: String) =
       s"${dotSub(s"$src.se", s"$cent.ce")} - list_sum(list_transform($cent.ce, x -> x * x)) / 2.0"
     def citer(i: Int, prev: String): String =
-      s"""ds$i AS (SELECT t.vid, t.e, c.j, ${scoreC("t", "c")} AS s FROM v t, $prev c),
+      s"""ds$i AS (SELECT t.vid, t.e, c.j, ${scoreC("t", "c")} AS s FROM vtr t, $prev c),
          |da$i AS (SELECT vid, e, j AS cell FROM (SELECT vid, e, j, row_number() OVER (PARTITION BY vid ORDER BY s DESC, j DESC) AS rn FROM ds$i) t WHERE rn = 1),
          |dx$i AS (SELECT cell, e, CAST(unnest(generate_series(1, $dim)) AS INTEGER) AS pos FROM da$i),
          |dm$i AS (SELECT cell, pos, CAST(sum(CAST(${away("e[pos]", 6)} AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS mm FROM dx$i GROUP BY cell, pos),
          |dn$i AS (SELECT cell, list(mm ORDER BY pos) AS nce FROM dm$i GROUP BY cell),
          |cc$i AS (SELECT p.j, COALESCE(dn$i.nce, p.ce) AS ce FROM $prev p LEFT JOIN dn$i ON dn$i.cell = p.j)""".stripMargin
     def piter(i: Int, prev: String): String =
-      s"""ps$i AS (SELECT t.vid, t.sub, t.se, c.j, ${scoreP("t", "c")} AS s FROM vs t JOIN $prev c ON c.sub = t.sub),
+      s"""ps$i AS (SELECT t.vid, t.sub, t.se, c.j, ${scoreP("t", "c")} AS s FROM vstr t JOIN $prev c ON c.sub = t.sub),
          |pa$i AS (SELECT vid, sub, se, j AS cell FROM (SELECT vid, sub, se, j, row_number() OVER (PARTITION BY vid, sub ORDER BY s DESC, j DESC) AS rn FROM ps$i) t WHERE rn = 1),
          |px$i AS (SELECT sub, cell, se, CAST(unnest(generate_series(1, $dsub)) AS INTEGER) AS pos FROM pa$i),
          |pm$i AS (SELECT sub, cell, pos, CAST(sum(CAST(${away("se[pos]", 6)} AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS mm FROM px$i GROUP BY sub, cell, pos),
          |pn$i AS (SELECT sub, cell, list(mm ORDER BY pos) AS nce FROM pm$i GROUP BY sub, cell),
          |pc$i AS (SELECT p.sub, p.j, COALESCE(pn$i.nce, p.ce) AS ce FROM $prev p LEFT JOIN pn$i ON pn$i.sub = p.sub AND pn$i.cell = p.j)""".stripMargin
     s"""WITH v AS (SELECT vec_id AS vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e, (vec_id < 50) AS is_q FROM embeddings),
+       |vtr AS (SELECT * FROM v WHERE $trainPred),
        |subs AS (SELECT CAST(unnest(generate_series(0, ${m - 1})) AS INTEGER) AS sub),
        |vs AS (SELECT vid, is_q, sub, e[(sub*$dsub+1):(sub*$dsub+$dsub)] AS se FROM v, subs),
-       |cc0 AS (SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS INTEGER) AS j, e AS ce FROM (SELECT vid, e FROM v ORDER BY vid LIMIT $nlist) t),
+       |vstr AS (SELECT vs.* FROM vs JOIN vtr ON vs.vid = vtr.vid),
+       |cc0 AS (SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS INTEGER) AS j, e AS ce FROM (SELECT vid, e FROM vtr ORDER BY vid LIMIT $nlist) t),
        |${citer(1, "cc0")},
        |${citer(2, "cc1")},
-       |lowp AS (SELECT vid FROM v ORDER BY vid LIMIT $ksub),
+       |lowp AS (SELECT vid FROM vtr ORDER BY vid LIMIT $ksub),
        |pc0 AS (SELECT vs.sub, CAST(row_number() OVER (PARTITION BY vs.sub ORDER BY vs.vid) - 1 AS INTEGER) AS j, vs.se AS ce
        |  FROM vs JOIN lowp ON vs.vid = lowp.vid),
        |${piter(1, "pc0")},
@@ -4612,6 +4618,14 @@ object Oracles {
     "q357_erasure_stored_index" ->
       s"""SELECT qid, nid, sim, rnk, CAST(1 AS BIGINT) AS no_erased_hit
          |FROM (${annIvfPqSqlK(3, candPred = " AND c.nid % 20 <> 0", probePred = " AND vid % 20 <> 0")}) t
+         |ORDER BY qid, rnk""".stripMargin,
+    // delta-append serve: quantizers TRAINED on the old corpus only
+    // (append never retrains), assignment/codes/serving over everyone
+    // — exactly what serving from the appended tables must produce
+    "q377_ann_delta_append" ->
+      s"""SELECT qid, nid, sim, rnk,
+         |  CAST(CASE WHEN nid % 10 = 7 THEN 1 ELSE 0 END AS BIGINT) AS is_new_hit
+         |FROM (${annIvfPqSqlK(3, trainPred = "vid % 10 <> 7")}) t
          |ORDER BY qid, rnk""".stripMargin,
     // full + old fixpoints via recursive CTEs; the engine's maintained
     // labels must equal the full recompute bit-for-bit (eq_full earned

@@ -10862,6 +10862,39 @@ object Queries {
       .orderBy("qid", "rnk")
   }
 
+  // Stored-index delta APPEND — the lifecycle verb q272 (build→store→
+  // serve) and q357 (erase) left open, and the one a vector store runs
+  // daily: today's batch (vec_id ≡ 7 mod 10) is encoded with the
+  // FROZEN v1 quantizers — coarse cell + PQ codes, never a retrain
+  // (q265's maintenance boundary made operational) — and appended to
+  // the two corpus-cardinality tables as delta files; centroids and
+  // codebooks pass through verbatim. Serving then runs from the merged
+  // tables exactly as before (the q272 contract — original floats
+  // never mounted), so new vectors become retrievable the moment their
+  // rows land, and every surviving v1 (qid, nid) ADC score is
+  // bit-identical — appends only ADD candidates, the mirror image of
+  // q357's "erasure only removes" invariant (both spec-asserted
+  // pair-by-pair). Scale shape: the append costs one batch-sized
+  // encode pass against broadcast quantizers + batch-sized file
+  // writes; the 100 TB table is never rewritten, and the serve plan is
+  // unchanged. is_new_hit marks served neighbors from today's batch —
+  // the retrievability evidence, earned from the data.
+  def annDeltaAppend(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AnnIndex.isNewBatch
+    val v2 = graft.operators.AnnIndex.appendedStored(s, dir)
+    val queries = t(s, dir, "embeddings").filter(col("vec_id") < 50)
+    Similarity
+      .servedIvfPqTopK(queries, col("vec_id"), col("embedding"), v2, nprobe = 4, k = 3)
+      .select(
+        col("qid"),
+        col("rank").as("rnk"),
+        col("nid"),
+        col("sim"),
+        isNewBatch(col("nid")).cast("long").as("is_new_hit")
+      )
+      .orderBy("qid", "rnk")
+  }
+
   // Incremental connected components — q202 discovers today's new×old
   // near-dup edges without re-pairing the corpus; this maintains the
   // PUBLISHED cluster labels (q80) under those edges without full-graph

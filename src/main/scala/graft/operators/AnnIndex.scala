@@ -73,4 +73,55 @@ object AnnIndex {
     )
 
   private val erasedCache = new ConcurrentHashMap[String, Similarity.IvfPqIndexPaths]()
+
+  /** The delta-ingest batch every consumer of [[appendedStored]]
+    * agrees on — vec_id ≡ 7 mod 10, the deterministic stand-in for
+    * today's new embeddings (disjoint from the erasure cohort's
+    * ≡ 0 mod 20 so the two lifecycle verbs stay independent).
+    */
+  def isNewBatch(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = c % 10 === 7
+
+  /** The v1 index for the APPEND lifecycle: trained and built on the
+    * OLD corpus only (everything outside [[isNewBatch]]) — the state
+    * of the store the morning before today's batch arrives. Separate
+    * from [[stored]] (which indexes the full corpus for q272/q357):
+    * an append test against an index that already contains the batch
+    * would prove nothing.
+    */
+  def storedBase(s: SparkSession, dir: String): Similarity.IvfPqIndex =
+    baseCache.computeIfAbsent(
+      dir,
+      _ =>
+        Similarity.buildIvfPqIndex(
+          graft.sources.Tables.parquet(s, dir, "embeddings").filter(!isNewBatch(col("vec_id"))),
+          col("vec_id"),
+          col("embedding"),
+          nlist = 16,
+          m = 16,
+          ksub = 16,
+          root = Scratch.dir("graft-annindex-base")
+        )
+    )
+
+  /** [[storedBase]] after today's batch is appended through
+    * [[Similarity.appendToIndex]]: the batch encoded with the FROZEN
+    * v1 quantizers, corpus_cells/pq_codes grown by append-mode delta
+    * files, centroids/codebooks passed through. Built once per dir and
+    * shared — the q377 serve and its spec audits both read this.
+    */
+  def appendedStored(s: SparkSession, dir: String): Similarity.IvfPqIndexPaths =
+    appendedCache.computeIfAbsent(
+      dir,
+      _ =>
+        Similarity.appendToIndex(
+          graft.sources.Tables.parquet(s, dir, "embeddings").filter(isNewBatch(col("vec_id"))),
+          col("vec_id"),
+          col("embedding"),
+          storedBase(s, dir),
+          Similarity.IvfPqIndexPaths(Scratch.dir("graft-annindex-appended"))
+        )
+    )
+
+  private val baseCache = new ConcurrentHashMap[String, Similarity.IvfPqIndex]()
+  private val appendedCache = new ConcurrentHashMap[String, Similarity.IvfPqIndexPaths]()
 }

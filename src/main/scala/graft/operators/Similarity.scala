@@ -795,6 +795,43 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** APPEND a new embedding batch to a stored index — the lifecycle
+    * verb between build (q272) and erase (q357), and the one a vector
+    * store runs DAILY: the batch is encoded with the FROZEN stored
+    * quantizers (coarse assignment + PQ codes — append never retrains,
+    * the q265 maintenance boundary), and only the two
+    * corpus-cardinality tables grow; centroids/codebooks pass through
+    * verbatim. The destination starts as a copy of the v1 tables
+    * (standing in for the mounted production table — the source index
+    * is SHARED by other consumers and must not mutate), then the delta
+    * lands via append-mode parquet: new files next to old, nothing
+    * rewritten, write cost follows the batch. Because old rows are
+    * byte-identical and the quantizers are frozen, every surviving v1
+    * (qid, nid) ADC score is bit-identical after the append — the
+    * merged serve can only ADD candidates (mirror-image of the q357
+    * erasure invariant, spec-asserted pair-by-pair).
+    */
+  def appendToIndex(
+      newVecs: DataFrame,
+      id: Column,
+      emb: Column,
+      idx: IvfPqIndex,
+      dest: IvfPqIndexPaths
+  ): IvfPqIndexPaths = {
+    val spark = newVecs.sparkSession
+    val base = newVecs.select(id.as("vid"), emb.as("e"))
+    graft.sinks.RetryingSink.overwriteParquet(spark.read.parquet(idx.paths.centroids), dest.centroids)
+    graft.sinks.RetryingSink.overwriteParquet(spark.read.parquet(idx.paths.codebooks), dest.codebooks)
+    graft.sinks.RetryingSink.overwriteParquet(spark.read.parquet(idx.paths.corpusCells), dest.corpusCells)
+    graft.sinks.RetryingSink.overwriteParquet(spark.read.parquet(idx.paths.pqCodes), dest.pqCodes)
+    graft.sinks.RetryingSink.appendParquet(
+      base.select(col("vid").as("nid"), element_at(cellsOf(col("e"), idx.coarse, 1), 1).as("ccell")),
+      dest.corpusCells
+    )
+    graft.sinks.RetryingSink.appendParquet(pqCodes(base, idx.codebooks, idx.dsub), dest.pqCodes)
+    dest
+  }
+
   def pqTopK(
       vecs: DataFrame,
       id: Column,

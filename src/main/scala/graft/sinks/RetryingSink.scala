@@ -46,6 +46,23 @@ object RetryingSink {
     attempts
   }
 
+  /** Append-mode write with the same retry contract as
+    * [[overwriteParquet]] — the delta-ingest half of the sink surface:
+    * new files land NEXT TO the existing table's, nothing already
+    * stored is rewritten (the whole point of an append at 100 TB: the
+    * write cost follows the batch, not the table). Idempotence caveat
+    * is real and intentional: a retry after a PARTIAL append can
+    * duplicate rows, which is why production appends carry a batch id
+    * for dedup-on-read — callers that need exactly-once compose this
+    * with the q299 idempotent-sink discipline.
+    */
+  def appendParquet(df: DataFrame, path: String, policy: RetryPolicy = RetryPolicy(), sleep: Long => Unit = Thread.sleep): Int = {
+    val (_, attempts) = withRetry(policy, sleep) { () =>
+      df.write.mode(SaveMode.Append).parquet(path)
+    }
+    attempts
+  }
+
   /** Snapshot checkpoint (SURVEY §2.1 S8): truncate-and-load the frame
     * to parquet and read it back — the lineage-cutting snapshot the
     * reference sketches as a pickle dump of the raw ingested chunks

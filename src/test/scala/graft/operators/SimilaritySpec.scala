@@ -29,6 +29,47 @@ class SimilaritySpec extends SparkSpec {
     assert(joined.filter($"sim" =!= $"sim1").count() === 0, "a surviving pair's score drifted through the erasure rewrite")
   }
 
+  test("appended stored index (q377): new batch fully indexed, census closes, surviving v1 pair scores bit-identical") {
+    val idx = AnnIndex.storedBase(spark, sfDir)
+    val v2 = AnnIndex.appendedStored(spark, sfDir)
+    val nAll = vecs.count()
+    val nNew = vecs.filter(AnnIndex.isNewBatch($"vec_id")).count()
+    val cells1 = spark.read.parquet(idx.paths.corpusCells)
+    val cells2 = spark.read.parquet(v2.corpusCells)
+    // every vector (old ∪ batch) indexed exactly once after the append
+    assert(cells2.count() === nAll)
+    assert(cells2.select("nid").distinct().count() === nAll)
+    // the appended assignment rows are exactly the new batch
+    val appended = cells2.join(cells1, Seq("nid"), "left_anti")
+    assert(appended.count() === nNew)
+    assert(appended.filter(!AnnIndex.isNewBatch($"nid")).count() === 0)
+    // PQ codes: m rows per vector, old and new alike
+    assert(spark.read.parquet(v2.pqCodes).count() === nAll * 16)
+    // per-cell census closes: merged = old + frozen-assigned new
+    val census = spark.read
+      .parquet(v2.corpusCells)
+      .groupBy("ccell")
+      .count()
+      .withColumnRenamed("count", "n_merged")
+      .join(cells1.groupBy("ccell").count().withColumnRenamed("count", "n_old"), Seq("ccell"), "left")
+      .join(appended.groupBy("ccell").count().withColumnRenamed("count", "n_new"), Seq("ccell"), "left")
+      .select($"n_merged", coalesce($"n_old", lit(0L)).as("o"), coalesce($"n_new", lit(0L)).as("n"))
+    assert(census.filter($"n_merged" =!= $"o" + $"n").count() === 0)
+    // append only ADDS candidates (mirror of the erasure invariant):
+    // every pair the v1 index served keeps its ADC score bit-for-bit
+    // in the merged serve (k large enough to disable the top-k cut)
+    val queries = vecs.filter($"vec_id" < 50)
+    val s1 = Similarity
+      .servedIvfPqTopK(queries, $"vec_id", $"embedding", idx.paths, nprobe = 4, k = 1 << 20)
+      .select($"qid", $"nid", $"sim".as("sim1"))
+    val s2 = Similarity
+      .servedIvfPqTopK(queries, $"vec_id", $"embedding", v2, nprobe = 4, k = 1 << 20)
+      .select($"qid", $"nid", $"sim")
+    val joined = s1.join(s2, Seq("qid", "nid"), "left")
+    assert(joined.filter($"sim".isNull).count() === 0, "a v1 pair vanished after the append")
+    assert(joined.filter($"sim" =!= $"sim1").count() === 0, "a surviving pair's score drifted through the append")
+  }
+
   test("native VecDot is bit-identical to the higher-order formulation") {
     val both = vecs
       .limit(50)
