@@ -149,29 +149,34 @@ object Oracles {
     */
   /** The q36 coarse training unrolled through the final cell
     * assignment: CTE chain ending in `corpus (vid, e, cell)` — shared
-    * by the semantic-dedup mirror (q197) and the cluster-balanced
-    * sample (q205).
+    * by the semantic-dedup mirror (q197), the cluster-balanced sample
+    * (q205), and — via `trainPred` — the incremental SemDeDup mirror
+    * (q378), whose centroids train on the EXISTING corpus only while
+    * the final assignment still covers everyone (frozen quantizer).
     */
-  private val coarseCellCtes: String = {
+  private def coarseCellCtesTrain(trainPred: String): String = {
     val dim = 64; val nlist = 16
     def dotD(a: String, b: String) =
       s"list_sum(list_transform(generate_series(1, $dim), i -> $a[CAST(i AS INTEGER)] * $b[CAST(i AS INTEGER)]))"
     def score(src: String, cent: String) =
       s"${dotD(s"$src.e", s"$cent.ce")} - list_sum(list_transform($cent.ce, x -> x * x)) / 2.0"
     def iter(i: Int, prevC: String): String =
-      s"""s$i AS (SELECT v.vid, v.e, c.j, ${score("v", "c")} AS s FROM v, $prevC c),
+      s"""s$i AS (SELECT v.vid, v.e, c.j, ${score("v", "c")} AS s FROM ctr v, $prevC c),
          |a$i AS (SELECT vid, e, j AS cell FROM (SELECT vid, e, j, row_number() OVER (PARTITION BY vid ORDER BY s DESC, j DESC) AS rn FROM s$i) t WHERE rn = 1),
          |x$i AS (SELECT cell, e, CAST(unnest(generate_series(1, $dim)) AS INTEGER) AS pos FROM a$i),
          |m$i AS (SELECT cell, pos, CAST(sum(CAST(${away("e[pos]", 6)} AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS m FROM x$i GROUP BY cell, pos),
          |n$i AS (SELECT cell, list(m ORDER BY pos) AS nce FROM m$i GROUP BY cell),
          |c$i AS (SELECT $prevC.j, COALESCE(n$i.nce, $prevC.ce) AS ce FROM $prevC LEFT JOIN n$i ON n$i.cell = $prevC.j)""".stripMargin
     s"""v AS (SELECT vec_id AS vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS INTEGER) AS j, e AS ce FROM (SELECT vid, e FROM v ORDER BY vid LIMIT $nlist) t),
+       |ctr AS (SELECT * FROM v WHERE $trainPred),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS INTEGER) AS j, e AS ce FROM (SELECT vid, e FROM ctr ORDER BY vid LIMIT $nlist) t),
        |${iter(1, "c0")},
        |${iter(2, "c1")},
        |sf AS (SELECT v.vid, v.e, c.j, ${score("v", "c")} AS s FROM v, c2 c),
        |corpus AS (SELECT vid, e, j AS cell FROM (SELECT vid, e, j, row_number() OVER (PARTITION BY vid ORDER BY s DESC, j DESC) AS rn FROM sf) t WHERE rn = 1)""".stripMargin
   }
+
+  private val coarseCellCtes: String = coarseCellCtesTrain("TRUE")
 
   private val semanticDedupSql: String = {
     val dim = 64; val tau = "0.4"
@@ -4627,6 +4632,39 @@ object Oracles {
          |  CAST(CASE WHEN nid % 10 = 7 THEN 1 ELSE 0 END AS BIGINT) AS is_new_hit
          |FROM (${annIvfPqSqlK(3, trainPred = "vid % 10 <> 7")}) t
          |ORDER BY qid, rnk""".stripMargin,
+    // incremental SemDeDup: centroids frozen on the existing corpus
+    // (trainPred), batch assigned by the same quantizer, hits counted
+    // against old keepers and smaller-id batchmates only. corpus is
+    // MATERIALIZED: five consumers would otherwise re-derive the whole
+    // Lloyd chain per reference
+    "q378_incremental_semdedup" -> {
+      val dim = 64
+      def dotD(a: String, b: String) =
+        s"list_sum(list_transform(generate_series(1, $dim), i -> $a.e[CAST(i AS INTEGER)] * $b.e[CAST(i AS INTEGER)]))"
+      def cos(a: String, b: String) =
+        away(s"${dotD(a, b)} / sqrt(${dotD(a, a)} * ${dotD(b, b)})", 6)
+      s"""WITH ${coarseCellCtesTrain("vid % 10 <> 7")},
+         |cm AS MATERIALIZED (SELECT * FROM corpus),
+         |oa AS (SELECT * FROM cm WHERE vid % 10 <> 7),
+         |na AS (SELECT * FROM cm WHERE vid % 10 = 7),
+         |od AS (SELECT DISTINCT b.vid FROM oa a JOIN oa b ON a.cell = b.cell AND a.vid < b.vid
+         |  WHERE ${cos("a", "b")} >= 0.4),
+         |ok AS MATERIALIZED (SELECT * FROM oa WHERE vid NOT IN (SELECT vid FROM od)),
+         |kh AS (SELECT n.vid, count(*) AS n_keeper_hits FROM na n JOIN ok k ON n.cell = k.cell
+         |  WHERE ${cos("n", "k")} >= 0.4 GROUP BY n.vid),
+         |bh AS (SELECT x.vid, count(*) AS n_batch_hits FROM na x JOIN na y ON x.cell = y.cell AND y.vid < x.vid
+         |  WHERE ${cos("x", "y")} >= 0.4 GROUP BY x.vid),
+         |kc AS (SELECT cell, count(*) AS n_old_keepers FROM ok GROUP BY cell)
+         |SELECT na.vid AS vec_id, na.cell,
+         |  COALESCE(kc.n_old_keepers, CAST(0 AS BIGINT)) AS n_old_keepers,
+         |  COALESCE(kh.n_keeper_hits, CAST(0 AS BIGINT)) AS n_keeper_hits,
+         |  COALESCE(bh.n_batch_hits, CAST(0 AS BIGINT)) AS n_batch_hits,
+         |  CAST(CASE WHEN COALESCE(kh.n_keeper_hits, 0) + COALESCE(bh.n_batch_hits, 0) = 0
+         |    THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM na LEFT JOIN kh ON kh.vid = na.vid LEFT JOIN bh ON bh.vid = na.vid
+         |LEFT JOIN kc ON kc.cell = na.cell
+         |ORDER BY vec_id""".stripMargin
+    },
     // full + old fixpoints via recursive CTEs; the engine's maintained
     // labels must equal the full recompute bit-for-bit (eq_full earned
     // per row), relabeled = new node or member of a touched component

@@ -10895,6 +10895,38 @@ object Queries {
       .orderBy("qid", "rnk")
   }
 
+  // Incremental SemDeDup — q197 semantically dedups the WHOLE corpus
+  // per run; this is its continuous-curation twin (the q202 shape on
+  // embeddings): coarse cells FROZEN on the existing corpus, today's
+  // batch (vec_id ≡ 7 mod 10, the q377 ingest convention) assigned in
+  // one map pass and cosine-confirmed only within-cell against the
+  // existing KEEPERS (dropped docs left the store — there is nothing
+  // else to compare against) plus smaller-id batchmates under q197's
+  // greedy rule. Per new doc: its frozen cell, the keeper census of
+  // that cell, both hit counts, and the keep/drop verdict — the
+  // accounting a curation pipeline publishes per ingest. The
+  // full-recompute agreement is spec-proven on a fixture where a new
+  // doc joins an existing cluster, founds a new one, and stays a
+  // singleton. Scale shape: the corpus NEVER re-pairs — both joins
+  // are batch-sized on one side and cell-keyed, assignment is
+  // broadcast-centroid map work; a daily batch costs batch-sized
+  // compute no matter how big the store has grown.
+  def incrementalSemDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AnnIndex.isNewBatch
+    val vecs = t(s, dir, "embeddings")
+    Similarity
+      .incrementalSemanticDedup(
+        vecs.filter(!isNewBatch(col("vec_id"))),
+        vecs.filter(isNewBatch(col("vec_id"))),
+        col("vec_id"),
+        col("embedding"),
+        nlist = 16,
+        threshold = 0.4
+      )
+      .withColumnRenamed("vid", "vec_id")
+      .orderBy("vec_id")
+  }
+
   // Incremental connected components — q202 discovers today's new×old
   // near-dup edges without re-pairing the corpus; this maintains the
   // PUBLISHED cluster labels (q80) under those edges without full-graph

@@ -487,6 +487,107 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** (vid, e, nn, cell) under GIVEN frozen centroids — the reusable
+    * assignment half of the incremental SemDeDup path: one map pass
+    * against broadcast centroids, norms precomputed once.
+    */
+  private[graft] def assignedWithNorm(
+      vecs: DataFrame,
+      id: Column,
+      emb: Column,
+      centroids: Array[Array[Double]]
+  ): DataFrame =
+    vecs
+      .select(id.as("vid"), emb.as("e"))
+      .select(
+        col("vid"),
+        col("e"),
+        VectorOps.normSq(col("e")).as("nn"),
+        element_at(cellsOf(col("e"), centroids, 1), 1).as("cell")
+      )
+
+  /** The 6dp within-cell cosine both SemDeDup paths share. */
+  private def cellCosine(aE: Column, aN: Column, bE: Column, bN: Column): Column =
+    NumOps.roundAway(VectorOps.dot(aE, bE) / sqrt(aN * bN), 6)
+
+  /** [[semanticDedupCells]]'s keep rule under GIVEN assignments: a
+    * vector is dropped iff SOME smaller-id cellmate scores at/above
+    * `threshold` (q197's greedy larger-id drop). Factored out so the
+    * incremental path and its full-recompute audit twin run the SAME
+    * rule. Returns the kept rows (vid, e, nn, cell).
+    */
+  private[graft] def keptUnderRule(assigned: DataFrame, threshold: Double): DataFrame = {
+    val dropped = assigned
+      .as("a")
+      .join(assigned.as("b"), col("a.cell") === col("b.cell") && col("a.vid") < col("b.vid"))
+      .filter(cellCosine(col("a.e"), col("a.nn"), col("b.e"), col("b.nn")) >= threshold)
+      .select(col("b.vid").as("vid"))
+      .distinct()
+    assigned.join(dropped, Seq("vid"), "left_anti")
+  }
+
+  /** Incremental SemDeDup — q197's embedding dedup in the q202 shape,
+    * the continuous-curation production path: the coarse quantizer is
+    * FROZEN (trained on the existing corpus only — a batch must not
+    * move yesterday's cell boundaries), the new batch is assigned to
+    * those cells in one map pass, and cosine runs only within-cell
+    * against (a) the existing KEEPERS — dropped docs left the store,
+    * there is nothing else to compare against — and (b) smaller-id
+    * batchmates, q197's greedy rule applied inside the batch. Emits
+    * keep/drop per new doc with the evidence counts and the cell's
+    * keeper census, so per-cell accounting closes:
+    * n_old_keepers + batch = keepers' + drops. Scale shape: the corpus
+    * never re-pairs — the batch joins keepers cell-keyed (batch-sized
+    * left side) and itself within-cell; everything else is map-side
+    * assignment against broadcast centroids.
+    */
+  def incrementalSemanticDedup(
+      oldVecs: DataFrame,
+      newVecs: DataFrame,
+      id: Column,
+      emb: Column,
+      nlist: Int,
+      threshold: Double,
+      lloydIters: Int = 2
+  ): DataFrame = {
+    val oldBase = oldVecs.select(id.as("vid"), emb.as("e")).persist()
+    val centroids =
+      try trainCentroids(oldBase, nlist, lloydIters)
+      finally oldBase.unpersist(blocking = true)
+    val keepers = keptUnderRule(assignedWithNorm(oldVecs, id, emb, centroids), threshold)
+    val newA = assignedWithNorm(newVecs, id, emb, centroids)
+    val keeperHits = newA
+      .as("n")
+      .join(keepers.as("k"), col("n.cell") === col("k.cell"))
+      .filter(cellCosine(col("n.e"), col("n.nn"), col("k.e"), col("k.nn")) >= threshold)
+      .select(col("n.vid").as("vid"))
+      .groupBy("vid")
+      .agg(count(lit(1)).as("n_keeper_hits"))
+    val batchHits = newA
+      .as("x")
+      .join(newA.as("y"), col("x.cell") === col("y.cell") && col("y.vid") < col("x.vid"))
+      .filter(cellCosine(col("x.e"), col("x.nn"), col("y.e"), col("y.nn")) >= threshold)
+      .select(col("x.vid").as("vid"))
+      .groupBy("vid")
+      .agg(count(lit(1)).as("n_batch_hits"))
+    val keepersPerCell = keepers.groupBy("cell").agg(count(lit(1)).as("n_old_keepers"))
+    newA
+      .select(col("vid"), col("cell"))
+      .join(keeperHits, Seq("vid"), "left")
+      .join(batchHits, Seq("vid"), "left")
+      .join(keepersPerCell, Seq("cell"), "left")
+      .select(
+        col("vid"),
+        col("cell"),
+        coalesce(col("n_old_keepers"), lit(0L)).as("n_old_keepers"),
+        coalesce(col("n_keeper_hits"), lit(0L)).as("n_keeper_hits"),
+        coalesce(col("n_batch_hits"), lit(0L)).as("n_batch_hits"),
+        (coalesce(col("n_keeper_hits"), lit(0L)) + coalesce(col("n_batch_hits"), lit(0L)) === lit(0L))
+          .cast("long")
+          .as("kept")
+      )
+  }
+
   /** The nprobe nearest cells for a query vector — the same
     * [[graft.plans.NearestCells]] expression as assignment, n = nprobe.
     */

@@ -70,6 +70,61 @@ class SimilaritySpec extends SparkSpec {
     assert(joined.filter($"sim" =!= $"sim1").count() === 0, "a surviving pair's score drifted through the append")
   }
 
+  test("incremental SemDeDup (q378): join/found/singleton verdicts, and store ∪ kept batch ≡ full frozen-centroid recompute") {
+    // old store: two clusters, each one keeper (1, 2) and one dropped
+    // duplicate (3, 4); the batch exercises all three arrival shapes
+    val old = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0.95f, 0.05f, 0f, 0f)),
+      (4L, Array(0.05f, 0.95f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (10L, Array(0.9f, 0.1f, 0f, 0f)), // joins cluster 1
+      (11L, Array(0f, 0f, 1f, 0f)), // founds a new cluster
+      (12L, Array(0f, 0f, 0.98f, 0.02f)), // duplicate of the founder
+      (13L, Array(0f, 0f, 0f, 1f)) // singleton
+    ).toDF("vec_id", "embedding")
+    val out = Similarity
+      .incrementalSemanticDedup(old, batch, $"vec_id", $"embedding", nlist = 2, threshold = 0.4)
+      .collect()
+    val byId = out.map(r => r.getAs[Long]("vid") -> r).toMap
+    assert(byId(10L).getAs[Long]("n_keeper_hits") >= 1L && byId(10L).getAs[Long]("kept") === 0L)
+    assert(byId(11L).getAs[Long]("kept") === 1L)
+    assert(
+      byId(12L).getAs[Long]("n_keeper_hits") === 0L &&
+        byId(12L).getAs[Long]("n_batch_hits") >= 1L &&
+        byId(12L).getAs[Long]("kept") === 0L
+    )
+    assert(
+      byId(13L).getAs[Long]("n_keeper_hits") === 0L &&
+        byId(13L).getAs[Long]("n_batch_hits") === 0L &&
+        byId(13L).getAs[Long]("kept") === 1L
+    )
+    // equivalence: old keepers ∪ kept batch equals a FULL recompute of
+    // the q197 rule over old ∪ batch under the same frozen centroids
+    val oldBase = old.select($"vec_id".as("vid"), $"embedding".as("e")).persist()
+    val centroids = Similarity.trainCentroids(oldBase, nlist = 2, lloydIters = 2)
+    oldBase.unpersist(blocking = true)
+    val oldKeepers = Similarity
+      .keptUnderRule(Similarity.assignedWithNorm(old, $"vec_id", $"embedding", centroids), 0.4)
+      .select("vid")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    val incKeepers = oldKeepers ++ out.filter(_.getAs[Long]("kept") == 1L).map(_.getAs[Long]("vid"))
+    val fullKeepers = Similarity
+      .keptUnderRule(
+        Similarity.assignedWithNorm(old.unionByName(batch), $"vec_id", $"embedding", centroids),
+        0.4
+      )
+      .select("vid")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(incKeepers === fullKeepers)
+  }
+
   test("native VecDot is bit-identical to the higher-order formulation") {
     val both = vecs
       .limit(50)
