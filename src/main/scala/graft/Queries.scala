@@ -5360,8 +5360,12 @@ object Queries {
         (microNats(col("nb") * (col("c") * 4 - 3) + col("n1p") * col("nleft") * 3)
           - microNats(col("cl") * col("nb") * 4)).as("lp_micro")
       )
-    bg
-      .join(broadcast(st), Seq("lft", "rgt"))
+    // the ≤|V|²-type score table rides the SIZE GATE: broadcast at
+    // this vocab, sort-merge when type tables outgrow replication —
+    // the LM ladder's 100 TB story enforced, not assumed (PlanSpec
+    // pins both paths)
+    graft.operators.SizeGate
+      .countsJoin(bg, st, Seq("lft", "rgt"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("sum_lp"))
       .withColumn("mean_logp_micro", expr("sum_lp div n_bigrams"))
@@ -6109,9 +6113,11 @@ object Queries {
       .agg(count(lit(1)).as("nb"))
       .crossJoin(broadcast(rightCtx.agg(count(lit(1)).as("vr"))))
       .select((col("nb") + col("vr") + 1).as("denc"))
-    val scored = bg
-      .filter(col("is_test"))
-      .join(broadcast(cnt), Seq("lft", "rgt"), "left")
+    // the bigram TYPE table is the size-gated join (it alone grows
+    // ~linearly with corpus bytes); leftCtx/rightCtx stay broadcast —
+    // they are |V|-bounded at any scale
+    val scored = graft.operators.SizeGate
+      .countsJoin(bg.filter(col("is_test")), cnt, Seq("lft", "rgt"), "left")
       .join(broadcast(leftCtx), Seq("lft"), "left")
       .join(broadcast(rightCtx), Seq("rgt"), "left")
       .crossJoin(broadcast(consts))
@@ -6776,11 +6782,20 @@ object Queries {
       .agg(count(lit(1)).as("nb"))
       .crossJoin(broadcast(rightCtx.agg(count(lit(1)).as("vr"))))
       .select((col("nb") + col("vr") + 1).as("denc"))
-    val scored = tg
-      .filter(col("is_test"))
-      .join(broadcast(cnt3), Seq("u", "v", "w"), "left")
-      .join(broadcast(ctx3), Seq("u", "v"), "left")
-      .join(broadcast(cnt.withColumnRenamed("lft", "v").withColumnRenamed("rgt", "w")), Seq("v", "w"), "left")
+    // trigram/bigram TYPE tables ride the size gate (they grow with
+    // corpus bytes); the |V|-bounded context tables stay broadcast
+    import graft.operators.SizeGate.countsJoin
+    val scored = countsJoin(
+      countsJoin(
+        countsJoin(tg.filter(col("is_test")), cnt3, Seq("u", "v", "w"), "left"),
+        ctx3,
+        Seq("u", "v"),
+        "left"
+      ),
+      cnt.withColumnRenamed("lft", "v").withColumnRenamed("rgt", "w"),
+      Seq("v", "w"),
+      "left"
+    )
       .join(broadcast(leftCtx.withColumnRenamed("lft", "v")), Seq("v"), "left")
       .join(broadcast(rightCtx.withColumnRenamed("rgt", "w")), Seq("w"), "left")
       .crossJoin(broadcast(consts))
@@ -11631,10 +11646,16 @@ object Queries {
         sum((col("c3") >= col("min_count")).cast("long")).as("kcnt"),
         sum(when(col("c3") < col("min_count"), col("c3")).otherwise(0L)).as("smass")
       )
-    val scored = tg
-      .filter(col("is_test"))
-      .join(broadcast(cnt3), Seq("u", "v", "w"), "left")
-      .join(broadcast(cnt.withColumnRenamed("lft", "v").withColumnRenamed("rgt", "w")), Seq("v", "w"), "left")
+    // type tables (trigram counts, bigram counts, per-level pruned
+    // context stats — all corpus-growing) ride the size gate; the
+    // |V|-bounded context tables stay broadcast
+    import graft.operators.SizeGate.countsJoin
+    val scored = countsJoin(
+      countsJoin(tg.filter(col("is_test")), cnt3, Seq("u", "v", "w"), "left"),
+      cnt.withColumnRenamed("lft", "v").withColumnRenamed("rgt", "w"),
+      Seq("v", "w"),
+      "left"
+    )
       .join(broadcast(leftCtx.withColumnRenamed("lft", "v")), Seq("v"), "left")
       .join(broadcast(rightCtx.withColumnRenamed("rgt", "w")), Seq("w"), "left")
       .crossJoin(broadcast(consts))
@@ -11648,7 +11669,7 @@ object Queries {
       .withColumn("d2", when(col("cl").isNotNull, col("cl") * col("denc") * 4).otherwise(col("denc")))
       .withColumn("lp_bi", microNats(col("n2")) - microNats(col("d2")))
       .crossJoin(broadcast(levels))
-      .join(broadcast(ctx3L), Seq("u", "v", "min_count"), "left")
+    val scoredL = countsJoin(scored, ctx3L, Seq("u", "v", "min_count"), "left")
       .withColumn("hit", (col("c3").isNotNull && col("c3") >= col("min_count")).cast("long"))
       .withColumn("lam_num", col("kcnt") * 3 + col("smass") * 4)
       .withColumn(
@@ -11665,7 +11686,7 @@ object Queries {
       )
       .withColumn("backoff_bigram", (col("hit") === 0 && col("c2").isNotNull).cast("long"))
       .withColumn("backoff_full", col("c2").isNull.cast("long"))
-    scored
+    scoredL
       .groupBy("min_count")
       .agg(
         count(lit(1)).as("n_test_trigrams"),

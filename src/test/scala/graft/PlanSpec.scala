@@ -494,6 +494,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"the vocab²-bounded score table must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"no corpus-keyed merge join anywhere:\n$p")
     assert(!p.contains("CartesianProduct"), p)
+    spark.catalog.clearCache() // the size gate persists the score table
+  }
+
+  test("size-gated LM count join: broadcast below the gate, sort-merge pinned above it — both paths") {
+    // the LM ladder (q237/q260/q274/q360) routes its n-gram TYPE
+    // tables through this gate; the per-query tests above pin the
+    // below-gate (broadcast) shape on the real corpus, this one pins
+    // BOTH shapes on one fixture so the above-gate path cannot rot
+    val counts = spark
+      .range(0, 200)
+      .selectExpr("CAST(id AS STRING) AS lft", "CAST(id + 1 AS STRING) AS rgt", "id AS c")
+    val stream = spark
+      .range(0, 1000)
+      .selectExpr("id AS doc_id", "CAST(id % 200 AS STRING) AS lft", "CAST(id % 200 + 1 AS STRING) AS rgt")
+    val below = graft.operators.SizeGate
+      .countsJoin(stream, counts, Seq("lft", "rgt"), "left", maxBroadcastRows = 1L << 20)
+    val pb = plan(below)
+    assert(pb.contains("BroadcastHashJoin"), s"below the gate the model table must broadcast:\n$pb")
+    assert(!pb.contains("SortMergeJoin"), s"below the gate nothing shuffles the stream:\n$pb")
+    val above = graft.operators.SizeGate
+      .countsJoin(stream, counts, Seq("lft", "rgt"), "left", maxBroadcastRows = 0L)
+    val pa = plan(above)
+    assert(pa.contains("SortMergeJoin"), s"above the gate the join must pin sort-merge (no replicated model):\n$pa")
+    assert(!pa.contains("BroadcastHashJoin"), s"above the gate the type table must NOT broadcast:\n$pa")
+    // same rows either way: the gate changes the physical strategy only
+    val a = below.orderBy("doc_id").collect().map(_.toSeq)
+    val b = above.orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+    spark.catalog.clearCache()
   }
 
   test("bpe encode (q238): the encoded vocabulary broadcasts onto the token stream") {
