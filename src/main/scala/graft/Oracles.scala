@@ -4632,6 +4632,31 @@ object Oracles {
          |  CAST(CASE WHEN nid % 10 = 7 THEN 1 ELSE 0 END AS BIGINT) AS is_new_hit
          |FROM (${annIvfPqSqlK(3, trainPred = "vid % 10 <> 7")}) t
          |ORDER BY qid, rnk""".stripMargin,
+    // vacuum safety: manifests are re-read from disk (they survive the
+    // vacuum by construction); pinned answers re-derived from the
+    // logical orders table; the expired version reports NULLs — after
+    // the vacuum nothing can read it, which is the point
+    "q379_vacuum_safety" ->
+      """WITH m AS (SELECT version, dir, file_name, file_size
+        |  FROM read_parquet('/tmp/graft_vacuum/sf0.01/manifests/*.parquet')),
+        |req AS (SELECT DISTINCT dir, file_name FROM m WHERE version IN (2, 3)),
+        |pv AS (SELECT version, count(*) AS n_files, CAST(sum(file_size) AS BIGINT) AS manifest_bytes
+        |  FROM m GROUP BY 1),
+        |rc AS (SELECT version, count(*) AS nr, CAST(sum(file_size) AS BIGINT) AS br
+        |  FROM m ANTI JOIN req USING (dir, file_name) GROUP BY 1),
+        |o2 AS (SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS ck FROM orders WHERE o_orderdate < DATE '1998-01-01'),
+        |o3 AS (SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS ck FROM orders WHERE o_orderdate < DATE '1999-01-01'),
+        |a AS (
+        |  SELECT 1 AS version, CAST(0 AS BIGINT) AS pinned, CAST(NULL AS BIGINT) AS n_rows,
+        |    CAST(NULL AS BIGINT) AS key_checksum, CAST(NULL AS BIGINT) AS eq_after_vacuum
+        |  UNION ALL SELECT 2, 1, (SELECT n FROM o2), (SELECT ck FROM o2), 1
+        |  UNION ALL SELECT 3, 1, (SELECT n FROM o3), (SELECT ck FROM o3), 1)
+        |SELECT CAST(pv.version AS INTEGER) AS version, pinned, pv.n_files, pv.manifest_bytes,
+        |  COALESCE(rc.nr, CAST(0 AS BIGINT)) AS n_files_reclaimed,
+        |  COALESCE(rc.br, CAST(0 AS BIGINT)) AS bytes_reclaimed,
+        |  n_rows, key_checksum, eq_after_vacuum
+        |FROM pv LEFT JOIN rc USING (version) JOIN a USING (version)
+        |ORDER BY version""".stripMargin,
     // incremental SemDeDup: centroids frozen on the existing corpus
     // (trainPred), batch assigned by the same quantizer, hits counted
     // against old keepers and smaller-id batchmates only. corpus is

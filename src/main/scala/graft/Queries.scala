@@ -10942,6 +10942,127 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  // VACUUM safety audit — the retention decision every lakehouse runs
+  // weekly, composed from machinery the engine already proves: q192/
+  // q194 plan and execute compaction, q371 pins AS-OF reads; THIS
+  // query decides which physical files those pins still require and
+  // proves deleting the rest changes no pinned answer. Three real
+  // generations land on disk (g1 small-file write → g2 compaction
+  // rewrite of the same rows → g3 append) with parquet MANIFESTS as
+  // the metadata layer (version → file list + sizes — the Delta/
+  // Iceberg snapshot log's shape; metadata is never vacuumed). The
+  // retention policy expires v1 and pins v2/v3, so required = the
+  // union of pinned manifests, reclaimable = everything else (exactly
+  // g1's files, stranded by the compaction swap — the dominant vacuum
+  // case in practice). The audit is EARNED, not asserted: every
+  // pinned read's (row count, key checksum) is recorded BEFORE the
+  // delete, the safe set is physically removed, the file-listing
+  // cache refreshed, and each pin re-answered from the surviving
+  // files through its manifest — eq_after_vacuum compares the two.
+  // Scale shape: classification and accounting are manifest-
+  // cardinality (one row per FILE, never per row); the deletes are
+  // metadata-cardinality driver work, exactly what a VACUUM job is;
+  // the only row-scale passes are the pinned reads the warehouse
+  // would run anyway. Fixed path (q192's convention): the DuckDB
+  // oracle re-reads the surviving manifests after this JVM exits and
+  // re-derives the pinned answers from the logical table.
+  def vacuumSafety(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sf = new java.io.File(dir).getName
+    val base = s"/tmp/graft_vacuum/$sf"
+    val orders = t(s, dir, "orders")
+    val ow = org.apache.spark.sql.SaveMode.Overwrite
+    // g1: the original small-file layout of the < 1998 slice
+    orders
+      .filter(col("o_orderdate") < lit("1998-01-01"))
+      .repartition(8, col("o_orderkey"))
+      .write
+      .mode(ow)
+      .parquet(s"$base/g1")
+    // g2: the nightly compactor rewrites g1 — same rows, 2 files
+    s.read.parquet(s"$base/g1").repartition(2, col("o_orderkey")).write.mode(ow).parquet(s"$base/g2")
+    // g3: the next day's append (the 1998 slice)
+    orders
+      .filter(col("o_orderdate") >= lit("1998-01-01") && col("o_orderdate") < lit("1999-01-01"))
+      .repartition(4, col("o_orderkey"))
+      .write
+      .mode(ow)
+      .parquet(s"$base/g3")
+    def inv(g: String): DataFrame = s.read
+      .parquet(s"$base/$g")
+      .select(lit(g).as("dir"), col("_metadata.file_name").as("file_name"), col("_metadata.file_size").as("file_size"))
+      .distinct()
+    // the snapshot log: v1 = g1; v2 = the compaction swap (g2);
+    // v3 = v2 + the append (g2 ∪ g3). Materialized BEFORE any delete —
+    // the metadata layer survives the vacuum by construction.
+    val man = graft.sinks.RetryingSink.snapshotParquet(
+      inv("g1")
+        .withColumn("version", lit(1))
+        .unionByName(inv("g2").withColumn("version", lit(2)))
+        .unionByName(inv("g2").withColumn("version", lit(3)))
+        .unionByName(inv("g3").withColumn("version", lit(3))),
+      s"$base/manifests"
+    )
+    val pins = Seq(2, 3)
+    val required = man.filter(col("version").isin(pins: _*)).select("dir", "file_name").distinct()
+    // a pinned read: exactly the manifest's files, nothing else — the
+    // lakehouse read contract (semi-join on file provenance)
+    def readVersion(v: Int): (Long, Long) = {
+      val dirs = man
+        .filter(col("version") === v)
+        .select("dir")
+        .distinct()
+        .collect()
+        .map(_.getString(0))
+        .sorted
+      val row = s.read
+        .parquet(dirs.map(g => s"$base/$g"): _*)
+        .select(col("o_orderkey"), col("_metadata.file_name").as("file_name"))
+        .join(broadcast(man.filter(col("version") === v).select("file_name").distinct()), Seq("file_name"), "left_semi")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("ck"))
+        .collect()(0)
+      (row.getLong(0), row.getLong(1))
+    }
+    val before = pins.map(v => v -> readVersion(v)).toMap
+    // VACUUM: physically delete every file no pinned manifest
+    // references — metadata-cardinality driver work
+    man
+      .select("dir", "file_name")
+      .distinct()
+      .join(required, Seq("dir", "file_name"), "left_anti")
+      .collect()
+      .foreach(r => new java.io.File(s"$base/${r.getString(0)}/${r.getString(1)}").delete())
+    s.catalog.refreshByPath(base) // stale listings would still name the deleted files
+    val after = pins.map(v => v -> readVersion(v)).toMap
+    val audit = Seq(
+      (1, 0L, None: Option[Long], None: Option[Long], None: Option[Long]),
+      (2, 1L, Some(after(2)._1), Some(after(2)._2), Some(if (after(2) == before(2)) 1L else 0L)),
+      (3, 1L, Some(after(3)._1), Some(after(3)._2), Some(if (after(3) == before(3)) 1L else 0L))
+    ).toDF("version", "pinned", "n_rows", "key_checksum", "eq_after_vacuum")
+    val perVersion = man
+      .groupBy("version")
+      .agg(count(lit(1)).as("n_files"), sum(col("file_size")).as("manifest_bytes"))
+    val reclaimed = man
+      .join(required, Seq("dir", "file_name"), "left_anti")
+      .groupBy("version")
+      .agg(count(lit(1)).as("nr"), sum(col("file_size")).as("br"))
+    perVersion
+      .join(reclaimed, Seq("version"), "left")
+      .join(broadcast(audit), Seq("version"))
+      .select(
+        col("version"),
+        col("pinned"),
+        col("n_files"),
+        col("manifest_bytes"),
+        coalesce(col("nr"), lit(0L)).as("n_files_reclaimed"),
+        coalesce(col("br"), lit(0L)).as("bytes_reclaimed"),
+        col("n_rows"),
+        col("key_checksum"),
+        col("eq_after_vacuum")
+      )
+      .orderBy("version")
+  }
+
   // Incremental connected components — q202 discovers today's new×old
   // near-dup edges without re-pairing the corpus; this maintains the
   // PUBLISHED cluster labels (q80) under those edges without full-graph

@@ -3112,4 +3112,22 @@ class QueriesSpec extends SparkSpec {
     assert(hits(0) > hits(1) && hits(1) > hits(2))
     assert((0 to 2).forall(i => hits(i) + bb(i) === hits(0) + bb(0)), "hit + bigram-backoff mass is conserved")
   }
+
+  test("vacuum safety (q379): pins answer bit-identically, the expired generation is fully and physically reclaimed") {
+    val rows = Queries.vacuumSafety(spark, sfDir).collect()
+    val byV = rows.map(r => r.getAs[Int]("version") -> r).toMap
+    // the expired snapshot's files are ALL reclaimable (the compaction
+    // swap stranded them), and nothing a pin references is touched
+    assert(byV(1).getAs[Long]("n_files_reclaimed") === byV(1).getAs[Long]("n_files"))
+    assert(byV(1).getAs[Long]("bytes_reclaimed") === byV(1).getAs[Long]("manifest_bytes"))
+    Seq(2, 3).foreach { v =>
+      assert(byV(v).getAs[Long]("n_files_reclaimed") === 0L, s"v$v lost a pinned file")
+      assert(byV(v).getAs[Long]("eq_after_vacuum") === 1L, s"v$v's answer changed through the vacuum")
+    }
+    // the append only adds rows on top of the compacted snapshot
+    assert(byV(3).getAs[Long]("n_rows") > byV(2).getAs[Long]("n_rows"))
+    // the reclaimed generation is physically gone, not just declared so
+    val g1 = new java.io.File(s"/tmp/graft_vacuum/${new java.io.File(sfDir).getName}/g1")
+    assert(g1.listFiles().count(_.getName.endsWith(".parquet")) === 0, "vacuum left expired data files on disk")
+  }
 }
