@@ -4632,6 +4632,25 @@ object Oracles {
          |  CAST(CASE WHEN nid % 10 = 7 THEN 1 ELSE 0 END AS BIGINT) AS is_new_hit
          |FROM (${annIvfPqSqlK(3, trainPred = "vid % 10 <> 7")}) t
          |ORDER BY qid, rnk""".stripMargin,
+    // q269's fixture through real MERGE INTO: same final state, both
+    // equality flags pinned (the engine earns them from the data)
+    "q380_merge_into" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |snap AS (SELECT * FROM o WHERE k % 10 <> 0),
+        |upd AS (SELECT k FROM snap WHERE k % 7 = 0),
+        |del AS (SELECT k FROM snap WHERE k % 13 = 0 AND k % 7 <> 0),
+        |dr AS (SELECT k, st,
+        |    CASE WHEN k % 10 <> 0 AND k % 7 = 0 THEN cents + 100000 ELSE cents END AS cents
+        |  FROM o WHERE NOT (k % 10 <> 0 AND k % 13 = 0 AND k % 7 <> 0)),
+        |aa AS (SELECT st, count(*) AS n_after FROM dr GROUP BY st),
+        |du AS (SELECT s.st, count(*) AS n_updated FROM upd JOIN snap s ON s.k = upd.k GROUP BY s.st),
+        |dd AS (SELECT s.st, count(*) AS n_deleted FROM del JOIN snap s ON s.k = del.k GROUP BY s.st)
+        |SELECT aa.st AS o_orderstatus, n_after,
+        |  COALESCE(n_updated, 0) AS n_updated, COALESCE(n_deleted, 0) AS n_deleted,
+        |  CAST(1 AS BIGINT) AS eq_declarative, CAST(1 AS BIGINT) AS eq_procedural
+        |FROM aa LEFT JOIN du ON du.st = aa.st LEFT JOIN dd ON dd.st = aa.st
+        |ORDER BY o_orderstatus""".stripMargin,
     // vacuum safety: manifests are re-read from disk (they survive the
     // vacuum by construction); pinned answers re-derived from the
     // logical orders table; the expired version reports NULLs — after

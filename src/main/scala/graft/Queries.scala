@@ -5752,6 +5752,84 @@ object Queries {
       .orderBy("o_orderstatus")
   }
 
+  // Declarative MERGE INTO — the warehouse-user spelling of q269's
+  // CDC apply, through REAL Spark 4 SQL against a DataSource V2 table
+  // ([[graft.sources.ScratchCatalog]], whose tables implement
+  // SupportsRowLevelOperations): one MERGE statement carries the
+  // delete, update and insert clauses q269 wires by hand, the
+  // analyzer's RewriteMergeIntoTable plans it as a group-based
+  // ReplaceData over the connector's row-level scan + write, and the
+  // audit proves the declarative path lands bit-exactly on BOTH
+  // derivations of the final state — q269's procedural
+  // anti-join/replace/union (eq_procedural) and the one-pass CASE
+  // spec (eq_declarative). At 100 TB this is the statement users
+  // actually write against Delta/Iceberg; the engine-side machinery
+  // (keyed joins, delta-sized op streams) is exactly q269's, arrived
+  // at by the optimizer instead of by hand.
+  def mergeInto(s: SparkSession, dir: String): DataFrame = {
+    // idempotent registration; the catalog class loads on first use
+    s.conf.set("spark.sql.catalog.graft_scratch", classOf[graft.sources.ScratchCatalog].getName)
+    val orders = t(s, dir, "orders")
+      .select(
+        col("o_orderkey").as("k"),
+        col("o_orderstatus").as("st"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents")
+      )
+    val snap = orders.filter(col("k") % 10 =!= 0)
+    val inserts = orders.filter(col("k") % 10 === 0).withColumn("op", lit("I"))
+    val updates = snap
+      .filter(col("k") % 7 === 0)
+      .select(col("k"), col("st"), (col("cents") + 100000L).as("cents"))
+      .withColumn("op", lit("U"))
+    val deletes = snap
+      .filter(col("k") % 13 === 0 && col("k") % 7 =!= 0)
+      .select(col("k"), col("st"), col("cents"))
+      .withColumn("op", lit("D"))
+    inserts.unionByName(updates).unionByName(deletes).createOrReplaceTempView("graft_q380_source")
+    snap.createOrReplaceTempView("graft_q380_snap")
+    s.sql("DROP TABLE IF EXISTS graft_scratch.db.cdc_target")
+    s.sql("CREATE TABLE graft_scratch.db.cdc_target (k BIGINT, st STRING, cents BIGINT)")
+    s.sql("INSERT INTO graft_scratch.db.cdc_target SELECT k, st, cents FROM graft_q380_snap")
+    s.sql("""MERGE INTO graft_scratch.db.cdc_target t
+            |USING graft_q380_source s
+            |ON t.k = s.k
+            |WHEN MATCHED AND s.op = 'D' THEN DELETE
+            |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET cents = s.cents
+            |WHEN NOT MATCHED AND s.op = 'I' THEN INSERT (k, st, cents) VALUES (s.k, s.st, s.cents)
+            |""".stripMargin)
+    val merged = s.table("graft_scratch.db.cdc_target")
+    // the one-pass CASE spec of the final state (q269's `direct`)
+    val direct = orders
+      .filter(!(col("k") % 10 =!= 0 && col("k") % 13 === 0 && col("k") % 7 =!= 0))
+      .select(
+        col("k"),
+        col("st"),
+        when(col("k") % 10 =!= 0 && col("k") % 7 === 0, col("cents") + 100000L).otherwise(col("cents")).as("cents")
+      )
+    // q269's procedural apply path — the same machinery it audits
+    val applied = snap
+      .join(deletes.select("k"), Seq("k"), "left_anti")
+      .join(updates.select(col("k"), col("cents").as("new_cents")), Seq("k"), "left")
+      .select(col("k"), col("st"), coalesce(col("new_cents"), col("cents")).as("cents"))
+      .unionByName(inserts.drop("op"))
+    def audit(df: DataFrame, n: String, ck: String) =
+      df.groupBy("st").agg(count(lit(1)).as(n), sum(col("cents")).as(ck))
+    audit(merged, "n_after", "ck_m")
+      .join(audit(direct, "n_direct", "ck_d"), Seq("st"))
+      .join(audit(applied, "n_proc", "ck_p"), Seq("st"))
+      .join(updates.groupBy("st").agg(count(lit(1)).as("n_updated")), Seq("st"), "left")
+      .join(deletes.groupBy("st").agg(count(lit(1)).as("n_deleted")), Seq("st"), "left")
+      .select(
+        col("st").as("o_orderstatus"),
+        col("n_after"),
+        coalesce(col("n_updated"), lit(0L)).as("n_updated"),
+        coalesce(col("n_deleted"), lit(0L)).as("n_deleted"),
+        (col("n_after") === col("n_direct") && col("ck_m") === col("ck_d")).cast("long").as("eq_declarative"),
+        (col("n_after") === col("n_proc") && col("ck_m") === col("ck_p")).cast("long").as("eq_procedural")
+      )
+      .orderBy("o_orderstatus")
+  }
+
   // Frequent-pair mining (the Apriori first pass) — the association
   // family the engine did not yet speak: which part pairs co-occur in
   // orders beyond chance, with support / confidence / lift. The SCALE

@@ -1,0 +1,53 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** The DataSource V2 row-level-operation connector under q380: the
+  * full SQL lifecycle (CREATE / INSERT / MERGE / UPDATE / DELETE)
+  * against the scratch catalog, each statement's effect checked
+  * row-for-row. MERGE exercises the op-column ReplaceData layout
+  * (MergeRows prepends `__row_operation`); UPDATE and DELETE exercise
+  * the bare-arity replace path — both normalize through the same
+  * schema-aware writer.
+  */
+class ScratchCatalogSpec extends SparkSpec {
+
+  private def rows(table: String): Seq[(Long, String, Long)] =
+    spark
+      .table(table)
+      .orderBy("k")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq
+
+  test("MERGE INTO: delete, update and insert clauses land exactly") {
+    spark.conf.set("spark.sql.catalog.graft_scratch", classOf[ScratchCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft_scratch.db.spec1")
+    spark.sql("CREATE TABLE graft_scratch.db.spec1 (k BIGINT, st STRING, cents BIGINT)")
+    spark.sql("INSERT INTO graft_scratch.db.spec1 VALUES (1, 'A', 10), (2, 'B', 20), (3, 'A', 30)")
+    assert(rows("graft_scratch.db.spec1") === Seq((1L, "A", 10L), (2L, "B", 20L), (3L, "A", 30L)))
+    spark
+      .sql(
+        "SELECT 2 AS k, 'B' AS st, CAST(99 AS BIGINT) AS cents, 'U' AS op " +
+          "UNION ALL SELECT 3, 'A', 30, 'D' UNION ALL SELECT 4, 'C', 40, 'I'"
+      )
+      .createOrReplaceTempView("scratch_spec_src")
+    spark.sql("""MERGE INTO graft_scratch.db.spec1 t USING scratch_spec_src s ON t.k = s.k
+                |WHEN MATCHED AND s.op = 'D' THEN DELETE
+                |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET cents = s.cents
+                |WHEN NOT MATCHED AND s.op = 'I' THEN INSERT (k, st, cents) VALUES (s.k, s.st, s.cents)
+                |""".stripMargin)
+    assert(rows("graft_scratch.db.spec1") === Seq((1L, "A", 10L), (2L, "B", 99L), (4L, "C", 40L)))
+  }
+
+  test("UPDATE and DELETE run through the same row-level replace") {
+    spark.conf.set("spark.sql.catalog.graft_scratch", classOf[ScratchCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft_scratch.db.spec2")
+    spark.sql("CREATE TABLE graft_scratch.db.spec2 (k BIGINT, st STRING, cents BIGINT)")
+    spark.sql("INSERT INTO graft_scratch.db.spec2 VALUES (1, 'A', 10), (2, 'B', 20), (3, 'A', 30)")
+    spark.sql("UPDATE graft_scratch.db.spec2 SET cents = cents + 5 WHERE st = 'A'")
+    assert(rows("graft_scratch.db.spec2") === Seq((1L, "A", 15L), (2L, "B", 20L), (3L, "A", 35L)))
+    spark.sql("DELETE FROM graft_scratch.db.spec2 WHERE k = 2")
+    assert(rows("graft_scratch.db.spec2") === Seq((1L, "A", 15L), (3L, "A", 35L)))
+  }
+}
