@@ -11306,9 +11306,15 @@ object Queries {
   // sampling. Scale shape: one projection, one bounded aggregate, a
   // k-row join back for weights; the corpus never sorts and never
   // shuffles on a high-cardinality key.
-  def prioritySample(s: SparkSession, dir: String): DataFrame = {
-    val k = 32
-    val docs = t(s, dir, "documents")
+  def prioritySample(s: SparkSession, dir: String): DataFrame =
+    prioritySampleOf(t(s, dir, "documents"), k = 32)
+
+  /** The q364 core over an explicit documents frame — parameterized so
+    * the spec can drive the k ≥ n boundary (tau absent, ŵ = w, the
+    * estimator EXACT), which real corpora never hit.
+    */
+  private[graft] def prioritySampleOf(documents: DataFrame, k: Int): DataFrame = {
+    val docs = documents
       .select(
         col("doc_id"),
         greatest(TextOps.tokenCount(col("text")).cast("long"), lit(1L)).as("w")
@@ -11423,7 +11429,7 @@ object Queries {
     * graph, each round's edge set parquet-snapshotted. Returns the
     * per-round census frames and the FINAL (trussed) edge set.
     */
-  private def trussPeel(s: SparkSession, dir: String): (Seq[DataFrame], DataFrame) = {
+  private[graft] def trussPeel(s: SparkSession, dir: String): (Seq[DataFrame], DataFrame) = {
     val base = graft.operators.Scratch.dir("graft-ktruss")
     def snapshot(df: DataFrame, name: String): DataFrame = {
       val path = s"$base/$name"

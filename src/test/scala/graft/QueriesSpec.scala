@@ -3113,6 +3113,96 @@ class QueriesSpec extends SparkSpec {
     assert((0 to 2).forall(i => hits(i) + bb(i) === hits(0) + bb(0)), "hit + bigram-backoff mass is conserved")
   }
 
+  test("truss split audit (q374): truss parts refine the published clusters, and every split cluster contains a peeled bridge") {
+    import graft.operators.{CandidateGraph, ConnectedComponents}
+    val (_, truss) = Queries.trussPeel(spark, sfDir)
+    val docs = graft.sources.Tables.parquet(spark, sfDir, "documents").select(col("doc_id"))
+    val tl = ConnectedComponents
+      .minLabel(docs, col("doc_id"), truss, col("lo"), col("hi"))
+      .select(col("id"), col("cluster").as("tc"))
+    val q80 = CandidateGraph.clusters(spark, sfDir).select(col("id"), col("cluster").as("c"))
+    val lab = tl.join(q80, Seq("id"))
+    // REFINEMENT: truss edges ⊆ candidate edges, so a truss component
+    // can never span two published clusters — asserted per part
+    assert(
+      lab.groupBy("tc").agg(countDistinct(col("c")).as("n")).filter(col("n") > 1).count() === 0,
+      "a truss part spans two published clusters — refinement violated"
+    )
+    // every SPLIT cluster must contain a peeled bridge: a candidate
+    // edge the truss removed whose endpoints now sit in different
+    // truss parts (the single unsupported edge that falsely merged)
+    val pairs = CandidateGraph
+      .pairs(spark, sfDir)
+      .select(least(col("d1"), col("d2")).as("lo"), greatest(col("d1"), col("d2")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+    val bridges = pairs
+      .join(truss, Seq("lo", "hi"), "left_anti")
+      .join(lab.select(col("id").as("lo"), col("tc").as("tc1"), col("c").as("cluster")), Seq("lo"))
+      .join(lab.select(col("id").as("hi"), col("tc").as("tc2")), Seq("hi"))
+      .filter(col("tc1") =!= col("tc2"))
+      .select("cluster")
+      .distinct()
+    val split = Queries.trussSplitAudit(spark, sfDir).filter(col("split") === 1L).select("cluster")
+    assert(
+      split.join(bridges, Seq("cluster"), "left_anti").count() === 0,
+      "a cluster is reported split but holds no peeled bridge edge"
+    )
+  }
+
+  test("packing contamination (q375): S²−Σl² equals the brute cross-doc ordered token pair count on a real shard") {
+    import graft.functions.TextOps
+    val docs = graft.sources.Tables
+      .parquet(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        TextOps.hash32(concat(col("doc_id").cast("string"), lit("#epoch42"))).as("h"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok")
+      )
+    val (cum, _) = graft.operators.Ntile
+      .exactPrefixSum(docs, col("n_tok"), col("h"), col("doc_id"), binWidth = (1L << 20).toDouble, cumCol = "cum_tok")
+    val byShard = cum
+      .withColumn("shard_id", expr("(cum_tok - n_tok) div 1024"))
+      .select("shard_id", "doc_id", "n_tok")
+      .collect()
+      .groupBy(_.getAs[Long]("shard_id"))
+    // brute force on the FIRST shard: enumerate every ordered token
+    // pair and count the cross-doc ones — the identity, not the formula
+    val shard0 = byShard(0L).map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tok")))
+    val tokens = shard0.flatMap { case (d, l) => Array.fill(l.toInt)(d) }
+    var brute = 0L
+    for (x <- tokens; y <- tokens) if (x != y) brute += 1
+    val s0 = shard0.map(_._2).sum
+    val formula0 = s0 * s0 - shard0.map(t => t._2 * t._2).sum
+    assert(formula0 === brute, s"S²−Σl² ($formula0) diverges from the enumerated pair count ($brute)")
+    // and the engine's rollup at cap 1024 is exactly the per-shard sum
+    val expected = byShard.values.map { rows =>
+      val s = rows.map(_.getAs[Long]("n_tok")).sum
+      s * s - rows.map(r => { val l = r.getAs[Long]("n_tok"); l * l }).sum
+    }.sum
+    val got = Queries
+      .packingContamination(spark, sfDir)
+      .filter(col("cap") === 1024L)
+      .collect()(0)
+      .getAs[Long]("cross_pairs")
+    assert(got === expected)
+  }
+
+  test("priority sample (q364): with k ≥ n the estimator is exact — tau absent, ŵ = w, zero error") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i"), (4L, "j")).toDF("doc_id", "text")
+    val out = Queries.prioritySampleOf(docs, k = 32).collect()
+    // corpora below k+1 rows must keep their whole sample (the tau
+    // frame degrades to NULL, never to an annihilating empty frame)
+    assert(out.length === 4)
+    out.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("tau")), "tau must be NULL when the rank-(k+1) row does not exist")
+      assert(r.getAs[Long]("w_hat") === r.getAs[Long]("w"), "ŵ must degrade to w with no threshold")
+    }
+    assert(out.head.getAs[Long]("est_total_tokens") === out.head.getAs[Long]("total_tokens"))
+    assert(out.head.getAs[Long]("err_permille") === 0L)
+  }
+
   test("vacuum safety (q379): pins answer bit-identically, the expired generation is fully and physically reclaimed") {
     val rows = Queries.vacuumSafety(spark, sfDir).collect()
     val byV = rows.map(r => r.getAs[Int]("version") -> r).toMap
