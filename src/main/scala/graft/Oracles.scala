@@ -4632,6 +4632,66 @@ object Oracles {
          |  CAST(CASE WHEN nid % 10 = 7 THEN 1 ELSE 0 END AS BIGINT) AS is_new_hit
          |FROM (${annIvfPqSqlK(3, trainPred = "vid % 10 <> 7")}) t
          |ORDER BY qid, rnk""".stripMargin,
+    // DP quantile: utilities over the token-count support, q376's
+    // integer geometric noise per support value, argmax = the release
+    "q381_dp_quantile" -> {
+      def g(tag: String) = {
+        val k = s"(${hx(s"CAST(v AS VARCHAR) || '|$tag'")} % 1048576 + 1)"
+        s"(19 - (length(bin($k)) - 1) + CASE WHEN ($k & ($k - 1)) = 0 THEN 1 ELSE 0 END)"
+      }
+      raw"""WITH d AS (SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS v FROM documents),
+         |tt AS (SELECT count(*) AS n FROM d),
+         |h AS (SELECT v, count(*) AS cnt FROM d GROUP BY v),
+         |c AS (SELECT v, cnt, CAST(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_le FROM h),
+         |u AS (SELECT v, cnt, n_le, -abs(n_le * 2 - (SELECT n FROM tt)) AS utility FROM c),
+         |z AS (SELECT *, CAST(${g("dqa")} - ${g("dqb")} AS BIGINT) AS z_noise FROM u),
+         |y AS (SELECT *, utility + z_noise AS u_noisy FROM z),
+         |w AS (SELECT v AS winner FROM y ORDER BY u_noisy DESC, v LIMIT 1),
+         |tm AS (SELECT v AS true_med FROM y ORDER BY utility DESC, v LIMIT 1)
+         |SELECT v, cnt, n_le, CAST(utility AS BIGINT) AS utility, z_noise,
+         |  CAST(u_noisy AS BIGINT) AS u_noisy,
+         |  CAST(CASE WHEN v = (SELECT winner FROM w) THEN 1 ELSE 0 END AS BIGINT) AS is_winner,
+         |  CAST(CASE WHEN (SELECT winner FROM w) = (SELECT true_med FROM tm) THEN 1 ELSE 0 END AS BIGINT) AS argmax_preserved,
+         |  CAST(693147 AS BIGINT) AS epsilon_micro
+         |FROM y ORDER BY v""".stripMargin
+    },
+    // incremental winnow probe: the store's own df census is the stop
+    // list (frozen — arrivals don't reshape the index they probe)
+    "q382_incremental_winnow" ->
+      s"""WITH $winnowFpsCtes,
+        |fm AS MATERIALIZED (SELECT * FROM fps),
+        |st AS (SELECT doc_id, fp FROM fm WHERE doc_id % 5 <> 0),
+        |nb AS (SELECT doc_id, fp FROM fm WHERE doc_id % 5 = 0),
+        |stop AS (SELECT fp FROM st GROUP BY fp HAVING count(*) > 20),
+        |ks AS (SELECT * FROM st WHERE fp NOT IN (SELECT fp FROM stop)),
+        |kb AS (SELECT * FROM nb WHERE fp NOT IN (SELECT fp FROM stop)),
+        |szs AS (SELECT doc_id, count(*) AS n_fp FROM ks GROUP BY doc_id),
+        |szb AS (SELECT doc_id, count(*) AS n_fp FROM kb GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS new_id, b.doc_id AS old_id, count(*) AS n_shared
+        |  FROM kb a JOIN ks b ON a.fp = b.fp GROUP BY 1, 2)
+        |SELECT pr.new_id, pr.old_id, n_shared,
+        |  n_shared * 1000 // least(x.n_fp, y.n_fp) AS containment_permille
+        |FROM pr JOIN szb x ON pr.new_id = x.doc_id JOIN szs y ON pr.old_id = y.doc_id
+        |WHERE n_shared >= 5 ORDER BY new_id, old_id""".stripMargin,
+    // the q380 final state again — per-batch merges over key-disjoint
+    // chunks compose to the one-shot merge; multi_batch pinned
+    "q383_streaming_merge" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |snap AS (SELECT * FROM o WHERE k % 10 <> 0),
+        |upd AS (SELECT k FROM snap WHERE k % 7 = 0),
+        |del AS (SELECT k FROM snap WHERE k % 13 = 0 AND k % 7 <> 0),
+        |dr AS (SELECT k, st,
+        |    CASE WHEN k % 10 <> 0 AND k % 7 = 0 THEN cents + 100000 ELSE cents END AS cents
+        |  FROM o WHERE NOT (k % 10 <> 0 AND k % 13 = 0 AND k % 7 <> 0)),
+        |aa AS (SELECT st, count(*) AS n_after FROM dr GROUP BY st),
+        |du AS (SELECT s.st, count(*) AS n_updated FROM upd JOIN snap s ON s.k = upd.k GROUP BY s.st),
+        |dd AS (SELECT s.st, count(*) AS n_deleted FROM del JOIN snap s ON s.k = del.k GROUP BY s.st)
+        |SELECT aa.st AS o_orderstatus, n_after,
+        |  COALESCE(n_updated, 0) AS n_updated, COALESCE(n_deleted, 0) AS n_deleted,
+        |  CAST(1 AS BIGINT) AS eq_declarative, CAST(1 AS BIGINT) AS multi_batch
+        |FROM aa LEFT JOIN du ON du.st = aa.st LEFT JOIN dd ON dd.st = aa.st
+        |ORDER BY o_orderstatus""".stripMargin,
     // q269's fixture through real MERGE INTO: same final state, both
     // equality flags pinned (the engine earns them from the data)
     "q380_merge_into" ->

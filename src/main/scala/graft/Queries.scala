@@ -5830,6 +5830,101 @@ object Queries {
       .orderBy("o_orderstatus")
   }
 
+  // STREAMING MERGE INTO — the production CDC shape (a change stream
+  // continuously upserted into a lakehouse table) run end-to-end: the
+  // q269/q380 op stream is chunked into files, read back as a
+  // micro-batched file stream, and EVERY micro-batch applies its ops
+  // through a real `MERGE INTO` against the v2 scratch table — the
+  // foreachBatch + MERGE composition Delta/Iceberg users deploy for
+  // streaming upserts. Chunking is BY KEY (k mod 4), so each key's
+  // ops land in exactly one batch and the sequence of per-batch
+  // merges composes to the one-shot merge — which the audit then
+  // proves: the final table state must equal the one-pass CASE spec
+  // of the final state bit-exactly, next to a multi_batch flag earned
+  // from the number of merges that actually ran. Scale shape: each
+  // micro-batch's merge is delta-sized against the keyed table, the
+  // same plan q380 audits; the stream adds checkpointed progress, not
+  // new join shapes.
+  def streamingMerge(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_scratch", classOf[graft.sources.ScratchCatalog].getName)
+    val scratch = graft.operators.Scratch.dir("graft-streammerge")
+    val orders = t(s, dir, "orders")
+      .select(
+        col("o_orderkey").as("k"),
+        col("o_orderstatus").as("st"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents")
+      )
+    val snap = orders.filter(col("k") % 10 =!= 0)
+    val inserts = orders.filter(col("k") % 10 === 0).withColumn("op", lit("I"))
+    val updates = snap
+      .filter(col("k") % 7 === 0)
+      .select(col("k"), col("st"), (col("cents") + 100000L).as("cents"))
+      .withColumn("op", lit("U"))
+    val deletes = snap
+      .filter(col("k") % 13 === 0 && col("k") % 7 =!= 0)
+      .select(col("k"), col("st"), col("cents"))
+      .withColumn("op", lit("D"))
+    val source = inserts.unionByName(updates).unionByName(deletes)
+    // key-partitioned chunks: every key's ops arrive in ONE micro-batch
+    (0 to 3).foreach { i =>
+      source.filter(col("k") % 4 === i).coalesce(1).write.mode("overwrite").parquet(s"$scratch/ops/chunk$i")
+    }
+    snap.createOrReplaceTempView("graft_q383_snap")
+    s.sql("DROP TABLE IF EXISTS graft_scratch.db.cdc_stream_target")
+    s.sql("CREATE TABLE graft_scratch.db.cdc_stream_target (k BIGINT, st STRING, cents BIGINT)")
+    s.sql("INSERT INTO graft_scratch.db.cdc_stream_target SELECT k, st, cents FROM graft_q383_snap")
+    val schema = s.read.parquet(s"$scratch/ops/chunk0").schema
+    val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$scratch/ops")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          nBatches.incrementAndGet()
+          batch.createOrReplaceTempView("graft_q383_batch")
+          batch.sparkSession.sql("""MERGE INTO graft_scratch.db.cdc_stream_target t
+                                   |USING graft_q383_batch s
+                                   |ON t.k = s.k
+                                   |WHEN MATCHED AND s.op = 'D' THEN DELETE
+                                   |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET cents = s.cents
+                                   |WHEN NOT MATCHED AND s.op = 'I' THEN INSERT (k, st, cents) VALUES (s.k, s.st, s.cents)
+                                   |""".stripMargin)
+          (): Unit
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    val merged = s.table("graft_scratch.db.cdc_stream_target")
+    val direct = orders
+      .filter(!(col("k") % 10 =!= 0 && col("k") % 13 === 0 && col("k") % 7 =!= 0))
+      .select(
+        col("k"),
+        col("st"),
+        when(col("k") % 10 =!= 0 && col("k") % 7 === 0, col("cents") + 100000L).otherwise(col("cents")).as("cents")
+      )
+    def audit(df: DataFrame, n: String, ck: String) =
+      df.groupBy("st").agg(count(lit(1)).as(n), sum(col("cents")).as(ck))
+    audit(merged, "n_after", "ck_m")
+      .join(audit(direct, "n_direct", "ck_d"), Seq("st"))
+      .join(updates.groupBy("st").agg(count(lit(1)).as("n_updated")), Seq("st"), "left")
+      .join(deletes.groupBy("st").agg(count(lit(1)).as("n_deleted")), Seq("st"), "left")
+      .select(
+        col("st").as("o_orderstatus"),
+        col("n_after"),
+        coalesce(col("n_updated"), lit(0L)).as("n_updated"),
+        coalesce(col("n_deleted"), lit(0L)).as("n_deleted"),
+        (col("n_after") === col("n_direct") && col("ck_m") === col("ck_d")).cast("long").as("eq_declarative"),
+        lit(if (nBatches.get() >= 2L) 1L else 0L).as("multi_batch")
+      )
+      .orderBy("o_orderstatus")
+  }
+
   // Frequent-pair mining (the Apriori first pass) — the association
   // family the engine did not yet speak: which part pairs co-occur in
   // orders beyond chance, with support / confidence / lift. The SCALE
@@ -11020,6 +11115,50 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  // Incremental winnowed-fingerprint probe — the CERTAIN-recall rung
+  // of the incremental dedup family (q202 = MinHash candidates, q358
+  // = cluster maintenance, q378 = semantic cells; this one = verbatim
+  // overlap): today's batch (doc_id ≡ 0 mod 5, q202's convention)
+  // probes the EXISTING fingerprint store, and by the winnowing
+  // theorem any ≥57-char substring shared between a new doc and a
+  // stored doc surfaces with certainty (minus df-capped boilerplate
+  // prints — q195's documented caveat). The store's stop list is its
+  // OWN df census, frozen at store-build time: arrivals must not
+  // retroactively reshape the index they are probing. Because that
+  // frozen list is a subset of the full-corpus list (store df ≤ total
+  // df), the probe can only see MORE shared prints than a full q195
+  // recompute — every full-run new×old pair survives here with
+  // n_shared at least as large, the monotonicity the spec proves.
+  // Scale shape: the batch's prints join the store fp-keyed
+  // (batch-sized left side), the stop list broadcasts; a daily batch
+  // costs batch-sized work no matter how large the store has grown.
+  def incrementalWinnow(s: SparkSession, dir: String): DataFrame = {
+    def isNew(c: Column): Column = c % 5 === 0
+    val fps = graft.operators.CandidateGraph.winnowedPrints(s, dir)
+    val stored = fps.filter(!isNew(col("doc_id")))
+    val batch = fps.filter(isNew(col("doc_id")))
+    val stop = stored.groupBy("fp").agg(count(lit(1)).as("df")).filter(col("df") > 20).select("fp")
+    val keptStore = stored.join(broadcast(stop), Seq("fp"), "left_anti")
+    val keptBatch = batch.join(broadcast(stop), Seq("fp"), "left_anti")
+    val sizesStore = keptStore.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val sizesBatch = keptBatch.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    keptBatch
+      .as("a")
+      .join(keptStore.as("b"), col("a.fp") === col("b.fp"))
+      .groupBy(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 5)
+      .join(sizesBatch.select(col("doc_id").as("new_id"), col("n_fp").as("n_new")), Seq("new_id"))
+      .join(sizesStore.select(col("doc_id").as("old_id"), col("n_fp").as("n_old")), Seq("old_id"))
+      .select(
+        col("new_id"),
+        col("old_id"),
+        col("n_shared"),
+        expr("n_shared * 1000 div least(n_new, n_old)").as("containment_permille")
+      )
+      .orderBy("new_id", "old_id")
+  }
+
   // VACUUM safety audit — the retention decision every lakehouse runs
   // weekly, composed from machinery the engine already proves: q192/
   // q194 plan and execute compaction, q371 pins AS-OF reads; THIS
@@ -11555,6 +11694,61 @@ object Queries {
       )
       .withColumn("contamination_permille", expr("cross_pairs * 1000 div total_pairs"))
       .orderBy("cap")
+  }
+
+  // ε-DP quantile selection — the SELECTION-over-a-support mechanism
+  // that completes the DP family (q318 histogram, q345 clipped mean,
+  // q376 noisy argmax over categories): "what is the median document
+  // length?" answered without exposing exact counts, by scoring every
+  // SUPPORT value v with the integer utility u(v) = −|2·cnt_le(v) − n|
+  // (how far v's CDF position sits from the median, in records —
+  // sensitivity 2, since one record moves cnt_le by ≤1) and reporting
+  // the noisy argmax under the same two-sided integer geometric noise
+  // as q376 — report-noisy-max over utilities IS the exponential
+  // mechanism's discrete workhorse. The full noisy table rides for
+  // the audit (is_winner + did noise move the answer off the true
+  // median), the mechanism releases only the winner. Scale shape: one
+  // corpus projection into a support-keyed histogram, a prefix sum
+  // over the SUPPORT (the q233 posture — support-cardinality, never
+  // corpus), noise per support value; costs nothing more at 100 TB.
+  def dpQuantile(s: SparkSession, dir: String): DataFrame = {
+    def geo(tag: String): Column = {
+      val k = TextOps.hash32(concat(col("v").cast("string"), lit("|" + tag))) % 1048576L + 1L
+      val bl = (length(bin(k)) - 1).cast("long")
+      lit(19L) - bl + when(k.bitwiseAND(k - 1) === 0L, 1L).otherwise(0L)
+    }
+    val docs = t(s, dir, "documents").select(TextOps.tokenCount(col("text")).cast("long").as("v"))
+    val totals = docs.agg(count(lit(1)).as("n"))
+    val hist = docs.groupBy("v").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = hist
+      .withColumn("n_le", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(totals))
+      .withColumn("utility", -abs(col("n_le") * 2 - col("n")))
+      .withColumn("z_noise", geo("dqa") - geo("dqb"))
+      .withColumn("u_noisy", col("utility") + col("z_noise"))
+    scored.persist() // support-cardinality — the two argmax probes below
+    val winner = scored
+      .agg(min(struct((-col("u_noisy")).as("nu"), col("v").as("vv"))).as("b"))
+      .select(col("b.vv").as("winner"))
+    val trueMed = scored
+      .agg(min(struct((-col("utility")).as("nu"), col("v").as("vv"))).as("b"))
+      .select(col("b.vv").as("true_med"))
+    scored
+      .crossJoin(broadcast(winner))
+      .crossJoin(broadcast(trueMed))
+      .select(
+        col("v"),
+        col("cnt"),
+        col("n_le"),
+        col("utility"),
+        col("z_noise"),
+        col("u_noisy"),
+        (col("v") === col("winner")).cast("long").as("is_winner"),
+        (col("winner") === col("true_med")).cast("long").as("argmax_preserved"),
+        lit(693147L).as("epsilon_micro")
+      )
+      .orderBy("v")
   }
 
   // ε-DP report-noisy-max — the THIRD classic mechanism next to q318's

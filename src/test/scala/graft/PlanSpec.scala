@@ -661,7 +661,8 @@ class PlanSpec extends SparkSpec {
       "q340_lag_features" -> "lag/lead/RANGE frames over the per-DAY aggregate — date-cardinality (the q114/q180 posture)",
       "q351_auc_report" -> "prefix negatives over the distinct-SCORE support, post keyed histogram reduction (the q233 posture)",
       "q354_ucb_index" -> "cumulative trial total over the per-DAY aggregate — date-cardinality (the q114 posture); per-arm cumsums are keyed",
-      "q361_histogram_join_advisor" -> "rank/prefix-sum over the ≤60-value o_totalprice/10k SUPPORT under the persisted DP frame (the q346 posture)"
+      "q361_histogram_join_advisor" -> "rank/prefix-sum over the ≤60-value o_totalprice/10k SUPPORT under the persisted DP frame (the q346 posture)",
+      "q381_dp_quantile" -> "CDF prefix sum over the distinct token-count SUPPORT, post keyed histogram reduction (the q233 posture), seen through the persisted scored frame"
     )
     // persist() must not hide a window from this sweep: a cached
     // subtree shows up in the optimized plan as an InMemoryRelation

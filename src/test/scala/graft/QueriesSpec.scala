@@ -3203,6 +3203,43 @@ class QueriesSpec extends SparkSpec {
     assert(out.head.getAs[Long]("err_permille") === 0L)
   }
 
+  test("incremental winnow (q382): every full-run new×old pair survives the probe, never with fewer shared prints") {
+    // the store's frozen stop list is a SUBSET of the full-corpus stop
+    // list (store df ≤ total df), so the probe keeps at least the
+    // prints the full run keeps — recall against the full recompute is
+    // monotone, the invariant that makes the incremental path safe
+    val isNew = (d: Long) => d % 5 == 0
+    val full = Queries
+      .winnowedOverlapPairs(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Long]("n_shared")))
+      .filter { case (a, b, _) => isNew(a) != isNew(b) }
+      .map { case (a, b, n) => if (isNew(a)) ((a, b), n) else ((b, a), n) }
+      .toMap
+    val inc = Queries
+      .incrementalWinnow(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("old_id")) -> r.getAs[Long]("n_shared"))
+      .toMap
+    assert(full.nonEmpty, "fixture too small: no full-run new×old pair to check against")
+    full.foreach { case (k, nFull) =>
+      assert(inc.contains(k), s"full-run pair $k missing from the incremental probe")
+      assert(inc(k) >= nFull, s"pair $k lost shared prints: inc=${inc(k)} < full=$nFull")
+    }
+  }
+
+  test("dp quantile (q381): exactly one winner, and it carries the maximum noisy utility") {
+    val rows = Queries.dpQuantile(spark, sfDir).collect()
+    val winners = rows.filter(_.getAs[Long]("is_winner") == 1L)
+    assert(winners.length === 1)
+    val maxNoisy = rows.map(_.getAs[Long]("u_noisy")).max
+    assert(winners.head.getAs[Long]("u_noisy") === maxNoisy)
+    // the CDF is a proper prefix: n_le is strictly increasing with v
+    val nle = rows.sortBy(_.getAs[Long]("v")).map(_.getAs[Long]("n_le"))
+    assert(nle.zip(nle.tail).forall { case (a, b) => a < b })
+    assert(rows.map(_.getAs[Long]("argmax_preserved")).distinct.length === 1)
+  }
+
   test("vacuum safety (q379): pins answer bit-identically, the expired generation is fully and physically reclaimed") {
     val rows = Queries.vacuumSafety(spark, sfDir).collect()
     val byV = rows.map(r => r.getAs[Int]("version") -> r).toMap
