@@ -4632,6 +4632,31 @@ object Oracles {
          |  CAST(CASE WHEN nid % 10 = 7 THEN 1 ELSE 0 END AS BIGINT) AS is_new_hit
          |FROM (${annIvfPqSqlK(3, trainPred = "vid % 10 <> 7")}) t
          |ORDER BY qid, rnk""".stripMargin,
+    // per-source vs global dedup census over md5 digests (q24 parity)
+    "q384_dedup_scope" ->
+      """WITH d AS (SELECT doc_id, source, md5(text) AS dg FROM documents),
+        |g AS (SELECT dg, count(DISTINCT source) AS n_src_g, min(doc_id) AS keeper_global
+        |  FROM d GROUP BY dg),
+        |sg AS (SELECT dg, source, min(doc_id) AS keeper_src FROM d GROUP BY dg, source)
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN d.doc_id <> sg.keeper_src THEN 1 ELSE 0 END) AS BIGINT) AS drop_per_source,
+        |  CAST(sum(CASE WHEN d.doc_id <> g.keeper_global THEN 1 ELSE 0 END) AS BIGINT) AS drop_global,
+        |  CAST(sum(CASE WHEN g.n_src_g > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_cross_digest,
+        |  CAST(sum(CASE WHEN d.doc_id <> g.keeper_global THEN 1 ELSE 0 END)
+        |    - sum(CASE WHEN d.doc_id <> sg.keeper_src THEN 1 ELSE 0 END) AS BIGINT) AS missed_by_per_source
+        |FROM d JOIN g ON g.dg = d.dg JOIN sg ON sg.dg = d.dg AND sg.source = d.source
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // the expected lineage edge set, pinned literally — plan metadata
+    // has one right answer
+    "q385_column_lineage" ->
+      """SELECT * FROM (VALUES
+        |  ('avg_order_value', 'orders', 'o_orderkey'),
+        |  ('avg_order_value', 'orders', 'o_totalprice'),
+        |  ('c_mktsegment', 'customer', 'c_mktsegment'),
+        |  ('n_orders', 'orders', 'o_orderkey'),
+        |  ('revenue', 'orders', 'o_totalprice')
+        |) AS t(out_col, src_table, src_col)
+        |ORDER BY out_col, src_table, src_col""".stripMargin,
     // DP quantile: utilities over the token-count support, q376's
     // integer geometric noise per support value, argmax = the release
     "q381_dp_quantile" -> {

@@ -11115,6 +11115,69 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  // Dedup SCOPE audit — the 100 TB planning decision behind every
+  // exact-dedup job: PER-SOURCE dedup runs co-partitioned (each
+  // source's digests group locally, no global shuffle), GLOBAL dedup
+  // shuffles every digest once — and the only reason to pay the
+  // global shuffle is duplication that CROSSES sources. This query
+  // prices that choice from the data: per source, the docs a
+  // per-source dedup drops (non-min doc_id within the source's digest
+  // group), the docs the global pass drops, and the gap between them
+  // (missed_by_per_source — the duplicates only the global shuffle
+  // finds), next to the count of docs whose digest exists in another
+  // source. Scale shape: one digest projection, two keyed aggregates
+  // (digest, digest×source), one source-keyed rollup — the audit
+  // costs one global-dedup pass, and its output says whether the
+  // nightly job ever needs to pay that cost again.
+  def dedupScope(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("source"), md5(col("text")).as("dg"))
+    val g = d
+      .groupBy("dg")
+      .agg(countDistinct(col("source")).as("n_src_g"), min(col("doc_id")).as("keeper_global"))
+    val sg = d.groupBy("dg", "source").agg(min(col("doc_id")).as("keeper_src"))
+    d.join(g, Seq("dg"))
+      .join(sg, Seq("dg", "source"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("doc_id") =!= col("keeper_src")).cast("long")).as("drop_per_source"),
+        sum((col("doc_id") =!= col("keeper_global")).cast("long")).as("drop_global"),
+        sum((col("n_src_g") > 1).cast("long")).as("n_docs_cross_digest")
+      )
+      .withColumn("missed_by_per_source", col("drop_global") - col("drop_per_source"))
+      .orderBy("source")
+  }
+
+  // Column-level lineage — the engine introspecting its OWN analyzed
+  // plan (graft.plans.Lineage): for a representative two-table
+  // aggregate-and-derive query, which physical (table, column) pairs
+  // feed each output column. This is the provenance table a data
+  // catalog publishes per query — the input to "can we drop this
+  // column", "where does this PII flow" — computed as a bottom-up
+  // fold over the Catalyst plan (scan leaves seed identities,
+  // Project/Aggregate/Window aliases union their inputs' lineage).
+  // Plan metadata only: the fold never touches data, so it costs the
+  // same at 100 TB as at 100 rows; the oracle pins the expected edge
+  // set literally. Value lineage, not control lineage: join keys and
+  // filters shape which ROWS flow and are out of frame by contract.
+  def columnLineage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fixture = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("o_totalprice")).as("revenue"), countDistinct(col("o_orderkey")).as("n_orders"))
+      .select(
+        col("c_mktsegment"),
+        col("revenue"),
+        col("n_orders"),
+        (col("revenue") / col("n_orders")).as("avg_order_value")
+      )
+    graft.plans.Lineage
+      .columnLineage(fixture)
+      .toDF("out_col", "src_table", "src_col")
+      .orderBy("out_col", "src_table", "src_col")
+  }
+
   // Incremental winnowed-fingerprint probe — the CERTAIN-recall rung
   // of the incremental dedup family (q202 = MinHash candidates, q358
   // = cluster maintenance, q378 = semantic cells; this one = verbatim
