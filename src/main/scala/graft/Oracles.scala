@@ -4632,6 +4632,54 @@ object Oracles {
          |  CAST(CASE WHEN nid % 10 = 7 THEN 1 ELSE 0 END AS BIGINT) AS is_new_hit
          |FROM (${annIvfPqSqlK(3, trainPred = "vid % 10 <> 7")}) t
          |ORDER BY qid, rnk""".stripMargin,
+    // Procrustes drift: grid-exact cross moments, MᵀM through the
+    // SHARED unrolled Jacobi chain, Σ√eigenvalues in rank order —
+    // every double a fixed-order chain, replayed per variant
+    "q386_procrustes_drift" -> {
+      val dims = 6
+      val ds = 1 to dims
+      def variant(tag: String, bExpr: Int => String): String = {
+        val grid = ds.map(i => s"CAST(floor(e[$i] * 32768.0) AS BIGINT) AS a$i") ++
+          ds.map(i => s"CAST(floor((${bExpr(i)}) * 32768.0) AS BIGINT) AS b$i")
+        val sums = Seq("count(*) AS n") ++
+          ds.map(i => s"sum(a$i * a$i) AS ta$i") ++
+          ds.map(i => s"sum(b$i * b$i) AS tb$i") ++
+          (for { i <- ds; j <- ds } yield s"sum(a$i * b$j) AS m$i$j")
+        val mCols = (for { i <- ds; j <- ds } yield s"CAST(m$i$j AS DOUBLE) / 1073741824.0 AS m$i$j")
+          .mkString(", ")
+        val mtmCols = (for { i <- ds; j <- ds } yield s"(${ds.map(k => s"m$k$i * m$k$j").mkString(" + ")}) AS a$i$j") ++
+          (for { i <- ds; j <- ds } yield s"${if (i == j) "1.0" else "0.0"} AS v$i$j")
+        val (rotations, last) = jacobiRotationCtes(dims)
+        val egRows = ds.map(j => s"SELECT $j AS idx, a$j$j AS ev FROM $last").mkString("\nUNION ALL ")
+        val ranks = ds
+          .map(k => s"b$k AS MATERIALIZED (SELECT * FROM eg ORDER BY ev DESC, idx LIMIT 1 OFFSET ${k - 1})")
+          .mkString(",\n")
+        val trA = ds.map(i => s"CAST(st.ta$i AS DOUBLE) / 1073741824.0").mkString(" + ")
+        val trB = ds.map(i => s"CAST(st.tb$i AS DOUBLE) / 1073741824.0").mkString(" + ")
+        val trace = ds.map(i => s"mm.m$i$i").mkString(" + ")
+        val sigma = ds.map(k => s"sqrt(greatest(b$k.ev, 0.0))").mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+           |q AS (SELECT ${grid.mkString(", ")} FROM e),
+           |st AS MATERIALIZED (SELECT ${sums.mkString(", ")} FROM q),
+           |mm AS MATERIALIZED (SELECT $mCols FROM st),
+           |j0 AS MATERIALIZED (SELECT ${mtmCols.mkString(", ")} FROM mm),
+           |$rotations,
+           |eg AS MATERIALIZED ($egRows),
+           |$ranks
+           |SELECT '$tag' AS variant, st.n AS n_vectors,
+           |  ${away(s"(($trA) + ($trB)) - 2.0 * ($trace)", 6)} AS naive_sq,
+           |  ${away(s"(($trA) + ($trB)) - 2.0 * ($sigma)", 6)} AS aligned_sq
+           |FROM st, mm, ${ds.map(k => s"b$k").mkString(", ")}""".stripMargin
+      }
+      def noiseExpr(i: Int) =
+        s"CAST((${hx(s"CAST(vec_id AS VARCHAR) || '|pd$i'")} % 2001 - 1000) AS DOUBLE) / 100000.0"
+      def bRot(i: Int) = if (i == 1) s"-e[$dims]" else s"e[${i - 1}]"
+      s"""SELECT * FROM (
+         |(${variant("1_rotated", bRot)})
+         |UNION ALL
+         |(${variant("2_rotated_noisy", i => s"${bRot(i)} + ${noiseExpr(i)}")})
+         |) ORDER BY variant""".stripMargin
+    },
     // per-source vs global dedup census over md5 digests (q24 parity)
     "q384_dedup_scope" ->
       """WITH d AS (SELECT doc_id, source, md5(text) AS dg FROM documents),
@@ -5552,8 +5600,13 @@ object Oracles {
   /** Shared q239/q242 prefix: covariance + means + the unrolled Jacobi
     * chain, ending in the 6-row eigenpair CTE `eg` (idx, ev, w1..w6).
     */
-  private lazy val pcaCommonCtes: String = {
-    val dims = PcaDims
+  /** The unrolled cyclic-Jacobi rotation chain over a caller-supplied
+    * `j0` CTE holding (a11..a66, v11..v66): one (θ, t, (c,s), updated
+    * A+V) quartet per rotation of the fixed 6-sweep schedule. Shared
+    * by the PCA family (over the covariance) and the Procrustes drift
+    * mirror (over MᵀM). Returns (rotationCtes, lastCteName).
+    */
+  private def jacobiRotationCtes(dims: Int): (String, String) = {
     val ds = 1 to dims
     val schedule = for { _ <- 1 to 6; p <- 1 until dims; q <- p + 1 to dims } yield (p, q)
     // MATERIALIZED throughout: DuckDB inlines single-reference CTEs, and
@@ -5588,7 +5641,13 @@ object Oracles {
       val jn = s"j$r AS MATERIALIZED (SELECT ${cols.mkString(", ")} FROM $prev, rot$r)"
       Seq(th, tt, rot, jn).mkString(",\n")
     }
-    val last = s"j${schedule.size}"
+    (rotations.mkString(",\n"), s"j${schedule.size}")
+  }
+
+  private lazy val pcaCommonCtes: String = {
+    val dims = PcaDims
+    val ds = 1 to dims
+    val (rotations, last) = jacobiRotationCtes(dims)
     val cmCols = (for { i <- ds; j <- ds } yield {
       val (lo, hi) = (math.min(i, j), math.max(i, j))
       s"(SELECT cov_val FROM cv WHERE dim_i = $lo AND dim_j = $hi) AS c$i$j"
@@ -5613,7 +5672,7 @@ object Oracles {
        |mu AS MATERIALIZED (SELECT $muCols FROM embeddings),
        |cm AS MATERIALIZED (SELECT $cmCols),
        |j0 AS MATERIALIZED (SELECT ${j0Cols.mkString(", ")} FROM cm),
-       |${rotations.mkString(",\n")},
+       |$rotations,
        |eg AS MATERIALIZED ($egRows)""".stripMargin
   }
 

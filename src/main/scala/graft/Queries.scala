@@ -11115,6 +11115,81 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  // Procrustes embedding drift — the audit an embedding-model UPGRADE
+  // needs: a new encoder typically produces a rotated/reflected copy
+  // of the old space, so naive per-vector distance screams "everything
+  // moved" while retrieval behavior is unchanged. Orthogonal
+  // Procrustes prices the real drift: min over orthogonal R of
+  // ||AR − B||² = tr(AᵀA) + tr(BᵀB) − 2·Σσᵢ(AᵀB), where the σᵢ are
+  // the singular values of the 6×6 cross-moment matrix — computed as
+  // √eigenvalues of (AᵀB)ᵀ(AᵀB) through the SAME fixed-schedule
+  // cyclic-Jacobi solver q239 already proves bit-identical
+  // cross-engine. Two synthetic "v2 models" make the point from the
+  // data: a pure dim-rotation+reflection (aligned drift collapses to
+  // ~0 while naive drift is huge) and the same plus deterministic
+  // ±1% per-component noise (aligned drift = just the noise). All
+  // corpus sums ride the floor(x·2¹⁵) integer grid (the q239 means
+  // discipline — BIGINT-exact, then fixed-order double chains), so
+  // every output replays bit-for-bit in DuckDB. Scale shape: ONE
+  // corpus pass computes the 36 cross-moments + 12 traces as exact
+  // integer aggregates; the SVD is dims²-bounded driver work; nothing
+  // else touches the data.
+  def procrustesDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dims = 6
+    val G = 32768.0 // 2^15 grid: products are BIGINT-exact at corpus scale
+    val G2 = G * G
+    val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    def aRaw(i: Int): Column = element_at(col("embedding"), lit(i)).cast("double")
+    // v2 model #1: rotate dims cyclically, reflect the wrapped one —
+    // an exactly orthogonal transform of the old space
+    def bRot(i: Int): Column = if (i == 1) -aRaw(dims) else aRaw(i - 1)
+    // v2 model #2: the rotation plus deterministic ±1% noise
+    def noise(i: Int): Column =
+      ((TextOps.hash32(concat(col("vec_id").cast("string"), lit(s"|pd$i"))) % 2001L) - 1000L)
+        .cast("double") / 100000.0
+    def measure(b: Int => Column): (Long, Double, Double, Array[Array[Double]]) = {
+      val q = base.select(
+        (1 to dims).map(i => floor(aRaw(i) * G).cast("long").as(s"a$i")) ++
+          (1 to dims).map(i => floor(b(i) * G).cast("long").as(s"b$i")): _*
+      )
+      val aggs = count(lit(1)).as("n") +:
+        ((1 to dims).map(i => sum(col(s"a$i") * col(s"a$i")).as(s"ta$i")) ++
+          (1 to dims).map(i => sum(col(s"b$i") * col(s"b$i")).as(s"tb$i")) ++
+          (for { i <- 1 to dims; j <- 1 to dims } yield sum(col(s"a$i") * col(s"b$j")).as(s"m$i$j")))
+      val r = q.agg(aggs.head, aggs.tail: _*).head()
+      val trA = (1 to dims).map(i => r.getAs[Long](s"ta$i").toDouble / G2).reduceLeft(_ + _)
+      val trB = (1 to dims).map(i => r.getAs[Long](s"tb$i").toDouble / G2).reduceLeft(_ + _)
+      val m = Array.tabulate(dims + 1, dims + 1)((i, j) =>
+        if (i == 0 || j == 0) 0.0 else r.getAs[Long](s"m$i$j").toDouble / G2
+      )
+      (r.getAs[Long]("n"), trA, trB, m)
+    }
+    def drift(b: Int => Column): (Long, Double, Double) = {
+      val (n, trA, trB, m) = measure(b)
+      // MᵀM — fixed left-associative chains, the Jacobi input
+      val mtm = Array.tabulate(dims + 1, dims + 1)((i, j) =>
+        if (i == 0 || j == 0) 0.0 else (1 to dims).map(k => m(k)(i) * m(k)(j)).reduceLeft(_ + _)
+      )
+      val (aDiag, _) = graft.operators.Pca.jacobi(mtm)
+      // Σ singular values in (ev desc, idx) order — the oracle's rank order
+      val sumSigma = (1 to dims)
+        .sortBy(i => (-aDiag(i)(i), i))
+        .map(i => math.sqrt(math.max(aDiag(i)(i), 0.0)))
+        .reduceLeft(_ + _)
+      val naive = trA + trB - 2.0 * (1 to dims).map(i => m(i)(i)).reduceLeft(_ + _)
+      val aligned = trA + trB - 2.0 * sumSigma
+      (n, naive, aligned)
+    }
+    val (n1, nv1, al1) = drift(bRot)
+    val (n2, nv2, al2) = drift(i => bRot(i) + noise(i))
+    import graft.operators.Pca.roundAway6
+    Seq(
+      ("1_rotated", n1, roundAway6(nv1), roundAway6(al1)),
+      ("2_rotated_noisy", n2, roundAway6(nv2), roundAway6(al2))
+    ).toDF("variant", "n_vectors", "naive_sq", "aligned_sq").orderBy("variant")
+  }
+
   // Dedup SCOPE audit — the 100 TB planning decision behind every
   // exact-dedup job: PER-SOURCE dedup runs co-partitioned (each
   // source's digests group locally, no global shuffle), GLOBAL dedup

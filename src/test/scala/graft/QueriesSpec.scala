@@ -3240,6 +3240,23 @@ class QueriesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("argmax_preserved")).distinct.length === 1)
   }
 
+  test("procrustes drift (q386): alignment collapses a pure rotation to ~zero and isolates injected noise") {
+    val rows = Queries.procrustesDrift(spark, sfDir).collect()
+    val byV = rows.map(r => r.getString(0) -> r).toMap
+    val (nv1, al1) = (byV("1_rotated").getAs[Double]("naive_sq"), byV("1_rotated").getAs[Double]("aligned_sq"))
+    val (nv2, al2) = (byV("2_rotated_noisy").getAs[Double]("naive_sq"), byV("2_rotated_noisy").getAs[Double]("aligned_sq"))
+    // the optimum of a minimization can never go (meaningfully) negative
+    assert(al1 >= -1e-6 && al2 >= -1e-6)
+    // a pure orthogonal transform is NOT drift: alignment must collapse
+    // it to grid-quantization dust while the naive metric screams
+    assert(nv1 > 1.0, s"fixture degenerate: naive drift $nv1 too small to discriminate")
+    assert(al1 < 0.001 * nv1, s"rotation not absorbed: aligned=$al1 vs naive=$nv1")
+    // injected ±1% noise IS drift: the aligned metric must see it…
+    assert(al2 > al1 + 1e-6, s"noise invisible: $al2 vs $al1")
+    // …while still attributing the bulk of the naive number to rotation
+    assert(al2 < 0.1 * nv2, s"alignment failed on the noisy variant: $al2 vs $nv2")
+  }
+
   test("vacuum safety (q379): pins answer bit-identically, the expired generation is fully and physically reclaimed") {
     val rows = Queries.vacuumSafety(spark, sfDir).collect()
     val byV = rows.map(r => r.getAs[Int]("version") -> r).toMap
