@@ -4632,6 +4632,61 @@ object Oracles {
          |  CAST(CASE WHEN nid % 10 = 7 THEN 1 ELSE 0 END AS BIGINT) AS is_new_hit
          |FROM (${annIvfPqSqlK(3, trainPred = "vid % 10 <> 7")}) t
          |ORDER BY qid, rnk""".stripMargin,
+    // batch digests probe the stored digest set; verdicts per new doc
+    "q387_incremental_exact_dedup" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS dg FROM documents),
+        |st AS (SELECT DISTINCT dg FROM d WHERE doc_id % 5 <> 0),
+        |nb AS (SELECT doc_id, dg FROM d WHERE doc_id % 5 = 0),
+        |bk AS (SELECT dg, min(doc_id) AS batch_keeper FROM nb GROUP BY dg)
+        |SELECT nb.doc_id,
+        |  CAST(CASE WHEN st.dg IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_store,
+        |  bk.batch_keeper,
+        |  CASE WHEN st.dg IS NOT NULL THEN 'dup_of_store'
+        |    WHEN nb.doc_id <> bk.batch_keeper THEN 'dup_in_batch'
+        |    ELSE 'unique' END AS verdict
+        |FROM nb LEFT JOIN st ON st.dg = nb.dg JOIN bk ON bk.dg = nb.dg
+        |ORDER BY nb.doc_id""".stripMargin,
+    // three layouts, one box: the Hilbert chain is the ENGINE's own
+    // generated SQL text (operators/SpaceFill) — shared verbatim
+    "q388_hilbert_layout" -> {
+      val zBits = (0 until 6)
+        .map(i => s"(((db >> $i) & 1) * ${1L << (2 * i + 1)} + ((pb >> $i) & 1) * ${1L << (2 * i)})")
+        .mkString(" + ")
+      val hChain = graft.operators.SpaceFill
+        .levels(6)
+        .zipWithIndex
+        .map { case (sv, k) =>
+          val (nx, ny, dt) = graft.operators.SpaceFill.hilbertStep(sv, s"x$k", s"y$k")
+          s"h${k + 1} AS (SELECT db, pb, $nx AS x${k + 1}, $ny AS y${k + 1}, d$k + $dt AS d${k + 1} FROM h$k)"
+        }
+        .mkString(",\n")
+      def audit(src: String, fileExpr: String, name: String): String =
+        s"""SELECT '$name' AS layout, count(*) AS n_files,
+           |  CAST(sum(CASE WHEN hi_d >= 10 AND lo_d <= 19 AND hi_p >= 10 AND lo_p <= 19 THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+           |  CAST(sum(CASE WHEN hi_d >= 10 AND lo_d <= 19 AND hi_p >= 10 AND lo_p <= 19 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+           |  CAST(sum(n_rows) AS BIGINT) AS rows_total
+           |FROM (SELECT $fileExpr AS f, count(*) AS n_rows,
+           |    min(db) AS lo_d, max(db) AS hi_d, min(pb) AS lo_p, max(pb) AS hi_p
+           |  FROM $src GROUP BY 1)""".stripMargin
+      s"""WITH b AS (SELECT
+         |    least(date_diff('day', DATE '1992-01-01', o_orderdate) // 64, 63) AS db,
+         |    least(CAST(floor(o_totalprice / 10000) AS BIGINT), 63) AS pb
+         |  FROM orders),
+         |h0 AS (SELECT db, pb, db AS x0, pb AS y0, CAST(0 AS BIGINT) AS d0 FROM b),
+         |$hChain,
+         |mt AS (SELECT count(*) AS rows_matched FROM b
+         |  WHERE db BETWEEN 10 AND 19 AND pb BETWEEN 10 AND 19),
+         |au AS (${audit("h6", "d6 // 64", "hilbert")}
+         |  UNION ALL
+         |  ${audit("b", s"(($zBits)) // 64", "zorder")}
+         |  UNION ALL
+         |  ${audit("b", "(db * 64 + pb) // 64", "date_major")})
+         |SELECT layout, n_files, files_touched, rows_total, rows_scanned,
+         |  (SELECT rows_matched FROM mt) AS rows_matched,
+         |  CAST(rows_scanned * 1000 // rows_total AS BIGINT) AS scan_permille,
+         |  CAST((SELECT rows_matched FROM mt) * 1000 // greatest(rows_scanned, 1) AS BIGINT) AS hit_permille
+         |FROM au ORDER BY layout""".stripMargin
+    },
     // Procrustes drift: grid-exact cross moments, MᵀM through the
     // SHARED unrolled Jacobi chain, Σ√eigenvalues in rank order —
     // every double a fixed-order chain, replayed per variant

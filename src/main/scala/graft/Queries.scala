@@ -11115,6 +11115,120 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  // Incremental EXACT dedup probe — the cheapest rung of the
+  // incremental family, completing it across all four surfaces (q202
+  // MinHash candidates, q378 semantic cells, q382 winnowed prints,
+  // THIS = byte-identical content): today's batch's digests probe the
+  // existing digest store, and each new doc gets its verdict —
+  // dup_of_store (the store already has these bytes), dup_in_batch
+  // (a smaller-id batchmate brought them first), or unique. At 100 TB
+  // this is the FIRST gate of every ingest: one digest projection
+  // over the batch, one digest-keyed semi-probe of the store (the
+  // store never rescans), one batch-keyed min — batch-sized cost
+  // forever, which is why exact dedup runs on arrival and the fuzzy
+  // rungs run downstream of it.
+  def incrementalExactDedup(s: SparkSession, dir: String): DataFrame = {
+    def isNew(c: Column): Column = c % 5 === 0
+    val d = t(s, dir, "documents").select(col("doc_id"), md5(col("text")).as("dg"))
+    val store = d.filter(!isNew(col("doc_id"))).select(col("dg")).distinct().withColumn("in_store", lit(1L))
+    val batch = d.filter(isNew(col("doc_id")))
+    val batchKeeper = batch.groupBy("dg").agg(min(col("doc_id")).as("batch_keeper"))
+    batch
+      .join(store, Seq("dg"), "left")
+      .join(batchKeeper, Seq("dg"))
+      .select(
+        col("doc_id"),
+        coalesce(col("in_store"), lit(0L)).as("in_store"),
+        col("batch_keeper"),
+        when(col("in_store") === 1L, "dup_of_store")
+          .when(col("doc_id") =!= col("batch_keeper"), "dup_in_batch")
+          .otherwise("unique")
+          .as("verdict")
+      )
+      .orderBy("doc_id")
+  }
+
+  // Hilbert layout advisor — q363's decision upgraded with the curve
+  // production OPTIMIZE jobs actually argue about: Morton/z-order has
+  // SEAMS (one carry bit teleports the curve across the grid, so a
+  // 2-D box drags in far-away cells), the Hilbert curve is CONTINUOUS
+  // (consecutive indices are always grid-adjacent — spec-proven on
+  // the full 64×64 grid), so its equal-size file cells hug a box with
+  // fewer false-positive files. Same audit discipline as q363: the
+  // SAME 64-cell files cut three ways (hilbert / z-order /
+  // date-major), per-file zone maps on both columns, one box priced
+  // against all three — files touched, rows scanned, true matches.
+  // The Hilbert index is 6 unrolled integer levels whose SQL text is
+  // SHARED with the oracle verbatim (operators/SpaceFill — the
+  // engine cannot drift from the mirror it is judged by). Scale
+  // shape: map-side integer arithmetic + one file-cardinality keyed
+  // aggregate per layout; nothing shuffles twice.
+  def hilbertLayout(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SpaceFill
+    val zBits = (0 until 6)
+      .map(i => s"((shiftright(db, $i) & 1) * ${1L << (2 * i + 1)} + (shiftright(pb, $i) & 1) * ${1L << (2 * i)})")
+      .mkString(" + ")
+    var base = t(s, dir, "orders")
+      .select(
+        expr("least(datediff(o_orderdate, DATE'1992-01-01') div 64, 63)").cast("long").as("db"),
+        expr("least(CAST(floor(o_totalprice / 10000) AS BIGINT), 63)").as("pb")
+      )
+      .withColumn("x0", col("db"))
+      .withColumn("y0", col("pb"))
+      .withColumn("hd", lit(0L))
+    SpaceFill.levels(6).zipWithIndex.foreach { case (sv, k) =>
+      val (nx, ny, dt) = SpaceFill.hilbertStep(sv, s"x$k", s"y$k")
+      base = base
+        .withColumn(s"x${k + 1}", expr(nx))
+        .withColumn(s"y${k + 1}", expr(ny))
+        .withColumn("hd", col("hd") + expr(dt))
+    }
+    val cells = base
+      .withColumn("hfile", expr("hd div 64"))
+      .withColumn("zfile", expr(s"($zBits) div 64"))
+      .withColumn("linfile", expr("(db * 64 + pb) div 64"))
+    val inBox = col("db").between(10, 19) && col("pb").between(10, 19)
+    val matched = cells.filter(inBox).agg(count(lit(1)).as("rows_matched"))
+    def audit(fileCol: String, name: String): DataFrame =
+      cells
+        .groupBy(col(fileCol).as("f"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min(col("db")).as("lo_d"),
+          max(col("db")).as("hi_d"),
+          min(col("pb")).as("lo_p"),
+          max(col("pb")).as("hi_p")
+        )
+        .agg(
+          count(lit(1)).as("n_files"),
+          sum(
+            (col("hi_d") >= 10 && col("lo_d") <= 19 && col("hi_p") >= 10 && col("lo_p") <= 19)
+              .cast("long")
+          ).as("files_touched"),
+          sum(
+            when(col("hi_d") >= 10 && col("lo_d") <= 19 && col("hi_p") >= 10 && col("lo_p") <= 19, col("n_rows"))
+              .otherwise(0L)
+          ).as("rows_scanned"),
+          sum(col("n_rows")).as("rows_total")
+        )
+        .select(lit(name).as("layout"), col("n_files"), col("files_touched"), col("rows_scanned"), col("rows_total"))
+    audit("hfile", "hilbert")
+      .unionByName(audit("zfile", "zorder"))
+      .unionByName(audit("linfile", "date_major"))
+      .crossJoin(broadcast(matched))
+      .select(
+        col("layout"),
+        col("n_files"),
+        col("files_touched"),
+        col("rows_total"),
+        col("rows_scanned"),
+        col("rows_matched"),
+        expr("rows_scanned * 1000 div rows_total").as("scan_permille"),
+        expr("rows_matched * 1000 div greatest(rows_scanned, 1)").as("hit_permille")
+      )
+      .orderBy("layout")
+  }
+
   // Procrustes embedding drift — the audit an embedding-model UPGRADE
   // needs: a new encoder typically produces a rotated/reflected copy
   // of the old space, so naive per-vector distance screams "everything
