@@ -4632,6 +4632,33 @@ object Oracles {
          |  CAST(CASE WHEN nid % 10 = 7 THEN 1 ELSE 0 END AS BIGINT) AS is_new_hit
          |FROM (${annIvfPqSqlK(3, trainPred = "vid % 10 <> 7")}) t
          |ORDER BY qid, rnk""".stripMargin,
+    // column-level PII classification of the fixture report — plan
+    // metadata, pinned literally
+    "q389_pii_flow" ->
+      """SELECT * FROM (VALUES
+        |  ('avg_order', CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('customer_name', CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        |  ('nation_code', CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        |  ('spend', CAST(0 AS BIGINT), CAST(0 AS BIGINT))
+        |) AS t(out_col, n_sensitive_sources, contains_pii)
+        |ORDER BY out_col""".stripMargin,
+    // Chao1 from the hash-seeded 10% sample vs the exact NDV
+    "q390_chao_ndv" -> {
+      val h = hx("CAST(o_orderkey AS VARCHAR) || '|chao'")
+      s"""WITH sm AS (SELECT o_custkey FROM orders WHERE $h % 10 = 0),
+         |fr AS (SELECT o_custkey, count(*) AS c FROM sm GROUP BY 1),
+         |st AS (SELECT count(*) AS d_sample,
+         |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2 FROM fr),
+         |tt AS (SELECT count(*) AS n_rows, count(DISTINCT o_custkey) AS exact_ndv FROM orders),
+         |ns AS (SELECT count(*) AS n_sample FROM sm),
+         |ch AS (SELECT *, d_sample * 1000 + f1 * (f1 - 1) * 500 // (f2 + 1) AS chao_milli
+         |  FROM st, tt, ns)
+         |SELECT n_rows, n_sample, d_sample, f1, f2, CAST(chao_milli AS BIGINT) AS chao_milli, exact_ndv,
+         |  CAST((chao_milli - exact_ndv * 1000) * 1000 // (exact_ndv * 1000) AS BIGINT) AS err_permille,
+         |  CAST((d_sample - exact_ndv) * 1000 // exact_ndv AS BIGINT) AS naive_err_permille
+         |FROM ch""".stripMargin
+    },
     // batch digests probe the stored digest set; verdicts per new doc
     "q387_incremental_exact_dedup" ->
       """WITH d AS (SELECT doc_id, md5(text) AS dg FROM documents),

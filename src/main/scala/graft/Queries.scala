@@ -11229,6 +11229,46 @@ object Queries {
       .orderBy("layout")
   }
 
+  // Sample-based NDV estimation (Chao1) — what ANALYZE does when the
+  // full scan is too expensive: estimate a column's distinct count
+  // from a 10% row sample. Raw sample-distinct is biased LOW (values
+  // whose every occurrence missed the sample are invisible); Chao1
+  // adds back the unseen mass from the frequency-of-frequencies —
+  // d + f1(f1−1)/(2(f2+1)), the bias-corrected form that never
+  // divides by zero — using only the sample's singleton/doubleton
+  // counts. All integer (milli-scaled truncating div), hash-seeded
+  // sample (the q63 gate), audited against the exact full-scan NDV
+  // with BOTH errors shown: the corrected estimate and the naive one
+  // it beats. Scale shape: the sample is a pushed-down hash filter,
+  // frequencies one keyed agg, the estimator a 1-row fold; the exact
+  // NDV is computed here only because the audit needs the truth.
+  def chaoNdv(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val sample = o.filter(TextOps.hash32(concat(col("o_orderkey").cast("string"), lit("|chao"))) % 10 === 0)
+    val freq = sample.groupBy("o_custkey").agg(count(lit(1)).as("c"))
+    val st = freq.agg(
+      count(lit(1)).as("d_sample"),
+      sum((col("c") === 1).cast("long")).as("f1"),
+      sum((col("c") === 2).cast("long")).as("f2")
+    )
+    val tot = o.agg(count(lit(1)).as("n_rows"), countDistinct(col("o_custkey")).as("exact_ndv"))
+    val ns = sample.agg(count(lit(1)).as("n_sample"))
+    st.crossJoin(broadcast(tot))
+      .crossJoin(broadcast(ns))
+      .withColumn("chao_milli", col("d_sample") * 1000 + expr("f1 * (f1 - 1) * 500 div (f2 + 1)"))
+      .select(
+        col("n_rows"),
+        col("n_sample"),
+        col("d_sample"),
+        col("f1"),
+        col("f2"),
+        col("chao_milli"),
+        col("exact_ndv"),
+        expr("(chao_milli - exact_ndv * 1000) * 1000 div (exact_ndv * 1000)").as("err_permille"),
+        expr("(d_sample - exact_ndv) * 1000 div exact_ndv").as("naive_err_permille")
+      )
+  }
+
   // Procrustes embedding drift — the audit an embedding-model UPGRADE
   // needs: a new encoder typically produces a rotated/reflected copy
   // of the old space, so naive per-vector distance screams "everything
@@ -11365,6 +11405,46 @@ object Queries {
       .columnLineage(fixture)
       .toDF("out_col", "src_table", "src_col")
       .orderBy("out_col", "src_table", "src_col")
+  }
+
+  // PII flow audit — the question a privacy review actually asks of a
+  // report: "does any output column DERIVE from a sensitive field?" —
+  // answered by composing q385's plan-fold lineage with a sensitivity
+  // register (here: customer.c_name and the quasi-identifier
+  // c_nationkey, the q277 k-anonymity columns). The fixture report
+  // mixes a direct carry (the name), a derived aggregate over
+  // non-sensitive fields, and a column whose lineage only TOUCHES the
+  // sensitive table without touching sensitive fields — the case
+  // naive table-level lineage gets wrong and column-level lineage
+  // gets right. Plan metadata only (the fold never reads data);
+  // oracle pinned literally. This is the automated gate that decides
+  // which outputs need masking before a dataset ships.
+  def piiFlow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sensitive = Set("customer" -> "c_name", "customer" -> "c_nationkey")
+    val fixture = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_name"), col("c_nationkey"))
+      .agg(sum(col("o_totalprice")).as("spend"), count(lit(1)).as("n_orders"))
+      .select(
+        col("c_name").as("customer_name"),
+        concat(lit("N"), col("c_nationkey").cast("string")).as("nation_code"),
+        col("spend"),
+        (col("spend") / col("n_orders")).as("avg_order")
+      )
+    val edges = graft.plans.Lineage.columnLineage(fixture)
+    val outCols = edges.map(_._1).distinct
+    outCols
+      .map { out =>
+        val srcs = edges.filter(_._1 == out).map(e => (e._2, e._3))
+        (
+          out,
+          srcs.count { case (t0, c0) => sensitive(t0 -> c0) }.toLong,
+          if (srcs.exists { case (t0, c0) => sensitive(t0 -> c0) }) 1L else 0L
+        )
+      }
+      .sortBy(_._1)
+      .toDF("out_col", "n_sensitive_sources", "contains_pii")
   }
 
   // Incremental winnowed-fingerprint probe — the CERTAIN-recall rung

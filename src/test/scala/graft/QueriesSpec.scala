@@ -3257,6 +3257,21 @@ class QueriesSpec extends SparkSpec {
     assert(al2 < 0.1 * nv2, s"alignment failed on the noisy variant: $al2 vs $nv2")
   }
 
+  test("chao NDV (q390): the correction only adds unseen mass, and beats the naive sample-distinct here") {
+    val r = Queries.chaoNdv(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("chao_milli") >= r.getAs[Long]("d_sample") * 1000)
+    assert(
+      math.abs(r.getAs[Long]("err_permille")) < math.abs(r.getAs[Long]("naive_err_permille")),
+      s"chao ${r.getAs[Long]("err_permille")}‰ did not beat naive ${r.getAs[Long]("naive_err_permille")}‰"
+    )
+  }
+
+  test("pii flow (q389): the sensitive columns flow where lineage says and nowhere else") {
+    val rows = Queries.piiFlow(spark, sfDir).collect()
+    val byC = rows.map(r => r.getString(0) -> r.getAs[Long]("contains_pii")).toMap
+    assert(byC === Map("customer_name" -> 1L, "nation_code" -> 1L, "spend" -> 0L, "avg_order" -> 0L))
+  }
+
   test("vacuum safety (q379): pins answer bit-identically, the expired generation is fully and physically reclaimed") {
     val rows = Queries.vacuumSafety(spark, sfDir).collect()
     val byV = rows.map(r => r.getAs[Int]("version") -> r).toMap
