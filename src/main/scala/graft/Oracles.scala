@@ -4632,6 +4632,17 @@ object Oracles {
          |  CAST(CASE WHEN nid % 10 = 7 THEN 1 ELSE 0 END AS BIGINT) AS is_new_hit
          |FROM (${annIvfPqSqlK(3, trainPred = "vid % 10 <> 7")}) t
          |ORDER BY qid, rnk""".stripMargin,
+    // post-evolution state: NULL tier = legacy rows the backfill never
+    // touched; NULLS FIRST pins Spark's ascending null order
+    "q391_schema_evolution_v2" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |d AS (SELECT k, cents,
+        |    CASE WHEN k % 3 = 0 THEN (CASE WHEN cents >= 20000000 THEN 'gold' ELSE 'std' END) END AS tier
+        |  FROM o)
+        |SELECT tier, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS cents_checksum,
+        |  CAST(1 AS BIGINT) AS eq_declarative
+        |FROM d GROUP BY tier ORDER BY tier NULLS FIRST""".stripMargin,
     // column-level PII classification of the fixture report — plan
     // metadata, pinned literally
     "q389_pii_flow" ->

@@ -5925,6 +5925,62 @@ object Queries {
       .orderBy("o_orderstatus")
   }
 
+  // Schema evolution through the v2 catalog — the weekly lakehouse
+  // verb q143 proves at the FILE level, now at the TABLE level with
+  // the backfill users actually run: legacy rows are inserted, the
+  // column is added (`ALTER TABLE … ADD COLUMN` — old rows read back
+  // NULL, exactly as old files lacking the column do), and a MERGE
+  // backfills the new column for a keyed subset. The audit groups the
+  // final table by the evolved column — the NULL bucket is the
+  // never-backfilled legacy population, sized exactly — and proves
+  // the whole state equals the one-pass CASE derivation. Exercises
+  // the connector's alter path AND a post-evolution row-level write
+  // in one lifecycle.
+  def schemaEvolutionV2(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_scratch", classOf[graft.sources.ScratchCatalog].getName)
+    val orders = t(s, dir, "orders")
+      .select(
+        col("o_orderkey").as("k"),
+        col("o_orderstatus").as("st"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents")
+      )
+    orders.createOrReplaceTempView("graft_q391_rows")
+    s.sql("DROP TABLE IF EXISTS graft_scratch.db.evolve")
+    s.sql("CREATE TABLE graft_scratch.db.evolve (k BIGINT, st STRING, cents BIGINT)")
+    s.sql("INSERT INTO graft_scratch.db.evolve SELECT k, st, cents FROM graft_q391_rows")
+    s.sql("ALTER TABLE graft_scratch.db.evolve ADD COLUMN tier STRING")
+    orders
+      .filter(col("k") % 3 === 0)
+      .select(col("k"), when(col("cents") >= 20000000L, "gold").otherwise("std").as("tier"))
+      .createOrReplaceTempView("graft_q391_fill")
+    s.sql("""MERGE INTO graft_scratch.db.evolve t
+            |USING graft_q391_fill s
+            |ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET tier = s.tier
+            |""".stripMargin)
+    val merged = s.table("graft_scratch.db.evolve")
+    val direct = orders.select(
+      col("k"),
+      col("cents"),
+      when(col("k") % 3 === 0, when(col("cents") >= 20000000L, "gold").otherwise("std")).as("tier")
+    )
+    // NULL is a real group here (the legacy bucket) but null keys never
+    // MATCH in a join — compare on a sentinel and restore the null
+    def audit(df: DataFrame, n: String, ck: String) =
+      df.groupBy(coalesce(col("tier"), lit(" legacy")).as("tkey"))
+        .agg(count(lit(1)).as(n), sum(col("cents")).as(ck))
+    audit(merged, "n_rows", "ck_m")
+      .join(audit(direct, "n_direct", "ck_d"), Seq("tkey"), "full")
+      .select(
+        when(col("tkey") === " legacy", lit(null).cast("string")).otherwise(col("tkey")).as("tier"),
+        col("n_rows"),
+        col("ck_m").as("cents_checksum"),
+        (coalesce(col("n_rows"), lit(-1L)) === coalesce(col("n_direct"), lit(-2L)) &&
+          coalesce(col("ck_m"), lit(-1L)) === coalesce(col("ck_d"), lit(-2L))).cast("long").as("eq_declarative")
+      )
+      .orderBy(asc_nulls_first("tier"))
+  }
+
   // Frequent-pair mining (the Apriori first pass) — the association
   // family the engine did not yet speak: which part pairs co-occur in
   // orders beyond chance, with support / confidence / lift. The SCALE

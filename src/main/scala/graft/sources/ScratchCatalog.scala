@@ -73,8 +73,30 @@ class ScratchCatalog extends TableCatalog with SupportsNamespaces {
     new ScratchTable(key(ident), state)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE on a scratch table")
+  /** ADD COLUMN only — the schema-evolution verb a lakehouse table
+    * actually exercises weekly. Legacy rows are padded with NULL at
+    * alter time (the in-memory analogue of "old files simply lack the
+    * column and read as NULL"), so reads after the alter see the new
+    * arity everywhere and a MERGE can backfill.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val state = ScratchCatalog.store.get(key(ident))
+    if (state == null) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
+        val old = state.schema
+        state.rows = state.rows.map { r =>
+          val values = new Array[Any](old.length + 1)
+          var i = 0
+          while (i < old.length) { values(i) = r.get(i, old(i).dataType); i += 1 }
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
+        }
+        state.schema = old.add(add.fieldNames()(0), add.dataType(), true)
+      case other =>
+        throw new UnsupportedOperationException(s"unsupported table change: $other")
+    }
+    new ScratchTable(key(ident), state)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     ScratchCatalog.store.remove(key(ident)) != null
@@ -99,7 +121,8 @@ object ScratchCatalog {
     * per session reference). `rows` is replaced wholesale by commits
     * — @volatile gives readers the atomic swap a table swap needs.
     */
-  final class TableState(val schema: StructType) {
+  final class TableState(schema0: StructType) {
+    @volatile var schema: StructType = schema0
     @volatile var rows: Array[InternalRow] = Array.empty
   }
   private val store = new java.util.concurrent.ConcurrentHashMap[String, TableState]()

@@ -40,6 +40,29 @@ class ScratchCatalogSpec extends SparkSpec {
     assert(rows("graft_scratch.db.spec1") === Seq((1L, "A", 10L), (2L, "B", 99L), (4L, "C", 40L)))
   }
 
+  test("ALTER TABLE ADD COLUMN: legacy rows read NULL, new writes carry the column, backfill works") {
+    spark.conf.set("spark.sql.catalog.graft_scratch", classOf[ScratchCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft_scratch.db.spec3")
+    spark.sql("CREATE TABLE graft_scratch.db.spec3 (k BIGINT, st STRING, cents BIGINT)")
+    spark.sql("INSERT INTO graft_scratch.db.spec3 VALUES (1, 'A', 10), (2, 'B', 20)")
+    spark.sql("ALTER TABLE graft_scratch.db.spec3 ADD COLUMN tier STRING")
+    // legacy rows predate the column: they must read back NULL
+    val afterAlter = spark.table("graft_scratch.db.spec3").orderBy("k").collect()
+    assert(afterAlter.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(afterAlter.forall(_.isNullAt(3)))
+    // inserts after the alter carry the new arity
+    spark.sql("INSERT INTO graft_scratch.db.spec3 VALUES (3, 'A', 30, 'gold')")
+    // and a row-level write can backfill the legacy rows
+    spark.sql("UPDATE graft_scratch.db.spec3 SET tier = 'std' WHERE k = 1")
+    val rows = spark
+      .table("graft_scratch.db.spec3")
+      .orderBy("k")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) null else r.getString(3)))
+      .toSeq
+    assert(rows === Seq((1L, "std"), (2L, null), (3L, "gold")))
+  }
+
   test("UPDATE and DELETE run through the same row-level replace") {
     spark.conf.set("spark.sql.catalog.graft_scratch", classOf[ScratchCatalog].getName)
     spark.sql("DROP TABLE IF EXISTS graft_scratch.db.spec2")
