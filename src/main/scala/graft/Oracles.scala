@@ -4653,6 +4653,56 @@ object Oracles {
         |  ('spend', CAST(0 AS BIGINT), CAST(0 AS BIGINT))
         |) AS t(out_col, n_sensitive_sources, contains_pii)
         |ORDER BY out_col""".stripMargin,
+    // the four pair producers re-derived (minhash confirm, simhash
+    // pigeonhole, winnow overlap, exact digests), unioned per method,
+    // matrix from one pair-keyed self-join
+    "q392_dedup_agreement" -> {
+      // the winnow chain's CTE names collide with the shingle chain's
+      // (both define `idx`) — rename its four CTEs, word-bounded
+      val winnowRenamed = Seq("idx" -> "widx", "wmin" -> "wwmin", "fps" -> "wfps", "g" -> "wg")
+        .foldLeft(winnowFpsCtes) { case (acc, (a, b)) => acc.replaceAll(s"\\b$a\\b", b) }
+      s"""WITH $minhashCandCtes,
+         |msz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |mit AS (SELECT c.d1, c.d2, count(*) AS inter FROM cand c
+         |  JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.g = a.g
+         |  GROUP BY 1, 2),
+         |mh AS (SELECT mit.d1, mit.d2 FROM mit
+         |  JOIN msz x ON mit.d1 = x.doc_id JOIN msz y ON mit.d2 = y.doc_id
+         |  WHERE inter * 2 >= x.n_sh + y.n_sh - inter),
+         |ex AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM documents a
+         |  JOIN documents b ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id),
+         |sg AS (SELECT doc_id, simhash FROM ($simhashSql)),
+         |sblk AS (SELECT doc_id, simhash, bi, (simhash >> (bi * 8)) & 255 AS bv
+         |  FROM sg, (SELECT unnest(generate_series(0, 3)) AS bi)),
+         |sm AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM sblk a JOIN sblk b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |$winnowRenamed,
+         |wstop AS (SELECT fp FROM wfps GROUP BY fp HAVING count(*) > 20),
+         |wkept AS (SELECT doc_id, fp FROM wfps WHERE fp NOT IN (SELECT fp FROM wstop)),
+         |wn AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM wkept a JOIN wkept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 5),
+         |u AS (
+         |  SELECT '1_exact' AS m, d1, d2 FROM ex
+         |  UNION SELECT '2_minhash', d1, d2 FROM mh
+         |  UNION SELECT '3_simhash', d1, d2 FROM sm
+         |  UNION SELECT '4_winnow', d1, d2 FROM wn),
+         |mn(m) AS (VALUES ('1_exact'), ('2_minhash'), ('3_simhash'), ('4_winnow')),
+         |szs AS (SELECT mn.m, COALESCE(c.n, CAST(0 AS BIGINT)) AS n FROM mn
+         |  LEFT JOIN (SELECT m, count(*) AS n FROM u GROUP BY m) c ON c.m = mn.m),
+         |pw AS (SELECT a.m AS method_a, b.m AS method_b, count(*) AS nc
+         |  FROM u a JOIN u b ON a.d1 = b.d1 AND a.d2 = b.d2 AND a.m < b.m GROUP BY 1, 2),
+         |mp(method_a, method_b) AS (VALUES
+         |  ('1_exact', '2_minhash'), ('1_exact', '3_simhash'), ('1_exact', '4_winnow'),
+         |  ('2_minhash', '3_simhash'), ('2_minhash', '4_winnow'), ('3_simhash', '4_winnow'))
+         |SELECT mp.method_a, mp.method_b, x.n AS n_a, y.n AS n_b,
+         |  COALESCE(pw.nc, CAST(0 AS BIGINT)) AS n_common,
+         |  COALESCE(pw.nc, 0) * 1000 // greatest(x.n + y.n - COALESCE(pw.nc, 0), 1) AS jaccard_permille
+         |FROM mp JOIN szs x ON x.m = mp.method_a JOIN szs y ON y.m = mp.method_b
+         |LEFT JOIN pw ON pw.method_a = mp.method_a AND pw.method_b = mp.method_b
+         |ORDER BY mp.method_a, mp.method_b""".stripMargin
+    },
     // Chao1 from the hash-seeded 10% sample vs the exact NDV
     "q390_chao_ndv" -> {
       val h = hx("CAST(o_orderkey AS VARCHAR) || '|chao'")

@@ -11285,6 +11285,72 @@ object Queries {
       .orderBy("layout")
   }
 
+  // Dedup-ladder AGREEMENT matrix — the meta-audit over the four pair
+  // producers the engine ships (exact digests, MinHash-confirmed
+  // Jaccard ≥ 0.5, SimHash Hamming ≤ 3, winnowed-print overlap):
+  // pairwise, how many pairs do two rungs share, and what fraction of
+  // their union is common? This is the table a curation team reads
+  // before deciding which rungs are redundant at their thresholds and
+  // which find pairs nothing else finds (byte-dup ⊂ near-dup ⊂
+  // verbatim-overlap is the folk nesting; the numbers say how leaky
+  // it is in practice). Pure composition: every rung's pair set
+  // already exists (three from shared snapshots), the matrix is one
+  // union + one keyed self-join at PAIR-set cardinality — never
+  // corpus-scale work.
+  def dedupAgreement(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val exact = {
+      val d = docs.select(col("doc_id"), md5(col("text")).as("dg"))
+      d.as("a")
+        .join(d.as("b"), col("a.dg") === col("b.dg") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    }
+    val methods = Seq(
+      "1_exact" -> exact,
+      "2_minhash" -> graft.operators.CandidateGraph.confirmedPairs(s, dir).select("d1", "d2"),
+      "3_simhash" -> NearDup
+        .simhashNearDupPairs(docs, col("doc_id"), col("text"), maxHamming = 3)
+        .select("d1", "d2"),
+      "4_winnow" -> winnowedOverlapPairs(s, dir).select("d1", "d2")
+    )
+    val tagged = methods
+      .map { case (n, df) => df.distinct().withColumn("m", lit(n)) }
+      .reduce(_.unionByName(_))
+    tagged.persist() // pair-set cardinality — sizes and the matrix both read it
+    // total over the METHOD list, not just methods with pairs: an
+    // empty rung (exact finds nothing on this corpus) must still
+    // appear in the matrix with n = 0, not silently vanish
+    val sizes = methods
+      .map(_._1)
+      .toDF("m")
+      .join(tagged.groupBy("m").agg(count(lit(1)).as("n0")), Seq("m"), "left")
+      .select(col("m"), coalesce(col("n0"), lit(0L)).as("n"))
+    val common = tagged
+      .as("a")
+      .join(
+        tagged.as("b"),
+        col("a.d1") === col("b.d1") && col("a.d2") === col("b.d2") && col("a.m") < col("b.m")
+      )
+      .groupBy(col("a.m").as("method_a"), col("b.m").as("method_b"))
+      .agg(count(lit(1)).as("nc"))
+    val mp = (for { i <- methods.indices; j <- i + 1 until methods.size } yield (methods(i)._1, methods(j)._1))
+      .toDF("method_a", "method_b")
+    mp.join(sizes.select(col("m").as("method_a"), col("n").as("n_a")), Seq("method_a"))
+      .join(sizes.select(col("m").as("method_b"), col("n").as("n_b")), Seq("method_b"))
+      .join(common, Seq("method_a", "method_b"), "left")
+      .withColumn("n_common", coalesce(col("nc"), lit(0L)))
+      .select(
+        col("method_a"),
+        col("method_b"),
+        col("n_a"),
+        col("n_b"),
+        col("n_common"),
+        expr("n_common * 1000 div greatest(n_a + n_b - n_common, 1)").as("jaccard_permille")
+      )
+      .orderBy("method_a", "method_b")
+  }
+
   // Sample-based NDV estimation (Chao1) — what ANALYZE does when the
   // full scan is too expensive: estimate a column's distinct count
   // from a 10% row sample. Raw sample-distinct is biased LOW (values
