@@ -5908,12 +5908,12 @@ object Oracles {
           s"(SELECT v FROM v_${c}_$rounds WHERE s = 'START') AS removal_conv_nano"
       )
       .mkString("\nUNION ALL ")
-    s"""WITH ev AS (SELECT user_id, ts, event_id, event_type,
+    s"""WITH ev AS MATERIALIZED (SELECT user_id, ts, event_id, event_type,
        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk FROM events),
        |fp AS (SELECT user_id, min(rk) AS fp_rk FROM ev WHERE event_type = 'purchase' GROUP BY 1),
        |kept AS (SELECT ev.*, fp.fp_rk FROM ev LEFT JOIN fp USING (user_id)
        |  WHERE fp.fp_rk IS NULL OR ev.rk <= fp.fp_rk),
-       |nx AS (SELECT *, lead(event_type) OVER (PARTITION BY user_id ORDER BY rk) AS next_type FROM kept),
+       |nx AS MATERIALIZED (SELECT *, lead(event_type) OVER (PARTITION BY user_id ORDER BY rk) AS next_type FROM kept),
        |edges0 AS (
        |  SELECT 'START' AS s, CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END AS t
        |  FROM nx WHERE rk = 1
@@ -5922,11 +5922,11 @@ object Oracles {
        |  FROM nx WHERE next_type IS NOT NULL
        |  UNION ALL
        |  SELECT event_type, 'NULL' FROM nx WHERE next_type IS NULL AND fp_rk IS NULL),
-       |edges AS (SELECT s, t, CAST(count(*) AS BIGINT) AS c FROM edges0 GROUP BY 1, 2),
-       |edgesx AS (SELECT s, t, c FROM edges
+       |edges AS MATERIALIZED (SELECT s, t, CAST(count(*) AS BIGINT) AS c FROM edges0 GROUP BY 1, 2),
+       |edgesx AS MATERIALIZED (SELECT s, t, c FROM edges
        |  UNION ALL SELECT DISTINCT s, 'START', CAST(0 AS BIGINT) FROM edges),
-       |tot AS (SELECT s, CAST(sum(c) AS BIGINT) AS tot FROM edges GROUP BY 1),
-       |kc AS (SELECT s, CAST(sum(CASE WHEN t = 'CONV' THEN c ELSE 0 END) AS BIGINT) * 1000000000 AS kconv
+       |tot AS MATERIALIZED (SELECT s, CAST(sum(c) AS BIGINT) AS tot FROM edges GROUP BY 1),
+       |kc AS MATERIALIZED (SELECT s, CAST(sum(CASE WHEN t = 'CONV' THEN c ELSE 0 END) AS BIGINT) * 1000000000 AS kconv
        |  FROM edges GROUP BY 1),
        |$chains,
        |res AS ($resRows),
@@ -6122,15 +6122,15 @@ object Oracles {
       .map { r =>
         s"""m$r AS (SELECT e.src AS id, l.lbl FROM e JOIN l${r - 1} l ON e.dst = l.id
            |  UNION ALL SELECT id, lbl FROM l${r - 1}),
-           |l$r AS (SELECT id, lbl FROM (SELECT id, lbl,
+           |l$r AS MATERIALIZED (SELECT id, lbl FROM (SELECT id, lbl,
            |    row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
            |  FROM (SELECT id, lbl, count(*) AS c FROM m$r GROUP BY 1, 2)) WHERE rn = 1)""".stripMargin
       }
       .mkString(",\n")
-    s"""WITH prs AS (SELECT d1, d2 FROM ($minhashSql)),
-       |e AS (SELECT DISTINCT src, dst FROM
+    s"""WITH prs AS MATERIALIZED (SELECT d1, d2 FROM ($minhashSql)),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM
        |  (SELECT d1 AS src, d2 AS dst FROM prs UNION ALL SELECT d2, d1 FROM prs)),
-       |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM e),
        |$rounds,
        |com AS (SELECT lbl AS community, count(*) AS n_members FROM l4 GROUP BY 1),
        |tot AS (SELECT count(*) AS n_communities FROM com)
@@ -6145,14 +6145,14 @@ object Oracles {
   private lazy val mutualBestSql: String = {
     val rounds = (1 to 3)
       .map { r =>
-        val prev = if (r == 1) "" else s"""p$r AS (SELECT * FROM p${r - 1}
+        val prev = if (r == 1) "" else s"""p$r AS MATERIALIZED (SELECT * FROM p${r - 1}
            |  WHERE new_id NOT IN (SELECT new_id FROM m${r - 1})
            |    AND old_id NOT IN (SELECT old_id FROM m${r - 1})),\n""".stripMargin
         s"""${prev}bn$r AS (SELECT new_id, old_id FROM (SELECT new_id, old_id,
            |    row_number() OVER (PARTITION BY new_id ORDER BY w DESC, old_id) AS rn FROM p$r) WHERE rn = 1),
            |bo$r AS (SELECT new_id, old_id FROM (SELECT new_id, old_id,
            |    row_number() OVER (PARTITION BY old_id ORDER BY w DESC, new_id) AS rn FROM p$r) WHERE rn = 1),
-           |m$r AS (SELECT p.new_id, p.old_id, p.w FROM p$r p
+           |m$r AS MATERIALIZED (SELECT p.new_id, p.old_id, p.w FROM p$r p
            |  JOIN bn$r USING (new_id, old_id) JOIN bo$r USING (new_id, old_id))""".stripMargin
       }
       .mkString(",\n")
@@ -6160,7 +6160,7 @@ object Oracles {
       .map(r => s"SELECT CAST($r AS INTEGER) AS round, new_id, old_id, w AS jaccard_permille FROM m$r")
       .mkString("\nUNION ALL\n")
     s"""WITH base AS ($incrementalDedupSql),
-       |p1 AS (SELECT new_id, old_id, CAST(jaccard_permille AS BIGINT) AS w FROM base),
+       |p1 AS MATERIALIZED (SELECT new_id, old_id, CAST(jaccard_permille AS BIGINT) AS w FROM base),
        |$rounds
        |$selects
        |ORDER BY round, new_id""".stripMargin
