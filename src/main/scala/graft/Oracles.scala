@@ -79,14 +79,16 @@ object Oracles {
     * (q29, k=10) — also the ground-truth side of the recall report
     * (q206).
     */
-  private val annBruteSql: String =
+  private val annBruteSql: String = annBruteSqlK(10)
+
+  private def annBruteSqlK(k: Int): String =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 50),
        |p AS (SELECT q.qid, q.qe, e.vec_id AS nid, e.embedding AS ne FROM q, embeddings e WHERE e.vec_id <> q.qid),
        |s AS (SELECT qid, nid, ${cosineSql("qe", "ne")} AS c FROM p),
        |r AS (SELECT qid, nid, ${away("c", 6)} AS sim FROM s),
        |k AS (SELECT qid, nid, sim,
        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INTEGER) AS rnk FROM r)
-       |SELECT qid, nid, sim, rnk FROM k WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+       |SELECT qid, nid, sim, rnk FROM k WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
 
   /** Exact mirror of [[graft.operators.Similarity.ivfTopK]]
     * (nlist=16, 2 Lloyd iterations unrolled; q36 at nprobe=4, k=3 —
@@ -106,24 +108,32 @@ object Oracles {
       s"list_sum(list_transform(generate_series(1, $dim), i -> $a[CAST(i AS INTEGER)] * $b[CAST(i AS INTEGER)]))"
     def score(src: String, cent: String) =
       s"${dotD(s"$src.e", s"$cent.ce")} - list_sum(list_transform($cent.ce, x -> x * x)) / 2.0"
-    def iter(i: Int, prevC: String): String =
-      s"""s$i AS (SELECT vt.vid, vt.e, c.j, ${score("vt", "c")} AS s FROM vt, $prevC c),
-         |a$i AS (SELECT vid, e, j AS cell FROM (SELECT vid, e, j, row_number() OVER (PARTITION BY vid ORDER BY s DESC, j DESC) AS rn FROM s$i) t WHERE rn = 1),
-         |x$i AS (SELECT cell, e, CAST(unnest(generate_series(1, $dim)) AS INTEGER) AS pos FROM a$i),
-         |m$i AS (SELECT cell, pos, CAST(sum(CAST(${away("e[pos]", 6)} AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS m FROM x$i GROUP BY cell, pos),
-         |n$i AS (SELECT cell, list(m ORDER BY pos) AS nce FROM m$i GROUP BY cell),
-         |c$i AS (SELECT $prevC.j, COALESCE(n$i.nce, $prevC.ce) AS ce FROM $prevC LEFT JOIN n$i ON n$i.cell = $prevC.j)""".stripMargin
+    def iter(i: Int, prevC: String): String = iterPx(i, prevC, "")
+    /** [[iter]] with every CTE name suffixed by `px` so TWO Lloyd
+      * chains (frozen-old vs full-retrain — q393's model drift) can
+      * coexist in one statement; px = "" reproduces the original text
+      * byte-for-byte.
+      */
+    def iterPx(i: Int, prevC: String, px: String): String =
+      s"""s$px$i AS (SELECT vt$px.vid, vt$px.e, c.j, ${score(s"vt$px", "c")} AS s FROM vt$px, $prevC c),
+         |a$px$i AS (SELECT vid, e, j AS cell FROM (SELECT vid, e, j, row_number() OVER (PARTITION BY vid ORDER BY s DESC, j DESC) AS rn FROM s$px$i) t WHERE rn = 1),
+         |x$px$i AS (SELECT cell, e, CAST(unnest(generate_series(1, $dim)) AS INTEGER) AS pos FROM a$px$i),
+         |m$px$i AS (SELECT cell, pos, CAST(sum(CAST(${away("e[pos]", 6)} AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS m FROM x$px$i GROUP BY cell, pos),
+         |n$px$i AS (SELECT cell, list(m ORDER BY pos) AS nce FROM m$px$i GROUP BY cell),
+         |c$px$i AS (SELECT $prevC.j, COALESCE(n$px$i.nce, $prevC.ce) AS ce FROM $prevC LEFT JOIN n$px$i ON n$px$i.cell = $prevC.j)""".stripMargin
     /** v (double-cast vectors), training subset vt, c0 init, two Lloyd
       * rounds → c2. `trainPred` narrows TRAINING only (q265's frozen
       * old-half index); assignment consumers still see every vector
       * through `v`.
       */
-    def lloydCtesFor(trainPred: String): String =
-      s"""v AS (SELECT vec_id AS vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e, (vec_id < 50) AS is_q FROM embeddings),
-         |vt AS (SELECT * FROM v WHERE $trainPred),
-         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS INTEGER) AS j, e AS ce FROM (SELECT vid, e FROM vt ORDER BY vid LIMIT $nlist) t),
-         |${iter(1, "c0")},
-         |${iter(2, "c1")}""".stripMargin
+    def lloydCtesFor(trainPred: String): String = lloydCtesPx(trainPred, "")
+    /** [[lloydCtesFor]] with suffixed CTE names (v$px .. c${px}2). */
+    def lloydCtesPx(trainPred: String, px: String): String =
+      s"""v$px AS (SELECT vec_id AS vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e, (vec_id < 50) AS is_q FROM embeddings),
+         |vt$px AS (SELECT * FROM v$px WHERE $trainPred),
+         |c${px}0 AS (SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS INTEGER) AS j, e AS ce FROM (SELECT vid, e FROM vt$px ORDER BY vid LIMIT $nlist) t),
+         |${iterPx(1, s"c${px}0", px)},
+         |${iterPx(2, s"c${px}1", px)}""".stripMargin
     lazy val lloydCtes: String = lloydCtesFor("TRUE")
   }
 
@@ -5659,7 +5669,144 @@ object Oracles {
         |SELECT CAST(floor(o_totalprice) AS BIGINT) // bin_width AS bin,
         |  count(*) AS n_orders, bin_width
         |FROM orders, wv
-        |GROUP BY 1, 3 ORDER BY 1""".stripMargin
+        |GROUP BY 1, 3 ORDER BY 1""".stripMargin,
+    // compaction is content-neutral by contract (files_reduced /
+    // serve_eq_appended earned in-engine, pinned here); drift, model
+    // shift, and both recalls are re-derived: the stale serve trains
+    // on the old corpus only (q377's mirror), the retrained serve on
+    // everyone (q193's), recall@3 against the brute mirror, the two
+    // coarse chains (suffixed names) feed assignment drift + the
+    // fixed-point centroid-shift sum
+    "q393_ann_compact_retrain" -> {
+      import IvfSqlBits.score
+      def el(t: String) = s"$t.ce[CAST(i.i AS INTEGER)]"
+      s"""WITH stale AS MATERIALIZED (SELECT qid, nid FROM (${annIvfPqSqlK(3, trainPred = "vid % 10 <> 7")}) t),
+         |fresh AS MATERIALIZED (SELECT qid, nid FROM ($annIvfPqSql) t),
+         |bt AS MATERIALIZED (SELECT qid, nid FROM (${annBruteSqlK(3)}) t),
+         |${IvfSqlBits.lloydCtesPx("vid % 10 <> 7", "_o")},
+         |${IvfSqlBits.lloydCtesPx("TRUE", "_f")},
+         |sfz AS (SELECT v_o.vid, c.j, ${score("v_o", "c")} AS s FROM v_o, c_o2 c),
+         |asg AS (SELECT vid, j AS cell FROM (SELECT vid, j,
+         |    row_number() OVER (PARTITION BY vid ORDER BY s DESC, j DESC) AS rn FROM sfz) t WHERE rn = 1),
+         |cls AS (SELECT cell, CAST(sum(CASE WHEN vid % 10 <> 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+         |    CAST(count(*) AS BIGINT) AS n_all FROM asg GROUP BY cell),
+         |tt AS (SELECT CAST(sum(n_old) AS BIGINT) AS t_old, CAST(sum(n_all) AS BIGINT) AS t_all FROM cls),
+         |dr AS (SELECT CAST(sum(abs(n_old * 1000 // t_old - n_all * 1000 // t_all)) AS BIGINT) AS drift FROM cls, tt),
+         |sh AS (SELECT CAST(sum(CAST(floor((${el("f")} - ${el("o")}) * (${el("f")} - ${el("o")}) * 1048576.0) AS BIGINT)) AS BIGINT) AS shift_fp
+         |  FROM c_f2 f JOIN c_o2 o ON o.j = f.j, (SELECT unnest(generate_series(1, 64)) AS i) i),
+         |nb AS (SELECT count(*) AS n FROM bt),
+         |rs AS (SELECT count(*) AS h FROM stale JOIN bt USING (qid, nid)),
+         |rf AS (SELECT count(*) AS h FROM fresh JOIN bt USING (qid, nid))
+         |SELECT CAST(1 AS BIGINT) AS files_reduced, CAST(1 AS BIGINT) AS serve_eq_appended,
+         |  dr.drift AS drift_l1_permille, sh.shift_fp AS centroid_shift_fp,
+         |  CAST(rs.h * 1000 // nb.n AS BIGINT) AS recall_stale_permille,
+         |  CAST(rf.h * 1000 // nb.n AS BIGINT) AS recall_retrained_permille,
+         |  CAST(CASE WHEN dr.drift >= 25 OR sh.shift_fp >= 4096 THEN 1 ELSE 0 END AS BIGINT) AS retrain_recommended,
+         |  CAST(CASE WHEN rf.h >= rs.h THEN 1 ELSE 0 END AS BIGINT) AS recall_recovered
+         |FROM dr, sh, nb, rs, rf""".stripMargin
+    },
+    // field-level lineage of the nested fixture report — plan
+    // metadata, pinned literally (the q389 convention): struct paths,
+    // the map key, the VARIANT path, and the whole-struct reference
+    "q394_field_lineage" ->
+      """SELECT * FROM (VALUES
+        |  ('n_named', 'cust_nested', 'profile.name', CAST(1 AS BIGINT)),
+        |  ('n_contact', 'cust_nested', 'attrs_v.contact', CAST(1 AS BIGINT)),
+        |  ('n_profiles', 'cust_nested', 'profile', CAST(1 AS BIGINT)),
+        |  ('n_segged', 'cust_nested', 'attrs_m[''seg'']', CAST(0 AS BIGINT)),
+        |  ('nation_code', 'cust_nested', 'profile.nation.code', CAST(0 AS BIGINT)),
+        |  ('total_balance', 'cust_nested', 'balance', CAST(0 AS BIGINT))
+        |) AS t(out_col, src_table, src_col, sensitive_edge)
+        |ORDER BY out_col, src_col""".stripMargin,
+    // full-sync final state as one CASE pass; clause censuses from the
+    // same predicates; both equality audits earned in-engine, pinned
+    "q395_merge_full_sync" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |fin AS (SELECT k, st,
+        |    CASE WHEN k % 10 <> 0 AND k % 13 = 0 THEN CAST(-1 AS BIGINT)
+        |      WHEN k % 7 = 0 THEN cents + 100000
+        |      ELSE cents END AS cents
+        |  FROM o
+        |  WHERE NOT (k % 10 = 0 AND k % 13 = 0)
+        |    AND NOT (k % 10 <> 0 AND k % 13 = 0 AND st = 'O')),
+        |ins AS (SELECT st, count(*) AS n_inserted FROM o WHERE k % 10 = 0 AND k % 13 <> 0 GROUP BY st),
+        |exd AS (SELECT st, count(*) AS n_expired FROM o WHERE k % 10 <> 0 AND k % 13 = 0 AND st = 'O' GROUP BY st),
+        |tmb AS (SELECT st, count(*) AS n_tombstoned FROM o WHERE k % 10 <> 0 AND k % 13 = 0 AND st <> 'O' GROUP BY st),
+        |ag AS (SELECT st, count(*) AS n_after FROM fin GROUP BY st)
+        |SELECT ag.st AS o_orderstatus, ag.n_after,
+        |  CAST(COALESCE(ins.n_inserted, 0) AS BIGINT) AS n_inserted,
+        |  CAST(COALESCE(exd.n_expired, 0) AS BIGINT) AS n_expired_deleted,
+        |  CAST(COALESCE(tmb.n_tombstoned, 0) AS BIGINT) AS n_tombstoned,
+        |  CAST(1 AS BIGINT) AS eq_declarative, CAST(1 AS BIGINT) AS eq_procedural
+        |FROM ag LEFT JOIN ins ON ins.st = ag.st LEFT JOIN exd ON exd.st = ag.st
+        |LEFT JOIN tmb ON tmb.st = ag.st
+        |ORDER BY o_orderstatus""".stripMargin,
+    // the surviving manifests re-read after the engine's JVM exits
+    // (q379's convention); v1/v2 refusals with their missing-file
+    // censuses, v2's naive partial answer re-derived from the logical
+    // table, v3 re-answered from the data
+    "q396_vacuum_pin_expiry" ->
+      """WITH m AS (SELECT version, dir, file_name
+        |  FROM read_parquet('/tmp/graft_vacuum_expiry/sf0.01/manifests/*.parquet')),
+        |fc AS (SELECT version, count(*) AS n_manifest_files
+        |  FROM (SELECT DISTINCT version, dir, file_name FROM m) GROUP BY 1),
+        |req AS (SELECT DISTINCT dir, file_name FROM m WHERE version = 3),
+        |ms AS (SELECT version, count(*) AS n_missing
+        |  FROM (SELECT DISTINCT version, dir, file_name FROM m) mm
+        |  ANTI JOIN req USING (dir, file_name) GROUP BY version),
+        |o2 AS (SELECT count(*) AS n FROM orders
+        |  WHERE o_orderdate >= DATE '1998-01-01' AND o_orderdate < DATE '1999-01-01'),
+        |o3 AS (SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS ck FROM orders
+        |  WHERE o_orderdate < DATE '1999-01-01'),
+        |a AS (
+        |  SELECT 1 AS version, CAST(0 AS BIGINT) AS pinned, CAST(1 AS BIGINT) AS refused,
+        |    CAST(0 AS BIGINT) AS n_rows_naive, CAST(NULL AS BIGINT) AS n_rows_guarded,
+        |    CAST(NULL AS BIGINT) AS key_checksum, CAST(NULL AS BIGINT) AS eq_after_vacuum
+        |  UNION ALL SELECT 2, 0, 1, (SELECT n FROM o2), NULL, NULL, NULL
+        |  UNION ALL SELECT 3, 1, 0, NULL, (SELECT n FROM o3), (SELECT ck FROM o3), 1)
+        |SELECT CAST(a.version AS INTEGER) AS version, pinned, fc.n_manifest_files,
+        |  CAST(COALESCE(ms.n_missing, 0) AS BIGINT) AS n_files_missing,
+        |  refused, n_rows_naive, n_rows_guarded, key_checksum, eq_after_vacuum
+        |FROM a JOIN fc ON fc.version = a.version LEFT JOIN ms ON ms.version = a.version
+        |ORDER BY version""".stripMargin,
+    // the enacted layouts re-priced from the logical cells (the q388
+    // audit, two layouts); advisor_eq pinned — the engine earns it by
+    // comparing the physical per-file census to this same prediction
+    "q397_hilbert_enact" -> {
+      val hChain = graft.operators.SpaceFill
+        .levels(6)
+        .zipWithIndex
+        .map { case (sv, k) =>
+          val (nx, ny, dt) = graft.operators.SpaceFill.hilbertStep(sv, s"x$k", s"y$k")
+          s"h${k + 1} AS (SELECT db, pb, $nx AS x${k + 1}, $ny AS y${k + 1}, d$k + $dt AS d${k + 1} FROM h$k)"
+        }
+        .mkString(",\n")
+      def audit(src: String, fileExpr: String, name: String): String =
+        s"""SELECT '$name' AS layout, count(*) AS n_files,
+           |  CAST(sum(CASE WHEN hi_d >= 10 AND lo_d <= 19 AND hi_p >= 10 AND lo_p <= 19 THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+           |  CAST(sum(CASE WHEN hi_d >= 10 AND lo_d <= 19 AND hi_p >= 10 AND lo_p <= 19 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+           |  CAST(sum(n_rows) AS BIGINT) AS rows_total
+           |FROM (SELECT $fileExpr AS f, count(*) AS n_rows,
+           |    min(db) AS lo_d, max(db) AS hi_d, min(pb) AS lo_p, max(pb) AS hi_p
+           |  FROM $src GROUP BY 1)""".stripMargin
+      s"""WITH b AS (SELECT
+         |    least(date_diff('day', DATE '1992-01-01', o_orderdate) // 64, 63) AS db,
+         |    least(CAST(floor(o_totalprice / 10000) AS BIGINT), 63) AS pb
+         |  FROM orders),
+         |h0 AS (SELECT db, pb, db AS x0, pb AS y0, CAST(0 AS BIGINT) AS d0 FROM b),
+         |$hChain,
+         |mt AS (SELECT count(*) AS rows_matched FROM b
+         |  WHERE db BETWEEN 10 AND 19 AND pb BETWEEN 10 AND 19),
+         |au AS (${audit("h6", "d6 // 64", "hilbert")}
+         |  UNION ALL
+         |  ${audit("b", "(db * 64 + pb) // 64", "date_major")})
+         |SELECT layout, n_files, files_touched, rows_total, rows_scanned,
+         |  (SELECT rows_matched FROM mt) AS rows_matched,
+         |  CAST(rows_scanned * 1000 // rows_total AS BIGINT) AS scan_permille,
+         |  CAST(1 AS BIGINT) AS advisor_eq
+         |FROM au ORDER BY layout""".stripMargin
+    }
   )
 
   /** q195/q246 shared winnowing chain: char-8-gram 60-bit prints,

@@ -11525,6 +11525,7 @@ object Queries {
       )
     graft.plans.Lineage
       .columnLineage(fixture)
+      .map { case (o, t0, c0) => (o, graft.plans.Lineage.displayName(t0), c0) }
       .toDF("out_col", "src_table", "src_col")
       .orderBy("out_col", "src_table", "src_col")
   }
@@ -11554,7 +11555,9 @@ object Queries {
         col("spend"),
         (col("spend") / col("n_orders")).as("avg_order")
       )
-    val edges = graft.plans.Lineage.columnLineage(fixture)
+    val edges = graft.plans.Lineage
+      .columnLineage(fixture)
+      .map { case (o, t0, c0) => (o, graft.plans.Lineage.displayName(t0), c0) }
     val outCols = edges.map(_._1).distinct
     outCols
       .map { out =>
@@ -12737,5 +12740,484 @@ object Queries {
           .as("final_err_permille")
       )
       .orderBy("est_cost", "join_order")
+  }
+
+  // ANN delta COMPACTION + the retrain trigger — the two maintenance
+  // verbs that close the stored-index lifecycle (build q272 → append
+  // q377 → erase q357 → COMPACT + DECIDE-WHEN-TO-RETRAIN, this): the
+  // nightly job folds q377's accumulated delta files back into one
+  // cell-clustered file per table (content bit-identical by contract —
+  // the serve from the compacted index must equal the fragmented one,
+  // earned here as serve_eq_appended and spec-asserted pair-by-pair),
+  // then prices whether accumulated drift warrants the retrain that
+  // append/erase/compact all refuse to do: (1) ASSIGNMENT drift —
+  // q265's signal as one number, the L1 distance in permille between
+  // the old corpus' cell distribution and the full corpus' under the
+  // FROZEN coarse quantizer; (2) MODEL drift — how far the centroids
+  // a full retrain would learn have moved from the frozen ones
+  // (fixed-point sum of squared per-element shifts, the q386 concern
+  // measured on the quantizer itself). Both are priced against fixed
+  // thresholds, and the recommendation is then AUDITED: recall@3 of
+  // the stale-quantizer serve vs the retrained serve against the
+  // brute-force truth — recall_recovered is the AUDIT of the
+  // recommendation, not an assumption: on this corpus the drift
+  // trigger fires yet the retrain does NOT recover recall@3 (the
+  // reshuffled coarse cells trade one query's neighbors for
+  // another's), which is precisely why production gates a retrain
+  // rollout on this measurement instead of trusting the drift signal. Scale shape: compaction
+  // is one base+delta-sized IO pass (vs unbounded small-file listings
+  // forever); drift is one map-pass assignment + a 16-row aggregate;
+  // the retrain audit runs on the query sample; centroid math is
+  // dims²-bounded driver work.
+  def annCompactRetrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.AnnIndex
+    import graft.functions.VectorOps
+    val emb = t(s, dir, "embeddings")
+    val isQ = col("vec_id") < 50
+    val queries = emb.filter(isQ)
+    val appended = AnnIndex.appendedStored(s, dir)
+    val filesBefore =
+      Similarity.dataFileCount(appended.corpusCells) + Similarity.dataFileCount(appended.pqCodes)
+    val compacted = AnnIndex.compactedStored(s, dir)
+    val filesAfter =
+      Similarity.dataFileCount(compacted.corpusCells) + Similarity.dataFileCount(compacted.pqCodes)
+    def serve(paths: Similarity.IvfPqIndexPaths): DataFrame =
+      Similarity
+        .servedIvfPqTopK(queries, col("vec_id"), col("embedding"), paths, nprobe = 4, k = 3)
+        .select(col("qid"), col("nid"), col("sim"), col("rank"))
+    def served(paths: Similarity.IvfPqIndexPaths): Set[(Long, Long, Double, Int)] =
+      serve(paths).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // the compaction contract, earned: bit-identical serve across the rewrite
+    val stale = served(compacted)
+    val serveEq = if (stale == served(appended)) 1L else 0L
+    // brute-force@3 ground truth on the query sample
+    val truth = Similarity
+      .bruteForceTopK(emb, col("vec_id"), col("embedding"), isQ, k = 3)
+      .select(col("qid"), col("nid"))
+      .persist()
+    val nTruth = truth.count()
+    def recallPermille(servedDf: DataFrame): Long =
+      servedDf.join(truth, Seq("qid", "nid"), "left_semi").count() * 1000L / nTruth
+    val recallStale = recallPermille(serve(compacted))
+    val fresh = AnnIndex.stored(s, dir) // the retrain: full-corpus quantizers
+    val recallFresh = recallPermille(serve(fresh.paths))
+    truth.unpersist()
+    // assignment drift under the FROZEN quantizer (q265's argmax rule)
+    val frozen = AnnIndex.storedBase(s, dir).coarse
+    val halfNorm = frozen.map(c => c.map(x => x * x).reduceLeft(_ + _) / 2.0)
+    val scored = frozen.indices.map { j =>
+      struct((VectorOps.dot(col("embedding"), lit(frozen(j))) - lit(halfNorm(j))).as("s"), lit(j).as("j"))
+    }
+    val cells = emb
+      .select(
+        element_at(sort_array(array(scored: _*), asc = false), 1).getField("j").as("cell"),
+        AnnIndex.isNewBatch(col("vec_id")).cast("long").as("is_new")
+      )
+      .groupBy("cell")
+      .agg(sum(lit(1L) - col("is_new")).as("n_old"), count(lit(1)).as("n_all"))
+    val drift = cells
+      .crossJoin(broadcast(cells.agg(sum(col("n_old")).as("t_old"), sum(col("n_all")).as("t_all"))))
+      .select(abs(expr("n_old * 1000 div t_old") - expr("n_all * 1000 div t_all")).as("d"))
+      .agg(sum(col("d")))
+      .collect()(0)
+      .getLong(0)
+    // model drift: fixed-point sum of squared per-element centroid
+    // shifts, frozen vs full-retrain (both trainings deterministic)
+    val shiftFp = frozen.indices.iterator.flatMap { j =>
+      frozen(j).indices.iterator.map { d =>
+        val dd = fresh.coarse(j)(d) - frozen(j)(d)
+        math.floor(dd * dd * 1048576.0).toLong
+      }
+    }.sum
+    val recommended = if (drift >= 25L || shiftFp >= 4096L) 1L else 0L
+    Seq(
+      (
+        if (filesAfter < filesBefore) 1L else 0L,
+        serveEq,
+        drift,
+        shiftFp,
+        recallStale,
+        recallFresh,
+        recommended,
+        if (recallFresh >= recallStale) 1L else 0L
+      )
+    ).toDF(
+      "files_reduced",
+      "serve_eq_appended",
+      "drift_l1_permille",
+      "centroid_shift_fp",
+      "recall_stale_permille",
+      "recall_retrained_permille",
+      "retrain_recommended",
+      "recall_recovered"
+    )
+  }
+
+  // FIELD-level lineage + field-granular PII flow — q385/q389 upgraded
+  // to the granularity real catalogs publish: a GetStructField / map
+  // key / VARIANT path narrows provenance to the extracted FIELD, so
+  // "derives from profile.nation.code" and "derives from profile.name"
+  // stop collapsing into "touches profile" (the over-approximation a
+  // root-level fold makes, and exactly what flips a PII verdict). The
+  // fixture writes a nested source (struct-in-struct, a map column,
+  // and a real VARIANT column round-tripped through parquet), reads it
+  // back, and runs a report that exercises every extraction kind plus
+  // one deliberate WHOLE-STRUCT reference (n_profiles) — which must
+  // stay flagged, because referencing the whole struct does expose its
+  // sensitive field. Sensitivity matching is path-aware: an edge is
+  // sensitive iff its path equals a registered path, refines one, or
+  // is a whole-value ancestor of one. Plan metadata only (the fold
+  // never reads data); the oracle pins the edge set literally.
+  def fieldLineage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = graft.operators.Scratch.dir("graft-fieldlineage")
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey").as("id"),
+        struct(
+          col("c_name").as("name"),
+          struct(col("c_nationkey").as("code")).as("nation")
+        ).as("profile"),
+        map(lit("seg"), col("c_mktsegment")).as("attrs_m"),
+        parse_json(concat(lit("{\"contact\":\""), col("c_name"), lit("\"}"))).as("attrs_v"),
+        col("c_acctbal").as("balance")
+      )
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$base/cust_nested")
+    val nested = s.read.parquet(s"$base/cust_nested")
+    val report = nested
+      .groupBy(expr("profile.nation.code").as("nation_code"))
+      .agg(
+        count(col("profile.name")).as("n_named"),
+        countDistinct(col("profile")).as("n_profiles"),
+        count(col("attrs_m")("seg")).as("n_segged"),
+        count(expr("variant_get(attrs_v, '$.contact', 'string')")).as("n_contact"),
+        sum(col("balance")).as("total_balance")
+      )
+    val sensitive = Seq("profile.name", "attrs_v.contact")
+    def isSensitive(path: String): Boolean =
+      sensitive.exists(sp => path == sp || path.startsWith(sp + ".") || sp.startsWith(path + "."))
+    graft.plans.Lineage
+      .columnLineage(report)
+      .map { case (o, t0, c0) =>
+        (o, graft.plans.Lineage.displayName(t0), c0, if (isSensitive(c0)) 1L else 0L)
+      }
+      .sortBy(e => (e._1, e._3))
+      .toDF("out_col", "src_table", "src_col", "sensitive_edge")
+  }
+
+  // MERGE full-sync — the clause matrix q380/q383 left open: `WHEN NOT
+  // MATCHED BY SOURCE`, the verb an SCD "mirror the extract" pipeline
+  // runs nightly (rows the source stopped sending are stale and must
+  // be expired). Through the same purpose-built DSv2 row-level-
+  // operation catalog: matched rows converge to the source (UPDATE
+  // guarded by an inequality, so no-op rows are untouched), source-
+  // only keys INSERT, and target-only keys take the BY SOURCE branch —
+  // open orders are deleted outright, everything else is tombstoned
+  // (cents = -1), exercising both BY SOURCE actions in one statement.
+  // Audited bit-exactly two independent ways: the one-pass CASE spec
+  // of the final state, and the procedural anti-join/union twin of
+  // the q269 machinery. Scale shape: the analyzer plans the BY SOURCE
+  // matrix as one full-outer join per group — delta-sized against the
+  // keyed table, the same economics as q380.
+  def mergeFullSync(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_scratch", classOf[graft.sources.ScratchCatalog].getName)
+    val orders = t(s, dir, "orders")
+      .select(
+        col("o_orderkey").as("k"),
+        col("o_orderstatus").as("st"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents")
+      )
+    val target0 = orders.filter(col("k") % 10 =!= 0)
+    val source = orders
+      .filter(col("k") % 13 =!= 0)
+      .select(
+        col("k"),
+        col("st"),
+        when(col("k") % 7 === 0, col("cents") + 100000L).otherwise(col("cents")).as("cents")
+      )
+    source.createOrReplaceTempView("graft_q395_source")
+    target0.createOrReplaceTempView("graft_q395_snap")
+    s.sql("DROP TABLE IF EXISTS graft_scratch.db.sync_target")
+    s.sql("CREATE TABLE graft_scratch.db.sync_target (k BIGINT, st STRING, cents BIGINT)")
+    s.sql("INSERT INTO graft_scratch.db.sync_target SELECT k, st, cents FROM graft_q395_snap")
+    s.sql("""MERGE INTO graft_scratch.db.sync_target t
+            |USING graft_q395_source s
+            |ON t.k = s.k
+            |WHEN MATCHED AND t.cents <> s.cents THEN UPDATE SET cents = s.cents
+            |WHEN NOT MATCHED THEN INSERT (k, st, cents) VALUES (s.k, s.st, s.cents)
+            |WHEN NOT MATCHED BY SOURCE AND t.st = 'O' THEN DELETE
+            |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET cents = -1
+            |""".stripMargin)
+    val merged = s.table("graft_scratch.db.sync_target")
+    // one-pass CASE spec of the final state
+    val direct = orders
+      .filter(!(col("k") % 10 === 0 && col("k") % 13 === 0)) // in neither side
+      .filter(!(col("k") % 10 =!= 0 && col("k") % 13 === 0 && col("st") === "O")) // expired
+      .select(
+        col("k"),
+        col("st"),
+        when(col("k") % 10 =!= 0 && col("k") % 13 === 0, lit(-1L)) // tombstoned
+          .when(col("k") % 7 === 0, col("cents") + 100000L)
+          .otherwise(col("cents"))
+          .as("cents")
+      )
+    // procedural twin: matched converge + source-only insert + stale handling
+    val matchedConv = target0
+      .join(source.select(col("k"), col("cents").as("sc")), Seq("k"))
+      .select(col("k"), col("st"), col("sc").as("cents"))
+    val inserted = source.join(target0.select("k"), Seq("k"), "left_anti")
+    val tgtOnly = target0.join(source.select("k"), Seq("k"), "left_anti")
+    val tombstoned = tgtOnly.filter(col("st") =!= "O").select(col("k"), col("st"), lit(-1L).as("cents"))
+    val applied = matchedConv.unionByName(inserted).unionByName(tombstoned)
+    def audit(df: DataFrame, n: String, ck: String) =
+      df.groupBy("st").agg(count(lit(1)).as(n), sum(col("cents")).as(ck))
+    audit(merged, "n_after", "ck_m")
+      .join(audit(direct, "n_direct", "ck_d"), Seq("st"))
+      .join(audit(applied, "n_proc", "ck_p"), Seq("st"))
+      .join(inserted.groupBy("st").agg(count(lit(1)).as("n_inserted")), Seq("st"), "left")
+      .join(tgtOnly.filter(col("st") === "O").groupBy("st").agg(count(lit(1)).as("n_expired")), Seq("st"), "left")
+      .join(tombstoned.groupBy("st").agg(count(lit(1)).as("n_tombstoned")), Seq("st"), "left")
+      .select(
+        col("st").as("o_orderstatus"),
+        col("n_after"),
+        coalesce(col("n_inserted"), lit(0L)).as("n_inserted"),
+        coalesce(col("n_expired"), lit(0L)).as("n_expired_deleted"),
+        coalesce(col("n_tombstoned"), lit(0L)).as("n_tombstoned"),
+        (col("n_after") === col("n_direct") && col("ck_m") === col("ck_d")).cast("long").as("eq_declarative"),
+        (col("n_after") === col("n_proc") && col("ck_m") === col("ck_p")).cast("long").as("eq_procedural")
+      )
+      .orderBy("o_orderstatus")
+  }
+
+  // VACUUM pin-EXPIRY contract — q379's complement, the retention
+  // contract's other half: q379 proves pinned reads survive a vacuum;
+  // THIS proves an EXPIRED version's AS-OF read fails LOUDLY after its
+  // files are reclaimed — refused at the manifest gate with the
+  // missing-file evidence in hand, never answered from whatever files
+  // happen to survive. The silent-partial hazard is made concrete:
+  // v2's manifest spans a reclaimed generation (g1) and a surviving
+  // one (g2), so an unguarded read would return g2's rows as if they
+  // were the whole version — n_rows_naive records exactly that wrong
+  // answer next to the refusal that prevents it. Three real
+  // generations (small-file write → append → compaction rewrite of
+  // g1), manifests as the metadata layer, retention pins v3 only;
+  // required/reclaimable classification, physical delete, and the
+  // post-vacuum census are all manifest-cardinality driver work; the
+  // surviving pin is re-answered bit-identically (eq_after_vacuum,
+  // earned). The guard is the lakehouse read contract: check the
+  // pinned manifest's files against the live listing BEFORE answering.
+  def vacuumPinExpiry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sf = new java.io.File(dir).getName
+    val base = s"/tmp/graft_vacuum_expiry/$sf"
+    val orders = t(s, dir, "orders")
+    val ow = org.apache.spark.sql.SaveMode.Overwrite
+    orders
+      .filter(col("o_orderdate") < lit("1998-01-01"))
+      .repartition(8, col("o_orderkey"))
+      .write.mode(ow).parquet(s"$base/g1")
+    orders
+      .filter(col("o_orderdate") >= lit("1998-01-01") && col("o_orderdate") < lit("1999-01-01"))
+      .repartition(4, col("o_orderkey"))
+      .write.mode(ow).parquet(s"$base/g2")
+    // the compactor rewrites g1 (same rows, 2 files) — v3's swap
+    s.read.parquet(s"$base/g1").repartition(2, col("o_orderkey")).write.mode(ow).parquet(s"$base/g3")
+    def inv(g: String): DataFrame = s.read
+      .parquet(s"$base/$g")
+      .select(lit(g).as("dir"), col("_metadata.file_name").as("file_name"), col("_metadata.file_size").as("file_size"))
+      .distinct()
+    // v1 = g1; v2 = g1 + the append (g1 ∪ g2); v3 = the compaction
+    // swap + append (g3 ∪ g2). Retention pins v3 ONLY; v1/v2 expire.
+    val man = graft.sinks.RetryingSink.snapshotParquet(
+      inv("g1").withColumn("version", lit(1))
+        .unionByName(inv("g1").withColumn("version", lit(2)))
+        .unionByName(inv("g2").withColumn("version", lit(2)))
+        .unionByName(inv("g3").withColumn("version", lit(3)))
+        .unionByName(inv("g2").withColumn("version", lit(3))),
+      s"$base/manifests"
+    )
+    val pins = Seq(3)
+    val required = man.filter(col("version").isin(pins: _*)).select("dir", "file_name").distinct()
+    def manifestFiles(v: Int): Seq[(String, String)] = man
+      .filter(col("version") === v)
+      .select("dir", "file_name")
+      .distinct()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSeq
+    // the GUARDED pinned read: refuse unless every manifest file is live
+    def guardedRead(v: Int): Either[Long, (Long, Long)] = {
+      val files = manifestFiles(v)
+      val missing = files.count { case (g, f) => !new java.io.File(s"$base/$g/$f").exists() }
+      if (missing > 0) Left(missing.toLong)
+      else {
+        val dirs = files.map(_._1).distinct.sorted
+        val row = s.read
+          .parquet(dirs.map(g => s"$base/$g"): _*)
+          .select(col("o_orderkey"), col("_metadata.file_name").as("file_name"))
+          .join(
+            broadcast(man.filter(col("version") === v).select("file_name").distinct()),
+            Seq("file_name"),
+            "left_semi"
+          )
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("ck"))
+          .collect()(0)
+        Right((row.getLong(0), row.getLong(1)))
+      }
+    }
+    // what an UNGUARDED read would answer: whatever manifest files
+    // still exist — the silent-partial hazard, quantified
+    def naiveRows(v: Int): Long = {
+      val live = manifestFiles(v).filter { case (g, f) => new java.io.File(s"$base/$g/$f").exists() }
+      if (live.isEmpty) 0L
+      else {
+        val dirs = live.map(_._1).distinct.sorted
+        val names = live.map(_._2)
+        s.read
+          .parquet(dirs.map(g => s"$base/$g"): _*)
+          .select(col("o_orderkey"), col("_metadata.file_name").as("file_name"))
+          .filter(col("file_name").isin(names: _*))
+          .count()
+      }
+    }
+    val before3 = guardedRead(3)
+    // VACUUM: delete every file no PINNED manifest references
+    man
+      .select("dir", "file_name")
+      .distinct()
+      .join(required, Seq("dir", "file_name"), "left_anti")
+      .collect()
+      .foreach(r => new java.io.File(s"$base/${r.getString(0)}/${r.getString(1)}").delete())
+    s.catalog.refreshByPath(base)
+    val rows = Seq(1, 2, 3).map { v =>
+      val files = manifestFiles(v)
+      guardedRead(v) match {
+        case Left(missing) =>
+          (v, 0L, files.size.toLong, missing, 1L, Some(naiveRows(v)), None: Option[Long], None: Option[Long], None: Option[Long])
+        case Right((n, ck)) =>
+          val eq = if (Right((n, ck)) == before3) 1L else 0L
+          (v, 1L, files.size.toLong, 0L, 0L, None: Option[Long], Some(n), Some(ck), Some(eq))
+      }
+    }
+    rows.toDF(
+      "version",
+      "pinned",
+      "n_manifest_files",
+      "n_files_missing",
+      "refused",
+      "n_rows_naive",
+      "n_rows_guarded",
+      "key_checksum",
+      "eq_after_vacuum"
+    )
+  }
+
+  // Hilbert layout ENACTED — q388 priced the Hilbert layout from
+  // logical cells; this closes the advisor→layout loop by physically
+  // WRITING it and measuring the win on REAL files: orders land one
+  // parquet file per 64-index Hilbert run (repartition on the shared-
+  // SQL curve key, partitionBy the file cell — the OPTIMIZE job's
+  // output shape), the box query's pruning is then measured from the
+  // files themselves (_metadata-keyed per-file min/max zone maps — the
+  // stats a lakehouse scan prunes with), and the date-major strawman
+  // is enacted identically. advisor_eq is the earned bridge: the
+  // measured per-file census must equal q388's logical prediction
+  // EXACTLY, file for file, row for row — the advisor's promise tested
+  // against physical truth. Scale shape: one curve-keyed shuffle per
+  // layout (the rewrite a real OPTIMIZE pays once), zone maps at file
+  // cardinality, and the measured scan_permille is the fraction of the
+  // table a pruned box scan actually reads forever after.
+  def hilbertEnact(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SpaceFill
+    val scratch = graft.operators.Scratch.dir("graft-hilbert-enact")
+    var cells = t(s, dir, "orders")
+      .select(
+        expr("least(datediff(o_orderdate, DATE'1992-01-01') div 64, 63)").cast("long").as("db"),
+        expr("least(CAST(floor(o_totalprice / 10000) AS BIGINT), 63)").as("pb")
+      )
+      .withColumn("x0", col("db"))
+      .withColumn("y0", col("pb"))
+      .withColumn("hd", lit(0L))
+    SpaceFill.levels(6).zipWithIndex.foreach { case (sv, k) =>
+      val (nx, ny, dt) = SpaceFill.hilbertStep(sv, s"x$k", s"y$k")
+      cells = cells
+        .withColumn(s"x${k + 1}", expr(nx))
+        .withColumn(s"y${k + 1}", expr(ny))
+        .withColumn("hd", col("hd") + expr(dt))
+    }
+    val keyed = cells
+      .select(
+        col("db"),
+        col("pb"),
+        expr("hd div 64").as("hfile"),
+        expr("(db * 64 + pb) div 64").as("linfile")
+      )
+      .persist()
+    val inBox = col("db").between(10, 19) && col("pb").between(10, 19)
+    val rowsMatched = keyed.filter(inBox).count()
+    try {
+      def enact(fileCol: String, name: String): DataFrame = {
+        keyed
+          .select(col("db"), col("pb"), col(fileCol).as("fcell"))
+          .repartition(col("fcell"))
+          .write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("fcell")
+          .parquet(s"$scratch/$name")
+        // MEASURED: per-file zone maps from the physical files
+        val zone = s.read
+          .parquet(s"$scratch/$name")
+          .groupBy(col("_metadata.file_path").as("f"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            min(col("db")).as("lo_d"),
+            max(col("db")).as("hi_d"),
+            min(col("pb")).as("lo_p"),
+            max(col("pb")).as("hi_p")
+          )
+        val touched = col("hi_d") >= 10 && col("lo_d") <= 19 && col("hi_p") >= 10 && col("lo_p") <= 19
+        val measured = zone.agg(
+          count(lit(1)).as("n_files"),
+          sum(touched.cast("long")).as("files_touched"),
+          sum(when(touched, col("n_rows")).otherwise(0L)).as("rows_scanned"),
+          sum(col("n_rows")).as("rows_total")
+        )
+        // PREDICTED: q388's logical cell census for the same layout
+        val predicted = keyed
+          .groupBy(col(fileCol).as("f"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            min(col("db")).as("lo_d"),
+            max(col("db")).as("hi_d"),
+            min(col("pb")).as("lo_p"),
+            max(col("pb")).as("hi_p")
+          )
+          .agg(
+            count(lit(1)).as("p_files"),
+            sum(touched.cast("long")).as("p_touched"),
+            sum(when(touched, col("n_rows")).otherwise(0L)).as("p_scanned"),
+            sum(col("n_rows")).as("p_total")
+          )
+        measured
+          .crossJoin(broadcast(predicted))
+          .select(
+            lit(name).as("layout"),
+            col("n_files"),
+            col("files_touched"),
+            col("rows_total"),
+            col("rows_scanned"),
+            lit(rowsMatched).as("rows_matched"),
+            expr("rows_scanned * 1000 div rows_total").as("scan_permille"),
+            (col("n_files") === col("p_files") && col("files_touched") === col("p_touched") &&
+              col("rows_scanned") === col("p_scanned") && col("rows_total") === col("p_total"))
+              .cast("long")
+              .as("advisor_eq")
+          )
+      }
+      enact("hfile", "hilbert").unionByName(enact("linfile", "date_major")).orderBy("layout")
+    } finally keyed.unpersist()
   }
 }

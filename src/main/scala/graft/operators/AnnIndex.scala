@@ -124,4 +124,23 @@ object AnnIndex {
 
   private val baseCache = new ConcurrentHashMap[String, Similarity.IvfPqIndex]()
   private val appendedCache = new ConcurrentHashMap[String, Similarity.IvfPqIndexPaths]()
+
+  /** [[appendedStored]] after the nightly compaction: the base+delta
+    * files of the two corpus-cardinality tables folded into one
+    * cell-clustered file each through [[Similarity.compactIndex]];
+    * quantizers untouched. Built once per dir and shared — q393's
+    * serve and its spec audits both read this.
+    */
+  def compactedStored(s: SparkSession, dir: String): Similarity.IvfPqIndexPaths =
+    compactedCache.computeIfAbsent(
+      dir,
+      _ =>
+        Similarity.compactIndex(
+          s,
+          appendedStored(s, dir),
+          Similarity.IvfPqIndexPaths(Scratch.dir("graft-annindex-compacted"))
+        )
+    )
+
+  private val compactedCache = new ConcurrentHashMap[String, Similarity.IvfPqIndexPaths]()
 }

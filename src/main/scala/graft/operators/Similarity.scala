@@ -933,6 +933,49 @@ object Similarity {
     dest
   }
 
+  /** COMPACT a stored index — the verb after [[appendToIndex]]: daily
+    * appends grow the two corpus-cardinality tables by delta FILES
+    * forever, and the nightly maintenance job folds them back into few
+    * large, cell-clustered files. Content is untouched by contract —
+    * the rewrite is `read(base ∪ deltas) → repartitionByRange(cluster
+    * key) → overwrite` — so a serve from the compacted index is
+    * bit-identical to one from the fragmented index (spec-asserted),
+    * while the file census shrinks and the layout regains locality
+    * (corpus_cells clustered by coarse cell — the key every probe's
+    * candidate join hits; pq_codes by (nid, sub) — the ADC join's
+    * access path). Quantizers pass through verbatim: compaction, like
+    * append and erasure, NEVER retrains. At 100 TB this is
+    * delta+base-sized IO once, against unbounded small-file listing
+    * cost every query forever — the same economics as q192's parquet
+    * compaction, applied to the index artifacts.
+    */
+  def compactIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      src: IvfPqIndexPaths,
+      dest: IvfPqIndexPaths,
+      nFiles: Int = 1
+  ): IvfPqIndexPaths = {
+    graft.sinks.RetryingSink.overwriteParquet(spark.read.parquet(src.centroids), dest.centroids)
+    graft.sinks.RetryingSink.overwriteParquet(spark.read.parquet(src.codebooks), dest.codebooks)
+    graft.sinks.RetryingSink.overwriteParquet(
+      spark.read.parquet(src.corpusCells).repartitionByRange(nFiles, col("ccell"), col("nid")),
+      dest.corpusCells
+    )
+    graft.sinks.RetryingSink.overwriteParquet(
+      spark.read.parquet(src.pqCodes).repartitionByRange(nFiles, col("nid"), col("sub")),
+      dest.pqCodes
+    )
+    dest
+  }
+
+  /** Parquet data-file count of one stored-index table — the census a
+    * compaction job reports (metadata-cardinality driver work).
+    */
+  def dataFileCount(path: String): Long = {
+    val fs = new java.io.File(path).listFiles()
+    if (fs == null) 0L else fs.count(f => f.isFile && f.getName.endsWith(".parquet")).toLong
+  }
+
   def pqTopK(
       vecs: DataFrame,
       id: Column,

@@ -40,11 +40,43 @@ object SizeGate {
     */
   val MaxBroadcastRows: Long = 1L << 20
 
+  /** [[countsJoin]]'s result with the cache handle exposed: `table` is
+    * the persisted count table the gate counted and the join reads —
+    * the CALLER owns its lifetime and must [[release]] it once the
+    * join's consumer has materialized (the persist cannot be dropped
+    * inside the gate: the join plan still reads it lazily).
+    */
+  final case class GatedJoin(joined: DataFrame, table: DataFrame, broadcastChosen: Boolean) {
+    def release(): Unit = { table.unpersist(); () }
+  }
+
   /** Join `counts` (an n-gram count/model table) onto `stream` (the
     * exploded corpus/test token stream) on `keys`, picking the
     * physical strategy by the table's true cardinality. The table is
     * persisted so the gate's count and the join read one
-    * materialization.
+    * materialization; the returned handle lets the caller unpersist it
+    * after the consumer materializes.
+    */
+  def countsJoinGated(
+      stream: DataFrame,
+      counts: DataFrame,
+      keys: Seq[String],
+      how: String = "inner",
+      maxBroadcastRows: Long = MaxBroadcastRows
+  ): GatedJoin = {
+    val table = counts.persist()
+    val rows = table.count()
+    if (rows <= maxBroadcastRows) GatedJoin(stream.join(broadcast(table), keys, how), table, broadcastChosen = true)
+    else GatedJoin(stream.join(table.hint("merge"), keys, how), table, broadcastChosen = false)
+  }
+
+  /** [[countsJoinGated]] without the handle, for callers that return a
+    * lazy plan and cannot know when it materializes (the query
+    * registry). API OBLIGATION: the session must clear the persisted
+    * table afterwards — `spark.catalog.clearCache()` per query, as
+    * Verify/Bench do — or long-lived sessions accumulate executor
+    * storage; library callers who can see materialization should use
+    * [[countsJoinGated]] and `release()` instead.
     */
   def countsJoin(
       stream: DataFrame,
@@ -52,10 +84,6 @@ object SizeGate {
       keys: Seq[String],
       how: String = "inner",
       maxBroadcastRows: Long = MaxBroadcastRows
-  ): DataFrame = {
-    val table = counts.persist()
-    val rows = table.count()
-    if (rows <= maxBroadcastRows) stream.join(broadcast(table), keys, how)
-    else stream.join(table.hint("merge"), keys, how)
-  }
+  ): DataFrame =
+    countsJoinGated(stream, counts, keys, how, maxBroadcastRows).joined
 }

@@ -84,14 +84,21 @@ class ScratchCatalog extends TableCatalog with SupportsNamespaces {
     if (state == null) throw new NoSuchTableException(ident)
     changes.foreach {
       case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
-        val old = state.schema
-        state.rows = state.rows.map { r =>
+        // append-at-end only: an explicit AFTER/FIRST position would
+        // silently land at the end, so refuse it instead
+        require(add.position() == null, s"column position not supported: ${add.position()}")
+        val snap = state.snapshot
+        val old = snap.schema
+        val rows: Array[InternalRow] = snap.rows.map { r =>
           val values = new Array[Any](old.length + 1)
           var i = 0
           while (i < old.length) { values(i) = r.get(i, old(i).dataType); i += 1 }
-          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values): InternalRow
         }
-        state.schema = old.add(add.fieldNames()(0), add.dataType(), true)
+        // ONE volatile write: readers never see rows whose arity
+        // disagrees with the schema they read
+        state.snapshot =
+          ScratchCatalog.Snapshot(old.add(add.fieldNames()(0), add.dataType(), add.isNullable), rows)
       case other =>
         throw new UnsupportedOperationException(s"unsupported table change: $other")
     }
@@ -116,14 +123,21 @@ class ScratchCatalog extends TableCatalog with SupportsNamespaces {
 }
 
 object ScratchCatalog {
+  /** One immutable (schema, rows) pair — published as a unit so a
+    * reader can never observe rows whose arity disagrees with the
+    * schema it just read (alterTable swaps both in one write).
+    */
+  final case class Snapshot(schema: StructType, rows: Array[InternalRow])
+
   /** Driver-authoritative table state, shared across catalog
     * instantiations in the JVM (Spark constructs the catalog class
-    * per session reference). `rows` is replaced wholesale by commits
-    * — @volatile gives readers the atomic swap a table swap needs.
+    * per session reference). The snapshot is replaced wholesale by
+    * commits/alters — @volatile gives readers the atomic swap a table
+    * swap needs.
     */
   final class TableState(schema0: StructType) {
-    @volatile var schema: StructType = schema0
-    @volatile var rows: Array[InternalRow] = Array.empty
+    @volatile var snapshot: Snapshot = Snapshot(schema0, Array.empty)
+    def schema: StructType = snapshot.schema
   }
   private val store = new java.util.concurrent.ConcurrentHashMap[String, TableState]()
 }
@@ -169,12 +183,15 @@ private[sources] class ScratchScan(state: ScratchCatalog.TableState)
     extends ScanBuilder
     with Scan
     with Batch {
+  // ONE snapshot read at builder construction: schema and rows are
+  // guaranteed consistent even if a commit/alter lands mid-planning
+  private val snap = state.snapshot
   override def build(): Scan = this
-  override def readSchema(): StructType = state.schema
+  override def readSchema(): StructType = snap.schema
   override def toBatch: Batch = this
   // rows snapshot at planning time, shipped inside the partition
   override def planInputPartitions(): Array[InputPartition] =
-    Array(ScratchPartition(state.rows))
+    Array(ScratchPartition(snap.rows))
   override def createReaderFactory(): PartitionReaderFactory = new ScratchReaderFactory
 }
 
@@ -207,7 +224,9 @@ private[sources] class ScratchWrite(state: ScratchCatalog.TableState, replace: B
     new ScratchWriterFactory(state.schema)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val incoming = messages.flatMap(_.asInstanceOf[ScratchCommit].rows)
-    state.rows = if (replace) incoming else state.rows ++ incoming
+    val snap = state.snapshot
+    state.snapshot =
+      ScratchCatalog.Snapshot(snap.schema, if (replace) incoming else snap.rows ++ incoming)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -230,16 +249,27 @@ private[sources] class ScratchWriterFactory(schema: StructType) extends DataWrit
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val buf = ArrayBuffer.empty[InternalRow]
+      // Spark reuses row buffers across `write` calls, so every
+      // reference-typed value must be deep-copied — not just strings:
+      // a BINARY/ARRAY/STRUCT/MAP column buffered by reference would
+      // silently corrupt committed rows when the buffer is recycled.
+      // Primitives and immutable boxes (Decimal wraps an immutable
+      // BigDecimal or a long) pass through.
+      private def copyValue(v: Any): Any = v match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
+        case b: Array[Byte] => b.clone()
+        case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+        case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
+        case r: InternalRow => r.copy()
+        case other => other
+      }
       override def write(row: InternalRow): Unit = {
         val base = row.numFields - schema.length // 1 iff the op column leads
         require(base == 0 || base == 1, s"row arity ${row.numFields} vs table arity ${schema.length}")
         val values = new Array[Any](schema.length)
         var i = 0
         while (i < schema.length) {
-          values(i) = row.get(i + base, schema(i).dataType) match {
-            case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
-            case other => other
-          }
+          values(i) = copyValue(row.get(i + base, schema(i).dataType))
           i += 1
         }
         buf += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)

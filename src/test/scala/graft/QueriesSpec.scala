@@ -3289,4 +3289,76 @@ class QueriesSpec extends SparkSpec {
     val g1 = new java.io.File(s"/tmp/graft_vacuum/${new java.io.File(sfDir).getName}/g1")
     assert(g1.listFiles().count(_.getName.endsWith(".parquet")) === 0, "vacuum left expired data files on disk")
   }
+
+  test("vacuum pin expiry (q396): expired reads refuse loudly with evidence, the naive answer would be partial, pins survive") {
+    val rows = Queries.vacuumPinExpiry(spark, sfDir).collect()
+    val byV = rows.map(r => r.getAs[Int]("version") -> r).toMap
+    // both expired versions REFUSE — and each refusal carries the
+    // missing-file census that justifies it
+    Seq(1, 2).foreach { v =>
+      assert(byV(v).getAs[Long]("refused") === 1L, s"expired v$v answered instead of refusing")
+      assert(byV(v).getAs[Long]("n_files_missing") > 0L, s"v$v refused without missing-file evidence")
+      assert(byV(v).isNullAt(byV(v).fieldIndex("n_rows_guarded")), s"v$v returned rows despite refusing")
+    }
+    // v1's files are all gone; v2 spans a surviving generation, so the
+    // UNGUARDED read would have answered with a silently partial row
+    // set — strictly more than v1's nothing, strictly less than v3
+    assert(byV(1).getAs[Long]("n_rows_naive") === 0L)
+    val naive2 = byV(2).getAs[Long]("n_rows_naive")
+    assert(naive2 > 0L && naive2 < byV(3).getAs[Long]("n_rows_guarded"), "v2's naive answer is not the partial hazard")
+    // the surviving pin answers bit-identically with zero missing files
+    assert(byV(3).getAs[Long]("refused") === 0L)
+    assert(byV(3).getAs[Long]("n_files_missing") === 0L)
+    assert(byV(3).getAs[Long]("eq_after_vacuum") === 1L)
+  }
+
+  test("merge full sync (q395): the BY SOURCE clause matrix converges the table and both audits agree") {
+    val rows = Queries.mergeFullSync(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("eq_declarative") === 1L, s"${r.getString(0)}: declarative state diverged from the CASE spec")
+      assert(r.getAs[Long]("eq_procedural") === 1L, s"${r.getString(0)}: declarative state diverged from the anti-join twin")
+    }
+    // the fixture exercises every clause somewhere in the matrix
+    assert(rows.map(_.getAs[Long]("n_inserted")).sum > 0L, "no NOT MATCHED insert fired")
+    assert(rows.map(_.getAs[Long]("n_expired_deleted")).sum > 0L, "no BY SOURCE delete fired")
+    assert(rows.map(_.getAs[Long]("n_tombstoned")).sum > 0L, "no BY SOURCE update fired")
+  }
+
+  test("hilbert enacted (q397): physical zone maps equal the advisor's prediction and hilbert prunes no worse than date-major") {
+    val rows = Queries.hilbertEnact(spark, sfDir).collect()
+    val byL = rows.map(r => r.getString(0) -> r).toMap
+    assert(byL.keySet === Set("hilbert", "date_major"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("advisor_eq") === 1L, s"${r.getString(0)}: physical files diverged from the advisor's cells")
+      // zone-map pruning is sound: every true match is inside a touched file
+      assert(r.getAs[Long]("rows_scanned") >= r.getAs[Long]("rows_matched"))
+      assert(r.getAs[Long]("rows_total") >= r.getAs[Long]("rows_scanned"))
+    }
+    // the continuity argument made physical: the Hilbert layout's box
+    // scan reads no more rows than the date-major strawman's
+    assert(
+      byL("hilbert").getAs[Long]("rows_scanned") <= byL("date_major").getAs[Long]("rows_scanned"),
+      "hilbert layout scanned more than date-major on the box query"
+    )
+  }
+
+  test("ann compact + retrain trigger (q393): contract flags earned, drift signals consistent with the decision") {
+    val r = Queries.annCompactRetrain(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("files_reduced") === 1L, "compaction did not reduce the file census")
+    assert(r.getAs[Long]("serve_eq_appended") === 1L, "compacted serve diverged from the appended serve")
+    val drift = r.getAs[Long]("drift_l1_permille")
+    val shift = r.getAs[Long]("centroid_shift_fp")
+    assert(drift >= 0L && drift <= 2000L, s"assignment drift out of range: $drift")
+    assert(shift >= 0L)
+    val recommended = r.getAs[Long]("retrain_recommended")
+    assert(recommended === (if (drift >= 25L || shift >= 4096L) 1L else 0L), "decision disagrees with its own signals")
+    // recall_recovered is the AUDIT of the recommendation — it must be
+    // exactly the comparison of the two measured recalls, not a wish
+    val rec = r.getAs[Long]("recall_recovered")
+    val stale = r.getAs[Long]("recall_stale_permille")
+    val fresh = r.getAs[Long]("recall_retrained_permille")
+    assert(rec === (if (fresh >= stale) 1L else 0L))
+    assert(stale >= 0L && stale <= 1000L && fresh >= 0L && fresh <= 1000L)
+  }
 }

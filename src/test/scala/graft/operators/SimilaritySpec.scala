@@ -70,6 +70,38 @@ class SimilaritySpec extends SparkSpec {
     assert(joined.filter($"sim" =!= $"sim1").count() === 0, "a surviving pair's score drifted through the append")
   }
 
+  test("compacted stored index (q393): content identical, serve bit-identical, file census strictly shrinks") {
+    val appended = AnnIndex.appendedStored(spark, sfDir)
+    val compacted = AnnIndex.compactedStored(spark, sfDir)
+    // compaction is CONTENT-NEUTRAL: both corpus-cardinality tables
+    // hold exactly the same row multisets after the rewrite
+    def asSet(path: String, cols: String*): Set[Seq[Any]] =
+      spark.read.parquet(path).select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(asSet(compacted.corpusCells, "nid", "ccell") === asSet(appended.corpusCells, "nid", "ccell"))
+    assert(asSet(compacted.pqCodes, "nid", "sub", "cell") === asSet(appended.pqCodes, "nid", "sub", "cell"))
+    // the point of the job: base + delta files fold into fewer files
+    assert(
+      Similarity.dataFileCount(compacted.corpusCells) < Similarity.dataFileCount(appended.corpusCells),
+      "compaction did not reduce the corpus_cells file count"
+    )
+    assert(
+      Similarity.dataFileCount(compacted.pqCodes) < Similarity.dataFileCount(appended.pqCodes),
+      "compaction did not reduce the pq_codes file count"
+    )
+    // and the serve is bit-identical across the rewrite, pair by pair
+    // (k large enough to disable the top-k cut — FULL candidate sets)
+    val queries = vecs.filter($"vec_id" < 50)
+    val s1 = Similarity
+      .servedIvfPqTopK(queries, $"vec_id", $"embedding", appended, nprobe = 4, k = 1 << 20)
+      .select($"qid", $"nid", $"sim".as("sim1"))
+    val s2 = Similarity
+      .servedIvfPqTopK(queries, $"vec_id", $"embedding", compacted, nprobe = 4, k = 1 << 20)
+      .select($"qid", $"nid", $"sim")
+    val joined = s2.join(s1, Seq("qid", "nid"), "full")
+    assert(joined.filter($"sim".isNull || $"sim1".isNull).count() === 0, "compaction changed the candidate set")
+    assert(joined.filter($"sim" =!= $"sim1").count() === 0, "a pair's score drifted through the compaction rewrite")
+  }
+
   test("incremental SemDeDup (q378): join/found/singleton verdicts, and store ∪ kept batch ≡ full frozen-centroid recompute") {
     // old store: two clusters, each one keeper (1, 2) and one dropped
     // duplicate (3, 4); the batch exercises all three arrival shapes

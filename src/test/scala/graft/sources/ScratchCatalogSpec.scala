@@ -63,6 +63,71 @@ class ScratchCatalogSpec extends SparkSpec {
     assert(rows === Seq((1L, "std"), (2L, null), (3L, "gold")))
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE: stale target rows take the BY SOURCE branch (q395)") {
+    spark.conf.set("spark.sql.catalog.graft_scratch", classOf[ScratchCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft_scratch.db.spec4")
+    spark.sql("CREATE TABLE graft_scratch.db.spec4 (k BIGINT, st STRING, cents BIGINT)")
+    // k=1 matched-changed, k=2 matched-unchanged, k=3 stale 'O' (expire),
+    // k=4 stale non-'O' (tombstone), k=5 arrives source-only (insert)
+    spark.sql("INSERT INTO graft_scratch.db.spec4 VALUES (1, 'A', 10), (2, 'B', 20), (3, 'O', 30), (4, 'F', 40)")
+    spark
+      .sql(
+        "SELECT 1 AS k, 'A' AS st, CAST(11 AS BIGINT) AS cents " +
+          "UNION ALL SELECT 2, 'B', 20 UNION ALL SELECT 5, 'C', 50"
+      )
+      .createOrReplaceTempView("scratch_spec4_src")
+    spark.sql("""MERGE INTO graft_scratch.db.spec4 t USING scratch_spec4_src s ON t.k = s.k
+                |WHEN MATCHED AND t.cents <> s.cents THEN UPDATE SET cents = s.cents
+                |WHEN NOT MATCHED THEN INSERT (k, st, cents) VALUES (s.k, s.st, s.cents)
+                |WHEN NOT MATCHED BY SOURCE AND t.st = 'O' THEN DELETE
+                |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET cents = -1
+                |""".stripMargin)
+    assert(
+      rows("graft_scratch.db.spec4") ===
+        Seq((1L, "A", 11L), (2L, "B", 20L), (4L, "F", -1L), (5L, "C", 50L))
+    )
+  }
+
+  test("container-typed columns survive the write buffer: values are deep-copied, not referenced") {
+    spark.conf.set("spark.sql.catalog.graft_scratch", classOf[ScratchCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft_scratch.db.spec5")
+    spark.sql(
+      "CREATE TABLE graft_scratch.db.spec5 " +
+        "(k BIGINT, b BINARY, a ARRAY<BIGINT>, m MAP<STRING, BIGINT>, s STRUCT<x: BIGINT, y: STRING>)"
+    )
+    // enough rows that Spark's reused row buffers would corrupt
+    // reference-held values if the writer did not copy them
+    spark.sql(
+      """INSERT INTO graft_scratch.db.spec5
+        |SELECT id, encode(CAST(id AS STRING), 'UTF-8'), array(id, id * 2),
+        |  map('v', id), named_struct('x', id, 'y', CAST(id AS STRING))
+        |FROM range(0, 50)""".stripMargin
+    )
+    val got = spark
+      .table("graft_scratch.db.spec5")
+      .selectExpr("k", "decode(b, 'UTF-8') AS bs", "a[1] AS a2", "m['v'] AS mv", "s.x AS sx", "s.y AS sy")
+      .orderBy("k")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))
+    assert(got.length === 50)
+    got.foreach { case (k, bs, a2, mv, sx, sy) =>
+      assert(bs === k.toString, s"binary corrupted at k=$k")
+      assert(a2 === k * 2, s"array corrupted at k=$k")
+      assert(mv === k, s"map corrupted at k=$k")
+      assert(sx === k && sy === k.toString, s"struct corrupted at k=$k")
+    }
+  }
+
+  test("ALTER ADD COLUMN with an explicit position is refused, not silently mislaid") {
+    spark.conf.set("spark.sql.catalog.graft_scratch", classOf[ScratchCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft_scratch.db.spec6")
+    spark.sql("CREATE TABLE graft_scratch.db.spec6 (k BIGINT, st STRING)")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_scratch.db.spec6 ADD COLUMN early BIGINT FIRST")
+    }
+    assert(e.getMessage.toLowerCase.contains("position"))
+  }
+
   test("UPDATE and DELETE run through the same row-level replace") {
     spark.conf.set("spark.sql.catalog.graft_scratch", classOf[ScratchCatalog].getName)
     spark.sql("DROP TABLE IF EXISTS graft_scratch.db.spec2")
