@@ -97,6 +97,7 @@ object Bench {
     warmBuild("annErased")(graft.operators.AnnIndex.erasedStored(spark, sfDir))
     warmBuild("annBase")(graft.operators.AnnIndex.storedBase(spark, sfDir))
     warmBuild("annAppended")(graft.operators.AnnIndex.appendedStored(spark, sfDir))
+    warmBuild("annCompacted")(graft.operators.AnnIndex.compactedStored(spark, sfDir))
 
     def timedOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val s0 = System.nanoTime()

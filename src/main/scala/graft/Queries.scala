@@ -12791,18 +12791,20 @@ object Queries {
     // the compaction contract, earned: bit-identical serve across the rewrite
     val stale = served(compacted)
     val serveEq = if (stale == served(appended)) 1L else 0L
-    // brute-force@3 ground truth on the query sample
+    // brute-force@3 ground truth on the query sample; every frame here
+    // is k-bounded (≤ 3·|queries| rows), so recall is driver set math
+    // against collections already in hand — no serve runs twice
     val truth = Similarity
       .bruteForceTopK(emb, col("vec_id"), col("embedding"), isQ, k = 3)
       .select(col("qid"), col("nid"))
-      .persist()
-    val nTruth = truth.count()
-    def recallPermille(servedDf: DataFrame): Long =
-      servedDf.join(truth, Seq("qid", "nid"), "left_semi").count() * 1000L / nTruth
-    val recallStale = recallPermille(serve(compacted))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    def recallPermille(pairs: Set[(Long, Long, Double, Int)]): Long =
+      pairs.count { case (q, n, _, _) => truth((q, n)) } * 1000L / truth.size
+    val recallStale = recallPermille(stale)
     val fresh = AnnIndex.stored(s, dir) // the retrain: full-corpus quantizers
-    val recallFresh = recallPermille(serve(fresh.paths))
-    truth.unpersist()
+    val recallFresh = recallPermille(served(fresh.paths))
     // assignment drift under the FROZEN quantizer (q265's argmax rule)
     val frozen = AnnIndex.storedBase(s, dir).coarse
     val halfNorm = frozen.map(c => c.map(x => x * x).reduceLeft(_ + _) / 2.0)
