@@ -3305,7 +3305,7 @@ object Oracles {
          |  FROM it JOIN sz x ON it.d1 = x.doc_id JOIN sz y ON it.d2 = y.doc_id
          |  WHERE inter * 2 >= x.n_sh + y.n_sh - inter),
          |ssig AS (SELECT doc_id, simhash FROM ($simhashSql)),
-         |sblk AS (SELECT doc_id, simhash, bi, (simhash >> (bi * 8)) & 255 AS bv
+         |sblk AS MATERIALIZED (SELECT doc_id, simhash, bi, (simhash >> (bi * 8)) & 255 AS bv
          |  FROM ssig, (SELECT unnest(generate_series(0, 3)) AS bi)),
          |scand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
          |  FROM sblk a JOIN sblk b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
@@ -4682,18 +4682,18 @@ object Oracles {
          |ex AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM documents a
          |  JOIN documents b ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id),
          |sg AS (SELECT doc_id, simhash FROM ($simhashSql)),
-         |sblk AS (SELECT doc_id, simhash, bi, (simhash >> (bi * 8)) & 255 AS bv
+         |sblk AS MATERIALIZED (SELECT doc_id, simhash, bi, (simhash >> (bi * 8)) & 255 AS bv
          |  FROM sg, (SELECT unnest(generate_series(0, 3)) AS bi)),
          |sm AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
          |  FROM sblk a JOIN sblk b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
          |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
          |$winnowRenamed,
          |wstop AS (SELECT fp FROM wfps GROUP BY fp HAVING count(*) > 20),
-         |wkept AS (SELECT doc_id, fp FROM wfps WHERE fp NOT IN (SELECT fp FROM wstop)),
+         |wkept AS MATERIALIZED (SELECT doc_id, fp FROM wfps WHERE fp NOT IN (SELECT fp FROM wstop)),
          |wn AS (SELECT a.doc_id AS d1, b.doc_id AS d2
          |  FROM wkept a JOIN wkept b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2 HAVING count(*) >= 5),
-         |u AS (
+         |u AS MATERIALIZED (
          |  SELECT '1_exact' AS m, d1, d2 FROM ex
          |  UNION SELECT '2_minhash', d1, d2 FROM mh
          |  UNION SELECT '3_simhash', d1, d2 FROM sm
@@ -6383,7 +6383,7 @@ object Oracles {
     */
   private lazy val histogramJoinSql: String = {
     def level(b: Int): String =
-      s"""l$b AS (SELECT e, cost, pe FROM (SELECT rj AS e, pc + err_fp AS cost, pe2 AS pe,
+      s"""l$b AS MATERIALIZED (SELECT e, cost, pe FROM (SELECT rj AS e, pc + err_fp AS cost, pe2 AS pe,
          |    row_number() OVER (PARTITION BY rj ORDER BY pc + err_fp, pe2) AS rn
          |  FROM pairs JOIN (SELECT e AS pe2, cost AS pc FROM l${b - 1}) ON ri - 1 = pe2) WHERE rn = 1)""".stripMargin
     val tn = Seq("nation", "customer", "orders_f")
@@ -6403,15 +6403,15 @@ object Oracles {
       .mkString("\nUNION ALL\n")
     s"""WITH sup AS (SELECT CAST(floor(o_totalprice / 10000) AS BIGINT) AS v, count(*) AS f
        |  FROM orders GROUP BY 1),
-       |pre AS (SELECT v, f, row_number() OVER (ORDER BY v) AS r,
+       |pre AS MATERIALIZED (SELECT v, f, row_number() OVER (ORDER BY v) AS r,
        |    CAST(sum(f) OVER (ORDER BY v) AS BIGINT) AS sf,
        |    CAST(sum(CAST(f AS HUGEINT) * f) OVER (ORDER BY v) AS HUGEINT) AS sf2 FROM sup),
-       |pairs AS (SELECT i.r AS ri, j.r AS rj,
+       |pairs AS MATERIALIZED (SELECT i.r AS ri, j.r AS rj,
        |    (j.sf2 - (i.sf2 - CAST(i.f AS HUGEINT) * i.f)) * 1048576
        |      - ((j.sf - (i.sf - i.f)) * (j.sf - (i.sf - i.f)) * 1048576) // (j.r - i.r + 1) AS err_fp
        |  FROM pre j JOIN pre i ON j.r >= i.r),
        |nm AS (SELECT max(r) AS n FROM pre),
-       |l1 AS (SELECT rj AS e, err_fp AS cost, 0 AS pe FROM pairs WHERE ri = 1),
+       |l1 AS MATERIALIZED (SELECT rj AS e, err_fp AS cost, 0 AS pe FROM pairs WHERE ri = 1),
        |${level(2)},
        |${level(3)},
        |${level(4)},
