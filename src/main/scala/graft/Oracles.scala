@@ -5705,6 +5705,30 @@ object Oracles {
          |  CAST(CASE WHEN rf.h >= rs.h THEN 1 ELSE 0 END AS BIGINT) AS recall_recovered
          |FROM dr, sh, nb, rs, rf""".stripMargin
     },
+    // the paired shadow comparison replayed: both serve mirrors, the
+    // per-query hit census from the brute truth, and the exact sign
+    // test — C(n,k) by the integral recurrence in a recursive HUGEINT
+    // CTE, denominator = the binomials' own sum (2^n), all integer
+    "q398_ann_rollout_gate" ->
+      s"""WITH RECURSIVE stale AS MATERIALIZED (SELECT qid, nid FROM (${annIvfPqSqlK(3, trainPred = "vid % 10 <> 7")}) t),
+         |fresh AS MATERIALIZED (SELECT qid, nid FROM ($annIvfPqSql) t),
+         |bt AS MATERIALIZED (SELECT qid, nid FROM (${annBruteSqlK(3)}) t),
+         |pq AS MATERIALIZED (SELECT bt.qid,
+         |    CAST(count(s.nid) AS BIGINT) AS hits_stale,
+         |    CAST(count(f.nid) AS BIGINT) AS hits_fresh
+         |  FROM bt LEFT JOIN stale s ON s.qid = bt.qid AND s.nid = bt.nid
+         |  LEFT JOIN fresh f ON f.qid = bt.qid AND f.nid = bt.nid
+         |  GROUP BY bt.qid),
+         |nn AS (SELECT CAST(sum(CASE WHEN hits_fresh > hits_stale THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+         |    CAST(sum(CASE WHEN hits_fresh < hits_stale THEN 1 ELSE 0 END) AS BIGINT) AS losses FROM pq),
+         |bin AS (SELECT CAST(0 AS BIGINT) AS k, CAST(1 AS HUGEINT) AS c, wins + losses AS n FROM nn
+         |  UNION ALL SELECT k + 1, c * (n - k) // (k + 1), n FROM bin WHERE k < n),
+         |pv AS (SELECT CAST((SELECT sum(c) FROM bin WHERE k >= (SELECT wins FROM nn)) * 1000000000
+         |    // (SELECT sum(c) FROM bin) AS BIGINT) AS p_value_nano)
+         |SELECT pq.qid, pq.hits_stale, pq.hits_fresh, pq.hits_fresh - pq.hits_stale AS delta,
+         |  nn.wins, nn.losses, pv.p_value_nano,
+         |  CAST(CASE WHEN nn.wins > nn.losses AND pv.p_value_nano < 50000000 THEN 1 ELSE 0 END AS BIGINT) AS promoted
+         |FROM pq, nn, pv ORDER BY qid""".stripMargin,
     // field-level lineage of the nested fixture report — plan
     // metadata, pinned literally (the q389 convention): struct paths,
     // the map key, the VARIANT path, and the whole-struct reference

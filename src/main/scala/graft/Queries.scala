@@ -13222,4 +13222,84 @@ object Queries {
       enact("hfile", "hilbert").unionByName(enact("linfile", "date_major")).orderBy("layout")
     } finally keyed.unpersist()
   }
+
+  // Retrain ROLLOUT gate — the verb after q393's recommendation: a
+  // drift trigger says "retrain", the rollout decides PROMOTE or
+  // ROLLBACK, and production decides it from a paired per-query
+  // shadow comparison, not an aggregate: the candidate (retrained)
+  // index serves the same query stream as the incumbent (frozen-
+  // quantizer, compacted) index, each query's recall@3 against the
+  // brute-force truth is compared pairwise, and the win/loss census
+  // feeds an EXACT sign test — p_value_nano = P(X >= wins | n, 1/2)
+  // in integer nanos from exact binomials (the C(n,k) recurrence in
+  // BigInt; the denominator 2^n is the same binomials' sum, so the
+  // arithmetic is integer end-to-end and the oracle replays it with a
+  // recursive CTE). Promotion requires strictly more wins than losses
+  // AND one-sided significance at 5% — on this corpus the retrain
+  // LOSES more queries than it wins (q393's recall_recovered = 0 seen
+  // per-query), so the gate's verdict is ROLLBACK: exactly the
+  // regression a blind "drift says retrain, ship it" pipeline would
+  // have deployed. Scale shape: both serves are the k-bounded stored-
+  // index probes; the paired census and sign test are driver
+  // arithmetic over |queries| rows.
+  def annRolloutGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.AnnIndex
+    val emb = t(s, dir, "embeddings")
+    val isQ = col("vec_id") < 50
+    val queries = emb.filter(isQ)
+    def servedPairs(paths: Similarity.IvfPqIndexPaths): Set[(Long, Long)] =
+      Similarity
+        .servedIvfPqTopK(queries, col("vec_id"), col("embedding"), paths, nprobe = 4, k = 3)
+        .select(col("qid"), col("nid"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+    val incumbent = servedPairs(AnnIndex.compactedStored(s, dir))
+    val candidate = servedPairs(AnnIndex.stored(s, dir).paths)
+    val truth = Similarity
+      .bruteForceTopK(emb, col("vec_id"), col("embedding"), isQ, k = 3)
+      .select(col("qid"), col("nid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val perQuery = truth
+      .groupBy(_._1)
+      .toSeq
+      .map { case (qid, ts) =>
+        val hitsStale = ts.count(incumbent.contains)
+        val hitsFresh = ts.count(candidate.contains)
+        (qid, hitsStale.toLong, hitsFresh.toLong, (hitsFresh - hitsStale).toLong)
+      }
+      .sortBy(_._1)
+    val wins = perQuery.count(_._4 > 0L).toLong
+    val losses = perQuery.count(_._4 < 0L).toLong
+    val n = (wins + losses).toInt
+    // exact one-sided sign test: P(X >= wins) over n fair coin flips,
+    // in integer nanos — C(n, k) by the integral recurrence, 2^n as
+    // the binomials' own sum, everything BigInt until the last floor
+    val pNano: Long =
+      if (n == 0) 1000000000L
+      else {
+        val binom = new Array[BigInt](n + 1)
+        binom(0) = BigInt(1)
+        (1 to n).foreach(k => binom(k) = binom(k - 1) * (n - k + 1) / k)
+        val tail = (wins.toInt to n).map(binom).sum
+        val total = binom.sum
+        (tail * BigInt(1000000000L) / total).toLong
+      }
+    val promoted = if (wins > losses && pNano < 50000000L) 1L else 0L
+    perQuery
+      .map { case (qid, hs, hf, d) => (qid, hs, hf, d, wins, losses, pNano, promoted) }
+      .toDF(
+        "qid",
+        "hits_stale",
+        "hits_fresh",
+        "delta",
+        "wins",
+        "losses",
+        "p_value_nano",
+        "promoted"
+      )
+      .orderBy("qid")
+  }
 }

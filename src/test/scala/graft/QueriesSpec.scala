@@ -3343,6 +3343,37 @@ class QueriesSpec extends SparkSpec {
     )
   }
 
+  test("ann rollout gate (q398): paired census is total, sign test exact vs Pascal's triangle, verdict consistent") {
+    val rows = Queries.annRolloutGate(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val hs = r.getAs[Long]("hits_stale"); val hf = r.getAs[Long]("hits_fresh")
+      assert(hs >= 0L && hs <= 3L && hf >= 0L && hf <= 3L)
+      assert(r.getAs[Long]("delta") === hf - hs)
+    }
+    val wins = rows.head.getAs[Long]("wins")
+    val losses = rows.head.getAs[Long]("losses")
+    val p = rows.head.getAs[Long]("p_value_nano")
+    val promoted = rows.head.getAs[Long]("promoted")
+    assert(rows.forall(r => r.getAs[Long]("wins") == wins && r.getAs[Long]("losses") == losses))
+    // the summary is exactly the per-query census
+    assert(wins === rows.count(_.getAs[Long]("delta") > 0L).toLong)
+    assert(losses === rows.count(_.getAs[Long]("delta") < 0L).toLong)
+    // sign test recomputed INDEPENDENTLY via Pascal's triangle
+    val n = (wins + losses).toInt
+    val expectedP =
+      if (n == 0) 1000000000L
+      else {
+        var row = Array(BigInt(1))
+        (1 to n).foreach { _ =>
+          row = (BigInt(1) +: (1 until row.length).map(i => row(i - 1) + row(i)) :+ BigInt(1)).toArray
+        }
+        (row.drop(wins.toInt).sum * BigInt(1000000000L) / row.sum).toLong
+      }
+    assert(p === expectedP, s"sign-test p-value drifted: $p vs $expectedP (wins=$wins losses=$losses)")
+    assert(promoted === (if (wins > losses && p < 50000000L) 1L else 0L))
+  }
+
   test("ann compact + retrain trigger (q393): contract flags earned, drift signals consistent with the decision") {
     val r = Queries.annCompactRetrain(spark, sfDir).collect()(0)
     assert(r.getAs[Long]("files_reduced") === 1L, "compaction did not reduce the file census")
