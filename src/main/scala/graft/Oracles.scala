@@ -5705,6 +5705,40 @@ object Oracles {
          |  CAST(CASE WHEN rf.h >= rs.h THEN 1 ELSE 0 END AS BIGINT) AS recall_recovered
          |FROM dr, sh, nb, rs, rf""".stripMargin
     },
+    // the evolved final state as one CASE pass (the q391 tier rule);
+    // eq_case earned in-engine, NULLS FIRST pins Spark's null order
+    "q399_merge_schema_evolution" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |fin AS (SELECT k, st,
+        |    CASE WHEN k % 4 = 0 THEN cents + 100000 ELSE cents END AS cents,
+        |    CASE WHEN k % 4 = 0 THEN
+        |      (CASE WHEN cents + 100000 >= 20000000 THEN 'gold' ELSE 'std' END) END AS tier
+        |  FROM o WHERE k % 10 <> 0 OR k % 4 = 0)
+        |SELECT tier, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS cents_checksum,
+        |  CAST(sum(k) AS BIGINT) AS key_checksum, CAST(1 AS BIGINT) AS eq_case
+        |FROM fin GROUP BY tier ORDER BY tier NULLS FIRST""".stripMargin,
+    // per-phase live census re-derived from the cohort predicates;
+    // eq_eager earned in-engine (DV-subtracted read vs full rewrite),
+    // amplification = rows an eager delete rewrites per tombstone row
+    "q400_deletion_vectors" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |ca AS (SELECT count(*) AS n FROM o WHERE k % 20 = 3),
+        |cb AS (SELECT count(*) AS n FROM o WHERE k % 20 = 7),
+        |e1 AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk, CAST(sum(cents) AS BIGINT) AS ck
+        |  FROM o WHERE k % 20 <> 3),
+        |e2 AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk, CAST(sum(cents) AS BIGINT) AS ck
+        |  FROM o WHERE k % 20 <> 3 AND k % 20 <> 7)
+        |SELECT '1_delete_dv' AS phase, e1.n AS n_live, e1.kk AS key_checksum, e1.ck AS cents_checksum,
+        |  (SELECT n FROM ca) AS n_dv_entries, CAST(1 AS BIGINT) AS eq_eager,
+        |  CAST(e1.n * 1000 // (SELECT n FROM ca) AS BIGINT) AS rewrite_amplification_permille
+        |FROM e1
+        |UNION ALL SELECT '2_stacked_dv', e2.n, e2.kk, e2.ck,
+        |  (SELECT n FROM ca) + (SELECT n FROM cb), 1,
+        |  CAST(e2.n * 1000 // (SELECT n FROM cb) AS BIGINT) FROM e2
+        |UNION ALL SELECT '3_compacted', e2.n, e2.kk, e2.ck, 0, 1, NULL FROM e2
+        |ORDER BY phase""".stripMargin,
     // the paired shadow comparison replayed: both serve mirrors, the
     // per-query hit census from the brute truth, and the exact sign
     // test — C(n,k) by the integral recurrence in a recursive HUGEINT

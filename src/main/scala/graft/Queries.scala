@@ -13302,4 +13302,142 @@ object Queries {
       )
       .orderBy("qid")
   }
+
+  // MERGE WITH SCHEMA EVOLUTION — the one-statement form of q391's
+  // two-step dance (ALTER ADD COLUMN, then MERGE backfill): the change
+  // stream simply STARTS CARRYING a new column and the single merge
+  // both evolves the table (the analyzer routes the source-only column
+  // through TableChange.AddColumn — the connector opts in via the
+  // AUTOMATIC_SCHEMA_EVOLUTION capability) and lands the data, legacy
+  // rows reading NULL exactly as old parquet files would. This is the
+  // shape CDC pipelines actually hit: upstream added a field, and the
+  // sink must not need a coordinated DDL deploy. Audited against the
+  // one-pass CASE spec of the final state (the q391 discipline — same
+  // tier rule, so the two evolution paths are directly comparable).
+  // Scale shape: identical to q380 — one delta-sized merge; evolution
+  // itself is a metadata-only table change.
+  def mergeSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_scratch", classOf[graft.sources.ScratchCatalog].getName)
+    val orders = t(s, dir, "orders")
+      .select(
+        col("o_orderkey").as("k"),
+        col("o_orderstatus").as("st"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents")
+      )
+    val target0 = orders.filter(col("k") % 10 =!= 0)
+    val source = orders
+      .filter(col("k") % 4 === 0)
+      .select(col("k"), col("st"), (col("cents") + 100000L).as("cents"))
+      .withColumn("tier", when(col("cents") >= 20000000L, "gold").otherwise("std"))
+    source.createOrReplaceTempView("graft_q399_source")
+    target0.createOrReplaceTempView("graft_q399_snap")
+    s.sql("DROP TABLE IF EXISTS graft_scratch.db.evo_target")
+    s.sql("CREATE TABLE graft_scratch.db.evo_target (k BIGINT, st STRING, cents BIGINT)")
+    s.sql("INSERT INTO graft_scratch.db.evo_target SELECT k, st, cents FROM graft_q399_snap")
+    s.sql("""MERGE WITH SCHEMA EVOLUTION INTO graft_scratch.db.evo_target t
+            |USING graft_q399_source s
+            |ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *
+            |""".stripMargin)
+    val merged = s.table("graft_scratch.db.evo_target")
+    // one-pass CASE spec: rows = target ∪ source keys; source keys
+    // carry the bumped cents and the evolved column, legacy rows NULL
+    val direct = orders
+      .filter(col("k") % 10 =!= 0 || col("k") % 4 === 0)
+      .select(
+        col("k"),
+        col("st"),
+        when(col("k") % 4 === 0, col("cents") + 100000L).otherwise(col("cents")).as("cents")
+      )
+      .withColumn(
+        "tier",
+        when(col("k") % 4 === 0, when(col("cents") >= 20000000L, "gold").otherwise("std"))
+      )
+    // NULL join keys never match (the q391 lesson): group and join on
+    // a sentinel key, surface the real (nullable) tier afterwards
+    def audit(df: DataFrame, n: String, ck: String, kk: String) =
+      df.groupBy(coalesce(col("tier"), lit("\u0000legacy")).as("tkey"))
+        .agg(max(col("tier")).as(s"tier_$n"), count(lit(1)).as(n), sum(col("cents")).as(ck), sum(col("k")).as(kk))
+    audit(merged, "n_rows", "cents_checksum", "key_checksum")
+      .join(audit(direct, "n_d", "ck_d", "kk_d"), Seq("tkey"), "full")
+      .select(
+        col("tier_n_rows").as("tier"),
+        col("n_rows"),
+        col("cents_checksum"),
+        col("key_checksum"),
+        (col("n_rows") === col("n_d") && col("cents_checksum") === col("ck_d") &&
+          col("key_checksum") === col("kk_d")).cast("long").as("eq_case")
+      )
+      .orderBy("tier")
+  }
+
+  // DELETION VECTORS — DELETE at 100 TB without rewriting data files:
+  // a delete writes only the doomed rows' POSITIONS (_metadata
+  // file_name + row_index — the parquet row coordinates a lakehouse
+  // positional-delete file keys on), reads subtract the vector with
+  // one (file, position)-keyed anti-join against the request-sized
+  // broadcast tombstone table, and deletes STACK (a second request is
+  // one more tiny file). The audit is earned three ways per phase:
+  // the DV-subtracted read equals the eager full-rewrite twin
+  // bit-exactly (eq_eager), the data files are PHYSICALLY untouched
+  // until compaction (spec-asserted on the file listing), and
+  // rewrite_amplification_permille quantifies the economics — how
+  // many rows an eager delete would have rewritten per tombstone row
+  // the DV actually wrote (thousands-to-one is why every modern
+  // lakehouse format grew this feature). Compaction then applies the
+  // vectors once, drops them, and the read re-answers identically —
+  // the amortization step q192 prices for small files, applied to
+  // tombstones.
+  def deletionVectors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = graft.operators.Scratch.dir("graft-dv")
+    val ow = org.apache.spark.sql.SaveMode.Overwrite
+    val orders = t(s, dir, "orders")
+      .select(
+        col("o_orderkey").as("k"),
+        col("o_orderstatus").as("st"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents")
+      )
+    orders.repartition(4, col("k")).write.mode(ow).parquet(s"$base/data")
+    def scan = s.read
+      .parquet(s"$base/data")
+      .select(col("k"), col("st"), col("cents"), col("_metadata.file_name").as("f"), col("_metadata.row_index").as("ri"))
+    def cohortA(c: Column) = c % 20 === 3
+    def cohortB(c: Column) = c % 20 === 7
+    // each DELETE writes positions only — data files are never opened
+    // for write; the spec pins the listing unchanged
+    scan.filter(cohortA(col("k"))).select("f", "ri").coalesce(1).write.mode(ow).parquet(s"$base/dv1")
+    scan.filter(cohortB(col("k"))).select("f", "ri").coalesce(1).write.mode(ow).parquet(s"$base/dv2")
+    def dvRead(dvPaths: String*): DataFrame = {
+      val tomb = dvPaths.map(s.read.parquet(_)).reduce(_ unionByName _)
+      scan.join(broadcast(tomb), Seq("f", "ri"), "left_anti").select("k", "st", "cents")
+    }
+    def census(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(col("k")), sum(col("cents"))).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val eager1 = census(orders.filter(!cohortA(col("k"))))
+    val eager2 = census(orders.filter(!cohortA(col("k")) && !cohortB(col("k"))))
+    val nA = s.read.parquet(s"$base/dv1").count()
+    val nB = s.read.parquet(s"$base/dv2").count()
+    val p1 = census(dvRead(s"$base/dv1"))
+    val p2 = census(dvRead(s"$base/dv1", s"$base/dv2"))
+    // COMPACTION: apply the stacked vectors once, drop them
+    dvRead(s"$base/dv1", s"$base/dv2").repartition(2, col("k")).write.mode(ow).parquet(s"$base/data2")
+    val p3 = census(s.read.parquet(s"$base/data2"))
+    Seq(
+      ("1_delete_dv", p1._1, p1._2, p1._3, nA, if (p1 == eager1) 1L else 0L, Some(eager1._1 * 1000L / nA)),
+      ("2_stacked_dv", p2._1, p2._2, p2._3, nA + nB, if (p2 == eager2) 1L else 0L, Some(eager2._1 * 1000L / nB)),
+      ("3_compacted", p3._1, p3._2, p3._3, 0L, if (p3 == eager2) 1L else 0L, None: Option[Long])
+    ).toDF(
+      "phase",
+      "n_live",
+      "key_checksum",
+      "cents_checksum",
+      "n_dv_entries",
+      "eq_eager",
+      "rewrite_amplification_permille"
+    ).orderBy("phase")
+  }
 }

@@ -150,7 +150,13 @@ private[sources] class ScratchTable(tableName: String, state: ScratchCatalog.Tab
   override def name(): String = tableName
   override def schema(): StructType = state.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      // opt-in for `MERGE WITH SCHEMA EVOLUTION`: the analyzer routes
+      // source-only columns through alterTable before the rewrite
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION
+    )
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScratchScan(state)

@@ -3374,6 +3374,55 @@ class QueriesSpec extends SparkSpec {
     assert(promoted === (if (wins > losses && p < 50000000L) 1L else 0L))
   }
 
+  test("merge schema evolution (q399): every tier stratum matches the CASE spec, legacy rows read NULL") {
+    val rows = Queries.mergeSchemaEvolution(spark, sfDir).collect()
+    assert(rows.length === 3)
+    rows.foreach(r => assert(r.getAs[Long]("eq_case") === 1L, s"tier=${r.get(0)} diverged from the CASE spec"))
+    val byTier = rows.map(r => (if (r.isNullAt(0)) null else r.getString(0)) -> r.getAs[Long]("n_rows")).toMap
+    // the legacy stratum (rows the evolving merge never touched) exists
+    // and reads the evolved column as NULL; both tiers landed
+    assert(byTier.contains(null) && byTier(null) > 0L)
+    assert(byTier.getOrElse("gold", 0L) + byTier.getOrElse("std", 0L) > 0L)
+  }
+
+  test("deletion vectors (q400): positions-only deletes, physically untouched data files, stacking, compaction") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // contract fixture: the (file, row_index) anti-join IS positional
+    // delete — survivors are exactly the non-tombstoned coordinates
+    val base = graft.operators.Scratch.dir("graft-dvspec")
+    (1L to 20L).toDF("k").repartition(2, col("k")).write.mode("overwrite").parquet(s"$base/d")
+    def scan = spark.read
+      .parquet(s"$base/d")
+      .select(col("k"), col("_metadata.file_name").as("f"), col("_metadata.row_index").as("ri"))
+    val listingBefore = new java.io.File(s"$base/d").listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length(), f.lastModified())).toSet
+    scan.filter(col("k") % 5 === 0).select("f", "ri").write.mode("overwrite").parquet(s"$base/dv")
+    // the delete wrote NOTHING into the data dir — same files, same
+    // bytes, same mtimes
+    val listingAfter = new java.io.File(s"$base/d").listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length(), f.lastModified())).toSet
+    assert(listingAfter === listingBefore, "a positional delete touched the data files")
+    val survivors = scan
+      .join(spark.read.parquet(s"$base/dv"), Seq("f", "ri"), "left_anti")
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(survivors === (1L to 20L).filterNot(_ % 5 == 0))
+    // the full query's earned flags at sf0.001
+    val rows = Queries.deletionVectors(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("1_delete_dv", "2_stacked_dv", "3_compacted"))
+    rows.foreach(r => assert(r.getAs[Long]("eq_eager") === 1L, s"${r.getString(0)} diverged from the eager rewrite"))
+    val byP = rows.map(r => r.getString(0) -> r).toMap
+    // stacking strictly shrinks the live set and grows the vector
+    assert(byP("2_stacked_dv").getAs[Long]("n_live") < byP("1_delete_dv").getAs[Long]("n_live"))
+    assert(byP("2_stacked_dv").getAs[Long]("n_dv_entries") > byP("1_delete_dv").getAs[Long]("n_dv_entries"))
+    // compaction preserves the answer and retires the vectors
+    assert(byP("3_compacted").getAs[Long]("n_live") === byP("2_stacked_dv").getAs[Long]("n_live"))
+    assert(byP("3_compacted").getAs[Long]("n_dv_entries") === 0L)
+    // the economics that justify the feature: an eager delete rewrites
+    // orders of magnitude more rows than the DV records
+    assert(byP("1_delete_dv").getAs[Long]("rewrite_amplification_permille") > 1000L)
+  }
+
   test("ann compact + retrain trigger (q393): contract flags earned, drift signals consistent with the decision") {
     val r = Queries.annCompactRetrain(spark, sfDir).collect()(0)
     assert(r.getAs[Long]("files_reduced") === 1L, "compaction did not reduce the file census")

@@ -128,6 +128,33 @@ class ScratchCatalogSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("position"))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: a source-only column evolves the table in the same statement (q399)") {
+    spark.conf.set("spark.sql.catalog.graft_scratch", classOf[ScratchCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft_scratch.db.spec7")
+    spark.sql("CREATE TABLE graft_scratch.db.spec7 (k BIGINT, cents BIGINT)")
+    spark.sql("INSERT INTO graft_scratch.db.spec7 VALUES (1, 10), (2, 20)")
+    spark
+      .sql(
+        "SELECT CAST(1 AS BIGINT) AS k, CAST(11 AS BIGINT) AS cents, 'gold' AS tier " +
+          "UNION ALL SELECT 3, 30, 'std'"
+      )
+      .createOrReplaceTempView("scratch_spec7_src")
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO graft_scratch.db.spec7 t USING scratch_spec7_src s ON t.k = s.k
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *
+                |""".stripMargin)
+    val after = spark.table("graft_scratch.db.spec7")
+    // the statement itself evolved the schema…
+    assert(after.schema.map(_.name) === Seq("k", "cents", "tier"))
+    // …updated/inserted rows carry the new column, the legacy row reads NULL
+    val rows = after
+      .orderBy("k")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) null else r.getString(2)))
+      .toSeq
+    assert(rows === Seq((1L, 11L, "gold"), (2L, 20L, null), (3L, 30L, "std")))
+  }
+
   test("UPDATE and DELETE run through the same row-level replace") {
     spark.conf.set("spark.sql.catalog.graft_scratch", classOf[ScratchCatalog].getName)
     spark.sql("DROP TABLE IF EXISTS graft_scratch.db.spec2")
