@@ -5705,6 +5705,26 @@ object Oracles {
          |  CAST(CASE WHEN rf.h >= rs.h THEN 1 ELSE 0 END AS BIGINT) AS recall_recovered
          |FROM dr, sh, nb, rs, rf""".stripMargin
     },
+    // one file per hive leaf by construction, so the file censuses are
+    // the partition-value censuses; scans/matches from the predicates
+    "q401_partition_evolution" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    year(o_orderdate) AS yr FROM orders),
+        |g1 AS (SELECT * FROM o WHERE yr < 1998),
+        |g2 AS (SELECT * FROM o WHERE yr >= 1998),
+        |a1 AS (SELECT 'g1' AS generation, 'yr' AS partition_scheme,
+        |    (SELECT count(DISTINCT yr) FROM g1) AS n_files_total,
+        |    (SELECT count(DISTINCT yr) FROM g1 WHERE yr BETWEEN 1996 AND 1999) AS n_files_scanned,
+        |    (SELECT count(*) FROM g1 WHERE yr BETWEEN 1996 AND 1999) AS rows_scanned,
+        |    (SELECT count(*) FROM g1 WHERE yr BETWEEN 1996 AND 1999 AND st = 'O') AS rows_matched),
+        |a2 AS (SELECT 'g2', 'yr,st',
+        |    (SELECT count(*) FROM (SELECT DISTINCT yr, st FROM g2)),
+        |    (SELECT count(*) FROM (SELECT DISTINCT yr, st FROM g2 WHERE yr BETWEEN 1996 AND 1999 AND st = 'O')),
+        |    (SELECT count(*) FROM g2 WHERE yr BETWEEN 1996 AND 1999 AND st = 'O'),
+        |    (SELECT count(*) FROM g2 WHERE yr BETWEEN 1996 AND 1999 AND st = 'O'))
+        |SELECT *, rows_matched * 1000 // rows_scanned AS scan_permille
+        |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+        |ORDER BY generation""".stripMargin,
     // the evolved final state as one CASE pass (the q391 tier rule);
     // eq_case earned in-engine, NULLS FIRST pins Spark's null order
     "q399_merge_schema_evolution" ->

@@ -13440,4 +13440,63 @@ object Queries {
       "rewrite_amplification_permille"
     ).orderBy("phase")
   }
+
+  // PARTITION EVOLUTION — the layout-lifecycle counterpart of q399's
+  // schema evolution, and an Iceberg headline feature restated on
+  // plain parquet: a table's partitioning scheme changes mid-life
+  // (here year → year × status, the finer scheme the q329 advisor
+  // class recommends once a status predicate becomes hot), OLD files
+  // are never rewritten, and every query must prune EACH generation by
+  // that generation's own scheme. The fixture writes both generations
+  // hive-partitioned (one file per leaf — the q87 layout), and the
+  // audit prices one (year-range AND status) query against both: the
+  // old generation prunes on year only and scans every status within
+  // the matching years; the new generation prunes on both dimensions.
+  // files/rows are measured from the REAL directory layout through
+  // _metadata, matched rows from the full predicate, so the report is
+  // the measured cost of NOT rewriting history — the number an
+  // OPTIMIZE-rewrite decision weighs against the rewrite price. Scale
+  // shape: pruning is planning-time directory listing (the spec
+  // asserts the partition filters reach the scan); the audit itself
+  // is one file-cardinality aggregate per generation.
+  def partitionEvolution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = graft.operators.Scratch.dir("graft-partevo")
+    val ow = org.apache.spark.sql.SaveMode.Overwrite
+    val orders = t(s, dir, "orders")
+      .select(
+        col("o_orderkey").as("k"),
+        col("o_orderstatus").as("st"),
+        year(col("o_orderdate")).as("yr")
+      )
+    // g1: the original scheme — partitioned by year only
+    orders
+      .filter(col("yr") < 1998)
+      .repartition(col("yr"))
+      .write.mode(ow).partitionBy("yr").parquet(s"$base/g1")
+    // g2: the evolved scheme — year × status; old files stay put
+    orders
+      .filter(col("yr") >= 1998)
+      .repartition(col("yr"), col("st"))
+      .write.mode(ow).partitionBy("yr", "st").parquet(s"$base/g2")
+    val yearPred = col("yr").between(1996, 1999)
+    val fullPred = yearPred && col("st") === "O"
+    def audit(gen: String, partitionPred: Column, scheme: String): DataFrame = {
+      val rd = s.read.parquet(s"$base/$gen")
+      val total = rd.select(col("_metadata.file_path")).distinct().count()
+      // what a pruned scan READS: only the partition predicate applies
+      // at planning time — within surviving files every row is scanned
+      val scanned = rd.filter(partitionPred)
+      val files = scanned.select(col("_metadata.file_path")).distinct().count()
+      val rows = scanned.count()
+      val matched = rd.filter(fullPred).count()
+      Seq((gen, scheme, total, files, rows, matched))
+        .toDF("generation", "partition_scheme", "n_files_total", "n_files_scanned", "rows_scanned", "rows_matched")
+    }
+    // g1 can only prune on yr (st is data, not layout); g2 prunes both
+    audit("g1", yearPred, "yr")
+      .unionByName(audit("g2", fullPred, "yr,st"))
+      .withColumn("scan_permille", expr("rows_matched * 1000 div rows_scanned"))
+      .orderBy("generation")
+  }
 }

@@ -3423,6 +3423,37 @@ class QueriesSpec extends SparkSpec {
     assert(byP("1_delete_dv").getAs[Long]("rewrite_amplification_permille") > 1000L)
   }
 
+  test("partition evolution (q401): each generation prunes by its own scheme, planning-time, with the measured gap") {
+    import org.apache.spark.sql.functions._
+    val rows = Queries.partitionEvolution(spark, sfDir).collect()
+    val byG = rows.map(r => r.getString(0) -> r).toMap
+    assert(byG.keySet === Set("g1", "g2"))
+    // the evolved generation scans EXACTLY its matches (both dimensions
+    // prune); the legacy generation overscans (year prunes, status
+    // cannot — it is data there, not layout)
+    assert(byG("g2").getAs[Long]("rows_scanned") === byG("g2").getAs[Long]("rows_matched"))
+    assert(byG("g2").getAs[Long]("scan_permille") === 1000L)
+    assert(byG("g1").getAs[Long]("rows_scanned") > byG("g1").getAs[Long]("rows_matched"))
+    rows.foreach(r => assert(r.getAs[Long]("n_files_scanned") <= r.getAs[Long]("n_files_total")))
+    // and the pruning is PLANNING-time: the partition predicate reaches
+    // the scan as a PartitionFilter on the evolved layout
+    val base = graft.operators.Scratch.dir("graft-partevo-plan")
+    graft.sources.Tables
+      .parquet(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"), year(col("o_orderdate")).as("yr"))
+      .filter(col("yr") >= 1998)
+      .repartition(col("yr"), col("st"))
+      .write.mode("overwrite").partitionBy("yr", "st").parquet(base)
+    val plan = spark.read
+      .parquet(base)
+      .filter(col("yr") === 1998 && col("st") === "O")
+      .queryExecution.executedPlan.toString
+    assert(
+      plan.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("yr") && l.contains("st")),
+      s"partition predicate did not reach the scan:\n$plan"
+    )
+  }
+
   test("ann compact + retrain trigger (q393): contract flags earned, drift signals consistent with the decision") {
     val r = Queries.annCompactRetrain(spark, sfDir).collect()(0)
     assert(r.getAs[Long]("files_reduced") === 1L, "compaction did not reduce the file census")
