@@ -5705,6 +5705,25 @@ object Oracles {
          |  CAST(CASE WHEN rf.h >= rs.h THEN 1 ELSE 0 END AS BIGINT) AS recall_recovered
          |FROM dr, sh, nb, rs, rf""".stripMargin
     },
+    // the three WAP versions re-derived from the mod-class fixture:
+    // good batch disjoint from main (publishes), poisoned batch's
+    // nulls (k%12=5) and main-key collisions (k%6=2 shifted onto %3=0)
+    // fail the audit, so v3 ≡ v2 and no poison row is ever visible
+    "q402_write_audit_publish" ->
+      """WITH o AS (SELECT o_orderkey AS k FROM orders),
+        |m AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS ck FROM o WHERE k % 3 = 0),
+        |g AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS ck FROM o WHERE k % 3 = 1),
+        |p AS (SELECT count(*) AS n FROM o WHERE k % 3 = 2),
+        |pn AS (SELECT count(*) AS n FROM o WHERE k % 3 = 2 AND k % 12 = 5),
+        |pd AS (SELECT count(*) AS n FROM o WHERE k % 6 = 2)
+        |SELECT 'v1_initial' AS phase, CAST(0 AS BIGINT) AS n_staged_rows,
+        |  CAST(0 AS BIGINT) AS n_null_keys, CAST(0 AS BIGINT) AS n_dup_keys_vs_main,
+        |  CAST(0 AS BIGINT) AS published, m.n AS n_rows_visible, m.ck AS key_checksum,
+        |  CAST(0 AS BIGINT) AS n_poison_visible FROM m
+        |UNION ALL SELECT 'v2_good_published', g.n, 0, 0, 1, m.n + g.n, m.ck + g.ck, 0 FROM m, g
+        |UNION ALL SELECT 'v3_poison_rejected', p.n, pn.n, pd.n, 0, m.n + g.n, m.ck + g.ck, 0
+        |FROM m, g, p, pn, pd
+        |ORDER BY phase""".stripMargin,
     // one file per hive leaf by construction, so the file censuses are
     // the partition-value censuses; scans/matches from the predicates
     "q401_partition_evolution" ->

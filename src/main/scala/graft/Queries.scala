@@ -13499,4 +13499,113 @@ object Queries {
       .withColumn("scan_permille", expr("rows_matched * 1000 div rows_scanned"))
       .orderBy("generation")
   }
+
+  // WRITE-AUDIT-PUBLISH — the ingestion workflow the manifest layer
+  // (q379/q396) exists to enable, and the way real lakehouse teams
+  // ship daily batches (Iceberg WAP, staging branches): a batch lands
+  // as FILES plus a staged manifest that main readers cannot see,
+  // quality gates run against the STAGED FILES ONLY (key nullability,
+  // key uniqueness against main — the q174 expectation-suite posture
+  // applied at the publish boundary), and only a passing batch is
+  // published — by appending its file list to the main manifest, a
+  // metadata-only swap; a failing batch's files stay stranded on the
+  // branch, invisible forever. The fixture stages two batches: a clean
+  // one (passes, published) and a poisoned one (duplicate keys against
+  // main + null keys — fails, never published), then proves the main
+  // read at every version: v2 = v1 + the good batch exactly, and the
+  // poisoned rows appear in NO version (n_poison_visible earned 0).
+  // Scale shape: audits cost one batch-sized pass (not a main rescan —
+  // the uniqueness probe is a batch-keyed semi-join), publish is one
+  // manifest append, and a failed batch costs zero main IO.
+  def writeAuditPublish(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = graft.operators.Scratch.dir("graft-wap")
+    val ow = org.apache.spark.sql.SaveMode.Overwrite
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"))
+    val main0 = orders.filter(col("k") % 3 === 0)
+    val good = orders.filter(col("k") % 3 === 1)
+    // poisoned: half its rows REUSE main keys, some keys are NULL
+    val poison = orders
+      .filter(col("k") % 3 === 2)
+      .select(
+        when(col("k") % 6 === 2, col("k") + 1) // +1 lands on % 3 == 0: a main key
+          .when(col("k") % 12 === 5, lit(null).cast("long"))
+          .otherwise(col("k"))
+          .as("k"),
+        col("st")
+      )
+    main0.repartition(2, col("k")).write.mode(ow).parquet(s"$base/main")
+    good.repartition(1).write.mode(ow).parquet(s"$base/stage1")
+    poison.repartition(1).write.mode(ow).parquet(s"$base/stage2")
+    def files(g: String): DataFrame = s.read
+      .parquet(s"$base/$g")
+      .select(lit(g).as("dir"), col("_metadata.file_name").as("file_name"))
+      .distinct()
+    // v1 = main only; staged batches are files + a BRANCH manifest
+    var manifest = files("main").withColumn("version", lit(1))
+    def readVersion(v: Int): DataFrame = {
+      val m = manifest.filter(col("version") === v)
+      val dirs = m.select("dir").distinct().collect().map(_.getString(0)).sorted
+      s.read
+        .parquet(dirs.map(g => s"$base/$g"): _*)
+        .select(col("k"), col("st"), col("_metadata.file_name").as("file_name"))
+        .join(broadcast(m.select("file_name").distinct()), Seq("file_name"), "left_semi")
+        .select("k", "st")
+    }
+    // the audit: batch-sized passes only — null keys in the batch,
+    // batch keys already present in the CURRENT published version
+    def audit(stageDir: String, currentVersion: Int): (Long, Long, Long) = {
+      val batch = s.read.parquet(s"$base/$stageDir")
+      val nRows = batch.count()
+      val nNull = batch.filter(col("k").isNull).count()
+      val nDup = batch
+        .select("k")
+        .join(readVersion(currentVersion).select("k"), Seq("k"), "left_semi")
+        .count()
+      (nRows, nNull, nDup)
+    }
+    def tryPublish(stageDir: String, from: Int, to: Int): (Long, Long, Long, Long) = {
+      val (n, nNull, nDup) = audit(stageDir, from)
+      val pass = nNull == 0L && nDup == 0L
+      manifest =
+        if (pass)
+          manifest.unionByName(
+            manifest.filter(col("version") === from).drop("version").unionByName(files(stageDir)).withColumn("version", lit(to))
+          )
+        else manifest.unionByName(manifest.filter(col("version") === from).withColumn("version", lit(to)))
+      (n, nNull, nDup, if (pass) 1L else 0L)
+    }
+    val (n1, nl1, nd1, p1) = tryPublish("stage1", 1, 2)
+    val (n2, nl2, nd2, p2) = tryPublish("stage2", 2, 3)
+    // evidence per version: row count, checksum, and the poison census
+    // (rows whose key is NULL or collides with main0 — none may ever
+    // surface in a published read)
+    val mainKeys = main0.select("k")
+    def census(v: Int): (Long, Long, Long) = {
+      val rd = readVersion(v).persist()
+      val nPoison = rd.filter(col("k").isNull).count() +
+        rd.groupBy("k").count().filter(col("count") > 1).count()
+      val r = rd.agg(count(lit(1)), sum(col("k"))).collect()(0)
+      rd.unpersist()
+      (r.getLong(0), r.getLong(1), nPoison)
+    }
+    val rows = Seq(
+      ("v1_initial", 0L, 0L, 0L, 0L, census(1)),
+      ("v2_good_published", n1, nl1, nd1, p1, census(2)),
+      ("v3_poison_rejected", n2, nl2, nd2, p2, census(3))
+    ).map { case (ph, n, nl, nd, pub, (nr, ck, np)) =>
+      (ph, n, nl, nd, pub, nr, ck, np)
+    }
+    rows.toDF(
+      "phase",
+      "n_staged_rows",
+      "n_null_keys",
+      "n_dup_keys_vs_main",
+      "published",
+      "n_rows_visible",
+      "key_checksum",
+      "n_poison_visible"
+    ).orderBy("phase")
+  }
 }

@@ -3454,6 +3454,29 @@ class QueriesSpec extends SparkSpec {
     )
   }
 
+  test("write-audit-publish (q402): the gate passes clean batches, rejects real poison, and rejected rows never surface") {
+    val rows = Queries.writeAuditPublish(spark, sfDir).collect()
+    val byP = rows.map(r => r.getString(0) -> r).toMap
+    assert(byP.keySet === Set("v1_initial", "v2_good_published", "v3_poison_rejected"))
+    // the clean batch published; the poisoned one did not
+    assert(byP("v2_good_published").getAs[Long]("published") === 1L)
+    assert(byP("v3_poison_rejected").getAs[Long]("published") === 0L)
+    // the audit fired on REAL defects, not on a vacuous batch
+    assert(byP("v3_poison_rejected").getAs[Long]("n_null_keys") > 0L)
+    assert(byP("v3_poison_rejected").getAs[Long]("n_dup_keys_vs_main") > 0L)
+    assert(byP("v3_poison_rejected").getAs[Long]("n_staged_rows") > 0L)
+    // a rejected publish changes NOTHING: v3 reads exactly v2
+    assert(byP("v3_poison_rejected").getAs[Long]("n_rows_visible") === byP("v2_good_published").getAs[Long]("n_rows_visible"))
+    assert(byP("v3_poison_rejected").getAs[Long]("key_checksum") === byP("v2_good_published").getAs[Long]("key_checksum"))
+    // and a successful publish grows the read by exactly the batch
+    assert(
+      byP("v2_good_published").getAs[Long]("n_rows_visible") ===
+        byP("v1_initial").getAs[Long]("n_rows_visible") + byP("v2_good_published").getAs[Long]("n_staged_rows")
+    )
+    // poison is invisible in EVERY version
+    rows.foreach(r => assert(r.getAs[Long]("n_poison_visible") === 0L, s"${r.getString(0)} leaked unaudited rows"))
+  }
+
   test("ann compact + retrain trigger (q393): contract flags earned, drift signals consistent with the decision") {
     val r = Queries.annCompactRetrain(spark, sfDir).collect()(0)
     assert(r.getAs[Long]("files_reduced") === 1L, "compaction did not reduce the file census")
