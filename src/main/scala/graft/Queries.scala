@@ -13538,19 +13538,27 @@ object Queries {
     main0.repartition(2, col("k")).write.mode(ow).parquet(s"$base/main")
     good.repartition(1).write.mode(ow).parquet(s"$base/stage1")
     poison.repartition(1).write.mode(ow).parquet(s"$base/stage2")
-    def files(g: String): DataFrame = s.read
+    // the manifest IS metadata: a handful of (dir, file) rows per
+    // version, held driver-side (a real table format keeps it in a
+    // log file) — reads broadcast it, mutations append to it, and no
+    // manifest derivation ever rescans data
+    def files(g: String): Seq[(String, String)] = s.read
       .parquet(s"$base/$g")
       .select(lit(g).as("dir"), col("_metadata.file_name").as("file_name"))
       .distinct()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSeq
     // v1 = main only; staged batches are files + a BRANCH manifest
-    var manifest = files("main").withColumn("version", lit(1))
+    var manifest: Seq[(String, String, Int)] = files("main").map { case (d, f) => (d, f, 1) }
     def readVersion(v: Int): DataFrame = {
-      val m = manifest.filter(col("version") === v)
-      val dirs = m.select("dir").distinct().collect().map(_.getString(0)).sorted
+      val m = manifest.filter(_._3 == v)
+      val dirs = m.map(_._1).distinct.sorted
+      val names = m.map(_._2).distinct.toDF("file_name")
       s.read
         .parquet(dirs.map(g => s"$base/$g"): _*)
         .select(col("k"), col("st"), col("_metadata.file_name").as("file_name"))
-        .join(broadcast(m.select("file_name").distinct()), Seq("file_name"), "left_semi")
+        .join(broadcast(names), Seq("file_name"), "left_semi")
         .select("k", "st")
     }
     // the audit: batch-sized passes only — null keys in the batch,
@@ -13568,12 +13576,9 @@ object Queries {
     def tryPublish(stageDir: String, from: Int, to: Int): (Long, Long, Long, Long) = {
       val (n, nNull, nDup) = audit(stageDir, from)
       val pass = nNull == 0L && nDup == 0L
-      manifest =
-        if (pass)
-          manifest.unionByName(
-            manifest.filter(col("version") === from).drop("version").unionByName(files(stageDir)).withColumn("version", lit(to))
-          )
-        else manifest.unionByName(manifest.filter(col("version") === from).withColumn("version", lit(to)))
+      val carried = manifest.filter(_._3 == from).map { case (d, f, _) => (d, f, to) }
+      manifest = manifest ++ carried ++
+        (if (pass) files(stageDir).map { case (d, f) => (d, f, to) } else Seq.empty)
       (n, nNull, nDup, if (pass) 1L else 0L)
     }
     val (n1, nl1, nd1, p1) = tryPublish("stage1", 1, 2)
@@ -13581,7 +13586,6 @@ object Queries {
     // evidence per version: row count, checksum, and the poison census
     // (rows whose key is NULL or collides with main0 — none may ever
     // surface in a published read)
-    val mainKeys = main0.select("k")
     def census(v: Int): (Long, Long, Long) = {
       val rd = readVersion(v).persist()
       val nPoison = rd.filter(col("k").isNull).count() +
