@@ -5705,6 +5705,34 @@ object Oracles {
          |  CAST(CASE WHEN rf.h >= rs.h THEN 1 ELSE 0 END AS BIGINT) AS recall_recovered
          |FROM dr, sh, nb, rs, rf""".stripMargin
     },
+    // the whole sweep from ONE Lloyd chain: probe ranks cut per depth
+    // by a VALUES join, recall against the k=10 brute mirror
+    "q403_ivf_nprobe_sweep" -> {
+      import IvfSqlBits.{dotD, score}
+      s"""WITH ${IvfSqlBits.lloydCtes},
+         |sf AS (SELECT v.vid, v.e, v.is_q, c.j, ${score("v", "c")} AS s FROM v, c2 c),
+         |corpus AS (SELECT vid AS nid, e AS ne, j AS cell FROM (SELECT vid, e, j, row_number() OVER (PARTITION BY vid ORDER BY s DESC, j DESC) AS rn FROM sf) t WHERE rn = 1),
+         |probes AS (SELECT vid AS qid, e AS qe, j AS cell, rn - 1 AS pos FROM (SELECT vid, e, j, row_number() OVER (PARTITION BY vid ORDER BY s DESC, j DESC) AS rn FROM sf WHERE is_q) t WHERE rn <= 8),
+         |sc AS MATERIALIZED (SELECT p.qid, c.nid, p.pos, ${away(s"${dotD("p.qe", "c.ne")} / sqrt(${dotD("p.qe", "p.qe")} * ${dotD("c.ne", "c.ne")})", 6)} AS sim
+         |  FROM probes p JOIN corpus c ON p.cell = c.cell AND p.qid <> c.nid),
+         |bt AS MATERIALIZED (SELECT qid, nid FROM ($annBruteSql) t),
+         |nq AS (SELECT count(DISTINCT qid) AS n FROM bt),
+         |nt AS (SELECT count(*) AS n FROM bt),
+         |nc AS (SELECT count(*) AS n FROM v),
+         |nps(np) AS (VALUES (1), (2), (4), (8)),
+         |cand AS (SELECT np, qid, nid, sim FROM sc, nps WHERE pos < np),
+         |cnt AS (SELECT np, CAST(count(*) AS BIGINT) AS n_cand FROM cand GROUP BY np),
+         |tk AS (SELECT np, qid, nid FROM (SELECT np, qid, nid,
+         |    row_number() OVER (PARTITION BY np, qid ORDER BY sim DESC, nid) AS rn FROM cand) t WHERE rn <= 10),
+         |ht AS (SELECT np, CAST(count(*) AS BIGINT) AS hits FROM tk JOIN bt USING (qid, nid) GROUP BY np)
+         |SELECT CAST(cnt.np AS INTEGER) AS nprobe, CAST(nq.n AS BIGINT) AS n_queries, cnt.n_cand AS n_candidates,
+         |  cnt.n_cand * 1000 // nq.n AS cand_per_query_milli,
+         |  COALESCE(ht.hits, 0) AS n_hits,
+         |  COALESCE(ht.hits, 0) * 1000 // nt.n AS recall_permille,
+         |  cnt.n_cand * 1000 // (nq.n * (nc.n - 1)) AS scan_permille
+         |FROM cnt LEFT JOIN ht ON ht.np = cnt.np, nq, nt, nc
+         |ORDER BY nprobe""".stripMargin
+    },
     // the three WAP versions re-derived from the mod-class fixture:
     // good batch disjoint from main (publishes), poisoned batch's
     // nulls (k%12=5) and main-key collisions (k%6=2 shifted onto %3=0)

@@ -13612,4 +13612,29 @@ object Queries {
       "n_poison_visible"
     ).orderBy("phase")
   }
+
+  // IVF nprobe tuning curve — what an operator actually does when the
+  // q398 rollout gate returns ROLLBACK: widen the serving knob before
+  // touching the model. One shared training, one widest-depth
+  // candidate pass (each pair tagged with the probe rank that reached
+  // it), every narrower depth a filter on that frame — the full
+  // recall-vs-cost curve for the price of one scan. The three columns
+  // a capacity plan trades: candidates scanned per query (cost,
+  // linear in nprobe), recall@10 vs brute truth (quality), and the
+  // corpus share touched. The curve's shape IS the decision: recall
+  // saturates while cost keeps climbing, and the knee is the setting
+  // to serve at.
+  def ivfNprobeSweep(s: SparkSession, dir: String): DataFrame = {
+    Similarity
+      .ivfNprobeSweep(
+        t(s, dir, "embeddings"),
+        col("vec_id"),
+        col("embedding"),
+        col("vec_id") < 50,
+        nlist = 16,
+        nprobes = Seq(1, 2, 4, 8),
+        k = 10
+      )
+      .orderBy("nprobe")
+  }
 }

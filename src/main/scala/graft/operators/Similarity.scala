@@ -976,6 +976,96 @@ object Similarity {
     if (fs == null) 0L else fs.count(f => f.isFile && f.getName.endsWith(".parquet")).toLong
   }
 
+  /** IVF nprobe TUNING sweep — the operational alternative when the
+    * rollout gate (q398) says a retrain does not pay: before touching
+    * the quantizer, sweep the SERVING knob. One training, one scored
+    * candidate frame at the widest probe depth (each candidate pair
+    * carries the probe RANK at which its cell was reached — a corpus
+    * vector lives in exactly one cell, so the pair exists once), and
+    * every narrower nprobe is a FILTER on that frame, never a re-scan:
+    * the whole curve costs one candidate-generation pass. Per depth:
+    * candidates scanned (the serving cost that scales linearly with
+    * nprobe), recall@k against the brute truth (the quality bought),
+    * and the corpus share actually touched — the three numbers a
+    * capacity plan trades.
+    */
+  def ivfNprobeSweep(
+      vecs: DataFrame,
+      id: Column,
+      emb: Column,
+      isQuery: Column,
+      nlist: Int,
+      nprobes: Seq[Int],
+      k: Int,
+      lloydIters: Int = 2
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val base = vecs.select(id.as("vid"), emb.as("e"), isQuery.as("is_q")).persist()
+    val centroids = trainCentroids(base, nlist, lloydIters)
+    val corpusN = base.count()
+    val maxNp = nprobes.max
+    val corpus = base.select(
+      col("vid").as("nid"),
+      col("e").as("ne"),
+      VectorOps.normSq(col("e")).as("nn"),
+      element_at(cellsOf(col("e"), centroids, 1), 1).as("cell")
+    )
+    val probes = base
+      .filter(col("is_q"))
+      .select(
+        col("vid").as("qid"),
+        col("e").as("qe"),
+        VectorOps.normSq(col("e")).as("qn"),
+        posexplode(cellsOf(col("e"), centroids, maxNp)).as(Seq("pos", "cell"))
+      )
+    val scored = probes
+      .join(corpus, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(
+        col("qid"),
+        col("nid"),
+        col("pos"),
+        NumOps.roundAway(VectorOps.dot(col("qe"), col("ne")) / sqrt(col("qn") * col("nn")), 6).as("sim")
+      )
+      .persist()
+    scored.count()
+    base.unpersist(blocking = true)
+    val truth = bruteForceTopK(vecs, id, emb, isQuery, k).select(col("qid"), col("nid")).persist()
+    val nTruth = truth.count()
+    val nQueries = truth.select("qid").distinct().count()
+    val rows = nprobes.sorted.map { np =>
+      val cand = scored.filter(col("pos") < np)
+      val nCand = cand.count()
+      val hits = cand
+        .withColumn("rn", row_number().over(Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))))
+        .filter(col("rn") <= k)
+        .join(truth, Seq("qid", "nid"), "left_semi")
+        .count()
+      (
+        np,
+        nQueries,
+        nCand,
+        nCand * 1000L / nQueries,
+        hits,
+        hits * 1000L / nTruth,
+        nCand * 1000L / (nQueries * (corpusN - 1L))
+      )
+    }
+    scored.unpersist()
+    truth.unpersist()
+    rows.toDF(
+      "nprobe",
+      "n_queries",
+      "n_candidates",
+      "cand_per_query_milli",
+      "n_hits",
+      "recall_permille",
+      "scan_permille"
+    )
+  }
+
   def pqTopK(
       vecs: DataFrame,
       id: Column,

@@ -3477,6 +3477,24 @@ class QueriesSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("n_poison_visible") === 0L, s"${r.getString(0)} leaked unaudited rows"))
   }
 
+  test("ivf nprobe sweep (q403): recall and cost are monotone in depth, shares bounded, the curve is a real trade") {
+    val rows = Queries.ivfNprobeSweep(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("nprobe")).toSeq === Seq(1, 2, 4, 8))
+    // deeper probes can only ADD candidates (a filter on one shared
+    // frame), and more candidates can only help a top-k cut's recall
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_candidates") > a.getAs[Long]("n_candidates"))
+      assert(b.getAs[Long]("recall_permille") >= a.getAs[Long]("recall_permille"))
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("scan_permille") >= 0L && r.getAs[Long]("scan_permille") <= 1000L)
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_queries") * 10L)
+    }
+    // the sweep is a real trade, not a flat line: the widest depth
+    // buys strictly more recall than the narrowest at strictly more cost
+    assert(rows.last.getAs[Long]("recall_permille") > rows.head.getAs[Long]("recall_permille"))
+  }
+
   test("ann compact + retrain trigger (q393): contract flags earned, drift signals consistent with the decision") {
     val r = Queries.annCompactRetrain(spark, sfDir).collect()(0)
     assert(r.getAs[Long]("files_reduced") === 1L, "compaction did not reduce the file census")
