@@ -1808,15 +1808,15 @@ object Oracles {
         .map { i =>
           s"""sh$i AS (SELECT p.id, p.pr // d.deg AS sh FROM pr$i p JOIN deg d ON p.id = d.id),
              |fl$i AS (SELECT s.dst AS id, sum(sh.sh) AS infl FROM sym s JOIN sh$i sh ON s.src = sh.id GROUP BY s.dst),
-             |pr${i + 1} AS (SELECT doc.doc_id AS id,
+             |pr${i + 1} AS MATERIALIZED (SELECT doc.doc_id AS id,
              |    (15 * 1000000000000) // (100 * (SELECT n FROM nn))
              |    + CAST((85 * COALESCE(f.infl, 0)) // 100 AS BIGINT) AS pr
              |  FROM documents doc LEFT JOIN fl$i f ON doc.doc_id = f.id)""".stripMargin
         }
         .mkString(",\n")
       s"""WITH pairs AS (SELECT d1, d2 FROM ($minhashSql)),
-         |sym AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
-         |deg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src),
+         |sym AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+         |deg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src),
          |nn AS (SELECT count(*) AS n FROM documents),
          |pr0 AS (SELECT doc_id AS id, 1000000000000 // (SELECT n FROM nn) AS pr FROM documents),
          |$iterCtes
@@ -1924,14 +1924,14 @@ object Oracles {
     // identical degree-ordered orientation → wedge join → closing-edge
     // check over the same LSH pair CTE the pagerank oracle uses
     "q161_triangle_census" ->
-      s"""WITH pairs AS (SELECT d1, d2 FROM ($minhashSql)),
+      s"""WITH pairs AS MATERIALIZED (SELECT d1, d2 FROM ($minhashSql)),
          |sym AS (SELECT d1 AS s, d2 AS t FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
          |deg AS (SELECT s AS id, count(*) AS deg FROM sym GROUP BY s),
-         |o AS (SELECT
+         |o AS MATERIALIZED (SELECT
          |    CASE WHEN a.deg < b.deg OR (a.deg = b.deg AND p.d1 < p.d2) THEN p.d1 ELSE p.d2 END AS u,
          |    CASE WHEN a.deg < b.deg OR (a.deg = b.deg AND p.d1 < p.d2) THEN p.d2 ELSE p.d1 END AS v
          |  FROM pairs p JOIN deg a ON p.d1 = a.id JOIN deg b ON p.d2 = b.id),
-         |w AS (SELECT e1.v AS a, e2.v AS b FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v < e2.v),
+         |w AS MATERIALIZED (SELECT e1.v AS a, e2.v AS b FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v < e2.v),
          |tr AS (SELECT 1 AS x FROM w JOIN pairs ON least(a, b) = d1 AND greatest(a, b) = d2)
          |SELECT (SELECT count(*) FROM pairs) AS n_edges,
          |  (SELECT count(*) FROM w) AS n_wedges,
@@ -2285,8 +2285,9 @@ object Oracles {
     // q24 contract, window frames are spelled identically
     "q195_winnowed_overlap" ->
       s"""WITH $winnowFpsCtes,
-        |stop AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) > 20),
-        |kept AS (SELECT doc_id, fp FROM fps WHERE fp NOT IN (SELECT fp FROM stop)),
+        |fpsm AS MATERIALIZED (SELECT doc_id, fp FROM fps),
+        |stop AS (SELECT fp FROM fpsm GROUP BY fp HAVING count(*) > 20),
+        |kept AS MATERIALIZED (SELECT doc_id, fp FROM fpsm WHERE fp NOT IN (SELECT fp FROM stop)),
         |sz AS (SELECT doc_id, count(*) AS n_fp FROM kept GROUP BY doc_id),
         |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
         |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -2960,7 +2961,7 @@ object Oracles {
     // apriori-pruned pair generation over frequent-item baskets;
     // support/confidence/lift in cross-multiplied integers
     "q268_frequent_pairs" ->
-      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      """WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |no AS (SELECT count(DISTINCT ok) AS n_orders FROM b),
         |fi AS (SELECT pk, count(*) AS cnt FROM b GROUP BY pk HAVING count(*) >= 3),
         |fb AS (SELECT b.ok, b.pk, fi.cnt FROM b JOIN fi USING (pk)),
@@ -3804,7 +3805,7 @@ object Oracles {
     // triples directly (the engine's closure pruning is lossless, so
     // HAVING >= 2 lands on the same set), confidence from the pair join
     "q287_frequent_triples" ->
-      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      """WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
          |fp AS (SELECT p1, p2, count(*) AS n12 FROM (
          |    SELECT a.ok, a.pk AS p1, c.pk AS p2 FROM b a JOIN b c ON c.ok = a.ok AND a.pk < c.pk)
          |  GROUP BY 1, 2 HAVING count(*) >= 2),
@@ -6031,13 +6032,20 @@ object Oracles {
     val rotations = schedule.zipWithIndex.map { case ((p, q), idx) =>
       val r = idx + 1
       val prev = s"j${r - 1}"
-      val th = s"th$r AS MATERIALIZED (SELECT a$p$q AS apq, " +
-        s"CASE WHEN a$p$q = 0.0 THEN 0.0 ELSE (a$q$q - a$p$p) / (2.0 * a$p$q) END AS theta FROM $prev)"
-      val tt = s"tt$r AS MATERIALIZED (SELECT CASE WHEN apq = 0.0 THEN 0.0 " +
+      // one MATERIALIZED CTE per rotation: the θ → t → (c, s) scalar
+      // chain nests as single-reference subqueries (inlined exactly
+      // once each — same IEEE expressions, same order), so only the
+      // updated state j$r materializes. 90 pipelines per chain instead
+      // of 360 — the per-CTE scheduling overhead was the oracle wall's
+      // floor once the re-inlining bugs were fixed.
+      val rot = s"rot$r AS (SELECT 1.0 / sqrt(t * t + 1.0) AS c, " +
+        s"t * (1.0 / sqrt(t * t + 1.0)) AS s FROM " +
+        s"(SELECT CASE WHEN apq = 0.0 THEN 0.0 " +
         s"WHEN theta >= 0.0 THEN 1.0 / (theta + sqrt(theta * theta + 1.0)) " +
-        s"ELSE 1.0 / (theta - sqrt(theta * theta + 1.0)) END AS t FROM th$r)"
-      val rot = s"rot$r AS MATERIALIZED (SELECT 1.0 / sqrt(t * t + 1.0) AS c, " +
-        s"t * (1.0 / sqrt(t * t + 1.0)) AS s FROM tt$r)"
+        s"ELSE 1.0 / (theta - sqrt(theta * theta + 1.0)) END AS t FROM " +
+        s"(SELECT a$p$q AS apq, " +
+        s"CASE WHEN a$p$q = 0.0 THEN 0.0 ELSE (a$q$q - a$p$p) / (2.0 * a$p$q) END AS theta " +
+        s"FROM $prev) th$r) tt$r)"
       def aCol(i: Int, j: Int): String =
         if (i == p && j == p) s"c * c * a$p$p - 2.0 * s * c * a$p$q + s * s * a$q$q"
         else if (i == q && j == q) s"s * s * a$p$p + 2.0 * s * c * a$p$q + c * c * a$q$q"
@@ -6054,7 +6062,7 @@ object Oracles {
       val cols = (for { i <- ds; j <- ds } yield s"${aCol(i, j)} AS a$i$j") ++
         (for { i <- ds; j <- ds } yield s"${vCol(i, j)} AS v$i$j")
       val jn = s"j$r AS MATERIALIZED (SELECT ${cols.mkString(", ")} FROM $prev, rot$r)"
-      Seq(th, tt, rot, jn).mkString(",\n")
+      Seq(rot, jn).mkString(",\n")
     }
     (rotations.mkString(",\n"), s"j${schedule.size}")
   }
@@ -6330,10 +6338,10 @@ object Oracles {
     import IvfSqlBits.score
     s"""WITH ${IvfSqlBits.lloydCtes},
        |sf AS (SELECT v.vid, v.e, c.j, ${score("v", "c")} AS s FROM v, c2 c),
-       |asn AS (SELECT vid, e, j AS cell FROM (SELECT vid, e, j,
+       |asn AS MATERIALIZED (SELECT vid, e, j AS cell FROM (SELECT vid, e, j,
        |    row_number() OVER (PARTITION BY vid ORDER BY s DESC, j DESC) AS rn FROM sf) t WHERE rn = 1),
        |sz AS (SELECT cell, count(*) AS n FROM asn GROUP BY 1),
-       |ok AS (SELECT asn.vid, asn.cell, list_transform(asn.e, x -> CAST(floor(x * 1024) AS BIGINT)) AS q
+       |ok AS MATERIALIZED (SELECT asn.vid, asn.cell, list_transform(asn.e, x -> CAST(floor(x * 1024) AS BIGINT)) AS q
        |  FROM asn JOIN sz USING (cell) WHERE n >= 4),
        |pr AS (SELECT a.vid AS av, b.vid AS bv, a.cell AS cell,
        |    CAST(list_sum(list_transform(generate_series(1, 64), i ->
@@ -6344,10 +6352,10 @@ object Oracles {
        |de AS (SELECT av, bv, cell,
        |    CASE WHEN (s0 + 1) * (s0 + 1) <= d2 THEN s0 + 1 WHEN s0 * s0 > d2 THEN s0 - 1 ELSE s0 END AS d
        |  FROM dd),
-       |nb AS (SELECT av, bv, cell, d FROM (SELECT *,
+       |nb AS MATERIALIZED (SELECT av, bv, cell, d FROM (SELECT *,
        |    row_number() OVER (PARTITION BY av ORDER BY d, bv) AS rn FROM de) t WHERE rn <= 3),
-       |kd AS (SELECT av AS vid, max(d) AS kdist FROM nb GROUP BY 1),
-       |lr AS (SELECT nb.av AS vid,
+       |kd AS MATERIALIZED (SELECT av AS vid, max(d) AS kdist FROM nb GROUP BY 1),
+       |lr AS MATERIALIZED (SELECT nb.av AS vid,
        |    CAST(3 * 1048576 // greatest(sum(greatest(kb.kdist, nb.d)), 1) AS BIGINT) AS lrd
        |  FROM nb JOIN kd kb ON kb.vid = nb.bv GROUP BY 1),
        |sl AS (SELECT nb.av AS vid, CAST(sum(lb.lrd) AS BIGINT) AS slrd
