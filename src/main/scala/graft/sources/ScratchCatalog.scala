@@ -87,18 +87,18 @@ class ScratchCatalog extends TableCatalog with SupportsNamespaces {
         // append-at-end only: an explicit AFTER/FIRST position would
         // silently land at the end, so refuse it instead
         require(add.position() == null, s"column position not supported: ${add.position()}")
-        val snap = state.snapshot
-        val old = snap.schema
-        val rows: Array[InternalRow] = snap.rows.map { r =>
-          val values = new Array[Any](old.length + 1)
-          var i = 0
-          while (i < old.length) { values(i) = r.get(i, old(i).dataType); i += 1 }
-          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values): InternalRow
+        // CAS loop: an alter racing an append re-pads against the
+        // fresh rows instead of clobbering them
+        state.update { snap =>
+          val old = snap.schema
+          val rows: Array[InternalRow] = snap.rows.map { r =>
+            val values = new Array[Any](old.length + 1)
+            var i = 0
+            while (i < old.length) { values(i) = r.get(i, old(i).dataType); i += 1 }
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values): InternalRow
+          }
+          snap.copy(schema = old.add(add.fieldNames()(0), add.dataType(), add.isNullable), rows = rows)
         }
-        // ONE volatile write: readers never see rows whose arity
-        // disagrees with the schema they read
-        state.snapshot =
-          ScratchCatalog.Snapshot(old.add(add.fieldNames()(0), add.dataType(), add.isNullable), rows)
       case other =>
         throw new UnsupportedOperationException(s"unsupported table change: $other")
     }
@@ -123,21 +123,73 @@ class ScratchCatalog extends TableCatalog with SupportsNamespaces {
 }
 
 object ScratchCatalog {
-  /** One immutable (schema, rows) pair — published as a unit so a
-    * reader can never observe rows whose arity disagrees with the
-    * schema it just read (alterTable swaps both in one write).
+  /** One immutable (schema, rows, version) triple — published as a
+    * unit so a reader can never observe rows whose arity disagrees
+    * with the schema it just read (alterTable swaps both in one
+    * write). `version` increments on every publish; it is the OCC
+    * token a replace commit validates against (see [[TableState]]).
     */
-  final case class Snapshot(schema: StructType, rows: Array[InternalRow])
+  final case class Snapshot(schema: StructType, rows: Array[InternalRow], version: Long)
 
   /** Driver-authoritative table state, shared across catalog
     * instantiations in the JVM (Spark constructs the catalog class
-    * per session reference). The snapshot is replaced wholesale by
-    * commits/alters — @volatile gives readers the atomic swap a table
-    * swap needs.
+    * per session reference). The snapshot lives in an
+    * [[java.util.concurrent.atomic.AtomicReference]] and every
+    * mutation goes through compare-and-set — the optimistic
+    * concurrency protocol a real table format runs on its manifest:
+    *
+    *  - COMMUTING mutations (append, alter) retry through
+    *    [[update]]'s CAS loop: a loser re-reads and re-applies, so
+    *    two concurrent appends both land (last-writer-wins is
+    *    impossible by construction).
+    *  - REPLACE commits (the group-based MERGE/UPDATE/DELETE rewrite)
+    *    are derived FROM a scanned snapshot, so they are only valid
+    *    against the exact version they read. [[replaceFrom]] does ONE
+    *    CAS against that version; with no metadata columns the whole
+    *    table is one replacement group, every concurrent commit
+    *    overlaps it, and the loser must ABORT loudly — retrying would
+    *    silently discard the intervening commit's rows (the
+    *    lost-update anomaly OCC exists to prevent).
     */
   final class TableState(schema0: StructType) {
-    @volatile var snapshot: Snapshot = Snapshot(schema0, Array.empty)
+    private val ref = new java.util.concurrent.atomic.AtomicReference[Snapshot](
+      Snapshot(schema0, Array.empty, 0L)
+    )
+    def snapshot: Snapshot = ref.get()
     def schema: StructType = snapshot.schema
+
+    /** CAS-loop a commuting mutation (append/alter): `f` is re-run on
+      * the fresh snapshot after every lost race, so no publish is ever
+      * overwritten. The version bump is applied here, not in `f`.
+      */
+    def update(f: Snapshot => Snapshot): Snapshot = {
+      var done: Snapshot = null
+      while (done == null) {
+        val cur = ref.get()
+        val next0 = f(cur)
+        val next = next0.copy(version = cur.version + 1)
+        if (ref.compareAndSet(cur, next)) done = next
+      }
+      done
+    }
+
+    /** Single-shot OCC replace: valid only if the table is still at
+      * the version the rewrite scanned. A concurrent commit in the
+      * window between scan and commit makes the rewritten row set
+      * stale — the whole table is one replacement group, so the
+      * conflict scope always overlaps and the only safe outcome is a
+      * loud abort (callers re-run the whole operation).
+      */
+    def replaceFrom(scanned: Snapshot, rows: Array[InternalRow]): Snapshot = {
+      val cur = ref.get()
+      val next = Snapshot(cur.schema, rows, cur.version + 1)
+      if (scanned.version != cur.version || !ref.compareAndSet(cur, next))
+        throw new java.util.ConcurrentModificationException(
+          s"OCC conflict: row-level operation scanned version ${scanned.version} " +
+            s"but the table is at version ${cur.version}; the rewrite is stale — re-run it"
+        )
+      next
+    }
   }
   private val store = new java.util.concurrent.ConcurrentHashMap[String, TableState]()
 }
@@ -172,17 +224,31 @@ private[sources] class ScratchTable(tableName: String, state: ScratchCatalog.Tab
 
 /** Group-based row-level operation: the scan feeds the MERGE rewrite
   * the current rows; the write receives the complete post-operation
-  * row set for the (single) affected group and swaps it in.
+  * row set for the (single) affected group and swaps it in. The
+  * operation remembers WHICH snapshot its scan served (the OCC read
+  * version): the replace commit is only valid against that exact
+  * version, so a concurrent commit in the scan→commit window aborts
+  * the rewrite instead of silently losing the intervening rows.
   */
 private[sources] class ScratchRowLevelOperation(
     state: ScratchCatalog.TableState,
     cmd: RowLevelOperation.Command
 ) extends RowLevelOperation {
+  @volatile private var scanned: ScratchCatalog.Snapshot = _
   override def command(): RowLevelOperation.Command = cmd
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScratchScan(state)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val sb = new ScratchScan(state)
+    scanned = sb.scannedSnapshot
+    sb
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new ScratchWrite(state, replace = true)
+    // if planning never built the scan (never observed on Spark 4.1's
+    // group-based rewrites), fall back to the snapshot at write-build
+    // time — a weaker but still version-anchored read point
+    new ScratchWrite(state, replace = true, readSnapshot = () => {
+      val sc = scanned
+      if (sc != null) sc else state.snapshot
+    })
 }
 
 private[sources] class ScratchScan(state: ScratchCatalog.TableState)
@@ -192,6 +258,7 @@ private[sources] class ScratchScan(state: ScratchCatalog.TableState)
   // ONE snapshot read at builder construction: schema and rows are
   // guaranteed consistent even if a commit/alter lands mid-planning
   private val snap = state.snapshot
+  private[sources] def scannedSnapshot: ScratchCatalog.Snapshot = snap
   override def build(): Scan = this
   override def readSchema(): StructType = snap.schema
   override def toBatch: Batch = this
@@ -217,11 +284,16 @@ private[sources] class ScratchReaderFactory extends PartitionReaderFactory {
 /** Append (INSERT INTO) or full-group replace (the row-level write).
   * Task writers copy each row (Spark reuses row objects), commit
   * messages carry the copies to the driver, and the driver-side
-  * commit publishes the new array — append concatenates, replace
-  * swaps.
+  * commit publishes the new array through the OCC protocol: appends
+  * commute, so they CAS-retry until they land; replaces are anchored
+  * to the snapshot the rewrite scanned, so a version drift aborts
+  * loudly instead of losing the concurrent commit.
   */
-private[sources] class ScratchWrite(state: ScratchCatalog.TableState, replace: Boolean)
-    extends WriteBuilder
+private[sources] class ScratchWrite(
+    state: ScratchCatalog.TableState,
+    replace: Boolean,
+    readSnapshot: () => ScratchCatalog.Snapshot = null
+) extends WriteBuilder
     with Write
     with BatchWrite {
   override def build(): Write = this
@@ -230,9 +302,9 @@ private[sources] class ScratchWrite(state: ScratchCatalog.TableState, replace: B
     new ScratchWriterFactory(state.schema)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val incoming = messages.flatMap(_.asInstanceOf[ScratchCommit].rows)
-    val snap = state.snapshot
-    state.snapshot =
-      ScratchCatalog.Snapshot(snap.schema, if (replace) incoming else snap.rows ++ incoming)
+    if (replace) state.replaceFrom(readSnapshot(), incoming)
+    else state.update(snap => snap.copy(rows = snap.rows ++ incoming))
+    (): Unit
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }

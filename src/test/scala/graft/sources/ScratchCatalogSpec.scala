@@ -165,4 +165,82 @@ class ScratchCatalogSpec extends SparkSpec {
     spark.sql("DELETE FROM graft_scratch.db.spec2 WHERE k = 2")
     assert(rows("graft_scratch.db.spec2") === Seq((1L, "A", 15L), (3L, "A", 35L)))
   }
+
+  // ——— OCC conflict matrix (q404): the commit protocol at the state
+  // layer, where the interleavings are controllable ———
+
+  private def occState() = {
+    import org.apache.spark.sql.types._
+    new ScratchCatalog.TableState(StructType(Seq(StructField("k", LongType))))
+  }
+
+  private def row(k: Long): org.apache.spark.sql.catalyst.InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](k))
+
+  test("OCC: concurrent appends all land — a CAS loser re-reads and re-applies, never overwrites") {
+    val state = occState()
+    val threads = (0 until 4).map { t =>
+      new Thread(() => (0 until 100).foreach { i =>
+        state.update(s => s.copy(rows = s.rows :+ row(t * 100L + i)))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val snap = state.snapshot
+    assert(snap.rows.length === 400)
+    assert(snap.version === 400L) // one bump per publish: no commit vanished
+    assert(snap.rows.map(_.getLong(0)).sorted.toSeq === (0L until 400L))
+  }
+
+  test("OCC: a replace anchored to a stale read version aborts loudly instead of losing the interleaved commit") {
+    val state = occState()
+    state.update(s => s.copy(rows = Array(row(1L))))
+    val scanned = state.snapshot // the rewrite's read point
+    // a concurrent append lands between scan and commit
+    state.update(s => s.copy(rows = s.rows :+ row(2L)))
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      state.replaceFrom(scanned, Array(row(10L)))
+    }
+    assert(ex.getMessage.contains("scanned version 1"))
+    assert(ex.getMessage.contains("version 2"))
+    // the interleaved commit survived: nothing was lost
+    assert(state.snapshot.rows.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+  }
+
+  test("OCC: a replace against the current version commits and bumps it") {
+    val state = occState()
+    state.update(s => s.copy(rows = Array(row(1L), row(2L))))
+    val scanned = state.snapshot
+    val next = state.replaceFrom(scanned, Array(row(7L)))
+    assert(next.version === 2L)
+    assert(state.snapshot.rows.map(_.getLong(0)).toSeq === Seq(7L))
+    // and the SAME read point cannot commit twice (no double-apply)
+    intercept[java.util.ConcurrentModificationException] {
+      state.replaceFrom(scanned, Array(row(8L)))
+    }
+  }
+
+  test("OCC: ALTER ADD COLUMN racing appends loses no rows and pads every row it saw") {
+    import org.apache.spark.sql.types._
+    val state = occState()
+    val appender = new Thread(() => (0 until 200).foreach { i =>
+      state.update(s => s.copy(rows = s.rows :+ (
+        if (s.schema.length == 1) row(i.toLong)
+        else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](i.toLong, null))
+      )))
+    })
+    appender.start()
+    // the alter's pad-and-swap, expressed through the same CAS loop
+    // alterTable uses: a lost race re-pads against the fresh rows
+    state.update { snap =>
+      val rows = snap.rows.map { r =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](r.getLong(0), null)): org.apache.spark.sql.catalyst.InternalRow
+      }
+      snap.copy(schema = snap.schema.add("extra", StringType), rows = rows)
+    }
+    appender.join()
+    val snap = state.snapshot
+    assert(snap.schema.length === 2)
+    assert(snap.rows.length === 200)
+    assert(snap.rows.forall(_.numFields == 2)) // no row's arity disagrees with the schema
+  }
 }
