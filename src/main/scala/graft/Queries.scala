@@ -3773,7 +3773,7 @@ object Queries {
   // read (the oracle SQL hardcodes the sf0.01 path — the driver's
   // correctness tier).
   def compactionPlan(s: SparkSession, dir: String): DataFrame =
-    compactionGroups(s, dir, s"/tmp/graft_compact/${new java.io.File(dir).getName}/orders")
+    compactionGroups(s, dir, s"/tmp/graft_compact/${graft.sources.GraftFs.baseName(dir)}/orders")
       .groupBy(col("o_orderstatus"), col("grp"))
       .agg(
         count(lit(1)).as("n_files"),
@@ -3845,7 +3845,7 @@ object Queries {
   // after this JVM exits.
   def compactionExecute(s: SparkSession, dir: String): DataFrame = {
     // per-SF paths for the same reason as compactionPlan's
-    val sf = new java.io.File(dir).getName
+    val sf = graft.sources.GraftFs.baseName(dir)
     val base = s"/tmp/graft_compact_exec/$sf/orders"
     val out = s"/tmp/graft_compact_exec/$sf/compacted"
     val plan = compactionGroups(s, dir, base).select("o_orderstatus", "file_name", "grp")
@@ -4626,7 +4626,7 @@ object Queries {
   // span, and the disjointness proof. Fixed path (not Scratch): the
   // oracle re-derives every number from the same physical files.
   def rangeLayoutAudit(s: SparkSession, dir: String): DataFrame = {
-    val sf = new java.io.File(dir).getName
+    val sf = graft.sources.GraftFs.baseName(dir)
     val out = s"/tmp/graft_range_layout/$sf/orders"
     t(s, dir, "orders")
       .repartitionByRange(4, col("o_orderdate"))
@@ -11642,7 +11642,7 @@ object Queries {
   // re-derives the pinned answers from the logical table.
   def vacuumSafety(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sf = new java.io.File(dir).getName
+    val sf = graft.sources.GraftFs.baseName(dir)
     val base = s"/tmp/graft_vacuum/$sf"
     val orders = t(s, dir, "orders")
     val ow = org.apache.spark.sql.SaveMode.Overwrite
@@ -11705,7 +11705,7 @@ object Queries {
       .distinct()
       .join(required, Seq("dir", "file_name"), "left_anti")
       .collect()
-      .foreach(r => new java.io.File(s"$base/${r.getString(0)}/${r.getString(1)}").delete())
+      .foreach(r => graft.sources.GraftFs.delete(s"$base/${r.getString(0)}/${r.getString(1)}"))
     s.catalog.refreshByPath(base) // stale listings would still name the deleted files
     val after = pins.map(v => v -> readVersion(v)).toMap
     val audit = Seq(
@@ -13013,7 +13013,7 @@ object Queries {
   // pinned manifest's files against the live listing BEFORE answering.
   def vacuumPinExpiry(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sf = new java.io.File(dir).getName
+    val sf = graft.sources.GraftFs.baseName(dir)
     val base = s"/tmp/graft_vacuum_expiry/$sf"
     val orders = t(s, dir, "orders")
     val ow = org.apache.spark.sql.SaveMode.Overwrite
@@ -13053,7 +13053,7 @@ object Queries {
     // the GUARDED pinned read: refuse unless every manifest file is live
     def guardedRead(v: Int): Either[Long, (Long, Long)] = {
       val files = manifestFiles(v)
-      val missing = files.count { case (g, f) => !new java.io.File(s"$base/$g/$f").exists() }
+      val missing = files.count { case (g, f) => !graft.sources.GraftFs.exists(s"$base/$g/$f") }
       if (missing > 0) Left(missing.toLong)
       else {
         val dirs = files.map(_._1).distinct.sorted
@@ -13073,7 +13073,7 @@ object Queries {
     // what an UNGUARDED read would answer: whatever manifest files
     // still exist — the silent-partial hazard, quantified
     def naiveRows(v: Int): Long = {
-      val live = manifestFiles(v).filter { case (g, f) => new java.io.File(s"$base/$g/$f").exists() }
+      val live = manifestFiles(v).filter { case (g, f) => graft.sources.GraftFs.exists(s"$base/$g/$f") }
       if (live.isEmpty) 0L
       else {
         val dirs = live.map(_._1).distinct.sorted
@@ -13092,7 +13092,7 @@ object Queries {
       .distinct()
       .join(required, Seq("dir", "file_name"), "left_anti")
       .collect()
-      .foreach(r => new java.io.File(s"$base/${r.getString(0)}/${r.getString(1)}").delete())
+      .foreach(r => graft.sources.GraftFs.delete(s"$base/${r.getString(0)}/${r.getString(1)}"))
     s.catalog.refreshByPath(base)
     val rows = Seq(1, 2, 3).map { v =>
       val files = manifestFiles(v)

@@ -971,10 +971,8 @@ object Similarity {
   /** Parquet data-file count of one stored-index table — the census a
     * compaction job reports (metadata-cardinality driver work).
     */
-  def dataFileCount(path: String): Long = {
-    val fs = new java.io.File(path).listFiles()
-    if (fs == null) 0L else fs.count(f => f.isFile && f.getName.endsWith(".parquet")).toLong
-  }
+  def dataFileCount(path: String): Long =
+    graft.sources.GraftFs.listDataFiles(path).size.toLong
 
   /** IVF nprobe TUNING sweep — the operational alternative when the
     * rollout gate (q398) says a retrain does not pay: before touching
