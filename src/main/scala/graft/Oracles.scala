@@ -5744,7 +5744,13 @@ object Oracles {
         |g AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS ck FROM o WHERE k % 3 = 1),
         |p AS (SELECT count(*) AS n FROM o WHERE k % 3 = 2),
         |pn AS (SELECT count(*) AS n FROM o WHERE k % 3 = 2 AND k % 12 = 5),
-        |pd AS (SELECT count(*) AS n FROM o WHERE k % 6 = 2)
+        |-- dup census mirrors the engine's semi-join: a poison row's
+        |-- SHIFTED key (k%6=2 → k+1) counts only if k+1 actually exists
+        |-- in the published read (k+1 ≡ 0 mod 3 by construction, and
+        |-- dbgen's orderkey runs make it exist — but the oracle checks
+        |-- existence rather than assuming the layout)
+        |pd AS (SELECT count(*) AS n FROM o
+        |  WHERE k % 6 = 2 AND EXISTS (SELECT 1 FROM o m WHERE m.k = o.k + 1 AND m.k % 3 = 0))
         |SELECT 'v1_initial' AS phase, CAST(0 AS BIGINT) AS n_staged_rows,
         |  CAST(0 AS BIGINT) AS n_null_keys, CAST(0 AS BIGINT) AS n_dup_keys_vs_main,
         |  CAST(0 AS BIGINT) AS published, m.n AS n_rows_visible, m.ck AS key_checksum,

@@ -12800,11 +12800,13 @@ object Queries {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .toSet
-    def recallPermille(pairs: Set[(Long, Long, Double, Int)]): Long =
-      pairs.count { case (q, n, _, _) => truth((q, n)) } * 1000L / truth.size
-    val recallStale = recallPermille(stale)
+    def truthHits(pairs: Set[(Long, Long, Double, Int)]): Long =
+      pairs.count { case (q, n, _, _) => truth((q, n)) }.toLong
+    val hitsStale = truthHits(stale)
+    val recallStale = hitsStale * 1000L / truth.size
     val fresh = AnnIndex.stored(s, dir) // the retrain: full-corpus quantizers
-    val recallFresh = recallPermille(served(fresh.paths))
+    val hitsFresh = truthHits(served(fresh.paths))
+    val recallFresh = hitsFresh * 1000L / truth.size
     // assignment drift under the FROZEN quantizer (q265's argmax rule)
     val frozen = AnnIndex.storedBase(s, dir).coarse
     val halfNorm = frozen.map(c => c.map(x => x * x).reduceLeft(_ + _) / 2.0)
@@ -12842,7 +12844,10 @@ object Queries {
         recallStale,
         recallFresh,
         recommended,
-        if (recallFresh >= recallStale) 1L else 0L
+        // RAW hit counts, not the floored permilles: past 1000 truth
+        // pairs two unequal counts can floor to the same permille,
+        // and the oracle compares counts — so must the engine
+        if (hitsFresh >= hitsStale) 1L else 0L
       )
     ).toDF(
       "files_reduced",

@@ -525,6 +525,23 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("size-gated join handle: release() drops the persisted count table (the library caller's contract)") {
+    val counts = spark
+      .range(0, 50)
+      .selectExpr("CAST(id AS STRING) AS lft", "CAST(id + 1 AS STRING) AS rgt", "id AS c")
+    val stream = spark
+      .range(0, 100)
+      .selectExpr("id AS doc_id", "CAST(id % 50 AS STRING) AS lft", "CAST(id % 50 + 1 AS STRING) AS rgt")
+    val gated = graft.operators.SizeGate.countsJoinGated(stream, counts, Seq("lft", "rgt"), "left")
+    assert(gated.broadcastChosen)
+    // the gate's count() materialized the persist
+    assert(gated.table.storageLevel.useMemory, "the gate must persist the table it counted")
+    gated.joined.count() // the consumer materializes…
+    gated.release() // …then the caller releases the handle
+    assert(gated.table.storageLevel === org.apache.spark.storage.StorageLevel.NONE,
+      "release() must unpersist the count table")
+  }
+
   test("bpe encode (q238): the encoded vocabulary broadcasts onto the token stream") {
     val p = plan(Queries.bpeEncode(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), s"the |V|-row encoded vocab must broadcast:\n$p")
