@@ -1,0 +1,219 @@
+package graft.sources
+
+import java.util.concurrent.atomic.AtomicReference
+
+/** A driver-held table-format manifest log — the metadata layer the
+  * lakehouse queries (q379/q396/q400/q402) each rebuilt ad hoc, now
+  * one component with the three properties a real format (Delta,
+  * Iceberg) actually guarantees:
+  *
+  *  1. OPTIMISTIC CONCURRENCY (q404). A commit is staged against the
+  *     version its writer READ; publishing is one compare-and-set on
+  *     the whole log state. A loser does not blindly retry: it
+  *     re-validates its conflict scope against every commit that
+  *     landed in between — a writer whose removed-file set is
+  *     DISJOINT from the interveners' rebases and retries (its
+  *     rewrite is still based on live bytes), while an OVERLAPPING
+  *     writer aborts loudly (its rewrite was derived from files that
+  *     no longer exist; retrying would resurrect deleted rows). This
+  *     is `app.py:649-740`'s retry-the-insert loop upgraded to
+  *     retry-the-commit-with-validation.
+  *  2. CHANGE DERIVATION (q405). Every commit records WHAT it did —
+  *     files added, files removed, deletion-vector files attached,
+  *     and an operation tag — so a change-data-feed reader can
+  *     reconstruct inserts/deletes/update pre/post images between any
+  *     two versions from the commit records alone, touching only the
+  *     files those commits name: O(|changed files|), never a table
+  *     diff.
+  *  3. NAMED REFS (q406). Versions form a parent tree, not a line;
+  *     refs are names pointing at versions. Tags are immutable pins
+  *     (the audit convention), branches move with each commit (the
+  *     WAP staging surface), and reachability-from-any-ref is the
+  *     retention rule vacuum enforces — so a tag genuinely protects
+  *     its files and a staged branch stays invisible to `main`.
+  *
+  * Scale shape: the log is metadata — a handful of [[FileRef]]s and
+  * longs per commit, shared by reference. Reads broadcast a live-file
+  * name set; no operation here ever touches data-file contents. In a
+  * real deployment the AtomicReference becomes a CAS on the log's
+  * storage (an atomic rename on HDFS, a conditional PUT on S3) — the
+  * validation logic is identical.
+  */
+object ManifestLog {
+  /** One data (or deletion-vector) file: a dir under the table root
+    * plus the file name within it.
+    */
+  final case class FileRef(dir: String, file: String)
+
+  /** One published commit. `parent` is the version the commit applied
+    * on top of — versions form a tree (branches), not a line.
+    * `dvAdded` names deletion-vector files (q400's positional
+    * tombstones) attached by this commit; they subtract rows from the
+    * files they reference without rewriting them.
+    */
+  final case class Commit(
+      version: Long,
+      parent: Long,
+      op: String,
+      added: Vector[FileRef],
+      removed: Vector[FileRef],
+      dvAdded: Vector[FileRef]
+  )
+
+  /** A publish attempt's outcome: the committed version and how many
+    * CAS/validation rounds it took, or the overlap that killed it.
+    */
+  sealed trait Outcome { def attempts: Int }
+  final case class Committed(version: Long, attempts: Int) extends Outcome
+  final case class Conflicted(overlap: Set[FileRef], attempts: Int) extends Outcome
+
+  private final case class State(
+      commits: Map[Long, Commit],
+      branches: Map[String, Long],
+      tags: Map[String, Long],
+      nextVersion: Long
+  )
+}
+
+final class ManifestLog {
+  import ManifestLog._
+
+  // version 0 is the empty genesis every chain roots at
+  private val state = new AtomicReference[State](
+    State(
+      commits = Map(0L -> Commit(0L, -1L, "genesis", Vector.empty, Vector.empty, Vector.empty)),
+      branches = Map("main" -> 0L),
+      tags = Map.empty,
+      nextVersion = 1L
+    )
+  )
+
+  def head(branch: String = "main"): Long = state.get().branches(branch)
+  def tagVersion(name: String): Long = state.get().tags(name)
+
+  /** The commit chain from `version` back to genesis, oldest first. */
+  def chain(version: Long): Vector[Commit] = {
+    val cs = state.get().commits
+    Iterator
+      .iterate(cs(version))(c => cs(c.parent))
+      .takeWhile(_.version >= 0L)
+      .takeWhile(_.parent >= -1L)
+      .foldLeft(Vector.empty[Commit]) { (acc, c) => c +: acc }
+  }
+
+  /** Files live at `version`: replay the parent chain, each commit
+    * removing then adding. Metadata-cardinality driver work.
+    */
+  def liveFiles(version: Long): Set[FileRef] =
+    chain(version).foldLeft(Set.empty[FileRef])((live, c) => (live -- c.removed) ++ c.added)
+
+  /** Deletion-vector files in force at `version` (tombstones
+    * accumulate along the chain; a DV whose target file was removed
+    * is inert but harmless — the anti-join finds nothing).
+    */
+  def dvFiles(version: Long): Set[FileRef] =
+    chain(version).foldLeft(Set.empty[FileRef])((dvs, c) => dvs ++ c.dvAdded)
+
+  /** Commits strictly after `vFrom` up to and including `vTo`, oldest
+    * first — the change-data-feed's input. `vFrom` must be an
+    * ancestor of `vTo`.
+    */
+  def commitsBetween(vFrom: Long, vTo: Long): Vector[Commit] = {
+    val c = chain(vTo)
+    require(c.exists(_.version == vFrom), s"version $vFrom is not an ancestor of $vTo")
+    c.dropWhile(_.version != vFrom).drop(1)
+  }
+
+  /** OCC publish onto `branch`: stage (op, add, remove, dv) as read
+    * at `readVersion`, then commit with validation. If the branch
+    * head moved past the read point, the intervening commits'
+    * REMOVED files are the conflict scope: disjoint ⇒ rebase onto the
+    * new head and retry (bounded by `maxAttempts`); overlapping ⇒
+    * [[ManifestLog.Conflicted]] — the caller's rewrite is stale and
+    * must be rebuilt from current bytes.
+    */
+  def tryCommit(
+      branch: String,
+      readVersion: Long,
+      op: String,
+      add: Seq[FileRef] = Seq.empty,
+      remove: Seq[FileRef] = Seq.empty,
+      dvAdd: Seq[FileRef] = Seq.empty,
+      maxAttempts: Int = 10
+  ): Outcome = {
+    var attempts = 0
+    while (attempts < maxAttempts) {
+      attempts += 1
+      val st = state.get()
+      val headV = st.branches.getOrElse(branch, sys.error(s"no branch '$branch'"))
+      if (headV != readVersion) {
+        // validate: everything the interveners removed vs what we remove
+        val intervening = {
+          val c = chain(headV)
+          if (!c.exists(_.version == readVersion))
+            return Conflicted(remove.toSet, attempts) // divergent history: cannot validate
+          c.dropWhile(_.version != readVersion).drop(1)
+        }
+        val removedSince = intervening.flatMap(_.removed).toSet
+        val overlap = remove.toSet.intersect(removedSince)
+        if (overlap.nonEmpty) return Conflicted(overlap, attempts)
+      }
+      val v = st.nextVersion
+      val commit = Commit(v, headV, op, add.toVector, remove.toVector, dvAdd.toVector)
+      val next = st.copy(
+        commits = st.commits + (v -> commit),
+        branches = st.branches + (branch -> v),
+        nextVersion = v + 1L
+      )
+      if (state.compareAndSet(st, next)) return Committed(v, attempts)
+    }
+    Conflicted(Set.empty, maxAttempts)
+  }
+
+  /** Immutable pin: refuses to move an existing tag. */
+  def tag(name: String, version: Long): Unit = {
+    val st = state.get()
+    require(!st.tags.contains(name), s"tag '$name' already exists (tags are immutable)")
+    require(st.commits.contains(version), s"no version $version")
+    if (!state.compareAndSet(st, st.copy(tags = st.tags + (name -> version)))) tag(name, version)
+  }
+
+  /** A movable head starting at `at` — the WAP staging surface. */
+  def createBranch(name: String, at: Long): Unit = {
+    val st = state.get()
+    require(!st.branches.contains(name), s"branch '$name' already exists")
+    require(st.commits.contains(at), s"no version $at")
+    if (!state.compareAndSet(st, st.copy(branches = st.branches + (name -> at)))) createBranch(name, at)
+  }
+
+  /** Fast-forward publish: move `toBranch` to `fromBranch`'s head,
+    * legal only if the target's head is an ancestor (nothing on the
+    * target would be abandoned) — the WAP publish verb.
+    */
+  def fastForward(toBranch: String, fromBranch: String): Long = {
+    val st = state.get()
+    val target = st.branches(toBranch)
+    val src = st.branches(fromBranch)
+    require(
+      chain(src).exists(_.version == target),
+      s"$toBranch@$target is not an ancestor of $fromBranch@$src — fast-forward impossible"
+    )
+    if (!state.compareAndSet(st, st.copy(branches = st.branches + (toBranch -> src))))
+      fastForward(toBranch, fromBranch)
+    else src
+  }
+
+  /** Files reachable from ANY ref (branch heads and tags) — vacuum's
+    * retention set: deleting anything outside it can break no read
+    * addressed by name.
+    */
+  def reachableFiles: Set[FileRef] = {
+    val st = state.get()
+    (st.branches.values ++ st.tags.values).toSet.flatMap((v: Long) => liveFiles(v) ++ dvFiles(v))
+  }
+
+  def refs: Map[String, Long] = {
+    val st = state.get()
+    st.branches ++ st.tags
+  }
+}
