@@ -106,6 +106,12 @@ object Bench {
         catch { case _: Throwable => false }
       val dt = (System.nanoTime() - s0) / 1e9
       spark.catalog.clearCache()
+      // slot isolation (r10 finding: in-suite times inflated ~10% over
+      // isolated runs): reclaim the per-query scratch dirs this slot
+      // staged — pinned shared fixtures (AnnIndex/CandidateGraph)
+      // survive — so /tmp growth and page-cache pressure from one
+      // query's staged tables never taxes its neighbors' timed slots
+      graft.operators.Scratch.sweep()
       // ~15 streaming queries each load state-store providers (RocksDB
       // native memory + maintenance threads) that otherwise accumulate
       // for the rest of the sweep and perturb later timings; unload
@@ -139,6 +145,7 @@ object Bench {
           try { fn(spark, "/root/testdata/sf0.001").count(); () }
           catch { case _: Throwable => () }
           spark.catalog.clearCache()
+          graft.operators.Scratch.sweep()
           val first = timedOnce(fn)
           // second pass only where it pays, and only while budget
           // remains: (a) fast queries, whose timing is JIT/GC-noise

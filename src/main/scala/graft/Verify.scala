@@ -52,8 +52,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // operators that persist() intermediates (near-dup, ANN) would
-      // otherwise accumulate cached blocks across all queries
-      finally spark.catalog.clearCache()
+      // otherwise accumulate cached blocks across all queries; same
+      // for per-query scratch dirs (pinned shared fixtures survive)
+      finally { spark.catalog.clearCache(); graft.operators.Scratch.sweep() }
     }
     spark.stop()
   }

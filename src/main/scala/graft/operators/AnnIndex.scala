@@ -34,7 +34,7 @@ object AnnIndex {
           nlist = 16,
           m = 16,
           ksub = 16,
-          root = Scratch.dir("graft-annindex")
+          root = Scratch.pinned("graft-annindex")
         )
     )
 
@@ -57,7 +57,7 @@ object AnnIndex {
       dir,
       _ => {
         val v1 = stored(s, dir).paths
-        val v2 = Similarity.IvfPqIndexPaths(Scratch.dir("graft-annindex-erased"))
+        val v2 = Similarity.IvfPqIndexPaths(Scratch.pinned("graft-annindex-erased"))
         graft.sinks.RetryingSink.overwriteParquet(s.read.parquet(v1.centroids), v2.centroids)
         graft.sinks.RetryingSink.overwriteParquet(s.read.parquet(v1.codebooks), v2.codebooks)
         graft.sinks.RetryingSink.overwriteParquet(
@@ -99,7 +99,7 @@ object AnnIndex {
           nlist = 16,
           m = 16,
           ksub = 16,
-          root = Scratch.dir("graft-annindex-base")
+          root = Scratch.pinned("graft-annindex-base")
         )
     )
 
@@ -118,7 +118,7 @@ object AnnIndex {
           col("vec_id"),
           col("embedding"),
           storedBase(s, dir),
-          Similarity.IvfPqIndexPaths(Scratch.dir("graft-annindex-appended"))
+          Similarity.IvfPqIndexPaths(Scratch.pinned("graft-annindex-appended"))
         )
     )
 
@@ -138,7 +138,7 @@ object AnnIndex {
         Similarity.compactIndex(
           s,
           appendedStored(s, dir),
-          Similarity.IvfPqIndexPaths(Scratch.dir("graft-annindex-compacted"))
+          Similarity.IvfPqIndexPaths(Scratch.pinned("graft-annindex-compacted"))
         )
     )
 

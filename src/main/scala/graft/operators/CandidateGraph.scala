@@ -46,7 +46,7 @@ object CandidateGraph {
     val path = shCache.computeIfAbsent(
       dir,
       _ => {
-        val scratch = Scratch.dir("graft-shingles")
+        val scratch = Scratch.pinned("graft-shingles")
         // the documents table is derived HERE from the cache key, not
         // passed in: a docs parameter would be silently ignored on
         // every call after the first per dir — an API trap (a caller
@@ -73,7 +73,7 @@ object CandidateGraph {
     val path = cache.computeIfAbsent(
       dir,
       _ => {
-        val scratch = Scratch.dir("graft-candgraph")
+        val scratch = Scratch.pinned("graft-candgraph")
         val sigs = NearDup.minhashSignaturesFromShingles(shingles(s, dir), k = 16)
         NearDup
           .lshCandidatePairs(sigs, bands = 4, rowsPerBand = 4)
@@ -100,7 +100,7 @@ object CandidateGraph {
     val path = confCache.computeIfAbsent(
       dir,
       _ => {
-        val scratch = Scratch.dir("graft-confpairs")
+        val scratch = Scratch.pinned("graft-confpairs")
         NearDup
           .confirmJaccardHalf(pairs(s, dir), shingles(s, dir), "d1", "d2")
           .write
@@ -127,7 +127,7 @@ object CandidateGraph {
     val path = fpCache.computeIfAbsent(
       dir,
       _ => {
-        val scratch = Scratch.dir("graft-winnowfp")
+        val scratch = Scratch.pinned("graft-winnowfp")
         NearDup
           .winnowedFingerprints(graft.sources.Tables.parquet(s, dir, "documents"), col("doc_id"), col("text"))
           .write
@@ -155,7 +155,7 @@ object CandidateGraph {
     val path = incCache.computeIfAbsent(
       dir,
       _ => {
-        val scratch = Scratch.dir("graft-incpairs")
+        val scratch = Scratch.pinned("graft-incpairs")
         val sh = shingles(s, dir)
         val sigs = NearDup.minhashSignaturesFromShingles(sh, k = 16)
         val cand = NearDup.lshProbePairs(
@@ -190,7 +190,7 @@ object CandidateGraph {
     val path = ccCache.computeIfAbsent(
       dir,
       _ => {
-        val scratch = Scratch.dir("graft-ccclusters")
+        val scratch = Scratch.pinned("graft-ccclusters")
         ConnectedComponents
           .minLabel(
             graft.sources.Tables.parquet(s, dir, "documents").select(col("doc_id")),

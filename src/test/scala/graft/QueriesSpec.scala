@@ -1678,10 +1678,13 @@ class QueriesSpec extends SparkSpec {
     val rows = Queries.annIndexLifecycle(spark, sfDir).collect()
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getAs[Long]("eq_direct") === 1L, s"qid ${r.getAs[Long]("qid")} rnk ${r.getAs[Int]("rnk")} diverged"))
-    // and the four index tables really landed on disk
-    val root = new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_ivfpq_index")
-    Seq("centroids", "codebooks", "corpus_cells", "pq_codes").foreach { t =>
-      assert(new java.io.File(root, t).exists(), s"index table $t missing")
+    // and the four index tables really landed on disk — at the paths
+    // the shared store actually serves from (the old fixed-/tmp-name
+    // assertion outlived the AnnIndex refactor and only passed off
+    // stale container state)
+    val paths = graft.operators.AnnIndex.stored(spark, sfDir).paths
+    Seq(paths.centroids, paths.codebooks, paths.corpusCells, paths.pqCodes).foreach { t =>
+      assert(graft.sources.GraftFs.listDataFiles(t).nonEmpty, s"index table $t missing")
     }
   }
 
