@@ -4643,6 +4643,81 @@ object Oracles {
          |  CAST(CASE WHEN nid % 10 = 7 THEN 1 ELSE 0 END AS BIGINT) AS is_new_hit
          |FROM (${annIvfPqSqlK(3, trainPred = "vid % 10 <> 7")}) t
          |ORDER BY qid, rnk""".stripMargin,
+    // the rollback replayed as arithmetic: bad append = k%13=0 keys
+    // +10^7, bad delete = the k%9=1 cohort, restore returns the
+    // initial census exactly; eq_restored earned in-engine, n_commits
+    // pins the intact audit trail (genesis + 4 commits)
+    "q409_restore_version" ->
+      """WITH o AS (SELECT o_orderkey AS k FROM orders),
+        |a AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk FROM o),
+        |bd AS (SELECT count(*) AS n, CAST(sum(k) + 10000000 * count(*) AS BIGINT) AS kk
+        |    FROM o WHERE k % 13 = 0),
+        |d9 AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk FROM o WHERE k % 9 = 1)
+        |SELECT '1_initial' AS phase, CAST(1 AS BIGINT) AS version, a.n AS n_rows,
+        |  a.kk AS key_checksum, CAST(1 AS BIGINT) AS eq_restored,
+        |  CAST(5 AS BIGINT) AS n_commits FROM a
+        |UNION ALL SELECT '2_bad_append', 2, a.n + bd.n, a.kk + bd.kk, 1, 5 FROM a, bd
+        |UNION ALL SELECT '3_bad_delete', 3, a.n + bd.n - d9.n, a.kk + bd.kk - d9.kk, 1, 5 FROM a, bd, d9
+        |UNION ALL SELECT '4_restored', 4, a.n, a.kk, 1, 5 FROM a
+        |ORDER BY phase""".stripMargin,
+    // retained censuses re-derived from the cohort predicates; the
+    // protocol facts (pin refusal, one orphaned file, expired-read
+    // refusal, retained equality) are earned in-engine and pinned
+    "q410_snapshot_expiration" ->
+      """WITH o AS (SELECT o_orderkey AS k FROM orders),
+        |r AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk FROM o WHERE k % 9 <> 0),
+        |s AS (SELECT count(*) AS n, CAST(sum(k) + 10000000 * count(*) AS BIGINT) AS kk
+        |    FROM o WHERE k % 7 = 0)
+        |SELECT '1_retained_horizon' AS phase, CAST(2 AS BIGINT) AS version, r.n AS n_rows,
+        |  r.kk AS key_checksum, CAST(1 AS BIGINT) AS refused_while_pinned,
+        |  CAST(1 AS BIGINT) AS n_orphaned, CAST(1 AS BIGINT) AS v1_refuses,
+        |  CAST(1 AS BIGINT) AS eq_retained FROM r
+        |UNION ALL SELECT '2_retained_head', 3, r.n + s.n, r.kk + s.kk, 1, 1, 1, 1 FROM r, s
+        |ORDER BY phase""".stripMargin,
+    // late-interaction MaxSim with IVF token routing: the q36 Lloyd
+    // training over ALL token vectors (each embedding row IS a token:
+    // vid//8 = doc, vid%8 = position, cap < 6), corpus tokens in their
+    // top-1 cell, query tokens probing top-2; candidate doc pairs from
+    // cell co-residence; score = Σ_qtoken max_dtoken away(cosine, 6dp)
+    // summed as DECIMAL(25,6) (the q190 ADC discipline); brute top-3
+    // over ALL pairs is the recall truth joined back per routed row
+    "q408_multivector_maxsim" ->
+      s"""WITH ${IvfSqlBits.lloydCtes},
+         |sfq AS (SELECT v.vid, v.e, c.j, ${IvfSqlBits.score("v", "c")} AS s FROM v, c2 c),
+         |asg AS (SELECT vid, j AS cell, rn FROM (SELECT vid, j,
+         |    row_number() OVER (PARTITION BY vid ORDER BY s DESC, j DESC) AS rn FROM sfq) t
+         |  WHERE rn <= 2),
+         |tok AS (SELECT vid, vid // 8 AS did, e FROM v WHERE vid % 8 < 6),
+         |cor AS (SELECT t.did AS ddid, a.cell FROM tok t JOIN asg a ON a.vid = t.vid AND a.rn = 1
+         |  WHERE t.did >= 3),
+         |prb AS (SELECT t.did AS qdid, a.cell FROM tok t JOIN asg a ON a.vid = t.vid
+         |  WHERE t.did < 3),
+         |cand AS (SELECT DISTINCT p.qdid, c.ddid FROM prb p JOIN cor c ON p.cell = c.cell),
+         |qt AS (SELECT did AS qdid, vid AS qvid, e AS qe FROM tok WHERE did < 3),
+         |dt AS (SELECT did AS ddid, e AS de FROM tok WHERE did >= 3),
+         |ct AS (SELECT qt.qdid, dt.ddid, qt.qvid, ${away(cosineSql("qt.qe", "dt.de"), 6)} AS c FROM qt, dt),
+         |bb AS (SELECT qdid, ddid, qvid, max(c) AS best FROM ct GROUP BY 1, 2, 3),
+         |sc AS MATERIALIZED (SELECT qdid, ddid,
+         |    CAST(sum(CAST(best AS DECIMAL(25,6))) AS DOUBLE) AS score FROM bb GROUP BY 1, 2),
+         |bt AS (SELECT qdid, ddid FROM (SELECT qdid, ddid,
+         |    row_number() OVER (PARTITION BY qdid ORDER BY score DESC, ddid) AS rnk FROM sc) t
+         |  WHERE rnk <= 3),
+         |rt AS (SELECT s.qdid, s.ddid, s.score,
+         |    CAST(row_number() OVER (PARTITION BY s.qdid ORDER BY s.score DESC, s.ddid) AS INTEGER) AS rnk
+         |  FROM sc s JOIN cand ON cand.qdid = s.qdid AND cand.ddid = s.ddid)
+         |SELECT r.qdid AS qid, r.rnk, r.ddid AS did, r.score,
+         |  CAST(CASE WHEN b.ddid IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS brute_hit
+         |FROM rt r LEFT JOIN bt b ON b.qdid = r.qdid AND b.ddid = r.ddid
+         |WHERE r.rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    // the streaming serve is q377's appended-index serve row-for-row
+    // — micro-batching and the mid-stream compaction swap must both
+    // be invisible; eq_batch (vs the one batch serve) and two_batches
+    // (the swap actually interleaved) are earned in-engine
+    "q407_streaming_ann_serve" ->
+      s"""SELECT qid, nid, sim, rnk,
+         |  CAST(1 AS BIGINT) AS eq_batch, CAST(1 AS BIGINT) AS two_batches
+         |FROM (${annIvfPqSqlK(3, trainPred = "vid % 10 <> 7")}) t
+         |ORDER BY qid, rnk""".stripMargin,
     // post-evolution state: NULL tier = legacy rows the backfill never
     // touched; NULLS FIRST pins Spark's ascending null order
     "q391_schema_evolution_v2" ->
@@ -5734,6 +5809,72 @@ object Oracles {
          |FROM cnt LEFT JOIN ht ON ht.np = cnt.np, nq, nt, nc
          |ORDER BY nprobe""".stripMargin
     },
+    // the four ref censuses re-derived from the cohort predicates:
+    // tag = the full initial table (pinned through vacuum — eq earned
+    // in-engine), wap = initial + staged (k%7=0, keys +10^7), main
+    // after the delete-rewrite = k%9<>0, publish = that + staged.
+    // Global facts are protocol constants: 1 orphan vacuumed, 2 files
+    // held only by non-main refs, fast-forward refused on diverged
+    // heads, zero staged rows leaked into main
+    "q406_branch_tag_refs" ->
+      """WITH o AS (SELECT o_orderkey AS k FROM orders),
+        |a AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk FROM o),
+        |s AS (SELECT count(*) AS n, CAST(sum(k) + 10000000 * count(*) AS BIGINT) AS kk
+        |    FROM o WHERE k % 7 = 0),
+        |dl AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk FROM o WHERE k % 9 <> 0)
+        |SELECT '1_tag_audit' AS phase, CAST(1 AS BIGINT) AS version, a.n AS n_rows,
+        |  a.kk AS key_checksum, CAST(0 AS BIGINT) AS n_staged_in_main,
+        |  CAST(1 AS BIGINT) AS n_vacuum_deleted, CAST(2 AS BIGINT) AS n_kept_other_refs,
+        |  CAST(0 AS BIGINT) AS ff_legal, CAST(1 AS BIGINT) AS eq_pinned FROM a
+        |UNION ALL SELECT '2_wap_staged', 2, a.n + s.n, a.kk + s.kk, 0, 1, 2, 0, 1 FROM a, s
+        |UNION ALL SELECT '3_main_after_delete', 3, dl.n, dl.kk, 0, 1, 2, 0, 1 FROM dl
+        |UNION ALL SELECT '4_main_after_publish', 4, dl.n + s.n, dl.kk + s.kk, 0, 1, 2, 0, 1 FROM dl, s
+        |ORDER BY phase""".stripMargin,
+    // the feed's four change classes re-derived from the cohort
+    // predicates: inserts = the k%5=0 batch (keys +10^7), updates =
+    // the k%6=1 cohort (post = pre + 50 cents each), deletes = the
+    // k%15=2 cohort (untouched by the update — disjoint mod classes);
+    // eq_apply / eq_ivm are earned in-engine (feed replay vs direct
+    // read, maintained aggregate vs recompute)
+    "q405_change_data_feed" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |i AS (SELECT count(*) AS n, CAST(sum(k) + 10000000 * count(*) AS BIGINT) AS kk,
+        |    CAST(sum(cents) AS BIGINT) AS cc FROM o WHERE k % 5 = 0),
+        |u AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents) AS BIGINT) AS cc FROM o WHERE k % 6 = 1),
+        |d AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents) AS BIGINT) AS cc FROM o WHERE k % 15 = 2)
+        |SELECT CAST(2 AS BIGINT) AS version, 'insert' AS change_type, i.n AS n_rows,
+        |  i.kk AS key_checksum, i.cc AS cents_checksum,
+        |  CAST(1 AS BIGINT) AS eq_apply, CAST(1 AS BIGINT) AS eq_ivm FROM i
+        |UNION ALL SELECT 3, 'update_preimage', u.n, u.kk, u.cc, 1, 1 FROM u
+        |UNION ALL SELECT 3, 'update_postimage', u.n, u.kk, u.cc + 50 * u.n, 1, 1 FROM u
+        |UNION ALL SELECT 4, 'delete', d.n, d.kk, d.cc, 1, 1 FROM d
+        |ORDER BY version, change_type""".stripMargin,
+    // the deterministic three-writer interleave replayed as
+    // arithmetic: B's append doubles the table (keys shifted +10^7),
+    // A's compaction is row-preserving (censuses of v2 and v3 equal),
+    // C's abort leaves the head untouched — version/attempt/outcome
+    // columns are the protocol's deterministic constants, eq_final is
+    // earned in-engine (multiset equality of the final read vs
+    // init ∪ append)
+    "q404_occ_commit" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |b AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents) AS BIGINT) AS cc FROM o)
+        |SELECT '1_init' AS phase, CAST(1 AS BIGINT) AS version, CAST(1 AS BIGINT) AS attempts,
+        |  CAST(0 AS BIGINT) AS rebased, CAST(1 AS BIGINT) AS committed, CAST(0 AS BIGINT) AS n_overlap,
+        |  b.n AS n_rows_visible, b.kk AS key_checksum, b.cc AS cents_checksum,
+        |  CAST(1 AS BIGINT) AS eq_final FROM b
+        |UNION ALL SELECT '2_append_first_wins', 2, 1, 0, 1, 0,
+        |  2 * b.n, 2 * b.kk + 10000000 * b.n, 2 * b.cc, 1 FROM b
+        |UNION ALL SELECT '3_compact_disjoint_rebase', 3, 1, 1, 1, 0,
+        |  2 * b.n, 2 * b.kk + 10000000 * b.n, 2 * b.cc, 1 FROM b
+        |UNION ALL SELECT '4_delete_overlap_abort', -1, 1, 0, 0, 1,
+        |  2 * b.n, 2 * b.kk + 10000000 * b.n, 2 * b.cc, 1 FROM b
+        |ORDER BY phase""".stripMargin,
     // the three WAP versions re-derived from the mod-class fixture:
     // good batch disjoint from main (publishes), poisoned batch's
     // nulls (k%12=5) and main-key collisions (k%6=2 shifted onto %3=0)

@@ -595,7 +595,7 @@ object Similarity {
     cellsOf(v, centroids, nprobe)
 
   /** Wrap [[graft.plans.NearestCells]] as a Column. */
-  private def cellsOf(v: Column, centroids: Array[Array[Double]], n: Int): Column = {
+  private[graft] def cellsOf(v: Column, centroids: Array[Array[Double]], n: Int): Column = {
     import org.apache.spark.sql.graft.bridge
     bridge.column(graft.plans.NearestCells(bridge.expression(v), centroids, n))
   }

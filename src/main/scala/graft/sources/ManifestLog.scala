@@ -94,11 +94,14 @@ final class ManifestLog {
   /** The commit chain from `version` back to genesis, oldest first. */
   def chain(version: Long): Vector[Commit] = {
     val cs = state.get().commits
-    Iterator
-      .iterate(cs(version))(c => cs(c.parent))
-      .takeWhile(_.version >= 0L)
-      .takeWhile(_.parent >= -1L)
-      .foldLeft(Vector.empty[Commit]) { (acc, c) => c +: acc }
+    var acc = List.empty[Commit]
+    var v = version
+    while (v >= 0L) {
+      val c = cs.getOrElse(v, sys.error(s"no version $v in the log"))
+      acc = c :: acc
+      v = c.parent
+    }
+    acc.toVector
   }
 
   /** Files live at `version`: replay the parent chain, each commit
@@ -215,5 +218,61 @@ final class ManifestLog {
   def refs: Map[String, Long] = {
     val st = state.get()
     st.branches ++ st.tags
+  }
+
+  /** Remove a tag (the audit that pinned a version is complete). The
+    * version itself stays until [[expireBefore]] reclaims it.
+    */
+  def dropTag(name: String): Unit = {
+    val st = state.get()
+    require(st.tags.contains(name), s"no tag '$name'")
+    if (!state.compareAndSet(st, st.copy(tags = st.tags - name))) dropTag(name)
+  }
+
+  /** SNAPSHOT EXPIRATION — squash every commit strictly OLDER than
+    * `horizon` (which must be a main-chain version) into one
+    * checkpoint commit carrying horizon's live files and DVs, so the
+    * log stops growing with history while every retained version
+    * replays exactly as before. REFUSES loudly if any ref (tag or
+    * branch) points below the horizon — expiring a pinned version
+    * would silently break a named read, the q396 contract at the log
+    * level; the caller must first retire the ref ([[dropTag]]).
+    * Returns the files ONLY the expired history referenced (added in
+    * a dropped commit, not live at the horizon, unreachable from any
+    * ref) — the vacuum-eligible set this expiration just created.
+    * Reads of expired versions now fail by construction (no such
+    * version in the log). Metadata-cardinality driver work
+    * throughout.
+    */
+  def expireBefore(horizon: Long): Set[FileRef] = {
+    val st = state.get()
+    val hChain = {
+      val cs = st.commits
+      var acc = List.empty[Commit]
+      var v = horizon
+      while (v >= 0L) {
+        val c = cs.getOrElse(v, sys.error(s"no version $horizon in the log"))
+        acc = c :: acc
+        v = c.parent
+      }
+      acc.toVector
+    }
+    val dropped = hChain.filter(_.version < horizon).map(_.version).toSet
+    val pinnedBelow = (st.branches ++ st.tags).filter { case (_, v) => dropped.contains(v) }
+    require(
+      pinnedBelow.isEmpty,
+      s"refusing to expire below $horizon: ref(s) ${pinnedBelow.keys.mkString(", ")} pin expired version(s) — retire them first"
+    )
+    val live = hChain.foldLeft(Set.empty[FileRef])((l, c) => (l -- c.removed) ++ c.added)
+    val dvs = hChain.flatMap(_.dvAdded).toVector
+    val checkpoint = Commit(horizon, -1L, "checkpoint", live.toVector, Vector.empty, dvs)
+    val next = st.copy(commits = (st.commits -- dropped) + (horizon -> checkpoint))
+    if (!state.compareAndSet(st, next)) expireBefore(horizon)
+    else {
+      // everything the dropped commits ever added that is not live at
+      // the horizon and not reachable from any surviving ref
+      val everAdded = hChain.filter(c => dropped.contains(c.version)).flatMap(c => c.added ++ c.dvAdded).toSet
+      everAdded -- live -- dvs -- reachableFiles
+    }
   }
 }
