@@ -4643,6 +4643,49 @@ object Oracles {
          |  CAST(CASE WHEN nid % 10 = 7 THEN 1 ELSE 0 END AS BIGINT) AS is_new_hit
          |FROM (${annIvfPqSqlK(3, trainPred = "vid % 10 <> 7")}) t
          |ORDER BY qid, rnk""".stripMargin,
+    // the pruned range scan re-derived: bucket width from max(k), the
+    // predicate spans buckets 0-1 exactly (2 of 8 files planned);
+    // eq_full earned in-engine (pruned census ≡ full-scan census)
+    "q413_manifest_file_skipping" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |wdt AS (SELECT 1 + max(k) // 8 AS w FROM o),
+        |m AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents) AS BIGINT) AS cc
+        |  FROM o, wdt WHERE k BETWEEN w // 2 AND w + w // 2)
+        |SELECT 'range_scan' AS scan, CAST(8 AS BIGINT) AS n_files_total,
+        |  CAST(2 AS BIGINT) AS n_files_scanned, m.n AS n_rows, m.kk AS key_checksum,
+        |  m.cc AS cents_checksum, CAST(1 AS BIGINT) AS eq_full FROM m""".stripMargin,
+    // per-batch staging censuses from the mod-3 cohorts (m2's nulls =
+    // the k%6=2 slice), publish verdicts from the audit rule, final
+    // main = the clean cohorts exactly; poison census earned 0
+    "q412_streaming_wap" ->
+      """WITH o AS (SELECT o_orderkey AS k FROM orders),
+        |m0 AS (SELECT count(*) AS n FROM o WHERE k % 3 = 0),
+        |m1 AS (SELECT count(*) AS n FROM o WHERE k % 3 = 1),
+        |m2 AS (SELECT count(*) AS n FROM o WHERE k % 3 = 2),
+        |nn AS (SELECT count(*) AS n FROM o WHERE k % 6 = 2),
+        |fin AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk FROM o WHERE k % 3 <> 2)
+        |SELECT 'batch_m0' AS batch, m0.n AS n_staged_rows, CAST(0 AS BIGINT) AS n_null_keys,
+        |  CAST(1 AS BIGINT) AS published, fin.n AS n_main_rows, fin.kk AS main_key_checksum,
+        |  CAST(0 AS BIGINT) AS n_poison_visible FROM m0, fin
+        |UNION ALL SELECT 'batch_m1', m1.n, 0, 1, fin.n, fin.kk, 0 FROM m1, fin
+        |UNION ALL SELECT 'batch_m2', m2.n, nn.n, 0, fin.n, fin.kk, 0 FROM m2, nn, fin
+        |ORDER BY batch""".stripMargin,
+    // fact censuses from the nationkey split; dangling is 0 at every
+    // LOG version by the atomic joint commit (earned in-engine via
+    // the anti-join census), while the torn read (fact@v2 ⋈ dim@v1 —
+    // what two independent logs permit) dangles every new fact row
+    "q411_multitable_commit" ->
+      """WITH c AS (SELECT c_custkey AS ck, c_nationkey AS nk FROM customer),
+        |a AS (SELECT count(*) AS n, CAST(sum(ck) AS BIGINT) AS kk FROM c WHERE nk < 15),
+        |b AS (SELECT count(*) AS n, CAST(sum(ck) AS BIGINT) AS kk FROM c),
+        |t AS (SELECT count(*) AS n FROM c WHERE nk >= 15)
+        |SELECT '1_initial' AS phase, CAST(1 AS BIGINT) AS version, a.n AS n_fact_rows,
+        |  a.kk AS fact_key_checksum, CAST(0 AS BIGINT) AS n_dangling,
+        |  t.n AS n_dangling_torn FROM a, t
+        |UNION ALL SELECT '2_joint_commit', 2, b.n, b.kk, 0, t.n FROM b, t
+        |ORDER BY phase""".stripMargin,
     // the rollback replayed as arithmetic: bad append = k%13=0 keys
     // +10^7, bad delete = the k%9=1 cohort, restore returns the
     // initial census exactly; eq_restored earned in-engine, n_commits

@@ -14359,4 +14359,241 @@ object Queries {
       "eq_retained"
     ).orderBy("phase")
   }
+
+  // ATOMIC MULTI-TABLE COMMIT — the transaction boundary single-table
+  // formats cannot give (Delta: one log per table; Iceberg needs the
+  // REST catalog's multi-table commits): a fact batch referencing NEW
+  // dimension keys must land WITH the dimension rows that define
+  // them, or a reader between the two single-table commits sees
+  // dangling foreign keys. Here ONE ManifestLog spans both tables
+  // (FileRefs carry the table as their dir prefix), so fact+dim land
+  // in ONE CAS — every log version is a consistent cross-table
+  // snapshot by construction, earned by a dangling-key census of 0
+  // at every version. The torn read is then QUANTIFIED, not just
+  // asserted away (the q396 discipline): resolving fact at v2 but
+  // dim at v1 — exactly what two independent logs permit between
+  // commits — dangles every new fact row (n_dangling_torn). Scale
+  // shape: the joint commit is the same metadata CAS, just naming
+  // files under two roots; the integrity census is one broadcast
+  // semi-join of fact keys against the dim (dim is dimension-sized).
+  def multiTableCommit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{GraftFs, ManifestLog}
+    import ManifestLog.{Committed, FileRef}
+    val base = graft.operators.Scratch.dir("graft-txn")
+    val ow = org.apache.spark.sql.SaveMode.Overwrite
+    // dim = nations (dimension-sized); fact = customers keyed to them
+    val nation = t(s, dir, "nation").select(col("n_nationkey").as("nk"), col("n_name").as("nm"))
+    val cust = t(s, dir, "customer").select(col("c_custkey").as("ck"), col("c_nationkey").as("nk"))
+    // v1: dims 0..14 and the facts that reference them
+    nation.filter(col("nk") < 15).repartition(1).write.mode(ow).parquet(s"$base/dim/d1")
+    cust.filter(col("nk") < 15).repartition(1).write.mode(ow).parquet(s"$base/fact/f1")
+    // the joint batch: facts referencing NEW dim keys 15..24 + those dims
+    nation.filter(col("nk") >= 15).repartition(1).write.mode(ow).parquet(s"$base/dim/d2")
+    cust.filter(col("nk") >= 15).repartition(1).write.mode(ow).parquet(s"$base/fact/f2")
+    def refs(g: String): Seq[FileRef] = GraftFs.listDataFiles(s"$base/$g").map(f => FileRef(g, f))
+    def paths(fs: Iterable[FileRef], table: String): Seq[String] =
+      fs.toSeq.filter(_.dir.startsWith(table + "/")).sortBy(r => (r.dir, r.file)).map(r => s"$base/${r.dir}/${r.file}")
+    val log = new ManifestLog
+    val v1 = log.tryCommit("main", 0L, "init", add = refs("dim/d1") ++ refs("fact/f1")) match {
+      case Committed(v, _) => v; case o => sys.error(o.toString)
+    }
+    // ONE commit, both tables: the atomic boundary
+    val v2 = log.tryCommit("main", v1, "txn_append", add = refs("dim/d2") ++ refs("fact/f2")) match {
+      case Committed(v, _) => v; case o => sys.error(o.toString)
+    }
+    def tableAt(v: Long, table: String): DataFrame =
+      s.read.parquet(paths(log.liveFiles(v), table): _*)
+    def census(v: Long): (Long, Long, Long) = {
+      val f = tableAt(v, "fact")
+      val d = tableAt(v, "dim")
+      val dangling = f.join(broadcast(d.select("nk")), Seq("nk"), "left_anti").count()
+      val r = f.agg(count(lit(1)), sum(col("ck"))).collect()(0)
+      (r.getLong(0), r.getLong(1), dangling)
+    }
+    val (n1, kk1, dg1) = census(v1)
+    val (n2, kk2, dg2) = census(v2)
+    // the torn read two independent logs would permit: fact@v2, dim@v1
+    val torn = tableAt(v2, "fact")
+      .join(broadcast(tableAt(v1, "dim").select("nk")), Seq("nk"), "left_anti")
+      .count()
+    Seq(
+      ("1_initial", v1, n1, kk1, dg1, torn),
+      ("2_joint_commit", v2, n2, kk2, dg2, torn)
+    ).toDF("phase", "version", "n_fact_rows", "fact_key_checksum", "n_dangling", "n_dangling_torn")
+      .orderBy("phase")
+  }
+
+  // STREAMING WRITE-AUDIT-PUBLISH — q402's ingestion workflow run
+  // CONTINUOUSLY through the manifest log: a stream of arriving
+  // batches (AvailableNow, one file per micro-batch), each staged as
+  // files + a commit on the `wap` BRANCH (q406's explicit staging
+  // surface — main readers cannot see it), audited batch-sized (null
+  // keys fail), and published to main as one metadata commit only on
+  // a pass — a failing batch's files stay stranded on the branch
+  // forever. Three batches arrive: two clean cohorts publish, the
+  // poisoned one (nulls injected into the k%6=2 slice) is rejected,
+  // and the final main read carries exactly the clean cohorts with a
+  // zero poison census (earned). The output is keyed by batch CONTENT
+  // (the cohort's mod-3 class), not arrival order, so the result is
+  // deterministic whatever order the file source delivers micro-
+  // batches in. Scale shape: per-batch cost is batch-sized (stage
+  // write + audit scan + one CAS publish); main is never rescanned;
+  // this is q383's streaming-MERGE discipline applied to the
+  // append-with-quality-gates shape real ingestion tiers run.
+  def streamingWap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.{GraftFs, ManifestLog}
+    import ManifestLog.{Committed, FileRef}
+    val base = graft.operators.Scratch.dir("graft-swap")
+    val ow = org.apache.spark.sql.SaveMode.Overwrite
+    val ap = org.apache.spark.sql.SaveMode.Append
+    val orders = t(s, dir, "orders").select(col("o_orderkey").as("k"))
+    // three arriving batch files: m0/m1 clean, m2 poisoned with nulls
+    orders.filter(col("k") % 3 === 0).repartition(1).write.mode(ow).parquet(s"$base/in")
+    orders.filter(col("k") % 3 === 1).repartition(1).write.mode(ap).parquet(s"$base/in")
+    orders
+      .filter(col("k") % 3 === 2)
+      .select(when(col("k") % 6 === 2, lit(null).cast("long")).otherwise(col("k")).as("k"))
+      .repartition(1)
+      .write
+      .mode(ap)
+      .parquet(s"$base/in")
+    def refs(g: String): Seq[FileRef] = GraftFs.listDataFiles(s"$base/$g").map(f => FileRef(g, f))
+    val log = new ManifestLog
+    val v1 = log.tryCommit("main", 0L, "init") match {
+      case Committed(v, _) => v; case o => sys.error(o.toString)
+    }
+    log.createBranch("wap", v1)
+    // (cohort class, n_staged, n_null, published)
+    val stats = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long)]()
+    val ingest: (DataFrame, Long) => Unit = (batch, _) => {
+      val agg = batch.agg(min(col("k")), count(lit(1)), count(col("k"))).collect()(0)
+      val cls = agg.getLong(0) % 3
+      val n = agg.getLong(1)
+      val nNull = n - agg.getLong(2)
+      val stageDir = s"staged/m$cls"
+      batch.repartition(1).write.mode(ow).parquet(s"$base/$stageDir")
+      val staged = refs(stageDir)
+      log.tryCommit("wap", log.head("wap"), "stage", add = staged) match {
+        case Committed(_, _) => (); case o => sys.error(o.toString)
+      }
+      val pass = nNull == 0L
+      if (pass) log.tryCommit("main", log.head("main"), "publish", add = staged) match {
+        case Committed(_, _) => (); case o => sys.error(o.toString)
+      }
+      stats.add((cls, n, nNull, if (pass) 1L else 0L))
+      ()
+    }
+    val q = s.readStream
+      .schema(s.read.parquet(s"$base/in").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+      .writeStream
+      .foreachBatch(ingest)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ck")
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    // the published read: exactly the clean cohorts, zero poison
+    val mainRead = s.read
+      .parquet(log.liveFiles(log.head("main")).toSeq.sortBy(r => (r.dir, r.file)).map(r => s"$base/${r.dir}/${r.file}"): _*)
+    val fin = mainRead.agg(count(lit(1)), sum(col("k"))).collect()(0)
+    val nPoison = mainRead.filter(col("k").isNull || col("k") % 3 === 2).count()
+    val perBatch = { import scala.jdk.CollectionConverters._; stats.asScala.toSeq }
+    perBatch
+      .map { case (cls, n, nNull, pub) =>
+        (s"batch_m$cls", n, nNull, pub, fin.getLong(0), fin.getLong(1), nPoison)
+      }
+      .toDF(
+        "batch",
+        "n_staged_rows",
+        "n_null_keys",
+        "published",
+        "n_main_rows",
+        "main_key_checksum",
+        "n_poison_visible"
+      )
+      .orderBy("batch")
+  }
+
+  // MANIFEST-STATS FILE SKIPPING — the consumer the q397 Hilbert
+  // layout was enacted FOR, and the pruning rung above parquet-footer
+  // zone maps (q144/q363 read footers; real formats don't even open
+  // them): the WRITER computes each file's (min, max) of the cluster
+  // key during the write and commits the zone maps INTO the manifest
+  // log alongside the file names, so a range scan prunes at PLANNING
+  // time from log arithmetic alone — no footer read, no file listing.
+  // Eight key-bucketed files land with stats; a range predicate
+  // spanning two buckets plans a 2-of-8-file scan; the pruned read is
+  // earned equal to the naive full scan (eq_full), and the same
+  // pruning survives q410's snapshot expiration because the
+  // checkpoint carries live stats forward. Scale shape: pruning cost
+  // is |live files| driver arithmetic against the broadcast-sized
+  // stats map — at 100 TB the scan's IO follows the predicate's
+  // selectivity, not the table's size; this is Iceberg/Delta
+  // data-skipping re-expressed over the q404 log.
+  def manifestFileSkipping(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{GraftFs, ManifestLog}
+    import ManifestLog.{Committed, FileRef}
+    val base = graft.operators.Scratch.dir("graft-zskip")
+    val ow = org.apache.spark.sql.SaveMode.Overwrite
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val maxK = orders.agg(max(col("k"))).collect()(0).getLong(0)
+    val w = 1L + maxK / 8L // deterministic bucket width
+    def refs(g: String): Seq[FileRef] = GraftFs.listDataFiles(s"$base/$g").map(f => FileRef(g, f))
+    // eight cluster-key buckets, one file each; the writer derives the
+    // zone map from the bucket bounds it just wrote (one pass, at
+    // write time — stats are never a second scan)
+    val statted: Seq[(FileRef, (Long, Long))] = (0 until 8).flatMap { i =>
+      val part = orders.filter(col("k") >= i * w && col("k") < (i + 1) * w)
+      part.repartition(1).write.mode(ow).parquet(s"$base/z$i")
+      val mm = part.agg(min(col("k")), max(col("k"))).collect()(0)
+      refs(s"z$i").map(r => r -> (mm.getLong(0), mm.getLong(1)))
+    }
+    val log = new ManifestLog
+    val v1 = log.tryCommit("main", 0L, "init", add = statted.map(_._1), stats = statted.toMap) match {
+      case Committed(v, _) => v; case o => sys.error(o.toString)
+    }
+    // the scan: a range predicate spanning buckets 0 and 1 only
+    val lo = w / 2
+    val hi = w + w / 2
+    val stats = log.liveStats(v1)
+    val kept = stats.filter { case (_, (mn, mx)) => mx >= lo && mn <= hi }.keys.toSeq
+    val prunedRead = s.read
+      .parquet(kept.sortBy(r => (r.dir, r.file)).map(r => s"$base/${r.dir}/${r.file}"): _*)
+      .filter(col("k").between(lo, hi))
+    val fullRead = s.read
+      .parquet(log.liveFiles(v1).toSeq.sortBy(r => (r.dir, r.file)).map(r => s"$base/${r.dir}/${r.file}"): _*)
+      .filter(col("k").between(lo, hi))
+    def census(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(col("k")), sum(col("cents"))).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val cp = census(prunedRead)
+    val eqFull = if (cp == census(fullRead)) 1L else 0L
+    Seq(
+      (
+        "range_scan",
+        log.liveFiles(v1).size.toLong,
+        kept.size.toLong,
+        cp._1,
+        cp._2,
+        cp._3,
+        eqFull
+      )
+    ).toDF(
+      "scan",
+      "n_files_total",
+      "n_files_scanned",
+      "n_rows",
+      "key_checksum",
+      "cents_checksum",
+      "eq_full"
+    )
+  }
 }

@@ -49,7 +49,11 @@ object ManifestLog {
     * on top of — versions form a tree (branches), not a line.
     * `dvAdded` names deletion-vector files (q400's positional
     * tombstones) attached by this commit; they subtract rows from the
-    * files they reference without rewriting them.
+    * files they reference without rewriting them. `stats` carries
+    * optional per-added-file zone maps ((min, max) of the table's
+    * cluster key, computed by the writer during the write — the
+    * Iceberg/Delta file-stats convention) so a reader can prune files
+    * at PLANNING time from the log alone, never opening a footer.
     */
   final case class Commit(
       version: Long,
@@ -57,7 +61,8 @@ object ManifestLog {
       op: String,
       added: Vector[FileRef],
       removed: Vector[FileRef],
-      dvAdded: Vector[FileRef]
+      dvAdded: Vector[FileRef],
+      stats: Map[FileRef, (Long, Long)] = Map.empty
   )
 
   /** A publish attempt's outcome: the committed version and how many
@@ -117,6 +122,18 @@ final class ManifestLog {
   def dvFiles(version: Long): Set[FileRef] =
     chain(version).foldLeft(Set.empty[FileRef])((dvs, c) => dvs ++ c.dvAdded)
 
+  /** Per-file zone maps for the files LIVE at `version` — replayed
+    * from the commit records like [[liveFiles]]. The planning-time
+    * file-skipping input: a range predicate keeps only files whose
+    * (min, max) intersects it, without opening any footer.
+    */
+  def liveStats(version: Long): Map[FileRef, (Long, Long)] = {
+    val live = liveFiles(version)
+    chain(version).foldLeft(Map.empty[FileRef, (Long, Long)])((m, c) => m ++ c.stats).filter {
+      case (f, _) => live.contains(f)
+    }
+  }
+
   /** Commits strictly after `vFrom` up to and including `vTo`, oldest
     * first — the change-data-feed's input. `vFrom` must be an
     * ancestor of `vTo`.
@@ -142,7 +159,8 @@ final class ManifestLog {
       add: Seq[FileRef] = Seq.empty,
       remove: Seq[FileRef] = Seq.empty,
       dvAdd: Seq[FileRef] = Seq.empty,
-      maxAttempts: Int = 10
+      maxAttempts: Int = 10,
+      stats: Map[FileRef, (Long, Long)] = Map.empty
   ): Outcome = {
     var attempts = 0
     while (attempts < maxAttempts) {
@@ -162,7 +180,7 @@ final class ManifestLog {
         if (overlap.nonEmpty) return Conflicted(overlap, attempts)
       }
       val v = st.nextVersion
-      val commit = Commit(v, headV, op, add.toVector, remove.toVector, dvAdd.toVector)
+      val commit = Commit(v, headV, op, add.toVector, remove.toVector, dvAdd.toVector, stats)
       val next = st.copy(
         commits = st.commits + (v -> commit),
         branches = st.branches + (branch -> v),
@@ -265,7 +283,12 @@ final class ManifestLog {
     )
     val live = hChain.foldLeft(Set.empty[FileRef])((l, c) => (l -- c.removed) ++ c.added)
     val dvs = hChain.flatMap(_.dvAdded).toVector
-    val checkpoint = Commit(horizon, -1L, "checkpoint", live.toVector, Vector.empty, dvs)
+    // zone maps for surviving files ride the checkpoint, so stats-
+    // based pruning keeps working on expired-away history
+    val liveStats0 = hChain.foldLeft(Map.empty[FileRef, (Long, Long)])((m, c) => m ++ c.stats).filter {
+      case (f, _) => live.contains(f)
+    }
+    val checkpoint = Commit(horizon, -1L, "checkpoint", live.toVector, Vector.empty, dvs, liveStats0)
     val next = st.copy(commits = (st.commits -- dropped) + (horizon -> checkpoint))
     if (!state.compareAndSet(st, next)) expireBefore(horizon)
     else {
