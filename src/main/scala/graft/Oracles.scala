@@ -4643,6 +4643,23 @@ object Oracles {
          |  CAST(CASE WHEN nid % 10 = 7 THEN 1 ELSE 0 END AS BIGINT) AS is_new_hit
          |FROM (${annIvfPqSqlK(3, trainPred = "vid % 10 <> 7")}) t
          |ORDER BY qid, rnk""".stripMargin,
+    // the SCD2 ledger re-derived from the cohort predicates: inserts
+    // k%11=0 (+10^7), updates k%12=7 (pre+post = 2 rows each in the
+    // feed), deletes k%21=2; open/closed counts follow; eq_current /
+    // eq_asof earned in-engine (current ≡ head read, as-of slice ≡
+    // every version's direct read)
+    "q414_scd2_from_feed" ->
+      """WITH o AS (SELECT o_orderkey AS k FROM orders),
+        |a AS (SELECT count(*) AS n FROM o),
+        |i AS (SELECT count(*) AS n FROM o WHERE k % 11 = 0),
+        |u AS (SELECT count(*) AS n FROM o WHERE k % 12 = 7),
+        |d AS (SELECT count(*) AS n FROM o WHERE k % 21 = 2)
+        |SELECT CAST(2 AS BIGINT) AS version, i.n AS n_changes, a.n + i.n AS n_open_after,
+        |  CAST(0 AS BIGINT) AS n_closed_after, CAST(1 AS BIGINT) AS eq_current,
+        |  CAST(1 AS BIGINT) AS eq_asof FROM a, i
+        |UNION ALL SELECT 3, 2 * u.n, a.n + i.n, u.n, 1, 1 FROM a, i, u
+        |UNION ALL SELECT 4, d.n, a.n + i.n - d.n, u.n + d.n, 1, 1 FROM a, i, u, d
+        |ORDER BY version""".stripMargin,
     // the pruned range scan re-derived: bucket width from max(k), the
     // predicate spans buckets 0-1 exactly (2 of 8 files planned);
     // eq_full earned in-engine (pruned census ≡ full-scan census)

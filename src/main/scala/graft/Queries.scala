@@ -13772,8 +13772,91 @@ object Queries {
   // files' bytes — a day of commits against a 100 TB table reads the
   // day's files, never the table; the DV join broadcasts
   // request-sized tombstones; the IVM merge is group-cardinality.
+  /** Read the named manifest files under `base`; with `withMeta` each
+    * row carries its (dir, file, row_index) coordinate — the DV join
+    * key. The dir is derived from each row's own file path, not a
+    * per-call literal: a multi-dir read (the snapshot) must stamp
+    * each row with ITS file's dir or the (d, f, ri) anti-join misses.
+    */
+  private def manifestReadRefs(
+      s: SparkSession,
+      base: String,
+      fs: Seq[graft.sources.ManifestLog.FileRef],
+      withMeta: Boolean = false
+  ): DataFrame = {
+    val rd = s.read.parquet(fs.sortBy(r => (r.dir, r.file)).map(r => s"$base/${r.dir}/${r.file}"): _*)
+    if (withMeta)
+      rd.select(
+        col("k"),
+        col("cents"),
+        regexp_extract(col("_metadata.file_path"), "([^/]+)/[^/]+$", 1).as("d"),
+        col("_metadata.file_name").as("f"),
+        col("_metadata.row_index").as("ri")
+      )
+    else rd.select("k", "cents")
+  }
+
+  /** `read_changes(vFrom, vTo)` over a manifest log of (k, cents)
+    * files: one change frame (version, change_type, k, cents) derived
+    * from the commit records alone — appends read their added files,
+    * rewrites key-join ONLY their removed×added files, DV commits
+    * join tombstones back to ONLY the named target files. The q405 /
+    * q414 shared primitive; cost is O(|changed files|) by construction.
+    */
+  private def manifestChanges(
+      s: SparkSession,
+      base: String,
+      log: graft.sources.ManifestLog,
+      vFrom: Long,
+      vTo: Long
+  ): DataFrame = {
+    import graft.sources.ManifestLog.FileRef
+    val changes: Seq[DataFrame] = log.commitsBetween(vFrom, vTo).map { c =>
+      if (c.dvAdded.nonEmpty) {
+        val dv = s.read.parquet(c.dvAdded.map(r => s"$base/${r.dir}/${r.file}"): _*)
+        val targets = dv.select("d", "f").distinct().collect().map(r => FileRef(r.getString(0), r.getString(1)))
+        manifestReadRefs(s, base, targets.toSeq, withMeta = true)
+          .join(broadcast(dv), Seq("d", "f", "ri"))
+          .select(lit(c.version).as("version"), lit("delete").as("change_type"), col("k"), col("cents"))
+      } else if (c.removed.isEmpty) {
+        manifestReadRefs(s, base, c.added)
+          .select(lit(c.version).as("version"), lit("insert").as("change_type"), col("k"), col("cents"))
+      } else {
+        val old = manifestReadRefs(s, base, c.removed).as("o")
+        val nw = manifestReadRefs(s, base, c.added).as("n")
+        val j = old.join(nw, col("o.k") === col("n.k"), "full_outer").persist()
+        val pre = j
+          .filter(col("o.k").isNotNull && col("n.k").isNotNull && col("o.cents") =!= col("n.cents"))
+          .select(lit(c.version).as("version"), lit("update_preimage").as("change_type"), col("o.k").as("k"), col("o.cents").as("cents"))
+        val post = j
+          .filter(col("o.k").isNotNull && col("n.k").isNotNull && col("o.cents") =!= col("n.cents"))
+          .select(lit(c.version).as("version"), lit("update_postimage").as("change_type"), col("n.k").as("k"), col("n.cents").as("cents"))
+        val dels = j
+          .filter(col("n.k").isNull)
+          .select(lit(c.version).as("version"), lit("delete").as("change_type"), col("o.k").as("k"), col("o.cents").as("cents"))
+        val ins = j
+          .filter(col("o.k").isNull)
+          .select(lit(c.version).as("version"), lit("insert").as("change_type"), col("n.k").as("k"), col("n.cents").as("cents"))
+        pre.unionByName(post).unionByName(dels).unionByName(ins)
+      }
+    }
+    changes.reduce(_ unionByName _)
+  }
+
+  /** Snapshot read at a manifest version: live files minus DV'd rows. */
+  private def manifestSnapshot(s: SparkSession, base: String, log: graft.sources.ManifestLog, v: Long): DataFrame = {
+    val live = manifestReadRefs(s, base, log.liveFiles(v).toSeq, withMeta = true)
+    val dvs = log.dvFiles(v)
+    val rd =
+      if (dvs.isEmpty) live
+      else {
+        val tomb = s.read.parquet(dvs.map(r => s"$base/${r.dir}/${r.file}").toSeq: _*)
+        live.join(broadcast(tomb), Seq("d", "f", "ri"), "left_anti")
+      }
+    rd.select("k", "cents")
+  }
+
   def changeDataFeed(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     import graft.sources.{GraftFs, ManifestLog}
     import ManifestLog.{Committed, FileRef}
     val base = graft.operators.Scratch.dir("graft-cdf")
@@ -13784,21 +13867,8 @@ object Queries {
       orders.filter(col("k") % 3 === i).repartition(1).write.mode(ow).parquet(s"$base/b$i")
     }
     def refs(g: String): Seq[FileRef] = GraftFs.listDataFiles(s"$base/$g").map(f => FileRef(g, f))
-    def readRefs(fs: Seq[FileRef], withMeta: Boolean = false): DataFrame = {
-      val rd = s.read.parquet(fs.sortBy(r => (r.dir, r.file)).map(r => s"$base/${r.dir}/${r.file}"): _*)
-      if (withMeta)
-        rd.select(
-          col("k"),
-          col("cents"),
-          // parent-dir leaf from the path, not a per-call literal — a
-          // multi-dir read (the snapshot) must stamp each row with ITS
-          // file's dir or the (d, f, ri) DV anti-join misses
-          regexp_extract(col("_metadata.file_path"), "([^/]+)/[^/]+$", 1).as("d"),
-          col("_metadata.file_name").as("f"),
-          col("_metadata.row_index").as("ri")
-        )
-      else rd.select("k", "cents")
-    }
+    def readRefs(fs: Seq[FileRef], withMeta: Boolean = false): DataFrame =
+      manifestReadRefs(s, base, fs, withMeta)
     val log = new ManifestLog
     val v1 = log.tryCommit("main", 0L, "init", add = (0 to 2).flatMap(i => refs(s"b$i"))) match {
       case Committed(v, _) => v
@@ -13838,50 +13908,10 @@ object Queries {
       case Committed(v, _) => v; case o => sys.error(o.toString)
     }
     // ---- read_changes(v1, v4): commit records → change rows, only
-    // the named files are ever opened ----
-    val changes: Seq[DataFrame] = log.commitsBetween(v1, v4).map { c =>
-      if (c.dvAdded.nonEmpty) {
-        val dv = s.read.parquet(c.dvAdded.map(r => s"$base/${r.dir}/${r.file}"): _*)
-        // targets named BY the tombstones: distinct (d, f) is
-        // metadata-cardinality, read only those files
-        val targets = dv.select("d", "f").distinct().collect().map(r => FileRef(r.getString(0), r.getString(1)))
-        readRefs(targets.toSeq, withMeta = true)
-          .join(broadcast(dv), Seq("d", "f", "ri"))
-          .select(lit(c.version).as("version"), lit("delete").as("change_type"), col("k"), col("cents"))
-      } else if (c.removed.isEmpty) {
-        readRefs(c.added).select(lit(c.version).as("version"), lit("insert").as("change_type"), col("k"), col("cents"))
-      } else {
-        val old = readRefs(c.removed).as("o")
-        val nw = readRefs(c.added).as("n")
-        val j = old.join(nw, col("o.k") === col("n.k"), "full_outer").persist()
-        val pre = j
-          .filter(col("o.k").isNotNull && col("n.k").isNotNull && col("o.cents") =!= col("n.cents"))
-          .select(lit(c.version).as("version"), lit("update_preimage").as("change_type"), col("o.k").as("k"), col("o.cents").as("cents"))
-        val post = j
-          .filter(col("o.k").isNotNull && col("n.k").isNotNull && col("o.cents") =!= col("n.cents"))
-          .select(lit(c.version).as("version"), lit("update_postimage").as("change_type"), col("n.k").as("k"), col("n.cents").as("cents"))
-        val dels = j
-          .filter(col("n.k").isNull)
-          .select(lit(c.version).as("version"), lit("delete").as("change_type"), col("o.k").as("k"), col("o.cents").as("cents"))
-        val ins = j
-          .filter(col("o.k").isNull)
-          .select(lit(c.version).as("version"), lit("insert").as("change_type"), col("n.k").as("k"), col("n.cents").as("cents"))
-        pre.unionByName(post).unionByName(dels).unionByName(ins)
-      }
-    }
-    val feed = changes.reduce(_ unionByName _).persist()
+    // the named files are ever opened (shared with q414's SCD2) ----
+    val feed = manifestChanges(s, base, log, v1, v4).persist()
     // ---- earned bit 1: v1 + feed == v4 direct read ----
-    def snapshot(v: Long): DataFrame = {
-      val live = readRefs(log.liveFiles(v).toSeq, withMeta = true)
-      val dvs = log.dvFiles(v)
-      val rd =
-        if (dvs.isEmpty) live
-        else {
-          val tomb = s.read.parquet(dvs.map(r => s"$base/${r.dir}/${r.file}").toSeq: _*)
-          live.join(broadcast(tomb), Seq("d", "f", "ri"), "left_anti")
-        }
-      rd.select("k", "cents")
-    }
+    def snapshot(v: Long): DataFrame = manifestSnapshot(s, base, log, v)
     def multisetEq(a: DataFrame, b: DataFrame): Long =
       if (a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty) 1L else 0L
     val v1Read = snapshot(v1)
@@ -14595,5 +14625,110 @@ object Queries {
       "cents_checksum",
       "eq_full"
     )
+  }
+
+  // SCD2 FROM THE CHANGE FEED — the second named consumer of q405's
+  // read_changes (q405's eq_ivm closed the aggregate-maintenance
+  // loop; this closes the dimension-history one, q338's SCD2 driven
+  // by the LOG instead of a hand-delivered delta batch): replaying
+  // the feed's verbs onto a (k, cents, start_ver, end_ver) table —
+  // insert opens a row, update closes the preimage and opens the
+  // postimage, delete closes — yields a dimension whose CURRENT rows
+  // equal the head snapshot (eq_current) and whose AS-OF slice at
+  // EVERY version equals that version's direct read (eq_asof): time
+  // travel served from the dimension itself, no manifest required at
+  // query time. Scale shape: per commit the maintenance joins the
+  // batch-sized change set against the dimension on its key — the
+  // feed keeps SCD2 cost proportional to what changed, which is the
+  // entire point of maintaining one.
+  def scd2FromFeed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{GraftFs, ManifestLog}
+    import ManifestLog.{Committed, FileRef}
+    val base = graft.operators.Scratch.dir("graft-scd2feed")
+    val ow = org.apache.spark.sql.SaveMode.Overwrite
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    (0 to 2).foreach { i =>
+      orders.filter(col("k") % 3 === i).repartition(1).write.mode(ow).parquet(s"$base/b$i")
+    }
+    def refs(g: String): Seq[FileRef] = GraftFs.listDataFiles(s"$base/$g").map(f => FileRef(g, f))
+    val log = new ManifestLog
+    val v1 = log.tryCommit("main", 0L, "init", add = (0 to 2).flatMap(i => refs(s"b$i"))) match {
+      case Committed(v, _) => v; case o => sys.error(o.toString)
+    }
+    orders
+      .filter(col("k") % 11 === 0)
+      .select((col("k") + 10000000L).as("k"), col("cents"))
+      .repartition(1)
+      .write
+      .mode(ow)
+      .parquet(s"$base/b3")
+    val v2 = log.tryCommit("main", v1, "append", add = refs("b3")) match {
+      case Committed(v, _) => v; case o => sys.error(o.toString)
+    }
+    manifestReadRefs(s, base, refs("b1"))
+      .select(col("k"), when(col("k") % 12 === 7, col("cents") + 75L).otherwise(col("cents")).as("cents"))
+      .repartition(1)
+      .write
+      .mode(ow)
+      .parquet(s"$base/u1")
+    val v3 = log.tryCommit("main", v2, "rewrite", add = refs("u1"), remove = refs("b1")) match {
+      case Committed(v, _) => v; case o => sys.error(o.toString)
+    }
+    manifestReadRefs(s, base, refs("b2"), withMeta = true)
+      .filter(col("k") % 21 === 2)
+      .select("d", "f", "ri")
+      .coalesce(1)
+      .write
+      .mode(ow)
+      .parquet(s"$base/dv1")
+    val v4 = log.tryCommit("main", v3, "delete_dv", dvAdd = refs("dv1")) match {
+      case Committed(v, _) => v; case o => sys.error(o.toString)
+    }
+    val feed = manifestChanges(s, base, log, v1, v4).persist()
+    // ---- replay the feed onto the SCD2 table ----
+    var scd = manifestSnapshot(s, base, log, v1)
+      .withColumn("start_ver", lit(1L))
+      .withColumn("end_ver", lit(null).cast("long"))
+    (2L to 4L).foreach { v =>
+      val ch = feed.filter(col("version") === v)
+      val closes = ch
+        .filter(col("change_type").isin("update_preimage", "delete"))
+        .select(col("k"), col("cents"), lit(1L).as("close"))
+      val opens = ch
+        .filter(col("change_type").isin("update_postimage", "insert"))
+        .select(col("k"), col("cents"), lit(v).as("start_ver"), lit(null).cast("long").as("end_ver"))
+      scd = scd
+        .join(broadcast(closes), Seq("k", "cents"), "left")
+        .withColumn(
+          "end_ver",
+          when(col("close") === 1L && col("end_ver").isNull, lit(v)).otherwise(col("end_ver"))
+        )
+        .drop("close")
+        .unionByName(opens)
+    }
+    scd = scd.persist()
+    def multisetEq(a: DataFrame, b: DataFrame): Boolean =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    // the dimension serves time travel on its own: as-of slice at
+    // EVERY version equals the direct manifest read at that version
+    def asOf(v: Long): DataFrame =
+      scd.filter(col("start_ver") <= v && (col("end_ver").isNull || col("end_ver") > v)).select("k", "cents")
+    val eqCurrent = if (multisetEq(scd.filter(col("end_ver").isNull).select("k", "cents"), manifestSnapshot(s, base, log, v4))) 1L else 0L
+    val eqAsof =
+      if ((1L to 4L).forall(v => multisetEq(asOf(v), manifestSnapshot(s, base, log, v)))) 1L else 0L
+    val counts = (2L to 4L).map { v =>
+      val nCh = feed.filter(col("version") === v).count()
+      val nOpen = asOf(v).count()
+      val nClosed = scd.filter(col("end_ver").isNotNull && col("end_ver") <= v).count()
+      (v, nCh, nOpen, nClosed)
+    }
+    val out = counts
+      .map { case (v, nCh, nOpen, nClosed) => (v, nCh, nOpen, nClosed, eqCurrent, eqAsof) }
+      .toDF("version", "n_changes", "n_open_after", "n_closed_after", "eq_current", "eq_asof")
+      .orderBy("version")
+    feed.unpersist()
+    out
   }
 }
