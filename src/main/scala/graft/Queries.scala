@@ -13778,7 +13778,7 @@ object Queries {
     * per-call literal: a multi-dir read (the snapshot) must stamp
     * each row with ITS file's dir or the (d, f, ri) anti-join misses.
     */
-  private def manifestReadRefs(
+  private[graft] def manifestReadRefs(
       s: SparkSession,
       base: String,
       fs: Seq[graft.sources.ManifestLog.FileRef],
@@ -13803,7 +13803,7 @@ object Queries {
     * join tombstones back to ONLY the named target files. The q405 /
     * q414 shared primitive; cost is O(|changed files|) by construction.
     */
-  private def manifestChanges(
+  private[graft] def manifestChanges(
       s: SparkSession,
       base: String,
       log: graft.sources.ManifestLog,
@@ -13844,7 +13844,7 @@ object Queries {
   }
 
   /** Snapshot read at a manifest version: live files minus DV'd rows. */
-  private def manifestSnapshot(s: SparkSession, base: String, log: graft.sources.ManifestLog, v: Long): DataFrame = {
+  private[graft] def manifestSnapshot(s: SparkSession, base: String, log: graft.sources.ManifestLog, v: Long): DataFrame = {
     val live = manifestReadRefs(s, base, log.liveFiles(v).toSeq, withMeta = true)
     val dvs = log.dvFiles(v)
     val rd =
@@ -14201,8 +14201,10 @@ object Queries {
       .filter(col("rnk") <= 3)
     val routed = top3(maxSim(cand))
     // brute truth: every (query-doc, corpus-doc) pair — the recall
-    // baseline, q29's role in the single-vector ladder
-    val allPairs = qT.select("qdid").distinct().crossJoin(dT.select("ddid").distinct())
+    // baseline, q29's role in the single-vector ladder; the query-doc
+    // side is 3 rows, broadcast explicitly so the product can never
+    // plan as a shuffled cartesian
+    val allPairs = dT.select("ddid").distinct().crossJoin(broadcast(qT.select("qdid").distinct()))
     val bruteTop = top3(maxSim(allPairs)).select(col("qdid"), col("ddid"), lit(1L).as("brute_hit"))
     routed
       .join(bruteTop, Seq("qdid", "ddid"), "left")
