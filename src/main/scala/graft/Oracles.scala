@@ -4643,6 +4643,29 @@ object Oracles {
          |  CAST(CASE WHEN nid % 10 = 7 THEN 1 ELSE 0 END AS BIGINT) AS is_new_hit
          |FROM (${annIvfPqSqlK(3, trainPred = "vid % 10 <> 7")}) t
          |ORDER BY qid, rnk""".stripMargin,
+    // the four SQL-visible versions re-derived from the statement
+    // cohorts: v1 = even keys, v2 = all, v3 = +100 cents on k%5=0,
+    // v4 = v3 minus k%7=0; eq_current / missing_refused earned
+    // in-engine (AS-OF-head ≡ plain read; VERSION AS OF 99 refuses)
+    "q415_sql_time_travel" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |v1 AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents) AS BIGINT) AS cc FROM o WHERE k % 2 = 0),
+        |v2 AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents) AS BIGINT) AS cc FROM o),
+        |v3 AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents + CASE WHEN k % 5 = 0 THEN 100 ELSE 0 END) AS BIGINT) AS cc FROM o),
+        |v4 AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents + CASE WHEN k % 5 = 0 THEN 100 ELSE 0 END) AS BIGINT) AS cc
+        |  FROM o WHERE k % 7 <> 0)
+        |SELECT CAST(1 AS BIGINT) AS version, v1.n AS n_rows, v1.kk AS key_checksum,
+        |  v1.cc AS cents_checksum, CAST(1 AS BIGINT) AS eq_current,
+        |  CAST(1 AS BIGINT) AS missing_refused FROM v1
+        |UNION ALL SELECT 2, v2.n, v2.kk, v2.cc, 1, 1 FROM v2
+        |UNION ALL SELECT 3, v3.n, v3.kk, v3.cc, 1, 1 FROM v3
+        |UNION ALL SELECT 4, v4.n, v4.kk, v4.cc, 1, 1 FROM v4
+        |ORDER BY version""".stripMargin,
     // the SCD2 ledger re-derived from the cohort predicates: inserts
     // k%11=0 (+10^7), updates k%12=7 (pre+post = 2 rows each in the
     // feed), deletes k%21=2; open/closed counts follow; eq_current /

@@ -13908,21 +13908,48 @@ object Queries {
       case Committed(v, _) => v; case o => sys.error(o.toString)
     }
     // ---- read_changes(v1, v4): commit records → change rows, only
-    // the named files are ever opened (shared with q414's SCD2) ----
-    val feed = manifestChanges(s, base, log, v1, v4).persist()
-    // ---- earned bit 1: v1 + feed == v4 direct read ----
+    // the named files are ever opened (shared with q414's SCD2).
+    // Snapshot the feed to parquet ONCE: the apply/IVM equalities and
+    // the final rollup each replay it several times, and a persist()
+    // alone still re-executes the whole derivation after the final
+    // unpersist (measured 10.7 s → ~3 s at sf0.1) ----
+    graft.sinks.RetryingSink.overwriteParquet(manifestChanges(s, base, log, v1, v4), s"$base/feed")
+    val feed = s.read.parquet(s"$base/feed")
+    // ---- earned bit 1: v1 + feed == v4 direct read, compared as
+    // MULTISET FINGERPRINTS (count, Σk, Σcents, Σ xxhash64 mod p —
+    // the q186 table-checksum discipline): the fingerprint is
+    // additive over the feed's verbs, so the check costs ONE grouped
+    // scan of the feed plus one aggregate per snapshot, instead of
+    // the exceptAll shuffle chain that dominated this query's first
+    // cut (10.7 s → the checks are now single-stage jobs) ----
     def snapshot(v: Long): DataFrame = manifestSnapshot(s, base, log, v)
+    val hmod = xxhash64(col("k"), col("cents")) % 1000000007L // bounded: Σ over rows stays far from Long overflow under ANSI
+    final case class Fp(n: Long, kk: Long, cc: Long, h: Long) {
+      def +(o: Fp): Fp = Fp(n + o.n, kk + o.kk, cc + o.cc, h + o.h)
+      def -(o: Fp): Fp = Fp(n - o.n, kk - o.kk, cc - o.cc, h - o.h)
+    }
+    def fpOf(df: DataFrame): Fp = {
+      val r = df
+        .agg(count(lit(1)), coalesce(sum(col("k")), lit(0L)), coalesce(sum(col("cents")), lit(0L)), coalesce(sum(hmod), lit(0L)))
+        .collect()(0)
+      Fp(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    val feedFps: Map[String, Fp] = feed
+      .groupBy("change_type")
+      .agg(count(lit(1)), sum(col("k")), sum(col("cents")), sum(hmod))
+      .collect()
+      .map(r => r.getString(0) -> Fp(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+      .withDefaultValue(Fp(0L, 0L, 0L, 0L))
+    val fV1 = fpOf(snapshot(v1))
+    val fV4 = fpOf(snapshot(v4))
+    val applied = fV1 + feedFps("insert") + feedFps("update_postimage") -
+      feedFps("update_preimage") - feedFps("delete")
+    val eqApply = if (applied == fV4) 1L else 0L
     def multisetEq(a: DataFrame, b: DataFrame): Long =
       if (a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty) 1L else 0L
     val v1Read = snapshot(v1)
     val v4Direct = snapshot(v4)
-    def rowsOf(ct: String) = feed.filter(col("change_type") === ct).select("k", "cents")
-    val applied = v1Read
-      .unionByName(rowsOf("insert"))
-      .unionByName(rowsOf("update_postimage"))
-      .exceptAll(rowsOf("update_preimage"))
-      .exceptAll(rowsOf("delete"))
-    val eqApply = multisetEq(applied, v4Direct)
     // ---- earned bit 2: the feed maintains a grouped aggregate to
     // bit-equality with the v4 recompute (q209's IVM merge fed by
     // THIS feed instead of a handed-in delta batch) ----
@@ -13947,7 +13974,6 @@ object Queries {
       .withColumn("eq_apply", lit(eqApply))
       .withColumn("eq_ivm", lit(eqIvm))
       .orderBy("version", "change_type")
-    feed.unpersist()
     out
   }
 
@@ -14710,21 +14736,44 @@ object Queries {
         .drop("close")
         .unionByName(opens)
     }
-    scd = scd.persist()
-    def multisetEq(a: DataFrame, b: DataFrame): Boolean =
-      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
-    // the dimension serves time travel on its own: as-of slice at
-    // EVERY version equals the direct manifest read at that version
-    def asOf(v: Long): DataFrame =
-      scd.filter(col("start_ver") <= v && (col("end_ver").isNull || col("end_ver") > v)).select("k", "cents")
-    val eqCurrent = if (multisetEq(scd.filter(col("end_ver").isNull).select("k", "cents"), manifestSnapshot(s, base, log, v4))) 1L else 0L
-    val eqAsof =
-      if ((1L to 4L).forall(v => multisetEq(asOf(v), manifestSnapshot(s, base, log, v)))) 1L else 0L
+    // cut the 3-round join/union lineage ONCE: everything below reads
+    // a flat parquet instead of re-planning the whole replay
+    graft.sinks.RetryingSink.overwriteParquet(scd, s"$base/scd2")
+    scd = s.read.parquet(s"$base/scd2")
+    // the dimension serves time travel on its own: the as-of slice at
+    // EVERY version must equal that version's direct manifest read.
+    // Compared as multiset FINGERPRINTS (count, Σk, Σcents,
+    // Σ xxhash64 mod p — the q186 checksum discipline): the SCD2 side
+    // covers all four versions in ONE exploded aggregate (a row is
+    // live in versions start_ver .. end_ver−1, open rows through the
+    // head), the direct side is one single-stage aggregate per
+    // version — against the exceptAll-per-version chain of the first
+    // cut this removed ~10 shuffle jobs (18 s → single-digit).
+    val hmod = xxhash64(col("k"), col("cents")) % 1000000007L
+    def fpRow(r: org.apache.spark.sql.Row) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val scdFps: Map[Long, (Long, Long, Long, Long)] = scd
+      .select(col("k"), col("cents"), explode(sequence(col("start_ver"), coalesce(col("end_ver") - 1L, lit(4L)))).as("v"))
+      .groupBy("v")
+      .agg(count(lit(1)), sum(col("k")), sum(col("cents")), sum(hmod))
+      .collect()
+      .map(r => r.getLong(0) -> fpRow(r))
+      .toMap
+    def directFp(v: Long): (Long, Long, Long, Long) = {
+      val r = manifestSnapshot(s, base, log, v)
+        .agg(lit(0L), count(lit(1)), sum(col("k")), sum(col("cents")), sum(hmod))
+        .collect()(0)
+      fpRow(r)
+    }
+    val directFps = (1L to 4L).map(v => v -> directFp(v)).toMap
+    val eqAsof = if ((1L to 4L).forall(v => scdFps(v) == directFps(v))) 1L else 0L
+    val eqCurrent = if (scdFps(4L) == directFps(4L)) 1L else 0L
+    val changesByV: Map[Long, Long] =
+      feed.groupBy("version").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // closed census: one small aggregate on end_ver, cumulated driver-side
+    val closedAt: Map[Long, Long] =
+      scd.filter(col("end_ver").isNotNull).groupBy("end_ver").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val counts = (2L to 4L).map { v =>
-      val nCh = feed.filter(col("version") === v).count()
-      val nOpen = asOf(v).count()
-      val nClosed = scd.filter(col("end_ver").isNotNull && col("end_ver") <= v).count()
-      (v, nCh, nOpen, nClosed)
+      (v, changesByV.getOrElse(v, 0L), scdFps(v)._1, (2L to v).map(closedAt.getOrElse(_, 0L)).sum)
     }
     val out = counts
       .map { case (v, nCh, nOpen, nClosed) => (v, nCh, nOpen, nClosed, eqCurrent, eqAsof) }
@@ -14732,5 +14781,56 @@ object Queries {
       .orderBy("version")
     feed.unpersist()
     out
+  }
+
+  // SQL TIME TRAVEL THROUGH THE V2 CATALOG — `VERSION AS OF` as the
+  // USER writes it, resolved by the connector contract itself
+  // (TableCatalog.loadTable(ident, version) → a read-only snapshot
+  // table): q371 time-travels files and q406 names refs, but a
+  // warehouse user types one SQL clause, and this proves the scratch
+  // catalog serves it. Four statements publish four versions (two
+  // INSERTs, an UPDATE through the row-level-operation rewrite, a
+  // DELETE), then every version is read back `VERSION AS OF n` and
+  // its census re-derived by the oracle from the cohort predicates;
+  // AS-OF-head ≡ the plain read is earned (eq_current), and a read
+  // of a never-published version REFUSES at resolution
+  // (missing_refused — the q396 discipline surfaced through the SQL
+  // front door, not a file-layer check). History is immutable by
+  // construction: the AS-OF table exposes no write capability, so a
+  // write against the past fails analysis instead of forking the
+  // table. Scale shape: snapshots are shared structure keyed by
+  // version (a real connector resolves the version to a file set in
+  // its log — q404's ManifestLog — and serves the same contract).
+  def sqlTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft_scratch", classOf[graft.sources.ScratchCatalog].getName)
+    s.sql("DROP TABLE IF EXISTS graft_scratch.db.q415tt")
+    s.sql("CREATE TABLE graft_scratch.db.q415tt (k BIGINT, cents BIGINT)")
+    t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .createOrReplaceTempView("q415_src")
+    s.sql("INSERT INTO graft_scratch.db.q415tt SELECT k, cents FROM q415_src WHERE k % 2 = 0")
+    s.sql("INSERT INTO graft_scratch.db.q415tt SELECT k, cents FROM q415_src WHERE k % 2 = 1")
+    s.sql("UPDATE graft_scratch.db.q415tt SET cents = cents + 100 WHERE k % 5 = 0")
+    s.sql("DELETE FROM graft_scratch.db.q415tt WHERE k % 7 = 0")
+    def census(q: String): (Long, Long, Long) = {
+      val r = s.sql(q).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    def asOf(v: Long): (Long, Long, Long) =
+      census(s"SELECT count(*) AS n, sum(k) AS kk, sum(cents) AS cc FROM graft_scratch.db.q415tt VERSION AS OF $v")
+    val eqCurrent =
+      if (asOf(4L) == census("SELECT count(*) AS n, sum(k) AS kk, sum(cents) AS cc FROM graft_scratch.db.q415tt")) 1L
+      else 0L
+    val missingRefused =
+      try { s.sql("SELECT * FROM graft_scratch.db.q415tt VERSION AS OF 99").collect(); 0L }
+      catch { case _: Exception => 1L }
+    (1L to 4L)
+      .map { v =>
+        val (n, kk, cc) = asOf(v)
+        (v, n, kk, cc, eqCurrent, missingRefused)
+      }
+      .toDF("version", "n_rows", "key_checksum", "cents_checksum", "eq_current", "missing_refused")
+      .orderBy("version")
   }
 }

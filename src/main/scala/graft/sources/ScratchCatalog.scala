@@ -61,6 +61,32 @@ class ScratchCatalog extends TableCatalog with SupportsNamespaces {
     new ScratchTable(key(ident), state)
   }
 
+  /** `SELECT ... FROM t VERSION AS OF n` — the SQL time-travel verb,
+    * served from the table's published snapshot history. A missing
+    * version REFUSES loudly (the q396 discipline): an expired or
+    * never-published version must never silently read as something
+    * else.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val state = ScratchCatalog.store.get(key(ident))
+    if (state == null) throw new NoSuchTableException(ident)
+    val v =
+      try version.toLong
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"scratch time travel takes a numeric version, got '$version'")
+      }
+    val snap = state
+      .snapshotAt(v)
+      .getOrElse(
+        throw new IllegalArgumentException(
+          s"no version $v of ${key(ident)}: the table is at version ${state.snapshot.version} " +
+            "and only published versions are readable"
+        )
+      )
+    new ScratchTableAsOf(s"${key(ident)}@v$v", snap)
+  }
+
   override def createTable(
       ident: Identifier,
       schema: StructType,
@@ -155,8 +181,15 @@ object ScratchCatalog {
     private val ref = new java.util.concurrent.atomic.AtomicReference[Snapshot](
       Snapshot(schema0, Array.empty, 0L)
     )
+    // every published version, for `VERSION AS OF` reads — snapshots
+    // are immutable, so history is shared structure, not copies (a
+    // real format keeps this in the log; q410's expiration is the
+    // trimming story). Seeded with the empty genesis.
+    private val history = new java.util.concurrent.ConcurrentHashMap[Long, Snapshot]()
+    history.put(0L, ref.get())
     def snapshot: Snapshot = ref.get()
     def schema: StructType = snapshot.schema
+    def snapshotAt(version: Long): Option[Snapshot] = Option(history.get(version))
 
     /** CAS-loop a commuting mutation (append/alter): `f` is re-run on
       * the fresh snapshot after every lost race, so no publish is ever
@@ -170,6 +203,7 @@ object ScratchCatalog {
         val next = next0.copy(version = cur.version + 1)
         if (ref.compareAndSet(cur, next)) done = next
       }
+      history.put(done.version, done)
       done
     }
 
@@ -188,6 +222,7 @@ object ScratchCatalog {
           s"OCC conflict: row-level operation scanned version ${scanned.version} " +
             s"but the table is at version ${cur.version}; the rewrite is stale — re-run it"
         )
+      history.put(next.version, next)
       next
     }
   }
@@ -222,6 +257,22 @@ private[sources] class ScratchTable(tableName: String, state: ScratchCatalog.Tab
     }
 }
 
+/** A READ-ONLY view of one published snapshot — what `VERSION AS OF`
+  * resolves to. No write capabilities: history is immutable, and a
+  * write against a past version must fail at analysis, not silently
+  * fork the table.
+  */
+private[sources] class ScratchTableAsOf(tableName: String, snap: ScratchCatalog.Snapshot)
+    extends Table
+    with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = snap.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScratchScan(snap)
+}
+
 /** Group-based row-level operation: the scan feeds the MERGE rewrite
   * the current rows; the write receives the complete post-operation
   * row set for the (single) affected group and swaps it in. The
@@ -251,13 +302,13 @@ private[sources] class ScratchRowLevelOperation(
     })
 }
 
-private[sources] class ScratchScan(state: ScratchCatalog.TableState)
+private[sources] class ScratchScan(snap: ScratchCatalog.Snapshot)
     extends ScanBuilder
     with Scan
     with Batch {
-  // ONE snapshot read at builder construction: schema and rows are
+  // the builder is constructed with ONE snapshot: schema and rows are
   // guaranteed consistent even if a commit/alter lands mid-planning
-  private val snap = state.snapshot
+  def this(state: ScratchCatalog.TableState) = this(state.snapshot)
   private[sources] def scannedSnapshot: ScratchCatalog.Snapshot = snap
   override def build(): Scan = this
   override def readSchema(): StructType = snap.schema

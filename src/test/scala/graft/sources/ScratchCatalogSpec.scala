@@ -243,4 +243,35 @@ class ScratchCatalogSpec extends SparkSpec {
     assert(snap.rows.length === 200)
     assert(snap.rows.forall(_.numFields == 2)) // no row's arity disagrees with the schema
   }
+
+  test("VERSION AS OF: every published version reads back pinned; past is read-only; missing refuses") {
+    spark.conf.set("spark.sql.catalog.graft_scratch", classOf[ScratchCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft_scratch.db.spec_tt")
+    spark.sql("CREATE TABLE graft_scratch.db.spec_tt (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft_scratch.db.spec_tt VALUES (1, 10), (2, 20)") // v1
+    spark.sql("UPDATE graft_scratch.db.spec_tt SET v = 99 WHERE k = 1") // v2
+    spark.sql("DELETE FROM graft_scratch.db.spec_tt WHERE k = 2") // v3
+    def rows(v: Long): Seq[(Long, Long)] =
+      spark
+        .sql(s"SELECT k, v FROM graft_scratch.db.spec_tt VERSION AS OF $v ORDER BY k")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq
+    assert(spark.sql("SELECT * FROM graft_scratch.db.spec_tt VERSION AS OF 0").count() === 0L)
+    assert(rows(1) === Seq((1L, 10L), (2L, 20L)))
+    assert(rows(2) === Seq((1L, 99L), (2L, 20L)))
+    assert(rows(3) === Seq((1L, 99L)))
+    // a later write does not disturb pinned reads (history immutable)
+    spark.sql("INSERT INTO graft_scratch.db.spec_tt VALUES (7, 70)") // v4
+    assert(rows(1) === Seq((1L, 10L), (2L, 20L)))
+    // the AS-OF table exposes no write capability
+    assertThrows[Exception](
+      spark.sql("INSERT INTO graft_scratch.db.spec_tt VERSION AS OF 1 VALUES (9, 90)")
+    )
+    // and a never-published version refuses at resolution
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM graft_scratch.db.spec_tt VERSION AS OF 42").collect()
+    )
+    assert(e.getMessage.contains("no version 42") || e.getMessage.contains("42"))
+  }
 }
