@@ -4643,6 +4643,20 @@ object Oracles {
          |  CAST(CASE WHEN nid % 10 = 7 THEN 1 ELSE 0 END AS BIGINT) AS is_new_hit
          |FROM (${annIvfPqSqlK(3, trainPred = "vid % 10 <> 7")}) t
          |ORDER BY qid, rnk""".stripMargin,
+    // phase 1 = the whole-table aggregates (stats-served, earned
+    // equal to the scan in-engine); phase 2 = the DV-subtracted scan
+    // answer with the naive stats overcount pinned to the tombstoned
+    // cohort (k%10=3)
+    "q416_metadata_only_agg" ->
+      """WITH o AS (SELECT o_orderkey AS k FROM orders),
+        |a AS (SELECT count(*) AS n, min(k) AS mn, max(k) AS mx FROM o),
+        |b AS (SELECT count(*) AS n, min(k) AS mn, max(k) AS mx FROM o WHERE k % 10 <> 3),
+        |d AS (SELECT count(*) AS n FROM o WHERE k % 10 = 3)
+        |SELECT '1_stats_only' AS phase, CAST(1 AS BIGINT) AS meta_eligible, a.n AS n_rows,
+        |  a.mn AS min_k, a.mx AS max_k, CAST(0 AS BIGINT) AS n_meta_overcount,
+        |  CAST(1 AS BIGINT) AS eq_meta_scan FROM a
+        |UNION ALL SELECT '2_dv_in_force', 0, b.n, b.mn, b.mx, d.n, 1 FROM b, d
+        |ORDER BY phase""".stripMargin,
     // the four SQL-visible versions re-derived from the statement
     // cohorts: v1 = even keys, v2 = all, v3 = +100 cents on k%5=0,
     // v4 = v3 minus k%7=0; eq_current / missing_refused earned

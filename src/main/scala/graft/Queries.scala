@@ -14607,11 +14607,11 @@ object Queries {
     // eight cluster-key buckets, one file each; the writer derives the
     // zone map from the bucket bounds it just wrote (one pass, at
     // write time — stats are never a second scan)
-    val statted: Seq[(FileRef, (Long, Long))] = (0 until 8).flatMap { i =>
+    val statted: Seq[(FileRef, ManifestLog.FileStats)] = (0 until 8).flatMap { i =>
       val part = orders.filter(col("k") >= i * w && col("k") < (i + 1) * w)
       part.repartition(1).write.mode(ow).parquet(s"$base/z$i")
-      val mm = part.agg(min(col("k")), max(col("k"))).collect()(0)
-      refs(s"z$i").map(r => r -> (mm.getLong(0), mm.getLong(1)))
+      val mm = part.agg(min(col("k")), max(col("k")), count(lit(1))).collect()(0)
+      refs(s"z$i").map(r => r -> ManifestLog.FileStats(mm.getLong(0), mm.getLong(1), mm.getLong(2)))
     }
     val log = new ManifestLog
     val v1 = log.tryCommit("main", 0L, "init", add = statted.map(_._1), stats = statted.toMap) match {
@@ -14621,7 +14621,7 @@ object Queries {
     val lo = w / 2
     val hi = w + w / 2
     val stats = log.liveStats(v1)
-    val kept = stats.filter { case (_, (mn, mx)) => mx >= lo && mn <= hi }.keys.toSeq
+    val kept = stats.filter { case (_, st) => st.max >= lo && st.min <= hi }.keys.toSeq
     val prunedRead = s.read
       .parquet(kept.sortBy(r => (r.dir, r.file)).map(r => s"$base/${r.dir}/${r.file}"): _*)
       .filter(col("k").between(lo, hi))
@@ -14832,5 +14832,83 @@ object Queries {
       }
       .toDF("version", "n_rows", "key_checksum", "cents_checksum", "eq_current", "missing_refused")
       .orderBy("version")
+  }
+
+  // METADATA-ONLY AGGREGATES — COUNT(*) / MIN(key) / MAX(key) answered
+  // from the manifest's file stats WITHOUT OPENING A FILE (Iceberg's
+  // metadata tables, Delta's stats-served counts): the q413 writer
+  // stats now carry row counts, so the three aggregates are log
+  // arithmetic, earned equal to the real scan. The second phase is
+  // the honest half real engines get wrong first: once a DELETION
+  // VECTOR is in force the stats still describe the FILES, not the
+  // table — the metadata path must declare itself ineligible
+  // (meta_eligible 0) and fall back to the DV-subtracted scan, and
+  // the hazard is QUANTIFIED, not asserted: n_meta_overcount = rows
+  // the naive stats answer would overcount (exactly the tombstoned
+  // cohort; the q396 discipline). Scale shape: phase 1 costs
+  // |live files| driver arithmetic — a COUNT(*) on a 100 TB table
+  // for free; the fallback costs what correctness costs.
+  def metadataOnlyAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{GraftFs, ManifestLog}
+    import ManifestLog.{Committed, FileRef}
+    val base = graft.operators.Scratch.dir("graft-metaagg")
+    val ow = org.apache.spark.sql.SaveMode.Overwrite
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val maxK = orders.agg(max(col("k"))).collect()(0).getLong(0)
+    val w = 1L + maxK / 8L
+    def refs(g: String): Seq[FileRef] = GraftFs.listDataFiles(s"$base/$g").map(f => FileRef(g, f))
+    val statted: Seq[(FileRef, ManifestLog.FileStats)] = (0 until 8).flatMap { i =>
+      val part = orders.filter(col("k") >= i * w && col("k") < (i + 1) * w)
+      part.repartition(1).write.mode(ow).parquet(s"$base/z$i")
+      val mm = part.agg(min(col("k")), max(col("k")), count(lit(1))).collect()(0)
+      refs(s"z$i").map(r => r -> ManifestLog.FileStats(mm.getLong(0), mm.getLong(1), mm.getLong(2)))
+    }
+    val log = new ManifestLog
+    val v1 = log.tryCommit("main", 0L, "init", add = statted.map(_._1), stats = statted.toMap) match {
+      case Committed(v, _) => v; case o => sys.error(o.toString)
+    }
+    def eligible(v: Long): Boolean =
+      log.liveStats(v).keySet == log.liveFiles(v) && log.dvFiles(v).isEmpty
+    def metaAnswer(v: Long): (Long, Long, Long) = {
+      val st = log.liveStats(v).values
+      (st.map(_.rows).sum, st.map(_.min).min, st.map(_.max).max)
+    }
+    def scanAnswer(v: Long): (Long, Long, Long) = {
+      val live = manifestReadRefs(s, base, log.liveFiles(v).toSeq, withMeta = true)
+      val dvs = log.dvFiles(v)
+      val rd =
+        if (dvs.isEmpty) live
+        else {
+          val tomb = s.read.parquet(dvs.map(r => s"$base/${r.dir}/${r.file}").toSeq: _*)
+          live.join(broadcast(tomb), Seq("d", "f", "ri"), "left_anti")
+        }
+      val r = rd.agg(count(lit(1)), min(col("k")), max(col("k"))).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val meta1 = metaAnswer(v1)
+    val scan1 = scanAnswer(v1)
+    val eq1 = if (meta1 == scan1) 1L else 0L
+    require(eligible(v1), "phase 1 must be stats-answerable")
+    // a DV lands: the stats still describe the files, not the table
+    manifestReadRefs(s, base, log.liveFiles(v1).toSeq, withMeta = true)
+      .filter(col("k") % 10 === 3)
+      .select("d", "f", "ri")
+      .coalesce(1)
+      .write
+      .mode(ow)
+      .parquet(s"$base/dv1")
+    val v2 = log.tryCommit("main", v1, "delete_dv", dvAdd = refs("dv1")) match {
+      case Committed(v, _) => v; case o => sys.error(o.toString)
+    }
+    val elig2 = if (eligible(v2)) 1L else 0L
+    val scan2 = scanAnswer(v2)
+    val overcount2 = metaAnswer(v2)._1 - scan2._1
+    Seq(
+      ("1_stats_only", 1L, meta1._1, meta1._2, meta1._3, 0L, eq1),
+      ("2_dv_in_force", elig2, scan2._1, scan2._2, scan2._3, overcount2, eq1)
+    ).toDF("phase", "meta_eligible", "n_rows", "min_k", "max_k", "n_meta_overcount", "eq_meta_scan")
+      .orderBy("phase")
   }
 }

@@ -45,15 +45,23 @@ object ManifestLog {
     */
   final case class FileRef(dir: String, file: String)
 
+  /** Writer-computed per-file statistics — the Iceberg/Delta
+    * file-stats convention: the (min, max) zone map of the table's
+    * cluster key plus the file's row count, all derived during the
+    * write (never a second scan). Zone maps drive planning-time file
+    * skipping (q413); row counts make COUNT(*) and the key's MIN/MAX
+    * answerable from the log alone (q416).
+    */
+  final case class FileStats(min: Long, max: Long, rows: Long)
+
   /** One published commit. `parent` is the version the commit applied
     * on top of — versions form a tree (branches), not a line.
     * `dvAdded` names deletion-vector files (q400's positional
     * tombstones) attached by this commit; they subtract rows from the
     * files they reference without rewriting them. `stats` carries
-    * optional per-added-file zone maps ((min, max) of the table's
-    * cluster key, computed by the writer during the write — the
-    * Iceberg/Delta file-stats convention) so a reader can prune files
-    * at PLANNING time from the log alone, never opening a footer.
+    * optional per-added-file [[FileStats]] so a reader can prune —
+    * or outright ANSWER metadata-only aggregates — from the log,
+    * never opening a footer.
     */
   final case class Commit(
       version: Long,
@@ -62,7 +70,7 @@ object ManifestLog {
       added: Vector[FileRef],
       removed: Vector[FileRef],
       dvAdded: Vector[FileRef],
-      stats: Map[FileRef, (Long, Long)] = Map.empty
+      stats: Map[FileRef, FileStats] = Map.empty
   )
 
   /** A publish attempt's outcome: the committed version and how many
@@ -127,9 +135,9 @@ final class ManifestLog {
     * file-skipping input: a range predicate keeps only files whose
     * (min, max) intersects it, without opening any footer.
     */
-  def liveStats(version: Long): Map[FileRef, (Long, Long)] = {
+  def liveStats(version: Long): Map[FileRef, FileStats] = {
     val live = liveFiles(version)
-    chain(version).foldLeft(Map.empty[FileRef, (Long, Long)])((m, c) => m ++ c.stats).filter {
+    chain(version).foldLeft(Map.empty[FileRef, FileStats])((m, c) => m ++ c.stats).filter {
       case (f, _) => live.contains(f)
     }
   }
@@ -160,7 +168,7 @@ final class ManifestLog {
       remove: Seq[FileRef] = Seq.empty,
       dvAdd: Seq[FileRef] = Seq.empty,
       maxAttempts: Int = 10,
-      stats: Map[FileRef, (Long, Long)] = Map.empty
+      stats: Map[FileRef, FileStats] = Map.empty
   ): Outcome = {
     var attempts = 0
     while (attempts < maxAttempts) {
@@ -285,7 +293,7 @@ final class ManifestLog {
     val dvs = hChain.flatMap(_.dvAdded).toVector
     // zone maps for surviving files ride the checkpoint, so stats-
     // based pruning keeps working on expired-away history
-    val liveStats0 = hChain.foldLeft(Map.empty[FileRef, (Long, Long)])((m, c) => m ++ c.stats).filter {
+    val liveStats0 = hChain.foldLeft(Map.empty[FileRef, FileStats])((m, c) => m ++ c.stats).filter {
       case (f, _) => live.contains(f)
     }
     val checkpoint = Commit(horizon, -1L, "checkpoint", live.toVector, Vector.empty, dvs, liveStats0)

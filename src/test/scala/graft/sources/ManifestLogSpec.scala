@@ -179,22 +179,22 @@ class ManifestLogSpec extends AnyFunSuite {
   test("liveStats: zone maps follow their files through rewrite and survive expiration via the checkpoint") {
     val log = new ManifestLog
     val v1 = log.tryCommit("main", 0L, "init", add = Seq(f("a"), f("b")),
-      stats = Map(f("a") -> ((0L, 9L)), f("b") -> ((10L, 19L)))) match {
+      stats = Map(f("a") -> ManifestLog.FileStats(0L, 9L, 10L), f("b") -> ManifestLog.FileStats(10L, 19L, 10L))) match {
       case Committed(v, _) => v
       case o               => fail(s"init failed: $o")
     }
     // rewrite b → b2 with a new zone map; a's stats persist untouched
     val Committed(v2, _) = log.tryCommit("main", v1, "rewrite", add = Seq(f("b2")),
-      remove = Seq(f("b")), stats = Map(f("b2") -> ((10L, 15L)))): @unchecked
-    assert(log.liveStats(v2) === Map(f("a") -> ((0L, 9L)), f("b2") -> ((10L, 15L))))
+      remove = Seq(f("b")), stats = Map(f("b2") -> ManifestLog.FileStats(10L, 15L, 6L))): @unchecked
+    assert(log.liveStats(v2) === Map(f("a") -> ManifestLog.FileStats(0L, 9L, 10L), f("b2") -> ManifestLog.FileStats(10L, 15L, 6L)))
     // removed file's stats drop out of the live view
     assert(!log.liveStats(v2).contains(f("b")))
     // stats ride the expiration checkpoint
     val Committed(v3, _) = log.tryCommit("main", v2, "append", add = Seq(f("c")),
-      stats = Map(f("c") -> ((20L, 29L)))): @unchecked
+      stats = Map(f("c") -> ManifestLog.FileStats(20L, 29L, 10L))): @unchecked
     log.expireBefore(v2)
-    assert(log.liveStats(v2) === Map(f("a") -> ((0L, 9L)), f("b2") -> ((10L, 15L))))
-    assert(log.liveStats(v3)(f("c")) === ((20L, 29L)))
+    assert(log.liveStats(v2) === Map(f("a") -> ManifestLog.FileStats(0L, 9L, 10L), f("b2") -> ManifestLog.FileStats(10L, 15L, 6L)))
+    assert(log.liveStats(v3)(f("c")) === ManifestLog.FileStats(20L, 29L, 10L))
   }
 
   test("dv files accumulate along the chain and count as reachable") {
