@@ -4643,6 +4643,22 @@ object Oracles {
          |  CAST(CASE WHEN nid % 10 = 7 THEN 1 ELSE 0 END AS BIGINT) AS is_new_hit
          |FROM (${annIvfPqSqlK(3, trainPred = "vid % 10 <> 7")}) t
          |ORDER BY qid, rnk""".stripMargin,
+    // the pruned semi-join re-derived: build side = March-1996 ship
+    // keys, files scanned = the build keys' distinct zones (k // w),
+    // matched fact census = the build keys' orders rows; eq_full
+    // earned in-engine (pruned census ≡ full-scan census)
+    "q417_manifest_join_pruning" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |wdt AS (SELECT 1 + max(k) // 8 AS w FROM o),
+        |b AS (SELECT DISTINCT l_orderkey AS k FROM lineitem
+        |  WHERE l_shipdate BETWEEN DATE '1996-03-01' AND DATE '1996-03-31'),
+        |zc AS (SELECT count(DISTINCT b.k // wdt.w) AS nz FROM b, wdt),
+        |m AS (SELECT count(*) AS n, CAST(sum(o.k) AS BIGINT) AS kk,
+        |    CAST(sum(o.cents) AS BIGINT) AS cc FROM o WHERE o.k IN (SELECT k FROM b))
+        |SELECT 'dpp_scan' AS scan, CAST(8 AS BIGINT) AS n_files_total, zc.nz AS n_files_scanned,
+        |  m.n AS n_rows, m.kk AS key_checksum, m.cc AS cents_checksum,
+        |  CAST(1 AS BIGINT) AS eq_full FROM zc, m""".stripMargin,
     // phase 1 = the whole-table aggregates (stats-served, earned
     // equal to the scan in-engine); phase 2 = the DV-subtracted scan
     // answer with the naive stats overcount pinned to the tombstoned

@@ -14911,4 +14911,64 @@ object Queries {
     ).toDF("phase", "meta_eligible", "n_rows", "min_k", "max_k", "n_meta_overcount", "eq_meta_scan")
       .orderBy("phase")
   }
+
+  // MANIFEST-LEVEL DYNAMIC FILE PRUNING FOR JOINS — q182's dynamic
+  // partition pruning raised to the manifest layer (what Delta calls
+  // dynamic file pruning): the JOIN's build side decides which fact
+  // FILES to open. The probe is a date-window's order keys (the
+  // broadcast-sized dim a DPP build side is); each key maps to its
+  // zone via the manifest stats, so the scan plans only the files
+  // whose [min, max] contains at least one build key — driver
+  // arithmetic of |build keys| × |live files|, no footer read, no
+  // data scan. The pruned join is earned equal to the full-scan join
+  // (n/key/revenue fingerprints), and n_files_scanned is pinned by
+  // the oracle as the build keys' distinct zone count. Scale shape:
+  // at 100 TB the fact scan's IO follows the BUILD SIDE's key
+  // locality, not the fact's size — the reward for the q397/q413
+  // cluster-by-key layout, closing advisor → layout → scan-planner.
+  def manifestJoinPruning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{GraftFs, ManifestLog}
+    import ManifestLog.{Committed, FileRef}
+    val base = graft.operators.Scratch.dir("graft-joinprune")
+    val ow = org.apache.spark.sql.SaveMode.Overwrite
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val maxK = orders.agg(max(col("k"))).collect()(0).getLong(0)
+    val w = 1L + maxK / 8L
+    def refs(g: String): Seq[FileRef] = GraftFs.listDataFiles(s"$base/$g").map(f => FileRef(g, f))
+    val statted: Seq[(FileRef, ManifestLog.FileStats)] = (0 until 8).flatMap { i =>
+      val part = orders.filter(col("k") >= i * w && col("k") < (i + 1) * w)
+      part.repartition(1).write.mode(ow).parquet(s"$base/z$i")
+      val mm = part.agg(min(col("k")), max(col("k")), count(lit(1))).collect()(0)
+      refs(s"z$i").map(r => r -> ManifestLog.FileStats(mm.getLong(0), mm.getLong(1), mm.getLong(2)))
+    }
+    val log = new ManifestLog
+    val v1 = log.tryCommit("main", 0L, "init", add = statted.map(_._1), stats = statted.toMap) match {
+      case Committed(v, _) => v; case o => sys.error(o.toString)
+    }
+    // the build side: one ship-month's order keys (dim-sized)
+    val build = t(s, dir, "lineitem")
+      .filter(col("l_shipdate").between(lit("1996-03-01"), lit("1996-03-31")))
+      .select(col("l_orderkey").as("k"))
+      .distinct()
+      .persist()
+    val buildKeys = build.collect().map(_.getLong(0)) // dim-cardinality, the DPP build-side collect
+    val stats = log.liveStats(v1)
+    val kept = stats.filter { case (_, st) => buildKeys.exists(k => k >= st.min && k <= st.max) }.keys.toSeq
+    def joined(files: Seq[FileRef]): DataFrame =
+      s.read
+        .parquet(files.sortBy(r => (r.dir, r.file)).map(r => s"$base/${r.dir}/${r.file}"): _*)
+        .join(broadcast(build), Seq("k"), "left_semi")
+    def census(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(col("k")), sum(col("cents"))).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val pruned = census(joined(kept))
+    val eqFull = if (pruned == census(joined(log.liveFiles(v1).toSeq))) 1L else 0L
+    build.unpersist()
+    Seq(
+      ("dpp_scan", log.liveFiles(v1).size.toLong, kept.size.toLong, pruned._1, pruned._2, pruned._3, eqFull)
+    ).toDF("scan", "n_files_total", "n_files_scanned", "n_rows", "key_checksum", "cents_checksum", "eq_full")
+  }
 }
