@@ -300,10 +300,17 @@ final class ManifestLog {
     val next = st.copy(commits = (st.commits -- dropped) + (horizon -> checkpoint))
     if (!state.compareAndSet(st, next)) expireBefore(horizon)
     else {
-      // everything the dropped commits ever added that is not live at
-      // the horizon and not reachable from any surviving ref
+      // vacuum-eligible = added only by expired history AND live in NO
+      // surviving version. Checking ref heads alone is NOT enough — a
+      // file re-added after the horizon and re-removed before the head
+      // is live in an intermediate RETAINED version, and deleting it
+      // would break time travel to that version (found by the
+      // random-history property test, the exact bug Iceberg's
+      // expire_snapshots retention rule exists to prevent).
       val everAdded = hChain.filter(c => dropped.contains(c.version)).flatMap(c => c.added ++ c.dvAdded).toSet
-      everAdded -- live -- dvs -- reachableFiles
+      val survivingVersions = state.get().commits.keySet
+      val retainedLive = survivingVersions.foldLeft(Set.empty[FileRef])((acc, v) => acc ++ liveFiles(v) ++ dvFiles(v))
+      everAdded -- retainedLive
     }
   }
 }
