@@ -4643,6 +4643,21 @@ object Oracles {
          |  CAST(CASE WHEN nid % 10 = 7 THEN 1 ELSE 0 END AS BIGINT) AS is_new_hit
          |FROM (${annIvfPqSqlK(3, trainPred = "vid % 10 <> 7")}) t
          |ORDER BY qid, rnk""".stripMargin,
+    // the maintained view re-derived as the head-state aggregate:
+    // survivors (k%18<>2) carry the k%9=4 update (+30 cents), the
+    // appended batch (k%4=0, keys +10^7) lands in the same k%10
+    // groups; eq_recompute earned in-engine per group, 3 micro-batches
+    "q418_streaming_cdf_ivm" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |f AS (
+        |  SELECT k % 10 AS g, cents + CASE WHEN k % 9 = 4 THEN 30 ELSE 0 END AS c
+        |  FROM o WHERE k % 18 <> 2
+        |  UNION ALL SELECT k % 10, cents FROM o WHERE k % 4 = 0
+        |)
+        |SELECT g, count(*) AS n_rows, CAST(sum(c) AS BIGINT) AS cents_sum,
+        |  CAST(1 AS BIGINT) AS eq_recompute, CAST(3 AS BIGINT) AS n_batches
+        |FROM f GROUP BY g ORDER BY g""".stripMargin,
     // the pruned semi-join re-derived: build side = March-1996 ship
     // keys, files scanned = the build keys' distinct zones (k // w),
     // matched fact census = the build keys' orders rows; eq_full

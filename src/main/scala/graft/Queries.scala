@@ -14971,4 +14971,125 @@ object Queries {
       ("dpp_scan", log.liveFiles(v1).size.toLong, kept.size.toLong, pruned._1, pruned._2, pruned._3, eqFull)
     ).toDF("scan", "n_files_total", "n_files_scanned", "n_rows", "key_checksum", "cents_checksum", "eq_full")
   }
+
+  // STREAMING CDF CONSUMER — the incremental-view-maintenance loop
+  // run CONTINUOUSLY: q405 derives the change feed and proves one
+  // batch IVM merge; here the feed arrives as a STREAM (one commit's
+  // changes per micro-batch, q203's replay discipline) and a grouped
+  // aggregate view is maintained per batch with the additive rule
+  // (+insert/+post, −pre/−delete). Because the maintenance deltas are
+  // pure sums, the maintained view is ORDER-INDEPENDENT across
+  // micro-batches — the property that makes the consumer safe to run
+  // against an out-of-order feed — and the final view is earned equal
+  // to the full recompute at the head version (eq_recompute per
+  // group). Scale shape: per micro-batch cost is that commit's
+  // changed rows aggregated to group cardinality, merged into a
+  // group-cardinality state — the view never recomputes from the
+  // table, which is the entire point of maintaining one.
+  def streamingCdfIvm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.{GraftFs, ManifestLog}
+    import ManifestLog.{Committed, FileRef}
+    val base = graft.operators.Scratch.dir("graft-cdfstream")
+    val ow = org.apache.spark.sql.SaveMode.Overwrite
+    val ap = org.apache.spark.sql.SaveMode.Append
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    (0 to 2).foreach { i =>
+      orders.filter(col("k") % 3 === i).repartition(1).write.mode(ow).parquet(s"$base/b$i")
+    }
+    def refs(g: String): Seq[FileRef] = GraftFs.listDataFiles(s"$base/$g").map(f => FileRef(g, f))
+    val log = new ManifestLog
+    val v1 = log.tryCommit("main", 0L, "init", add = (0 to 2).flatMap(i => refs(s"b$i"))) match {
+      case Committed(v, _) => v; case o => sys.error(o.toString)
+    }
+    // three commits land (append / update-rewrite / DV delete) …
+    orders
+      .filter(col("k") % 4 === 0)
+      .select((col("k") + 10000000L).as("k"), col("cents"))
+      .repartition(1)
+      .write
+      .mode(ow)
+      .parquet(s"$base/b3")
+    val v2 = log.tryCommit("main", v1, "append", add = refs("b3")) match {
+      case Committed(v, _) => v; case o => sys.error(o.toString)
+    }
+    manifestReadRefs(s, base, refs("b1"))
+      .select(col("k"), when(col("k") % 9 === 4, col("cents") + 30L).otherwise(col("cents")).as("cents"))
+      .repartition(1)
+      .write
+      .mode(ow)
+      .parquet(s"$base/u1")
+    val v3 = log.tryCommit("main", v2, "rewrite", add = refs("u1"), remove = refs("b1")) match {
+      case Committed(v, _) => v; case o => sys.error(o.toString)
+    }
+    manifestReadRefs(s, base, refs("b2"), withMeta = true)
+      .filter(col("k") % 18 === 2)
+      .select("d", "f", "ri")
+      .coalesce(1)
+      .write
+      .mode(ow)
+      .parquet(s"$base/dv1")
+    val v4 = log.tryCommit("main", v3, "delete_dv", dvAdd = refs("dv1")) match {
+      case Committed(v, _) => v; case o => sys.error(o.toString)
+    }
+    // … and the feed is PUBLISHED per commit: one file per version,
+    // the stream a downstream consumer tails
+    log.commitsBetween(v1, v4).foreach { c =>
+      manifestChanges(s, base, log, c.parent, c.version)
+        .repartition(1)
+        .write
+        .mode(ap)
+        .parquet(s"$base/feedstream")
+    }
+    // the maintained view: group → (n, cents_sum), merged additively
+    // per micro-batch inside foreachBatch
+    val state = new java.util.concurrent.atomic.AtomicReference(Map.empty[Long, (Long, Long)])
+    val versionsSeen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    // seed with the v1 aggregate (the view's initial full computation)
+    def aggOf(df: DataFrame): Map[Long, (Long, Long)] = df
+      .groupBy((col("k") % 10).as("g"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    state.set(aggOf(manifestSnapshot(s, base, log, v1)))
+    val consume: (DataFrame, Long) => Unit = (batch, _) => {
+      val sign = when(col("change_type").isin("insert", "update_postimage"), 1L).otherwise(-1L)
+      val deltas = batch
+        .groupBy((col("k") % 10).as("g"))
+        .agg(sum(sign).as("dn"), sum(sign * col("cents")).as("dc"), max(col("version")).as("v"))
+        .collect()
+      versionsSeen.add(deltas.map(_.getAs[Long]("v")).max)
+      val merged = deltas.foldLeft(state.get()) { (m, r) =>
+        val g = r.getAs[Long]("g")
+        val (n, c) = m.getOrElse(g, (0L, 0L))
+        m + (g -> ((n + r.getAs[Long]("dn"), c + r.getAs[Long]("dc"))))
+      }
+      state.set(merged.filter { case (_, (n, _)) => n > 0 })
+      ()
+    }
+    val q = s.readStream
+      .schema(s.read.parquet(s"$base/feedstream").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/feedstream")
+      .writeStream
+      .foreachBatch(consume)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ck")
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    val recomputed = aggOf(manifestSnapshot(s, base, log, v4))
+    val maintained = state.get()
+    val nBatches = versionsSeen.size.toLong
+    maintained.toSeq
+      .map { case (g, (n, c)) =>
+        val eq = if (recomputed.get(g).contains((n, c))) 1L else 0L
+        (g, n, c, eq, nBatches)
+      }
+      .toDF("g", "n_rows", "cents_sum", "eq_recompute", "n_batches")
+      .orderBy("g")
+  }
 }
