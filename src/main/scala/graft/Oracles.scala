@@ -4643,6 +4643,27 @@ object Oracles {
          |  CAST(CASE WHEN nid % 10 = 7 THEN 1 ELSE 0 END AS BIGINT) AS is_new_hit
          |FROM (${annIvfPqSqlK(3, trainPred = "vid % 10 <> 7")}) t
          |ORDER BY qid, rnk""".stripMargin,
+    // the race outcomes are protocol constants (commuting intents both
+    // land; a duplicate delete lands exactly once with the fought-over
+    // file as the overlap), and the final census is schedule-
+    // independent: all rows minus the k%6=2 delete cohort plus the
+    // k%5=0 append batch (keys +10^7)
+    "q419_occ_concurrency" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |d AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents) AS BIGINT) AS cc FROM o WHERE k % 6 = 2),
+        |a AS (SELECT count(*) AS n, CAST(sum(k) + 10000000 * count(*) AS BIGINT) AS kk,
+        |    CAST(sum(cents) AS BIGINT) AS cc FROM o WHERE k % 5 = 0),
+        |b AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents) AS BIGINT) AS cc FROM o),
+        |f AS (SELECT b.n - d.n + a.n AS n, b.kk - d.kk + a.kk AS kk,
+        |    b.cc - d.cc + a.cc AS cc FROM b, d, a)
+        |SELECT '1_commuting_race' AS phase, CAST(2 AS BIGINT) AS n_committed,
+        |  CAST(0 AS BIGINT) AS n_conflicted, CAST(0 AS BIGINT) AS overlap_exact,
+        |  f.n AS n_rows_final, f.kk AS key_checksum, f.cc AS cents_checksum FROM f
+        |UNION ALL SELECT '2_duplicate_race', 1, 1, 1, f.n, f.kk, f.cc FROM f
+        |ORDER BY phase""".stripMargin,
     // the maintained view re-derived as the head-state aggregate:
     // survivors (k%18<>2) carry the k%9=4 update (+30 cents), the
     // appended batch (k%4=0, keys +10^7) lands in the same k%10

@@ -15092,4 +15092,106 @@ object Queries {
       .toDF("g", "n_rows", "cents_sum", "eq_recompute", "n_batches")
       .orderBy("g")
   }
+
+  // OCC UNDER REAL CONCURRENCY — q404's interleave is sequential by
+  // design (so the oracle can replay it); this runs the SAME protocol
+  // with two genuinely RACING writer threads, each staging real
+  // parquet and committing through the CAS path, and shows the
+  // protocol makes the OUTCOME deterministic even though the schedule
+  // is not:
+  //   race 1 (commuting intents): an appender and a compactor race
+  //     from the same read version. Whoever loses the CAS validates —
+  //     the remove sets are disjoint in both orders — rebases, and
+  //     lands: ALWAYS two commits, and the final content is identical
+  //     either way (compaction preserves rows, append adds a fixed
+  //     batch).
+  //   race 2 (duplicate intent): two delete-rewrites of the SAME file
+  //     with the SAME predicate (a retried job, the classic storm).
+  //     Exactly ONE lands; the loser's validation finds its input
+  //     file removed and ABORTS — without OCC both would apply and
+  //     the content would still look right HERE, but the loser's
+  //     stale file set would silently resurrect the pre-delete layout
+  //     under any content-changing retry. The census is deterministic
+  //     because both intents compute the same result — the protocol
+  //     guarantees at-most-once application, the fixture makes the
+  //     winner irrelevant.
+  // Scale shape: identical to q404 — validation is commit-record
+  // arithmetic; the races here prove the JVM-level atomicity a real
+  // deployment gets from its log store's conditional PUT.
+  def occConcurrency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{GraftFs, ManifestLog}
+    import ManifestLog.{Committed, Conflicted, FileRef}
+    val base = graft.operators.Scratch.dir("graft-occ2")
+    val ow = org.apache.spark.sql.SaveMode.Overwrite
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    (0 to 2).foreach { i =>
+      orders.filter(col("k") % 3 === i).repartition(1).write.mode(ow).parquet(s"$base/b$i")
+    }
+    def refs(g: String): Seq[FileRef] = GraftFs.listDataFiles(s"$base/$g").map(f => FileRef(g, f))
+    def paths(fs: Iterable[FileRef]): Seq[String] =
+      fs.toSeq.sortBy(r => (r.dir, r.file)).map(r => s"$base/${r.dir}/${r.file}")
+    val log = new ManifestLog
+    val v1 = log.tryCommit("main", 0L, "init", add = (0 to 2).flatMap(i => refs(s"b$i"))) match {
+      case Committed(v, _) => v; case o => sys.error(o.toString)
+    }
+    // ---- race 1: append vs compact, both staged before either commits
+    orders
+      .filter(col("k") % 5 === 0)
+      .select((col("k") + 10000000L).as("k"), col("cents"))
+      .repartition(1)
+      .write
+      .mode(ow)
+      .parquet(s"$base/b3")
+    val f01 = refs("b0") ++ refs("b1")
+    s.read.parquet(paths(f01): _*).repartition(1).write.mode(ow).parquet(s"$base/c01")
+    val outcomes1 = new java.util.concurrent.ConcurrentLinkedQueue[ManifestLog.Outcome]()
+    val race1 = Seq(
+      new Thread(() => { outcomes1.add(log.tryCommit("main", v1, "append", add = refs("b3"))); () }),
+      new Thread(() => { outcomes1.add(log.tryCommit("main", v1, "compact", add = refs("c01"), remove = f01)); () })
+    )
+    race1.foreach(_.start())
+    race1.foreach(_.join())
+    val o1 = { import scala.jdk.CollectionConverters._; outcomes1.asScala.toVector }
+    val committed1 = o1.count(_.isInstanceOf[Committed]).toLong
+    // ---- race 2: two identical delete-rewrites of b2 (a retry storm)
+    val f2 = refs("b2")
+    s.read.parquet(paths(f2): _*).filter(col("k") % 6 =!= 2).repartition(1).write.mode(ow).parquet(s"$base/d2a")
+    s.read.parquet(paths(f2): _*).filter(col("k") % 6 =!= 2).repartition(1).write.mode(ow).parquet(s"$base/d2b")
+    val readV = log.head()
+    val outcomes2 = new java.util.concurrent.ConcurrentLinkedQueue[ManifestLog.Outcome]()
+    val race2 = Seq(
+      new Thread(() => { outcomes2.add(log.tryCommit("main", readV, "delete", add = refs("d2a"), remove = f2)); () }),
+      new Thread(() => { outcomes2.add(log.tryCommit("main", readV, "delete", add = refs("d2b"), remove = f2)); () })
+    )
+    race2.foreach(_.start())
+    race2.foreach(_.join())
+    val o2 = { import scala.jdk.CollectionConverters._; outcomes2.asScala.toVector }
+    val committed2 = o2.count(_.isInstanceOf[Committed]).toLong
+    val conflicted2 = o2.count(_.isInstanceOf[Conflicted]).toLong
+    // the loser's overlap names exactly the file both fought over
+    val overlapExact =
+      if (o2.collect { case Conflicted(ov, _) => ov }.forall(_ == f2.toSet)) 1L else 0L
+    def census(v: Long): (Long, Long, Long) = {
+      val r = s.read
+        .parquet(paths(log.liveFiles(v)): _*)
+        .agg(count(lit(1)), sum(col("k")), sum(col("cents")))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val (n, kk, cc) = census(log.head())
+    Seq(
+      ("1_commuting_race", committed1, 0L, 0L, n, kk, cc),
+      ("2_duplicate_race", committed2, conflicted2, overlapExact, n, kk, cc)
+    ).toDF(
+      "phase",
+      "n_committed",
+      "n_conflicted",
+      "overlap_exact",
+      "n_rows_final",
+      "key_checksum",
+      "cents_checksum"
+    ).orderBy("phase")
+  }
 }
