@@ -4643,6 +4643,20 @@ object Oracles {
          |  CAST(CASE WHEN nid % 10 = 7 THEN 1 ELSE 0 END AS BIGINT) AS is_new_hit
          |FROM (${annIvfPqSqlK(3, trainPred = "vid % 10 <> 7")}) t
          |ORDER BY qid, rnk""".stripMargin,
+    // the fold replayed as zone arithmetic: zones = k // w in min
+    // order, three zones per output group (the tail group takes two);
+    // per-group censuses from the zone ranges; eq_stats / eq_content
+    // earned in-engine (derived stats ≡ verification scan, compacted
+    // fingerprint ≡ original)
+    "q420_manifest_compaction" ->
+      """WITH o AS (SELECT o_orderkey AS k FROM orders),
+        |wdt AS (SELECT 1 + max(k) // 8 AS w FROM o),
+        |z AS (SELECT (k // wdt.w) // 3 AS g, k FROM o, wdt)
+        |SELECT g AS "group", CAST(CASE WHEN g = 2 THEN 2 ELSE 3 END AS BIGINT) AS n_files_in,
+        |  count(*) AS n_rows, min(k) AS min_k, max(k) AS max_k,
+        |  CAST(1 AS BIGINT) AS eq_stats, CAST(8 AS BIGINT) AS n_files_before,
+        |  CAST(3 AS BIGINT) AS n_files_after, CAST(1 AS BIGINT) AS eq_content
+        |FROM z GROUP BY g ORDER BY g""".stripMargin,
     // the race outcomes are protocol constants (commuting intents both
     // land; a duplicate delete lands exactly once with the fought-over
     // file as the overlap), and the final census is schedule-

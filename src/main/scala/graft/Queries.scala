@@ -15194,4 +15194,94 @@ object Queries {
       "cents_checksum"
     ).orderBy("phase")
   }
+
+  // LOG-PLANNED COMPACTION — the maintenance loop closed at the
+  // metadata layer: q192 plans compaction from parquet footers and
+  // q194 executes it; here the small-file census, the grouping, AND
+  // the post-compaction statistics all come from the COMMIT LOG —
+  // no footer is opened to plan, and because compaction is
+  // content-preserving, each output file's stats are DERIVED from its
+  // inputs' stats (min of mins, max of maxes, sum of rows) rather
+  // than rescanned — the metadata-only stats propagation real formats
+  // use for pure rewrites. Execution is one OCC commit per group
+  // (remove inputs, add output, carry derived stats), so a racing
+  // ingest would serialize through q404's validation. Earned: the
+  // compacted table equals the original (content fingerprint), and
+  // the derived stats equal a verification scan of the new files
+  // file-for-file (eq_stats) — the q397 "advisor's prediction equals
+  // the measured layout" discipline applied to stats propagation.
+  // Scale shape: planning is |live files| log arithmetic; the rewrite
+  // reads each input group once; stats cost nothing.
+  def manifestCompaction(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{GraftFs, ManifestLog}
+    import ManifestLog.{Committed, FileRef, FileStats}
+    val base = graft.operators.Scratch.dir("graft-logcompact")
+    val ow = org.apache.spark.sql.SaveMode.Overwrite
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val maxK = orders.agg(max(col("k"))).collect()(0).getLong(0)
+    val w = 1L + maxK / 8L
+    def refs(g: String): Seq[FileRef] = GraftFs.listDataFiles(s"$base/$g").map(f => FileRef(g, f))
+    def paths(fs: Iterable[FileRef]): Seq[String] =
+      fs.toSeq.sortBy(r => (r.dir, r.file)).map(r => s"$base/${r.dir}/${r.file}")
+    val statted: Seq[(FileRef, FileStats)] = (0 until 8).flatMap { i =>
+      val part = orders.filter(col("k") >= i * w && col("k") < (i + 1) * w)
+      part.repartition(1).write.mode(ow).parquet(s"$base/z$i")
+      val mm = part.agg(min(col("k")), max(col("k")), count(lit(1))).collect()(0)
+      refs(s"z$i").map(r => r -> FileStats(mm.getLong(0), mm.getLong(1), mm.getLong(2)))
+    }
+    val log = new ManifestLog
+    val v1 = log.tryCommit("main", 0L, "init", add = statted.map(_._1), stats = statted.toMap) match {
+      case Committed(v, _) => v; case o => sys.error(o.toString)
+    }
+    // plan FROM THE LOG: zone order from the stats, fold 3 zones per
+    // output file — |live files| driver arithmetic, zero file opens
+    val plan: Seq[(Long, Seq[(FileRef, FileStats)])] = log
+      .liveStats(v1)
+      .toSeq
+      .sortBy(_._2.min)
+      .zipWithIndex
+      .groupBy { case (_, idx) => (idx / 3).toLong }
+      .toSeq
+      .sortBy(_._1)
+      .map { case (g, xs) => g -> xs.map(_._1) }
+    // execute: one rewrite + one OCC commit per group, stats DERIVED
+    val groupRows = plan.map { case (g, inputs) =>
+      val derived = FileStats(
+        inputs.map(_._2.min).min,
+        inputs.map(_._2.max).max,
+        inputs.map(_._2.rows).sum
+      )
+      s.read.parquet(paths(inputs.map(_._1)): _*).repartition(1).write.mode(ow).parquet(s"$base/c$g")
+      val out = refs(s"c$g")
+      log.tryCommit(
+        "main",
+        log.head(),
+        "compact",
+        add = out,
+        remove = inputs.map(_._1),
+        stats = out.map(_ -> derived).toMap
+      ) match {
+        case Committed(_, _) => (); case o => sys.error(o.toString)
+      }
+      // verification scan of the NEW file: derived stats must be exact
+      val mm = s.read.parquet(paths(out): _*).agg(min(col("k")), max(col("k")), count(lit(1))).collect()(0)
+      val eqStats = if (FileStats(mm.getLong(0), mm.getLong(1), mm.getLong(2)) == derived) 1L else 0L
+      (g, inputs.size.toLong, derived.rows, derived.min, derived.max, eqStats)
+    }
+    // earned: content identical across the whole fold (fingerprint)
+    val hmod = xxhash64(col("k"), col("cents")) % 1000000007L
+    def fp(fs: Iterable[FileRef]): (Long, Long, Long) = {
+      val r = s.read.parquet(paths(fs): _*).agg(count(lit(1)), sum(col("k")), sum(hmod)).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val eqContent = if (fp(log.liveFiles(log.head())) == fp(statted.map(_._1))) 1L else 0L
+    val nBefore = statted.size.toLong
+    val nAfter = log.liveFiles(log.head()).size.toLong
+    groupRows
+      .map { case (g, nIn, rows, mn, mx, eqS) => (g, nIn, rows, mn, mx, eqS, nBefore, nAfter, eqContent) }
+      .toDF("group", "n_files_in", "n_rows", "min_k", "max_k", "eq_stats", "n_files_before", "n_files_after", "eq_content")
+      .orderBy("group")
+  }
 }
