@@ -13801,7 +13801,18 @@ object Queries {
     * from the commit records alone — appends read their added files,
     * rewrites key-join ONLY their removed×added files, DV commits
     * join tombstones back to ONLY the named target files. The q405 /
-    * q414 shared primitive; cost is O(|changed files|) by construction.
+    * q414 / q418 shared primitive; cost is O(|changed files|) by
+    * construction.
+    *
+    * Shape contract (enforced loudly, never guessed): a commit is
+    * EITHER a DV commit (tombstones only) or a file commit — a mixed
+    * commit would need per-file disambiguation this reader does not
+    * do, and silently taking one branch would drop the other's
+    * changes. Empty commits (pure ref motion) contribute no rows.
+    * Precondition: a rewrite's removed files carry no in-force DV
+    * from an EARLIER commit (the writers here delete via DV xor
+    * rewrite per file) — a rewrite of a DV'd file would need the DV
+    * subtracted from its preimage read.
     */
   private[graft] def manifestChanges(
       s: SparkSession,
@@ -13811,8 +13822,26 @@ object Queries {
       vTo: Long
   ): DataFrame = {
     import graft.sources.ManifestLog.FileRef
+    val emptyFeed = s
+      .createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(
+          Seq(
+            StructField("version", org.apache.spark.sql.types.LongType, nullable = false),
+            StructField("change_type", StringType, nullable = false),
+            StructField("k", org.apache.spark.sql.types.LongType, nullable = true),
+            StructField("cents", org.apache.spark.sql.types.LongType, nullable = true)
+          )
+        )
+      )
     val changes: Seq[DataFrame] = log.commitsBetween(vFrom, vTo).map { c =>
-      if (c.dvAdded.nonEmpty) {
+      require(
+        c.dvAdded.isEmpty || (c.added.isEmpty && c.removed.isEmpty),
+        s"commit v${c.version} mixes DV and file changes — the feed reader handles one shape per commit"
+      )
+      if (c.added.isEmpty && c.removed.isEmpty && c.dvAdded.isEmpty) {
+        emptyFeed // pure ref motion: nothing changed
+      } else if (c.dvAdded.nonEmpty) {
         val dv = s.read.parquet(c.dvAdded.map(r => s"$base/${r.dir}/${r.file}"): _*)
         val targets = dv.select("d", "f").distinct().collect().map(r => FileRef(r.getString(0), r.getString(1)))
         manifestReadRefs(s, base, targets.toSeq, withMeta = true)
@@ -13824,7 +13853,11 @@ object Queries {
       } else {
         val old = manifestReadRefs(s, base, c.removed).as("o")
         val nw = manifestReadRefs(s, base, c.added).as("n")
-        val j = old.join(nw, col("o.k") === col("n.k"), "full_outer").persist()
+        // no persist: the four selections below re-plan this join, but
+        // the inputs are one commit's files and callers snapshot the
+        // feed to parquet immediately — a persist here would leak a
+        // cached block per rewrite commit with no release point
+        val j = old.join(nw, col("o.k") === col("n.k"), "full_outer")
         val pre = j
           .filter(col("o.k").isNotNull && col("n.k").isNotNull && col("o.cents") =!= col("n.cents"))
           .select(lit(c.version).as("version"), lit("update_preimage").as("change_type"), col("o.k").as("k"), col("o.cents").as("cents"))
@@ -13841,6 +13874,36 @@ object Queries {
       }
     }
     changes.reduce(_ unionByName _)
+  }
+
+  /** The zone-clustered writer fixture shared by q413/q416/q417/q420:
+    * (k, cents) rows land as 8 key-zone files (width `w`), each file's
+    * [[graft.sources.ManifestLog.FileStats]] aggregated from the
+    * WRITTEN file itself (one file-sized read-back — stats always
+    * describe exactly the committed bytes, and the source is never
+    * rescanned). An empty zone commits no file and no stats.
+    */
+  private def writeStattedZones(
+      s: SparkSession,
+      base: String,
+      rows: DataFrame,
+      w: Long
+  ): Seq[(graft.sources.ManifestLog.FileRef, graft.sources.ManifestLog.FileStats)] = {
+    import graft.sources.{GraftFs, ManifestLog}
+    (0 until 8).flatMap { i =>
+      rows
+        .filter(col("k") >= i * w && col("k") < (i + 1) * w)
+        .repartition(1)
+        .write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$base/z$i")
+      val mm = s.read.parquet(s"$base/z$i").agg(min(col("k")), max(col("k")), count(lit(1))).collect()(0)
+      if (mm.isNullAt(0)) Seq.empty
+      else
+        GraftFs
+          .listDataFiles(s"$base/z$i")
+          .map(f => ManifestLog.FileRef(s"z$i", f) -> ManifestLog.FileStats(mm.getLong(0), mm.getLong(1), mm.getLong(2)))
+    }
   }
 
   /** Snapshot read at a manifest version: live files minus DV'd rows. */
@@ -14607,12 +14670,7 @@ object Queries {
     // eight cluster-key buckets, one file each; the writer derives the
     // zone map from the bucket bounds it just wrote (one pass, at
     // write time — stats are never a second scan)
-    val statted: Seq[(FileRef, ManifestLog.FileStats)] = (0 until 8).flatMap { i =>
-      val part = orders.filter(col("k") >= i * w && col("k") < (i + 1) * w)
-      part.repartition(1).write.mode(ow).parquet(s"$base/z$i")
-      val mm = part.agg(min(col("k")), max(col("k")), count(lit(1))).collect()(0)
-      refs(s"z$i").map(r => r -> ManifestLog.FileStats(mm.getLong(0), mm.getLong(1), mm.getLong(2)))
-    }
+    val statted = writeStattedZones(s, base, orders, w)
     val log = new ManifestLog
     val v1 = log.tryCommit("main", 0L, "init", add = statted.map(_._1), stats = statted.toMap) match {
       case Committed(v, _) => v; case o => sys.error(o.toString)
@@ -14859,12 +14917,7 @@ object Queries {
     val maxK = orders.agg(max(col("k"))).collect()(0).getLong(0)
     val w = 1L + maxK / 8L
     def refs(g: String): Seq[FileRef] = GraftFs.listDataFiles(s"$base/$g").map(f => FileRef(g, f))
-    val statted: Seq[(FileRef, ManifestLog.FileStats)] = (0 until 8).flatMap { i =>
-      val part = orders.filter(col("k") >= i * w && col("k") < (i + 1) * w)
-      part.repartition(1).write.mode(ow).parquet(s"$base/z$i")
-      val mm = part.agg(min(col("k")), max(col("k")), count(lit(1))).collect()(0)
-      refs(s"z$i").map(r => r -> ManifestLog.FileStats(mm.getLong(0), mm.getLong(1), mm.getLong(2)))
-    }
+    val statted = writeStattedZones(s, base, orders, w)
     val log = new ManifestLog
     val v1 = log.tryCommit("main", 0L, "init", add = statted.map(_._1), stats = statted.toMap) match {
       case Committed(v, _) => v; case o => sys.error(o.toString)
@@ -14937,12 +14990,7 @@ object Queries {
     val maxK = orders.agg(max(col("k"))).collect()(0).getLong(0)
     val w = 1L + maxK / 8L
     def refs(g: String): Seq[FileRef] = GraftFs.listDataFiles(s"$base/$g").map(f => FileRef(g, f))
-    val statted: Seq[(FileRef, ManifestLog.FileStats)] = (0 until 8).flatMap { i =>
-      val part = orders.filter(col("k") >= i * w && col("k") < (i + 1) * w)
-      part.repartition(1).write.mode(ow).parquet(s"$base/z$i")
-      val mm = part.agg(min(col("k")), max(col("k")), count(lit(1))).collect()(0)
-      refs(s"z$i").map(r => r -> ManifestLog.FileStats(mm.getLong(0), mm.getLong(1), mm.getLong(2)))
-    }
+    val statted = writeStattedZones(s, base, orders, w)
     val log = new ManifestLog
     val v1 = log.tryCommit("main", 0L, "init", add = statted.map(_._1), stats = statted.toMap) match {
       case Committed(v, _) => v; case o => sys.error(o.toString)
@@ -15225,12 +15273,7 @@ object Queries {
     def refs(g: String): Seq[FileRef] = GraftFs.listDataFiles(s"$base/$g").map(f => FileRef(g, f))
     def paths(fs: Iterable[FileRef]): Seq[String] =
       fs.toSeq.sortBy(r => (r.dir, r.file)).map(r => s"$base/${r.dir}/${r.file}")
-    val statted: Seq[(FileRef, FileStats)] = (0 until 8).flatMap { i =>
-      val part = orders.filter(col("k") >= i * w && col("k") < (i + 1) * w)
-      part.repartition(1).write.mode(ow).parquet(s"$base/z$i")
-      val mm = part.agg(min(col("k")), max(col("k")), count(lit(1))).collect()(0)
-      refs(s"z$i").map(r => r -> FileStats(mm.getLong(0), mm.getLong(1), mm.getLong(2)))
-    }
+    val statted = writeStattedZones(s, base, orders, w)
     val log = new ManifestLog
     val v1 = log.tryCommit("main", 0L, "init", add = statted.map(_._1), stats = statted.toMap) match {
       case Committed(v, _) => v; case o => sys.error(o.toString)

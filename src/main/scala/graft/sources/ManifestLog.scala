@@ -105,17 +105,7 @@ final class ManifestLog {
   def tagVersion(name: String): Long = state.get().tags(name)
 
   /** The commit chain from `version` back to genesis, oldest first. */
-  def chain(version: Long): Vector[Commit] = {
-    val cs = state.get().commits
-    var acc = List.empty[Commit]
-    var v = version
-    while (v >= 0L) {
-      val c = cs.getOrElse(v, sys.error(s"no version $v in the log"))
-      acc = c :: acc
-      v = c.parent
-    }
-    acc.toVector
-  }
+  def chain(version: Long): Vector[Commit] = chainIn(state.get().commits, version)
 
   /** Files live at `version`: replay the parent chain, each commit
     * removing then adding. Metadata-cardinality driver work.
@@ -255,39 +245,72 @@ final class ManifestLog {
     if (!state.compareAndSet(st, st.copy(tags = st.tags - name))) dropTag(name)
   }
 
+  /** Remove a branch head (its published work lives on wherever it
+    * was merged; unpublished commits become expiration-eligible).
+    * `main` is permanent.
+    */
+  def dropBranch(name: String): Unit = {
+    require(name != "main", "the main branch is permanent")
+    val st = state.get()
+    require(st.branches.contains(name), s"no branch '$name'")
+    if (!state.compareAndSet(st, st.copy(branches = st.branches - name))) dropBranch(name)
+  }
+
+  /** A commit chain walked in an explicit commits map — shared by
+    * [[chain]] (live state) and [[expireBefore]] (pre-CAS planning).
+    */
+  private def chainIn(cs: Map[Long, Commit], version: Long): Vector[Commit] = {
+    var acc = List.empty[Commit]
+    var v = version
+    while (v >= 0L) {
+      val c = cs.getOrElse(v, sys.error(s"no version $v in the log (walking from $version)"))
+      acc = c :: acc
+      v = c.parent
+    }
+    acc.toVector
+  }
+
   /** SNAPSHOT EXPIRATION — squash every commit strictly OLDER than
-    * `horizon` (which must be a main-chain version) into one
-    * checkpoint commit carrying horizon's live files and DVs, so the
-    * log stops growing with history while every retained version
-    * replays exactly as before. REFUSES loudly if any ref (tag or
-    * branch) points below the horizon — expiring a pinned version
-    * would silently break a named read, the q396 contract at the log
-    * level; the caller must first retire the ref ([[dropTag]]).
-    * Returns the files ONLY the expired history referenced (added in
-    * a dropped commit, not live at the horizon, unreachable from any
-    * ref) — the vacuum-eligible set this expiration just created.
-    * Reads of expired versions now fail by construction (no such
-    * version in the log). Metadata-cardinality driver work
-    * throughout.
+    * `horizon` into one checkpoint commit carrying horizon's live
+    * files and DVs, so the log stops growing with history while every
+    * retained version replays exactly as before. REFUSES loudly —
+    * BEFORE any mutation — if any ref (tag or branch) would lose its
+    * history: a ref that points at an expired version, AND a ref
+    * whose chain passes THROUGH an expired version without passing
+    * the horizon (a side branch forked below it — squashing would
+    * orphan its parent pointer and corrupt every read of that
+    * branch). The caller must first retire such refs ([[dropTag]]).
+    * Returns the vacuum-eligible set: files added only by expired
+    * history and live in NO surviving version (checking ref heads
+    * alone is not enough — a file re-added after the horizon and
+    * re-removed before the head is live in an intermediate RETAINED
+    * version; both rules were pinned by the random-history property
+    * suite). Reads of expired versions now fail by construction.
+    * All planning happens BEFORE the CAS, so a refused or failed
+    * expiration leaves the log untouched. Metadata-cardinality driver
+    * work throughout.
     */
   def expireBefore(horizon: Long): Set[FileRef] = {
     val st = state.get()
-    val hChain = {
-      val cs = st.commits
-      var acc = List.empty[Commit]
-      var v = horizon
-      while (v >= 0L) {
-        val c = cs.getOrElse(v, sys.error(s"no version $horizon in the log"))
-        acc = c :: acc
-        v = c.parent
-      }
-      acc.toVector
-    }
+    val hChain = chainIn(st.commits, horizon)
     val dropped = hChain.filter(_.version < horizon).map(_.version).toSet
-    val pinnedBelow = (st.branches ++ st.tags).filter { case (_, v) => dropped.contains(v) }
+    val refsAll = st.branches ++ st.tags
+    val pinnedBelow = refsAll.filter { case (_, v) => dropped.contains(v) }
     require(
       pinnedBelow.isEmpty,
       s"refusing to expire below $horizon: ref(s) ${pinnedBelow.keys.mkString(", ")} pin expired version(s) — retire them first"
+    )
+    // a ref ABOVE the horizon is only safe if its chain passes the
+    // horizon itself (so the checkpoint re-roots it); a side branch
+    // forked below the horizon would be left with a dangling parent
+    val forkedBelow = refsAll.filter { case (_, rv) =>
+      val c = chainIn(st.commits, rv)
+      !c.exists(_.version == horizon) && c.exists(x => dropped.contains(x.version))
+    }
+    require(
+      forkedBelow.isEmpty,
+      s"refusing to expire below $horizon: ref(s) ${forkedBelow.keys.mkString(", ")} fork from expired history — " +
+        "publish or retire them first"
     )
     val live = hChain.foldLeft(Set.empty[FileRef])((l, c) => (l -- c.removed) ++ c.added)
     val dvs = hChain.flatMap(_.dvAdded).toVector
@@ -297,20 +320,30 @@ final class ManifestLog {
       case (f, _) => live.contains(f)
     }
     val checkpoint = Commit(horizon, -1L, "checkpoint", live.toVector, Vector.empty, dvs, liveStats0)
-    val next = st.copy(commits = (st.commits -- dropped) + (horizon -> checkpoint))
-    if (!state.compareAndSet(st, next)) expireBefore(horizon)
-    else {
-      // vacuum-eligible = added only by expired history AND live in NO
-      // surviving version. Checking ref heads alone is NOT enough — a
-      // file re-added after the horizon and re-removed before the head
-      // is live in an intermediate RETAINED version, and deleting it
-      // would break time travel to that version (found by the
-      // random-history property test, the exact bug Iceberg's
-      // expire_snapshots retention rule exists to prevent).
-      val everAdded = hChain.filter(c => dropped.contains(c.version)).flatMap(c => c.added ++ c.dvAdded).toSet
-      val survivingVersions = state.get().commits.keySet
-      val retainedLive = survivingVersions.foldLeft(Set.empty[FileRef])((acc, v) => acc ++ liveFiles(v) ++ dvFiles(v))
-      everAdded -- retainedLive
+    val afterSquash = (st.commits -- dropped) + (horizon -> checkpoint)
+    // an UNREFERENCED side commit forked below the horizon (its branch
+    // was dropped) would survive the squash with a dangling parent:
+    // nothing names it, so drop it from the log rather than leave an
+    // unresolvable version behind
+    def resolvableIn(cs: Map[Long, Commit], v: Long): Boolean = {
+      var cur = v
+      while (cur >= 0L) cs.get(cur) match {
+        case Some(c) => cur = c.parent
+        case None    => return false
+      }
+      true
     }
+    val nextCommits = afterSquash.filter { case (v, _) => resolvableIn(afterSquash, v) }
+    // vacuum-eligible = added only by expired history AND live in NO
+    // surviving version — computed against the POST-squash commit map
+    // but BEFORE the CAS, so nothing here can fail after a mutation
+    val everAdded = hChain.filter(c => dropped.contains(c.version)).flatMap(c => c.added ++ c.dvAdded).toSet
+    val retainedLive = nextCommits.keySet.foldLeft(Set.empty[FileRef]) { (acc, v) =>
+      val c = chainIn(nextCommits, v)
+      acc ++ c.foldLeft(Set.empty[FileRef])((l, x) => (l -- x.removed) ++ x.added) ++ c.flatMap(_.dvAdded)
+    }
+    val orphans = everAdded -- retainedLive
+    if (!state.compareAndSet(st, st.copy(commits = nextCommits))) expireBefore(horizon)
+    else orphans
   }
 }

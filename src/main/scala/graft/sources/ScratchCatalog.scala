@@ -189,7 +189,25 @@ object ScratchCatalog {
     history.put(0L, ref.get())
     def snapshot: Snapshot = ref.get()
     def schema: StructType = snapshot.schema
-    def snapshotAt(version: Long): Option[Snapshot] = Option(history.get(version))
+
+    /** A published version's snapshot. Writers publish via CAS FIRST
+      * and record into `history` a beat later, so a reader racing a
+      * writer can observe `snapshot.version == n` before `history`
+      * has n: spin briefly for versions at-or-below the published
+      * head (they are guaranteed to arrive — versions are dense),
+      * and answer None only for genuinely never-published versions.
+      */
+    def snapshotAt(version: Long): Option[Snapshot] = {
+      var i = 0
+      while (i < 1000) {
+        val h = history.get(version)
+        if (h != null) return Some(h)
+        if (ref.get().version < version) return None
+        Thread.onSpinWait()
+        i += 1
+      }
+      Option(history.get(version))
+    }
 
     /** CAS-loop a commuting mutation (append/alter): `f` is re-run on
       * the fresh snapshot after every lost race, so no publish is ever

@@ -145,6 +145,28 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(log.tryCommit("main", v3, "append", add = Seq(f("d"))).isInstanceOf[Committed])
   }
 
+  test("expireBefore: refuses when a branch FORKS from expired history, and the refusal mutates nothing") {
+    val log = new ManifestLog
+    val v1 = init(log, "a")
+    log.createBranch("wap", v1)
+    val Committed(w2, _) = log.tryCommit("wap", v1, "stage", add = Seq(f("s"))): @unchecked
+    val Committed(v3, _) = log.tryCommit("main", v1, "append", add = Seq(f("b"))): @unchecked
+    val Committed(v4, _) = log.tryCommit("main", v3, "append", add = Seq(f("c"))): @unchecked
+    // wap's head (w2) is above the horizon but its chain passes
+    // through v1 < v4 without passing v4: squashing would dangle it
+    assertThrows[IllegalArgumentException](log.expireBefore(v4))
+    // the refusal left the log fully intact — every read still works
+    assert(log.liveFiles(log.head("wap")) === Set(f("a"), f("s")))
+    assert(log.liveFiles(v1) === Set(f("a")))
+    // after the branch publishes (rebase) and retires, expiration
+    // proceeds and the published read is unaffected
+    log.tryCommit("main", v4, "publish", add = Seq(f("s")))
+    log.dropBranch("wap")
+    log.expireBefore(v4)
+    assert(log.liveFiles(log.head("main")) === Set(f("a"), f("b"), f("c"), f("s")))
+    assertThrows[RuntimeException](log.liveFiles(v1))
+  }
+
   test("expireBefore keeps accumulated DV files in the checkpoint") {
     val log = new ManifestLog
     val v1 = init(log, "a")
