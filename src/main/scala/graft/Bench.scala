@@ -31,12 +31,15 @@ import org.apache.spark.sql.SparkSession
   *   - A query that throws records sentinel -1.0, never a plausible-
   *     looking elapsed time (round-4 advice: `timed` used to swallow
   *     failures into timings).
-  *   - Rerun policy is adaptive: sub-second queries get a second pass
-  *     (min of two) because JIT/GC noise dominates them; multi-second
-  *     queries — streaming micro-batch starts, snapshot-checkpoint
-  *     graph loops — are measured once, since their runtime is I/O
-  *     bound and a second pass doubles the dominant cost for ~no
-  *     variance reduction.
+  *   - Rerun policy: a second pass (min of two) for every query the
+  *     RESERVATION projection allows — granted only while the
+  *     projected cost of single-passing all remaining queries still
+  *     fits the deadline. Sub-second timings are JIT/GC-noise
+  *     dominated and the r11 round showed the 1–5 s band carries the
+  *     same one-shot noise under slot isolation; but coverage beats a
+  *     second sample, so the tail's single passes are reserved first
+  *     (an unconditional double-pass starved 74 queries into -2.0
+  *     skips once).
   *
   * A warm-up pass at sf0.001 runs first (untimed) so measurements
   * capture steady-state execution, not Janino/JIT compilation of each
@@ -132,6 +135,7 @@ object Bench {
 
     val sweepDeadline = budgetSec * 0.95
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var sweptCount = 0
     ordered.foreach { case (name, fn) =>
       val v =
         if (elapsed >= sweepDeadline) -2.0 // budget exhausted: skipped
@@ -147,17 +151,29 @@ object Bench {
           spark.catalog.clearCache()
           graft.operators.Scratch.sweep()
           val first = timedOnce(fn)
-          // second pass only where it pays, and only while budget
-          // remains: (a) fast queries, whose timing is JIT/GC-noise
-          // dominated; (b) slow outliers (> 5 s), which are usually a
-          // query the budget-capped warm-up never reached paying its
-          // whole-stage-codegen compilation inside the timed slot —
-          // the warm second run is the steady-state number
-          if (first >= 0 && (first < 1.0 || first > 5.0) && elapsed < sweepDeadline) {
+          // second pass (min of two) for every query the projection
+          // allows: sub-second timings are JIT/GC-noise dominated,
+          // slow outliers are usually codegen the budget-capped
+          // warm-up never reached, and the r11 round showed the
+          // 1–5 s band carries the same one-shot noise once slot
+          // isolation removed cross-query warmth. The guard is a
+          // RESERVATION, not a race: the second pass is granted only
+          // if the projected cost of single-passing every remaining
+          // query (running per-slot average, warm-ups included;
+          // floor 1 s) still fits the deadline — an unconditional
+          // "while budget remains" starved the 74 oldest queries
+          // into -2.0 skips the first time it ran. Coverage beats a
+          // second sample; the sweep is newest-first, so when
+          // reservations start denying, it is long-stable early
+          // queries that lose the extra pass, never this round's.
+          val avgSlotCost = if (sweptCount > 0) elapsed / sweptCount else 1.0
+          val reserve = (ordered.size - sweptCount - 1) * math.max(1.0, avgSlotCost)
+          if (first >= 0 && elapsed + math.max(first, 0.0) + reserve < sweepDeadline) {
             val second = timedOnce(fn)
             if (second >= 0) math.min(first, second) else first
           } else first
         }
+      sweptCount += 1
       results += (name -> v)
       // crash/timeout insurance: cumulative snapshot on stderr
       System.err.println(jsonLine(results.toSeq))

@@ -4710,23 +4710,33 @@ object Oracles {
         |  m.n AS n_rows, m.kk AS key_checksum, m.cc AS cents_checksum,
         |  CAST(1 AS BIGINT) AS eq_full FROM zc, m""".stripMargin,
     // phase 1 = the whole-table aggregates (stats-served, earned
-    // equal to the scan in-engine); phase 2 = the DV-subtracted scan
-    // answer with the naive stats overcount pinned to the tombstoned
-    // cohort (k%10=3)
+    // equal to the scan in-engine); phase 2 = a LEGACY DV (no
+    // cardinality): the DV-subtracted scan answer, the naive stats
+    // overcount pinned to the tombstoned cohort (k%10=3), and the eq
+    // bits as 0 SENTINELS (no metadata answer was computed); phase 3
+    // = a stats-complete DV (k%10=7 on a fresh log): COUNT(*) stays
+    // log arithmetic (rows − dvRows, eq_count_meta earned in-engine),
+    // MIN/MAX honestly ineligible
     "q416_metadata_only_agg" ->
       """WITH o AS (SELECT o_orderkey AS k FROM orders),
         |a AS (SELECT count(*) AS n, min(k) AS mn, max(k) AS mx FROM o),
         |b AS (SELECT count(*) AS n, min(k) AS mn, max(k) AS mx FROM o WHERE k % 10 <> 3),
-        |d AS (SELECT count(*) AS n FROM o WHERE k % 10 = 3)
-        |SELECT '1_stats_only' AS phase, CAST(1 AS BIGINT) AS meta_eligible, a.n AS n_rows,
+        |d AS (SELECT count(*) AS n FROM o WHERE k % 10 = 3),
+        |c AS (SELECT count(*) AS n, min(k) AS mn, max(k) AS mx FROM o WHERE k % 10 <> 7),
+        |e AS (SELECT count(*) AS n FROM o WHERE k % 10 = 7)
+        |SELECT '1_stats_only' AS phase, CAST(1 AS BIGINT) AS meta_eligible,
+        |  CAST(1 AS BIGINT) AS count_meta_eligible, a.n AS n_rows,
         |  a.mn AS min_k, a.mx AS max_k, CAST(0 AS BIGINT) AS n_meta_overcount,
-        |  CAST(1 AS BIGINT) AS eq_meta_scan FROM a
-        |UNION ALL SELECT '2_dv_in_force', 0, b.n, b.mn, b.mx, d.n, 1 FROM b, d
+        |  CAST(1 AS BIGINT) AS eq_meta_scan, CAST(1 AS BIGINT) AS eq_count_meta FROM a
+        |UNION ALL SELECT '2_dv_in_force', 0, 0, b.n, b.mn, b.mx, d.n, 0, 0 FROM b, d
+        |UNION ALL SELECT '3_dv_rows_in_log', 0, 1, c.n, c.mn, c.mx, e.n, 0, 1 FROM c, e
         |ORDER BY phase""".stripMargin,
     // the four SQL-visible versions re-derived from the statement
     // cohorts: v1 = even keys, v2 = all, v3 = +100 cents on k%5=0,
-    // v4 = v3 minus k%7=0; eq_current / missing_refused earned
-    // in-engine (AS-OF-head ≡ plain read; VERSION AS OF 99 refuses)
+    // v4 = v3 minus k%7=0; eq_current / missing_refused /
+    // expired_refused earned in-engine (AS-OF-head ≡ plain read;
+    // VERSION AS OF 99 refuses; after expireHistory(3) VERSION AS OF
+    // 2 refuses AS EXPIRED while v3/v4 keep serving their censuses)
     "q415_sql_time_travel" ->
       """WITH o AS (SELECT o_orderkey AS k,
         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
@@ -4741,10 +4751,10 @@ object Oracles {
         |  FROM o WHERE k % 7 <> 0)
         |SELECT CAST(1 AS BIGINT) AS version, v1.n AS n_rows, v1.kk AS key_checksum,
         |  v1.cc AS cents_checksum, CAST(1 AS BIGINT) AS eq_current,
-        |  CAST(1 AS BIGINT) AS missing_refused FROM v1
-        |UNION ALL SELECT 2, v2.n, v2.kk, v2.cc, 1, 1 FROM v2
-        |UNION ALL SELECT 3, v3.n, v3.kk, v3.cc, 1, 1 FROM v3
-        |UNION ALL SELECT 4, v4.n, v4.kk, v4.cc, 1, 1 FROM v4
+        |  CAST(1 AS BIGINT) AS missing_refused, CAST(1 AS BIGINT) AS expired_refused FROM v1
+        |UNION ALL SELECT 2, v2.n, v2.kk, v2.cc, 1, 1, 1 FROM v2
+        |UNION ALL SELECT 3, v3.n, v3.kk, v3.cc, 1, 1, 1 FROM v3
+        |UNION ALL SELECT 4, v4.n, v4.kk, v4.cc, 1, 1, 1 FROM v4
         |ORDER BY version""".stripMargin,
     // the SCD2 ledger re-derived from the cohort predicates: inserts
     // k%11=0 (+10^7), updates k%12=7 (pre+post = 2 rows each in the
@@ -6022,6 +6032,83 @@ object Oracles {
     // columns are the protocol's deterministic constants, eq_final is
     // earned in-engine (multiset equality of the final read vs
     // init ∪ append)
+    // the two SQL-visible versions from the even/odd INSERT cohorts;
+    // eq_head / eq_direct / both refusals earned in-engine (AS-OF-head
+    // ≡ plain read; a fresh disk-replayed log instance serves the same
+    // bytes; VERSION AS OF 99 refuses at resolution; INSERT into a
+    // pinned past version refuses at analysis)
+    "q422_manifest_catalog_sql" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |v1 AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents) AS BIGINT) AS cc FROM o WHERE k % 2 = 0),
+        |v2 AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents) AS BIGINT) AS cc FROM o)
+        |SELECT CAST(1 AS BIGINT) AS version, v1.n AS n_rows, v1.kk AS key_checksum,
+        |  v1.cc AS cents_checksum, CAST(1 AS BIGINT) AS eq_head,
+        |  CAST(1 AS BIGINT) AS missing_refused, CAST(1 AS BIGINT) AS past_write_refused,
+        |  CAST(1 AS BIGINT) AS eq_direct FROM v1
+        |UNION ALL SELECT 2, v2.n, v2.kk, v2.cc, 1, 1, 1, 1 FROM v2
+        |ORDER BY version""".stripMargin,
+    // the five versions' change counts from the commit cohorts:
+    // even/odd INSERT appends, the DV delete (k%10=4), the cdc
+    // rewrite's pre+post images (k%10=5), the post-restart append
+    // (k%50=0); eq_apply / resumed_only_new earned in-engine (feed
+    // fingerprints replay v1→head; the checkpoint restart served
+    // exactly v5)
+    "q424_streaming_cdf_source" ->
+      """WITH o AS (SELECT o_orderkey AS k FROM orders),
+        |e AS (SELECT count(*) AS n FROM o WHERE k % 2 = 0),
+        |od AS (SELECT count(*) AS n FROM o WHERE k % 2 = 1),
+        |d4 AS (SELECT count(*) AS n FROM o WHERE k % 10 = 4),
+        |u5 AS (SELECT count(*) AS n FROM o WHERE k % 10 = 5),
+        |i50 AS (SELECT count(*) AS n FROM o WHERE k % 50 = 0)
+        |SELECT CAST(1 AS BIGINT) AS version, e.n AS n_inserts, CAST(0 AS BIGINT) AS n_deletes,
+        |  CAST(0 AS BIGINT) AS n_update_pre, CAST(0 AS BIGINT) AS n_update_post,
+        |  CAST(1 AS BIGINT) AS eq_apply, CAST(1 AS BIGINT) AS resumed_only_new FROM e
+        |UNION ALL SELECT 2, od.n, 0, 0, 0, 1, 1 FROM od
+        |UNION ALL SELECT 3, 0, d4.n, 0, 0, 1, 1 FROM d4
+        |UNION ALL SELECT 4, 0, 0, u5.n, u5.n, 1, 1 FROM u5
+        |UNION ALL SELECT 5, i50.n, 0, 0, 0, 1, 1 FROM i50
+        |ORDER BY version""".stripMargin,
+    // q413's 2-of-8 arithmetic, now pinned against the EXECUTED
+    // DSv2 plan's file index: bucket width from max(k), the BETWEEN
+    // spans zones 0-1 exactly; eq_full earned in-engine (pruned scan
+    // ≡ all-files read under the same predicate)
+    "q423_manifest_scan_pruning" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |wdt AS (SELECT 1 + max(k) // 8 AS w FROM o),
+        |m AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents) AS BIGINT) AS cc
+        |  FROM o, wdt WHERE k BETWEEN w // 2 AND w + w // 2)
+        |SELECT 'dsv2_zone_scan' AS scan, CAST(8 AS BIGINT) AS n_files_total,
+        |  CAST(2 AS BIGINT) AS n_files_scanned, m.n AS n_rows, m.kk AS key_checksum,
+        |  m.cc AS cents_checksum, CAST(1 AS BIGINT) AS eq_full FROM m""".stripMargin,
+    // the cross-instance replay of the q404 matrix: protocol constants
+    // are deterministic (B's append = v2 from another instance, A's
+    // compaction rebases to v3, B's delete aborts, the torn tail
+    // leaves the head at v3); censuses re-derived from the same
+    // init ∪ shifted-append fixture; eq_final earned in-engine (a
+    // fresh instance's replay-from-disk read vs the expected multiset)
+    "q421_durable_log" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |b AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents) AS BIGINT) AS cc FROM o)
+        |SELECT '1_init' AS phase, CAST(1 AS BIGINT) AS version, CAST(1 AS BIGINT) AS attempts,
+        |  CAST(0 AS BIGINT) AS rebased, CAST(1 AS BIGINT) AS committed, CAST(0 AS BIGINT) AS n_overlap,
+        |  b.n AS n_rows_visible, b.kk AS key_checksum, b.cc AS cents_checksum,
+        |  CAST(1 AS BIGINT) AS eq_final FROM b
+        |UNION ALL SELECT '2_append_other_instance', 2, 1, 0, 1, 0,
+        |  2 * b.n, 2 * b.kk + 10000000 * b.n, 2 * b.cc, 1 FROM b
+        |UNION ALL SELECT '3_compact_disjoint_rebase', 3, 1, 1, 1, 0,
+        |  2 * b.n, 2 * b.kk + 10000000 * b.n, 2 * b.cc, 1 FROM b
+        |UNION ALL SELECT '4_delete_overlap_abort', -1, 1, 0, 0, 1,
+        |  2 * b.n, 2 * b.kk + 10000000 * b.n, 2 * b.cc, 1 FROM b
+        |UNION ALL SELECT '5_torn_tail_recovered', 3, 1, 0, 1, 0,
+        |  2 * b.n, 2 * b.kk + 10000000 * b.n, 2 * b.cc, 1 FROM b
+        |ORDER BY phase""".stripMargin,
     "q404_occ_commit" ->
       """WITH o AS (SELECT o_orderkey AS k,
         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),

@@ -61,7 +61,14 @@ object ManifestLog {
     * files they reference without rewriting them. `stats` carries
     * optional per-added-file [[FileStats]] so a reader can prune —
     * or outright ANSWER metadata-only aggregates — from the log,
-    * never opening a footer.
+    * never opening a footer. `dvRows` is the Delta convention that
+    * keeps COUNT(*) metadata-answerable under tombstones: the number
+    * of rows a DV commit tombstones PER TARGET FILE (so the count is
+    * Σ file rows − Σ dvRows; MIN/MAX stay honestly ineligible).
+    * `cdc` names writer-produced change-data files (Delta's
+    * `_change_data`): a rewrite commit that wants to be streamable
+    * stages its pre/post images as explicit rows, so a CDF reader
+    * never has to key-join removed×added files at read time.
     */
   final case class Commit(
       version: Long,
@@ -70,7 +77,9 @@ object ManifestLog {
       added: Vector[FileRef],
       removed: Vector[FileRef],
       dvAdded: Vector[FileRef],
-      stats: Map[FileRef, FileStats] = Map.empty
+      stats: Map[FileRef, FileStats] = Map.empty,
+      dvRows: Map[FileRef, Long] = Map.empty,
+      cdc: Vector[FileRef] = Vector.empty
   )
 
   /** A publish attempt's outcome: the committed version and how many
@@ -123,14 +132,30 @@ final class ManifestLog {
   /** Per-file zone maps for the files LIVE at `version` — replayed
     * from the commit records like [[liveFiles]]. The planning-time
     * file-skipping input: a range predicate keeps only files whose
-    * (min, max) intersects it, without opening any footer.
+    * (min, max) intersects it, without opening any footer. The fold
+    * DROPS stats for files a commit removes, so a file removed and
+    * later re-added by a stats-less commit serves NO zone map (the
+    * reader degrades to keep-the-file) instead of the earlier
+    * incarnation's — stale stats would silently mis-prune if the
+    * re-added path held different bytes.
     */
   def liveStats(version: Long): Map[FileRef, FileStats] = {
     val live = liveFiles(version)
-    chain(version).foldLeft(Map.empty[FileRef, FileStats])((m, c) => m ++ c.stats).filter {
+    chain(version).foldLeft(Map.empty[FileRef, FileStats])((m, c) => (m -- c.removed) ++ c.stats).filter {
       case (f, _) => live.contains(f)
     }
   }
+
+  /** Per-live-file tombstone CARDINALITY in force at `version` —
+    * accumulated like [[dvFiles]] (two DVs on one file sum), dropped
+    * when the target file itself is removed (a rewrite absorbs its
+    * tombstones). The metadata-only COUNT(*) input: Σ rows − Σ dvRows.
+    */
+  def liveDvRows(version: Long): Map[FileRef, Long] =
+    chain(version).foldLeft(Map.empty[FileRef, Long]) { (m, c) =>
+      val kept = m -- c.removed
+      c.dvRows.foldLeft(kept) { case (acc, (fr, n)) => acc + (fr -> (acc.getOrElse(fr, 0L) + n)) }
+    }
 
   /** Commits strictly after `vFrom` up to and including `vTo`, oldest
     * first — the change-data-feed's input. `vFrom` must be an
@@ -158,36 +183,112 @@ final class ManifestLog {
       remove: Seq[FileRef] = Seq.empty,
       dvAdd: Seq[FileRef] = Seq.empty,
       maxAttempts: Int = 10,
-      stats: Map[FileRef, FileStats] = Map.empty
+      stats: Map[FileRef, FileStats] = Map.empty,
+      dvRows: Map[FileRef, Long] = Map.empty,
+      cdc: Seq[FileRef] = Seq.empty
   ): Outcome = {
     var attempts = 0
     while (attempts < maxAttempts) {
       attempts += 1
       val st = state.get()
-      val headV = st.branches.getOrElse(branch, sys.error(s"no branch '$branch'"))
-      if (headV != readVersion) {
-        // validate: everything the interveners removed vs what we remove
-        val intervening = {
-          val c = chain(headV)
-          if (!c.exists(_.version == readVersion))
-            return Conflicted(remove.toSet, attempts) // divergent history: cannot validate
-          c.dropWhile(_.version != readVersion).drop(1)
-        }
-        val removedSince = intervening.flatMap(_.removed).toSet
-        val overlap = remove.toSet.intersect(removedSince)
-        if (overlap.nonEmpty) return Conflicted(overlap, attempts)
+      validateIn(st, branch, readVersion, remove.toSet) match {
+        case Left(overlap) => return Conflicted(overlap, attempts)
+        case Right(headV) =>
+          val v = st.nextVersion
+          val commit =
+            Commit(v, headV, op, add.toVector, remove.toVector, dvAdd.toVector, stats, dvRows, cdc.toVector)
+          val next = st.copy(
+            commits = st.commits + (v -> commit),
+            branches = st.branches + (branch -> v),
+            nextVersion = v + 1L
+          )
+          if (state.compareAndSet(st, next)) return Committed(v, attempts)
       }
-      val v = st.nextVersion
-      val commit = Commit(v, headV, op, add.toVector, remove.toVector, dvAdd.toVector, stats)
-      val next = st.copy(
-        commits = st.commits + (v -> commit),
-        branches = st.branches + (branch -> v),
-        nextVersion = v + 1L
-      )
-      if (state.compareAndSet(st, next)) return Committed(v, attempts)
     }
     Conflicted(Set.empty, maxAttempts)
   }
+
+  /** The OCC validation alone, against an explicit state: Right(head)
+    * when the commit may apply on the branch's current head (possibly
+    * a rebase past interveners whose removed sets are disjoint from
+    * ours), Left(overlap) when it must abort. Shared by [[tryCommit]]
+    * and the durable log's persist-then-apply protocol, so the two
+    * transports can never drift on conflict semantics.
+    */
+  private def validateIn(
+      st: State,
+      branch: String,
+      readVersion: Long,
+      remove: Set[FileRef]
+  ): Either[Set[FileRef], Long] = {
+    val headV = st.branches.getOrElse(branch, sys.error(s"no branch '$branch'"))
+    if (headV != readVersion) {
+      val c = chainIn(st.commits, headV)
+      if (!c.exists(_.version == readVersion))
+        return Left(remove) // divergent history: cannot validate
+      val intervening = c.dropWhile(_.version != readVersion).drop(1)
+      val removedSince = intervening.flatMap(_.removed).toSet
+      val overlap = remove.intersect(removedSince)
+      if (overlap.nonEmpty) return Left(overlap)
+    }
+    Right(headV)
+  }
+
+  /** [[validateIn]] against the live state — the durable log's
+    * pre-persist check.
+    */
+  private[sources] def validateCommit(
+      branch: String,
+      readVersion: Long,
+      remove: Set[FileRef]
+  ): Either[Set[FileRef], Long] = validateIn(state.get(), branch, readVersion, remove)
+
+  /** The next version number a commit would take — the durable log
+    * stamps its entry with this BEFORE persisting.
+    */
+  private[sources] def nextVersionNow: Long = state.get().nextVersion
+
+  /** Install a fully-specified commit VERBATIM (version and parent
+    * from the record, never recomputed) — the durable log's replay
+    * primitive. Refuses a version collision loudly: replay applies
+    * each persisted entry exactly once.
+    */
+  private[sources] def install(branch: String, commit: Commit): Unit = {
+    val st = state.get()
+    require(!st.commits.contains(commit.version), s"version ${commit.version} already in the log")
+    val next = st.copy(
+      commits = st.commits + (commit.version -> commit),
+      branches = st.branches + (branch -> commit.version),
+      nextVersion = math.max(st.nextVersion, commit.version + 1L)
+    )
+    if (!state.compareAndSet(st, next)) install(branch, commit)
+  }
+
+  /** A structural copy sharing the immutable state — the durable
+    * log's dry-run surface (validate an expire/ref op on the clone;
+    * persist only what succeeded).
+    */
+  private[sources] def cloneLog: ManifestLog = {
+    val l = new ManifestLog
+    l.state.set(state.get())
+    l
+  }
+
+  /** The full (commits, branches, tags, nextVersion) quadruple — the
+    * durable log's checkpoint payload.
+    */
+  private[sources] def stateSnapshot: (Map[Long, Commit], Map[String, Long], Map[String, Long], Long) = {
+    val st = state.get()
+    (st.commits, st.branches, st.tags, st.nextVersion)
+  }
+
+  /** Overwrite the whole state — checkpoint restore on replay. */
+  private[sources] def installState(
+      commits: Map[Long, Commit],
+      branches: Map[String, Long],
+      tags: Map[String, Long],
+      nextVersion: Long
+  ): Unit = state.set(State(commits, branches, tags, nextVersion))
 
   /** Immutable pin: refuses to move an existing tag. */
   def tag(name: String, version: Long): Unit = {
@@ -224,11 +325,15 @@ final class ManifestLog {
 
   /** Files reachable from ANY ref (branch heads and tags) — vacuum's
     * retention set: deleting anything outside it can break no read
-    * addressed by name.
+    * addressed by name. Change-data files of every commit on a
+    * reachable chain count too: a CDF reader addresses them by
+    * version for as long as the version replays.
     */
   def reachableFiles: Set[FileRef] = {
     val st = state.get()
-    (st.branches.values ++ st.tags.values).toSet.flatMap((v: Long) => liveFiles(v) ++ dvFiles(v))
+    (st.branches.values ++ st.tags.values).toSet.flatMap((v: Long) =>
+      liveFiles(v) ++ dvFiles(v) ++ chain(v).flatMap(_.cdc)
+    )
   }
 
   def refs: Map[String, Long] = {
@@ -315,11 +420,18 @@ final class ManifestLog {
     val live = hChain.foldLeft(Set.empty[FileRef])((l, c) => (l -- c.removed) ++ c.added)
     val dvs = hChain.flatMap(_.dvAdded).toVector
     // zone maps for surviving files ride the checkpoint, so stats-
-    // based pruning keeps working on expired-away history
-    val liveStats0 = hChain.foldLeft(Map.empty[FileRef, FileStats])((m, c) => m ++ c.stats).filter {
+    // based pruning keeps working on expired-away history (same
+    // removed-files-drop-their-stats fold as liveStats)
+    val liveStats0 = hChain.foldLeft(Map.empty[FileRef, FileStats])((m, c) => (m -- c.removed) ++ c.stats).filter {
       case (f, _) => live.contains(f)
     }
-    val checkpoint = Commit(horizon, -1L, "checkpoint", live.toVector, Vector.empty, dvs, liveStats0)
+    // accumulated tombstone cardinalities ride too — metadata-only
+    // COUNT(*) keeps working on expired-away history
+    val dvRowsAcc = hChain.foldLeft(Map.empty[FileRef, Long]) { (m, c) =>
+      val kept = m -- c.removed
+      c.dvRows.foldLeft(kept) { case (acc, (fr, n)) => acc + (fr -> (acc.getOrElse(fr, 0L) + n)) }
+    }
+    val checkpoint = Commit(horizon, -1L, "checkpoint", live.toVector, Vector.empty, dvs, liveStats0, dvRowsAcc)
     val afterSquash = (st.commits -- dropped) + (horizon -> checkpoint)
     // an UNREFERENCED side commit forked below the horizon (its branch
     // was dropped) would survive the squash with a dangling parent:
@@ -334,13 +446,21 @@ final class ManifestLog {
       true
     }
     val nextCommits = afterSquash.filter { case (v, _) => resolvableIn(afterSquash, v) }
-    // vacuum-eligible = added only by expired history AND live in NO
-    // surviving version — computed against the POST-squash commit map
-    // but BEFORE the CAS, so nothing here can fail after a mutation
-    val everAdded = hChain.filter(c => dropped.contains(c.version)).flatMap(c => c.added ++ c.dvAdded).toSet
+    // vacuum-eligible = added only by squashed-away history AND live
+    // in NO surviving version — computed against the POST-squash
+    // commit map but BEFORE the CAS, so nothing here can fail after a
+    // mutation. "Squashed-away" is EVERY commit the squash deletes
+    // from the log, not just the horizon chain's prefix: an
+    // unreferenced side-branch commit pruned by the resolvableIn
+    // filter disappears from the log too, and since nothing can ever
+    // re-report its files, they must be returned as vacuum-eligible
+    // NOW or the physical bytes leak permanently.
+    val removedCommits = (st.commits.keySet -- nextCommits.keySet).map(st.commits)
+    val everAdded = removedCommits.flatMap(c => c.added ++ c.dvAdded ++ c.cdc)
     val retainedLive = nextCommits.keySet.foldLeft(Set.empty[FileRef]) { (acc, v) =>
       val c = chainIn(nextCommits, v)
-      acc ++ c.foldLeft(Set.empty[FileRef])((l, x) => (l -- x.removed) ++ x.added) ++ c.flatMap(_.dvAdded)
+      acc ++ c.foldLeft(Set.empty[FileRef])((l, x) => (l -- x.removed) ++ x.added) ++
+        c.flatMap(_.dvAdded) ++ c.flatMap(_.cdc)
     }
     val orphans = everAdded -- retainedLive
     if (!state.compareAndSet(st, st.copy(commits = nextCommits))) expireBefore(horizon)

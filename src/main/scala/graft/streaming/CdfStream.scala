@@ -1,0 +1,299 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.{DurableManifestLog, ManifestLog}
+import ManifestLog.{Commit, FileRef}
+
+/** The CHANGE DATA FEED as a real DSv2 streaming source — the r11
+  * verdict's Missing #4: q418 replayed the feed by hand-staging
+  * per-commit parquet and streaming the files; here the offsets ARE
+  * log versions, so `readStream.option("readChangeFeed", true)
+  * .table(...)` composes with checkpoint restart for free (the
+  * stored offset names the last version served; a restart resumes at
+  * version+1, the q310 discipline with the LOG as the offset axis).
+  *
+  * Batch planning is pure commit-record arithmetic, one partition per
+  * changed file — the O(|changed files|) contract q405 established:
+  *
+  *   - APPEND commits: each added file is an `insert` partition; the
+  *     reader streams the file's rows as post-images.
+  *   - DV commits: the tombstone files are read ON THE DRIVER at
+  *     planning (request-sized by the erasure contract) and grouped
+  *     per target file; each target file becomes a `delete` partition
+  *     carrying its ordinal set — the reader emits exactly the
+  *     tombstoned rows as pre-images, walking the file once with a
+  *     row counter (ordinals are `_metadata.row_index` semantics).
+  *   - REWRITE commits must carry writer-produced CDC files
+  *     (`Commit.cdc`, the Delta `_change_data` convention) whose rows
+  *     already state their change_type; a rewrite WITHOUT them
+  *     refuses loudly at planning — deriving pre/post images at read
+  *     time would need a removed×added key join per batch, the exact
+  *     cost the cdc convention exists to avoid at 100 TB.
+  *
+  * Executor-side reading uses parquet-hadoop's example Group reader —
+  * row-group streaming, no Spark session needed on the executor; the
+  * output schema is the table's columns plus `_change_type` and
+  * `_commit_version` (the Delta CDF shape).
+  */
+object CdfStream {
+  val CHANGE_TYPE = "_change_type"
+  val COMMIT_VERSION = "_commit_version"
+
+  def outputSchema(tableSchema: StructType): StructType =
+    StructType(
+      tableSchema.fields.toSeq :+
+        StructField(CHANGE_TYPE, StringType, nullable = false) :+
+        StructField(COMMIT_VERSION, LongType, nullable = false)
+    )
+
+  /** The DISTINCT (dir, file) targets named by deletion-vector files —
+    * driver-side, request-sized by the erasure contract. Used by the
+    * manifest table's scan guard to tell an inert DV (targets all
+    * rewritten away) from one that would corrupt a plain scan.
+    */
+  def dvTargets(paths: Seq[String]): Set[(String, String)] = {
+    val out = scala.collection.mutable.Set.empty[(String, String)]
+    paths.foreach { p =>
+      val rdr = ParquetReader.builder(new GroupReadSupport(), new Path(p)).build()
+      try {
+        var g = rdr.read()
+        while (g != null) {
+          out += ((g.getString("d", 0), g.getString("f", 0)))
+          g = rdr.read()
+        }
+      } finally rdr.close()
+    }
+    out.toSet
+  }
+}
+
+final case class CdfOffset(version: Long) extends Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+/** One planned read: a data (or cdc) file plus how to interpret it.
+  * `tombstones` non-empty ⇒ emit ONLY those ordinals (a delete's
+  * pre-images); `changeTypeFromFile` ⇒ the file's own `change_type`
+  * column wins (a cdc file).
+  */
+final case class CdfPartition(
+    path: String,
+    version: Long,
+    changeType: String,
+    changeTypeFromFile: Boolean,
+    tombstones: Array[Long],
+    tableSchema: StructType
+) extends InputPartition
+
+/** The `db.t.changes` table (the Iceberg changelog-table convention):
+  * a read-only view of the parent table's change feed, batch- and
+  * micro-batch-readable. Options: `startingVersion` (exclusive lower
+  * bound, default 0 = genesis) and, for batch reads, `endingVersion`
+  * (inclusive, default the branch head).
+  */
+final class CdfTable(tableName: String, baseDir: String, tableSchema: StructType)
+    extends org.apache.spark.sql.connector.catalog.Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  override def name(): String = tableName
+  override def schema(): StructType = CdfStream.outputSchema(tableSchema)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap
+  ): ScanBuilder =
+    new CdfScan(
+      baseDir,
+      tableSchema,
+      options.getLong("startingVersion", 0L),
+      Option(options.get("endingVersion")).map(_.toLong)
+    )
+}
+
+/** ScanBuilder + Scan + Batch + MicroBatchStream in one (the source
+  * is read-only and column-fixed; there is nothing to push down into
+  * a change feed — consumers filter the typed columns downstream).
+  */
+final class CdfScan(
+    baseDir: String,
+    tableSchema: StructType,
+    startingVersion: Long,
+    endingVersion: Option[Long] = None
+) extends ScanBuilder
+    with Scan
+    with org.apache.spark.sql.connector.read.Batch
+    with MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  override def build(): Scan = this
+  override def readSchema(): StructType = CdfStream.outputSchema(tableSchema)
+  override def description(): String = s"graft-cdf($baseDir)"
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = this
+
+  // batch read: the whole feed in (startingVersion, endingVersion]
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val l = log
+    val vTo = endingVersion.getOrElse(l.head("main"))
+    planRange(l, startingVersion, vTo)
+  }
+
+  // the log is re-opened per planning call: latestOffset() must see
+  // commits other PROCESSES landed, which is exactly what the durable
+  // log's replay-on-refresh provides
+  private def log: DurableManifestLog = DurableManifestLog.open(baseDir)
+
+  override def initialOffset(): Offset = CdfOffset(startingVersion)
+  override def latestOffset(): Offset = CdfOffset(log.head("main"))
+
+  // Trigger.AvailableNow, natively: latch the branch head at prepare
+  // time so the run drains exactly the commits that existed when it
+  // started — a commit landing mid-run waits for the next run (the
+  // guarantee Spark's generic wrapper cannot give a source it does
+  // not understand)
+  @volatile private var availableNowEnd: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit = { availableNowEnd = Some(log.head("main")) }
+  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+  override def latestOffset(
+      start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit
+  ): Offset = CdfOffset(availableNowEnd.getOrElse(log.head("main")))
+  override def deserializeOffset(json: String): Offset = {
+    val m = """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
+    CdfOffset(m.map(_.group(1).toLong).getOrElse(sys.error(s"bad CDF offset: $json")))
+  }
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    planRange(log, start.asInstanceOf[CdfOffset].version, end.asInstanceOf[CdfOffset].version)
+
+  private def planRange(l: DurableManifestLog, vFrom: Long, vTo: Long): Array[InputPartition] = {
+    if (vTo <= vFrom) return Array.empty
+    l.commitsBetween(vFrom, vTo).flatMap(commitPartitions(l, _)).toArray
+  }
+
+  private def commitPartitions(l: DurableManifestLog, c: Commit): Seq[CdfPartition] = {
+    def path(r: FileRef) = s"$baseDir/${r.dir}/${r.file}"
+    val isDv = c.dvAdded.nonEmpty
+    val isRewrite = c.removed.nonEmpty
+    require(
+      !(isDv && (c.added.nonEmpty || c.removed.nonEmpty)),
+      s"commit ${c.version}: mixed DV + file commit — the feed contract is DV xor file motion per commit"
+    )
+    if (c.cdc.nonEmpty) {
+      // writer-produced change rows: authoritative for the commit
+      c.cdc.map(r => CdfPartition(path(r), c.version, "", changeTypeFromFile = true, Array.empty, tableSchema))
+    } else if (isDv) {
+      // tombstones are request-sized by the erasure contract: read on
+      // the driver at planning, group per target file
+      val perTarget = scala.collection.mutable.Map.empty[(String, String), scala.collection.mutable.ArrayBuffer[Long]]
+      c.dvAdded.foreach { dv =>
+        val rdr = ParquetReader.builder(new GroupReadSupport(), new Path(path(dv))).build()
+        try {
+          var g = rdr.read()
+          while (g != null) {
+            val key = (g.getString("d", 0), g.getString("f", 0))
+            perTarget.getOrElseUpdate(key, scala.collection.mutable.ArrayBuffer.empty) += g.getLong("ri", 0)
+            g = rdr.read()
+          }
+        } finally rdr.close()
+      }
+      perTarget.toSeq.sortBy(_._1).map { case ((d, f), ords) =>
+        CdfPartition(
+          s"$baseDir/$d/$f",
+          c.version,
+          "delete",
+          changeTypeFromFile = false,
+          ords.toArray.sorted,
+          tableSchema
+        )
+      }
+    } else if (isRewrite) {
+      sys.error(
+        s"commit ${c.version} (op=${c.op}) rewrites files but carries no cdc change files: " +
+          "streamable rewrites must stage their pre/post images at write time (the _change_data convention) — " +
+          "deriving them at read time would re-join the rewrite per consumer"
+      )
+    } else {
+      c.added.map(r => CdfPartition(path(r), c.version, "insert", changeTypeFromFile = false, Array.empty, tableSchema))
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new CdfReaderFactory
+}
+
+private final class CdfReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CdfPartition]
+    new PartitionReader[InternalRow] {
+      private val reader: ParquetReader[Group] =
+        ParquetReader.builder(new GroupReadSupport(), new Path(p.path)).build()
+      private val tombs: java.util.HashSet[java.lang.Long] = {
+        val s = new java.util.HashSet[java.lang.Long]()
+        p.tombstones.foreach(t => s.add(t))
+        s
+      }
+      private var ordinal: Long = -1L
+      private var current: InternalRow = _
+
+      private def convert(g: Group): InternalRow = {
+        val n = p.tableSchema.length
+        val values = new Array[Any](n + 2)
+        var i = 0
+        while (i < n) {
+          val f = p.tableSchema(i)
+          val present = g.getType.containsField(f.name) && g.getFieldRepetitionCount(f.name) > 0
+          values(i) =
+            if (!present) null
+            else
+              f.dataType match {
+                case LongType    => g.getLong(f.name, 0)
+                case IntegerType => g.getInteger(f.name, 0)
+                case DoubleType  => g.getDouble(f.name, 0)
+                case FloatType   => g.getFloat(f.name, 0)
+                case BooleanType => g.getBoolean(f.name, 0)
+                case StringType  => UTF8String.fromString(g.getString(f.name, 0))
+                case other       => sys.error(s"CDF reader: unsupported column type $other for ${f.name}")
+              }
+          i += 1
+        }
+        val ct =
+          if (p.changeTypeFromFile) g.getString("change_type", 0)
+          else p.changeType
+        values(n) = UTF8String.fromString(ct)
+        values(n + 1) = p.version
+        new GenericInternalRow(values)
+      }
+
+      override def next(): Boolean = {
+        var g = reader.read()
+        ordinal += 1
+        // delete partitions emit only the tombstoned ordinals
+        while (g != null && !tombs.isEmpty && !tombs.contains(ordinal)) {
+          g = reader.read()
+          ordinal += 1
+        }
+        if (g == null) false
+        else {
+          current = convert(g)
+          true
+        }
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = reader.close()
+    }
+  }
+}

@@ -274,4 +274,44 @@ class ScratchCatalogSpec extends SparkSpec {
     )
     assert(e.getMessage.contains("no version 42") || e.getMessage.contains("42"))
   }
+
+  test("history retention: expired versions refuse AS EXPIRED, retained ones keep serving, head untouched") {
+    spark.conf.set("spark.sql.catalog.graft_scratch", classOf[ScratchCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft_scratch.db.spec_exp")
+    spark.sql("CREATE TABLE graft_scratch.db.spec_exp (k BIGINT)")
+    spark.sql("INSERT INTO graft_scratch.db.spec_exp VALUES (1)") // v1
+    spark.sql("INSERT INTO graft_scratch.db.spec_exp VALUES (2)") // v2
+    spark.sql("INSERT INTO graft_scratch.db.spec_exp VALUES (3)") // v3
+    ScratchCatalog.expireHistory("db.spec_exp", 2L)
+    // expired: refuses loudly, NAMED as expired (distinct from missing)
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM graft_scratch.db.spec_exp VERSION AS OF 1").collect()
+    )
+    assert(e.getMessage.contains("EXPIRED"), e.getMessage)
+    // retained versions and the head read keep serving
+    assert(spark.sql("SELECT * FROM graft_scratch.db.spec_exp VERSION AS OF 2").count() === 2L)
+    assert(spark.sql("SELECT * FROM graft_scratch.db.spec_exp VERSION AS OF 3").count() === 3L)
+    assert(spark.table("graft_scratch.db.spec_exp").count() === 3L)
+    // a never-published version still reads as missing, not expired
+    val e2 = intercept[Exception](
+      spark.sql("SELECT * FROM graft_scratch.db.spec_exp VERSION AS OF 42").collect()
+    )
+    assert(!e2.getMessage.contains("EXPIRED") && e2.getMessage.contains("42"), e2.getMessage)
+    // the horizon never overtakes the head: expiring "everything"
+    // retains the current snapshot
+    ScratchCatalog.expireHistory("db.spec_exp", 99L)
+    assert(spark.sql("SELECT * FROM graft_scratch.db.spec_exp VERSION AS OF 3").count() === 3L)
+    assert(spark.table("graft_scratch.db.spec_exp").count() === 3L)
+  }
+
+  test("history retention: writes after expiration publish and time-travel normally above the horizon") {
+    spark.conf.set("spark.sql.catalog.graft_scratch", classOf[ScratchCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft_scratch.db.spec_exp2")
+    spark.sql("CREATE TABLE graft_scratch.db.spec_exp2 (k BIGINT)")
+    spark.sql("INSERT INTO graft_scratch.db.spec_exp2 VALUES (1)") // v1
+    ScratchCatalog.expireHistory("db.spec_exp2", 1L)
+    spark.sql("INSERT INTO graft_scratch.db.spec_exp2 VALUES (2)") // v2
+    assert(spark.sql("SELECT * FROM graft_scratch.db.spec_exp2 VERSION AS OF 2").count() === 2L)
+    assert(spark.sql("SELECT * FROM graft_scratch.db.spec_exp2 VERSION AS OF 1").count() === 1L)
+  }
 }
