@@ -101,6 +101,16 @@ object Bench {
     warmBuild("annBase")(graft.operators.AnnIndex.storedBase(spark, sfDir))
     warmBuild("annAppended")(graft.operators.AnnIndex.appendedStored(spark, sfDir))
     warmBuild("annCompacted")(graft.operators.AnnIndex.compactedStored(spark, sfDir))
+    // prime the page cache for the TARGET tier once, untimed: a sweep
+    // that starts cold pays the disk once per QUERY otherwise (a run
+    // following an unrelated multi-GB job measured uniformly ~2×
+    // slower and starved 150 tail queries into skips) — one full
+    // column-complete pass per table makes every timed number the
+    // compute cost, not the first-touch IO
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      warmBuild(s"prime:$t")(graft.sources.Tables.parquet(spark, sfDir, t).foreach(_ => ()))
+    }
 
     def timedOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val s0 = System.nanoTime()
@@ -136,7 +146,16 @@ object Bench {
     val sweepDeadline = budgetSec * 0.95
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var sweptCount = 0
+    var sumFirst = 0.0 // running sum of FIRST timed passes — the tail estimator
     ordered.foreach { case (name, fn) =>
+      // the reservation estimator: what one remaining query costs.
+      // Keyed on the running average of FIRST timed passes (floor
+      // 0.8 s), NOT whole-slot elapsed — early slots carry warm-ups
+      // and second passes the tail won't, and overstating the tail's
+      // needs withdrew warm-ups prematurely (34 queries paid the
+      // cold-codegen tax inside their timed slot one run).
+      val avgFirst = if (sweptCount > 0) math.max(0.8, sumFirst / sweptCount) else 0.8
+      val remaining = (ordered.size - sweptCount).toDouble
       val v =
         if (elapsed >= sweepDeadline) -2.0 // budget exhausted: skipped
         else {
@@ -145,29 +164,31 @@ object Bench {
           // code happens here, not inside the measurement. Per-query
           // warm-up means coverage exactly equals the sweep's — a
           // global head-of-sweep pass left the tail cold once the
-          // suite outgrew the budget share.
-          try { fn(spark, "/root/testdata/sf0.001").count(); () }
-          catch { case _: Throwable => () }
+          // suite outgrew the budget share. Only when even BARE
+          // single passes barely fit are warm-ups dropped — a cold
+          // codegen number still beats a -2.0 skip.
+          if (elapsed + remaining * avgFirst < sweepDeadline) {
+            try { fn(spark, "/root/testdata/sf0.001").count(); () }
+            catch { case _: Throwable => () }
+          }
           spark.catalog.clearCache()
           graft.operators.Scratch.sweep()
           val first = timedOnce(fn)
+          if (first >= 0) sumFirst += first
           // second pass (min of two) for every query the projection
           // allows: sub-second timings are JIT/GC-noise dominated,
           // slow outliers are usually codegen the budget-capped
           // warm-up never reached, and the r11 round showed the
           // 1–5 s band carries the same one-shot noise once slot
           // isolation removed cross-query warmth. The guard is a
-          // RESERVATION, not a race: the second pass is granted only
-          // if the projected cost of single-passing every remaining
-          // query (running per-slot average, warm-ups included;
-          // floor 1 s) still fits the deadline — an unconditional
-          // "while budget remains" starved the 74 oldest queries
-          // into -2.0 skips the first time it ran. Coverage beats a
-          // second sample; the sweep is newest-first, so when
-          // reservations start denying, it is long-stable early
-          // queries that lose the extra pass, never this round's.
-          val avgSlotCost = if (sweptCount > 0) elapsed / sweptCount else 1.0
-          val reserve = (ordered.size - sweptCount - 1) * math.max(1.0, avgSlotCost)
+          // RESERVATION, not a race: granted only if the projected
+          // cost of warmed single passes for every remaining query
+          // (avgFirst × 1.6 covers the warm-up share) still fits —
+          // an unconditional "while budget remains" starved the 74
+          // oldest queries into -2.0 skips the first time it ran.
+          // Coverage beats a second sample; the sweep is newest-id-
+          // first, so denials hit long-stable early queries.
+          val reserve = (remaining - 1) * math.max(1.0, avgFirst * 1.6)
           if (first >= 0 && elapsed + math.max(first, 0.0) + reserve < sweepDeadline) {
             val second = timedOnce(fn)
             if (second >= 0) math.min(first, second) else first

@@ -6050,6 +6050,100 @@ object Oracles {
         |  CAST(1 AS BIGINT) AS eq_direct FROM v1
         |UNION ALL SELECT 2, v2.n, v2.kk, v2.cc, 1, 1, 1, 1 FROM v2
         |ORDER BY version""".stripMargin,
+    // the three ref-addressed censuses from the cohorts: the audit
+    // tag pins v1 (even keys), the wap branch serves all ∪ the
+    // shifted k%100=0 staging, publish flips the plain read to the
+    // same; `ok` earned in-engine (ref read ≡ version-number read,
+    // staging invisible pre-publish, unknown ref refuses)
+    "q429_manifest_refs_sql" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |v1 AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents) AS BIGINT) AS cc FROM o WHERE k % 2 = 0),
+        |st AS (SELECT count(*) AS n, CAST(sum(k + 10000000) AS BIGINT) AS kk,
+        |    CAST(sum(cents) AS BIGINT) AS cc FROM o WHERE k % 100 = 0),
+        |al AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents) AS BIGINT) AS cc FROM o)
+        |SELECT '1_audit_tag' AS phase, v1.n AS n_rows, v1.kk AS key_checksum,
+        |  v1.cc AS cents_checksum, CAST(1 AS BIGINT) AS ok FROM v1
+        |UNION ALL SELECT '2_wap_staged', al.n + st.n, al.kk + st.kk, al.cc + st.cc, 1 FROM al, st
+        |UNION ALL SELECT '3_published', al.n + st.n, al.kk + st.kk, al.cc + st.cc, 1 FROM al, st
+        |ORDER BY phase""".stripMargin,
+    // phase 1: only the strict-OCC loser's one staged file is
+    // vacuum-eligible (n_unreachable folds the aborted flag); phase
+    // 2: expiration below the rewrite frees the two rewritten-away
+    // insert files → 3 orphans, 3 deleted; censuses = the post-UPDATE
+    // table (+100 on k%5=0), bit-identical across the vacuum;
+    // eq_head / expired_refused earned in-engine
+    "q428_manifest_vacuum" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |c AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents + CASE WHEN k % 5 = 0 THEN 100 ELSE 0 END) AS BIGINT) AS cc FROM o)
+        |SELECT '1_before' AS phase, CAST(1 AS BIGINT) AS n_unreachable, CAST(0 AS BIGINT) AS n_deleted,
+        |  c.n AS n_rows, c.kk AS key_checksum, c.cc AS cents_checksum,
+        |  CAST(1 AS BIGINT) AS eq_head, CAST(1 AS BIGINT) AS expired_refused FROM c
+        |UNION ALL SELECT '2_after_expire_vacuum', 3, 3, c.n, c.kk, c.cc, 1, 1 FROM c
+        |ORDER BY phase""".stripMargin,
+    // history = genesis + eight single-file appends (COALESCE(1));
+    // .files' zone maps recomputed as per-zone min/max/count over the
+    // same 8-bucket layout — footer-derived stats proven to BE the
+    // zone arithmetic
+    "q426_manifest_metadata_sql" ->
+      """WITH o AS (SELECT o_orderkey AS k FROM orders),
+        |wdt AS (SELECT 1 + max(k) // 8 AS w FROM o),
+        |z AS (SELECT k // w AS zone, min(k) AS mn, max(k) AS mx, count(*) AS n
+        |  FROM o, wdt GROUP BY k // w),
+        |hist AS (
+        |  SELECT 'history' AS section, CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS a,
+        |    CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS c, 'genesis' AS op
+        |  UNION ALL
+        |  SELECT 'history', CAST(zone + 1 AS BIGINT), 1, 0, 0, 'append' FROM z),
+        |fl AS (SELECT 'files' AS section,
+        |    CAST(mn // w + 1 AS BIGINT) AS id,
+        |    mn AS a, mx AS b, n AS c, 'file' AS op FROM z, wdt)
+        |SELECT * FROM hist UNION ALL SELECT * FROM fl
+        |ORDER BY section, id""".stripMargin,
+    // per-cohort (k%4) insert counts and cents sums from the source;
+    // single_cohort_commits / eq_ivm earned in-engine (every commit's
+    // feed rows are one cohort; the feed-maintained view equals the
+    // direct table aggregate)
+    "q427_streaming_lakehouse_loop" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders)
+        |SELECT k % 4 AS cohort, count(*) AS n_inserts,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |  CAST(1 AS BIGINT) AS single_cohort_commits, CAST(1 AS BIGINT) AS eq_ivm
+        |FROM o GROUP BY k % 4 ORDER BY cohort""".stripMargin,
+    // the four statement-visible versions from the DML cohorts: v1 =
+    // all, v2 = +100 on k%5=0, v3 = minus k%7=0, v4 = MERGE (matched
+    // k%11=0 survivors reset to orig+5; deleted k%11=0∧k%7=0 rows
+    // reinserted at orig); eq_current / stale_rewrite_aborted earned
+    // in-engine (AS-OF-head ≡ plain read; a strict replace from a
+    // stale read aborts on the side table and the append survives)
+    "q425_manifest_row_level" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |v1 AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents) AS BIGINT) AS cc FROM o),
+        |v2 AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents + CASE WHEN k % 5 = 0 THEN 100 ELSE 0 END) AS BIGINT) AS cc FROM o),
+        |v3 AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents + CASE WHEN k % 5 = 0 THEN 100 ELSE 0 END) AS BIGINT) AS cc
+        |  FROM o WHERE k % 7 <> 0),
+        |v4 AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk, CAST(sum(cc) AS BIGINT) AS cc FROM (
+        |  SELECT k, CASE WHEN k % 11 = 0 THEN cents + 5
+        |                 ELSE cents + CASE WHEN k % 5 = 0 THEN 100 ELSE 0 END END AS cc
+        |    FROM o WHERE k % 7 <> 0
+        |  UNION ALL
+        |  SELECT k, cents AS cc FROM o WHERE k % 7 = 0 AND k % 11 = 0))
+        |SELECT CAST(1 AS BIGINT) AS version, v1.n AS n_rows, v1.kk AS key_checksum,
+        |  v1.cc AS cents_checksum, CAST(1 AS BIGINT) AS eq_current,
+        |  CAST(1 AS BIGINT) AS stale_rewrite_aborted FROM v1
+        |UNION ALL SELECT 2, v2.n, v2.kk, v2.cc, 1, 1 FROM v2
+        |UNION ALL SELECT 3, v3.n, v3.kk, v3.cc, 1, 1 FROM v3
+        |UNION ALL SELECT 4, v4.n, v4.kk, v4.cc, 1, 1 FROM v4
+        |ORDER BY version""".stripMargin,
     // the five versions' change counts from the commit cohorts:
     // even/odd INSERT appends, the DV delete (k%10=4), the cdc
     // rewrite's pre+post images (k%10=5), the post-restart append

@@ -15809,4 +15809,337 @@ object Queries {
     s.createDataFrame(java.util.Arrays.asList(result: _*), out.schema)
       .orderBy("version")
   }
+
+  // ROW-LEVEL SQL OVER THE FILE TABLE — UPDATE / DELETE / MERGE INTO
+  // against the manifest-backed catalog (q380 proved the connector
+  // contract on driver-held rows; q415 the time-travel surface; here
+  // both run against REAL parquet + the durable log): each statement
+  // is a group-based rewrite — the operation's scan PINS the version
+  // it served, the ReplaceData write stages the complete
+  // post-statement row set through Spark's own parquet write, and the
+  // publish is ONE STRICT OCC commit (any intervening commit aborts:
+  // with the whole table as one replacement group, even a commuting
+  // append in the scan→commit window would be silently dropped — the
+  // lost-update anomaly strictness exists to prevent, demonstrated on
+  // a side table and recorded as stale_rewrite_aborted). Every
+  // pre-rewrite version still time-travels (the rewrites ADD history,
+  // never destroy it), and eq_current earns AS-OF-head ≡ plain read.
+  // Scale shape: the statement's cost is the rewrite itself (scan +
+  // write, Spark's vectorized paths); the commit is metadata.
+  def manifestRowLevelSql(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{DurableManifestLog, GraftFs, ManifestCatalog, ManifestLog}
+    import ManifestLog.{Committed, Conflicted, FileRef}
+    s.conf.set("spark.sql.catalog.graft_mfst", classOf[ManifestCatalog].getName)
+    s.sql("DROP TABLE IF EXISTS graft_mfst.db.q425t")
+    s.sql("CREATE TABLE graft_mfst.db.q425t (k BIGINT, cents BIGINT) TBLPROPERTIES ('cluster_key'='k')")
+    t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .createOrReplaceTempView("q425_src")
+    s.sql("INSERT INTO graft_mfst.db.q425t SELECT k, cents FROM q425_src") // v1
+    s.sql("UPDATE graft_mfst.db.q425t SET cents = cents + 100 WHERE k % 5 = 0") // v2
+    s.sql("DELETE FROM graft_mfst.db.q425t WHERE k % 7 = 0") // v3
+    s.sql(
+      """MERGE INTO graft_mfst.db.q425t t
+        |USING (SELECT k, cents FROM q425_src WHERE k % 11 = 0) s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET cents = s.cents + 5
+        |WHEN NOT MATCHED THEN INSERT (k, cents) VALUES (s.k, s.cents)
+        |""".stripMargin
+    ) // v4
+    def census(q: String): (Long, Long, Long) = {
+      val r = s.sql(q).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    def asOf(v: Long): (Long, Long, Long) =
+      census(s"SELECT count(*) AS n, sum(k) AS kk, sum(cents) AS cc FROM graft_mfst.db.q425t VERSION AS OF $v")
+    val eqCurrent =
+      if (asOf(4L) == census("SELECT count(*) AS n, sum(k) AS kk, sum(cents) AS cc FROM graft_mfst.db.q425t")) 1L
+      else 0L
+    // strict-OCC demo on a side table: an append lands between a
+    // rewrite's scan and its commit — the stale replace ABORTS and the
+    // appended row survives
+    s.sql("DROP TABLE IF EXISTS graft_mfst.db.q425side")
+    s.sql("CREATE TABLE graft_mfst.db.q425side (k BIGINT)")
+    s.sql("INSERT INTO graft_mfst.db.q425side VALUES (1), (2)") // v1
+    val sideDir = s"${ManifestCatalog.defaultWarehouse}/db/q425side"
+    val other = DurableManifestLog.open(sideDir)
+    val sideLive1 = other.liveFiles(1L).toSeq
+    s.range(1).select((col("id") + 7L).as("k")).coalesce(1).write.parquet(s"$sideDir/x")
+    val xRefs = GraftFs.listDataFiles(s"$sideDir/x").map(f => FileRef("x", f))
+    require(other.tryCommit("main", 1L, "append", add = xRefs).isInstanceOf[Committed])
+    s.range(1).select(col("id").as("k")).coalesce(1).write.parquet(s"$sideDir/y")
+    val yRefs = GraftFs.listDataFiles(s"$sideDir/y").map(f => FileRef("y", f))
+    val aborted = other.tryCommit("main", 1L, "replace_update", add = yRefs, remove = sideLive1, strict = true) match {
+      case Conflicted(_, _) => 1L
+      case _                => 0L
+    }
+    val sideIntact =
+      if (s.table("graft_mfst.db.q425side").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 7L)) aborted
+      else 0L
+    (1L to 4L)
+      .map { v =>
+        val (n, kk, cc) = asOf(v)
+        (v, n, kk, cc, eqCurrent, sideIntact)
+      }
+      .toDF("version", "n_rows", "key_checksum", "cents_checksum", "eq_current", "stale_rewrite_aborted")
+      .orderBy("version")
+  }
+
+  // METADATA TABLES IN SQL — `db.t.history` and `db.t.files` (the
+  // Iceberg convention, joining `db.t.changes`): the log's commit
+  // chain and the head version's live files WITH their zone maps,
+  // queryable without leaving SQL. The fixture is the q413/q423
+  // 8-zone layout built through plain INSERTs, so everything is
+  // pinned: history is genesis + eight appends of exactly one file
+  // each (COALESCE(1)), and .files' zone maps equal the per-zone
+  // min/max/count arithmetic — the oracle recomputes both from the
+  // orders table, proving the FOOTER-derived stats the commits carry
+  // are the true zone maps. Scale shape: both tables are driver-
+  // computed at metadata cardinality (one row per commit / per file)
+  // and shipped like a LocalScan.
+  def manifestMetadataSql(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft_mfst", classOf[graft.sources.ManifestCatalog].getName)
+    s.sql("DROP TABLE IF EXISTS graft_mfst.db.q426t")
+    s.sql("CREATE TABLE graft_mfst.db.q426t (k BIGINT, cents BIGINT) TBLPROPERTIES ('cluster_key'='k')")
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    orders.createOrReplaceTempView("q426_src")
+    val maxK = orders.agg(max(col("k"))).collect()(0).getLong(0)
+    val w = 1L + maxK / 8L
+    (0 until 8).foreach { i =>
+      s.sql(
+        s"INSERT INTO graft_mfst.db.q426t SELECT /*+ COALESCE(1) */ k, cents FROM q426_src " +
+          s"WHERE k >= ${i * w} AND k < ${(i + 1) * w}"
+      )
+    }
+    val hist = s
+      .sql(
+        "SELECT 'history' AS section, version AS id, n_added AS a, n_removed AS b, n_dv AS c, op " +
+          "FROM graft_mfst.db.q426t.history"
+      )
+    // the file id is the ZONE INDEX from the data (min_key div w),
+    // not an arrival ordinal — deterministic without a global window
+    val files = s
+      .sql(
+        s"SELECT 'files' AS section, min_key DIV $w + 1 AS id, " +
+          "min_key AS a, max_key AS b, n_rows AS c, 'file' AS op FROM graft_mfst.db.q426t.files"
+      )
+    hist.unionAll(files).orderBy("section", "id")
+  }
+
+  // STREAMING LAKEHOUSE ROUND TRIP — the pieces composed end-to-end:
+  // a file stream (one chunk per micro-batch) is INGESTED into the
+  // manifest table through the catalog's batch append per batch (each
+  // micro-batch = one OCC commit, the foreachBatch idiom), then the
+  // CHANGE FEED of the same table is read back and earns the loop
+  // three ways, all keyed on the cohort carried IN the data (k % 4),
+  // never on arrival order: per-cohort CDF insert counts equal the
+  // source cohorts; each commit's feed rows are single-cohort (one
+  // micro-batch = one chunk = one commit); and an IVM view maintained
+  // from the feed (per-cohort sums) equals the direct table
+  // aggregate. Scale shape: ingest cost is per-batch data; the feed
+  // read is O(|changed files|); the IVM merge is group-cardinality.
+  def streamingLakehouseLoop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft_mfst", classOf[graft.sources.ManifestCatalog].getName)
+    s.sql("DROP TABLE IF EXISTS graft_mfst.db.q427t")
+    s.sql("CREATE TABLE graft_mfst.db.q427t (k BIGINT, cents BIGINT) TBLPROPERTIES ('cluster_key'='k')")
+    val scratch = graft.operators.Scratch.dir("graft-lakeloop")
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    (0 to 3).foreach { i =>
+      orders.filter(col("k") % 4 === i).coalesce(1).write.mode("overwrite").parquet(s"$scratch/in/z$i")
+    }
+    val schema = s.read.parquet(s"$scratch/in/z0").schema
+    val q = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$scratch/in")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.writeTo("graft_mfst.db.q427t").append()
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    val feed = s.table("graft_mfst.db.q427t.changes").persist()
+    // one micro-batch = one chunk = one commit: every version's rows
+    // are single-cohort
+    val perVersion = feed
+      .groupBy(col("_commit_version"))
+      .agg(countDistinct(col("k") % 4).as("n_cohorts"))
+    val singleCohort = if (perVersion.filter(col("n_cohorts") =!= 1L).isEmpty) 1L else 0L
+    // IVM from the feed vs the direct table aggregate, per cohort
+    val ivm = feed
+      .filter(col("_change_type") === "insert")
+      .groupBy((col("k") % 4).as("cohort"))
+      .agg(count(lit(1)).as("n_inserts"), sum(col("cents")).as("cents_sum"))
+    val direct = s
+      .table("graft_mfst.db.q427t")
+      .groupBy((col("k") % 4).as("cohort"))
+      .agg(count(lit(1)).as("dn"), sum(col("cents")).as("dc"))
+    val eqIvm =
+      if (
+        ivm
+          .join(direct, Seq("cohort"), "full_outer")
+          .filter(col("n_inserts") =!= col("dn") || col("cents_sum") =!= col("dc") ||
+            col("n_inserts").isNull || col("dn").isNull)
+          .isEmpty
+      ) 1L
+      else 0L
+    val out = ivm
+      .withColumn("single_cohort_commits", lit(singleCohort))
+      .withColumn("eq_ivm", lit(eqIvm))
+      .orderBy("cohort")
+    val result = out.collect()
+    feed.unpersist()
+    s.createDataFrame(java.util.Arrays.asList(result: _*), out.schema).orderBy("cohort")
+  }
+
+  // VACUUM THE MANIFEST TABLE — the physical half of the retention
+  // story: the log's commits make files VISIBLE; nothing before this
+  // reclaimed the INVISIBLE ones. Three orphan classes accumulate in
+  // one fixture: the two original insert files a later SQL UPDATE
+  // rewrote away AND whose history is then expired (only squashed-
+  // away versions referenced them), and a strict-OCC loser's staged
+  // rewrite (never published — the crash/abort shape q421 documents).
+  // Retention is the q410 rule, NOT ref-head reachability: a file
+  // live in ANY replayable version stays, so every retained VERSION
+  // AS OF keeps serving — expire first, then vacuum, is how the set
+  // shrinks. Earned: the head census is bit-identical across the
+  // vacuum, the retained version still time-travels, and the expired
+  // one refuses AT RESOLUTION (named expired/unknown — never a
+  // missing-file read error). Scale shape: vacuum is one listing per
+  // staging dir + one delete per orphan; retention is metadata
+  // arithmetic over the log.
+  def manifestVacuum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{DurableManifestLog, GraftFs, ManifestCatalog, ManifestLog, ManifestMaintenance}
+    import ManifestLog.{Conflicted, FileRef}
+    s.conf.set("spark.sql.catalog.graft_mfst", classOf[ManifestCatalog].getName)
+    s.sql("DROP TABLE IF EXISTS graft_mfst.db.q428t")
+    s.sql("CREATE TABLE graft_mfst.db.q428t (k BIGINT, cents BIGINT) TBLPROPERTIES ('cluster_key'='k')")
+    t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .createOrReplaceTempView("q428_src")
+    s.sql("INSERT INTO graft_mfst.db.q428t SELECT /*+ COALESCE(1) */ k, cents FROM q428_src WHERE k % 2 = 0") // v1
+    s.sql("INSERT INTO graft_mfst.db.q428t SELECT /*+ COALESCE(1) */ k, cents FROM q428_src WHERE k % 2 = 1") // v2
+    s.sql("UPDATE graft_mfst.db.q428t SET cents = cents + 100 WHERE k % 5 = 0") // v3: rewrites v1+v2's files
+    val tdir = s"${ManifestCatalog.defaultWarehouse}/db/q428t"
+    val log = DurableManifestLog.open(tdir)
+    // a strict-OCC loser stages a rewrite that never publishes
+    s.range(1).select(col("id").as("k"), col("id").as("cents")).coalesce(1).write.parquet(s"$tdir/loser")
+    val loserRefs = GraftFs.listDataFiles(s"$tdir/loser").map(f => FileRef("loser", f))
+    val aborted = log.tryCommit("main", 1L, "replace_update", add = loserRefs,
+      remove = log.liveFiles(1L).toSeq, strict = true) match {
+      case Conflicted(_, _) => 1L
+      case _                => 0L
+    }
+    def census(): (Long, Long, Long) = {
+      val r = s.sql("SELECT count(*) AS n, sum(k) AS kk, sum(cents) AS cc FROM graft_mfst.db.q428t").collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val before = census()
+    // before expiration NOTHING is vacuum-eligible except the loser's
+    // staging: v1/v2's files are still live in replayable versions
+    val orphansPre = ManifestMaintenance.unreachable(tdir, log)
+    val preOnlyLoser = if (orphansPre.toSet == loserRefs.toSet) 1L else 0L
+    // expire below the rewrite: v1/v2's history squashes away, their
+    // two insert files become unreachable from every surviving version
+    log.expireBefore(3L)
+    val orphans = ManifestMaintenance.unreachable(tdir, log)
+    val nOrphans = orphans.size.toLong // loser + the two rewritten-away insert files
+    val deleted = ManifestMaintenance.vacuum(tdir, log).size.toLong
+    val after = census()
+    val eqHead = if (after == before) 1L else 0L
+    val retainedServes =
+      try {
+        val r = s.sql("SELECT count(*) FROM graft_mfst.db.q428t VERSION AS OF 3").collect()(0).getLong(0)
+        if (r == before._1) 1L else 0L
+      } catch { case _: Exception => 0L }
+    val expiredRefused =
+      try { s.sql("SELECT * FROM graft_mfst.db.q428t VERSION AS OF 1").collect(); 0L }
+      catch {
+        case e: Exception =>
+          if (e.getMessage != null && e.getMessage.contains("no readable version")) 1L else 0L
+      }
+    Seq(
+      ("1_before", aborted * preOnlyLoser, 0L, before._1, before._2, before._3, 1L, 1L),
+      ("2_after_expire_vacuum", nOrphans, deleted, after._1, after._2, after._3, eqHead * retainedServes, expiredRefused)
+    ).toDF(
+      "phase",
+      "n_unreachable",
+      "n_deleted",
+      "n_rows",
+      "key_checksum",
+      "cents_checksum",
+      "eq_head",
+      "expired_refused"
+    ).orderBy("phase")
+  }
+
+  // NAMED REFS IN SQL — `VERSION AS OF 'tag'` / `VERSION AS OF
+  // 'branch'` over the manifest catalog (the Iceberg branch/tag-read
+  // convention): q406 built tags, branches and WAP on the log; here
+  // they become SQL-addressable. An audit TAG pins its census by name
+  // through later writes; a WAP BRANCH's staged batch is readable by
+  // name pre-publish while the plain read stays clean; the
+  // fast-forward publish flips the plain read to the staged content
+  // with no data motion; an unknown ref refuses at resolution. Each
+  // phase's `ok` bit is earned in-engine against the corresponding
+  // version-number read. Scale shape: a ref read is the same log
+  // replay + file scan as any read — the ref is one map lookup.
+  def manifestRefsSql(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{DurableManifestLog, GraftFs, ManifestCatalog, ManifestLog}
+    import ManifestLog.{Committed, FileRef}
+    s.conf.set("spark.sql.catalog.graft_mfst", classOf[ManifestCatalog].getName)
+    s.sql("DROP TABLE IF EXISTS graft_mfst.db.q429t")
+    s.sql("CREATE TABLE graft_mfst.db.q429t (k BIGINT, cents BIGINT) TBLPROPERTIES ('cluster_key'='k')")
+    t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .createOrReplaceTempView("q429_src")
+    s.sql("INSERT INTO graft_mfst.db.q429t SELECT k, cents FROM q429_src WHERE k % 2 = 0") // v1
+    val tdir = s"${ManifestCatalog.defaultWarehouse}/db/q429t"
+    val log = DurableManifestLog.open(tdir)
+    log.tag("audit", 1L)
+    s.sql("INSERT INTO graft_mfst.db.q429t SELECT k, cents FROM q429_src WHERE k % 2 = 1") // v2
+    // WAP: stage a shifted cohort on a branch, invisible to main
+    log.createBranch("wap", 2L)
+    s.sql("SELECT k + 10000000 AS k, cents FROM q429_src WHERE k % 100 = 0")
+      .coalesce(1)
+      .write
+      .parquet(s"$tdir/staged")
+    val stagedRefs = GraftFs.listDataFiles(s"$tdir/staged").map(f => FileRef("staged", f))
+    require(log.tryCommit("wap", 2L, "stage", add = stagedRefs).isInstanceOf[Committed])
+    def census(q: String): (Long, Long, Long) = {
+      val r = s.sql(q).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    def asOf(ref: String): (Long, Long, Long) =
+      census(s"SELECT count(*) AS n, sum(k) AS kk, sum(cents) AS cc FROM graft_mfst.db.q429t VERSION AS OF $ref")
+    val plain = "SELECT count(*) AS n, sum(k) AS kk, sum(cents) AS cc FROM graft_mfst.db.q429t"
+    val audit = asOf("'audit'")
+    val okAudit = if (audit == asOf("1")) 1L else 0L
+    val wap = asOf("'wap'")
+    val okStagedInvisible = if (census(plain) == asOf("2") && wap != asOf("2")) 1L else 0L
+    val refRefused =
+      try { s.sql("SELECT * FROM graft_mfst.db.q429t VERSION AS OF 'nope'").collect(); 0L }
+      catch { case e: Exception => if (e.getMessage != null && e.getMessage.contains("no ref")) 1L else 0L }
+    val pub = log.fastForward("main", "wap")
+    val published = census(plain)
+    val okPublished = if (published == wap && pub == log.head("main")) refRefused else 0L
+    Seq(
+      ("1_audit_tag", audit._1, audit._2, audit._3, okAudit),
+      ("2_wap_staged", wap._1, wap._2, wap._3, okStagedInvisible),
+      ("3_published", published._1, published._2, published._3, okPublished)
+    ).toDF("phase", "n_rows", "key_checksum", "cents_checksum", "ok")
+      .orderBy("phase")
+  }
 }

@@ -257,13 +257,14 @@ final class DurableManifestLog private (val dir: String) {
       maxAttempts: Int = 10,
       stats: Map[FileRef, FileStats] = Map.empty,
       dvRows: Map[FileRef, Long] = Map.empty,
-      cdc: Seq[FileRef] = Seq.empty
+      cdc: Seq[FileRef] = Seq.empty,
+      strict: Boolean = false
   ): Outcome = synchronized {
     var attempts = 0
     while (attempts < maxAttempts) {
       attempts += 1
       refresh()
-      inner.validateCommit(branch, readVersion, remove.toSet) match {
+      inner.validateCommit(branch, readVersion, remove.toSet, strict) match {
         case Left(overlap) => return Conflicted(overlap, attempts)
         case Right(headV) =>
           val commit = Commit(
@@ -386,6 +387,7 @@ final class DurableManifestLog private (val dir: String) {
 
   def head(branch: String = "main"): Long = view.head(branch)
   def tagVersion(name: String): Long = view.tagVersion(name)
+  def versions: Seq[Long] = view.versions
   def chain(version: Long): Vector[Commit] = view.chain(version)
   def liveFiles(version: Long): Set[FileRef] = view.liveFiles(version)
   def dvFiles(version: Long): Set[FileRef] = view.dvFiles(version)

@@ -4,6 +4,7 @@ import java.util
 
 import com.fasterxml.jackson.databind.ObjectMapper
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
@@ -85,15 +86,23 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def loadTable(ident: Identifier): Table = {
-    // `db.t.changes` resolves the CHANGE DATA FEED of `db.t` — the
-    // Iceberg changelog-table convention: a read-only table whose
-    // schema is the parent's plus (_change_type, _commit_version),
-    // batch- and micro-batch-readable with log versions as offsets
-    if (ident.name() == "changes" && ident.namespace().nonEmpty) {
+    // `db.t.changes` / `db.t.history` / `db.t.files` resolve METADATA
+    // TABLES of `db.t` (the Iceberg convention): the change data feed
+    // (batch- and micro-batch-readable, log versions as offsets), the
+    // commit history, and the head version's live files with their
+    // zone maps — all driver-computed at metadata cardinality.
+    if (ident.namespace().nonEmpty && Set("changes", "history", "files").contains(ident.name())) {
       val parent = Identifier.of(ident.namespace().init, ident.namespace().last)
-      if (GraftFs.exists(s"${tableDir(parent)}/_table.json")) {
+      val pdir = tableDir(parent)
+      if (GraftFs.exists(s"$pdir/_table.json")) {
         val (schema, _) = readMeta(parent)
-        return new graft.streaming.CdfTable(s"$catalogName.${parent.name()}.changes", tableDir(parent), schema)
+        val full = s"$catalogName.${parent.name()}.${ident.name()}"
+        ident.name() match {
+          case "changes" => return new graft.streaming.CdfTable(full, pdir, schema)
+          case "history" => return ManifestMetaTables.history(full, pdir)
+          case "files"   => return ManifestMetaTables.files(full, pdir)
+          case _         => ()
+        }
       }
     }
     val (schema, ck) = readMeta(ident)
@@ -102,9 +111,12 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
     new ManifestFileTable(s"$catalogName.${ident.name()}", dir, log, log.head(), schema, ck, writable = true)
   }
 
-  /** `VERSION AS OF n`: a read-only table pinned to version n. An
-    * unknown or expired version refuses at RESOLUTION (the chain
-    * replay throws), never reads as something else.
+  /** `VERSION AS OF n` — or `VERSION AS OF 'ref'`: a read-only table
+    * pinned to a version number or to a NAMED REF (tag or branch, the
+    * Iceberg branch/tag-read convention — an audit tag or a staged
+    * WAP branch becomes SQL-addressable without knowing its version
+    * number). An unknown ref, or an expired / never-published
+    * version, refuses at RESOLUTION — never reads as something else.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val (schema, ck) = readMeta(ident)
@@ -114,7 +126,12 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
       try version.toLong
       catch {
         case _: NumberFormatException =>
-          throw new IllegalArgumentException(s"manifest time travel takes a numeric version, got '$version'")
+          log.refs.getOrElse(
+            version,
+            throw new IllegalArgumentException(
+              s"no ref '$version' on ${ident.name()} (refs: ${log.refs.keys.toSeq.sorted.mkString(", ")})"
+            )
+          )
       }
     try log.chain(v)
     catch {
@@ -194,7 +211,26 @@ private[sources] class ManifestFileTable(
     writable: Boolean
 ) extends Table
     with SupportsRead
-    with SupportsWrite {
+    with SupportsWrite
+    with SupportsRowLevelOperations {
+
+  /** SQL `UPDATE` / `DELETE` / `MERGE INTO` over the file table — the
+    * group-based rewrite (q380's connector contract, now against
+    * files): the operation's scan serves the current rows and PINS
+    * the version it read; the ReplaceData write receives the complete
+    * post-operation row set, stages it as parquet, and publishes ONE
+    * strict OCC commit (remove = the scanned version's live files,
+    * add = the staged files). Strict means ANY intervening commit
+    * aborts the rewrite — with the whole table as one replacement
+    * group, even a commuting append in the scan→commit window would
+    * be silently dropped by the replacement row set (the lost-update
+    * anomaly), so the only safe outcome is a loud retry-me.
+    */
+  override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new ManifestRowLevelOperation(dir, log, tableSchema, clusterKey, info.command())
+    }
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
@@ -250,37 +286,322 @@ private[sources] class ManifestWriteBuilder(
     clusterKey: Option[String],
     info: LogicalWriteInfo
 ) extends WriteBuilder {
-  override def build(): Write = {
+  override def build(): Write =
+    ManifestWrites.stagedWrite(dir, info, info.schema(), stripOpColumn = false) { refs =>
+      val stats = ManifestWrites.footerStats(dir, refs, clusterKey)
+      log.tryCommit("main", log.head(), "append", add = refs, stats = stats, maxAttempts = 32) match {
+        case Committed(_, _) => ()
+        case other =>
+          throw new java.util.ConcurrentModificationException(
+            s"manifest append failed to publish after retries: $other"
+          )
+      }
+    }
+}
+
+/** The group-based row-level operation over a manifest file table:
+  * the scan pins the version it served; the replace commit is STRICT
+  * — valid only while the table is still at exactly that version.
+  */
+private[sources] class ManifestRowLevelOperation(
+    dir: String,
+    log: DurableManifestLog,
+    tableSchema: StructType,
+    clusterKey: Option[String],
+    cmd: RowLevelOperation.Command
+) extends RowLevelOperation {
+  @volatile private var scannedVersion: Long = -1L
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val v = log.head()
+    scannedVersion = v
+    val files = log
+      .liveFiles(v)
+      .toSeq
+      .sortBy(r => (r.dir, r.file))
+      .map(r => (s"$dir/${r.dir}/${r.file}", None: Option[(Long, Long)]))
+    // pushdownEnabled = false: the rewrite's branches share this scan
+    // (see ManifestScanBuilder) — it must serve EVERY current row
+    new ManifestScanBuilder(
+      manifestGlue.activeSession, files, clusterKey, tableSchema, options, pushdownEnabled = false)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
+    override def build(): Write = {
+      // the version anchored at scan time; if planning never built the
+      // scan, fall back to the head at write-build (still anchored)
+      val readVersion = if (scannedVersion >= 0) scannedVersion else log.head()
+      // a group-based MERGE's rows arrive with MergeRows' leading
+      // __row_operation int; UPDATE/DELETE arrive bare — the staged
+      // write strips the slot so the files carry exactly the table
+      // columns (the q380 ScratchWriterFactory lesson, applied before
+      // parquet encoding instead of after)
+      ManifestWrites.stagedWrite(dir, info, tableSchema, stripOpColumn = true) { refs =>
+        val stats = ManifestWrites.footerStats(dir, refs, clusterKey)
+        val removed = log.liveFiles(readVersion).toSeq.sortBy(r => (r.dir, r.file))
+        log.tryCommit(
+          "main",
+          readVersion,
+          s"replace_${cmd.toString.toLowerCase(java.util.Locale.ROOT)}",
+          add = refs,
+          remove = removed,
+          stats = stats,
+          strict = true
+        ) match {
+          case Committed(_, _) => ()
+          case other =>
+            throw new java.util.ConcurrentModificationException(
+              s"OCC conflict: row-level operation scanned version $readVersion but the table moved " +
+                s"($other); the rewrite is stale — re-run it"
+            )
+        }
+      }
+    }
+  }
+}
+
+/** Shared staging machinery for the catalog's write paths. */
+private[sources] object ManifestWrites {
+  /** A Write that stages parquet into a fresh dir under the table
+    * root via Spark's own DSv2 parquet write, then runs `publish`
+    * with the staged FileRefs on driver-side commit. `writeSchema`
+    * is what the files must carry (the table columns);
+    * `stripOpColumn` tolerates MergeRows' extra leading int.
+    */
+  def stagedWrite(
+      dir: String,
+      info: LogicalWriteInfo,
+      writeSchema: StructType,
+      stripOpColumn: Boolean
+  )(publish: Seq[FileRef] => Unit): Write = {
     val staging = s"w-${java.util.UUID.randomUUID().toString.take(12)}"
+    val cleanInfo: LogicalWriteInfo = new LogicalWriteInfo {
+      override def options(): CaseInsensitiveStringMap = info.options()
+      override def queryId(): String = info.queryId()
+      override def schema(): StructType = writeSchema
+      override def rowIdSchema(): java.util.Optional[StructType] = info.rowIdSchema()
+      override def metadataSchema(): java.util.Optional[StructType] = info.metadataSchema()
+    }
     val inner = manifestGlue
-      .parquetWriteBuilder(manifestGlue.activeSession, s"$dir/$staging", info, CaseInsensitiveStringMap.empty())
+      .parquetWriteBuilder(manifestGlue.activeSession, s"$dir/$staging", cleanInfo, CaseInsensitiveStringMap.empty())
       .build()
     new Write {
       override def toBatch: BatchWrite = {
         val ib = inner.toBatch
         new BatchWrite {
-          override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory =
-            ib.createBatchWriterFactory(pinfo)
+          override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory = {
+            val f = ib.createBatchWriterFactory(pinfo)
+            if (stripOpColumn) new OpStrippingWriterFactory(f, writeSchema) else f
+          }
           override def useCommitCoordinator(): Boolean = ib.useCommitCoordinator()
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             ib.commit(messages)
-            val names = GraftFs.listDataFiles(s"$dir/$staging")
-            val refs = names.map(f => FileRef(staging, f))
-            val stats = refs.flatMap { r =>
-              val (rows, zone) = ParquetFooters.stats(s"$dir/${r.dir}/${r.file}", clusterKey)
-              zone.map { case (mn, mx) => r -> FileStats(mn, mx, rows) }
-            }.toMap
-            log.tryCommit("main", log.head(), "append", add = refs, stats = stats, maxAttempts = 32) match {
-              case Committed(_, _) => ()
-              case other =>
-                throw new java.util.ConcurrentModificationException(
-                  s"manifest append failed to publish after retries: $other"
-                )
-            }
+            publish(GraftFs.listDataFiles(s"$dir/$staging").map(f => FileRef(staging, f)))
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit = ib.abort(messages)
         }
       }
+    }
+  }
+
+  /** Footer-derived per-file zone maps for a staged commit —
+    * metadata-only, one footer read per file.
+    */
+  def footerStats(
+      dir: String,
+      refs: Seq[FileRef],
+      clusterKey: Option[String]
+  ): Map[FileRef, ManifestLog.FileStats] =
+    refs.flatMap { r =>
+      val (rows, zone) = ParquetFooters.stats(s"$dir/${r.dir}/${r.file}", clusterKey)
+      zone.map { case (mn, mx) => r -> ManifestLog.FileStats(mn, mx, rows) }
+    }.toMap
+}
+
+/** Physical maintenance for a manifest table directory: vacuum
+  * reclaims every data file NO REPLAYABLE VERSION can serve — aborted
+  * rewrites' staging (a strict OCC loser never published its files),
+  * crashed writers' leftovers (staged but never committed), and files
+  * that only expired-away history referenced. Retention is the q410
+  * orphan rule, not mere ref-head reachability: a file live in ANY
+  * version still in the log (plus every in-force DV and cdc file)
+  * stays, so `VERSION AS OF` keeps working for ALL retained history —
+  * the way to shrink the retained set is [[DurableManifestLog
+  * .expireBefore]] first, then vacuum. Everything is metadata-
+  * cardinality driver work through the [[GraftFs]] seam: one listing
+  * per subdirectory, one delete per orphan.
+  */
+object ManifestMaintenance {
+  private def physicalFiles(dir: String): Seq[ManifestLog.FileRef] =
+    GraftFs
+      .listDirs(dir)
+      .filter(_ != "_log")
+      .flatMap(d => GraftFs.listDataFiles(s"$dir/$d").map(f => FileRef(d, f)))
+
+  private def retained(log: DurableManifestLog): Set[ManifestLog.FileRef] =
+    log.versions.foldLeft(Set.empty[ManifestLog.FileRef]) { (acc, v) =>
+      val c = log.chain(v)
+      acc ++ log.liveFiles(v) ++ c.flatMap(_.dvAdded) ++ c.flatMap(_.cdc)
+    }
+
+  /** Data files on disk that no replayable version can serve. */
+  def unreachable(dir: String, log: DurableManifestLog): Seq[ManifestLog.FileRef] = {
+    val keep = retained(log)
+    physicalFiles(dir).filterNot(keep.contains)
+  }
+
+  /** Delete every unreachable data file; returns what was deleted. */
+  def vacuum(dir: String, log: DurableManifestLog): Seq[ManifestLog.FileRef] = {
+    val orphans = unreachable(dir, log)
+    orphans.foreach(r => GraftFs.delete(s"$dir/${r.dir}/${r.file}"))
+    orphans
+  }
+}
+
+/** The `.history` / `.files` metadata tables: driver-computed rows
+  * (metadata cardinality — one row per commit / per live file),
+  * served through a local batch scan the way a LocalScan ships rows.
+  * SQL introspection of the log without leaving the query language:
+  * `SELECT * FROM graft_mfst.db.t.history ORDER BY version`.
+  */
+private[sources] object ManifestMetaTables {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def history(name: String, dir: String): Table = {
+    val log = DurableManifestLog.open(dir)
+    val schema = StructType(
+      Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("parent", LongType, nullable = false),
+        StructField("op", StringType, nullable = false),
+        StructField("n_added", LongType, nullable = false),
+        StructField("n_removed", LongType, nullable = false),
+        StructField("n_dv", LongType, nullable = false),
+        StructField("n_cdc", LongType, nullable = false)
+      )
+    )
+    val rows: Array[InternalRow] = log
+      .chain(log.head())
+      .map { c =>
+        new GenericInternalRow(
+          Array[Any](
+            c.version,
+            c.parent,
+            UTF8String.fromString(c.op),
+            c.added.size.toLong,
+            c.removed.size.toLong,
+            c.dvAdded.size.toLong,
+            c.cdc.size.toLong
+          )
+        ): InternalRow
+      }
+      .toArray
+    new MetaRowsTable(name, schema, rows)
+  }
+
+  def files(name: String, dir: String): Table = {
+    val log = DurableManifestLog.open(dir)
+    val head = log.head()
+    val stats = log.liveStats(head)
+    val schema = StructType(
+      Seq(
+        StructField("dir", StringType, nullable = false),
+        StructField("file", StringType, nullable = false),
+        StructField("min_key", LongType, nullable = true),
+        StructField("max_key", LongType, nullable = true),
+        StructField("n_rows", LongType, nullable = true)
+      )
+    )
+    val rows: Array[InternalRow] = log
+      .liveFiles(head)
+      .toSeq
+      .sortBy(r => (r.dir, r.file))
+      .map { r =>
+        val st = stats.get(r)
+        new GenericInternalRow(
+          Array[Any](
+            UTF8String.fromString(r.dir),
+            UTF8String.fromString(r.file),
+            st.map(_.min).orNull,
+            st.map(_.max).orNull,
+            st.map(_.rows).orNull
+          )
+        ): InternalRow
+      }
+      .toArray
+    new MetaRowsTable(name, schema, rows)
+  }
+}
+
+/** A read-only table over driver-held rows (the ScratchScan shipping
+  * pattern): rows snapshot at load, shipped inside the partition.
+  */
+private[sources] class MetaRowsTable(tableName: String, tableSchema: StructType, rows: Array[InternalRow])
+    extends Table
+    with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] = util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with org.apache.spark.sql.connector.read.Scan with org.apache.spark.sql.connector.read.Batch {
+      override def build(): org.apache.spark.sql.connector.read.Scan = this
+      override def readSchema(): StructType = tableSchema
+      override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+      override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] =
+        Array(MetaRowsPartition(rows))
+      override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
+        new MetaRowsReaderFactory
+    }
+}
+
+private[sources] case class MetaRowsPartition(rows: Array[InternalRow])
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+private[sources] class MetaRowsReaderFactory extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  override def createReader(
+      partition: org.apache.spark.sql.connector.read.InputPartition
+  ): org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      private val it = partition.asInstanceOf[MetaRowsPartition].rows.iterator
+      private var current: InternalRow = _
+      override def next(): Boolean = { val h = it.hasNext; if (h) current = it.next(); h }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+}
+
+/** Drops MergeRows' leading `__row_operation` slot when present (row
+  * arity = table arity + 1), so the delegated parquet writer encodes
+  * exactly the table columns. Values are read positionally offset by
+  * one and handed straight to the inner writer, which copies what it
+  * buffers — no second deep copy needed.
+  */
+private[sources] class OpStrippingWriterFactory(inner: DataWriterFactory, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val iw = inner.createWriter(partitionId, taskId)
+    new DataWriter[InternalRow] {
+      private val n = schema.length
+      private val buf = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(n)
+      override def write(row: InternalRow): Unit = {
+        val base = row.numFields - n
+        require(base == 0 || base == 1, s"row arity ${row.numFields} vs table arity $n")
+        if (base == 0) iw.write(row)
+        else {
+          var i = 0
+          while (i < n) {
+            buf.update(i, row.get(i + 1, schema(i).dataType))
+            i += 1
+          }
+          iw.write(buf)
+        }
+      }
+      override def commit(): WriterCommitMessage = iw.commit()
+      override def abort(): Unit = iw.abort()
+      override def close(): Unit = iw.close()
     }
   }
 }

@@ -113,6 +113,12 @@ final class ManifestLog {
   def head(branch: String = "main"): Long = state.get().branches(branch)
   def tagVersion(name: String): Long = state.get().tags(name)
 
+  /** Every version still in the log (all replayable — expiration's
+    * squash keeps only resolvable commits), ascending. Vacuum's
+    * retention walk and history introspection.
+    */
+  def versions: Seq[Long] = state.get().commits.keys.toSeq.sorted
+
   /** The commit chain from `version` back to genesis, oldest first. */
   def chain(version: Long): Vector[Commit] = chainIn(state.get().commits, version)
 
@@ -185,13 +191,14 @@ final class ManifestLog {
       maxAttempts: Int = 10,
       stats: Map[FileRef, FileStats] = Map.empty,
       dvRows: Map[FileRef, Long] = Map.empty,
-      cdc: Seq[FileRef] = Seq.empty
+      cdc: Seq[FileRef] = Seq.empty,
+      strict: Boolean = false
   ): Outcome = {
     var attempts = 0
     while (attempts < maxAttempts) {
       attempts += 1
       val st = state.get()
-      validateIn(st, branch, readVersion, remove.toSet) match {
+      validateIn(st, branch, readVersion, remove.toSet, strict) match {
         case Left(overlap) => return Conflicted(overlap, attempts)
         case Right(headV) =>
           val v = st.nextVersion
@@ -211,18 +218,24 @@ final class ManifestLog {
   /** The OCC validation alone, against an explicit state: Right(head)
     * when the commit may apply on the branch's current head (possibly
     * a rebase past interveners whose removed sets are disjoint from
-    * ours), Left(overlap) when it must abort. Shared by [[tryCommit]]
-    * and the durable log's persist-then-apply protocol, so the two
-    * transports can never drift on conflict semantics.
+    * ours), Left(overlap) when it must abort. `strict` refuses ANY
+    * intervening commit — the whole-table-replace posture (a
+    * group-based MERGE/UPDATE/DELETE rewrote every row it scanned, so
+    * even a commuting append in the window is a lost update). Shared
+    * by [[tryCommit]] and the durable log's persist-then-apply
+    * protocol, so the two transports can never drift on conflict
+    * semantics.
     */
   private def validateIn(
       st: State,
       branch: String,
       readVersion: Long,
-      remove: Set[FileRef]
+      remove: Set[FileRef],
+      strict: Boolean = false
   ): Either[Set[FileRef], Long] = {
     val headV = st.branches.getOrElse(branch, sys.error(s"no branch '$branch'"))
     if (headV != readVersion) {
+      if (strict) return Left(remove)
       val c = chainIn(st.commits, headV)
       if (!c.exists(_.version == readVersion))
         return Left(remove) // divergent history: cannot validate
@@ -240,8 +253,9 @@ final class ManifestLog {
   private[sources] def validateCommit(
       branch: String,
       readVersion: Long,
-      remove: Set[FileRef]
-  ): Either[Set[FileRef], Long] = validateIn(state.get(), branch, readVersion, remove)
+      remove: Set[FileRef],
+      strict: Boolean = false
+  ): Either[Set[FileRef], Long] = validateIn(state.get(), branch, readVersion, remove, strict)
 
   /** The next version number a commit would take — the durable log
     * stamps its entry with this BEFORE persisting.

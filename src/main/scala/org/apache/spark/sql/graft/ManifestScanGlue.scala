@@ -49,7 +49,14 @@ final class ManifestScanBuilder(
     files: Seq[(String, Option[(Long, Long)])],
     clusterKey: Option[String],
     schema: StructType,
-    options: CaseInsensitiveStringMap
+    options: CaseInsensitiveStringMap,
+    // a ROW-LEVEL OPERATION's scan must accept NO pushdown: the
+    // group-based rewrite's branches (updated rows ∪ untouched rows)
+    // share this scan, so baking one branch's condition into it —
+    // zone file-skipping OR parquet data filters — silently drops the
+    // other branch's rows from the replacement set. The plain read
+    // path keeps both layers.
+    pushdownEnabled: Boolean = true
 ) extends ScanBuilder
     with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns {
@@ -59,13 +66,15 @@ final class ManifestScanBuilder(
   private var required: StructType = schema
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
-    catalystFilters = filters
-    // translate to source filters for the zone interpretation; only
-    // the cluster-key-referencing subset can prune
-    zoneFilters = filters
-      .flatMap(e => DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = true))
-      .filter(referencesKey)
-      .toArray
+    if (pushdownEnabled) {
+      catalystFilters = filters
+      // translate to source filters for the zone interpretation; only
+      // the cluster-key-referencing subset can prune
+      zoneFilters = filters
+        .flatMap(e => DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = true))
+        .filter(referencesKey)
+        .toArray
+    }
     // everything is a residual: file skipping keeps whole files, the
     // engine still evaluates the predicate on the surviving rows
     filters

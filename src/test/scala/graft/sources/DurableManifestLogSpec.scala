@@ -187,6 +187,36 @@ class DurableManifestLogSpec extends AnyFunSuite {
     assert(b.liveFiles(v1) === Set(f("a")))
   }
 
+  test("parity under expiration: random streams with periodic expire+reopen keep both transports identical") {
+    val dir = freshDir()
+    val mem = new ManifestLog
+    var dur = DurableManifestLog.open(dir)
+    val rnd = new scala.util.Random(7)
+    var live = Set.empty[String]
+    (1 to 24).foreach { i =>
+      val adds = (0 until 1 + rnd.nextInt(2)).map(j => s"f${i}_$j").toSet
+      val removes = rnd.shuffle(live.toList).take(rnd.nextInt(2)).toSet
+      val om = mem.tryCommit("main", mem.head(), "op", add = adds.toSeq.sorted.map(f), remove = removes.toSeq.sorted.map(f))
+      val od = dur.tryCommit("main", dur.head(), "op", add = adds.toSeq.sorted.map(f), remove = removes.toSeq.sorted.map(f))
+      assert(om === od, s"step $i diverged")
+      live = (live -- removes) ++ adds
+      if (i % 8 == 0) {
+        val horizon = mem.head() - 2
+        if (horizon > 0) {
+          val orphM = mem.expireBefore(horizon)
+          val orphD = dur.expireBefore(horizon)
+          assert(orphM === orphD, s"expire at $horizon diverged")
+          // reopen from disk: the checkpointed replay must agree
+          dur = DurableManifestLog.open(dir)
+          assert(dur.head() === mem.head())
+          assert(dur.versions.toSet === mem.versions.toSet)
+          mem.versions.foreach(v => assert(dur.liveFiles(v) === mem.liveFiles(v), s"v$v diverged after reopen"))
+        }
+      }
+    }
+    assert(DurableManifestLog.open(dir).liveFiles(dur.head()) === mem.liveFiles(mem.head()))
+  }
+
   test("parity: a random command stream lands identically on the in-JVM and durable transports") {
     val dir = freshDir()
     val mem = new ManifestLog

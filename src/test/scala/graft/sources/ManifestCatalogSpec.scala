@@ -1,5 +1,7 @@
 package graft.sources
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 /** The manifest-backed DSv2 catalog: SQL reads/writes and VERSION AS
@@ -100,6 +102,135 @@ class ManifestCatalogSpec extends SparkSpec {
     assert(cnt("k = 9 OR k = 10") === 2L)
     assert(cnt("k IN (3, 17)") === 2L)
     assert(cnt("k IN (25, 99)") === 0L)
+  }
+
+  test("row-level SQL over the file table: UPDATE, DELETE and MERGE land exactly") {
+    useCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_mfst.db.mrlo1")
+    spark.sql("CREATE TABLE graft_mfst.db.mrlo1 (k BIGINT, st STRING, cents BIGINT)")
+    spark.sql("INSERT INTO graft_mfst.db.mrlo1 VALUES (1, 'A', 10), (2, 'B', 20), (3, 'A', 30)")
+    spark.sql("UPDATE graft_mfst.db.mrlo1 SET cents = cents + 1 WHERE st = 'A'")
+    def rows(): Seq[(Long, String, Long)] =
+      spark
+        .table("graft_mfst.db.mrlo1")
+        .orderBy("k")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSeq
+    assert(rows() === Seq((1L, "A", 11L), (2L, "B", 20L), (3L, "A", 31L)))
+    spark.sql("DELETE FROM graft_mfst.db.mrlo1 WHERE k = 2")
+    assert(rows() === Seq((1L, "A", 11L), (3L, "A", 31L)))
+    spark
+      .sql(
+        "SELECT 1 AS k, 'A' AS st, CAST(99 AS BIGINT) AS cents, 'U' AS op " +
+          "UNION ALL SELECT 3, 'A', 31, 'D' UNION ALL SELECT 4, 'C', 40, 'I'"
+      )
+      .createOrReplaceTempView("mrlo_src")
+    spark.sql("""MERGE INTO graft_mfst.db.mrlo1 t USING mrlo_src s ON t.k = s.k
+                |WHEN MATCHED AND s.op = 'D' THEN DELETE
+                |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET cents = s.cents
+                |WHEN NOT MATCHED AND s.op = 'I' THEN INSERT (k, st, cents) VALUES (s.k, s.st, s.cents)
+                |""".stripMargin)
+    assert(rows() === Seq((1L, "A", 99L), (4L, "C", 40L)))
+    // history is intact: every pre-rewrite version still time-travels
+    assert(spark.sql("SELECT count(*) FROM graft_mfst.db.mrlo1 VERSION AS OF 1").collect()(0).getLong(0) === 3L)
+    // and the files on disk carry exactly the table columns (the
+    // MergeRows op slot was stripped before parquet encoding)
+    val tdir = s"${ManifestCatalog.defaultWarehouse}/db/mrlo1"
+    val log = DurableManifestLog.open(tdir)
+    val paths = log.liveFiles(log.head()).toSeq.map(r => s"$tdir/${r.dir}/${r.file}")
+    assert(spark.read.parquet(paths: _*).columns.sorted.toSeq === Seq("cents", "k", "st"))
+  }
+
+  test("row-level rewrite is STRICT OCC: any commit in the scan→commit window aborts it loudly") {
+    useCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_mfst.db.mrlo2")
+    spark.sql("CREATE TABLE graft_mfst.db.mrlo2 (k BIGINT)")
+    spark.sql("INSERT INTO graft_mfst.db.mrlo2 VALUES (1), (2)")
+    val tdir = s"${ManifestCatalog.defaultWarehouse}/db/mrlo2"
+    // a commuting APPEND lands through a second instance (another
+    // process's insert): strict replace derived from v1 must abort —
+    // its replacement row set would silently drop the new row
+    val other = DurableManifestLog.open(tdir)
+    val live1 = other.liveFiles(1L).toSeq
+    spark.range(1).select((col("id") + 7L).as("k")).coalesce(1).write.parquet(s"$tdir/x")
+    val xRefs = GraftFs.listDataFiles(s"$tdir/x").map(f => ManifestLog.FileRef("x", f))
+    // stale strict replace: reads v1, but the append below moves the head first
+    assert(other.tryCommit("main", 1L, "append", add = xRefs).isInstanceOf[ManifestLog.Committed])
+    spark.range(1).select(col("id").as("k")).coalesce(1).write.parquet(s"$tdir/y")
+    val yRefs = GraftFs.listDataFiles(s"$tdir/y").map(f => ManifestLog.FileRef("y", f))
+    other.tryCommit("main", 1L, "replace_update", add = yRefs, remove = live1, strict = true) match {
+      case ManifestLog.Conflicted(_, _) => () // the strict posture
+      case o                            => fail(s"strict replace from a stale read must abort, got $o")
+    }
+    // the table still serves append ∪ original — nothing was lost
+    assert(spark.table("graft_mfst.db.mrlo2").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 7L))
+  }
+
+  test("metadata tables: db.t.history lists the commit chain, db.t.files the head's zone maps") {
+    useCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_mfst.db.mmeta1")
+    spark.sql("CREATE TABLE graft_mfst.db.mmeta1 (k BIGINT) TBLPROPERTIES ('cluster_key'='k')")
+    spark.sql("INSERT INTO graft_mfst.db.mmeta1 SELECT /*+ COALESCE(1) */ id FROM range(0, 10)")
+    spark.sql("INSERT INTO graft_mfst.db.mmeta1 SELECT /*+ COALESCE(1) */ id FROM range(10, 30)")
+    spark.sql("DELETE FROM graft_mfst.db.mmeta1 WHERE k >= 25")
+    val hist = spark
+      .sql("SELECT version, op, n_added > 0, n_removed FROM graft_mfst.db.mmeta1.history ORDER BY version")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getLong(3)))
+    assert(hist.map(x => (x._1, x._2)).toSeq ===
+      Seq((0L, "genesis"), (1L, "append"), (2L, "append"), (3L, "replace_delete")))
+    assert(hist(3)._4 === 2L) // the rewrite removed both prior files
+    val files = spark
+      .sql("SELECT min_key, max_key, n_rows FROM graft_mfst.db.mmeta1.files ORDER BY min_key")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // post-delete head: the rewrite's files cover [0, 24] with 25 rows
+    assert(files.map(_._3).sum === 25L)
+    assert(files.map(_._1).min === 0L && files.map(_._2).max === 24L)
+  }
+
+  test("vacuum retains files live in ANY replayable version; expire shrinks the set; orphans reclaimed") {
+    useCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_mfst.db.mvac1")
+    spark.sql("CREATE TABLE graft_mfst.db.mvac1 (k BIGINT)")
+    spark.sql("INSERT INTO graft_mfst.db.mvac1 SELECT /*+ COALESCE(1) */ id FROM range(0, 5)") // v1
+    spark.sql("DELETE FROM graft_mfst.db.mvac1 WHERE k >= 3") // v2: rewrites v1's file
+    val tdir = s"${ManifestCatalog.defaultWarehouse}/db/mvac1"
+    val log = DurableManifestLog.open(tdir)
+    // a crashed writer's staging: never committed, immediately orphaned
+    spark.range(1).select(col("id").as("k")).coalesce(1).write.parquet(s"$tdir/crashed")
+    // BEFORE expiration v1's file is still live in a replayable
+    // version — vacuum must keep it, and VERSION AS OF 1 still serves
+    val deleted1 = ManifestMaintenance.vacuum(tdir, log)
+    assert(deleted1.map(_.dir).toSet === Set("crashed"), deleted1.toString)
+    assert(spark.sql("SELECT count(*) FROM graft_mfst.db.mvac1 VERSION AS OF 1").collect()(0).getLong(0) === 5L)
+    // expire below v2, then vacuum: v1's rewritten-away file goes
+    log.expireBefore(2L)
+    val deleted2 = ManifestMaintenance.vacuum(tdir, log)
+    assert(deleted2.size === 1)
+    assert(spark.table("graft_mfst.db.mvac1").collect().map(_.getLong(0)).sorted.toSeq === Seq(0L, 1L, 2L))
+    assertThrows[Exception](spark.sql("SELECT * FROM graft_mfst.db.mvac1 VERSION AS OF 1").collect())
+  }
+
+  test("VERSION AS OF 'ref': tags and branches resolve by name; unknown refs refuse at resolution") {
+    useCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_mfst.db.mref1")
+    spark.sql("CREATE TABLE graft_mfst.db.mref1 (k BIGINT)")
+    spark.sql("INSERT INTO graft_mfst.db.mref1 VALUES (1), (2)") // v1
+    val log = DurableManifestLog.open(s"${ManifestCatalog.defaultWarehouse}/db/mref1")
+    log.tag("audit", 1L)
+    spark.sql("INSERT INTO graft_mfst.db.mref1 VALUES (3)") // v2
+    assert(spark.sql("SELECT count(*) FROM graft_mfst.db.mref1 VERSION AS OF 'audit'").collect()(0).getLong(0) === 2L)
+    assert(spark.table("graft_mfst.db.mref1").count() === 3L)
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM graft_mfst.db.mref1 VERSION AS OF 'nope'").collect()
+    )
+    assert(e.getMessage.contains("no ref"), e.getMessage)
+    // a ref read is read-only like any pinned version
+    assertThrows[Exception](
+      spark.sql("INSERT INTO graft_mfst.db.mref1 VERSION AS OF 'audit' VALUES (9)")
+    )
   }
 
   test("concurrent INSERTs commute through the log's OCC — both land, none lost") {
