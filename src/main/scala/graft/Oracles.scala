@@ -6050,6 +6050,23 @@ object Oracles {
         |  CAST(1 AS BIGINT) AS eq_direct FROM v1
         |UNION ALL SELECT 2, v2.n, v2.kk, v2.cc, 1, 1, 1, 1 FROM v2
         |ORDER BY version""".stripMargin,
+    // the per-version fact/dim censuses from the commit cohorts
+    // (even, +odd, +shifted k%50=0 with generation-2-only dim keys);
+    // n_dangling is 0 at every SINGLE-LOG version by construction and
+    // exactly the new-generation fact cohort in the two-log torn-read
+    // counterfactual; rebased is the protocol constant
+    "q430_durable_multitable" ->
+      """WITH o AS (SELECT o_orderkey AS k FROM orders),
+        |e AS (SELECT count(*) AS n FROM o WHERE k % 2 = 0),
+        |a AS (SELECT count(*) AS n FROM o),
+        |x AS (SELECT count(*) AS n FROM o WHERE k % 50 = 0)
+        |SELECT '1_batch1_atomic' AS phase, CAST(1 AS BIGINT) AS version, e.n AS n_fact_rows,
+        |  CAST(100 AS BIGINT) AS n_dim_rows, CAST(0 AS BIGINT) AS n_dangling,
+        |  CAST(0 AS BIGINT) AS rebased FROM e
+        |UNION ALL SELECT '2_fact_append_other_instance', 2, a.n, 100, 0, 0 FROM a
+        |UNION ALL SELECT '3_atomic_swap_rebase', 3, a.n + x.n, 120, 0, 1 FROM a, x
+        |UNION ALL SELECT '4_two_logs_torn_read', -1, a.n + x.n, 100, x.n, 0 FROM a, x
+        |ORDER BY phase""".stripMargin,
     // the three ref-addressed censuses from the cohorts: the audit
     // tag pins v1 (even keys), the wap branch serves all ∪ the
     // shifted k%100=0 staging, publish flips the plain read to the

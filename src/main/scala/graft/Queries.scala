@@ -16142,4 +16142,101 @@ object Queries {
     ).toDF("phase", "n_rows", "key_checksum", "cents_checksum", "ok")
       .orderBy("phase")
   }
+
+  // DURABLE MULTI-TABLE ATOMIC COMMIT — q411's guarantee made
+  // cross-process: ONE durable log spans a fact and a dim table
+  // (FileRefs namespaced by directory), so an ETL batch that lands
+  // new fact rows AND the dim generation they reference is ONE entry
+  // file — readers at ANY version see a consistent cross-table
+  // snapshot, from any instance. The interleave exercises the whole
+  // protocol across two instances: B's fact-only append from a stale
+  // read rebases through the storage CAS; A's atomic dim swap
+  // (remove generation 1, add generation 2 + the fact rows that
+  // reference its NEW keys) rebases past B because their removed
+  // sets are disjoint. n_dangling — fact keys whose dim key is
+  // missing — is 0 at EVERY version by construction. The
+  // counterfactual two separate logs would permit is QUANTIFIED:
+  // pairing v3's fact files with v2's dim files (the torn read a
+  // lagging dim log serves) dangles exactly the new-generation fact
+  // cohort. Scale shape: the atomic span costs nothing — it is the
+  // same metadata entry, just naming files in two directories.
+  def durableMultiTableCommit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{DurableManifestLog, GraftFs, ManifestLog}
+    import ManifestLog.{Committed, FileRef}
+    val base = graft.operators.Scratch.dir("graft-dmulti")
+    val ow = org.apache.spark.sql.SaveMode.Overwrite
+    val orders = t(s, dir, "orders")
+      .select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+        (col("o_orderkey") % 100).as("dk")
+      )
+    orders.filter(col("k") % 2 === 0).repartition(1).write.mode(ow).parquet(s"$base/fact_even")
+    orders.filter(col("k") % 2 === 1).repartition(1).write.mode(ow).parquet(s"$base/fact_odd")
+    // the new-generation fact cohort references dim keys 100..119,
+    // which exist ONLY in dim generation 2
+    orders
+      .filter(col("k") % 50 === 0)
+      .select((col("k") + 10000000L).as("k"), col("cents"), (lit(100L) + col("k") % 20).as("dk"))
+      .repartition(1)
+      .write
+      .mode(ow)
+      .parquet(s"$base/fact_extra")
+    s.range(100).select(col("id").as("dk"), (col("id") * 10).as("attr")).coalesce(1).write.mode(ow).parquet(s"$base/dim_g1")
+    s.range(120).select(col("id").as("dk"), (col("id") * 10 + 1).as("attr")).coalesce(1).write.mode(ow).parquet(s"$base/dim_g2")
+    def refs(g: String): Seq[FileRef] = GraftFs.listDataFiles(s"$base/$g").map(f => FileRef(g, f))
+    val logA = DurableManifestLog.open(base)
+    // v1: ONE commit lands the fact batch AND its dim generation
+    val v1 = logA.tryCommit("main", 0L, "etl_batch_1", add = refs("fact_even") ++ refs("dim_g1")) match {
+      case Committed(v, _) => v; case o => sys.error(o.toString)
+    }
+    // a second instance (another process) appends fact-only from v1
+    val logB = DurableManifestLog.open(base)
+    val v2 = logB.tryCommit("main", v1, "fact_append", add = refs("fact_odd")) match {
+      case Committed(v, _) => v; case o => sys.error(o.toString)
+    }
+    // A, still reading v1, atomically swaps the dim generation and
+    // lands the fact rows that need it — disjoint from B ⇒ rebase
+    val outSwap = logA.tryCommit(
+      "main",
+      v1,
+      "etl_batch_2",
+      add = refs("dim_g2") ++ refs("fact_extra"),
+      remove = refs("dim_g1")
+    )
+    val (v3, rebased) = outSwap match {
+      case Committed(v, _) => (v, if (logA.chain(v).last.parent != v1) 1L else 0L)
+      case o               => sys.error(o.toString)
+    }
+    def tableRead(v: Long, prefix: String, log: DurableManifestLog): DataFrame = {
+      val fs = log.liveFiles(v).toSeq.filter(_.dir.startsWith(prefix)).sortBy(r => (r.dir, r.file))
+      s.read.parquet(fs.map(r => s"$base/${r.dir}/${r.file}"): _*)
+    }
+    def snapshot(v: Long, log: DurableManifestLog): (Long, Long, Long) = {
+      val fact = tableRead(v, "fact", log)
+      val dim = tableRead(v, "dim", log)
+      val nF = fact.count()
+      val nD = dim.count()
+      val dangling = fact.join(broadcast(dim), Seq("dk"), "left_anti").count()
+      (nF, nD, dangling)
+    }
+    // a FRESH instance replays from disk — the cross-process reader
+    val logC = DurableManifestLog.open(base)
+    val s1 = snapshot(v1, logC)
+    val s2 = snapshot(v2, logC)
+    val s3 = snapshot(v3, logC)
+    // the torn read two SEPARATE logs would permit: v3's fact files
+    // against v2's dim files (a lagging dim log)
+    val tornFact = tableRead(v3, "fact", logC)
+    val tornDim = tableRead(v2, "dim", logC)
+    val tornDangling = tornFact.join(broadcast(tornDim), Seq("dk"), "left_anti").count()
+    Seq(
+      ("1_batch1_atomic", v1, s1._1, s1._2, s1._3, 0L),
+      ("2_fact_append_other_instance", v2, s2._1, s2._2, s2._3, 0L),
+      ("3_atomic_swap_rebase", v3, s3._1, s3._2, s3._3, rebased),
+      ("4_two_logs_torn_read", -1L, s3._1, s2._2, tornDangling, 0L)
+    ).toDF("phase", "version", "n_fact_rows", "n_dim_rows", "n_dangling", "rebased")
+      .orderBy("phase")
+  }
 }

@@ -117,7 +117,8 @@ final class CdfTable(tableName: String, baseDir: String, tableSchema: StructType
       baseDir,
       tableSchema,
       options.getLong("startingVersion", 0L),
-      Option(options.get("endingVersion")).map(_.toLong)
+      Option(options.get("endingVersion")).map(_.toLong),
+      Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
     )
 }
 
@@ -129,7 +130,15 @@ final class CdfScan(
     baseDir: String,
     tableSchema: StructType,
     startingVersion: Long,
-    endingVersion: Option[Long] = None
+    endingVersion: Option[Long] = None,
+    // admission control: at most N log versions per micro-batch (the
+    // Delta maxFilesPerTrigger shape on the version axis) — a backfill
+    // from version 0 proceeds in bounded, checkpointed steps instead
+    // of one giant batch; with Trigger.AvailableNow the engine loops
+    // batches until the latched head, so maxVersionsPerTrigger=1
+    // gives one-commit-per-micro-batch natively (the q418 replay
+    // discipline as a source option)
+    maxVersionsPerTrigger: Option[Long] = None
 ) extends ScanBuilder
     with Scan
     with org.apache.spark.sql.connector.read.Batch
@@ -169,7 +178,11 @@ final class CdfScan(
   override def latestOffset(
       start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit
-  ): Offset = CdfOffset(availableNowEnd.getOrElse(log.head("main")))
+  ): Offset = {
+    val target = availableNowEnd.getOrElse(log.head("main"))
+    val s = start.asInstanceOf[CdfOffset].version
+    CdfOffset(maxVersionsPerTrigger.fold(target)(n => math.min(target, s + math.max(1L, n))))
+  }
   override def deserializeOffset(json: String): Offset = {
     val m = """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
     CdfOffset(m.map(_.group(1).toLong).getOrElse(sys.error(s"bad CDF offset: $json")))

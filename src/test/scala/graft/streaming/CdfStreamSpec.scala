@@ -80,6 +80,35 @@ class CdfStreamSpec extends SparkSpec {
     assert(e.getMessage.contains("cdc"), e.getMessage)
   }
 
+  test("maxVersionsPerTrigger=1: one commit per micro-batch, feed content identical to the unbounded read") {
+    useCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_mfst.db.cdf5")
+    spark.sql("CREATE TABLE graft_mfst.db.cdf5 (k BIGINT)")
+    (1 to 4).foreach(i => spark.sql(s"INSERT INTO graft_mfst.db.cdf5 VALUES ($i)")) // v1..v4
+    val scratch = graft.operators.Scratch.dir("graft-cdf-ratelimit")
+    val perBatchVersions = new java.util.concurrent.ConcurrentLinkedQueue[Set[Long]]()
+    val q = spark.readStream
+      .option("maxVersionsPerTrigger", "1")
+      .table("graft_mfst.db.cdf5.changes")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        perBatchVersions.add(df.select("_commit_version").distinct().collect().map(_.getLong(0)).toSet)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val batches = { import scala.jdk.CollectionConverters._; perBatchVersions.asScala.toVector }
+    // four commits → four micro-batches, each exactly one version
+    assert(batches.count(_.nonEmpty) === 4, batches.toString)
+    assert(batches.filter(_.nonEmpty).forall(_.size == 1), batches.toString)
+    assert(batches.flatten.toSet === Set(1L, 2L, 3L, 4L))
+    // and the rate limit changed pacing only, never content
+    val all = spark.table("graft_mfst.db.cdf5.changes").collect().map(_.getLong(0)).sorted.toSeq
+    assert(all === Seq(1L, 2L, 3L, 4L))
+  }
+
   test("offset json roundtrip") {
     val scan = new CdfScan("/nowhere", new org.apache.spark.sql.types.StructType(), 0L)
     val off = CdfOffset(7L)
