@@ -13864,24 +13864,26 @@ object Queries {
       } else {
         val old = manifestReadRefs(s, base, c.removed).as("o")
         val nw = manifestReadRefs(s, base, c.added).as("n")
-        // no persist: the four selections below re-plan this join, but
-        // the inputs are one commit's files and callers snapshot the
-        // feed to parquet immediately — a persist here would leak a
-        // cached block per rewrite commit with no release point
+        // SINGLE-PASS classification: one full-outer join, one `when`
+        // chain emitting 0–2 change rows per joined row, exploded —
+        // the four-selections-over-one-subtree shape re-planned (and
+        // re-executed) the join once per change type; this plans it
+        // once. An unmatched `when` yields NULL and explode drops it,
+        // so unchanged rows (both sides present, same cents) emit
+        // nothing without a filter pass.
+        def ch(t: String, side: String) =
+          struct(lit(t).as("change_type"), col(s"$side.k").as("k"), col(s"$side.cents").as("cents"))
         val j = old.join(nw, col("o.k") === col("n.k"), "full_outer")
-        val pre = j
-          .filter(col("o.k").isNotNull && col("n.k").isNotNull && col("o.cents") =!= col("n.cents"))
-          .select(lit(c.version).as("version"), lit("update_preimage").as("change_type"), col("o.k").as("k"), col("o.cents").as("cents"))
-        val post = j
-          .filter(col("o.k").isNotNull && col("n.k").isNotNull && col("o.cents") =!= col("n.cents"))
-          .select(lit(c.version).as("version"), lit("update_postimage").as("change_type"), col("n.k").as("k"), col("n.cents").as("cents"))
-        val dels = j
-          .filter(col("n.k").isNull)
-          .select(lit(c.version).as("version"), lit("delete").as("change_type"), col("o.k").as("k"), col("o.cents").as("cents"))
-        val ins = j
-          .filter(col("o.k").isNull)
-          .select(lit(c.version).as("version"), lit("insert").as("change_type"), col("n.k").as("k"), col("n.cents").as("cents"))
-        pre.unionByName(post).unionByName(dels).unionByName(ins)
+        j.select(
+          lit(c.version).as("version"),
+          explode(
+            when(
+              col("o.k").isNotNull && col("n.k").isNotNull && col("o.cents") =!= col("n.cents"),
+              array(ch("update_preimage", "o"), ch("update_postimage", "n"))
+            ).when(col("n.k").isNull, array(ch("delete", "o")))
+              .when(col("o.k").isNull, array(ch("insert", "n")))
+          ).as("c")
+        ).select(col("version"), col("c.change_type"), col("c.k"), col("c.cents"))
       }
     }
     changes.reduce(_ unionByName _)
@@ -14788,7 +14790,15 @@ object Queries {
     var scd = manifestSnapshot(s, base, log, v1)
       .withColumn("start_ver", lit(1L))
       .withColumn("end_ver", lit(null).cast("long"))
-    (2L to 4L).foreach { v =>
+    // a commit's close set is USUALLY request-sized, but a production
+    // commit can tombstone an unbounded cohort — so the join strategy
+    // goes through the SizeGate discipline (broadcast below the gate,
+    // pinned sort-merge above), not a forced broadcast: the one
+    // join-strategy decision in the lakehouse family now priced the
+    // same way the LM type tables are. The gate's count materializes
+    // `closes` (persisted); the handles release after the lineage cut
+    // below materializes everything.
+    val gated = (2L to 4L).map { v =>
       val ch = feed.filter(col("version") === v)
       val closes = ch
         .filter(col("change_type").isin("update_preimage", "delete"))
@@ -14796,18 +14806,20 @@ object Queries {
       val opens = ch
         .filter(col("change_type").isin("update_postimage", "insert"))
         .select(col("k"), col("cents"), lit(v).as("start_ver"), lit(null).cast("long").as("end_ver"))
-      scd = scd
-        .join(broadcast(closes), Seq("k", "cents"), "left")
+      val g = graft.operators.SizeGate.countsJoinGated(scd, closes, Seq("k", "cents"), "left")
+      scd = g.joined
         .withColumn(
           "end_ver",
           when(col("close") === 1L && col("end_ver").isNull, lit(v)).otherwise(col("end_ver"))
         )
         .drop("close")
         .unionByName(opens)
+      g
     }
     // cut the 3-round join/union lineage ONCE: everything below reads
     // a flat parquet instead of re-planning the whole replay
     graft.sinks.RetryingSink.overwriteParquet(scd, s"$base/scd2")
+    gated.foreach(_.release())
     scd = s.read.parquet(s"$base/scd2")
     // the dimension serves time travel on its own: the as-of slice at
     // EVERY version must equal that version's direct manifest read.
@@ -16048,14 +16060,17 @@ object Queries {
     val before = census()
     // before expiration NOTHING is vacuum-eligible except the loser's
     // staging: v1/v2's files are still live in replayable versions
-    val orphansPre = ManifestMaintenance.unreachable(tdir, log)
+    // graceMs = 0: this fixture owns the table exclusively (no
+    // concurrent writer can be staging), so the mtime grace that
+    // protects in-flight commits in production is safely waived
+    val orphansPre = ManifestMaintenance.unreachable(tdir, log, graceMs = 0L)
     val preOnlyLoser = if (orphansPre.toSet == loserRefs.toSet) 1L else 0L
     // expire below the rewrite: v1/v2's history squashes away, their
     // two insert files become unreachable from every surviving version
     log.expireBefore(3L)
-    val orphans = ManifestMaintenance.unreachable(tdir, log)
+    val orphans = ManifestMaintenance.unreachable(tdir, log, graceMs = 0L)
     val nOrphans = orphans.size.toLong // loser + the two rewritten-away insert files
-    val deleted = ManifestMaintenance.vacuum(tdir, log).size.toLong
+    val deleted = ManifestMaintenance.vacuum(tdir, log, graceMs = 0L).size.toLong
     val after = census()
     val eqHead = if (after == before) 1L else 0L
     val retainedServes =

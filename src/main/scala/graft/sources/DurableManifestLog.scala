@@ -228,14 +228,33 @@ final class DurableManifestLog private (val dir: String) {
     }
   }
 
-  /** Claim entry `n` with `bytes` — deleting a known torn tail at `n`
-    * first (crash recovery: the dead writer never committed, its
+  /** Claim entry `n` with `bytes` — recovering a known torn tail at
+    * `n` first (crash recovery: the dead writer never committed, its
     * half-written claim is void). Returns whether WE created it.
+    *
+    * Recovery re-reads the entry IMMEDIATELY before the delete and
+    * only deletes if it still fails [[parseEntry]]: between our
+    * refresh (which observed the torn tail) and now, another process
+    * may have recovered `n` and published a VALID entry there —
+    * deleting on the stale observation would erase that acknowledged
+    * commit. If the re-read now parses, we lost the race: treat it as
+    * a lost CAS (the caller refreshes and replays the winner). Note
+    * that under this log's own publication protocol
+    * ([[GraftFs.createExclusive]]: write-temp, then atomic
+    * link/rename) a torn entry can never appear under a final name —
+    * the recovery path exists for debris from crashed pre-protocol
+    * writers or storage-level corruption, so the residual
+    * read-then-delete window only races writers already outside the
+    * protocol.
     */
   private def claim(n: Long, bytes: Array[Byte]): Boolean = {
     if (tornTail.contains(n)) {
-      GraftFs.delete(entryPath(n))
       tornTail = None
+      val stillTorn =
+        try parseEntry(GraftFs.readBytes(entryPath(n))).isEmpty
+        catch { case _: java.io.IOException => false } // vanished: someone else recovered it
+      if (!stillTorn) return false // a valid entry landed at n — lost CAS
+      GraftFs.delete(entryPath(n))
     }
     GraftFs.createExclusive(entryPath(n), bytes)
   }

@@ -52,6 +52,16 @@ object GraftFs {
     fsFor(p).delete(p, false)
   }
 
+  /** Last-modified wall-clock millis of a file — vacuum's grace-period
+    * input (one getFileStatus RPC). 0 if the file is gone (a
+    * concurrent delete: the caller treats it as already reclaimed).
+    */
+  def modificationTime(path: String): Long = {
+    val p = new Path(path)
+    try fsFor(p).getFileStatus(p).getModificationTime
+    catch { case _: java.io.FileNotFoundException => 0L }
+  }
+
   def mkdirs(path: String): Unit = {
     val p = new Path(path)
     fsFor(p).mkdirs(p)
@@ -114,19 +124,33 @@ object GraftFs {
   /** CREATE-FAILS-IF-EXISTS write — the durable manifest log's
     * compare-and-set. Returns true iff this call published the file.
     *
-    * Publication is WRITE-TEMP-THEN-RENAME (the Delta HDFSLogStore
+    * Publication is WRITE-TEMP-THEN-LINK/RENAME (the Delta LogStore
     * protocol): the bytes land under a dot-prefixed temp name first,
-    * then one rename makes the final name visible — so a concurrent
-    * LISTER can never observe the entry name with partial content (a
-    * direct create-and-write exposes the name before the bytes are
-    * flushed; a reader racing it would misread a healthy in-flight
-    * commit as a torn tail and clobber it). Rename is all-or-nothing
-    * on POSIX and a single namenode op on HDFS (failing if the
-    * destination exists — the cross-process CAS); object stores
-    * substitute a conditional PUT. Same-process racers are
-    * additionally serialized through a JVM-wide gate, which also
-    * covers the local FS's non-atomic exists-check — cheap, since
-    * entries are metadata-sized.
+    * then one atomic namespace op makes the final name visible — so a
+    * concurrent LISTER can never observe the entry name with partial
+    * content (a direct create-and-write exposes the name before the
+    * bytes are flushed; a reader racing it would misread a healthy
+    * in-flight commit as a torn tail and clobber it).
+    *
+    * The namespace op is scheme-dependent, because the failure mode
+    * differs:
+    *   - LOCAL filesystems: `FileSystem.rename` delegates to
+    *     rename(2), which silently REPLACES an existing destination —
+    *     it is NOT a CAS. Publication instead uses a HARD LINK
+    *     (`Files.createLink(final, tmp)`), which the kernel fails
+    *     atomically with EEXIST if the destination exists — a true
+    *     cross-process compare-and-set on POSIX (proved by
+    *     GraftFsCrossProcessSpec's two-JVM race, which FAILS under
+    *     rename-based publication).
+    *   - HDFS: rename is a single namenode op that fails if the
+    *     destination exists — the canonical HDFSLogStore CAS.
+    *   - Object stores (S3/GCS) need a conditional PUT
+    *     (If-None-Match); plain rename there is copy+delete and NOT
+    *     exclusive. This seam does not claim them: deploying the log
+    *     on an object store requires substituting a conditional-PUT
+    *     implementation here.
+    * Same-process racers are additionally serialized through a
+    * JVM-wide gate — cheap, since entries are metadata-sized.
     */
   def createExclusive(path: String, bytes: Array[Byte]): Boolean = exclusiveGate.synchronized {
     val p = new Path(path)
@@ -137,12 +161,39 @@ object GraftFs {
     try out.write(bytes)
     finally out.close()
     val ok =
-      try fs.rename(tmp, p)
-      catch { case _: java.io.IOException => false }
-    if (!ok) {
+      if (isLocal(fs)) linkPublish(tmp, p)
+      else
+        try fs.rename(tmp, p)
+        catch { case _: java.io.IOException => false }
+    if (!ok || isLocal(fs)) {
       fs.delete(tmp, false)
       ()
     }
     ok
+  }
+
+  private def isLocal(fs: FileSystem): Boolean =
+    fs.getUri.getScheme == "file"
+
+  /** Atomic local publish: hard-link the temp file to the final name.
+    * link(2) fails with EEXIST if the destination exists — unlike
+    * rename(2), which replaces it — so two processes racing the same
+    * entry number get exactly one winner. The temp link is removed by
+    * the caller either way (link success leaves both names pointing at
+    * the same inode; deleting the temp name keeps the published one).
+    */
+  private def linkPublish(tmp: Path, dst: Path): Boolean = {
+    // resolve through the Hadoop path to the raw local file (strips
+    // any file:// scheme); ChecksumFileSystem's shadow .crc for the
+    // temp file is cleaned up with the temp delete
+    val rawTmp = java.nio.file.Paths.get(tmp.toUri.getPath)
+    val rawDst = java.nio.file.Paths.get(dst.toUri.getPath)
+    try {
+      java.nio.file.Files.createLink(rawDst, rawTmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: java.io.IOException                      => false
+    }
   }
 }

@@ -445,15 +445,43 @@ object ManifestMaintenance {
       acc ++ log.liveFiles(v) ++ c.flatMap(_.dvAdded) ++ c.flatMap(_.cdc)
     }
 
-  /** Data files on disk that no replayable version can serve. */
-  def unreachable(dir: String, log: DurableManifestLog): Seq[ManifestLog.FileRef] = {
+  /** Default vacuum grace: files younger than this are NEVER deleted
+    * even if no replayable version references them — a concurrent
+    * writer's staged-but-not-yet-committed parquet is, by definition,
+    * unreferenced until its OCC commit lands, and a graceless vacuum
+    * racing it would delete files the commit is about to publish
+    * (reads of that version then fail on missing files). The Delta
+    * VACUUM convention: retention is mtime-based, and only files old
+    * enough that no live writer can still be staging them are
+    * eligible. Callers that provably own the table exclusively (a
+    * test fixture, a single-writer maintenance window) may pass 0.
+    */
+  val DefaultGraceMs: Long = 10L * 60L * 1000L
+
+  /** Data files on disk that no replayable version can serve AND that
+    * are older than `graceMs` (mtime-based — see [[DefaultGraceMs]]).
+    */
+  def unreachable(
+      dir: String,
+      log: DurableManifestLog,
+      graceMs: Long = DefaultGraceMs
+  ): Seq[ManifestLog.FileRef] = {
     val keep = retained(log)
-    physicalFiles(dir).filterNot(keep.contains)
+    val cutoff = System.currentTimeMillis() - graceMs
+    physicalFiles(dir)
+      .filterNot(keep.contains)
+      .filter(r => graceMs <= 0L || GraftFs.modificationTime(s"$dir/${r.dir}/${r.file}") <= cutoff)
   }
 
-  /** Delete every unreachable data file; returns what was deleted. */
-  def vacuum(dir: String, log: DurableManifestLog): Seq[ManifestLog.FileRef] = {
-    val orphans = unreachable(dir, log)
+  /** Delete every grace-expired unreachable data file; returns what
+    * was deleted.
+    */
+  def vacuum(
+      dir: String,
+      log: DurableManifestLog,
+      graceMs: Long = DefaultGraceMs
+  ): Seq[ManifestLog.FileRef] = {
+    val orphans = unreachable(dir, log, graceMs)
     orphans.foreach(r => GraftFs.delete(s"$dir/${r.dir}/${r.file}"))
     orphans
   }

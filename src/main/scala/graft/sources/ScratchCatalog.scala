@@ -215,12 +215,25 @@ object ScratchCatalog {
       * expired (callers distinguish via [[expiredHorizon]]).
       */
     def snapshotAt(version: Long): Option[Snapshot] = {
+      // the wait is for a LIVE writer descheduled between its CAS and
+      // its history.put — microseconds in practice. A writer that DIED
+      // in that window (killed thread, fatal error) would otherwise
+      // turn every reader of the version into an infinite spin, so
+      // after a generous wall-clock budget the wait fails LOUDLY,
+      // naming the version — distinguishable from both "expired" and
+      // "never published" (which return None immediately)
+      val deadlineNanos = System.nanoTime() + 30L * 1000L * 1000L * 1000L
       var spins = 0
       while (true) {
         if (version < expiredBelow) return None
         val h = history.get(version)
         if (h != null) return Some(h)
         if (ref.get().version < version) return None
+        if (System.nanoTime() > deadlineNanos)
+          sys.error(
+            s"snapshotAt($version): version is published (head=${ref.get().version}) but its snapshot " +
+              "never arrived after 30s — a writer died between its CAS publish and its history record"
+          )
         if (spins < 1000) Thread.onSpinWait() else Thread.`yield`()
         spins += 1
       }

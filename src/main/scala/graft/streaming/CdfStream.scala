@@ -50,6 +50,19 @@ object CdfStream {
   val CHANGE_TYPE = "_change_type"
   val COMMIT_VERSION = "_commit_version"
 
+  /** The session's Hadoop configuration (falling back to defaults off
+    * a session) — without it every ParquetReader here would open
+    * files against an EMPTY Configuration, which resolves local paths
+    * but breaks HDFS/S3A/GCS despite the GraftFs same-code-on-all-
+    * stores posture. Driver-side call sites read it directly; the
+    * executor-side reader factory ships it as a
+    * [[org.apache.spark.util.SerializableConfiguration]].
+    */
+  private[streaming] def sessionHadoopConf: org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
   def outputSchema(tableSchema: StructType): StructType =
     StructType(
       tableSchema.fields.toSeq :+
@@ -65,7 +78,7 @@ object CdfStream {
   def dvTargets(paths: Seq[String]): Set[(String, String)] = {
     val out = scala.collection.mutable.Set.empty[(String, String)]
     paths.foreach { p =>
-      val rdr = ParquetReader.builder(new GroupReadSupport(), new Path(p)).build()
+      val rdr = ParquetReader.builder(new GroupReadSupport(), new Path(p)).withConf(sessionHadoopConf).build()
       try {
         var g = rdr.read()
         while (g != null) {
@@ -214,7 +227,7 @@ final class CdfScan(
       // the driver at planning, group per target file
       val perTarget = scala.collection.mutable.Map.empty[(String, String), scala.collection.mutable.ArrayBuffer[Long]]
       c.dvAdded.foreach { dv =>
-        val rdr = ParquetReader.builder(new GroupReadSupport(), new Path(path(dv))).build()
+        val rdr = ParquetReader.builder(new GroupReadSupport(), new Path(path(dv))).withConf(CdfStream.sessionHadoopConf).build()
         try {
           var g = rdr.read()
           while (g != null) {
@@ -245,15 +258,23 @@ final class CdfScan(
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new CdfReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdfReaderFactory(
+      new org.apache.spark.util.SerializableConfiguration(CdfStream.sessionHadoopConf)
+    )
 }
 
-private final class CdfReaderFactory extends PartitionReaderFactory {
+/** Carries the driver session's Hadoop configuration to the executors
+  * (serialized once per factory, not per partition) so the data/cdc
+  * file opens resolve the same filesystems the session does.
+  */
+private final class CdfReaderFactory(conf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CdfPartition]
     new PartitionReader[InternalRow] {
       private val reader: ParquetReader[Group] =
-        ParquetReader.builder(new GroupReadSupport(), new Path(p.path)).build()
+        ParquetReader.builder(new GroupReadSupport(), new Path(p.path)).withConf(conf.value).build()
       private val tombs: java.util.HashSet[java.lang.Long] = {
         val s = new java.util.HashSet[java.lang.Long]()
         p.tombstones.foreach(t => s.add(t))

@@ -499,9 +499,12 @@ class PlanSpec extends SparkSpec {
 
   test("size-gated LM count join: broadcast below the gate, sort-merge pinned above it — both paths") {
     // the LM ladder (q237/q260/q274/q360) routes its n-gram TYPE
-    // tables through this gate; the per-query tests above pin the
-    // below-gate (broadcast) shape on the real corpus, this one pins
-    // BOTH shapes on one fixture so the above-gate path cannot rot
+    // tables through this gate, and so does q414's SCD2 close join
+    // (a commit's change batch is unbounded in production — the one
+    // lakehouse join that previously forced a broadcast); the
+    // per-query tests above pin the below-gate (broadcast) shape on
+    // the real corpus, this one pins BOTH shapes on one fixture so
+    // the above-gate path cannot rot
     val counts = spark
       .range(0, 200)
       .selectExpr("CAST(id AS STRING) AS lft", "CAST(id + 1 AS STRING) AS rgt", "id AS c")

@@ -202,12 +202,16 @@ class ManifestCatalogSpec extends SparkSpec {
     spark.range(1).select(col("id").as("k")).coalesce(1).write.parquet(s"$tdir/crashed")
     // BEFORE expiration v1's file is still live in a replayable
     // version — vacuum must keep it, and VERSION AS OF 1 still serves
-    val deleted1 = ManifestMaintenance.vacuum(tdir, log)
+    // with the DEFAULT grace the seconds-old staged file is protected
+    // even though no version references it — exactly the window a
+    // concurrent writer's about-to-commit staging occupies
+    assert(ManifestMaintenance.unreachable(tdir, log).isEmpty)
+    val deleted1 = ManifestMaintenance.vacuum(tdir, log, graceMs = 0L)
     assert(deleted1.map(_.dir).toSet === Set("crashed"), deleted1.toString)
     assert(spark.sql("SELECT count(*) FROM graft_mfst.db.mvac1 VERSION AS OF 1").collect()(0).getLong(0) === 5L)
     // expire below v2, then vacuum: v1's rewritten-away file goes
     log.expireBefore(2L)
-    val deleted2 = ManifestMaintenance.vacuum(tdir, log)
+    val deleted2 = ManifestMaintenance.vacuum(tdir, log, graceMs = 0L)
     assert(deleted2.size === 1)
     assert(spark.table("graft_mfst.db.mvac1").collect().map(_.getLong(0)).sorted.toSeq === Seq(0L, 1L, 2L))
     assertThrows[Exception](spark.sql("SELECT * FROM graft_mfst.db.mvac1 VERSION AS OF 1").collect())
