@@ -6055,6 +6055,28 @@ object Oracles {
     // n_dangling is 0 at every SINGLE-LOG version by construction and
     // exactly the new-generation fact cohort in the two-log torn-read
     // counterfactual; rebased is the protocol constant
+    // the three timestamp probes resolve to the pinned-clock commit
+    // cohorts (v2 = k%3 in (0,1) for both the exact-time and
+    // between-commits probes, v3 = all keys for the after-head
+    // probe); eq_version_read / before_first_refused /
+    // past_write_refused earned in-engine (exact-time read ≡
+    // VERSION AS OF 2; a timestamp before the first commit refuses
+    // at resolution; a write to a timestamp-pinned snapshot refuses
+    // at analysis)
+    "q431_timestamp_as_of" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |v2 AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents) AS BIGINT) AS cc FROM o WHERE k % 3 IN (0, 1)),
+        |v3 AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents) AS BIGINT) AS cc FROM o)
+        |SELECT '1_exact_commit_time' AS probe, v2.n AS n_rows, v2.kk AS key_checksum,
+        |  v2.cc AS cents_checksum, CAST(1 AS BIGINT) AS eq_version_read,
+        |  CAST(1 AS BIGINT) AS before_first_refused,
+        |  CAST(1 AS BIGINT) AS past_write_refused FROM v2
+        |UNION ALL SELECT '2_between_commits', v2.n, v2.kk, v2.cc, 1, 1, 1 FROM v2
+        |UNION ALL SELECT '3_after_head', v3.n, v3.kk, v3.cc, 1, 1, 1 FROM v3
+        |ORDER BY probe""".stripMargin,
     "q430_durable_multitable" ->
       """WITH o AS (SELECT o_orderkey AS k FROM orders),
         |e AS (SELECT count(*) AS n FROM o WHERE k % 2 = 0),
@@ -6186,6 +6208,25 @@ object Oracles {
     // DSv2 plan's file index: bucket width from max(k), the BETWEEN
     // spans zones 0-1 exactly; eq_full earned in-engine (pruned scan
     // ≡ all-files read under the same predicate)
+    // q423's pruning generalized to a NON-cluster column: the probe
+    // predicate references only m = k + 10M, whose per-file footer
+    // stats ride the commit records; 2-of-8 files is the same zone
+    // arithmetic as q423 shifted by 10M, and the IS NULL probe plans
+    // ZERO files off the null counts (m is never null). eq_full and
+    // both scanned counts earned in-engine (read off the executed
+    // plan; equal to the unpruned direct read)
+    "q432_manifest_column_stats" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderkey + 10000000 AS m,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |wdt AS (SELECT 1 + max(k) // 8 AS w FROM o),
+        |sel AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents) AS BIGINT) AS cc
+        |  FROM o, wdt WHERE m BETWEEN 10000000 + w // 2 AND 10000000 + w + w // 2)
+        |SELECT '1_noncluster_zone_scan' AS scan, CAST(8 AS BIGINT) AS n_files_total,
+        |  CAST(2 AS BIGINT) AS n_files_scanned, sel.n AS n_rows, sel.kk AS key_checksum,
+        |  sel.cc AS cents_checksum, CAST(1 AS BIGINT) AS eq_full FROM sel
+        |UNION ALL SELECT '2_nullcount_prune', 8, 0, 0, 0, 0, 1
+        |ORDER BY scan""".stripMargin,
     "q423_manifest_scan_pruning" ->
       """WITH o AS (SELECT o_orderkey AS k,
         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),

@@ -16254,4 +16254,134 @@ object Queries {
     ).toDF("phase", "version", "n_fact_rows", "n_dim_rows", "n_dangling", "rebased")
       .orderBy("phase")
   }
+
+  // TIMESTAMP AS OF THROUGH THE MANIFEST CATALOG — the time-travel
+  // front door's second clause (q422/q429 cover VERSION AS OF and
+  // refs): every commit carries an INJECTED wall-clock (the
+  // DurableManifestLog clock seam — pinned here, sampled in
+  // production), and `TIMESTAMP AS OF t` resolves to the LATEST
+  // version whose commit time is at-or-before t (the Delta/Iceberg
+  // convention), as a read-only pinned snapshot. All three boundary
+  // cases are pinned: the EXACT commit time resolves that commit, a
+  // timestamp AFTER the head serves the head (that version was
+  // current then), a timestamp BEFORE the first commit refuses
+  // loudly at resolution (the table did not exist — silently serving
+  // the empty genesis would be a wrong answer, not a refusal). Earned
+  // in-engine: the exact-time read must be bit-identical to the
+  // VERSION AS OF 2 read. Scale shape: resolution is one chain walk
+  // over commit records (metadata cardinality); the read is the same
+  // zone-mapped BatchScan every pinned version serves.
+  def manifestTimestampAsOf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft_mfst", classOf[graft.sources.ManifestCatalog].getName)
+    s.sql("DROP TABLE IF EXISTS graft_mfst.db.q431t")
+    t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .createOrReplaceTempView("q431_src")
+    // pinned commit clocks: v1@10s, v2@20s, v3@30s epoch
+    val ticks = Iterator(10000L, 20000L, 30000L)
+    graft.sources.DurableManifestLog.withClock(() => ticks.next()) {
+      s.sql("CREATE TABLE graft_mfst.db.q431t (k BIGINT, cents BIGINT) TBLPROPERTIES ('cluster_key'='k')")
+      s.sql("INSERT INTO graft_mfst.db.q431t SELECT k, cents FROM q431_src WHERE k % 3 = 0") // v1 @ 10s
+      s.sql("INSERT INTO graft_mfst.db.q431t SELECT k, cents FROM q431_src WHERE k % 3 = 1") // v2 @ 20s
+      s.sql("INSERT INTO graft_mfst.db.q431t SELECT k, cents FROM q431_src WHERE k % 3 = 2") // v3 @ 30s
+    }
+    def census(fromClause: String): (Long, Long, Long) = {
+      val r = s
+        .sql(s"SELECT count(*) AS n, sum(k) AS kk, sum(cents) AS cc FROM graft_mfst.db.q431t $fromClause")
+        .collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val exact = census("TIMESTAMP AS OF '1970-01-01 00:00:20'") // v2's own commit time
+    val between = census("TIMESTAMP AS OF '1970-01-01 00:00:25'") // latest at-or-before → still v2
+    val afterHead = census("TIMESTAMP AS OF '1970-01-01 00:01:40'") // head was current then → v3
+    val eqVersionRead = if (exact == census("VERSION AS OF 2")) 1L else 0L
+    val beforeFirstRefused =
+      try { census("TIMESTAMP AS OF '1970-01-01 00:00:05'"); 0L }
+      catch { case e: Exception => if (e.getMessage != null && e.getMessage.contains("TIMESTAMP AS OF")) 1L else 0L }
+    val pastWriteRefused =
+      try { s.sql("INSERT INTO graft_mfst.db.q431t TIMESTAMP AS OF '1970-01-01 00:00:20' VALUES (0, 0)"); 0L }
+      catch { case _: Exception => 1L }
+    Seq(
+      ("1_exact_commit_time", exact._1, exact._2, exact._3),
+      ("2_between_commits", between._1, between._2, between._3),
+      ("3_after_head", afterHead._1, afterHead._2, afterHead._3)
+    ).map { case (p, n, kk, cc) => (p, n, kk, cc, eqVersionRead, beforeFirstRefused, pastWriteRefused) }
+      .toDF("probe", "n_rows", "key_checksum", "cents_checksum", "eq_version_read", "before_first_refused", "past_write_refused")
+      .orderBy("probe")
+  }
+
+  // PER-COLUMN FILE STATS — q423's zone pruning generalized beyond
+  // the cluster key (the r12 verdict's Missing #3, last item): commit
+  // records now carry (min, max, nullCount) for EVERY integral column
+  // of each staged file, read from the parquet FOOTERS the writer
+  // already opens (one metadata read per file, never a data scan) —
+  // the Iceberg lower/upper-bounds + null_value_counts convention.
+  // The fixture stages eight single-file zones clustered by k where a
+  // SECOND column m = k + 10M tracks the layout; the probe predicate
+  // references ONLY m — under cluster-key-only stats it would scan
+  // all 8 files, with per-column stats the planned BatchScan's file
+  // index holds exactly the 2 intersecting files (n_files_scanned is
+  // read off the EXECUTED plan, the q423 introspection). Earned equal
+  // to the same predicate over a direct all-files read (eq_full), and
+  // a null-count prune is pinned too: m IS NULL over never-null files
+  // plans ZERO files. Every filter stays a residual — a wrong zone
+  // over-reads, never wrong-answers.
+  def manifestColumnStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft_mfst", classOf[graft.sources.ManifestCatalog].getName)
+    s.sql("DROP TABLE IF EXISTS graft_mfst.db.q432t")
+    s.sql(
+      "CREATE TABLE graft_mfst.db.q432t (k BIGINT, m BIGINT, cents BIGINT) TBLPROPERTIES ('cluster_key'='k')"
+    )
+    val orders = t(s, dir, "orders")
+      .select(
+        col("o_orderkey").as("k"),
+        (col("o_orderkey") + 10000000L).as("m"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents")
+      )
+    orders.createOrReplaceTempView("q432_src")
+    val maxK = orders.agg(max(col("k"))).collect()(0).getLong(0)
+    val w = 1L + maxK / 8L
+    (0 until 8).foreach { i =>
+      s.sql(
+        s"INSERT INTO graft_mfst.db.q432t SELECT /*+ COALESCE(1) */ k, m, cents FROM q432_src " +
+          s"WHERE k >= ${i * w} AND k < ${(i + 1) * w}"
+      )
+    }
+    // the probe references ONLY the non-cluster column m
+    val lo = 10000000L + w / 2
+    val hi = 10000000L + w + w / 2
+    val df = s.sql(
+      s"SELECT count(*) AS n, sum(k) AS kk, sum(cents) AS cc FROM graft_mfst.db.q432t WHERE m BETWEEN $lo AND $hi"
+    )
+    val r = df.collect()(0)
+    val pruned = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val scanned =
+      org.apache.spark.sql.graft.manifestGlue.scanInputFiles(df.queryExecution.executedPlan).distinct.size.toLong
+    // null-count prune: m is never null, so IS NULL plans zero files
+    val nullDf = s.sql("SELECT count(*) AS n FROM graft_mfst.db.q432t WHERE m IS NULL")
+    val nullRows = nullDf.collect()(0).getLong(0)
+    val nullScanned =
+      org.apache.spark.sql.graft.manifestGlue.scanInputFiles(nullDf.queryExecution.executedPlan).distinct.size.toLong
+    // the unpruned truth: every live file read directly, same predicate
+    val tdir = s"${graft.sources.ManifestCatalog.defaultWarehouse}/db/q432t"
+    val log = graft.sources.DurableManifestLog.open(tdir)
+    val allPaths = log
+      .liveFiles(log.head())
+      .toSeq
+      .sortBy(x => (x.dir, x.file))
+      .map(x => s"$tdir/${x.dir}/${x.file}")
+    val fr = s.read
+      .parquet(allPaths: _*)
+      .filter(col("m").between(lo, hi))
+      .agg(count(lit(1)), sum(col("k")), sum(col("cents")))
+      .collect()(0)
+    val eqFull = if ((fr.getLong(0), fr.getLong(1), fr.getLong(2)) == pruned) 1L else 0L
+    Seq(
+      ("1_noncluster_zone_scan", allPaths.size.toLong, scanned, pruned._1, pruned._2, pruned._3, eqFull),
+      ("2_nullcount_prune", allPaths.size.toLong, nullScanned, nullRows, 0L, 0L, eqFull)
+    ).toDF("scan", "n_files_total", "n_files_scanned", "n_rows", "key_checksum", "cents_checksum", "eq_full")
+      .orderBy("scan")
+  }
 }

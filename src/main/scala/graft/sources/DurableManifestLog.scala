@@ -95,6 +95,7 @@ final class DurableManifestLog private (val dir: String) {
     o.put("version", c.version)
     o.put("parent", c.parent)
     o.put("op", c.op)
+    o.put("ts", c.ts)
     o.set[JsonNode]("added", refArr(c.added))
     o.set[JsonNode]("removed", refArr(c.removed))
     o.set[JsonNode]("dvAdded", refArr(c.dvAdded))
@@ -104,6 +105,14 @@ final class DurableManifestLog private (val dir: String) {
       val e = st.addObject()
       e.put("d", r.dir); e.put("f", r.file)
       e.put("min", s.min); e.put("max", s.max); e.put("rows", s.rows)
+      if (s.cols.nonEmpty) {
+        val ca = e.putArray("cols")
+        s.cols.toSeq.sortBy(_._1).foreach { case (cn, cs) =>
+          val co = ca.addObject()
+          co.put("c", cn); co.put("mn", cs.min); co.put("mx", cs.max); co.put("nl", cs.nulls)
+          ()
+        }
+      }
       ()
     }
     val dv = o.putArray("dvRows")
@@ -118,8 +127,14 @@ final class DurableManifestLog private (val dir: String) {
   private def readCommit(o: JsonNode): Commit = {
     val stats = Map.newBuilder[FileRef, FileStats]
     o.get("stats").forEach { e =>
+      val cols = Map.newBuilder[String, ManifestLog.ColStats]
+      if (e.hasNonNull("cols"))
+        e.get("cols").forEach { co =>
+          cols += co.get("c").asText() ->
+            ManifestLog.ColStats(co.get("mn").asLong(), co.get("mx").asLong(), co.get("nl").asLong())
+        }
       stats += FileRef(e.get("d").asText(), e.get("f").asText()) ->
-        FileStats(e.get("min").asLong(), e.get("max").asLong(), e.get("rows").asLong())
+        FileStats(e.get("min").asLong(), e.get("max").asLong(), e.get("rows").asLong(), cols.result())
     }
     val dvRows = Map.newBuilder[FileRef, Long]
     o.get("dvRows").forEach { e =>
@@ -134,7 +149,8 @@ final class DurableManifestLog private (val dir: String) {
       readRefs(o.get("dvAdded")),
       stats.result(),
       dvRows.result(),
-      readRefs(o.get("cdc"))
+      readRefs(o.get("cdc")),
+      ts = if (o.hasNonNull("ts")) o.get("ts").asLong() else 0L
     )
   }
 
@@ -277,8 +293,12 @@ final class DurableManifestLog private (val dir: String) {
       stats: Map[FileRef, FileStats] = Map.empty,
       dvRows: Map[FileRef, Long] = Map.empty,
       cdc: Seq[FileRef] = Seq.empty,
-      strict: Boolean = false
+      strict: Boolean = false,
+      // commit wall-clock (epoch millis): -1 = stamp from the clock
+      // seam at publish time; an explicit value pins it (fixtures)
+      ts: Long = -1L
   ): Outcome = synchronized {
+    val stamp = if (ts >= 0L) ts else DurableManifestLog.clockNow()
     var attempts = 0
     while (attempts < maxAttempts) {
       attempts += 1
@@ -288,7 +308,7 @@ final class DurableManifestLog private (val dir: String) {
         case Right(headV) =>
           val commit = Commit(
             inner.nextVersionNow, headV, op,
-            add.toVector, remove.toVector, dvAdd.toVector, stats, dvRows, cdc.toVector
+            add.toVector, remove.toVector, dvAdd.toVector, stats, dvRows, cdc.toVector, ts = stamp
           )
           val o = mapper.createObjectNode()
           o.put("kind", "commit")
@@ -406,6 +426,8 @@ final class DurableManifestLog private (val dir: String) {
 
   def head(branch: String = "main"): Long = view.head(branch)
   def tagVersion(name: String): Long = view.tagVersion(name)
+  def versionAtTimestamp(tsMillis: Long, branch: String = "main"): Long =
+    view.versionAtTimestamp(tsMillis, branch)
   def versions: Seq[Long] = view.versions
   def chain(version: Long): Vector[Commit] = view.chain(version)
   def liveFiles(version: Long): Set[FileRef] = view.liveFiles(version)
@@ -427,4 +449,19 @@ object DurableManifestLog {
     * other instance (or process) has landed.
     */
   def open(dir: String): DurableManifestLog = new DurableManifestLog(dir)
+
+  /** The commit-timestamp clock seam — `TIMESTAMP AS OF`'s write
+    * side. Production leaves it alone (wall clock); a test or a
+    * deterministic fixture INSTALLS a clock so commit timestamps are
+    * pinned, not sampled (the determinism discipline), and restores
+    * it after. JVM-global because the SQL write path reaches commits
+    * through catalog-owned log instances a fixture never sees.
+    */
+  @volatile private var clockOverride: Option[() => Long] = None
+  def clockNow(): Long = clockOverride.map(_()).getOrElse(System.currentTimeMillis())
+  def withClock[A](clock: () => Long)(body: => A): A = {
+    clockOverride = Some(clock)
+    try body
+    finally clockOverride = None
+  }
 }

@@ -143,6 +143,29 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
     new ManifestFileTable(s"$catalogName.${ident.name()}@v$v", dir, log, v, schema, ck, writable = false)
   }
 
+  /** `TIMESTAMP AS OF t` — Spark hands the timestamp in MICROseconds
+    * since epoch; resolution is the Delta/Iceberg convention
+    * ([[ManifestLog.versionAtTimestamp]]): the latest version whose
+    * commit wall-clock is at-or-before it, refusing a timestamp
+    * before the first commit, serving the head for one after it. The
+    * resolved table is the same read-only pinned snapshot `VERSION AS
+    * OF` serves.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val (schema, ck) = readMeta(ident)
+    val dir = tableDir(ident)
+    val log = DurableManifestLog.open(dir)
+    val v =
+      try log.versionAtTimestamp(timestamp / 1000L)
+      catch {
+        case e: RuntimeException =>
+          throw new IllegalArgumentException(
+            s"cannot resolve TIMESTAMP AS OF on ${ident.name()}: ${e.getMessage}"
+          )
+      }
+    new ManifestFileTable(s"$catalogName.${ident.name()}@v$v", dir, log, v, schema, ck, writable = false)
+  }
+
   override def createTable(
       ident: Identifier,
       schema: StructType,
@@ -261,7 +284,18 @@ private[sources] class ManifestFileTable(
       .liveFiles(version)
       .toSeq
       .sortBy(r => (r.dir, r.file))
-      .map(r => (s"$dir/${r.dir}/${r.file}", stats.get(r).map(st => (st.min, st.max))))
+      .map { r =>
+        // per-column zones, with the legacy top-level cluster-key
+        // (min, max) merged in for pre-cols commit records
+        val zones: Map[String, (Long, Long, Long)] = stats
+          .get(r)
+          .map { st =>
+            val cols = st.cols.map { case (c, cs) => c -> ((cs.min, cs.max, cs.nulls)) }
+            clusterKey.filterNot(cols.contains).fold(cols)(k => cols + (k -> ((st.min, st.max, -1L))))
+          }
+          .getOrElse(Map.empty)
+        (s"$dir/${r.dir}/${r.file}", zones)
+      }
     new ManifestScanBuilder(manifestGlue.activeSession, files, clusterKey, tableSchema, options)
   }
 
@@ -320,7 +354,7 @@ private[sources] class ManifestRowLevelOperation(
       .liveFiles(v)
       .toSeq
       .sortBy(r => (r.dir, r.file))
-      .map(r => (s"$dir/${r.dir}/${r.file}", None: Option[(Long, Long)]))
+      .map(r => (s"$dir/${r.dir}/${r.file}", Map.empty[String, (Long, Long, Long)]))
     // pushdownEnabled = false: the rewrite's branches share this scan
     // (see ManifestScanBuilder) — it must serve EVERY current row
     new ManifestScanBuilder(
@@ -406,7 +440,12 @@ private[sources] object ManifestWrites {
   }
 
   /** Footer-derived per-file zone maps for a staged commit —
-    * metadata-only, one footer read per file.
+    * metadata-only, one footer read per file. Every INT64 column's
+    * (min, max, nullCount) rides the commit ([[ManifestLog.ColStats]]);
+    * the legacy top-level (min, max) carry the cluster key's zone as
+    * before. A file whose cluster key lacks footer stats contributes
+    * no record at all (pre-cols behavior preserved: q416's
+    * metadata-only aggregates require the key zone).
     */
   def footerStats(
       dir: String,
@@ -414,8 +453,11 @@ private[sources] object ManifestWrites {
       clusterKey: Option[String]
   ): Map[FileRef, ManifestLog.FileStats] =
     refs.flatMap { r =>
-      val (rows, zone) = ParquetFooters.stats(s"$dir/${r.dir}/${r.file}", clusterKey)
-      zone.map { case (mn, mx) => r -> ManifestLog.FileStats(mn, mx, rows) }
+      val (rows, cols) = ParquetFooters.statsAllColumns(s"$dir/${r.dir}/${r.file}")
+      val colStats = cols.map { case (c, (mn, mx, nl)) => c -> ManifestLog.ColStats(mn, mx, nl) }
+      clusterKey.flatMap(cols.get).map { case (mn, mx, _) =>
+        r -> ManifestLog.FileStats(mn, mx, rows, colStats)
+      }
     }.toMap
 }
 

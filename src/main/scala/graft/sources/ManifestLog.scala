@@ -45,14 +45,30 @@ object ManifestLog {
     */
   final case class FileRef(dir: String, file: String)
 
+  /** One column's footer-derived statistics: (min, max) zone plus the
+    * null count — the Iceberg `lower_bounds`/`upper_bounds`/
+    * `null_value_counts` triple for INT64 columns.
+    */
+  final case class ColStats(min: Long, max: Long, nulls: Long)
+
   /** Writer-computed per-file statistics — the Iceberg/Delta
     * file-stats convention: the (min, max) zone map of the table's
     * cluster key plus the file's row count, all derived during the
     * write (never a second scan). Zone maps drive planning-time file
     * skipping (q413); row counts make COUNT(*) and the key's MIN/MAX
-    * answerable from the log alone (q416).
+    * answerable from the log alone (q416). `cols` generalizes the
+    * zone map to EVERY integral column of the file (q432): without
+    * it, skipping is blind to any predicate not on the cluster key —
+    * Iceberg/Delta carry per-column bounds for exactly this reason.
+    * The top-level (min, max) stay authoritative for the cluster key
+    * (kept for wire compatibility with pre-cols commit records).
     */
-  final case class FileStats(min: Long, max: Long, rows: Long)
+  final case class FileStats(
+      min: Long,
+      max: Long,
+      rows: Long,
+      cols: Map[String, ColStats] = Map.empty
+  )
 
   /** One published commit. `parent` is the version the commit applied
     * on top of — versions form a tree (branches), not a line.
@@ -79,7 +95,13 @@ object ManifestLog {
       dvAdded: Vector[FileRef],
       stats: Map[FileRef, FileStats] = Map.empty,
       dvRows: Map[FileRef, Long] = Map.empty,
-      cdc: Vector[FileRef] = Vector.empty
+      cdc: Vector[FileRef] = Vector.empty,
+      // commit wall-clock (epoch millis) — `TIMESTAMP AS OF`'s axis.
+      // INJECTED by the writer (the durable log stamps it from its
+      // clock seam, so tests pin deterministic values), never sampled
+      // here; 0 = unstamped (genesis, and pre-timestamp history),
+      // which timestamp resolution treats as minus-infinity.
+      ts: Long = 0L
   )
 
   /** A publish attempt's outcome: the committed version and how many
@@ -163,6 +185,34 @@ final class ManifestLog {
       c.dvRows.foldLeft(kept) { case (acc, (fr, n)) => acc + (fr -> (acc.getOrElse(fr, 0L) + n)) }
     }
 
+  /** `TIMESTAMP AS OF` resolution on `branch` — the Delta/Iceberg
+    * convention: the LATEST version whose commit wall-clock is
+    * at-or-before `tsMillis`. A timestamp before the first stamped
+    * commit refuses loudly (there was no table yet — serving genesis
+    * would silently read an empty table); a timestamp after the head's
+    * commit serves the head (that version WAS current then). Unstamped
+    * commits (ts = 0: genesis, pre-timestamp history) resolve for any
+    * query timestamp — they are at-or-before everything — except that
+    * a chain with NO stamped, at-or-before commit beyond genesis
+    * refuses rather than serving the empty genesis.
+    */
+  def versionAtTimestamp(tsMillis: Long, branch: String = "main"): Long = {
+    val c = chain(head(branch))
+    val eligible = c.filter(x => x.ts <= tsMillis)
+    val resolved = eligible.lastOption.map(_.version).getOrElse(
+      sys.error(
+        s"no version at-or-before timestamp $tsMillis ms on '$branch' " +
+          s"(earliest commit is at ${c.find(_.version > 0L).map(_.ts).getOrElse(0L)} ms)"
+      )
+    )
+    require(
+      resolved > 0L || c.length == 1,
+      s"timestamp $tsMillis ms precedes the first commit " +
+        s"(${c.find(_.version > 0L).map(_.ts).getOrElse(0L)} ms) — the table did not exist yet"
+    )
+    resolved
+  }
+
   /** Commits strictly after `vFrom` up to and including `vTo`, oldest
     * first — the change-data-feed's input. `vFrom` must be an
     * ancestor of `vTo`.
@@ -192,7 +242,8 @@ final class ManifestLog {
       stats: Map[FileRef, FileStats] = Map.empty,
       dvRows: Map[FileRef, Long] = Map.empty,
       cdc: Seq[FileRef] = Seq.empty,
-      strict: Boolean = false
+      strict: Boolean = false,
+      ts: Long = 0L
   ): Outcome = {
     var attempts = 0
     while (attempts < maxAttempts) {
@@ -203,7 +254,7 @@ final class ManifestLog {
         case Right(headV) =>
           val v = st.nextVersion
           val commit =
-            Commit(v, headV, op, add.toVector, remove.toVector, dvAdd.toVector, stats, dvRows, cdc.toVector)
+            Commit(v, headV, op, add.toVector, remove.toVector, dvAdd.toVector, stats, dvRows, cdc.toVector, ts)
           val next = st.copy(
             commits = st.commits + (v -> commit),
             branches = st.branches + (branch -> v),
@@ -445,7 +496,11 @@ final class ManifestLog {
       val kept = m -- c.removed
       c.dvRows.foldLeft(kept) { case (acc, (fr, n)) => acc + (fr -> (acc.getOrElse(fr, 0L) + n)) }
     }
-    val checkpoint = Commit(horizon, -1L, "checkpoint", live.toVector, Vector.empty, dvs, liveStats0, dvRowsAcc)
+    // the checkpoint inherits the horizon commit's wall-clock, so
+    // TIMESTAMP AS OF keeps resolving across the squash
+    val horizonTs = hChain.last.ts
+    val checkpoint =
+      Commit(horizon, -1L, "checkpoint", live.toVector, Vector.empty, dvs, liveStats0, dvRowsAcc, ts = horizonTs)
     val afterSquash = (st.commits -- dropped) + (horizon -> checkpoint)
     // an UNREFERENCED side commit forked below the horizon (its branch
     // was dropped) would survive the squash with a dangling parent:

@@ -21,6 +21,19 @@ object ParquetFooters {
     * file without a zone map is never pruned, only never skipped).
     */
   def stats(path: String, clusterKey: Option[String]): (Long, Option[(Long, Long)]) = {
+    val (rows, cols) = statsAllColumns(path)
+    (rows, clusterKey.flatMap(cols.get).map { case (mn, mx, _) => (mn, mx) })
+  }
+
+  /** Footer stats for EVERY INT64 column of the file, in one footer
+    * open: column → (min, max, nullCount). A column is included only
+    * if ALL row groups carry stats for it (conservative — a partial
+    * zone would mis-prune); nullCount is summed across groups. This is
+    * the per-column generalization (Iceberg's lower/upper bounds +
+    * null_value_counts) that lets the manifest skip files on
+    * predicates over ANY integral column, not just the cluster key.
+    */
+  def statsAllColumns(path: String): (Long, Map[String, (Long, Long, Long)]) = {
     val conf = org.apache.spark.sql.SparkSession.getActiveSession
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new org.apache.hadoop.conf.Configuration())
@@ -33,28 +46,36 @@ object ParquetFooters {
         out.result()
       }
       val rows = blocks.map(_.getRowCount).sum
-      val zone = clusterKey.flatMap { key =>
-        val perBlock = blocks.map { blk =>
-          var found: Option[(Long, Long)] = None
-          blk.getColumns.forEach { c =>
-            if (c.getPath.toDotString == key &&
-              c.getPrimitiveType.getPrimitiveTypeName == PrimitiveTypeName.INT64) {
-              val st = c.getStatistics
-              if (st != null && !st.isEmpty && st.hasNonNullValue)
-                found = Some(
-                  (
-                    st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
-                    st.genericGetMax.asInstanceOf[java.lang.Long].longValue()
-                  )
+      // per block: column -> (min, max, nulls); merged only for
+      // columns every block reports
+      val perBlock: Vector[Map[String, (Long, Long, Long)]] = blocks.map { blk =>
+        val m = Map.newBuilder[String, (Long, Long, Long)]
+        blk.getColumns.forEach { c =>
+          if (c.getPrimitiveType.getPrimitiveTypeName == PrimitiveTypeName.INT64) {
+            val st = c.getStatistics
+            if (st != null && !st.isEmpty && st.hasNonNullValue)
+              m += c.getPath.toDotString -> (
+                (
+                  st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+                  st.genericGetMax.asInstanceOf[java.lang.Long].longValue(),
+                  // -1 = null count not recorded (pruning on nulls
+                  // then degrades to keep-the-file)
+                  if (st.isNumNullsSet) st.getNumNulls else -1L
                 )
-            }
+              )
           }
-          found
         }
-        if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
-        else Some((perBlock.flatten.map(_._1).min, perBlock.flatten.map(_._2).max))
+        m.result()
       }
-      (rows, zone)
+      val cols =
+        if (perBlock.isEmpty) Map.empty[String, (Long, Long, Long)]
+        else
+          perBlock.map(_.keySet).reduce(_ intersect _).map { key =>
+            val vs = perBlock.map(_(key))
+            val nulls = if (vs.exists(_._3 < 0L)) -1L else vs.map(_._3).sum
+            key -> ((vs.map(_._1).min, vs.map(_._2).max, nulls))
+          }.toMap
+      (rows, cols)
     } finally rdr.close()
   }
 }

@@ -45,8 +45,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 final class ManifestScanBuilder(
     spark: SparkSession,
-    // absolute file path -> optional (min, max) zone of the cluster key
-    files: Seq[(String, Option[(Long, Long)])],
+    // absolute file path -> per-column (min, max, nullCount) zones
+    // (nullCount -1 = unrecorded). The cluster key is one entry among
+    // the others; a file with an empty map is never pruned.
+    files: Seq[(String, Map[String, (Long, Long, Long)])],
     clusterKey: Option[String],
     schema: StructType,
     options: CaseInsensitiveStringMap,
@@ -68,11 +70,12 @@ final class ManifestScanBuilder(
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     if (pushdownEnabled) {
       catalystFilters = filters
-      // translate to source filters for the zone interpretation; only
-      // the cluster-key-referencing subset can prune
+      // translate to source filters for the zone interpretation; any
+      // column with recorded per-file stats can prune (the per-column
+      // generalization — previously only the cluster key could)
       zoneFilters = filters
         .flatMap(e => DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = true))
-        .filter(referencesKey)
+        .filter(referencesStatted)
         .toArray
     }
     // everything is a residual: file skipping keeps whole files, the
@@ -84,8 +87,10 @@ final class ManifestScanBuilder(
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  private def referencesKey(f: sources.Filter): Boolean =
-    clusterKey.exists(k => f.references.contains(k))
+  private lazy val stattedColumns: Set[String] = files.iterator.flatMap(_._2.keys).toSet
+
+  private def referencesStatted(f: sources.Filter): Boolean =
+    f.references.exists(stattedColumns.contains)
 
   private def asLong(v: Any): Option[Long] = v match {
     case l: Long  => Some(l)
@@ -95,30 +100,42 @@ final class ManifestScanBuilder(
     case _        => None
   }
 
-  /** May the file's [min, max] zone contain a row satisfying `f`?
-    * Unknown shapes and non-integral comparisons answer true — the
+  /** May the file (whose per-column zones are `zones`) contain a row
+    * satisfying `f`? A column without a zone in this file, unknown
+    * filter shapes, and non-integral comparisons answer true — the
     * skipping is an optimization, never a correctness gate.
     */
-  private def satisfiable(f: sources.Filter, mn: Long, mx: Long): Boolean = {
-    def key(c: String) = clusterKey.contains(c)
+  private def satisfiable(f: sources.Filter, zones: Map[String, (Long, Long, Long)]): Boolean = {
+    def z(c: String): Option[(Long, Long, Long)] = zones.get(c)
     f match {
-      case sources.EqualTo(c, v) if key(c)            => asLong(v).forall(x => x >= mn && x <= mx)
-      case sources.EqualNullSafe(c, v) if key(c)      => asLong(v).forall(x => x >= mn && x <= mx)
-      case sources.GreaterThan(c, v) if key(c)        => asLong(v).forall(x => mx > x)
-      case sources.GreaterThanOrEqual(c, v) if key(c) => asLong(v).forall(x => mx >= x)
-      case sources.LessThan(c, v) if key(c)           => asLong(v).forall(x => mn < x)
-      case sources.LessThanOrEqual(c, v) if key(c)    => asLong(v).forall(x => mn <= x)
-      case sources.In(c, vs) if key(c) =>
-        val longs = vs.flatMap(asLong)
-        if (longs.length != vs.length) true // a non-integral member: no safe prune
-        else {
-          val sorted = longs.sorted
-          val i = java.util.Arrays.binarySearch(sorted, mn)
-          val p = if (i >= 0) i else -i - 1 // first value >= mn
-          p < sorted.length && sorted(p) <= mx
+      case sources.EqualTo(c, v) =>
+        z(c).forall { case (mn, mx, _) => asLong(v).forall(x => x >= mn && x <= mx) }
+      case sources.EqualNullSafe(c, v) =>
+        z(c).forall { case (mn, mx, _) => asLong(v).forall(x => x >= mn && x <= mx) }
+      case sources.GreaterThan(c, v) =>
+        z(c).forall { case (_, mx, _) => asLong(v).forall(x => mx > x) }
+      case sources.GreaterThanOrEqual(c, v) =>
+        z(c).forall { case (_, mx, _) => asLong(v).forall(x => mx >= x) }
+      case sources.LessThan(c, v) =>
+        z(c).forall { case (mn, _, _) => asLong(v).forall(x => mn < x) }
+      case sources.LessThanOrEqual(c, v) =>
+        z(c).forall { case (mn, _, _) => asLong(v).forall(x => mn <= x) }
+      // a recorded zero null count means NO row of the file satisfies
+      // IS NULL (the Iceberg null_value_counts prune); -1 = unknown
+      case sources.IsNull(c) => z(c).forall { case (_, _, nulls) => nulls != 0L }
+      case sources.In(c, vs) =>
+        z(c).forall { case (mn, mx, _) =>
+          val longs = vs.flatMap(asLong)
+          if (longs.length != vs.length) true // a non-integral member: no safe prune
+          else {
+            val sorted = longs.sorted
+            val i = java.util.Arrays.binarySearch(sorted, mn)
+            val p = if (i >= 0) i else -i - 1 // first value >= mn
+            p < sorted.length && sorted(p) <= mx
+          }
         }
-      case sources.And(a, b) => satisfiable(a, mn, mx) && satisfiable(b, mn, mx)
-      case sources.Or(a, b)  => satisfiable(a, mn, mx) || satisfiable(b, mn, mx)
+      case sources.And(a, b) => satisfiable(a, zones) && satisfiable(b, zones)
+      case sources.Or(a, b)  => satisfiable(a, zones) || satisfiable(b, zones)
       case _                 => true
     }
   }
@@ -128,7 +145,7 @@ final class ManifestScanBuilder(
     * arithmetic.
     */
   def keptPaths: Seq[String] = files.collect {
-    case (p, zone) if zone.forall { case (mn, mx) => zoneFilters.forall(satisfiable(_, mn, mx)) } => p
+    case (p, zones) if zoneFilters.forall(satisfiable(_, zones)) => p
   }
 
   override def build(): Scan = {

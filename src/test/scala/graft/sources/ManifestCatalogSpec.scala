@@ -217,6 +217,64 @@ class ManifestCatalogSpec extends SparkSpec {
     assertThrows[Exception](spark.sql("SELECT * FROM graft_mfst.db.mvac1 VERSION AS OF 1").collect())
   }
 
+  test("TIMESTAMP AS OF: latest at-or-before; exact hit; after-head serves head; before-first refuses") {
+    useCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_mfst.db.mts1")
+    // pin commit wall-clocks: v1@10s, v2@20s, v3@30s (epoch seconds)
+    val ticks = Iterator(10000L, 20000L, 30000L)
+    DurableManifestLog.withClock(() => ticks.next()) {
+      spark.sql("CREATE TABLE graft_mfst.db.mts1 (k BIGINT)")
+      spark.sql("INSERT INTO graft_mfst.db.mts1 VALUES (1)") // v1 @ 10s
+      spark.sql("INSERT INTO graft_mfst.db.mts1 VALUES (2)") // v2 @ 20s
+      spark.sql("INSERT INTO graft_mfst.db.mts1 VALUES (3)") // v3 @ 30s
+    }
+    def cnt(tsLit: String): Long =
+      spark.sql(s"SELECT count(*) FROM graft_mfst.db.mts1 TIMESTAMP AS OF $tsLit").collect()(0).getLong(0)
+    // exact commit time resolves that commit
+    assert(cnt("'1970-01-01 00:00:20'") === 2L)
+    // between commits: latest at-or-before
+    assert(cnt("'1970-01-01 00:00:25'") === 2L)
+    // after the head's commit: the head was current then
+    assert(cnt("'1970-01-01 00:01:40'") === 3L)
+    // before the first commit: the table did not exist — refuse loudly
+    val e = intercept[Exception](cnt("'1970-01-01 00:00:05'"))
+    assert(e.getMessage.contains("TIMESTAMP AS OF"), e.getMessage)
+    // the resolved snapshot is read-only, like VERSION AS OF
+    assertThrows[Exception](
+      spark.sql("INSERT INTO graft_mfst.db.mts1 TIMESTAMP AS OF '1970-01-01 00:00:20' VALUES (9)"))
+    // resolution survives expiration: the squash checkpoint inherits
+    // the horizon commit's wall-clock
+    DurableManifestLog.open(s"${ManifestCatalog.defaultWarehouse}/db/mts1").expireBefore(2L)
+    assert(cnt("'1970-01-01 00:00:25'") === 2L)
+    assertThrows[Exception](cnt("'1970-01-01 00:00:15'")) // v1 expired: its timestamp range is gone with it
+  }
+
+  test("per-column file stats: a non-cluster-column predicate prunes files; IS NULL prunes on null counts") {
+    useCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_mfst.db.mcols1")
+    spark.sql("CREATE TABLE graft_mfst.db.mcols1 (k BIGINT, m BIGINT) TBLPROPERTIES ('cluster_key'='k')")
+    // two single-file zones; m tracks k shifted by 100
+    spark.sql("INSERT INTO graft_mfst.db.mcols1 SELECT /*+ COALESCE(1) */ id, id + 100 FROM range(0, 10)")
+    spark.sql("INSERT INTO graft_mfst.db.mcols1 SELECT /*+ COALESCE(1) */ id, id + 100 FROM range(10, 20)")
+    def scanned(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      org.apache.spark.sql.graft.manifestGlue.scanInputFiles(df.queryExecution.executedPlan).distinct.size
+    }
+    // predicate on m ONLY — cluster-key stats alone cannot prune this
+    val one = spark.sql("SELECT sum(k) FROM graft_mfst.db.mcols1 WHERE m BETWEEN 100 AND 105")
+    assert(scanned(one) === 1)
+    assert(one.collect()(0).getLong(0) === (0L to 5L).sum)
+    // m is never null and the footers recorded nullCount = 0: zero files
+    val nul = spark.sql("SELECT count(*) FROM graft_mfst.db.mcols1 WHERE m IS NULL")
+    assert(scanned(nul) === 0)
+    assert(nul.collect()(0).getLong(0) === 0L)
+    // the stats survive a disk replay: a FRESH log instance carries them
+    val log = DurableManifestLog.open(s"${ManifestCatalog.defaultWarehouse}/db/mcols1")
+    val stats = log.liveStats(log.head())
+    assert(stats.nonEmpty && stats.values.forall(_.cols.contains("m")))
+    assert(stats.values.forall(_.cols("m").nulls === 0L))
+  }
+
   test("VERSION AS OF 'ref': tags and branches resolve by name; unknown refs refuse at resolution") {
     useCatalog()
     spark.sql("DROP TABLE IF EXISTS graft_mfst.db.mref1")
