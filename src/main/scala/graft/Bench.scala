@@ -134,19 +134,42 @@ object Bench {
       if (ok) dt else -1.0
     }
 
+    // HOST-THROTTLE CALIBRATION (r12 judge ask): the same fixed
+    // workload — a column-complete lineitem scan + three aggregates,
+    // code that never changes round-over-round — is timed at sweep
+    // START, MIDDLE and END and recorded in the artifact. A round
+    // whose per-query ratios read uniformly ~1.5× slow while the
+    // calibration triplet reads the same ratio is a throttled HOST,
+    // not a regression; a query that moved while calibration held
+    // steady is a real change. Warmed once before the start sample so
+    // all three samples are steady-state.
+    val calibration = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def calibrationProbe(label: String): Unit = {
+      val s0 = System.nanoTime()
+      graft.sources.Tables
+        .parquet(spark, sfDir, "lineitem")
+        .selectExpr("sum(l_quantity)", "sum(l_extendedprice)", "count(*)")
+        .collect()
+      calibration(label) = (System.nanoTime() - s0) / 1e9
+      ()
+    }
+
     def jsonLine(rs: Seq[(String, Double)]): String = {
       // artifact line in numeric id order regardless of sweep order,
       // so round-over-round diffs line up
       val sorted = rs.sortBy { case (k, _) => (numId(k), k) }
       val qs = sorted.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val cal = calibration.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val total = sorted.collect { case (_, v) if v > 0 => v }.sum
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calibration":$cal,"queries":$qs,"sf":"$sfDir"}"""
     }
 
     val sweepDeadline = budgetSec * 0.95
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var sweptCount = 0
     var sumFirst = 0.0 // running sum of FIRST timed passes — the tail estimator
+    calibrationProbe("warm") // codegen/JIT of the probe itself, discarded for comparisons
+    calibrationProbe("start")
     ordered.foreach { case (name, fn) =>
       // the reservation estimator: what one remaining query costs.
       // Keyed on the running average of FIRST timed passes (floor
@@ -195,10 +218,12 @@ object Bench {
           } else first
         }
       sweptCount += 1
+      if (sweptCount == ordered.size / 2) calibrationProbe("mid")
       results += (name -> v)
       // crash/timeout insurance: cumulative snapshot on stderr
       System.err.println(jsonLine(results.toSeq))
     }
+    calibrationProbe("end")
 
     val finalLine = jsonLine(results.toSeq)
     // round-5 judge note: the driver keeps only a TAIL of the captured

@@ -6215,6 +6215,47 @@ object Oracles {
     // ZERO files off the null counts (m is never null). eq_full and
     // both scanned counts earned in-engine (read off the executed
     // plan; equal to the unpruned direct read)
+    // v1 = the even cohort under the pre-evolution 2-column schema;
+    // the head adds the odd cohort written with bonus = cents % 1000,
+    // old rows null-filled (n_bonus_null = the even count). n_cols and
+    // dup_refused earned in-engine (per-version schema arity; a
+    // duplicate ADD COLUMN refuses pre-persist)
+    // q423's layout × 4 hive partitions (p = k % 4): 32 files; the
+    // scanned counts are the two-level pruning arithmetic (partition
+    // prune keeps 8, ∧ the k-zone keeps 2, zone-only keeps 2 zones ×
+    // 4 partitions = 8); censuses re-derived from the same cohorts;
+    // eq_full and every scanned count earned in-engine (executed-plan
+    // file census; equal to the direct all-files read)
+    "q434_partitioned_manifest" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderkey % 4 AS p,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |wdt AS (SELECT 1 + max(k) // 8 AS w FROM o),
+        |po AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents) AS BIGINT) AS cc FROM o WHERE p = 2),
+        |bz AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents) AS BIGINT) AS cc
+        |  FROM o, wdt WHERE p = 2 AND k BETWEEN w // 2 AND w + w // 2),
+        |zo AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents) AS BIGINT) AS cc
+        |  FROM o, wdt WHERE k BETWEEN w // 2 AND w + w // 2)
+        |SELECT '1_partition_only' AS probe, CAST(32 AS BIGINT) AS n_files_total,
+        |  CAST(8 AS BIGINT) AS n_files_scanned, po.n AS n_rows, po.kk AS key_checksum,
+        |  po.cc AS cents_checksum, CAST(1 AS BIGINT) AS eq_full FROM po
+        |UNION ALL SELECT '2_partition_and_zone', 32, 2, bz.n, bz.kk, bz.cc, 1 FROM bz
+        |UNION ALL SELECT '3_zone_only', 32, 8, zo.n, zo.kk, zo.cc, 1 FROM zo
+        |ORDER BY probe""".stripMargin,
+    "q433_schema_evolution" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |ev AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS cc FROM o WHERE k % 2 = 0),
+        |od AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS cc,
+        |    CAST(sum(cents % 1000) AS BIGINT) AS bb FROM o WHERE k % 2 = 1)
+        |SELECT '1_v1_pre_evolution' AS phase, ev.n AS n_rows, ev.cc AS cents_checksum,
+        |  CAST(0 AS BIGINT) AS bonus_checksum, CAST(0 AS BIGINT) AS n_bonus_null,
+        |  CAST(2 AS BIGINT) AS n_cols, CAST(1 AS BIGINT) AS dup_refused FROM ev
+        |UNION ALL SELECT '2_head_evolved', ev.n + od.n, ev.cc + od.cc, od.bb, ev.n, 3, 1
+        |  FROM ev, od
+        |ORDER BY phase""".stripMargin,
     "q432_manifest_column_stats" ->
       """WITH o AS (SELECT o_orderkey AS k, o_orderkey + 10000000 AS m,
         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),

@@ -96,6 +96,7 @@ final class DurableManifestLog private (val dir: String) {
     o.put("parent", c.parent)
     o.put("op", c.op)
     o.put("ts", c.ts)
+    c.schemaJson.foreach { sj => o.put("schema", sj); () }
     o.set[JsonNode]("added", refArr(c.added))
     o.set[JsonNode]("removed", refArr(c.removed))
     o.set[JsonNode]("dvAdded", refArr(c.dvAdded))
@@ -150,7 +151,8 @@ final class DurableManifestLog private (val dir: String) {
       stats.result(),
       dvRows.result(),
       readRefs(o.get("cdc")),
-      ts = if (o.hasNonNull("ts")) o.get("ts").asLong() else 0L
+      ts = if (o.hasNonNull("ts")) o.get("ts").asLong() else 0L,
+      schemaJson = if (o.hasNonNull("schema")) Some(o.get("schema").asText()) else None
     )
   }
 
@@ -296,7 +298,8 @@ final class DurableManifestLog private (val dir: String) {
       strict: Boolean = false,
       // commit wall-clock (epoch millis): -1 = stamp from the clock
       // seam at publish time; an explicit value pins it (fixtures)
-      ts: Long = -1L
+      ts: Long = -1L,
+      schemaJson: Option[String] = None
   ): Outcome = synchronized {
     val stamp = if (ts >= 0L) ts else DurableManifestLog.clockNow()
     var attempts = 0
@@ -308,7 +311,8 @@ final class DurableManifestLog private (val dir: String) {
         case Right(headV) =>
           val commit = Commit(
             inner.nextVersionNow, headV, op,
-            add.toVector, remove.toVector, dvAdd.toVector, stats, dvRows, cdc.toVector, ts = stamp
+            add.toVector, remove.toVector, dvAdd.toVector, stats, dvRows, cdc.toVector,
+            ts = stamp, schemaJson = schemaJson
           )
           val o = mapper.createObjectNode()
           o.put("kind", "commit")
@@ -428,6 +432,7 @@ final class DurableManifestLog private (val dir: String) {
   def tagVersion(name: String): Long = view.tagVersion(name)
   def versionAtTimestamp(tsMillis: Long, branch: String = "main"): Long =
     view.versionAtTimestamp(tsMillis, branch)
+  def schemaAt(version: Long): Option[String] = view.schemaAt(version)
   def versions: Seq[Long] = view.versions
   def chain(version: Long): Vector[Commit] = view.chain(version)
   def liveFiles(version: Long): Set[FileRef] = view.liveFiles(version)

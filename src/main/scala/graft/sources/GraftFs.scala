@@ -62,6 +62,16 @@ object GraftFs {
     catch { case _: java.io.FileNotFoundException => 0L }
   }
 
+  /** Same-filesystem move — the partitioned write's publish step
+    * (staged part files move under the table's `<col>=<value>` dirs).
+    * NOT a CAS: callers guarantee collision-free destinations (Spark
+    * part-file names carry a per-job UUID). One namespace op.
+    */
+  def rename(src: String, dst: String): Boolean = {
+    val s = new Path(src)
+    fsFor(s).rename(s, new Path(dst))
+  }
+
   def mkdirs(path: String): Unit = {
     val p = new Path(path)
     fsFor(p).mkdirs(p)

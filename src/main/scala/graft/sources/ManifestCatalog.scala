@@ -76,13 +76,14 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
       .toArray
   }
 
-  private def readMeta(ident: Identifier): (StructType, Option[String]) = {
+  private def readMeta(ident: Identifier): (StructType, Option[String], Option[String]) = {
     val metaPath = s"${tableDir(ident)}/_table.json"
     if (!GraftFs.exists(metaPath)) throw new NoSuchTableException(ident)
     val n = mapper.readTree(GraftFs.readBytes(metaPath))
     val schema = DataType.fromJson(n.get("schema").asText()).asInstanceOf[StructType]
     val ck = if (n.hasNonNull("clusterKey")) Some(n.get("clusterKey").asText()) else None
-    (schema, ck)
+    val pc = if (n.hasNonNull("partitionCol")) Some(n.get("partitionCol").asText()) else None
+    (schema, ck, pc)
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -95,21 +96,45 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
       val parent = Identifier.of(ident.namespace().init, ident.namespace().last)
       val pdir = tableDir(parent)
       if (GraftFs.exists(s"$pdir/_table.json")) {
-        val (schema, _) = readMeta(parent)
+        val (genesis, _, parentPc) = readMeta(parent)
+        val plog = DurableManifestLog.open(pdir)
+        val schema = effectiveSchema(plog, plog.head(), genesis)
         val full = s"$catalogName.${parent.name()}.${ident.name()}"
         ident.name() match {
-          case "changes" => return new graft.streaming.CdfTable(full, pdir, schema)
+          case "changes" =>
+            // the CDF reader materializes rows from the data files,
+            // which on a partitioned table do NOT carry the partition
+            // column — serving the feed would silently null-fill it;
+            // refuse loudly until the reader learns to decode it from
+            // the FileRef's partition dir
+            require(
+              parentPc.isEmpty,
+              s"$full: the change feed over a PARTITIONED table is not implemented " +
+                "(data files do not carry the partition column)"
+            )
+            return new graft.streaming.CdfTable(full, pdir, schema)
           case "history" => return ManifestMetaTables.history(full, pdir)
           case "files"   => return ManifestMetaTables.files(full, pdir)
           case _         => ()
         }
       }
     }
-    val (schema, ck) = readMeta(ident)
+    val (schema, ck, pc) = readMeta(ident)
     val dir = tableDir(ident)
     val log = DurableManifestLog.open(dir)
-    new ManifestFileTable(s"$catalogName.${ident.name()}", dir, log, log.head(), schema, ck, writable = true)
+    val head = log.head()
+    new ManifestFileTable(
+      s"$catalogName.${ident.name()}", dir, log, head, effectiveSchema(log, head, schema), ck, pc,
+      writable = true)
   }
+
+  /** The schema in force at `version`: the log's latest schema action
+    * at-or-before it ([[ManifestLog.schemaAt]] — evolution is
+    * versioned metadata, the Delta metaData-action convention),
+    * falling back to the genesis schema in `_table.json`.
+    */
+  private def effectiveSchema(log: DurableManifestLog, version: Long, genesis: StructType): StructType =
+    log.schemaAt(version).map(DataType.fromJson(_).asInstanceOf[StructType]).getOrElse(genesis)
 
   /** `VERSION AS OF n` — or `VERSION AS OF 'ref'`: a read-only table
     * pinned to a version number or to a NAMED REF (tag or branch, the
@@ -119,7 +144,7 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
     * version, refuses at RESOLUTION — never reads as something else.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val (schema, ck) = readMeta(ident)
+    val (schema, ck, pc) = readMeta(ident)
     val dir = tableDir(ident)
     val log = DurableManifestLog.open(dir)
     val v =
@@ -140,7 +165,9 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
           s"no readable version $v of ${ident.name()} (expired or never published): ${e.getMessage}"
         )
     }
-    new ManifestFileTable(s"$catalogName.${ident.name()}@v$v", dir, log, v, schema, ck, writable = false)
+    new ManifestFileTable(
+      s"$catalogName.${ident.name()}@v$v", dir, log, v, effectiveSchema(log, v, schema), ck, pc,
+      writable = false)
   }
 
   /** `TIMESTAMP AS OF t` — Spark hands the timestamp in MICROseconds
@@ -152,7 +179,7 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
     * OF` serves.
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
-    val (schema, ck) = readMeta(ident)
+    val (schema, ck, pc) = readMeta(ident)
     val dir = tableDir(ident)
     val log = DurableManifestLog.open(dir)
     val v =
@@ -163,7 +190,9 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
             s"cannot resolve TIMESTAMP AS OF on ${ident.name()}: ${e.getMessage}"
           )
       }
-    new ManifestFileTable(s"$catalogName.${ident.name()}@v$v", dir, log, v, schema, ck, writable = false)
+    new ManifestFileTable(
+      s"$catalogName.${ident.name()}@v$v", dir, log, v, effectiveSchema(log, v, schema), ck, pc,
+      writable = false)
   }
 
   override def createTable(
@@ -172,25 +201,98 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
       partitions: Array[Transform],
       properties: util.Map[String, String]
   ): Table = {
-    require(partitions.isEmpty, "manifest tables cluster by zone maps, not hive partitions")
+    // PARTITIONED BY (one identity column, integral type): files land
+    // under hive-style `<col>=<value>` directories inside each
+    // commit's staging dir, the partition VALUE rides the FileRef's
+    // dir name, and the scan prunes partitions as EXACT zones
+    // (min = max = value) before any footer-derived zone map applies.
+    val partitionCol: Option[String] = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name() == "identity" && t.references().length == 1 =>
+        val name = t.references()(0).fieldNames().mkString(".")
+        require(schema.fieldNames.contains(name), s"partition column '$name' is not a column of the table")
+        require(
+          schema(name).dataType == org.apache.spark.sql.types.LongType ||
+            schema(name).dataType == org.apache.spark.sql.types.IntegerType,
+          s"manifest tables partition by an integral column (got ${schema(name).dataType.simpleString})"
+        )
+        Some(name)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"manifest tables support PARTITIONED BY (one identity column); got ${other.mkString(", ")}"
+        )
+    }
     val dir = tableDir(ident)
     val meta = mapper.createObjectNode()
     meta.put("schema", schema.json)
     Option(properties.get("cluster_key")).foreach { ck =>
       require(schema.fieldNames.contains(ck), s"cluster_key '$ck' is not a column of the table")
+      require(!partitionCol.contains(ck), "cluster_key must be a data column, not the partition column")
       meta.put("clusterKey", ck)
       ()
     }
+    partitionCol.foreach { pc => meta.put("partitionCol", pc); () }
     GraftFs.mkdirs(dir)
     if (!GraftFs.createExclusive(s"$dir/_table.json", mapper.writeValueAsBytes(meta)))
       throw new TableAlreadyExistsException(Seq(catalogName) ++ ident.namespace() :+ ident.name())
     val log = DurableManifestLog.open(dir)
     new ManifestFileTable(s"$catalogName.${ident.name()}", dir, log, log.head(), schema,
-      Option(properties.get("cluster_key")), writable = true)
+      Option(properties.get("cluster_key")), partitionCol, writable = true)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("manifest table schemas are immutable in this catalog")
+  /** SCHEMA EVOLUTION — ADD COLUMN only (the additive evolution every
+    * real table format supports first; renames/drops need column-id
+    * mapping this catalog does not carry). The new schema is published
+    * as a STRICT OCC metadata commit: the ALTER validates against the
+    * exact head it computed the schema from, so two racing ALTERs (or
+    * an ALTER racing anything) serialize through the log's storage CAS
+    * — a loser recomputes against the refreshed schema and retries,
+    * and a duplicate column refuses loudly pre-persist. Old files are
+    * read null-filled for the new columns (the parquet
+    * missing-column contract q143 proved through mergeSchema, now
+    * through the catalog). Concurrent INSERTs commute: an insert that
+    * loses the CAS to an ALTER rebases (disjoint removed sets) and
+    * its files simply lack the new column.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val (genesis, ck, pc) = readMeta(ident)
+    val dir = tableDir(ident)
+    val log = DurableManifestLog.open(dir)
+    var attempts = 0
+    while (attempts < 10) {
+      attempts += 1
+      val head = log.head()
+      val current = effectiveSchema(log, head, genesis)
+      val evolved = changes.foldLeft(current) { (sch, ch) =>
+        ch match {
+          case add: TableChange.AddColumn =>
+            require(add.fieldNames().length == 1, "ADD COLUMN supports top-level columns only")
+            val name = add.fieldNames()(0)
+            require(
+              !sch.fieldNames.exists(_.equalsIgnoreCase(name)),
+              s"column '$name' already exists on ${ident.name()}"
+            )
+            sch.add(org.apache.spark.sql.types.StructField(name, add.dataType(), add.isNullable))
+          case other =>
+            throw new UnsupportedOperationException(
+              s"manifest tables evolve by ADD COLUMN only (got ${other.getClass.getSimpleName})"
+            )
+        }
+      }
+      log.tryCommit(
+        "main", head, "set_schema",
+        maxAttempts = 1, strict = true, schemaJson = Some(evolved.json)
+      ) match {
+        case ManifestLog.Committed(v, _) =>
+          return new ManifestFileTable(
+            s"$catalogName.${ident.name()}", dir, log, v, evolved, ck, pc, writable = true)
+        case _ => () // head moved: recompute against the refreshed schema
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"ALTER TABLE on ${ident.name()} lost the commit race 10 times — retry"
+    )
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
@@ -231,6 +333,7 @@ private[sources] class ManifestFileTable(
     version: Long,
     tableSchema: StructType,
     clusterKey: Option[String],
+    partitionCol: Option[String],
     writable: Boolean
 ) extends Table
     with SupportsRead
@@ -249,16 +352,32 @@ private[sources] class ManifestFileTable(
     * be silently dropped by the replacement row set (the lost-update
     * anomaly), so the only safe outcome is a loud retry-me.
     */
-  override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder =
+  override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(
+      partitionCol.isEmpty,
+      s"$tableName is partitioned: row-level operations would need a partition-preserving rewrite " +
+        "this catalog does not implement — rewrite via INSERT OVERWRITE semantics instead"
+    )
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation =
         new ManifestRowLevelOperation(dir, log, tableSchema, clusterKey, info.command())
     }
+  }
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
+    partitionCol
+      .map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .toArray
   override def capabilities(): util.Set[TableCapability] =
-    if (writable) util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
-    else util.EnumSet.of(TableCapability.BATCH_READ)
+    if (!writable) util.EnumSet.of(TableCapability.BATCH_READ)
+    else if (partitionCol.isDefined)
+      // the partitioned INSERT rides Spark's V1 write path (what Delta
+      // itself does): the full partitioned parquet writer — dynamic
+      // partition dirs, codegen, committer — with the commit publish
+      // wrapped around it
+      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+    else util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // DV guard: this read path serves FILE-COMPLETE versions. A DV
@@ -287,21 +406,119 @@ private[sources] class ManifestFileTable(
       .map { r =>
         // per-column zones, with the legacy top-level cluster-key
         // (min, max) merged in for pre-cols commit records
-        val zones: Map[String, (Long, Long, Long)] = stats
+        val statZones: Map[String, (Long, Long, Long)] = stats
           .get(r)
           .map { st =>
             val cols = st.cols.map { case (c, cs) => c -> ((cs.min, cs.max, cs.nulls)) }
             clusterKey.filterNot(cols.contains).fold(cols)(k => cols + (k -> ((st.min, st.max, -1L))))
           }
           .getOrElse(Map.empty)
+        // the partition VALUE enters as an EXACT zone (min = max =
+        // value, zero nulls): partition pruning and zone pruning are
+        // one satisfiability pass, with the partition conjunct the
+        // tightest — pruned before any footer-derived zone can apply
+        val zones = partitionCol
+          .flatMap(pc => ManifestFileTable.partitionValue(r.dir, pc))
+          .fold(statZones) { case (pc, v) => statZones + (pc -> ((v, v, 0L))) }
         (s"$dir/${r.dir}/${r.file}", zones)
       }
-    new ManifestScanBuilder(manifestGlue.activeSession, files, clusterKey, tableSchema, options)
+    // hive-layout recovery: with basePath = the table root, Spark's
+    // file index parses `<col>=<value>` segments from the leaf paths
+    // and serves the partition column the data files do not carry
+    val scanOptions =
+      if (partitionCol.isEmpty) options
+      else {
+        val m = new java.util.HashMap[String, String](options)
+        m.put("basePath", dir)
+        new CaseInsensitiveStringMap(m)
+      }
+    new ManifestScanBuilder(manifestGlue.activeSession, files, clusterKey, tableSchema, scanOptions)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(writable, s"$tableName is a pinned historical version — writes must target the head")
-    new ManifestWriteBuilder(dir, log, clusterKey, info)
+    partitionCol match {
+      case Some(pc) => new PartitionedManifestWriteBuilder(dir, log, clusterKey, pc)
+      case None     => new ManifestWriteBuilder(dir, log, clusterKey, info)
+    }
+  }
+}
+
+private[sources] object ManifestFileTable {
+  /** The partition (column, value) a FileRef's dir encodes — the last
+    * path segment's hive-style `<col>=<value>`, integral values only.
+    * None for unpartitioned refs (a pre-partitioning commit or a
+    * malformed segment): the file is then never partition-pruned.
+    */
+  def partitionValue(refDir: String, partitionCol: String): Option[(String, Long)] = {
+    val seg = refDir.substring(refDir.lastIndexOf('/') + 1)
+    val eq = seg.indexOf('=')
+    if (eq <= 0) None
+    else {
+      val (c, v) = (seg.substring(0, eq), seg.substring(eq + 1))
+      if (!c.equalsIgnoreCase(partitionCol)) None
+      else
+        try Some((partitionCol, v.toLong))
+        catch { case _: NumberFormatException => None }
+    }
+  }
+}
+
+/** INSERT INTO a PARTITIONED manifest table: the staging write is
+  * Spark's V1 insert — `df.write.partitionBy(col).parquet(staging)`,
+  * the exact dynamic-partition parquet writer the built-in path uses
+  * (Delta serves INSERT the same way) — then the driver-side publish
+  * MOVES each staged part file under the table root's own
+  * `<col>=<value>` directory (the Delta physical layout; one rename
+  * per file, collision-free by Spark's per-job UUID part names, so
+  * every commit's files share ONE partition root and Spark's
+  * partition discovery stays trivially consistent), reads each
+  * file's footer for zone maps, and lands ONE OCC append whose
+  * FileRefs carry the partition dir — the scan prunes partitions
+  * from the commit record alone, before any footer stats. A crash
+  * mid-move leaves only unreferenced files (never visible; vacuum
+  * reclaims them after the grace window).
+  */
+private[sources] class PartitionedManifestWriteBuilder(
+    dir: String,
+    log: DurableManifestLog,
+    clusterKey: Option[String],
+    partitionCol: String
+) extends WriteBuilder {
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+      new org.apache.spark.sql.sources.InsertableRelation {
+        override def insert(data: org.apache.spark.sql.DataFrame, overwrite: Boolean): Unit = {
+          require(!overwrite, "INSERT OVERWRITE on a partitioned manifest table is not implemented")
+          val staging = s".stage-${java.util.UUID.randomUUID().toString.take(12)}"
+          data.write
+            .partitionBy(partitionCol)
+            .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+            .parquet(s"$dir/$staging")
+          val refs = GraftFs
+            .listDirs(s"$dir/$staging")
+            .filter(_.contains("="))
+            .flatMap { pd =>
+              GraftFs.mkdirs(s"$dir/$pd")
+              GraftFs.listDataFiles(s"$dir/$staging/$pd").map { f =>
+                require(
+                  GraftFs.rename(s"$dir/$staging/$pd/$f", s"$dir/$pd/$f"),
+                  s"failed to publish staged part file $pd/$f"
+                )
+                FileRef(pd, f)
+              }
+            }
+          GraftFs.deleteRecursive(s"$dir/$staging")
+          val stats = ManifestWrites.footerStats(dir, refs, clusterKey)
+          log.tryCommit("main", log.head(), "append", add = refs, stats = stats, maxAttempts = 32) match {
+            case Committed(_, _) => ()
+            case other =>
+              throw new java.util.ConcurrentModificationException(
+                s"partitioned manifest append failed to publish after retries: $other"
+              )
+          }
+        }
+      }
   }
 }
 
@@ -479,7 +696,14 @@ object ManifestMaintenance {
     GraftFs
       .listDirs(dir)
       .filter(_ != "_log")
-      .flatMap(d => GraftFs.listDataFiles(s"$dir/$d").map(f => FileRef(d, f)))
+      .flatMap { d =>
+        // one extra level for partitioned staging (`w-…/<col>=<value>/`)
+        val nested = GraftFs
+          .listDirs(s"$dir/$d")
+          .filter(_.contains("="))
+          .flatMap(pd => GraftFs.listDataFiles(s"$dir/$d/$pd").map(f => FileRef(s"$d/$pd", f)))
+        GraftFs.listDataFiles(s"$dir/$d").map(f => FileRef(d, f)) ++ nested
+      }
 
   private def retained(log: DurableManifestLog): Set[ManifestLog.FileRef] =
     log.versions.foldLeft(Set.empty[ManifestLog.FileRef]) { (acc, v) =>

@@ -101,7 +101,13 @@ object ManifestLog {
       // clock seam, so tests pin deterministic values), never sampled
       // here; 0 = unstamped (genesis, and pre-timestamp history),
       // which timestamp resolution treats as minus-infinity.
-      ts: Long = 0L
+      ts: Long = 0L,
+      // SCHEMA EVOLUTION as a metadata action, versioned like files
+      // (the Delta metaData-action convention): a commit carrying
+      // Some(schema JSON) sets the table schema from this version on;
+      // None inherits. [[schemaAt]] resolves per version, so VERSION
+      // AS OF reads serve the schema that version actually had.
+      schemaJson: Option[String] = None
   )
 
   /** A publish attempt's outcome: the committed version and how many
@@ -185,6 +191,14 @@ final class ManifestLog {
       c.dvRows.foldLeft(kept) { case (acc, (fr, n)) => acc + (fr -> (acc.getOrElse(fr, 0L) + n)) }
     }
 
+  /** The schema in force AT `version`: the latest schema-bearing
+    * commit on its chain, None when no commit ever evolved it (the
+    * caller falls back to the table's genesis schema). One chain walk
+    * — metadata cardinality.
+    */
+  def schemaAt(version: Long): Option[String] =
+    chain(version).flatMap(_.schemaJson).lastOption
+
   /** `TIMESTAMP AS OF` resolution on `branch` — the Delta/Iceberg
     * convention: the LATEST version whose commit wall-clock is
     * at-or-before `tsMillis`. A timestamp before the first stamped
@@ -243,7 +257,8 @@ final class ManifestLog {
       dvRows: Map[FileRef, Long] = Map.empty,
       cdc: Seq[FileRef] = Seq.empty,
       strict: Boolean = false,
-      ts: Long = 0L
+      ts: Long = 0L,
+      schemaJson: Option[String] = None
   ): Outcome = {
     var attempts = 0
     while (attempts < maxAttempts) {
@@ -254,7 +269,9 @@ final class ManifestLog {
         case Right(headV) =>
           val v = st.nextVersion
           val commit =
-            Commit(v, headV, op, add.toVector, remove.toVector, dvAdd.toVector, stats, dvRows, cdc.toVector, ts)
+            Commit(
+              v, headV, op, add.toVector, remove.toVector, dvAdd.toVector,
+              stats, dvRows, cdc.toVector, ts, schemaJson)
           val next = st.copy(
             commits = st.commits + (v -> commit),
             branches = st.branches + (branch -> v),
@@ -496,11 +513,15 @@ final class ManifestLog {
       val kept = m -- c.removed
       c.dvRows.foldLeft(kept) { case (acc, (fr, n)) => acc + (fr -> (acc.getOrElse(fr, 0L) + n)) }
     }
-    // the checkpoint inherits the horizon commit's wall-clock, so
-    // TIMESTAMP AS OF keeps resolving across the squash
+    // the checkpoint inherits the horizon commit's wall-clock (so
+    // TIMESTAMP AS OF keeps resolving across the squash) and the
+    // schema in force at the horizon (so evolved reads survive it)
     val horizonTs = hChain.last.ts
+    val horizonSchema = hChain.flatMap(_.schemaJson).lastOption
     val checkpoint =
-      Commit(horizon, -1L, "checkpoint", live.toVector, Vector.empty, dvs, liveStats0, dvRowsAcc, ts = horizonTs)
+      Commit(
+        horizon, -1L, "checkpoint", live.toVector, Vector.empty, dvs, liveStats0, dvRowsAcc,
+        ts = horizonTs, schemaJson = horizonSchema)
     val afterSquash = (st.commits -- dropped) + (horizon -> checkpoint)
     // an UNREFERENCED side commit forked below the horizon (its branch
     // was dropped) would survive the squash with a dangling parent:

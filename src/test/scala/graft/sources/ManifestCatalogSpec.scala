@@ -275,6 +275,104 @@ class ManifestCatalogSpec extends SparkSpec {
     assert(stats.values.forall(_.cols("m").nulls === 0L))
   }
 
+  test("schema evolution: ADD COLUMN is a versioned metadata commit; old files null-fill; per-version schemas") {
+    useCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_mfst.db.mevo1")
+    spark.sql("CREATE TABLE graft_mfst.db.mevo1 (k BIGINT) TBLPROPERTIES ('cluster_key'='k')")
+    spark.sql("INSERT INTO graft_mfst.db.mevo1 VALUES (1), (2)") // v1: schema (k)
+    spark.sql("ALTER TABLE graft_mfst.db.mevo1 ADD COLUMN bonus BIGINT") // v2: schema (k, bonus)
+    spark.sql("INSERT INTO graft_mfst.db.mevo1 VALUES (3, 30)") // v3
+    val head = spark.table("graft_mfst.db.mevo1").orderBy("k").collect()
+    assert(head.map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+      === Seq((1L, -1L), (2L, -1L), (3L, 30L)), "old files read null-filled for the added column")
+    // VERSION AS OF 1 serves the schema that version HAD — no bonus
+    assert(spark.sql("SELECT * FROM graft_mfst.db.mevo1 VERSION AS OF 1").schema.fieldNames.toSeq === Seq("k"))
+    assert(spark.sql("SELECT * FROM graft_mfst.db.mevo1 VERSION AS OF 3").schema.fieldNames.toSeq === Seq("k", "bonus"))
+    // duplicate column refuses loudly, nothing lands
+    val before = DurableManifestLog.open(s"${ManifestCatalog.defaultWarehouse}/db/mevo1").head()
+    assertThrows[Exception](spark.sql("ALTER TABLE graft_mfst.db.mevo1 ADD COLUMN bonus BIGINT"))
+    assert(DurableManifestLog.open(s"${ManifestCatalog.defaultWarehouse}/db/mevo1").head() === before)
+    // non-additive evolution refuses
+    assertThrows[Exception](spark.sql("ALTER TABLE graft_mfst.db.mevo1 DROP COLUMN bonus"))
+  }
+
+  test("schema evolution OCC: an ALTER racing an INSERT — both land, through the storage CAS") {
+    useCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_mfst.db.mevo2")
+    spark.sql("CREATE TABLE graft_mfst.db.mevo2 (k BIGINT) TBLPROPERTIES ('cluster_key'='k')")
+    spark.sql("INSERT INTO graft_mfst.db.mevo2 VALUES (1)") // v1
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    def racer(body: => Unit): Thread = {
+      val t = new Thread(() => {
+        gate.await()
+        try body
+        catch { case e: Throwable => errs.add(e); () }
+      })
+      t.start(); t
+    }
+    val a = racer(spark.sql("ALTER TABLE graft_mfst.db.mevo2 ADD COLUMN extra BIGINT"))
+    // the insert names the PRE-evolution shape; if the ALTER lands
+    // before its ANALYSIS the arity no longer matches and it re-issues
+    // against the evolved schema — the interesting race (analyzed at
+    // v1, ALTER lands between staging and commit, the append rebases
+    // through the CAS) needs no retry
+    val b = racer {
+      try spark.sql("INSERT INTO graft_mfst.db.mevo2 VALUES (2)")
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        spark.sql("INSERT INTO graft_mfst.db.mevo2 VALUES (2, NULL)")
+      }
+      ()
+    }
+    gate.countDown()
+    a.join(60000); b.join(60000)
+    assert(errs.isEmpty, errs.toString)
+    val log = DurableManifestLog.open(s"${ManifestCatalog.defaultWarehouse}/db/mevo2")
+    assert(log.head() === 3L, "both the ALTER and the INSERT landed")
+    // whatever the landing order, the head schema has the column and
+    // both rows are served (the insert's file null-fills if it lost)
+    val rows = spark.table("graft_mfst.db.mevo2").orderBy("k").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(rows.head.schema.fieldNames.toSeq === Seq("k", "extra"))
+  }
+
+  test("partitioned tables: hive-layout staging, partition values served from paths, two-level pruning") {
+    useCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_mfst.db.mpart1")
+    spark.sql(
+      "CREATE TABLE graft_mfst.db.mpart1 (k BIGINT, p BIGINT) PARTITIONED BY (p) " +
+        "TBLPROPERTIES ('cluster_key'='k')"
+    )
+    // two commits × two partitions, one file each; k-zones disjoint
+    // per commit ([0,10) then [10,20))
+    spark.sql(
+      "INSERT INTO graft_mfst.db.mpart1 SELECT /*+ COALESCE(1) */ id, id % 2 FROM range(0, 10)")
+    spark.sql(
+      "INSERT INTO graft_mfst.db.mpart1 SELECT /*+ COALESCE(1) */ id, id % 2 FROM range(10, 20)")
+    // the partition column is served from the directory layout (the
+    // data files do not carry it)
+    val all = spark.table("graft_mfst.db.mpart1").orderBy("k").collect()
+    assert(all.map(r => (r.getLong(0), r.getLong(1))).toSeq === (0L until 20L).map(k => (k, k % 2)))
+    def scanned(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      org.apache.spark.sql.graft.manifestGlue.scanInputFiles(df.queryExecution.executedPlan).distinct.size
+    }
+    // partition-only predicate: 2 of 4 files
+    val pOnly = spark.sql("SELECT sum(k) FROM graft_mfst.db.mpart1 WHERE p = 1")
+    assert(scanned(pOnly) === 2)
+    assert(pOnly.collect()(0).getLong(0) === (0L until 20L).filter(_ % 2 == 1).sum)
+    // two-level: partition AND cluster-key zone — 1 of 4 files
+    val both = spark.sql("SELECT sum(k) FROM graft_mfst.db.mpart1 WHERE p = 1 AND k < 10")
+    assert(scanned(both) === 1)
+    assert(both.collect()(0).getLong(0) === (0L until 10L).filter(_ % 2 == 1).sum)
+    // row-level operations refuse loudly on partitioned tables
+    assertThrows[Exception](spark.sql("DELETE FROM graft_mfst.db.mpart1 WHERE k = 3"))
+    // the partition value rides the commit record: a fresh disk
+    // replay prunes identically (no footer consulted for p)
+    val log = DurableManifestLog.open(s"${ManifestCatalog.defaultWarehouse}/db/mpart1")
+    assert(log.liveFiles(log.head()).forall(_.dir.contains("p=")))
+  }
+
   test("VERSION AS OF 'ref': tags and branches resolve by name; unknown refs refuse at resolution") {
     useCatalog()
     spark.sql("DROP TABLE IF EXISTS graft_mfst.db.mref1")
