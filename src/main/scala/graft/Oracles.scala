@@ -6226,6 +6226,42 @@ object Oracles {
     // 4 partitions = 8); censuses re-derived from the same cohorts;
     // eq_full and every scanned count earned in-engine (executed-plan
     // file census; equal to the direct all-files read)
+    // the per-(version, partition) insert censuses from the two
+    // commit cohorts (even keys land p∈{0,2}, odd keys p∈{1,3}); the
+    // partition column itself is served from the FileRef dirs, never
+    // from file bytes, so matching these censuses IS the plan-time
+    // constant working
+    "q435_partitioned_cdf" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderkey % 4 AS p,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders)
+        |SELECT CAST(1 AS BIGINT) AS version, p, count(*) AS n_rows,
+        |  CAST(sum(k) AS BIGINT) AS key_checksum, CAST(sum(cents) AS BIGINT) AS cents_checksum,
+        |  count(*) AS n_inserts FROM o WHERE k % 2 = 0 GROUP BY p
+        |UNION ALL SELECT 2, p, count(*), CAST(sum(k) AS BIGINT), CAST(sum(cents) AS BIGINT),
+        |  count(*) FROM o WHERE k % 2 = 1 GROUP BY p
+        |ORDER BY version, p""".stripMargin,
+    // phase 2 = untouched partitions ∪ the p=2 replacement cohort
+    // (shifted keys, cents+5); phase 3 = the static whole-table
+    // replacement; ops_ok earned in-engine (the commit chain's op
+    // tags are exactly genesis/append/overwrite_partitions/
+    // overwrite_table)
+    "q436_partition_overwrite" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderkey % 4 AS p,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |v1 AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents) AS BIGINT) AS cc FROM o),
+        |keep AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents) AS BIGINT) AS cc FROM o WHERE p <> 2),
+        |rep AS (SELECT count(*) AS n, CAST(sum(k + 10000000) AS BIGINT) AS kk,
+        |    CAST(sum(cents + 5) AS BIGINT) AS cc FROM o WHERE p = 2 AND k % 3 = 0),
+        |v3 AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents) AS BIGINT) AS cc FROM o WHERE k % 50 = 0)
+        |SELECT '1_initial' AS phase, v1.n AS n_rows, v1.kk AS key_checksum,
+        |  v1.cc AS cents_checksum, CAST(1 AS BIGINT) AS ops_ok FROM v1
+        |UNION ALL SELECT '2_dynamic_p2_replaced', keep.n + rep.n, keep.kk + rep.kk,
+        |  keep.cc + rep.cc, 1 FROM keep, rep
+        |UNION ALL SELECT '3_static_whole_table', v3.n, v3.kk, v3.cc, 1 FROM v3
+        |ORDER BY phase""".stripMargin,
     "q434_partitioned_manifest" ->
       """WITH o AS (SELECT o_orderkey AS k, o_orderkey % 4 AS p,
         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),

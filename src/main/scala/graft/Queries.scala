@@ -16508,4 +16508,104 @@ object Queries {
     ).toDF("probe", "n_files_total", "n_files_scanned", "n_rows", "key_checksum", "cents_checksum", "eq_full")
       .orderBy("probe")
   }
+
+  // CHANGE FEED OVER A PARTITIONED TABLE — the partition column never
+  // lives in the data files (hive layout), so the CDF reader serves
+  // it as a PLAN-TIME CONSTANT per file, decoded from each FileRef's
+  // `p=<v>` dir at batch planning (commit-record arithmetic — no
+  // footer, no file open). The q424/q405 feed contract now composes
+  // with q434's layout: per-(version, partition) change censuses come
+  // out of one batch read of `db.t.changes`, and a malformed ref
+  // would refuse loudly at planning rather than null-fill. Scale
+  // shape: planning stays O(|changed files|); each partition reads
+  // one changed file.
+  def manifestPartitionedCdf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft_mfst", classOf[graft.sources.ManifestCatalog].getName)
+    s.sql("DROP TABLE IF EXISTS graft_mfst.db.q435t")
+    s.sql(
+      "CREATE TABLE graft_mfst.db.q435t (k BIGINT, p BIGINT, cents BIGINT) PARTITIONED BY (p) " +
+        "TBLPROPERTIES ('cluster_key'='k')"
+    )
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey").as("k"),
+        (col("o_orderkey") % 4).as("p"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents")
+      )
+      .createOrReplaceTempView("q435_src")
+    s.sql("INSERT INTO graft_mfst.db.q435t SELECT k, p, cents FROM q435_src WHERE k % 2 = 0") // v1
+    s.sql("INSERT INTO graft_mfst.db.q435t SELECT k, p, cents FROM q435_src WHERE k % 2 = 1") // v2
+    s.read
+      .table("graft_mfst.db.q435t.changes")
+      .groupBy(col("_commit_version").as("version"), col("p"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("k")).as("key_checksum"),
+        sum(col("cents")).as("cents_checksum"),
+        // the feed's change types: all inserts here
+        sum(when(col("_change_type") === "insert", 1L).otherwise(0L)).as("n_inserts")
+      )
+      .orderBy("version", "p")
+  }
+
+  // DYNAMIC PARTITION OVERWRITE — `INSERT OVERWRITE` on a partitioned
+  // manifest table replaces, in ONE atomic OCC commit, either the
+  // whole table (static, the default) or ONLY the partitions the
+  // write produced (dynamic — the engine key
+  // `spark.graft.partitionOverwriteMode`, because Catalyst's
+  // OverwritePartitionsDynamic plan has no V1 fallback; Delta
+  // intercepts with its own analysis rule to the same effect). The
+  // remove set is the replaced partitions' live files from the commit
+  // record; untouched partitions' files are not even named, so the
+  // commit is metadata-proportional to the replaced cohort. Every
+  // prior version still time-travels. Earned: the post-overwrite head
+  // equals the handbuilt expectation (untouched cohort ∪ replacement)
+  // as one census per phase, the pre-overwrite version still serves
+  // the original, and both op tags are pinned.
+  def manifestPartitionOverwrite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft_mfst", classOf[graft.sources.ManifestCatalog].getName)
+    s.sql("DROP TABLE IF EXISTS graft_mfst.db.q436t")
+    s.sql(
+      "CREATE TABLE graft_mfst.db.q436t (k BIGINT, p BIGINT, cents BIGINT) PARTITIONED BY (p) " +
+        "TBLPROPERTIES ('cluster_key'='k')"
+    )
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey").as("k"),
+        (col("o_orderkey") % 4).as("p"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents")
+      )
+      .createOrReplaceTempView("q436_src")
+    s.sql("INSERT INTO graft_mfst.db.q436t SELECT k, p, cents FROM q436_src") // v1: all four partitions
+    // v2: DYNAMIC overwrite of partition 2 only — the replacement
+    // cohort is the p=2 rows with shifted keys and re-derived cents
+    s.conf.set("spark.graft.partitionOverwriteMode", "dynamic")
+    try
+      s.sql(
+        "INSERT OVERWRITE graft_mfst.db.q436t " +
+          "SELECT k + 10000000, p, cents + 5 FROM q436_src WHERE p = 2 AND k % 3 = 0"
+      )
+    finally s.conf.set("spark.graft.partitionOverwriteMode", "static")
+    // v3: STATIC overwrite — the whole table becomes the k%50=0 cohort
+    s.sql("INSERT OVERWRITE graft_mfst.db.q436t SELECT k, p, cents FROM q436_src WHERE k % 50 = 0")
+    def census(q: String): (Long, Long, Long) = {
+      val r = s.sql(q).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val sel = "SELECT count(*) AS n, sum(k) AS kk, sum(cents) AS cc FROM graft_mfst.db.q436t"
+    val v1 = census(s"$sel VERSION AS OF 1")
+    val v2 = census(s"$sel VERSION AS OF 2")
+    val head = census(sel)
+    val log = graft.sources.DurableManifestLog.open(s"${graft.sources.ManifestCatalog.defaultWarehouse}/db/q436t")
+    val ops = log.chain(log.head()).map(_.op)
+    val opsOk = if (ops == Vector("genesis", "append", "overwrite_partitions", "overwrite_table")) 1L else 0L
+    Seq(
+      ("1_initial", v1._1, v1._2, v1._3, opsOk),
+      ("2_dynamic_p2_replaced", v2._1, v2._2, v2._3, opsOk),
+      ("3_static_whole_table", head._1, head._2, head._3, opsOk)
+    ).toDF("phase", "n_rows", "key_checksum", "cents_checksum", "ops_ok")
+      .orderBy("phase")
+  }
 }

@@ -102,17 +102,11 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
         val full = s"$catalogName.${parent.name()}.${ident.name()}"
         ident.name() match {
           case "changes" =>
-            // the CDF reader materializes rows from the data files,
-            // which on a partitioned table do NOT carry the partition
-            // column — serving the feed would silently null-fill it;
-            // refuse loudly until the reader learns to decode it from
-            // the FileRef's partition dir
-            require(
-              parentPc.isEmpty,
-              s"$full: the change feed over a PARTITIONED table is not implemented " +
-                "(data files do not carry the partition column)"
-            )
-            return new graft.streaming.CdfTable(full, pdir, schema)
+            // on a partitioned table the data files do NOT carry the
+            // partition column — the CdfTable decodes its value from
+            // each FileRef's hive-style dir and serves it as a
+            // plan-time constant per file
+            return new graft.streaming.CdfTable(full, pdir, schema, parentPc)
           case "history" => return ManifestMetaTables.history(full, pdir)
           case "files"   => return ManifestMetaTables.files(full, pdir)
           case _         => ()
@@ -375,8 +369,10 @@ private[sources] class ManifestFileTable(
       // the partitioned INSERT rides Spark's V1 write path (what Delta
       // itself does): the full partitioned parquet writer — dynamic
       // partition dirs, codegen, committer — with the commit publish
-      // wrapped around it
-      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+      // wrapped around it. TRUNCATE admits INSERT OVERWRITE; the V1
+      // relation interprets the session's partitionOverwriteMode
+      // (static = whole table, dynamic = written partitions only)
+      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
     else util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -444,7 +440,7 @@ private[sources] class ManifestFileTable(
   }
 }
 
-private[sources] object ManifestFileTable {
+private[graft] object ManifestFileTable {
   /** The partition (column, value) a FileRef's dir encodes — the last
     * path segment's hive-style `<col>=<value>`, integral values only.
     * None for unpartitioned refs (a pre-partitioning commit or a
@@ -484,12 +480,20 @@ private[sources] class PartitionedManifestWriteBuilder(
     log: DurableManifestLog,
     clusterKey: Option[String],
     partitionCol: String
-) extends WriteBuilder {
+) extends WriteBuilder
+    with SupportsTruncate {
+  // INSERT OVERWRITE arrives as overwrite-by-truncate ON THE BUILDER
+  // (the V1 fallback exec passes insert()'s own overwrite flag as
+  // false — truncate() here is the real signal); recorded and OR'd
+  // with the insert param below
+  private var truncateRequested = false
+  override def truncate(): WriteBuilder = { truncateRequested = true; this }
   override def build(): Write = new V1Write {
+    private val overwriteRequested = truncateRequested
     override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
       new org.apache.spark.sql.sources.InsertableRelation {
-        override def insert(data: org.apache.spark.sql.DataFrame, overwrite: Boolean): Unit = {
-          require(!overwrite, "INSERT OVERWRITE on a partitioned manifest table is not implemented")
+        override def insert(data: org.apache.spark.sql.DataFrame, insertOverwrite: Boolean): Unit = {
+          val overwrite = insertOverwrite || overwriteRequested
           val staging = s".stage-${java.util.UUID.randomUUID().toString.take(12)}"
           data.write
             .partitionBy(partitionCol)
@@ -510,11 +514,40 @@ private[sources] class PartitionedManifestWriteBuilder(
             }
           GraftFs.deleteRecursive(s"$dir/$staging")
           val stats = ManifestWrites.footerStats(dir, refs, clusterKey)
-          log.tryCommit("main", log.head(), "append", add = refs, stats = stats, maxAttempts = 32) match {
+          // INSERT OVERWRITE mode: STATIC (the default) replaces the
+          // WHOLE table; DYNAMIC replaces only the partitions this
+          // write actually produced — their live files become the
+          // commit's REMOVE set. The signal is the ENGINE conf key
+          // `spark.graft.partitionOverwriteMode`, not Spark's
+          // `spark.sql.sources.partitionOverwriteMode`: under the
+          // latter Catalyst plans OverwritePartitionsDynamic, which
+          // has NO V1 fallback (Delta intercepts with its own
+          // analysis rule to the same effect). Either way the
+          // replacement is one atomic version and every prior version
+          // still time-travels (old files stay on disk until
+          // expire+vacuum). A concurrent overwrite of the SAME
+          // partition removed our targeted files first → the OCC
+          // overlap rule aborts loudly; under dynamic mode, commuting
+          // appends to OTHER partitions rebase past.
+          val head = log.head()
+          val dynamic = data.sparkSession.conf
+            .get("spark.graft.partitionOverwriteMode", "static")
+            .equalsIgnoreCase("dynamic")
+          val removed =
+            if (!overwrite) Seq.empty[FileRef]
+            else if (dynamic) {
+              val replaced = refs.map(_.dir).toSet
+              log.liveFiles(head).toSeq.filter(r => replaced.contains(r.dir)).sortBy(r => (r.dir, r.file))
+            } else log.liveFiles(head).toSeq.sortBy(r => (r.dir, r.file))
+          val op =
+            if (!overwrite) "append"
+            else if (dynamic) "overwrite_partitions"
+            else "overwrite_table"
+          log.tryCommit("main", head, op, add = refs, remove = removed, stats = stats, maxAttempts = 32) match {
             case Committed(_, _) => ()
             case other =>
               throw new java.util.ConcurrentModificationException(
-                s"partitioned manifest append failed to publish after retries: $other"
+                s"partitioned manifest $op failed to publish after retries: $other"
               )
           }
         }

@@ -106,7 +106,12 @@ final case class CdfPartition(
     changeType: String,
     changeTypeFromFile: Boolean,
     tombstones: Array[Long],
-    tableSchema: StructType
+    tableSchema: StructType,
+    // a PARTITIONED table's data files do not carry the partition
+    // column — its (name, value) rides the plan, decoded from the
+    // FileRef's hive-style dir at planning, and the reader serves it
+    // as a constant per file
+    partitionField: Option[(String, Long)] = None
 ) extends InputPartition
 
 /** The `db.t.changes` table (the Iceberg changelog-table convention):
@@ -115,8 +120,12 @@ final case class CdfPartition(
   * bound, default 0 = genesis) and, for batch reads, `endingVersion`
   * (inclusive, default the branch head).
   */
-final class CdfTable(tableName: String, baseDir: String, tableSchema: StructType)
-    extends org.apache.spark.sql.connector.catalog.Table
+final class CdfTable(
+    tableName: String,
+    baseDir: String,
+    tableSchema: StructType,
+    partitionCol: Option[String] = None
+) extends org.apache.spark.sql.connector.catalog.Table
     with org.apache.spark.sql.connector.catalog.SupportsRead {
   import org.apache.spark.sql.connector.catalog.TableCapability
   override def name(): String = tableName
@@ -131,7 +140,8 @@ final class CdfTable(tableName: String, baseDir: String, tableSchema: StructType
       tableSchema,
       options.getLong("startingVersion", 0L),
       Option(options.get("endingVersion")).map(_.toLong),
-      Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
+      Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
+      partitionCol
     )
 }
 
@@ -151,7 +161,9 @@ final class CdfScan(
     // batches until the latched head, so maxVersionsPerTrigger=1
     // gives one-commit-per-micro-batch natively (the q418 replay
     // discipline as a source option)
-    maxVersionsPerTrigger: Option[Long] = None
+    maxVersionsPerTrigger: Option[Long] = None,
+    // partitioned parent: the column whose value rides FileRef dirs
+    partitionCol: Option[String] = None
 ) extends ScanBuilder
     with Scan
     with org.apache.spark.sql.connector.read.Batch
@@ -213,6 +225,17 @@ final class CdfScan(
 
   private def commitPartitions(l: DurableManifestLog, c: Commit): Seq[CdfPartition] = {
     def path(r: FileRef) = s"$baseDir/${r.dir}/${r.file}"
+    // a partitioned table's partition (col, value) per file — decoded
+    // from the hive-style dir the FileRef carries; refuses loudly if a
+    // partitioned table's file doesn't encode it (serving the column
+    // as NULL would be a wrong answer, not a degradation)
+    def partField(r: FileRef): Option[(String, Long)] = partitionCol.map { pc =>
+      graft.sources.ManifestFileTable
+        .partitionValue(r.dir, pc)
+        .getOrElse(
+          sys.error(s"change feed: file ${r.dir}/${r.file} of a partitioned table carries no $pc=<value> dir")
+        )
+    }
     val isDv = c.dvAdded.nonEmpty
     val isRewrite = c.removed.nonEmpty
     require(
@@ -244,7 +267,8 @@ final class CdfScan(
           "delete",
           changeTypeFromFile = false,
           ords.toArray.sorted,
-          tableSchema
+          tableSchema,
+          partField(FileRef(d, f))
         )
       }
     } else if (isRewrite) {
@@ -254,7 +278,8 @@ final class CdfScan(
           "deriving them at read time would re-join the rewrite per consumer"
       )
     } else {
-      c.added.map(r => CdfPartition(path(r), c.version, "insert", changeTypeFromFile = false, Array.empty, tableSchema))
+      c.added.map(r =>
+        CdfPartition(path(r), c.version, "insert", changeTypeFromFile = false, Array.empty, tableSchema, partField(r)))
     }
   }
 
@@ -291,7 +316,15 @@ private final class CdfReaderFactory(conf: org.apache.spark.util.SerializableCon
           val f = p.tableSchema(i)
           val present = g.getType.containsField(f.name) && g.getFieldRepetitionCount(f.name) > 0
           values(i) =
-            if (!present) null
+            if (p.partitionField.exists(_._1 == f.name))
+              // a partitioned table's data files don't carry the
+              // partition column: its value is a plan-time constant
+              f.dataType match {
+                case LongType    => p.partitionField.get._2
+                case IntegerType => p.partitionField.get._2.toInt
+                case other       => sys.error(s"CDF reader: unsupported partition column type $other")
+              }
+            else if (!present) null
             else
               f.dataType match {
                 case LongType    => g.getLong(f.name, 0)

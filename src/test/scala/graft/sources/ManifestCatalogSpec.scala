@@ -373,6 +373,55 @@ class ManifestCatalogSpec extends SparkSpec {
     assert(log.liveFiles(log.head()).forall(_.dir.contains("p=")))
   }
 
+  test("dynamic partition overwrite: only written partitions replace, atomically; history still serves") {
+    useCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_mfst.db.mpow1")
+    spark.sql(
+      "CREATE TABLE graft_mfst.db.mpow1 (k BIGINT, p BIGINT) PARTITIONED BY (p) " +
+        "TBLPROPERTIES ('cluster_key'='k')"
+    )
+    spark.sql("INSERT INTO graft_mfst.db.mpow1 SELECT /*+ COALESCE(1) */ id, id % 2 FROM range(0, 10)") // v1
+    // DYNAMIC mode (the engine key — Spark's own key would plan
+    // OverwritePartitionsDynamic, which has no V1 fallback):
+    // overwrite ONLY p=1; p=0 must survive untouched
+    spark.conf.set("spark.graft.partitionOverwriteMode", "dynamic")
+    try
+      spark.sql(
+        "INSERT OVERWRITE graft_mfst.db.mpow1 SELECT /*+ COALESCE(1) */ id + 100, CAST(1 AS BIGINT) FROM range(0, 3)"
+      ) // v2
+    finally spark.conf.set("spark.graft.partitionOverwriteMode", "static")
+    val rows = spark.table("graft_mfst.db.mpow1").orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq === (0L until 10L by 2).map(k => (k, 0L)) ++ Seq((100L, 1L), (101L, 1L), (102L, 1L)))
+    // the pre-overwrite version still serves the original p=1 cohort
+    assert(
+      spark.sql("SELECT count(*) FROM graft_mfst.db.mpow1 VERSION AS OF 1 WHERE p = 1").collect()(0).getLong(0) === 5L)
+    val log = DurableManifestLog.open(s"${ManifestCatalog.defaultWarehouse}/db/mpow1")
+    assert(log.chain(log.head()).last.op === "overwrite_partitions")
+    // STATIC mode (the default): the whole table is replaced
+    spark.sql("INSERT OVERWRITE graft_mfst.db.mpow1 SELECT /*+ COALESCE(1) */ id, id % 2 FROM range(0, 4)") // v3
+    assert(spark.table("graft_mfst.db.mpow1").count() === 4L)
+    assert(log.chain(log.head()).last.op === "overwrite_table")
+    // and v2 still time-travels
+    assert(spark.sql("SELECT count(*) FROM graft_mfst.db.mpow1 VERSION AS OF 2").collect()(0).getLong(0) === 8L)
+  }
+
+  test("change feed over a partitioned table: the partition column is served from the plan, per file") {
+    useCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_mfst.db.mpcdf1")
+    spark.sql(
+      "CREATE TABLE graft_mfst.db.mpcdf1 (k BIGINT, p BIGINT) PARTITIONED BY (p) " +
+        "TBLPROPERTIES ('cluster_key'='k')"
+    )
+    spark.sql("INSERT INTO graft_mfst.db.mpcdf1 SELECT /*+ COALESCE(1) */ id, id % 2 FROM range(0, 6)") // v1
+    spark.sql("INSERT INTO graft_mfst.db.mpcdf1 SELECT /*+ COALESCE(1) */ id, id % 2 FROM range(6, 10)") // v2
+    val feed = spark.read.table("graft_mfst.db.mpcdf1.changes")
+      .orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("p"), r.getAs[String]("_change_type"), r.getAs[Long]("_commit_version")))
+    assert(feed.length === 10)
+    assert(feed.forall { case (k, p, ct, _) => p === k % 2 && ct === "insert" })
+    assert(feed.filter(_._4 == 1L).map(_._1).toSeq === (0L until 6L))
+  }
+
   test("VERSION AS OF 'ref': tags and branches resolve by name; unknown refs refuse at resolution") {
     useCatalog()
     spark.sql("DROP TABLE IF EXISTS graft_mfst.db.mref1")
