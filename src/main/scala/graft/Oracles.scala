@@ -6245,6 +6245,25 @@ object Oracles {
     // replacement; ops_ok earned in-engine (the commit chain's op
     // tags are exactly genesis/append/overwrite_partitions/
     // overwrite_table)
+    // phase 1/3 = the full table and the deleted p=2 cohort (both
+    // via time travel), phase 2 = the survivors; meta_only /
+    // non_aligned_refused / n_after_truncate earned in-engine (commit
+    // record shape; loud refusal; metadata truncate to zero)
+    "q437_metadata_delete" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderkey % 4 AS p,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |v1 AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents) AS BIGINT) AS cc FROM o),
+        |sv AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents) AS BIGINT) AS cc FROM o WHERE p <> 2),
+        |del AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents) AS BIGINT) AS cc FROM o WHERE p = 2)
+        |SELECT '1_initial' AS phase, v1.n AS n_rows, v1.kk AS key_checksum,
+        |  v1.cc AS cents_checksum, CAST(1 AS BIGINT) AS meta_only,
+        |  CAST(1 AS BIGINT) AS non_aligned_refused, CAST(0 AS BIGINT) AS n_after_truncate FROM v1
+        |UNION ALL SELECT '2_after_partition_delete', sv.n, sv.kk, sv.cc, 1, 1, 0 FROM sv
+        |UNION ALL SELECT '3_deleted_cohort_time_travel', del.n, del.kk, del.cc, 1, 1, 0 FROM del
+        |ORDER BY phase""".stripMargin,
     "q436_partition_overwrite" ->
       """WITH o AS (SELECT o_orderkey AS k, o_orderkey % 4 AS p,
         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),

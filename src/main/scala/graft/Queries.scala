@@ -16461,7 +16461,7 @@ object Queries {
     s.conf.set("spark.sql.catalog.graft_mfst", classOf[graft.sources.ManifestCatalog].getName)
     s.sql("DROP TABLE IF EXISTS graft_mfst.db.q434t")
     s.sql(
-      "CREATE TABLE graft_mfst.db.q434t (k BIGINT, p BIGINT, cents BIGINT) PARTITIONED BY (p) " +
+      "CREATE TABLE graft_mfst.db.q434t (k BIGINT, cents BIGINT, p BIGINT) PARTITIONED BY (p) " +
         "TBLPROPERTIES ('cluster_key'='k')"
     )
     val orders = t(s, dir, "orders")
@@ -16475,7 +16475,7 @@ object Queries {
     val w = 1L + maxK / 8L
     (0 until 8).foreach { i =>
       s.sql(
-        s"INSERT INTO graft_mfst.db.q434t SELECT /*+ COALESCE(1) */ k, p, cents FROM q434_src " +
+        s"INSERT INTO graft_mfst.db.q434t SELECT /*+ COALESCE(1) */ k, cents, p FROM q434_src " +
           s"WHERE k >= ${i * w} AND k < ${(i + 1) * w}"
       )
     }
@@ -16524,7 +16524,7 @@ object Queries {
     s.conf.set("spark.sql.catalog.graft_mfst", classOf[graft.sources.ManifestCatalog].getName)
     s.sql("DROP TABLE IF EXISTS graft_mfst.db.q435t")
     s.sql(
-      "CREATE TABLE graft_mfst.db.q435t (k BIGINT, p BIGINT, cents BIGINT) PARTITIONED BY (p) " +
+      "CREATE TABLE graft_mfst.db.q435t (k BIGINT, cents BIGINT, p BIGINT) PARTITIONED BY (p) " +
         "TBLPROPERTIES ('cluster_key'='k')"
     )
     t(s, dir, "orders")
@@ -16534,8 +16534,8 @@ object Queries {
         floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents")
       )
       .createOrReplaceTempView("q435_src")
-    s.sql("INSERT INTO graft_mfst.db.q435t SELECT k, p, cents FROM q435_src WHERE k % 2 = 0") // v1
-    s.sql("INSERT INTO graft_mfst.db.q435t SELECT k, p, cents FROM q435_src WHERE k % 2 = 1") // v2
+    s.sql("INSERT INTO graft_mfst.db.q435t SELECT k, cents, p FROM q435_src WHERE k % 2 = 0") // v1
+    s.sql("INSERT INTO graft_mfst.db.q435t SELECT k, cents, p FROM q435_src WHERE k % 2 = 1") // v2
     s.read
       .table("graft_mfst.db.q435t.changes")
       .groupBy(col("_commit_version").as("version"), col("p"))
@@ -16568,7 +16568,7 @@ object Queries {
     s.conf.set("spark.sql.catalog.graft_mfst", classOf[graft.sources.ManifestCatalog].getName)
     s.sql("DROP TABLE IF EXISTS graft_mfst.db.q436t")
     s.sql(
-      "CREATE TABLE graft_mfst.db.q436t (k BIGINT, p BIGINT, cents BIGINT) PARTITIONED BY (p) " +
+      "CREATE TABLE graft_mfst.db.q436t (k BIGINT, cents BIGINT, p BIGINT) PARTITIONED BY (p) " +
         "TBLPROPERTIES ('cluster_key'='k')"
     )
     t(s, dir, "orders")
@@ -16578,18 +16578,18 @@ object Queries {
         floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents")
       )
       .createOrReplaceTempView("q436_src")
-    s.sql("INSERT INTO graft_mfst.db.q436t SELECT k, p, cents FROM q436_src") // v1: all four partitions
+    s.sql("INSERT INTO graft_mfst.db.q436t SELECT k, cents, p FROM q436_src") // v1: all four partitions
     // v2: DYNAMIC overwrite of partition 2 only — the replacement
     // cohort is the p=2 rows with shifted keys and re-derived cents
     s.conf.set("spark.graft.partitionOverwriteMode", "dynamic")
     try
       s.sql(
         "INSERT OVERWRITE graft_mfst.db.q436t " +
-          "SELECT k + 10000000, p, cents + 5 FROM q436_src WHERE p = 2 AND k % 3 = 0"
+          "SELECT k + 10000000, cents + 5, p FROM q436_src WHERE p = 2 AND k % 3 = 0"
       )
     finally s.conf.set("spark.graft.partitionOverwriteMode", "static")
     // v3: STATIC overwrite — the whole table becomes the k%50=0 cohort
-    s.sql("INSERT OVERWRITE graft_mfst.db.q436t SELECT k, p, cents FROM q436_src WHERE k % 50 = 0")
+    s.sql("INSERT OVERWRITE graft_mfst.db.q436t SELECT k, cents, p FROM q436_src WHERE k % 50 = 0")
     def census(q: String): (Long, Long, Long) = {
       val r = s.sql(q).collect()(0)
       (r.getLong(0), r.getLong(1), r.getLong(2))
@@ -16606,6 +16606,58 @@ object Queries {
       ("2_dynamic_p2_replaced", v2._1, v2._2, v2._3, opsOk),
       ("3_static_whole_table", head._1, head._2, head._3, opsOk)
     ).toDF("phase", "n_rows", "key_checksum", "cents_checksum", "ops_ok")
+      .orderBy("phase")
+  }
+
+  // METADATA-ONLY DELETE — the Delta partition-delete: a DELETE whose
+  // condition aligns to the partition column commits as a pure REMOVE
+  // of those partitions' live files (zero rows scanned, zero files
+  // written — Catalyst's OptimizeMetadataOnlyDeleteFromTable flips
+  // the row-level plan onto the SupportsDelete path), an
+  // unconditional DELETE is a metadata truncate on any manifest
+  // table, a NON-aligned condition on a partitioned table refuses
+  // loudly (the group rewrite would need a partition-preserving
+  // staged write), and every pre-delete version still time-travels.
+  // Scale shape: the commit names only the removed partitions' files
+  // — cost follows the deleted cohort, never the table.
+  def manifestMetadataDelete(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft_mfst", classOf[graft.sources.ManifestCatalog].getName)
+    s.sql("DROP TABLE IF EXISTS graft_mfst.db.q437t")
+    s.sql(
+      "CREATE TABLE graft_mfst.db.q437t (k BIGINT, cents BIGINT, p BIGINT) PARTITIONED BY (p) " +
+        "TBLPROPERTIES ('cluster_key'='k')"
+    )
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey").as("k"),
+        (col("o_orderkey") % 4).as("p"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents")
+      )
+      .createOrReplaceTempView("q437_src")
+    s.sql("INSERT INTO graft_mfst.db.q437t SELECT k, cents, p FROM q437_src") // v1
+    s.sql("DELETE FROM graft_mfst.db.q437t WHERE p = 2") // v2: metadata-only
+    val log = graft.sources.DurableManifestLog.open(s"${graft.sources.ManifestCatalog.defaultWarehouse}/db/q437t")
+    val v2c = log.chain(2L).last
+    val metaOnly = if (v2c.op == "delete_partitions" && v2c.added.isEmpty && v2c.cdc.isEmpty) 1L else 0L
+    val nonAlignedRefused =
+      try { s.sql("DELETE FROM graft_mfst.db.q437t WHERE p = 3 AND k % 7 = 0"); 0L }
+      catch { case _: Exception => 1L }
+    def census(q: String): (Long, Long, Long) = {
+      val r = s.sql(q).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val sel = "SELECT count(*) AS n, sum(k) AS kk, sum(cents) AS cc FROM graft_mfst.db.q437t"
+    val v1 = census(s"$sel VERSION AS OF 1")
+    val head = census(sel)
+    val asOfDeleted = census(s"$sel VERSION AS OF 1 WHERE p = 2") // time travel into the deleted cohort
+    s.sql("DELETE FROM graft_mfst.db.q437t") // v3: metadata truncate
+    val emptied = s.sql("SELECT count(*) FROM graft_mfst.db.q437t").collect()(0).getLong(0)
+    Seq(
+      ("1_initial", v1._1, v1._2, v1._3, metaOnly, nonAlignedRefused, emptied),
+      ("2_after_partition_delete", head._1, head._2, head._3, metaOnly, nonAlignedRefused, emptied),
+      ("3_deleted_cohort_time_travel", asOfDeleted._1, asOfDeleted._2, asOfDeleted._3, metaOnly, nonAlignedRefused, emptied)
+    ).toDF("phase", "n_rows", "key_checksum", "cents_checksum", "meta_only", "non_aligned_refused", "n_after_truncate")
       .orderBy("phase")
   }
 }

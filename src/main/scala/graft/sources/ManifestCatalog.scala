@@ -210,6 +210,16 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
             schema(name).dataType == org.apache.spark.sql.types.IntegerType,
           s"manifest tables partition by an integral column (got ${schema(name).dataType.simpleString})"
         )
+        // Spark's file scans append partition columns AFTER the data
+        // columns; declaring the partition column anywhere else would
+        // wrap every scan in a reordering Project — harmless for
+        // SELECTs but fatal for metadata DELETEs (the DeleteFromTable
+        // strategy requires a bare scan relation). Enforce the order
+        // at the front door instead of papering over it per read.
+        require(
+          schema.fieldNames.last == name,
+          s"the partition column '$name' must be the LAST column of a partitioned manifest table"
+        )
         Some(name)
       case other =>
         throw new UnsupportedOperationException(
@@ -332,7 +342,97 @@ private[sources] class ManifestFileTable(
 ) extends Table
     with SupportsRead
     with SupportsWrite
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** METADATA-ONLY DELETE (the Delta partition-delete): a DELETE whose
+    * condition references ONLY the partition column is file-aligned by
+    * the hive layout (every file of partition v holds exactly the
+    * p = v rows), so it commits as a pure REMOVE of those partitions'
+    * live files — zero rows scanned, zero files written, one OCC
+    * commit; prior versions still time-travel. Catalyst's
+    * OptimizeMetadataOnlyDeleteFromTable flips the row-level plan to
+    * this path when [[canDeleteWhere]] accepts; everything else
+    * stays a group-based rewrite (unpartitioned tables) or refuses
+    * (partitioned, non-aligned). DELETE with no WHERE arrives as
+    * truncateTable() → deleteWhere(always-true) → remove-all.
+    */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    // remove-all is metadata-only on ANY table; conditional deletes
+    // only when aligned to the partition column
+    filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]) ||
+      partitionCol.exists(pc => filters.forall(f => f.references.forall(_ == pc)))
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    if (filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])) {
+      truncateTable()
+      return
+    }
+    val pc = partitionCol.getOrElse(sys.error("metadata delete on an unpartitioned table"))
+    require(canDeleteWhere(filters), s"DELETE condition is not aligned to partition column '$pc'")
+    def matches(v: Long, f: org.apache.spark.sql.sources.Filter): Boolean = f match {
+      case org.apache.spark.sql.sources.EqualTo(_, x)            => longOf(x).forall(_ == v)
+      case org.apache.spark.sql.sources.EqualNullSafe(_, x)      => longOf(x).forall(_ == v)
+      case org.apache.spark.sql.sources.In(_, xs)                => xs.flatMap(longOf).contains(v)
+      case org.apache.spark.sql.sources.GreaterThan(_, x)        => longOf(x).forall(v > _)
+      case org.apache.spark.sql.sources.GreaterThanOrEqual(_, x) => longOf(x).forall(v >= _)
+      case org.apache.spark.sql.sources.LessThan(_, x)           => longOf(x).forall(v < _)
+      case org.apache.spark.sql.sources.LessThanOrEqual(_, x)    => longOf(x).forall(v <= _)
+      case org.apache.spark.sql.sources.And(a, b)                => matches(v, a) && matches(v, b)
+      case org.apache.spark.sql.sources.Or(a, b)                 => matches(v, a) || matches(v, b)
+      case org.apache.spark.sql.sources.Not(a)                   => !matches(v, a)
+      case org.apache.spark.sql.sources.AlwaysTrue()             => true
+      case org.apache.spark.sql.sources.AlwaysFalse()            => false
+      case org.apache.spark.sql.sources.IsNull(_)                => false // hive layout: no null partitions
+      case org.apache.spark.sql.sources.IsNotNull(_)             => true
+      case other => sys.error(s"metadata delete: untranslatable partition filter $other")
+    }
+    val head = log.head()
+    val removed = log
+      .liveFiles(head)
+      .toSeq
+      .filter { r =>
+        ManifestFileTable.partitionValue(r.dir, pc) match {
+          case Some((_, v)) => filters.forall(matches(v, _))
+          case None         => false // pre-partitioning file: not aligned, keep
+        }
+      }
+      .sortBy(r => (r.dir, r.file))
+    if (removed.nonEmpty) {
+      log.tryCommit("main", head, "delete_partitions", remove = removed, maxAttempts = 32) match {
+        case Committed(_, _) => ()
+        case other =>
+          throw new java.util.ConcurrentModificationException(
+            s"metadata delete failed to publish after retries: $other"
+          )
+      }
+    }
+  }
+
+  private def longOf(x: Any): Option[Long] = x match {
+    case l: Long  => Some(l)
+    case i: Int   => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte  => Some(b.toLong)
+    case _        => None
+  }
+
+  /** Unconditional DELETE (no WHERE) — metadata-only for ANY manifest
+    * table, partitioned or not: one remove-all commit, no scan, no
+    * write; history still time-travels.
+    */
+  override def truncateTable(): Boolean = {
+    val head = log.head()
+    val removed = log.liveFiles(head).toSeq.sortBy(r => (r.dir, r.file))
+    if (removed.nonEmpty) {
+      log.tryCommit("main", head, "truncate", remove = removed, maxAttempts = 32) match {
+        case Committed(_, _) => ()
+        case other =>
+          throw new java.util.ConcurrentModificationException(s"truncate failed to publish: $other")
+      }
+    }
+    true
+  }
 
   /** SQL `UPDATE` / `DELETE` / `MERGE INTO` over the file table — the
     * group-based rewrite (q380's connector contract, now against
@@ -346,17 +446,16 @@ private[sources] class ManifestFileTable(
     * be silently dropped by the replacement row set (the lost-update
     * anomaly), so the only safe outcome is a loud retry-me.
     */
-  override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder = {
-    require(
-      partitionCol.isEmpty,
-      s"$tableName is partitioned: row-level operations would need a partition-preserving rewrite " +
-        "this catalog does not implement — rewrite via INSERT OVERWRITE semantics instead"
-    )
+  override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    // NOTE: no partitioned-table refusal HERE — the analyzer builds
+    // the row-level plan for every DELETE before the optimizer can
+    // flip an aligned one to the metadata-only path (SupportsDelete);
+    // the refusal lives in the operation's scan build, which only
+    // runs if the rewrite actually survives to pushdown.
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation =
-        new ManifestRowLevelOperation(dir, log, tableSchema, clusterKey, info.command())
+        new ManifestRowLevelOperation(dir, log, tableSchema, clusterKey, partitionCol, info.command())
     }
-  }
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
@@ -592,12 +691,23 @@ private[sources] class ManifestRowLevelOperation(
     log: DurableManifestLog,
     tableSchema: StructType,
     clusterKey: Option[String],
+    partitionCol: Option[String],
     cmd: RowLevelOperation.Command
 ) extends RowLevelOperation {
   @volatile private var scannedVersion: Long = -1L
   override def command(): RowLevelOperation.Command = cmd
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // a partitioned table's group rewrite would need a partition-
+    // preserving staged write this catalog does not implement; the
+    // refusal fires here (pushdown time) so partition-ALIGNED deletes
+    // have already been flipped to the metadata-only SupportsDelete
+    // path by the optimizer and never reach this scan
+    require(
+      partitionCol.isEmpty,
+      "row-level rewrites on a PARTITIONED manifest table are not implemented — " +
+        "partition-aligned DELETEs are served metadata-only; other rewrites go through INSERT OVERWRITE"
+    )
     val v = log.head()
     scannedVersion = v
     val files = log

@@ -422,6 +422,44 @@ class ManifestCatalogSpec extends SparkSpec {
     assert(feed.filter(_._4 == 1L).map(_._1).toSeq === (0L until 6L))
   }
 
+  test("metadata-only DELETE: partition-aligned conditions drop whole files from the commit record") {
+    useCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_mfst.db.mdel1")
+    spark.sql(
+      "CREATE TABLE graft_mfst.db.mdel1 (k BIGINT, p BIGINT) PARTITIONED BY (p) " +
+        "TBLPROPERTIES ('cluster_key'='k')"
+    )
+    spark.sql("INSERT INTO graft_mfst.db.mdel1 SELECT /*+ COALESCE(1) */ id, id % 3 FROM range(0, 12)") // v1
+    // aligned: DELETE by partition is one remove-only commit
+    spark.sql("DELETE FROM graft_mfst.db.mdel1 WHERE p = 1")
+    val log = DurableManifestLog.open(s"${ManifestCatalog.defaultWarehouse}/db/mdel1")
+    val last = log.chain(log.head()).last
+    assert(last.op === "delete_partitions" && last.added.isEmpty && last.removed.nonEmpty)
+    assert(spark.table("graft_mfst.db.mdel1").collect().map(_.getLong(1)).toSet === Set(0L, 2L))
+    // the deleted partition still time-travels
+    assert(
+      spark.sql("SELECT count(*) FROM graft_mfst.db.mdel1 VERSION AS OF 1 WHERE p = 1").collect()(0).getLong(0) === 4L)
+    // IN-lists align too
+    spark.sql("DELETE FROM graft_mfst.db.mdel1 WHERE p IN (0)")
+    assert(spark.table("graft_mfst.db.mdel1").collect().map(_.getLong(1)).toSet === Set(2L))
+    // non-aligned conditions on a partitioned table refuse loudly
+    assertThrows[Exception](spark.sql("DELETE FROM graft_mfst.db.mdel1 WHERE p = 2 AND k = 8"))
+    // unconditional DELETE is a metadata remove-all (Spark routes the
+    // partitioned case through deleteWhere(always-true), the
+    // unpartitioned one through truncateTable)
+    spark.sql("DELETE FROM graft_mfst.db.mdel1")
+    assert(spark.table("graft_mfst.db.mdel1").count() === 0L)
+    val lastAll = log.chain(log.head()).last
+    assert(Set("truncate", "delete_partitions").contains(lastAll.op) && lastAll.added.isEmpty)
+    spark.sql("DROP TABLE IF EXISTS graft_mfst.db.mdel2")
+    spark.sql("CREATE TABLE graft_mfst.db.mdel2 (k BIGINT) TBLPROPERTIES ('cluster_key'='k')")
+    spark.sql("INSERT INTO graft_mfst.db.mdel2 VALUES (1), (2)")
+    spark.sql("DELETE FROM graft_mfst.db.mdel2")
+    assert(spark.table("graft_mfst.db.mdel2").count() === 0L)
+    val log2 = DurableManifestLog.open(s"${ManifestCatalog.defaultWarehouse}/db/mdel2")
+    assert(log2.chain(log2.head()).last.op === "truncate")
+  }
+
   test("VERSION AS OF 'ref': tags and branches resolve by name; unknown refs refuse at resolution") {
     useCatalog()
     spark.sql("DROP TABLE IF EXISTS graft_mfst.db.mref1")
