@@ -6249,6 +6249,23 @@ object Oracles {
     // via time travel), phase 2 = the survivors; meta_only /
     // non_aligned_refused / n_after_truncate earned in-engine (commit
     // record shape; loud refusal; metadata truncate to zero)
+    // main during staging = the even cohort; the audit (and the
+    // published main) = even ∪ odd; heads_ok / typo_refused earned
+    // in-engine (branch heads at 1/2 pre-publish; an unknown branch
+    // refuses at commit and lands nowhere)
+    "q438_wap_sql" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |ev AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents) AS BIGINT) AS cc FROM o WHERE k % 2 = 0),
+        |al AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents) AS BIGINT) AS cc FROM o)
+        |SELECT '1_main_during_staging' AS phase, ev.n AS n_rows, ev.kk AS key_checksum,
+        |  ev.cc AS cents_checksum, CAST(1 AS BIGINT) AS heads_ok,
+        |  CAST(1 AS BIGINT) AS typo_refused FROM ev
+        |UNION ALL SELECT '2_audit_reads_staged', al.n, al.kk, al.cc, 1, 1 FROM al
+        |UNION ALL SELECT '3_published', al.n, al.kk, al.cc, 1, 1 FROM al
+        |ORDER BY phase""".stripMargin,
     "q437_metadata_delete" ->
       """WITH o AS (SELECT o_orderkey AS k, o_orderkey % 4 AS p,
         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),

@@ -16660,4 +16660,55 @@ object Queries {
     ).toDF("phase", "n_rows", "key_checksum", "cents_checksum", "meta_only", "non_aligned_refused", "n_after_truncate")
       .orderBy("phase")
   }
+
+  // WRITE-AUDIT-PUBLISH FROM SQL — the Iceberg `spark.wap.branch`
+  // convention on the manifest catalog: while
+  // `spark.graft.wap.branch` names a branch, INSERTs commit onto IT;
+  // plain reads keep serving main (the staged work is invisible), the
+  // audit reads the staged state as `VERSION AS OF '<branch>'`
+  // (q429's ref reads), and publication is the log's fast-forward —
+  // after which the SAME plain SQL serves the audited rows. A typo'd
+  // branch refuses loudly at commit (never lands on main). q412
+  // proved WAP for streaming through the log API; this is the batch
+  // SQL front door. Scale shape: branching is one ref entry; staging
+  // and publishing move no data files.
+  def manifestWapSql(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft_mfst", classOf[graft.sources.ManifestCatalog].getName)
+    s.sql("DROP TABLE IF EXISTS graft_mfst.db.q438t")
+    s.sql("CREATE TABLE graft_mfst.db.q438t (k BIGINT, cents BIGINT) TBLPROPERTIES ('cluster_key'='k')")
+    t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .createOrReplaceTempView("q438_src")
+    s.sql("INSERT INTO graft_mfst.db.q438t SELECT k, cents FROM q438_src WHERE k % 2 = 0") // v1 on main
+    val tdir = s"${graft.sources.ManifestCatalog.defaultWarehouse}/db/q438t"
+    graft.sources.DurableManifestLog.open(tdir).createBranch("audit", 1L)
+    def census(q: String): (Long, Long, Long) = {
+      val r = s.sql(q).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val sel = "SELECT count(*) AS n, sum(k) AS kk, sum(cents) AS cc FROM graft_mfst.db.q438t"
+    s.conf.set("spark.graft.wap.branch", "audit")
+    val (staged, mainDuring, typoRefused) =
+      try {
+        s.sql("INSERT INTO graft_mfst.db.q438t SELECT k, cents FROM q438_src WHERE k % 2 = 1") // v2 on audit
+        val st = census(s"$sel VERSION AS OF 'audit'")
+        val mn = census(sel)
+        s.conf.set("spark.graft.wap.branch", "nope")
+        val refused =
+          try { s.sql("INSERT INTO graft_mfst.db.q438t VALUES (0, 0)"); 0L }
+          catch { case _: Exception => 1L }
+        (st, mn, refused)
+      } finally s.conf.unset("spark.graft.wap.branch")
+    val log = graft.sources.DurableManifestLog.open(tdir)
+    val headsOk = if (log.head("main") == 1L && log.head("audit") == 2L) 1L else 0L
+    log.fastForward("main", "audit")
+    val published = census(sel)
+    Seq(
+      ("1_main_during_staging", mainDuring._1, mainDuring._2, mainDuring._3, headsOk, typoRefused),
+      ("2_audit_reads_staged", staged._1, staged._2, staged._3, headsOk, typoRefused),
+      ("3_published", published._1, published._2, published._3, headsOk, typoRefused)
+    ).toDF("phase", "n_rows", "key_checksum", "cents_checksum", "heads_ok", "typo_refused")
+      .orderBy("phase")
+  }
 }

@@ -323,6 +323,20 @@ object ManifestCatalog {
     * session at one storage root).
     */
   lazy val defaultWarehouse: String = graft.operators.Scratch.pinned("graft-mfst-wh")
+
+  /** WRITE-AUDIT-PUBLISH from SQL (the Iceberg `spark.wap.branch`
+    * convention): while `spark.graft.wap.branch` names a branch,
+    * every INSERT commits onto IT — plain reads keep serving `main`
+    * (the staged work is invisible), the audit reads it as
+    * `VERSION AS OF '<branch>'`, and publication is the log's
+    * fast-forward. The branch must already exist (createBranch): a
+    * typo'd name refuses loudly at commit, never lands on main.
+    */
+  def wapBranch: String =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.conf.get("spark.graft.wap.branch", "main"))
+      .filter(_.nonEmpty)
+      .getOrElse("main")
 }
 
 /** One manifest-backed table at a pinned version. The head-resolved
@@ -628,7 +642,8 @@ private[sources] class PartitionedManifestWriteBuilder(
           // partition removed our targeted files first → the OCC
           // overlap rule aborts loudly; under dynamic mode, commuting
           // appends to OTHER partitions rebase past.
-          val head = log.head()
+          val branch = ManifestCatalog.wapBranch
+          val head = log.head(branch)
           val dynamic = data.sparkSession.conf
             .get("spark.graft.partitionOverwriteMode", "static")
             .equalsIgnoreCase("dynamic")
@@ -642,7 +657,7 @@ private[sources] class PartitionedManifestWriteBuilder(
             if (!overwrite) "append"
             else if (dynamic) "overwrite_partitions"
             else "overwrite_table"
-          log.tryCommit("main", head, op, add = refs, remove = removed, stats = stats, maxAttempts = 32) match {
+          log.tryCommit(branch, head, op, add = refs, remove = removed, stats = stats, maxAttempts = 32) match {
             case Committed(_, _) => ()
             case other =>
               throw new java.util.ConcurrentModificationException(
@@ -672,7 +687,8 @@ private[sources] class ManifestWriteBuilder(
   override def build(): Write =
     ManifestWrites.stagedWrite(dir, info, info.schema(), stripOpColumn = false) { refs =>
       val stats = ManifestWrites.footerStats(dir, refs, clusterKey)
-      log.tryCommit("main", log.head(), "append", add = refs, stats = stats, maxAttempts = 32) match {
+      val branch = ManifestCatalog.wapBranch // WAP: stage onto the named branch, main untouched
+      log.tryCommit(branch, log.head(branch), "append", add = refs, stats = stats, maxAttempts = 32) match {
         case Committed(_, _) => ()
         case other =>
           throw new java.util.ConcurrentModificationException(

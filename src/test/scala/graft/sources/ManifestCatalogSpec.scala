@@ -460,6 +460,31 @@ class ManifestCatalogSpec extends SparkSpec {
     assert(log2.chain(log2.head()).last.op === "truncate")
   }
 
+  test("SQL WAP: INSERTs land on the conf-named branch, main stays clean, fast-forward publishes") {
+    useCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_mfst.db.mwap1")
+    spark.sql("CREATE TABLE graft_mfst.db.mwap1 (k BIGINT) TBLPROPERTIES ('cluster_key'='k')")
+    spark.sql("INSERT INTO graft_mfst.db.mwap1 VALUES (1)") // v1 on main
+    val tdir = s"${ManifestCatalog.defaultWarehouse}/db/mwap1"
+    DurableManifestLog.open(tdir).createBranch("audit", 1L)
+    spark.conf.set("spark.graft.wap.branch", "audit")
+    try {
+      spark.sql("INSERT INTO graft_mfst.db.mwap1 VALUES (2), (3)") // v2 on audit
+      // staged work invisible to plain reads; the audit sees it by ref
+      assert(spark.table("graft_mfst.db.mwap1").count() === 1L)
+      assert(
+        spark.sql("SELECT count(*) FROM graft_mfst.db.mwap1 VERSION AS OF 'audit'").collect()(0).getLong(0) === 3L)
+      // a typo'd branch refuses loudly at commit — nothing lands anywhere
+      spark.conf.set("spark.graft.wap.branch", "nope")
+      assertThrows[Exception](spark.sql("INSERT INTO graft_mfst.db.mwap1 VALUES (9)"))
+    } finally spark.conf.unset("spark.graft.wap.branch")
+    val log = DurableManifestLog.open(tdir)
+    assert(log.head("main") === 1L && log.head("audit") === 2L)
+    // publish: fast-forward main to the audited branch
+    log.fastForward("main", "audit")
+    assert(spark.table("graft_mfst.db.mwap1").orderBy("k").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("VERSION AS OF 'ref': tags and branches resolve by name; unknown refs refuse at resolution") {
     useCatalog()
     spark.sql("DROP TABLE IF EXISTS graft_mfst.db.mref1")
