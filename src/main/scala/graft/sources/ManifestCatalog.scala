@@ -933,7 +933,10 @@ private[sources] object ManifestMetaTables {
         StructField("n_added", LongType, nullable = false),
         StructField("n_removed", LongType, nullable = false),
         StructField("n_dv", LongType, nullable = false),
-        StructField("n_cdc", LongType, nullable = false)
+        StructField("n_cdc", LongType, nullable = false),
+        // the commit wall-clock (epoch ms; 0 = unstamped) — TIMESTAMP
+        // AS OF's axis, introspectable like Delta's DESCRIBE HISTORY
+        StructField("ts_ms", LongType, nullable = false)
       )
     )
     val rows: Array[InternalRow] = log
@@ -947,7 +950,8 @@ private[sources] object ManifestMetaTables {
             c.added.size.toLong,
             c.removed.size.toLong,
             c.dvAdded.size.toLong,
-            c.cdc.size.toLong
+            c.cdc.size.toLong,
+            c.ts
           )
         ): InternalRow
       }

@@ -242,6 +242,10 @@ class ManifestCatalogSpec extends SparkSpec {
     // the resolved snapshot is read-only, like VERSION AS OF
     assertThrows[Exception](
       spark.sql("INSERT INTO graft_mfst.db.mts1 TIMESTAMP AS OF '1970-01-01 00:00:20' VALUES (9)"))
+    // the commit clocks are introspectable through db.t.history
+    assert(
+      spark.sql("SELECT ts_ms FROM graft_mfst.db.mts1.history ORDER BY version")
+        .collect().map(_.getLong(0)).toSeq === Seq(0L, 10000L, 20000L, 30000L))
     // resolution survives expiration: the squash checkpoint inherits
     // the horizon commit's wall-clock
     DurableManifestLog.open(s"${ManifestCatalog.defaultWarehouse}/db/mts1").expireBefore(2L)
