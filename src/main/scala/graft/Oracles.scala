@@ -6253,6 +6253,23 @@ object Oracles {
     // published main) = even ∪ odd; heads_ok / typo_refused earned
     // in-engine (branch heads at 1/2 pre-publish; an unknown branch
     // refuses at commit and lands nowhere)
+    // the rewrites' change censuses: update pre/post = the k%10=3
+    // cohort at original / +7 cents; delete = the k%9=4 cohort whose
+    // cents carry the prior update where the cohorts overlap
+    // (k ≡ 3 mod 10 ∧ k ≡ 4 mod 9)
+    "q439_cdc_on_write" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |u AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents) AS BIGINT) AS cc FROM o WHERE k % 10 = 3),
+        |d AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents + CASE WHEN k % 10 = 3 THEN 7 ELSE 0 END) AS BIGINT) AS cc
+        |  FROM o WHERE k % 9 = 4)
+        |SELECT 'delete' AS change_type, d.n AS n_rows, d.kk AS key_checksum,
+        |  d.cc AS cents_checksum FROM d
+        |UNION ALL SELECT 'update_postimage', u.n, u.kk, u.cc + 7 * u.n FROM u
+        |UNION ALL SELECT 'update_preimage', u.n, u.kk, u.cc FROM u
+        |ORDER BY change_type""".stripMargin,
     "q438_wap_sql" ->
       """WITH o AS (SELECT o_orderkey AS k,
         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),

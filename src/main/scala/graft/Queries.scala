@@ -16711,4 +16711,38 @@ object Queries {
     ).toDF("phase", "n_rows", "key_checksum", "cents_checksum", "heads_ok", "typo_refused")
       .orderBy("phase")
   }
+
+  // CDC-ON-WRITE — `change_feed`='true' (the Delta enableChangeDataFeed
+  // convention) makes row-level SQL streamable: each UPDATE / DELETE
+  // rewrite stages explicit pre/post-image files alongside its commit
+  // (one key-joined diff of removed vs staged files, bounded by the
+  // REWRITE and paid once at write time — the _change_data economics;
+  // deriving images at read time would re-run the diff per consumer),
+  // and `db.t.changes` serves them through the changeTypeFromFile
+  // path. The probe: UPDATE shifts cents by +7 on the k%10=3 cohort,
+  // DELETE drops k%9=4 (whose cents reflect the prior update where
+  // the cohorts overlap); the feed's per-change-type censuses are
+  // pinned against the same arithmetic. Scale shape: the cdc files
+  // are change-cardinality; the feed read stays O(|changed files|).
+  def manifestCdcOnWrite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft_mfst", classOf[graft.sources.ManifestCatalog].getName)
+    s.sql("DROP TABLE IF EXISTS graft_mfst.db.q439t")
+    s.sql(
+      "CREATE TABLE graft_mfst.db.q439t (k BIGINT, cents BIGINT) " +
+        "TBLPROPERTIES ('cluster_key'='k', 'change_feed'='true')"
+    )
+    t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .createOrReplaceTempView("q439_src")
+    s.sql("INSERT INTO graft_mfst.db.q439t SELECT k, cents FROM q439_src") // v1
+    s.sql("UPDATE graft_mfst.db.q439t SET cents = cents + 7 WHERE k % 10 = 3") // v2 + cdc
+    s.sql("DELETE FROM graft_mfst.db.q439t WHERE k % 9 = 4") // v3 + cdc
+    s.read
+      .option("startingVersion", 1) // the rewrites' feed alone
+      .table("graft_mfst.db.q439t.changes")
+      .groupBy(col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("key_checksum"), sum(col("cents")).as("cents_checksum"))
+      .orderBy("change_type")
+  }
 }

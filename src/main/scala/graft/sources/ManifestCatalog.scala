@@ -77,13 +77,20 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   private def readMeta(ident: Identifier): (StructType, Option[String], Option[String]) = {
+    val m = readTableMeta(ident)
+    (m.schema, m.clusterKey, m.partitionCol)
+  }
+
+  private def readTableMeta(ident: Identifier): ManifestTableMeta = {
     val metaPath = s"${tableDir(ident)}/_table.json"
     if (!GraftFs.exists(metaPath)) throw new NoSuchTableException(ident)
     val n = mapper.readTree(GraftFs.readBytes(metaPath))
-    val schema = DataType.fromJson(n.get("schema").asText()).asInstanceOf[StructType]
-    val ck = if (n.hasNonNull("clusterKey")) Some(n.get("clusterKey").asText()) else None
-    val pc = if (n.hasNonNull("partitionCol")) Some(n.get("partitionCol").asText()) else None
-    (schema, ck, pc)
+    ManifestTableMeta(
+      DataType.fromJson(n.get("schema").asText()).asInstanceOf[StructType],
+      if (n.hasNonNull("clusterKey")) Some(n.get("clusterKey").asText()) else None,
+      if (n.hasNonNull("partitionCol")) Some(n.get("partitionCol").asText()) else None,
+      n.hasNonNull("changeFeed") && n.get("changeFeed").asBoolean()
+    )
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -113,13 +120,13 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
         }
       }
     }
-    val (schema, ck, pc) = readMeta(ident)
+    val m = readTableMeta(ident)
     val dir = tableDir(ident)
     val log = DurableManifestLog.open(dir)
     val head = log.head()
     new ManifestFileTable(
-      s"$catalogName.${ident.name()}", dir, log, head, effectiveSchema(log, head, schema), ck, pc,
-      writable = true)
+      s"$catalogName.${ident.name()}", dir, log, head, effectiveSchema(log, head, m.schema),
+      m.clusterKey, m.partitionCol, writable = true, changeFeed = m.changeFeed)
   }
 
   /** The schema in force at `version`: the log's latest schema action
@@ -236,6 +243,11 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
       ()
     }
     partitionCol.foreach { pc => meta.put("partitionCol", pc); () }
+    // 'change_feed'='true' enables CDC-ON-WRITE for row-level
+    // rewrites (the Delta enableChangeDataFeed convention): UPDATE /
+    // DELETE / MERGE stage explicit pre/post-image files alongside
+    // the rewrite, making it streamable through db.t.changes
+    if ("true".equalsIgnoreCase(properties.get("change_feed"))) { meta.put("changeFeed", true); () }
     GraftFs.mkdirs(dir)
     if (!GraftFs.createExclusive(s"$dir/_table.json", mapper.writeValueAsBytes(meta)))
       throw new TableAlreadyExistsException(Seq(catalogName) ++ ident.namespace() :+ ident.name())
@@ -352,7 +364,8 @@ private[sources] class ManifestFileTable(
     tableSchema: StructType,
     clusterKey: Option[String],
     partitionCol: Option[String],
-    writable: Boolean
+    writable: Boolean,
+    changeFeed: Boolean = false
 ) extends Table
     with SupportsRead
     with SupportsWrite
@@ -468,7 +481,8 @@ private[sources] class ManifestFileTable(
     // runs if the rewrite actually survives to pushdown.
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation =
-        new ManifestRowLevelOperation(dir, log, tableSchema, clusterKey, partitionCol, info.command())
+        new ManifestRowLevelOperation(
+          dir, log, tableSchema, clusterKey, partitionCol, changeFeed, info.command())
     }
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
@@ -708,6 +722,7 @@ private[sources] class ManifestRowLevelOperation(
     tableSchema: StructType,
     clusterKey: Option[String],
     partitionCol: Option[String],
+    changeFeed: Boolean,
     cmd: RowLevelOperation.Command
 ) extends RowLevelOperation {
   @volatile private var scannedVersion: Long = -1L
@@ -750,6 +765,26 @@ private[sources] class ManifestRowLevelOperation(
       ManifestWrites.stagedWrite(dir, info, tableSchema, stripOpColumn = true) { refs =>
         val stats = ManifestWrites.footerStats(dir, refs, clusterKey)
         val removed = log.liveFiles(readVersion).toSeq.sortBy(r => (r.dir, r.file))
+        // CDC-ON-WRITE (table property change_feed='true', the Delta
+        // enableChangeDataFeed convention): the rewrite job itself
+        // stages explicit pre/post-image rows — one key-joined diff of
+        // the removed vs staged files, bounded by the rewrite — so
+        // the commit is streamable through db.t.changes (a rewrite
+        // WITHOUT cdc refuses at feed planning by design: deriving
+        // images per consumer would re-run this diff for each).
+        // Requires a cluster key (the diff's join key; key-unique
+        // tables, the manifestChanges precondition).
+        val cdcRefs =
+          if (!changeFeed) Seq.empty[FileRef]
+          else
+            ManifestWrites.stageCdc(
+              dir,
+              clusterKey.getOrElse(
+                sys.error("change_feed tables need a cluster_key — the CDC diff joins on it")),
+              tableSchema,
+              removed,
+              refs
+            )
         log.tryCommit(
           "main",
           readVersion,
@@ -757,6 +792,7 @@ private[sources] class ManifestRowLevelOperation(
           add = refs,
           remove = removed,
           stats = stats,
+          cdc = cdcRefs,
           strict = true
         ) match {
           case Committed(_, _) => ()
@@ -771,8 +807,64 @@ private[sources] class ManifestRowLevelOperation(
   }
 }
 
+/** `_table.json`, decoded. */
+private[sources] final case class ManifestTableMeta(
+    schema: StructType,
+    clusterKey: Option[String],
+    partitionCol: Option[String],
+    changeFeed: Boolean
+)
+
 /** Shared staging machinery for the catalog's write paths. */
 private[sources] object ManifestWrites {
+
+  /** Stage a rewrite's CDC files: one single-pass full-outer diff of
+    * the removed files' rows against the staged files' rows on the
+    * cluster key (the manifestChanges when/explode classification,
+    * generic over the table schema), written as parquet whose rows
+    * carry `change_type` + every table column — exactly what the CDF
+    * reader's `changeTypeFromFile` path serves. Cost: one join job
+    * bounded by the REWRITE's files, paid once at write time (the
+    * Delta `_change_data` economics). Returns the staged refs.
+    */
+  def stageCdc(
+      dir: String,
+      key: String,
+      tableSchema: StructType,
+      removed: Seq[FileRef],
+      added: Seq[FileRef]
+  ): Seq[FileRef] = {
+    import org.apache.spark.sql.functions._
+    val ss = manifestGlue.activeSession
+    val cdcDir = s"cdc-${java.util.UUID.randomUUID().toString.take(12)}"
+    val cols = tableSchema.fieldNames.toSeq
+    def read(fs: Seq[FileRef]) =
+      if (fs.isEmpty) ss.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), tableSchema)
+      else ss.read.schema(tableSchema).parquet(fs.map(r => s"$dir/${r.dir}/${r.file}"): _*)
+    val o = read(removed).as("o")
+    val n = read(added).as("n")
+    def img(ct: String, side: String) =
+      struct(lit(ct).as("change_type") +: cols.map(c => col(s"$side.$c").as(c)): _*)
+    val valueChanged = cols
+      .filter(_ != key)
+      .map(c => !(col(s"o.$c") <=> col(s"n.$c")))
+      .reduceOption(_ || _)
+      .getOrElse(lit(false))
+    o.join(n, col(s"o.$key") === col(s"n.$key"), "full_outer")
+      .select(
+        explode(
+          when(
+            col(s"o.$key").isNotNull && col(s"n.$key").isNotNull && valueChanged,
+            array(img("update_preimage", "o"), img("update_postimage", "n"))
+          ).when(col(s"n.$key").isNull, array(img("delete", "o")))
+            .when(col(s"o.$key").isNull, array(img("insert", "n")))
+        ).as("c")
+      )
+      .select("c.*")
+      .write
+      .parquet(s"$dir/$cdcDir")
+    GraftFs.listDataFiles(s"$dir/$cdcDir").map(f => FileRef(cdcDir, f))
+  }
   /** A Write that stages parquet into a fresh dir under the table
     * root via Spark's own DSv2 parquet write, then runs `publish`
     * with the staged FileRefs on driver-side commit. `writeSchema`

@@ -489,6 +489,40 @@ class ManifestCatalogSpec extends SparkSpec {
     assert(spark.table("graft_mfst.db.mwap1").orderBy("k").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("CDC-on-write: change_feed tables stage pre/post images with their rewrites; feed serves them") {
+    useCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_mfst.db.mcdc1")
+    spark.sql(
+      "CREATE TABLE graft_mfst.db.mcdc1 (k BIGINT, v BIGINT) " +
+        "TBLPROPERTIES ('cluster_key'='k', 'change_feed'='true')"
+    )
+    spark.sql("INSERT INTO graft_mfst.db.mcdc1 SELECT /*+ COALESCE(1) */ id, id * 10 FROM range(0, 6)") // v1
+    spark.sql("UPDATE graft_mfst.db.mcdc1 SET v = v + 1 WHERE k IN (2, 4)") // v2: rewrite + cdc
+    spark.sql("DELETE FROM graft_mfst.db.mcdc1 WHERE k = 5") // v3: rewrite + cdc
+    val feed = spark.read
+      .option("startingVersion", 1) // the rewrites only — inserts proved elsewhere
+      .table("graft_mfst.db.mcdc1.changes")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._4, t._3, t._1))
+    assert(
+      feed.toSeq === Seq(
+        (2L, 21L, "update_postimage", 2L), (4L, 41L, "update_postimage", 2L),
+        (2L, 20L, "update_preimage", 2L), (4L, 40L, "update_preimage", 2L),
+        (5L, 50L, "delete", 3L)
+      ),
+      feed.mkString(", ")
+    )
+    // without the property, a rewrite still refuses at feed planning
+    spark.sql("DROP TABLE IF EXISTS graft_mfst.db.mcdc2")
+    spark.sql("CREATE TABLE graft_mfst.db.mcdc2 (k BIGINT) TBLPROPERTIES ('cluster_key'='k')")
+    spark.sql("INSERT INTO graft_mfst.db.mcdc2 VALUES (1), (2)")
+    spark.sql("UPDATE graft_mfst.db.mcdc2 SET k = 3 WHERE k = 2")
+    val e = intercept[Exception](
+      spark.read.option("startingVersion", 1).table("graft_mfst.db.mcdc2.changes").collect())
+    assert(e.getMessage.contains("no cdc change files"), e.getMessage)
+  }
+
   test("VERSION AS OF 'ref': tags and branches resolve by name; unknown refs refuse at resolution") {
     useCatalog()
     spark.sql("DROP TABLE IF EXISTS graft_mfst.db.mref1")
