@@ -6257,6 +6257,22 @@ object Oracles {
     // cohort at original / +7 cents; delete = the k%9=4 cohort whose
     // cents carry the prior update where the cohorts overlap
     // (k ≡ 3 mod 10 ∧ k ≡ 4 mod 9)
+    // 8 zone files fold 4-to-1 into 2; the k-range probe that kept
+    // 2-of-8 pre-compaction keeps 1-of-2 after (both scanned counts
+    // earned off the executed plan); the census is the q423 range
+    // arithmetic; eq_across_compaction earned in-engine (head ≡ the
+    // pre-compaction version's read)
+    "q440_manifest_optimize" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |wdt AS (SELECT 1 + max(k) // 8 AS w FROM o),
+        |m AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents) AS BIGINT) AS cc
+        |  FROM o, wdt WHERE k BETWEEN w // 2 AND w + w // 2)
+        |SELECT 'compact_4_to_1' AS probe, CAST(8 AS BIGINT) AS n_files_before,
+        |  CAST(2 AS BIGINT) AS n_files_after, CAST(2 AS BIGINT) AS n_groups,
+        |  CAST(1 AS BIGINT) AS n_files_scanned, m.n AS n_rows, m.kk AS key_checksum,
+        |  m.cc AS cents_checksum, CAST(1 AS BIGINT) AS eq_across_compaction FROM m""".stripMargin,
     "q439_cdc_on_write" ->
       """WITH o AS (SELECT o_orderkey AS k,
         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),

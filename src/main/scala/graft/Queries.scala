@@ -16745,4 +16745,70 @@ object Queries {
       .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("key_checksum"), sum(col("cents")).as("cents_checksum"))
       .orderBy("change_type")
   }
+
+  // OPTIMIZE ON THE DURABLE CATALOG — q420's log-planned compaction as
+  // a maintenance verb against the REAL table: groups planned from
+  // the log's zone maps (zone-ordered, never across partitions), each
+  // group rewritten to one file and published as one OCC commit whose
+  // stats come from the output's FOOTER — so zone pruning keeps
+  // working on the compacted layout, reads are bit-identical across
+  // the compaction, and every pre-compaction version still
+  // time-travels. The probe: q423's 8 single-file zones fold 4-to-1
+  // into 2 files; a range predicate that kept 2-of-8 pre-compaction
+  // keeps 1-of-2 after (plan-asserted off the executed scan). Scale
+  // shape: planning is |live files| log arithmetic; each rewrite
+  // reads exactly its group.
+  def manifestOptimize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft_mfst", classOf[graft.sources.ManifestCatalog].getName)
+    s.sql("DROP TABLE IF EXISTS graft_mfst.db.q440t")
+    s.sql("CREATE TABLE graft_mfst.db.q440t (k BIGINT, cents BIGINT) TBLPROPERTIES ('cluster_key'='k')")
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    orders.createOrReplaceTempView("q440_src")
+    val maxK = orders.agg(max(col("k"))).collect()(0).getLong(0)
+    val w = 1L + maxK / 8L
+    (0 until 8).foreach { i =>
+      s.sql(
+        s"INSERT INTO graft_mfst.db.q440t SELECT /*+ COALESCE(1) */ k, cents FROM q440_src " +
+          s"WHERE k >= ${i * w} AND k < ${(i + 1) * w}"
+      )
+    }
+    val tdir = s"${graft.sources.ManifestCatalog.defaultWarehouse}/db/q440t"
+    val log = graft.sources.DurableManifestLog.open(tdir)
+    val nBefore = log.liveFiles(log.head()).size.toLong
+    val schema = s.table("graft_mfst.db.q440t").schema
+    val groups = graft.sources.ManifestMaintenance.compact(tdir, log, schema, Some("k"), groupSize = 4)
+    val nAfter = log.liveFiles(log.head()).size.toLong
+    def census(q: String): (Long, Long, Long) = {
+      val r = s.sql(q).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val sel = "SELECT count(*) AS n, sum(k) AS kk, sum(cents) AS cc FROM graft_mfst.db.q440t"
+    val head = census(sel)
+    val preCompact = census(s"$sel VERSION AS OF 8") // all zones, before any compact commit
+    val eqAcross = if (head == preCompact) 1L else 0L
+    // the q423 probe against the COMPACTED layout: 2-of-8 became 1-of-2
+    val lo = w / 2
+    val hi = w + w / 2
+    val pruned = s.sql(s"$sel WHERE k BETWEEN $lo AND $hi")
+    val pr = pruned.collect()(0)
+    val scanned =
+      org.apache.spark.sql.graft.manifestGlue.scanInputFiles(pruned.queryExecution.executedPlan).distinct.size.toLong
+    Seq(
+      (
+        "compact_4_to_1",
+        nBefore,
+        nAfter,
+        groups.size.toLong,
+        scanned,
+        pr.getLong(0),
+        pr.getLong(1),
+        pr.getLong(2),
+        eqAcross
+      )
+    ).toDF(
+      "probe", "n_files_before", "n_files_after", "n_groups", "n_files_scanned",
+      "n_rows", "key_checksum", "cents_checksum", "eq_across_compaction")
+  }
 }

@@ -1002,6 +1002,85 @@ object ManifestMaintenance {
     orphans.foreach(r => GraftFs.delete(s"$dir/${r.dir}/${r.file}"))
     orphans
   }
+
+  /** OPTIMIZE — small-file compaction on a durable manifest table
+    * (q420's log-planned compaction as a catalog maintenance verb):
+    * groups are planned FROM THE LOG (files zone-ordered by their
+    * recorded cluster-key min, `groupSize` inputs per output, within
+    * one partition dir — never across partitions), each group is
+    * rewritten to one file through Spark's parquet writer, and each
+    * rewrite publishes one OCC commit (remove = the group, add = the
+    * output, stats from the output's FOOTER so zone pruning keeps
+    * working). A concurrent writer that removed one of the group's
+    * files aborts that group loudly (the OCC overlap rule) without
+    * touching the others; every pre-compaction version still
+    * time-travels (inputs stay on disk until expire+vacuum). Returns
+    * (inputs, output) per group committed. `schema` is the CURRENT
+    * table schema — pre-evolution files null-fill through it, so a
+    * compaction also materializes the evolved shape.
+    */
+  def compact(
+      dir: String,
+      log: DurableManifestLog,
+      schema: org.apache.spark.sql.types.StructType,
+      clusterKey: Option[String],
+      groupSize: Int = 4
+  ): Seq[(Seq[ManifestLog.FileRef], ManifestLog.FileRef)] = {
+    require(groupSize >= 2, "compaction needs at least 2 inputs per output")
+    val spark = org.apache.spark.sql.graft.manifestGlue.activeSession
+    val head = log.head()
+    val stats = log.liveStats(head)
+    val live = log.liveFiles(head).toSeq
+    val groups: Seq[(String, Seq[FileRef])] = live
+      .groupBy(r => if (r.dir.contains("=")) r.dir else "") // one partition = one compaction scope
+      .toSeq
+      .sortBy(_._1)
+      .flatMap { case (part, fs) =>
+        fs.sortBy(r => (stats.get(r).map(_.min).getOrElse(Long.MaxValue), r.dir, r.file))
+          .grouped(groupSize)
+          .filter(_.size >= 2) // a singleton gains nothing
+          .map(g => part -> g)
+      }
+    groups.flatMap { case (part, inputs) =>
+      val staging = s".copt-${java.util.UUID.randomUUID().toString.take(12)}"
+      spark.read
+        .schema(schema)
+        .parquet(inputs.map(r => s"$dir/${r.dir}/${r.file}"): _*)
+        .coalesce(1)
+        .write
+        .parquet(s"$dir/$staging")
+      // partitioned inputs: the output must live under the SAME
+      // partition dir for path-served partition values; unpartitioned
+      // outputs get their own compact dir
+      val outRef = GraftFs.listDataFiles(s"$dir/$staging") match {
+        case Seq(f) =>
+          if (part.isEmpty) {
+            val cdir = s"c-${java.util.UUID.randomUUID().toString.take(12)}"
+            GraftFs.mkdirs(s"$dir/$cdir")
+            require(GraftFs.rename(s"$dir/$staging/$f", s"$dir/$cdir/$f"), s"compaction publish failed: $f")
+            FileRef(cdir, f)
+          } else {
+            require(GraftFs.rename(s"$dir/$staging/$f", s"$dir/$part/$f"), s"compaction publish failed: $f")
+            FileRef(part, f)
+          }
+        case other => sys.error(s"compaction staged ${other.size} files for one group (expected 1)")
+      }
+      GraftFs.deleteRecursive(s"$dir/$staging")
+      val outStats = ManifestWrites.footerStats(dir, Seq(outRef), clusterKey)
+      // readVersion re-anchored per group: earlier groups' own commits
+      // are interveners otherwise (disjoint, but why pay the rebase)
+      log.tryCommit(
+        "main", log.head(), "compact",
+        add = Seq(outRef), remove = inputs, stats = outStats, maxAttempts = 4
+      ) match {
+        case Committed(_, _) => Some(inputs -> outRef)
+        case other =>
+          throw new java.util.ConcurrentModificationException(
+            s"compaction group aborted (a concurrent writer touched its inputs): $other"
+          )
+      }
+    }
+  }
 }
 
 /** The `.history` / `.files` metadata tables: driver-computed rows

@@ -523,6 +523,38 @@ class ManifestCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("no cdc change files"), e.getMessage)
   }
 
+  test("OPTIMIZE: log-planned compaction rewrites groups, reads identical, partitions never merge") {
+    useCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_mfst.db.mopt1")
+    spark.sql(
+      "CREATE TABLE graft_mfst.db.mopt1 (k BIGINT, p BIGINT) PARTITIONED BY (p) " +
+        "TBLPROPERTIES ('cluster_key'='k')"
+    )
+    // 3 commits × 2 partitions = 6 single-row-group files
+    (0 until 3).foreach { i =>
+      spark.sql(
+        s"INSERT INTO graft_mfst.db.mopt1 SELECT /*+ COALESCE(1) */ id, id % 2 FROM range(${i * 10}, ${i * 10 + 10})")
+    }
+    val tdir = s"${ManifestCatalog.defaultWarehouse}/db/mopt1"
+    val log = DurableManifestLog.open(tdir)
+    assert(log.liveFiles(log.head()).size === 6)
+    val before = spark.table("graft_mfst.db.mopt1").orderBy("k", "p").collect().toSeq
+    val schema = spark.table("graft_mfst.db.mopt1").schema
+    val done = ManifestMaintenance.compact(tdir, log, schema, Some("k"), groupSize = 3)
+    // 3 files per partition fold to 1 each; outputs stay inside their
+    // partition dirs (path-served values keep working)
+    assert(done.size === 2 && done.forall(_._1.size === 3))
+    assert(log.liveFiles(log.head()).size === 2)
+    assert(log.liveFiles(log.head()).forall(_.dir.startsWith("p=")))
+    assert(spark.table("graft_mfst.db.mopt1").orderBy("k", "p").collect().toSeq === before)
+    // pre-compaction versions still serve
+    assert(spark.sql("SELECT count(*) FROM graft_mfst.db.mopt1 VERSION AS OF 1").collect()(0).getLong(0) === 10L)
+    // zone maps rode the compaction: a key predicate still prunes
+    val df = spark.sql("SELECT sum(k) FROM graft_mfst.db.mopt1 WHERE k >= 100")
+    df.collect()
+    assert(org.apache.spark.sql.graft.manifestGlue.scanInputFiles(df.queryExecution.executedPlan).isEmpty)
+  }
+
   test("VERSION AS OF 'ref': tags and branches resolve by name; unknown refs refuse at resolution") {
     useCatalog()
     spark.sql("DROP TABLE IF EXISTS graft_mfst.db.mref1")
