@@ -134,15 +134,35 @@ final class CdfTable(
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(
       options: org.apache.spark.sql.util.CaseInsensitiveStringMap
-  ): ScanBuilder =
+  ): ScanBuilder = {
+    // `startingTimestamp` (epoch millis or 'yyyy-MM-dd HH:mm:ss' UTC,
+    // the Delta CDF option) resolves through the same latest-at-or-
+    // before rule as TIMESTAMP AS OF; the feed then starts AFTER that
+    // version (its changes are already reflected in a read at it)
+    val startingVersion = Option(options.get("startingTimestamp"))
+      .map { ts =>
+        require(!options.containsKey("startingVersion"), "set startingVersion OR startingTimestamp, not both")
+        val ms =
+          try ts.toLong
+          catch {
+            case _: NumberFormatException =>
+              java.time.LocalDateTime
+                .parse(ts.replace(' ', 'T'))
+                .toInstant(java.time.ZoneOffset.UTC)
+                .toEpochMilli
+          }
+        graft.sources.DurableManifestLog.open(baseDir).versionAtTimestamp(ms)
+      }
+      .getOrElse(options.getLong("startingVersion", 0L))
     new CdfScan(
       baseDir,
       tableSchema,
-      options.getLong("startingVersion", 0L),
+      startingVersion,
       Option(options.get("endingVersion")).map(_.toLong),
       Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
       partitionCol
     )
+  }
 }
 
 /** ScanBuilder + Scan + Batch + MicroBatchStream in one (the source

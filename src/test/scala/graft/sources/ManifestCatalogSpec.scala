@@ -246,6 +246,15 @@ class ManifestCatalogSpec extends SparkSpec {
     assert(
       spark.sql("SELECT ts_ms FROM graft_mfst.db.mts1.history ORDER BY version")
         .collect().map(_.getLong(0)).toSeq === Seq(0L, 10000L, 20000L, 30000L))
+    // the change feed composes with the clock: startingTimestamp
+    // resolves latest-at-or-before and serves changes AFTER it
+    val fromTs = spark.read
+      .option("startingTimestamp", "15000") // between v1@10s and v2@20s → resolves v1, feed = v2..v3
+      .table("graft_mfst.db.mts1.changes")
+      .collect()
+      .map(_.getAs[Long]("k"))
+      .sorted
+    assert(fromTs.toSeq === Seq(2L, 3L))
     // resolution survives expiration: the squash checkpoint inherits
     // the horizon commit's wall-clock
     DurableManifestLog.open(s"${ManifestCatalog.defaultWarehouse}/db/mts1").expireBefore(2L)
