@@ -228,8 +228,17 @@ class DurableManifestLogSpec extends AnyFunSuite {
       val removes = rnd.shuffle(live.toList).take(rnd.nextInt(2)).toSet
       val stale = rnd.nextBoolean()
       val readV = if (stale && mem.head() > 1) mem.head() - 1 else mem.head()
-      val om = mem.tryCommit("main", readV, "op", add = adds.toSeq.sorted.map(f), remove = removes.toSeq.sorted.map(f))
-      val od = dur.tryCommit("main", readV, "op", add = adds.toSeq.sorted.map(f), remove = removes.toSeq.sorted.map(f))
+      // the r13 metadata fields ride some commits: a pinned wall-clock
+      // (monotone) and an occasional schema action — both must land
+      // and replay identically on the two transports
+      val ts = i * 1000L
+      val schemaJson = if (i % 7 == 0) Some(s"""{"v":$i}""") else None
+      val om = mem.tryCommit(
+        "main", readV, "op",
+        add = adds.toSeq.sorted.map(f), remove = removes.toSeq.sorted.map(f), ts = ts, schemaJson = schemaJson)
+      val od = dur.tryCommit(
+        "main", readV, "op",
+        add = adds.toSeq.sorted.map(f), remove = removes.toSeq.sorted.map(f), ts = ts, schemaJson = schemaJson)
       assert(om === od, s"step $i: transports diverged ($om vs $od)")
       om match {
         case Committed(_, _) => live = (live -- removes) ++ adds
@@ -237,6 +246,17 @@ class DurableManifestLogSpec extends AnyFunSuite {
       }
     }
     assert(mem.liveFiles(mem.head()) === dur.liveFiles(dur.head()))
-    assert(DurableManifestLog.open(dir).liveFiles(dur.head()) === mem.liveFiles(mem.head()))
+    val reopened = DurableManifestLog.open(dir)
+    assert(reopened.liveFiles(dur.head()) === mem.liveFiles(mem.head()))
+    // ts and schema actions replay identically from disk: timestamp
+    // resolution and per-version schemas agree across transports
+    (1L to mem.head()).foreach { v =>
+      assert(reopened.schemaAt(v) === mem.schemaAt(v), s"schemaAt($v) diverged after replay")
+    }
+    Seq(500L, 1000L, 15500L, 30000L, 99999L).foreach { t =>
+      val a = try Right(mem.versionAtTimestamp(t)) catch { case e: RuntimeException => Left(e.getMessage != null) }
+      val b = try Right(reopened.versionAtTimestamp(t)) catch { case e: RuntimeException => Left(e.getMessage != null) }
+      assert(a === b, s"versionAtTimestamp($t) diverged after replay")
+    }
   }
 }
