@@ -6262,6 +6262,21 @@ object Oracles {
     // earned off the executed plan); the census is the q423 range
     // arithmetic; eq_across_compaction earned in-engine (head ≡ the
     // pre-compaction version's read)
+    // the join census over fact⋈dim; the planning probes (exact
+    // reported rowCounts, unaided broadcast, threshold-capped flip to
+    // sort-merge) are earned in-engine off the logical/physical plans
+    "q441_scan_statistics" ->
+      """WITH f AS (SELECT o_orderkey AS k, o_custkey AS cust,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |d AS (SELECT c_custkey AS k,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal FROM customer
+        |  WHERE c_custkey % 50 = 0),
+        |j AS (SELECT count(*) AS n, CAST(sum(f.cents) AS BIGINT) AS cc,
+        |    CAST(sum(d.bal) AS BIGINT) AS bb FROM f JOIN d ON f.cust = d.k)
+        |SELECT 'auto_broadcast' AS probe, j.n AS n_rows, j.cc AS cents_checksum,
+        |  j.bb AS bal_checksum, CAST(1 AS BIGINT) AS fact_rows_exact,
+        |  CAST(1 AS BIGINT) AS dim_rows_exact, CAST(1 AS BIGINT) AS bhj_used,
+        |  CAST(1 AS BIGINT) AS smj_when_capped FROM j""".stripMargin,
     "q440_manifest_optimize" ->
       """WITH o AS (SELECT o_orderkey AS k,
         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),

@@ -60,10 +60,12 @@ final class DurableManifestLog private (val dir: String) {
   private val mapper = new ObjectMapper()
 
   // replayed state: the entry seq the inner log reflects, the inner
-  // log itself, and (if present) a torn tail entry awaiting recovery
+  // log itself, and (if present) the torn tail entry awaiting recovery
+  // — its number AND the exact bytes observed, so recovery can refuse
+  // to delete anything it did not itself diagnose as torn
   private var seq: Long = 0L
   private var inner: ManifestLog = new ManifestLog
-  private var tornTail: Option[Long] = None
+  private var tornTail: Option[(Long, Array[Byte])] = None
 
   GraftFs.mkdirs(logDir)
   refresh()
@@ -106,6 +108,7 @@ final class DurableManifestLog private (val dir: String) {
       val e = st.addObject()
       e.put("d", r.dir); e.put("f", r.file)
       e.put("min", s.min); e.put("max", s.max); e.put("rows", s.rows)
+      if (s.bytes > 0L) { e.put("bytes", s.bytes); () }
       if (s.cols.nonEmpty) {
         val ca = e.putArray("cols")
         s.cols.toSeq.sortBy(_._1).foreach { case (cn, cs) =>
@@ -135,7 +138,9 @@ final class DurableManifestLog private (val dir: String) {
             ManifestLog.ColStats(co.get("mn").asLong(), co.get("mx").asLong(), co.get("nl").asLong())
         }
       stats += FileRef(e.get("d").asText(), e.get("f").asText()) ->
-        FileStats(e.get("min").asLong(), e.get("max").asLong(), e.get("rows").asLong(), cols.result())
+        FileStats(
+          e.get("min").asLong(), e.get("max").asLong(), e.get("rows").asLong(), cols.result(),
+          bytes = if (e.hasNonNull("bytes")) e.get("bytes").asLong() else 0L)
     }
     val dvRows = Map.newBuilder[FileRef, Long]
     o.get("dvRows").forEach { e =>
@@ -229,13 +234,14 @@ final class DurableManifestLog private (val dir: String) {
         val pending = entrySeqs.filter(_ > seq)
         tornTail = None
         pending.zipWithIndex.foreach { case (n, i) =>
-          parseEntry(GraftFs.readBytes(entryPath(n))) match {
+          val bytes = GraftFs.readBytes(entryPath(n))
+          parseEntry(bytes) match {
             case Some(e) =>
               require(n == seq + 1, s"manifest log gap: expected entry ${seq + 1}, found $n")
               applyEntry(inner, e)
               seq = n
             case None =>
-              if (i == pending.length - 1) tornTail = Some(n) // crash-shaped tail: not committed
+              if (i == pending.length - 1) tornTail = Some((n, bytes)) // crash-shaped tail: not committed
               else sys.error(s"manifest log corruption: torn entry $n has complete entries after it")
           }
         }
@@ -250,31 +256,67 @@ final class DurableManifestLog private (val dir: String) {
     * `n` first (crash recovery: the dead writer never committed, its
     * half-written claim is void). Returns whether WE created it.
     *
-    * Recovery re-reads the entry IMMEDIATELY before the delete and
-    * only deletes if it still fails [[parseEntry]]: between our
-    * refresh (which observed the torn tail) and now, another process
-    * may have recovered `n` and published a VALID entry there —
-    * deleting on the stale observation would erase that acknowledged
-    * commit. If the re-read now parses, we lost the race: treat it as
-    * a lost CAS (the caller refreshes and replays the winner). Note
-    * that under this log's own publication protocol
-    * ([[GraftFs.createExclusive]]: write-temp, then atomic
-    * link/rename) a torn entry can never appear under a final name —
-    * the recovery path exists for debris from crashed pre-protocol
-    * writers or storage-level corruption, so the residual
-    * read-then-delete window only races writers already outside the
-    * protocol.
+    * Recovery is SERIALIZED through a one-shot lock file
+    * (`rec-<n>.lock`, claimed by the same createExclusive CAS as
+    * entries), because a bare read-then-delete races other RECOVERERS:
+    * two processes that both observed the same torn entry could
+    * interleave so that A re-reads it as still-torn while B deletes it
+    * and publishes a VALID entry at `n` — then A's delete erases B's
+    * acknowledged commit (the r13 advice finding). Under the marker:
+    * no in-protocol writer can delete (and hence no valid entry can
+    * land at a torn `n`) without first winning the lock, and the
+    * winner additionally re-reads and deletes ONLY byte-identical
+    * still-torn content. A recoverer that crashes holding the lock is
+    * taken over after a grace window ([[DurableManifestLog
+    * .recoveryGraceMs]]) — the sole residual window is an in-protocol
+    * recoverer stalling LONGER than the grace between its byte-check
+    * and delete, plus writers already outside the protocol (under the
+    * write-temp-then-link publication a torn entry can never appear
+    * at a final name in-protocol; this path exists for their debris).
     */
   private def claim(n: Long, bytes: Array[Byte]): Boolean = {
-    if (tornTail.contains(n)) {
-      tornTail = None
-      val stillTorn =
-        try parseEntry(GraftFs.readBytes(entryPath(n))).isEmpty
-        catch { case _: java.io.IOException => false } // vanished: someone else recovered it
-      if (!stillTorn) return false // a valid entry landed at n — lost CAS
-      GraftFs.delete(entryPath(n))
+    tornTail match {
+      case Some((tn, observed)) if tn == n =>
+        tornTail = None
+        if (!recoverTorn(n, observed)) return false // lost CAS: caller refreshes and re-observes
+      case _ => ()
     }
     GraftFs.createExclusive(entryPath(n), bytes)
+  }
+
+  /** Recover the torn entry at `n` (observed as `observed` bytes) —
+    * true iff the entry number is now free to claim. See [[claim]].
+    */
+  private def recoverTorn(n: Long, observed: Array[Byte]): Boolean = {
+    val marker = f"$logDir/rec-$n%020d.lock"
+    if (!GraftFs.createExclusive(marker, java.util.UUID.randomUUID().toString.getBytes("UTF-8"))) {
+      // another recoverer holds the lock; steal only a stale one (its
+      // owner crashed mid-recovery) after the grace window
+      val mt = GraftFs.modificationTime(marker)
+      if (mt > 0L && System.currentTimeMillis() - mt > DurableManifestLog.recoveryGraceMs) {
+        GraftFs.delete(marker)
+        ()
+      }
+      return false
+    }
+    try {
+      val now =
+        try Some(GraftFs.readBytes(entryPath(n)))
+        catch { case _: java.io.IOException => None }
+      now match {
+        case None => true // already recovered and not yet re-claimed: free
+        case Some(b) =>
+          if (parseEntry(b).isDefined) false // a valid entry landed at n — lost CAS
+          else if (!java.util.Arrays.equals(b, observed)) false // different torn content: re-observe first
+          else {
+            GraftFs.delete(entryPath(n)) // still the exact torn debris we diagnosed, and we hold the lock
+            true
+          }
+      }
+    } finally {
+      GraftFs.delete(marker)
+      ()
+    }
   }
 
   // ---------- mutations ----------
@@ -301,6 +343,7 @@ final class DurableManifestLog private (val dir: String) {
       ts: Long = -1L,
       schemaJson: Option[String] = None
   ): Outcome = synchronized {
+    ManifestLog.requirePureShape(op, add, remove, dvAdd)
     val stamp = if (ts >= 0L) ts else DurableManifestLog.clockNow()
     var attempts = 0
     while (attempts < maxAttempts) {
@@ -462,6 +505,12 @@ object DurableManifestLog {
     * it after. JVM-global because the SQL write path reaches commits
     * through catalog-owned log instances a fixture never sees.
     */
+  /** How long a crashed recoverer may hold `rec-<n>.lock` before
+    * another writer takes it over (mtime-based, the vacuum-grace
+    * pattern). Test seam: shrink to exercise the takeover path.
+    */
+  @volatile private[sources] var recoveryGraceMs: Long = 60000L
+
   @volatile private var clockOverride: Option[() => Long] = None
   def clockNow(): Long = clockOverride.map(_()).getOrElse(System.currentTimeMillis())
   def withClock[A](clock: () => Long)(body: => A): A = {

@@ -62,6 +62,17 @@ object GraftFs {
     catch { case _: java.io.FileNotFoundException => 0L }
   }
 
+  /** On-disk byte size of a file — recorded into each commit's
+    * [[ManifestLog.FileStats]] at write time (one getFileStatus RPC
+    * per staged file) so scan planning can report exact statistics
+    * without re-stating. 0 if the file is gone.
+    */
+  def fileLength(path: String): Long = {
+    val p = new Path(path)
+    try fsFor(p).getFileStatus(p).getLen
+    catch { case _: java.io.FileNotFoundException => 0L }
+  }
+
   /** Same-filesystem move — the partitioned write's publish step
     * (staged part files move under the table's `<col>=<value>` dirs).
     * NOT a CAS: callers guarantee collision-free destinations (Spark

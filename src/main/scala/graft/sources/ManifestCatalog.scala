@@ -272,6 +272,7 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val (genesis, ck, pc) = readMeta(ident)
+    ManifestCatalog.requireNoWap("ALTER TABLE")
     val dir = tableDir(ident)
     val log = DurableManifestLog.open(dir)
     var attempts = 0
@@ -288,7 +289,16 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
               !sch.fieldNames.exists(_.equalsIgnoreCase(name)),
               s"column '$name' already exists on ${ident.name()}"
             )
-            sch.add(org.apache.spark.sql.types.StructField(name, add.dataType(), add.isNullable))
+            val field = org.apache.spark.sql.types.StructField(name, add.dataType(), add.isNullable)
+            // the partition column must STAY LAST (createTable's
+            // scan-order invariant — a non-last partition column wraps
+            // every scan in a reordering Project that breaks the
+            // metadata-delete strategy): new columns slot in BEFORE it
+            pc match {
+              case Some(p) if sch.fieldNames.nonEmpty && sch.fieldNames.last == p =>
+                StructType((sch.fields.init :+ field) :+ sch.fields.last)
+              case _ => sch.add(field)
+            }
           case other =>
             throw new UnsupportedOperationException(
               s"manifest tables evolve by ADD COLUMN only (got ${other.getClass.getSimpleName})"
@@ -349,6 +359,45 @@ object ManifestCatalog {
       .map(_.conf.get("spark.graft.wap.branch", "main"))
       .filter(_.nonEmpty)
       .getOrElse("main")
+
+  /** WAP scopes INSERTs only. Every OTHER mutation (row-level rewrite,
+    * metadata delete, truncate, ALTER) hardwires `main` — running one
+    * while a staging branch is active would mutate PRODUCTION mid-
+    * audit, the exact surprise WAP exists to prevent (Iceberg's
+    * `spark.wap.branch` scopes all writes; until this catalog routes
+    * them too, the safe posture is a loud refusal).
+    */
+  private[sources] def requireNoWap(opName: String): Unit = {
+    val b = wapBranch
+    if (b != "main")
+      throw new UnsupportedOperationException(
+        s"$opName while spark.graft.wap.branch='$b' is set would mutate 'main' mid-audit — " +
+          "publish (fast-forward) or clear the WAP branch first; WAP stages INSERTs only"
+      )
+  }
+
+  /** Retry loop for commits whose REMOVE SET is derived from the head
+    * they replace (overwrite / metadata delete / truncate): the body
+    * re-reads the head, recomputes its removes, and publishes STRICT
+    * with maxAttempts = 1 — so the commit lands only on exactly the
+    * state it was computed against, and a lost CAS recomputes instead
+    * of rebasing past (and silently un-deleting) concurrent traffic.
+    */
+  private[sources] def retryingStrictCommit(what: String, maxAttempts: Int = 32)(
+      attempt: () => ManifestLog.Outcome
+  ): Unit = {
+    var tries = 0
+    while (tries < maxAttempts) {
+      tries += 1
+      attempt() match {
+        case ManifestLog.Committed(_, _) => return
+        case _                           => () // head moved: recompute against the refreshed state
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"$what failed to publish after $maxAttempts recompute-and-retry attempts"
+    )
+  }
 }
 
 /** One manifest-backed table at a pinned version. The head-resolved
@@ -414,25 +463,25 @@ private[sources] class ManifestFileTable(
       case org.apache.spark.sql.sources.IsNotNull(_)             => true
       case other => sys.error(s"metadata delete: untranslatable partition filter $other")
     }
-    val head = log.head()
-    val removed = log
-      .liveFiles(head)
-      .toSeq
-      .filter { r =>
-        ManifestFileTable.partitionValue(r.dir, pc) match {
-          case Some((_, v)) => filters.forall(matches(v, _))
-          case None         => false // pre-partitioning file: not aligned, keep
+    ManifestCatalog.requireNoWap("DELETE")
+    // strict + recompute-per-attempt: a non-strict commit with a
+    // remove set from a STALE head would rebase past a concurrent
+    // append into the deleted partitions — those rows would survive a
+    // DELETE that reported success (the Delta ConcurrentAppend class)
+    ManifestCatalog.retryingStrictCommit("metadata delete") { () =>
+      val head = log.head()
+      val removed = log
+        .liveFiles(head)
+        .toSeq
+        .filter { r =>
+          ManifestFileTable.partitionValue(r.dir, pc) match {
+            case Some((_, v)) => filters.forall(matches(v, _))
+            case None         => false // pre-partitioning file: not aligned, keep
+          }
         }
-      }
-      .sortBy(r => (r.dir, r.file))
-    if (removed.nonEmpty) {
-      log.tryCommit("main", head, "delete_partitions", remove = removed, maxAttempts = 32) match {
-        case Committed(_, _) => ()
-        case other =>
-          throw new java.util.ConcurrentModificationException(
-            s"metadata delete failed to publish after retries: $other"
-          )
-      }
+        .sortBy(r => (r.dir, r.file))
+      if (removed.isEmpty) ManifestLog.Committed(head, 1) // nothing to delete at this head
+      else log.tryCommit("main", head, "delete_partitions", remove = removed, maxAttempts = 1, strict = true)
     }
   }
 
@@ -449,14 +498,14 @@ private[sources] class ManifestFileTable(
     * write; history still time-travels.
     */
   override def truncateTable(): Boolean = {
-    val head = log.head()
-    val removed = log.liveFiles(head).toSeq.sortBy(r => (r.dir, r.file))
-    if (removed.nonEmpty) {
-      log.tryCommit("main", head, "truncate", remove = removed, maxAttempts = 32) match {
-        case Committed(_, _) => ()
-        case other =>
-          throw new java.util.ConcurrentModificationException(s"truncate failed to publish: $other")
-      }
+    ManifestCatalog.requireNoWap("TRUNCATE / DELETE")
+    // same strict recompute discipline as deleteWhere: remove-all must
+    // name the files of the head it actually lands on
+    ManifestCatalog.retryingStrictCommit("truncate") { () =>
+      val head = log.head()
+      val removed = log.liveFiles(head).toSeq.sortBy(r => (r.dir, r.file))
+      if (removed.isEmpty) ManifestLog.Committed(head, 1)
+      else log.tryCommit("main", head, "truncate", remove = removed, maxAttempts = 1, strict = true)
     }
     true
   }
@@ -480,9 +529,11 @@ private[sources] class ManifestFileTable(
     // the refusal lives in the operation's scan build, which only
     // runs if the rewrite actually survives to pushdown.
     new RowLevelOperationBuilder {
-      override def build(): RowLevelOperation =
+      override def build(): RowLevelOperation = {
+        ManifestCatalog.requireNoWap(s"${info.command()} (row-level rewrite)")
         new ManifestRowLevelOperation(
           dir, log, tableSchema, clusterKey, partitionCol, changeFeed, info.command())
+      }
     }
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
@@ -528,12 +579,17 @@ private[sources] class ManifestFileTable(
       .sortBy(r => (r.dir, r.file))
       .map { r =>
         // per-column zones, with the legacy top-level cluster-key
-        // (min, max) merged in for pre-cols commit records
+        // (min, max) merged in for pre-cols commit records — but only
+        // a REAL zone (min ≤ max): the empty-zone sentinel means "key
+        // zone unrecorded", and merging it would prune every file
         val statZones: Map[String, (Long, Long, Long)] = stats
           .get(r)
           .map { st =>
             val cols = st.cols.map { case (c, cs) => c -> ((cs.min, cs.max, cs.nulls)) }
-            clusterKey.filterNot(cols.contains).fold(cols)(k => cols + (k -> ((st.min, st.max, -1L))))
+            clusterKey
+              .filterNot(cols.contains)
+              .filter(_ => st.min <= st.max)
+              .fold(cols)(k => cols + (k -> ((st.min, st.max, -1L))))
           }
           .getOrElse(Map.empty)
         // the partition VALUE enters as an EXACT zone (min = max =
@@ -543,7 +599,12 @@ private[sources] class ManifestFileTable(
         val zones = partitionCol
           .flatMap(pc => ManifestFileTable.partitionValue(r.dir, pc))
           .fold(statZones) { case (pc, v) => statZones + (pc -> ((v, v, 0L))) }
-        (s"$dir/${r.dir}/${r.file}", zones)
+        ManifestScanBuilder.FileEntry(
+          s"$dir/${r.dir}/${r.file}",
+          zones,
+          rows = stats.get(r).map(_.rows),
+          bytes = stats.get(r).map(_.bytes).filter(_ > 0L)
+        )
       }
     // hive-layout recovery: with basePath = the table root, Spark's
     // file index parses `<col>=<value>` segments from the leaf paths
@@ -626,9 +687,22 @@ private[sources] class PartitionedManifestWriteBuilder(
             .partitionBy(partitionCol)
             .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
             .parquet(s"$dir/$staging")
-          val refs = GraftFs
-            .listDirs(s"$dir/$staging")
-            .filter(_.contains("="))
+          // NULL (or otherwise unparseable) partition values refuse
+          // BEFORE any file is published: Spark stages a null under
+          // `<col>=__HIVE_DEFAULT_PARTITION__`, which no partitionValue
+          // decode, metadata DELETE, or CDF partField could ever serve
+          // — accepting it would create rows that read but can never
+          // be partition-deleted. The staged files are simply
+          // abandoned (never visible; vacuum reclaims them).
+          val stagedDirs = GraftFs.listDirs(s"$dir/$staging").filter(_.contains("="))
+          stagedDirs.foreach { pd =>
+            require(
+              ManifestFileTable.partitionValue(pd, partitionCol).isDefined,
+              s"partitioned manifest tables require a non-null integral '$partitionCol' on every row; " +
+                s"staged partition dir '$pd' does not parse as $partitionCol=<long>"
+            )
+          }
+          val refs = stagedDirs
             .flatMap { pd =>
               GraftFs.mkdirs(s"$dir/$pd")
               GraftFs.listDataFiles(s"$dir/$staging/$pd").map { f =>
@@ -657,26 +731,45 @@ private[sources] class PartitionedManifestWriteBuilder(
           // overlap rule aborts loudly; under dynamic mode, commuting
           // appends to OTHER partitions rebase past.
           val branch = ManifestCatalog.wapBranch
-          val head = log.head(branch)
           val dynamic = data.sparkSession.conf
             .get("spark.graft.partitionOverwriteMode", "static")
             .equalsIgnoreCase("dynamic")
-          val removed =
-            if (!overwrite) Seq.empty[FileRef]
-            else if (dynamic) {
-              val replaced = refs.map(_.dir).toSet
-              log.liveFiles(head).toSeq.filter(r => replaced.contains(r.dir)).sortBy(r => (r.dir, r.file))
-            } else log.liveFiles(head).toSeq.sortBy(r => (r.dir, r.file))
           val op =
             if (!overwrite) "append"
             else if (dynamic) "overwrite_partitions"
             else "overwrite_table"
-          log.tryCommit(branch, head, op, add = refs, remove = removed, stats = stats, maxAttempts = 32) match {
-            case Committed(_, _) => ()
-            case other =>
-              throw new java.util.ConcurrentModificationException(
-                s"partitioned manifest $op failed to publish after retries: $other"
-              )
+          if (!overwrite) {
+            // a plain append commutes: a lost CAS rebases (disjoint
+            // remove sets) inside tryCommit
+            log.tryCommit(branch, log.head(branch), op, add = refs, stats = stats, maxAttempts = 32) match {
+              case Committed(_, _) => ()
+              case other =>
+                throw new java.util.ConcurrentModificationException(
+                  s"partitioned manifest $op failed to publish after retries: $other"
+                )
+            }
+          } else {
+            // an OVERWRITE's remove set is a function of the head it
+            // replaces — committing non-strict would rebase past a
+            // concurrent append to a replaced partition and silently
+            // keep its rows through a "successful" overwrite (the
+            // Delta ConcurrentAppendException class). Instead: each
+            // attempt RE-READS the head, RECOMPUTES the remove set
+            // from it, and publishes STRICT (valid only if the head is
+            // still exactly what the remove set was derived from); a
+            // lost CAS recomputes and retries, so unrelated traffic
+            // costs a retry, never a lost update.
+            ManifestCatalog.retryingStrictCommit(s"partitioned manifest $op") { () =>
+              val head = log.head(branch)
+              val removed =
+                if (dynamic) {
+                  val replaced = refs.map(_.dir).toSet
+                  log.liveFiles(head).toSeq.filter(r => replaced.contains(r.dir)).sortBy(r => (r.dir, r.file))
+                } else log.liveFiles(head).toSeq.sortBy(r => (r.dir, r.file))
+              log.tryCommit(
+                branch, head, op,
+                add = refs, remove = removed, stats = stats, maxAttempts = 1, strict = true)
+            }
           }
         }
       }
@@ -745,7 +838,8 @@ private[sources] class ManifestRowLevelOperation(
       .liveFiles(v)
       .toSeq
       .sortBy(r => (r.dir, r.file))
-      .map(r => (s"$dir/${r.dir}/${r.file}", Map.empty[String, (Long, Long, Long)]))
+      .map(r =>
+        ManifestScanBuilder.FileEntry(s"$dir/${r.dir}/${r.file}", Map.empty, rows = None, bytes = None))
     // pushdownEnabled = false: the rewrite's branches share this scan
     // (see ManifestScanBuilder) — it must serve EVERY current row
     new ManifestScanBuilder(
@@ -908,24 +1002,27 @@ private[sources] object ManifestWrites {
   }
 
   /** Footer-derived per-file zone maps for a staged commit —
-    * metadata-only, one footer read per file. Every INT64 column's
-    * (min, max, nullCount) rides the commit ([[ManifestLog.ColStats]]);
-    * the legacy top-level (min, max) carry the cluster key's zone as
-    * before. A file whose cluster key lacks footer stats contributes
-    * no record at all (pre-cols behavior preserved: q416's
-    * metadata-only aggregates require the key zone).
+    * metadata-only, one footer read + one getFileStatus per file.
+    * Every INT64 column's (min, max, nullCount) rides the commit
+    * ([[ManifestLog.ColStats]]); the legacy top-level (min, max)
+    * carry the cluster key's zone as before. EVERY file contributes a
+    * record (rows and bytes are what exact scan statistics and
+    * metadata-only COUNT need, key zone or not); a file whose cluster
+    * key lacks footer stats — or a table with no cluster key — gets
+    * the EMPTY top-level zone (0, −1), which consumers treat as
+    * "no key zone", never "prunable".
     */
   def footerStats(
       dir: String,
       refs: Seq[FileRef],
       clusterKey: Option[String]
   ): Map[FileRef, ManifestLog.FileStats] =
-    refs.flatMap { r =>
-      val (rows, cols) = ParquetFooters.statsAllColumns(s"$dir/${r.dir}/${r.file}")
+    refs.map { r =>
+      val path = s"$dir/${r.dir}/${r.file}"
+      val (rows, cols) = ParquetFooters.statsAllColumns(path)
       val colStats = cols.map { case (c, (mn, mx, nl)) => c -> ManifestLog.ColStats(mn, mx, nl) }
-      clusterKey.flatMap(cols.get).map { case (mn, mx, _) =>
-        r -> ManifestLog.FileStats(mn, mx, rows, colStats)
-      }
+      val (kMin, kMax) = clusterKey.flatMap(cols.get).map { case (mn, mx, _) => (mn, mx) }.getOrElse((0L, -1L))
+      r -> ManifestLog.FileStats(kMin, kMax, rows, colStats, bytes = GraftFs.fileLength(path))
     }.toMap
 }
 
@@ -1149,12 +1246,13 @@ private[sources] object ManifestMetaTables {
       .sortBy(r => (r.dir, r.file))
       .map { r =>
         val st = stats.get(r)
+        val zone = st.filter(s => s.min <= s.max) // empty-zone sentinel reads as "no key zone"
         new GenericInternalRow(
           Array[Any](
             UTF8String.fromString(r.dir),
             UTF8String.fromString(r.file),
-            st.map(_.min).orNull,
-            st.map(_.max).orNull,
+            zone.map(_.min).orNull,
+            zone.map(_.max).orNull,
             st.map(_.rows).orNull
           )
         ): InternalRow

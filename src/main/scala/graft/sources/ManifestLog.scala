@@ -67,7 +67,14 @@ object ManifestLog {
       min: Long,
       max: Long,
       rows: Long,
-      cols: Map[String, ColStats] = Map.empty
+      cols: Map[String, ColStats] = Map.empty,
+      // the staged file's on-disk size, recorded at commit (one
+      // getFileStatus at WRITE time) so the scan reports exact
+      // post-pruning statistics to Catalyst without a planning-time
+      // stat per file; 0 = unrecorded (pre-bytes commit records).
+      // A file with NO recorded key zone carries the EMPTY zone
+      // min = 0 > max = −1; consumers treat it as "unknown".
+      bytes: Long = 0L
   )
 
   /** One published commit. `parent` is the version the commit applied
@@ -123,6 +130,26 @@ object ManifestLog {
       tags: Map[String, Long],
       nextVersion: Long
   )
+
+  /** A commit is PURE-DV (tombstones only) or PURE-FILE (adds/removes
+    * only), never both — the change-feed reader derives images per
+    * commit shape and a mixed commit (a rewrite that also stacks a
+    * fresh DV) has no derivable change set. Enforced HERE, at commit
+    * time on both transports, so a writer cannot construct the shape
+    * the reader refuses (previously a reader-side `require` — the
+    * invariant belongs to the log, r13 verdict nit #3).
+    */
+  private[sources] def requirePureShape(
+      op: String,
+      add: Seq[FileRef],
+      remove: Seq[FileRef],
+      dvAdd: Seq[FileRef]
+  ): Unit =
+    require(
+      dvAdd.isEmpty || (add.isEmpty && remove.isEmpty),
+      s"commit '$op' mixes deletion vectors (${dvAdd.size}) with file adds/removes " +
+        s"(${add.size}/${remove.size}) — a commit must be pure-DV or pure-file"
+    )
 }
 
 final class ManifestLog {
@@ -260,6 +287,7 @@ final class ManifestLog {
       ts: Long = 0L,
       schemaJson: Option[String] = None
   ): Outcome = {
+    ManifestLog.requirePureShape(op, add, remove, dvAdd)
     var attempts = 0
     while (attempts < maxAttempts) {
       attempts += 1

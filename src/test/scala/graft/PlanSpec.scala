@@ -639,6 +639,46 @@ class PlanSpec extends SparkSpec {
       s"form joins must stay equi-keyed (f = nfc(g)):\n$p")
   }
 
+  test("manifest scan statistics: exact post-pruning rows/bytes drive AUTOMATIC broadcast — no hint, no SizeGate") {
+    spark.conf.set("spark.sql.catalog.graft_mfst", classOf[graft.sources.ManifestCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft_mfst.db.pstat_fact")
+    spark.sql("DROP TABLE IF EXISTS graft_mfst.db.pstat_dim")
+    spark.sql("CREATE TABLE graft_mfst.db.pstat_fact (k BIGINT, v BIGINT) TBLPROPERTIES ('cluster_key'='k')")
+    // the dim deliberately has NO cluster key: rows/bytes must be
+    // recorded for every file regardless (the always-record contract)
+    spark.sql("CREATE TABLE graft_mfst.db.pstat_dim (k BIGINT, w BIGINT)")
+    spark.sql("INSERT INTO graft_mfst.db.pstat_fact SELECT id, id * 3 FROM range(0, 50000)")
+    spark.sql("INSERT INTO graft_mfst.db.pstat_dim SELECT id * 100, id + 7 FROM range(0, 64)")
+    val q = "SELECT sum(f.v + d.w) AS s FROM graft_mfst.db.pstat_fact f JOIN graft_mfst.db.pstat_dim d ON f.k = d.k"
+    val df = spark.sql(q)
+    // the commit records' EXACT row counts reach the logical plan
+    val scanStats = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.stats
+    }
+    assert(scanStats.exists(_.rowCount.contains(BigInt(64))), s"dim rowCount must be exact: ${scanStats.map(_.rowCount)}")
+    assert(scanStats.exists(_.rowCount.contains(BigInt(50000))), s"fact rowCount must be exact: ${scanStats.map(_.rowCount)}")
+    // …and the reported sizeInBytes alone picks the broadcast
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"a 64-row dim must broadcast with no hint:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    // the decision FLIPS when the dim exceeds the threshold — the
+    // stats are genuinely driving it, not a default
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64")
+    try {
+      val p2 = plan(spark.sql(q))
+      assert(!p2.contains("BroadcastHashJoin"), s"a dim above the threshold must not broadcast:\n$p2")
+      assert(p2.contains("SortMergeJoin") || p2.contains("ShuffledHashJoin"), p2)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    // zone pruning SHRINKS the reported stats: a pruned fact scan
+    // reports only the surviving files' rows
+    spark.sql("INSERT INTO graft_mfst.db.pstat_fact SELECT /*+ COALESCE(1) */ id, id FROM range(100000, 101000)")
+    val pruned = spark.sql("SELECT sum(v) AS s FROM graft_mfst.db.pstat_fact WHERE k >= 100000")
+    val prunedStats = pruned.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.stats
+    }
+    assert(prunedStats.exists(_.rowCount.contains(BigInt(1000))), s"post-pruning rows must be exact: ${prunedStats.map(_.rowCount)}")
+  }
+
   test("bucketed join (q341): no exchange on the join key — the bucket layout carries the partitioning") {
     val p = plan(Queries.bucketedJoin(spark, sfDir))
     assert(p.contains("SortMergeJoin"), s"the merge hint must pin the sort-merge path (a broadcast would vanish at scale):\n$p")

@@ -110,6 +110,50 @@ class DurableManifestLogSpec extends AnyFunSuite {
     assert(DurableManifestLog.open(dir).liveFiles(b.head()) === Set(f("a"), f("b")))
   }
 
+  test("torn recovery is lock-serialized: a held rec-lock blocks deletion; a stale one is taken over") {
+    val dir = freshDir()
+    val a = DurableManifestLog.open(dir)
+    val v1 = init(a, "a")
+    val torn = """{"kind":"commit","branch":"main","commit":{"version":99,"pa"""
+    assert(GraftFs.createExclusive(f"$dir/_log/${2L}%020d.json", torn.getBytes(StandardCharsets.UTF_8)))
+    // another recoverer "holds" the lock (fresh mtime): no writer may
+    // delete the torn entry or claim its number while it stands
+    assert(GraftFs.createExclusive(f"$dir/_log/rec-${2L}%020d.lock", "other".getBytes(StandardCharsets.UTF_8)))
+    val b = DurableManifestLog.open(dir)
+    val blocked = b.tryCommit("main", v1, "append", add = Seq(f("b")), maxAttempts = 3)
+    assert(blocked.isInstanceOf[Conflicted], s"a held recovery lock must block the claim, got $blocked")
+    assert(GraftFs.exists(f"$dir/_log/${2L}%020d.json"), "the torn entry must NOT be deleted under a held lock")
+    // the lock goes stale (its owner crashed): the takeover grace
+    // elapses and the next writer recovers and lands
+    val oldGrace = DurableManifestLog.recoveryGraceMs
+    DurableManifestLog.recoveryGraceMs = -1L
+    try {
+      val out = b.tryCommit("main", v1, "append", add = Seq(f("b")), maxAttempts = 5)
+      assert(out.isInstanceOf[Committed], out.toString)
+    } finally DurableManifestLog.recoveryGraceMs = oldGrace
+    assert(b.liveFiles(b.head()) === Set(f("a"), f("b")))
+    assert(!GraftFs.exists(f"$dir/_log/rec-${2L}%020d.lock"), "the recovery lock must be released")
+    assert(DurableManifestLog.open(dir).liveFiles(b.head()) === Set(f("a"), f("b")))
+  }
+
+  test("a commit mixing deletion vectors with file adds/removes refuses at COMMIT time on both transports") {
+    val dir = freshDir()
+    val d = DurableManifestLog.open(dir)
+    val v1 = init(d, "a")
+    val eD = intercept[IllegalArgumentException](
+      d.tryCommit("main", v1, "mixed", add = Seq(f("n")), dvAdd = Seq(FileRef("dv", "x")))
+    )
+    assert(eD.getMessage.contains("pure-DV or pure-file"), eD.getMessage)
+    val m = new ManifestLog
+    val eM = intercept[IllegalArgumentException](
+      m.tryCommit("main", 0L, "mixed", remove = Seq(f("a")), dvAdd = Seq(FileRef("dv", "x")))
+    )
+    assert(eM.getMessage.contains("pure-DV or pure-file"), eM.getMessage)
+    // pure shapes still land: DV-only and file-only
+    assert(d.tryCommit("main", v1, "dv_only", dvAdd = Seq(FileRef("dv", "x"))).isInstanceOf[Committed])
+    assert(d.tryCommit("main", d.head(), "file_only", add = Seq(f("n"))).isInstanceOf[Committed])
+  }
+
   test("torn entry with complete entries AFTER it is corruption, not a skip — fails loudly") {
     val dir = freshDir()
     val a = DurableManifestLog.open(dir)

@@ -600,4 +600,98 @@ class ManifestCatalogSpec extends SparkSpec {
     assert(errors.isEmpty, s"concurrent INSERT threw: ${Option(errors.peek()).map(_.toString)}")
     assert(spark.table("graft_mfst.db.mspec6").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L, 4L))
   }
+
+  test("ALTER on a partitioned table keeps the partition column LAST; metadata DELETE still plans after it") {
+    useCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_mfst.db.malt1")
+    spark.sql("CREATE TABLE graft_mfst.db.malt1 (k BIGINT, p BIGINT) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graft_mfst.db.malt1 VALUES (1, 0), (2, 1), (3, 0)")
+    spark.sql("ALTER TABLE graft_mfst.db.malt1 ADD COLUMN bonus BIGINT")
+    // the evolved schema slots the new column BEFORE the partition
+    // column — createTable's scan-order invariant survives evolution
+    assert(spark.table("graft_mfst.db.malt1").schema.fieldNames.toSeq === Seq("k", "bonus", "p"))
+    spark.sql("INSERT INTO graft_mfst.db.malt1 VALUES (4, 40, 1)")
+    // the partition-aligned DELETE must still be METADATA-ONLY (a
+    // non-last partition column would wrap the scan in a Project and
+    // push this into the refused row-level path)
+    spark.sql("DELETE FROM graft_mfst.db.malt1 WHERE p = 0")
+    val got = spark.table("graft_mfst.db.malt1").orderBy("k").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.toSeq === Seq((2L, 1L), (4L, 1L)))
+    val log = DurableManifestLog.open(s"${ManifestCatalog.defaultWarehouse}/db/malt1")
+    assert(log.chain(log.head()).last.op === "delete_partitions", "the DELETE must commit metadata-only")
+  }
+
+  test("NULL partition values refuse at INSERT time — nothing publishes, the table is unchanged") {
+    useCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_mfst.db.mnull1")
+    spark.sql("CREATE TABLE graft_mfst.db.mnull1 (k BIGINT, p BIGINT) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graft_mfst.db.mnull1 VALUES (1, 0)")
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO graft_mfst.db.mnull1 VALUES (2, NULL)")
+    )
+    assert(
+      e.getMessage.contains("non-null") || Option(e.getCause).exists(_.getMessage.contains("non-null")),
+      e.getMessage
+    )
+    // the refused insert published NOTHING — one version, one row
+    val log = DurableManifestLog.open(s"${ManifestCatalog.defaultWarehouse}/db/mnull1")
+    assert(log.head() === 1L)
+    assert(spark.table("graft_mfst.db.mnull1").count() === 1L)
+  }
+
+  test("an active WAP branch refuses every non-INSERT mutation loudly — main is never touched mid-audit") {
+    useCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_mfst.db.mwapg1")
+    spark.sql("CREATE TABLE graft_mfst.db.mwapg1 (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft_mfst.db.mwapg1 VALUES (1, 10), (2, 20)")
+    val log = DurableManifestLog.open(s"${ManifestCatalog.defaultWarehouse}/db/mwapg1")
+    log.createBranch("stage", log.head())
+    spark.conf.set("spark.graft.wap.branch", "stage")
+    try {
+      def refused(sql: String): Unit = {
+        val e = intercept[Exception](spark.sql(sql))
+        def mentionsWap(t: Throwable): Boolean =
+          t != null && (Option(t.getMessage).exists(_.contains("wap.branch")) || mentionsWap(t.getCause))
+        assert(mentionsWap(e), s"$sql must refuse on the WAP guard, got: ${e.getMessage}")
+      }
+      refused("DELETE FROM graft_mfst.db.mwapg1 WHERE k = 1") // row-level
+      refused("UPDATE graft_mfst.db.mwapg1 SET v = 0 WHERE k = 1") // row-level
+      refused("DELETE FROM graft_mfst.db.mwapg1") // truncate
+      refused("ALTER TABLE graft_mfst.db.mwapg1 ADD COLUMN bonus BIGINT") // metadata
+      // INSERT is the one staged verb — it lands on the branch, not main
+      spark.sql("INSERT INTO graft_mfst.db.mwapg1 VALUES (3, 30)")
+      assert(spark.table("graft_mfst.db.mwapg1").count() === 2L, "main must not see the staged insert")
+    } finally spark.conf.set("spark.graft.wap.branch", "")
+    assert(log.head("stage") > log.head("main"))
+    assert(spark.table("graft_mfst.db.mwapg1").count() === 2L)
+  }
+
+  test("overwrite-class commits recompute their remove set per attempt and land STRICT — no lost update") {
+    // the log-level shape of INSERT OVERWRITE / metadata DELETE /
+    // TRUNCATE: a concurrent append lands between the head-read and
+    // the publish; the strict retry recomputes the remove set from the
+    // refreshed head, so the overwrite replaces the late rows too
+    // instead of rebasing past them (the Delta ConcurrentAppend class)
+    val dir = graft.operators.Scratch.dir("graft-strictc")
+    val log = DurableManifestLog.open(dir)
+    import graft.sources.ManifestLog.FileRef
+    assert(log.tryCommit("main", 0L, "append", add = Seq(FileRef("p=2", "a.parquet"))).isInstanceOf[ManifestLog.Committed])
+    var injected = false
+    ManifestCatalog.retryingStrictCommit("test overwrite") { () =>
+      val head = log.head()
+      val removed = log.liveFiles(head).toSeq.sortBy(r => (r.dir, r.file))
+      if (!injected) {
+        injected = true
+        log.tryCommit("main", log.head(), "append", add = Seq(FileRef("p=2", "late.parquet")))
+        ()
+      }
+      log.tryCommit(
+        "main", head, "overwrite_table",
+        add = Seq(FileRef("p=2", "new.parquet")), remove = removed, maxAttempts = 1, strict = true)
+    }
+    assert(
+      log.liveFiles(log.head()) === Set(FileRef("p=2", "new.parquet")),
+      "the late append must NOT survive the overwrite"
+    )
+  }
 }
