@@ -6277,6 +6277,26 @@ object Oracles {
         |  j.bb AS bal_checksum, CAST(1 AS BIGINT) AS fact_rows_exact,
         |  CAST(1 AS BIGINT) AS dim_rows_exact, CAST(1 AS BIGINT) AS bhj_used,
         |  CAST(1 AS BIGINT) AS smj_when_capped FROM j""".stripMargin,
+    // add→rename→drop→re-add over the even/odd order split: v1 = the
+    // even cohort under original names; v3 = everything under the
+    // renamed column; head = the re-added b is a FRESH physical
+    // column, so it reads all-null (b_checksum 0, n_b_null = n);
+    // schema widths and the cluster-key-rename refusal earned
+    // in-engine
+    "q442_column_mapping" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS a,
+        |    o_orderkey % 1000 AS b FROM orders),
+        |ev AS (SELECT count(*) AS n, CAST(sum(a) AS BIGINT) AS aa,
+        |    CAST(sum(b) AS BIGINT) AS bb FROM o WHERE k % 2 = 0),
+        |al AS (SELECT count(*) AS n, CAST(sum(a) AS BIGINT) AS aa,
+        |    CAST(sum(b) AS BIGINT) AS bb FROM o)
+        |SELECT '1_v1_original_names' AS phase, ev.n AS n_rows, ev.aa AS amount_checksum,
+        |  ev.bb AS b_checksum, CAST(0 AS BIGINT) AS n_b_null, CAST(3 AS BIGINT) AS n_cols,
+        |  CAST(1 AS BIGINT) AS ck_rename_refused FROM ev
+        |UNION ALL SELECT '2_v3_renamed', al.n, al.aa, al.bb, 0, 3, 1 FROM al
+        |UNION ALL SELECT '3_head_drop_readd', al.n, al.aa, 0, al.n, 3, 1 FROM al
+        |ORDER BY phase""".stripMargin,
     "q440_manifest_optimize" ->
       """WITH o AS (SELECT o_orderkey AS k,
         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),

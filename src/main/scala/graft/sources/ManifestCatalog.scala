@@ -233,9 +233,22 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
           s"manifest tables support PARTITIONED BY (one identity column); got ${other.mkString(", ")}"
         )
     }
+    // 'column_mapping'='name' enables Delta-style logical→physical
+    // name indirection ([[ColumnMapping]]): RENAME/DROP COLUMN become
+    // metadata-only. Scoped to unpartitioned, non-CDC tables (the
+    // partition dir layout and the CDC diff are keyed by name).
+    val mapped = "name".equalsIgnoreCase(properties.get("column_mapping"))
+    if (mapped) {
+      require(partitionCol.isEmpty, "column_mapping is not supported on partitioned manifest tables")
+      require(
+        !"true".equalsIgnoreCase(properties.get("change_feed")),
+        "column_mapping is not supported together with change_feed"
+      )
+    }
+    val storedSchema = if (mapped) ColumnMapping.assignAll(schema) else schema
     val dir = tableDir(ident)
     val meta = mapper.createObjectNode()
-    meta.put("schema", schema.json)
+    meta.put("schema", storedSchema.json)
     Option(properties.get("cluster_key")).foreach { ck =>
       require(schema.fieldNames.contains(ck), s"cluster_key '$ck' is not a column of the table")
       require(!partitionCol.contains(ck), "cluster_key must be a data column, not the partition column")
@@ -252,7 +265,7 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
     if (!GraftFs.createExclusive(s"$dir/_table.json", mapper.writeValueAsBytes(meta)))
       throw new TableAlreadyExistsException(Seq(catalogName) ++ ident.namespace() :+ ident.name())
     val log = DurableManifestLog.open(dir)
-    new ManifestFileTable(s"$catalogName.${ident.name()}", dir, log, log.head(), schema,
+    new ManifestFileTable(s"$catalogName.${ident.name()}", dir, log, log.head(), storedSchema,
       Option(properties.get("cluster_key")), partitionCol, writable = true)
   }
 
@@ -280,6 +293,14 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
       attempts += 1
       val head = log.head()
       val current = effectiveSchema(log, head, genesis)
+      val mapped = ColumnMapping.enabled(current)
+      // every schema version ever published (genesis + each schema
+      // commit) — the id pool freshField must never reissue from
+      lazy val historySchemas: Seq[StructType] =
+        genesis +: log
+          .chain(head)
+          .flatMap(_.schemaJson)
+          .map(DataType.fromJson(_).asInstanceOf[StructType])
       val evolved = changes.foldLeft(current) { (sch, ch) =>
         ch match {
           case add: TableChange.AddColumn =>
@@ -289,7 +310,11 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
               !sch.fieldNames.exists(_.equalsIgnoreCase(name)),
               s"column '$name' already exists on ${ident.name()}"
             )
-            val field = org.apache.spark.sql.types.StructField(name, add.dataType(), add.isNullable)
+            val bare = org.apache.spark.sql.types.StructField(name, add.dataType(), add.isNullable)
+            // under column mapping the new column gets a FRESH physical
+            // name, so re-adding a dropped logical name can never
+            // resurrect the dropped bytes (old files null-fill it)
+            val field = if (mapped) ColumnMapping.freshField(bare, historySchemas) else bare
             // the partition column must STAY LAST (createTable's
             // scan-order invariant — a non-last partition column wraps
             // every scan in a reordering Project that breaks the
@@ -299,9 +324,46 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
                 StructType((sch.fields.init :+ field) :+ sch.fields.last)
               case _ => sch.add(field)
             }
+          case ren: TableChange.RenameColumn =>
+            require(
+              mapped,
+              s"RENAME COLUMN on ${ident.name()} requires 'column_mapping'='name' " +
+                "(set at CREATE TABLE) — without the indirection a rename would orphan every existing file"
+            )
+            require(ren.fieldNames().length == 1, "RENAME COLUMN supports top-level columns only")
+            val from = ren.fieldNames()(0)
+            require(sch.fieldNames.contains(from), s"no column '$from' on ${ident.name()}")
+            require(
+              !sch.fieldNames.exists(_.equalsIgnoreCase(ren.newName())),
+              s"column '${ren.newName()}' already exists on ${ident.name()}"
+            )
+            require(
+              !ck.contains(from),
+              s"'$from' is the cluster key — its name anchors the zone-map contract; rename is refused"
+            )
+            // metadata-only: the field keeps its physical name, every
+            // existing file keeps serving it
+            StructType(sch.fields.map(f => if (f.name == from) f.copy(name = ren.newName()) else f))
+          case del: TableChange.DeleteColumn =>
+            require(
+              mapped,
+              s"DROP COLUMN on ${ident.name()} requires 'column_mapping'='name' " +
+                "(set at CREATE TABLE) — without the indirection a drop would need a full rewrite"
+            )
+            require(del.fieldNames().length == 1, "DROP COLUMN supports top-level columns only")
+            val name = del.fieldNames()(0)
+            require(sch.fieldNames.contains(name), s"no column '$name' on ${ident.name()}")
+            require(
+              !ck.contains(name),
+              s"'$name' is the cluster key — dropping it would orphan the zone-map contract"
+            )
+            require(sch.length > 1, "cannot drop the last column")
+            // metadata-only: the bytes stay in the files, no scan ever
+            // requests this physical column again
+            StructType(sch.fields.filterNot(_.name == name))
           case other =>
             throw new UnsupportedOperationException(
-              s"manifest tables evolve by ADD COLUMN only (got ${other.getClass.getSimpleName})"
+              s"manifest tables evolve by ADD / RENAME / DROP COLUMN only (got ${other.getClass.getSimpleName})"
             )
         }
       }
@@ -573,6 +635,10 @@ private[sources] class ManifestFileTable(
       )
     }
     val stats = log.liveStats(version)
+    // under column mapping, footer-derived zones are keyed by the
+    // files' PHYSICAL column names — remap them into this version's
+    // logical namespace so the query's predicates can prune them
+    val p2l = ColumnMapping.physicalToLogical(tableSchema)
     val files = log
       .liveFiles(version)
       .toSeq
@@ -585,7 +651,7 @@ private[sources] class ManifestFileTable(
         val statZones: Map[String, (Long, Long, Long)] = stats
           .get(r)
           .map { st =>
-            val cols = st.cols.map { case (c, cs) => c -> ((cs.min, cs.max, cs.nulls)) }
+            val cols = st.cols.map { case (c, cs) => p2l.getOrElse(c, c) -> ((cs.min, cs.max, cs.nulls)) }
             clusterKey
               .filterNot(cols.contains)
               .filter(_ => st.min <= st.max)
@@ -616,14 +682,23 @@ private[sources] class ManifestFileTable(
         m.put("basePath", dir)
         new CaseInsensitiveStringMap(m)
       }
-    new ManifestScanBuilder(manifestGlue.activeSession, files, clusterKey, tableSchema, scanOptions)
+    new ManifestScanBuilder(
+      manifestGlue.activeSession, files, clusterKey, tableSchema, scanOptions,
+      physicalOf = ColumnMapping.logicalToPhysical(tableSchema))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(writable, s"$tableName is a pinned historical version — writes must target the head")
     partitionCol match {
       case Some(pc) => new PartitionedManifestWriteBuilder(dir, log, clusterKey, pc)
-      case None     => new ManifestWriteBuilder(dir, log, clusterKey, info)
+      case None =>
+        // under column mapping the staged files carry PHYSICAL names
+        // (the log owns the logical namespace); the footer stats key
+        // off the physical cluster key accordingly
+        val l2p = ColumnMapping.logicalToPhysical(tableSchema)
+        new ManifestWriteBuilder(
+          dir, log, clusterKey.map(k => l2p.getOrElse(k, k)), info,
+          writeSchema = ColumnMapping.physicalSchema(tableSchema))
     }
   }
 }
@@ -788,11 +863,15 @@ private[sources] class PartitionedManifestWriteBuilder(
 private[sources] class ManifestWriteBuilder(
     dir: String,
     log: DurableManifestLog,
+    // PHYSICAL cluster-key name (≡ logical on unmapped tables)
     clusterKey: Option[String],
-    info: LogicalWriteInfo
+    info: LogicalWriteInfo,
+    // what the staged files must carry: the table columns, renamed to
+    // their PHYSICAL names under column mapping (identity otherwise)
+    writeSchema: StructType
 ) extends WriteBuilder {
   override def build(): Write =
-    ManifestWrites.stagedWrite(dir, info, info.schema(), stripOpColumn = false) { refs =>
+    ManifestWrites.stagedWrite(dir, info, writeSchema, stripOpColumn = false) { refs =>
       val stats = ManifestWrites.footerStats(dir, refs, clusterKey)
       val branch = ManifestCatalog.wapBranch // WAP: stage onto the named branch, main untouched
       log.tryCommit(branch, log.head(branch), "append", add = refs, stats = stats, maxAttempts = 32) match {
@@ -843,7 +922,8 @@ private[sources] class ManifestRowLevelOperation(
     // pushdownEnabled = false: the rewrite's branches share this scan
     // (see ManifestScanBuilder) — it must serve EVERY current row
     new ManifestScanBuilder(
-      manifestGlue.activeSession, files, clusterKey, tableSchema, options, pushdownEnabled = false)
+      manifestGlue.activeSession, files, clusterKey, tableSchema, options, pushdownEnabled = false,
+      physicalOf = ColumnMapping.logicalToPhysical(tableSchema))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
@@ -856,8 +936,11 @@ private[sources] class ManifestRowLevelOperation(
       // write strips the slot so the files carry exactly the table
       // columns (the q380 ScratchWriterFactory lesson, applied before
       // parquet encoding instead of after)
-      ManifestWrites.stagedWrite(dir, info, tableSchema, stripOpColumn = true) { refs =>
-        val stats = ManifestWrites.footerStats(dir, refs, clusterKey)
+      // under column mapping the rewrite's files carry PHYSICAL names
+      val l2p = ColumnMapping.logicalToPhysical(tableSchema)
+      ManifestWrites.stagedWrite(
+        dir, info, ColumnMapping.physicalSchema(tableSchema), stripOpColumn = true) { refs =>
+        val stats = ManifestWrites.footerStats(dir, refs, clusterKey.map(k => l2p.getOrElse(k, k)))
         val removed = log.liveFiles(readVersion).toSeq.sortBy(r => (r.dir, r.file))
         // CDC-ON-WRITE (table property change_feed='true', the Delta
         // enableChangeDataFeed convention): the rewrite job itself
@@ -1125,6 +1208,11 @@ object ManifestMaintenance {
   ): Seq[(Seq[ManifestLog.FileRef], ManifestLog.FileRef)] = {
     require(groupSize >= 2, "compaction needs at least 2 inputs per output")
     val spark = org.apache.spark.sql.graft.manifestGlue.activeSession
+    // under column mapping the files carry PHYSICAL names: read and
+    // rewrite in the physical namespace (identity on unmapped tables)
+    val physSchema = ColumnMapping.physicalSchema(schema)
+    val l2p = ColumnMapping.logicalToPhysical(schema)
+    val physKey = clusterKey.map(k => l2p.getOrElse(k, k))
     val head = log.head()
     val stats = log.liveStats(head)
     val live = log.liveFiles(head).toSeq
@@ -1141,7 +1229,7 @@ object ManifestMaintenance {
     groups.flatMap { case (part, inputs) =>
       val staging = s".copt-${java.util.UUID.randomUUID().toString.take(12)}"
       spark.read
-        .schema(schema)
+        .schema(physSchema)
         .parquet(inputs.map(r => s"$dir/${r.dir}/${r.file}"): _*)
         .coalesce(1)
         .write
@@ -1163,7 +1251,7 @@ object ManifestMaintenance {
         case other => sys.error(s"compaction staged ${other.size} files for one group (expected 1)")
       }
       GraftFs.deleteRecursive(s"$dir/$staging")
-      val outStats = ManifestWrites.footerStats(dir, Seq(outRef), clusterKey)
+      val outStats = ManifestWrites.footerStats(dir, Seq(outRef), physKey)
       // readVersion re-anchored per group: earlier groups' own commits
       // are interveners otherwise (disjoint, but why pay the rebase)
       log.tryCommit(

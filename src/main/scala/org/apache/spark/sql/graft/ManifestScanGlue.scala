@@ -58,7 +58,14 @@ final class ManifestScanBuilder(
     // zone file-skipping OR parquet data filters — silently drops the
     // other branch's rows from the replacement set. The plain read
     // path keeps both layers.
-    pushdownEnabled: Boolean = true
+    pushdownEnabled: Boolean = true,
+    // COLUMN MAPPING (graft.sources.ColumnMapping): logical→physical
+    // name indirection. The files carry PHYSICAL names; `schema`,
+    // pruned columns, pushed filters, and zone maps are all LOGICAL —
+    // build() translates at the parquet boundary and the built scan
+    // reports the logical readSchema back (rows are positional, so
+    // the rename is free). Empty = unmapped table, zero-cost.
+    physicalOf: Map[String, String] = Map.empty
 ) extends ScanBuilder
     with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns {
@@ -149,6 +156,20 @@ final class ManifestScanBuilder(
 
   def keptPaths: Seq[String] = keptEntries.map(_.path)
 
+  private def toPhysical(s: StructType): StructType =
+    if (physicalOf.isEmpty) s
+    else
+      StructType(s.fields.map(f =>
+        f.copy(name = physicalOf.getOrElse(f.name, f.name),
+          metadata = org.apache.spark.sql.types.Metadata.empty)))
+
+  private def toLogical(s: StructType): StructType =
+    if (physicalOf.isEmpty) s
+    else {
+      val p2l = physicalOf.map(_.swap)
+      StructType(s.fields.map(f => f.copy(name = p2l.getOrElse(f.name, f.name))))
+    }
+
   override def build(): Scan = {
     val kept = keptEntries
     val tbl = ParquetTable(
@@ -156,12 +177,22 @@ final class ManifestScanBuilder(
       spark,
       options,
       kept.map(_.path),
-      Some(schema),
+      Some(toPhysical(schema)),
       classOf[ParquetFileFormat]
     )
     val sb = tbl.newScanBuilder(options)
-    sb.pushFilters(catalystFilters)
-    sb.pruneColumns(required)
+    // the inner parquet pushdown matches columns BY NAME against the
+    // files — hand it the predicates in the files' physical namespace
+    val physFilters =
+      if (physicalOf.isEmpty) catalystFilters
+      else
+        catalystFilters.map(_.transform {
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+              if physicalOf.contains(a.name) =>
+            a.withName(physicalOf(a.name))
+        })
+    sb.pushFilters(physFilters)
+    sb.pruneColumns(toPhysical(required))
     val inner = sb.build()
     // EXACT post-pruning statistics from the commit records (the r13
     // verdict's top ask): row counts and byte sizes were recorded at
@@ -177,7 +208,9 @@ final class ManifestScanBuilder(
     val rows: Option[Long] =
       if (kept.forall(_.rows.isDefined)) Some(kept.iterator.flatMap(_.rows).sum) else None
     val bytes = kept.iterator.map(e => e.bytes.getOrElse(graft.sources.GraftFs.fileLength(e.path))).sum
-    StatsReportingScan(inner, rows, bytes)
+    // report the LOGICAL readSchema (rows are positional — the rename
+    // back out of the physical namespace is free)
+    StatsReportingScan(inner, rows, bytes, toLogical(inner.readSchema()))
   }
 }
 
@@ -204,10 +237,17 @@ object ManifestScanBuilder {
   * BroadcastHashJoin). Everything else delegates to the inner
   * [[FileScan]], including columnar support and custom metrics.
   */
-final case class StatsReportingScan(inner: Scan, rowCount: Option[Long], sizeBytes: Long)
-    extends Scan
+final case class StatsReportingScan(
+    inner: Scan,
+    rowCount: Option[Long],
+    sizeBytes: Long,
+    // the LOGICAL read schema — under column mapping the inner scan's
+    // readSchema carries the files' physical names; rows are
+    // positional, so reporting logical names costs nothing
+    reportSchema: StructType
+) extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
-  override def readSchema(): StructType = inner.readSchema()
+  override def readSchema(): StructType = reportSchema
   override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
   override def description(): String = inner.description()
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
@@ -258,9 +298,9 @@ object manifestGlue {
     }
     unwrap(plan).collect { case b: BatchScanExec =>
       b.scan match {
-        case StatsReportingScan(fs: FileScan, _, _) => fs.fileIndex.inputFiles.toSeq
-        case fs: FileScan                           => fs.fileIndex.inputFiles.toSeq
-        case _                                      => Seq.empty
+        case StatsReportingScan(fs: FileScan, _, _, _) => fs.fileIndex.inputFiles.toSeq
+        case fs: FileScan                              => fs.fileIndex.inputFiles.toSeq
+        case _                                         => Seq.empty
       }
     }.flatten
   }
