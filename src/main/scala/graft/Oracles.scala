@@ -6283,6 +6283,19 @@ object Oracles {
     // column, so it reads all-null (b_checksum 0, n_b_null = n);
     // schema widths and the cluster-key-rename refusal earned
     // in-engine
+    // three cohort batches land exactly once; the crash-shaped replay
+    // of batch 1 (fresh instance, fresh files) publishes nothing —
+    // head stays 3, watermark 2; the skip/refusal flags and head/
+    // watermark are earned in-engine
+    "q443_idempotent_writer" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |b AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents) AS BIGINT) AS cc FROM o)
+        |SELECT 'exactly_once' AS probe, b.n AS n_rows, b.kk AS key_checksum,
+        |  b.cc AS cents_checksum, CAST(3 AS BIGINT) AS head_version,
+        |  CAST(2 AS BIGINT) AS txn_watermark, CAST(1 AS BIGINT) AS applied_ok,
+        |  CAST(1 AS BIGINT) AS replay_skipped, CAST(1 AS BIGINT) AS commit_refused FROM b""".stripMargin,
     "q442_column_mapping" ->
       """WITH o AS (SELECT o_orderkey AS k,
         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS a,

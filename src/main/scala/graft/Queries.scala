@@ -16945,4 +16945,74 @@ object Queries {
     ).toDF("phase", "n_rows", "amount_checksum", "b_checksum", "n_b_null", "n_cols", "ck_rename_refused")
       .orderBy("phase")
   }
+
+  // IDEMPOTENT WRITER COMMITS — the Delta `txn` action (the r13
+  // verdict's Missing #3): every batch append carries an (appId,
+  // batchVersion) watermark in the commit record; a commit claiming a
+  // version at-or-below the chain's watermark is refused
+  // AlreadyApplied, ATOMICALLY with the storage CAS. This is what
+  // makes a foreachBatch writer exactly-once across crashes: a
+  // restart between commit and checkpoint re-runs the last batch id,
+  // and without the watermark the rows double-apply (q299 proved the
+  // pattern outside the catalog; the log now owns it). The fixture
+  // drives three batches, then a crash-shaped replay of batch 1
+  // through a FRESH log instance (a restarted driver, disk replay
+  // only): the replay is skipped at the fast path, a forced
+  // staged-and-committed twin is refused at the CAS, and the final
+  // census proves every row landed exactly once. Watermarks survive
+  // snapshot expiration via the checkpoint's accumulated txns map.
+  // Scale shape: the watermark read is one chain walk (metadata
+  // cardinality); refusing a replay costs zero data IO on the fast
+  // path and one orphaned staging dir (vacuum debris) on the slow.
+  def manifestIdempotentWriter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft_mfst", classOf[graft.sources.ManifestCatalog].getName)
+    s.sql("DROP TABLE IF EXISTS graft_mfst.db.q443t")
+    s.sql("CREATE TABLE graft_mfst.db.q443t (k BIGINT, cents BIGINT) TBLPROPERTIES ('cluster_key'='k')")
+    val src = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    def batch(i: Int) = src.filter(col("k") % 3 === i)
+    val tdir = s"${graft.sources.ManifestCatalog.defaultWarehouse}/db/q443t"
+    val app = "q443-writer"
+    val log = graft.sources.DurableManifestLog.open(tdir)
+    val a0 = graft.sources.ManifestWrites.idempotentAppend(tdir, log, batch(0), Some("k"), app, 0L)
+    val a1 = graft.sources.ManifestWrites.idempotentAppend(tdir, log, batch(1), Some("k"), app, 1L)
+    // CRASH-RESTART: the writer died after batch 1's commit but
+    // before its checkpoint — the restarted process (a FRESH log
+    // instance, replay from disk alone) re-derives and re-applies
+    // batch 1, then proceeds to batch 2
+    val log2 = graft.sources.DurableManifestLog.open(tdir)
+    val replaySkipped = !graft.sources.ManifestWrites.idempotentAppend(tdir, log2, batch(1), Some("k"), app, 1L)
+    // …and even a twin that already STAGED its files (the fast-path
+    // read raced) is refused at the CAS itself
+    val staged = s"txn-replay-${java.util.UUID.randomUUID().toString.take(8)}"
+    batch(1).write.parquet(s"$tdir/$staged")
+    val stagedRefs = graft.sources.GraftFs.listDataFiles(s"$tdir/$staged").map(f =>
+      graft.sources.ManifestLog.FileRef(staged, f))
+    val commitRefused = log2.tryCommit(
+      "main", log2.head(), "append", add = stagedRefs, txn = Some((app, 1L))
+    ) match {
+      case graft.sources.ManifestLog.AlreadyApplied(wm, _) => if (wm == 1L) 1L else 0L
+      case _                                               => 0L
+    }
+    val a2 = graft.sources.ManifestWrites.idempotentAppend(tdir, log2, batch(2), Some("k"), app, 2L)
+    val r = s
+      .sql("SELECT count(*) AS n, sum(k) AS kk, sum(cents) AS cc FROM graft_mfst.db.q443t")
+      .collect()(0)
+    Seq(
+      (
+        "exactly_once",
+        r.getLong(0),
+        r.getLong(1),
+        r.getLong(2),
+        log2.head(), // 3 appends past genesis — the replay published NOTHING
+        log2.txnVersion(app).getOrElse(-1L),
+        if (a0 && a1 && a2) 1L else 0L,
+        if (replaySkipped) 1L else 0L,
+        commitRefused
+      )
+    ).toDF(
+      "probe", "n_rows", "key_checksum", "cents_checksum", "head_version",
+      "txn_watermark", "applied_ok", "replay_skipped", "commit_refused")
+  }
 }

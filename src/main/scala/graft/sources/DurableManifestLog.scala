@@ -99,6 +99,10 @@ final class DurableManifestLog private (val dir: String) {
     o.put("op", c.op)
     o.put("ts", c.ts)
     c.schemaJson.foreach { sj => o.put("schema", sj); () }
+    if (c.txns.nonEmpty) {
+      val tx = o.putObject("txns")
+      c.txns.toSeq.sortBy(_._1).foreach { case (app, v) => tx.put(app, v); () }
+    }
     o.set[JsonNode]("added", refArr(c.added))
     o.set[JsonNode]("removed", refArr(c.removed))
     o.set[JsonNode]("dvAdded", refArr(c.dvAdded))
@@ -157,7 +161,13 @@ final class DurableManifestLog private (val dir: String) {
       dvRows.result(),
       readRefs(o.get("cdc")),
       ts = if (o.hasNonNull("ts")) o.get("ts").asLong() else 0L,
-      schemaJson = if (o.hasNonNull("schema")) Some(o.get("schema").asText()) else None
+      schemaJson = if (o.hasNonNull("schema")) Some(o.get("schema").asText()) else None,
+      txns = if (!o.hasNonNull("txns")) Map.empty
+      else {
+        val b = Map.newBuilder[String, Long]
+        o.get("txns").properties().forEach(e => b += e.getKey -> e.getValue.asLong())
+        b.result()
+      }
     )
   }
 
@@ -341,7 +351,12 @@ final class DurableManifestLog private (val dir: String) {
       // commit wall-clock (epoch millis): -1 = stamp from the clock
       // seam at publish time; an explicit value pins it (fixtures)
       ts: Long = -1L,
-      schemaJson: Option[String] = None
+      schemaJson: Option[String] = None,
+      // idempotent-writer claim (appId, batchVersion): refused as
+      // [[ManifestLog.AlreadyApplied]] when the replayed chain's
+      // watermark is already ≥ batchVersion. Re-checked after every
+      // lost claim, so the check is atomic with the storage CAS.
+      txn: Option[(String, Long)] = None
   ): Outcome = synchronized {
     ManifestLog.requirePureShape(op, add, remove, dvAdd)
     val stamp = if (ts >= 0L) ts else DurableManifestLog.clockNow()
@@ -352,10 +367,15 @@ final class DurableManifestLog private (val dir: String) {
       inner.validateCommit(branch, readVersion, remove.toSet, strict) match {
         case Left(overlap) => return Conflicted(overlap, attempts)
         case Right(headV) =>
+          txn.foreach { case (app, bv) =>
+            val wm = inner.txnWatermarksIn(inner.chain(headV)).getOrElse(app, Long.MinValue)
+            if (wm >= bv) return ManifestLog.AlreadyApplied(wm, attempts)
+          }
           val commit = Commit(
             inner.nextVersionNow, headV, op,
             add.toVector, remove.toVector, dvAdd.toVector, stats, dvRows, cdc.toVector,
-            ts = stamp, schemaJson = schemaJson
+            ts = stamp, schemaJson = schemaJson,
+            txns = txn.map { case (app, bv) => Map(app -> bv) }.getOrElse(Map.empty)
           )
           val o = mapper.createObjectNode()
           o.put("kind", "commit")
@@ -476,6 +496,7 @@ final class DurableManifestLog private (val dir: String) {
   def versionAtTimestamp(tsMillis: Long, branch: String = "main"): Long =
     view.versionAtTimestamp(tsMillis, branch)
   def schemaAt(version: Long): Option[String] = view.schemaAt(version)
+  def txnVersion(appId: String, branch: String = "main"): Option[Long] = view.txnVersion(appId, branch)
   def versions: Seq[Long] = view.versions
   def chain(version: Long): Vector[Commit] = view.chain(version)
   def liveFiles(version: Long): Set[FileRef] = view.liveFiles(version)

@@ -992,8 +992,11 @@ private[sources] final case class ManifestTableMeta(
     changeFeed: Boolean
 )
 
-/** Shared staging machinery for the catalog's write paths. */
-private[sources] object ManifestWrites {
+/** Shared staging machinery for the catalog's write paths. Visible
+  * package-wide for [[idempotentAppend]] — the exactly-once batch
+  * writer surface.
+  */
+private[graft] object ManifestWrites {
 
   /** Stage a rewrite's CDC files: one single-pass full-outer diff of
     * the removed files' rows against the staged files' rows on the
@@ -1081,6 +1084,50 @@ private[sources] object ManifestWrites {
           override def abort(messages: Array[WriterCommitMessage]): Unit = ib.abort(messages)
         }
       }
+    }
+  }
+
+  /** EXACTLY-ONCE batch append — the Delta `txn`/foreachBatch
+    * idempotency contract: stage `df` as parquet under the table
+    * root, then publish ONE append carrying the (appId, batchVersion)
+    * watermark. A REPLAYED batch — a foreachBatch writer restarting
+    * after a crash BETWEEN its commit and its checkpoint re-runs the
+    * last batch id — is refused at two layers: a fast-path watermark
+    * read skips the staging IO entirely, and (because that read races
+    * other writers) the commit itself re-checks the watermark
+    * atomically with the storage CAS ([[ManifestLog.AlreadyApplied]]),
+    * so the batch lands EXACTLY once no matter where the crash fell.
+    * A refused replay's staged files are unreferenced debris (vacuum
+    * reclaims them after the grace window). Returns true iff THIS
+    * call published.
+    */
+  def idempotentAppend(
+      dir: String,
+      log: DurableManifestLog,
+      df: org.apache.spark.sql.DataFrame,
+      clusterKey: Option[String],
+      appId: String,
+      batchVersion: Long
+  ): Boolean = {
+    if (log.txnVersion(appId).exists(_ >= batchVersion)) return false // replay: skip the staging IO
+    val staging = s"txn-${java.util.UUID.randomUUID().toString.take(12)}"
+    df.write.parquet(s"$dir/$staging")
+    val refs = GraftFs.listDataFiles(s"$dir/$staging").map(f => FileRef(staging, f))
+    val stats = footerStats(dir, refs, clusterKey)
+    log.tryCommit(
+      "main", log.head(), "append",
+      add = refs, stats = stats, maxAttempts = 32, txn = Some((appId, batchVersion))
+    ) match {
+      case ManifestLog.Committed(_, _) => true
+      case ManifestLog.AlreadyApplied(_, _) =>
+        // a concurrent twin won the race: our staging is orphaned
+        // debris, never visible; reclaim it eagerly
+        GraftFs.deleteRecursive(s"$dir/$staging")
+        false
+      case other =>
+        throw new java.util.ConcurrentModificationException(
+          s"idempotent append ($appId @ $batchVersion) failed to publish: $other"
+        )
     }
   }
 

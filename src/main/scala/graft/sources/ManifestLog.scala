@@ -114,7 +114,15 @@ object ManifestLog {
       // Some(schema JSON) sets the table schema from this version on;
       // None inherits. [[schemaAt]] resolves per version, so VERSION
       // AS OF reads serve the schema that version actually had.
-      schemaJson: Option[String] = None
+      schemaJson: Option[String] = None,
+      // IDEMPOTENT WRITER WATERMARKS (Delta's `txn` action): appId →
+      // the highest batch version that app has applied. A writer
+      // commit sets one entry; the expiration checkpoint accumulates
+      // the per-app maxima so watermarks survive history squash. A
+      // commit claiming (app, v) with v ≤ the chain's watermark is
+      // refused as [[AlreadyApplied]] — the exactly-once contract a
+      // crashed foreachBatch writer needs on restart.
+      txns: Map[String, Long] = Map.empty
   )
 
   /** A publish attempt's outcome: the committed version and how many
@@ -123,6 +131,11 @@ object ManifestLog {
   sealed trait Outcome { def attempts: Int }
   final case class Committed(version: Long, attempts: Int) extends Outcome
   final case class Conflicted(overlap: Set[FileRef], attempts: Int) extends Outcome
+  /** The commit's (appId, version) watermark was already at-or-past
+    * its claim — a replayed batch after a crash-restart. Nothing was
+    * published; `watermark` is the chain's existing high-water mark.
+    */
+  final case class AlreadyApplied(watermark: Long, attempts: Int) extends Outcome
 
   private final case class State(
       commits: Map[Long, Commit],
@@ -226,6 +239,19 @@ final class ManifestLog {
   def schemaAt(version: Long): Option[String] =
     chain(version).flatMap(_.schemaJson).lastOption
 
+  /** The idempotent-writer watermark for `appId` on `branch`: the
+    * highest batch version that app ever recorded on the chain (the
+    * Delta `txnVersion` read). None = the app never committed. One
+    * chain walk — metadata cardinality.
+    */
+  def txnVersion(appId: String, branch: String = "main"): Option[Long] =
+    txnWatermarksIn(chain(head(branch))).get(appId)
+
+  private[sources] def txnWatermarksIn(c: Vector[Commit]): Map[String, Long] =
+    c.foldLeft(Map.empty[String, Long]) { (m, cm) =>
+      cm.txns.foldLeft(m) { case (acc, (app, v)) => acc + (app -> math.max(acc.getOrElse(app, Long.MinValue), v)) }
+    }
+
   /** `TIMESTAMP AS OF` resolution on `branch` — the Delta/Iceberg
     * convention: the LATEST version whose commit wall-clock is
     * at-or-before `tsMillis`. A timestamp before the first stamped
@@ -285,7 +311,12 @@ final class ManifestLog {
       cdc: Seq[FileRef] = Seq.empty,
       strict: Boolean = false,
       ts: Long = 0L,
-      schemaJson: Option[String] = None
+      schemaJson: Option[String] = None,
+      // idempotent-writer claim: (appId, batchVersion). Refused as
+      // [[AlreadyApplied]] when the chain's watermark for appId is
+      // already ≥ batchVersion — checked ATOMICALLY with the CAS, so
+      // a crash-restart replay can never double-apply.
+      txn: Option[(String, Long)] = None
   ): Outcome = {
     ManifestLog.requirePureShape(op, add, remove, dvAdd)
     var attempts = 0
@@ -295,11 +326,16 @@ final class ManifestLog {
       validateIn(st, branch, readVersion, remove.toSet, strict) match {
         case Left(overlap) => return Conflicted(overlap, attempts)
         case Right(headV) =>
+          txn.foreach { case (app, bv) =>
+            val wm = txnWatermarksIn(chainIn(st.commits, headV)).getOrElse(app, Long.MinValue)
+            if (wm >= bv) return AlreadyApplied(wm, attempts)
+          }
           val v = st.nextVersion
           val commit =
             Commit(
               v, headV, op, add.toVector, remove.toVector, dvAdd.toVector,
-              stats, dvRows, cdc.toVector, ts, schemaJson)
+              stats, dvRows, cdc.toVector, ts, schemaJson,
+              txns = txn.map { case (app, bv) => Map(app -> bv) }.getOrElse(Map.empty))
           val next = st.copy(
             commits = st.commits + (v -> commit),
             branches = st.branches + (branch -> v),
@@ -549,7 +585,11 @@ final class ManifestLog {
     val checkpoint =
       Commit(
         horizon, -1L, "checkpoint", live.toVector, Vector.empty, dvs, liveStats0, dvRowsAcc,
-        ts = horizonTs, schemaJson = horizonSchema)
+        ts = horizonTs, schemaJson = horizonSchema,
+        // idempotent-writer watermarks survive the squash: the
+        // checkpoint accumulates each app's maximum, so a replayed
+        // batch stays refusable after its original commit expires
+        txns = txnWatermarksIn(hChain))
     val afterSquash = (st.commits -- dropped) + (horizon -> checkpoint)
     // an UNREFERENCED side commit forked below the horizon (its branch
     // was dropped) would survive the squash with a dangling parent:

@@ -154,6 +154,34 @@ class DurableManifestLogSpec extends AnyFunSuite {
     assert(d.tryCommit("main", d.head(), "file_only", add = Seq(f("n"))).isInstanceOf[Committed])
   }
 
+  test("idempotent txn watermarks: a replayed (app, version) is AlreadyApplied — cross-instance, and across expiration") {
+    val dir = freshDir()
+    val a = DurableManifestLog.open(dir)
+    assert(a.tryCommit("main", 0L, "append", add = Seq(f("b0")), txn = Some(("app", 0L))).isInstanceOf[Committed])
+    assert(a.tryCommit("main", a.head(), "append", add = Seq(f("b1")), txn = Some(("app", 1L))).isInstanceOf[Committed])
+    assert(a.txnVersion("app") === Some(1L))
+    // the crash-restart shape: a FRESH instance replays batch 1
+    val b = DurableManifestLog.open(dir)
+    b.tryCommit("main", b.head(), "append", add = Seq(f("b1x")), txn = Some(("app", 1L))) match {
+      case ManifestLog.AlreadyApplied(wm, _) => assert(wm === 1L)
+      case other                             => fail(s"replay must be AlreadyApplied, got $other")
+    }
+    assert(b.liveFiles(b.head()) === Set(f("b0"), f("b1")), "the replay must publish nothing")
+    // an UNRELATED app is not blocked; a HIGHER version lands
+    assert(b.tryCommit("main", b.head(), "append", add = Seq(f("c0")), txn = Some(("other", 0L))).isInstanceOf[Committed])
+    assert(b.tryCommit("main", b.head(), "append", add = Seq(f("b2")), txn = Some(("app", 2L))).isInstanceOf[Committed])
+    // watermarks survive snapshot expiration via the checkpoint
+    val head = b.head()
+    b.expireBefore(head)
+    val c = DurableManifestLog.open(dir)
+    assert(c.txnVersion("app") === Some(2L), "the checkpoint must carry the accumulated watermark")
+    assert(c.txnVersion("other") === Some(0L))
+    c.tryCommit("main", c.head(), "append", add = Seq(f("b2x")), txn = Some(("app", 2L))) match {
+      case ManifestLog.AlreadyApplied(wm, _) => assert(wm === 2L)
+      case other                             => fail(s"post-expiration replay must be AlreadyApplied, got $other")
+    }
+  }
+
   test("torn entry with complete entries AFTER it is corruption, not a skip — fails loudly") {
     val dir = freshDir()
     val a = DurableManifestLog.open(dir)
