@@ -6287,6 +6287,49 @@ object Oracles {
     // of batch 1 (fresh instance, fresh files) publishes nothing —
     // head stays 3, watermark 2; the skip/refusal flags and head/
     // watermark are earned in-engine
+    // the feed serves the HEAD schema across the ALTER: v1 (evens) is
+    // null-filled bonus; v3 (odds) carries bonus = cents % 1000; the
+    // set_schema commit v2 is feed-invisible; the restart/stream≡batch
+    // flags are earned in-engine
+    // the isolation-matrix censuses: p=1 then p=2 dynamically
+    // overwritten with shifted cohorts, p=3's k%10=4 rows DV-deleted
+    // and absorbed by the compaction; the land/abort/guard flags are
+    // earned in-engine off the commit outcomes
+    "q445_maintenance_matrix" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    o_orderkey % 4 AS p FROM orders),
+        |p1n AS (SELECT k + 10000000 AS k, cents + 5 AS cents FROM o WHERE p = 1 AND k % 3 = 0),
+        |p2n AS (SELECT k + 20000000 AS k, cents + 9 AS cents FROM o WHERE p = 2 AND k % 3 = 0),
+        |c1 AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents) AS BIGINT) AS cc FROM o),
+        |c2 AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk, CAST(sum(cents) AS BIGINT) AS cc
+        |  FROM (SELECT k, cents FROM o WHERE p <> 1 UNION ALL SELECT k, cents FROM p1n)),
+        |c3 AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk, CAST(sum(cents) AS BIGINT) AS cc
+        |  FROM (SELECT k, cents FROM o WHERE p NOT IN (1, 2)
+        |        UNION ALL SELECT k, cents FROM p1n UNION ALL SELECT k, cents FROM p2n)),
+        |c4 AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk, CAST(sum(cents) AS BIGINT) AS cc
+        |  FROM (SELECT k, cents FROM o WHERE p = 0
+        |        UNION ALL SELECT k, cents FROM o WHERE p = 3 AND k % 5 <> 4
+        |        UNION ALL SELECT k, cents FROM p1n UNION ALL SELECT k, cents FROM p2n))
+        |SELECT '1_initial' AS phase, c1.n AS n_rows, c1.kk AS key_checksum,
+        |  c1.cc AS cents_checksum, CAST(1 AS BIGINT) AS ok FROM c1
+        |UNION ALL SELECT '2_disjoint_landed', c2.n, c2.kk, c2.cc, 1 FROM c2
+        |UNION ALL SELECT '3_overlap_aborted', c3.n, c3.kk, c3.cc, 1 FROM c3
+        |UNION ALL SELECT '4_dv_absorbed', c4.n, c4.kk, c4.cc, 1 FROM c4
+        |ORDER BY phase""".stripMargin,
+    "q444_cdf_evolution" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |ev AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS cc FROM o WHERE k % 2 = 0),
+        |od AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS cc,
+        |    CAST(sum(cents % 1000) AS BIGINT) AS bb FROM o WHERE k % 2 = 1)
+        |SELECT CAST(1 AS BIGINT) AS version, ev.n AS n_rows, ev.cc AS cents_checksum,
+        |  CAST(0 AS BIGINT) AS bonus_checksum, ev.n AS n_bonus_null,
+        |  CAST(1 AS BIGINT) AS resumed_only_new, CAST(1 AS BIGINT) AS schema_commit_empty,
+        |  CAST(1 AS BIGINT) AS eq_stream_batch FROM ev
+        |UNION ALL SELECT 3, od.n, od.cc, od.bb, 0, 1, 1, 1 FROM od
+        |ORDER BY version""".stripMargin,
     "q443_idempotent_writer" ->
       """WITH o AS (SELECT o_orderkey AS k,
         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),

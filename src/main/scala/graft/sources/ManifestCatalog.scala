@@ -1263,6 +1263,19 @@ object ManifestMaintenance {
     val head = log.head()
     val stats = log.liveStats(head)
     val live = log.liveFiles(head).toSeq
+    // IN-FORCE DELETION VECTORS ARE ABSORBED, never resurrected: a
+    // compaction that read its inputs raw would re-materialize every
+    // tombstoned row (the inputs still hold the bytes) and then REMOVE
+    // the DV's target files, rendering the tombstones inert — a silent
+    // un-delete. Instead the rewrite EXCLUDES the tombstoned ordinals
+    // (Delta's OPTIMIZE-with-DV semantics): the output carries only
+    // live rows, the DVs go inert by design, and metadata COUNT stays
+    // exact (liveDvRows drops with the removed targets). Tombstones
+    // are request-sized by the erasure contract: one driver read.
+    val dvOrds: Map[(String, String), Array[Long]] =
+      graft.streaming.CdfStream.dvOrdinals(
+        log.dvFiles(head).toSeq.sortBy(r => (r.dir, r.file)).map(r => s"$dir/${r.dir}/${r.file}")
+      )
     val groups: Seq[(String, Seq[FileRef])] = live
       .groupBy(r => if (r.dir.contains("=")) r.dir else "") // one partition = one compaction scope
       .toSeq
@@ -1275,12 +1288,26 @@ object ManifestMaintenance {
       }
     groups.flatMap { case (part, inputs) =>
       val staging = s".copt-${java.util.UUID.randomUUID().toString.take(12)}"
-      spark.read
-        .schema(physSchema)
-        .parquet(inputs.map(r => s"$dir/${r.dir}/${r.file}"): _*)
-        .coalesce(1)
-        .write
-        .parquet(s"$dir/$staging")
+      val raw = spark.read.schema(physSchema).parquet(inputs.map(r => s"$dir/${r.dir}/${r.file}"): _*)
+      val groupTombs: Seq[(String, Long)] = inputs.flatMap(r =>
+        dvOrds.getOrElse((r.dir, r.file), Array.empty[Long]).map(ri => (r.file, ri)))
+      val cleaned =
+        if (groupTombs.isEmpty) raw
+        else {
+          // absorb: drop exactly the tombstoned (file, row_index)
+          // pairs — part-file names are per-job-UUID unique, so the
+          // file name alone keys the join; tombstones broadcast
+          // (request-sized by the erasure contract)
+          import org.apache.spark.sql.functions.{broadcast, col}
+          import spark.implicits._
+          val tomb = groupTombs.toDF("__f", "__ri")
+          raw
+            .select(col("*"),
+              col("_metadata.file_name").as("__f"), col("_metadata.row_index").as("__ri"))
+            .join(broadcast(tomb), Seq("__f", "__ri"), "left_anti")
+            .drop("__f", "__ri")
+        }
+      cleaned.coalesce(1).write.parquet(s"$dir/$staging")
       // partitioned inputs: the output must live under the SAME
       // partition dir for path-served partition values; unpartitioned
       // outputs get their own compact dir

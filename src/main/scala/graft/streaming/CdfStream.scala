@@ -89,6 +89,31 @@ object CdfStream {
     }
     out.toSet
   }
+
+  /** Tombstoned ordinals per (dir, file) target — the full DV
+    * payload, driver-side and request-sized like [[dvTargets]]. The
+    * compaction path uses it to ABSORB in-force tombstones: the
+    * rewritten output excludes exactly these row indexes, so removing
+    * the target files renders the DVs inert without resurrecting the
+    * deleted rows.
+    */
+  def dvOrdinals(paths: Seq[String]): Map[(String, String), Array[Long]] = {
+    val out = scala.collection.mutable.Map.empty[(String, String), scala.collection.mutable.ArrayBuffer[Long]]
+    paths.foreach { p =>
+      val rdr = ParquetReader.builder(new GroupReadSupport(), new Path(p)).withConf(sessionHadoopConf).build()
+      try {
+        var g = rdr.read()
+        while (g != null) {
+          out.getOrElseUpdate(
+            (g.getString("d", 0), g.getString("f", 0)),
+            scala.collection.mutable.ArrayBuffer.empty
+          ) += g.getLong("ri", 0)
+          g = rdr.read()
+        }
+      } finally rdr.close()
+    }
+    out.map { case (k, v) => k -> v.toArray.sorted }.toMap
+  }
 }
 
 final case class CdfOffset(version: Long) extends Offset {
@@ -334,7 +359,13 @@ private final class CdfReaderFactory(conf: org.apache.spark.util.SerializableCon
         var i = 0
         while (i < n) {
           val f = p.tableSchema(i)
-          val present = g.getType.containsField(f.name) && g.getFieldRepetitionCount(f.name) > 0
+          // under column mapping the files carry PHYSICAL names — the
+          // schema's field metadata says which (identity otherwise);
+          // a file written before the column existed (schema
+          // evolution) simply lacks it and null-fills, the Delta CDF
+          // convention: the feed serves the HEAD schema
+          val lookup = graft.sources.ColumnMapping.physicalName(f)
+          val present = g.getType.containsField(lookup) && g.getFieldRepetitionCount(lookup) > 0
           values(i) =
             if (p.partitionField.exists(_._1 == f.name))
               // a partitioned table's data files don't carry the
@@ -347,12 +378,12 @@ private final class CdfReaderFactory(conf: org.apache.spark.util.SerializableCon
             else if (!present) null
             else
               f.dataType match {
-                case LongType    => g.getLong(f.name, 0)
-                case IntegerType => g.getInteger(f.name, 0)
-                case DoubleType  => g.getDouble(f.name, 0)
-                case FloatType   => g.getFloat(f.name, 0)
-                case BooleanType => g.getBoolean(f.name, 0)
-                case StringType  => UTF8String.fromString(g.getString(f.name, 0))
+                case LongType    => g.getLong(lookup, 0)
+                case IntegerType => g.getInteger(lookup, 0)
+                case DoubleType  => g.getDouble(lookup, 0)
+                case FloatType   => g.getFloat(lookup, 0)
+                case BooleanType => g.getBoolean(lookup, 0)
+                case StringType  => UTF8String.fromString(g.getString(lookup, 0))
                 case other       => sys.error(s"CDF reader: unsupported column type $other for ${f.name}")
               }
           i += 1
