@@ -154,14 +154,21 @@ object Bench {
       ()
     }
 
+    // per-query PASS COUNT (r13 judge ask #8): 2 = min-of-two (noise-
+    // discounted), 1 = single pass (a slow reading may be slot noise —
+    // mechanically discountable without a manual isolated probe),
+    // 0 = skipped/failed
+    val passCounts = scala.collection.mutable.HashMap.empty[String, Int]
+
     def jsonLine(rs: Seq[(String, Double)]): String = {
       // artifact line in numeric id order regardless of sweep order,
       // so round-over-round diffs line up
       val sorted = rs.sortBy { case (k, _) => (numId(k), k) }
       val qs = sorted.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val ps = sorted.map { case (k, _) => "\"" + k + "\":" + passCounts.getOrElse(k, 0) }.mkString("{", ",", "}")
       val cal = calibration.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val total = sorted.collect { case (_, v) if v > 0 => v }.sum
-      s"""{"metric":"total","value":$total,"unit":"sec","calibration":$cal,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calibration":$cal,"queries":$qs,"passes":$ps,"sf":"$sfDir"}"""
     }
 
     val sweepDeadline = budgetSec * 0.95
@@ -197,7 +204,7 @@ object Bench {
           spark.catalog.clearCache()
           graft.operators.Scratch.sweep()
           val first = timedOnce(fn)
-          if (first >= 0) sumFirst += first
+          if (first >= 0) { sumFirst += first; passCounts(name) = 1 }
           // second pass (min of two) for every query the projection
           // allows: sub-second timings are JIT/GC-noise dominated,
           // slow outliers are usually codegen the budget-capped
@@ -214,7 +221,8 @@ object Bench {
           val reserve = (remaining - 1) * math.max(1.0, avgFirst * 1.6)
           if (first >= 0 && elapsed + math.max(first, 0.0) + reserve < sweepDeadline) {
             val second = timedOnce(fn)
-            if (second >= 0) math.min(first, second) else first
+            if (second >= 0) { passCounts(name) = 2; math.min(first, second) }
+            else first
           } else first
         }
       sweptCount += 1

@@ -16624,9 +16624,17 @@ object Queries {
     import s.implicits._
     s.conf.set("spark.sql.catalog.graft_mfst", classOf[graft.sources.ManifestCatalog].getName)
     s.sql("DROP TABLE IF EXISTS graft_mfst.db.q437t")
+    // declared (p, k, cents) ON PURPOSE: createTable NORMALIZES the
+    // partition column to last (the Hive convention), so any
+    // declaration order plans metadata deletes — the r13 verdict's
+    // usability ask #6
     s.sql(
-      "CREATE TABLE graft_mfst.db.q437t (k BIGINT, cents BIGINT, p BIGINT) PARTITIONED BY (p) " +
+      "CREATE TABLE graft_mfst.db.q437t (p BIGINT, k BIGINT, cents BIGINT) PARTITIONED BY (p) " +
         "TBLPROPERTIES ('cluster_key'='k')"
+    )
+    require(
+      s.table("graft_mfst.db.q437t").schema.fieldNames.toSeq == Seq("k", "cents", "p"),
+      "the catalog must normalize the partition column to LAST"
     )
     t(s, dir, "orders")
       .select(

@@ -217,16 +217,6 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
             schema(name).dataType == org.apache.spark.sql.types.IntegerType,
           s"manifest tables partition by an integral column (got ${schema(name).dataType.simpleString})"
         )
-        // Spark's file scans append partition columns AFTER the data
-        // columns; declaring the partition column anywhere else would
-        // wrap every scan in a reordering Project — harmless for
-        // SELECTs but fatal for metadata DELETEs (the DeleteFromTable
-        // strategy requires a bare scan relation). Enforce the order
-        // at the front door instead of papering over it per read.
-        require(
-          schema.fieldNames.last == name,
-          s"the partition column '$name' must be the LAST column of a partitioned manifest table"
-        )
         Some(name)
       case other =>
         throw new UnsupportedOperationException(
@@ -245,7 +235,19 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
         "column_mapping is not supported together with change_feed"
       )
     }
-    val storedSchema = if (mapped) ColumnMapping.assignAll(schema) else schema
+    // NORMALIZE the partition column to LAST (the Hive convention —
+    // partition columns always trail the data columns, and Spark's
+    // file scans serve them in exactly that order; any other position
+    // would wrap every scan in a reordering Project, which breaks the
+    // metadata-delete strategy under DeleteFromTable). CREATE accepts
+    // any declaration order; DESCRIBE and positional INSERT follow
+    // the normalized order, as they do on a Hive table.
+    val ordered = partitionCol match {
+      case Some(pc) if schema.fieldNames.last != pc =>
+        StructType(schema.fields.filterNot(_.name == pc) :+ schema(pc))
+      case _ => schema
+    }
+    val storedSchema = if (mapped) ColumnMapping.assignAll(ordered) else ordered
     val dir = tableDir(ident)
     val meta = mapper.createObjectNode()
     meta.put("schema", storedSchema.json)
