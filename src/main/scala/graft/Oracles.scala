@@ -6295,6 +6295,31 @@ object Oracles {
     // overwritten with shifted cohorts, p=3's k%10=4 rows DV-deleted
     // and absorbed by the compaction; the land/abort/guard flags are
     // earned in-engine off the commit outcomes
+    // per-version feed censuses: v1/v2 = the k%8 insert split; v3 =
+    // p=0 removed whole-file; v4 = p=1's live rows deleted + the
+    // shifted cohort inserted; v5 = the DV cohort; v6 (compaction) is
+    // feed-invisible — no row; eq_apply/compact_invisible earned
+    // in-engine
+    "q446_cdf_maintenance" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    o_orderkey % 4 AS p FROM orders),
+        |v1 AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk FROM o WHERE k % 8 < 4),
+        |v2 AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk FROM o WHERE k % 8 >= 4),
+        |d3 AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk FROM o WHERE p = 0),
+        |d4 AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk FROM o WHERE p = 1),
+        |i4 AS (SELECT count(*) AS n, CAST(sum(k + 10000000) AS BIGINT) AS kk FROM o
+        |  WHERE p = 1 AND k % 3 = 0),
+        |d5 AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk FROM o
+        |  WHERE p = 3 AND k % 5 = 4)
+        |SELECT CAST(1 AS BIGINT) AS version, v1.n AS n_inserts, CAST(0 AS BIGINT) AS n_deletes,
+        |  v1.kk AS insert_key_sum, CAST(0 AS BIGINT) AS delete_key_sum,
+        |  CAST(1 AS BIGINT) AS eq_apply, CAST(1 AS BIGINT) AS compact_invisible FROM v1
+        |UNION ALL SELECT 2, v2.n, 0, v2.kk, 0, 1, 1 FROM v2
+        |UNION ALL SELECT 3, 0, d3.n, 0, d3.kk, 1, 1 FROM d3
+        |UNION ALL SELECT 4, i4.n, d4.n, i4.kk, d4.kk, 1, 1 FROM i4, d4
+        |UNION ALL SELECT 5, 0, d5.n, 0, d5.kk, 1, 1 FROM d5
+        |ORDER BY version""".stripMargin,
     "q445_maintenance_matrix" ->
       """WITH o AS (SELECT o_orderkey AS k,
         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,

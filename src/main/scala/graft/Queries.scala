@@ -17265,4 +17265,107 @@ object Queries {
       ("4_dv_absorbed", c4._1, c4._2, c4._3, dvGuard * absorbed * ttOk)
     ).toDF("phase", "n_rows", "key_checksum", "cents_checksum", "ok").orderBy("phase")
   }
+
+  // CDF OVER EVERY MAINTENANCE VERB — the feed previously refused any
+  // remove-bearing commit without writer-staged cdc files; that rule
+  // is right for ROW-LEVEL rewrites (pre/post images would need a
+  // read-time key join) but wrong for WHOLE-FILE verbs, whose commit
+  // record already IS the change set (the Delta CDF conventions):
+  //   - metadata DELETE / TRUNCATE: every removed file's row is a
+  //     delete pre-image — served from the removed files directly,
+  //     minus any rows an in-force DV already tombstoned (those were
+  //     served as deletes by the DV commit; re-serving would double-
+  //     count — the exclude-ordinals reader mode).
+  //   - INSERT OVERWRITE: delete-the-removed + insert-the-added,
+  //     both sides complete files.
+  //   - pure COMPACTION: dataChange = false — it rearranges bytes
+  //     without changing the logical table (absorbed tombstones were
+  //     already served), so it contributes NO feed rows.
+  // The fixture drives all of them on one partitioned table and earns
+  // the feed twice: per-version insert/delete censuses against the
+  // oracle, and the additive replay — Σ inserts − Σ deletes ≡ the
+  // head read, as multiset fingerprints. Scale shape: planning stays
+  // O(|changed files|); the DV exclusion is a request-sized driver
+  // read only when tombstones exist.
+  def manifestCdfMaintenance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{DurableManifestLog, GraftFs, ManifestCatalog, ManifestLog}
+    import ManifestLog.{Committed, FileRef}
+    s.conf.set("spark.sql.catalog.graft_mfst", classOf[ManifestCatalog].getName)
+    s.sql("DROP TABLE IF EXISTS graft_mfst.db.q446t")
+    s.sql(
+      "CREATE TABLE graft_mfst.db.q446t (k BIGINT, cents BIGINT, p BIGINT) PARTITIONED BY (p) " +
+        "TBLPROPERTIES ('cluster_key'='k')"
+    )
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+        (col("o_orderkey") % 4).as("p")
+      )
+      .createOrReplaceTempView("q446_src")
+    s.sql("INSERT INTO graft_mfst.db.q446t SELECT k, cents, p FROM q446_src WHERE k % 8 < 4") // v1
+    s.sql("INSERT INTO graft_mfst.db.q446t SELECT k, cents, p FROM q446_src WHERE k % 8 >= 4") // v2
+    s.sql("DELETE FROM graft_mfst.db.q446t WHERE p = 0") // v3: metadata delete
+    val prevMode = s.conf.get("spark.graft.partitionOverwriteMode", "static")
+    s.conf.set("spark.graft.partitionOverwriteMode", "dynamic")
+    try s.sql(
+      "INSERT OVERWRITE graft_mfst.db.q446t " +
+        "SELECT k + 10000000, cents + 5, p FROM q446_src WHERE p = 1 AND k % 3 = 0"
+    ) // v4: dynamic overwrite of p=1
+    finally s.conf.set("spark.graft.partitionOverwriteMode", prevMode)
+    // v5: DV delete of p=3's k%5=4 cohort
+    val tdir = s"${ManifestCatalog.defaultWarehouse}/db/q446t"
+    val log = DurableManifestLog.open(tdir)
+    val p3Files = log.liveFiles(log.head()).toSeq.filter(_.dir == "p=3").sortBy(_.file)
+    s.read
+      .parquet(p3Files.map(r => s"$tdir/${r.dir}/${r.file}"): _*)
+      .select(
+        col("k"), lit("p=3").as("d"),
+        col("_metadata.file_name").as("f"), col("_metadata.row_index").as("ri"))
+      .filter(col("k") % 5 === 4)
+      .select("d", "f", "ri")
+      .coalesce(1)
+      .write
+      .parquet(s"$tdir/dv446")
+    val dvRefs = GraftFs.listDataFiles(s"$tdir/dv446").map(f => FileRef("dv446", f))
+    log.tryCommit("main", log.head(), "delete_dv", dvAdd = dvRefs) match {
+      case Committed(_, _) => (); case o => sys.error(o.toString)
+    }
+    // v6: compaction absorbs p=3's tombstones — feed-INVISIBLE
+    val schema = s.table("graft_mfst.db.q446t").schema
+    graft.sources.ManifestMaintenance.compact(tdir, log, schema, Some("k"), groupSize = 2)
+    val feed = s.read.table("graft_mfst.db.q446t.changes").persist()
+    // replay: Σ inserts − Σ deletes ≡ the head read (plain SQL serves
+    // again — the absorption removed every live DV target)
+    val P = 1000000007L
+    def fp(df: DataFrame): (Long, Long) = {
+      val r = df
+        .agg(count(lit(1)), coalesce(sum(pmod(xxhash64(col("k"), col("cents")), lit(P))), lit(0L)))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val fpHead = fp(s.table("graft_mfst.db.q446t"))
+    val fpIns = fp(feed.filter(col("_change_type") === "insert").select("k", "cents"))
+    val fpDel = fp(feed.filter(col("_change_type") === "delete").select("k", "cents"))
+    val eqApply =
+      if (fpHead._1 == fpIns._1 - fpDel._1 && fpHead._2 % P == (((fpIns._2 - fpDel._2) % P) + P) % P) 1L
+      else 0L
+    val compactInvisible = if (feed.filter(col("_commit_version") === 6L).count() == 0L) 1L else 0L
+    val out = feed
+      .filter(col("_commit_version") <= 5L)
+      .groupBy(col("_commit_version").as("version"))
+      .agg(
+        sum(when(col("_change_type") === "insert", 1L).otherwise(0L)).as("n_inserts"),
+        sum(when(col("_change_type") === "delete", 1L).otherwise(0L)).as("n_deletes"),
+        sum(when(col("_change_type") === "insert", col("k")).otherwise(0L)).as("insert_key_sum"),
+        sum(when(col("_change_type") === "delete", col("k")).otherwise(0L)).as("delete_key_sum")
+      )
+      .withColumn("eq_apply", lit(eqApply))
+      .withColumn("compact_invisible", lit(compactInvisible))
+      .orderBy("version")
+    val result = out.collect()
+    feed.unpersist()
+    s.createDataFrame(java.util.Arrays.asList(result: _*), out.schema)
+  }
 }

@@ -136,7 +136,12 @@ final case class CdfPartition(
     // column — its (name, value) rides the plan, decoded from the
     // FileRef's hive-style dir at planning, and the reader serves it
     // as a constant per file
-    partitionField: Option[(String, Long)] = None
+    partitionField: Option[(String, Long)] = None,
+    // tombstone interpretation: false (default) = emit ONLY these
+    // ordinals (a DV delete's pre-images); true = emit all EXCEPT
+    // them (a whole-file remove whose already-tombstoned rows were
+    // served as deletes by the DV commit and must not re-serve)
+    excludeOrdinals: Boolean = false
 ) extends InputPartition
 
 /** The `db.t.changes` table (the Iceberg changelog-table convention):
@@ -287,9 +292,37 @@ final class CdfScan(
       !(isDv && (c.added.nonEmpty || c.removed.nonEmpty)),
       s"commit ${c.version}: mixed DV + file commit — the feed contract is DV xor file motion per commit"
     )
+    // WHOLE-FILE verbs serve from the commit record alone, no cdc
+    // needed: a metadata delete / truncate removes COMPLETE files
+    // (every removed row is a delete pre-image), an overwrite is
+    // delete-the-removed + insert-the-added (both sides complete
+    // files — the Delta CDF convention for INSERT OVERWRITE), and a
+    // pure compaction is dataChange = FALSE: it rearranges bytes
+    // without changing the logical table (rows a DV already deleted
+    // were served as deletes by the DV commit; the absorbing rewrite
+    // must NOT re-serve them), so it contributes NO feed rows.
+    val wholeFileRemove = Set("delete_partitions", "truncate", "overwrite_table", "overwrite_partitions")
     if (c.cdc.nonEmpty) {
       // writer-produced change rows: authoritative for the commit
       c.cdc.map(r => CdfPartition(path(r), c.version, "", changeTypeFromFile = true, Array.empty, tableSchema))
+    } else if (c.op == "compact") {
+      Seq.empty
+    } else if (wholeFileRemove.contains(c.op)) {
+      // rows an in-force DV already tombstoned were served as deletes
+      // by the DV commit — exclude them from the removed files'
+      // pre-images (request-sized driver read, only when DVs exist)
+      val inForce = l.dvFiles(c.parent)
+      val dvOrds: Map[(String, String), Array[Long]] =
+        if (inForce.isEmpty) Map.empty
+        else CdfStream.dvOrdinals(inForce.toSeq.sortBy(r => (r.dir, r.file)).map(path))
+      c.removed.map { r =>
+        val ords = dvOrds.getOrElse((r.dir, r.file), Array.empty[Long])
+        CdfPartition(
+          path(r), c.version, "delete", changeTypeFromFile = false, ords, tableSchema, partField(r),
+          excludeOrdinals = ords.nonEmpty)
+      } ++
+        c.added.map(r =>
+          CdfPartition(path(r), c.version, "insert", changeTypeFromFile = false, Array.empty, tableSchema, partField(r)))
     } else if (isDv) {
       // tombstones are request-sized by the erasure contract: read on
       // the driver at planning, group per target file
@@ -396,11 +429,18 @@ private final class CdfReaderFactory(conf: org.apache.spark.util.SerializableCon
         new GenericInternalRow(values)
       }
 
+      // which ordinals this partition serves: a DV delete emits ONLY
+      // its tombstoned ordinals; a whole-file remove emits everything
+      // EXCEPT rows an in-force DV already deleted (see CdfPartition)
+      private def serves(o: Long): Boolean =
+        if (tombs.isEmpty) true
+        else if (p.excludeOrdinals) !tombs.contains(o)
+        else tombs.contains(o)
+
       override def next(): Boolean = {
         var g = reader.read()
         ordinal += 1
-        // delete partitions emit only the tombstoned ordinals
-        while (g != null && !tombs.isEmpty && !tombs.contains(ordinal)) {
+        while (g != null && !serves(ordinal)) {
           g = reader.read()
           ordinal += 1
         }
