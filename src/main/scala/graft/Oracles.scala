@@ -6300,6 +6300,27 @@ object Oracles {
     // shifted cohort inserted; v5 = the DV cohort; v6 (compaction) is
     // feed-invisible — no row; eq_apply/compact_invisible earned
     // in-engine
+    // censuses of the m-range, 2-D box, and full-table probes (m is
+    // the multiplicative hash of k, exact integer arithmetic in both
+    // engines); the pruning/eq/feed-silence flags are earned in-engine
+    // off the executed plans and the rewrite commit
+    "q447_zorder_optimize" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    (o_orderkey * 2654435761) % 65536 AS m,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |wdt AS (SELECT 1 + max(k) // 8 AS w FROM o),
+        |mr AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents) AS BIGINT) AS cc FROM o WHERE m BETWEEN 0 AND 8191),
+        |bx AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents) AS BIGINT) AS cc
+        |  FROM o, wdt WHERE m BETWEEN 0 AND 8191 AND k BETWEEN w // 2 AND w + w // 2),
+        |fl AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kk,
+        |    CAST(sum(cents) AS BIGINT) AS cc FROM o)
+        |SELECT '1_m_range' AS probe, mr.n AS n_rows, mr.kk AS key_checksum,
+        |  mr.cc AS cents_checksum, CAST(1 AS BIGINT) AS ok FROM mr
+        |UNION ALL SELECT '2_box', bx.n, bx.kk, bx.cc, 1 FROM bx
+        |UNION ALL SELECT '3_full_across_rewrite', fl.n, fl.kk, fl.cc, 1 FROM fl
+        |ORDER BY probe""".stripMargin,
     "q446_cdf_maintenance" ->
       """WITH o AS (SELECT o_orderkey AS k,
         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,

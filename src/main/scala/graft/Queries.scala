@@ -17368,4 +17368,91 @@ object Queries {
     feed.unpersist()
     s.createDataFrame(java.util.Arrays.asList(result: _*), out.schema)
   }
+
+  // OPTIMIZE ZORDER — q397's Hilbert advisor ENACTED as a catalog
+  // maintenance verb: the table is re-laid-out along a Hilbert curve
+  // over (k, m) — grid bounds from the LOG's per-column zones, the
+  // curve index as SpaceFill's shared SQL — range-partitioned into 8
+  // curve segments and published as ONE strict OCC commit with
+  // footer stats. The fixture's 8 insertion-order files have tight k
+  // zones but full-range m zones (m is a multiplicative hash of k —
+  // decorrelated on purpose), so pre-ZORDER an m-range predicate
+  // scans ALL files; post-ZORDER the same predicate prunes by the
+  // new files' m zones (each curve segment is a compact 2-D region),
+  // and a 2-D box prunes at least as hard — both earned off the
+  // EXECUTED plans' file indexes, with the censuses oracle-pinned
+  // and the rewrite proven content-preserving (head ≡ pre-ZORDER
+  // version, time travel intact; the commit is dataChange = false so
+  // the change feed serves NO rows for it). Scale shape: one
+  // read→range-shuffle→write pass keyed by curve position — the cost
+  // ZORDER always pays — then planning-time pruning forever after.
+  def manifestZorderOptimize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft_mfst", classOf[graft.sources.ManifestCatalog].getName)
+    s.sql("DROP TABLE IF EXISTS graft_mfst.db.q447t")
+    s.sql("CREATE TABLE graft_mfst.db.q447t (k BIGINT, m BIGINT, cents BIGINT) TBLPROPERTIES ('cluster_key'='k')")
+    val orders = t(s, dir, "orders")
+      .select(
+        col("o_orderkey").as("k"),
+        ((col("o_orderkey") * 2654435761L) % 65536L).as("m"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents")
+      )
+    orders.createOrReplaceTempView("q447_src")
+    val maxK = orders.agg(max(col("k"))).collect()(0).getLong(0)
+    val w = 1L + maxK / 8L
+    (0 until 8).foreach { i =>
+      s.sql(
+        s"INSERT INTO graft_mfst.db.q447t SELECT /*+ COALESCE(1) */ k, m, cents FROM q447_src " +
+          s"WHERE k >= ${i * w} AND k < ${(i + 1) * w}"
+      )
+    }
+    def probe(pred: String): ((Long, Long, Long), Long) = {
+      val df = s.sql(s"SELECT count(*) AS n, sum(k) AS kk, sum(cents) AS cc FROM graft_mfst.db.q447t WHERE $pred")
+      val r = df.collect()(0)
+      val scanned =
+        org.apache.spark.sql.graft.manifestGlue.scanInputFiles(df.queryExecution.executedPlan).distinct.size.toLong
+      ((r.getLong(0), r.getLong(1), r.getLong(2)), scanned)
+    }
+    val mPred = "m BETWEEN 0 AND 8191"
+    val boxPred = s"m BETWEEN 0 AND 8191 AND k BETWEEN ${w / 2} AND ${w + w / 2}"
+    val (mCensus, mScanBefore) = probe(mPred)
+    val (boxCensus, _) = probe(boxPred)
+    def fullCensus(): (Long, Long, Long) = {
+      val r = s.sql("SELECT count(*) AS n, sum(k) AS kk, sum(cents) AS cc FROM graft_mfst.db.q447t").collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val before = fullCensus()
+    val tdir = s"${graft.sources.ManifestCatalog.defaultWarehouse}/db/q447t"
+    val log = graft.sources.DurableManifestLog.open(tdir)
+    val preVersion = log.head()
+    val schema = s.table("graft_mfst.db.q447t").schema
+    val (removed, added) =
+      graft.sources.ManifestMaintenance.zorder(tdir, log, schema, Some("k"), "k", "m", targetFiles = 8)
+    val (mCensus2, mScanAfter) = probe(mPred)
+    val (boxCensus2, boxScanAfter) = probe(boxPred)
+    val after = fullCensus()
+    val tt = s
+      .sql(s"SELECT count(*) AS n, sum(k) AS kk, sum(cents) AS cc FROM graft_mfst.db.q447t VERSION AS OF $preVersion")
+      .collect()(0)
+    // the zorder commit is feed-INVISIBLE (dataChange = false)
+    val feedSilent =
+      if (
+        s.read
+          .table("graft_mfst.db.q447t.changes")
+          .filter(col("_commit_version") === (preVersion + 1L))
+          .count() == 0L
+      ) 1L
+      else 0L
+    val mPruned =
+      if (mScanAfter < mScanBefore && mCensus2 == mCensus && removed.size == 8 && added.nonEmpty) 1L else 0L
+    val boxPruned = if (boxScanAfter <= mScanAfter && boxCensus2 == boxCensus) 1L else 0L
+    val eqAcross =
+      if (after == before && (tt.getLong(0), tt.getLong(1), tt.getLong(2)) == before && feedSilent == 1L) 1L
+      else 0L
+    Seq(
+      ("1_m_range", mCensus._1, mCensus._2, mCensus._3, mPruned),
+      ("2_box", boxCensus._1, boxCensus._2, boxCensus._3, boxPruned),
+      ("3_full_across_rewrite", before._1, before._2, before._3, eqAcross)
+    ).toDF("probe", "n_rows", "key_checksum", "cents_checksum", "ok").orderBy("probe")
+  }
 }

@@ -1232,6 +1232,115 @@ object ManifestMaintenance {
     orphans
   }
 
+  /** OPTIMIZE ZORDER BY (colA, colB) — the multi-dimensional
+    * clustering rewrite (Delta's ZORDER, q397's Hilbert advisor now
+    * ENACTED as a catalog maintenance verb): every live row is
+    * re-laid-out along a Hilbert space-filling curve over the two
+    * columns' grid coordinates, range-partitioned into `targetFiles`
+    * curve segments and published as ONE strict OCC commit with
+    * footer-derived per-column stats — after which a predicate on
+    * EITHER dimension (or a 2-D box) prunes files by the recorded
+    * zones, not just the insertion-order column. Grid bounds come
+    * from the LOG's per-column zones (metadata, no pre-scan); the
+    * Hilbert index is [[graft.operators.SpaceFill]]'s shared SQL
+    * text, so the layout arithmetic is oracle-replayable. The commit
+    * is STRICT with no recompute (the rewrite is derived from the
+    * version it read; an intervener means stale bytes — abort
+    * loudly, the row-level posture). Unpartitioned tables only (a
+    * partitioned table z-orders within partitions via compact's
+    * scoping; cross-partition curves would break the hive layout).
+    * Scale shape: one read→shuffle→write pass over the table — the
+    * cost OPTIMIZE ZORDER always pays — with the shuffle keyed by
+    * curve position (range partition ≈ equal-size curve segments).
+    */
+  def zorder(
+      dir: String,
+      log: DurableManifestLog,
+      schema: org.apache.spark.sql.types.StructType,
+      clusterKey: Option[String],
+      colA: String,
+      colB: String,
+      targetFiles: Int = 8,
+      order: Int = 6
+  ): (Seq[ManifestLog.FileRef], Seq[ManifestLog.FileRef]) = {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    require(targetFiles >= 1 && order >= 2 && order <= 15, "zorder: bad targetFiles/order")
+    val spark = org.apache.spark.sql.graft.manifestGlue.activeSession
+    val head = log.head()
+    val live = log.liveFiles(head).toSeq.sortBy(r => (r.dir, r.file))
+    require(live.nonEmpty, "zorder: empty table")
+    require(!live.exists(_.dir.contains("=")), "zorder: unpartitioned manifest tables only")
+    // in-force DVs would resurrect through a raw rewrite — absorb
+    // them exactly as compact does (request-sized driver read)
+    val dvOrds = graft.streaming.CdfStream.dvOrdinals(
+      log.dvFiles(head).toSeq.sortBy(r => (r.dir, r.file)).map(r => s"$dir/${r.dir}/${r.file}"))
+    // grid bounds from the log's per-column zones — metadata only
+    val stats = log.liveStats(head)
+    def bounds(c: String): (Long, Long) = {
+      val zs = live.map(r =>
+        stats.get(r).flatMap(_.cols.get(c)).getOrElse(
+          sys.error(s"zorder: file ${r.dir}/${r.file} has no recorded zone for '$c' — stats required")))
+      (zs.map(_.min).min, zs.map(_.max).max)
+    }
+    val (aMin, aMax) = bounds(colA)
+    val (bMin, bMax) = bounds(colB)
+    val n = 1 << order
+    val physSchema = ColumnMapping.physicalSchema(schema)
+    val raw = spark.read.schema(physSchema).parquet(live.map(r => s"$dir/${r.dir}/${r.file}"): _*)
+    val tombs: Seq[(String, Long)] =
+      live.flatMap(r => dvOrds.getOrElse((r.dir, r.file), Array.empty[Long]).map(ri => (r.file, ri)))
+    val cleaned =
+      if (tombs.isEmpty) raw
+      else {
+        import spark.implicits._
+        val t = tombs.toDF("__f", "__ri")
+        raw
+          .select(col("*"), col("_metadata.file_name").as("__f"), col("_metadata.row_index").as("__ri"))
+          .join(org.apache.spark.sql.functions.broadcast(t), Seq("__f", "__ri"), "left_anti")
+          .drop("__f", "__ri")
+      }
+    // grid coordinates (integer arithmetic, clamped) + the unrolled
+    // Hilbert walk — SpaceFill's shared SQL text
+    def gridExpr(c: String, lo: Long, hi: Long): String =
+      s"least(CAST((($c - $lo) * $n) DIV ${hi - lo + 1} AS BIGINT), ${n - 1})"
+    var base = cleaned
+      .withColumn("x0", expr(gridExpr(colA, aMin, aMax)))
+      .withColumn("y0", expr(gridExpr(colB, bMin, bMax)))
+      .withColumn("__h", lit(0L))
+    graft.operators.SpaceFill.levels(order).zipWithIndex.foreach { case (sv, k) =>
+      val (nx, ny, dt) = graft.operators.SpaceFill.hilbertStep(sv, s"x$k", s"y$k")
+      base = base
+        .withColumn(s"x${k + 1}", expr(nx))
+        .withColumn(s"y${k + 1}", expr(ny))
+        .withColumn("__h", col("__h") + expr(dt))
+    }
+    val staging = s".zord-${java.util.UUID.randomUUID().toString.take(12)}"
+    base
+      .repartitionByRange(targetFiles, col("__h"))
+      .sortWithinPartitions("__h")
+      .select(physSchema.fieldNames.map(col): _*)
+      .write
+      .parquet(s"$dir/$staging")
+    val outDir = s"z-${java.util.UUID.randomUUID().toString.take(12)}"
+    GraftFs.mkdirs(s"$dir/$outDir")
+    val outRefs = GraftFs.listDataFiles(s"$dir/$staging").map { f =>
+      require(GraftFs.rename(s"$dir/$staging/$f", s"$dir/$outDir/$f"), s"zorder publish failed: $f")
+      ManifestLog.FileRef(outDir, f)
+    }
+    GraftFs.deleteRecursive(s"$dir/$staging")
+    val l2p = ColumnMapping.logicalToPhysical(schema)
+    val outStats = ManifestWrites.footerStats(dir, outRefs, clusterKey.map(k => l2p.getOrElse(k, k)))
+    log.tryCommit(
+      "main", head, "zorder", add = outRefs, remove = live, stats = outStats, maxAttempts = 1, strict = true
+    ) match {
+      case ManifestLog.Committed(_, _) => (live, outRefs)
+      case other =>
+        throw new java.util.ConcurrentModificationException(
+          s"OPTIMIZE ZORDER aborted — the table moved while rewriting (stale bytes): $other"
+        )
+    }
+  }
+
   /** OPTIMIZE — small-file compaction on a durable manifest table
     * (q420's log-planned compaction as a catalog maintenance verb):
     * groups are planned FROM THE LOG (files zone-ordered by their

@@ -305,8 +305,8 @@ final class CdfScan(
     if (c.cdc.nonEmpty) {
       // writer-produced change rows: authoritative for the commit
       c.cdc.map(r => CdfPartition(path(r), c.version, "", changeTypeFromFile = true, Array.empty, tableSchema))
-    } else if (c.op == "compact") {
-      Seq.empty
+    } else if (c.op == "compact" || c.op == "zorder") {
+      Seq.empty // dataChange = false: bytes rearranged, logical table unchanged
     } else if (wholeFileRemove.contains(c.op)) {
       // rows an in-force DV already tombstoned were served as deletes
       // by the DV commit — exclude them from the removed files'
