@@ -666,6 +666,58 @@ class ManifestCatalogSpec extends SparkSpec {
     assert(spark.table("graft_mfst.db.mwapg1").count() === 2L)
   }
 
+  test("OPTIMIZE ZORDER absorbs in-force deletion vectors — tombstoned rows never resurrect through the rewrite") {
+    useCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_mfst.db.mzord1")
+    spark.sql("CREATE TABLE graft_mfst.db.mzord1 (k BIGINT, m BIGINT) TBLPROPERTIES ('cluster_key'='k')")
+    (0 until 4).foreach { i =>
+      spark.sql(
+        s"INSERT INTO graft_mfst.db.mzord1 SELECT /*+ COALESCE(1) */ id, (id * 37) % 1000 " +
+          s"FROM range(${i * 100}, ${i * 100 + 100})"
+      )
+    }
+    val tdir = s"${ManifestCatalog.defaultWarehouse}/db/mzord1"
+    val log = DurableManifestLog.open(tdir)
+    // DV-delete k % 10 = 3 (driver-staged tombstones, the q424 shape)
+    val live = log.liveFiles(log.head()).toSeq.sortBy(r => (r.dir, r.file))
+    spark.read
+      .parquet(live.map(r => s"$tdir/${r.dir}/${r.file}"): _*)
+      .select(
+        org.apache.spark.sql.functions.col("k"),
+        org.apache.spark.sql.functions.regexp_extract(
+          org.apache.spark.sql.functions.col("_metadata.file_path"), "([^/]+)/[^/]+$", 1).as("d"),
+        org.apache.spark.sql.functions.col("_metadata.file_name").as("f"),
+        org.apache.spark.sql.functions.col("_metadata.row_index").as("ri"))
+      .filter(org.apache.spark.sql.functions.col("k") % 10 === 3)
+      .select("d", "f", "ri")
+      .coalesce(1)
+      .write
+      .parquet(s"$tdir/dvz")
+    val dvRefs = GraftFs.listDataFiles(s"$tdir/dvz").map(f => ManifestLog.FileRef("dvz", f))
+    assert(log.tryCommit("main", log.head(), "delete_dv", dvAdd = dvRefs).isInstanceOf[ManifestLog.Committed])
+    // the plain scan refuses while tombstones target live files
+    assertThrows[Exception](spark.table("graft_mfst.db.mzord1").count())
+    // schema resolution alone doesn't plan the scan — no DV refusal
+    val schema = spark.table("graft_mfst.db.mzord1").schema
+    val (removed, added) =
+      ManifestMaintenance.zorder(tdir, log, schema, Some("k"), "k", "m", targetFiles = 4)
+    assert(removed.size === 4 && added.nonEmpty)
+    // absorbed: the deleted cohort is GONE, everything else intact
+    val got = spark.table("graft_mfst.db.mzord1")
+    assert(got.count() === 400L - 40L)
+    assert(got.filter(org.apache.spark.sql.functions.col("k") % 10 === 3).count() === 0L)
+    assert(
+      got.agg(org.apache.spark.sql.functions.sum("k")).collect()(0).getLong(0)
+        === (0L until 400L).filterNot(_ % 10 == 3).sum
+    )
+    // a second racer that planned at the PRE-zorder head aborts loudly
+    val stale = ManifestLog.FileRef(removed.head.dir, removed.head.file)
+    log.tryCommit("main", log.head() - 1L, "compact", add = Seq(ManifestLog.FileRef("x", "x.parquet")), remove = Seq(stale)) match {
+      case ManifestLog.Conflicted(overlap, _) => assert(overlap.nonEmpty)
+      case other                              => fail(s"stale rewrite must abort, got $other")
+    }
+  }
+
   test("overwrite-class commits recompute their remove set per attempt and land STRICT — no lost update") {
     // the log-level shape of INSERT OVERWRITE / metadata DELETE /
     // TRUNCATE: a concurrent append lands between the head-read and
