@@ -6321,6 +6321,48 @@ object Oracles {
         |UNION ALL SELECT '2_box', bx.n, bx.kk, bx.cc, 1 FROM bx
         |UNION ALL SELECT '3_full_across_rewrite', fl.n, fl.kk, fl.cc, 1 FROM fl
         |ORDER BY probe""".stripMargin,
+    // the DPP join census (fact rows whose partition the dim's tag
+    // filter selects — p ∈ {2, 5}) and the full census; the planted
+    // runtime filter and the post-runtime file census are earned
+    // in-engine off the executed plan
+    "q448_runtime_pruning" ->
+      """WITH f AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    o_orderkey % 8 AS p FROM orders),
+        |j AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS cc
+        |  FROM f WHERE p IN (2, 5)),
+        |fl AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS cc FROM f)
+        |SELECT '1_dpp_join' AS probe, j.n AS n_rows, j.cc AS cents_checksum,
+        |  CAST(1 AS BIGINT) AS ok FROM j
+        |UNION ALL SELECT '2_full', fl.n, fl.cc, 1 FROM fl
+        |ORDER BY probe""".stripMargin,
+    // enforced phase: the corpus census unchanged across two refused
+    // writes (the violating INSERT and the impossible ALTER — both
+    // earned in-engine with the head version pinned); after DROP
+    // CONSTRAINT the (0, -1) row lands
+    "q449_check_constraints" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |base AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS cc FROM o)
+        |SELECT '1_enforced' AS probe, base.n AS n_rows, base.cc AS cents_checksum,
+        |  CAST(1 AS BIGINT) AS ok FROM base
+        |UNION ALL SELECT '2_after_drop', base.n + 1, base.cc - 1, 1 FROM base
+        |ORDER BY probe""".stripMargin,
+    // the source after deleting even keys; the clone after its own
+    // one-row insert (the full corpus + (0, 7)); the clone's pinned
+    // v1 = the cloned snapshot; zero-copy earned in-engine by the
+    // physical file census under the clone's directory
+    "q450_shallow_clone" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |src AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS cc FROM o WHERE k % 2 <> 0),
+        |cl AS (SELECT count(*) + 1 AS n, CAST(sum(cents) + 7 AS BIGINT) AS cc FROM o),
+        |pin AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS cc FROM o)
+        |SELECT '1_source_after_delete' AS probe, src.n AS n_rows, src.cc AS cents_checksum,
+        |  CAST(1 AS BIGINT) AS ok FROM src
+        |UNION ALL SELECT '2_clone_after_insert', cl.n, cl.cc, 1 FROM cl
+        |UNION ALL SELECT '3_clone_v1_snapshot', pin.n, pin.cc, 1 FROM pin
+        |ORDER BY probe""".stripMargin,
     "q446_cdf_maintenance" ->
       """WITH o AS (SELECT o_orderkey AS k,
         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,

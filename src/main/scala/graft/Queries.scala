@@ -17455,4 +17455,201 @@ object Queries {
       ("3_full_across_rewrite", before._1, before._2, before._3, eqAcross)
     ).toDF("probe", "n_rows", "key_checksum", "cents_checksum", "ok").orderBy("probe")
   }
+
+  // RUNTIME (JOIN-DRIVEN) FILE PRUNING — dynamic partition pruning,
+  // served natively by the manifest scan. The fact table's partition
+  // values cannot prune at PLANNING time here: the only predicate on
+  // the partition column is the join itself, and the matching keys
+  // exist only in the dim's filtered rows. The scan reports its
+  // statted columns through `SupportsRuntimeFiltering.filterAttributes`
+  // (ManifestScanGlue.scala), Spark's own `PartitionPruning` rule
+  // plants a `DynamicPruningExpression` subquery on the join key
+  // (riding the dim's broadcast — no extra job), `BatchScanExec`
+  // evaluates the dim-side key set at EXECUTION and hands it back as
+  // an IN filter, and the scan re-runs the same conservative zone
+  // satisfiability pass — partition values entered the zone map as
+  // exact (v, v) ranges, so 6 of the 8 partitions' files leave the
+  // file index before a single fact byte is read. At 100 TB this is
+  // the difference between scanning a whole fact table and scanning
+  // the two partitions a dim filter actually selects; any statted
+  // NON-partition column gets the same join-driven skipping for
+  // free. Both probes are earned off the EXECUTED plan: the planted
+  // runtime filter, the post-runtime file census (strictly smaller
+  // than the table's file count, exactly the matching partitions'
+  // files), and the join census itself oracle-pinned.
+  def manifestRuntimePruning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft_mfst", classOf[graft.sources.ManifestCatalog].getName)
+    s.sql("DROP TABLE IF EXISTS graft_mfst.db.q448f")
+    s.sql("DROP TABLE IF EXISTS graft_mfst.db.q448d")
+    s.sql("CREATE TABLE graft_mfst.db.q448f (k BIGINT, cents BIGINT, p BIGINT) PARTITIONED BY (p)")
+    s.sql("CREATE TABLE graft_mfst.db.q448d (p BIGINT, tag BIGINT)")
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+        (col("o_orderkey") % 8).as("p")
+      )
+      .createOrReplaceTempView("q448_fsrc")
+    s.sql("INSERT INTO graft_mfst.db.q448f SELECT k, cents, p FROM q448_fsrc")
+    // the dim covers every partition; only the tag filter makes p ∈
+    // {2, 5} — planning-time pruning has nothing to hold on to
+    (0L until 8L).map(p => (p, p % 3)).toDF("p", "tag").createOrReplaceTempView("q448_dsrc")
+    s.sql("INSERT INTO graft_mfst.db.q448d SELECT p, tag FROM q448_dsrc")
+    def factScans(df: DataFrame): Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = {
+      def unwrap(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec        => unwrap(q.plan)
+          case other => other.children.flatMap(unwrap) :+ other
+        }
+      unwrap(df.queryExecution.executedPlan).collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.schema.fieldNames.contains("cents") =>
+          b
+      }
+    }
+    val fullDf = s.sql("SELECT count(*) AS n FROM graft_mfst.db.q448f")
+    fullDf.collect()
+    val filesTotal = org.apache.spark.sql.graft.manifestGlue
+      .scanInputFiles(fullDf.queryExecution.executedPlan)
+      .distinct
+      .size
+    val joinDf = s.sql(
+      "SELECT count(*) AS n, sum(f.cents) AS cc FROM graft_mfst.db.q448f f " +
+        "JOIN graft_mfst.db.q448d d ON f.p = d.p WHERE d.tag = 2"
+    )
+    val r = joinDf.collect()(0)
+    val scans = factScans(joinDf)
+    val dppPlanted = if (scans.exists(_.runtimeFilters.nonEmpty)) 1L else 0L
+    val factFiles = scans
+      .flatMap(b => org.apache.spark.sql.graft.manifestGlue.scanInputFiles(b))
+      .distinct
+    val matchFiles = factFiles.forall(f => f.contains("p=2") || f.contains("p=5"))
+    val runtimePruned =
+      if (dppPlanted == 1L && factFiles.nonEmpty && factFiles.size < filesTotal && matchFiles) 1L
+      else 0L
+    val full = s.sql("SELECT count(*) AS n, sum(cents) AS cc FROM graft_mfst.db.q448f").collect()(0)
+    Seq(
+      ("1_dpp_join", r.getLong(0), r.getLong(1), runtimePruned),
+      ("2_full", full.getLong(0), full.getLong(1), 1L)
+    ).toDF("probe", "n_rows", "cents_checksum", "ok").orderBy("probe")
+  }
+
+  // CHECK CONSTRAINTS — write-time data contracts on the durable
+  // catalog, as VERSIONED metadata: the constraint rides the same
+  // schemaJson commit channel as evolution (TableMetaJson envelope),
+  // so it versions, time-travels, and survives checkpoint squash.
+  // Enforcement is Spark's own: the table serves `constraints()`
+  // back through DSv2, `ResolveTableConstraints` plants a
+  // `CheckInvariant` row check on every INSERT (the V1 partitioned
+  // path plants the identical expression itself), and ADD CONSTRAINT
+  // validates EXISTING rows with a real scan before the metadata
+  // commits (AddCheckConstraintExec). The fixture drives the full
+  // lifecycle: a conforming corpus accepts the constraint; a
+  // violating INSERT refuses WITHOUT publishing a commit (head
+  // version pinned across the refusal); an ALTER whose predicate the
+  // existing data violates refuses; DROP CONSTRAINT lifts
+  // enforcement and the formerly-refused row lands. At 100 TB the
+  // economics are the point: validation is one pushed-down scan paid
+  // at ALTER time, enforcement is a codegen'd per-row predicate on
+  // the write path — never a read-back audit.
+  def manifestCheckConstraints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft_mfst", classOf[graft.sources.ManifestCatalog].getName)
+    s.sql("DROP TABLE IF EXISTS graft_mfst.db.q449t")
+    s.sql("CREATE TABLE graft_mfst.db.q449t (k BIGINT, cents BIGINT) TBLPROPERTIES ('cluster_key'='k')")
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents")
+      )
+      .createOrReplaceTempView("q449_src")
+    s.sql("INSERT INTO graft_mfst.db.q449t SELECT k, cents FROM q449_src") // v1
+    // existing rows all conform (prices are positive): the ALTER's
+    // validation scan passes and the constraint commits as v2
+    s.sql("ALTER TABLE graft_mfst.db.q449t ADD CONSTRAINT cents_pos CHECK (cents > 0)")
+    val tdir = s"${graft.sources.ManifestCatalog.defaultWarehouse}/db/q449t"
+    val headBefore = graft.sources.DurableManifestLog.open(tdir).head()
+    val violationRefused =
+      try { s.sql("INSERT INTO graft_mfst.db.q449t VALUES (0, -1)"); 0L }
+      catch { case _: Exception => 1L }
+    // the refused write published NOTHING: same head, same census
+    val noGhostCommit =
+      if (graft.sources.DurableManifestLog.open(tdir).head() == headBefore) 1L else 0L
+    // an ALTER the existing data violates refuses at validation
+    val invalidAlterRefused =
+      try { s.sql("ALTER TABLE graft_mfst.db.q449t ADD CONSTRAINT impossible CHECK (cents < 0)"); 0L }
+      catch { case _: Exception => 1L }
+    val afterRefusals = s
+      .sql("SELECT count(*) AS n, sum(cents) AS cc FROM graft_mfst.db.q449t")
+      .collect()(0)
+    // DROP lifts enforcement: the same row now lands
+    s.sql("ALTER TABLE graft_mfst.db.q449t DROP CONSTRAINT cents_pos")
+    s.sql("INSERT INTO graft_mfst.db.q449t VALUES (0, -1)")
+    val afterDrop = s
+      .sql("SELECT count(*) AS n, sum(cents) AS cc FROM graft_mfst.db.q449t")
+      .collect()(0)
+    Seq(
+      ("1_enforced", afterRefusals.getLong(0), afterRefusals.getLong(1),
+        violationRefused * noGhostCommit * invalidAlterRefused),
+      ("2_after_drop", afterDrop.getLong(0), afterDrop.getLong(1), 1L)
+    ).toDF("probe", "n_rows", "cents_checksum", "ok").orderBy("probe")
+  }
+
+  // SHALLOW CLONE — the zero-copy table fork
+  // (ManifestMaintenance.shallowClone, Delta's CREATE TABLE ...
+  // SHALLOW CLONE): the clone's genesis commit references the source
+  // version's live files BY RELATIVE PATH with their stats copied,
+  // so it costs ONE metadata commit — no read, no write, no shuffle
+  // — and zone pruning works on it immediately. From there the logs
+  // diverge: a DELETE on the source and an INSERT on the clone leave
+  // each other's censuses untouched, and the clone's v1 time-travels
+  // to the cloned snapshot forever. The zero-copy claim is EARNED:
+  // the fixture counts physical data files under the clone's
+  // directory (zero at clone time, exactly one after its own
+  // insert). At 100 TB this is a dev/experiment branch of a
+  // production corpus for the price of a commit record.
+  def manifestShallowClone(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft_mfst", classOf[graft.sources.ManifestCatalog].getName)
+    s.sql("DROP TABLE IF EXISTS graft_mfst.db.q450s")
+    s.sql("DROP TABLE IF EXISTS graft_mfst.db.q450c")
+    s.sql("CREATE TABLE graft_mfst.db.q450s (k BIGINT, cents BIGINT) TBLPROPERTIES ('cluster_key'='k')")
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents")
+      )
+      .createOrReplaceTempView("q450_src")
+    s.sql("INSERT INTO graft_mfst.db.q450s SELECT k, cents FROM q450_src")
+    val wh = graft.sources.ManifestCatalog.defaultWarehouse
+    graft.sources.ManifestMaintenance.shallowClone(s"$wh/db/q450s", s"$wh/db/q450c")
+    // zero-copy, earned: no data file lives under the clone
+    val cloneFilesAtClone = graft.sources.GraftFs
+      .listDirs(s"$wh/db/q450c")
+      .filterNot(_ == "_log")
+      .map(d => graft.sources.GraftFs.listDataFiles(s"$wh/db/q450c/$d").size)
+      .sum
+    // diverge: delete the even keys from the SOURCE, add a row to the
+    // CLONE — each census must reflect only its own mutation
+    s.sql("DELETE FROM graft_mfst.db.q450s WHERE k % 2 = 0")
+    s.sql("INSERT INTO graft_mfst.db.q450c VALUES (0, 7)")
+    val src = s.sql("SELECT count(*) AS n, sum(cents) AS cc FROM graft_mfst.db.q450s").collect()(0)
+    val clone = s.sql("SELECT count(*) AS n, sum(cents) AS cc FROM graft_mfst.db.q450c").collect()(0)
+    val pinned = s
+      .sql("SELECT count(*) AS n, sum(cents) AS cc FROM graft_mfst.db.q450c VERSION AS OF 1")
+      .collect()(0)
+    val cloneFilesAfter = graft.sources.GraftFs
+      .listDirs(s"$wh/db/q450c")
+      .filterNot(_ == "_log")
+      .map(d => graft.sources.GraftFs.listDataFiles(s"$wh/db/q450c/$d").size)
+      .sum
+    val zeroCopy = if (cloneFilesAtClone == 0 && cloneFilesAfter == 1) 1L else 0L
+    Seq(
+      ("1_source_after_delete", src.getLong(0), src.getLong(1), zeroCopy),
+      ("2_clone_after_insert", clone.getLong(0), clone.getLong(1), zeroCopy),
+      ("3_clone_v1_snapshot", pinned.getLong(0), pinned.getLong(1), 1L)
+    ).toDF("probe", "n_rows", "cents_checksum", "ok").orderBy("probe")
+  }
 }

@@ -62,6 +62,53 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
 
   override def name(): String = catalogName
 
+  // CHECK constraints are first-class (ALTER TABLE ADD/DROP
+  // CONSTRAINT, CREATE TABLE ... CONSTRAINT): without this
+  // capability Spark refuses the syntax at analysis
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
+  /** CREATE TABLE with inline constraints: the default TableInfo
+    * overload delegates to the legacy signature and would SILENTLY
+    * DROP them — here they publish as the fresh table's first
+    * versioned-metadata commit (the same envelope an ALTER writes),
+    * so `constraints()` serves them from version 1 on.
+    */
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    val tbl = createTable(ident, info.schema(), info.partitions(), info.properties())
+    val declared = info.constraints()
+    if (declared.isEmpty) tbl
+    else {
+      val specs = declared.toSeq.map {
+        case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          CheckSpec(
+            chk.name(),
+            Option(chk.predicateSql()).filter(_.nonEmpty).getOrElse(
+              sys.error(s"CHECK constraint '${chk.name()}' carries no predicate SQL")),
+            chk.enforced())
+        case other =>
+          throw new UnsupportedOperationException(
+            s"manifest tables support CHECK constraints only (got ${other.getClass.getSimpleName})")
+      }
+      require(
+        specs.map(_.name.toLowerCase(java.util.Locale.ROOT)).distinct.length == specs.length,
+        "duplicate constraint names")
+      val dir = tableDir(ident)
+      val log = DurableManifestLog.open(dir)
+      log.tryCommit(
+        "main", log.head(), "set_schema",
+        maxAttempts = 1, strict = true,
+        schemaJson = Some(TableMetaJson.encode(
+          // the stored schema (partition normalization, column
+          // mapping) is what readers resolve — re-read it
+          readTableMeta(ident).schema, specs))
+      ) match {
+        case _: Committed => loadTable(ident)
+        case other        => sys.error(s"constraint publication on a FRESH table cannot race: $other")
+      }
+    }
+  }
+
   private def tableDir(ident: Identifier): String =
     (warehouse +: (ident.namespace() :+ ident.name()).toSeq).mkString("/")
 
@@ -126,7 +173,8 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
     val head = log.head()
     new ManifestFileTable(
       s"$catalogName.${ident.name()}", dir, log, head, effectiveSchema(log, head, m.schema),
-      m.clusterKey, m.partitionCol, writable = true, changeFeed = m.changeFeed)
+      m.clusterKey, m.partitionCol, writable = true, changeFeed = m.changeFeed,
+      checks = effectiveConstraints(log, head))
   }
 
   /** The schema in force at `version`: the log's latest schema action
@@ -135,7 +183,15 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
     * falling back to the genesis schema in `_table.json`.
     */
   private def effectiveSchema(log: DurableManifestLog, version: Long, genesis: StructType): StructType =
-    log.schemaAt(version).map(DataType.fromJson(_).asInstanceOf[StructType]).getOrElse(genesis)
+    log.schemaAt(version).map(TableMetaJson.decodeSchema).getOrElse(genesis)
+
+  /** The CHECK constraints in force at `version` — carried in the
+    * same versioned metadata commits as the schema (see
+    * [[TableMetaJson]]); a table that never declared one reads Nil
+    * at zero cost.
+    */
+  private def effectiveConstraints(log: DurableManifestLog, version: Long): Seq[CheckSpec] =
+    log.schemaAt(version).map(TableMetaJson.decodeConstraints).getOrElse(Nil)
 
   /** `VERSION AS OF n` — or `VERSION AS OF 'ref'`: a read-only table
     * pinned to a version number or to a NAMED REF (tag or branch, the
@@ -168,7 +224,7 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
     }
     new ManifestFileTable(
       s"$catalogName.${ident.name()}@v$v", dir, log, v, effectiveSchema(log, v, schema), ck, pc,
-      writable = false)
+      writable = false, checks = effectiveConstraints(log, v))
   }
 
   /** `TIMESTAMP AS OF t` — Spark hands the timestamp in MICROseconds
@@ -193,7 +249,7 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
       }
     new ManifestFileTable(
       s"$catalogName.${ident.name()}@v$v", dir, log, v, effectiveSchema(log, v, schema), ck, pc,
-      writable = false)
+      writable = false, checks = effectiveConstraints(log, v))
   }
 
   override def createTable(
@@ -303,8 +359,34 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
           .chain(head)
           .flatMap(_.schemaJson)
           .map(DataType.fromJson(_).asInstanceOf[StructType])
-      val evolved = changes.foldLeft(current) { (sch, ch) =>
+      val consCurrent = effectiveConstraints(log, head)
+      val (evolved, evolvedCons) = changes.foldLeft((current, consCurrent)) { case ((sch, cons), ch) =>
         ch match {
+          case addc: TableChange.AddConstraint =>
+            addc.constraint() match {
+              case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>
+                require(
+                  !cons.exists(_.name.equalsIgnoreCase(chk.name())),
+                  s"constraint '${chk.name()}' already exists on ${ident.name()}"
+                )
+                val sql = Option(chk.predicateSql()).filter(_.nonEmpty).getOrElse(
+                  sys.error(s"CHECK constraint '${chk.name()}' carries no predicate SQL"))
+                // existing data was validated by Spark's own
+                // AddCheckConstraintExec child scan before this call
+                (sch, cons :+ CheckSpec(chk.name(), sql, chk.enforced()))
+              case other =>
+                throw new UnsupportedOperationException(
+                  s"manifest tables support CHECK constraints only (got ${other.getClass.getSimpleName}: " +
+                    "PRIMARY KEY / FOREIGN KEY / UNIQUE are informational elsewhere and unenforceable here)"
+                )
+            }
+          case dropc: TableChange.DropConstraint =>
+            val exists = cons.exists(_.name.equalsIgnoreCase(dropc.name()))
+            require(
+              exists || dropc.ifExists(),
+              s"no constraint '${dropc.name()}' on ${ident.name()}"
+            )
+            (sch, cons.filterNot(_.name.equalsIgnoreCase(dropc.name())))
           case add: TableChange.AddColumn =>
             require(add.fieldNames().length == 1, "ADD COLUMN supports top-level columns only")
             val name = add.fieldNames()(0)
@@ -321,11 +403,12 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
             // scan-order invariant — a non-last partition column wraps
             // every scan in a reordering Project that breaks the
             // metadata-delete strategy): new columns slot in BEFORE it
-            pc match {
+            val widened = pc match {
               case Some(p) if sch.fieldNames.nonEmpty && sch.fieldNames.last == p =>
                 StructType((sch.fields.init :+ field) :+ sch.fields.last)
               case _ => sch.add(field)
             }
+            (widened, cons)
           case ren: TableChange.RenameColumn =>
             require(
               mapped,
@@ -343,9 +426,13 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
               !ck.contains(from),
               s"'$from' is the cluster key — its name anchors the zone-map contract; rename is refused"
             )
+            require(
+              !cons.exists(c => ManifestCatalog.constraintReferences(c.sql, from)),
+              s"'$from' is referenced by a CHECK constraint — drop the constraint first"
+            )
             // metadata-only: the field keeps its physical name, every
             // existing file keeps serving it
-            StructType(sch.fields.map(f => if (f.name == from) f.copy(name = ren.newName()) else f))
+            (StructType(sch.fields.map(f => if (f.name == from) f.copy(name = ren.newName()) else f)), cons)
           case del: TableChange.DeleteColumn =>
             require(
               mapped,
@@ -360,22 +447,29 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
               s"'$name' is the cluster key — dropping it would orphan the zone-map contract"
             )
             require(sch.length > 1, "cannot drop the last column")
+            require(
+              !cons.exists(c => ManifestCatalog.constraintReferences(c.sql, name)),
+              s"'$name' is referenced by a CHECK constraint — drop the constraint first"
+            )
             // metadata-only: the bytes stay in the files, no scan ever
             // requests this physical column again
-            StructType(sch.fields.filterNot(_.name == name))
+            (StructType(sch.fields.filterNot(_.name == name)), cons)
           case other =>
             throw new UnsupportedOperationException(
-              s"manifest tables evolve by ADD / RENAME / DROP COLUMN only (got ${other.getClass.getSimpleName})"
+              s"manifest tables evolve by ADD / RENAME / DROP COLUMN or ADD / DROP CONSTRAINT only " +
+                s"(got ${other.getClass.getSimpleName})"
             )
         }
       }
       log.tryCommit(
         "main", head, "set_schema",
-        maxAttempts = 1, strict = true, schemaJson = Some(evolved.json)
+        maxAttempts = 1, strict = true,
+        schemaJson = Some(TableMetaJson.encode(evolved, evolvedCons))
       ) match {
         case ManifestLog.Committed(v, _) =>
           return new ManifestFileTable(
-            s"$catalogName.${ident.name()}", dir, log, v, evolved, ck, pc, writable = true)
+            s"$catalogName.${ident.name()}", dir, log, v, evolved, ck, pc, writable = true,
+            checks = evolvedCons)
         case _ => () // head moved: recompute against the refreshed schema
       }
     }
@@ -423,6 +517,39 @@ object ManifestCatalog {
       .map(_.conf.get("spark.graft.wap.branch", "main"))
       .filter(_.nonEmpty)
       .getOrElse("main")
+
+  /** Does the CHECK constraint's SQL reference column `col`? Parsed,
+    * not substring-matched — an ALTER must not be refused because a
+    * string literal happens to contain the column's name.
+    */
+  private[sources] def constraintReferences(sql: String, col: String): Boolean =
+    manifestGlue.activeSession.sessionState.sqlParser
+      .parseExpression(sql)
+      .collect { case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u.name }
+      .exists(_.equalsIgnoreCase(col))
+
+  /** The enforced CHECK constraints of `checks`, compiled to one
+    * row-level [[org.apache.spark.sql.catalyst.expressions.CheckInvariant]]
+    * filter over `data` — evaluates to true on conforming rows and
+    * RAISES (with the constraint's name, SQL, and the offending
+    * row's referenced values) on a violation; the same expression
+    * Spark itself plants on DSv2 writes, reused here for the V1
+    * partitioned write path that bypasses `ResolveTableConstraints`.
+    */
+  private[sources] def enforceChecks(
+      data: org.apache.spark.sql.DataFrame,
+      checks: Seq[CheckSpec]
+  ): org.apache.spark.sql.DataFrame =
+    checks.filter(_.enforced).foldLeft(data) { (df, c) =>
+      val parser = df.sparkSession.sessionState.sqlParser
+      val cond = parser.parseExpression(c.sql)
+      val extractors = cond
+        .collect { case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u.name -> u }
+        .distinctBy(_._1)
+      df.filter(
+        org.apache.spark.sql.graft.bridge.column(
+          org.apache.spark.sql.catalyst.expressions.CheckInvariant(cond, extractors, c.name, c.sql)))
+    }
 
   /** WAP scopes INSERTs only. Every OTHER mutation (row-level rewrite,
     * metadata delete, truncate, ALTER) hardwires `main` — running one
@@ -478,12 +605,35 @@ private[sources] class ManifestFileTable(
     clusterKey: Option[String],
     partitionCol: Option[String],
     writable: Boolean,
-    changeFeed: Boolean = false
+    changeFeed: Boolean = false,
+    checks: Seq[CheckSpec] = Nil
 ) extends Table
     with SupportsRead
     with SupportsWrite
     with SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** The version's CHECK constraints, served back to Spark: the
+    * analyzer's own `ResolveTableConstraints` compiles the ENFORCED
+    * ones into `CheckInvariant` row checks on every DSv2 write
+    * against this table — INSERT enforcement costs nothing here. The
+    * V1 partitioned write path bypasses that rule, so
+    * [[PartitionedManifestWriteBuilder]] plants the same expression
+    * itself ([[ManifestCatalog.enforceChecks]]).
+    */
+  override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    checks.map { c =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(c.name)
+        .predicateSql(c.sql)
+        .enforced(c.enforced)
+        // existing rows were validated by Spark's AddCheckConstraintExec
+        // scan before the ALTER committed (or the table was empty at
+        // CREATE) — VALID is earned, not asserted
+        .validationStatus(
+          org.apache.spark.sql.connector.catalog.constraints.Constraint.ValidationStatus.VALID)
+        .build()
+    }.toArray
 
   /** METADATA-ONLY DELETE (the Delta partition-delete): a DELETE whose
     * condition references ONLY the partition column is file-aligned by
@@ -692,7 +842,7 @@ private[sources] class ManifestFileTable(
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(writable, s"$tableName is a pinned historical version — writes must target the head")
     partitionCol match {
-      case Some(pc) => new PartitionedManifestWriteBuilder(dir, log, clusterKey, pc)
+      case Some(pc) => new PartitionedManifestWriteBuilder(dir, log, clusterKey, pc, checks)
       case None =>
         // under column mapping the staged files carry PHYSICAL names
         // (the log owns the logical namespace); the footer stats key
@@ -744,7 +894,8 @@ private[sources] class PartitionedManifestWriteBuilder(
     dir: String,
     log: DurableManifestLog,
     clusterKey: Option[String],
-    partitionCol: String
+    partitionCol: String,
+    checks: Seq[CheckSpec] = Nil
 ) extends WriteBuilder
     with SupportsTruncate {
   // INSERT OVERWRITE arrives as overwrite-by-truncate ON THE BUILDER
@@ -757,7 +908,10 @@ private[sources] class PartitionedManifestWriteBuilder(
     private val overwriteRequested = truncateRequested
     override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
       new org.apache.spark.sql.sources.InsertableRelation {
-        override def insert(data: org.apache.spark.sql.DataFrame, insertOverwrite: Boolean): Unit = {
+        override def insert(rawData: org.apache.spark.sql.DataFrame, insertOverwrite: Boolean): Unit = {
+          // the V1 path bypasses ResolveTableConstraints — plant the
+          // same CheckInvariant rows Spark plants on DSv2 writes
+          val data = ManifestCatalog.enforceChecks(rawData, checks)
           val overwrite = insertOverwrite || overwriteRequested
           val staging = s".stage-${java.util.UUID.randomUUID().toString.take(12)}"
           data.write
@@ -993,6 +1147,64 @@ private[sources] final case class ManifestTableMeta(
     partitionCol: Option[String],
     changeFeed: Boolean
 )
+
+/** A CHECK constraint as VERSIONED table metadata: the predicate's
+  * SQL text (the Delta `delta.constraints.<name>` convention, made
+  * versioned), plus whether writes must enforce it.
+  */
+private[sources] final case class CheckSpec(name: String, sql: String, enforced: Boolean)
+
+/** Constraints ride the log's existing `schemaJson` channel as an
+  * ENVELOPE — `{"schema": <StructType JSON>, "constraints": [...]}`
+  * — so they version, time-travel, and survive checkpoint squash
+  * exactly like the schema, with ZERO log-format changes: a bare
+  * StructType JSON (every pre-constraints commit, and every commit a
+  * constraint-free table makes) still decodes as schema-only, and a
+  * constraint-free encode emits the bare form byte-identically.
+  */
+private[sources] object TableMetaJson {
+  private def mapper = new ObjectMapper()
+
+  def encode(schema: StructType, constraints: Seq[CheckSpec]): String =
+    if (constraints.isEmpty) schema.json
+    else {
+      val o = mapper.createObjectNode()
+      o.put("schema", schema.json)
+      val arr = o.putArray("constraints")
+      constraints.foreach { c =>
+        val n = arr.addObject()
+        n.put("name", c.name)
+        n.put("sql", c.sql)
+        n.put("enforced", c.enforced)
+        ()
+      }
+      mapper.writeValueAsString(o)
+    }
+
+  // a bare StructType serializes with top-level "type":"struct"; the
+  // envelope's top-level "schema" is a TEXT node — shape, not a
+  // substring probe (a column literally named "constraints" must not
+  // flip the format)
+  private def isEnvelope(json: String): Boolean = {
+    val n = mapper.readTree(json)
+    n.hasNonNull("schema") && n.get("schema").isTextual
+  }
+
+  def decodeSchema(json: String): StructType =
+    if (!isEnvelope(json)) DataType.fromJson(json).asInstanceOf[StructType]
+    else
+      DataType.fromJson(mapper.readTree(json).get("schema").asText()).asInstanceOf[StructType]
+
+  def decodeConstraints(json: String): Seq[CheckSpec] =
+    if (!isEnvelope(json)) Nil
+    else {
+      val n = mapper.readTree(json).get("constraints")
+      (0 until n.size()).map { i =>
+        val c = n.get(i)
+        CheckSpec(c.get("name").asText(), c.get("sql").asText(), c.get("enforced").asBoolean())
+      }
+    }
+}
 
 /** Shared staging machinery for the catalog's write paths. Visible
   * package-wide for [[idempotentAppend]] — the exactly-once batch
@@ -1230,6 +1442,99 @@ object ManifestMaintenance {
     val orphans = unreachable(dir, log, graceMs)
     orphans.foreach(r => GraftFs.delete(s"$dir/${r.dir}/${r.file}"))
     orphans
+  }
+
+  /** SHALLOW CLONE (Delta's `CREATE TABLE tgt SHALLOW CLONE src
+    * [VERSION AS OF n]`): a ZERO-COPY table whose genesis commit
+    * references the source version's live files BY RELATIVE PATH —
+    * no byte of data moves, the commit is metadata-cardinality, and
+    * the copied per-file stats mean zone/partition pruning works on
+    * the clone exactly as on the source. From there the two tables
+    * evolve INDEPENDENTLY: each log is its own truth, so inserts,
+    * deletes, schema changes, and time travel on one never touch the
+    * other (the clone's v1 IS the cloned snapshot). The source
+    * version's schema AND CHECK constraints carry over.
+    *
+    * At 100 TB this is how a dev/test/experiment branch of a
+    * production table costs one commit instead of a copy job.
+    *
+    * The Delta caveat carries over verbatim: VACUUM on the SOURCE
+    * does not know about clone references and can delete files the
+    * clone still serves — vacuum sources only when no clone outlives
+    * the grace window. (VACUUM on the clone is safe by construction:
+    * it only ever lists files physically under the clone's own
+    * directory, and the referenced source files are not.)
+    *
+    * Refuses when the source version has in-force deletion vectors
+    * targeting live files (the clone serves file-complete snapshots;
+    * OPTIMIZE the source first — the read path's own guard).
+    */
+  def shallowClone(srcDir: String, tgtDir: String, version: Option[Long] = None): Long = {
+    val mapper = new ObjectMapper()
+    val srcMetaPath = s"$srcDir/_table.json"
+    require(GraftFs.exists(srcMetaPath), s"no manifest table at $srcDir")
+    val srcMeta = mapper.readTree(GraftFs.readBytes(srcMetaPath))
+    // a partitioned table's scan recovers the partition column via
+    // Spark's basePath hive-layout discovery, which requires every
+    // leaf file be UNDER the table root — a clone's references are
+    // not. Until the partitioned scan serves partition values as
+    // plan-time constants (the CdfTable mechanism), refuse loudly
+    // rather than produce a clone whose reads fail downstream.
+    require(
+      !srcMeta.hasNonNull("partitionCol"),
+      s"shallow clone of a PARTITIONED table is not supported (source $srcDir partitions by " +
+        s"'${if (srcMeta.hasNonNull("partitionCol")) srcMeta.get("partitionCol").asText() else ""}')"
+    )
+    val srcLog = DurableManifestLog.open(srcDir)
+    val v = version.getOrElse(srcLog.head())
+    srcLog.chain(v) // refuses on an expired / never-published version
+    val live = srcLog.liveFiles(v).toSeq.sortBy(r => (r.dir, r.file))
+    val dvs = srcLog.dvFiles(v)
+    if (dvs.nonEmpty) {
+      val targets = graft.streaming.CdfStream
+        .dvTargets(dvs.toSeq.map(r => s"$srcDir/${r.dir}/${r.file}"))
+      val liveTargets = targets.intersect(live.map(r => (r.dir, r.file)).toSet)
+      require(
+        liveTargets.isEmpty,
+        s"source version $v has deletion vector(s) targeting live file(s) " +
+          s"${liveTargets.mkString(", ")} — a shallow clone serves file-complete snapshots; " +
+          "OPTIMIZE the source first"
+      )
+    }
+    // the genesis schema (and constraints) of the clone = the source's
+    // EFFECTIVE metadata at the cloned version
+    val genesisSchemaJson = srcLog.schemaAt(v).getOrElse(srcMeta.get("schema").asText())
+    val rel = java.nio.file.Paths.get(tgtDir).relativize(java.nio.file.Paths.get(srcDir)).toString
+    val stats = srcLog.liveStats(v)
+    val refs = live.map(r => FileRef(s"$rel/${r.dir}", r.file))
+    val relStats: Map[FileRef, FileStats] = live.flatMap { r =>
+      stats.get(r).map(st => FileRef(s"$rel/${r.dir}", r.file) -> st)
+    }.toMap
+    val meta = mapper.createObjectNode()
+    meta.put("schema", TableMetaJson.decodeSchema(genesisSchemaJson).json)
+    if (srcMeta.hasNonNull("clusterKey")) meta.put("clusterKey", srcMeta.get("clusterKey").asText())
+    if (srcMeta.hasNonNull("partitionCol")) meta.put("partitionCol", srcMeta.get("partitionCol").asText())
+    if (srcMeta.hasNonNull("changeFeed") && srcMeta.get("changeFeed").asBoolean())
+      meta.put("changeFeed", true)
+    GraftFs.mkdirs(tgtDir)
+    require(
+      GraftFs.createExclusive(s"$tgtDir/_table.json", mapper.writeValueAsBytes(meta)),
+      s"a table already exists at $tgtDir"
+    )
+    val tgtLog = DurableManifestLog.open(tgtDir)
+    // constraints (and any evolved-past-genesis schema) publish as the
+    // clone's own first metadata action, exactly like an ALTER would
+    val cons = TableMetaJson.decodeConstraints(genesisSchemaJson)
+    val schemaAction =
+      if (cons.isEmpty) None
+      else Some(TableMetaJson.encode(TableMetaJson.decodeSchema(genesisSchemaJson), cons))
+    tgtLog.tryCommit(
+      "main", 0L, "clone", add = refs, stats = relStats,
+      maxAttempts = 1, strict = true, schemaJson = schemaAction
+    ) match {
+      case Committed(cv, _) => cv
+      case other            => sys.error(s"clone genesis commit on a FRESH table cannot race: $other")
+    }
   }
 
   /** OPTIMIZE ZORDER BY (colA, colB) — the multi-dimensional

@@ -170,13 +170,16 @@ final class ManifestScanBuilder(
       StructType(s.fields.map(f => f.copy(name = p2l.getOrElse(f.name, f.name))))
     }
 
-  override def build(): Scan = {
-    val kept = keptEntries
+  /** The delegated parquet scan over exactly `entries` — called once
+    * at build and again by [[StatsReportingScan.filter]] after
+    * runtime (join-driven) pruning shrinks the file set.
+    */
+  private[graft] def buildInner(entries: Seq[ManifestScanBuilder.FileEntry]): Scan = {
     val tbl = ParquetTable(
       "graft-manifest",
       spark,
       options,
-      kept.map(_.path),
+      entries.map(_.path),
       Some(toPhysical(schema)),
       classOf[ParquetFileFormat]
     )
@@ -193,25 +196,33 @@ final class ManifestScanBuilder(
         })
     sb.pushFilters(physFilters)
     sb.pruneColumns(toPhysical(required))
-    val inner = sb.build()
-    // EXACT post-pruning statistics from the commit records (the r13
-    // verdict's top ask): row counts and byte sizes were recorded at
-    // WRITE time ([[graft.sources.ManifestLog.FileStats]]), so the
-    // numbers Catalyst's join planning sees are the surviving files'
-    // true totals — a fact⋈dim join over two manifest tables picks
-    // BroadcastHashJoin on its own, no hint, no SizeGate. Rows are
-    // reported only when EVERY kept file recorded them (a partial sum
-    // would understate); bytes fall back to one getFileStatus for
-    // pre-bytes commit records. The delegated ParquetScan would have
-    // reported listing-size-only estimates; this replaces them with
-    // the log's exact arithmetic.
-    val rows: Option[Long] =
-      if (kept.forall(_.rows.isDefined)) Some(kept.iterator.flatMap(_.rows).sum) else None
-    val bytes = kept.iterator.map(e => e.bytes.getOrElse(graft.sources.GraftFs.fileLength(e.path))).sum
-    // report the LOGICAL readSchema (rows are positional — the rename
-    // back out of the physical namespace is free)
-    StatsReportingScan(inner, rows, bytes, toLogical(inner.readSchema()))
+    sb.build()
   }
+
+  private[graft] def satisfiableEntry(f: sources.Filter, e: ManifestScanBuilder.FileEntry): Boolean =
+    satisfiable(f, e.zones)
+
+  /** Columns a runtime (DPP-style) filter can prune on: any column
+    * with a recorded zone — the partition column enters as an exact
+    * zone, so join-driven partition pruning is the degenerate case.
+    * Restricted to the scan's REQUIRED (post-pruning) columns:
+    * Catalyst's `PartitionPruning` resolves every reported attribute
+    * against the scan's output and fails hard on a pruned-away one.
+    * Empty when pushdown is disabled (a row-level operation's scan
+    * must serve every current row).
+    */
+  def runtimeFilterAttributes: Array[
+    org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (!pushdownEnabled) Array.empty
+    else {
+      val visible = required.fieldNames.toSet
+      stattedColumns.filter(visible).toArray.sorted.map(
+        org.apache.spark.sql.connector.expressions.Expressions.column)
+    }
+
+  private[graft] def toLogicalSchema(s: StructType): StructType = toLogical(s)
+
+  override def build(): Scan = new StatsReportingScan(this, keptEntries)
 }
 
 object ManifestScanBuilder {
@@ -234,33 +245,83 @@ object ManifestScanBuilder {
   * [[org.apache.spark.sql.connector.read.SupportsReportStatistics]] —
   * what makes Spark's own broadcast-vs-shuffle decision work on
   * manifest tables with no hints (`sizeInBytes` ≤ threshold ⇒
-  * BroadcastHashJoin). Everything else delegates to the inner
-  * [[FileScan]], including columnar support and custom metrics.
+  * BroadcastHashJoin) — and runtime (join-driven) file pruning
+  * through [[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]]:
+  * Catalyst's own `PartitionPruning` rule plants a
+  * `DynamicPruningExpression` subquery on the join key when it
+  * appears in [[filterAttributes]], `BatchScanExec` evaluates the
+  * dim side's key set at execution and calls [[filter]], and the
+  * scan re-runs the SAME conservative zone satisfiability over the
+  * already-planning-pruned entries — the partition column's exact
+  * zone makes this classic DPP; any other statted column gets
+  * join-driven zone skipping for free. Over-read is possible, a
+  * wrong answer is not (every predicate remains a residual). Stats
+  * and the file index always describe the CURRENT entry set.
+  * Everything else delegates to the inner [[FileScan]], including
+  * columnar support and custom metrics.
+  *
+  * Reference equality only: the inner scan is swapped by runtime
+  * filtering mid-execution, so value equality (exchange-reuse
+  * dedup) would compare snapshots that later diverge.
   */
-final case class StatsReportingScan(
-    inner: Scan,
-    rowCount: Option[Long],
-    sizeBytes: Long,
-    // the LOGICAL read schema — under column mapping the inner scan's
-    // readSchema carries the files' physical names; rows are
-    // positional, so reporting logical names costs nothing
-    reportSchema: StructType
+final class StatsReportingScan private[graft] (
+    builder: ManifestScanBuilder,
+    initial: Seq[ManifestScanBuilder.FileEntry]
 ) extends Scan
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
-  override def readSchema(): StructType = reportSchema
-  override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
-  override def description(): String = inner.description()
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  @volatile private var entries: Seq[ManifestScanBuilder.FileEntry] = initial
+  @volatile private var innerScan: Scan = builder.buildInner(initial)
+
+  /** The current delegated parquet scan (post any runtime pruning) —
+    * exposed for plan introspection (`manifestGlue.scanInputFiles`).
+    */
+  def inner: Scan = innerScan
+
+  /** The current entry count — a probe can compare it to the
+    * planning-time count to prove runtime pruning fired.
+    */
+  def currentFileCount: Int = entries.length
+
+  override def readSchema(): StructType = builder.toLogicalSchema(innerScan.readSchema())
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = innerScan.toBatch
+  override def description(): String = innerScan.description()
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
-    inner.supportedCustomMetrics()
+    innerScan.supportedCustomMetrics()
   override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
-    inner.reportDriverMetrics()
-  override def columnarSupportMode(): Scan.ColumnarSupportMode = inner.columnarSupportMode()
-  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
-    new org.apache.spark.sql.connector.read.Statistics {
-      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(sizeBytes)
-      override def numRows(): java.util.OptionalLong =
-        rowCount.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+    innerScan.reportDriverMetrics()
+  override def columnarSupportMode(): Scan.ColumnarSupportMode = innerScan.columnarSupportMode()
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    builder.runtimeFilterAttributes
+
+  override def filter(filters: Array[sources.Filter]): Unit = {
+    val kept = entries.filter(e => filters.forall(f => builder.satisfiableEntry(f, e)))
+    if (kept.length < entries.length) {
+      entries = kept
+      innerScan = builder.buildInner(kept)
     }
+  }
+
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    // EXACT statistics from the commit records (the r13 verdict's top
+    // ask): row counts and byte sizes were recorded at WRITE time
+    // ([[graft.sources.ManifestLog.FileStats]]), so the numbers
+    // Catalyst's join planning sees are the surviving files' true
+    // totals. Rows are reported only when EVERY kept file recorded
+    // them (a partial sum would understate); bytes fall back to one
+    // getFileStatus for pre-bytes commit records.
+    val es = entries
+    val rows: Option[Long] =
+      if (es.forall(_.rows.isDefined)) Some(es.iterator.flatMap(_.rows).sum) else None
+    val bytes = es.iterator.map(e => e.bytes.getOrElse(graft.sources.GraftFs.fileLength(e.path))).sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+    }
+  }
 }
 
 /** Driver-side helpers over the same `private[sql]` seam. */
@@ -298,9 +359,13 @@ object manifestGlue {
     }
     unwrap(plan).collect { case b: BatchScanExec =>
       b.scan match {
-        case StatsReportingScan(fs: FileScan, _, _, _) => fs.fileIndex.inputFiles.toSeq
-        case fs: FileScan                              => fs.fileIndex.inputFiles.toSeq
-        case _                                         => Seq.empty
+        case s: StatsReportingScan =>
+          s.inner match {
+            case fs: FileScan => fs.fileIndex.inputFiles.toSeq
+            case _            => Seq.empty
+          }
+        case fs: FileScan => fs.fileIndex.inputFiles.toSeq
+        case _            => Seq.empty
       }
     }.flatten
   }
