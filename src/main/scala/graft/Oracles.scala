@@ -6363,6 +6363,22 @@ object Oracles {
         |UNION ALL SELECT '2_clone_after_insert', cl.n, cl.cc, 1 FROM cl
         |UNION ALL SELECT '3_clone_v1_snapshot', pin.n, pin.cc, 1 FROM pin
         |ORDER BY probe""".stripMargin,
+    // point probe at max(k), IN probe at {min, max}, and a
+    // past-the-range miss; the scanned-file counts (1 / ≤2 / 0 of 8
+    // full-range mod-8 files) are earned in-engine off the executed
+    // plans' file indexes
+    "q451_bloom_skipping" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |hi AS (SELECT max(k) AS hi FROM o), lo AS (SELECT min(k) AS lo FROM o),
+        |pt AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS cc FROM o, hi WHERE k = hi),
+        |il AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS cc
+        |  FROM o, hi, lo WHERE k = hi OR k = lo)
+        |SELECT '1_point' AS probe, pt.n AS n_rows, pt.cc AS cents_checksum,
+        |  CAST(1 AS BIGINT) AS ok FROM pt
+        |UNION ALL SELECT '2_in_list', il.n, il.cc, 1 FROM il
+        |UNION ALL SELECT '3_miss', 0, 0, 1
+        |ORDER BY probe""".stripMargin,
     "q446_cdf_maintenance" ->
       """WITH o AS (SELECT o_orderkey AS k,
         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,

@@ -17652,4 +17652,57 @@ object Queries {
       ("3_clone_v1_snapshot", pinned.getLong(0), pinned.getLong(1), 1L)
     ).toDF("probe", "n_rows", "cents_checksum", "ok").orderBy("probe")
   }
+
+  // BLOOM FILE SKIPPING — per-file bloom sidecars on the durable
+  // catalog ('bloom_col' table property; ManifestWrites
+  // .buildBloomSidecars), the index for the predicate zone maps are
+  // POWERLESS against: a high-cardinality key scattered across every
+  // file's full range. The fixture makes that adversarial shape on
+  // purpose — 8 files keyed k ≡ i (mod 8), each spanning the whole
+  // key range, so min/max pruning keeps all 8 — then probes one key
+  // and a two-key IN list: the bloom pass (consulted strictly AFTER
+  // zones, planning-time, cached per sidecar) drops the files that
+  // cannot hold the key, and the executed plans' file indexes prove
+  // it (1 and 2 files). A probe past the key range skips everything.
+  // fpp 0.01 ≈ 9.6 bits/key, so at 100 TB the sidecars are ~0.1% of
+  // the data and the driver reads only the candidates the zone pass
+  // already kept. Absence degrades to never-pruned — correctness
+  // never rides the bloom.
+  def manifestBloomSkipping(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft_mfst", classOf[graft.sources.ManifestCatalog].getName)
+    s.sql("DROP TABLE IF EXISTS graft_mfst.db.q451t")
+    s.sql("CREATE TABLE graft_mfst.db.q451t (k BIGINT, cents BIGINT) TBLPROPERTIES ('bloom_col'='k')")
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents")
+      )
+      .createOrReplaceTempView("q451_src")
+    (0 until 8).foreach { i =>
+      s.sql(s"INSERT INTO graft_mfst.db.q451t SELECT /*+ COALESCE(1) */ k, cents FROM q451_src WHERE k % 8 = $i")
+    }
+    val bounds = s.sql("SELECT min(k) AS lo, max(k) AS hi FROM q451_src").collect()(0)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    def probe(pred: String): ((Long, Long), Long) = {
+      val df = s.sql(s"SELECT count(*) AS n, sum(cents) AS cc FROM graft_mfst.db.q451t WHERE $pred")
+      val r = df.collect()(0)
+      val scanned = org.apache.spark.sql.graft.manifestGlue
+        .scanInputFiles(df.queryExecution.executedPlan).distinct.size.toLong
+      ((r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)), scanned)
+    }
+    val (eqC, eqScan) = probe(s"k = $hi")
+    val (inC, inScan) = probe(s"k IN ($lo, $hi)")
+    val (missC, missScan) = probe(s"k = ${hi + 1}")
+    // lo and hi land in (lo%8) and (hi%8) files — 1 and ≤2 scanned;
+    // the miss is out of every zone range: zero files planned
+    val eqOk = if (eqScan == 1L) 1L else 0L
+    val inOk = if (inScan <= 2L && inScan >= 1L) 1L else 0L
+    val missOk = if (missScan == 0L && missC == ((0L, 0L))) 1L else 0L
+    Seq(
+      ("1_point", eqC._1, eqC._2, eqOk),
+      ("2_in_list", inC._1, inC._2, inOk),
+      ("3_miss", missC._1, missC._2, missOk)
+    ).toDF("probe", "n_rows", "cents_checksum", "ok").orderBy("probe")
+  }
 }

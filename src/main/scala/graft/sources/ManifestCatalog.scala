@@ -136,7 +136,8 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
       DataType.fromJson(n.get("schema").asText()).asInstanceOf[StructType],
       if (n.hasNonNull("clusterKey")) Some(n.get("clusterKey").asText()) else None,
       if (n.hasNonNull("partitionCol")) Some(n.get("partitionCol").asText()) else None,
-      n.hasNonNull("changeFeed") && n.get("changeFeed").asBoolean()
+      n.hasNonNull("changeFeed") && n.get("changeFeed").asBoolean(),
+      if (n.hasNonNull("bloomCol")) Some(n.get("bloomCol").asText()) else None
     )
   }
 
@@ -174,7 +175,7 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
     new ManifestFileTable(
       s"$catalogName.${ident.name()}", dir, log, head, effectiveSchema(log, head, m.schema),
       m.clusterKey, m.partitionCol, writable = true, changeFeed = m.changeFeed,
-      checks = effectiveConstraints(log, head))
+      checks = effectiveConstraints(log, head), bloomCol = m.bloomCol)
   }
 
   /** The schema in force at `version`: the log's latest schema action
@@ -314,6 +315,26 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
       ()
     }
     partitionCol.foreach { pc => meta.put("partitionCol", pc); () }
+    // 'bloom_col'='<col>' enables PER-FILE BLOOM SIDECARS (the Delta
+    // bloom-filter-index analogue): each INSERT's commit builds a
+    // compact bloom over the column per staged file, and equality /
+    // IN / DPP probes on it skip whole files that zone maps cannot
+    // (high-cardinality keys scattered across the full range). Scoped
+    // to unpartitioned, unmapped tables.
+    Option(properties.get("bloom_col")).foreach { bc =>
+      require(schema.fieldNames.contains(bc), s"bloom_col '$bc' is not a column of the table")
+      require(
+        Set[DataType](
+          org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType
+        ).contains(schema(bc).dataType),
+        s"bloom_col '$bc' must be integral (got ${schema(bc).dataType.simpleString})"
+      )
+      require(partitionCol.isEmpty, "bloom_col is not supported on partitioned manifest tables")
+      require(!mapped, "bloom_col is not supported together with column_mapping")
+      meta.put("bloomCol", bc)
+      ()
+    }
     // 'change_feed'='true' enables CDC-ON-WRITE for row-level
     // rewrites (the Delta enableChangeDataFeed convention): UPDATE /
     // DELETE / MERGE stage explicit pre/post-image files alongside
@@ -606,7 +627,8 @@ private[sources] class ManifestFileTable(
     partitionCol: Option[String],
     writable: Boolean,
     changeFeed: Boolean = false,
-    checks: Seq[CheckSpec] = Nil
+    checks: Seq[CheckSpec] = Nil,
+    bloomCol: Option[String] = None
 ) extends Table
     with SupportsRead
     with SupportsWrite
@@ -821,7 +843,11 @@ private[sources] class ManifestFileTable(
           s"$dir/${r.dir}/${r.file}",
           zones,
           rows = stats.get(r).map(_.rows),
-          bytes = stats.get(r).map(_.bytes).filter(_ > 0L)
+          bytes = stats.get(r).map(_.bytes).filter(_ > 0L),
+          // the sidecar path is derived, not verified: a file without
+          // one (pre-bloom history, a compaction's output) loads as
+          // absent and is simply never bloom-pruned
+          bloom = bloomCol.map(_ => s"$dir/${r.dir}/${r.file}.bloom")
         )
       }
     // hive-layout recovery: with basePath = the table root, Spark's
@@ -836,7 +862,7 @@ private[sources] class ManifestFileTable(
       }
     new ManifestScanBuilder(
       manifestGlue.activeSession, files, clusterKey, tableSchema, scanOptions,
-      physicalOf = ColumnMapping.logicalToPhysical(tableSchema))
+      physicalOf = ColumnMapping.logicalToPhysical(tableSchema), bloomCol = bloomCol)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -850,7 +876,7 @@ private[sources] class ManifestFileTable(
         val l2p = ColumnMapping.logicalToPhysical(tableSchema)
         new ManifestWriteBuilder(
           dir, log, clusterKey.map(k => l2p.getOrElse(k, k)), info,
-          writeSchema = ColumnMapping.physicalSchema(tableSchema))
+          writeSchema = ColumnMapping.physicalSchema(tableSchema), bloomCol = bloomCol)
     }
   }
 }
@@ -1024,11 +1050,17 @@ private[sources] class ManifestWriteBuilder(
     info: LogicalWriteInfo,
     // what the staged files must carry: the table columns, renamed to
     // their PHYSICAL names under column mapping (identity otherwise)
-    writeSchema: StructType
+    writeSchema: StructType,
+    bloomCol: Option[String] = None
 ) extends WriteBuilder {
   override def build(): Write =
     ManifestWrites.stagedWrite(dir, info, writeSchema, stripOpColumn = false) { refs =>
       val stats = ManifestWrites.footerStats(dir, refs, clusterKey)
+      // bloom sidecars BEFORE publish: a reader can never observe a
+      // committed file whose sidecar is still being written (absence
+      // is only ever the no-bloom fallback, not a torn state)
+      bloomCol.foreach(bc =>
+        ManifestWrites.buildBloomSidecars(dir, refs, bc, r => stats.get(r).map(_.rows)))
       val branch = ManifestCatalog.wapBranch // WAP: stage onto the named branch, main untouched
       log.tryCommit(branch, log.head(branch), "append", add = refs, stats = stats, maxAttempts = 32) match {
         case Committed(_, _) => ()
@@ -1145,7 +1177,8 @@ private[sources] final case class ManifestTableMeta(
     schema: StructType,
     clusterKey: Option[String],
     partitionCol: Option[String],
-    changeFeed: Boolean
+    changeFeed: Boolean,
+    bloomCol: Option[String] = None
 )
 
 /** A CHECK constraint as VERSIONED table metadata: the predicate's
@@ -1368,6 +1401,39 @@ private[graft] object ManifestWrites {
       val (kMin, kMax) = clusterKey.flatMap(cols.get).map { case (mn, mx, _) => (mn, mx) }.getOrElse((0L, -1L))
       r -> ManifestLog.FileStats(kMin, kMax, rows, colStats, bytes = GraftFs.fileLength(path))
     }.toMap
+
+  /** One compact bloom sidecar per staged file over `bloomCol`
+    * (`<file>.parquet.bloom`, Spark's own
+    * [[org.apache.spark.util.sketch.BloomFilter]] serialization at
+    * fpp 0.01 ≈ 9.6 bits/key): the file-level skipping index for
+    * predicates zone maps cannot serve — a high-cardinality key
+    * scattered across every file's full range. Cost: one
+    * column-pruned read of each JUST-STAGED file (page-cache-warm
+    * bytes; Delta's bloom index pays the same work inside its
+    * writer). Sidecars are invisible to the log and to vacuum's
+    * data-file census (`listDataFiles` is `.parquet`-suffixed);
+    * absence — pre-bloom history, a compaction's output — simply
+    * reads as "never bloom-pruned".
+    */
+  def buildBloomSidecars(
+      dir: String,
+      refs: Seq[FileRef],
+      bloomCol: String,
+      rowsOf: FileRef => Option[Long]
+  ): Unit = {
+    val spark = manifestGlue.activeSession
+    refs.foreach { r =>
+      val path = s"$dir/${r.dir}/${r.file}"
+      val expected = rowsOf(r).filter(_ > 0L).getOrElse(1L << 16)
+      val bf = spark.read.parquet(path).stat.bloomFilter(bloomCol, expected, 0.01)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      require(
+        GraftFs.createExclusive(s"$path.bloom", bos.toByteArray),
+        s"failed to write bloom sidecar for $path"
+      )
+    }
+  }
 }
 
 /** Physical maintenance for a manifest table directory: vacuum
@@ -1440,7 +1506,13 @@ object ManifestMaintenance {
       graceMs: Long = DefaultGraceMs
   ): Seq[ManifestLog.FileRef] = {
     val orphans = unreachable(dir, log, graceMs)
-    orphans.foreach(r => GraftFs.delete(s"$dir/${r.dir}/${r.file}"))
+    orphans.foreach { r =>
+      GraftFs.delete(s"$dir/${r.dir}/${r.file}")
+      // a bloom sidecar lives and dies with its data file
+      val sidecar = s"$dir/${r.dir}/${r.file}.bloom"
+      if (GraftFs.exists(sidecar)) GraftFs.delete(sidecar)
+      ()
+    }
     orphans
   }
 

@@ -65,7 +65,12 @@ final class ManifestScanBuilder(
     // build() translates at the parquet boundary and the built scan
     // reports the logical readSchema back (rows are positional, so
     // the rename is free). Empty = unmapped table, zero-cost.
-    physicalOf: Map[String, String] = Map.empty
+    physicalOf: Map[String, String] = Map.empty,
+    // BLOOM FILE SKIPPING: the column each entry's `.bloom` sidecar
+    // indexes (None = table has no bloom index). Consulted only for
+    // equality/IN conjuncts the zone maps could NOT prune, after zone
+    // satisfiability passes — the cheap check always runs first.
+    bloomCol: Option[String] = None
 ) extends ScanBuilder
     with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns {
@@ -147,12 +152,38 @@ final class ManifestScanBuilder(
     }
   }
 
+  /** May the file's bloom sidecar admit a row satisfying `f`? True
+    * unless an equality/IN conjunct on the bloom column definitively
+    * misses — a missing or unreadable sidecar, any other filter
+    * shape, and any other column answer true (pure optimization,
+    * never a correctness gate; the bloom's false-positive rate can
+    * over-read, never wrong-answer). IN lists are consulted only up
+    * to 64 values: a DPP key set larger than that prunes by zones
+    * alone rather than paying per-value probes.
+    */
+  private def bloomSatisfiable(f: sources.Filter, e: ManifestScanBuilder.FileEntry): Boolean =
+    (bloomCol, e.bloom) match {
+      case (Some(bc), Some(sidecar)) =>
+        def mightContain(v: Any): Boolean =
+          asLong(v).forall(x =>
+            ManifestScanBuilder.loadBloom(sidecar).forall(_.mightContainLong(x)))
+        f match {
+          case sources.EqualTo(c, v) if c == bc         => mightContain(v)
+          case sources.EqualNullSafe(c, v) if c == bc   => mightContain(v)
+          case sources.In(c, vs) if c == bc && vs.length <= 64 => vs.exists(mightContain)
+          case sources.And(a, b) => bloomSatisfiable(a, e) && bloomSatisfiable(b, e)
+          case sources.Or(a, b)  => bloomSatisfiable(a, e) || bloomSatisfiable(b, e)
+          case _                 => true
+        }
+      case _ => true
+    }
+
   /** The surviving files under the pushed filters — exposed so a
     * plan test can assert the scan's inputs equal the manifest
     * arithmetic.
     */
   def keptEntries: Seq[ManifestScanBuilder.FileEntry] =
-    files.filter(e => zoneFilters.forall(satisfiable(_, e.zones)))
+    files.filter(e => zoneFilters.forall(f => satisfiable(f, e.zones) && bloomSatisfiable(f, e)))
 
   def keptPaths: Seq[String] = keptEntries.map(_.path)
 
@@ -200,7 +231,7 @@ final class ManifestScanBuilder(
   }
 
   private[graft] def satisfiableEntry(f: sources.Filter, e: ManifestScanBuilder.FileEntry): Boolean =
-    satisfiable(f, e.zones)
+    satisfiable(f, e.zones) && bloomSatisfiable(f, e)
 
   /** Columns a runtime (DPP-style) filter can prune on: any column
     * with a recorded zone — the partition column enters as an exact
@@ -229,15 +260,41 @@ object ManifestScanBuilder {
   /** One manifest file as scan planning consumes it: the absolute
     * path; per-column (min, max, nullCount) zones (nullCount −1 =
     * unrecorded) — the cluster key is one entry among the others;
-    * and the commit record's exact row/byte counts (None =
-    * unrecorded: a stats-less or pre-bytes commit).
+    * the commit record's exact row/byte counts (None = unrecorded: a
+    * stats-less or pre-bytes commit); and the DERIVED bloom sidecar
+    * path (None = the table has no bloom index; a derived path whose
+    * sidecar does not exist loads as absent and never prunes).
     */
   final case class FileEntry(
       path: String,
       zones: Map[String, (Long, Long, Long)],
       rows: Option[Long],
-      bytes: Option[Long]
+      bytes: Option[Long],
+      bloom: Option[String] = None
   )
+
+  /** JVM-wide sidecar cache: sidecars are immutable once published
+    * (file names are per-commit unique), so a loaded filter — or the
+    * recorded absence of one — is valid for the path's lifetime.
+    * None = no/unreadable sidecar (the never-prune fallback). Bounded
+    * by a full clear at 1024 entries (a cache, not a ledger).
+    */
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[org.apache.spark.util.sketch.BloomFilter]]()
+
+  private[graft] def loadBloom(path: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
+    if (bloomCache.size() > 1024) bloomCache.clear()
+    bloomCache.computeIfAbsent(
+      path,
+      p =>
+        try {
+          if (!graft.sources.GraftFs.exists(p)) None
+          else
+            Some(org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(graft.sources.GraftFs.readBytes(p))))
+        } catch { case _: Exception => None }
+    )
+  }
 }
 
 /** The built manifest scan: the genuine vectorized parquet scan with
