@@ -6379,6 +6379,23 @@ object Oracles {
         |UNION ALL SELECT '2_in_list', il.n, il.cc, 1 FROM il
         |UNION ALL SELECT '3_miss', 0, 0, 1
         |ORDER BY probe""".stripMargin,
+    // the full census, the point probe at max(k), and the {min, max}
+    // IN probe; the bucket-pruned file sets (value's bucket only,
+    // strictly fewer than all files) are earned in-engine off the
+    // executed plans against the driver-side hash arithmetic
+    "q452_bucket_transform" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |hi AS (SELECT max(k) AS hi FROM o), lo AS (SELECT min(k) AS lo FROM o),
+        |fl AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS cc FROM o),
+        |pt AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS cc FROM o, hi WHERE k = hi),
+        |il AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS cc
+        |  FROM o, hi, lo WHERE k = hi OR k = lo)
+        |SELECT '1_full' AS probe, fl.n AS n_rows, fl.cc AS cents_checksum,
+        |  CAST(1 AS BIGINT) AS ok FROM fl
+        |UNION ALL SELECT '2_point', pt.n, pt.cc, 1 FROM pt
+        |UNION ALL SELECT '3_in_list', il.n, il.cc, 1 FROM il
+        |ORDER BY probe""".stripMargin,
     "q446_cdf_maintenance" ->
       """WITH o AS (SELECT o_orderkey AS k,
         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,

@@ -17705,4 +17705,57 @@ object Queries {
       ("3_miss", missC._1, missC._2, missOk)
     ).toDF("probe", "n_rows", "cents_checksum", "ok").orderBy("probe")
   }
+
+  // HIDDEN BUCKET PARTITIONING — `PARTITIONED BY (bucket(8, k))`
+  // (the Iceberg bucket transform): rows stage under synthetic
+  // `__gbucket = pmod(hash(k), 8)` dirs, the key column STAYS in the
+  // data files (reads never do partition recovery — no basePath, no
+  // reordering Project), and a point/IN/DPP probe on the key
+  // recomputes the SAME hash at planning to keep only the value's
+  // bucket. This is how a 100 TB table partitions by a
+  // high-cardinality key: the dir fan-out stays at n while point
+  // lookups touch 1/n of the files. Both probes' kept-file sets are
+  // earned off the executed plans and checked against the driver-side
+  // bucketOf arithmetic (byte-identical to the write's SQL — Murmur3
+  // seed 42 on the BIGINT); the censuses are oracle-pinned.
+  def manifestBucketTransform(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft_mfst", classOf[graft.sources.ManifestCatalog].getName)
+    s.sql("DROP TABLE IF EXISTS graft_mfst.db.q452t")
+    s.sql("CREATE TABLE graft_mfst.db.q452t (k BIGINT, cents BIGINT) PARTITIONED BY (bucket(8, k))")
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents")
+      )
+      .createOrReplaceTempView("q452_src")
+    s.sql("INSERT INTO graft_mfst.db.q452t SELECT k, cents FROM q452_src")
+    val bounds = s.sql("SELECT min(k) AS lo, max(k) AS hi FROM q452_src").collect()(0)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    def probe(pred: String): ((Long, Long), Seq[String]) = {
+      val df = s.sql(s"SELECT count(*) AS n, sum(cents) AS cc FROM graft_mfst.db.q452t WHERE $pred")
+      val r = df.collect()(0)
+      val files = org.apache.spark.sql.graft.manifestGlue
+        .scanInputFiles(df.queryExecution.executedPlan).distinct
+      ((r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)), files)
+    }
+    val (fullC, allFiles) = probe("k >= 0")
+    val (eqC, eqFiles) = probe(s"k = $hi")
+    val (inC, inFiles) = probe(s"k IN ($lo, $hi)")
+    def bucketDir(v: Long): String =
+      s"__gbucket=${org.apache.spark.sql.graft.ManifestScanBuilder.bucketOf(v, 8)}"
+    val eqOk =
+      if (eqFiles.nonEmpty && eqFiles.size < allFiles.size && eqFiles.forall(_.contains(bucketDir(hi))))
+        1L
+      else 0L
+    val inWanted = Set(bucketDir(lo), bucketDir(hi))
+    val inOk =
+      if (inFiles.size < allFiles.size && inFiles.forall(f => inWanted.exists(f.contains))) 1L
+      else 0L
+    Seq(
+      ("1_full", fullC._1, fullC._2, 1L),
+      ("2_point", eqC._1, eqC._2, eqOk),
+      ("3_in_list", inC._1, inC._2, inOk)
+    ).toDF("probe", "n_rows", "cents_checksum", "ok").orderBy("probe")
+  }
 }

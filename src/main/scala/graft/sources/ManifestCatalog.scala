@@ -137,7 +137,9 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
       if (n.hasNonNull("clusterKey")) Some(n.get("clusterKey").asText()) else None,
       if (n.hasNonNull("partitionCol")) Some(n.get("partitionCol").asText()) else None,
       n.hasNonNull("changeFeed") && n.get("changeFeed").asBoolean(),
-      if (n.hasNonNull("bloomCol")) Some(n.get("bloomCol").asText()) else None
+      if (n.hasNonNull("bloomCol")) Some(n.get("bloomCol").asText()) else None,
+      if (n.hasNonNull("bucketCol")) Some((n.get("bucketCol").asText(), n.get("bucketN").asInt()))
+      else None
     )
   }
 
@@ -175,7 +177,7 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
     new ManifestFileTable(
       s"$catalogName.${ident.name()}", dir, log, head, effectiveSchema(log, head, m.schema),
       m.clusterKey, m.partitionCol, writable = true, changeFeed = m.changeFeed,
-      checks = effectiveConstraints(log, head), bloomCol = m.bloomCol)
+      checks = effectiveConstraints(log, head), bloomCol = m.bloomCol, bucket = m.bucket)
   }
 
   /** The schema in force at `version`: the log's latest schema action
@@ -264,21 +266,45 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
     // commit's staging dir, the partition VALUE rides the FileRef's
     // dir name, and the scan prunes partitions as EXACT zones
     // (min = max = value) before any footer-derived zone map applies.
+    def integralColumn(t: Transform): String = {
+      val name = t.references()(0).fieldNames().mkString(".")
+      require(schema.fieldNames.contains(name), s"partition column '$name' is not a column of the table")
+      require(
+        schema(name).dataType == org.apache.spark.sql.types.LongType ||
+          schema(name).dataType == org.apache.spark.sql.types.IntegerType,
+        s"manifest tables partition by an integral column (got ${schema(name).dataType.simpleString})"
+      )
+      name
+    }
     val partitionCol: Option[String] = partitions.toSeq match {
       case Seq() => None
       case Seq(t) if t.name() == "identity" && t.references().length == 1 =>
-        val name = t.references()(0).fieldNames().mkString(".")
-        require(schema.fieldNames.contains(name), s"partition column '$name' is not a column of the table")
-        require(
-          schema(name).dataType == org.apache.spark.sql.types.LongType ||
-            schema(name).dataType == org.apache.spark.sql.types.IntegerType,
-          s"manifest tables partition by an integral column (got ${schema(name).dataType.simpleString})"
-        )
-        Some(name)
+        Some(integralColumn(t))
+      case Seq(t) if t.name() == "bucket" && t.references().length == 1 => None
       case other =>
         throw new UnsupportedOperationException(
-          s"manifest tables support PARTITIONED BY (one identity column); got ${other.mkString(", ")}"
+          s"manifest tables support PARTITIONED BY (one identity column or bucket(n, col)); " +
+            s"got ${other.mkString(", ")}"
         )
+    }
+    // PARTITIONED BY (bucket(n, col)) — Iceberg-style HIDDEN
+    // partitioning: files land under `__gbucket=<pmod(hash(col), n)>`
+    // dirs, the column itself STAYS in the data files (reads never
+    // need partition recovery), and equality/IN/DPP probes on the
+    // column prune whole buckets by recomputing the same hash at
+    // planning. The transform is the classic answer to partitioning
+    // by a high-cardinality key: n stays bounded while point lookups
+    // touch 1/n of the files.
+    val bucketSpec: Option[(String, Int)] = partitions.toSeq match {
+      case Seq(t) if t.name() == "bucket" =>
+        val col = integralColumn(t)
+        val n = t.arguments().collectFirst {
+          case lit: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            lit.value().toString.toInt
+        }.getOrElse(sys.error("bucket(n, col) requires a literal bucket count"))
+        require(n > 0 && n <= (1 << 20), s"bucket count must be in [1, 2^20] (got $n)")
+        Some((col, n))
+      case _ => None
     }
     // 'column_mapping'='name' enables Delta-style logical→physical
     // name indirection ([[ColumnMapping]]): RENAME/DROP COLUMN become
@@ -287,6 +313,7 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
     val mapped = "name".equalsIgnoreCase(properties.get("column_mapping"))
     if (mapped) {
       require(partitionCol.isEmpty, "column_mapping is not supported on partitioned manifest tables")
+      require(bucketSpec.isEmpty, "column_mapping is not supported on bucketed manifest tables")
       require(
         !"true".equalsIgnoreCase(properties.get("change_feed")),
         "column_mapping is not supported together with change_feed"
@@ -315,6 +342,7 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
       ()
     }
     partitionCol.foreach { pc => meta.put("partitionCol", pc); () }
+    bucketSpec.foreach { case (bc, n) => meta.put("bucketCol", bc); meta.put("bucketN", n); () }
     // 'bloom_col'='<col>' enables PER-FILE BLOOM SIDECARS (the Delta
     // bloom-filter-index analogue): each INSERT's commit builds a
     // compact bloom over the column per staged file, and equality /
@@ -628,7 +656,9 @@ private[sources] class ManifestFileTable(
     writable: Boolean,
     changeFeed: Boolean = false,
     checks: Seq[CheckSpec] = Nil,
-    bloomCol: Option[String] = None
+    bloomCol: Option[String] = None,
+    // PARTITIONED BY (bucket(n, col)) — hidden partitioning: (col, n)
+    bucket: Option[(String, Int)] = None
 ) extends Table
     with SupportsRead
     with SupportsWrite
@@ -787,6 +817,11 @@ private[sources] class ManifestFileTable(
       // relation interprets the session's partitionOverwriteMode
       // (static = whole table, dynamic = written partitions only)
       util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    else if (bucket.isDefined)
+      // bucketed (hidden partitioning): V1 staged write, INSERT only
+      // — "overwrite these buckets" has no user-facing meaning, so
+      // INSERT OVERWRITE refuses at analysis (no TRUNCATE capability)
+      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
     else util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -847,7 +882,12 @@ private[sources] class ManifestFileTable(
           // the sidecar path is derived, not verified: a file without
           // one (pre-bloom history, a compaction's output) loads as
           // absent and is simply never bloom-pruned
-          bloom = bloomCol.map(_ => s"$dir/${r.dir}/${r.file}.bloom")
+          bloom = bloomCol.map(_ => s"$dir/${r.dir}/${r.file}.bloom"),
+          // the file's bucket ordinal, from its `__gbucket=<v>` dir —
+          // None (a rewrite's output, pre-bucket history) is never
+          // bucket-pruned
+          bucketVal = bucket.flatMap(_ =>
+            ManifestFileTable.partitionValue(r.dir, ManifestFileTable.BucketDirCol).map(_._2))
         )
       }
     // hive-layout recovery: with basePath = the table root, Spark's
@@ -862,13 +902,17 @@ private[sources] class ManifestFileTable(
       }
     new ManifestScanBuilder(
       manifestGlue.activeSession, files, clusterKey, tableSchema, scanOptions,
-      physicalOf = ColumnMapping.logicalToPhysical(tableSchema), bloomCol = bloomCol)
+      physicalOf = ColumnMapping.logicalToPhysical(tableSchema), bloomCol = bloomCol,
+      bucketSpec = bucket)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(writable, s"$tableName is a pinned historical version — writes must target the head")
     partitionCol match {
       case Some(pc) => new PartitionedManifestWriteBuilder(dir, log, clusterKey, pc, checks)
+      case None if bucket.isDefined =>
+        val (bc, n) = bucket.get
+        new BucketedManifestWriteBuilder(dir, log, clusterKey, bc, n, checks)
       case None =>
         // under column mapping the staged files carry PHYSICAL names
         // (the log owns the logical namespace); the footer stats key
@@ -882,6 +926,11 @@ private[sources] class ManifestFileTable(
 }
 
 private[graft] object ManifestFileTable {
+  /** The synthetic staging/dir column of `bucket(n, col)` tables —
+    * never a table column, never in a data file.
+    */
+  val BucketDirCol = "__gbucket"
+
   /** The partition (column, value) a FileRef's dir encodes — the last
     * path segment's hive-style `<col>=<value>`, integral values only.
     * None for unpartitioned refs (a pre-partitioning commit or a
@@ -1033,6 +1082,80 @@ private[sources] class PartitionedManifestWriteBuilder(
   }
 }
 
+/** INSERT INTO a BUCKETED manifest table (`PARTITIONED BY
+  * (bucket(n, col))` — hidden partitioning): the incoming rows are
+  * staged with a SYNTHETIC `__gbucket = pmod(hash(CAST(col AS
+  * BIGINT)), n)` dir column through the same V1 dynamic-partition
+  * parquet writer the identity path uses; `partitionBy` strips the
+  * synthetic column from the data files, so they carry exactly the
+  * table schema and reads never need partition recovery — the bucket
+  * ordinal lives only in the FileRef's `__gbucket=<v>` dir, where
+  * scan planning recomputes the same hash to prune point lookups to
+  * 1/n of the files. NULL keys are admitted: Spark's `hash(NULL)` is
+  * the seed, so they land deterministically in bucket `pmod(42, n)`
+  * — an equality probe never matches NULL and `IS NULL` never
+  * bucket-prunes, so exactly the scans that should see them do
+  * (unlike the identity path, there is no undeletable
+  * __HIVE_DEFAULT_PARTITION__ hole: the dir value always parses).
+  * Appends commute through the CAS like any append.
+  */
+private[sources] class BucketedManifestWriteBuilder(
+    dir: String,
+    log: DurableManifestLog,
+    clusterKey: Option[String],
+    bucketCol: String,
+    n: Int,
+    checks: Seq[CheckSpec] = Nil
+) extends WriteBuilder {
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+      new org.apache.spark.sql.sources.InsertableRelation {
+        override def insert(rawData: org.apache.spark.sql.DataFrame, overwrite: Boolean): Unit = {
+          import org.apache.spark.sql.functions.expr
+          val data = ManifestCatalog
+            .enforceChecks(rawData, checks)
+            .withColumn(
+              ManifestFileTable.BucketDirCol,
+              expr(s"pmod(hash(CAST(`$bucketCol` AS BIGINT)), $n)"))
+          val staging = s".stage-${java.util.UUID.randomUUID().toString.take(12)}"
+          data.write
+            .partitionBy(ManifestFileTable.BucketDirCol)
+            .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+            .parquet(s"$dir/$staging")
+          val stagedDirs = GraftFs.listDirs(s"$dir/$staging").filter(_.contains("="))
+          stagedDirs.foreach { pd =>
+            require(
+              ManifestFileTable.partitionValue(pd, ManifestFileTable.BucketDirCol).isDefined,
+              s"bucketed manifest tables require a non-null '$bucketCol' on every row; " +
+                s"staged dir '$pd' does not parse as ${ManifestFileTable.BucketDirCol}=<long>"
+            )
+          }
+          val refs = stagedDirs
+            .flatMap { pd =>
+              GraftFs.mkdirs(s"$dir/$pd")
+              GraftFs.listDataFiles(s"$dir/$staging/$pd").map { f =>
+                require(
+                  GraftFs.rename(s"$dir/$staging/$pd/$f", s"$dir/$pd/$f"),
+                  s"failed to publish staged part file $pd/$f"
+                )
+                FileRef(pd, f)
+              }
+            }
+          GraftFs.deleteRecursive(s"$dir/$staging")
+          val stats = ManifestWrites.footerStats(dir, refs, clusterKey)
+          val branch = ManifestCatalog.wapBranch
+          log.tryCommit(branch, log.head(branch), "append", add = refs, stats = stats, maxAttempts = 32) match {
+            case Committed(_, _) => ()
+            case other =>
+              throw new java.util.ConcurrentModificationException(
+                s"bucketed manifest append failed to publish after retries: $other"
+              )
+          }
+        }
+      }
+  }
+}
+
 /** INSERT INTO path: stage parquet through Spark's own DSv2 parquet
   * write into a fresh per-commit directory under the table root, then
   * publish an OCC append whose stats come from the staged files'
@@ -1178,7 +1301,8 @@ private[sources] final case class ManifestTableMeta(
     clusterKey: Option[String],
     partitionCol: Option[String],
     changeFeed: Boolean,
-    bloomCol: Option[String] = None
+    bloomCol: Option[String] = None,
+    bucket: Option[(String, Int)] = None
 )
 
 /** A CHECK constraint as VERSIONED table metadata: the predicate's
@@ -1588,6 +1712,15 @@ object ManifestMaintenance {
     if (srcMeta.hasNonNull("partitionCol")) meta.put("partitionCol", srcMeta.get("partitionCol").asText())
     if (srcMeta.hasNonNull("changeFeed") && srcMeta.get("changeFeed").asBoolean())
       meta.put("changeFeed", true)
+    // bucket ordinals ride the refs' dir names and bloom sidecars sit
+    // next to the source files — both indexes keep pruning on the
+    // clone with zero extra work
+    if (srcMeta.hasNonNull("bucketCol")) {
+      meta.put("bucketCol", srcMeta.get("bucketCol").asText())
+      meta.put("bucketN", srcMeta.get("bucketN").asInt())
+      ()
+    }
+    if (srcMeta.hasNonNull("bloomCol")) meta.put("bloomCol", srcMeta.get("bloomCol").asText())
     GraftFs.mkdirs(tgtDir)
     require(
       GraftFs.createExclusive(s"$tgtDir/_table.json", mapper.writeValueAsBytes(meta)),

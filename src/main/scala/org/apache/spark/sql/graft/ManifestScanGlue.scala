@@ -70,7 +70,12 @@ final class ManifestScanBuilder(
     // indexes (None = table has no bloom index). Consulted only for
     // equality/IN conjuncts the zone maps could NOT prune, after zone
     // satisfiability passes — the cheap check always runs first.
-    bloomCol: Option[String] = None
+    bloomCol: Option[String] = None,
+    // HIDDEN BUCKET PARTITIONING (`PARTITIONED BY (bucket(n, col))`):
+    // (col, n). An equality/IN conjunct on the column keeps only the
+    // files whose `bucketVal` equals pmod(hash(value), n) — the same
+    // arithmetic the write staged with.
+    bucketSpec: Option[(String, Int)] = None
 ) extends ScanBuilder
     with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns {
@@ -178,12 +183,36 @@ final class ManifestScanBuilder(
       case _ => true
     }
 
+  /** May the file's bucket ordinal admit a row satisfying `f`? The
+    * exact mirror of [[bloomSatisfiable]] for hidden bucket
+    * partitioning: an equality/IN conjunct on the bucket column keeps
+    * only the file whose dir ordinal equals the value's bucket. A
+    * file without an ordinal (a rewrite's output) always answers
+    * true.
+    */
+  private def bucketSatisfiable(f: sources.Filter, e: ManifestScanBuilder.FileEntry): Boolean =
+    (bucketSpec, e.bucketVal) match {
+      case (Some((bc, n)), Some(ord)) =>
+        def hits(v: Any): Boolean =
+          asLong(v).forall(x => ManifestScanBuilder.bucketOf(x, n) == ord)
+        f match {
+          case sources.EqualTo(c, v) if c == bc       => hits(v)
+          case sources.EqualNullSafe(c, v) if c == bc => hits(v)
+          case sources.In(c, vs) if c == bc           => vs.exists(hits)
+          case sources.And(a, b) => bucketSatisfiable(a, e) && bucketSatisfiable(b, e)
+          case sources.Or(a, b)  => bucketSatisfiable(a, e) || bucketSatisfiable(b, e)
+          case _                 => true
+        }
+      case _ => true
+    }
+
   /** The surviving files under the pushed filters — exposed so a
     * plan test can assert the scan's inputs equal the manifest
     * arithmetic.
     */
   def keptEntries: Seq[ManifestScanBuilder.FileEntry] =
-    files.filter(e => zoneFilters.forall(f => satisfiable(f, e.zones) && bloomSatisfiable(f, e)))
+    files.filter(e =>
+      zoneFilters.forall(f => satisfiable(f, e.zones) && bloomSatisfiable(f, e) && bucketSatisfiable(f, e)))
 
   def keptPaths: Seq[String] = keptEntries.map(_.path)
 
@@ -231,7 +260,7 @@ final class ManifestScanBuilder(
   }
 
   private[graft] def satisfiableEntry(f: sources.Filter, e: ManifestScanBuilder.FileEntry): Boolean =
-    satisfiable(f, e.zones) && bloomSatisfiable(f, e)
+    satisfiable(f, e.zones) && bloomSatisfiable(f, e) && bucketSatisfiable(f, e)
 
   /** Columns a runtime (DPP-style) filter can prune on: any column
     * with a recorded zone — the partition column enters as an exact
@@ -257,6 +286,15 @@ final class ManifestScanBuilder(
 }
 
 object ManifestScanBuilder {
+  /** `pmod(hash(CAST(x AS BIGINT)), n)` — BYTE-IDENTICAL to the SQL
+    * the bucketed write stages with (Spark's `hash` on a BIGINT is
+    * Murmur3 with seed 42), so planning-time pruning and write-time
+    * placement can never disagree.
+    */
+  def bucketOf(x: Long, n: Int): Long =
+    java.lang.Math.floorMod(
+      org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(x, 42), n).toLong
+
   /** One manifest file as scan planning consumes it: the absolute
     * path; per-column (min, max, nullCount) zones (nullCount −1 =
     * unrecorded) — the cluster key is one entry among the others;
@@ -270,7 +308,10 @@ object ManifestScanBuilder {
       zones: Map[String, (Long, Long, Long)],
       rows: Option[Long],
       bytes: Option[Long],
-      bloom: Option[String] = None
+      bloom: Option[String] = None,
+      // the file's bucket ordinal under hidden bucket partitioning
+      // (from its `__gbucket=<v>` dir); None = not bucket-prunable
+      bucketVal: Option[Long] = None
   )
 
   /** JVM-wide sidecar cache: sidecars are immutable once published
