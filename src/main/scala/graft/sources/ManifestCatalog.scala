@@ -149,7 +149,7 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
     // (batch- and micro-batch-readable, log versions as offsets), the
     // commit history, and the head version's live files with their
     // zone maps — all driver-computed at metadata cardinality.
-    if (ident.namespace().nonEmpty && Set("changes", "history", "files").contains(ident.name())) {
+    if (ident.namespace().nonEmpty && Set("changes", "history", "files", "detail").contains(ident.name())) {
       val parent = Identifier.of(ident.namespace().init, ident.namespace().last)
       val pdir = tableDir(parent)
       if (GraftFs.exists(s"$pdir/_table.json")) {
@@ -157,6 +157,11 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
         val plog = DurableManifestLog.open(pdir)
         val schema = effectiveSchema(plog, plog.head(), genesis)
         val full = s"$catalogName.${parent.name()}.${ident.name()}"
+        if (ident.name() == "detail") {
+          val pm = readTableMeta(parent)
+          return ManifestMetaTables.detail(
+            full, pdir, pm, effectiveConstraints(plog, plog.head()).size)
+        }
         ident.name() match {
           case "changes" =>
             // on a partitioned table the data files do NOT carry the
@@ -2008,6 +2013,53 @@ private[sources] object ManifestMetaTables {
       }
       .toArray
     new MetaRowsTable(name, schema, rows)
+  }
+
+  /** `db.t.detail` — the Delta DESCRIBE DETAIL analogue, one row of
+    * table-level facts, all from metadata the log/`_table.json`
+    * already hold: head version, live file count, exact on-disk
+    * bytes and (when every live file recorded them) exact rows, and
+    * the table's layout/index/contract configuration. Zero data IO.
+    */
+  def detail(name: String, dir: String, meta: ManifestTableMeta, nConstraints: Int): Table = {
+    val log = DurableManifestLog.open(dir)
+    val head = log.head()
+    val stats = log.liveStats(head)
+    val live = log.liveFiles(head).toSeq
+    val schema = StructType(
+      Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("n_files", LongType, nullable = false),
+        StructField("size_bytes", LongType, nullable = false),
+        StructField("n_rows", LongType, nullable = true),
+        StructField("cluster_key", StringType, nullable = true),
+        StructField("partition_col", StringType, nullable = true),
+        StructField("bucket_spec", StringType, nullable = true),
+        StructField("bloom_col", StringType, nullable = true),
+        StructField("change_feed", BooleanType, nullable = false),
+        StructField("n_constraints", LongType, nullable = false)
+      )
+    )
+    val bytes = live.map { r =>
+      stats.get(r).map(_.bytes).filter(_ > 0L).getOrElse(GraftFs.fileLength(s"$dir/${r.dir}/${r.file}"))
+    }.sum
+    val rows: Any =
+      if (live.forall(stats.contains)) live.map(stats(_).rows).sum else null
+    val row: InternalRow = new GenericInternalRow(
+      Array[Any](
+        head,
+        live.size.toLong,
+        bytes,
+        rows,
+        meta.clusterKey.map(UTF8String.fromString).orNull,
+        meta.partitionCol.map(UTF8String.fromString).orNull,
+        meta.bucket.map { case (c, n) => UTF8String.fromString(s"bucket($n, $c)") }.orNull,
+        meta.bloomCol.map(UTF8String.fromString).orNull,
+        meta.changeFeed,
+        nConstraints.toLong
+      )
+    )
+    new MetaRowsTable(name, schema, Array(row))
   }
 
   def files(name: String, dir: String): Table = {

@@ -82,6 +82,24 @@ class BucketTransformSpec extends SparkSpec {
     assertThrows[Exception](spark.sql("INSERT OVERWRITE graft_mfst.db.bk2 VALUES (1, 1)"))
   }
 
+  test("a shallow clone inherits the bucket index: point probes prune on the clone") {
+    useCatalog()
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_mfst.db.bk4")
+    spark.sql("DROP TABLE IF EXISTS graft_mfst.db.bk4c")
+    spark.sql("CREATE TABLE graft_mfst.db.bk4 (k BIGINT, v BIGINT) PARTITIONED BY (bucket(4, k))")
+    (1L to 400L).map(k => (k, k * 5)).toDF("k", "v").createOrReplaceTempView("bk4_src")
+    spark.sql("INSERT INTO graft_mfst.db.bk4 SELECT k, v FROM bk4_src")
+    val wh = ManifestCatalog.defaultWarehouse
+    ManifestMaintenance.shallowClone(s"$wh/db/bk4", s"$wh/db/bk4c")
+    val eq = spark.sql("SELECT count(*) AS n, sum(v) AS vv FROM graft_mfst.db.bk4c WHERE k = 42")
+    val r = eq.collect()(0)
+    assert(r.getLong(0) === 1L && r.getLong(1) === 210L)
+    val files = scanned(eq)
+    val b42 = ManifestScanBuilder.bucketOf(42L, 4)
+    assert(files.nonEmpty && files.forall(_.contains(s"__gbucket=$b42")), files.mkString(", "))
+  }
+
   test("a row-level rewrite's output files lose bucket pruning but never correctness") {
     useCatalog()
     import spark.implicits._

@@ -746,4 +746,30 @@ class ManifestCatalogSpec extends SparkSpec {
       "the late append must NOT survive the overwrite"
     )
   }
+
+  test("db.t.detail: one metadata row of table-level facts, zero data IO") {
+    useCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_mfst.db.mdet")
+    spark.sql(
+      "CREATE TABLE graft_mfst.db.mdet (k BIGINT, v BIGINT) " +
+        "TBLPROPERTIES ('cluster_key'='k', 'bloom_col'='v')")
+    spark.sql("INSERT INTO graft_mfst.db.mdet SELECT id, id * 2 FROM range(1, 51)")
+    spark.sql("ALTER TABLE graft_mfst.db.mdet ADD CONSTRAINT v_even CHECK (v % 2 = 0)")
+    val r = spark.read.table("graft_mfst.db.mdet.detail").collect()(0)
+    assert(r.getAs[Long]("version") === 2L) // insert + constraint
+    assert(r.getAs[Long]("n_files") >= 1L)
+    assert(r.getAs[Long]("size_bytes") > 0L)
+    assert(r.getAs[Long]("n_rows") === 50L)
+    assert(r.getAs[String]("cluster_key") === "k")
+    assert(r.getAs[String]("partition_col") == null)
+    assert(r.getAs[String]("bucket_spec") == null)
+    assert(r.getAs[String]("bloom_col") === "v")
+    assert(r.getAs[Long]("n_constraints") === 1L)
+
+    spark.sql("DROP TABLE IF EXISTS graft_mfst.db.mdet2")
+    spark.sql("CREATE TABLE graft_mfst.db.mdet2 (k BIGINT, v BIGINT) PARTITIONED BY (bucket(4, k))")
+    val r2 = spark.read.table("graft_mfst.db.mdet2.detail").collect()(0)
+    assert(r2.getAs[String]("bucket_spec") === "bucket(4, k)")
+    assert(r2.getAs[Long]("n_files") === 0L && r2.getAs[Long]("n_rows") === 0L)
+  }
 }
