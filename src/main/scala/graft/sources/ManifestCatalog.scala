@@ -1776,7 +1776,11 @@ object ManifestMaintenance {
       colA: String,
       colB: String,
       targetFiles: Int = 8,
-      order: Int = 6
+      order: Int = 6,
+      // a bloom-indexed table's rewrite REBUILDS the sidecars for its
+      // output files, so the index survives maintenance instead of
+      // degrading to never-pruned
+      bloomCol: Option[String] = None
   ): (Seq[ManifestLog.FileRef], Seq[ManifestLog.FileRef]) = {
     import org.apache.spark.sql.functions.{col, expr, lit}
     require(targetFiles >= 1 && order >= 2 && order <= 15, "zorder: bad targetFiles/order")
@@ -1845,6 +1849,8 @@ object ManifestMaintenance {
     GraftFs.deleteRecursive(s"$dir/$staging")
     val l2p = ColumnMapping.logicalToPhysical(schema)
     val outStats = ManifestWrites.footerStats(dir, outRefs, clusterKey.map(k => l2p.getOrElse(k, k)))
+    bloomCol.foreach(bc =>
+      ManifestWrites.buildBloomSidecars(dir, outRefs, bc, r => outStats.get(r).map(_.rows)))
     log.tryCommit(
       "main", head, "zorder", add = outRefs, remove = live, stats = outStats, maxAttempts = 1, strict = true
     ) match {
@@ -1877,7 +1883,10 @@ object ManifestMaintenance {
       log: DurableManifestLog,
       schema: org.apache.spark.sql.types.StructType,
       clusterKey: Option[String],
-      groupSize: Int = 4
+      groupSize: Int = 4,
+      // rebuild the bloom sidecar for each output so the index
+      // survives compaction instead of degrading to never-pruned
+      bloomCol: Option[String] = None
   ): Seq[(Seq[ManifestLog.FileRef], ManifestLog.FileRef)] = {
     require(groupSize >= 2, "compaction needs at least 2 inputs per output")
     val spark = org.apache.spark.sql.graft.manifestGlue.activeSession
@@ -1952,6 +1961,8 @@ object ManifestMaintenance {
       }
       GraftFs.deleteRecursive(s"$dir/$staging")
       val outStats = ManifestWrites.footerStats(dir, Seq(outRef), physKey)
+      bloomCol.foreach(bc =>
+        ManifestWrites.buildBloomSidecars(dir, Seq(outRef), bc, r => outStats.get(r).map(_.rows)))
       // readVersion re-anchored per group: earlier groups' own commits
       // are interveners otherwise (disjoint, but why pay the rebase)
       log.tryCommit(

@@ -95,6 +95,25 @@ class BloomSkippingSpec extends SparkSpec {
     assert(scannedFiles(eq) === 4, "no sidecar -> no pruning, all files scanned")
   }
 
+  test("OPTIMIZE rebuilds the sidecars: bloom pruning survives compaction") {
+    useCatalog()
+    fixture("bl5")
+    val dir = s"$wh/db/bl5"
+    val log = DurableManifestLog.open(dir)
+    val schema = spark.table("graft_mfst.db.bl5").schema
+    val groups = ManifestMaintenance.compact(
+      dir, log, schema, clusterKey = None, groupSize = 2, bloomCol = Some("k"))
+    assert(groups.size === 2) // 4 files -> 2 outputs
+    // every live file (the compaction outputs) has a fresh sidecar
+    val live = log.liveFiles(log.head()).toSeq
+    assert(live.size === 2)
+    live.foreach(r => assert(GraftFs.exists(s"$dir/${r.dir}/${r.file}.bloom"), s"${r.dir}/${r.file}"))
+    val eq = spark.sql("SELECT count(*) AS n, sum(v) AS vv FROM graft_mfst.db.bl5 WHERE k = 42")
+    val r = eq.collect()(0)
+    assert(r.getLong(0) === 1L && r.getLong(1) === 42L * 7)
+    assert(scannedFiles(eq) === 1, "post-compaction bloom should still prune to the one matching file")
+  }
+
   test("vacuum reclaims a dead file's sidecar with it") {
     useCatalog()
     import spark.implicits._

@@ -59,6 +59,27 @@ class ConstraintsSpec extends SparkSpec {
     assert(spark.table("graft_mfst.db.ck3").count() === 2L)
   }
 
+  test("row-level writes enforce too: an UPDATE/MERGE that would violate refuses") {
+    useCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_mfst.db.ck6")
+    spark.sql("CREATE TABLE graft_mfst.db.ck6 (k BIGINT, cents BIGINT)")
+    spark.sql("INSERT INTO graft_mfst.db.ck6 VALUES (1, 10), (2, 20)")
+    spark.sql("ALTER TABLE graft_mfst.db.ck6 ADD CONSTRAINT cpos CHECK (cents >= 0)")
+    assertThrows[Exception](
+      spark.sql("UPDATE graft_mfst.db.ck6 SET cents = -5 WHERE k = 1"))
+    assertThrows[Exception](
+      spark.sql(
+        "MERGE INTO graft_mfst.db.ck6 t USING (SELECT 2 AS k, -7 AS cents) s ON t.k = s.k " +
+          "WHEN MATCHED THEN UPDATE SET t.cents = s.cents"))
+    // both refusals left the table untouched
+    val got = spark.sql("SELECT k, cents FROM graft_mfst.db.ck6 ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 10L), (2L, 20L)))
+    // a conforming row-level write still lands
+    spark.sql("UPDATE graft_mfst.db.ck6 SET cents = 99 WHERE k = 1")
+    assert(spark.sql("SELECT cents FROM graft_mfst.db.ck6 WHERE k = 1").collect()(0).getLong(0) === 99L)
+  }
+
   test("DROP CONSTRAINT lifts enforcement; constraints version and time-travel") {
     useCatalog()
     spark.sql("DROP TABLE IF EXISTS graft_mfst.db.ck4")
