@@ -209,7 +209,8 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
     * version, refuses at RESOLUTION — never reads as something else.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val (schema, ck, pc) = readMeta(ident)
+    val m0 = readTableMeta(ident)
+    val (schema, ck, pc) = (m0.schema, m0.clusterKey, m0.partitionCol)
     val dir = tableDir(ident)
     val log = DurableManifestLog.open(dir)
     val v =
@@ -232,7 +233,8 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
     }
     new ManifestFileTable(
       s"$catalogName.${ident.name()}@v$v", dir, log, v, effectiveSchema(log, v, schema), ck, pc,
-      writable = false, checks = effectiveConstraints(log, v))
+      writable = false, checks = effectiveConstraints(log, v), bloomCol = m0.bloomCol,
+      bucket = m0.bucket)
   }
 
   /** `TIMESTAMP AS OF t` — Spark hands the timestamp in MICROseconds
@@ -244,7 +246,8 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
     * OF` serves.
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
-    val (schema, ck, pc) = readMeta(ident)
+    val m0 = readTableMeta(ident)
+    val (schema, ck, pc) = (m0.schema, m0.clusterKey, m0.partitionCol)
     val dir = tableDir(ident)
     val log = DurableManifestLog.open(dir)
     val v =
@@ -257,7 +260,8 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
       }
     new ManifestFileTable(
       s"$catalogName.${ident.name()}@v$v", dir, log, v, effectiveSchema(log, v, schema), ck, pc,
-      writable = false, checks = effectiveConstraints(log, v))
+      writable = false, checks = effectiveConstraints(log, v), bloomCol = m0.bloomCol,
+      bucket = m0.bucket)
   }
 
   override def createTable(
@@ -308,6 +312,12 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
             lit.value().toString.toInt
         }.getOrElse(sys.error("bucket(n, col) requires a literal bucket count"))
         require(n > 0 && n <= (1 << 20), s"bucket count must be in [1, 2^20] (got $n)")
+        // the synthetic staging dir column must never collide with a
+        // real column — the write's withColumn would overwrite it
+        require(
+          !schema.fieldNames.exists(_.equalsIgnoreCase(ManifestFileTable.BucketDirCol)),
+          s"'${ManifestFileTable.BucketDirCol}' is reserved on bucketed manifest tables"
+        )
         Some((col, n))
       case _ => None
     }
@@ -398,6 +408,17 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val (genesis, ck, pc) = readMeta(ident)
     ManifestCatalog.requireNoWap("ALTER TABLE")
+    // the bucketed write's synthetic staging column stays reserved
+    // across evolution, not just at CREATE
+    if (readTableMeta(ident).bucket.isDefined)
+      changes.foreach {
+        case add: TableChange.AddColumn =>
+          require(
+            !add.fieldNames().exists(_.equalsIgnoreCase(ManifestFileTable.BucketDirCol)),
+            s"'${ManifestFileTable.BucketDirCol}' is reserved on bucketed manifest tables"
+          )
+        case _ => ()
+      }
     val dir = tableDir(ident)
     val log = DurableManifestLog.open(dir)
     var attempts = 0

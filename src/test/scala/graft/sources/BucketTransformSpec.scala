@@ -100,6 +100,19 @@ class BucketTransformSpec extends SparkSpec {
     assert(files.nonEmpty && files.forall(_.contains(s"__gbucket=$b42")), files.mkString(", "))
   }
 
+  test("the synthetic __gbucket column name is reserved at CREATE and across evolution") {
+    useCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_mfst.db.bk5")
+    assertThrows[Exception](
+      spark.sql(
+        "CREATE TABLE graft_mfst.db.bk5 (k BIGINT, __gbucket BIGINT) PARTITIONED BY (bucket(4, k))"))
+    spark.sql("CREATE TABLE graft_mfst.db.bk5 (k BIGINT) PARTITIONED BY (bucket(4, k))")
+    assertThrows[Exception](
+      spark.sql("ALTER TABLE graft_mfst.db.bk5 ADD COLUMN __gbucket BIGINT"))
+    spark.sql("ALTER TABLE graft_mfst.db.bk5 ADD COLUMN v BIGINT") // non-colliding adds still work
+    assert(spark.table("graft_mfst.db.bk5").schema.fieldNames.toSeq === Seq("k", "v"))
+  }
+
   test("a row-level rewrite's output files lose bucket pruning but never correctness") {
     useCatalog()
     import spark.implicits._
