@@ -6396,6 +6396,21 @@ object Oracles {
         |UNION ALL SELECT '2_point', pt.n, pt.cc, 1 FROM pt
         |UNION ALL SELECT '3_in_list', il.n, il.cc, 1 FROM il
         |ORDER BY probe""".stripMargin,
+    // the same point census before and after the compaction, and the
+    // full census (≡ the pre-OPTIMIZE version — time travel earned
+    // in-engine); the 1-of-8 → 1-of-2 scanned-file counts and the
+    // rebuilt-sidecar pruning are earned off the executed plans
+    "q453_bloom_maintenance" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |hi AS (SELECT max(k) AS hi FROM o),
+        |pt AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS cc FROM o, hi WHERE k = hi),
+        |fl AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS cc FROM o)
+        |SELECT '1_point_pre_optimize' AS probe, pt.n AS n_rows, pt.cc AS cents_checksum,
+        |  CAST(1 AS BIGINT) AS ok FROM pt
+        |UNION ALL SELECT '2_point_post_optimize', pt.n, pt.cc, 1 FROM pt
+        |UNION ALL SELECT '3_census_across', fl.n, fl.cc, 1 FROM fl
+        |ORDER BY probe""".stripMargin,
     "q446_cdf_maintenance" ->
       """WITH o AS (SELECT o_orderkey AS k,
         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,

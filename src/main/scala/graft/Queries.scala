@@ -17758,4 +17758,62 @@ object Queries {
       ("3_in_list", inC._1, inC._2, inOk)
     ).toDF("probe", "n_rows", "cents_checksum", "ok").orderBy("probe")
   }
+
+  // BLOOM ACROSS MAINTENANCE — the index must survive the rewrite
+  // verbs or a routine OPTIMIZE silently costs every point lookup
+  // its pruning: compact() takes the table's bloom column and
+  // REBUILDS a sidecar for each output file before the commit
+  // publishes (the reader can never observe a committed file whose
+  // sidecar is mid-write; absence stays the only fallback). The
+  // fixture is q451's adversarial shape — 8 full-range mod-8 files —
+  // compacted 4-to-1 into 2 files; the SAME point probe that kept
+  // 1-of-8 pre-OPTIMIZE keeps 1-of-2 post-OPTIMIZE (both earned off
+  // executed plans), the census is byte-stable across the rewrite,
+  // and time travel still serves the pre-OPTIMIZE version.
+  def manifestBloomMaintenance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft_mfst", classOf[graft.sources.ManifestCatalog].getName)
+    s.sql("DROP TABLE IF EXISTS graft_mfst.db.q453t")
+    s.sql("CREATE TABLE graft_mfst.db.q453t (k BIGINT, cents BIGINT) TBLPROPERTIES ('bloom_col'='k')")
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents")
+      )
+      .createOrReplaceTempView("q453_src")
+    (0 until 8).foreach { i =>
+      s.sql(s"INSERT INTO graft_mfst.db.q453t SELECT /*+ COALESCE(1) */ k, cents FROM q453_src WHERE k % 8 = $i")
+    }
+    val hi = s.sql("SELECT max(k) AS hi FROM q453_src").collect()(0).getLong(0)
+    def probe(): ((Long, Long), Long) = {
+      val df = s.sql(s"SELECT count(*) AS n, sum(cents) AS cc FROM graft_mfst.db.q453t WHERE k = $hi")
+      val r = df.collect()(0)
+      val scanned = org.apache.spark.sql.graft.manifestGlue
+        .scanInputFiles(df.queryExecution.executedPlan).distinct.size.toLong
+      ((r.getLong(0), r.getLong(1)), scanned)
+    }
+    val (beforeC, beforeScan) = probe()
+    val tdir = s"${graft.sources.ManifestCatalog.defaultWarehouse}/db/q453t"
+    val log = graft.sources.DurableManifestLog.open(tdir)
+    val preVersion = log.head()
+    val schema = s.table("graft_mfst.db.q453t").schema
+    val groups = graft.sources.ManifestMaintenance.compact(
+      tdir, log, schema, clusterKey = None, groupSize = 4, bloomCol = Some("k"))
+    val liveAfter = log.liveFiles(log.head()).size.toLong
+    val (afterC, afterScan) = probe()
+    val full = s.sql("SELECT count(*) AS n, sum(cents) AS cc FROM graft_mfst.db.q453t").collect()(0)
+    val tt = s
+      .sql(s"SELECT count(*) AS n, sum(cents) AS cc FROM graft_mfst.db.q453t VERSION AS OF $preVersion")
+      .collect()(0)
+    val prunedBefore = if (beforeScan == 1L && beforeScan < 8L) 1L else 0L
+    val prunedAfter =
+      if (afterScan == 1L && liveAfter == 2L && groups.size == 2 && afterC == beforeC) 1L else 0L
+    val ttOk =
+      if ((tt.getLong(0), tt.getLong(1)) == (full.getLong(0), full.getLong(1))) 1L else 0L
+    Seq(
+      ("1_point_pre_optimize", beforeC._1, beforeC._2, prunedBefore),
+      ("2_point_post_optimize", afterC._1, afterC._2, prunedAfter),
+      ("3_census_across", full.getLong(0), full.getLong(1), ttOk)
+    ).toDF("probe", "n_rows", "cents_checksum", "ok").orderBy("probe")
+  }
 }
