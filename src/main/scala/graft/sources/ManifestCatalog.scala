@@ -149,7 +149,8 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
     // (batch- and micro-batch-readable, log versions as offsets), the
     // commit history, and the head version's live files with their
     // zone maps — all driver-computed at metadata cardinality.
-    if (ident.namespace().nonEmpty && Set("changes", "history", "files", "detail").contains(ident.name())) {
+    if (ident.namespace().nonEmpty &&
+        Set("changes", "history", "files", "detail", "constraints").contains(ident.name())) {
       val parent = Identifier.of(ident.namespace().init, ident.namespace().last)
       val pdir = tableDir(parent)
       if (GraftFs.exists(s"$pdir/_table.json")) {
@@ -162,6 +163,8 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
           return ManifestMetaTables.detail(
             full, pdir, pm, effectiveConstraints(plog, plog.head()).size)
         }
+        if (ident.name() == "constraints")
+          return ManifestMetaTables.constraints(full, effectiveConstraints(plog, plog.head()))
         ident.name() match {
           case "changes" =>
             // on a partitioned table the data files do NOT carry the
@@ -2092,6 +2095,26 @@ private[sources] object ManifestMetaTables {
       )
     )
     new MetaRowsTable(name, schema, Array(row))
+  }
+
+  /** `db.t.constraints` — the in-force CHECK constraints as rows
+    * (the information_schema.table_constraints shape): SQL
+    * introspection of the versioned contract metadata.
+    */
+  def constraints(name: String, cons: Seq[CheckSpec]): Table = {
+    val schema = StructType(
+      Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("predicate_sql", StringType, nullable = false),
+        StructField("enforced", BooleanType, nullable = false)
+      )
+    )
+    val rows: Array[InternalRow] = cons.sortBy(_.name).map { c =>
+      new GenericInternalRow(
+        Array[Any](UTF8String.fromString(c.name), UTF8String.fromString(c.sql), c.enforced)
+      ): InternalRow
+    }.toArray
+    new MetaRowsTable(name, schema, rows)
   }
 
   def files(name: String, dir: String): Table = {

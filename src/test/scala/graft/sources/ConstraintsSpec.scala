@@ -101,6 +101,19 @@ class ConstraintsSpec extends SparkSpec {
     spark.sql("ALTER TABLE graft_mfst.db.ck4 DROP CONSTRAINT IF EXISTS nope")
   }
 
+  test("db.t.constraints lists the in-force contract; empty after DROP") {
+    useCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_mfst.db.ck7")
+    spark.sql("CREATE TABLE graft_mfst.db.ck7 (k BIGINT)")
+    spark.sql("ALTER TABLE graft_mfst.db.ck7 ADD CONSTRAINT k_pos CHECK (k > 0)")
+    spark.sql("ALTER TABLE graft_mfst.db.ck7 ADD CONSTRAINT k_small CHECK (k < 1000)")
+    val got = spark.read.table("graft_mfst.db.ck7.constraints").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSeq
+    assert(got === Seq(("k_pos", "k > 0", true), ("k_small", "k < 1000", true)))
+    spark.sql("ALTER TABLE graft_mfst.db.ck7 DROP CONSTRAINT k_pos")
+    assert(spark.read.table("graft_mfst.db.ck7.constraints").count() === 1L)
+  }
+
   test("RENAME/DROP COLUMN referenced by a constraint refuses; literals do not false-positive") {
     useCatalog()
     spark.sql("DROP TABLE IF EXISTS graft_mfst.db.ck5")
