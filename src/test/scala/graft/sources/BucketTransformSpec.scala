@@ -113,6 +113,27 @@ class BucketTransformSpec extends SparkSpec {
     assert(spark.table("graft_mfst.db.bk5").schema.fieldNames.toSeq === Seq("k", "v"))
   }
 
+  test("the change feed serves a bucketed table like any other") {
+    useCatalog()
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_mfst.db.bk6")
+    spark.sql(
+      "CREATE TABLE graft_mfst.db.bk6 (k BIGINT, v BIGINT) PARTITIONED BY (bucket(4, k)) " +
+        "TBLPROPERTIES ('change_feed'='true')")
+    (1L to 50L).map(k => (k, k)).toDF("k", "v").createOrReplaceTempView("bk6_src")
+    spark.sql("INSERT INTO graft_mfst.db.bk6 SELECT k, v FROM bk6_src") // v1
+    spark.sql("INSERT INTO graft_mfst.db.bk6 VALUES (99, 990)") // v2
+    val feed = spark.read.table("graft_mfst.db.bk6.changes")
+    val byVersion = feed
+      .groupBy("_commit_version")
+      .count()
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toMap
+    assert(byVersion === Map(1L -> 50L, 2L -> 1L))
+    assert(feed.filter(org.apache.spark.sql.functions.col("_change_type") =!= "insert").count() === 0L)
+  }
+
   test("a row-level rewrite's output files lose bucket pruning but never correctness") {
     useCatalog()
     import spark.implicits._
