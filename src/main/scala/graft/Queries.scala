@@ -9575,49 +9575,67 @@ object Queries {
   // rounds snapshot to parquet so the plan never deepens (the
   // PageRank/CC posture).
   def hitsScores(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
     val base = graft.operators.Scratch.dir("graft-hits")
-    def snapshot(df: DataFrame, name: String): DataFrame = {
-      val path = s"$base/$name"
-      df.write.mode("overwrite").parquet(path)
-      spark.read.parquet(path)
-    }
-    val edges = snapshot(
-      graft.operators.CandidateGraph
-        .pairs(s, dir)
-        .select(greatest(col("d1"), col("d2")).as("src"), least(col("d1"), col("d2")).as("dst"))
-        .distinct(),
-      "edges"
-    )
-    val nodes = snapshot(
-      edges.select(col("src").as("id")).unionByName(edges.select(col("dst").as("id"))).distinct(),
-      "nodes"
-    )
+    // r14 optimization (guide §1/§2.4): the old shape snapshotted every
+    // half-iteration to parquet AND ran the normalizer total as its own
+    // aggregate-broadcast job — 117 jobs, half the wall in driver-side
+    // gaps (graft.Profile). Now each half-iteration materializes ONCE
+    // through Rounds (cache-backed) with the mass total OBSERVED on that
+    // same action, and the total is folded back as a literal — same
+    // integer arithmetic, same 8 rounds, same result, ~1/3 the jobs.
+    val edges = graft.operators.CandidateGraph
+      .pairs(s, dir)
+      .select(greatest(col("d1"), col("d2")).as("src"), least(col("d1"), col("d2")).as("dst"))
+      .distinct()
+      .persist()
+    val nodes = edges.select(col("src").as("id")).unionByName(edges.select(col("dst").as("id"))).distinct().persist()
     val nV = nodes.count()
     require(nV > 0, "HITS over an empty candidate graph")
     val One = 1000000000L
-    def renorm(df: DataFrame, value: String): DataFrame = {
-      val tot = df.agg(sum(col(value)).as("tot"))
-      // DECIMAL(38,0) on the product: pre-normalization mass reaches
-      // |E|·10⁹, so value·10⁹ would pass 2⁶³ on dense graphs
-      df.crossJoin(broadcast(tot))
-        .select(col("id"), expr(s"CAST(CAST($value AS DECIMAL(38,0)) * $One div tot AS BIGINT)").as(value))
-    }
-    var a = snapshot(nodes.select(col("id"), lit(One / nV).as("a")), "a0")
+    // DECIMAL(38,0) on the product: pre-normalization mass reaches
+    // |E|·10⁹, so value·10⁹ would pass 2⁶³ on dense graphs. `tot` is the
+    // observed decimal mass of the just-materialized raw frame, embedded
+    // as a decimal literal — bit-identical to the old agg+crossJoin.
+    def renorm(df: DataFrame, value: String, tot: java.math.BigDecimal): DataFrame =
+      df.select(
+        col("id"),
+        expr(s"CAST(CAST($value AS DECIMAL(38,0)) * $One div CAST('${tot.toPlainString}' AS DECIMAL(38,0)) AS BIGINT)")
+          .as(value)
+      )
+    // one Rounds per SIDE: the alternation means the latest hRaw is
+    // still live (h_final reads it) when the next aRaw materializes —
+    // a single shared Rounds would drop it one step too early
+    val hRounds = new graft.operators.Rounds(s, base, parquetEvery = Int.MaxValue)
+    val aRounds = new graft.operators.Rounds(s, base, parquetEvery = Int.MaxValue)
+    var a = aRounds.next(nodes.select(col("id"), lit(One / nV).as("a")))._1
     var h: DataFrame = null
     for (r <- 1 to 8) {
-      val hRaw = edges
-        .join(a.select(col("id").as("dst"), col("a")), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(sum(col("a")).as("h"))
-      h = snapshot(renorm(hRaw, "h"), s"h$r")
-      val aRaw = edges
-        .join(h.select(col("id").as("src"), col("h")), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(sum(col("h")).as("a"))
-      a = snapshot(renorm(aRaw, "a"), s"a$r")
+      val (hRaw, hm) = hRounds.next(
+        edges
+          .join(a.select(col("id").as("dst"), col("a")), Seq("dst"))
+          .groupBy(col("src").as("id"))
+          .agg(sum(col("a")).as("h")),
+        Seq(sum(col("h").cast("decimal(38,0)")).as("tot"))
+      )
+      // null total only on an empty frame (renorm then has no rows to
+      // divide) — guard the literal embed, any non-zero value works
+      h = renorm(hRaw, "h", Option(hm("tot").asInstanceOf[java.math.BigDecimal]).getOrElse(java.math.BigDecimal.ONE))
+      val (aRaw, am) = aRounds.next(
+        edges
+          .join(h.select(col("id").as("src"), col("h")), Seq("src"))
+          .groupBy(col("dst").as("id"))
+          .agg(sum(col("h")).as("a")),
+        Seq(sum(col("a").cast("decimal(38,0)")).as("tot"))
+      )
+      a = renorm(aRaw, "a", Option(am("tot").asInstanceOf[java.math.BigDecimal]).getOrElse(java.math.BigDecimal.ONE))
     }
-    a.join(h, Seq("id"), "full")
+    // final frames to parquet so the returned plan reads plain scans and
+    // every cached round/fixture is released before return
+    val aFin = aRounds.finish(a, "a_final")
+    val hFin = hRounds.finish(h, "h_final")
+    edges.unpersist()
+    nodes.unpersist()
+    aFin.join(hFin, Seq("id"), "full")
       .select(
         col("id").as("doc_id"),
         coalesce(col("a"), lit(0L)).as("auth_nano"),
@@ -10699,37 +10717,32 @@ object Queries {
   // edge-keyed join + two keyed aggregates over the bounded candidate
   // graph, snapshot per round — the q150/q183 posture.
   def labelPropagation(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
     val base = graft.operators.Scratch.dir("graft-lpa")
-    def snapshot(df: DataFrame, name: String): DataFrame = {
-      val path = s"$base/$name"
-      df.write.mode("overwrite").parquet(path)
-      spark.read.parquet(path)
-    }
     val pairs = graft.operators.CandidateGraph.pairs(s, dir)
-    val edges = snapshot(
-      pairs
-        .select(col("d1").as("src"), col("d2").as("dst"))
-        .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-        .distinct(),
-      "edges"
-    )
-    var labels = snapshot(edges.select(col("src").as("id")).distinct().withColumn("lbl", col("id")), "l0")
+    // r14 optimization: rounds materialize through the cache (Rounds),
+    // parquet only for the final labeling the community rollup reads —
+    // same 4 rounds, same labels, no per-round parquet round-trip
+    val edges = pairs
+      .select(col("d1").as("src"), col("d2").as("dst"))
+      .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .distinct()
+      .persist()
+    val rounds = new graft.operators.Rounds(s, base)
+    var labels = rounds.next(edges.select(col("src").as("id")).distinct().withColumn("lbl", col("id")))._1
     for (r <- 1 to 4) {
       val msgs = edges
         .join(labels.select(col("id").as("dst"), col("lbl")), Seq("dst"))
         .select(col("src").as("id"), col("lbl"))
         .unionByName(labels)
-      labels = snapshot(
-        msgs
-          .groupBy("id", "lbl")
-          .agg(count(lit(1)).as("c"))
-          .groupBy("id")
-          .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("b"))
-          .select(col("id"), col("b.l").as("lbl")),
-        s"l$r"
-      )
+      val next = msgs
+        .groupBy("id", "lbl")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("id")
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("b"))
+        .select(col("id"), col("b.l").as("lbl"))
+      labels = if (r == 4) rounds.finish(next, "l_final") else rounds.next(next)._1
     }
+    edges.unpersist()
     val com = labels.groupBy(col("lbl").as("community")).agg(count(lit(1)).as("n_members"))
     com.persist()
     com

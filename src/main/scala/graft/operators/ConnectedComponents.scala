@@ -25,18 +25,20 @@ import org.apache.spark.sql.functions._
   * same per-round plan shape, fewer rounds — the swap-in if diameter
   * ever bites.)
   *
-  * Lineage: every round SNAPSHOTS its label table (write parquet, read
-  * back) — the iterative-job checkpoint every production graph engine
-  * uses (GraphX/GraphFrames checkpointInterval). Each round references
-  * the previous labels twice (self ∪ via-neighbor), so an un-truncated
-  * lineage doubles per round — 2^rounds subtrees by round 30; the
-  * snapshot keeps every round's plan constant-size, leaves NO cached
-  * blocks behind (NoLeakSpec), and makes the returned frame a plain
-  * parquet scan. Superseded rounds and the edge snapshot are deleted as
-  * the loop advances; the FINAL round's snapshot backs the returned
-  * frame and lives until the scratch dir goes (JVM temp by default —
-  * pass `scratchDir` to own the lifecycle; it must be cluster-visible
-  * storage in production).
+  * Lineage: every round is MATERIALIZED before the next is planned —
+  * via [[Rounds]]: persist + one forcing action per round (with the
+  * convergence checksum observed inline on that same action), the
+  * previous round's blocks dropped as the loop advances, and a parquet
+  * barrier every few rounds to cut lineage growth (each round
+  * references the previous labels twice — self ∪ via-neighbor — so an
+  * uncut plan doubles per round; the barrier bounds it, and on a
+  * cluster bounds recomputation after executor loss exactly like
+  * GraphX's checkpointInterval). The FINAL labeling is written to
+  * parquet and read back, so the returned frame is a plain scan, and
+  * no cached blocks outlive the call (NoLeakSpec discipline). The r14
+  * optimization round replaced the old parquet-snapshot-per-round +
+  * separate-checksum-job discipline: same rounds, same results, half
+  * the jobs (guide §1/§2.4 — remove passes, not work).
   *
   * Determinism: min-label is order-free — the converged labeling is a
   * pure function of the graph, independent of partitioning, round
@@ -72,37 +74,28 @@ object ConnectedComponents {
     )
     val base = scratchDir.getOrElse(Scratch.dir("graft-cc"))
 
-    def snapshot(df: DataFrame, name: String): DataFrame = {
-      val path = s"$base/$name"
-      df.write.mode("overwrite").parquet(path)
-      spark.read.parquet(path)
-    }
-    def dropSnapshot(name: String): Unit = {
-      val p = new org.apache.hadoop.fs.Path(s"$base/$name")
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit
-    }
-
-    // symmetrize once — and snapshot: the edge pipeline (for q80, the
-    // whole minhash+banding candidate generation) must run ONCE, not
-    // once per propagation round
-    val sym = snapshot(
-      edges
-        .select(a.as("src"), b.as("dst"))
-        .unionByName(edges.select(b.as("src"), a.as("dst"))),
-      "edges"
-    )
-
     // convergence by CHECKSUM, not a join: every node's label is
     // non-increasing (next = min(own, neighbors')), so Σ labels strictly
-    // decreases iff ANY label changed — an exact test that costs one
-    // aggregation over the just-written (tiny-file) snapshot instead of
-    // a labels⋈labels join per round. Decimal sum: no overflow at any n
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("lbl").cast("decimal(38,0)")).as("s")).collect()(0).getDecimal(0))
-        .getOrElse(java.math.BigDecimal.ZERO) // empty node set: sum is null
+    // decreases iff ANY label changed. The checksum rides the round's
+    // OWN materialization action (Dataset.observe inside Rounds.next) —
+    // no separate aggregation job per round. Decimal sum: no overflow
+    // at any n.
+    val checkCol = sum(col("lbl").cast("decimal(38,0)")).as("s")
+    def asSum(m: Map[String, Any]): java.math.BigDecimal =
+      Option(m("s")).map(_.asInstanceOf[java.math.BigDecimal]).getOrElse(java.math.BigDecimal.ZERO)
 
-    var labels = snapshot(nodes.select(id.as("id"), id.as("lbl")), "round_0")
-    var prevSum = labelSum(labels)
+    // symmetrize once — and materialize: the edge pipeline (for q80,
+    // the whole minhash+banding candidate generation) must run ONCE,
+    // not once per propagation round. Cached, never parquet'd: it is
+    // consumed only inside this loop and released before return.
+    val sym = edges
+      .select(a.as("src"), b.as("dst"))
+      .unionByName(edges.select(b.as("src"), a.as("dst")))
+      .persist()
+
+    val rounds = new Rounds(spark, base)
+    var (labels, m0) = rounds.next(nodes.select(id.as("id"), id.as("lbl")), Seq(checkCol))
+    var prevSum = asSum(m0)
     var round = 0
     var converged = false
     while (!converged && round < maxIters) {
@@ -111,24 +104,27 @@ object ConnectedComponents {
       val viaNeighbor = sym
         .join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("lbl"))
-      val next = snapshot(
-        labels.unionByName(viaNeighbor).groupBy("id").agg(min("lbl").as("lbl")),
-        s"round_$round"
-      )
-      val nextSum = labelSum(next)
-      dropSnapshot(s"round_${round - 1}") // only the latest round is live
+      val (next, mr) =
+        rounds.next(labels.unionByName(viaNeighbor).groupBy("id").agg(min("lbl").as("lbl")), Seq(checkCol))
+      val nextSum = asSum(mr)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
     }
     // silent truncation would return WRONG clusters (and diverge from
     // the oracle's exact fixpoint) — refuse instead
-    if (!converged)
+    if (!converged) {
+      rounds.release()
+      sym.unpersist()
       throw new IllegalStateException(
         s"connected components did not converge in $maxIters rounds — graph diameter exceeds the cap; raise maxIters"
       )
-    dropSnapshot("edges")
-    labels.withColumnRenamed("lbl", "cluster")
+    }
+    // the returned frame is a plain parquet scan (unchanged contract);
+    // every cached round is released here, so no blocks outlive the call
+    val out = rounds.finish(labels.withColumnRenamed("lbl", "cluster"), "cc_labels")
+    sym.unpersist()
+    out
   }
 
   /** Incremental connected components — cluster-label MAINTENANCE
@@ -177,7 +173,13 @@ object ConnectedComponents {
       df.write.mode("overwrite").parquet(path)
       spark.read.parquet(path)
     }
-    val delta = snapshot(deltaEdges.select(a.as("d1"), b.as("d2")), "delta")
+    // delta is consumed only inside this call (endpoint set + the
+    // sub-fixpoint's edge union, whose final labeling is parquet'd by
+    // minLabel) — cache it instead of a parquet round-trip; `affected`
+    // stays a parquet snapshot because the RETURNED plan references it
+    // (the carried-through anti-join), so it must outlive this call.
+    val delta = deltaEdges.select(a.as("d1"), b.as("d2")).persist()
+    delta.count()
     val endpoints = delta
       .select(col("d1").as("id"))
       .unionByName(delta.select(col("d2").as("id")))
@@ -208,6 +210,7 @@ object ConnectedComponents {
       col("d2"),
       scratchDir = Some(s"$base/cc")
     )
+    delta.unpersist() // minLabel's sym cache + final parquet no longer need it
     oldLabels
       .join(affected, Seq("cluster"), "left_anti")
       .select(col("id"), col("cluster"), lit(0L).as("relabeled"))

@@ -21,8 +21,9 @@ import org.apache.spark.sql.functions._
   * endpoint filters are semi joins, nothing global. Like
   * [[ConnectedComponents]], each round references the previous edge
   * set twice (once per endpoint), so lineage would DOUBLE per round;
-  * the per-round parquet snapshot (write + read back) keeps plans
-  * shallow and bounds recomputation, the same pattern as CC/PageRank.
+  * per-round materialization through [[Rounds]] (cache-backed, parquet
+  * barrier periodically and at the final round) keeps plans shallow and
+  * bounds recomputation, the same pattern as CC/PageRank.
   */
 object KCore {
 
@@ -33,6 +34,7 @@ object KCore {
   def kcore(edges: DataFrame, a: Column, b: Column, k: Int, rounds: Int, scratchDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
     val scratch = scratchDir.getOrElse(Scratch.dir("graft-kcore"))
+    val rs = new Rounds(spark, scratch)
     var e = edges.select(a.as("u"), b.as("v"))
     for (r <- 1 to rounds) {
       val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
@@ -41,11 +43,13 @@ object KCore {
         .agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("u").as("id"))
-      e = e
+      val next = e
         .join(keep.select(col("id").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("id").as("v")), Seq("v"), "left_semi")
-      e.write.mode("overwrite").parquet(s"$scratch/round$r")
-      e = spark.read.parquet(s"$scratch/round$r")
+      // intermediate rounds materialize into the cache; the FINAL round
+      // goes to parquet because the returned degree frame reads it after
+      // this call releases the cached rounds (Rounds doc)
+      e = if (r == rounds) rs.finish(next, s"round$r") else rs.next(next)._1
     }
     e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       .groupBy(col("u").as("id"))

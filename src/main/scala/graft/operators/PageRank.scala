@@ -67,28 +67,26 @@ object PageRank {
       df.write.mode("overwrite").parquet(path)
       spark.read.parquet(path)
     }
-    def dropSnapshot(name: String): Unit = {
-      val p = new org.apache.hadoop.fs.Path(s"$base/$name")
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit
-    }
-
-    val ids = snapshot(nodes.select(id.as("id")), "nodes")
-    val sym = snapshot(
-      edges
-        .select(a.as("src"), b.as("dst"))
-        .unionByName(edges.select(b.as("src"), a.as("dst"))),
-      "edges"
-    )
+    // ids and sym are consumed only inside the loop (the final round is
+    // parquet'd below) — cache them instead of parquet round-trips; deg
+    // stays a parquet snapshot because the RETURNED join reads it after
+    // the caches are released (r14 optimization round, guide §1/§2.4)
+    val ids = nodes.select(id.as("id")).persist()
+    val sym = edges
+      .select(a.as("src"), b.as("dst"))
+      .unionByName(edges.select(b.as("src"), a.as("dst")))
+      .persist()
     val deg = snapshot(sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")), "deg")
 
     // driver-side scalars: node count fixes the teleport term — the
-    // same dimension-sized action as CC's convergence checksum
+    // same dimension-sized action as CC's convergence checksum (this
+    // count is also what materializes the ids cache)
     val n = ids.count()
     require(n > 0, "PageRank over an empty node set")
     val teleport = (100 - damping) * One / (100 * n) // floor, as the oracle floors
 
+    val rounds = new Rounds(spark, base)
     var pr = ids.withColumn("pr", lit(One / n))
-    var lastSnap = -1
     (1 to iters).foreach { i =>
       val share = pr
         .join(deg, Seq("id"))
@@ -103,16 +101,13 @@ object PageRank {
           col("id"),
           (lit(teleport) + expr(s"($damping * coalesce(inflow, 0L)) div 100")).as("pr")
         )
-      if (i % snapshotEvery == 0 || i == iters) {
-        pr = snapshot(pr, s"round_$i")
-        if (lastSnap > 0) dropSnapshot(s"round_$lastSnap")
-        lastSnap = i
-      }
+      if (i == iters) pr = rounds.finish(pr, s"round_$i")
+      else if (i % snapshotEvery == 0) pr = rounds.next(pr)._1
     }
     val out = pr.join(deg, Seq("id"), "left").select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"), col("pr"))
-    // the final round's snapshot backs `out`; edges/deg/nodes snapshots
-    // are superseded intermediates — drop them now
-    dropSnapshot("edges")
+    // the final round's parquet backs `out`; the loop caches are done
+    ids.unpersist()
+    sym.unpersist()
     out
   }
 }
